@@ -1,0 +1,283 @@
+"""Deduplication operators for LLM data pipelines (SURVEY.md M5):
+
+- ``dedup_exact``          -- content-hash exact dedup.
+- ``ngram_jaccard_pairs``  -- exact n-gram Jaccard near-dup pairs.
+- ``dedup_minhash``        -- MinHash + LSH banding, Jaccard-verified.
+- ``dedup_simhash``        -- 64-bit SimHash + band blocking, Hamming-verified.
+- ``embedding_neardup_pairs`` -- cosine near-dup pairs, blocked on label.
+
+Design for 100 TB:
+- Signatures (minhash mins, simhash bit sums) are computed as *plain
+  aggregations* over exploded tokens/shingles -- map-side partial agg,
+  one shuffle on doc_id, never a per-doc collect_list of raw shingles.
+- Candidate generation joins on (band, band_hash) buckets -- the only
+  all-pairs work is within buckets, which LSH keeps tiny.
+- Verification (exact Jaccard / Hamming) runs only on candidates.
+- All hashing is seeded/deterministic (xxhash64 + fixed perm tables).
+"""
+
+from __future__ import annotations
+
+import random
+from functools import reduce as _reduce
+from operator import add as _add
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens_col
+
+# Modulus / bounds for the MinHash permutation family
+#   h' = (a*h + b) mod P  with h, a, b < 2^30 and P = 2^31 - 1,
+# so a*h + b < 2^60 + 2^30 never overflows signed 64-bit (ANSI-safe).
+_MERSENNE_P = (1 << 31) - 1
+_HASH_BOUND = 1 << 30
+
+
+def _perm_tables(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _HASH_BOUND), rng.randrange(0, _HASH_BOUND))
+        for _ in range(num_perm)
+    ]
+
+
+def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle).
+    Docs with fewer than n tokens produce no shingles."""
+    toks = tokens_col("text")
+    df = documents.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= n)
+    sh = F.explode(
+        F.expr(
+            f"array_distinct(transform(sequence(1, size(toks) - {n - 1}), "
+            f"i -> concat_ws(' ', slice(toks, i, {n}))))"
+        )
+    )
+    return df.select("doc_id", sh.alias("shingle"))
+
+
+def dedup_exact(documents: DataFrame) -> DataFrame:
+    """Exact dedup on full-content hash: one representative (min
+    doc_id) per distinct text plus the duplicate count. Single
+    hash aggregation; at 100 TB this is the cheapest possible dedup
+    (shuffle carries one row per distinct hash)."""
+    return (
+        documents.select("doc_id", F.md5("text").alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def shingle_sizes(sh: DataFrame) -> DataFrame:
+    return sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs >= threshold.
+
+    Inverted-index join: docs sharing a shingle meet exactly once per
+    shared shingle; count(shared)/(|A|+|B|-shared) is exact Jaccard.
+    Quadratic in per-shingle document frequency -- at scale, drop
+    ultra-common shingles (document-frequency cap) or use
+    ``dedup_minhash`` below; this operator is the exactness baseline
+    the sketches are verified against.
+    """
+    sh = shingles(documents, n)
+    sizes = shingle_sizes(sh)
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    jac = F.col("common") * 1.0 / (F.col("na") + F.col("nb") - F.col("common"))
+    return (
+        common.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    documents: DataFrame, num_perm: int = 128, n: int = 3, seed: int = 42
+) -> DataFrame:
+    """(doc_id, s0..s{num_perm-1}) MinHash signature columns.
+
+    Each signature slot is min((a_i*h + b_i) mod P) over the doc's
+    shingle hashes -- expressed as num_perm plain MIN aggregates over
+    the exploded shingle stream, so Spark runs map-side partial mins
+    and shuffles one row per doc. No arrays of raw shingles are ever
+    materialized (100 TB posture).
+    """
+    sh = shingles(documents, n)
+    h = F.pmod(F.xxhash64("shingle"), F.lit(_HASH_BOUND))
+    aggs = [
+        F.min(F.pmod(a * h + b, F.lit(_MERSENNE_P))).alias(f"s{i}")
+        for i, (a, b) in enumerate(_perm_tables(num_perm, seed))
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_candidates(
+    sig: DataFrame, num_perm: int = 128, bands: int = 16
+) -> DataFrame:
+    """LSH banding: hash each band of rows_per_band signature slots;
+    docs colliding in any band become candidate pairs (doc_a < doc_b)."""
+    rows = num_perm // bands
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_id"),
+                F.xxhash64(
+                    F.concat_ws(",", *[f"s{j * rows + r}" for r in range(rows)])
+                ).alias("band_hash"),
+            )
+            for j in range(bands)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(band_cols).alias("b")).select(
+        "doc_id", "b.band_id", "b.band_hash"
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def dedup_minhash(
+    documents: DataFrame,
+    num_perm: int = 128,
+    bands: int = 16,
+    n: int = 3,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs, verified with exact Jaccard.
+
+    shingle -> minhash (partial-agg mins) -> band -> bucket self-join
+    -> exact-Jaccard verification of candidates only. With 16 bands x
+    8 rows, P(candidate | j=0.9) ~ 0.9999; the final filter removes
+    LSH false positives, so output precision is exact and only recall
+    is probabilistic.
+    """
+    sig = minhash_signatures(documents, num_perm, n, seed)
+    cand = minhash_candidates(sig, num_perm, bands)
+    sh = shingles(documents, n)
+    sizes = shingle_sizes(sh)
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+        .join(cand, ["doc_a", "doc_b"], "left_semi")
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    jac = F.col("common") * 1.0 / (F.col("na") + F.col("nb") - F.col("common"))
+    return (
+        common.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def simhash_signatures(documents: DataFrame) -> DataFrame:
+    """64-bit SimHash per doc: for each bit position, sum +cnt/-cnt of
+    token-hash bits weighted by term frequency; bit = (sum > 0).
+    Expressed as 64 SUM aggregates over (doc, token, cnt) -- partial
+    aggregation applies, one shuffle row per doc."""
+    toks = tokens_col("text")
+    tf = (
+        documents.select("doc_id", F.explode(toks).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("h", F.xxhash64("word"))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftrightunsigned("h", i).bitwiseAND(F.lit(1)) == 1, F.col("cnt")).otherwise(
+                -F.col("cnt")
+            )
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    per_doc = tf.groupBy("doc_id").agg(*bit_sums)
+    bits = [
+        F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        for i in range(64)
+    ]
+    return per_doc.select("doc_id", _reduce(_add, bits).alias("simhash"))
+
+
+def dedup_simhash(
+    documents: DataFrame, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 64-bit fingerprint into
+    ``bands`` chunks (pigeonhole: hamming <= bands-1 guarantees a
+    colliding band; default 4 bands covers max_hamming=3 exactly),
+    self-join per band, verify with bit_count(xor) <= max_hamming."""
+    width = 64 // bands
+    sig = simhash_signatures(documents)
+    chunk = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_id"),
+                F.shiftrightunsigned("simhash", j * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("chunk"),
+            )
+            for j in range(bands)
+        ]
+    )
+    banded = sig.select("doc_id", "simhash", F.explode(chunk).alias("c")).select(
+        "doc_id", "simhash", "c.band_id", "c.chunk"
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, ["band_id", "chunk"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame, threshold: float = 0.9
+) -> DataFrame:
+    """Cosine near-dup pairs over embedding vectors, blocked on the
+    ``label`` column (the generic blocked-join pattern: at 100 TB the
+    block key would be a coarse LSH bucket or cluster id -- see
+    ``similarity.ann_lsh`` -- never an unblocked cross join)."""
+    from ..functions.vectors import cosine_similarity
+
+    a = embeddings.select(
+        F.col("vec_id").alias("vec_a"), F.col("label").alias("label"), F.col("embedding").alias("ea")
+    )
+    b = embeddings.select(
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("label"), F.col("embedding").alias("eb")
+    )
+    cos = cosine_similarity(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("vec_a", "vec_b", F.round("cos_sim", 4).alias("cos_sim"))
+    )

@@ -1,0 +1,111 @@
+"""Multimodal column handling (SURVEY.md M5): image/audio/video as
+opaque ``binary`` payloads with typed metadata, processed with
+Arrow-batched ``mapInPandas``.
+
+The container ships no image/audio libraries, so the *decode kernels*
+are deliberate stubs (deterministic fakes, or NotImplementedError for
+the real-library path) -- but the Spark-side plumbing is real and
+tested: schema, batch iteration, partition-preserving metadata
+extraction, and frame-sampling explosion. Swapping a stub for
+PIL/librosa changes only the kernel body.
+
+100 TB posture: payloads stay in executor-side Arrow batches; nothing
+returns to the driver; per-batch memory is bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Output schema of decode_metadata (DDL form, used by mapInPandas).
+DECODE_SCHEMA = (
+    "doc_id long, content_type string, n_bytes long, fake_width long, fake_height long"
+)
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_bytes binary"
+
+
+def attach_payload(documents: DataFrame) -> DataFrame:
+    """Model a multimodal table: derive an opaque binary payload column
+    (UTF-8 bytes of the text stand in for image bytes) plus typed
+    metadata, the canonical layout for binary + metadata columns."""
+    return documents.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("image/fake").alias("content_type"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in for an image decoder: derives fake
+    dimensions from the byte length. Replace with PIL decode when the
+    library is available."""
+    n = len(payload)
+    return n, n % 640, (n * 7) % 480
+
+
+def real_decode(payload: bytes):  # pragma: no cover - stub by design
+    """Real image decode -- STUB. The execution container has no
+    imaging libraries; the Arrow plumbing around this kernel is what
+    the engine provides."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "image decode requires Pillow, not present in this environment; "
+            "use _fake_decode for plumbing tests"
+        ) from e
+    raise NotImplementedError("wire PIL Image.open(io.BytesIO(payload)) here")
+
+
+def decode_metadata(multimodal: DataFrame) -> DataFrame:
+    """Per-payload metadata extraction via mapInPandas: batch iterator
+    in, batch iterator out, payload column dropped on output so the
+    binary never travels further than necessary."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [_fake_decode(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "content_type": pdf["content_type"],
+                    "n_bytes": pd.Series([d[0] for d in decoded], dtype="int64"),
+                    "fake_width": pd.Series([d[1] for d in decoded], dtype="int64"),
+                    "fake_height": pd.Series([d[2] for d in decoded], dtype="int64"),
+                }
+            )
+
+    return multimodal.mapInPandas(kernel, schema=DECODE_SCHEMA)
+
+
+def frame_sample(multimodal: DataFrame, max_frames: int = 4, frame_bytes: int = 32) -> DataFrame:
+    """Video-style frame sampling: explode each payload into up to
+    ``max_frames`` fixed-stride byte slices (stand-ins for decoded
+    frames). Real frame decode would replace the slicing kernel."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, blobs = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = min(max_frames, max(1, len(payload) // frame_bytes))
+                stride = max(1, len(payload) // n_frames)
+                for i in range(n_frames):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    blobs.append(bytes(payload[i * stride : i * stride + frame_bytes]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_bytes": blobs,
+                }
+            )
+
+    return multimodal.mapInPandas(kernel, schema=FRAME_SCHEMA)

@@ -1,0 +1,254 @@
+"""Relational operators (SURVEY.md section 2B, MapReduce-core rows).
+
+Each function takes DataFrames and returns a DataFrame; the fixture
+wiring lives in ``plans/registry.py``. Every operator here is a pure
+declarative DataFrame plan -- Catalyst supplies pushdown, pruning,
+partial aggregation, and join selection (the reference has no
+optimizer at all, SURVEY.md section 4.1, so everything below is
+strictly better than its map/shuffle/sort/reduce encoding:
+reference mechanisms cited per function).
+
+Scale notes (100 TB posture) are in each docstring; none of these
+operators collects to the driver or materializes per-group arrays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dec2(col: str) -> F.Column:
+    """2-decimal exact view of a money/rate column. Aggregates over
+    money use decimal arithmetic so results are order-independent and
+    engine-independent (float sums are neither)."""
+    return F.col(col).cast("decimal(18,2)")
+
+
+def scan_project(lineitem: DataFrame) -> DataFrame:
+    """Scan + projection (reference: directory scan + tab-split,
+    ``worker/WorkerServlet.java:510-530`` + ``worker/MapThread.java:50-51``).
+
+    Column pruning reaches the parquet reader (ReadSchema carries only
+    three columns), so at 100 TB this reads ~3/11ths of lineitem bytes.
+    """
+    return lineitem.select("l_orderkey", "l_partkey", "l_quantity")
+
+
+def filter_predicate(lineitem: DataFrame) -> DataFrame:
+    """Selection with a compound predicate (reference: map emitting 0/1
+    records, ``Job.java:19``). All three conjuncts are
+    parquet-pushdown-eligible (shows under PushedFilters), so row
+    groups failing min/max stats are skipped entirely at scale.
+    """
+    return lineitem.select("l_orderkey", "l_quantity", "l_discount", "l_returnflag").filter(
+        (F.col("l_quantity") > 30)
+        & F.col("l_returnflag").isin("A", "R")
+        & F.col("l_discount").between(0.02, 0.08)
+    )
+
+
+def map_scalar(lineitem: DataFrame) -> DataFrame:
+    """Per-row computed columns (reference: 1->1 map, ``Job.java:19``).
+    Pure codegen expressions; zero shuffle."""
+    # decimal arithmetic: price/discount are 2-decimal quantities, so
+    # the product is exact in decimal(_, 4) -- double round() at the
+    # .xx5 halfway points is engine-dependent and must be avoided
+    net = (_dec2("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec2("l_discount"))).cast(
+        "double"
+    )
+    return lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        net.alias("net_price"),
+        F.upper("l_returnflag").alias("flag_uc"),
+        F.year("l_shipdate").alias("ship_year"),
+    )
+
+
+def groupby_agg(lineitem: DataFrame) -> DataFrame:
+    """Hash aggregation per key (reference: shuffle+sort+reduce,
+    ``worker/WorkerServlet.java:449-496`` + ``ReduceThread.java``).
+
+    Spark runs partial (map-side) aggregation before the exchange --
+    the combiner the reference approximates by per-record
+    pre-aggregation in ``job/WordCount.java:25-42`` -- so shuffle
+    volume is O(groups x partitions), not O(rows), at any scale.
+    """
+    return lineitem.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        F.min("l_shipdate").alias("min_shipdate"),
+        F.max("l_shipdate").alias("max_shipdate"),
+    )
+
+
+def groupby_multikey(lineitem: DataFrame) -> DataFrame:
+    """Multi-column grouping keys (reference: composite-key encoding in
+    the single string key). TPC-H Q1 shape."""
+    revenue = F.sum(
+        _dec2("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec2("l_discount"))
+    ).cast("double")
+    return lineitem.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        revenue.alias("revenue"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+    )
+
+
+def distinct_keys(lineitem: DataFrame) -> DataFrame:
+    """Duplicate elimination (reference: group + emit key once).
+    Partial-agg before shuffle => tiny exchange for low-cardinality keys."""
+    return lineitem.select("l_returnflag", "l_linestatus").distinct()
+
+
+def count_distinct(customer: DataFrame) -> DataFrame:
+    """Exact distinct count per group. At 100 TB prefer
+    approx_count_distinct (HLL) unless exactness is required; the exact
+    form expands to a two-phase aggregate (distinct then count)."""
+    return customer.groupBy("c_nationkey").agg(
+        F.countDistinct("c_mktsegment").alias("n_segments"),
+        F.count("*").alias("n_customers"),
+    )
+
+
+def approx_count_distinct(lineitem: DataFrame) -> DataFrame:
+    """Sketch-based distinct (HyperLogLog++). The 100 TB answer to
+    count-distinct: fixed-size state per group, single shuffle of
+    sketches, mergeable across partitions. rsd pinned for determinism
+    of the estimate at a given Spark version."""
+    return lineitem.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def sort_global(orders: DataFrame) -> DataFrame:
+    """Total order (reference: external Unix sort per worker,
+    ``worker/WorkerServlet.java:449-471`` -- which is only per-worker
+    order; this is a true global sort). Spark range-partitions by
+    sampled quantiles then sorts within partitions, spilling to disk
+    -- the distributed analog of sort(1)'s external merge."""
+    return orders.select("o_orderkey", "o_totalprice").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+
+
+def topk(orders: DataFrame, k: int = 10) -> DataFrame:
+    """Order + limit. Catalyst plans TakeOrderedAndProject: each
+    partition keeps a k-heap, driver merges k x partitions rows --
+    no global sort, no full shuffle; survives any scale-up.
+    Tie-broken on o_orderkey for determinism."""
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(k)
+    )
+
+
+def join_equi_inner(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """Reduce-side equi-join (reference encoding: map-side tag +
+    grouped merge). Left to AQE: sort-merge for two large sides,
+    auto-broadcast when one side is under the threshold."""
+    return orders.join(customer, orders.o_custkey == customer.c_custkey, "inner").select(
+        "o_orderkey", "c_custkey", "c_name", "o_totalprice"
+    )
+
+
+def join_left_outer(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Left outer join + per-key count; customers with no orders kept
+    at n_orders = 0 (count(o_orderkey) skips nulls)."""
+    j = customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+    return j.groupBy("c_custkey").agg(F.count("o_orderkey").alias("n_orders"))
+
+
+def join_semi_anti(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Existence joins: semi (has orders) and anti (no orders), tagged
+    and unioned. Semi/anti shuffle only the keys of the probe side --
+    at scale vastly cheaper than inner-join + distinct."""
+    on = customer.c_custkey == orders.o_custkey
+    semi = customer.join(orders, on, "left_semi").select(
+        "c_custkey", F.lit("has_orders").alias("tag")
+    )
+    anti = customer.join(orders, on, "left_anti").select(
+        "c_custkey", F.lit("no_orders").alias("tag")
+    )
+    return semi.unionAll(anti)
+
+
+def join_broadcast(orders: DataFrame, customer: DataFrame, nation: DataFrame) -> DataFrame:
+    """Map-side (replicated) join: both dims explicitly broadcast, so
+    the only shuffle is the final aggregation. This is the reference's
+    'small side on every worker's classpath' pattern made explicit; at
+    100 TB the fact table never moves for the join."""
+    j = orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey).join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    )
+    return j.groupBy("n_name").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+def set_union(a: DataFrame, b: DataFrame) -> DataFrame:
+    """UNION (distinct) via key-tagged grouping in the reference
+    encoding; here union + distinct with partial agg."""
+    return a.unionAll(b).distinct()
+
+
+def set_intersect(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.intersect(b)
+
+
+def set_except(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.subtract(b)
+
+
+def window_rank(orders: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k per group via rank window (reference: sorted groups from
+    the external sort). Single hash-shuffle on the partition key, sort
+    within partitions; rank filter prunes before any downstream op."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.select("o_custkey", "o_orderkey", "o_totalprice", F.rank().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def window_running_agg(orders: DataFrame) -> DataFrame:
+    """Running sum per customer over order date (deterministic frame:
+    ties broken by o_orderkey)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+def grouping_rollup(lineitem: DataFrame) -> DataFrame:
+    """Hierarchical totals (reference: multi-round MapReduce). One
+    expand + single aggregation in Spark."""
+    return lineitem.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+def json_extract(events: DataFrame) -> DataFrame:
+    """Parse JSON property strings (reference: jobs parse strings
+    themselves, ``Job.java:19``). get_json_object is codegen'd; for
+    repeated multi-key access prefer from_json once into a struct."""
+    return events.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+    )

@@ -1,0 +1,65 @@
+"""Temporal / event-stream operators over the ``events`` table
+(SURVEY.md M4): gap-based sessionization and tumbling-window
+aggregation. Batch forms here; streaming variants in ``streaming/``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Gap-based sessions: a new session starts when the gap since the
+    user's previous event exceeds ``gap_seconds``. Classic lag +
+    cumulative-sum construction (reference licensing: sort within key
+    + grouped fold, SURVEY.md section 2B).
+
+    One shuffle on user_id, then two window passes over the same
+    sort order (Catalyst reuses the sort). Skewed users (bots) are the
+    scale risk: mitigate with AQE skew handling or per-user date
+    sub-partitioning when sessions never span days.
+    """
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(order)
+    is_new = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    running = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        events.select("user_id", "event_id", "ts", is_new.alias("is_new"))
+        .select(
+            "user_id",
+            "event_id",
+            F.sum("is_new").over(running).alias("session_id"),
+        )
+    )
+
+
+def session_stats(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Per-session rollup on top of sessionize: bounds + event count."""
+    s = sessionize(events, gap_seconds)
+    j = events.join(s, ["user_id", "event_id"])
+    return j.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+def tumbling_window_agg(events: DataFrame, duration: str = "1 hour") -> DataFrame:
+    """Fixed-window aggregation via the native window() generator
+    (reference licensing: key = time-bucket(ts)). window() keeps the
+    grouping a plain hash agg on (bucket, type) -- partial agg then one
+    exchange; identical plan shape in Structured Streaming."""
+    w = F.window("ts", duration)
+    return (
+        events.groupBy(w.alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

@@ -1,0 +1,175 @@
+"""The ``Job(map, reduce)`` API analog (SURVEY.md section 2C, M2).
+
+The reference's entire extensibility surface is a two-method class:
+
+    map(String key, String value, Context)      Job.java:19
+    reduce(String key, String[] values, Context) Job.java:31
+
+instantiated reflectively by fully-qualified class name
+(``worker/MapThread.java:64-68``, ``worker/ReduceThread.java:67-73``)
+-- per record/group, so user functions are stateless by construction.
+
+Engine mapping:
+
+- ``Job`` protocol: ``map(key, value) -> Iterable[(k, v)]`` and
+  ``reduce(key, values) -> Iterable[(k, v)]`` over strings.
+- ``run_job``: map via ``mapInPandas`` (Arrow batches, multi-emit),
+  shuffle via hash repartition on key (the reference's
+  SHA-1-range partitioner, ``job/WordCountContext.java:84-91``, is
+  just Spark's HashPartitioning contract: equal keys co-locate),
+  reduce via ``applyInPandas`` over ``groupBy(key)``.
+- ``resolve_job``: dotted-path import, mirroring ``Class.forName``.
+- ``JobQueue``: the master's single-job FIFO scheduler semantics
+  (``master/MasterServlet.java:325-351``) as a thin sequential runner
+  with the status page's counters.
+
+Scale caveat (documented contract, like the reference's): ``reduce``
+receives all values of a key materialized -- fine for bounded groups,
+hostile for mega-keys. Algebraic aggregations should use declared
+operators (``operators/relational.py``) which keep partial
+aggregation; ``run_job`` exists for arbitrary user logic parity.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Iterable, Iterator
+from dataclasses import dataclass, field
+from typing import Protocol
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+
+class Job(Protocol):
+    """User job: both methods must be pure/stateless (the reference
+    re-instantiates the class per record/group, enforcing the same)."""
+
+    def map(self, key: str, value: str) -> Iterable[tuple[str, str]]: ...
+
+    def reduce(self, key: str, values: list[str]) -> Iterable[tuple[str, str]]: ...
+
+
+def resolve_job(path: str) -> type:
+    """Dotted-path class loading, the ``Class.forName`` analog."""
+    module, _, cls = path.rpartition(".")
+    return getattr(importlib.import_module(module), cls)
+
+
+def run_job(
+    job_cls: type | str,
+    input_df: DataFrame,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Execute a Job over DataFrame(key string, value string) ->
+    DataFrame(key string, value string).
+
+    Phases mirror the reference dataflow: map (multi-emit, Arrow
+    batched) -> hash shuffle on key -> grouped reduce. Parallelism is
+    partitions x cores instead of the reference's mapthreads /
+    reducethreads worker pools (``worker/WorkerServlet.java:541-569``).
+    """
+    if isinstance(job_cls, str):
+        job_cls = resolve_job(job_cls)
+
+    def map_phase(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        job = job_cls()
+        for pdf in batches:
+            keys, values = [], []
+            for k, v in zip(pdf["key"], pdf["value"]):
+                for ok, ov in job.map(k, v):
+                    keys.append(ok)
+                    values.append(ov)
+            yield pd.DataFrame({"key": pd.Series(keys, dtype="object"),
+                                "value": pd.Series(values, dtype="object")})
+
+    def reduce_phase(pdf: pd.DataFrame) -> pd.DataFrame:
+        job = job_cls()
+        key = pdf["key"].iloc[0]
+        keys, values = [], []
+        for ok, ov in job.reduce(key, list(pdf["value"])):
+            keys.append(ok)
+            values.append(ov)
+        return pd.DataFrame({"key": pd.Series(keys, dtype="object"),
+                             "value": pd.Series(values, dtype="object")})
+
+    mapped = input_df.select("key", "value").mapInPandas(
+        map_phase, schema="key string, value string"
+    )
+    if num_partitions:
+        mapped = mapped.repartition(num_partitions, "key")
+    return mapped.groupBy("key").applyInPandas(
+        reduce_phase, schema="key string, value string"
+    )
+
+
+class WordCountJob:
+    """The engine's WordCount through the Job API: map pre-aggregates
+    per record (the reference's combiner pattern,
+    ``job/WordCount.java:25-42``) and reduce sums the partial counts
+    -- standard total-occurrence semantics."""
+
+    def map(self, key: str, value: str) -> Iterable[tuple[str, str]]:
+        from ..functions.text import tokenize_py
+
+        counts: dict[str, int] = {}
+        for tok in tokenize_py(value):
+            counts[tok] = counts.get(tok, 0) + 1
+        return [(w, str(n)) for w, n in counts.items()]
+
+    def reduce(self, key: str, values: list[str]) -> Iterable[tuple[str, str]]:
+        return [(key, str(sum(int(v) for v in values)))]
+
+
+class LiteralWordCountJob(WordCountJob):
+    """Bug-for-bug reference semantics: reduce returns values.length
+    (``job/WordCount.java:51``) = number of records containing the
+    word, since map emits each word once per record."""
+
+    def reduce(self, key: str, values: list[str]) -> Iterable[tuple[str, str]]:
+        return [(key, str(len(values)))]
+
+
+@dataclass
+class QueuedJob:
+    name: str
+    job_cls: type | str
+    input_df: DataFrame
+    status: str = "pending"  # pending -> mapping/reducing -> done (WorkerStatus states)
+    result: DataFrame | None = None
+
+
+@dataclass
+class JobQueue:
+    """Single-job-at-a-time FIFO, the master's scheduling contract
+    (one in-process job, head-of-queue dispatch on completion --
+    ``master/MasterServlet.java:145-178,325-351``). Spark supplies the
+    phase barrier the master implemented with worker heartbeats."""
+
+    _queue: list[QueuedJob] = field(default_factory=list)
+    history: list[QueuedJob] = field(default_factory=list)
+
+    def submit(self, name: str, job_cls: type | str, input_df: DataFrame) -> QueuedJob:
+        qj = QueuedJob(name, job_cls, input_df)
+        self._queue.append(qj)
+        return qj
+
+    def run_all(self) -> list[QueuedJob]:
+        while self._queue:
+            qj = self._queue.pop(0)
+            qj.status = "running"
+            qj.result = run_job(qj.job_cls, qj.input_df)
+            # Force completion so FIFO semantics are real, not lazy.
+            qj.result = qj.result.localCheckpoint(eager=True)
+            qj.status = "done"
+            self.history.append(qj)
+        return self.history
+
+    def status_page(self) -> list[dict]:
+        """The master status page's job table, as data
+        (``master/MasterServlet.java:257-317``)."""
+        return [
+            {"name": j.name, "status": j.status}
+            for j in (*self.history, *self._queue)
+        ]

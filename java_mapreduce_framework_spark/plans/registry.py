@@ -1,0 +1,731 @@
+"""Declared query registry: the single source of truth behind
+``__spark_entry__.py``'s ``queries()`` / ``oracle_sql()`` contract.
+
+Every operator from SURVEY.md section 2B registers here as a
+``QuerySpec``: a PySpark callable ``(spark, sf_dir) -> DataFrame``
+plus (when SQL-expressible) the equivalent ANSI SQL the DuckDB oracle
+runs over the same parquet fixtures. Column names and types are
+aligned on both sides because the driver's comparison hashes values
+under name-sorted columns.
+
+Alignment rules used throughout (SURVEY.md section 7 risk register):
+- every computed column aliased identically in Spark and SQL;
+- DuckDB widths cast to Spark's (year/length/rank -> INT, sum(int) ->
+  BIGINT vs DuckDB's HUGEINT);
+- doubles rounded (2 for money, 4 for ratios, 6 pre-ranking) on both
+  sides, after arithmetic written in the same order;
+- timestamps compared under UTC (session tz pinned in ``_prep``);
+- ties in every ORDER BY broken by a unique key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import dedup, multimodal, relational, similarity, temporal, text
+from ..session import tune_session
+from ..sources.tables import load_table
+
+# ---------------------------------------------------------------- helpers
+
+#: DuckDB tokenizer fragment == functions.text.tokens_col semantics.
+_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), s -> s <> '')"
+
+#: (doc_id, word) occurrence stream, shared by the wordcount family.
+_WORDS_CTE = f"""
+WITH words AS (
+  SELECT doc_id, unnest({_TOKS}) AS word
+  FROM documents
+)
+"""
+
+#: events with ts truncated ns -> us, matching Spark's microsecond
+#: timestamp representation (see sources.tables.load_table).
+_EVTS = (
+    "(SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props "
+    "FROM events) evts"
+)
+
+_EN = "('the','a','of','and','to','in','is')"
+_ES = "('el','la','de','y','es','un','que')"
+_DE = "('der','die','das','und','ist','ein','zu')"
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None => non-SQL-expressible, rows-only check
+    note: str = ""
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def _register(name: str, oracle: str | None, note: str = ""):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tune_session(spark)
+            return fn(spark, sf_dir)
+
+        _REGISTRY[name] = QuerySpec(name, wrapped, oracle, note)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def registry() -> dict[str, QuerySpec]:
+    return dict(_REGISTRY)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {n: s.oracle for n, s in _REGISTRY.items() if s.oracle is not None}
+
+
+# ------------------------------------------------- relational core (M1/M3)
+
+
+@_register(
+    "scan_project",
+    "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem",
+)
+def _scan_project(spark, sf):
+    return relational.scan_project(_t(spark, sf, "lineitem"))
+
+
+@_register(
+    "filter_predicate",
+    """
+    SELECT l_orderkey, l_quantity, l_discount, l_returnflag
+    FROM lineitem
+    WHERE l_quantity > 30
+      AND l_returnflag IN ('A', 'R')
+      AND l_discount BETWEEN 0.02 AND 0.08
+    """,
+)
+def _filter_predicate(spark, sf):
+    return relational.filter_predicate(_t(spark, sf, "lineitem"))
+
+
+@_register(
+    "map_scalar",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                AS DOUBLE) AS net_price,
+           upper(l_returnflag) AS flag_uc,
+           CAST(year(l_shipdate) AS INTEGER) AS ship_year
+    FROM lineitem
+    """,
+)
+def _map_scalar(spark, sf):
+    return relational.map_scalar(_t(spark, sf, "lineitem"))
+
+
+@_register(
+    "flatmap_explode",
+    _WORDS_CTE + "SELECT doc_id, word FROM words",
+)
+def _flatmap_explode(spark, sf):
+    from ..functions.text import words_exploded
+
+    return words_exploded(_t(spark, sf, "documents"))
+
+
+@_register(
+    "groupby_agg",
+    """
+    SELECT l_returnflag, count(*) AS n_rows,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(avg(l_extendedprice), 2) AS avg_price,
+           min(l_shipdate) AS min_shipdate,
+           max(l_shipdate) AS max_shipdate
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def _groupby_agg(spark, sf):
+    return relational.groupby_agg(_t(spark, sf, "lineitem"))
+
+
+@_register(
+    "groupby_multikey",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+           round(sum(l_quantity), 2) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS revenue,
+           round(avg(l_discount), 4) AS avg_disc
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def _groupby_multikey(spark, sf):
+    return relational.groupby_multikey(_t(spark, sf, "lineitem"))
+
+
+@_register(
+    "distinct_keys",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def _distinct_keys(spark, sf):
+    return relational.distinct_keys(_t(spark, sf, "lineitem"))
+
+
+@_register(
+    "count_distinct",
+    """
+    SELECT c_nationkey, count(DISTINCT c_mktsegment) AS n_segments,
+           count(*) AS n_customers
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def _count_distinct(spark, sf):
+    return relational.count_distinct(_t(spark, sf, "customer"))
+
+
+@_register(
+    "approx_count_distinct",
+    None,
+    note="HLL sketch estimate; approximate by design -> rows-only check",
+)
+def _approx_count_distinct(spark, sf):
+    return relational.approx_count_distinct(_t(spark, sf, "lineitem"))
+
+
+@_register(
+    "sort_global",
+    "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey",
+)
+def _sort_global(spark, sf):
+    return relational.sort_global(_t(spark, sf, "orders"))
+
+
+@_register(
+    "topk",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def _topk(spark, sf):
+    return relational.topk(_t(spark, sf, "orders"))
+
+
+@_register(
+    "join_equi_inner",
+    """
+    SELECT o_orderkey, c_custkey, c_name, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def _join_equi_inner(spark, sf):
+    return relational.join_equi_inner(_t(spark, sf, "orders"), _t(spark, sf, "customer"))
+
+
+@_register(
+    "join_left_outer",
+    """
+    SELECT c_custkey, count(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def _join_left_outer(spark, sf):
+    return relational.join_left_outer(_t(spark, sf, "customer"), _t(spark, sf, "orders"))
+
+
+@_register(
+    "join_semi_anti",
+    """
+    SELECT c_custkey, 'has_orders' AS tag FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    UNION ALL
+    SELECT c_custkey, 'no_orders' AS tag FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def _join_semi_anti(spark, sf):
+    return relational.join_semi_anti(_t(spark, sf, "customer"), _t(spark, sf, "orders"))
+
+
+@_register(
+    "join_broadcast",
+    """
+    SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def _join_broadcast(spark, sf):
+    return relational.join_broadcast(
+        _t(spark, sf, "orders"), _t(spark, sf, "customer"), _t(spark, sf, "nation")
+    )
+
+
+def _orders_split(spark, sf):
+    from pyspark.sql import functions as F
+
+    orders = _t(spark, sf, "orders")
+    a = orders.filter(F.col("o_totalprice") > 400000).select("o_custkey")
+    b = orders.filter(F.col("o_orderdate") >= "1999-06-01").select("o_custkey")
+    return a, b
+
+
+_SPLIT_A = "SELECT o_custkey FROM orders WHERE o_totalprice > 400000"
+_SPLIT_B = "SELECT o_custkey FROM orders WHERE o_orderdate >= '1999-06-01'"
+
+
+@_register("set_union", f"{_SPLIT_A} UNION {_SPLIT_B}")
+def _set_union(spark, sf):
+    return relational.set_union(*_orders_split(spark, sf))
+
+
+@_register("set_intersect", f"{_SPLIT_A} INTERSECT {_SPLIT_B}")
+def _set_intersect(spark, sf):
+    return relational.set_intersect(*_orders_split(spark, sf))
+
+
+@_register("set_except", f"{_SPLIT_A} EXCEPT {_SPLIT_B}")
+def _set_except(spark, sf):
+    return relational.set_except(*_orders_split(spark, sf))
+
+
+@_register(
+    "window_rank",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             rank() OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders)
+    WHERE rnk <= 3
+    """,
+)
+def _window_rank(spark, sf):
+    return relational.window_rank(_t(spark, sf, "orders"))
+
+
+@_register(
+    "window_running_agg",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    """,
+)
+def _window_running_agg(spark, sf):
+    return relational.window_running_agg(_t(spark, sf, "orders"))
+
+
+@_register(
+    "grouping_rollup",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def _grouping_rollup(spark, sf):
+    return relational.grouping_rollup(_t(spark, sf, "lineitem"))
+
+
+@_register(
+    "json_extract",
+    """
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+    FROM events
+    """,  # no ts column used -> raw events view is fine
+)
+def _json_extract(spark, sf):
+    return relational.json_extract(_t(spark, sf, "events"))
+
+
+# ------------------------------------------------------- temporal (M4)
+
+_SESSIONIZE_SQL = """
+  SELECT user_id, event_id,
+         CAST(sum(is_new) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM (
+    SELECT user_id, event_id, ts,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS is_new
+    FROM {_EVTS})
+""".replace("{_EVTS}", _EVTS)
+
+
+@_register("sessionize", _SESSIONIZE_SQL)
+def _sessionize(spark, sf):
+    return temporal.sessionize(_t(spark, sf, "events"))
+
+
+@_register(
+    "session_stats",
+    f"""
+    WITH s AS ({_SESSIONIZE_SQL})
+    SELECT s.user_id, s.session_id, count(*) AS n_events,
+           min(e.ts) AS session_start, max(e.ts) AS session_end
+    FROM s JOIN (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id FROM events) e
+      ON s.user_id = e.user_id AND s.event_id = e.event_id
+    GROUP BY s.user_id, s.session_id
+    """,
+)
+def _session_stats(spark, sf):
+    return temporal.session_stats(_t(spark, sf, "events"))
+
+
+@_register(
+    "tumbling_window_agg",
+    f"""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM {_EVTS} GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def _tumbling_window_agg(spark, sf):
+    return temporal.tumbling_window_agg(_t(spark, sf, "events"))
+
+
+# ---------------------------------------------- text / flagship (M1/M5)
+
+
+@_register(
+    "wordcount",
+    _WORDS_CTE + "SELECT word, count(*) AS cnt FROM words GROUP BY word",
+    note="flagship; reference job/WordCount.java with standard total-count semantics",
+)
+def _wordcount(spark, sf):
+    return text.wordcount(_t(spark, sf, "documents"))
+
+
+@_register(
+    "wordcount_records_containing",
+    _WORDS_CTE + "SELECT word, count(DISTINCT doc_id) AS n_docs FROM words GROUP BY word",
+    note="literal reference semantics (values.length quirk, SURVEY 2A)",
+)
+def _wordcount_records_containing(spark, sf):
+    return text.wordcount_records_containing(_t(spark, sf, "documents"))
+
+
+@_register(
+    "text_stats",
+    f"""
+    WITH toks AS (SELECT doc_id, text, {_TOKS} AS t FROM documents)
+    SELECT doc_id,
+           CAST(len(t) AS INTEGER) AS n_tokens,
+           CAST(length(text) AS INTEGER) AS n_chars_measured,
+           round(coalesce(list_sum(list_transform(t, s -> length(s))), 0) * 1.0
+                 / greatest(len(t), 1), 4) AS avg_token_len,
+           CAST(len(list_distinct(t)) AS INTEGER) AS n_unique_tokens
+    FROM toks
+    """,
+)
+def _text_stats(spark, sf):
+    return text.text_stats(_t(spark, sf, "documents"))
+
+
+@_register(
+    "lang_id",
+    f"""
+    WITH toks AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
+    h AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(t, x -> x IN {_EN})) AS INTEGER) AS en_hits,
+             CAST(len(list_filter(t, x -> x IN {_ES})) AS INTEGER) AS es_hits,
+             CAST(len(list_filter(t, x -> x IN {_DE})) AS INTEGER) AS de_hits
+      FROM toks)
+    SELECT doc_id, lang, en_hits, es_hits, de_hits,
+           CASE WHEN en_hits >= es_hits AND en_hits >= de_hits THEN 'en'
+                WHEN es_hits >= de_hits THEN 'es'
+                ELSE 'de' END AS pred_lang
+    FROM h
+    """,
+)
+def _lang_id(spark, sf):
+    return text.lang_id(_t(spark, sf, "documents"))
+
+
+@_register(
+    "quality_score",
+    f"""
+    WITH toks AS (SELECT doc_id, text, {_TOKS} AS t FROM documents),
+    m AS (
+      SELECT doc_id,
+             CAST(len(t) AS INTEGER) AS n_tokens,
+             length(text) AS n_chars,
+             length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS n_punct,
+             len(list_filter(t, x -> x IN {_EN})) AS stop_hits
+      FROM toks)
+    SELECT doc_id, n_tokens,
+           round(n_punct * 1.0 / greatest(n_chars, 1), 4) AS punct_ratio,
+           round(stop_hits * 1.0 / greatest(n_tokens, 1), 4) AS stopword_ratio,
+           round(least(n_tokens * 1.0 / 100.0, 1.0)
+                 * (1 - n_punct * 1.0 / greatest(n_chars, 1))
+                 * (0.5 + 0.5 * (stop_hits * 1.0 / greatest(n_tokens, 1))), 4) AS quality
+    FROM m
+    """,
+)
+def _quality_score(spark, sf):
+    return text.quality_score(_t(spark, sf, "documents"))
+
+
+@_register(
+    "token_count_bpe",
+    f"""
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS INTEGER) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(lower(text),
+                '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INTEGER) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def _token_count_bpe(spark, sf):
+    return text.token_count_bpe(_t(spark, sf, "documents"))
+
+
+@_register(
+    "doc_fingerprint",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents)
+    SELECT doc_id,
+           list_min(list_transform(range(1, len(t) - 1),
+                    i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS fingerprint
+    FROM toks WHERE len(t) >= 3
+    """,
+)
+def _doc_fingerprint(spark, sf):
+    return text.doc_fingerprint(_t(spark, sf, "documents"))
+
+
+# --------------------------------------------------------- dedup (M5)
+
+
+@_register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS content_hash,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def _dedup_exact(spark, sf):
+    return dedup.dedup_exact(_t(spark, sf, "documents"))
+
+
+@_register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      FROM toks WHERE len(t) >= 3),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    com AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_a, doc_b, round(c * 1.0 / (na.n + nb.n - c), 4) AS jaccard
+    FROM com
+    JOIN sizes na ON com.doc_a = na.doc_id
+    JOIN sizes nb ON com.doc_b = nb.doc_id
+    WHERE c * 1.0 / (na.n + nb.n - c) >= 0.8
+    """,
+)
+def _dedup_ngram_jaccard(spark, sf):
+    return dedup.ngram_jaccard_pairs(_t(spark, sf, "documents"))
+
+
+@_register(
+    "dedup_minhash",
+    None,
+    note="LSH recall is probabilistic; precision exact (Jaccard-verified) -> rows-only",
+)
+def _dedup_minhash(spark, sf):
+    return dedup.dedup_minhash(_t(spark, sf, "documents"))
+
+
+@_register(
+    "dedup_simhash",
+    None,
+    note="SimHash banding; Hamming-verified -> rows-only",
+)
+def _dedup_simhash(spark, sf):
+    return dedup.dedup_simhash(_t(spark, sf, "documents"))
+
+
+@_register(
+    "dedup_embedding",
+    """
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.35
+    """,
+    note="fixtures plant no embedding near-dups; threshold 0.35 exercises value match",
+)
+def _dedup_embedding(spark, sf):
+    return dedup.embedding_neardup_pairs(_t(spark, sf, "embeddings"), threshold=0.35)
+
+
+# ---------------------------------------------------- similarity (M5)
+
+_SIM_TOPK_SQL = """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+    s AS (
+      SELECT qid, e.vec_id AS nid,
+             round(list_cosine_similarity(CAST(qe AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])), 6) AS cos6
+      FROM q CROSS JOIN embeddings e WHERE e.vec_id <> qid),
+    r AS (
+      SELECT qid, nid, cos6,
+             row_number() OVER (PARTITION BY qid ORDER BY cos6 DESC, nid) AS rnk
+      FROM s)
+    SELECT qid, nid, round(cos6, 4) AS cos_sim, CAST(rnk AS INTEGER) AS rnk
+    FROM r WHERE rnk <= 5
+"""
+
+
+@_register("similarity_topk", _SIM_TOPK_SQL)
+def _similarity_topk(spark, sf):
+    return similarity.similarity_topk(_t(spark, sf, "embeddings"))
+
+
+@_register(
+    "similarity_topk_pandas",
+    _SIM_TOPK_SQL,
+    note="same semantics as similarity_topk on the numpy/Arrow path",
+)
+def _similarity_topk_pandas(spark, sf):
+    return similarity.similarity_topk_pandas(_t(spark, sf, "embeddings"))
+
+
+@_register(
+    "similarity_ann_lsh",
+    None,
+    note="approximate by design (LSH recall < 1) -> rows-only",
+)
+def _similarity_ann_lsh(spark, sf):
+    return similarity.ann_lsh(_t(spark, sf, "embeddings"))
+
+
+# ---------------------------------------------------- multimodal (M5)
+
+
+@_register(
+    "multimodal_decode",
+    """
+    WITH b AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+               FROM documents)
+    SELECT doc_id, 'image/fake' AS content_type, n_bytes,
+           n_bytes % 640 AS fake_width, (n_bytes * 7) % 480 AS fake_height
+    FROM b
+    """,
+    note="decode kernel stubbed (no imaging libs); Arrow plumbing real",
+)
+def _multimodal_decode(spark, sf):
+    return multimodal.decode_metadata(multimodal.attach_payload(_t(spark, sf, "documents")))
+
+
+@_register(
+    "multimodal_frame_sample",
+    None,
+    note="binary frame slices; rows-only",
+)
+def _multimodal_frame_sample(spark, sf):
+    return multimodal.frame_sample(multimodal.attach_payload(_t(spark, sf, "documents")))
+
+
+# ------------------------------------------------------ Job API (M2)
+
+
+def _kv_documents(spark, sf):
+    from pyspark.sql import functions as F
+
+    return _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("key"), F.col("text").alias("value")
+    )
+
+
+@_register(
+    "jobapi_wordcount",
+    _WORDS_CTE + "SELECT word, count(*) AS cnt FROM words GROUP BY word",
+    note="WordCount through the Job(map, reduce) API (applyInPandas)",
+)
+def _jobapi_wordcount(spark, sf):
+    from pyspark.sql import functions as F
+
+    from .jobs import WordCountJob, run_job
+
+    out = run_job(WordCountJob, _kv_documents(spark, sf))
+    return out.select(F.col("key").alias("word"), F.col("value").cast("bigint").alias("cnt"))
+
+
+@_register(
+    "jobapi_wordcount_literal",
+    _WORDS_CTE + "SELECT word, count(DISTINCT doc_id) AS n_docs FROM words GROUP BY word",
+    note="bug-for-bug reference semantics (reduce = values.length)",
+)
+def _jobapi_wordcount_literal(spark, sf):
+    from pyspark.sql import functions as F
+
+    from .jobs import LiteralWordCountJob, run_job
+
+    out = run_job(LiteralWordCountJob, _kv_documents(spark, sf))
+    return out.select(F.col("key").alias("word"), F.col("value").cast("bigint").alias("n_docs"))
+
+
+# ----------------------------------------------------- streaming (M6)
+
+
+@_register(
+    "stream_wordcount",
+    _WORDS_CTE + "SELECT word, count(*) AS cnt FROM words GROUP BY word",
+    note="Structured Streaming over the bounded fixture == batch result",
+)
+def _stream_wordcount(spark, sf):
+    from ..streaming.jobs import stream_wordcount
+
+    return stream_wordcount(spark, sf)
+
+
+@_register(
+    "stream_tumbling_window",
+    f"""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM {_EVTS} GROUP BY date_trunc('hour', ts), event_type
+    """,
+    note="streaming window agg over bounded fixture == batch result",
+)
+def _stream_tumbling_window(spark, sf):
+    from ..streaming.jobs import stream_tumbling_window
+
+    return stream_tumbling_window(spark, sf)

@@ -1,0 +1,56 @@
+"""SparkSession construction for the engine.
+
+Local-mode defaults mirror the test/bench environment (one JVM,
+``local[N]`` threads); every knob here is chosen so the same plan
+shape survives a real multi-executor cluster at 100 TB:
+
+- AQE on: runtime coalescing, skew-join splitting, and dynamic join
+  strategy selection replace any hand-scheduling (the reference has
+  none either -- SURVEY.md section 4.1).
+- ``spark.sql.shuffle.partitions`` ~= cores locally; on a cluster this
+  should be 2-3x total cores (or left to AQE's coalescing).
+- Arrow on: every Pandas-UDF operator (Job API, multimodal decode)
+  rides vectorized Arrow batches instead of row pickling.
+- Session timezone pinned UTC so timestamp semantics match the
+  DuckDB oracle (UTC-naive) and are cluster-location-independent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "jmrf-spark", cpus: int | None = None) -> SparkSession:
+    n = cpus or default_parallelism()
+    return (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable conf to an externally provided session.
+
+    The verification driver owns its SparkSession; these are the
+    confs whose defaults would silently change semantics (timezone)
+    or performance (AQE, Arrow). All are runtime-mutable.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    return spark

@@ -1,0 +1,74 @@
+"""Table sources.
+
+Two source families, mirroring the reference's single source plus the
+engine's canonical fixture format:
+
+1. ``read_kv_text_dir`` -- the reference's native source: a directory
+   of plain-text files, one ``key\\tvalue`` record per line
+   (scan at ``worker/WorkerServlet.java:510-530``, parse at
+   ``worker/MapThread.java:50-51``). Kept for Job-API fidelity tests.
+2. ``load_table`` -- parquet fixture tables (TESTDATA.md). Columnar,
+   predicate-pushdown- and column-pruning-friendly; this is the 100 TB
+   path (a directory of parquet files partitioned on disk behaves
+   identically).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table. Plain ``spark.read.parquet`` so Catalyst
+    retains pushdown/pruning; no caching here (operators decide).
+
+    ``events.ts`` is physically TIMESTAMP(NANOS), which Spark cannot
+    represent (timestamps are microsecond precision): we read nanos as
+    long and floor-divide to microseconds. The DuckDB oracle applies
+    the equivalent ``CAST(ts AS TIMESTAMP)`` (also truncating), so
+    both engines see identical microsecond instants.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
+    return tuple(load_table(spark, sf_dir, n) for n in names)
+
+
+def read_kv_text_dir(spark: SparkSession, path: str) -> DataFrame:
+    """Reference-native source: directory of text files of
+    ``key\\tvalue`` lines -> DataFrame(key string, value string).
+
+    Mirrors the semantics of the reference scan: every line is one
+    record, split at the first tab (``worker/MapThread.java:50-51``
+    uses ``split("\\t")`` and takes fields 0 and 1, so content after a
+    second tab is dropped -- we reproduce the two-field contract by
+    limiting the split).
+    """
+    lines = spark.read.text(path)
+    parts = F.split(F.col("value"), "\t", 2)
+    return lines.select(
+        parts.getItem(0).alias("key"),
+        parts.getItem(1).alias("value"),
+    )

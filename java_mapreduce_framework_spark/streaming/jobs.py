@@ -1,0 +1,102 @@
+"""Structured Streaming variants of the flagship operators (SURVEY.md
+M6): the unbounded analog of the reference's continuous job queue.
+
+Both queries read the bounded parquet fixture as a file-source stream
+(``readStream``), run the *same* aggregation expressions as the batch
+operators, and drain with ``trigger(availableNow)`` into a memory
+sink -- so on bounded input the result provably equals the batch run
+(this is the declared equivalence check, SURVEY.md section 5.2).
+
+Production shape at scale: source = Kafka/files arriving, sink =
+parquet/Delta with checkpointing, outputMode=update + watermark on
+event time for bounded state. The memory sink + complete mode here is
+the bounded-fixture harness, not the deployment posture; watermark
+usage is exercised in ``stream_sessionize_state`` tests.
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens_col
+from ..sources.tables import load_table
+
+_REPO_ROOT = pathlib.Path(__file__).resolve().parents[2]
+
+
+def _stage_stream_dir(spark: SparkSession, sf_dir: str, table: str) -> str:
+    """The parquet file source requires a *directory*; fixtures are
+    single files. Stage each (sf, table) once under .tmp/stream/:
+    a symlink for plain tables, a rewritten microsecond-timestamp copy
+    for events (whose TIMESTAMP(NANOS) physical type Spark cannot
+    scan -- see sources.tables.load_table)."""
+    sf_name = pathlib.Path(sf_dir).name
+    stage = _REPO_ROOT / ".tmp" / "stream" / f"{sf_name}_{table}"
+    done = stage / "_STAGED"
+    if not done.exists():
+        stage.mkdir(parents=True, exist_ok=True)
+        if table == "events":
+            load_table(spark, sf_dir, table).write.mode("overwrite").parquet(str(stage / "data"))
+        else:
+            link = stage / f"{table}.parquet"
+            if not link.exists():
+                os.symlink(f"{sf_dir}/{table}.parquet", link)
+        done.touch()
+    return str(stage / "data") if table == "events" else str(stage)
+
+
+def _drain_to_memory(stream_df: DataFrame, mode: str = "complete") -> DataFrame:
+    """Run a bounded streaming query to completion via availableNow and
+    return the memory-sink table."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def stream_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming flagship: same explode/groupBy/count plan as
+    ``operators.text.wordcount``, driven by the file-source stream."""
+    path = _stage_stream_dir(spark, sf_dir, "documents")
+    schema = spark.read.parquet(path).schema
+    docs = spark.readStream.schema(schema).parquet(path)
+    counts = (
+        docs.select(F.explode(tokens_col("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return _drain_to_memory(counts)
+
+
+def stream_tumbling_window(
+    spark: SparkSession, sf_dir: str, duration: str = "1 hour"
+) -> DataFrame:
+    """Streaming tumbling-window aggregation over events: native
+    ``window()`` grouping, identical to the batch operator. On an
+    unbounded source this would add ``withWatermark('ts', ...)`` and
+    update/append mode; complete mode keeps bounded-input equality."""
+    path = _stage_stream_dir(spark, sf_dir, "events")
+    schema = spark.read.parquet(path).schema
+    events = spark.readStream.schema(schema).parquet(path)
+    agg = (
+        events.groupBy(F.window("ts", duration).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return _drain_to_memory(agg)
