@@ -1,0 +1,68 @@
+"""Benchmark harness: runs every declared query at the bench scale
+factor and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Env:
+    SPARK_GRAFT_SF_DIR  fixture dir (default /root/testdata/sf0.1)
+    SPARK_GRAFT_CPUS    local[] thread count (default 32)
+    BENCH_QUERIES       comma-separated subset (default: all)
+
+Each query is forced end-to-end with the noop sink (full computation,
+no collect-to-driver, no disk write), timed individually after a
+session warm-up query so JVM/session startup isn't attributed to the
+first operator.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from java_mapreduce_framework_spark.plans import registry
+    from java_mapreduce_framework_spark.session import get_spark
+
+    spark = get_spark("jmrf-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    specs = registry.registry()
+    only = os.environ.get("BENCH_QUERIES")
+    names = [n for n in specs if not only or n in only.split(",")]
+
+    # warm-up: JVM/codegen/session init on a trivial plan
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = specs[name].fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr, flush=True)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_sec_all_declared_queries",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

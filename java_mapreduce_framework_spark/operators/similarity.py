@@ -102,7 +102,7 @@ def _hyperplanes(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
 
-def lsh_signature(emb_col, n_planes: int = 16, dim: int = 64, bands: int = 2, seed: int = 7):
+def lsh_signature(emb_col, n_planes: int = 16, dim: int = 64, bands: int = 4, seed: int = 7):
     """Band structs of a random-hyperplane sign signature (struct array
     column). Each band is an independent bucket key; matching any band
     makes a candidate (multi-band = higher recall)."""
@@ -135,7 +135,7 @@ def ann_lsh(
     k: int = 5,
     n_queries: int = 10,
     n_planes: int = 16,
-    bands: int = 2,
+    bands: int = 4,
     dim: int = 64,
     seed: int = 7,
 ) -> DataFrame:
@@ -146,7 +146,16 @@ def ann_lsh(
     single scan; candidate generation is an equi-join on (band,
     bucket) instead of a Q x N scan. Recall < 1 by construction --
     verified against the brute-force baseline in tests, rows-only
-    checked by the driver."""
+    checked by the driver.
+
+    Band geometry trades recall against pruning: a band of b bits
+    matches a neighbor at angular similarity p with probability p^b.
+    For *near-duplicate* retrieval (cosine >= 0.9, p >= 0.85) narrow
+    bands are fine; for generic top-k over random data (cosine ~ 0.4,
+    p ~ 0.63) wide bands collapse recall -- hence the 4 bands x 4 bits
+    default (expected recall ~ 1-(1-p^4)^4 ~ 0.5 at p = 0.63, with a
+    ~4x candidate-set reduction). Raise bands/lower bits for recall,
+    or add multi-probe, when the corpus is larger."""
     sig = lsh_signature("embedding", n_planes, dim, bands, seed)
     corpus = embeddings.select(
         F.col("vec_id").alias("nid"),

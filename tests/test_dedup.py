@@ -1,0 +1,61 @@
+from pyspark.sql import Row
+
+from java_mapreduce_framework_spark.operators import dedup
+
+BASE = "the quick brown fox jumps over the lazy dog and runs far away today"
+NEAR = BASE.replace("today", "tonight")  # one-token edit => high jaccard
+OTHER = "completely different content with no overlap whatsoever in any shingle"
+
+
+def _docs(spark):
+    rows = [BASE, BASE, NEAR, OTHER]
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t, lang="en", source="t", n_chars=len(t)) for i, t in enumerate(rows)]
+    )
+
+
+def test_dedup_exact_groups_identical_texts(spark):
+    out = {r["keep_doc_id"]: r["n_copies"] for r in dedup.dedup_exact(_docs(spark)).collect()}
+    assert out[0] == 2  # docs 0 and 1 identical
+    assert out[2] == 1 and out[3] == 1
+
+
+def test_ngram_jaccard_finds_planted_pair(spark):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(_docs(spark), threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0  # identical
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.5  # near-dup
+    assert not any(3 in p for p in pairs)  # OTHER matches nothing
+
+
+def test_minhash_matches_exact_jaccard_pairs(spark, sf_small):
+    """LSH recall on the fixture's planted near-dups: candidates that
+    survive verification must be exactly a subset of the exact-Jaccard
+    pairs, and at tau=0.8 recall should be total on this data."""
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    exact = {(r["doc_a"], r["doc_b"]) for r in dedup.ngram_jaccard_pairs(docs).collect()}
+    lsh = {(r["doc_a"], r["doc_b"]) for r in dedup.dedup_minhash(docs).collect()}
+    assert lsh <= exact
+    assert lsh == exact  # planted dups are near-identical => recall 1 here
+
+
+def test_simhash_identical_docs_hamming_zero(spark):
+    out = dedup.dedup_simhash(_docs(spark), max_hamming=3)
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in out.collect()}
+    assert got[(0, 1)] == 0
+
+
+def test_embedding_neardup_blocked_pairs(spark):
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0], label=1),
+        Row(vec_id=1, embedding=[0.99, 0.1, 0.0], label=1),
+        Row(vec_id=2, embedding=[0.0, 1.0, 0.0], label=1),
+        Row(vec_id=3, embedding=[1.0, 0.0, 0.0], label=2),  # different block
+    ]
+    out = dedup.embedding_neardup_pairs(spark.createDataFrame(rows), threshold=0.9)
+    pairs = {(r["vec_a"], r["vec_b"]) for r in out.collect()}
+    assert pairs == {(0, 1)}  # 0-3 identical but blocked apart

@@ -1,0 +1,60 @@
+from pyspark.sql import Row
+
+from java_mapreduce_framework_spark.plans.jobs import (
+    JobQueue,
+    LiteralWordCountJob,
+    WordCountJob,
+    resolve_job,
+    run_job,
+)
+
+
+def _kv(spark):
+    rows = [Row(key="1", value="a b a"), Row(key="2", value="a c")]
+    return spark.createDataFrame(rows)
+
+
+def test_run_job_wordcount(spark):
+    out = {r["key"]: r["value"] for r in run_job(WordCountJob, _kv(spark)).collect()}
+    assert out == {"a": "3", "b": "1", "c": "1"}
+
+
+def test_run_job_literal_reference_semantics(spark):
+    # reduce = values.length => records containing (reference quirk)
+    out = {r["key"]: r["value"] for r in run_job(LiteralWordCountJob, _kv(spark)).collect()}
+    assert out == {"a": "2", "b": "1", "c": "1"}
+
+
+def test_resolve_job_dotted_path(spark):
+    cls = resolve_job("java_mapreduce_framework_spark.plans.jobs.WordCountJob")
+    assert cls is WordCountJob
+    out = {r["key"]: r["value"] for r in run_job(
+        "java_mapreduce_framework_spark.plans.jobs.WordCountJob", _kv(spark)
+    ).collect()}
+    assert out["a"] == "3"
+
+
+def test_job_queue_fifo(spark):
+    q = JobQueue()
+    q.submit("first", WordCountJob, _kv(spark))
+    q.submit("second", LiteralWordCountJob, _kv(spark))
+    assert [j["status"] for j in q.status_page()] == ["pending", "pending"]
+    done = q.run_all()
+    assert [j.name for j in done] == ["first", "second"]
+    assert all(j.status == "done" for j in done)
+    assert {r["key"]: r["value"] for r in done[1].result.collect()}["a"] == "2"
+
+
+def test_jobapi_matches_declared_wordcount(spark, sf_small):
+    from pyspark.sql import functions as F
+
+    from java_mapreduce_framework_spark.operators.text import wordcount
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    kv = docs.select(F.col("doc_id").cast("string").alias("key"), F.col("text").alias("value"))
+    via_job = {
+        r["key"]: int(r["value"]) for r in run_job(WordCountJob, kv).collect()
+    }
+    declared = {r["word"]: r["cnt"] for r in wordcount(docs).collect()}
+    assert via_job == declared

@@ -1,0 +1,38 @@
+import pytest
+from pyspark.sql import Row
+
+from java_mapreduce_framework_spark.operators import multimodal
+
+
+def _docs(spark):
+    rows = [Row(doc_id=0, text="hello world", lang="en", source="t", n_chars=11)]
+    return spark.createDataFrame(rows)
+
+
+def test_attach_payload_binary_schema(spark):
+    mm = multimodal.attach_payload(_docs(spark))
+    assert dict(mm.dtypes)["payload"] == "binary"
+
+
+def test_decode_metadata_deterministic_fake(spark):
+    out = multimodal.decode_metadata(multimodal.attach_payload(_docs(spark))).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_bytes"] == 11
+    assert r["fake_width"] == 11 % 640
+    assert r["fake_height"] == (11 * 7) % 480
+    assert r["content_type"] == "image/fake"
+
+
+def test_frame_sample_slices(spark):
+    out = multimodal.frame_sample(
+        multimodal.attach_payload(_docs(spark)), max_frames=4, frame_bytes=4
+    ).collect()
+    # 11 bytes // 4 => 2 frames
+    assert [r["frame_idx"] for r in out] == [0, 1]
+    assert all(isinstance(r["frame_bytes"], (bytes, bytearray)) for r in out)
+
+
+def test_real_decode_is_marked_stub():
+    with pytest.raises(NotImplementedError):
+        multimodal.real_decode(b"\x00")

@@ -1,0 +1,27 @@
+"""Oracle-parity regression: a representative query per operator
+family, compared against DuckDB exactly as the driver does (full
+46-query sweeps live in tests/oracle_check.py, runnable standalone)."""
+
+import pytest
+
+from tests.oracle_check import compare
+
+FAMILIES = [
+    "map_scalar",          # scalar exprs + decimal rounding discipline
+    "groupby_multikey",    # decimal-exact money aggregation
+    "join_semi_anti",      # existence joins
+    "window_running_agg",  # deterministic window frames
+    "grouping_rollup",     # null-keyed rollup rows
+    "sessionize",          # ns->us timestamp discipline
+    "wordcount",           # flagship + shared tokenizer
+    "doc_fingerprint",     # shingle/md5 parity
+    "dedup_ngram_jaccard", # pair-join parity
+    "similarity_topk",     # double-precision cosine parity
+    "multimodal_decode",   # Arrow mapInPandas plumbing
+]
+
+
+@pytest.mark.parametrize("name", FAMILIES)
+def test_oracle_parity(spark, sf_small, name):
+    ok, msg = compare(name, spark, sf_small)
+    assert ok, msg

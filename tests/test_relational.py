@@ -1,0 +1,68 @@
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from java_mapreduce_framework_spark.operators import relational
+
+
+def _orders(spark):
+    return spark.createDataFrame(
+        [
+            Row(o_orderkey=1, o_custkey=10, o_totalprice=100.0, o_orderdate="2024-01-01"),
+            Row(o_orderkey=2, o_custkey=10, o_totalprice=300.0, o_orderdate="2024-01-02"),
+            Row(o_orderkey=3, o_custkey=10, o_totalprice=200.0, o_orderdate="2024-01-03"),
+            Row(o_orderkey=4, o_custkey=20, o_totalprice=50.0, o_orderdate="2024-01-01"),
+        ]
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+
+
+def test_topk(spark):
+    out = relational.topk(_orders(spark), k=2).collect()
+    assert [r["o_orderkey"] for r in out] == [2, 3]
+
+
+def test_window_rank_ties_and_filter(spark):
+    out = relational.window_rank(_orders(spark), k=2)
+    got = {(r["o_custkey"], r["o_orderkey"], r["rnk"]) for r in out.collect()}
+    assert got == {(10, 2, 1), (10, 3, 2), (20, 4, 1)}
+
+
+def test_window_running_agg(spark):
+    out = relational.window_running_agg(_orders(spark))
+    per_cust = {
+        (r["o_custkey"], r["o_orderkey"]): r["running_total"] for r in out.collect()
+    }
+    assert per_cust[(10, 1)] == 100.0
+    assert per_cust[(10, 2)] == 400.0
+    assert per_cust[(10, 3)] == 600.0
+
+
+def test_set_ops(spark):
+    a = spark.createDataFrame([(1,), (2,), (2,), (3,)], ["k"])
+    b = spark.createDataFrame([(2,), (4,)], ["k"])
+    assert {r["k"] for r in relational.set_union(a, b).collect()} == {1, 2, 3, 4}
+    assert {r["k"] for r in relational.set_intersect(a, b).collect()} == {2}
+    assert {r["k"] for r in relational.set_except(a, b).collect()} == {1, 3}
+
+
+def test_rollup_has_grand_total(spark, sf_small):
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    out = relational.grouping_rollup(load_table(spark, sf_small, "lineitem"))
+    total = out.filter(
+        F.col("l_returnflag").isNull() & F.col("l_linestatus").isNull()
+    ).collect()
+    assert len(total) == 1
+    assert total[0]["n_rows"] == 6000
+
+
+def test_join_broadcast_is_broadcast(spark, sf_small):
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    df = relational.join_broadcast(
+        load_table(spark, sf_small, "orders"),
+        load_table(spark, sf_small, "customer"),
+        load_table(spark, sf_small, "nation"),
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -1,0 +1,48 @@
+import pytest
+from pyspark.sql import Row
+
+from java_mapreduce_framework_spark.operators import similarity
+
+
+def _emb(spark):
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0], label=0),
+        Row(vec_id=1, embedding=[0.9, 0.1], label=0),
+        Row(vec_id=2, embedding=[0.0, 1.0], label=0),
+        Row(vec_id=3, embedding=[-1.0, 0.0], label=0),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_similarity_topk_orders_by_cosine(spark):
+    out = similarity.similarity_topk(_emb(spark), k=3, n_queries=1)
+    got = [(r["nid"], r["rnk"]) for r in out.orderBy("rnk").collect()]
+    assert got == [(1, 1), (2, 2), (3, 3)]
+
+
+def test_pandas_path_equals_expression_path(spark, sf_small):
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    a = {(r["qid"], r["nid"], r["rnk"], r["cos_sim"]) for r in similarity.similarity_topk(emb).collect()}
+    b = {(r["qid"], r["nid"], r["rnk"], r["cos_sim"]) for r in similarity.similarity_topk_pandas(emb).collect()}
+    assert a == b
+
+
+def test_ann_lsh_recall_vs_brute_force(spark, sf_small):
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    exact = {(r["qid"], r["nid"]) for r in similarity.similarity_topk(emb, k=5).collect()}
+    approx = {(r["qid"], r["nid"]) for r in similarity.ann_lsh(emb, k=5).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"LSH recall collapsed: {recall}"
+
+
+def test_ann_lsh_is_deterministic(spark, sf_small):
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    a = sorted(map(tuple, similarity.ann_lsh(emb).collect()))
+    b = sorted(map(tuple, similarity.ann_lsh(emb).collect()))
+    assert a == b
