@@ -40,6 +40,21 @@ def main() -> None:
 
     # warm-up: JVM/codegen/session init on a trivial plan
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # warm-up: streaming machinery (state store, microbatch executor,
+    # checkpoint IO) -- otherwise whichever streaming query happens to
+    # run first pays ~6s of one-time init that isn't its own cost
+    (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "1")
+        .load()
+        .groupBy("value")
+        .count()
+        .writeStream.outputMode("complete")
+        .format("noop")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
 
     timings: dict[str, float] = {}
     for name in names:

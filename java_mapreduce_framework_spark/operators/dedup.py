@@ -173,13 +173,19 @@ def dedup_minhash(
     cand = minhash_candidates(sig, num_perm, bands)
     sh = shingles(documents, n)
     sizes = shingle_sizes(sh)
-    a, b = sh.alias("a"), sh.alias("b")
+    # Candidate-restricted intersection: expand each candidate pair by
+    # doc_a's shingles, then equi-join doc_b's shingles on (doc_b,
+    # shingle). Work is sum over candidates of |shingles(doc_a)| --
+    # proportional to the LSH candidate set, NOT the full co-shingle
+    # pair expansion (which would make the sketch path as expensive as
+    # the exact ngram_jaccard_pairs baseline and defeat LSH at scale).
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     common = (
-        a.join(b, "shingle")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("common"))
-        .join(cand, ["doc_a", "doc_b"], "left_semi")
     )
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))

@@ -37,13 +37,47 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
 
 
 def session_stats(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
-    """Per-session rollup on top of sessionize: bounds + event count."""
-    s = sessionize(events, gap_seconds)
-    j = events.join(s, ["user_id", "event_id"])
-    return j.groupBy("user_id", "session_id").agg(
+    """Per-session rollup on top of sessionize: bounds + event count.
+
+    ``ts`` is carried through the window pass so the rollup is a plain
+    grouped aggregation on the sessionized rows -- no join back to the
+    input (one shuffle on user_id for the windows, one for the agg,
+    which AQE usually collapses since user_id prefixes the agg key).
+    """
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(order)
+    is_new = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s = events.select(
+        "user_id", "event_id", "ts", is_new.alias("is_new")
+    ).select("user_id", "ts", F.sum("is_new").over(running).alias("session_id"))
+    return s.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
+    )
+
+
+def session_window_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-session rollup via the native ``session_window`` generator —
+    the same gap-merge semantics Structured Streaming uses for
+    streaming sessionization (``streaming.jobs.stream_sessionize``
+    runs this exact plan on an unbounded source).
+
+    Boundary semantics match ``sessionize`` exactly: Spark merges an
+    event landing exactly ``gap`` after its predecessor into the same
+    session (closed boundary, verified empirically in
+    tests/test_temporal_sessions.py), the same strict-``>``
+    new-session rule as the lag construction.
+    """
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .select("user_id", "n_events", "session_start", "session_end")
     )
 
 

@@ -395,6 +395,34 @@ def _session_stats(spark, sf):
     return temporal.session_stats(_t(spark, sf, "events"))
 
 
+_SESSION_WINDOW_SQL = """
+  WITH d AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS is_new
+    FROM {_EVTS}),
+  s AS (
+    SELECT user_id, ts,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+    FROM d)
+  SELECT user_id, count(*) AS n_events,
+         min(ts) AS session_start, max(ts) AS session_end
+  FROM s GROUP BY user_id, sid
+""".replace("{_EVTS}", _EVTS)
+
+
+@_register(
+    "session_window_agg",
+    _SESSION_WINDOW_SQL,
+    note="native session_window generator; same strict-> gap boundary as sessionize",
+)
+def _session_window_agg(spark, sf):
+    return temporal.session_window_agg(_t(spark, sf, "events"))
+
+
 @_register(
     "tumbling_window_agg",
     f"""
@@ -714,6 +742,33 @@ def _stream_wordcount(spark, sf):
     from ..streaming.jobs import stream_wordcount
 
     return stream_wordcount(spark, sf)
+
+
+@_register(
+    "stream_sessionize",
+    _SESSION_WINDOW_SQL,
+    note="streaming session_window state; bounded input == batch session_window_agg",
+)
+def _stream_sessionize(spark, sf):
+    from ..streaming.jobs import stream_sessionize
+
+    return stream_sessionize(spark, sf)
+
+
+@_register(
+    "stream_dedup_state",
+    """
+    SELECT md5(text) AS content_hash,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+    note="applyInPandasWithState streaming dedup; bounded final state == dedup_exact",
+)
+def _stream_dedup_state(spark, sf):
+    from ..streaming.jobs import stream_dedup_state
+
+    return stream_dedup_state(spark, sf)
 
 
 @_register(

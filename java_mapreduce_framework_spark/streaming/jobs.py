@@ -79,6 +79,73 @@ def stream_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(counts)
 
 
+def stream_sessionize(
+    spark: SparkSession, sf_dir: str, gap: str = "30 minutes"
+) -> DataFrame:
+    """Streaming gap-based sessionization with the native
+    ``session_window`` generator -- true streaming session state
+    (windows merge as late events arrive; SURVEY.md section 7 stretch
+    item). Same plan as the batch ``temporal.session_window_agg``, so
+    bounded input gives bounded-equality with the batch oracle.
+
+    Unbounded posture: add ``withWatermark('ts', ...)`` + update mode
+    so closed sessions emit and their state is dropped; complete mode
+    here keeps the bounded-equality contract."""
+    path = _stage_stream_dir(spark, sf_dir, "events")
+    schema = spark.read.parquet(path).schema
+    events = spark.readStream.schema(schema).parquet(path)
+    agg = (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .select("user_id", "n_events", "session_start", "session_end")
+    )
+    return _drain_to_memory(agg)
+
+
+def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``
+    (the engine's arbitrary-state surface, SURVEY.md section 7 stretch):
+    exact streaming dedup that remembers, per content hash, the lowest
+    doc_id seen and the copy count across microbatches.
+
+    Each update emits the key's current (keep_doc_id, n_copies), so on
+    bounded input the final state equals the batch ``dedup_exact``
+    aggregation -- the declared oracle. State per key is two int64s:
+    at 100 TB the state store scales with DISTINCT hashes only, and a
+    production deployment would add state TTL via the timeout conf."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    path = _stage_stream_dir(spark, sf_dir, "documents")
+    schema = spark.read.parquet(path).schema
+    docs = spark.readStream.schema(schema).parquet(path)
+    hashed = docs.select(F.md5("text").alias("content_hash"), "doc_id")
+
+    def dedup_fn(key, pdf_iter, state: GroupState):
+        min_id, count = state.get if state.exists else (None, 0)
+        for pdf in pdf_iter:
+            batch_min = int(pdf["doc_id"].min())
+            count += len(pdf)
+            min_id = batch_min if min_id is None else min(min_id, batch_min)
+        state.update((min_id, count))
+        yield pd.DataFrame(
+            {"content_hash": [key[0]], "keep_doc_id": [min_id], "n_copies": [count]}
+        )
+
+    out = hashed.groupBy("content_hash").applyInPandasWithState(
+        dedup_fn,
+        outputStructType="content_hash string, keep_doc_id bigint, n_copies bigint",
+        stateStructType="min_id bigint, cnt bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _drain_to_memory(out, mode="update")
+
+
 def stream_tumbling_window(
     spark: SparkSession, sf_dir: str, duration: str = "1 hour"
 ) -> DataFrame:

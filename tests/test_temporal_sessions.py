@@ -1,0 +1,86 @@
+import datetime
+
+from java_mapreduce_framework_spark.operators.temporal import (
+    session_stats,
+    session_window_agg,
+    sessionize,
+)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, datetime.datetime(2026, 1, 1, 0, m, s), u)
+            for i, (u, m, s) in enumerate(rows)
+        ],
+        ["event_id", "ts", "user_id"],
+    )
+
+
+def test_session_window_matches_lag_construction(spark):
+    # user A: events at 0:00, 0:10, 1:00 -> sessions {0:00,0:10}, {1:00}
+    ev = _events(spark, [("A", 0, 0), ("A", 10, 0), ("A", 59, 59), ("B", 5, 0)])
+    got = {
+        (r["user_id"], r["n_events"]): (r["session_start"], r["session_end"])
+        for r in session_window_agg(ev).collect()
+    }
+    assert (("A", 2) in got) and (("A", 1) in got) and (("B", 1) in got)
+
+
+def test_session_window_boundary_exactly_gap_merges(spark):
+    # events exactly 30 minutes apart: session_window merges them
+    # (closed gap boundary) -- identical to lag-based sessionize's
+    # strict-> new-session rule, so the two constructions agree
+    ev = _events(spark, [("A", 0, 0), ("A", 30, 0)])
+    assert session_window_agg(ev).count() == 1
+    assert sessionize(ev).select("session_id").distinct().count() == 1
+    # one second past the gap: both split
+    ev2 = _events(spark, [("A", 0, 0), ("A", 30, 1)])
+    assert session_window_agg(ev2).count() == 2
+    assert sessionize(ev2).select("session_id").distinct().count() == 2
+
+
+def test_session_stats_no_selfjoin_matches_sessionize(spark, sf_small):
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_small, "events")
+    stats = session_stats(events)
+    s = sessionize(events)
+    # every (user, session) in sessionize appears once in stats and
+    # event counts agree in total
+    assert stats.count() == s.select("user_id", "session_id").distinct().count()
+    assert (
+        stats.groupBy().sum("n_events").collect()[0][0] == events.count()
+    )
+
+
+def test_stream_dedup_state_equals_batch(spark, sf_small):
+    from java_mapreduce_framework_spark.operators.dedup import dedup_exact
+    from java_mapreduce_framework_spark.sources.tables import load_table
+    from java_mapreduce_framework_spark.streaming.jobs import stream_dedup_state
+
+    batch = {
+        r["content_hash"]: (r["keep_doc_id"], r["n_copies"])
+        for r in dedup_exact(load_table(spark, sf_small, "documents")).collect()
+    }
+    streamed = {
+        r["content_hash"]: (r["keep_doc_id"], r["n_copies"])
+        for r in stream_dedup_state(spark, sf_small).collect()
+    }
+    assert streamed == batch
+
+
+def test_stream_sessionize_equals_batch(spark, sf_small):
+    from java_mapreduce_framework_spark.sources.tables import load_table
+    from java_mapreduce_framework_spark.streaming.jobs import stream_sessionize
+
+    events = load_table(spark, sf_small, "events")
+    batch = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in session_window_agg(events).collect()
+    }
+    streamed = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in stream_sessionize(spark, sf_small).collect()
+    }
+    assert streamed == batch
