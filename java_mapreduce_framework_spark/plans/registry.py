@@ -664,6 +664,15 @@ def _similarity_ann_lsh(spark, sf):
     return similarity.ann_lsh(_t(spark, sf, "embeddings"))
 
 
+@_register(
+    "similarity_ann_ivf",
+    None,
+    note="IVF coarse-quantizer ANN; approximate by design -> rows-only",
+)
+def _similarity_ann_ivf(spark, sf):
+    return similarity.ann_ivf(_t(spark, sf, "embeddings"))
+
+
 # ---------------------------------------------------- multimodal (M5)
 
 
@@ -689,6 +698,47 @@ def _multimodal_decode(spark, sf):
 )
 def _multimodal_frame_sample(spark, sf):
     return multimodal.frame_sample(multimodal.attach_payload(_t(spark, sf, "documents")))
+
+
+# ------------------------------------------------------- SQL intake
+
+
+@_register(
+    "sql_pricing_summary",
+    None,  # oracle assigned below: the SAME SQL string runs on DuckDB
+    note="TPC-H-style Q1 through the spark.sql intake",
+)
+def _sql_pricing_summary(spark, sf):
+    from .sql import PRICING_SUMMARY, run_sql
+
+    return run_sql(spark, sf, PRICING_SUMMARY)
+
+
+@_register(
+    "sql_top_orders",
+    None,
+    note="TPC-H-style Q3 shape through the spark.sql intake",
+)
+def _sql_top_orders(spark, sf):
+    from .sql import TOP_ORDERS, run_sql
+
+    return run_sql(spark, sf, TOP_ORDERS)
+
+
+def _attach_sql_oracles() -> None:
+    """The sql_* queries' oracle IS the query text: one ANSI string
+    evaluated by both engines (dialect-shared subset)."""
+    from . import sql as _sql
+
+    for name, stmt in (
+        ("sql_pricing_summary", _sql.PRICING_SUMMARY),
+        ("sql_top_orders", _sql.TOP_ORDERS),
+    ):
+        spec = _REGISTRY[name]
+        _REGISTRY[name] = QuerySpec(spec.name, spec.fn, stmt, spec.note)
+
+
+_attach_sql_oracles()
 
 
 # ------------------------------------------------------ Job API (M2)

@@ -1,0 +1,69 @@
+"""SQL intake: run ANSI SQL directly against the fixture tables.
+
+The reference has no query language -- its IR is a 5-field job bean
+(``master/Job.java:26-44``) and every computation is a hand-written
+``Job`` class. On Spark the declarative path is free: register the
+tables as temp views and hand the string to Catalyst, which supplies
+the entire optimization stack (pushdown, pruning, join reordering,
+AQE) that SURVEY.md section 4.1 records as absent in the reference.
+
+``run_sql`` is the engine's third intake next to the DataFrame
+operators (``operators/``) and the Job API (``plans/jobs.py``); all
+three lower to the same Catalyst plans, demonstrated by the
+``sql_*`` entries in the declared registry whose results hash-match
+the DataFrame-built equivalents' oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.tables import TABLES, load_table
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
+    """Register each fixture table as a temp view (idempotent;
+    re-registering points the view at the new sf_dir)."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    """Register views, then evaluate the query -- the whole SQL layer.
+
+    The DataFrame is lazy as usual; Catalyst sees the full view
+    definitions inline, so filters written over a view still push to
+    the parquet scan (verified in tests/test_plan_shape.py).
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(sql)
+
+
+#: TPC-H-style Q1: pricing summary -- the canonical grouped-agg SQL.
+PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS sum_disc_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+#: TPC-H-style Q3 shape: top unshipped orders by revenue.
+TOP_ORDERS = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""

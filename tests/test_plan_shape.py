@@ -1,0 +1,113 @@
+"""Physical-plan shape assertions: the 100 TB posture is checked, not
+assumed. Each test renders the executed/optimized plan and asserts the
+property that keeps the operator viable at scale -- filters reaching
+the parquet scan, projections pruning the read schema, small dims
+broadcast, aggregates running partial-then-final, and no driver-side
+collect in any engine path.
+"""
+
+from pyspark.sql import functions as F
+
+from java_mapreduce_framework_spark.operators import relational
+from java_mapreduce_framework_spark.sources.tables import load_table
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushed_to_parquet_scan(spark, sf_small):
+    df = relational.filter_predicate(load_table(spark, sf_small, "lineitem"))
+    plan = _formatted(df)
+    assert "PushedFilters" in plan
+    assert "GreaterThan(l_quantity" in plan
+
+
+def test_projection_prunes_read_schema(spark, sf_small):
+    df = relational.scan_project(load_table(spark, sf_small, "lineitem"))
+    plan = _formatted(df)
+    # ReadSchema must contain only the 3 projected columns -- a scan
+    # reading all 16 lineitem columns for a 3-column projection would
+    # read ~5x the bytes at 100 TB
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_comment" not in read_schema and "l_shipdate" not in read_schema
+
+
+def test_small_dim_join_broadcasts(spark, sf_small):
+    orders = load_table(spark, sf_small, "orders")
+    customer = load_table(spark, sf_small, "customer")
+    nation = load_table(spark, sf_small, "nation")
+    df = relational.join_broadcast(orders, customer, nation)
+    plan = _formatted(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_groupby_agg_is_partial_then_final(spark, sf_small):
+    df = relational.groupby_agg(load_table(spark, sf_small, "lineitem"))
+    plan = _formatted(df)
+    # map-side combine: partial_count/partial_sum before the exchange
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_wordcount_partial_aggregation(spark, sf_small):
+    from java_mapreduce_framework_spark.operators.text import wordcount
+
+    plan = _formatted(wordcount(load_table(spark, sf_small, "documents")))
+    assert "partial_count" in plan
+
+
+def test_sql_intake_pushes_view_filters(spark, sf_small):
+    from java_mapreduce_framework_spark.plans.sql import run_sql
+
+    df = run_sql(
+        spark, sf_small, "SELECT l_orderkey FROM lineitem WHERE l_quantity > 45"
+    )
+    plan = _formatted(df)
+    assert "PushedFilters" in plan and "GreaterThan(l_quantity,45" in plan
+
+
+def test_wholestage_codegen_covers_relational_core(spark, sf_small):
+    df = relational.groupby_multikey(load_table(spark, sf_small, "lineitem"))
+    # codegen mode lists generated subtrees; AQE's formatted view only
+    # annotates them after execution
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "codegen"
+    )
+    assert "WholeStageCodegen" in plan
+
+
+def test_no_collect_in_engine_operator_paths():
+    """Grep-level guard: engine operator modules never collect to the
+    driver (the one sanctioned collect is the tiny query-vector set in
+    similarity.py, explicitly bounded and commented)."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "java_mapreduce_framework_spark"
+    offenders = []
+    for p in root.rglob("*.py"):
+        src = p.read_text()
+        for i, line in enumerate(src.splitlines(), 1):
+            if ".collect()" in line and "query set only" not in src.splitlines()[min(i, len(src.splitlines()) - 1)]:
+                if "similarity.py" in str(p):
+                    continue  # bounded query-side collect, documented
+                offenders.append(f"{p.name}:{i}")
+    assert not offenders, f"driver-side collect in engine paths: {offenders}"
+
+
+def test_topk_uses_takeordered_not_full_sort(spark, sf_small):
+    df = relational.topk(load_table(spark, sf_small, "orders"))
+    plan = _formatted(df)
+    # TakeOrderedAndProject = per-partition heap + driver merge of k
+    # rows; a global Sort + Limit would shuffle the full table
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_set_ops_avoid_cartesian(spark, sf_small):
+    orders = load_table(spark, sf_small, "orders")
+    a = orders.filter(F.col("o_totalprice") > 400000).select("o_custkey")
+    b = orders.filter(F.col("o_orderdate") >= "1999-06-01").select("o_custkey")
+    plan = _formatted(relational.set_intersect(a, b))
+    assert "Cartesian" not in plan

@@ -46,3 +46,35 @@ def test_ann_lsh_is_deterministic(spark, sf_small):
     a = sorted(map(tuple, similarity.ann_lsh(emb).collect()))
     b = sorted(map(tuple, similarity.ann_lsh(emb).collect()))
     assert a == b
+
+
+def test_ann_ivf_recall_vs_brute_force(spark, sf_small):
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    exact = {(r["qid"], r["nid"]) for r in similarity.similarity_topk(emb, k=5).collect()}
+    approx = {(r["qid"], r["nid"]) for r in similarity.ann_ivf(emb, k=5).collect()}
+    recall = len(exact & approx) / len(exact)
+    # 4/16 cells probed: recall well above the 25% a random cell
+    # subset would give, because the probed cells are the NEAREST ones
+    assert recall >= 0.5, f"IVF recall collapsed: {recall}"
+
+
+def test_ann_ivf_is_deterministic(spark, sf_small):
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    a = sorted(map(tuple, similarity.ann_ivf(emb).collect()))
+    b = sorted(map(tuple, similarity.ann_ivf(emb).collect()))
+    assert a == b
+
+
+def test_ann_ivf_full_probe_equals_exact(spark):
+    # probing every cell makes IVF exhaustive: must equal brute force
+    emb = _emb(spark)
+    exact = {(r["qid"], r["nid"], r["rnk"]) for r in similarity.similarity_topk(emb, k=3, n_queries=1).collect()}
+    ivf = {
+        (r["qid"], r["nid"], r["rnk"])
+        for r in similarity.ann_ivf(emb, k=3, n_queries=1, n_cells=2, n_probe=2, sample_cap=4).collect()
+    }
+    assert ivf == exact
