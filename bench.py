@@ -40,16 +40,39 @@ def main() -> None:
 
     # warm-up: JVM/codegen/session init on a trivial plan
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # warm-up: Python/Arrow worker pool (first pandas UDF in a session
+    # pays worker-pool startup that isn't the operator's cost)
+    import pandas as pd  # noqa: F401
+
+    def _ident(batches):
+        yield from batches
+
+    spark.range(100).mapInPandas(_ident, "id long").count()
     # warm-up: streaming machinery (state store, microbatch executor,
-    # checkpoint IO) -- otherwise whichever streaming query happens to
-    # run first pays ~6s of one-time init that isn't its own cost
+    # checkpoint IO) and the Python arbitrary-state protocol --
+    # otherwise whichever stateful query happens to run first pays
+    # several seconds of one-time init that isn't its own cost
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def _count_state(key, pdfs, state):
+        n = sum(len(p) for p in pdfs) + (state.get[0] if state.exists else 0)
+        state.update((n,))
+        yield pd.DataFrame({"k": [key[0]], "n": [n]})
+
     (
         spark.readStream.format("rate")
-        .option("rowsPerSecond", "1")
+        .option("rowsPerSecond", "100")
         .load()
-        .groupBy("value")
-        .count()
-        .writeStream.outputMode("complete")
+        .selectExpr("value % 2 AS k", "value")
+        .groupBy("k")
+        .applyInPandasWithState(
+            _count_state,
+            outputStructType="k long, n long",
+            stateStructType="n long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        .writeStream.outputMode("update")
         .format("noop")
         .trigger(availableNow=True)
         .start()
