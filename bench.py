@@ -37,6 +37,10 @@ def main() -> None:
     specs = registry.registry()
     only = os.environ.get("BENCH_QUERIES")
     names = [n for n in specs if not only or n in only.split(",")]
+    # run the Python-arbitrary-state query dead last: its state server
+    # degrades later same-session queries, which must not be charged
+    # to whichever operator happens to follow it
+    names.sort(key=lambda n: n == "stream_dedup_state")
 
     # warm-up: JVM/codegen/session init on a trivial plan
     spark.range(1_000_000).selectExpr("sum(id)").collect()
@@ -49,30 +53,19 @@ def main() -> None:
 
     spark.range(100).mapInPandas(_ident, "id long").count()
     # warm-up: streaming machinery (state store, microbatch executor,
-    # checkpoint IO) and the Python arbitrary-state protocol --
-    # otherwise whichever stateful query happens to run first pays
-    # several seconds of one-time init that isn't its own cost
-    from pyspark.sql.streaming.state import GroupStateTimeout
-
-    def _count_state(key, pdfs, state):
-        n = sum(len(p) for p in pdfs) + (state.get[0] if state.exists else 0)
-        state.update((n,))
-        yield pd.DataFrame({"k": [key[0]], "n": [n]})
-
+    # checkpoint IO) -- otherwise whichever streaming query happens to
+    # run first pays ~6s of one-time init that isn't its own cost.
+    # Deliberately NOT warmed: the applyInPandasWithState path --
+    # running it measurably degrades subsequent heavy queries in the
+    # same session (~2x for several queries), so the one query using
+    # it (stream_dedup_state) is ordered last instead.
     (
         spark.readStream.format("rate")
-        .option("rowsPerSecond", "100")
+        .option("rowsPerSecond", "1")
         .load()
-        .selectExpr("value % 2 AS k", "value")
-        .groupBy("k")
-        .applyInPandasWithState(
-            _count_state,
-            outputStructType="k long, n long",
-            stateStructType="n long",
-            outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        )
-        .writeStream.outputMode("update")
+        .groupBy("value")
+        .count()
+        .writeStream.outputMode("complete")
         .format("noop")
         .trigger(availableNow=True)
         .start()

@@ -176,6 +176,21 @@ def _groupby_multikey(spark, sf):
 
 
 @_register(
+    "groupby_salted",
+    """
+    SELECT l_returnflag, count(*) AS n_rows,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*), 2) AS avg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    note="two-phase salt aggregation == plain GROUP BY (algebraic composition exact)",
+)
+def _groupby_salted(spark, sf):
+    return relational.groupby_salted(_t(spark, sf, "lineitem"))
+
+
+@_register(
     "distinct_keys",
     "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
 )
