@@ -297,3 +297,19 @@ def ann_lsh(
         .filter(F.col("rnk") <= k)
         .select("qid", "nid", F.round("cos_sim", 4).alias("cos_sim"), "rnk")
     )
+
+
+def embedding_centroids(embeddings: DataFrame) -> DataFrame:
+    """Per-label centroid in long form (label, pos, centroid_val):
+    posexplode the vectors, average per (label, dimension). The long
+    form keeps the plan a plain partial+final hash aggregation --
+    element-wise array aggregation via collect+fold would move whole
+    vectors through the shuffle; this moves one (label, pos) partial
+    sum per map partition. 1-based pos to match SQL ordinality."""
+    return (
+        embeddings.select(
+            "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "v")
+        )
+        .groupBy("label", (F.col("pos0") + 1).cast("int").alias("pos"))
+        .agg(F.round(F.avg("v"), 4).alias("centroid_val"))
+    )

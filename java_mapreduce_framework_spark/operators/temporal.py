@@ -97,3 +97,38 @@ def tumbling_window_agg(events: DataFrame, duration: str = "1 hour") -> DataFram
             "total_value",
         )
     )
+
+
+def sliding_window_agg(
+    events: DataFrame, size: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    """Sliding (hopping) window aggregation: each event contributes to
+    size/slide overlapping windows -- the native ``window()`` generator
+    expands rows before the grouped agg, so the plan stays a partial +
+    final hash aggregation (shuffle carries one row per (window, type)
+    group, not per event). Streaming-identical plan shape, like
+    ``tumbling_window_agg``."""
+    w = F.window("ts", size, slide)
+    return (
+        events.groupBy(w.alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def percentile_stats(events: DataFrame) -> DataFrame:
+    """Exact percentiles (continuous interpolation) of event values
+    per type. Exact percentile sorts within each group -- fine for
+    bounded group counts; at 100 TB over raw events switch to
+    ``approx_percentile`` (t-digest sketch, mergeable map-side) and
+    accept the rank error; both surfaces are one function swap."""
+    return events.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
+        F.round(F.max("value"), 4).alias("p100"),
+    )

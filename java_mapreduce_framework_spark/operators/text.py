@@ -144,3 +144,35 @@ def doc_fingerprint(documents: DataFrame, shingle_len: int = 3) -> DataFrame:
         )
     )
     return df.select("doc_id", fp.alias("fingerprint"))
+
+
+def tfidf_top_terms(documents: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf.
+
+    Three aggregations over the exploded token stream -- term
+    frequency per (doc, word), document frequency per word, corpus
+    size -- composed with ln(N/df) idf and a per-doc rank window.
+    All shuffles key on word or doc_id; df is a second aggregate of
+    the SAME exploded stream, so at scale the token explosion is
+    computed once per branch (persist the token stream if the
+    scheduler shows it dominating). The tiny corpus-size scalar rides
+    a cross join (broadcast, 1 row)."""
+    from pyspark.sql import Window
+
+    from ..functions.text import words_exploded
+
+    words = words_exploded(documents)
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df = words.groupBy("word").agg(F.count_distinct("doc_id").alias("df"))
+    n = documents.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df, "word")
+        .crossJoin(F.broadcast(n))
+        .withColumn("tfidf", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("word"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "word", F.round("tfidf", 4).alias("tfidf"), F.col("rnk").cast("int").alias("rnk"))
+    )

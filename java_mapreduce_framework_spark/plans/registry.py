@@ -450,6 +450,38 @@ def _tumbling_window_agg(spark, sf):
     return temporal.tumbling_window_agg(_t(spark, sf, "events"))
 
 
+@_register(
+    "sliding_window_agg",
+    f"""
+    SELECT CAST(to_timestamp(s) AS TIMESTAMP) AS window_start, event_type,
+           count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM (SELECT event_type, value,
+           unnest([CAST(floor(epoch(ts)/1800)*1800 AS BIGINT),
+                   CAST(floor(epoch(ts)/1800)*1800 - 1800 AS BIGINT)]) AS s
+          FROM {_EVTS})
+    GROUP BY s, event_type
+    """,
+    note="1h windows hopping every 30min: each event lands in exactly 2 windows",
+)
+def _sliding_window_agg(spark, sf):
+    return temporal.sliding_window_agg(_t(spark, sf, "events"))
+
+
+@_register(
+    "percentile_stats",
+    f"""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.95), 4) AS p95,
+           round(max(value), 4) AS p100
+    FROM {_EVTS} GROUP BY event_type
+    """,
+    note="exact continuous-interpolation percentiles; approx_percentile is the 100TB swap",
+)
+def _percentile_stats(spark, sf):
+    return temporal.percentile_stats(_t(spark, sf, "events"))
+
+
 # ---------------------------------------------- text / flagship (M1/M5)
 
 
@@ -559,6 +591,44 @@ def _token_count_bpe(spark, sf):
 )
 def _doc_fingerprint(spark, sf):
     return text.doc_fingerprint(_t(spark, sf, "documents"))
+
+
+@_register(
+    "tfidf_top_terms",
+    _WORDS_CTE
+    + """,
+    tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY doc_id, word),
+    df AS (SELECT word, count(DISTINCT doc_id) AS df FROM words GROUP BY word),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, word, round(tf * ln(n_docs * 1.0 / df), 6) AS tfidf
+      FROM tf JOIN df USING (word) CROSS JOIN n),
+    r AS (
+      SELECT doc_id, word, tfidf,
+             row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rnk
+      FROM scored)
+    SELECT doc_id, word, round(tfidf, 4) AS tfidf, CAST(rnk AS INTEGER) AS rnk
+    FROM r WHERE rnk <= 5
+    """,
+)
+def _tfidf_top_terms(spark, sf):
+    return text.tfidf_top_terms(_t(spark, sf, "documents"))
+
+
+@_register(
+    "embedding_centroids",
+    """
+    SELECT label, CAST(u.i AS INTEGER) AS pos, round(avg(u.v), 4) AS centroid_val
+    FROM (SELECT label,
+                 unnest(list_transform(CAST(embedding AS DOUBLE[]),
+                        (x, i) -> struct_pack(v := x, i := i))) AS u
+          FROM embeddings)
+    GROUP BY label, u.i
+    """,
+    note="per-label mean vector in long form (label, pos, value)",
+)
+def _embedding_centroids(spark, sf):
+    return similarity.embedding_centroids(_t(spark, sf, "embeddings"))
 
 
 # --------------------------------------------------------- dedup (M5)

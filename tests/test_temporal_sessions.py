@@ -84,3 +84,26 @@ def test_stream_sessionize_equals_batch(spark, sf_small):
         for r in stream_sessionize(spark, sf_small).collect()
     }
     assert streamed == batch
+
+
+def test_sliding_window_each_event_in_two_windows(spark):
+    from java_mapreduce_framework_spark.operators.temporal import sliding_window_agg
+
+    ev = _events(spark, [("A", 15, 0)])
+    ev = ev.withColumn("event_type", ev.user_id).withColumn("value", ev.event_id * 1.0)
+    out = sliding_window_agg(ev).collect()
+    # one event, 1h windows hopping 30min -> exactly 2 covering windows
+    assert len(out) == 2
+    assert all(r["n_events"] == 1 for r in out)
+
+
+def test_percentile_stats_interpolates(spark):
+    import datetime
+
+    from java_mapreduce_framework_spark.operators.temporal import percentile_stats
+
+    rows = [(i, datetime.datetime(2026, 1, 1), "t", float(v)) for i, v in enumerate([0, 10, 20, 30])]
+    ev = spark.createDataFrame(rows, ["event_id", "ts", "event_type", "value"])
+    r = percentile_stats(ev).collect()[0]
+    assert r["p50"] == 15.0  # continuous interpolation between 10 and 20
+    assert r["p100"] == 30.0

@@ -59,3 +59,17 @@ def test_quality_score_bounds(spark, sf_small):
 
     out = text.quality_score(load_table(spark, sf_small, "documents")).collect()
     assert all(0.0 <= r["quality"] <= 1.0 for r in out)
+
+
+def test_tfidf_corpus_wide_terms_score_zero(spark):
+    from java_mapreduce_framework_spark.operators.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "common alpha"), (2, "common beta"), (3, "common gamma")],
+        ["doc_id", "text"],
+    )
+    out = tfidf_top_terms(docs, k=5).collect()
+    scores = {(r["doc_id"], r["word"]): r["tfidf"] for r in out}
+    # 'common' appears in every doc -> idf = ln(1) = 0
+    assert scores[(1, "common")] == 0.0
+    assert scores[(1, "alpha")] > 0.0
