@@ -131,6 +131,24 @@ class LiteralWordCountJob(WordCountJob):
         return [(key, str(len(values)))]
 
 
+class InvertedIndexJob:
+    """Second worked Job example (beyond the reference's shipped
+    WordCount): word -> sorted distinct posting list. map emits each
+    distinct word of a record once with the record key; reduce
+    deduplicates and sorts the postings. Exercises the multi-emit map
+    and a non-algebraic reduce over the full value set -- exactly the
+    contract the reference's ``reduce(key, values[])`` hands users."""
+
+    def map(self, key: str, value: str) -> Iterable[tuple[str, str]]:
+        from ..functions.text import tokenize_py
+
+        return [(w, key) for w in sorted(set(tokenize_py(value)))]
+
+    def reduce(self, key: str, values: list[str]) -> Iterable[tuple[str, str]]:
+        postings = sorted(set(values), key=int)
+        return [(key, ",".join(postings))]
+
+
 @dataclass
 class QueuedJob:
     name: str

@@ -865,6 +865,25 @@ def _jobapi_wordcount_literal(spark, sf):
     return out.select(F.col("key").alias("word"), F.col("value").cast("bigint").alias("n_docs"))
 
 
+@_register(
+    "jobapi_inverted_index",
+    _WORDS_CTE
+    + """
+    SELECT word,
+           array_to_string(list_sort(list_distinct(list(doc_id))), ',') AS postings
+    FROM words GROUP BY word
+    """,
+    note="word -> sorted distinct doc_id posting list through the Job API",
+)
+def _jobapi_inverted_index(spark, sf):
+    from pyspark.sql import functions as F
+
+    from .jobs import InvertedIndexJob, run_job
+
+    out = run_job(InvertedIndexJob, _kv_documents(spark, sf))
+    return out.select(F.col("key").alias("word"), F.col("value").alias("postings"))
+
+
 # ----------------------------------------------------- streaming (M6)
 
 

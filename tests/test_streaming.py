@@ -26,3 +26,73 @@ def test_stream_tumbling_equals_batch(spark, sf_small):
         for r in stream_tumbling_window(spark, sf_small).collect()
     }
     assert streamed == batch
+
+
+def test_watermark_drops_late_data_in_append_mode(spark, tmp_path):
+    """Late-data contract: with a 5-minute watermark, an event arriving
+    a batch after its 10-minute window closed is dropped, and append
+    mode emits a window exactly once, when the watermark passes its
+    end. This is the unbounded-stream posture the bounded-equality
+    queries (complete mode) don't exercise."""
+    import os
+    import time
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write_batch(name, ts_minutes):
+        t = pa.table(
+            {
+                "ts": pa.array(
+                    [
+                        datetime.datetime(2026, 1, 1) + datetime.timedelta(minutes=m)
+                        for m in ts_minutes
+                    ],
+                    type=pa.timestamp("us", tz="UTC"),
+                ),
+                "v": pa.array([1.0] * len(ts_minutes)),
+            }
+        )
+        pq.write_table(t, src / name)
+
+    # The watermark computed from batch N's max event time takes
+    # effect in batch N+2 (it is committed after N and applied to the
+    # NEXT planned batch), so the late event goes in a third file.
+    write_batch("b1.parquet", [0, 5, 60])  # sets watermark 01:00 - 5min = 00:55
+    time.sleep(1.1)  # file source orders batches by modification time
+    write_batch("b2.parquet", [61])  # commit makes the 00:55 watermark effective
+    time.sleep(1.1)
+    write_batch("b3.parquet", [2])  # late: window [00:00,00:10) closed at wm 00:55
+    os.utime(src / "b3.parquet")
+
+    from pyspark.sql import functions as F
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withWatermark("ts", "5 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = {r["ws"]: r["n"] for r in spark.table("wm_test").collect()}
+    base = datetime.datetime(2026, 1, 1, 0, 0)
+    # window [00:00,00:10) emitted once with the 2 on-time events; the
+    # late 00:02 event was dropped, and the still-open [01:00,01:10)
+    # window was never emitted (watermark never passed its end)
+    assert out.get(base) == 2
+    assert datetime.datetime(2026, 1, 1, 1, 0) not in out
