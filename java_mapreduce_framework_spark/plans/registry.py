@@ -648,6 +648,60 @@ def _dedup_exact(spark, sf):
 
 
 @_register(
+    "dedup_apply",
+    """
+    SELECT doc_id, lang, text FROM (
+      SELECT doc_id, lang, text,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents)
+    WHERE rn = 1
+    """,
+    note="materialized dedup survivors: one doc (lowest id) per distinct text",
+)
+def _dedup_apply(spark, sf):
+    return dedup.dedup_apply(_t(spark, sf, "documents"))
+
+
+@_register(
+    "curation_pipeline",
+    """
+    WITH kept AS (
+      SELECT doc_id, lang, text FROM (
+        SELECT doc_id, lang, text,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM documents)
+      WHERE rn = 1),
+    toks AS (
+      SELECT doc_id, lang, text,
+             list_filter(string_split_regex(lower(text), '\\s+'), s -> s <> '') AS t
+      FROM kept WHERE lang = 'en'),
+    m AS (
+      SELECT doc_id, lang, t,
+             len(t) AS n_tokens,
+             length(text) AS n_chars,
+             length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS n_punct,
+             len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) AS stop_hits,
+             len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe,
+             text
+      FROM toks)
+    SELECT doc_id, lang,
+           round(least(n_tokens * 1.0 / 100.0, 1.0)
+                 * (1 - n_punct * 1.0 / greatest(n_chars, 1))
+                 * (0.5 + 0.5 * (stop_hits * 1.0 / greatest(n_tokens, 1))), 4) AS quality,
+           CAST(n_tokens AS INTEGER) AS n_tokens,
+           CAST(n_bpe AS INTEGER) AS n_bpe_tokens
+    FROM m
+    WHERE round(least(n_tokens * 1.0 / 100.0, 1.0)
+                * (1 - n_punct * 1.0 / greatest(n_chars, 1))
+                * (0.5 + 0.5 * (stop_hits * 1.0 / greatest(n_tokens, 1))), 4) >= 0.2
+    """,
+    note="composed curation chain: dedup -> lang filter -> quality gate -> token accounting",
+)
+def _curation_pipeline(spark, sf):
+    return text.curation_pipeline(_t(spark, sf, "documents"))
+
+
+@_register(
     "dedup_ngram_jaccard",
     f"""
     WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),

@@ -111,3 +111,37 @@ def test_set_ops_avoid_cartesian(spark, sf_small):
     b = orders.filter(F.col("o_orderdate") >= "1999-06-01").select("o_custkey")
     plan = _formatted(relational.set_intersect(a, b))
     assert "Cartesian" not in plan
+
+
+def test_window_rank_pushes_group_limit(spark, sf_small):
+    # Spark's WindowGroupLimit: the rnk <= k filter becomes a
+    # per-partition group limit BEFORE the full window sort -- without
+    # it, every order per customer is fully ranked then discarded
+    df = relational.window_rank(load_table(spark, sf_small, "orders"))
+    assert "WindowGroupLimit" in _formatted(df)
+
+
+def _nodes(plan: str, name: str) -> int:
+    """Count physical operators by their detail headings '(N) Name'
+    (each node also appears once in the tree sketch)."""
+    import re
+
+    return len(re.findall(rf"^\(\d+\) {name}\b", plan, flags=re.MULTILINE))
+
+
+def test_sessionize_single_exchange_two_window_passes(spark, sf_small):
+    from java_mapreduce_framework_spark.operators.temporal import sessionize
+
+    plan = _formatted(sessionize(load_table(spark, sf_small, "events")))
+    # lag + running-sum share one shuffle on user_id and one sort
+    assert _nodes(plan, "Exchange") == 1
+    assert _nodes(plan, "Sort") == 1
+
+
+def test_curation_pipeline_single_shuffle(spark, sf_small):
+    from java_mapreduce_framework_spark.operators.text import curation_pipeline
+
+    plan = _formatted(curation_pipeline(load_table(spark, sf_small, "documents")))
+    # dedup window is the only exchange; lang/quality/token stages fuse
+    # into per-row expressions after it
+    assert _nodes(plan, "Exchange") == 1
