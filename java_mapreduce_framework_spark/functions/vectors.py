@@ -1,10 +1,13 @@
 """Vector math over ``array<float>`` embedding columns.
 
 All built-in higher-order functions (``zip_with`` + ``aggregate``):
-the arithmetic stays JVM-side inside whole-stage codegen -- no Python
-round-trip -- and accumulates left-to-right in double precision, which
-makes results reproducible across engines (the DuckDB oracle's
-``list_cosine_similarity`` accumulates the same way).
+the arithmetic stays JVM-side -- no Python round-trip -- and
+accumulates left-to-right in double precision, which makes results
+reproducible across engines (the DuckDB oracle's
+``list_cosine_similarity`` accumulates the same way). Caveat: HOF
+expressions are *interpreted*, not codegen'd, so hoist invariant
+subexpressions (e.g. norms) out of join loops -- compute them once
+per row side, not once per pair (see dedup.embedding_neardup_pairs).
 
 At 100 TB the same expressions apply unchanged; for very hot paths a
 Pandas-UDF batch (numpy dot over an Arrow batch) is the fallback, kept

@@ -287,15 +287,26 @@ def embedding_neardup_pairs(
     ``label`` column (the generic blocked-join pattern: at 100 TB the
     block key would be a coarse LSH bucket or cluster id -- see
     ``similarity.ann_lsh`` -- never an unblocked cross join)."""
-    from ..functions.vectors import cosine_similarity
+    from ..functions.vectors import l2_norm, vec_dot
 
+    # Norms are hoisted OUT of the pair join: higher-order-function
+    # expressions are interpreted (not codegen'd), so computing them
+    # once per vector instead of once per pair removes 2/3 of the
+    # per-pair array work -- O(N) norm passes vs O(pairs) inside the
+    # quadratic block.
     a = embeddings.select(
-        F.col("vec_id").alias("vec_a"), F.col("label").alias("label"), F.col("embedding").alias("ea")
+        F.col("vec_id").alias("vec_a"),
+        "label",
+        F.col("embedding").alias("ea"),
+        l2_norm(F.col("embedding")).alias("na"),
     )
     b = embeddings.select(
-        F.col("vec_id").alias("vec_b"), F.col("label").alias("label"), F.col("embedding").alias("eb")
+        F.col("vec_id").alias("vec_b"),
+        "label",
+        F.col("embedding").alias("eb"),
+        l2_norm(F.col("embedding")).alias("nb"),
     )
-    cos = cosine_similarity(F.col("ea"), F.col("eb"))
+    cos = vec_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, "label")
         .filter(F.col("vec_a") < F.col("vec_b"))

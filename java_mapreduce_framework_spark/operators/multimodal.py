@@ -109,3 +109,41 @@ def frame_sample(multimodal: DataFrame, max_frames: int = 4, frame_bytes: int = 
             )
 
     return multimodal.mapInPandas(kernel, schema=FRAME_SCHEMA)
+
+
+AUDIO_SCHEMA = (
+    "doc_id long, n_samples long, duration_fake_s double, rms_fake double, peak_fake double"
+)
+
+
+def audio_features(multimodal: DataFrame, sample_rate: int = 16000) -> DataFrame:
+    """Audio-style feature extraction over opaque binary payloads:
+    interpret bytes as fake PCM samples and emit per-clip stats
+    (sample count, duration, RMS, peak). The DSP kernel is a
+    deterministic stub -- librosa/scipy are absent by design -- but
+    the batch shape is the real one: one Arrow batch in, one stats
+    frame out, payload dropped on output. Swapping in a real decoder
+    changes only the numpy body."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, counts, durs, rms, peak = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                x = np.frombuffer(payload, dtype=np.uint8).astype(np.float64) - 128.0
+                ids.append(doc_id)
+                counts.append(len(x))
+                durs.append(round(len(x) / sample_rate, 6))
+                rms.append(round(float(np.sqrt(np.mean(x * x))) if len(x) else 0.0, 4))
+                peak.append(round(float(np.abs(x).max()) if len(x) else 0.0, 4))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_samples": pd.Series(counts, dtype="int64"),
+                    "duration_fake_s": pd.Series(durs, dtype="float64"),
+                    "rms_fake": pd.Series(rms, dtype="float64"),
+                    "peak_fake": pd.Series(peak, dtype="float64"),
+                }
+            )
+
+    return multimodal.mapInPandas(kernel, schema=AUDIO_SCHEMA)

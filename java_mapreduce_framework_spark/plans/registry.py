@@ -839,6 +839,15 @@ def _multimodal_frame_sample(spark, sf):
     return multimodal.frame_sample(multimodal.attach_payload(_t(spark, sf, "documents")))
 
 
+@_register(
+    "multimodal_audio_features",
+    None,
+    note="fake-PCM per-clip stats; DSP kernel stubbed, Arrow plumbing real -> rows-only",
+)
+def _multimodal_audio_features(spark, sf):
+    return multimodal.audio_features(multimodal.attach_payload(_t(spark, sf, "documents")))
+
+
 # ------------------------------------------------------- SQL intake
 
 

@@ -36,3 +36,17 @@ def test_frame_sample_slices(spark):
 def test_real_decode_is_marked_stub():
     with pytest.raises(NotImplementedError):
         multimodal.real_decode(b"\x00")
+
+
+def test_audio_features_deterministic_stats(spark):
+    from java_mapreduce_framework_spark.operators.multimodal import (
+        attach_payload,
+        audio_features,
+    )
+
+    docs = spark.createDataFrame([(1, "abcd"), (2, "")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in audio_features(attach_payload(docs)).collect()}
+    assert out[1]["n_samples"] == 4
+    # 'abcd' bytes 97..100, centered at -128: all positive magnitudes
+    assert out[1]["peak_fake"] > 0
+    assert out[2]["n_samples"] == 0 and out[2]["rms_fake"] == 0.0
