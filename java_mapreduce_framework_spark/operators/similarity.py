@@ -17,12 +17,28 @@ import random
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_similarity
+from ..functions.vectors import l2_norm, vec_dot
 
 
 def _queries(embeddings: DataFrame, n_queries: int) -> DataFrame:
     return embeddings.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        l2_norm(F.col("embedding")).alias("qn"),
+    )
+
+
+#: cosine from pre-hoisted norms: HOF expressions are interpreted, so
+#: the per-pair work is ONE dot product; norms ride each side's scan.
+def _cos_hoisted() -> F.Column:
+    return vec_dot(F.col("qe"), F.col("ne")) / (F.col("qn") * F.col("nn"))
+
+
+def _corpus(embeddings: DataFrame) -> DataFrame:
+    return embeddings.select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("ne"),
+        l2_norm(F.col("embedding")).alias("nn"),
     )
 
 
@@ -34,11 +50,11 @@ def similarity_topk(
     TakeOrdered semantics come from the rank filter. Deterministic:
     ties broken on neighbor id."""
     q = _queries(embeddings, n_queries)
-    cand = embeddings.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("ne"))
+    cand = _corpus(embeddings)
     scored = (
         cand.crossJoin(F.broadcast(q))
         .filter(F.col("nid") != F.col("qid"))
-        .select("qid", "nid", F.round(cosine_similarity("qe", "ne"), 6).alias("cos_sim"))
+        .select("qid", "nid", F.round(_cos_hoisted(), 6).alias("cos_sim"))
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid"))
     return (
@@ -197,12 +213,15 @@ def ann_ivf(
         .mapInPandas(probe_cells, "qid long, cell int, qe array<float>")
     )
     cand = (
-        indexed.join(F.broadcast(q), "cell")
+        indexed.withColumn("nn", l2_norm(F.col("embedding")))
+        .join(F.broadcast(q.withColumn("qn", l2_norm(F.col("qe")))), "cell")
         .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", "qe", F.col("vec_id").alias("nid"), F.col("embedding").alias("ne"))
+        .select(
+            "qid", "qe", "qn", F.col("vec_id").alias("nid"), F.col("embedding").alias("ne"), "nn"
+        )
     )
     scored = cand.select(
-        "qid", "nid", F.round(cosine_similarity("qe", "ne"), 6).alias("cos_sim")
+        "qid", "nid", F.round(_cos_hoisted(), 6).alias("cos_sim")
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid"))
     return (
@@ -275,21 +294,23 @@ def ann_lsh(
     corpus = embeddings.select(
         F.col("vec_id").alias("nid"),
         F.col("embedding").alias("ne"),
+        l2_norm(F.col("embedding")).alias("nn"),
         F.explode(sig).alias("b"),
-    ).select("nid", "ne", "b.band_id", "b.bucket")
+    ).select("nid", "ne", "nn", "b.band_id", "b.bucket")
     q = embeddings.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qe"),
+        l2_norm(F.col("embedding")).alias("qn"),
         F.explode(lsh_signature("embedding", n_planes, dim, bands, seed)).alias("b"),
-    ).select("qid", "qe", "b.band_id", "b.bucket")
+    ).select("qid", "qe", "qn", "b.band_id", "b.bucket")
     cand = (
         corpus.join(F.broadcast(q), ["band_id", "bucket"])
         .filter(F.col("nid") != F.col("qid"))
-        .select("qid", "qe", "nid", "ne")
+        .select("qid", "qe", "qn", "nid", "ne", "nn")
         .distinct()
     )
     scored = cand.select(
-        "qid", "nid", F.round(cosine_similarity("qe", "ne"), 6).alias("cos_sim")
+        "qid", "nid", F.round(_cos_hoisted(), 6).alias("cos_sim")
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid"))
     return (
