@@ -132,3 +132,67 @@ def percentile_stats(events: DataFrame) -> DataFrame:
         F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
         F.round(F.max("value"), 4).alias("p100"),
     )
+
+
+def join_asof(events: DataFrame, orders: DataFrame) -> DataFrame:
+    """As-of join: for each event, the user's most recent order with
+    ``o_orderdate <= ts`` (the "latest value as of time t" primitive
+    Spark lacks as a built-in).
+
+    Scalable construction -- union + ordered last_value, NOT a range
+    join: both sides are tagged and unioned on (key, time), one
+    shuffle sorts each key's timeline, and ``last(..., ignorenulls)``
+    over rows-preceding carries the latest order's columns forward to
+    every event row. Cost is one exchange + one sort over |L|+|R| --
+    no time-range candidate explosion, no per-row probe. Skewed keys
+    follow the same AQE/salting prescription as any single-key window.
+
+    Right-side (key, time) ties are resolved before the union (highest
+    o_orderkey wins) so results are engine-deterministic; the oracle
+    applies the same reduction, then DuckDB's native ASOF LEFT JOIN.
+    """
+    wdedup = Window.partitionBy("o_custkey", "o_orderdate").orderBy(F.col("o_orderkey").desc())
+    r = (
+        orders.withColumn("rn", F.row_number().over(wdedup))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("k"),
+            F.col("o_orderdate").alias("t"),
+            F.lit(0).alias("tag"),
+            F.col("o_orderkey"),
+            F.col("o_totalprice"),
+            F.lit(None).cast("bigint").alias("event_id"),
+        )
+    )
+    left = events.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+        F.col("event_id"),
+    )
+    # tag orders the right side FIRST at equal instants: an order at
+    # exactly ts qualifies (>= semantics)
+    timeline = Window.partitionBy("k").orderBy("t", "tag").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        r.unionByName(left)
+        .select(
+            "k",
+            "t",
+            "tag",
+            "event_id",
+            F.last("o_orderkey", ignorenulls=True).over(timeline).alias("o_orderkey"),
+            F.last("o_totalprice", ignorenulls=True).over(timeline).alias("o_totalprice"),
+        )
+        .filter(F.col("tag") == 1)
+        .select(
+            "event_id",
+            F.col("k").alias("user_id"),
+            F.col("t").alias("ts"),
+            "o_orderkey",
+            "o_totalprice",
+        )
+    )

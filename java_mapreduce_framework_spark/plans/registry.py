@@ -451,6 +451,25 @@ def _tumbling_window_agg(spark, sf):
 
 
 @_register(
+    "join_asof",
+    f"""
+    WITH r AS (
+      SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                  ORDER BY o_orderkey DESC) AS rn
+        FROM orders) WHERE rn = 1)
+    SELECT e.event_id, e.user_id, e.ts, r.o_orderkey, r.o_totalprice
+    FROM {_EVTS.replace('evts', 'e')} ASOF LEFT JOIN r
+      ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+    """,
+    note="as-of join via union + ordered last_value; oracle uses native ASOF JOIN",
+)
+def _join_asof(spark, sf):
+    return temporal.join_asof(_t(spark, sf, "events"), _t(spark, sf, "orders"))
+
+
+@_register(
     "sliding_window_agg",
     f"""
     SELECT CAST(to_timestamp(s) AS TIMESTAMP) AS window_start, event_type,

@@ -107,3 +107,45 @@ def test_percentile_stats_interpolates(spark):
     r = percentile_stats(ev).collect()[0]
     assert r["p50"] == 15.0  # continuous interpolation between 10 and 20
     assert r["p100"] == 30.0
+
+
+def test_join_asof_semantics(spark):
+    import datetime
+
+    from java_mapreduce_framework_spark.operators.temporal import join_asof
+
+    d = datetime.datetime
+    events = spark.createDataFrame(
+        [
+            (1, d(2026, 1, 1, 9), 7),   # before any order -> null
+            (2, d(2026, 1, 1, 10), 7),  # exactly at order A -> A (>= semantics)
+            (3, d(2026, 1, 1, 13), 7),  # after A and B -> B (latest)
+            (4, d(2026, 1, 1, 13), 8),  # other user, no orders -> null
+        ],
+        ["event_id", "ts", "user_id"],
+    )
+    orders = spark.createDataFrame(
+        [
+            (100, 7, d(2026, 1, 1, 10), 10.0),  # A
+            (101, 7, d(2026, 1, 1, 12), 20.0),  # B
+        ],
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    out = {r["event_id"]: r["o_orderkey"] for r in join_asof(events, orders).collect()}
+    assert out == {1: None, 2: 100, 3: 101, 4: None}
+
+
+def test_join_asof_tie_on_order_time_is_deterministic(spark):
+    import datetime
+
+    from java_mapreduce_framework_spark.operators.temporal import join_asof
+
+    d = datetime.datetime
+    events = spark.createDataFrame([(1, d(2026, 1, 2), 7)], ["event_id", "ts", "user_id"])
+    orders = spark.createDataFrame(
+        [(100, 7, d(2026, 1, 1), 1.0), (200, 7, d(2026, 1, 1), 2.0)],
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    # two orders at the same instant: highest o_orderkey wins, always
+    out = join_asof(events, orders).collect()[0]
+    assert out["o_orderkey"] == 200 and out["o_totalprice"] == 2.0
