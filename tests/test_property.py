@@ -1,0 +1,94 @@
+"""Property-based checks (hypothesis): randomized inputs against
+brute-force reference implementations. Few examples, bounded sizes --
+each example round-trips through Spark, so the value is input shape
+diversity (ties, empties, single users, interleavings), not volume.
+"""
+
+import datetime
+
+from hypothesis import given, settings, strategies as st
+
+from java_mapreduce_framework_spark.operators.temporal import join_asof, sessionize
+
+_BASE = datetime.datetime(2026, 1, 1)
+
+
+def _ts(minutes: int) -> datetime.datetime:
+    return _BASE + datetime.timedelta(minutes=minutes)
+
+
+events_strategy = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 500)),  # (user, minute)
+    min_size=1,
+    max_size=12,
+)
+orders_strategy = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 500), st.floats(1, 100)),
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(events_strategy, orders_strategy)
+def test_join_asof_matches_bruteforce(ev, orders):
+    spark = _spark
+    events_df = spark.createDataFrame(
+        [(i, _ts(m), u) for i, (u, m) in enumerate(ev)],
+        "event_id long, ts timestamp, user_id long",
+    )
+    orders_df = spark.createDataFrame(
+        [(100 + i, u, _ts(m), float(p)) for i, (u, m, p) in enumerate(orders)],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp, o_totalprice double",
+    )
+    got = {r["event_id"]: r["o_orderkey"] for r in join_asof(events_df, orders_df).collect()}
+
+    # brute force: per event, latest order (<= ts) of the same user;
+    # ties on time resolve to highest o_orderkey
+    expect = {}
+    for i, (u, m) in enumerate(ev):
+        cands = [
+            (om, 100 + j)
+            for j, (ou, om, _) in enumerate(orders)
+            if ou == u and om <= m
+        ]
+        expect[i] = max(cands)[1] if cands else None
+    assert got == expect
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 2), st.integers(0, 300)), min_size=1, max_size=12))
+def test_sessionize_matches_bruteforce(ev):
+    spark = _spark
+    events_df = spark.createDataFrame(
+        [(i, _ts(m), u) for i, (u, m) in enumerate(ev)],
+        "event_id long, ts timestamp, user_id long",
+    )
+    got = {r["event_id"]: (r["user_id"], r["session_id"]) for r in sessionize(events_df).collect()}
+
+    # brute force: sort each user's events by (ts, event_id); new
+    # session when gap > 1800s
+    expect = {}
+    by_user: dict[int, list[tuple[int, int]]] = {}
+    for i, (u, m) in enumerate(ev):
+        by_user.setdefault(u, []).append((m, i))
+    for u, rows in by_user.items():
+        rows.sort()
+        sid, prev = 0, None
+        for m, i in rows:
+            if prev is None or (m - prev) * 60 > 1800:
+                sid += 1
+            expect[i] = (u, sid)
+            prev = m
+    assert got == expect
+
+
+_spark = None
+
+
+def setup_module(module):
+    global _spark
+    from java_mapreduce_framework_spark.session import get_spark
+
+    _spark = get_spark("jmrf-tests", cpus=8)
+    _spark.sparkContext.setLogLevel("ERROR")
