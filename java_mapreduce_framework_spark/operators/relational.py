@@ -299,3 +299,26 @@ def groupby_salted(
             F.round(F.col("avg_price_raw"), 2).alias("avg_price"),
         )
     )
+
+
+#: Closed set of event types in the fixtures; pivoting with explicit
+#: values skips the extra distinct-discovery pass AND keeps the output
+#: schema stable -- both required at 100 TB.
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def pivot_event_counts(events: DataFrame) -> DataFrame:
+    """Wide per-user activity profile: one column per event type.
+    ``pivot`` with an explicit value list compiles to a single
+    conditional aggregation (partial+final, one shuffle on user_id) --
+    the same plan as hand-written SUM(CASE WHEN ...) columns."""
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .fillna(0, subset=list(EVENT_TYPES))
+        .select(
+            "user_id",
+            *[F.col(t).alias(f"n_{t}") for t in EVENT_TYPES],
+        )
+    )

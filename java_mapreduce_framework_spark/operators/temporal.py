@@ -196,3 +196,43 @@ def join_asof(events: DataFrame, orders: DataFrame) -> DataFrame:
             "o_totalprice",
         )
     )
+
+
+def join_range_banded(events: DataFrame, window_s: int = 60) -> DataFrame:
+    """Time-proximity self-join: ordered pairs of a user's events at
+    most ``window_s`` seconds apart -- the generic range-join pattern
+    (correlation windows, conversation threading).
+
+    Banded construction, NOT a theta join: with bucket width =
+    ``window_s``, a qualifying pair's buckets differ by at most one,
+    so the left side duplicates into (bucket, bucket+1) and the join
+    is a plain equi-join on (user, bucket) -- O(pairs-per-band) work
+    instead of the quadratic per-user cross product a range predicate
+    alone would force. Each qualifying pair matches exactly once
+    (same-bucket via the original copy, straddling via the +1 copy);
+    the exact range predicate filters band false positives.
+    """
+    e = events.select(
+        "user_id", "event_id", "ts", (F.col("ts").cast("long") / window_s).cast("long").alias("bkt")
+    )
+    a = e.select(
+        F.col("user_id"),
+        F.col("event_id").alias("eid_a"),
+        F.col("ts").alias("ts_a"),
+        F.explode(F.array(F.col("bkt"), F.col("bkt") + 1)).alias("bkt"),
+    )
+    b = e.select(
+        "user_id",
+        F.col("event_id").alias("eid_b"),
+        F.col("ts").alias("ts_b"),
+        "bkt",
+    )
+    dt = F.col("ts_b").cast("long") - F.col("ts_a").cast("long")
+    earlier = (F.col("ts_a") < F.col("ts_b")) | (
+        (F.col("ts_a") == F.col("ts_b")) & (F.col("eid_a") < F.col("eid_b"))
+    )
+    return (
+        a.join(b, ["user_id", "bkt"])
+        .filter(earlier & (dt <= window_s))
+        .select("user_id", "eid_a", "eid_b", dt.cast("int").alias("dt_s"))
+    )

@@ -470,6 +470,43 @@ def _join_asof(spark, sf):
 
 
 @_register(
+    "join_range_banded",
+    f"""
+    WITH e AS (
+      SELECT event_id, user_id, ts,
+             CAST(floor(epoch(ts)) AS BIGINT) AS s
+      FROM {_EVTS})
+    SELECT a.user_id, a.event_id AS eid_a, b.event_id AS eid_b,
+           CAST(b.s - a.s AS INTEGER) AS dt_s
+    FROM e a JOIN e b
+      ON a.user_id = b.user_id
+     AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+     AND b.s - a.s <= 60
+    """,
+    note="time-proximity pairs via band-bucket equi-join; oracle is the theta self-join",
+)
+def _join_range_banded(spark, sf):
+    return temporal.join_range_banded(_t(spark, sf, "events"))
+
+
+@_register(
+    "pivot_event_counts",
+    f"""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click') AS n_click,
+           count(*) FILTER (WHERE event_type = 'error') AS n_error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+           count(*) FILTER (WHERE event_type = 'view') AS n_view
+    FROM {_EVTS} GROUP BY user_id
+    """,
+    note="explicit-values pivot == conditional aggregation",
+)
+def _pivot_event_counts(spark, sf):
+    return relational.pivot_event_counts(_t(spark, sf, "events"))
+
+
+@_register(
     "sliding_window_agg",
     f"""
     SELECT CAST(to_timestamp(s) AS TIMESTAMP) AS window_start, event_type,

@@ -149,3 +149,41 @@ def test_join_asof_tie_on_order_time_is_deterministic(spark):
     # two orders at the same instant: highest o_orderkey wins, always
     out = join_asof(events, orders).collect()[0]
     assert out["o_orderkey"] == 200 and out["o_totalprice"] == 2.0
+
+
+def test_join_range_banded_catches_bucket_straddle(spark):
+    import datetime
+
+    from java_mapreduce_framework_spark.operators.temporal import join_range_banded
+
+    d = datetime.datetime
+    # 00:59 and 01:58 sit in adjacent 60s buckets, 59s apart -> pair;
+    # 03:00 and 04:01 are 61s apart -> no pair
+    ev = spark.createDataFrame(
+        [
+            (1, d(2026, 1, 1, 0, 0, 59), 7),
+            (2, d(2026, 1, 1, 0, 1, 58), 7),
+            (3, d(2026, 1, 1, 0, 3, 0), 7),
+            (4, d(2026, 1, 1, 0, 4, 1), 7),
+            (5, d(2026, 1, 1, 0, 1, 0), 8),  # other user, in range of 1-2 by time
+        ],
+        ["event_id", "ts", "user_id"],
+    )
+    pairs = {(r["eid_a"], r["eid_b"]): r["dt_s"] for r in join_range_banded(ev).collect()}
+    assert pairs == {(1, 2): 59}
+
+
+def test_pivot_event_counts_stable_schema(spark):
+    import datetime
+
+    from java_mapreduce_framework_spark.operators.relational import pivot_event_counts
+
+    ev = spark.createDataFrame(
+        [(1, datetime.datetime(2026, 1, 1), 7, "click", 1.0)],
+        ["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    out = pivot_event_counts(ev)
+    # absent types still present as zero-filled columns (stable schema)
+    assert out.columns == ["user_id", "n_click", "n_error", "n_purchase", "n_signup", "n_view"]
+    r = out.collect()[0]
+    assert r["n_click"] == 1 and r["n_view"] == 0
