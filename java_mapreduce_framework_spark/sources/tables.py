@@ -56,6 +56,31 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFram
     return tuple(load_table(spark, sf_dir, n) for n in names)
 
 
+def read_csv(
+    spark: SparkSession, path: str, schema: str | None = None, header: bool = True
+) -> DataFrame:
+    """CSV interchange source. Pass an explicit DDL ``schema`` in
+    production -- schema inference is a full extra pass over the data
+    and type-drifts between runs; at 100 TB both are unacceptable."""
+    r = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        r = r.schema(schema)
+    else:
+        r = r.option("inferSchema", "true")
+    return r.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """JSON-lines interchange source; same explicit-schema guidance as
+    CSV. Corrupt records land in ``_corrupt_record`` (PERMISSIVE mode)
+    instead of failing the scan -- filter them, don't crash a 100 TB
+    read on one bad line."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)
+
+
 def read_kv_text_dir(spark: SparkSession, path: str) -> DataFrame:
     """Reference-native source: directory of text files of
     ``key\\tvalue`` lines -> DataFrame(key string, value string).

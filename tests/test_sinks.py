@@ -44,3 +44,24 @@ def test_write_table_rejects_unknown_format(spark, tmp_path):
     df = spark.range(1)
     with pytest.raises(ValueError):
         write_table(df, str(tmp_path / "x"), fmt="avroish")
+
+
+def test_csv_roundtrip_with_explicit_schema(spark, tmp_path):
+    from java_mapreduce_framework_spark.sources.tables import read_csv
+
+    df = spark.createDataFrame([(1, "a", 1.5), (2, "b", 2.5)], ["id", "name", "v"])
+    out = str(tmp_path / "csv")
+    write_table(df, out, fmt="csv")
+    # csv sink writes headerless by default in Spark; read with schema
+    back = read_csv(spark, out, schema="id long, name string, v double", header=False)
+    assert {tuple(r) for r in back.collect()} == {(1, "a", 1.5), (2, "b", 2.5)}
+
+
+def test_json_roundtrip(spark, tmp_path):
+    from java_mapreduce_framework_spark.sources.tables import read_json
+
+    df = spark.createDataFrame([(1, "x"), (2, "y")], ["id", "s"])
+    out = str(tmp_path / "json")
+    write_table(df, out, fmt="json")
+    back = read_json(spark, out, schema="id long, s string")
+    assert {tuple(r) for r in back.collect()} == {(1, "x"), (2, "y")}
