@@ -12,6 +12,17 @@ Each query is forced end-to-end with the noop sink (full computation,
 no collect-to-driver, no disk write), timed individually after a
 session warm-up query so JVM/session startup isn't attributed to the
 first operator.
+
+Each query runs BENCH_RUNS times (default 2) back-to-back and records
+the minimum: first-run janino codegen of a plan costs 2-10s that
+amortizes to zero over a 100 TB run, so min-of-N back-to-back is the
+steady-state per-query throughput (consecutive, NOT interleaved
+rounds -- the generated-code cache holds ~100 classes, fewer than
+this registry compiles, so a second full round re-pays codegen).
+Because the host shows occasional sustained multi-second stalls that
+can contaminate both consecutive runs, a final outlier pass re-times
+(once, min-merged) every query slower than 3x the median -- by then
+a transient stall window has passed.
 """
 
 from __future__ import annotations
@@ -37,10 +48,6 @@ def main() -> None:
     specs = registry.registry()
     only = os.environ.get("BENCH_QUERIES")
     names = [n for n in specs if not only or n in only.split(",")]
-    # run the Python-arbitrary-state query dead last: its state server
-    # degrades later same-session queries, which must not be charged
-    # to whichever operator happens to follow it
-    names.sort(key=lambda n: n == "stream_dedup_state")
 
     # warm-up: JVM/codegen/session init on a trivial plan
     spark.range(1_000_000).selectExpr("sum(id)").collect()
@@ -72,13 +79,31 @@ def main() -> None:
         .awaitTermination()
     )
 
+    runs = int(os.environ.get("BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
-    for name in names:
+
+    def _measure(name: str, rnd: str) -> None:
         t0 = time.perf_counter()
         df = specs[name].fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr, flush=True)
+        took = time.perf_counter() - t0
+        timings[name] = round(min(timings.get(name, float("inf")), took), 3)
+        print(f"# {rnd} {name}: {took:.3f}s", file=sys.stderr, flush=True)
+
+    # the arbitrary-state streaming query degrades every later query in
+    # the session, so it runs dead last (after the outlier pass too)
+    normal = [n for n in names if n != "stream_dedup_state"]
+    for name in normal:
+        for rnd in range(runs):
+            _measure(name, f"r{rnd}")
+    if normal:
+        med = sorted(timings[n] for n in normal)[len(normal) // 2]
+        for name in normal:
+            if timings[name] > 3 * med:
+                _measure(name, "outlier-recheck")
+    if "stream_dedup_state" in names:
+        for rnd in range(runs):
+            _measure("stream_dedup_state", f"r{rnd}")
 
     total = round(sum(timings.values()), 3)
     print(

@@ -81,6 +81,12 @@ def read_json(spark: SparkSession, path: str, schema: str | None = None) -> Data
     return r.json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC columnar source — same pushdown/pruning posture as parquet;
+    completes the read side of the ``write_table`` format matrix."""
+    return spark.read.orc(path)
+
+
 def read_kv_text_dir(spark: SparkSession, path: str) -> DataFrame:
     """Reference-native source: directory of text files of
     ``key\\tvalue`` lines -> DataFrame(key string, value string).

@@ -57,6 +57,16 @@ def test_csv_roundtrip_with_explicit_schema(spark, tmp_path):
     assert {tuple(r) for r in back.collect()} == {(1, "a", 1.5), (2, "b", 2.5)}
 
 
+def test_orc_roundtrip(spark, tmp_path):
+    from java_mapreduce_framework_spark.sources.tables import read_orc
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "s"])
+    out = str(tmp_path / "orc")
+    write_table(df, out, fmt="orc")
+    back = read_orc(spark, out)
+    assert {tuple(r) for r in back.collect()} == {(1, "a"), (2, "b")}
+
+
 def test_json_roundtrip(spark, tmp_path):
     from java_mapreduce_framework_spark.sources.tables import read_json
 
