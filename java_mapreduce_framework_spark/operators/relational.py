@@ -309,16 +309,17 @@ EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 def pivot_event_counts(events: DataFrame) -> DataFrame:
     """Wide per-user activity profile: one column per event type.
-    ``pivot`` with an explicit value list compiles to a single
-    conditional aggregation (partial+final, one shuffle on user_id) --
-    the same plan as hand-written SUM(CASE WHEN ...) columns."""
-    return (
-        events.groupBy("user_id")
-        .pivot("event_type", list(EVENT_TYPES))
-        .agg(F.count(F.lit(1)))
-        .fillna(0, subset=list(EVENT_TYPES))
-        .select(
-            "user_id",
-            *[F.col(t).alias(f"n_{t}") for t in EVENT_TYPES],
-        )
+
+    Hand-written conditional aggregation (COUNT(CASE WHEN ...) per
+    type), NOT ``DataFrame.pivot``: even with an explicit value list,
+    pivot compiles to TWO aggregate pairs around TWO exchanges (a
+    pre-agg on (user, type), then the pivot agg), while the
+    conditional form is one partial+final pass around a single
+    exchange carrying five counters per user -- strictly less shuffle
+    at any scale (pinned in test_plan_shape.py)."""
+    return events.groupBy("user_id").agg(
+        *[
+            F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+            for t in EVENT_TYPES
+        ]
     )

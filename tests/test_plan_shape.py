@@ -145,3 +145,54 @@ def test_curation_pipeline_single_shuffle(spark, sf_small):
     # dedup window is the only exchange; lang/quality/token stages fuse
     # into per-row expressions after it
     assert _nodes(plan, "Exchange") == 1
+
+
+def test_join_asof_is_joinless_union_window(spark, sf_small):
+    from java_mapreduce_framework_spark.operators.temporal import join_asof
+
+    events = load_table(spark, sf_small, "events")
+    orders = load_table(spark, sf_small, "orders")
+    plan = _formatted(join_asof(events, orders))
+    # the as-of primitive is union + ordered last_value, NOT a range
+    # join: no join operator may appear, and the whole timeline costs
+    # at most two exchanges (orders-side tie-dedup + the union sort) --
+    # never an |L|x|R| candidate expansion
+    for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+              "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert _nodes(plan, j) == 0
+    assert _nodes(plan, "Exchange") <= 2
+
+
+def test_join_range_banded_is_equi_join_not_nested_loop(spark, sf_small):
+    from java_mapreduce_framework_spark.operators.temporal import join_range_banded
+
+    plan = _formatted(join_range_banded(load_table(spark, sf_small, "events")))
+    # band-bucket duplication turns the time-proximity theta join into
+    # a hash-partitionable equi-join; a raw range predicate would force
+    # the quadratic nested-loop per user
+    assert _nodes(plan, "BroadcastNestedLoopJoin") == 0
+    assert _nodes(plan, "CartesianProduct") == 0
+    assert (
+        _nodes(plan, "SortMergeJoin")
+        + _nodes(plan, "ShuffledHashJoin")
+        + _nodes(plan, "BroadcastHashJoin")
+    ) >= 1
+
+
+def test_pivot_conditional_agg_single_shuffle(spark, sf_small):
+    plan = _formatted(relational.pivot_event_counts(load_table(spark, sf_small, "events")))
+    # hand-written COUNT(CASE WHEN) pivot: one partial+final pass
+    # around a single exchange; DataFrame.pivot would cost two of each
+    assert _nodes(plan, "HashAggregate") == 2
+    assert _nodes(plan, "Exchange") == 1
+
+
+def test_minhash_signatures_aggregate_partially(spark, sf_small):
+    from java_mapreduce_framework_spark.operators.dedup import minhash_signatures
+
+    plan = _formatted(minhash_signatures(load_table(spark, sf_small, "documents")))
+    # the 128 per-permutation mins run map-side before the exchange, so
+    # the shuffle carries one signature row per doc -- not the exploded
+    # shingle stream
+    assert "partial_min" in plan
+    assert _nodes(plan, "Exchange") == 1
