@@ -1,0 +1,42 @@
+"""Registry-wide physical-plan audit: builds every batch query's plan
+and asserts the global invariants that keep the engine viable at
+100 TB -- no cartesian product anywhere, and nested-loop joins only
+where a tiny broadcast side makes them the *intended* plan.
+
+(Per-operator shape pins live in test_plan_shape.py; this is the
+sweep that catches a regression in an operator nobody pinned.)
+"""
+
+import re
+
+from java_mapreduce_framework_spark.plans import registry
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _nodes(plan: str, name: str) -> int:
+    return len(re.findall(rf"^\(\d+\) {name}\b", plan, flags=re.MULTILINE))
+
+# Deliberate BroadcastNestedLoopJoin uses -- both are broadcast-cross
+# with a bounded side, the correct plan for the job:
+#   tfidf_top_terms: joins the 1-row corpus-size scalar for IDF
+#   similarity_topk: broadcasts the fixed query-vector set over the
+#     corpus scan (the brute-force Q x N baseline by design)
+ALLOWED_NESTED_LOOP = {"tfidf_top_terms", "similarity_topk"}
+
+
+def test_no_unintended_nested_loops_or_cartesians(spark, sf_small):
+    failures = []
+    for name, spec in registry.registry().items():
+        if name.startswith("stream_"):
+            continue  # streaming plans are exercised in test_streaming
+        plan = _formatted(spec.fn(spark, sf_small))
+        if _nodes(plan, "CartesianProduct"):
+            failures.append(f"{name}: CartesianProduct")
+        if _nodes(plan, "BroadcastNestedLoopJoin") and name not in ALLOWED_NESTED_LOOP:
+            failures.append(f"{name}: BroadcastNestedLoopJoin")
+    assert not failures, failures
