@@ -129,7 +129,9 @@ def minhash_signatures(
     shingle hashes -- expressed as num_perm plain MIN aggregates over
     the exploded shingle stream, so Spark runs map-side partial mins
     and shuffles one row per doc. No arrays of raw shingles are ever
-    materialized (100 TB posture).
+    materialized (100 TB posture). ``n_shingles`` rides along in the
+    same pass (one extra COUNT) so Jaccard verification never needs a
+    separate size-aggregation scan of the corpus.
     """
     sh = shingles(documents, n, hashed=True)
     h = F.pmod(F.col("shingle"), F.lit(_HASH_BOUND))
@@ -137,14 +139,26 @@ def minhash_signatures(
         F.min(F.pmod(a * h + b, F.lit(_MERSENNE_P))).alias(f"s{i}")
         for i, (a, b) in enumerate(_perm_tables(num_perm, seed))
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return sh.groupBy("doc_id").agg(*aggs, F.count("*").alias("n_shingles"))
 
 
 def minhash_candidates(
     sig: DataFrame, num_perm: int = 128, bands: int = 16
 ) -> DataFrame:
-    """LSH banding: hash each band of rows_per_band signature slots;
-    docs colliding in any band become candidate pairs (doc_a < doc_b)."""
+    """LSH banding via bucket grouping: hash each band of
+    rows_per_band signature slots, group docs by (band, band_hash),
+    and emit ordered pairs within each bucket.
+
+    Grouping (collect the bucket, explode its pairs) instead of a
+    band self-join means the signature aggregation is consumed ONCE:
+    the self-join form duplicates the whole 128-min subtree into both
+    join sides (Spark reuses neither plan fragments nor exchanges
+    across them), doubling corpus scans and signature work. Bucket
+    membership lists are small by LSH construction; a degenerate hot
+    bucket concentrates the same quadratic pair count the self-join
+    would have shuffled to a single reducer anyway. Pairs carry both
+    docs' shingle counts (``na``/``nb``) so Jaccard verification
+    needs no separate size join."""
     rows = num_perm // bands
     band_cols = F.array(
         *[
@@ -157,15 +171,26 @@ def minhash_candidates(
             for j in range(bands)
         ]
     )
-    banded = sig.select("doc_id", F.explode(band_cols).alias("b")).select(
-        "doc_id", "b.band_id", "b.band_hash"
+    banded = sig.select("doc_id", "n_shingles", F.explode(band_cols).alias("b")).select(
+        "doc_id", "n_shingles", "b.band_id", "b.band_hash"
     )
-    a, b = banded.alias("a"), banded.alias("b")
+    buckets = (
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n_shingles"))).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    pairs = F.explode(
+        F.expr(
+            "flatten(transform(ds, (x, i) -> "
+            "transform(slice(ds, i + 2, size(ds)), y -> "
+            "struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
+            "x.n_shingles AS na, y.n_shingles AS nb))))"
+        )
+    ).alias("p")
     return (
-        a.join(b.hint("shuffle_hash"), ["band_id", "band_hash"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        buckets.select(pairs)
+        .select("p.doc_a", "p.doc_b", "p.na", "p.nb")
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
@@ -184,11 +209,17 @@ def dedup_minhash(
     8 rows, P(candidate | j=0.9) ~ 0.9999; the final filter removes
     LSH false positives, so output precision is exact and only recall
     is probabilistic.
+
+    The signature aggregation is consumed exactly once (bucket-group
+    candidate generation, sizes riding in the candidate pairs): the
+    plan scans the corpus 3 times total -- signature build plus the
+    two shingle streams of the verification join -- where a band
+    self-join with a separate size lookup costs 6 scans and runs the
+    128-min aggregation twice.
     """
     sig = minhash_signatures(documents, num_perm, n, seed)
     cand = minhash_candidates(sig, num_perm, bands)
     sh = shingles(documents, n, hashed=True)
-    sizes = shingle_sizes(sh)
     # Candidate-restricted intersection: expand each candidate pair by
     # doc_a's shingles, then equi-join doc_b's shingles on (doc_b,
     # shingle). Work is sum over candidates of |shingles(doc_a)| --
@@ -200,16 +231,12 @@ def dedup_minhash(
     common = (
         cand.join(sh_a, "doc_a")
         .join(sh_b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count("*").alias("common"))
     )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
     jac = F.col("common") * 1.0 / (F.col("na") + F.col("nb") - F.col("common"))
     return (
-        common.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .filter(jac >= threshold)
+        common.filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
 
@@ -248,7 +275,16 @@ def dedup_simhash(
     """SimHash near-dup pairs: band the 64-bit fingerprint into
     ``bands`` chunks (pigeonhole: hamming <= bands-1 guarantees a
     colliding band; default 4 bands covers max_hamming=3 exactly),
-    self-join per band, verify with bit_count(xor) <= max_hamming."""
+    band-bucket grouping (collect each bucket, explode its pairs),
+    verify with bit_count(xor) <= max_hamming.
+
+    Bucket grouping instead of a band self-join consumes the 64-sum
+    fingerprint aggregation exactly ONCE -- the self-join form
+    duplicates that whole subtree (and its corpus scan) into both
+    sides. The fingerprints ride inside the bucket structs, so
+    Hamming verification is pure expression work on the exploded
+    pairs: the entire operator is one linear pipeline with two
+    shuffles (fingerprint agg, bucket group) and zero joins."""
     width = 64 // bands
     sig = simhash_signatures(documents)
     chunk = F.array(
@@ -265,16 +301,24 @@ def dedup_simhash(
     banded = sig.select("doc_id", "simhash", F.explode(chunk).alias("c")).select(
         "doc_id", "simhash", "c.band_id", "c.chunk"
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
-        a.join(b.hint("shuffle_hash"), ["band_id", "chunk"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            ham.alias("hamming"),
+    buckets = (
+        banded.groupBy("band_id", "chunk")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    pairs = F.explode(
+        F.expr(
+            "flatten(transform(ds, (x, i) -> "
+            "transform(slice(ds, i + 2, size(ds)), y -> "
+            "struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
+            "x.simhash AS sim_a, y.simhash AS sim_b))))"
         )
+    ).alias("p")
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        buckets.select(pairs)
+        .select("p.doc_a", "p.doc_b", "p.sim_a", "p.sim_b")
+        .select("doc_a", "doc_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
