@@ -301,6 +301,47 @@ def groupby_salted(
     )
 
 
+def join_skew_salted(
+    lineitem: DataFrame, orders: DataFrame, salt_buckets: int = 8
+) -> DataFrame:
+    """Skew-resistant shuffle join: the salt-and-replicate pattern.
+
+    The probe (fact) side gets a uniform random salt in
+    [0, ``salt_buckets``); the build (dim) side is replicated once per
+    salt value; the join key becomes (key, salt). Rows of a hot key,
+    which a plain hash join piles onto one reducer, spread across
+    ``salt_buckets`` tasks, and every probe row still meets each
+    matching build row exactly once -- the result is identical to the
+    plain equi-join, which is the declared oracle.
+
+    When to use at 100 TB: both sides too large to broadcast AND a few
+    hot join keys (null-ish default ids, bot users). AQE's skew split
+    repairs sort-merge joins after the fact; explicit salting is the
+    prescription when skew is known up front or the join is
+    shuffled-hash. Cost: the replicated side shuffles ``salt_buckets``
+    x its projected size -- replicate the smaller side, project it to
+    the join key + needed columns first, and pick the smallest salt
+    count that flattens the hot partitions. The shuffle_hash hint
+    skips both sort passes; the salt split bounds each build
+    partition by construction. (Aggregation-skew twin:
+    ``groupby_salted``.)
+    """
+    dim = orders.select("o_orderkey", "o_orderpriority").withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    fact = lineitem.select("l_orderkey", "l_extendedprice").withColumn(
+        "_salt", (F.rand(seed=11) * salt_buckets).cast("int")
+    )
+    j = fact.join(
+        dim.hint("shuffle_hash"),
+        (fact["l_orderkey"] == dim["o_orderkey"]) & (fact["_salt"] == dim["_salt"]),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum(_dec2("l_extendedprice")).cast("double"), 2).alias("revenue"),
+    )
+
+
 #: Closed set of event types in the fixtures; pivoting with explicit
 #: values skips the extra distinct-discovery pass AND keeps the output
 #: schema stable -- both required at 100 TB.

@@ -291,6 +291,21 @@ def _join_broadcast(spark, sf):
     )
 
 
+@_register(
+    "join_skew_salted",
+    """
+    SELECT o_orderpriority, count(*) AS n_items,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    note="salt-and-replicate skew join == plain equi-join (every probe row meets each build row once)",
+)
+def _join_skew_salted(spark, sf):
+    return relational.join_skew_salted(_t(spark, sf, "lineitem"), _t(spark, sf, "orders"))
+
+
 def _orders_split(spark, sf):
     from pyspark.sql import functions as F
 

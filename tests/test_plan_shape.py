@@ -187,6 +187,20 @@ def test_pivot_conditional_agg_single_shuffle(spark, sf_small):
     assert _nodes(plan, "Exchange") == 1
 
 
+def test_join_skew_salted_is_shuffled_hash(spark, sf_small):
+    plan = _formatted(
+        relational.join_skew_salted(
+            load_table(spark, sf_small, "lineitem"), load_table(spark, sf_small, "orders")
+        )
+    )
+    # salted (key, salt) join must stay a hash join -- the whole point
+    # is bounding per-task build partitions, not re-sorting both sides
+    assert _nodes(plan, "ShuffledHashJoin") == 1
+    assert _nodes(plan, "SortMergeJoin") == 0
+    # and the final rollup is one partial+final pass
+    assert _nodes(plan, "HashAggregate") == 2
+
+
 def test_minhash_signatures_aggregate_partially(spark, sf_small):
     from java_mapreduce_framework_spark.operators.dedup import minhash_signatures
 

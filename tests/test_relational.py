@@ -55,6 +55,22 @@ def test_rollup_has_grand_total(spark, sf_small):
     assert total[0]["n_rows"] == 6000
 
 
+def test_join_skew_salted_matches_plain_join(spark):
+    lineitem = spark.createDataFrame(
+        [(1, float(i)) for i in range(50)] + [(2, 5.0), (3, 7.0)],
+        ["l_orderkey", "l_extendedprice"],
+    )
+    orders = spark.createDataFrame(
+        [(1, "1-URGENT"), (2, "2-HIGH"), (3, "2-HIGH"), (4, "5-LOW")],
+        ["o_orderkey", "o_orderpriority"],
+    )
+    out = {
+        (r["o_orderpriority"], r["n_items"], r["revenue"])
+        for r in relational.join_skew_salted(lineitem, orders, salt_buckets=4).collect()
+    }
+    assert out == {("1-URGENT", 50, 1225.0), ("2-HIGH", 2, 12.0)}
+
+
 def test_join_broadcast_is_broadcast(spark, sf_small):
     from java_mapreduce_framework_spark.sources.tables import load_table
 
