@@ -5,6 +5,7 @@
 - ``dedup_minhash``        -- MinHash + LSH banding, Jaccard-verified.
 - ``dedup_simhash``        -- 64-bit SimHash + band blocking, Hamming-verified.
 - ``embedding_neardup_pairs`` -- cosine near-dup pairs, blocked on label.
+- ``connected_components``  -- pair graph -> cluster ids (min label).
 
 Design for 100 TB:
 - Signatures (minhash mins, simhash bit sums) are computed as *plain
@@ -358,6 +359,58 @@ def embedding_neardup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("vec_a", "vec_b", F.round("cos_sim", 4).alias("cos_sim"))
     )
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Near-dup *clusters* from near-dup *pairs*: (doc_id, component_id)
+    with component_id = the smallest doc_id reachable through the pair
+    graph. This is the step that turns pairwise similarity output into
+    one-survivor-per-cluster dedup decisions.
+
+    Iterative min-label propagation: every round each node adopts the
+    minimum label among itself and its neighbors; rounds needed = the
+    component diameter (near-dup clusters are tight -- 2-4 rounds in
+    practice). Per round: one shuffle joining labels onto edges plus a
+    grouped MIN, and ``localCheckpoint`` truncates lineage so round
+    k's plan does not embed rounds 1..k-1 (unbounded plan growth is
+    what kills naive iterative DataFrame code). The driver loop
+    carries only a changed-row COUNT per round, never row data. Same
+    dataflow GraphX/GraphFrames runs; for billion-edge graphs swap in
+    the large-star/small-star variant -- the per-round shuffle shape
+    is identical.
+    """
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct().withColumn("comp", F.col("node"))
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("comp").alias("nbr_comp"))
+            .withColumnRenamed("src", "node")
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.withColumnRenamed("comp", "new_comp")
+            .join(labels, "node")
+            .filter(F.col("new_comp") != F.col("comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("component_id"))
 
 
 def dedup_apply(documents: DataFrame) -> DataFrame:

@@ -799,6 +799,44 @@ def _dedup_ngram_jaccard(spark, sf):
 
 
 @_register(
+    "dedup_cluster_components",
+    f"""
+    WITH RECURSIVE toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      FROM toks WHERE len(t) >= 3),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    com AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM com
+      JOIN sizes na ON com.doc_a = na.doc_id
+      JOIN sizes nb ON com.doc_b = nb.doc_id
+      WHERE c * 1.0 / (na.n + nb.n - c) >= 0.8),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach(node, root) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node)
+    SELECT node AS doc_id, min(root) AS component_id
+    FROM reach GROUP BY node
+    """,
+    note="min-label propagation CC == recursive-CTE reachability min (undirected graph)",
+)
+def _dedup_cluster_components(spark, sf):
+    pairs = dedup.ngram_jaccard_pairs(_t(spark, sf, "documents"))
+    return dedup.connected_components(pairs)
+
+
+@_register(
     "dedup_minhash",
     None,
     note="LSH recall is probabilistic; precision exact (Jaccard-verified) -> rows-only",

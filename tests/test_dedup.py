@@ -59,3 +59,21 @@ def test_embedding_neardup_blocked_pairs(spark):
     out = dedup.embedding_neardup_pairs(spark.createDataFrame(rows), threshold=0.9)
     pairs = {(r["vec_a"], r["vec_b"]) for r in out.collect()}
     assert pairs == {(0, 1)}  # 0-3 identical but blocked apart
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3-4 (diameter 3, needs >1 propagation round), pair 7-8,
+    # and 9 appearing only as the greater id of (5, 9)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 8), (5, 9)], ["doc_a", "doc_b"]
+    )
+    got = {
+        (r["doc_id"], r["component_id"])
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (7, 7), (8, 7), (5, 5), (9, 5)}
+
+
+def test_connected_components_empty_pairs(spark):
+    pairs = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
+    assert dedup.connected_components(pairs).count() == 0
