@@ -111,6 +111,46 @@ def frame_sample(multimodal: DataFrame, max_frames: int = 4, frame_bytes: int = 
     return multimodal.mapInPandas(kernel, schema=FRAME_SCHEMA)
 
 
+RESIZE_SCHEMA = "doc_id long, out_width long, out_height long, resized binary"
+
+
+def resize(multimodal: DataFrame, target_width: int = 64) -> DataFrame:
+    """Image-style resize over opaque payloads: emits a downscaled
+    payload plus its new fake dimensions. The kernel is a
+    deterministic stub (byte-stride downsample standing in for a real
+    interpolating resampler -- Pillow is absent by design); the
+    engine-relevant parts are real: Arrow batch iteration, binary in /
+    binary out, 1:1 row contract, metadata riding alongside the blob.
+    Replace the slicing with ``PIL.Image.resize`` when the library
+    exists.
+
+    100 TB posture: resize is the canonical pre-shuffle size reducer
+    -- run it BEFORE any repartition/join of a multimodal table so the
+    exchange carries thumbnails, not originals.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, outs = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _, w, h = _fake_decode(payload)
+                scale = max(1, w // target_width)
+                ids.append(doc_id)
+                ws.append(max(1, w // scale))
+                hs.append(max(1, h // scale))
+                outs.append(bytes(payload[::scale]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "out_width": pd.Series(ws, dtype="int64"),
+                    "out_height": pd.Series(hs, dtype="int64"),
+                    "resized": outs,
+                }
+            )
+
+    return multimodal.mapInPandas(kernel, schema=RESIZE_SCHEMA)
+
+
 AUDIO_SCHEMA = (
     "doc_id long, n_samples long, duration_fake_s double, rms_fake double, peak_fake double"
 )

@@ -949,6 +949,15 @@ def _multimodal_frame_sample(spark, sf):
 
 
 @_register(
+    "multimodal_resize",
+    None,
+    note="byte-stride fake resample, real Arrow plumbing; binary out -> rows-only",
+)
+def _multimodal_resize(spark, sf):
+    return multimodal.resize(multimodal.attach_payload(_t(spark, sf, "documents")))
+
+
+@_register(
     "multimodal_audio_features",
     None,
     note="fake-PCM per-clip stats; DSP kernel stubbed, Arrow plumbing real -> rows-only",

@@ -50,3 +50,15 @@ def test_audio_features_deterministic_stats(spark):
     # 'abcd' bytes 97..100, centered at -128: all positive magnitudes
     assert out[1]["peak_fake"] > 0
     assert out[2]["n_samples"] == 0 and out[2]["rms_fake"] == 0.0
+
+
+def test_resize_downsamples_deterministically(spark):
+    mm = multimodal.attach_payload(_docs(spark))
+    out = multimodal.resize(mm, target_width=4).collect()
+    assert len(out) == mm.count()
+    by_id = {r["doc_id"]: r for r in out}
+    again = {r["doc_id"]: r for r in multimodal.resize(mm, target_width=4).collect()}
+    for doc_id, r in by_id.items():
+        assert r["out_width"] >= 1 and r["out_height"] >= 1
+        assert len(r["resized"]) >= 1
+        assert bytes(r["resized"]) == bytes(again[doc_id]["resized"])
