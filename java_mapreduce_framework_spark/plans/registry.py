@@ -1107,6 +1107,22 @@ def _stream_dedup_state(spark, sf):
 
 
 @_register(
+    "stream_static_join",
+    """
+    SELECT c_mktsegment, count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    note="stateless stream-static broadcast join == batch join on bounded input",
+)
+def _stream_static_join(spark, sf):
+    from ..streaming.jobs import stream_static_join
+
+    return stream_static_join(spark, sf)
+
+
+@_register(
     "stream_tumbling_window",
     f"""
     SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -146,6 +146,35 @@ def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(out, mode="update")
 
 
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static equi-join: the event stream enriched with the
+    static customer dimension, aggregated per market segment.
+
+    Stream-static joins are *stateless* on the stream side -- every
+    microbatch joins against the current static snapshot, so no
+    watermark or join state store is involved (contrast stream-stream
+    joins, which buffer both sides). The dim is explicitly broadcast:
+    per microbatch the stream partitions never shuffle for the join,
+    which is the only sane shape for a 100 TB/day stream against a
+    dimension that fits in memory; a big dimension would instead be a
+    bucketed/Delta table co-partitioned with the stream's shuffle.
+    """
+    path = _stage_stream_dir(spark, sf_dir, "events")
+    schema = spark.read.parquet(path).schema
+    events = spark.readStream.schema(schema).parquet(path)
+    customer = F.broadcast(
+        load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("user_id"), "c_mktsegment"
+        )
+    )
+    agg = (
+        events.join(customer, "user_id")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    return _drain_to_memory(agg)
+
+
 def stream_tumbling_window(
     spark: SparkSession, sf_dir: str, duration: str = "1 hour"
 ) -> DataFrame:

@@ -1,7 +1,30 @@
 from java_mapreduce_framework_spark.streaming.jobs import (
+    stream_static_join,
     stream_tumbling_window,
     stream_wordcount,
 )
+
+
+def test_stream_static_join_equals_batch(spark, sf_small):
+    from pyspark.sql import functions as F
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_small, "events")
+    customer = load_table(spark, sf_small, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    batch = {
+        (r["c_mktsegment"]): (r["n_events"], r["total_value"])
+        for r in events.join(customer, "user_id")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .collect()
+    }
+    streamed = {
+        (r["c_mktsegment"]): (r["n_events"], r["total_value"])
+        for r in stream_static_join(spark, sf_small).collect()
+    }
+    assert streamed == batch
 
 
 def test_stream_wordcount_equals_batch(spark, sf_small):
