@@ -837,6 +837,16 @@ def _dedup_cluster_components(spark, sf):
 
 
 @_register(
+    "dedup_minhash_clusters",
+    None,
+    note="full sketch path: MinHash-LSH pairs -> CC cluster ids; recall probabilistic -> rows-only",
+)
+def _dedup_minhash_clusters(spark, sf):
+    pairs = dedup.dedup_minhash(_t(spark, sf, "documents"))
+    return dedup.connected_components(pairs)
+
+
+@_register(
     "dedup_minhash",
     None,
     note="LSH recall is probabilistic; precision exact (Jaccard-verified) -> rows-only",

@@ -77,3 +77,20 @@ def test_connected_components_chain_and_islands(spark):
 def test_connected_components_empty_pairs(spark):
     pairs = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
     assert dedup.connected_components(pairs).count() == 0
+
+
+def test_minhash_clusters_equal_exact_clusters(spark, sf_small):
+    """Pairs are equal on the fixture (test above), so the composed
+    cluster ids must be too -- checks the sketch->CC composition."""
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    exact = {
+        (r["doc_id"], r["component_id"])
+        for r in dedup.connected_components(dedup.ngram_jaccard_pairs(docs)).collect()
+    }
+    sketch = {
+        (r["doc_id"], r["component_id"])
+        for r in dedup.connected_components(dedup.dedup_minhash(docs)).collect()
+    }
+    assert sketch == exact
