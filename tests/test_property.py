@@ -92,3 +92,41 @@ def setup_module(module):
 
     _spark = get_spark("jmrf-tests", cpus=8)
     _spark.sparkContext.setLogLevel("ERROR")
+
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(edges_strategy)
+def test_connected_components_matches_union_find(edges):
+    from java_mapreduce_framework_spark.operators.dedup import connected_components
+
+    spark = _spark
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "doc_a long, doc_b long"
+    )
+    got = {
+        (r["doc_id"], r["component_id"])
+        for r in connected_components(pairs).collect()
+    }
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {(n, find(n)) for n in parent}
+    assert got == expect
