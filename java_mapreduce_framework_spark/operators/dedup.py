@@ -386,6 +386,16 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     labels = (
         edges.select(F.col("src").alias("node")).distinct().withColumn("comp", F.col("node"))
     ).localCheckpoint()
+
+    # Convergence probe: labels only ever decrease under min-propagation,
+    # so sum(comp) is strictly decreasing until the fixpoint -- an exact
+    # test from ONE tiny aggregate over the already-checkpointed frame,
+    # instead of a join of new-vs-old labels (half the per-round jobs).
+    # decimal(38,0) so the sum cannot overflow int64 at real id ranges.
+    def _label_sum(df: DataFrame):
+        return df.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels.withColumnRenamed("node", "dst"), "dst")
@@ -393,7 +403,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             .agg(F.min("comp").alias("nbr_comp"))
             .withColumnRenamed("src", "node")
         )
-        new_labels = (
+        labels = (
             labels.join(nbr_min, "node", "left")
             .select(
                 "node",
@@ -401,15 +411,10 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.withColumnRenamed("comp", "new_comp")
-            .join(labels, "node")
-            .filter(F.col("new_comp") != F.col("comp"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = _label_sum(labels)
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("component_id"))
 
 
