@@ -393,7 +393,9 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     # instead of a join of new-vs-old labels (half the per-round jobs).
     # decimal(38,0) so the sum cannot overflow int64 at real id ranges.
     def _label_sum(df: DataFrame):
-        return df.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
+        # single-row scalar fetch, never row data -- the sanctioned
+        # driver interaction for iterative fixpoint algorithms
+        return df.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
 
     prev_sum = _label_sum(labels)
     for _ in range(max_iter):

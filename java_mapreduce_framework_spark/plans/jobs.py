@@ -57,10 +57,30 @@ def resolve_job(path: str) -> type:
     return getattr(importlib.import_module(module), cls)
 
 
+@dataclass
+class JobCounters:
+    """The status page's per-job counters (keysRead / keysWritten,
+    updated by ``worker/MapThread.java:56-63`` and
+    ``worker/ReduceThread.java:51-58,81-89``), as Spark accumulators:
+    updates flow back with task results, no extra pass over the data.
+    Same contract as the reference's single-run counters; Spark task
+    retries/speculation can over-count (standard accumulator caveat),
+    which the reference avoided only by having no retries at all."""
+
+    keys_read: object  # pyspark Accumulator[int]
+    keys_written: object
+
+    @classmethod
+    def create(cls, df: DataFrame) -> "JobCounters":
+        sc = df.sparkSession.sparkContext
+        return cls(sc.accumulator(0), sc.accumulator(0))
+
+
 def run_job(
     job_cls: type | str,
     input_df: DataFrame,
     num_partitions: int | None = None,
+    counters: JobCounters | None = None,
 ) -> DataFrame:
     """Execute a Job over DataFrame(key string, value string) ->
     DataFrame(key string, value string).
@@ -69,6 +89,9 @@ def run_job(
     batched) -> hash shuffle on key -> grouped reduce. Parallelism is
     partitions x cores instead of the reference's mapthreads /
     reducethreads worker pools (``worker/WorkerServlet.java:541-569``).
+    ``counters``, when given, accumulate records-in and emissions per
+    phase, mirroring the reference's counter semantics (map: one read
+    per record; reduce: one read per group; writes per emit).
     """
     if isinstance(job_cls, str):
         job_cls = resolve_job(job_cls)
@@ -81,6 +104,9 @@ def run_job(
                 for ok, ov in job.map(k, v):
                     keys.append(ok)
                     values.append(ov)
+            if counters is not None:
+                counters.keys_read.add(len(pdf))
+                counters.keys_written.add(len(keys))
             yield pd.DataFrame({"key": pd.Series(keys, dtype="object"),
                                 "value": pd.Series(values, dtype="object")})
 
@@ -91,6 +117,9 @@ def run_job(
         for ok, ov in job.reduce(key, list(pdf["value"])):
             keys.append(ok)
             values.append(ov)
+        if counters is not None:
+            counters.keys_read.add(1)
+            counters.keys_written.add(len(keys))
         return pd.DataFrame({"key": pd.Series(keys, dtype="object"),
                              "value": pd.Series(values, dtype="object")})
 
@@ -156,6 +185,7 @@ class QueuedJob:
     input_df: DataFrame
     status: str = "pending"  # pending -> mapping/reducing -> done (WorkerStatus states)
     result: DataFrame | None = None
+    counters: JobCounters | None = None
 
 
 @dataclass
@@ -177,8 +207,10 @@ class JobQueue:
         while self._queue:
             qj = self._queue.pop(0)
             qj.status = "running"
-            qj.result = run_job(qj.job_cls, qj.input_df)
-            # Force completion so FIFO semantics are real, not lazy.
+            qj.counters = JobCounters.create(qj.input_df)
+            qj.result = run_job(qj.job_cls, qj.input_df, counters=qj.counters)
+            # Force completion so FIFO semantics are real, not lazy --
+            # and so the counters are final when status_page is read.
             qj.result = qj.result.localCheckpoint(eager=True)
             qj.status = "done"
             self.history.append(qj)
@@ -186,8 +218,15 @@ class JobQueue:
 
     def status_page(self) -> list[dict]:
         """The master status page's job table, as data
-        (``master/MasterServlet.java:257-317``)."""
+        (``master/MasterServlet.java:257-317``), including the
+        keysRead/keysWritten counters the reference renders per
+        worker (here: per job, summed across tasks)."""
         return [
-            {"name": j.name, "status": j.status}
+            {
+                "name": j.name,
+                "status": j.status,
+                "keys_read": j.counters.keys_read.value if j.counters else 0,
+                "keys_written": j.counters.keys_written.value if j.counters else 0,
+            }
             for j in (*self.history, *self._queue)
         ]

@@ -43,6 +43,12 @@ def test_job_queue_fifo(spark):
     assert [j.name for j in done] == ["first", "second"]
     assert all(j.status == "done" for j in done)
     assert {r["key"]: r["value"] for r in done[1].result.collect()}["a"] == "2"
+    # status-page counters (reference: keysRead/keysWritten): map reads
+    # 2 records and emits 4 per-record partials; reduce reads 3 groups
+    # and emits one line each
+    for j in q.status_page():
+        assert j["keys_read"] == 2 + 3
+        assert j["keys_written"] == 4 + 3
 
 
 def test_jobapi_matches_declared_wordcount(spark, sf_small):
