@@ -379,10 +379,12 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     the large-star/small-star variant -- the per-round shuffle shape
     is identical.
     """
-    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    edges = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
+    # Materialize the (possibly expensive) pair computation ONCE before
+    # symmetrizing: a union whose two branches both contain the pairs
+    # subtree would evaluate it twice -- for sketch-derived pairs that
+    # is the whole signature pipeline and a second corpus scan.
+    p = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).localCheckpoint()
+    edges = p.union(p.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     labels = (
         edges.select(F.col("src").alias("node")).distinct().withColumn("comp", F.col("node"))
     ).localCheckpoint()

@@ -332,5 +332,8 @@ def embedding_centroids(embeddings: DataFrame) -> DataFrame:
             "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "v")
         )
         .groupBy("label", (F.col("pos0") + 1).cast("int").alias("pos"))
-        .agg(F.round(F.avg("v"), 4).alias("centroid_val"))
+        # + 0.0 normalizes IEEE negative zero: a near-zero mean's sign
+        # depends on float summation order, and -0.0 vs 0.0 would
+        # compare unequal in a text-formatted result check.
+        .agg((F.round(F.avg("v"), 4) + F.lit(0.0)).alias("centroid_val"))
     )

@@ -689,7 +689,7 @@ def _tfidf_top_terms(spark, sf):
 @_register(
     "embedding_centroids",
     """
-    SELECT label, CAST(u.i AS INTEGER) AS pos, round(avg(u.v), 4) AS centroid_val
+    SELECT label, CAST(u.i AS INTEGER) AS pos, round(avg(u.v), 4) + 0.0 AS centroid_val
     FROM (SELECT label,
                  unnest(list_transform(CAST(embedding AS DOUBLE[]),
                         (x, i) -> struct_pack(v := x, i := i))) AS u
