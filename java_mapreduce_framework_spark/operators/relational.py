@@ -243,6 +243,20 @@ def grouping_rollup(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def grouping_cube(lineitem: DataFrame) -> DataFrame:
+    """All grouping-set combinations over (returnflag, linestatus) —
+    the cube completion of ``grouping_rollup`` (reference license:
+    same multi-round grouped-reduce, SURVEY §2A rows 4,7,8). One
+    Expand + single partial→final aggregation: the expand multiplies
+    rows ×4 *before* the map-side combine, so the shuffle still
+    carries one row per (grouping set, group) per map partition."""
+    return lineitem.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
 def json_extract(events: DataFrame) -> DataFrame:
     """Parse JSON property strings (reference: jobs parse strings
     themselves, ``Job.java:19``). get_json_object is codegen'd; for

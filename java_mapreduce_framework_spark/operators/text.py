@@ -27,6 +27,118 @@ STOPWORDS = {
 #: BPE-ish pretokenizer: letter runs, digit runs, single punctuation.
 BPE_REGEX = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
 
+#: PII patterns, written in the Java-regex ∩ RE2 dialect so the exact
+#: same strings run on Spark (Java) and the DuckDB oracle (RE2): no
+#: lookaround, no backrefs, only char classes / quantifiers.
+EMAIL_REGEX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_REGEX = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+
+
+def _hash_keep(seed_col: F.Column, rate: float) -> F.Column:
+    """Deterministic Bernoulli-style keep predicate: first 4 hex chars
+    of md5(seed) compared against a rate-derived threshold literal.
+
+    Sampling by content hash instead of ``rand()`` is the 100 TB
+    pipeline discipline: the decision is a pure row function, so
+    re-runs, retried tasks, and incremental backfills all keep the
+    SAME rows (Spark's ``sample`` is seed-stable only per partitioning),
+    and the identical expression runs on any SQL engine — which is
+    what makes these operators oracle-checkable at all. Granularity
+    1/65536; compare is plain byte-wise string order in both engines.
+    """
+    if rate >= 1.0:
+        return F.lit(True)
+    threshold = format(max(int(rate * 65536), 0), "04x")
+    return F.substring(F.md5(seed_col), 1, 4) < F.lit(threshold)
+
+
+def text_normalize(documents: DataFrame) -> DataFrame:
+    """Canonical text form for downstream dedup/tokenization:
+    lowercase, strip everything outside [a-z0-9 basic punctuation],
+    collapse whitespace runs, trim. Pure per-row expressions — fuses
+    into whatever stage consumes it, zero shuffle."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), r"[^a-z0-9\s.,;:!?'-]", " "),
+            r"\s+",
+            " ",
+        )
+    )
+    return documents.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).alias("n_chars_norm"),
+    )
+
+
+def pii_redact(documents: DataFrame) -> DataFrame:
+    """PII scrubbing: replace emails / phone-number-shaped spans with
+    typed placeholder tokens, counting matches per doc before
+    redaction. Standard pre-training compliance pass; all JVM-side
+    regexp — the 100 TB cost is one scan, no shuffle. Emails are
+    redacted first so phone-like digit runs inside them can't double
+    match."""
+    n_emails = F.size(F.regexp_extract_all("text", F.lit(EMAIL_REGEX), F.lit(0)))
+    no_email = F.regexp_replace("text", EMAIL_REGEX, "<EMAIL>")
+    n_phones = F.size(F.regexp_extract_all(no_email, F.lit(PHONE_REGEX), F.lit(0)))
+    return documents.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        F.regexp_replace(no_email, PHONE_REGEX, "<PHONE>").alias("redacted"),
+    )
+
+
+def length_histogram(documents: DataFrame, bucket_width: int = 100) -> DataFrame:
+    """Corpus length profile: fixed-width char-count buckets with doc
+    counts and per-bucket char totals — the first diagnostic any
+    curation run prints. One partial→final aggregation on a derived
+    int key (vocabulary-sized shuffle)."""
+    bucket = (F.length("text") / F.lit(bucket_width)).cast("bigint")
+    return (
+        documents.select((bucket * bucket_width).alias("bucket_lo"), F.length("text").alias("n"))
+        .groupBy("bucket_lo")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n").alias("total_chars"),
+            F.min("n").alias("min_chars"),
+            F.max("n").alias("max_chars"),
+        )
+    )
+
+
+def sample_deterministic(documents: DataFrame, rate: float = 0.25) -> DataFrame:
+    """Content-hash Bernoulli sample of the corpus at ``rate``: keeps
+    exactly the rows whose md5(doc_id) prefix clears the threshold
+    (see ``_hash_keep``). Reproducible across runs/engines/retries,
+    unlike ``DataFrame.sample``."""
+    return documents.filter(
+        _hash_keep(F.col("doc_id").cast("string"), rate)
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+#: Pre-training mix: per-language keep rates (upsample the primary
+#: training language, downsample the long tail).
+MIX_RATES: dict[str, float] = {"en": 0.9, "de": 0.5, "es": 0.5, "fr": 0.5, "zh": 0.25}
+
+
+def corpus_mix(
+    documents: DataFrame, rates: dict[str, float] | None = None
+) -> DataFrame:
+    """Weighted corpus mixing: per-language deterministic sampling
+    rates, the mechanism behind pre-training data mix ratios. The
+    keep decision hashes (doc_id, lang) so changing one language's
+    rate never reshuffles another's kept set. Languages absent from
+    the rate map are dropped (rate 0). Pure filter — the plan is a
+    scan with the predicate pushed onto it, no shuffle, no ×N
+    union-of-samples."""
+    rates = MIX_RATES if rates is None else rates
+    seed = F.concat_ws(":", F.col("doc_id").cast("string"), F.col("lang"))
+    keep = F.lit(False)
+    for lang, rate in sorted(rates.items()):
+        keep = keep | ((F.col("lang") == lang) & _hash_keep(seed, rate))
+    return documents.filter(keep).select("doc_id", "lang", "source")
+
 
 def wordcount(documents: DataFrame) -> DataFrame:
     """Flagship: total occurrences per token (the reference's shipped

@@ -377,6 +377,19 @@ def _grouping_rollup(spark, sf):
 
 
 @_register(
+    "grouping_cube",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def _grouping_cube(spark, sf):
+    return relational.grouping_cube(_t(spark, sf, "lineitem"))
+
+
+@_register(
     "json_extract",
     """
     SELECT event_id, event_type,
@@ -648,6 +661,89 @@ def _quality_score(spark, sf):
 )
 def _token_count_bpe(spark, sf):
     return text.token_count_bpe(_t(spark, sf, "documents"))
+
+
+@_register(
+    "text_normalize",
+    """
+    WITH n AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text),
+                  '[^a-z0-9\\s.,;:!?''-]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm_text
+      FROM documents)
+    SELECT doc_id, norm_text, CAST(length(norm_text) AS INTEGER) AS n_chars_norm
+    FROM n
+    """,
+)
+def _text_normalize(spark, sf):
+    return text.text_normalize(_t(spark, sf, "documents"))
+
+
+@_register(
+    "pii_redact",
+    """
+    WITH e AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                  '<EMAIL>', 'g') AS no_email
+      FROM documents)
+    SELECT doc_id, n_emails,
+           CAST(len(regexp_extract_all(no_email,
+                '\\+?[0-9][0-9()\\- ]{6,}[0-9]')) AS INTEGER) AS n_phones,
+           regexp_replace(no_email, '\\+?[0-9][0-9()\\- ]{6,}[0-9]', '<PHONE>', 'g') AS redacted
+    FROM e
+    """,
+    note="identical Java∩RE2 pattern strings on both engines",
+)
+def _pii_redact(spark, sf):
+    return text.pii_redact(_t(spark, sf, "documents"))
+
+
+@_register(
+    "length_histogram",
+    """
+    SELECT CAST(floor(length(text) / 100) AS BIGINT) * 100 AS bucket_lo,
+           count(*) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           CAST(min(length(text)) AS INTEGER) AS min_chars,
+           CAST(max(length(text)) AS INTEGER) AS max_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def _length_histogram(spark, sf):
+    return text.length_histogram(_t(spark, sf, "documents"))
+
+
+@_register(
+    "sample_deterministic",
+    """
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
+    """,
+    note="content-hash Bernoulli sample, rate 0.25; exact cross-engine",
+)
+def _sample_deterministic(spark, sf):
+    return text.sample_deterministic(_t(spark, sf, "documents"))
+
+
+@_register(
+    "corpus_mix",
+    """
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE (lang = 'de' AND substr(md5(CAST(doc_id AS VARCHAR) || ':' || lang), 1, 4) < '8000')
+       OR (lang = 'en' AND substr(md5(CAST(doc_id AS VARCHAR) || ':' || lang), 1, 4) < 'e666')
+       OR (lang = 'es' AND substr(md5(CAST(doc_id AS VARCHAR) || ':' || lang), 1, 4) < '8000')
+       OR (lang = 'fr' AND substr(md5(CAST(doc_id AS VARCHAR) || ':' || lang), 1, 4) < '8000')
+       OR (lang = 'zh' AND substr(md5(CAST(doc_id AS VARCHAR) || ':' || lang), 1, 4) < '4000')
+    """,
+    note="per-language deterministic mix rates en .9 / de,es,fr .5 / zh .25",
+)
+def _corpus_mix(spark, sf):
+    return text.corpus_mix(_t(spark, sf, "documents"))
 
 
 @_register(

@@ -18,6 +18,9 @@ FAMILIES = [
     "dedup_ngram_jaccard", # pair-join parity
     "similarity_topk",     # double-precision cosine parity
     "multimodal_decode",   # Arrow mapInPandas plumbing
+    "pii_redact",          # Java-vs-RE2 regexp dialect parity
+    "corpus_mix",          # cross-engine md5 hash-sampling parity
+    "grouping_cube",       # null-keyed grouping-set completion
 ]
 
 

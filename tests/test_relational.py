@@ -82,3 +82,17 @@ def test_join_broadcast_is_broadcast(spark, sf_small):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_grouping_cube_includes_all_grouping_sets(spark, sf_small):
+    from java_mapreduce_framework_spark.operators.relational import grouping_cube
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_small, "lineitem")
+    out = grouping_cube(li).collect()
+    flags = li.select("l_returnflag").distinct().count()
+    stats = li.select("l_linestatus").distinct().count()
+    # full cube: detail + rollup-by-flag + rollup-by-status + grand total
+    assert len(out) == flags * stats + flags + stats + 1
+    grand = [r for r in out if r["l_returnflag"] is None and r["l_linestatus"] is None]
+    assert len(grand) == 1 and grand[0]["n_rows"] == li.count()

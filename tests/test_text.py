@@ -73,3 +73,60 @@ def test_tfidf_corpus_wide_terms_score_zero(spark):
     # 'common' appears in every doc -> idf = ln(1) = 0
     assert scores[(1, "common")] == 0.0
     assert scores[(1, "alpha")] > 0.0
+
+
+def test_text_normalize_collapses_and_strips(spark):
+    docs = _docs(spark, ["  Hello,   WORLD!! \t [brackets] #tag  ", "ok"])
+    got = {r["doc_id"]: (r["norm_text"], r["n_chars_norm"]) for r in text.text_normalize(docs).collect()}
+    assert got[0] == ("hello, world!! brackets tag", 27)
+    assert got[1] == ("ok", 2)
+
+
+def test_pii_redact_emails_and_phones(spark):
+    docs = _docs(
+        spark,
+        [
+            "mail a.user+x@example.co.uk or call +1 (555) 123-4567 today",
+            "two mails: a@b.io c@d.org, no phone",
+            "clean text with numbers 42 and 7",
+        ],
+    )
+    rows = {r["doc_id"]: r for r in text.pii_redact(docs).collect()}
+    assert rows[0]["n_emails"] == 1 and rows[0]["n_phones"] == 1
+    assert rows[0]["redacted"] == "mail <EMAIL> or call <PHONE> today"
+    assert rows[1]["n_emails"] == 2 and rows[1]["n_phones"] == 0
+    assert rows[1]["redacted"] == "two mails: <EMAIL> <EMAIL>, no phone"
+    # short digit runs are not phone numbers; text passes through unchanged
+    assert rows[2]["n_emails"] == 0 and rows[2]["n_phones"] == 0
+    assert rows[2]["redacted"] == "clean text with numbers 42 and 7"
+
+
+def test_length_histogram_buckets(spark):
+    docs = _docs(spark, ["x" * 50, "y" * 150, "z" * 151, "w" * 250])
+    got = {r["bucket_lo"]: (r["n_docs"], r["min_chars"], r["max_chars"]) for r in text.length_histogram(docs).collect()}
+    assert got == {0: (1, 50, 50), 100: (2, 150, 151), 200: (1, 250, 250)}
+
+
+def test_sample_deterministic_stable_and_rate_monotone(spark):
+    docs = _docs(spark, [f"doc number {i}" for i in range(400)])
+    kept_a = {r["doc_id"] for r in text.sample_deterministic(docs, 0.25).collect()}
+    kept_b = {r["doc_id"] for r in text.sample_deterministic(docs, 0.25).collect()}
+    assert kept_a == kept_b  # reproducible across runs
+    kept_half = {r["doc_id"] for r in text.sample_deterministic(docs, 0.5).collect()}
+    assert kept_a <= kept_half  # raising the rate only adds rows
+    assert 0 < len(kept_a) < len(kept_half) < 400
+
+
+def test_corpus_mix_rates_and_dropped_langs(spark):
+    from pyspark.sql import Row
+
+    rows = [
+        Row(doc_id=i, text="t", lang=lang, source="s", n_chars=1)
+        for i, lang in enumerate(["en"] * 200 + ["zh"] * 200 + ["xx"] * 50)
+    ]
+    docs = spark.createDataFrame(rows)
+    out = text.corpus_mix(docs, {"en": 1.0, "zh": 0.25}).groupBy("lang").count().collect()
+    got = {r["lang"]: r["count"] for r in out}
+    assert got["en"] == 200  # rate 1.0 keeps everything
+    assert 20 <= got.get("zh", 0) <= 90  # ~0.25 of 200, hash-determined
+    assert "xx" not in got  # absent from the rate map -> dropped
