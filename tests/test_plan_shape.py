@@ -210,3 +210,31 @@ def test_minhash_signatures_aggregate_partially(spark, sf_small):
     # shingle stream
     assert "partial_min" in plan
     assert _nodes(plan, "Exchange") == 1
+
+
+def test_curation_scans_are_zero_shuffle(spark, sf_small):
+    # normalization / PII / sampling / mixing are pure per-row stages:
+    # their whole plan is a (filtered) scan — any Exchange would mean
+    # an accidental shuffle in what should fuse into one corpus pass
+    from java_mapreduce_framework_spark.operators import text as text_ops
+
+    docs = load_table(spark, sf_small, "documents")
+    for fn in (
+        text_ops.text_normalize,
+        text_ops.pii_redact,
+        text_ops.sample_deterministic,
+        text_ops.corpus_mix,
+    ):
+        plan = _formatted(fn(docs))
+        assert _nodes(plan, "Exchange") == 0, fn.__name__
+
+
+def test_grouping_cube_single_expand_partial_final(spark, sf_small):
+    # cube = one Expand feeding ONE partial->final aggregation pair:
+    # no per-grouping-set union of scans, one exchange total
+    from java_mapreduce_framework_spark.operators.relational import grouping_cube
+
+    plan = _formatted(grouping_cube(load_table(spark, sf_small, "lineitem")))
+    assert _nodes(plan, "Expand") == 1
+    assert _nodes(plan, "Exchange") == 1
+    assert _nodes(plan, "Scan parquet") == 1
