@@ -1097,6 +1097,28 @@ def _sql_top_orders(spark, sf):
     return run_sql(spark, sf, TOP_ORDERS)
 
 
+@_register(
+    "sql_revenue_forecast",
+    None,
+    note="TPC-H-style Q6 shape: all predicates pushed to the scan",
+)
+def _sql_revenue_forecast(spark, sf):
+    from .sql import REVENUE_FORECAST, run_sql
+
+    return run_sql(spark, sf, REVENUE_FORECAST)
+
+
+@_register(
+    "sql_regional_volume",
+    None,
+    note="TPC-H-style Q5 shape: 5-way join, region/nation broadcast",
+)
+def _sql_regional_volume(spark, sf):
+    from .sql import REGIONAL_VOLUME, run_sql
+
+    return run_sql(spark, sf, REGIONAL_VOLUME)
+
+
 def _attach_sql_oracles() -> None:
     """The sql_* queries' oracle IS the query text: one ANSI string
     evaluated by both engines (dialect-shared subset)."""
@@ -1105,6 +1127,8 @@ def _attach_sql_oracles() -> None:
     for name, stmt in (
         ("sql_pricing_summary", _sql.PRICING_SUMMARY),
         ("sql_top_orders", _sql.TOP_ORDERS),
+        ("sql_revenue_forecast", _sql.REVENUE_FORECAST),
+        ("sql_regional_volume", _sql.REGIONAL_VOLUME),
     ):
         spec = _REGISTRY[name]
         _REGISTRY[name] = QuerySpec(spec.name, spec.fn, stmt, spec.note)

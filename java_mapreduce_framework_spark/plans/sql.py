@@ -53,6 +53,41 @@ WHERE l_shipdate <= DATE '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
 """
 
+#: TPC-H-style Q6 shape: pure filter + ungrouped aggregate. The whole
+#: query is a parquet scan with every predicate pushed (row-group
+#: min/max skipping on l_shipdate) feeding one partial->final agg --
+#: at 100 TB it reads only the date-matching row groups of 3 columns.
+REVENUE_FORECAST = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+              * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+#: TPC-H-style Q5 shape: 5-way join narrowed by a region filter --
+#: the join-ordering/broadcast showcase (region and nation broadcast,
+#: AQE picks strategies for the fact-side joins).
+REGIONAL_VOLUME = """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'AMERICA'
+  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1999-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
 #: TPC-H-style Q3 shape: top unshipped orders by revenue.
 TOP_ORDERS = """
 SELECT o_orderkey, o_orderdate, o_orderpriority,

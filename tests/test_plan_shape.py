@@ -238,3 +238,22 @@ def test_grouping_cube_single_expand_partial_final(spark, sf_small):
     assert _nodes(plan, "Expand") == 1
     assert _nodes(plan, "Exchange") == 1
     assert _nodes(plan, "Scan parquet") == 1
+
+
+def test_sql_q6_predicates_reach_scan_single_agg(spark, sf_small):
+    from java_mapreduce_framework_spark.plans.sql import REVENUE_FORECAST, run_sql
+
+    plan = _formatted(run_sql(spark, sf_small, REVENUE_FORECAST))
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1].splitlines()[0]
+    assert _nodes(plan, "Exchange") == 1  # single partial->final agg exchange
+
+
+def test_sql_q5_broadcasts_dims(spark, sf_small):
+    from java_mapreduce_framework_spark.plans.sql import REGIONAL_VOLUME, run_sql
+
+    plan = _formatted(run_sql(spark, sf_small, REGIONAL_VOLUME))
+    assert _nodes(plan, "CartesianProduct") == 0
+    # region + nation (and at this SF the other dims too) come in as
+    # broadcast joins; the plan must contain at least two
+    assert _nodes(plan, "BroadcastHashJoin") >= 2
