@@ -178,6 +178,22 @@ class InvertedIndexJob:
         return [(key, ",".join(postings))]
 
 
+class CountOfCountsJob:
+    """Stage-2 job for the classic chained-MapReduce demo: consumes
+    WordCount output (word, count) and produces the frequency
+    histogram (count, how many words occur that often). map re-keys
+    each record by its count; reduce sums the ones — the same
+    pattern the reference composes by pointing job N+1's inputdir at
+    job N's outputdir through the FIFO queue
+    (``master/MasterServlet.java:98-105``)."""
+
+    def map(self, key: str, value: str) -> Iterable[tuple[str, str]]:
+        return [(value, "1")]
+
+    def reduce(self, key: str, values: list[str]) -> Iterable[tuple[str, str]]:
+        return [(key, str(sum(int(v) for v in values)))]
+
+
 @dataclass
 class QueuedJob:
     name: str

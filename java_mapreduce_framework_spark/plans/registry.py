@@ -1195,6 +1195,28 @@ def _jobapi_inverted_index(spark, sf):
     return out.select(F.col("key").alias("word"), F.col("value").alias("postings"))
 
 
+@_register(
+    "jobapi_chained",
+    _WORDS_CTE
+    + """,
+    wc AS (SELECT word, count(*) AS cnt FROM words GROUP BY word)
+    SELECT cnt AS freq, count(*) AS n_words FROM wc GROUP BY cnt
+    """,
+    note="two-stage FIFO composition: WordCount output feeds CountOfCounts",
+)
+def _jobapi_chained(spark, sf):
+    from pyspark.sql import functions as F
+
+    from .jobs import CountOfCountsJob, WordCountJob, run_job
+
+    stage1 = run_job(WordCountJob, _kv_documents(spark, sf))
+    stage2 = run_job(CountOfCountsJob, stage1)
+    return stage2.select(
+        F.col("key").cast("bigint").alias("freq"),
+        F.col("value").cast("bigint").alias("n_words"),
+    )
+
+
 # ----------------------------------------------------- streaming (M6)
 
 
@@ -1265,3 +1287,22 @@ def _stream_tumbling_window(spark, sf):
     from ..streaming.jobs import stream_tumbling_window
 
     return stream_tumbling_window(spark, sf)
+
+
+@_register(
+    "stream_sliding_window",
+    f"""
+    SELECT CAST(to_timestamp(s) AS TIMESTAMP) AS window_start, event_type,
+           count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM (SELECT event_type, value,
+           unnest([CAST(floor(epoch(ts)/1800)*1800 AS BIGINT),
+                   CAST(floor(epoch(ts)/1800)*1800 - 1800 AS BIGINT)]) AS s
+          FROM {_EVTS})
+    GROUP BY s, event_type
+    """,
+    note="streaming hop-window agg over bounded fixture == batch sliding_window_agg",
+)
+def _stream_sliding_window(spark, sf):
+    from ..streaming.jobs import stream_sliding_window
+
+    return stream_sliding_window(spark, sf)

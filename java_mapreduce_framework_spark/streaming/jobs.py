@@ -196,3 +196,29 @@ def stream_tumbling_window(
         )
     )
     return _drain_to_memory(agg)
+
+
+def stream_sliding_window(
+    spark: SparkSession, sf_dir: str, size: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    """Streaming hopping-window aggregation: the unbounded analog of
+    ``temporal.sliding_window_agg`` — the SAME ``window(size, slide)``
+    generator plan runs under the microbatch executor, each event
+    expanding into size/slide overlapping windows before the partial
+    aggregation. Unbounded deployment adds ``withWatermark`` to bound
+    window state; complete mode keeps bounded-input equality with the
+    batch operator."""
+    path = _stage_stream_dir(spark, sf_dir, "events")
+    schema = spark.read.parquet(path).schema
+    events = spark.readStream.schema(schema).parquet(path)
+    agg = (
+        events.groupBy(F.window("ts", size, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return _drain_to_memory(agg)

@@ -64,3 +64,14 @@ def test_jobapi_matches_declared_wordcount(spark, sf_small):
     }
     declared = {r["word"]: r["cnt"] for r in wordcount(docs).collect()}
     assert via_job == declared
+
+
+def test_chained_jobs_count_of_counts(spark):
+    from java_mapreduce_framework_spark.plans.jobs import CountOfCountsJob
+
+    # corpus: a->3, b->2, c->1  =>  histogram: 1 word thrice, 1 twice, 1 once
+    rows = [Row(key="1", value="a b a"), Row(key="2", value="a b c")]
+    stage1 = run_job(WordCountJob, spark.createDataFrame(rows))
+    stage2 = run_job(CountOfCountsJob, stage1)
+    got = {int(r["key"]): int(r["value"]) for r in stage2.collect()}
+    assert got == {3: 1, 2: 1, 1: 1}

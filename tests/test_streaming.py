@@ -119,3 +119,19 @@ def test_watermark_drops_late_data_in_append_mode(spark, tmp_path):
     # window was never emitted (watermark never passed its end)
     assert out.get(base) == 2
     assert datetime.datetime(2026, 1, 1, 1, 0) not in out
+
+
+def test_stream_sliding_equals_batch(spark, sf_small):
+    from java_mapreduce_framework_spark.operators.temporal import sliding_window_agg
+    from java_mapreduce_framework_spark.sources.tables import load_table
+    from java_mapreduce_framework_spark.streaming.jobs import stream_sliding_window
+
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in sliding_window_agg(load_table(spark, sf_small, "events")).collect()
+    }
+    streamed = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in stream_sliding_window(spark, sf_small).collect()
+    }
+    assert streamed == batch
