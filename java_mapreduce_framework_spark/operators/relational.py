@@ -243,6 +243,22 @@ def grouping_rollup(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def unpivot_metrics(lineitem: DataFrame) -> DataFrame:
+    """Wide→long unpivot (the inverse of ``pivot_event_counts``):
+    three measure columns melt into (metric, val) pairs. Spark's
+    native ``unpivot`` lowers to a single Expand over one scan — a
+    per-row 1→3 generator with no shuffle at all; the UNION-ALL
+    phrasing it replaces would scan the table once per measure."""
+    return lineitem.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"
+    ).unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "metric",
+        "val",
+    )
+
+
 def grouping_cube(lineitem: DataFrame) -> DataFrame:
     """All grouping-set combinations over (returnflag, linestatus) —
     the cube completion of ``grouping_rollup`` (reference license:

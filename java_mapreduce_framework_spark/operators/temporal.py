@@ -134,6 +134,21 @@ def percentile_stats(events: DataFrame) -> DataFrame:
     )
 
 
+def approx_percentile_stats(events: DataFrame) -> DataFrame:
+    """Sketch percentiles per event type: the 100 TB path promised in
+    ``percentile_stats``'s docstring, declared as its own operator.
+    ``approx_percentile`` builds a mergeable quantile sketch map-side
+    (partial aggregation applies — the exact form must instead sort
+    every group's values), with rank error ≤ 1/accuracy. Sketch
+    estimates are engine-specific, so the driver check is rows-only;
+    the unit test bounds the error against the exact operator."""
+    return events.groupBy("event_type").agg(
+        F.round(F.approx_percentile("value", F.lit(0.5), F.lit(10000)), 4).alias("p50"),
+        F.round(F.approx_percentile("value", F.lit(0.95), F.lit(10000)), 4).alias("p95"),
+        F.round(F.max("value"), 4).alias("p100"),
+    )
+
+
 def join_asof(events: DataFrame, orders: DataFrame) -> DataFrame:
     """As-of join: for each event, the user's most recent order with
     ``o_orderdate <= ts`` (the "latest value as of time t" primitive

@@ -377,6 +377,19 @@ def _grouping_rollup(spark, sf):
 
 
 @_register(
+    "unpivot_metrics",
+    """
+    SELECT l_orderkey, l_linenumber, metric, val FROM (
+      SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+      FROM lineitem)
+    UNPIVOT (val FOR metric IN (l_quantity, l_extendedprice, l_discount))
+    """,
+)
+def _unpivot_metrics(spark, sf):
+    return relational.unpivot_metrics(_t(spark, sf, "lineitem"))
+
+
+@_register(
     "grouping_cube",
     """
     SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
@@ -564,6 +577,15 @@ def _sliding_window_agg(spark, sf):
 )
 def _percentile_stats(spark, sf):
     return temporal.percentile_stats(_t(spark, sf, "events"))
+
+
+@_register(
+    "approx_percentile_stats",
+    None,
+    note="mergeable quantile sketch (map-side partials); estimates are engine-specific -> rows-only",
+)
+def _approx_percentile_stats(spark, sf):
+    return temporal.approx_percentile_stats(_t(spark, sf, "events"))
 
 
 # ---------------------------------------------- text / flagship (M1/M5)

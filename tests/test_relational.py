@@ -96,3 +96,21 @@ def test_grouping_cube_includes_all_grouping_sets(spark, sf_small):
     assert len(out) == flags * stats + flags + stats + 1
     grand = [r for r in out if r["l_returnflag"] is None and r["l_linestatus"] is None]
     assert len(grand) == 1 and grand[0]["n_rows"] == li.count()
+
+
+def test_unpivot_metrics_melts_three_measures(spark, sf_small):
+    from java_mapreduce_framework_spark.operators.relational import unpivot_metrics
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_small, "lineitem")
+    out = unpivot_metrics(li)
+    assert out.count() == li.count() * 3
+    # (orderkey, linenumber) need not be unique in the synthetic data:
+    # compare the multiset of melted values per metric for one key
+    got: dict = {}
+    for r in out.filter("l_orderkey = 201 AND l_linenumber = 4").collect():
+        got.setdefault(r["metric"], []).append(r["val"])
+    src = li.filter("l_orderkey = 201 AND l_linenumber = 4").collect()
+    assert sorted(got["l_quantity"]) == sorted(r["l_quantity"] for r in src)
+    assert sorted(got["l_extendedprice"]) == sorted(r["l_extendedprice"] for r in src)
+    assert sorted(got["l_discount"]) == sorted(r["l_discount"] for r in src)

@@ -187,3 +187,21 @@ def test_pivot_event_counts_stable_schema(spark):
     assert out.columns == ["user_id", "n_click", "n_error", "n_purchase", "n_signup", "n_view"]
     r = out.collect()[0]
     assert r["n_click"] == 1 and r["n_view"] == 0
+
+
+def test_approx_percentile_within_error_of_exact(spark, sf_small):
+    from java_mapreduce_framework_spark.operators.temporal import (
+        approx_percentile_stats,
+        percentile_stats,
+    )
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_small, "events")
+    exact = {r["event_type"]: r for r in percentile_stats(events).collect()}
+    approx = {r["event_type"]: r for r in approx_percentile_stats(events).collect()}
+    assert set(exact) == set(approx)
+    for t in exact:
+        spread = exact[t]["p100"] or 1.0
+        assert abs(exact[t]["p50"] - approx[t]["p50"]) <= 0.05 * abs(spread)
+        assert abs(exact[t]["p95"] - approx[t]["p95"]) <= 0.05 * abs(spread)
+        assert exact[t]["p100"] == approx[t]["p100"]
