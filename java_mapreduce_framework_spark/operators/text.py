@@ -77,7 +77,10 @@ def pii_redact(documents: DataFrame) -> DataFrame:
     redaction. Standard pre-training compliance pass; all JVM-side
     regexp — the 100 TB cost is one scan, no shuffle. Emails are
     redacted first so phone-like digit runs inside them can't double
-    match."""
+    match. Single-pass by design (like production scrubbers):
+    back-to-back emails sharing an '@'-adjacent boundary
+    (``a@b.com@c.de``) leave a residual second address; run the
+    operator to a fixpoint if that matters for a corpus."""
     n_emails = F.size(F.regexp_extract_all("text", F.lit(EMAIL_REGEX), F.lit(0)))
     no_email = F.regexp_replace("text", EMAIL_REGEX, "<EMAIL>")
     n_phones = F.size(F.regexp_extract_all(no_email, F.lit(PHONE_REGEX), F.lit(0)))
