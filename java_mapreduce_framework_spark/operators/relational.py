@@ -284,6 +284,22 @@ def json_extract(events: DataFrame) -> DataFrame:
     )
 
 
+def json_typed_agg(events: DataFrame) -> DataFrame:
+    """Schema-on-read JSON: ``from_json`` parses ``props`` ONCE into a
+    typed struct that downstream expressions and aggregates consume —
+    the pattern for metadata columns at scale, vs ``get_json_object``
+    re-parsing the string per accessed key. The parse fuses into the
+    scan stage; the aggregation is the usual partial→final pair."""
+    parsed = events.select(
+        "event_type", F.from_json("props", "k INT").alias("p")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("p.k").alias("sum_k"),
+        F.round(F.avg("p.k"), 4).alias("avg_k"),
+    )
+
+
 def groupby_salted(
     lineitem: DataFrame, salt_buckets: int = 8
 ) -> DataFrame:

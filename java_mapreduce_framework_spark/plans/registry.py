@@ -414,6 +414,20 @@ def _json_extract(spark, sf):
     return relational.json_extract(_t(spark, sf, "events"))
 
 
+@_register(
+    "json_typed_agg",
+    """
+    SELECT event_type, count(*) AS n_events,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k
+    FROM events GROUP BY event_type
+    """,
+    note="from_json once into a typed struct, then aggregate the parsed field",
+)
+def _json_typed_agg(spark, sf):
+    return relational.json_typed_agg(_t(spark, sf, "events"))
+
+
 # ------------------------------------------------------- temporal (M4)
 
 _SESSIONIZE_SQL = """
