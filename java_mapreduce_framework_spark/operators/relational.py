@@ -284,6 +284,27 @@ def json_extract(events: DataFrame) -> DataFrame:
     )
 
 
+def groupby_argmax(events: DataFrame) -> DataFrame:
+    """Latest event per user ("argmax" / last-value-per-key) as an
+    ALGEBRAIC aggregate: ``max_by`` over a (ts, event_id) ordering
+    struct runs partial→final like any max — the shuffle carries one
+    candidate row per user per map partition. The window phrasing
+    (row_number = 1) the oracle uses would instead sort every user's
+    full history; at 100 TB the aggregate form is the only viable one.
+    Tie-break on event_id makes the result deterministic."""
+    picked = events.groupBy("user_id").agg(
+        F.max_by(
+            F.struct("event_type", "ts", "value"), F.struct("ts", "event_id")
+        ).alias("last")
+    )
+    return picked.select(
+        "user_id",
+        F.col("last.event_type").alias("last_type"),
+        F.col("last.ts").alias("last_ts"),
+        F.round("last.value", 4).alias("last_value"),
+    )
+
+
 def json_typed_agg(events: DataFrame) -> DataFrame:
     """Schema-on-read JSON: ``from_json`` parses ``props`` ONCE into a
     typed struct that downstream expressions and aggregates consume —

@@ -234,6 +234,34 @@ def quality_score(documents: DataFrame) -> DataFrame:
     )
 
 
+def quality_stratify(documents: DataFrame) -> DataFrame:
+    """Corpus stratification into quality quartiles — the selection
+    mechanism for quality-weighted training mixes. Deliberately NOT a
+    global ``ntile``: ranking the whole corpus in one window means a
+    single-partition sort of everything. Instead: one aggregate pass
+    computes the three quartile thresholds (exact percentile here so
+    the oracle matches; swap ``approx_percentile`` at 100 TB — the
+    same one-row result), broadcast to a threshold comparison fused
+    into a second scan. Two passes, no global sort, no window."""
+    scores = quality_score(documents).select("doc_id", "quality")
+    th = scores.agg(
+        F.percentile("quality", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias("t")
+    ).select(
+        F.round(F.col("t")[0], 6).alias("t1"),
+        F.round(F.col("t")[1], 6).alias("t2"),
+        F.round(F.col("t")[2], 6).alias("t3"),
+    )
+    quartile = (
+        F.when(F.col("quality") <= F.col("t1"), 1)
+        .when(F.col("quality") <= F.col("t2"), 2)
+        .when(F.col("quality") <= F.col("t3"), 3)
+        .otherwise(4)
+    )
+    return scores.crossJoin(F.broadcast(th)).select(
+        "doc_id", "quality", quartile.alias("quartile")
+    )
+
+
 def token_count_bpe(documents: DataFrame) -> DataFrame:
     """Token counting: whitespace tokens vs a BPE-ish regex
     pretokenization (letter runs / digit runs / punctuation singletons)

@@ -415,6 +415,23 @@ def _json_extract(spark, sf):
 
 
 @_register(
+    "groupby_argmax",
+    f"""
+    SELECT user_id, event_type AS last_type, ts AS last_ts,
+           round(value, 4) AS last_value
+    FROM (SELECT user_id, event_type, ts, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM {_EVTS})
+    WHERE rn = 1
+    """,
+    note="algebraic max_by in Spark; window row_number=1 phrasing as oracle",
+)
+def _groupby_argmax(spark, sf):
+    return relational.groupby_argmax(_t(spark, sf, "events"))
+
+
+@_register(
     "json_typed_agg",
     """
     SELECT event_type, count(*) AS n_events,
@@ -683,6 +700,41 @@ def _lang_id(spark, sf):
 )
 def _quality_score(spark, sf):
     return text.quality_score(_t(spark, sf, "documents"))
+
+
+@_register(
+    "quality_stratify",
+    f"""
+    WITH toks AS (SELECT doc_id, text, {_TOKS} AS t FROM documents),
+    m AS (
+      SELECT doc_id,
+             CAST(len(t) AS INTEGER) AS n_tokens,
+             length(text) AS n_chars,
+             length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS n_punct,
+             len(list_filter(t, x -> x IN {_EN})) AS stop_hits
+      FROM toks),
+    q AS (
+      SELECT doc_id,
+             round(least(n_tokens * 1.0 / 100.0, 1.0)
+                   * (1 - n_punct * 1.0 / greatest(n_chars, 1))
+                   * (0.5 + 0.5 * (stop_hits * 1.0 / greatest(n_tokens, 1))), 4) AS quality
+      FROM m),
+    t AS (
+      SELECT round(quantile_cont(quality, 0.25), 6) AS t1,
+             round(quantile_cont(quality, 0.50), 6) AS t2,
+             round(quantile_cont(quality, 0.75), 6) AS t3
+      FROM q)
+    SELECT doc_id, quality,
+           CAST(CASE WHEN quality <= t1 THEN 1
+                     WHEN quality <= t2 THEN 2
+                     WHEN quality <= t3 THEN 3
+                     ELSE 4 END AS INTEGER) AS quartile
+    FROM q CROSS JOIN t
+    """,
+    note="threshold-broadcast stratification, not a global ntile window",
+)
+def _quality_stratify(spark, sf):
+    return text.quality_stratify(_t(spark, sf, "documents"))
 
 
 @_register(

@@ -26,7 +26,8 @@ def _nodes(plan: str, name: str) -> int:
 #   tfidf_top_terms: joins the 1-row corpus-size scalar for IDF
 #   similarity_topk: broadcasts the fixed query-vector set over the
 #     corpus scan (the brute-force Q x N baseline by design)
-ALLOWED_NESTED_LOOP = {"tfidf_top_terms", "similarity_topk"}
+#   quality_stratify: broadcasts the 1-row quartile-threshold tuple
+ALLOWED_NESTED_LOOP = {"tfidf_top_terms", "similarity_topk", "quality_stratify"}
 
 
 def test_no_unintended_nested_loops_or_cartesians(spark, sf_small):

@@ -114,3 +114,32 @@ def test_unpivot_metrics_melts_three_measures(spark, sf_small):
     assert sorted(got["l_quantity"]) == sorted(r["l_quantity"] for r in src)
     assert sorted(got["l_extendedprice"]) == sorted(r["l_extendedprice"] for r in src)
     assert sorted(got["l_discount"]) == sorted(r["l_discount"] for r in src)
+
+
+def test_groupby_argmax_latest_event_deterministic(spark):
+    import datetime
+
+    from java_mapreduce_framework_spark.operators.relational import groupby_argmax
+
+    ts = datetime.datetime(2026, 1, 1)
+    rows = [
+        # user 1: two events, later wins
+        (1, ts, 1, "a", 1.0),
+        (2, ts + datetime.timedelta(minutes=5), 1, "b", 2.0),
+        # user 2: tie on ts -> higher event_id wins
+        (3, ts, 2, "x", 3.0),
+        (4, ts, 2, "y", 4.0),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = {r["user_id"]: (r["last_type"], r["last_value"]) for r in groupby_argmax(events).collect()}
+    assert got == {1: ("b", 2.0), 2: ("y", 4.0)}
+
+
+def test_groupby_argmax_is_aggregate_not_window(spark, sf_small):
+    from java_mapreduce_framework_spark.operators.relational import groupby_argmax
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    plan = groupby_argmax(load_table(spark, sf_small, "events"))._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan  # algebraic max_by, no per-group sort

@@ -130,3 +130,20 @@ def test_corpus_mix_rates_and_dropped_langs(spark):
     assert got["en"] == 200  # rate 1.0 keeps everything
     assert 20 <= got.get("zh", 0) <= 90  # ~0.25 of 200, hash-determined
     assert "xx" not in got  # absent from the rate map -> dropped
+
+
+def test_quality_stratify_quartiles_balanced(spark, sf_small):
+    from java_mapreduce_framework_spark.operators.text import quality_stratify
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    out = quality_stratify(load_table(spark, sf_small, "documents")).collect()
+    n = len(out)
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["quartile"], []).append(r["quality"])
+    assert set(by_q) == {1, 2, 3, 4}
+    # quartiles partition the corpus into roughly equal strata
+    for q, vals in by_q.items():
+        assert 0.15 * n <= len(vals) <= 0.35 * n, (q, len(vals))
+    # strata are ordered: every q1 score <= every q4 score
+    assert max(by_q[1]) <= min(by_q[4])
