@@ -75,3 +75,21 @@ def test_json_roundtrip(spark, tmp_path):
     write_table(df, out, fmt="json")
     back = read_json(spark, out, schema="id long, s string")
     assert {tuple(r) for r in back.collect()} == {(1, "x"), (2, "y")}
+
+
+def test_partitioned_write_prunes_on_readback(spark, sf_small, tmp_path):
+    """The point of partitionBy at scale: a filter on the partition
+    column must become a PartitionFilter (directory pruning), never a
+    data filter over all files."""
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    path = str(tmp_path / "docs_by_lang")
+    write_table(load_table(spark, sf_small, "documents"), path, partition_by=["lang"])
+    back = spark.read.parquet(path).filter("lang = 'en'")
+    plan = back._sc._jvm.PythonSQLUtils.explainString(
+        back._jdf.queryExecution(), "formatted"
+    )
+    part_line = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
+    assert "lang" in part_line
+    n_en = load_table(spark, sf_small, "documents").filter("lang = 'en'").count()
+    assert back.count() == n_en
