@@ -92,6 +92,15 @@ def run_job(
     ``counters``, when given, accumulate records-in and emissions per
     phase, mirroring the reference's counter semantics (map: one read
     per record; reduce: one read per group; writes per emit).
+
+    **Secondary-sort contract**: reduce receives ``values`` in
+    lexicographic order. The reference guarantees this incidentally —
+    its external sort orders whole ``key\\tvalue`` lines
+    (``worker/WorkerServlet.java:449-471``, ``runsort.sh``), so equal
+    keys sort by value before group coalescing (``:472-496``) — and
+    MapReduce jobs classically rely on it (the secondary-sort idiom).
+    Python's code-point sort matches the C-locale bytewise sort for
+    UTF-8 (UTF-8 preserves code-point order).
     """
     if isinstance(job_cls, str):
         job_cls = resolve_job(job_cls)
@@ -114,7 +123,7 @@ def run_job(
         job = job_cls()
         key = pdf["key"].iloc[0]
         keys, values = [], []
-        for ok, ov in job.reduce(key, list(pdf["value"])):
+        for ok, ov in job.reduce(key, sorted(pdf["value"])):
             keys.append(ok)
             values.append(ov)
         if counters is not None:

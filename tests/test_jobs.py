@@ -75,3 +75,25 @@ def test_chained_jobs_count_of_counts(spark):
     stage2 = run_job(CountOfCountsJob, stage1)
     got = {int(r["key"]): int(r["value"]) for r in stage2.collect()}
     assert got == {3: 1, 2: 1, 1: 1}
+
+
+def test_reduce_values_arrive_in_lexicographic_order(spark):
+    """Secondary-sort fidelity: the reference's whole-line external
+    sort hands reduce its values lexicographically sorted
+    (worker/WorkerServlet.java:449-496); order-sensitive jobs rely on
+    it, so the engine must guarantee it across shuffle partitions."""
+
+    class ConcatJob:
+        def map(self, key, value):
+            return [(key, value)]
+
+        def reduce(self, key, values):
+            return [(key, "|".join(values))]
+
+    rows = [Row(key="k", value=f"v{i:03d}") for i in range(40)]
+    import random
+
+    random.Random(7).shuffle(rows)
+    out = run_job(ConcatJob, spark.createDataFrame(rows).repartition(8)).collect()
+    assert len(out) == 1
+    assert out[0]["value"] == "|".join(f"v{i:03d}" for i in range(40))
