@@ -247,15 +247,21 @@ def unpivot_metrics(lineitem: DataFrame) -> DataFrame:
     """Wide→long unpivot (the inverse of ``pivot_event_counts``):
     three measure columns melt into (metric, val) pairs. Spark's
     native ``unpivot`` lowers to a single Expand over one scan — a
-    per-row 1→3 generator with no shuffle at all; the UNION-ALL
-    phrasing it replaces would scan the table once per measure."""
-    return lineitem.select(
-        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"
-    ).unpivot(
-        ["l_orderkey", "l_linenumber"],
-        ["l_quantity", "l_extendedprice", "l_discount"],
-        "metric",
-        "val",
+    per-row 1→≤3 generator with no shuffle at all; the UNION-ALL
+    phrasing it replaces would scan the table once per measure.
+    NULL measures are excluded (SQL UNPIVOT semantics — Spark's
+    unpivot alone would keep them and diverge from the oracle)."""
+    return (
+        lineitem.select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"
+        )
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_extendedprice", "l_discount"],
+            "metric",
+            "val",
+        )
+        .filter(F.col("val").isNotNull())
     )
 
 

@@ -34,6 +34,20 @@ EMAIL_REGEX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_REGEX = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
 
 
+#: Default rate for ``sample_deterministic`` (shared with its oracle).
+SAMPLE_RATE = 0.25
+
+
+def hash_threshold(rate: float) -> str:
+    """4-hex-char md5-prefix threshold encoding ``rate`` — the single
+    source of truth for both the Spark predicate (``_hash_keep``) and
+    the generated oracle SQL. 'zzzz' (> every hex digit) encodes
+    rate ≥ 1.0 so the comparison stays a plain string order."""
+    if rate >= 1.0:
+        return "zzzz"
+    return format(max(int(rate * 65536), 0), "04x")
+
+
 def _hash_keep(seed_col: F.Column, rate: float) -> F.Column:
     """Deterministic Bernoulli-style keep predicate: first 4 hex chars
     of md5(seed) compared against a rate-derived threshold literal.
@@ -48,8 +62,7 @@ def _hash_keep(seed_col: F.Column, rate: float) -> F.Column:
     """
     if rate >= 1.0:
         return F.lit(True)
-    threshold = format(max(int(rate * 65536), 0), "04x")
-    return F.substring(F.md5(seed_col), 1, 4) < F.lit(threshold)
+    return F.substring(F.md5(seed_col), 1, 4) < F.lit(hash_threshold(rate))
 
 
 def text_normalize(documents: DataFrame) -> DataFrame:
@@ -110,7 +123,7 @@ def length_histogram(documents: DataFrame, bucket_width: int = 100) -> DataFrame
     )
 
 
-def sample_deterministic(documents: DataFrame, rate: float = 0.25) -> DataFrame:
+def sample_deterministic(documents: DataFrame, rate: float = SAMPLE_RATE) -> DataFrame:
     """Content-hash Bernoulli sample of the corpus at ``rate``: keeps
     exactly the rows whose md5(doc_id) prefix clears the threshold
     (see ``_hash_keep``). Reproducible across runs/engines/retries,

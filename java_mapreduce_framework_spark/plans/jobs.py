@@ -123,7 +123,11 @@ def run_job(
         job = job_cls()
         key = pdf["key"].iloc[0]
         keys, values = [], []
-        for ok, ov in job.reduce(key, sorted(pdf["value"])):
+        # lexicographic with NULLs first: a job emitting None must not
+        # crash the sort (the reference can't express null values, so
+        # their position is engine-defined)
+        group = sorted(pdf["value"], key=lambda v: (v is not None, v))
+        for ok, ov in job.reduce(key, group):
             keys.append(ok)
             values.append(ov)
         if counters is not None:

@@ -53,6 +53,27 @@ _EN = "('the','a','of','and','to','in','is')"
 _ES = "('el','la','de','y','es','un','que')"
 _DE = "('der','die','das','und','ist','ein','zu')"
 
+#: Quality-score formula + its measures CTE, shared verbatim by the
+#: quality_score / quality_stratify / curation_pipeline oracles so the
+#: formula lives in ONE place on the SQL side (mirror of
+#: operators/text.py::quality_score).
+_QUALITY_EXPR = (
+    "round(least(n_tokens * 1.0 / 100.0, 1.0)"
+    " * (1 - n_punct * 1.0 / greatest(n_chars, 1))"
+    " * (0.5 + 0.5 * (stop_hits * 1.0 / greatest(n_tokens, 1))), 4)"
+)
+
+_QUALITY_MEASURES_CTE = f"""
+    toks AS (SELECT doc_id, text, {_TOKS} AS t FROM documents),
+    m AS (
+      SELECT doc_id,
+             CAST(len(t) AS INTEGER) AS n_tokens,
+             length(text) AS n_chars,
+             length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS n_punct,
+             len(list_filter(t, x -> x IN {_EN})) AS stop_hits
+      FROM toks)
+"""
+
 
 @dataclass(frozen=True)
 class QuerySpec:
@@ -434,12 +455,17 @@ def _groupby_argmax(spark, sf):
 @_register(
     "json_typed_agg",
     """
+    WITH p AS (
+      SELECT event_type,
+             CASE WHEN regexp_matches(json_extract_string(props, '$.k'), '^-?[0-9]+$')
+                  THEN CAST(json_extract_string(props, '$.k') AS INTEGER) END AS k
+      FROM events)
     SELECT event_type, count(*) AS n_events,
-           CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
-           round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k
-    FROM events GROUP BY event_type
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           round(avg(k), 4) AS avg_k
+    FROM p GROUP BY event_type
     """,
-    note="from_json once into a typed struct, then aggregate the parsed field",
+    note="from_json once into a typed struct; integer guard mirrors from_json's NULL-on-malformed",
 )
 def _json_typed_agg(spark, sf):
     return relational.json_typed_agg(_t(spark, sf, "events"))
@@ -681,20 +707,11 @@ def _lang_id(spark, sf):
 @_register(
     "quality_score",
     f"""
-    WITH toks AS (SELECT doc_id, text, {_TOKS} AS t FROM documents),
-    m AS (
-      SELECT doc_id,
-             CAST(len(t) AS INTEGER) AS n_tokens,
-             length(text) AS n_chars,
-             length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS n_punct,
-             len(list_filter(t, x -> x IN {_EN})) AS stop_hits
-      FROM toks)
+    WITH {_QUALITY_MEASURES_CTE}
     SELECT doc_id, n_tokens,
            round(n_punct * 1.0 / greatest(n_chars, 1), 4) AS punct_ratio,
            round(stop_hits * 1.0 / greatest(n_tokens, 1), 4) AS stopword_ratio,
-           round(least(n_tokens * 1.0 / 100.0, 1.0)
-                 * (1 - n_punct * 1.0 / greatest(n_chars, 1))
-                 * (0.5 + 0.5 * (stop_hits * 1.0 / greatest(n_tokens, 1))), 4) AS quality
+           {_QUALITY_EXPR} AS quality
     FROM m
     """,
 )
@@ -705,19 +722,9 @@ def _quality_score(spark, sf):
 @_register(
     "quality_stratify",
     f"""
-    WITH toks AS (SELECT doc_id, text, {_TOKS} AS t FROM documents),
-    m AS (
-      SELECT doc_id,
-             CAST(len(t) AS INTEGER) AS n_tokens,
-             length(text) AS n_chars,
-             length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS n_punct,
-             len(list_filter(t, x -> x IN {_EN})) AS stop_hits
-      FROM toks),
+    WITH {_QUALITY_MEASURES_CTE},
     q AS (
-      SELECT doc_id,
-             round(least(n_tokens * 1.0 / 100.0, 1.0)
-                   * (1 - n_punct * 1.0 / greatest(n_chars, 1))
-                   * (0.5 + 0.5 * (stop_hits * 1.0 / greatest(n_tokens, 1))), 4) AS quality
+      SELECT doc_id, {_QUALITY_EXPR} AS quality
       FROM m),
     t AS (
       SELECT round(quantile_cont(quality, 0.25), 6) AS t1,
@@ -804,14 +811,26 @@ def _length_histogram(spark, sf):
     return text.length_histogram(_t(spark, sf, "documents"))
 
 
+# Sampling oracles are GENERATED from the same rate constants and
+# threshold encoding the Spark predicates use (operators/text.py::
+# SAMPLE_RATE / MIX_RATES / hash_threshold) — editing a rate can't
+# desynchronize the oracle.
+_MIX_PREDICATE = "substr(md5(CAST(doc_id AS VARCHAR) || ':' || lang), 1, 4)"
+
+_MIX_WHERE = "\n       OR ".join(
+    f"(lang = '{lang}' AND {_MIX_PREDICATE} < '{text.hash_threshold(rate)}')"
+    for lang, rate in sorted(text.MIX_RATES.items())
+)
+
+
 @_register(
     "sample_deterministic",
-    """
+    f"""
     SELECT doc_id, lang, source, n_chars
     FROM documents
-    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{text.hash_threshold(text.SAMPLE_RATE)}'
     """,
-    note="content-hash Bernoulli sample, rate 0.25; exact cross-engine",
+    note=f"content-hash Bernoulli sample, rate {text.SAMPLE_RATE}; exact cross-engine",
 )
 def _sample_deterministic(spark, sf):
     return text.sample_deterministic(_t(spark, sf, "documents"))
@@ -819,16 +838,12 @@ def _sample_deterministic(spark, sf):
 
 @_register(
     "corpus_mix",
-    """
+    f"""
     SELECT doc_id, lang, source
     FROM documents
-    WHERE (lang = 'de' AND substr(md5(CAST(doc_id AS VARCHAR) || ':' || lang), 1, 4) < '8000')
-       OR (lang = 'en' AND substr(md5(CAST(doc_id AS VARCHAR) || ':' || lang), 1, 4) < 'e666')
-       OR (lang = 'es' AND substr(md5(CAST(doc_id AS VARCHAR) || ':' || lang), 1, 4) < '8000')
-       OR (lang = 'fr' AND substr(md5(CAST(doc_id AS VARCHAR) || ':' || lang), 1, 4) < '8000')
-       OR (lang = 'zh' AND substr(md5(CAST(doc_id AS VARCHAR) || ':' || lang), 1, 4) < '4000')
+    WHERE {_MIX_WHERE}
     """,
-    note="per-language deterministic mix rates en .9 / de,es,fr .5 / zh .25",
+    note=f"per-language deterministic mix rates {text.MIX_RATES}",
 )
 def _corpus_mix(spark, sf):
     return text.corpus_mix(_t(spark, sf, "documents"))
@@ -919,7 +934,7 @@ def _dedup_apply(spark, sf):
 
 @_register(
     "curation_pipeline",
-    """
+    f"""
     WITH kept AS (
       SELECT doc_id, lang, text FROM (
         SELECT doc_id, lang, text,
@@ -940,15 +955,11 @@ def _dedup_apply(spark, sf):
              text
       FROM toks)
     SELECT doc_id, lang,
-           round(least(n_tokens * 1.0 / 100.0, 1.0)
-                 * (1 - n_punct * 1.0 / greatest(n_chars, 1))
-                 * (0.5 + 0.5 * (stop_hits * 1.0 / greatest(n_tokens, 1))), 4) AS quality,
+           {_QUALITY_EXPR} AS quality,
            CAST(n_tokens AS INTEGER) AS n_tokens,
            CAST(n_bpe AS INTEGER) AS n_bpe_tokens
     FROM m
-    WHERE round(least(n_tokens * 1.0 / 100.0, 1.0)
-                * (1 - n_punct * 1.0 / greatest(n_chars, 1))
-                * (0.5 + 0.5 * (stop_hits * 1.0 / greatest(n_tokens, 1))), 4) >= 0.2
+    WHERE {_QUALITY_EXPR} >= 0.2
     """,
     note="composed curation chain: dedup -> lang filter -> quality gate -> token accounting",
 )

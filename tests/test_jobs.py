@@ -97,3 +97,20 @@ def test_reduce_values_arrive_in_lexicographic_order(spark):
     out = run_job(ConcatJob, spark.createDataFrame(rows).repartition(8)).collect()
     assert len(out) == 1
     assert out[0]["value"] == "|".join(f"v{i:03d}" for i in range(40))
+
+
+def test_reduce_handles_none_values(spark):
+    """A job emitting None values must not crash the group sort;
+    Nones order first (their position is engine-defined — the
+    reference's text format cannot express null at all)."""
+
+    class NullEmitJob:
+        def map(self, key, value):
+            return [(key, None), (key, value)]
+
+        def reduce(self, key, values):
+            return [(key, ",".join("∅" if v is None else v for v in values))]
+
+    rows = [Row(key="k", value="x")]
+    out = run_job(NullEmitJob, spark.createDataFrame(rows)).collect()
+    assert out[0]["value"] == "∅,x"
