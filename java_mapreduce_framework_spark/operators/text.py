@@ -286,6 +286,61 @@ def token_count_bpe(documents: DataFrame) -> DataFrame:
     )
 
 
+def ngram_counts(documents: DataFrame, n: int = 2, min_count: int = 2) -> DataFrame:
+    """Corpus n-gram (default bigram) frequency table — the raw
+    statistics behind language-model heuristics, collocation mining,
+    and contamination fingerprints. Explode → partial→final count:
+    the shuffle carries one row per distinct n-gram per map partition
+    (vocabulary-bounded, not token-bounded). ``min_count`` prunes the
+    singleton tail, which at corpus scale is most of the rows."""
+    toks = tokens_col("text")
+    df = documents.select(toks.alias("toks")).filter(F.size("toks") >= n)
+    gram = F.explode(
+        F.expr(
+            f"transform(sequence(1, size(toks) - {n - 1}), "
+            f"i -> concat_ws(' ', slice(toks, i, {n})))"
+        )
+    )
+    return (
+        df.select(gram.alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+
+
+def decontaminate_overlap(
+    documents: DataFrame, benchmark_source: str = "src0", n: int = 3, min_overlap: int = 2
+) -> DataFrame:
+    """Train/test contamination detection: for each corpus doc, count
+    distinct word n-gram shingles it shares with any benchmark doc
+    (here: the ``source == benchmark_source`` slice stands in for the
+    held-out eval set). The standard decontamination pass before
+    pre-training.
+
+    Plan: one shingle pass over each side, hashed 8-byte join keys,
+    equi-join on shingle then a grouped count per (corpus doc,
+    benchmark doc) — work is proportional to true shingle overlap,
+    exactly the inverted-index shape of ``dedup_ngram_jaccard``. At
+    100 TB the benchmark side is tiny and broadcasts; skew on stop-
+    phrase shingles is AQE's skew-join case (or pre-drop top-DF
+    shingles, the Bloom-filter variant of this operator)."""
+    from .dedup import shingles
+
+    corpus = documents.filter(F.col("source") != benchmark_source)
+    bench = documents.filter(F.col("source") == benchmark_source)
+    sh_c = shingles(corpus, n, hashed=True)
+    sh_b = shingles(bench, n, hashed=True).select(
+        F.col("doc_id").alias("bench_doc_id"), "shingle"
+    )
+    return (
+        sh_c.join(sh_b, "shingle")
+        .groupBy("doc_id", "bench_doc_id")
+        .agg(F.count("*").alias("n_shared_shingles"))
+        .filter(F.col("n_shared_shingles") >= min_overlap)
+    )
+
+
 def doc_fingerprint(documents: DataFrame, shingle_len: int = 3) -> DataFrame:
     """Content fingerprint: minimum md5 over word 3-gram shingles
     (a 1-permutation MinHash). Rolling-hash analog kept in SQL-checkable

@@ -850,6 +850,44 @@ def _corpus_mix(spark, sf):
 
 
 @_register(
+    "ngram_counts",
+    f"""
+    WITH toks AS (SELECT {_TOKS} AS t FROM documents),
+    g AS (
+      SELECT unnest(list_transform(range(1, len(t)),
+                    i -> t[i] || ' ' || t[i+1])) AS ngram
+      FROM toks WHERE len(t) >= 2)
+    SELECT ngram, count(*) AS cnt
+    FROM g GROUP BY ngram HAVING count(*) >= 2
+    """,
+    note="bigram LM statistics; singleton tail pruned",
+)
+def _ngram_counts(spark, sf):
+    return text.ngram_counts(_t(spark, sf, "documents"))
+
+
+@_register(
+    "decontaminate_overlap",
+    f"""
+    WITH toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+    sh AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+      FROM toks WHERE len(t) >= 3)
+    SELECT c.doc_id, b.doc_id AS bench_doc_id, count(*) AS n_shared_shingles
+    FROM (SELECT * FROM sh WHERE source <> 'src0') c
+    JOIN (SELECT * FROM sh WHERE source = 'src0') b USING (shingle)
+    GROUP BY c.doc_id, b.doc_id
+    HAVING count(*) >= 2
+    """,
+    note="train/benchmark n-gram contamination pairs; hashed join keys in Spark",
+)
+def _decontaminate_overlap(spark, sf):
+    return text.decontaminate_overlap(_t(spark, sf, "documents"))
+
+
+@_register(
     "doc_fingerprint",
     f"""
     WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents)

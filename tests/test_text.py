@@ -147,3 +147,27 @@ def test_quality_stratify_quartiles_balanced(spark, sf_small):
         assert 0.15 * n <= len(vals) <= 0.35 * n, (q, len(vals))
     # strata are ordered: every q1 score <= every q4 score
     assert max(by_q[1]) <= min(by_q[4])
+
+
+def test_ngram_counts_bigrams(spark):
+    docs = _docs(spark, ["a b c a b", "a b x"])
+    # bigrams: (a b)x3, (b c), (c a), (b x) -> min_count=2 keeps only (a b)
+    got = {r["ngram"]: r["cnt"] for r in text.ngram_counts(docs, n=2, min_count=2).collect()}
+    assert got == {"a b": 3}
+
+
+def test_decontaminate_overlap_finds_shared_shingles(spark):
+    from pyspark.sql import Row
+
+    rows = [
+        Row(doc_id=1, text="the quick brown fox jumps over lazy dogs", lang="en", source="src0", n_chars=1),
+        Row(doc_id=2, text="the quick brown fox jumps elsewhere now ok", lang="en", source="src1", n_chars=1),
+        Row(doc_id=3, text="completely different words in this doc here", lang="en", source="src1", n_chars=1),
+    ]
+    docs = spark.createDataFrame(rows)
+    out = text.decontaminate_overlap(docs, benchmark_source="src0").collect()
+    # doc 2 shares 3 trigrams with benchmark doc 1 ("the quick brown",
+    # "quick brown fox", "brown fox jumps"); doc 3 shares none
+    assert len(out) == 1
+    r = out[0]
+    assert (r["doc_id"], r["bench_doc_id"], r["n_shared_shingles"]) == (2, 1, 3)
