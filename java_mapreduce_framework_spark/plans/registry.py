@@ -1256,6 +1256,17 @@ def _sql_regional_volume(spark, sf):
     return run_sql(spark, sf, REGIONAL_VOLUME)
 
 
+@_register(
+    "sql_promo_share",
+    None,
+    note="TPC-H-style Q14 shape: part join + FILTER-clause conditional agg",
+)
+def _sql_promo_share(spark, sf):
+    from .sql import PROMO_SHARE, run_sql
+
+    return run_sql(spark, sf, PROMO_SHARE)
+
+
 def _attach_sql_oracles() -> None:
     """The sql_* queries' oracle IS the query text: one ANSI string
     evaluated by both engines (dialect-shared subset)."""
@@ -1266,6 +1277,7 @@ def _attach_sql_oracles() -> None:
         ("sql_top_orders", _sql.TOP_ORDERS),
         ("sql_revenue_forecast", _sql.REVENUE_FORECAST),
         ("sql_regional_volume", _sql.REGIONAL_VOLUME),
+        ("sql_promo_share", _sql.PROMO_SHARE),
     ):
         spec = _REGISTRY[name]
         _REGISTRY[name] = QuerySpec(spec.name, spec.fn, stmt, spec.note)

@@ -88,6 +88,24 @@ GROUP BY n_name
 ORDER BY revenue DESC, n_name
 """
 
+#: TPC-H-style Q14 shape: promo revenue share over a date slice of
+#: lineitem x part. Exercises the part dimension (broadcast at this
+#: size), date pushdown, and FILTER-clause conditional aggregation —
+#: one partial->final pass, no second scan for the promo subtotal.
+PROMO_SHARE = """
+SELECT
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+       FILTER (WHERE p_type = 'PROMO') AS DOUBLE) AS promo_revenue,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+       AS DOUBLE) AS total_revenue,
+  count(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+"""
+
 #: TPC-H-style Q3 shape: top unshipped orders by revenue.
 TOP_ORDERS = """
 SELECT o_orderkey, o_orderdate, o_orderpriority,
