@@ -41,3 +41,18 @@ def tokenize_py(text: str) -> list[str]:
     """Python-side tokenizer with identical semantics, for the Job API
     (``plans/jobs.py``) so Job-API wordcount hash-matches the SQL oracle."""
     return [t for t in text.lower().split() if t]
+
+
+def grams_expr(n: int, toks_name: str = "toks") -> str:
+    """SQL-expression fragment producing the array of space-joined
+    word n-grams of a token-array column — the ONE definition of gram
+    construction shared by shingling (``operators/dedup.shingles``),
+    fingerprinting (``operators/text.doc_fingerprint``), and n-gram
+    counting (``operators/text.ngram_counts``), so gram semantics
+    (separator, slice bounds) can never drift between them. Caller
+    guards ``size(toks) >= n`` (Spark's ``sequence(1, 0)`` counts
+    DOWN, so an unguarded short doc would yield garbage grams)."""
+    return (
+        f"transform(sequence(1, size({toks_name}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({toks_name}, i, {n})))"
+    )

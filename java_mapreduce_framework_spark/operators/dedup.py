@@ -55,12 +55,9 @@ def shingles(documents: DataFrame, n: int = 3, hashed: bool = False) -> DataFram
     billions of DISTINCT shingles (birthday bound ~2^32)."""
     toks = tokens_col("text")
     df = documents.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= n)
-    sh = F.explode(
-        F.expr(
-            f"array_distinct(transform(sequence(1, size(toks) - {n - 1}), "
-            f"i -> concat_ws(' ', slice(toks, i, {n}))))"
-        )
-    )
+    from ..functions.text import grams_expr
+
+    sh = F.explode(F.expr(f"array_distinct({grams_expr(n)})"))
     out = df.select("doc_id", sh.alias("shingle"))
     if hashed:
         out = out.select("doc_id", F.xxhash64("shingle").alias("shingle"))

@@ -295,12 +295,9 @@ def ngram_counts(documents: DataFrame, n: int = 2, min_count: int = 2) -> DataFr
     singleton tail, which at corpus scale is most of the rows."""
     toks = tokens_col("text")
     df = documents.select(toks.alias("toks")).filter(F.size("toks") >= n)
-    gram = F.explode(
-        F.expr(
-            f"transform(sequence(1, size(toks) - {n - 1}), "
-            f"i -> concat_ws(' ', slice(toks, i, {n})))"
-        )
-    )
+    from ..functions.text import grams_expr
+
+    gram = F.explode(F.expr(grams_expr(n)))
     return (
         df.select(gram.alias("ngram"))
         .groupBy("ngram")
@@ -348,12 +345,9 @@ def doc_fingerprint(documents: DataFrame, shingle_len: int = 3) -> DataFrame:
     Fingerprint equality => near-certain shared content window."""
     toks = tokens_col("text")
     df = documents.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= shingle_len)
-    fp = F.array_min(
-        F.expr(
-            f"transform(sequence(1, size(toks) - {shingle_len - 1}), "
-            f"i -> md5(concat_ws(' ', slice(toks, i, {shingle_len}))))"
-        )
-    )
+    from ..functions.text import grams_expr
+
+    fp = F.array_min(F.expr(f"transform({grams_expr(shingle_len)}, g -> md5(g))"))
     return df.select("doc_id", fp.alias("fingerprint"))
 
 
