@@ -143,3 +143,11 @@ def test_groupby_argmax_is_aggregate_not_window(spark, sf_small):
 
     plan = groupby_argmax(load_table(spark, sf_small, "events"))._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan  # algebraic max_by, no per-group sort
+
+
+def test_sql_promo_share_invariants(spark, sf_small):
+    from java_mapreduce_framework_spark.plans.sql import PROMO_SHARE, run_sql
+
+    row = run_sql(spark, sf_small, PROMO_SHARE).collect()[0]
+    assert row["n_items"] > 0
+    assert 0.0 < row["promo_revenue"] < row["total_revenue"]
