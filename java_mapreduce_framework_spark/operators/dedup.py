@@ -26,7 +26,7 @@ from operator import add as _add
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import tokens_col
+from ..functions.text import grams_expr, tokens_col
 
 # Modulus / bounds for the MinHash permutation family
 #   h' = (a*h + b) mod P  with h, a, b < 2^30 and P = 2^31 - 1,
@@ -55,8 +55,6 @@ def shingles(documents: DataFrame, n: int = 3, hashed: bool = False) -> DataFram
     billions of DISTINCT shingles (birthday bound ~2^32)."""
     toks = tokens_col("text")
     df = documents.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= n)
-    from ..functions.text import grams_expr
-
     sh = F.explode(F.expr(f"array_distinct({grams_expr(n)})"))
     out = df.select("doc_id", sh.alias("shingle"))
     if hashed:

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import tokens_col, words_exploded
+from ..functions.text import grams_expr, tokens_col, words_exploded
 
 # Stopword lists for the n-gram/stopword language heuristic. Tiny and
 # deterministic on purpose: real language ID would ship fastText or a
@@ -295,8 +295,6 @@ def ngram_counts(documents: DataFrame, n: int = 2, min_count: int = 2) -> DataFr
     singleton tail, which at corpus scale is most of the rows."""
     toks = tokens_col("text")
     df = documents.select(toks.alias("toks")).filter(F.size("toks") >= n)
-    from ..functions.text import grams_expr
-
     gram = F.explode(F.expr(grams_expr(n)))
     return (
         df.select(gram.alias("ngram"))
@@ -345,8 +343,6 @@ def doc_fingerprint(documents: DataFrame, shingle_len: int = 3) -> DataFrame:
     Fingerprint equality => near-certain shared content window."""
     toks = tokens_col("text")
     df = documents.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= shingle_len)
-    from ..functions.text import grams_expr
-
     fp = F.array_min(F.expr(f"transform({grams_expr(shingle_len)}, g -> md5(g))"))
     return df.select("doc_id", fp.alias("fingerprint"))
 

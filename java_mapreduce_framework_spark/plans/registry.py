@@ -457,15 +457,16 @@ def _groupby_argmax(spark, sf):
     """
     WITH p AS (
       SELECT event_type,
-             CASE WHEN regexp_matches(json_extract_string(props, '$.k'), '^-?[0-9]+$')
-                  THEN CAST(json_extract_string(props, '$.k') AS INTEGER) END AS k
+             CASE WHEN json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+                  THEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) END AS k
       FROM events)
     SELECT event_type, count(*) AS n_events,
            CAST(sum(k) AS BIGINT) AS sum_k,
            round(avg(k), 4) AS avg_k
     FROM p GROUP BY event_type
     """,
-    note="from_json once into a typed struct; integer guard mirrors from_json's NULL-on-malformed",
+    note="from_json once into a typed struct; json_type + TRY_CAST guard mirrors "
+    "from_json's NULL on quoted/fractional/overflowing k",
 )
 def _json_typed_agg(spark, sf):
     return relational.json_typed_agg(_t(spark, sf, "events"))

@@ -178,24 +178,13 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_tumbling_window(
     spark: SparkSession, sf_dir: str, duration: str = "1 hour"
 ) -> DataFrame:
-    """Streaming tumbling-window aggregation over events: native
-    ``window()`` grouping, identical to the batch operator. On an
-    unbounded source this would add ``withWatermark('ts', ...)`` and
-    update/append mode; complete mode keeps bounded-input equality."""
-    path = _stage_stream_dir(spark, sf_dir, "events")
-    schema = spark.read.parquet(path).schema
-    events = spark.readStream.schema(schema).parquet(path)
-    agg = (
-        events.groupBy(F.window("ts", duration).alias("w"), "event_type")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
-        .select(
-            F.col("w.start").alias("window_start"),
-            "event_type",
-            "n_events",
-            "total_value",
-        )
-    )
-    return _drain_to_memory(agg)
+    """Streaming tumbling-window aggregation over events: the
+    slide == size special case of ``stream_sliding_window`` (one
+    shared windowed-agg body — any drain/watermark change applies to
+    both). On an unbounded source this would add
+    ``withWatermark('ts', ...)`` and update/append mode; complete
+    mode keeps bounded-input equality."""
+    return stream_sliding_window(spark, sf_dir, size=duration, slide=duration)
 
 
 def stream_sliding_window(
