@@ -33,6 +33,8 @@ aggregation; ``run_job`` exists for arbitrary user logic parity.
 from __future__ import annotations
 
 import importlib
+import pathlib
+import uuid
 from collections.abc import Iterable, Iterator
 from dataclasses import dataclass, field
 from typing import Protocol
@@ -40,6 +42,8 @@ from typing import Protocol
 import pandas as pd
 
 from pyspark.sql import DataFrame
+
+_REPO_ROOT = pathlib.Path(__file__).resolve().parents[2]
 
 
 class Job(Protocol):
@@ -143,6 +147,49 @@ def run_job(
         mapped = mapped.repartition(num_partitions, "key")
     return mapped.groupBy("key").applyInPandas(
         reduce_phase, schema="key string, value string"
+    )
+
+
+def wordcount_job_e2e(spark, sf_dir: str) -> DataFrame:
+    """The literal reference job lifecycle, disk-to-disk: a directory
+    of ``key\\tvalue`` text lines (scan contract:
+    ``worker/WorkerServlet.java:510-530``, parse:
+    ``worker/MapThread.java:50-51``) through ``run_job(WordCountJob)``
+    into the ``key\\tvalue`` text sink
+    (``job/WordCountContext.java:115-127``), then read back from the
+    sink. Exercises source, Job API, and sink as one pipeline -- the
+    exact path a reference user's job takes, with Spark supplying the
+    shuffle/barrier the master/worker servlets implemented.
+
+    The kv input directory is staged once per fixture dir (documents
+    rendered as ``doc_id\\ttext``; fixture text contains no tabs or
+    newlines, so lines round-trip exactly). The sink directory is
+    unique per invocation, mirroring the reference's
+    wipe-output-before-run semantics (``worker/WorkerServlet.java:654-669``).
+    """
+    from pyspark.sql import functions as F
+
+    from ..sources.sinks import write_kv_text_dir
+    from ..sources.staging import stage_once
+    from ..sources.tables import load_table, read_kv_text_dir
+
+    sf_name = pathlib.Path(sf_dir).name
+    in_dir = _REPO_ROOT / ".tmp" / "jobapi" / f"{sf_name}_documents_kv"
+
+    def _build(tmp: str) -> None:
+        docs = load_table(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("string").alias("key"), F.col("text").alias("value")
+        )
+        write_kv_text_dir(docs, tmp)
+
+    stage_once(in_dir, _build)
+
+    out_dir = _REPO_ROOT / ".tmp" / "jobapi" / f"out_{uuid.uuid4().hex[:12]}"
+    kv_in = read_kv_text_dir(spark, str(in_dir))
+    write_kv_text_dir(run_job(WordCountJob, kv_in), str(out_dir))
+    back = read_kv_text_dir(spark, str(out_dir))
+    return back.select(
+        F.col("key").alias("word"), F.col("value").cast("bigint").alias("cnt")
     )
 
 

@@ -1367,6 +1367,17 @@ def _jobapi_chained(spark, sf):
     )
 
 
+@_register(
+    "jobapi_wordcount_e2e",
+    _WORDS_CTE + "SELECT word, count(*) AS cnt FROM words GROUP BY word",
+    note="reference lifecycle disk-to-disk: kv text dir -> run_job -> kv text sink -> read back",
+)
+def _jobapi_wordcount_e2e(spark, sf):
+    from .jobs import wordcount_job_e2e
+
+    return wordcount_job_e2e(spark, sf)
+
+
 # ----------------------------------------------------- streaming (M6)
 
 

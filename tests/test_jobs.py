@@ -114,3 +114,18 @@ def test_reduce_handles_none_values(spark):
     rows = [Row(key="k", value="x")]
     out = run_job(NullEmitJob, spark.createDataFrame(rows)).collect()
     assert out[0]["value"] == "∅,x"
+
+
+def test_wordcount_e2e_disk_to_disk_matches_batch(spark, sf_small):
+    # the full reference lifecycle: kv text dir -> run_job -> kv text
+    # sink -> read back; result equals the declared batch wordcount
+    from java_mapreduce_framework_spark.operators.text import wordcount
+    from java_mapreduce_framework_spark.plans.jobs import wordcount_job_e2e
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    e2e = {r["word"]: r["cnt"] for r in wordcount_job_e2e(spark, sf_small).collect()}
+    batch = {
+        r["word"]: r["cnt"]
+        for r in wordcount(load_table(spark, sf_small, "documents")).collect()
+    }
+    assert e2e == batch
