@@ -1451,6 +1451,30 @@ def _stream_tumbling_window(spark, sf):
 
 
 @_register(
+    "stream_tumbling_window_watermarked",
+    f"""
+    WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+    agg AS (
+      SELECT date_trunc('hour', ts) AS window_start, event_type,
+             count(*) AS n_events, round(sum(value), 2) AS total_value
+      FROM e GROUP BY 1, 2)
+    SELECT window_start, event_type, n_events, total_value
+    FROM agg
+    WHERE window_start + INTERVAL 1 HOUR <= (SELECT max(ts) - INTERVAL 30 MINUTE FROM e)
+    """,
+    note=(
+        "unbounded posture: watermark + append mode + parquet sink, sink read "
+        "back; emits exactly the windows closed by the final watermark "
+        "(end <= max ts - delay), oracle applies the same cutoff"
+    ),
+)
+def _stream_tumbling_window_watermarked(spark, sf):
+    from ..streaming.jobs import stream_tumbling_window_watermarked
+
+    return stream_tumbling_window_watermarked(spark, sf)
+
+
+@_register(
     "stream_sliding_window",
     f"""
     SELECT CAST(to_timestamp(s) AS TIMESTAMP) AS window_start, event_type,

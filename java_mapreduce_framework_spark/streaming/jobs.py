@@ -187,6 +187,59 @@ def stream_tumbling_window(
     return stream_sliding_window(spark, sf_dir, size=duration, slide=duration)
 
 
+def stream_tumbling_window_watermarked(
+    spark: SparkSession,
+    sf_dir: str,
+    duration: str = "1 hour",
+    delay: str = "30 minutes",
+) -> DataFrame:
+    """The *unbounded-deployment* posture as a declared operator:
+    watermarked tumbling-window aggregation in APPEND mode into a real
+    file sink (parquet + checkpoint), then the sink read back.
+
+    This is what the complete-mode bounded-equality queries above
+    don't exercise: ``withWatermark`` bounds the window state store
+    (closed windows are evicted), append mode emits each window
+    exactly once -- when the watermark passes its end -- and the
+    parquet sink + checkpoint is the restartable production shape of
+    the reference's continuous job queue
+    (``master/MasterServlet.java:145-178``).
+
+    Bounded-equivalence contract: emissions accumulate in the sink
+    regardless of microbatch slicing, so on a bounded fixture the sink
+    holds exactly the windows whose end <= final watermark
+    (max event time - delay); trailing windows stay in state and are
+    deliberately withheld. The oracle applies the same cutoff.
+    """
+    path = _stage_stream_dir(spark, sf_dir, "events")
+    schema = spark.read.parquet(path).schema
+    events = spark.readStream.schema(schema).parquet(path)
+    agg = (
+        events.withWatermark("ts", delay)
+        .groupBy(F.window("ts", duration).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    run = _REPO_ROOT / ".tmp" / "stream" / f"wm_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(run / "out"))
+        .option("checkpointLocation", str(run / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # explicit schema: a zero-emission run leaves no data files to
+    # infer from (cannot happen on the fixtures, but fail loud > flaky)
+    return spark.read.schema(agg.schema).parquet(str(run / "out"))
+
+
 def stream_sliding_window(
     spark: SparkSession, sf_dir: str, size: str = "1 hour", slide: str = "30 minutes"
 ) -> DataFrame:

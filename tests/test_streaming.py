@@ -135,3 +135,36 @@ def test_stream_sliding_equals_batch(spark, sf_small):
         for r in stream_sliding_window(spark, sf_small).collect()
     }
     assert streamed == batch
+
+
+def test_watermarked_tumbling_window_emits_closed_windows(spark, sf_small):
+    """Declared unbounded posture: append mode + watermark + file sink
+    holds exactly the windows the final watermark closed
+    (window end <= max event time - delay), with batch-equal values."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from java_mapreduce_framework_spark.sources.tables import load_table
+    from java_mapreduce_framework_spark.streaming.jobs import (
+        stream_tumbling_window_watermarked,
+    )
+
+    streamed = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in stream_tumbling_window_watermarked(spark, sf_small).collect()
+    }
+    ev = load_table(spark, sf_small, "events")
+    wm = ev.agg(F.max("ts")).first()[0] - datetime.timedelta(minutes=30)
+    batch = {
+        (r["w"]["start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in (
+            ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+            .filter(F.col("w.end") <= F.lit(wm))
+        ).collect()
+    }
+    assert streamed == batch
+    # the trailing (still-open) windows are withheld by design
+    total = ev.select(F.window("ts", "1 hour"), "event_type").distinct().count()
+    assert len(streamed) < total
