@@ -62,6 +62,28 @@ def shingles(documents: DataFrame, n: int = 3, hashed: bool = False) -> DataFram
     return out
 
 
+def df_cap_shingles(sh: DataFrame, df_cap: int) -> DataFrame:
+    """Drop shingles whose corpus document frequency exceeds
+    ``df_cap`` from a (doc_id, shingle) stream.
+
+    THE scale guard for every inverted-index shingle join: join work
+    is sum over shingles of df^2, so a handful of stop-phrase shingles
+    (df in the millions at 100 TB) dominates everything; capping df
+    bounds per-shingle join fan-out at df_cap^2. The hot list is tiny
+    by construction (Zipf tail above the cap), so it broadcasts and
+    the filter is a map-side anti-join -- the shingle stream itself
+    never shuffles here, and the df aggregation runs map-side partial
+    counts, which is exactly what makes counting the hot keys safe
+    where a window-count over them would not be."""
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > df_cap)
+        .select("shingle")
+    )
+    return sh.join(F.broadcast(hot), "shingle", "left_anti")
+
+
 def dedup_exact(documents: DataFrame) -> DataFrame:
     """Exact dedup on full-content hash: one representative (min
     doc_id) per distinct text plus the duplicate count. Single
@@ -79,16 +101,21 @@ def shingle_sizes(sh: DataFrame) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    documents: DataFrame, n: int = 3, threshold: float = 0.8
+    documents: DataFrame, n: int = 3, threshold: float = 0.8, df_cap: int | None = None
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs >= threshold.
 
     Inverted-index join: docs sharing a shingle meet exactly once per
     shared shingle; count(shared)/(|A|+|B|-shared) is exact Jaccard.
-    Quadratic in per-shingle document frequency -- at scale, drop
-    ultra-common shingles (document-frequency cap) or use
-    ``dedup_minhash`` below; this operator is the exactness baseline
-    the sketches are verified against.
+    Quadratic in per-shingle document frequency -- at scale, pass
+    ``df_cap`` (see ``df_cap_shingles``) or use ``dedup_minhash``
+    below; with ``df_cap=None`` (the default, kept so the exactness
+    oracle stays exact) this operator is the baseline the sketches
+    are verified against. With a cap, Jaccard is computed exactly
+    over the capped shingle universe: sizes and intersections both
+    exclude the dropped stop-phrase shingles, so near-dup decisions
+    rest on the discriminative shingles -- the standard
+    contamination/near-dup posture.
 
     Join mechanics: the index joins on the 8-byte shingle hash with a
     shuffled-hash hint -- equality-only matching never benefits from
@@ -97,6 +124,8 @@ def ngram_jaccard_pairs(
     leave AQE on.
     """
     sh = shingles(documents, n, hashed=True)
+    if df_cap is not None:
+        sh = df_cap_shingles(sh, df_cap)
     sizes = shingle_sizes(sh)
     a, b = sh.alias("a"), sh.alias("b")
     common = (

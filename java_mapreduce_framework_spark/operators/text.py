@@ -305,7 +305,11 @@ def ngram_counts(documents: DataFrame, n: int = 2, min_count: int = 2) -> DataFr
 
 
 def decontaminate_overlap(
-    documents: DataFrame, benchmark_source: str = "src0", n: int = 3, min_overlap: int = 2
+    documents: DataFrame,
+    benchmark_source: str = "src0",
+    n: int = 3,
+    min_overlap: int = 2,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Train/test contamination detection: for each corpus doc, count
     distinct word n-gram shingles it shares with any benchmark doc
@@ -318,13 +322,17 @@ def decontaminate_overlap(
     benchmark doc) — work is proportional to true shingle overlap,
     exactly the inverted-index shape of ``dedup_ngram_jaccard``. At
     100 TB the benchmark side is tiny and broadcasts; skew on stop-
-    phrase shingles is AQE's skew-join case (or pre-drop top-DF
-    shingles, the Bloom-filter variant of this operator)."""
-    from .dedup import shingles
+    phrase shingles is AQE's skew-join case, and ``df_cap`` drops
+    corpus shingles above that document frequency before the join
+    (``dedup.df_cap_shingles``) so stop-phrase fan-out never reaches
+    it — overlap then counts discriminative shingles only."""
+    from .dedup import df_cap_shingles, shingles
 
     corpus = documents.filter(F.col("source") != benchmark_source)
     bench = documents.filter(F.col("source") == benchmark_source)
     sh_c = shingles(corpus, n, hashed=True)
+    if df_cap is not None:
+        sh_c = df_cap_shingles(sh_c, df_cap)
     sh_b = shingles(bench, n, hashed=True).select(
         F.col("doc_id").alias("bench_doc_id"), "shingle"
     )

@@ -1033,6 +1033,41 @@ def _dedup_ngram_jaccard(spark, sf):
 
 
 @_register(
+    "dedup_ngram_jaccard_capped",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh0 AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      FROM toks WHERE len(t) >= 3),
+    dfreq AS (SELECT shingle, count(*) AS df FROM sh0 GROUP BY shingle),
+    sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0
+           JOIN dfreq USING (shingle) WHERE df <= 5),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    com AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_a, doc_b, round(c * 1.0 / (na.n + nb.n - c), 4) AS jaccard
+    FROM com
+    JOIN sizes na ON com.doc_a = na.doc_id
+    JOIN sizes nb ON com.doc_b = nb.doc_id
+    WHERE c * 1.0 / (na.n + nb.n - c) >= 0.8
+    """,
+    note=(
+        "the 100 TB posture of the exact-Jaccard baseline: stop-phrase "
+        "shingles above document frequency 5 dropped before the inverted-"
+        "index join (bounded per-shingle fan-out); Jaccard exact over the "
+        "capped shingle universe, oracle applies the identical cap"
+    ),
+)
+def _dedup_ngram_jaccard_capped(spark, sf):
+    return dedup.ngram_jaccard_pairs(_t(spark, sf, "documents"), df_cap=5)
+
+
+@_register(
     "dedup_cluster_components",
     f"""
     WITH RECURSIVE toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),

@@ -94,3 +94,57 @@ def test_minhash_clusters_equal_exact_clusters(spark, sf_small):
         for r in dedup.connected_components(dedup.dedup_minhash(docs)).collect()
     }
     assert sketch == exact
+
+
+def test_df_cap_drops_stop_phrase_shingles(spark):
+    # every doc shares the stop phrase "common filler words here"; the
+    # cap removes its shingles from the stream, rare shingles survive
+    from pyspark.sql import Row
+
+    rows = [
+        Row(doc_id=i, text=f"common filler words here unique{i} tail{i} end{i}",
+            lang="en", source="t", n_chars=40)
+        for i in range(6)
+    ]
+    docs = spark.createDataFrame(rows)
+    sh = dedup.shingles(docs, n=3, hashed=True)
+    capped = dedup.df_cap_shingles(sh, df_cap=3)
+    assert capped.count() < sh.count()
+    # nothing above the cap survives
+    leftover_df = (
+        capped.groupBy("shingle").count().agg({"count": "max"}).first()[0]
+    )
+    assert leftover_df <= 3
+
+
+def test_capped_jaccard_keeps_real_near_dups(spark):
+    # the planted near-dup pair rests on rare shingles, so a cap that
+    # removes corpus-wide stop shingles must keep it; with a cap high
+    # enough to drop nothing, capped == uncapped exactly
+    base = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(_docs(spark), threshold=0.5).collect()
+    }
+    capped_loose = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(_docs(spark), threshold=0.5, df_cap=10).collect()
+    }
+    assert capped_loose == base
+    # cap=3 removes shingles shared by all of BASE/BASE/NEAR? no --
+    # df counts documents, and BASE appears twice: shared shingles have
+    # df 3, so cap=2 drops them and the pair set shrinks
+    capped_tight = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs(_docs(spark), threshold=0.5, df_cap=2).collect()
+    }
+    assert (0, 1) in capped_tight  # identical docs still pair on df<=2 shingles
+
+
+def test_decontaminate_df_cap_composes(spark, sf_small):
+    from java_mapreduce_framework_spark.operators.text import decontaminate_overlap
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    uncapped = decontaminate_overlap(docs).count()
+    capped = decontaminate_overlap(docs, df_cap=5).count()
+    assert capped <= uncapped
