@@ -25,7 +25,8 @@ from pyspark.sql import functions as F
 
 #: Output schema of decode_metadata (DDL form, used by mapInPandas).
 DECODE_SCHEMA = (
-    "doc_id long, content_type string, n_bytes long, fake_width long, fake_height long"
+    "doc_id long, content_type string, n_bytes long, fake_width long, fake_height long, "
+    "byte_sum long, byte_min int, byte_max int, n_distinct_bytes int"
 )
 
 FRAME_SCHEMA = "doc_id long, frame_idx int, frame_bytes binary"
@@ -67,11 +68,27 @@ def real_decode(payload: bytes):  # pragma: no cover - stub by design
 def decode_metadata(multimodal: DataFrame) -> DataFrame:
     """Per-payload metadata extraction via mapInPandas: batch iterator
     in, batch iterator out, payload column dropped on output so the
-    binary never travels further than necessary."""
+    binary never travels further than necessary.
+
+    Alongside the fake-decoder dimensions, emits content-derived byte
+    statistics (sum / min / max / distinct count over the raw payload
+    bytes, numpy-vectorized) so the correctness oracle verifies actual
+    payload CONTENT, not just its length."""
+    import numpy as np
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             decoded = [_fake_decode(p) for p in pdf["payload"]]
+            stats = []
+            for p in pdf["payload"]:
+                if len(p):
+                    x = np.frombuffer(p, dtype=np.uint8)
+                    stats.append(
+                        (int(x.sum(dtype=np.int64)), int(x.min()), int(x.max()),
+                         int(len(np.unique(x))))
+                    )
+                else:
+                    stats.append((0, 0, 0, 0))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
@@ -79,6 +96,10 @@ def decode_metadata(multimodal: DataFrame) -> DataFrame:
                     "n_bytes": pd.Series([d[0] for d in decoded], dtype="int64"),
                     "fake_width": pd.Series([d[1] for d in decoded], dtype="int64"),
                     "fake_height": pd.Series([d[2] for d in decoded], dtype="int64"),
+                    "byte_sum": pd.Series([s[0] for s in stats], dtype="int64"),
+                    "byte_min": pd.Series([s[1] for s in stats], dtype="int32"),
+                    "byte_max": pd.Series([s[2] for s in stats], dtype="int32"),
+                    "n_distinct_bytes": pd.Series([s[3] for s in stats], dtype="int32"),
                 }
             )
 
@@ -152,7 +173,7 @@ def resize(multimodal: DataFrame, target_width: int = 64) -> DataFrame:
 
 
 AUDIO_SCHEMA = (
-    "doc_id long, n_samples long, duration_fake_s double, rms_fake double, peak_fake double"
+    "doc_id long, n_samples long, duration_fake_ms double, rms_fake double, peak_fake double"
 )
 
 
@@ -163,8 +184,15 @@ def audio_features(multimodal: DataFrame, sample_rate: int = 16000) -> DataFrame
     deterministic stub -- librosa/scipy are absent by design -- but
     the batch shape is the real one: one Arrow batch in, one stats
     frame out, payload dropped on output. Swapping in a real decoder
-    changes only the numpy body."""
+    changes only the numpy body.
+
+    RMS and peak are content-derived (oracle-verified byte-for-byte);
+    duration is reported in milliseconds (n / (rate/1000)) because a
+    power-of-two divisor is exact in float64, making the value
+    engine-portable without rounding-mode ties."""
     import numpy as np
+
+    ms_divisor = sample_rate / 1000.0
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -173,14 +201,14 @@ def audio_features(multimodal: DataFrame, sample_rate: int = 16000) -> DataFrame
                 x = np.frombuffer(payload, dtype=np.uint8).astype(np.float64) - 128.0
                 ids.append(doc_id)
                 counts.append(len(x))
-                durs.append(round(len(x) / sample_rate, 6))
+                durs.append(len(x) / ms_divisor)
                 rms.append(round(float(np.sqrt(np.mean(x * x))) if len(x) else 0.0, 4))
                 peak.append(round(float(np.abs(x).max()) if len(x) else 0.0, 4))
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),
                     "n_samples": pd.Series(counts, dtype="int64"),
-                    "duration_fake_s": pd.Series(durs, dtype="float64"),
+                    "duration_fake_ms": pd.Series(durs, dtype="float64"),
                     "rms_fake": pd.Series(rms, dtype="float64"),
                     "peak_fake": pd.Series(peak, dtype="float64"),
                 }

@@ -272,6 +272,7 @@ def ann_lsh(
     bands: int = 4,
     dim: int = 64,
     seed: int = 7,
+    probe_bits: int = 0,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH buckets as the
     candidate filter, exact cosine + rank on candidates only.
@@ -288,8 +289,17 @@ def ann_lsh(
     bands are fine; for generic top-k over random data (cosine ~ 0.4,
     p ~ 0.63) wide bands collapse recall -- hence the 4 bands x 4 bits
     default (expected recall ~ 1-(1-p^4)^4 ~ 0.5 at p = 0.63, with a
-    ~4x candidate-set reduction). Raise bands/lower bits for recall,
-    or add multi-probe, when the corpus is larger."""
+    ~4x candidate-set reduction).
+
+    ``probe_bits`` enables multi-probe LSH: each QUERY band probes its
+    own bucket plus every bucket reachable by flipping up to that many
+    signature bits (``probe_bits=1`` -> 1 + width probes per band).
+    A band then matches a true neighbor when >= width-probe_bits of
+    its bits agree (P(match) = p^b + b*p^(b-1)*(1-p) + ... per band,
+    ~0.53 vs 0.16 at p = 0.63, lifting expected recall to ~0.95).
+    Only the tiny broadcast query side fans out -- the corpus index
+    is untouched, so multi-probe buys recall WITHOUT re-hashing or
+    growing the big side, the standard trade (Lv et al., VLDB'07)."""
     sig = lsh_signature("embedding", n_planes, dim, bands, seed)
     corpus = embeddings.select(
         F.col("vec_id").alias("nid"),
@@ -303,6 +313,21 @@ def ann_lsh(
         l2_norm(F.col("embedding")).alias("qn"),
         F.explode(lsh_signature("embedding", n_planes, dim, bands, seed)).alias("b"),
     ).select("qid", "qe", "qn", "b.band_id", "b.bucket")
+    if probe_bits > 0:
+        width = n_planes // bands
+        probes = [F.col("bucket")]
+        if probe_bits >= 1:
+            probes += [F.col("bucket").bitwiseXOR(F.lit(1 << r)) for r in range(width)]
+        if probe_bits >= 2:
+            probes += [
+                F.col("bucket").bitwiseXOR(F.lit((1 << r) | (1 << s)))
+                for r in range(width)
+                for s in range(r + 1, width)
+            ]
+        q = q.select(
+            "qid", "qe", "qn", "band_id",
+            F.explode(F.array_distinct(F.array(*probes))).alias("bucket"),
+        )
     cand = (
         corpus.join(F.broadcast(q), ["band_id", "bucket"])
         .filter(F.col("nid") != F.col("qid"))

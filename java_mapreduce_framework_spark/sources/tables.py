@@ -36,11 +36,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table. Plain ``spark.read.parquet`` so Catalyst
     retains pushdown/pruning; no caching here (operators decide).
 
-    ``events.ts`` is physically TIMESTAMP(NANOS), which Spark cannot
-    represent (timestamps are microsecond precision): we read nanos as
-    long and floor-divide to microseconds. The DuckDB oracle applies
-    the equivalent ``CAST(ts AS TIMESTAMP)`` (also truncating), so
-    both engines see identical microsecond instants.
+    ``events.ts`` has shipped under two physical parquet types across
+    fixture generations: TIMESTAMP(NANOS) (which Spark cannot
+    represent -- read nanos as long, floor-divide to microseconds) and
+    plain TIMESTAMP(MICROS) with isAdjustedToUTC=false (which Spark
+    reads as TIMESTAMP_NTZ -- cast to the session-zone TIMESTAMP,
+    identical instants under the engine's pinned UTC session). Both
+    normalize to the same microsecond instants the DuckDB oracle sees
+    via ``CAST(ts AS TIMESTAMP)``, so the choice is detected from the
+    loaded schema, not assumed.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -48,7 +52,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType.typeName()
+        if ts_type == "long":  # TIMESTAMP(NANOS) read as raw nanos
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if ts_type == "timestamp_ntz":
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path)
 
 

@@ -22,6 +22,12 @@ def test_decode_metadata_deterministic_fake(spark):
     assert r["fake_width"] == 11 % 640
     assert r["fake_height"] == (11 * 7) % 480
     assert r["content_type"] == "image/fake"
+    # content-derived byte stats: "hello world" = 104+101+108+108+111+32+...
+    payload = b"hello world"
+    assert r["byte_sum"] == sum(payload)
+    assert r["byte_min"] == min(payload)
+    assert r["byte_max"] == max(payload)
+    assert r["n_distinct_bytes"] == len(set(payload))
 
 
 def test_frame_sample_slices(spark):

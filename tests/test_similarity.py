@@ -39,6 +39,28 @@ def test_ann_lsh_recall_vs_brute_force(spark, sf_small):
     assert recall >= 0.3, f"LSH recall collapsed: {recall}"
 
 
+def test_ann_lsh_multiprobe_lifts_recall(spark, sf_small):
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    exact = {(r["qid"], r["nid"]) for r in similarity.similarity_topk(emb, k=5).collect()}
+    single = {(r["qid"], r["nid"]) for r in similarity.ann_lsh(emb, k=5).collect()}
+    multi = {(r["qid"], r["nid"]) for r in similarity.ann_lsh(emb, k=5, probe_bits=1).collect()}
+    r_single = len(exact & single) / len(exact)
+    r_multi = len(exact & multi) / len(exact)
+    assert r_multi >= 0.6, f"multi-probe recall too low: {r_multi}"
+    assert r_multi >= r_single, f"multi-probe lost recall: {r_multi} < {r_single}"
+
+
+def test_ann_lsh_multiprobe_superset_of_candidates(spark):
+    # probe set includes the original bucket, so single-probe results
+    # can only gain neighbors, never lose buckets
+    emb = _emb(spark)
+    single = {(r["qid"], r["nid"]) for r in similarity.ann_lsh(emb, k=3, n_queries=1, n_planes=4, bands=2, dim=2).collect()}
+    multi = {(r["qid"], r["nid"]) for r in similarity.ann_lsh(emb, k=3, n_queries=1, n_planes=4, bands=2, dim=2, probe_bits=1).collect()}
+    assert len(multi) >= len(single)
+
+
 def test_ann_lsh_is_deterministic(spark, sf_small):
     from java_mapreduce_framework_spark.sources.tables import load_table
 
