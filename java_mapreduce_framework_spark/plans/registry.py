@@ -1386,6 +1386,83 @@ def _sql_promo_share(spark, sf):
     return run_sql(spark, sf, PROMO_SHARE)
 
 
+@_register(
+    "sql_order_priority_check",
+    None,
+    note="TPC-H-style Q4 shape: correlated EXISTS -> left-semi join",
+)
+def _sql_order_priority_check(spark, sf):
+    from .sql import ORDER_PRIORITY_CHECK, run_sql
+
+    return run_sql(spark, sf, ORDER_PRIORITY_CHECK)
+
+
+@_register(
+    "sql_priority_shipments",
+    None,
+    note="TPC-H-style Q12 shape: CASE-conditional counts over the fact join",
+)
+def _sql_priority_shipments(spark, sf):
+    from .sql import PRIORITY_SHIPMENTS, run_sql
+
+    return run_sql(spark, sf, PRIORITY_SHIPMENTS)
+
+
+@_register(
+    "sql_parts_supplier_spread",
+    None,
+    note="TPC-H-style Q16 shape: distinct-count + NOT IN blacklist",
+)
+def _sql_parts_supplier_spread(spark, sf):
+    from .sql import PARTS_SUPPLIER_SPREAD, run_sql
+
+    return run_sql(spark, sf, PARTS_SUPPLIER_SPREAD)
+
+
+@_register(
+    "sql_big_orders",
+    None,
+    note="TPC-H-style Q18 shape: grouped-HAVING IN subquery",
+)
+def _sql_big_orders(spark, sf):
+    from .sql import BIG_ORDERS, run_sql
+
+    return run_sql(spark, sf, BIG_ORDERS)
+
+
+@_register(
+    "sql_bracketed_revenue",
+    None,
+    note="TPC-H-style Q19 shape: OR-of-ANDs predicate bands",
+)
+def _sql_bracketed_revenue(spark, sf):
+    from .sql import BRACKETED_REVENUE, run_sql
+
+    return run_sql(spark, sf, BRACKETED_REVENUE)
+
+
+@_register(
+    "sql_dormant_customers",
+    None,
+    note="TPC-H-style Q22 shape: scalar-avg subquery + NOT EXISTS anti-join",
+)
+def _sql_dormant_customers(spark, sf):
+    from .sql import DORMANT_CUSTOMERS, run_sql
+
+    return run_sql(spark, sf, DORMANT_CUSTOMERS)
+
+
+@_register(
+    "sql_returned_revenue",
+    None,
+    note="TPC-H-style Q10 shape: returned-item revenue top-k",
+)
+def _sql_returned_revenue(spark, sf):
+    from .sql import RETURNED_REVENUE, run_sql
+
+    return run_sql(spark, sf, RETURNED_REVENUE)
+
+
 def _attach_sql_oracles() -> None:
     """The sql_* queries' oracle IS the query text: one ANSI string
     evaluated by both engines (dialect-shared subset)."""
@@ -1397,6 +1474,13 @@ def _attach_sql_oracles() -> None:
         ("sql_revenue_forecast", _sql.REVENUE_FORECAST),
         ("sql_regional_volume", _sql.REGIONAL_VOLUME),
         ("sql_promo_share", _sql.PROMO_SHARE),
+        ("sql_order_priority_check", _sql.ORDER_PRIORITY_CHECK),
+        ("sql_priority_shipments", _sql.PRIORITY_SHIPMENTS),
+        ("sql_parts_supplier_spread", _sql.PARTS_SUPPLIER_SPREAD),
+        ("sql_big_orders", _sql.BIG_ORDERS),
+        ("sql_bracketed_revenue", _sql.BRACKETED_REVENUE),
+        ("sql_dormant_customers", _sql.DORMANT_CUSTOMERS),
+        ("sql_returned_revenue", _sql.RETURNED_REVENUE),
     ):
         spec = _REGISTRY[name]
         _REGISTRY[name] = QuerySpec(spec.name, spec.fn, stmt, spec.note)

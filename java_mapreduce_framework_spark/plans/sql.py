@@ -120,3 +120,115 @@ GROUP BY o_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, o_orderkey
 LIMIT 10
 """
+
+#: TPC-H-style Q4 shape: correlated EXISTS decorrelated by Catalyst
+#: into a left-semi join on the fact table -- the late-shipment check
+#: (no l_commitdate/l_receiptdate in this schema) keeps the
+#: correlated date arithmetic of the original.
+ORDER_PRIORITY_CHECK = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1998-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+#: TPC-H-style Q12 shape: CASE-conditional counts over a fact join
+#: (l_shipmode is absent; l_returnflag is the grouping stand-in).
+PRIORITY_SHIPMENTS = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+#: TPC-H-style Q16 shape: distinct-count per part attribute with a
+#: NOT IN supplier blacklist (negative balances stand in for the
+#: complaints predicate).
+PARTS_SUPPLIER_SPREAD = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part
+JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#45'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+#: TPC-H-style Q18 shape: large-volume orders via a grouped-HAVING IN
+#: subquery re-joined to the dimensions.
+BIG_ORDERS = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+#: TPC-H-style Q19 shape: disjunction of brand/size/quantity bands --
+#: the OR-of-ANDs predicate Catalyst splits into join-level and
+#: scan-level conjuncts.
+BRACKETED_REVENUE = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+#: TPC-H-style Q22 shape: scalar-average subquery + NOT EXISTS
+#: anti-join (rich customers gone dormant -- no orders in the last
+#: fixture years; every fixture customer has SOME order, so the
+#: anti-join is windowed to stay non-degenerate).
+DORMANT_CUSTOMERS = """
+SELECT c_nationkey, count(*) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= DATE '1999-01-01')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+#: TPC-H-style Q10 shape: returned-item revenue ranking -- fact joins
+#: narrowed by a date slice and a flag, top-k on the aggregate.
+RETURNED_REVENUE = """
+SELECT c_custkey, c_name, n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1997-07-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
