@@ -437,3 +437,49 @@ def pivot_event_counts(events: DataFrame) -> DataFrame:
             for t in EVENT_TYPES
         ]
     )
+
+
+def join_bucketed_colocated(
+    spark,
+    orders: DataFrame,
+    customer: DataFrame,
+    buckets: int = 8,
+    table_suffix: str = "",
+) -> DataFrame:
+    """Shuffle-free equi-join via bucketed tables: both sides are
+    written ``bucketBy(buckets, key)`` + ``sortBy`` into the session
+    warehouse once, after which the sort-merge join reads co-located,
+    pre-sorted buckets -- NO Exchange on either side (asserted in
+    tests/test_bucketing.py and tests/test_plan_shape.py).
+
+    This is the 100 TB posture for a fact-dimension join repeated
+    across a pipeline: pay one bucketed write, then every downstream
+    join on the bucket key is exchange-free regardless of data size --
+    the Spark-native equivalent of the reference's SHA-1-range
+    co-location invariant (``job/WordCountContext.java:84-91``: equal
+    keys always land on the same worker).
+
+    The ``merge`` hint pins sort-merge (the strategy that exploits
+    bucket layout) so the demonstration does not depend on size-based
+    broadcast thresholds. Result is identical to the plain equi-join,
+    which is the declared oracle.
+    """
+    specs = (
+        (f"orders_bkt{table_suffix}", orders, "o_custkey"),
+        (f"customer_bkt{table_suffix}", customer, "c_custkey"),
+    )
+    for name, df, key in specs:
+        if not spark.catalog.tableExists(name):
+            (
+                df.write.mode("overwrite")
+                .bucketBy(buckets, key)
+                .sortBy(key)
+                .saveAsTable(name)
+            )
+    o = spark.table(specs[0][0])
+    c = spark.table(specs[1][0])
+    j = o.hint("merge").join(c, o["o_custkey"] == c["c_custkey"])
+    return j.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum(_dec2("o_totalprice")).cast("double"), 2).alias("total_spend"),
+    )

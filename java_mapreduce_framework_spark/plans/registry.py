@@ -1695,6 +1695,46 @@ def _stream_sliding_window(spark, sf):
     return stream_sliding_window(spark, sf)
 
 
+@_register(
+    "join_bucketed_colocated",
+    """
+    SELECT c_nationkey, count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+    """,
+    note="bucketed-table sort-merge join, exchange-free on both sides "
+    "(plan asserted in tests); oracle is the plain equi-join",
+)
+def _join_bucketed_colocated(spark, sf):
+    import pathlib
+
+    suffix = "_" + pathlib.Path(sf).name.replace(".", "_")
+    return relational.join_bucketed_colocated(
+        spark, _t(spark, sf, "orders"), _t(spark, sf, "customer"), table_suffix=suffix
+    )
+
+
+@_register(
+    "stream_stream_join",
+    """
+    WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+               FROM events)
+    SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id
+    FROM e c
+    JOIN e v ON c.user_id = v.user_id
+            AND c.event_type = 'click' AND v.event_type = 'view'
+            AND v.ts BETWEEN c.ts - INTERVAL 30 MINUTE AND c.ts
+    """,
+    note="watermarked stream-stream inner join (attribution shape); "
+    "bounded drain == batch self-join oracle",
+)
+def _stream_stream_join(spark, sf):
+    from ..streaming.jobs import stream_stream_join
+
+    return stream_stream_join(spark, sf)
+
+
 # ---------------------------------------------- registration priority
 
 #: Queries whose oracle verdicts are already on record in

@@ -264,3 +264,58 @@ def stream_sliding_window(
         )
     )
     return _drain_to_memory(agg)
+
+
+def stream_stream_join(
+    spark: SparkSession,
+    sf_dir: str,
+    lookback: str = "30 minutes",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: click events joined to
+    the same user's view events within a ``lookback`` window -- the
+    attribution-join shape (view precedes click by at most 30 min).
+
+    Both sides carry watermarks and the join predicate bounds
+    ``view_ts`` on BOTH sides of ``click_ts``, which is what lets the
+    state store evict buffered rows once the watermark passes --
+    without the time bound, a stream-stream join buffers forever.
+    Inner-join rows emit as soon as both sides arrive (the watermark
+    gates only state cleanup, not emission), so on the bounded fixture
+    the drained result equals the equivalent batch self-join -- the
+    declared oracle.
+
+    100 TB posture: both streams shuffle-partition on ``user_id``;
+    per-key buffered state is bounded by rate x (lookback + delay).
+    """
+    path = _stage_stream_dir(spark, sf_dir, "events")
+    schema = spark.read.parquet(path).schema
+    events = spark.readStream.schema(schema).parquet(path)
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", delay)
+    )
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("view_user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", delay)
+    )
+    joined = clicks.join(
+        views,
+        F.expr(
+            f"""
+            user_id = view_user_id
+            AND view_ts BETWEEN click_ts - INTERVAL {lookback} AND click_ts
+            """
+        ),
+    ).select("user_id", "click_id", "view_id")
+    return _drain_to_memory(joined, mode="append")

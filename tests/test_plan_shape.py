@@ -257,3 +257,25 @@ def test_sql_q5_broadcasts_dims(spark, sf_small):
     # region + nation (and at this SF the other dims too) come in as
     # broadcast joins; the plan must contain at least two
     assert _nodes(plan, "BroadcastHashJoin") >= 2
+
+
+def test_bucketed_colocated_join_declared_query_no_join_exchange(spark, sf_small):
+    """The declared join_bucketed_colocated query's SMJ must read both
+    bucketed sides without an Exchange between scan and join (the
+    groupBy after the join is allowed its own exchange)."""
+    df = relational.join_bucketed_colocated(
+        spark,
+        load_table(spark, sf_small, "orders"),
+        load_table(spark, sf_small, "customer"),
+        table_suffix="_planshape",
+    )
+    plan = _formatted(df)
+    assert "SortMergeJoin" in plan
+    # no exchange may partition on either JOIN key anywhere in the
+    # plan -- the only allowed shuffle is the post-join groupBy on
+    # c_nationkey
+    assert "hashpartitioning(o_custkey" not in plan, "orders side shuffled"
+    assert "hashpartitioning(c_custkey" not in plan, "customer side shuffled"
+    assert "hashpartitioning(c_nationkey" in plan, "expected the groupBy exchange"
+    for t in ("orders_bkt_planshape", "customer_bkt_planshape"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -168,3 +168,38 @@ def test_watermarked_tumbling_window_emits_closed_windows(spark, sf_small):
     # the trailing (still-open) windows are withheld by design
     total = ev.select(F.window("ts", "1 hour"), "event_type").distinct().count()
     assert len(streamed) < total
+
+
+def test_stream_stream_join_equals_batch_self_join(spark, sf_small):
+    """Watermarked stream-stream inner join on bounded input emits
+    exactly the batch self-join's pairs (emission is match-driven;
+    the watermark gates only state cleanup)."""
+    from pyspark.sql import functions as F
+
+    from java_mapreduce_framework_spark.sources.tables import load_table
+    from java_mapreduce_framework_spark.streaming.jobs import stream_stream_join
+
+    streamed = {
+        (r["user_id"], r["click_id"], r["view_id"])
+        for r in stream_stream_join(spark, sf_small).collect()
+    }
+    ev = load_table(spark, sf_small, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("vuid"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    batch = {
+        (r["user_id"], r["click_id"], r["view_id"])
+        for r in clicks.join(
+            views,
+            F.expr(
+                "user_id = vuid AND view_ts BETWEEN click_ts - INTERVAL 30 MINUTES"
+                " AND click_ts"
+            ),
+        ).collect()
+    }
+    assert streamed == batch and len(streamed) > 0
