@@ -24,6 +24,7 @@ from collections.abc import Callable
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators import dedup, multimodal, relational, similarity, temporal, text
 from ..session import tune_session
@@ -1733,6 +1734,82 @@ def _stream_stream_join(spark, sf):
     from ..streaming.jobs import stream_stream_join
 
     return stream_stream_join(spark, sf)
+
+
+# ------------------------------------------- source round-trips (M1)
+
+
+@_register(
+    "source_csv_roundtrip",
+    """
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(length(text)) AS BIGINT) AS total_len
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    note="documents staged to quoted CSV, read back with declared "
+    "schema; content-sum oracle over the original parquet",
+)
+def _source_csv_roundtrip(spark, sf):
+    from ..sources.roundtrip import read_documents_csv
+
+    df = read_documents_csv(spark, sf)
+    return (
+        df.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(F.length("text")).alias("total_len"),
+        )
+        .orderBy("lang")
+    )
+
+
+@_register(
+    "source_jsonl_roundtrip",
+    """
+    SELECT source, count(*) AS n_docs,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(sum(length(text)) AS BIGINT) AS total_len
+    FROM documents GROUP BY source ORDER BY source
+    """,
+    note="documents staged to JSON-lines, read back with declared schema",
+)
+def _source_jsonl_roundtrip(spark, sf):
+    from ..sources.roundtrip import read_documents_jsonl
+
+    df = read_documents_jsonl(spark, sf)
+    return (
+        df.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum(F.length("text")).alias("total_len"),
+        )
+        .orderBy("source")
+    )
+
+
+@_register(
+    "source_partitioned_pruned",
+    """
+    SELECT event_type, count(*) AS n_events,
+           round(sum(value), 2) AS total_value,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events WHERE event_type = 'click' GROUP BY event_type
+    """,
+    note="events staged partitioned by event_type; the filter prunes "
+    "partition directories at the scan (PartitionFilters plan-asserted)",
+)
+def _source_partitioned_pruned(spark, sf):
+    from ..sources.roundtrip import read_events_partitioned
+
+    df = read_events_partitioned(spark, sf).filter(F.col("event_type") == "click")
+    return df.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
 
 
 # ---------------------------------------------- registration priority

@@ -1,0 +1,96 @@
+"""Source/sink round-trips: the engine's non-parquet intake formats,
+declared as oracle-checked queries.
+
+The reference's only source is a directory of ``key\tvalue`` text
+files (``worker/WorkerServlet.java:512-529``) -- already covered by
+``read_kv_text_dir`` and the disk-to-disk Job API query. This module
+covers the formats a real pipeline ingests alongside parquet: CSV
+with an explicit schema, JSON-lines, and a partitioned parquet layout
+whose partition column prunes at the scan.
+
+Each staging function writes the fixture table into
+``.tmp/roundtrip/`` once per (sf, format) and returns the path; the
+declared queries read the staged copy back and aggregate, so the
+oracle (the same aggregate over the original parquet) verifies the
+round-trip preserved content, not just row counts.
+
+100 TB posture: CSV/JSON are *ingest* formats -- schema declared
+up front (no inference pass over 100 TB), then immediately landed to
+columnar storage; the partitioned layout is the write side of
+partition pruning (``PartitionFilters`` at the scan, asserted in
+tests/test_bucketing.py).
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .tables import load_table
+
+_REPO_ROOT = pathlib.Path(__file__).resolve().parents[2]
+
+#: Explicit ingest schema for documents: inference is a full extra
+#: pass over the data -- never acceptable at scale.
+DOCUMENTS_DDL = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _stage(spark: SparkSession, sf_dir: str, fmt: str) -> pathlib.Path:
+    sf_name = pathlib.Path(sf_dir).name
+    stage = _REPO_ROOT / ".tmp" / "roundtrip" / f"{sf_name}_{fmt}"
+    done = stage / "_STAGED"
+    if not done.exists():
+        if fmt == "documents_csv":
+            (
+                load_table(spark, sf_dir, "documents")
+                .write.mode("overwrite")
+                .option("header", True)
+                .option("quoteAll", True)
+                .csv(str(stage / "data"))
+            )
+        elif fmt == "documents_jsonl":
+            (
+                load_table(spark, sf_dir, "documents")
+                .write.mode("overwrite")
+                .json(str(stage / "data"))
+            )
+        elif fmt == "events_partitioned":
+            (
+                load_table(spark, sf_dir, "events")
+                .write.mode("overwrite")
+                .partitionBy("event_type")
+                .parquet(str(stage / "data"))
+            )
+        else:  # pragma: no cover - guarded by callers
+            raise ValueError(f"unknown roundtrip format {fmt!r}")
+        done.touch()
+    return stage / "data"
+
+
+def read_documents_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents staged to quoted, headered CSV and read back with the
+    declared schema (no inference scan)."""
+    path = _stage(spark, sf_dir, "documents_csv")
+    return (
+        spark.read.schema(DOCUMENTS_DDL)
+        .option("header", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(str(path))
+    )
+
+
+def read_documents_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents staged to JSON-lines and read back with the declared
+    schema -- the log-ingest shape."""
+    path = _stage(spark, sf_dir, "documents_jsonl")
+    return spark.read.schema(DOCUMENTS_DDL).json(str(path))
+
+
+def read_events_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events staged to a directory layout partitioned by event_type;
+    a filter on the partition column prunes directories at the scan
+    (PartitionFilters, not data skipping)."""
+    path = _stage(spark, sf_dir, "events_partitioned")
+    return spark.read.parquet(str(path))

@@ -279,3 +279,22 @@ def test_bucketed_colocated_join_declared_query_no_join_exchange(spark, sf_small
     assert "hashpartitioning(c_nationkey" in plan, "expected the groupBy exchange"
     for t in ("orders_bkt_planshape", "customer_bkt_planshape"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_partitioned_source_query_prunes_partitions(spark, sf_small):
+    """The declared source_partitioned_pruned query's scan must carry
+    the event_type filter as a PartitionFilter (directory pruning),
+    not a post-scan filter."""
+    from pyspark.sql import functions as F
+
+    from java_mapreduce_framework_spark.sources.roundtrip import (
+        read_events_partitioned,
+    )
+
+    df = read_events_partitioned(spark, sf_small).filter(
+        F.col("event_type") == "click"
+    )
+    plan = _formatted(df)
+    assert "PartitionFilters" in plan
+    pf_line = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
+    assert "event_type" in pf_line
