@@ -387,6 +387,34 @@ def tfidf_top_terms(documents: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
+def lm_unigram_score(documents: DataFrame) -> DataFrame:
+    """Per-document unigram language-model score: the average token
+    log-probability under the corpus's own unigram distribution (the
+    cheap end of the perplexity-filtering family used to rank training
+    documents; a doc of rare tokens scores low, boilerplate scores
+    high).
+
+    Plan: one token explosion feeding two aggregates (unigram counts
+    keyed on word, per-doc average keyed on doc_id) plus a 1-row
+    broadcast corpus total -- the same two-branch shape as
+    ``tfidf_top_terms``. No OOV smoothing is needed because the model
+    is fit on the scored corpus itself; a held-out model would add
+    Laplace smoothing in the same expression. All JVM-side; shuffles
+    key on word then doc_id."""
+    words = words_exploded(documents)
+    counts = words.groupBy("word").agg(F.count("*").alias("c"))
+    total = words.select(F.count("*").alias("t"))
+    return (
+        words.join(counts, "word")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("c") / F.col("t"))), 4).alias("avg_logprob"),
+        )
+    )
+
+
 def curation_pipeline(
     documents: DataFrame,
     min_quality: float = 0.2,

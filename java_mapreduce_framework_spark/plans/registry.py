@@ -1736,6 +1736,23 @@ def _stream_stream_join(spark, sf):
     return stream_stream_join(spark, sf)
 
 
+@_register(
+    "lm_unigram_score",
+    f"""
+    {_WORDS_CTE},
+    cnt AS (SELECT word, count(*) AS c FROM words GROUP BY word),
+    tot AS (SELECT count(*) * 1.0 AS t FROM words)
+    SELECT doc_id, count(*) AS n_tokens,
+           round(avg(ln(c / t)), 4) AS avg_logprob
+    FROM words JOIN cnt USING (word), tot
+    GROUP BY doc_id
+    """,
+    note="unigram-LM avg token log-probability (perplexity-filter family)",
+)
+def _lm_unigram_score(spark, sf):
+    return text.lm_unigram_score(_t(spark, sf, "documents"))
+
+
 # ------------------------------------------- source round-trips (M1)
 
 
