@@ -328,15 +328,19 @@ def ann_lsh(
             "qid", "qe", "qn", "band_id",
             F.explode(F.array_distinct(F.array(*probes))).alias("bucket"),
         )
+    # Score BEFORE deduplicating: a pair matched by several bands is
+    # re-scored (cheap, deterministic) but the candidate shuffle then
+    # carries (qid, nid, cos) triples instead of two embedding
+    # vectors per row -- ~20x fewer shuffle bytes, which is what
+    # matters at corpus scale. distinct() is exact because the score
+    # is a pure function of the pair.
     cand = (
         corpus.join(F.broadcast(q), ["band_id", "bucket"])
         .filter(F.col("nid") != F.col("qid"))
-        .select("qid", "qe", "qn", "nid", "ne", "nn")
-        .distinct()
     )
     scored = cand.select(
         "qid", "nid", F.round(_cos_hoisted(), 6).alias("cos_sim")
-    )
+    ).distinct()
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid"))
     return (
         scored.select("qid", "nid", "cos_sim", F.row_number().over(w).alias("rnk"))
