@@ -483,3 +483,30 @@ def join_bucketed_colocated(
         F.count("*").alias("n_orders"),
         F.round(F.sum(_dec2("o_totalprice")).cast("double"), 2).alias("total_spend"),
     )
+
+
+def join_full_outer(orders: DataFrame) -> DataFrame:
+    """Full outer join of two per-customer aggregates (big spenders vs
+    recent buyers): rows survive from EITHER side, keys coalesced.
+    MapReduce encodes this as reduce over the tagged union of both
+    sides (reference licence: the grouped reduce,
+    ``worker/ReduceThread.java:60-66``); Spark keeps it one shuffle
+    join of two pre-aggregated sides."""
+    big = (
+        orders.filter(F.col("o_totalprice") > 400000)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_big"))
+    )
+    recent = (
+        orders.filter(F.col("o_orderdate") >= "1999-06-01")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_recent"))
+    )
+    return (
+        big.join(recent, "o_custkey", "full_outer")
+        .select(
+            F.col("o_custkey"),
+            F.coalesce("n_big", F.lit(0)).alias("n_big"),
+            F.coalesce("n_recent", F.lit(0)).alias("n_recent"),
+        )
+    )

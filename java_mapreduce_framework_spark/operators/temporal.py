@@ -251,3 +251,43 @@ def join_range_banded(events: DataFrame, window_s: int = 60) -> DataFrame:
         .filter(earlier & (dt <= window_s))
         .select("user_id", "eid_a", "eid_b", dt.cast("int").alias("dt_s"))
     )
+
+
+def window_lead_delta(events: DataFrame) -> DataFrame:
+    """Per-user gap to the NEXT event (lead window): the inter-arrival
+    series that feeds dwell-time and session-gap analyses. One hash
+    shuffle on user_id + one sort; ties broken by event_id so the
+    series is deterministic."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    # exact integer microsecond difference, ONE division -- identical
+    # float result in any engine (a double-cast-then-subtract loses
+    # precision at epoch magnitude)
+    gap = (F.unix_micros(nxt) - F.unix_micros(F.col("ts"))) / F.lit(1_000_000.0)
+    return events.select("user_id", "event_id", gap.alias("gap_s"))
+
+
+def ordered_event_sequences(events: DataFrame, max_len: int = 50) -> DataFrame:
+    """Per-user ordered action sequence as a delimited string -- the
+    session-to-token-sequence construction step of a behavioral
+    training pipeline. collect_list is UNORDERED by contract, so the
+    order is imposed inside the row: collect structs, array_sort on
+    (ts, event_id), project the action, join. One shuffle on user_id;
+    per-user state is bounded by ``max_len`` (slice after sort).
+    """
+    seq = F.slice(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda s: s["event_type"],
+        ),
+        1,
+        max_len,
+    )
+    return events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.concat_ws(",", seq).alias("action_seq"),
+    )

@@ -1454,6 +1454,17 @@ def _sql_dormant_customers(spark, sf):
 
 
 @_register(
+    "sql_grouping_sets",
+    None,
+    note="explicit GROUPING SETS marginals + grouping() flags",
+)
+def _sql_grouping_sets(spark, sf):
+    from .sql import GROUPING_SETS_MARGINALS, run_sql
+
+    return run_sql(spark, sf, GROUPING_SETS_MARGINALS)
+
+
+@_register(
     "sql_returned_revenue",
     None,
     note="TPC-H-style Q10 shape: returned-item revenue top-k",
@@ -1482,6 +1493,7 @@ def _attach_sql_oracles() -> None:
         ("sql_bracketed_revenue", _sql.BRACKETED_REVENUE),
         ("sql_dormant_customers", _sql.DORMANT_CUSTOMERS),
         ("sql_returned_revenue", _sql.RETURNED_REVENUE),
+        ("sql_grouping_sets", _sql.GROUPING_SETS_MARGINALS),
     ):
         spec = _REGISTRY[name]
         _REGISTRY[name] = QuerySpec(spec.name, spec.fn, stmt, spec.note)
@@ -1751,6 +1763,52 @@ def _stream_stream_join(spark, sf):
 )
 def _lm_unigram_score(spark, sf):
     return text.lm_unigram_score(_t(spark, sf, "documents"))
+
+
+@_register(
+    "join_full_outer",
+    """
+    WITH big AS (SELECT o_custkey, count(*) AS n_big FROM orders
+                 WHERE o_totalprice > 400000 GROUP BY o_custkey),
+    recent AS (SELECT o_custkey, count(*) AS n_recent FROM orders
+               WHERE o_orderdate >= '1999-06-01' GROUP BY o_custkey)
+    SELECT coalesce(big.o_custkey, recent.o_custkey) AS o_custkey,
+           coalesce(n_big, 0) AS n_big, coalesce(n_recent, 0) AS n_recent
+    FROM big FULL OUTER JOIN recent ON big.o_custkey = recent.o_custkey
+    """,
+    note="full outer join of two per-customer aggregates, keys coalesced",
+)
+def _join_full_outer(spark, sf):
+    return relational.join_full_outer(_t(spark, sf, "orders"))
+
+
+@_register(
+    "window_lead_delta",
+    f"""
+    SELECT user_id, event_id,
+           (epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+            - epoch_us(ts)) / 1000000.0 AS gap_s
+    FROM {_EVTS}
+    """,
+    note="per-user inter-arrival gaps via lead window; exact-micros arithmetic",
+)
+def _window_lead_delta(spark, sf):
+    return temporal.window_lead_delta(_t(spark, sf, "events"))
+
+
+@_register(
+    "ordered_event_sequences",
+    f"""
+    SELECT user_id, count(*) AS n_events,
+           array_to_string(list_slice(list(event_type ORDER BY ts, event_id),
+                                      1, 50), ',') AS action_seq
+    FROM {_EVTS}
+    GROUP BY user_id
+    """,
+    note="per-user ordered action sequence string (training-sequence build)",
+)
+def _ordered_event_sequences(spark, sf):
+    return temporal.ordered_event_sequences(_t(spark, sf, "events"))
 
 
 # ------------------------------------------- source round-trips (M1)

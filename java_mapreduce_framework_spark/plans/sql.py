@@ -232,3 +232,17 @@ GROUP BY c_custkey, c_name, n_name
 ORDER BY revenue DESC, c_custkey
 LIMIT 20
 """
+
+#: GROUPING SETS beyond rollup/cube: explicit per-dimension marginals
+#: plus the grand total, with grouping() flags disambiguating NULL
+#: group values from NULL data. One Expand + single aggregation.
+GROUPING_SETS_MARGINALS = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty,
+       CAST(grouping(l_returnflag) AS INT) AS g_flag,
+       CAST(grouping(l_linestatus) AS INT) AS g_status
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+ORDER BY g_flag, g_status, l_returnflag, l_linestatus
+"""
