@@ -510,3 +510,68 @@ def join_full_outer(orders: DataFrame) -> DataFrame:
             F.coalesce("n_recent", F.lit(0)).alias("n_recent"),
         )
     )
+
+
+def cdc_latest_wins(events: DataFrame, update_fraction_mod: int = 10) -> DataFrame:
+    """Upsert/merge compute semantics (CDC "latest version wins"): a
+    deterministic synthetic update batch (every ``update_fraction_mod``-th
+    event re-emitted 1 hour later with an amended value) is unioned
+    with the base, and one rank window per event_id keeps the newest
+    version. This is the MERGE INTO / compaction kernel of a mutable
+    table on an immutable store: union + per-key ordered dedup, a
+    single hash shuffle on the key.
+
+    At 100 TB the update batch is ≪ the base; partition-pruned
+    rewrites (dynamic partition overwrite, exercised in
+    tests/test_bucketing.py) bound the rewrite to touched partitions
+    while THIS operator is the per-partition merge step."""
+    base = events.select(
+        "event_id", "ts", "user_id", "event_type", "value", F.lit(0).alias("version")
+    )
+    updates = (
+        events.filter(F.pmod("event_id", F.lit(update_fraction_mod)) == 0)
+        .select(
+            "event_id",
+            (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts"),
+            "user_id",
+            "event_type",
+            F.round(F.col("value") * 2, 2).alias("value"),
+            F.lit(1).alias("version"),
+        )
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("version").desc(), F.col("ts").desc()
+    )
+    merged = (
+        base.unionByName(updates)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+    )
+    return merged.select(
+        "event_id", "ts", "user_id", "event_type", F.round("value", 2).alias("value"), "version"
+    )
+
+
+def sketch_hll_mergeable(events: DataFrame) -> DataFrame:
+    """Mergeable cardinality sketches: per-event-type HLL sketches of
+    the user set, PLUS the global estimate obtained by UNIONING the
+    per-group sketches (never re-scanning the data). Sketch
+    mergeability is the 100 TB cardinality pattern: partial sketches
+    combine map-side and roll up across partitions/days without a
+    second pass over raw data. Approximate by design -> rows-only
+    check; the engine test bounds the estimates against exact counts
+    and asserts merged == direct-global estimate."""
+    per_type = events.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sketch"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    per_type_est = per_type.select(
+        "event_type",
+        F.hll_sketch_estimate("sketch").alias("approx_users"),
+        "exact_users",
+    )
+    merged = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_users"),
+        F.lit(None).cast("bigint").alias("exact_users"),
+    ).select(F.lit("__all__").alias("event_type"), "approx_users", "exact_users")
+    return per_type_est.unionByName(merged)

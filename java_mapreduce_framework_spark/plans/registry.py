@@ -1811,6 +1811,37 @@ def _ordered_event_sequences(spark, sf):
     return temporal.ordered_event_sequences(_t(spark, sf, "events"))
 
 
+@_register(
+    "cdc_latest_wins",
+    f"""
+    WITH base AS (SELECT event_id, ts, user_id, event_type, value, 0 AS version
+                  FROM {_EVTS}),
+    upd AS (SELECT event_id, ts + INTERVAL 1 HOUR AS ts, user_id, event_type,
+                   round(value * 2, 2) AS value, 1 AS version
+            FROM {_EVTS} WHERE event_id % 10 = 0),
+    u AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+    r AS (SELECT *, row_number() OVER (PARTITION BY event_id
+                                       ORDER BY version DESC, ts DESC) AS rnk
+          FROM u)
+    SELECT event_id, ts, user_id, event_type, round(value, 2) AS value, version
+    FROM r WHERE rnk = 1
+    """,
+    note="upsert/merge kernel: union + latest-version-wins rank window",
+)
+def _cdc_latest_wins(spark, sf):
+    return relational.cdc_latest_wins(_t(spark, sf, "events"))
+
+
+@_register(
+    "sketch_hll_mergeable",
+    None,
+    note="mergeable HLL cardinality sketches (approximate by design); "
+    "merged-vs-direct equality and error bound asserted in tests",
+)
+def _sketch_hll_mergeable(spark, sf):
+    return relational.sketch_hll_mergeable(_t(spark, sf, "events"))
+
+
 # ------------------------------------------- source round-trips (M1)
 
 

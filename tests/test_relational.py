@@ -151,3 +151,44 @@ def test_sql_promo_share_invariants(spark, sf_small):
     row = run_sql(spark, sf_small, PROMO_SHARE).collect()[0]
     assert row["n_items"] > 0
     assert 0.0 < row["promo_revenue"] < row["total_revenue"]
+
+
+def test_sketch_hll_merged_equals_direct_and_bounds_error(spark, sf_small):
+    """Unioning per-group HLL sketches must give EXACTLY the estimate
+    of sketching the whole column (HLL merge is lossless for a fixed
+    config), and every estimate stays within 10% of exact."""
+    from pyspark.sql import functions as F
+
+    from java_mapreduce_framework_spark.operators.relational import (
+        sketch_hll_mergeable,
+    )
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_small, "events")
+    rows = {r["event_type"]: r for r in sketch_hll_mergeable(events).collect()}
+    direct = events.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("e")
+    ).first()["e"]
+    assert rows["__all__"]["approx_users"] == direct
+    exact_all = events.select("user_id").distinct().count()
+    assert abs(rows["__all__"]["approx_users"] - exact_all) <= 0.1 * exact_all
+    for t, r in rows.items():
+        if t == "__all__":
+            continue
+        assert abs(r["approx_users"] - r["exact_users"]) <= 0.1 * r["exact_users"]
+
+
+def test_cdc_latest_wins_keeps_one_newest_version_per_key(spark, sf_small):
+    from pyspark.sql import functions as F
+
+    from java_mapreduce_framework_spark.operators.relational import cdc_latest_wins
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_small, "events")
+    merged = cdc_latest_wins(events)
+    n_events = events.count()
+    assert merged.count() == n_events  # one surviving row per event_id
+    # every updated key carries version 1 and the doubled value
+    updated = merged.filter(F.col("event_id") % 10 == 0)
+    assert updated.filter(F.col("version") != 1).count() == 0
+    assert merged.filter((F.col("event_id") % 10 != 0) & (F.col("version") != 0)).count() == 0
