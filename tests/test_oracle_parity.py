@@ -21,6 +21,13 @@ FAMILIES = [
     "pii_redact",          # Java-vs-RE2 regexp dialect parity
     "corpus_mix",          # cross-engine md5 hash-sampling parity
     "grouping_cube",       # null-keyed grouping-set completion
+    "cdc_latest_wins",     # upsert kernel: union + version-rank window
+    "ordered_event_sequences",  # in-row ordered list aggregation
+    "window_lead_delta",   # exact-micros lead arithmetic
+    "lm_unigram_score",    # two-branch explosion + broadcast scalar
+    "source_csv_roundtrip",  # non-parquet ingest content preservation
+    "sql_grouping_sets",   # explicit grouping-set marginals via SQL intake
+    "join_full_outer",     # coalesced-key full outer join
 ]
 
 
