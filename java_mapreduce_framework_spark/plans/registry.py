@@ -1203,6 +1203,29 @@ def _similarity_ann_lsh_multiprobe(spark, sf):
 
 
 @_register(
+    "embedding_quantize_int8",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    m AS (SELECT vec_id, emb,
+                 list_max(list_transform(emb, x -> abs(x))) AS mx
+          FROM e),
+    u AS (SELECT vec_id, mx, unnest(emb) AS x,
+                 unnest(range(1, len(emb) + 1)) AS pos
+          FROM m)
+    SELECT vec_id, CAST(pos AS INT) AS pos,
+           CAST(CASE WHEN mx = 0 THEN 0
+                     ELSE floor(127 * x / mx + 0.5) END AS INT) AS q_val,
+           round(mx, 6) AS scale
+    FROM u
+    """,
+    note="symmetric int8 quantization, long form; floor(+0.5) for "
+    "engine-identical rounding",
+)
+def _embedding_quantize_int8(spark, sf):
+    return similarity.embedding_quantize_int8(_t(spark, sf, "embeddings"))
+
+
+@_register(
     "similarity_ann_ivf",
     None,
     note="IVF coarse-quantizer ANN; approximate by design -> rows-only",

@@ -100,3 +100,35 @@ def test_ann_ivf_full_probe_equals_exact(spark):
         for r in similarity.ann_ivf(emb, k=3, n_queries=1, n_cells=2, n_probe=2, sample_cap=4).collect()
     }
     assert ivf == exact
+
+
+def test_quantize_int8_bounds_and_reconstruction(spark, sf_small):
+    from java_mapreduce_framework_spark.operators.similarity import (
+        embedding_quantize_int8,
+    )
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    q = embedding_quantize_int8(emb)
+    from pyspark.sql import functions as F
+
+    stats = q.agg(
+        F.max(F.abs("q_val")).alias("maxq"),
+        # |x - q*scale/127| <= scale/254 + tiny float slack
+        F.max(
+            F.abs(
+                F.col("q_val") * F.col("scale") / 127
+            )
+        ).alias("max_deq"),
+    ).first()
+    assert stats["maxq"] <= 127
+    # reconstruction error bound checked row-wise against originals
+    orig = emb.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "x")
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "x")
+    joined = q.join(orig, ["vec_id", "pos"])
+    bad = joined.filter(
+        F.abs(F.col("x") - F.col("q_val") * F.col("scale") / 127)
+        > F.col("scale") / 254 + 1e-6
+    ).count()
+    assert bad == 0
