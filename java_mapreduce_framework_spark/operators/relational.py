@@ -464,12 +464,24 @@ def join_bucketed_colocated(
     broadcast thresholds. Result is identical to the plain equi-join,
     which is the declared oracle.
     """
+    import pathlib
+    import shutil
+    from urllib.parse import urlparse
+
     specs = (
         (f"orders_bkt{table_suffix}", orders, "o_custkey"),
         (f"customer_bkt{table_suffix}", customer, "c_custkey"),
     )
+    warehouse = pathlib.Path(
+        urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")).path
+        or "spark-warehouse"
+    )
     for name, df, key in specs:
         if not spark.catalog.tableExists(name):
+            # a fresh session's catalog is empty even when a previous
+            # session left the managed location on disk; saveAsTable
+            # refuses to reuse it, so clear the disposable staging dir
+            shutil.rmtree(warehouse / name, ignore_errors=True)
             (
                 df.write.mode("overwrite")
                 .bucketBy(buckets, key)

@@ -27,7 +27,14 @@ def _nodes(plan: str, name: str) -> int:
 #   similarity_topk: broadcasts the fixed query-vector set over the
 #     corpus scan (the brute-force Q x N baseline by design)
 #   quality_stratify: broadcasts the 1-row quartile-threshold tuple
-ALLOWED_NESTED_LOOP = {"tfidf_top_terms", "similarity_topk", "quality_stratify"}
+#: Queries whose BroadcastNestedLoopJoin is a deliberate 1-row (or
+#: tiny-side) broadcast scalar/cross join, not an accident.
+ALLOWED_NESTED_LOOP = {
+    "tfidf_top_terms",
+    "similarity_topk",
+    "quality_stratify",
+    "lm_unigram_score",  # 1-row broadcast corpus-total scalar
+}
 
 
 def test_no_unintended_nested_loops_or_cartesians(spark, sf_small):
