@@ -22,3 +22,26 @@ def test_load_table_pushdown_projection(spark, sf_small):
     df = load_table(spark, sf_small, "lineitem").select("l_orderkey")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "l_orderkey" in plan
+
+
+def test_csv_roundtrip_preserves_rows_exactly(spark, sf_small):
+    from java_mapreduce_framework_spark.sources.roundtrip import (
+        read_documents_csv,
+        read_documents_jsonl,
+    )
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    orig = {
+        (r["doc_id"], r["text"], r["lang"], r["source"], r["n_chars"])
+        for r in load_table(spark, sf_small, "documents").collect()
+    }
+    via_csv = {
+        (r["doc_id"], r["text"], r["lang"], r["source"], r["n_chars"])
+        for r in read_documents_csv(spark, sf_small).collect()
+    }
+    via_jsonl = {
+        (r["doc_id"], r["text"], r["lang"], r["source"], r["n_chars"])
+        for r in read_documents_jsonl(spark, sf_small).collect()
+    }
+    assert via_csv == orig
+    assert via_jsonl == orig
