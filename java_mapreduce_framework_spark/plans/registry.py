@@ -1941,6 +1941,30 @@ def _source_partitioned_pruned(spark, sf):
     )
 
 
+@_register(
+    "source_schema_evolution",
+    """
+    SELECT event_type, count(*) AS n_events,
+           CAST(count(*) FILTER (WHERE event_id % 2 = 1) AS BIGINT) AS n_with_props
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    note="mergeSchema read over batches written before/after a column "
+    "was added; old rows surface NULL for the new column",
+)
+def _source_schema_evolution(spark, sf):
+    from ..sources.roundtrip import read_events_schema_evolved
+
+    df = read_events_schema_evolved(spark, sf)
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count("props").alias("n_with_props"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------- registration priority
 
 #: Queries whose oracle verdicts are already on record in

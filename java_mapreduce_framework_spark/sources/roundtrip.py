@@ -94,3 +94,24 @@ def read_events_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     (PartitionFilters, not data skipping)."""
     path = _stage(spark, sf_dir, "events_partitioned")
     return spark.read.parquet(str(path))
+
+
+def read_events_schema_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on an append-only dataset: batch 1 was written
+    BEFORE the ``props`` column existed, batch 2 after.
+    ``mergeSchema=true`` unifies the footers at read time; old rows
+    surface NULL for the added column -- the canonical grow-a-column
+    path for a dataset too large to rewrite. (Per-file footer merging
+    costs a planning pass; production pins the unified schema in a
+    table catalog instead of re-merging every read.)"""
+    sf_name = pathlib.Path(sf_dir).name
+    stage = _REPO_ROOT / ".tmp" / "roundtrip" / f"{sf_name}_events_evolved"
+    done = stage / "_STAGED"
+    if not done.exists():
+        events = load_table(spark, sf_dir, "events")
+        old = events.filter("event_id % 2 = 0").drop("props")
+        new = events.filter("event_id % 2 = 1")
+        old.write.mode("overwrite").parquet(str(stage / "data" / "batch=1"))
+        new.write.mode("overwrite").parquet(str(stage / "data" / "batch=2"))
+        done.touch()
+    return spark.read.option("mergeSchema", True).parquet(str(stage / "data"))
