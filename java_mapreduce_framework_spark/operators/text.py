@@ -415,6 +415,29 @@ def lm_unigram_score(documents: DataFrame) -> DataFrame:
     )
 
 
+def text_feature_hashing(documents: DataFrame, dim: int = 64) -> DataFrame:
+    """Hashing-trick text vectorization (feature hashing a la
+    Weinberger et al.): each token hashes to a dimension in [0, dim)
+    with a +/-1 sign bit, summed per (doc, dimension). Sparse long
+    form (doc_id, dim, feat_val) -- zero dims are absent, so output
+    size tracks token diversity, not dim x docs.
+
+    Engine-portable by construction: dimension and sign derive from
+    md5 hex prefixes (the repo's cross-engine hash discipline, like
+    ``sample_deterministic``), integer arithmetic end to end. One
+    explosion, one partial+final hash aggregation -- the vocabulary-
+    free embedding step of a bag-of-words training pipeline at any
+    scale (no vocabulary build pass, no OOV)."""
+    words = words_exploded(documents)
+    h = F.conv(F.substring(F.md5("word"), 1, 4), 16, 10).cast("bigint")
+    sign_bit = F.conv(F.substring(F.md5("word"), 5, 1), 16, 10).cast("bigint") % 2
+    sign = F.when(sign_bit == 0, F.lit(1)).otherwise(F.lit(-1))
+    return (
+        words.groupBy("doc_id", F.pmod(h, F.lit(dim)).cast("int").alias("dim"))
+        .agg(F.sum(sign).alias("feat_val"))
+    )
+
+
 def curation_pipeline(
     documents: DataFrame,
     min_quality: float = 0.2,

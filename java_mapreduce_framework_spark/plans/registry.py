@@ -1942,6 +1942,26 @@ def _source_partitioned_pruned(spark, sf):
 
 
 @_register(
+    "text_feature_hashing",
+    f"""
+    {_WORDS_CTE},
+    f AS (SELECT doc_id,
+                 CAST(CAST(concat('0x', substr(md5(word), 1, 4)) AS BIGINT) % 64
+                      AS INT) AS dim,
+                 CASE WHEN CAST(concat('0x', substr(md5(word), 5, 1)) AS BIGINT) % 2 = 0
+                      THEN 1 ELSE -1 END AS sign
+          FROM words)
+    SELECT doc_id, dim, CAST(sum(sign) AS BIGINT) AS feat_val
+    FROM f GROUP BY doc_id, dim
+    """,
+    note="hashing-trick bag-of-words vectors, sparse long form; "
+    "md5-derived dims/signs are engine-portable integers",
+)
+def _text_feature_hashing(spark, sf):
+    return text.text_feature_hashing(_t(spark, sf, "documents"))
+
+
+@_register(
     "source_schema_evolution",
     """
     SELECT event_type, count(*) AS n_events,
