@@ -1942,6 +1942,30 @@ def _source_partitioned_pruned(spark, sf):
 
 
 @_register(
+    "sink_compaction_roundtrip",
+    """
+    SELECT event_type, count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    note="64-tiny-file layout compacted to block-sized files (round-"
+    "robin repartition, file count from source bytes); content oracle",
+)
+def _sink_compaction_roundtrip(spark, sf):
+    from ..sources.roundtrip import compacted_events
+
+    df = compacted_events(spark, sf)
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_register(
     "text_feature_hashing",
     f"""
     {_WORDS_CTE},

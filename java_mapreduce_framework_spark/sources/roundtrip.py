@@ -96,6 +96,31 @@ def read_events_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(str(path))
 
 
+def compacted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction round-trip: a deliberately fragmented
+    copy of events (64 tiny files, the pathological ingest layout) is
+    compacted by ``sinks.compact_parquet_dir`` and read back. The
+    fragmented copy stages once; compaction reruns per call (it IS the
+    operator under test). File-count reduction is asserted in tests;
+    the declared oracle verifies content preservation."""
+    from .sinks import compact_parquet_dir
+
+    sf_name = pathlib.Path(sf_dir).name
+    stage = _REPO_ROOT / ".tmp" / "roundtrip" / f"{sf_name}_events_fragmented"
+    done = stage / "_STAGED"
+    if not done.exists():
+        (
+            load_table(spark, sf_dir, "events")
+            .repartition(64)
+            .write.mode("overwrite")
+            .parquet(str(stage / "data"))
+        )
+        done.touch()
+    return compact_parquet_dir(
+        spark, str(stage / "data"), str(stage / "compacted")
+    )
+
+
 def read_events_schema_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution on an append-only dataset: batch 1 was written
     BEFORE the ``props`` column existed, batch 2 after.

@@ -93,3 +93,22 @@ def test_partitioned_write_prunes_on_readback(spark, sf_small, tmp_path):
     assert "lang" in part_line
     n_en = load_table(spark, sf_small, "documents").filter("lang = 'en'").count()
     assert back.count() == n_en
+
+
+def test_compaction_reduces_file_count_preserving_rows(spark, sf_small):
+    import pathlib
+
+    from java_mapreduce_framework_spark.sources.roundtrip import (
+        _REPO_ROOT,
+        compacted_events,
+    )
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    out = compacted_events(spark, sf_small)
+    sf_name = pathlib.Path(sf_small).name
+    stage = _REPO_ROOT / ".tmp" / "roundtrip" / f"{sf_name}_events_fragmented"
+    n_frag = len(list((stage / "data").glob("part-*")))
+    n_comp = len(list((stage / "compacted").glob("part-*")))
+    assert n_frag >= 64
+    assert n_comp < n_frag
+    assert out.count() == load_table(spark, sf_small, "events").count()
