@@ -497,6 +497,24 @@ def join_bucketed_colocated(
     )
 
 
+def window_ntile(orders: DataFrame, buckets: int = 4) -> DataFrame:
+    """Per-customer spend quartiles via ntile: equal-count buckets
+    WITHIN each key's partition (contrast ``quality_stratify``, which
+    deliberately avoids a GLOBAL ntile -- one partition sorting the
+    whole corpus; per-group ntile keys the sort to the group and
+    scales like any other window). Deterministic: ordering ties broken
+    by the unique order key."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.ntile(buckets).over(w).alias("spend_quartile"),
+    )
+
+
 def join_full_outer(orders: DataFrame) -> DataFrame:
     """Full outer join of two per-customer aggregates (big spenders vs
     recent buyers): rows survive from EITHER side, keys coalesced.

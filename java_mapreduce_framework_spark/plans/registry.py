@@ -1789,6 +1789,22 @@ def _lm_unigram_score(spark, sf):
 
 
 @_register(
+    "window_ntile",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(ntile(4) OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey) AS INT)
+               AS spend_quartile
+    FROM orders
+    """,
+    note="per-group equal-count buckets; global ntile deliberately "
+    "avoided (see quality_stratify)",
+)
+def _window_ntile(spark, sf):
+    return relational.window_ntile(_t(spark, sf, "orders"))
+
+
+@_register(
     "join_full_outer",
     """
     WITH big AS (SELECT o_custkey, count(*) AS n_big FROM orders
