@@ -85,6 +85,7 @@ def run_job(
     input_df: DataFrame,
     num_partitions: int | None = None,
     counters: JobCounters | None = None,
+    combine: bool = False,
 ) -> DataFrame:
     """Execute a Job over DataFrame(key string, value string) ->
     DataFrame(key string, value string).
@@ -105,6 +106,17 @@ def run_job(
     MapReduce jobs classically rely on it (the secondary-sort idiom).
     Python's code-point sort matches the C-locale bytewise sort for
     UTF-8 (UTF-8 preserves code-point order).
+
+    **Combiner** (``combine=True``): the Hadoop-style map-side
+    pre-aggregation the reference never had -- the job's ``reduce``
+    runs once per key WITHIN each Arrow batch before the shuffle, so
+    the exchange carries one partial per (batch, key) instead of one
+    row per map emission. Correct exactly when ``reduce`` is
+    associative and emits values mergeable by another ``reduce`` pass
+    (the classic combiner-eligibility contract; WordCount's sum
+    qualifies). This matches Hadoop's "combiner may run zero or more
+    times" semantics -- the final reduce still sees a valid value
+    multiset, just pre-folded.
     """
     if isinstance(job_cls, str):
         job_cls = resolve_job(job_cls)
@@ -119,6 +131,17 @@ def run_job(
                     values.append(ov)
             if counters is not None:
                 counters.keys_read.add(len(pdf))
+            if combine and keys:
+                groups: dict[str, list] = {}
+                for ok, ov in zip(keys, values):
+                    groups.setdefault(ok, []).append(ov)
+                keys, values = [], []
+                for gk in groups:
+                    vs = sorted(groups[gk], key=lambda v: (v is not None, v))
+                    for ck, cv in job.reduce(gk, vs):
+                        keys.append(ck)
+                        values.append(cv)
+            if counters is not None:
                 counters.keys_written.add(len(keys))
             yield pd.DataFrame({"key": pd.Series(keys, dtype="object"),
                                 "value": pd.Series(values, dtype="object")})

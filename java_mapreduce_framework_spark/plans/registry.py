@@ -1551,6 +1551,21 @@ def _jobapi_wordcount(spark, sf):
 
 
 @_register(
+    "jobapi_wordcount_combined",
+    _WORDS_CTE + "SELECT word, count(*) AS cnt FROM words GROUP BY word",
+    note="WordCount with the Hadoop-style map-side combiner "
+    "(combine=True): shuffle carries per-batch partials; same result",
+)
+def _jobapi_wordcount_combined(spark, sf):
+    from pyspark.sql import functions as F
+
+    from .jobs import WordCountJob, run_job
+
+    out = run_job(WordCountJob, _kv_documents(spark, sf), combine=True)
+    return out.select(F.col("key").alias("word"), F.col("value").cast("bigint").alias("cnt"))
+
+
+@_register(
     "jobapi_wordcount_literal",
     _WORDS_CTE + "SELECT word, count(DISTINCT doc_id) AS n_docs FROM words GROUP BY word",
     note="bug-for-bug reference semantics (reduce = values.length)",

@@ -129,3 +129,21 @@ def test_wordcount_e2e_disk_to_disk_matches_batch(spark, sf_small):
         for r in wordcount(load_table(spark, sf_small, "documents")).collect()
     }
     assert e2e == batch
+
+
+def test_combiner_result_equals_uncombined(spark, sf_small):
+    """combine=True must be result-invariant for an associative job
+    while pre-folding map output (the Hadoop combiner contract)."""
+    from java_mapreduce_framework_spark.plans.jobs import WordCountJob, run_job
+    from java_mapreduce_framework_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_small, "documents")
+    kv = docs.select(
+        F.col("doc_id").cast("string").alias("key"), F.col("text").alias("value")
+    )
+    plain = {(r["key"], r["value"]) for r in run_job(WordCountJob, kv).collect()}
+    combined = {
+        (r["key"], r["value"]) for r in run_job(WordCountJob, kv, combine=True).collect()
+    }
+    assert combined == plain
