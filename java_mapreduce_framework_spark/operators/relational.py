@@ -497,6 +497,33 @@ def join_bucketed_colocated(
     )
 
 
+def stats_correlation(lineitem: DataFrame) -> DataFrame:
+    """Per-group Pearson correlation (quantity vs extended price) from
+    explicit first/second moments -- six SUMs and a COUNT in ONE
+    partial+final aggregation pass, then the closed-form combine. The
+    moment formulation is the map-side-combinable way to get
+    covariance/correlation at scale (Welford-style streaming update is
+    the numerically-safer single-machine form; over partitioned sums
+    the moments ARE the mergeable state). Written as the same explicit
+    expression on both engines rather than the built-in corr(), whose
+    internal update order is implementation-defined."""
+    agg = lineitem.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("l_quantity").alias("sx"),
+        F.sum("l_extendedprice").alias("sy"),
+        F.sum(F.col("l_quantity") * F.col("l_quantity")).alias("sxx"),
+        F.sum(F.col("l_extendedprice") * F.col("l_extendedprice")).alias("syy"),
+        F.sum(F.col("l_quantity") * F.col("l_extendedprice")).alias("sxy"),
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return agg.select(
+        "l_returnflag", "n", F.round(corr, 4).alias("qty_price_corr")
+    )
+
+
 def window_ntile(orders: DataFrame, buckets: int = 4) -> DataFrame:
     """Per-customer spend quartiles via ntile: equal-count buckets
     WITHIN each key's partition (contrast ``quality_stratify``, which

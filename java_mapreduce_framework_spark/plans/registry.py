@@ -1804,6 +1804,29 @@ def _lm_unigram_score(spark, sf):
 
 
 @_register(
+    "stats_correlation",
+    """
+    WITH m AS (
+      SELECT l_returnflag, count(*) AS n,
+             sum(l_quantity) AS sx, sum(l_extendedprice) AS sy,
+             sum(l_quantity * l_quantity) AS sxx,
+             sum(l_extendedprice * l_extendedprice) AS syy,
+             sum(l_quantity * l_extendedprice) AS sxy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4)
+               AS qty_price_corr
+    FROM m
+    """,
+    note="Pearson corr from explicit mergeable moments (one agg pass); "
+    "same closed form on both engines",
+)
+def _stats_correlation(spark, sf):
+    return relational.stats_correlation(_t(spark, sf, "lineitem"))
+
+
+@_register(
     "window_ntile",
     """
     SELECT o_custkey, o_orderkey, o_totalprice,
