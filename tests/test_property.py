@@ -197,3 +197,38 @@ def test_pii_redact_idempotent_and_clean(texts):
     again_in = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in once.items()])
     twice = {r["doc_id"]: r["redacted"] for r in pii_redact(again_in).collect()}
     assert once == twice
+
+
+seq_events_strategy = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 5), st.integers(0, 3)),
+    min_size=1,
+    max_size=14,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(seq_events_strategy)
+def test_ordered_sequences_match_bruteforce(rows):
+    """ordered_event_sequences must impose (ts, event_id) order inside
+    each user's collected list -- heavy ts ties here make any reliance
+    on collect_list arrival order fail."""
+    from java_mapreduce_framework_spark.operators.temporal import (
+        ordered_event_sequences,
+    )
+
+    spark = _spark
+    df = spark.createDataFrame(
+        [(i, _ts(m), u, f"t{k}") for i, (u, m, k) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    got = {
+        r["user_id"]: (r["n_events"], r["action_seq"])
+        for r in ordered_event_sequences(df).collect()
+    }
+    expect = {}
+    for u in {u for (u, _, _) in rows}:
+        mine = sorted(
+            (( _ts(m), i, f"t{k}") for i, (uu, m, k) in enumerate(rows) if uu == u),
+        )
+        expect[u] = (len(mine), ",".join(t for _, _, t in mine[:50]))
+    assert got == expect
