@@ -462,3 +462,65 @@ def dedup_apply(documents: DataFrame) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "lang", "text")
     )
+
+
+def embedding_lsh_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.85,
+    n_planes: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding near-dup pairs via sign-LSH bucketing -- the
+    blocking-free complement of ``embedding_neardup_pairs`` (which
+    needs a label/blocking column): random-hyperplane band buckets
+    generate candidates, exact cosine verifies them, so precision is
+    exact and only recall is probabilistic (same contract as
+    ``dedup_minhash``).
+
+    Same consumed-once bucket-grouping shape as ``minhash_candidates``:
+    signatures are computed in the corpus scan, members collect per
+    (band, bucket), ordered pairs explode within buckets -- never a
+    band self-join (which would duplicate the signature subtree), and
+    vectors ride the bucket rows so verification needs no corpus
+    re-join. Deterministic for fixed seed; recall vs the exact
+    all-pairs baseline is asserted in tests, rows-only checked by the
+    driver (the hyperplanes are not expressible in the SQL oracle).
+    """
+    from .similarity import lsh_signature
+
+    sig = lsh_signature("embedding", n_planes, dim, bands, seed)
+    banded = embeddings.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("emb"),
+        F.explode(sig).alias("b"),
+    ).select("vec_id", "emb", "b.band_id", "b.bucket")
+    buckets = (
+        banded.groupBy("band_id", "bucket")
+        .agg(F.array_sort(F.collect_list(F.struct("vec_id", "emb"))).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    pairs = F.explode(
+        F.expr(
+            "flatten(transform(ms, (x, i) -> "
+            "transform(slice(ms, i + 2, size(ms)), y -> "
+            "struct(x.vec_id AS vec_a, y.vec_id AS vec_b, "
+            "x.emb AS ea, y.emb AS eb))))"
+        )
+    ).alias("p")
+    dot = F.aggregate(
+        F.zip_with(F.col("p.ea"), F.col("p.eb"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    cos = dot / (norm(F.col("p.ea")) * norm(F.col("p.eb")))
+    return (
+        buckets.select(pairs)
+        .select("p.vec_a", "p.vec_b", F.round(cos, 4).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+        .dropDuplicates(["vec_a", "vec_b"])
+    )

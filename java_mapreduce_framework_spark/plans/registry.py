@@ -1203,6 +1203,17 @@ def _similarity_ann_lsh_multiprobe(spark, sf):
 
 
 @_register(
+    "dedup_embedding_lsh",
+    None,
+    note="blocking-free embedding near-dup: sign-LSH bucket candidates "
+    "+ exact cosine verify; recall vs all-pairs asserted in tests "
+    "(threshold 0.35: fixtures plant no true near-dups, see dedup_embedding)",
+)
+def _dedup_embedding_lsh(spark, sf):
+    return dedup.embedding_lsh_pairs(_t(spark, sf, "embeddings"), threshold=0.35)
+
+
+@_register(
     "embedding_quantize_int8",
     """
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

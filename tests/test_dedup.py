@@ -148,3 +148,34 @@ def test_decontaminate_df_cap_composes(spark, sf_small):
     uncapped = decontaminate_overlap(docs).count()
     capped = decontaminate_overlap(docs, df_cap=5).count()
     assert capped <= uncapped
+
+
+def test_embedding_lsh_pairs_precision_exact_and_recall_bounded(spark, sf_small):
+    """LSH-bucketed embedding near-dup: every emitted pair must truly
+    clear the cosine threshold (exact precision), and recall vs the
+    brute-force all-pairs baseline must stay useful."""
+    from pyspark.sql import functions as F
+
+    from java_mapreduce_framework_spark.operators.dedup import embedding_lsh_pairs
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    got = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in embedding_lsh_pairs(emb, threshold=0.35).collect()
+    }
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").cast("array<double>").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").cast("array<double>").alias("eb"))
+    dot = F.aggregate(F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    nrm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", (dot / (nrm(F.col("ea")) * nrm(F.col("eb")))).alias("cos"))
+        .filter(F.round("cos", 4) >= 0.35)
+        .collect()
+    }
+    assert set(got) <= exact  # exact precision
+    assert exact, "fixture produced no above-threshold pairs; test is vacuous"
+    assert len(got) / len(exact) >= 0.3, f"recall collapsed: {len(got)}/{len(exact)}"

@@ -298,3 +298,30 @@ def test_partitioned_source_query_prunes_partitions(spark, sf_small):
     assert "PartitionFilters" in plan
     pf_line = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
     assert "event_type" in pf_line
+
+
+def test_feature_hashing_partial_aggregation(spark, sf_small):
+    from java_mapreduce_framework_spark.operators.text import text_feature_hashing
+
+    plan = _formatted(text_feature_hashing(load_table(spark, sf_small, "documents")))
+    # one explosion feeding a map-side-combined hash aggregation
+    assert "partial_sum" in plan
+    assert _nodes(plan, "Exchange") == 1
+
+
+def test_cdc_latest_wins_single_shuffle(spark, sf_small):
+    from java_mapreduce_framework_spark.operators.relational import cdc_latest_wins
+
+    plan = _formatted(cdc_latest_wins(load_table(spark, sf_small, "events")))
+    # union is exchange-free; the only shuffle keys the rank window
+    assert _nodes(plan, "Exchange") == 1
+
+
+def test_stats_correlation_single_pass(spark, sf_small):
+    from java_mapreduce_framework_spark.operators.relational import stats_correlation
+
+    plan = _formatted(stats_correlation(load_table(spark, sf_small, "lineitem")))
+    # all six moments in ONE partial->final aggregation over one scan
+    assert "partial_sum" in plan
+    assert _nodes(plan, "Exchange") == 1
+    assert _nodes(plan, "Scan parquet") == 1
