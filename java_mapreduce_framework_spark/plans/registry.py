@@ -2051,6 +2051,23 @@ def _text_feature_hashing(spark, sf):
 
 
 @_register(
+    "stream_session_window_watermarked",
+    f"""
+    SELECT * FROM ({_SESSION_WINDOW_SQL})
+    WHERE session_end <= (SELECT max(CAST(ts AS TIMESTAMP))
+                          - INTERVAL 60 MINUTE FROM events)
+    """,
+    note="unbounded sessionization posture: watermark + session_window "
+    "+ append mode; sink holds sessions the watermark closed "
+    "(last event <= max ts - delay - gap)",
+)
+def _stream_session_window_watermarked(spark, sf):
+    from ..streaming.jobs import stream_session_window_watermarked
+
+    return stream_session_window_watermarked(spark, sf)
+
+
+@_register(
     "source_schema_evolution",
     """
     SELECT event_type, count(*) AS n_events,

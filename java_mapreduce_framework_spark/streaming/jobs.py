@@ -424,3 +424,37 @@ def stream_user_stats_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_events").alias("n_events"),
         F.max("total_value").alias("total_value"),
     )
+
+
+def stream_session_window_watermarked(
+    spark: SparkSession,
+    sf_dir: str,
+    gap: str = "30 minutes",
+    delay: str = "30 minutes",
+) -> DataFrame:
+    """Unbounded-posture sessionization: watermarked ``session_window``
+    in APPEND mode -- a session emits exactly once, when the watermark
+    passes its merged window end (last event + gap), and its state is
+    dropped. Completes the streaming window matrix next to the
+    watermarked tumbling query (fixed windows) and complete-mode
+    ``stream_sessionize`` (bounded-equality form).
+
+    Bounded-equivalence contract: the drained sink holds exactly the
+    batch sessions whose last event <= max event time - delay - gap
+    (window end = last event + gap, watermark = max - delay) --
+    verified empirically against the batch plan and encoded in the
+    declared oracle's HAVING cutoff. Trailing open sessions are
+    deliberately withheld, as on a live stream."""
+    path = _stage_stream_dir(spark, sf_dir, "events")
+    schema = spark.read.parquet(path).schema
+    events = spark.readStream.schema(schema).parquet(path).withWatermark("ts", delay)
+    agg = (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .select("user_id", "n_events", "session_start", "session_end")
+    )
+    return _drain_to_memory(agg, mode="append")
