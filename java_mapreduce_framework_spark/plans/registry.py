@@ -2051,6 +2051,101 @@ def _text_feature_hashing(spark, sf):
 
 
 @_register(
+    "time_heatmap",
+    f"""
+    SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+           CAST(hour(ts) AS INT) AS hour_of_day,
+           count(*) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM {_EVTS}
+    GROUP BY 1, 2
+    """,
+    note="dow x hour activity heatmap; 7x24-bounded output",
+)
+def _time_heatmap(spark, sf):
+    from ..operators import analytics
+
+    return analytics.time_heatmap(_t(spark, sf, "events"))
+
+
+@_register(
+    "hourly_anomaly_zscore",
+    f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket_hour,
+             count(*) AS n_events
+      FROM {_EVTS} GROUP BY 1, 2),
+    stats AS (
+      SELECT event_type, count(*) AS n, sum(n_events) AS sx,
+             sum(n_events * n_events) AS sxx
+      FROM hourly GROUP BY event_type)
+    SELECT event_type, CAST(bucket_hour AS TIMESTAMP) AS bucket_hour, n_events,
+           round((n_events - sx * 1.0 / n)
+                 / sqrt((sxx - sx * 1.0 * sx / n) / (n - 1)), 4) AS zscore
+    FROM hourly JOIN stats USING (event_type)
+    WHERE abs(round((n_events - sx * 1.0 / n)
+                    / sqrt((sxx - sx * 1.0 * sx / n) / (n - 1)), 4)) >= 2.5
+    """,
+    note="hourly count anomalies vs per-type moments (z >= 2.5); "
+    "stats side is one row per type, broadcast",
+)
+def _hourly_anomaly_zscore(spark, sf):
+    from ..operators import analytics
+
+    return analytics.hourly_anomaly_zscore(_t(spark, sf, "events"))
+
+
+@_register(
+    "retention_cohorts",
+    f"""
+    WITH first_seen AS (
+      SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+      FROM {_EVTS} GROUP BY user_id),
+    active AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+      FROM {_EVTS})
+    SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week,
+           CAST(date_diff('day', cohort_week, active_week) / 7 AS INT)
+               AS week_offset,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM active JOIN first_seen USING (user_id)
+    GROUP BY 1, 2
+    """,
+    note="weekly retention cohorts; output bounded by weeks^2",
+)
+def _retention_cohorts(spark, sf):
+    from ..operators import analytics
+
+    return analytics.retention_cohorts(_t(spark, sf, "events"))
+
+
+@_register(
+    "funnel_conversion",
+    f"""
+    WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    s1 AS (SELECT user_id, min(ts) AS t FROM e
+           WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t FROM e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'view' AND e.ts >= s1.t GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(e.ts) AS t FROM e JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'click' AND e.ts >= s2.t GROUP BY e.user_id),
+    s4 AS (SELECT e.user_id, min(e.ts) AS t FROM e JOIN s3 ON e.user_id = s3.user_id
+           WHERE e.event_type = 'purchase' AND e.ts >= s3.t GROUP BY e.user_id)
+    SELECT 'L1_signup' AS stage, count(*) AS n_users FROM s1
+    UNION ALL SELECT 'L2_view', count(*) FROM s2
+    UNION ALL SELECT 'L3_click', count(*) FROM s3
+    UNION ALL SELECT 'L4_purchase', count(*) FROM s4
+    """,
+    note="strict-order conversion funnel via min-ts chaining; "
+    "fixed plan depth, all shuffles keyed on user_id",
+)
+def _funnel_conversion(spark, sf):
+    from ..operators import analytics
+
+    return analytics.funnel_conversion(_t(spark, sf, "events"))
+
+
+@_register(
     "stream_session_window_watermarked",
     f"""
     SELECT * FROM ({_SESSION_WINDOW_SQL})

@@ -205,3 +205,14 @@ def test_approx_percentile_within_error_of_exact(spark, sf_small):
         assert abs(exact[t]["p50"] - approx[t]["p50"]) <= 0.05 * abs(spread)
         assert abs(exact[t]["p95"] - approx[t]["p95"]) <= 0.05 * abs(spread)
         assert exact[t]["p100"] == approx[t]["p100"]
+
+
+def test_funnel_counts_monotone_nonincreasing(spark, sf_small):
+    from java_mapreduce_framework_spark.operators.analytics import funnel_conversion
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    rows = funnel_conversion(load_table(spark, sf_small, "events")).collect()
+    by_stage = {r["stage"]: r["n_users"] for r in rows}
+    ordered = [by_stage[s] for s in sorted(by_stage)]
+    assert ordered == sorted(ordered, reverse=True)
+    assert ordered[0] > 0
