@@ -2243,9 +2243,55 @@ _RECORDED_ROUND2 = frozenset(
 )
 
 
+#: Names recorded by the round-3 sweep (CORRECTNESS_r03.json).
+_RECORDED_ROUND3 = frozenset(
+    {
+        "cdc_latest_wins", "dedup_embedding_lsh", "embedding_quantize_int8",
+        "funnel_conversion", "groupby_argmax", "grouping_cube",
+        "grouping_rollup", "hourly_anomaly_zscore",
+        "jobapi_wordcount_combined", "join_broadcast",
+        "join_bucketed_colocated", "join_equi_inner", "join_full_outer",
+        "join_left_outer", "join_semi_anti", "join_skew_salted",
+        "json_extract", "lm_unigram_score", "ordered_event_sequences",
+        "retention_cohorts", "set_except", "set_intersect", "set_union",
+        "similarity_ann_lsh_multiprobe", "sink_compaction_roundtrip",
+        "sketch_hll_mergeable", "sort_global", "source_csv_roundtrip",
+        "source_jsonl_roundtrip", "source_partitioned_pruned",
+        "source_schema_evolution", "sql_big_orders", "sql_bracketed_revenue",
+        "sql_dormant_customers", "sql_grouping_sets",
+        "sql_order_priority_check", "sql_parts_supplier_spread",
+        "sql_priority_shipments", "sql_returned_revenue",
+        "stats_correlation", "stream_session_window_watermarked",
+        "stream_stream_join", "text_feature_hashing", "time_heatmap",
+        "topk", "unpivot_metrics", "window_lead_delta", "window_ntile",
+        "window_rank", "window_running_agg",
+    }
+)
+
+
+#: Queries whose oracle SQL gained real content verification AFTER their
+#: last recorded verdict (round 3 upgraded the multimodal oracles from
+#: rows-only to byte-level content checks; the official record is still
+#: the round-2 rows-only verdict). Treated as never-recorded so the next
+#: sweep captures the upgraded verdict.
+_ORACLE_UPGRADED_UNRECORDED = frozenset(
+    {
+        "multimodal_frame_sample",
+        "multimodal_resize",
+        "multimodal_audio_features",
+    }
+)
+
+
 def _record_staleness(name: str) -> int:
-    """0 = never officially recorded (front of the sweep), 1 = last
-    recorded round 1 (stale), 2 = recorded round 2 (freshest)."""
+    """0 = never officially recorded (front of the sweep), then the
+    round whose sweep last recorded the name (lower = staler verdict).
+    A query whose oracle was upgraded after recording counts as
+    unrecorded: the verdict on file does not describe today's check."""
+    if name in _ORACLE_UPGRADED_UNRECORDED:
+        return 0
+    if name in _RECORDED_ROUND3:
+        return 3
     if name in _RECORDED_ROUND2:
         return 2
     if name in _RECORDED_ROUND1:
