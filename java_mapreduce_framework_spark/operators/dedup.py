@@ -295,7 +295,11 @@ def simhash_signatures(documents: DataFrame) -> DataFrame:
 
 
 def dedup_simhash(
-    documents: DataFrame, max_hamming: int = 3, bands: int = 4
+    documents: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    bucket_cap: int = 1000,
+    sub_bits: int = 16,
 ) -> DataFrame:
     """SimHash near-dup pairs: band the 64-bit fingerprint into
     ``bands`` chunks (pigeonhole: hamming <= bands-1 guarantees a
@@ -309,9 +313,26 @@ def dedup_simhash(
     sides. The fingerprints ride inside the bucket structs, so
     Hamming verification is pure expression work on the exploded
     pairs: the entire operator is one linear pipeline with two
-    shuffles (fingerprint agg, bucket group) and zero joins."""
+    shuffles (fingerprint agg, bucket group) and zero joins.
+
+    Scale guard: boilerplate-heavy corpora concentrate in a few hot
+    (band, chunk) cells, and the within-bucket pair explode is
+    quadratic in cell population. Cells over ``bucket_cap`` members
+    split deterministically on ``sub_bits`` bits of the fingerprint
+    drawn from the NEXT band's chunk (near-dups agree on those bits
+    whenever that band would also collide, so the loss mirrors
+    requiring a second band -- and exact duplicates, which share the
+    whole fingerprint, never split apart). The census is a windowed
+    count over the banded rows: same (band_id, chunk) shuffle the
+    bucket grouping needs anyway -- partitioning on a subset of the
+    group keys satisfies the aggregation's distribution, so no second
+    shuffle -- and the rows are 16-byte (doc_id, simhash) pairs, so
+    the window buffer is tiny even for hot cells."""
+    from pyspark.sql import Window
+
     width = 64 // bands
     sig = simhash_signatures(documents)
+    sub_mask = F.lit((1 << min(sub_bits, width)) - 1)
     chunk = F.array(
         *[
             F.struct(
@@ -319,15 +340,25 @@ def dedup_simhash(
                 F.shiftrightunsigned("simhash", j * width)
                 .bitwiseAND(F.lit((1 << width) - 1))
                 .alias("chunk"),
+                F.shiftrightunsigned("simhash", ((j + 1) % bands) * width)
+                .bitwiseAND(sub_mask)
+                .cast("int")
+                .alias("sub"),
             )
             for j in range(bands)
         ]
     )
     banded = sig.select("doc_id", "simhash", F.explode(chunk).alias("c")).select(
-        "doc_id", "simhash", "c.band_id", "c.chunk"
+        "doc_id", "simhash", "c.band_id", "c.chunk", "c.sub"
     )
+    w = Window.partitionBy("band_id", "chunk")
     buckets = (
-        banded.groupBy("band_id", "chunk")
+        banded.withColumn("bsz", F.count("*").over(w))
+        .withColumn(
+            "subb",
+            F.when(F.col("bsz") > bucket_cap, F.col("sub")).otherwise(F.lit(0)),
+        )
+        .groupBy("band_id", "chunk", "subb")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("ds"))
         .filter(F.size("ds") > 1)
     )
@@ -464,13 +495,71 @@ def dedup_apply(documents: DataFrame) -> DataFrame:
     )
 
 
+def embedding_lsh_buckets(
+    embeddings: DataFrame,
+    n_planes: int = 32,
+    bands: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+    bucket_cap: int = 1000,
+    sub_bits: int = 16,
+) -> DataFrame:
+    """Sign-LSH band buckets with a population cap: one row per
+    (band_id, bucket, subb) holding the sorted (vec_id, emb) member
+    structs. Buckets over ``bucket_cap`` members split deterministically
+    on ``sub_bits`` extra hyperplane sign bits (see
+    ``embedding_lsh_pairs`` for the full contract). Exposed separately
+    so tests can assert the bucket-size bound directly."""
+    from .similarity import _hyperplanes, lsh_signature
+
+    sig = lsh_signature("embedding", n_planes, dim, bands, seed)
+    emb = F.col("embedding").cast("array<double>")
+    sub_planes = _hyperplanes(sub_bits, dim, seed + 101)
+    sub_key = None
+    for i, p in enumerate(sub_planes):
+        dot = F.aggregate(
+            F.zip_with(emb, F.array(*[F.lit(x) for x in p]), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        term = F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sub_key = term if sub_key is None else sub_key + term
+
+    banded = embeddings.select(
+        "vec_id",
+        emb.alias("emb"),
+        sub_key.cast("int").alias("sub"),
+        F.explode(sig).alias("b"),
+    ).select("vec_id", "emb", "sub", "b.band_id", "b.bucket")
+    # Vector-free census branch: Catalyst prunes `embedding` down to the
+    # signature expressions; output is at most bands * 2^(planes/band)
+    # rows -- always broadcastable.
+    census = (
+        embeddings.select(F.explode(sig).alias("b"))
+        .groupBy("b.band_id", "b.bucket")
+        .agg(F.count("*").alias("bsz"))
+    )
+    return (
+        banded.join(F.broadcast(census), ["band_id", "bucket"])
+        .withColumn(
+            "subb",
+            F.when(F.col("bsz") > bucket_cap, F.col("sub")).otherwise(F.lit(0)),
+        )
+        .groupBy("band_id", "bucket", "subb")
+        .agg(F.array_sort(F.collect_list(F.struct("vec_id", "emb"))).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+
+
 def embedding_lsh_pairs(
     embeddings: DataFrame,
     threshold: float = 0.85,
-    n_planes: int = 16,
-    bands: int = 4,
+    n_planes: int = 32,
+    bands: int = 8,
     dim: int = 64,
     seed: int = 7,
+    bucket_cap: int = 1000,
+    sub_bits: int = 16,
 ) -> DataFrame:
     """Embedding near-dup pairs via sign-LSH bucketing -- the
     blocking-free complement of ``embedding_neardup_pairs`` (which
@@ -487,19 +576,22 @@ def embedding_lsh_pairs(
     re-join. Deterministic for fixed seed; recall vs the exact
     all-pairs baseline is asserted in tests, rows-only checked by the
     driver (the hyperplanes are not expressible in the SQL oracle).
-    """
-    from .similarity import lsh_signature
 
-    sig = lsh_signature("embedding", n_planes, dim, bands, seed)
-    banded = embeddings.select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("emb"),
-        F.explode(sig).alias("b"),
-    ).select("vec_id", "emb", "b.band_id", "b.bucket")
-    buckets = (
-        banded.groupBy("band_id", "bucket")
-        .agg(F.array_sort(F.collect_list(F.struct("vec_id", "emb"))).alias("ms"))
-        .filter(F.size("ms") > 1)
+    Scale guard (sign buckets are coarse -- 2^(n_planes/bands) cells
+    per band, so a bucket holds an N/cells slice of the corpus WITH
+    full vectors in one aggregation row): buckets whose population
+    exceeds ``bucket_cap`` are deterministically split on ``sub_bits``
+    extra hyperplane sign bits before the member-collect, bounding the
+    aggregation row ~cells*2^sub_bits-fold below N. Similar vectors
+    share sub-bits with the usual sign-LSH probability, so the recall
+    loss is confined to oversized buckets and behaves like one wider
+    band there. The population census reuses the signature expressions
+    on a vector-free projection and broadcasts (<= bands *
+    2^(n_planes/bands) rows), so the full vectors still shuffle exactly
+    once.
+    """
+    buckets = embedding_lsh_buckets(
+        embeddings, n_planes, bands, dim, seed, bucket_cap, sub_bits
     )
     pairs = F.explode(
         F.expr(

@@ -179,3 +179,77 @@ def test_embedding_lsh_pairs_precision_exact_and_recall_bounded(spark, sf_small)
     assert set(got) <= exact  # exact precision
     assert exact, "fixture produced no above-threshold pairs; test is vacuous"
     assert len(got) / len(exact) >= 0.3, f"recall collapsed: {len(got)}/{len(exact)}"
+
+
+def test_embedding_lsh_bucket_cap_splits_hot_buckets(spark, sf_small):
+    """The scale guard: with an artificially tiny bucket_cap every
+    fixture bucket is oversized and must split on the extra sign bits,
+    bounding the largest collected member list well below the uncapped
+    one -- while precision stays exact (verification is unchanged)."""
+    from pyspark.sql import functions as F
+
+    from java_mapreduce_framework_spark.operators.dedup import (
+        embedding_lsh_buckets,
+        embedding_lsh_pairs,
+    )
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    uncapped_max = (
+        embedding_lsh_buckets(emb, bucket_cap=10**9)
+        .agg(F.max(F.size("ms")))
+        .collect()[0][0]
+    )
+    capped_max = (
+        embedding_lsh_buckets(emb, bucket_cap=10)
+        .agg(F.max(F.size("ms")))
+        .collect()[0][0]
+    )
+    assert capped_max < uncapped_max, (capped_max, uncapped_max)
+    # distinct random fixture vectors spread over 2^16 sub-cells: the
+    # residual bucket population must collapse to near-pair size
+    assert capped_max <= 10, capped_max
+
+    # splitting only costs recall on *marginal* pairs: identical
+    # vectors agree on every sign bit (band and sub alike), so planted
+    # exact dupes must survive any cap
+    base_ids = [r["vec_id"] for r in emb.select("vec_id").limit(5).collect()]
+    planted = emb.filter(F.col("vec_id").isin(base_ids)).select(
+        (F.col("vec_id") + 10**6).alias("vec_id"), "embedding"
+    )
+    with_dupes = emb.select("vec_id", "embedding").unionByName(planted)
+    capped_pairs = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_lsh_pairs(
+            with_dupes, threshold=0.35, bucket_cap=10
+        ).collect()
+    }
+    for vid in base_ids:
+        assert (vid, vid + 10**6) in capped_pairs, f"lost exact dupe {vid}"
+
+
+def test_dedup_simhash_bucket_cap_bounds_hot_buckets(spark):
+    """Boilerplate corpus: many docs share one template (same hot
+    band chunks) with distinct tails. A tiny bucket_cap must sub-band
+    the hot cells on fingerprint bits, and results must stay a subset
+    of the uncapped pair set (precision preserved)."""
+    from pyspark.sql import Row
+
+    from java_mapreduce_framework_spark.operators import dedup
+
+    boiler = "the quick brown fox jumps over the lazy dog " * 5
+    rows = [
+        Row(doc_id=i, lang="en", text=boiler + f"unique tail {i} {i*i} {i%7}")
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows)
+    uncapped = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.dedup_simhash(docs, bucket_cap=10**9).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.dedup_simhash(docs, bucket_cap=5).collect()
+    }
+    assert capped <= uncapped
+    assert uncapped, "fixture produced no near-dup pairs; test is vacuous"
