@@ -1509,6 +1509,28 @@ def _sql_returned_revenue(spark, sf):
     return run_sql(spark, sf, RETURNED_REVENUE)
 
 
+@_register(
+    "sql_small_qty_revenue",
+    None,
+    note="TPC-H-style Q17 shape: correlated scalar avg-quantity subquery",
+)
+def _sql_small_qty_revenue(spark, sf):
+    from .sql import SMALL_QTY_REVENUE, run_sql
+
+    return run_sql(spark, sf, SMALL_QTY_REVENUE)
+
+
+@_register(
+    "sql_min_cost_supplier",
+    None,
+    note="TPC-H-style Q2 shape: correlated min-cost subquery",
+)
+def _sql_min_cost_supplier(spark, sf):
+    from .sql import MIN_COST_SUPPLIER, run_sql
+
+    return run_sql(spark, sf, MIN_COST_SUPPLIER)
+
+
 def _attach_sql_oracles() -> None:
     """The sql_* queries' oracle IS the query text: one ANSI string
     evaluated by both engines (dialect-shared subset)."""
@@ -1528,6 +1550,8 @@ def _attach_sql_oracles() -> None:
         ("sql_dormant_customers", _sql.DORMANT_CUSTOMERS),
         ("sql_returned_revenue", _sql.RETURNED_REVENUE),
         ("sql_grouping_sets", _sql.GROUPING_SETS_MARGINALS),
+        ("sql_small_qty_revenue", _sql.SMALL_QTY_REVENUE),
+        ("sql_min_cost_supplier", _sql.MIN_COST_SUPPLIER),
     ):
         spec = _REGISTRY[name]
         _REGISTRY[name] = QuerySpec(spec.name, spec.fn, stmt, spec.note)

@@ -246,3 +246,43 @@ FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
 ORDER BY g_flag, g_status, l_returnflag, l_linestatus
 """
+
+#: TPC-H-style Q17 shape: correlated SCALAR aggregate subquery -- the
+#: per-part average quantity gates each lineitem row. Catalyst
+#: decorrelates this into an aggregate-then-join (one extra lineitem
+#: aggregation keyed on l_partkey, re-joined to the filtered fact
+#: scan), so at 100 TB it is two shuffles on the same key instead of a
+#: per-row re-scan. Fixture quantities are integer-valued, so the
+#: 0.2 * avg threshold is the same float64 in both engines (exact sum
+#: / exact count); revenue goes through DECIMAL(18,2) per the money
+#: discipline.
+SMALL_QTY_REVENUE = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+           AS avg_yearly,
+       count(*) AS n_items
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND p_brand = 'Brand#23'
+  AND p_size <= 5
+  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                    FROM lineitem l2
+                    WHERE l2.l_partkey = p_partkey)
+"""
+
+#: TPC-H-style Q2 shape: correlated min-cost subquery selecting the
+#: cheapest source per part (the fixture has no partsupp, so lineitem
+#: plays the price list: cheapest shipment of the part). Decorrelates
+#: to a min-aggregate on l_partkey joined back on BOTH the key and the
+#: price equality. All emitted numerics are stored column values --
+#: equality on them is bit-exact cross-engine; no arithmetic rounding.
+MIN_COST_SUPPLIER = """
+SELECT p.p_partkey, p.p_name, s.s_name, s.s_acctbal,
+       l.l_extendedprice AS min_price
+FROM part p, supplier s, lineitem l
+WHERE l.l_partkey = p.p_partkey
+  AND l.l_suppkey = s.s_suppkey
+  AND p.p_size < 5
+  AND l.l_extendedprice = (SELECT min(l2.l_extendedprice)
+                           FROM lineitem l2
+                           WHERE l2.l_partkey = p.p_partkey)
+"""
