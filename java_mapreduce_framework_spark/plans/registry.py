@@ -1822,6 +1822,35 @@ def _stream_stream_join(spark, sf):
 
 
 @_register(
+    "stream_stream_join_left",
+    """
+    WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+               FROM events),
+    c AS (SELECT user_id, event_id AS click_id, ts AS click_ts FROM e
+          WHERE event_type = 'click'),
+    v AS (SELECT user_id AS vuid, event_id AS view_id, ts AS view_ts FROM e
+          WHERE event_type = 'view'),
+    j AS (SELECT c.user_id, c.click_id, c.click_ts, v.view_id
+          FROM c LEFT JOIN v
+            ON c.user_id = v.vuid
+           AND v.view_ts BETWEEN c.click_ts - INTERVAL 30 MINUTE AND c.click_ts),
+    wm AS (SELECT least((SELECT max(ts) FROM e WHERE event_type = 'click'),
+                        (SELECT max(ts) FROM e WHERE event_type = 'view'))
+                  - INTERVAL 60 MINUTE AS w)
+    SELECT user_id, click_id, view_id FROM j, wm
+    WHERE view_id IS NOT NULL OR click_ts < w
+    """,
+    note="watermarked stream-stream LEFT OUTER join; null rows only for "
+    "clicks the joint watermark closed (min of per-side watermarks -- "
+    "each side watermarks its own filtered event stream)",
+)
+def _stream_stream_join_left(spark, sf):
+    from ..streaming.jobs import stream_stream_join_left
+
+    return stream_stream_join_left(spark, sf)
+
+
+@_register(
     "lm_unigram_score",
     f"""
     {_WORDS_CTE},

@@ -321,7 +321,7 @@ def stream_stream_join(
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
-def _stream_stream_join_inner(spark, path, schema, lookback, delay):
+def _stream_stream_join_inner(spark, path, schema, lookback, delay, how="inner"):
     events = spark.readStream.schema(schema).parquet(path)
     clicks = (
         events.filter(F.col("event_type") == "click")
@@ -349,8 +349,47 @@ def _stream_stream_join_inner(spark, path, schema, lookback, delay):
             AND view_ts BETWEEN click_ts - INTERVAL {lookback} AND click_ts
             """
         ),
+        how,
     ).select("user_id", "click_id", "view_id")
     return _drain_to_memory(joined, mode="append")
+
+
+def stream_stream_join_left(
+    spark: SparkSession,
+    sf_dir: str,
+    lookback: str = "30 minutes",
+    delay: str = "1 hour",
+    state_partitions: int = 8,
+) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join -- the attribution
+    shape of ``stream_stream_join`` plus the semantics users get wrong:
+    an unmatched click emits its null-view row only when the joint
+    watermark proves no matching view can still arrive (watermark past
+    ``click_ts``, the top of the click's match window), at which point
+    its buffered state is evicted. Matched pairs emit immediately,
+    exactly as in the inner join.
+
+    Bounded-equivalence contract: the drained sink holds every matched
+    pair, but ONLY those null rows whose click cleared the final
+    watermark (max event time - ``delay``); trailing unmatched clicks
+    are withheld, as on a live stream. The declared oracle is the batch
+    left join with the null rows restricted to that cutoff. The final
+    no-data microbatch (on by default) is what flushes the last
+    evictions; without it the drain would under-emit.
+
+    Same 100 TB posture as the inner form -- see ``stream_stream_join``
+    (state keyed on user_id, bounded by rate x (lookback + delay)).
+    """
+    path = _stage_stream_dir(spark, sf_dir, "events")
+    schema = spark.read.parquet(path).schema
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        return _stream_stream_join_inner(
+            spark, path, schema, lookback, delay, how="left_outer"
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def stream_user_stats_state(spark: SparkSession, sf_dir: str) -> DataFrame:
