@@ -1851,6 +1851,19 @@ def _stream_stream_join_left(spark, sf):
 
 
 @_register(
+    "stream_foreachbatch_idempotent",
+    "SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type",
+    note="foreachBatch exactly-once file sink: batch-id keyed dynamic "
+    "partition overwrite; the declared run REPLAYS the full drain and "
+    "counts must still match the batch oracle",
+)
+def _stream_foreachbatch_idempotent(spark, sf):
+    from ..streaming.jobs import stream_foreachbatch_idempotent
+
+    return stream_foreachbatch_idempotent(spark, sf)
+
+
+@_register(
     "lm_unigram_score",
     f"""
     {_WORDS_CTE},

@@ -241,3 +241,29 @@ def test_stream_user_stats_state_gated_on_protobuf(spark, sf_small):
             .collect()
         }
         assert got == want
+
+
+def test_foreachbatch_sink_is_idempotent_under_replay(spark, sf_small):
+    """The exactly-once claim: wiped-checkpoint replays overwrite
+    their own batch partitions (an append sink would have tripled the
+    counts here), and kept-checkpoint resumes process zero batches --
+    either way the sink equals the source exactly once."""
+    import pathlib
+
+    from java_mapreduce_framework_spark.sources.tables import load_table
+    from java_mapreduce_framework_spark.streaming.jobs import (
+        _REPO_ROOT,
+        stream_foreachbatch_idempotent,
+    )
+
+    n_events = load_table(spark, sf_small, "events").count()
+    # two wiped-checkpoint replays + two kept-checkpoint resumes
+    out = stream_foreachbatch_idempotent(spark, sf_small, replays=2, resumes=2)
+    total = sum(r["n_events"] for r in out.collect())
+    assert total == n_events, f"replay duplicated rows: {total} != {n_events}"
+
+    # the sink really is batch-id partitioned (the idempotence key)
+    root = _REPO_ROOT / ".tmp" / "stream" / f"{pathlib.Path(sf_small).name}_fbsink"
+    parts = {p.name for p in (root / "sink").iterdir() if p.name.startswith("batch_id=")}
+    assert parts, "sink has no batch_id partitions"
+    assert spark.read.parquet(str(root / "sink")).count() == n_events
