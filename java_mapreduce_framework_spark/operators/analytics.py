@@ -54,6 +54,15 @@ def hourly_anomaly_zscore(events: DataFrame, z_threshold: float = 2.5) -> DataFr
         F.sum("n_events").alias("sx"),
         F.sum(F.col("n_events") * F.col("n_events")).alias("sxx"),
     )
+    # degenerate groups (single bucket, or zero variance) have no
+    # defined z-score; drop them explicitly -- the engines disagree on
+    # 0/0 (Spark NULL vs IEEE NaN, and NaN compares TRUE vs the
+    # threshold in some engines), so the guard lives on BOTH sides of
+    # the oracle contract
+    stats = stats.filter(
+        (F.col("n") > 1)
+        & (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+    )
     mean = F.col("sx") / F.col("n")
     std = F.sqrt(
         (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)
@@ -102,7 +111,6 @@ def funnel_conversion(
     shuffle keys on user_id (AQE coalesces the later, shrinking
     stages). Output: one row per stage with the surviving user count,
     monotone non-increasing."""
-    spark = events.sparkSession
     reached = None
     counts = []
     for i, stage in enumerate(stages):

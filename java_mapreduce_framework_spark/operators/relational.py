@@ -445,6 +445,7 @@ def join_bucketed_colocated(
     customer: DataFrame,
     buckets: int = 8,
     table_suffix: str = "",
+    source_fp: str | None = None,
 ) -> DataFrame:
     """Shuffle-free equi-join via bucketed tables: both sides are
     written ``bucketBy(buckets, key)`` + ``sortBy`` into the session
@@ -477,6 +478,16 @@ def join_bucketed_colocated(
         or "spark-warehouse"
     )
     for name, df, key in specs:
+        # drop a cataloged table whose recorded source fingerprint no
+        # longer matches (fixture regenerated mid-session): the staged
+        # buckets would silently shadow the fresh parquet otherwise
+        marker = warehouse / name / "_SOURCE_FP"
+        if (
+            source_fp is not None
+            and spark.catalog.tableExists(name)
+            and (not marker.exists() or marker.read_text() != source_fp)
+        ):
+            spark.sql(f"DROP TABLE {name}")
         if not spark.catalog.tableExists(name):
             # a fresh session's catalog is empty even when a previous
             # session left the managed location on disk; saveAsTable
@@ -488,6 +499,8 @@ def join_bucketed_colocated(
                 .sortBy(key)
                 .saveAsTable(name)
             )
+            if source_fp is not None:
+                marker.write_text(source_fp)
     o = spark.table(specs[0][0])
     c = spark.table(specs[1][0])
     j = o.hint("merge").join(c, o["o_custkey"] == c["c_custkey"])

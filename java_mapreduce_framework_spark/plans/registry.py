@@ -1795,9 +1795,15 @@ def _stream_sliding_window(spark, sf):
 def _join_bucketed_colocated(spark, sf):
     import pathlib
 
+    from ..sources.tables import source_fingerprint
+
     suffix = "_" + pathlib.Path(sf).name.replace(".", "_")
     return relational.join_bucketed_colocated(
-        spark, _t(spark, sf, "orders"), _t(spark, sf, "customer"), table_suffix=suffix
+        spark,
+        _t(spark, sf, "orders"),
+        _t(spark, sf, "customer"),
+        table_suffix=suffix,
+        source_fp=source_fingerprint(sf, "orders", "customer"),
     )
 
 
@@ -2144,7 +2150,10 @@ def _time_heatmap(spark, sf):
     stats AS (
       SELECT event_type, count(*) AS n, sum(n_events) AS sx,
              sum(n_events * n_events) AS sxx
-      FROM hourly GROUP BY event_type)
+      FROM hourly GROUP BY event_type
+      HAVING count(*) > 1
+         AND count(*) * sum(n_events * n_events)
+             - sum(n_events) * sum(n_events) > 0)
     SELECT event_type, CAST(bucket_hour AS TIMESTAMP) AS bucket_hour, n_events,
            round((n_events - sx * 1.0 / n)
                  / sqrt((sxx - sx * 1.0 * sx / n) / (n - 1)), 4) AS zscore
@@ -2232,11 +2241,14 @@ def _stream_session_window_watermarked(spark, sf):
     "source_schema_evolution",
     """
     SELECT event_type, count(*) AS n_events,
-           CAST(count(*) FILTER (WHERE event_id % 2 = 1) AS BIGINT) AS n_with_props
+           CAST(count(*) FILTER (WHERE event_id % 2 = 1 AND props IS NOT NULL)
+                AS BIGINT) AS n_with_props
     FROM events GROUP BY event_type ORDER BY event_type
     """,
     note="mergeSchema read over batches written before/after a column "
-    "was added; old rows surface NULL for the new column",
+    "was added; old rows surface NULL for the new column (oracle "
+    "counts props on the odd half exactly as the query does, robust "
+    "to fixtures with natural NULL props)",
 )
 def _source_schema_evolution(spark, sf):
     from ..sources.roundtrip import read_events_schema_evolved

@@ -27,7 +27,7 @@ import pathlib
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .tables import load_table
+from .tables import load_table, source_fingerprint
 
 _REPO_ROOT = pathlib.Path(__file__).resolve().parents[2]
 
@@ -36,11 +36,26 @@ _REPO_ROOT = pathlib.Path(__file__).resolve().parents[2]
 DOCUMENTS_DDL = "doc_id long, text string, lang string, source string, n_chars long"
 
 
+def _needs_restage(stage: pathlib.Path, fp: str) -> bool:
+    """True when the stage is absent OR its ``_STAGED`` marker records
+    a different source fingerprint (fixture regenerated since staging).
+    Clears the stale stage so the caller rebuilds from scratch."""
+    import shutil
+
+    done = stage / "_STAGED"
+    if done.exists() and done.read_text() == fp:
+        return False
+    shutil.rmtree(stage, ignore_errors=True)
+    stage.mkdir(parents=True, exist_ok=True)
+    return True
+
+
 def _stage(spark: SparkSession, sf_dir: str, fmt: str) -> pathlib.Path:
     sf_name = pathlib.Path(sf_dir).name
     stage = _REPO_ROOT / ".tmp" / "roundtrip" / f"{sf_name}_{fmt}"
-    done = stage / "_STAGED"
-    if not done.exists():
+    src_table = "documents" if fmt.startswith("documents") else "events"
+    fp = source_fingerprint(sf_dir, src_table)
+    if _needs_restage(stage, fp):
         if fmt == "documents_csv":
             (
                 load_table(spark, sf_dir, "documents")
@@ -64,7 +79,7 @@ def _stage(spark: SparkSession, sf_dir: str, fmt: str) -> pathlib.Path:
             )
         else:  # pragma: no cover - guarded by callers
             raise ValueError(f"unknown roundtrip format {fmt!r}")
-        done.touch()
+        (stage / "_STAGED").write_text(fp)
     return stage / "data"
 
 
@@ -107,15 +122,15 @@ def compacted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sf_name = pathlib.Path(sf_dir).name
     stage = _REPO_ROOT / ".tmp" / "roundtrip" / f"{sf_name}_events_fragmented"
-    done = stage / "_STAGED"
-    if not done.exists():
+    fp = source_fingerprint(sf_dir, "events")
+    if _needs_restage(stage, fp):
         (
             load_table(spark, sf_dir, "events")
             .repartition(64)
             .write.mode("overwrite")
             .parquet(str(stage / "data"))
         )
-        done.touch()
+        (stage / "_STAGED").write_text(fp)
     return compact_parquet_dir(
         spark, str(stage / "data"), str(stage / "compacted")
     )
@@ -131,12 +146,12 @@ def read_events_schema_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
     table catalog instead of re-merging every read.)"""
     sf_name = pathlib.Path(sf_dir).name
     stage = _REPO_ROOT / ".tmp" / "roundtrip" / f"{sf_name}_events_evolved"
-    done = stage / "_STAGED"
-    if not done.exists():
+    fp = source_fingerprint(sf_dir, "events")
+    if _needs_restage(stage, fp):
         events = load_table(spark, sf_dir, "events")
         old = events.filter("event_id % 2 = 0").drop("props")
         new = events.filter("event_id % 2 = 1")
         old.write.mode("overwrite").parquet(str(stage / "data" / "batch=1"))
         new.write.mode("overwrite").parquet(str(stage / "data" / "batch=2"))
-        done.touch()
+        (stage / "_STAGED").write_text(fp)
     return spark.read.option("mergeSchema", True).parquet(str(stage / "data"))

@@ -61,6 +61,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def source_fingerprint(sf_dir: str, *names: str) -> str:
+    """Cheap content key for staged-artifact invalidation: size and
+    mtime of each source parquet file. Staging sites record this in
+    their ``_STAGED`` marker and re-stage when it changes, so a
+    regenerated fixture can never be silently shadowed by a stale
+    staged copy (the failure mode: queries read the stage, the DuckDB
+    oracle reads the fresh parquet)."""
+    import pathlib
+
+    parts = []
+    for name in names:
+        st = pathlib.Path(f"{sf_dir}/{name}.parquet").stat()
+        parts.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
+    return "|".join(parts)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
     return tuple(load_table(spark, sf_dir, n) for n in names)
 

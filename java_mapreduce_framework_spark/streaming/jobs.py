@@ -32,21 +32,26 @@ _REPO_ROOT = pathlib.Path(__file__).resolve().parents[2]
 def _stage_stream_dir(spark: SparkSession, sf_dir: str, table: str) -> str:
     """The parquet file source requires a *directory*; fixtures are
     single files. Stage each (sf, table) once under .tmp/stream/:
-    a symlink for plain tables, a rewritten microsecond-timestamp copy
-    for events (whose TIMESTAMP(NANOS) physical type Spark cannot
-    scan -- see sources.tables.load_table)."""
+    a symlink for plain tables (always tracks the live fixture), a
+    rewritten microsecond-timestamp copy for events (whose
+    TIMESTAMP(NANOS) physical type Spark cannot scan -- see
+    sources.tables.load_table). The ``_STAGED`` marker records the
+    source parquet's fingerprint, so a regenerated fixture re-stages
+    instead of being shadowed by the stale copy."""
+    from ..sources.roundtrip import _needs_restage
+    from ..sources.tables import source_fingerprint
+
     sf_name = pathlib.Path(sf_dir).name
     stage = _REPO_ROOT / ".tmp" / "stream" / f"{sf_name}_{table}"
-    done = stage / "_STAGED"
-    if not done.exists():
-        stage.mkdir(parents=True, exist_ok=True)
+    fp = source_fingerprint(sf_dir, table)
+    if _needs_restage(stage, fp):
         if table == "events":
-            load_table(spark, sf_dir, table).write.mode("overwrite").parquet(str(stage / "data"))
+            load_table(spark, sf_dir, table).write.mode("overwrite").parquet(
+                str(stage / "data")
+            )
         else:
-            link = stage / f"{table}.parquet"
-            if not link.exists():
-                os.symlink(f"{sf_dir}/{table}.parquet", link)
-        done.touch()
+            os.symlink(f"{sf_dir}/{table}.parquet", stage / f"{table}.parquet")
+        (stage / "_STAGED").write_text(fp)
     return str(stage / "data") if table == "events" else str(stage)
 
 
@@ -423,11 +428,6 @@ def stream_user_stats_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
-
     class UserStats(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._agg = handle.getValueState("agg", "cnt BIGINT, total DOUBLE")
@@ -458,7 +458,23 @@ def stream_user_stats_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
-    drained = _drain_to_memory(out, mode="update")
+    # the RocksDB provider is required by state v2 but is a SESSION
+    # conf: scope it to this drain so later streaming queries in the
+    # same session keep their provider (same save/restore pattern as
+    # stream_stream_join's shuffle partitions)
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        drained = _drain_to_memory(out, mode="update")
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
     return drained.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
         F.max("total_value").alias("total_value"),

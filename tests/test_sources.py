@@ -45,3 +45,38 @@ def test_csv_roundtrip_preserves_rows_exactly(spark, sf_small):
     }
     assert via_csv == orig
     assert via_jsonl == orig
+
+
+def test_staged_artifacts_refresh_on_fixture_change(spark, sf_small, tmp_path):
+    """Fingerprint-keyed staging: a staged copy re-derives when the
+    source parquet changes (size/mtime), instead of silently shadowing
+    the regenerated fixture."""
+    import shutil
+
+    from java_mapreduce_framework_spark.sources.roundtrip import (
+        _needs_restage,
+        _stage,
+    )
+    from java_mapreduce_framework_spark.sources.tables import source_fingerprint
+
+    # _needs_restage contract directly
+    stage = tmp_path / "stage"
+    assert _needs_restage(stage, "fp1") is True  # absent -> stage
+    (stage / "_STAGED").write_text("fp1")
+    assert _needs_restage(stage, "fp1") is False  # fresh -> reuse
+    assert _needs_restage(stage, "fp2") is True  # changed -> cleared
+    assert not (stage / "_STAGED").exists()
+
+    # end to end: stage, fake a regeneration by rewriting the marker,
+    # and observe the staged data directory actually rebuild
+    data = _stage(spark, sf_small, "documents_jsonl")
+    marker = data.parent / "_STAGED"
+    assert marker.read_text() == source_fingerprint(sf_small, "documents")
+    marker.write_text("stale-fingerprint")
+    old_parts = {p.name for p in data.iterdir() if p.name.startswith("part-")}
+    data2 = _stage(spark, sf_small, "documents_jsonl")
+    assert data2 == data
+    assert marker.read_text() == source_fingerprint(sf_small, "documents")
+    new_parts = {p.name for p in data2.iterdir() if p.name.startswith("part-")}
+    # rewritten files carry fresh write UUIDs: proof the stage re-derived
+    assert new_parts and new_parts.isdisjoint(old_parts)
