@@ -1531,6 +1531,30 @@ def _sql_min_cost_supplier(spark, sf):
     return run_sql(spark, sf, MIN_COST_SUPPLIER)
 
 
+@_register(
+    "sql_late_sole_supplier",
+    None,
+    note="TPC-H-style Q21 shape: EXISTS (semi) + NOT EXISTS (anti) "
+    "correlated subqueries",
+)
+def _sql_late_sole_supplier(spark, sf):
+    from .sql import LATE_SOLE_SUPPLIER, run_sql
+
+    return run_sql(spark, sf, LATE_SOLE_SUPPLIER)
+
+
+@_register(
+    "sql_dominant_part_suppliers",
+    None,
+    note="TPC-H-style Q20 shape: nested IN + correlated scalar agg in "
+    "HAVING",
+)
+def _sql_dominant_part_suppliers(spark, sf):
+    from .sql import DOMINANT_PART_SUPPLIERS, run_sql
+
+    return run_sql(spark, sf, DOMINANT_PART_SUPPLIERS)
+
+
 def _attach_sql_oracles() -> None:
     """The sql_* queries' oracle IS the query text: one ANSI string
     evaluated by both engines (dialect-shared subset)."""
@@ -1552,6 +1576,8 @@ def _attach_sql_oracles() -> None:
         ("sql_grouping_sets", _sql.GROUPING_SETS_MARGINALS),
         ("sql_small_qty_revenue", _sql.SMALL_QTY_REVENUE),
         ("sql_min_cost_supplier", _sql.MIN_COST_SUPPLIER),
+        ("sql_late_sole_supplier", _sql.LATE_SOLE_SUPPLIER),
+        ("sql_dominant_part_suppliers", _sql.DOMINANT_PART_SUPPLIERS),
     ):
         spec = _REGISTRY[name]
         _REGISTRY[name] = QuerySpec(spec.name, spec.fn, stmt, spec.note)

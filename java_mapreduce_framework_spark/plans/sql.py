@@ -286,3 +286,47 @@ WHERE l.l_partkey = p.p_partkey
                            FROM lineitem l2
                            WHERE l2.l_partkey = p.p_partkey)
 """
+
+#: TPC-H-style Q21 shape: EXISTS + NOT EXISTS correlated subqueries
+#: (the fixture has no commit/receipt dates, so "late" is shipping
+#: more than 60 days after the order date). Catalyst turns the EXISTS
+#: into a left-semi and the NOT EXISTS into a null-aware left-anti
+#: join, both keyed on l_orderkey -- three shuffles on one key at
+#: 100 TB, never a per-row probe.
+LATE_SOLE_SUPPLIER = """
+SELECT s.s_name, count(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 20
+"""
+
+#: TPC-H-style Q20 shape: nested IN subqueries with a correlated
+#: scalar aggregate in the HAVING -- suppliers carrying an outsized
+#: share (>15%) of any red part's shipped quantity. Integer-valued
+#: quantities keep the 0.15 * sum threshold exact in float64 on both
+#: engines.
+DOMINANT_PART_SUPPLIERS = """
+SELECT s_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l1.l_suppkey FROM lineitem l1
+  WHERE l1.l_partkey IN (SELECT p_partkey FROM part
+                         WHERE p_name LIKE 'red%')
+  GROUP BY l1.l_suppkey, l1.l_partkey
+  HAVING sum(l1.l_quantity) > 0.15 * (SELECT sum(l2.l_quantity)
+                                      FROM lineitem l2
+                                      WHERE l2.l_partkey = l1.l_partkey))
+ORDER BY s_name
+"""
