@@ -1555,6 +1555,41 @@ def _sql_dominant_part_suppliers(spark, sf):
     return run_sql(spark, sf, DOMINANT_PART_SUPPLIERS)
 
 
+@_register(
+    "sql_customer_order_distribution",
+    None,
+    note="TPC-H-style Q13 shape: ON-clause filter in outer join + "
+    "aggregation over an aggregation",
+)
+def _sql_customer_order_distribution(spark, sf):
+    from .sql import CUSTOMER_ORDER_DISTRIBUTION, run_sql
+
+    return run_sql(spark, sf, CUSTOMER_ORDER_DISTRIBUTION)
+
+
+@_register(
+    "sql_top_revenue_supplier",
+    None,
+    note="TPC-H-style Q15 shape: CTE reused as join input and inside "
+    "a MAX scalar subquery",
+)
+def _sql_top_revenue_supplier(spark, sf):
+    from .sql import TOP_REVENUE_SUPPLIER, run_sql
+
+    return run_sql(spark, sf, TOP_REVENUE_SUPPLIER)
+
+
+@_register(
+    "sql_important_part_value",
+    None,
+    note="TPC-H-style Q11 shape: HAVING vs global scalar aggregate",
+)
+def _sql_important_part_value(spark, sf):
+    from .sql import IMPORTANT_PART_VALUE, run_sql
+
+    return run_sql(spark, sf, IMPORTANT_PART_VALUE)
+
+
 def _attach_sql_oracles() -> None:
     """The sql_* queries' oracle IS the query text: one ANSI string
     evaluated by both engines (dialect-shared subset)."""
@@ -1578,6 +1613,9 @@ def _attach_sql_oracles() -> None:
         ("sql_min_cost_supplier", _sql.MIN_COST_SUPPLIER),
         ("sql_late_sole_supplier", _sql.LATE_SOLE_SUPPLIER),
         ("sql_dominant_part_suppliers", _sql.DOMINANT_PART_SUPPLIERS),
+        ("sql_customer_order_distribution", _sql.CUSTOMER_ORDER_DISTRIBUTION),
+        ("sql_top_revenue_supplier", _sql.TOP_REVENUE_SUPPLIER),
+        ("sql_important_part_value", _sql.IMPORTANT_PART_VALUE),
     ):
         spec = _REGISTRY[name]
         _REGISTRY[name] = QuerySpec(spec.name, spec.fn, stmt, spec.note)

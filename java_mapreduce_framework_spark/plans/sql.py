@@ -330,3 +330,51 @@ WHERE s_suppkey IN (
                                       WHERE l2.l_partkey = l1.l_partkey))
 ORDER BY s_name
 """
+
+#: TPC-H-style Q13 shape: filter inside the OUTER JOIN's ON clause
+#: (customers keep their zero-order row), then a second aggregation
+#: over the first's results -- the double-agg distribution query. Both
+#: aggs are partial->final; the second one's key (a count) is tiny.
+CUSTOMER_ORDER_DISTRIBUTION = """
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey) cc
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+#: TPC-H-style Q15 shape: aggregate reused twice -- once as the join
+#: input, once inside an uncorrelated MAX scalar subquery gating the
+#: rows. The revenue CTE is DECIMAL-exact cast to double, so the
+#: equality against its own max is bit-identical cross-engine.
+TOP_REVENUE_SUPPLIER = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+              AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+#: TPC-H-style Q11 shape: group HAVING compared against a global
+#: uncorrelated scalar aggregate (share-of-total cut). One grouped agg
+#: + one full-scan agg, both partial->final; the scalar broadcasts.
+IMPORTANT_PART_VALUE = """
+SELECT l_partkey,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS part_value
+FROM lineitem
+GROUP BY l_partkey
+HAVING CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+       > 0.0008 * (SELECT CAST(sum(CAST(l2.l_extendedprice AS DECIMAL(18,2)))
+                               AS DOUBLE)
+                   FROM lineitem l2)
+ORDER BY part_value DESC
+"""
