@@ -1590,6 +1590,42 @@ def _sql_important_part_value(spark, sf):
     return run_sql(spark, sf, IMPORTANT_PART_VALUE)
 
 
+@_register(
+    "sql_cross_nation_volume",
+    None,
+    note="TPC-H-style Q7 shape: one dimension joined in two roles with "
+    "a symmetric pair predicate",
+)
+def _sql_cross_nation_volume(spark, sf):
+    from .sql import CROSS_NATION_VOLUME, run_sql
+
+    return run_sql(spark, sf, CROSS_NATION_VOLUME)
+
+
+@_register(
+    "sql_nation_market_share",
+    None,
+    note="TPC-H-style Q8 shape: conditional/unconditional aggregate "
+    "ratio (market share)",
+)
+def _sql_nation_market_share(spark, sf):
+    from .sql import NATION_MARKET_SHARE, run_sql
+
+    return run_sql(spark, sf, NATION_MARKET_SHARE)
+
+
+@_register(
+    "sql_nation_product_profit",
+    None,
+    note="TPC-H-style Q9 shape: LIKE-filtered part dim in a 4-way "
+    "fact chain, profit by nation x year",
+)
+def _sql_nation_product_profit(spark, sf):
+    from .sql import NATION_PRODUCT_PROFIT, run_sql
+
+    return run_sql(spark, sf, NATION_PRODUCT_PROFIT)
+
+
 def _attach_sql_oracles() -> None:
     """The sql_* queries' oracle IS the query text: one ANSI string
     evaluated by both engines (dialect-shared subset)."""
@@ -1616,6 +1652,9 @@ def _attach_sql_oracles() -> None:
         ("sql_customer_order_distribution", _sql.CUSTOMER_ORDER_DISTRIBUTION),
         ("sql_top_revenue_supplier", _sql.TOP_REVENUE_SUPPLIER),
         ("sql_important_part_value", _sql.IMPORTANT_PART_VALUE),
+        ("sql_cross_nation_volume", _sql.CROSS_NATION_VOLUME),
+        ("sql_nation_market_share", _sql.NATION_MARKET_SHARE),
+        ("sql_nation_product_profit", _sql.NATION_PRODUCT_PROFIT),
     ):
         spec = _REGISTRY[name]
         _REGISTRY[name] = QuerySpec(spec.name, spec.fn, stmt, spec.note)

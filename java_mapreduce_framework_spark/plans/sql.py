@@ -378,3 +378,69 @@ HAVING CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
                    FROM lineitem l2)
 ORDER BY part_value DESC
 """
+
+#: TPC-H-style Q7 shape: two roles of the same dimension (nation
+#: joined once through supplier, once through customer) with a
+#: symmetric pair predicate, grouped by year. The nation dim
+#: broadcasts twice; the three fact-side joins shuffle on their keys.
+CROSS_NATION_VOLUME = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(volume) AS DOUBLE) AS revenue, count(*) AS n_items
+FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INT) AS l_year,
+             CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(18,2))
+                  - CAST(l.l_discount AS DECIMAL(18,2))) AS volume
+      FROM supplier s JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+#: TPC-H-style Q8 shape: market share -- a conditional aggregate over
+#: the same rows as the unconditional one, emitted as their ratio.
+#: Both sums are DECIMAL-exact before the single double division, so
+#: the ratio is bit-identical cross-engine.
+NATION_MARKET_SHARE = """
+SELECT o_year,
+       CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         / CAST(sum(volume) AS DOUBLE) AS mkt_share
+FROM (SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
+             CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(18,2))
+                  - CAST(l.l_discount AS DECIMAL(18,2))) AS volume,
+             n1.n_name AS supp_nation
+      FROM supplier s JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey) nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+#: TPC-H-style Q9 shape: product profit by nation and year (the
+#: fixture has no partsupp/supplycost, so retail price x quantity
+#: stands in as cost). LIKE-filtered part dim joined into a 4-way
+#: fact chain; all money stays DECIMAL until the final cast.
+NATION_PRODUCT_PROFIT = """
+SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
+FROM (SELECT n.n_name AS nation,
+             CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
+             CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(18,2))
+                  - CAST(l.l_discount AS DECIMAL(18,2)))
+               - CAST(p.p_retailprice AS DECIMAL(18,2))
+                 * CAST(l.l_quantity AS DECIMAL(18,2)) AS amount
+      FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE p.p_name LIKE '%plate%') profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
