@@ -502,52 +502,108 @@ def embedding_lsh_buckets(
     dim: int = 64,
     seed: int = 7,
     bucket_cap: int = 1000,
-    sub_bits: int = 16,
 ) -> DataFrame:
     """Sign-LSH band buckets with a population cap: one row per
     (band_id, bucket, subb) holding the sorted (vec_id, emb) member
     structs. Buckets over ``bucket_cap`` members split deterministically
-    on ``sub_bits`` extra hyperplane sign bits (see
-    ``embedding_lsh_pairs`` for the full contract). Exposed separately
-    so tests can assert the bucket-size bound directly."""
-    from .similarity import _hyperplanes, lsh_signature
+    on the sign bits of the NEXT FOUR bands' buckets -- bits the
+    signature already contains, so the split costs zero extra dot
+    products (mirror of ``dedup_simhash``'s next-band sub-banding, and
+    the same recall contract: near-dups stay together in a split bucket
+    exactly when those bands would also collide, and exact duplicates,
+    sharing every sign bit, never separate).
 
-    sig = lsh_signature("embedding", n_planes, dim, bands, seed)
-    emb = F.col("embedding").cast("array<double>")
-    sub_planes = _hyperplanes(sub_bits, dim, seed + 101)
-    sub_key = None
-    for i, p in enumerate(sub_planes):
-        dot = F.aggregate(
-            F.zip_with(emb, F.array(*[F.lit(x) for x in p]), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    The population census is a windowed count over the banded rows:
+    the same (band_id, bucket) shuffle the member-collect needs anyway
+    (grouping on a superset of the window keys adds no exchange), and
+    the window's per-partition buffer spills to disk, so a hot bucket
+    costs temporary disk instead of one unbounded in-memory aggregation
+    row. One corpus scan, one vector shuffle, total. Exposed separately
+    so tests can assert the bucket-size bound directly."""
+    return (
+        _lsh_keyed(embeddings, n_planes, bands, dim, seed, bucket_cap)
+        .groupBy("band_id", "bucket", "subb")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("vec_id", "emb", "inv"))).alias(
+                "ms"
+            )
         )
-        term = F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        sub_key = term if sub_key is None else sub_key + term
+        .filter(F.size("ms") > 1)
+    )
+
+
+def _lsh_keyed(
+    embeddings: DataFrame,
+    n_planes: int,
+    bands: int,
+    dim: int,
+    seed: int,
+    bucket_cap: int,
+) -> DataFrame:
+    """Banded sign-LSH rows with the capped cell key: (vec_id, emb,
+    inv, band_id, bucket, subb). See ``embedding_lsh_buckets`` for the
+    census/sub-split contract.
+
+    Signature bits, reciprocal norms, and the band explode run as ONE
+    Arrow-batched numpy kernel (``mapInPandas``: a (batch x dim) @
+    (dim x n_planes) GEMM per batch) -- the Catalyst HOF form costs
+    ~1 microsecond per multiply-add, five orders of magnitude off BLAS
+    throughput, for a kernel that is pure dense arithmetic. The census
+    window and cell grouping stay expression-side, so pushdown and the
+    one-shuffle plan shape are unchanged."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    from .similarity import _hyperplanes
+
+    width = n_planes // bands
+    planes = np.array(_hyperplanes(n_planes, dim, seed)).T  # dim x planes
+    n_sub = min(4, bands - 1)
+
+    def band_rows(batches):
+        for pdf in batches:
+            em = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            inv = 1.0 / np.sqrt((em * em).sum(axis=1))
+            bits = (em @ planes) > 0  # n x planes
+            # pack each band's `width` bits into its bucket id
+            weights = 1 << np.arange(width)
+            buckets = np.stack(
+                [bits[:, j * width : (j + 1) * width] @ weights for j in range(bands)],
+                axis=1,
+            )  # n x bands
+            # sub key: next n_sub bands' buckets, little-endian packed
+            subs = np.zeros_like(buckets)
+            for k in range(1, n_sub + 1):
+                subs += np.roll(buckets, -k, axis=1) << ((k - 1) * width)
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), bands),
+                    "emb": np.repeat(pdf["embedding"].to_numpy(), bands),
+                    "inv": np.repeat(inv, bands),
+                    "band_id": np.tile(np.arange(bands, dtype=np.int32), n),
+                    "bucket": buckets.reshape(-1).astype(np.int32),
+                    "sub": subs.reshape(-1).astype(np.int32),
+                }
+            )
 
     banded = embeddings.select(
-        "vec_id",
-        emb.alias("emb"),
-        sub_key.cast("int").alias("sub"),
-        F.explode(sig).alias("b"),
-    ).select("vec_id", "emb", "sub", "b.band_id", "b.bucket")
-    # Vector-free census branch: Catalyst prunes `embedding` down to the
-    # signature expressions; output is at most bands * 2^(planes/band)
-    # rows -- always broadcastable.
-    census = (
-        embeddings.select(F.explode(sig).alias("b"))
-        .groupBy("b.band_id", "b.bucket")
-        .agg(F.count("*").alias("bsz"))
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).mapInPandas(
+        band_rows,
+        "vec_id long, emb array<double>, inv double, "
+        "band_id int, bucket int, sub int",
     )
+    w = Window.partitionBy("band_id", "bucket")
     return (
-        banded.join(F.broadcast(census), ["band_id", "bucket"])
+        banded.withColumn("bsz", F.count("*").over(w))
         .withColumn(
             "subb",
             F.when(F.col("bsz") > bucket_cap, F.col("sub")).otherwise(F.lit(0)),
         )
-        .groupBy("band_id", "bucket", "subb")
-        .agg(F.array_sort(F.collect_list(F.struct("vec_id", "emb"))).alias("ms"))
-        .filter(F.size("ms") > 1)
+        .select("vec_id", "emb", "inv", "band_id", "bucket", "subb")
     )
 
 
@@ -559,7 +615,6 @@ def embedding_lsh_pairs(
     dim: int = 64,
     seed: int = 7,
     bucket_cap: int = 1000,
-    sub_bits: int = 16,
 ) -> DataFrame:
     """Embedding near-dup pairs via sign-LSH bucketing -- the
     blocking-free complement of ``embedding_neardup_pairs`` (which
@@ -580,39 +635,53 @@ def embedding_lsh_pairs(
     Scale guard (sign buckets are coarse -- 2^(n_planes/bands) cells
     per band, so a bucket holds an N/cells slice of the corpus WITH
     full vectors in one aggregation row): buckets whose population
-    exceeds ``bucket_cap`` are deterministically split on ``sub_bits``
-    extra hyperplane sign bits before the member-collect, bounding the
-    aggregation row ~cells*2^sub_bits-fold below N. Similar vectors
-    share sub-bits with the usual sign-LSH probability, so the recall
-    loss is confined to oversized buckets and behaves like one wider
-    band there. The population census reuses the signature expressions
-    on a vector-free projection and broadcasts (<= bands *
-    2^(n_planes/bands) rows), so the full vectors still shuffle exactly
-    once.
+    exceeds ``bucket_cap`` split deterministically on the next four
+    bands' sign bits (already in the signature -- zero extra dot
+    products), multiplying the cell count for hot buckets by up to
+    2^(4 * n_planes/bands). Similar vectors share those bits with the
+    usual sign-LSH probability, so the recall loss is confined to
+    oversized buckets and behaves like requiring a run of adjacent
+    bands there; exact duplicates never separate. Census is a windowed
+    count on the one vector shuffle (no second scan, no join) -- see
+    ``embedding_lsh_buckets``.
+
+    The within-cell quadratic verify is Arrow-batched numpy
+    (``applyInPandas`` per cell: one n x n GEMM against the hoisted
+    reciprocal norms) -- the sanctioned vectorized path for dense
+    numeric kernels; the Catalyst higher-order-function form evaluates
+    the 64-multiply dot interpreted per element, ~100x slower per
+    candidate. ``bucket_cap`` bounds n, so each GEMM is a bounded
+    in-memory block regardless of corpus size.
     """
-    buckets = embedding_lsh_buckets(
-        embeddings, n_planes, bands, dim, seed, bucket_cap, sub_bits
-    )
-    pairs = F.explode(
-        F.expr(
-            "flatten(transform(ms, (x, i) -> "
-            "transform(slice(ms, i + 2, size(ms)), y -> "
-            "struct(x.vec_id AS vec_a, y.vec_id AS vec_b, "
-            "x.emb AS ea, y.emb AS eb))))"
+    import numpy as np
+    import pandas as pd
+
+    keyed = _lsh_keyed(embeddings, n_planes, bands, dim, seed, bucket_cap)
+
+    def score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"vec_a": [], "vec_b": [], "cos_sim": []}
+            ).astype({"vec_a": "int64", "vec_b": "int64", "cos_sim": "float64"})
+        pdf = pdf.sort_values("vec_id")
+        em = np.vstack(pdf["emb"].to_numpy())
+        inv = pdf["inv"].to_numpy()
+        ids = pdf["vec_id"].to_numpy()
+        cos = (em @ em.T) * np.outer(inv, inv)
+        ia, ib = np.triu_indices(n, k=1)
+        keep = np.floor(cos[ia, ib] * 10**4 + 0.5) / 10**4
+        mask = keep >= threshold
+        return pd.DataFrame(
+            {
+                "vec_a": ids[ia[mask]],
+                "vec_b": ids[ib[mask]],
+                "cos_sim": keep[mask],
+            }
         )
-    ).alias("p")
-    dot = F.aggregate(
-        F.zip_with(F.col("p.ea"), F.col("p.eb"), lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    cos = dot / (norm(F.col("p.ea")) * norm(F.col("p.eb")))
+
     return (
-        buckets.select(pairs)
-        .select("p.vec_a", "p.vec_b", F.round(cos, 4).alias("cos_sim"))
-        .filter(F.col("cos_sim") >= threshold)
+        keyed.groupBy("band_id", "bucket", "subb")
+        .applyInPandas(score_cell, "vec_a long, vec_b long, cos_sim double")
         .dropDuplicates(["vec_a", "vec_b"])
     )
