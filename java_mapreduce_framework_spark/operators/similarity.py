@@ -236,32 +236,46 @@ def _hyperplanes(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
 
-def lsh_signature(emb_col, n_planes: int = 16, dim: int = 64, bands: int = 4, seed: int = 7):
-    """Band structs of a random-hyperplane sign signature (struct array
-    column). Each band is an independent bucket key; matching any band
-    makes a candidate (multi-band = higher recall)."""
-    planes = _hyperplanes(n_planes, dim, seed)
+def _banded_pandas(
+    embeddings: DataFrame, n_planes: int, bands: int, dim: int, seed: int
+) -> DataFrame:
+    """Banded sign-LSH rows (vec_id, emb, nn, band_id, bucket) via one
+    numpy GEMM per Arrow batch -- the vectorized signature path (the
+    Catalyst HOF fold evaluates interpreted per element). Deterministic
+    for fixed seed; both sides of any bucket join must use THIS kernel
+    so boundary dots round identically."""
+    import numpy as np
+    import pandas as pd
+
+    planes = np.array(_hyperplanes(n_planes, dim, seed)).T  # dim x planes
     width = n_planes // bands
-    e = F.col(emb_col) if isinstance(emb_col, str) else emb_col
-    e = e.cast("array<double>")
-    bits = []
-    for p in planes:
-        dot = F.aggregate(
-            F.zip_with(e, F.array(*[F.lit(x) for x in p]), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(dot > 0, 1).otherwise(0))
-    bands_out = []
-    for j in range(bands):
-        val = None
-        for r in range(width):
-            term = bits[j * width + r] * F.lit(1 << r)
-            val = term if val is None else val + term
-        bands_out.append(
-            F.struct(F.lit(j).alias("band_id"), val.cast("int").alias("bucket"))
-        )
-    return F.array(*bands_out)
+
+    def gen(batches):
+        for pdf in batches:
+            em = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            nn = np.sqrt((em * em).sum(axis=1))
+            bits = (em @ planes) > 0
+            weights = 1 << np.arange(width)
+            buckets = np.stack(
+                [bits[:, j * width : (j + 1) * width] @ weights for j in range(bands)],
+                axis=1,
+            )
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), bands),
+                    "emb": np.repeat(pdf["embedding"].to_numpy(), bands),
+                    "nn": np.repeat(nn, bands),
+                    "band_id": np.tile(np.arange(bands, dtype=np.int32), n),
+                    "bucket": buckets.reshape(-1).astype(np.int32),
+                }
+            )
+
+    return embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).mapInPandas(
+        gen, "vec_id long, emb array<double>, nn double, band_id int, bucket int"
+    )
 
 
 def ann_lsh(
@@ -299,20 +313,29 @@ def ann_lsh(
     ~0.53 vs 0.16 at p = 0.63, lifting expected recall to ~0.95).
     Only the tiny broadcast query side fans out -- the corpus index
     is untouched, so multi-probe buys recall WITHOUT re-hashing or
-    growing the big side, the standard trade (Lv et al., VLDB'07)."""
-    sig = lsh_signature("embedding", n_planes, dim, bands, seed)
-    corpus = embeddings.select(
+    growing the big side, the standard trade (Lv et al., VLDB'07).
+
+    Signature bits + norms come from the Arrow-batched numpy kernel
+    (``_banded_pandas``): one GEMM per batch instead of interpreted
+    per-element HOF folds -- same vectorized-path rationale as
+    ``dedup.embedding_lsh_pairs``. Both sides MUST hash through the
+    same kernel (a query hashed by a different float-summation order
+    could land one bucket off its own corpus copy)."""
+    banded = _banded_pandas(embeddings, n_planes, bands, dim, seed)
+    corpus = banded.select(
         F.col("vec_id").alias("nid"),
-        F.col("embedding").alias("ne"),
-        l2_norm(F.col("embedding")).alias("nn"),
-        F.explode(sig).alias("b"),
-    ).select("nid", "ne", "nn", "b.band_id", "b.bucket")
-    q = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("emb").alias("ne"),
+        F.col("nn"),
+        "band_id",
+        "bucket",
+    )
+    q = banded.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("qe"),
-        l2_norm(F.col("embedding")).alias("qn"),
-        F.explode(lsh_signature("embedding", n_planes, dim, bands, seed)).alias("b"),
-    ).select("qid", "qe", "qn", "b.band_id", "b.bucket")
+        F.col("emb").alias("qe"),
+        F.col("nn").alias("qn"),
+        "band_id",
+        "bucket",
+    )
     if probe_bits > 0:
         width = n_planes // bands
         probes = [F.col("bucket")]
