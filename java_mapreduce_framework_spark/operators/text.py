@@ -479,3 +479,69 @@ def curation_pipeline(
             ),
         )
     )
+
+
+def countmin_heavy_hitters(
+    documents: DataFrame,
+    threshold: int = 20,
+    k: int = 25,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Sketch-accelerated heavy hitters: a count-min sketch prunes the
+    vocabulary to candidate tokens, exact counting + top-k runs on the
+    survivors only -- so the RESULT is exact (hash-checked against the
+    plain GROUP BY oracle) while the expensive exact aggregation never
+    sees the long tail.
+
+    CMS one-sided error is the load-bearing property: every cell
+    estimate >= the true count (collisions only ADD), so filtering on
+    ``min over depth cells >= threshold`` can never drop a true heavy
+    hitter -- no false negatives, only extra candidates that the exact
+    re-count then discards. Asserted in tests.
+
+    Scale shape: the sketch is ``depth x width`` int64 cells built by
+    one partial->final agg over (d, cell) keys (token occurrences
+    never shuffle raw -- map-side combine collapses them to <= 4096
+    partial rows per partition); the cells BROADCAST (32 KB); the
+    candidate filter and estimate are expression-side lookups against
+    that broadcast map; the exact re-count aggregates only tokens that
+    beat the threshold. At 100 TB the exact agg's key space shrinks
+    from full vocabulary to the heavy tail above ``threshold``."""
+    words = words_exploded(documents).select("word")
+    cell = lambda d: F.pmod(F.xxhash64("word", F.lit(d)), F.lit(width))  # noqa: E731
+    cells = words.select(
+        F.explode(
+            F.array(*[F.struct(F.lit(d).alias("d"), cell(d).alias("cell")) for d in range(depth)])
+        ).alias("c")
+    ).groupBy("c.d", "c.cell").agg(F.count("*").alias("n"))
+    # depth x width cells as a broadcast lookup keyed "d:cell"
+    sketch = F.broadcast(
+        cells.select(
+            F.concat_ws(":", F.col("d"), F.col("cell")).alias("dc"), "n"
+        )
+    )
+    vocab = words.distinct()
+    est = None
+    for d in range(depth):
+        alias = f"n{d}"
+        vocab = vocab.join(
+            sketch.withColumnRenamed("n", alias).withColumnRenamed("dc", f"dc{d}"),
+            F.concat_ws(":", F.lit(d), cell(d)) == F.col(f"dc{d}"),
+        ).drop(f"dc{d}")
+        e = F.col(alias)
+        est = e if est is None else F.least(est, e)
+    candidates = vocab.filter(est >= threshold).select("word")
+    exact = (
+        words.join(F.broadcast(candidates), "word", "left_semi")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= threshold)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("cnt").desc(), F.col("word"))
+    return (
+        exact.select("word", "cnt", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= k)
+    )

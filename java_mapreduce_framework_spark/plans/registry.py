@@ -2226,6 +2226,60 @@ def _text_feature_hashing(spark, sf):
 
 
 @_register(
+    "sketch_countmin_topk",
+    _WORDS_CTE
+    + """
+    SELECT word, count(*) AS cnt,
+           CAST(row_number() OVER (ORDER BY count(*) DESC, word) AS INT) AS rnk
+    FROM words GROUP BY word HAVING count(*) >= 20
+    ORDER BY cnt DESC, word LIMIT 25
+    """,
+    note="count-min-sketch-accelerated heavy hitters: CMS prunes the "
+    "vocabulary (one-sided error -> no false negatives), exact "
+    "re-count on candidates only, so the result hash-matches the "
+    "plain GROUP BY oracle",
+)
+def _sketch_countmin_topk(spark, sf):
+    return text.countmin_heavy_hitters(_t(spark, sf, "documents"))
+
+
+@_register(
+    "sql_null_aware_anti",
+    """
+    SELECT 'null_free' AS variant, count(*) AS n FROM lineitem
+    WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0)
+    UNION ALL
+    SELECT 'null_bearing' AS variant, count(*) AS n FROM lineitem
+    WHERE l_suppkey NOT IN (SELECT CASE WHEN s_acctbal < 0 THEN NULL
+                                        ELSE s_suppkey END
+                            FROM supplier)
+    """,
+    note="null-aware anti join semantics: NOT IN over a NULL-bearing "
+    "subquery yields UNKNOWN for every probe row (count 0), vs the "
+    "null-free variant's plain anti join -- the Catalyst "
+    "NullAwareAntiJoin path, agreed with the oracle engine",
+)
+def _sql_null_aware_anti(spark, sf):
+    from .sql import run_sql
+
+    return run_sql(
+        spark,
+        sf,
+        """
+        SELECT 'null_free' AS variant, count(*) AS n FROM lineitem
+        WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0)
+        UNION ALL
+        SELECT 'null_bearing' AS variant, count(*) AS n FROM lineitem
+        WHERE l_suppkey NOT IN (SELECT CASE WHEN s_acctbal < 0 THEN NULL
+                                            ELSE s_suppkey END
+                                FROM supplier)
+        """,
+    )
+
+
+@_register(
     "time_heatmap",
     f"""
     SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,

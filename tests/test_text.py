@@ -171,3 +171,50 @@ def test_decontaminate_overlap_finds_shared_shingles(spark):
     assert len(out) == 1
     r = out[0]
     assert (r["doc_id"], r["bench_doc_id"], r["n_shared_shingles"]) == (2, 1, 3)
+
+
+def test_countmin_estimates_never_undercount(spark, sf_small):
+    """CMS one-sided error: min-over-depth cell estimate >= true count
+    for EVERY token -- the property that makes the heavy-hitter
+    pre-filter lossless (no false negatives)."""
+    from pyspark.sql import functions as F
+
+    from java_mapreduce_framework_spark.functions.text import words_exploded
+    from java_mapreduce_framework_spark.operators.text import countmin_heavy_hitters
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    true = {
+        r["word"]: r["cnt"]
+        for r in words_exploded(docs).groupBy("word").agg(F.count("*").alias("cnt")).collect()
+    }
+    # rebuild the sketch exactly as the operator does and compare
+    depth, width = 4, 1024
+    words = words_exploded(docs).select("word")
+    cell = lambda d: F.pmod(F.xxhash64("word", F.lit(d)), F.lit(width))  # noqa: E731
+    cells = (
+        words.select(
+            F.explode(
+                F.array(*[F.struct(F.lit(d).alias("d"), cell(d).alias("cell")) for d in range(depth)])
+            ).alias("c")
+        )
+        .groupBy("c.d", "c.cell")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    table = {(r["d"], r["cell"]): r["n"] for r in cells}
+    # estimates via the same spark hash on the distinct words
+    est_rows = (
+        words.distinct()
+        .select("word", *[cell(d).alias(f"c{d}") for d in range(depth)])
+        .collect()
+    )
+    for r in est_rows:
+        est = min(table[(d, r[f"c{d}"])] for d in range(depth))
+        assert est >= true[r["word"]], (r["word"], est, true[r["word"]])
+
+    # and the operator's exact rescore returns the true top rows
+    got = countmin_heavy_hitters(docs, threshold=5, k=10).collect()
+    top = sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))
+    expect = [(w, c) for w, c in top if c >= 5][:10]
+    assert [(r["word"], r["cnt"]) for r in got] == expect
