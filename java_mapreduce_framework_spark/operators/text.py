@@ -545,3 +545,61 @@ def countmin_heavy_hitters(
         exact.select("word", "cnt", F.row_number().over(w).alias("rnk"))
         .filter(F.col("rnk") <= k)
     )
+
+
+def repetition_score(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Boilerplate/looping-text quality signal: the fraction of a
+    document's ``n``-gram occurrences that are repeats of an n-gram
+    already seen in the SAME document (0 = all distinct, ->1 = the doc
+    loops). The standard pretraining-corpus repetition filter
+    (templated spam and decoder loops score high).
+
+    Pure expression work per row -- the n-gram array and its distinct
+    count come from one projection (the shared ``grams_expr``
+    definition), no explode, no shuffle: at 100 TB this is a map-only
+    scan. Docs shorter than ``n`` tokens score 0 by convention (no
+    n-grams to repeat)."""
+    grams = F.expr(grams_expr(n))
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    short = F.size(F.col("toks")) < n
+    return (
+        documents.select("doc_id", tokens_col("text").alias("toks"))
+        .select(
+            "doc_id",
+            F.when(short, F.lit(0)).otherwise(total).alias("n_grams"),
+            F.when(short | (total <= 0), F.lit(0.0))
+            .otherwise(F.round((total - distinct) / total, 4))
+            .alias("repetition_ratio"),
+        )
+    )
+
+
+def sequence_packing(
+    documents: DataFrame, budget: int = 2048
+) -> DataFrame:
+    """Greedy sequence packing for training-batch construction: docs
+    stream in deterministic (lang, doc_id) order and each doc joins
+    the current pack until the pack's token budget would overflow, at
+    which point a new pack starts -- the classic first-fit-by-order
+    packer, expressed as a running-sum window.
+
+    pack_id = floor((cumsum(tokens) - tokens) / budget): a doc whose
+    prefix-sum crosses a budget boundary starts the next pack. Packs
+    are keyed per language (packing across languages is never wanted),
+    which also makes the window partition-parallel: one shuffle on
+    lang, cumulative sum within, no global sort. Oversized docs (>
+    budget tokens) get a pack of their own, as first-fit dictates.
+    Exact integer arithmetic -- bit-identical across engines."""
+    from pyspark.sql import Window
+
+    toks = F.size(tokens_col("text"))
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    cum = F.sum("n_tokens").over(w)
+    return (
+        documents.select("doc_id", "lang", toks.alias("n_tokens"))
+        .withColumn(
+            "pack_id",
+            F.floor((cum - F.col("n_tokens")) / F.lit(budget)).cast("int"),
+        )
+    )

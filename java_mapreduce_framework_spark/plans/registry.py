@@ -869,6 +869,48 @@ def _ngram_counts(spark, sf):
 
 
 @_register(
+    "repetition_score",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    g AS (SELECT doc_id,
+                 CASE WHEN len(t) >= 3
+                      THEN list_transform(range(1, len(t) - 1),
+                                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                      ELSE [] END AS grams
+          FROM toks)
+    SELECT doc_id,
+           CAST(len(grams) AS INT) AS n_grams,
+           CASE WHEN len(grams) > 0
+                THEN round((len(grams) - len(list_distinct(grams)))
+                           / CAST(len(grams) AS DOUBLE), 4)
+                ELSE 0.0 END AS repetition_ratio
+    FROM g
+    """,
+    note="per-doc 3-gram repetition ratio (boilerplate/looping-text "
+    "quality filter); map-only scan, no shuffle",
+)
+def _repetition_score(spark, sf):
+    return text.repetition_score(_t(spark, sf, "documents"))
+
+
+@_register(
+    "sequence_packing",
+    f"""
+    WITH t AS (SELECT doc_id, lang, len({_TOKS}) AS n_tokens FROM documents)
+    SELECT doc_id, lang, CAST(n_tokens AS INT) AS n_tokens,
+           CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+                       - n_tokens) / 2048.0) AS INT) AS pack_id
+    FROM t
+    """,
+    note="greedy first-fit-by-order sequence packing into 2048-token "
+    "packs per language (training-batch construction); one running-sum "
+    "window per lang partition",
+)
+def _sequence_packing(spark, sf):
+    return text.sequence_packing(_t(spark, sf, "documents"))
+
+
+@_register(
     "decontaminate_overlap",
     f"""
     WITH toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
