@@ -291,3 +291,35 @@ def ordered_event_sequences(events: DataFrame, max_len: int = 50) -> DataFrame:
         F.count("*").alias("n_events"),
         F.concat_ws(",", seq).alias("action_seq"),
     )
+
+
+def rolling_window_range(events: DataFrame, window_s: int = 600) -> DataFrame:
+    """Trailing time-range features per event: count and value sum of
+    the SAME user's events in the preceding ``window_s`` seconds,
+    including the current row -- the RANGE-frame window (peers by time
+    distance, not row count), which is the correct frame for
+    irregularly-spaced event streams (a ROWS frame would mean 'last k
+    events' regardless of how stale they are).
+
+    Ordering key is integer epoch microseconds, so the frame bound
+    (window_s * 1e6) is exact integer arithmetic cross-engine; value
+    sums round through one terminal round(). One shuffle on user_id;
+    within-partition sort is the window's requirement and AQE sizes
+    the partitions."""
+    from pyspark.sql import Window
+
+    us = F.unix_micros("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-window_s * 1_000_000, 0)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(w).alias("n_recent"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("recent_value"),
+    )

@@ -911,6 +911,27 @@ def _sequence_packing(spark, sf):
 
 
 @_register(
+    "rolling_window_range",
+    f"""
+    SELECT user_id, event_id,
+           count(*) OVER w AS n_recent,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+               AS recent_value
+    FROM {_EVTS}
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+                 RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+    """,
+    note="trailing 10-minute RANGE-frame window per user (count + "
+    "DECIMAL-exact value sum); integer-microsecond frame bounds are "
+    "engine-identical",
+)
+def _rolling_window_range(spark, sf):
+    from ..operators import temporal
+
+    return temporal.rolling_window_range(_t(spark, sf, "events"))
+
+
+@_register(
     "decontaminate_overlap",
     f"""
     WITH toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
