@@ -267,3 +267,34 @@ def test_foreachbatch_sink_is_idempotent_under_replay(spark, sf_small):
     parts = {p.name for p in (root / "sink").iterdir() if p.name.startswith("batch_id=")}
     assert parts, "sink has no batch_id partitions"
     assert spark.read.parquet(str(root / "sink")).count() == n_events
+
+
+def test_stream_stream_left_join_null_emission_respects_watermark(spark, sf_small):
+    """Left-outer stream-stream join: every null-view row's click must
+    be strictly below the joint watermark (min of per-side max event
+    times - delay); matched rows are exactly the batch join's."""
+    from pyspark.sql import functions as F
+
+    from java_mapreduce_framework_spark.sources.tables import load_table
+    from java_mapreduce_framework_spark.streaming.jobs import stream_stream_join_left
+
+    out = stream_stream_join_left(spark, sf_small).collect()
+    ev = load_table(spark, sf_small, "events")
+    sides = {
+        r["event_type"]: r["m"]
+        for r in ev.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("event_type")
+        .agg(F.max("ts").alias("m"))
+        .collect()
+    }
+    import datetime
+
+    wm = min(sides.values()) - datetime.timedelta(hours=1)
+    clicks = {
+        r["event_id"]: r["ts"]
+        for r in ev.filter(F.col("event_type") == "click").collect()
+    }
+    nulls = [r for r in out if r["view_id"] is None]
+    assert nulls, "no null rows emitted; fixture degenerate"
+    for r in nulls:
+        assert clicks[r["click_id"]] < wm, (r["click_id"], clicks[r["click_id"]], wm)
