@@ -325,3 +325,29 @@ def test_stats_correlation_single_pass(spark, sf_small):
     assert "partial_sum" in plan
     assert _nodes(plan, "Exchange") == 1
     assert _nodes(plan, "Scan parquet") == 1
+
+
+def test_correlated_subquery_shapes_decorrelate(spark, sf_small):
+    """Every correlated-subquery SQL shape must lower to hash joins
+    (decorrelated aggregate + rejoin, semi/anti for EXISTS forms) --
+    never a per-row re-scan, nested-loop join, or cartesian product."""
+    import re
+
+    from java_mapreduce_framework_spark.plans import sql as S
+
+    shapes = {
+        "SMALL_QTY_REVENUE": 0,
+        "MIN_COST_SUPPLIER": 0,
+        "LATE_SOLE_SUPPLIER": 2,  # EXISTS -> semi, NOT EXISTS -> anti
+        "DOMINANT_PART_SUPPLIERS": 2,  # two IN levels
+        "CUSTOMER_ORDER_DISTRIBUTION": 0,
+        "TOP_REVENUE_SUPPLIER": 0,
+        "IMPORTANT_PART_VALUE": 0,
+    }
+    for name, min_semi_anti in shapes.items():
+        df = S.run_sql(spark, sf_small, getattr(S, name))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        semi_anti = len(re.findall(r"LeftSemi|LeftAnti", plan))
+        assert semi_anti >= min_semi_anti, (name, semi_anti, plan[:500])
