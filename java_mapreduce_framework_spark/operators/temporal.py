@@ -272,23 +272,37 @@ def window_lead_delta(events: DataFrame) -> DataFrame:
 def ordered_event_sequences(events: DataFrame, max_len: int = 50) -> DataFrame:
     """Per-user ordered action sequence as a delimited string -- the
     session-to-token-sequence construction step of a behavioral
-    training pipeline. collect_list is UNORDERED by contract, so the
-    order is imposed inside the row: collect structs, array_sort on
-    (ts, event_id), project the action, join. One shuffle on user_id;
-    per-user state is bounded by ``max_len`` (slice after sort).
+    training pipeline.
+
+    Bounded-state construction: a ``row_number()`` window over
+    (user_id, ts, event_id) ranks events BEFORE any aggregation, and
+    rows beyond ``max_len`` are filtered out pre-aggregate, so the
+    per-user array the aggregation materializes is genuinely bounded
+    by ``max_len`` even for a mega-user with millions of events (a
+    post-aggregate ``slice`` would first collect the full array in
+    one row). ``n_events`` is the TOTAL per-user count, taken from an
+    unordered count window on the same hash partitioning -- the
+    window pass and the groupBy reuse one shuffle on user_id.
+    collect_list is UNORDERED by contract, so order is re-imposed
+    inside the bounded row: collect (rn, action) structs, array_sort
+    by rn, project the action, join.
     """
-    seq = F.slice(
-        F.transform(
-            F.array_sort(
-                F.collect_list(F.struct("ts", "event_id", "event_type"))
-            ),
-            lambda s: s["event_type"],
-        ),
-        1,
-        max_len,
+    from pyspark.sql import Window
+
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_all = Window.partitionBy("user_id")
+    ranked = events.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w_order).alias("rn"),
+        F.count("*").over(w_all).alias("n_events"),
+    ).filter(F.col("rn") <= max_len)
+    seq = F.transform(
+        F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+        lambda s: s["event_type"],
     )
-    return events.groupBy("user_id").agg(
-        F.count("*").alias("n_events"),
+    return ranked.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
         F.concat_ws(",", seq).alias("action_seq"),
     )
 

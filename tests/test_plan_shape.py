@@ -351,3 +351,32 @@ def test_correlated_subquery_shapes_decorrelate(spark, sf_small):
         assert "BroadcastNestedLoopJoin" not in plan, name
         semi_anti = len(re.findall(r"LeftSemi|LeftAnti", plan))
         assert semi_anti >= min_semi_anti, (name, semi_anti, plan[:500])
+
+
+def test_ordered_event_sequences_truncates_below_aggregate(spark, sf_small):
+    """The row_number <= max_len filter must sit BELOW the collect_list
+    aggregate, so the array any one group materializes is bounded by
+    max_len -- a post-aggregate slice would first build the full
+    per-user array (unbounded state for a mega-user). The rank window
+    and the groupBy share one hash partitioning on user_id."""
+    from java_mapreduce_framework_spark.operators.temporal import (
+        ordered_event_sequences,
+    )
+
+    plan = _formatted(ordered_event_sequences(load_table(spark, sf_small, "events")))
+    assert "rn" in plan and "row_number" in plan
+    # formatted output prints the tree top-down (consumers above
+    # producers): the truncating Filter must sit between the
+    # collect_list aggregate (above it) and the rank Window (below it)
+    lines = plan.splitlines()
+    tree_end = next(i for i, ln in enumerate(lines) if ln.strip() == "" and i > 2)
+    tree = "\n".join(lines[:tree_end])
+    a = (
+        tree.index("ObjectHashAggregate")
+        if "ObjectHashAggregate" in tree
+        else tree.index("HashAggregate")
+    )
+    f = tree.index("Filter")
+    w = tree.index("Window")
+    assert a < f < w, tree
+    assert _nodes(plan, "Exchange") == 1  # window + groupBy reuse one shuffle
