@@ -159,6 +159,16 @@ def minhash_signatures(
     separate size-aggregation scan of the corpus.
     """
     sh = shingles(documents, n, hashed=True)
+    return minhash_signatures_from_shingles(sh, num_perm, seed)
+
+
+def minhash_signatures_from_shingles(
+    sh: DataFrame, num_perm: int = 128, seed: int = 42
+) -> DataFrame:
+    """Signature aggregation over a pre-built hashed (doc_id, shingle)
+    stream -- split out so callers that also need the shingle stream
+    for verification (``dedup_minhash``) can build it ONCE and share
+    the materialization."""
     h = F.pmod(F.col("shingle"), F.lit(_HASH_BOUND))
     aggs = [
         F.min(F.pmod(a * h + b, F.lit(_MERSENNE_P))).alias(f"s{i}")
@@ -236,15 +246,18 @@ def dedup_minhash(
     is probabilistic.
 
     The signature aggregation is consumed exactly once (bucket-group
-    candidate generation, sizes riding in the candidate pairs): the
-    plan scans the corpus 3 times total -- signature build plus the
-    two shingle streams of the verification join -- where a band
-    self-join with a separate size lookup costs 6 scans and runs the
+    candidate generation, sizes riding in the candidate pairs), and
+    the hashed shingle stream -- shared by the signature build and
+    BOTH sides of the verification join -- is localCheckpoint'ed, so
+    the corpus is scanned and tokenized ONCE; the two verify-join
+    probes replay the narrow (doc_id, shingle int64) materialization
+    instead of re-running explode+xxhash64. A band self-join with a
+    separate size lookup would cost 6 corpus scans and run the
     128-min aggregation twice.
     """
-    sig = minhash_signatures(documents, num_perm, n, seed)
+    sh = shingles(documents, n, hashed=True).localCheckpoint(eager=False)
+    sig = minhash_signatures_from_shingles(sh, num_perm, seed)
     cand = minhash_candidates(sig, num_perm, bands)
-    sh = shingles(documents, n, hashed=True)
     # Candidate-restricted intersection: expand each candidate pair by
     # doc_a's shingles, then equi-join doc_b's shingles on (doc_b,
     # shingle). Work is sum over candidates of |shingles(doc_a)| --

@@ -576,30 +576,71 @@ def repetition_score(documents: DataFrame, n: int = 3) -> DataFrame:
 
 
 def sequence_packing(
-    documents: DataFrame, budget: int = 2048
+    documents: DataFrame, budget: int = 2048, num_shards: int = 32
 ) -> DataFrame:
     """Greedy sequence packing for training-batch construction: docs
     stream in deterministic (lang, doc_id) order and each doc joins
     the current pack until the pack's token budget would overflow, at
     which point a new pack starts -- the classic first-fit-by-order
-    packer, expressed as a running-sum window.
+    packer. pack_id = floor((cumsum(tokens) - tokens) / budget): a doc
+    whose prefix-sum crosses a budget boundary starts the next pack.
+    Packs are keyed per language (packing across languages is never
+    wanted); oversized docs (> budget tokens) get a pack of their own,
+    as first-fit dictates.
 
-    pack_id = floor((cumsum(tokens) - tokens) / budget): a doc whose
-    prefix-sum crosses a budget boundary starts the next pack. Packs
-    are keyed per language (packing across languages is never wanted),
-    which also makes the window partition-parallel: one shuffle on
-    lang, cumulative sum within, no global sort. Oversized docs (>
-    budget tokens) get a pack of their own, as first-fit dictates.
-    Exact integer arithmetic -- bit-identical across engines."""
+    First-fit-by-order needs an EXACT global prefix sum per language,
+    which a single `Window.partitionBy(lang)` would serialize -- each
+    language's whole corpus through one reducer at 100 TB. Instead the
+    prefix sum is computed in two parallel phases over a range
+    partitioning on (lang, doc_id):
+
+      1. range-shard the stream into ``num_shards`` order-contiguous
+         shards; per-(lang, shard) token totals roll up to a tiny
+         offsets table (``num_shards`` x #langs rows), on which a
+         cheap cumulative window yields each shard's starting offset;
+      2. a within-shard running-sum window (partitioned by lang AND
+         shard -- parallel across shards) plus the broadcast offset
+         reconstructs the exact global prefix sum.
+
+    The sharded stream is a NARROW projection (doc_id, lang,
+    n_tokens, shard -- the text column is dropped before the range
+    exchange), and it is localCheckpoint'ed so both phases read one
+    materialization: tokenization and the range shuffle run exactly
+    once, and the shard ids both phases see are identical by
+    construction. The shard boundaries never affect the OUTPUT --
+    offset + within-shard cumsum equals the global cumsum wherever
+    the cuts land, so results are bit-identical to the serial window
+    (exact integer arithmetic throughout)."""
     from pyspark.sql import Window
 
     toks = F.size(tokens_col("text"))
-    w = Window.partitionBy("lang").orderBy("doc_id")
-    cum = F.sum("n_tokens").over(w)
-    return (
+    parts = (
         documents.select("doc_id", "lang", toks.alias("n_tokens"))
+        .repartitionByRange(num_shards, "lang", "doc_id")
+        .withColumn("shard", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    w_off = (
+        Window.partitionBy("lang")
+        .orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        parts.groupBy("lang", "shard")
+        .agg(F.sum("n_tokens").alias("shard_total"))
+        .select(
+            "lang",
+            "shard",
+            F.coalesce(F.sum("shard_total").over(w_off), F.lit(0)).alias("offset"),
+        )
+    )
+    w_in = Window.partitionBy("lang", "shard").orderBy("doc_id")
+    cum = F.col("offset") + F.sum("n_tokens").over(w_in)
+    return (
+        parts.join(F.broadcast(offsets), ["lang", "shard"])
         .withColumn(
             "pack_id",
             F.floor((cum - F.col("n_tokens")) / F.lit(budget)).cast("int"),
         )
+        .select("doc_id", "lang", "n_tokens", "pack_id")
     )

@@ -380,3 +380,28 @@ def test_ordered_event_sequences_truncates_below_aggregate(spark, sf_small):
     w = tree.index("Window")
     assert a < f < w, tree
     assert _nodes(plan, "Exchange") == 1  # window + groupBy reuse one shuffle
+
+
+def test_sequence_packing_window_is_shard_parallel(spark, sf_small):
+    """The packing prefix sum must NOT run as a single
+    partitionBy(lang) window (one reducer per language at 100 TB):
+    the plan's running-sum window partitions by (lang, shard), the
+    offsets side is broadcast, and the shard stream is a narrow
+    checkpointed projection consumed by both phases."""
+    import re
+
+    from java_mapreduce_framework_spark.operators.text import sequence_packing
+
+    plan = _formatted(sequence_packing(load_table(spark, sf_small, "documents")))
+    assert "BroadcastExchange" in plan  # offsets join never shuffles the stream
+    # every windowspecdefinition ordering by doc_id (the per-doc
+    # running sum over the full stream) must partition by shard too;
+    # a lang-only partition spec there is the serialized shape. The
+    # lang-only OFFSETS window (ordered by shard, over the tiny
+    # aggregate) is the sanctioned exception.
+    specs = re.findall(r"windowspecdefinition\(([^)]*?)specifiedwindowframe", plan)
+    assert specs, plan
+    big = [s for s in specs if "doc_id" in s]
+    assert big, specs
+    for s in big:
+        assert "shard" in s, f"doc_id window not shard-parallel: {s}"
