@@ -2,12 +2,19 @@
 opaque ``binary`` payloads with typed metadata, processed with
 Arrow-batched ``mapInPandas``.
 
-The container ships no image/audio libraries, so the *decode kernels*
-are deliberate stubs (deterministic fakes, or NotImplementedError for
-the real-library path) -- but the Spark-side plumbing is real and
-tested: schema, batch iteration, partition-preserving metadata
-extraction, and frame-sampling explosion. Swapping a stub for
-PIL/librosa changes only the kernel body.
+Two kernel tiers:
+
+- REAL, library-free codecs: ``encode_bmp``/``real_decode`` (24-bit
+  uncompressed BMP, pure struct+numpy) and ``encode_wav``/
+  ``decode_wav`` (RIFF/WAVE 16-bit PCM chunk walker). The
+  ``decode_image_meta`` / ``audio_features_wav`` operators decode
+  actual image/audio files and compute stats over the DECODED
+  pixel/sample arrays -- no imaging library required, none used.
+- Deterministic fakes (``_fake_decode`` et al.) kept for the
+  byte-slicing plumbing operators (frame_sample, resize) whose real
+  kernels would need PIL/ffmpeg-class libraries the container lacks;
+  the Spark-side plumbing around them (schema, Arrow batching,
+  1:N explosion) is real and oracle-tested either way.
 
 100 TB posture: payloads stay in executor-side Arrow batches; nothing
 returns to the driver; per-batch memory is bounded by
@@ -51,18 +58,107 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     return n, n % 640, (n * 7) % 480
 
 
-def real_decode(payload: bytes):  # pragma: no cover - stub by design
-    """Real image decode -- STUB. The execution container has no
-    imaging libraries; the Arrow plumbing around this kernel is what
-    the engine provides."""
-    try:
-        from PIL import Image  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "image decode requires Pillow, not present in this environment; "
-            "use _fake_decode for plumbing tests"
-        ) from e
-    raise NotImplementedError("wire PIL Image.open(io.BytesIO(payload)) here")
+def encode_bmp(arr) -> bytes:
+    """Library-free REAL image encoder: 24-bit uncompressed BMP
+    (BITMAPFILEHEADER + BITMAPINFOHEADER, BGR byte order, bottom-up
+    rows, 4-byte row padding) from an (h, w, 3) uint8 RGB array.
+    Pure struct/numpy -- no imaging library involved."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, _ = a.shape
+    row = ((3 * w + 3) // 4) * 4
+    img_size = row * h
+    # RGB -> BGR, bottom-up scanlines, pad rows to 4 bytes
+    bgr = a[::-1, :, ::-1]
+    rows = np.zeros((h, row), dtype=np.uint8)
+    rows[:, : 3 * w] = bgr.reshape(h, 3 * w)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    return header + info + rows.tobytes()
+
+
+def real_decode(payload: bytes):
+    """REAL image decode, library-free: parses 24-bit uncompressed BMP
+    (the format ``encode_bmp`` writes, and what any BMP producer
+    emits) into an (h, w, 3) uint8 RGB numpy array. Validates magic,
+    header size, bit depth and compression; raises ValueError on
+    anything it cannot decode -- no fake fallback on this path."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if hdr_size < 40 or planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP variant: bpp={bpp} compression={compression}")
+    bottom_up = h > 0
+    h = abs(h)
+    row = ((3 * w + 3) // 4) * 4
+    if offset + row * h > len(payload):
+        raise ValueError("truncated BMP pixel array")
+    rows = np.frombuffer(payload, dtype=np.uint8, count=row * h, offset=offset)
+    bgr = rows.reshape(h, row)[:, : 3 * w].reshape(h, w, 3)
+    if bottom_up:
+        bgr = bgr[::-1]
+    return bgr[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def encode_wav(samples, sample_rate: int = 16000) -> bytes:
+    """Library-free REAL audio encoder: RIFF/WAVE container with a
+    PCM fmt chunk and a 16-bit mono little-endian data chunk."""
+    import struct
+
+    import numpy as np
+
+    s = np.asarray(samples, dtype="<i2")
+    data = s.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    out = (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    return out
+
+
+def decode_wav(payload: bytes):
+    """REAL audio decode, library-free: walks RIFF chunks, reads the
+    PCM fmt chunk and returns (sample_rate, int16 numpy samples).
+    Validates container magic, PCM format tag and 16-bit depth;
+    raises ValueError otherwise."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, bits, fmt_tag, channels, data = 12, None, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_tag, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    if fmt_tag != 1 or bits != 16 or channels != 1:
+        raise ValueError(f"unsupported WAV: fmt={fmt_tag} bits={bits} ch={channels}")
+    return rate, np.frombuffer(data, dtype="<i2")
 
 
 def decode_metadata(multimodal: DataFrame) -> DataFrame:
@@ -215,3 +311,158 @@ def audio_features(multimodal: DataFrame, sample_rate: int = 16000) -> DataFrame
             )
 
     return multimodal.mapInPandas(kernel, schema=AUDIO_SCHEMA)
+
+
+# ------------------------------------------------------------------
+# REAL codec paths: deterministic BMP / WAV payloads built from doc
+# content, decoded back with the library-free parsers above. The
+# encode and decode kernels live in separate mapInPandas stages (the
+# layout a real pipeline has: ingest produces binaries, decode
+# consumes them); both are narrow map-only stages, payloads never
+# shuffle or reach the driver.
+
+IMAGE_META_SCHEMA = (
+    "doc_id long, n_bytes long, width int, height int, "
+    "sum_r long, sum_g long, sum_b long, px_min int, px_max int"
+)
+
+AUDIO_WAV_SCHEMA = (
+    "doc_id long, n_bytes long, sample_rate int, n_samples long, "
+    "duration_ms double, rms double, peak double"
+)
+
+
+def _image_geometry(n: int) -> tuple[int, int]:
+    """Deterministic per-doc image size from payload-source length --
+    small and coprime-ish moduli so widths/heights vary."""
+    return 8 + (n % 9), 8 + ((n * 3) % 9)
+
+
+def attach_image_payload(documents: DataFrame) -> DataFrame:
+    """Build a REAL 24-bit BMP per document: pixel k (row-major RGB
+    flat order) carries text-byte k mod n, tiled to a deterministic
+    (w, h) geometry -- so the oracle can reconstruct every pixel from
+    the text column while the payload itself is a spec-compliant BMP
+    file that any decoder opens."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                if not len(b):
+                    continue
+                w, h = _image_geometry(len(b))
+                flat = b[np.arange(w * h * 3) % len(b)]
+                ids.append(doc_id)
+                blobs.append(encode_bmp(flat.reshape(h, w, 3)))
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"), "payload": blobs}
+            )
+
+    return documents.select("doc_id", "text").mapInPandas(
+        kernel, schema="doc_id long, payload binary"
+    )
+
+
+def decode_image_meta(images: DataFrame) -> DataFrame:
+    """REAL decode path: parse each BMP payload with the library-free
+    ``real_decode`` and emit geometry plus per-channel pixel sums and
+    min/max -- stats over the DECODED pixel array, so a header-only
+    shortcut or a byte-length fake cannot pass the oracle."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "n_bytes", "width", "height",
+                                    "sum_r", "sum_g", "sum_b", "px_min", "px_max")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = real_decode(bytes(payload))
+                h, w, _ = px.shape
+                sums = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                rows["doc_id"].append(doc_id)
+                rows["n_bytes"].append(len(payload))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["sum_r"].append(int(sums[0]))
+                rows["sum_g"].append(int(sums[1]))
+                rows["sum_b"].append(int(sums[2]))
+                rows["px_min"].append(int(px.min()))
+                rows["px_max"].append(int(px.max()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "n_bytes": pd.Series(rows["n_bytes"], dtype="int64"),
+                    "width": pd.Series(rows["width"], dtype="int32"),
+                    "height": pd.Series(rows["height"], dtype="int32"),
+                    "sum_r": pd.Series(rows["sum_r"], dtype="int64"),
+                    "sum_g": pd.Series(rows["sum_g"], dtype="int64"),
+                    "sum_b": pd.Series(rows["sum_b"], dtype="int64"),
+                    "px_min": pd.Series(rows["px_min"], dtype="int32"),
+                    "px_max": pd.Series(rows["px_max"], dtype="int32"),
+                }
+            )
+
+    return images.mapInPandas(kernel, schema=IMAGE_META_SCHEMA)
+
+
+def attach_audio_payload(documents: DataFrame, sample_rate: int = 16000) -> DataFrame:
+    """Build a REAL RIFF/WAVE payload per document: 16-bit mono PCM
+    where sample k = (text_byte_k - 128) * 256 -- deterministic,
+    oracle-reconstructable, and a spec-compliant WAV file."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                if not len(b):
+                    continue
+                samples = (b.astype(np.int32) - 128) * 256
+                ids.append(doc_id)
+                blobs.append(encode_wav(samples.astype(np.int16), sample_rate))
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"), "payload": blobs}
+            )
+
+    return documents.select("doc_id", "text").mapInPandas(
+        kernel, schema="doc_id long, payload binary"
+    )
+
+
+def audio_features_wav(audio: DataFrame) -> DataFrame:
+    """REAL audio decode path: walk the RIFF container, parse the PCM
+    data chunk with ``decode_wav``, and emit per-clip features over
+    the DECODED int16 samples (duration from the fmt chunk's true
+    sample rate; RMS/peak in float64, rounded once)."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "n_bytes", "sample_rate",
+                                    "n_samples", "duration_ms", "rms", "peak")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, s = decode_wav(bytes(payload))
+                x = s.astype(np.float64)
+                rows["doc_id"].append(doc_id)
+                rows["n_bytes"].append(len(payload))
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(len(s))
+                rows["duration_ms"].append(len(s) / (rate / 1000.0))
+                rows["rms"].append(round(float(np.sqrt(np.mean(x * x))) if len(s) else 0.0, 4))
+                rows["peak"].append(float(np.abs(x).max()) if len(s) else 0.0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "n_bytes": pd.Series(rows["n_bytes"], dtype="int64"),
+                    "sample_rate": pd.Series(rows["sample_rate"], dtype="int32"),
+                    "n_samples": pd.Series(rows["n_samples"], dtype="int64"),
+                    "duration_ms": pd.Series(rows["duration_ms"], dtype="float64"),
+                    "rms": pd.Series(rows["rms"], dtype="float64"),
+                    "peak": pd.Series(rows["peak"], dtype="float64"),
+                }
+            )
+
+    return audio.mapInPandas(kernel, schema=AUDIO_WAV_SCHEMA)

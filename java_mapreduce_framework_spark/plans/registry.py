@@ -1426,6 +1426,71 @@ def _multimodal_audio_features(spark, sf):
     return multimodal.audio_features(multimodal.attach_payload(_t(spark, sf, "documents")))
 
 
+@_register(
+    "multimodal_decode_bmp",
+    f"""
+    WITH {_PAYLOAD_CTE},
+    geo AS (SELECT doc_id, n, bytes,
+                   8 + (n % 9) AS w, 8 + ((n * 3) % 9) AS h
+            FROM pbytes WHERE n > 0),
+    px AS (SELECT doc_id, n, w, h,
+                  list_transform(range(0, w * h * 3),
+                                 k -> bytes[CAST(k % n AS INT) + 1]) AS flat
+           FROM geo)
+    SELECT doc_id,
+           CAST(54 + ((3 * w + 3) // 4) * 4 * h AS BIGINT) AS n_bytes,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(list_sum(list_transform(list_filter(range(0, w * h * 3),
+                k -> k % 3 = 0), k -> flat[CAST(k AS INT) + 1])) AS BIGINT) AS sum_r,
+           CAST(list_sum(list_transform(list_filter(range(0, w * h * 3),
+                k -> k % 3 = 1), k -> flat[CAST(k AS INT) + 1])) AS BIGINT) AS sum_g,
+           CAST(list_sum(list_transform(list_filter(range(0, w * h * 3),
+                k -> k % 3 = 2), k -> flat[CAST(k AS INT) + 1])) AS BIGINT) AS sum_b,
+           CAST(list_min(flat) AS INT) AS px_min,
+           CAST(list_max(flat) AS INT) AS px_max
+    FROM px
+    """,
+    note="REAL library-free image path: spec-compliant 24-bit BMP encoded per "
+    "doc (pixels tiled from text bytes), parsed back by the pure-numpy BMP "
+    "decoder; oracle reconstructs every pixel from the text column, so the "
+    "file size, geometry, per-channel sums and min/max all prove a real "
+    "header+scanline decode (BGR/bottom-up/row-padding handled)",
+)
+def _multimodal_decode_bmp(spark, sf):
+    return multimodal.decode_image_meta(
+        multimodal.attach_image_payload(_t(spark, sf, "documents"))
+    )
+
+
+@_register(
+    "multimodal_audio_wav",
+    f"""
+    WITH {_PAYLOAD_CTE},
+    pcm AS (SELECT doc_id, n,
+                   list_transform(bytes, x -> (x - 128) * 256) AS s
+            FROM pbytes WHERE n > 0)
+    SELECT doc_id,
+           CAST(44 + 2 * n AS BIGINT) AS n_bytes,
+           CAST(16000 AS INT) AS sample_rate,
+           n AS n_samples,
+           n / 16.0 AS duration_ms,
+           round(sqrt(list_sum(list_transform(s, x -> CAST(x AS DOUBLE) * x)) / n),
+                 4) AS rms,
+           CAST(list_max(list_transform(s, x -> abs(x))) AS DOUBLE) AS peak
+    FROM pcm
+    """,
+    note="REAL library-free audio path: spec-compliant RIFF/WAVE 16-bit PCM "
+    "encoded per doc (sample k = (byte_k - 128) * 256), chunk-walked and "
+    "parsed back by the pure-numpy WAV decoder; container size, fmt-chunk "
+    "rate and decoded-sample RMS/peak are oracle-reconstructed exactly "
+    "(integer-valued float64 sums, so no rounding divergence)",
+)
+def _multimodal_audio_wav(spark, sf):
+    return multimodal.audio_features_wav(
+        multimodal.attach_audio_payload(_t(spark, sf, "documents"))
+    )
+
+
 # ------------------------------------------------------- SQL intake
 
 
