@@ -177,6 +177,26 @@ def minhash_signatures_from_shingles(
     return sh.groupBy("doc_id").agg(*aggs, F.count("*").alias("n_shingles"))
 
 
+def band_struct_array(num_perm: int, bands: int):
+    """The (band_id, band_hash) struct array expression over signature
+    columns s0..s{num_perm-1} -- factored out so batch candidate
+    generation and the persisted incremental index hash bands
+    IDENTICALLY (a probe against an index built with a different band
+    hash silently finds nothing)."""
+    rows = num_perm // bands
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_id"),
+                F.xxhash64(
+                    F.concat_ws(",", *[f"s{j * rows + r}" for r in range(rows)])
+                ).alias("band_hash"),
+            )
+            for j in range(bands)
+        ]
+    )
+
+
 def minhash_candidates(
     sig: DataFrame, num_perm: int = 128, bands: int = 16
 ) -> DataFrame:
@@ -194,18 +214,7 @@ def minhash_candidates(
     would have shuffled to a single reducer anyway. Pairs carry both
     docs' shingle counts (``na``/``nb``) so Jaccard verification
     needs no separate size join."""
-    rows = num_perm // bands
-    band_cols = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("band_id"),
-                F.xxhash64(
-                    F.concat_ws(",", *[f"s{j * rows + r}" for r in range(rows)])
-                ).alias("band_hash"),
-            )
-            for j in range(bands)
-        ]
-    )
+    band_cols = band_struct_array(num_perm, bands)
     banded = sig.select("doc_id", "n_shingles", F.explode(band_cols).alias("b")).select(
         "doc_id", "n_shingles", "b.band_id", "b.band_hash"
     )
@@ -697,4 +706,121 @@ def embedding_lsh_pairs(
         keyed.groupBy("band_id", "bucket", "subb")
         .applyInPandas(score_cell, "vec_a long, vec_b long, cos_sim double")
         .dropDuplicates(["vec_a", "vec_b"])
+    )
+
+
+# ------------------------------------------------------------------
+# Incremental dedup: new batches against a PERSISTED signature index
+# (the production shape for a growing corpus -- a 100 TB corpus is
+# never re-sketched per ingest; only the new batch is).
+
+
+def build_minhash_index(
+    spark,
+    documents: DataFrame,
+    index_name: str,
+    num_perm: int = 128,
+    bands: int = 16,
+    n: int = 3,
+    seed: int = 42,
+    buckets: int = 8,
+    source_fp: str | None = None,
+) -> None:
+    """Persist the corpus LSH index as two bucketed warehouse tables:
+
+    - ``{index_name}_bands``: (band_id, band_hash, doc_id, n_shingles),
+      bucketed+sorted by band_hash -- the posting lists an incremental
+      probe equi-joins WITHOUT shuffling the index side.
+    - ``{index_name}_sigs``: (doc_id, sig array, n_shingles),
+      bucketed+sorted by doc_id -- the signature store the verify step
+      joins on candidate corpus ids, again shuffle-free on the index.
+
+    Pay the sketch + bucketed write once per corpus generation; every
+    subsequent batch shuffles only itself. ``source_fp`` invalidates a
+    stale index when the underlying fixture regenerates (same marker
+    contract as ``relational.join_bucketed_colocated``)."""
+    import pathlib
+    import shutil
+    from urllib.parse import urlparse
+
+    sig = minhash_signatures(documents, num_perm, n, seed)
+    banded = sig.select(
+        "doc_id", "n_shingles", F.explode(band_struct_array(num_perm, bands)).alias("b")
+    ).select("b.band_id", "b.band_hash", "doc_id", "n_shingles")
+    sigs = sig.select(
+        "doc_id",
+        F.array(*[f"s{i}" for i in range(num_perm)]).alias("sig"),
+        "n_shingles",
+    )
+    warehouse = pathlib.Path(
+        urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")).path
+        or "spark-warehouse"
+    )
+    specs = (
+        (f"{index_name}_bands", banded, "band_hash"),
+        (f"{index_name}_sigs", sigs, "doc_id"),
+    )
+    for name, df, key in specs:
+        marker = warehouse / name / "_SOURCE_FP"
+        if (
+            source_fp is not None
+            and spark.catalog.tableExists(name)
+            and (not marker.exists() or marker.read_text() != source_fp)
+        ):
+            spark.sql(f"DROP TABLE {name}")
+        if not spark.catalog.tableExists(name):
+            shutil.rmtree(warehouse / name, ignore_errors=True)
+            df.write.mode("overwrite").bucketBy(buckets, key).sortBy(key).saveAsTable(name)
+            if source_fp is not None:
+                marker.write_text(source_fp)
+
+
+def dedup_incremental_minhash(
+    spark,
+    new_docs: DataFrame,
+    index_name: str,
+    num_perm: int = 128,
+    bands: int = 16,
+    n: int = 3,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs of a NEW batch against the persisted corpus
+    index: sketch the batch only, LSH-probe the bucketed posting
+    lists, and score candidates with signature-estimated Jaccard
+    (mean slot agreement -- the unbiased MinHash estimator). The
+    corpus is never re-read: both index joins are bucketed on the
+    index side, so only batch-derived rows shuffle.
+
+    Emits (doc_a=new batch id, doc_b=corpus id, est_jaccard).
+    Precision/recall are probabilistic on BOTH ends here (no exact
+    re-verify -- the corpus text is out of reach by design), which is
+    the standard production trade: the estimator's stderr at 128
+    permutations is ~sqrt(j(1-j)/128) <= 0.045. Candidate generation
+    is EXACTLY the batch-mode banding (shared ``band_struct_array``),
+    asserted equivalent in tests/test_dedup.py."""
+    sig = minhash_signatures(new_docs, num_perm, n, seed)
+    new_banded = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        F.array(*[f"s{i}" for i in range(num_perm)]).alias("sig_a"),
+        F.explode(band_struct_array(num_perm, bands)).alias("b"),
+    ).select("doc_a", "sig_a", "b.band_id", "b.band_hash")
+    idx_bands = spark.table(f"{index_name}_bands")
+    cand = (
+        new_banded.join(idx_bands, ["band_id", "band_hash"])
+        .filter(F.col("doc_a") != F.col("doc_id"))
+        .select("doc_a", "sig_a", F.col("doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    idx_sigs = spark.table(f"{index_name}_sigs").select(
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")
+    )
+    matches = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda a, b: a == b), lambda x: x)
+    )
+    est = matches / F.lit(float(num_perm))
+    return (
+        cand.join(idx_sigs, "doc_b")
+        .select("doc_a", "doc_b", F.round(est, 4).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
     )

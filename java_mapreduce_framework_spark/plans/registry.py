@@ -1198,6 +1198,35 @@ def _dedup_simhash(spark, sf):
 
 
 @_register(
+    "dedup_incremental_minhash",
+    None,
+    note="incremental dedup: new batch (doc_id % 10 = 0) LSH-probed against a "
+    "persisted bucketed signature index of the remaining corpus; emits only "
+    "new-vs-corpus pairs with signature-estimated Jaccard. Index is staged "
+    "once per fixture generation (fingerprint-keyed warehouse tables); "
+    "batch-mode candidate equivalence asserted in tests/test_dedup.py -> "
+    "rows-only",
+)
+def _dedup_incremental_minhash(spark, sf):
+    import pathlib
+
+    from ..sources.tables import source_fingerprint
+
+    docs = _t(spark, sf, "documents")
+    suffix = "_" + pathlib.Path(sf).name.replace(".", "_")
+    name = f"mh_idx{suffix}"
+    dedup.build_minhash_index(
+        spark,
+        docs.filter(F.col("doc_id") % 10 != 0),
+        name,
+        source_fp=source_fingerprint(sf, "documents"),
+    )
+    return dedup.dedup_incremental_minhash(
+        spark, docs.filter(F.col("doc_id") % 10 == 0), name
+    )
+
+
+@_register(
     "dedup_embedding",
     """
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -62,3 +62,38 @@ def test_bucketed_join_result_matches_shuffled(spark, sf_small, bucketed_tables)
         .count()
     )
     assert bucketed == plain
+
+
+def test_incremental_minhash_index_side_never_shuffles(spark, sf_small):
+    """The growing-corpus contract: an incremental probe must not
+    shuffle (or re-sketch) the persisted index. Neither bucketed index
+    table's scan may sit under an Exchange keyed on its join key --
+    only batch-derived rows move."""
+    from pyspark.sql import functions as F
+
+    from java_mapreduce_framework_spark.operators import dedup
+    from java_mapreduce_framework_spark.sources.tables import source_fingerprint
+
+    docs = load_table(spark, sf_small, "documents")
+    dedup.build_minhash_index(
+        spark,
+        docs.filter(F.col("doc_id") % 10 != 0),
+        "mh_idx_planshape",
+        source_fp=source_fingerprint(sf_small, "documents"),
+    )
+    out = dedup.dedup_incremental_minhash(
+        spark, docs.filter(F.col("doc_id") % 10 == 0), "mh_idx_planshape"
+    )
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "mh_idx_planshape_bands" in plan and "mh_idx_planshape_sigs" in plan
+    # no hash-repartition of the index join keys anywhere in the plan:
+    # the posting-list join reads bucketed band_hash layout, the
+    # signature join reads bucketed doc_id layout
+    assert "Exchange hashpartitioning(band_hash" not in plan
+    assert "Exchange hashpartitioning(doc_b" not in plan
+    # and the corpus is never re-scanned from source parquet: exactly
+    # one scan of the fixture file (the new batch); index reads come
+    # from the warehouse tables
+    assert plan.count("documents.parquet") == 1

@@ -253,3 +253,45 @@ def test_dedup_simhash_bucket_cap_bounds_hot_buckets(spark):
     }
     assert capped <= uncapped
     assert uncapped, "fixture produced no near-dup pairs; test is vacuous"
+
+
+def test_incremental_minhash_matches_batch_mode(spark, sf_small, tmp_path):
+    """The production incremental shape must agree with the batch run:
+    probing a new batch against the persisted corpus index yields
+    EXACTLY the new-vs-corpus candidate pairs that batch-mode LSH over
+    batch UNION corpus yields (same perm tables, same band hashing via
+    the shared band_struct_array), and the signature-estimated Jaccard
+    tracks exact Jaccard within the 128-permutation estimator bound."""
+    from pyspark.sql import functions as F
+
+    from java_mapreduce_framework_spark.operators import dedup
+    from java_mapreduce_framework_spark.sources.tables import (
+        load_table,
+        source_fingerprint,
+    )
+
+    docs = load_table(spark, sf_small, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    dedup.build_minhash_index(
+        spark, corpus, "mh_idx_eqv", source_fp=source_fingerprint(sf_small, "documents")
+    )
+    inc = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in dedup.dedup_incremental_minhash(
+            spark, batch, "mh_idx_eqv", threshold=0.5
+        ).collect()
+    }
+    full = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.dedup_minhash(docs, threshold=0.5).collect()
+    }
+    # orient full-mode pairs as (new, corpus) like the incremental run
+    cross = {}
+    for (a, b), j in full.items():
+        if (a % 10 == 0) != (b % 10 == 0):
+            cross[(a, b) if a % 10 == 0 else (b, a)] = j
+    assert set(inc) == set(cross), (sorted(inc), sorted(cross))
+    assert inc  # fixture plants cross-boundary near-dups
+    for pair, est in inc.items():
+        assert abs(est - cross[pair]) <= 0.15, (pair, est, cross[pair])
