@@ -1968,6 +1968,21 @@ def _stream_dedup_state(spark, sf):
 
 
 @_register(
+    "stream_dedup_watermarked",
+    f"""
+    SELECT DISTINCT user_id, event_type FROM {_EVTS}
+    """,
+    note="native dropDuplicatesWithinWatermark dedup (bounded state by the "
+    "duplicate horizon); key-only projection makes the bounded drain equal "
+    "SELECT DISTINCT; eviction semantics exercised in tests/test_streaming.py",
+)
+def _stream_dedup_watermarked(spark, sf):
+    from ..streaming.jobs import stream_dedup_watermarked
+
+    return stream_dedup_watermarked(spark, sf)
+
+
+@_register(
     "stream_static_join",
     """
     SELECT c_mktsegment, count(*) AS n_events,

@@ -128,6 +128,39 @@ def stream_sessionize(
     return _drain_to_memory(agg)
 
 
+def stream_dedup_watermarked(
+    spark: SparkSession, sf_dir: str, delay: str = "3650 days"
+) -> DataFrame:
+    """Streaming dedup via the NATIVE bounded-state API,
+    ``dropDuplicatesWithinWatermark`` -- the production answer when
+    "duplicates arrive close together in event time" (retries,
+    at-least-once sources): state per key lives only until the
+    watermark passes its event time + delay, so the store is bounded
+    by the duplicate horizon, not by stream history. This sits next
+    to the ``applyInPandasWithState`` variant (``stream_dedup_state``)
+    which keeps arbitrary per-key aggregates forever; when the need
+    is plain dedup-within-horizon, the native operator is simpler and
+    its state eviction is engine-managed.
+
+    Emits the KEY COLUMNS ONLY: within one horizon the operator
+    guarantees exactly one row per key, but WHICH physical row
+    survives is arrival-order-dependent -- projecting the key makes
+    the output deterministic, and on bounded input (delay spanning
+    the whole fixture) it equals ``SELECT DISTINCT`` over the keys,
+    the declared oracle. Short-delay eviction behavior is exercised
+    in tests/test_streaming.py with a two-file forced batch order."""
+    path = _stage_stream_dir(spark, sf_dir, "events")
+    schema = spark.read.parquet(path).schema
+    events = spark.readStream.schema(schema).parquet(path)
+    deduped = (
+        events.select("user_id", "event_type", "ts")
+        .withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return _drain_to_memory(deduped, mode="append")
+
+
 def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState``
     (the engine's arbitrary-state surface, SURVEY.md section 7 stretch):

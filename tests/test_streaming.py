@@ -298,3 +298,74 @@ def test_stream_stream_left_join_null_emission_respects_watermark(spark, sf_smal
     assert nulls, "no null rows emitted; fixture degenerate"
     for r in nulls:
         assert clicks[r["click_id"]] < wm, (r["click_id"], clicks[r["click_id"]], wm)
+
+
+def test_dropduplicates_within_watermark_cross_batch(spark, tmp_path):
+    """The native bounded-state dedup guarantee: a duplicate key whose
+    event time lands within the watermark delay of the original is
+    dropped even when it arrives in a LATER microbatch. Two parquet
+    files with forced mtime order + maxFilesPerTrigger=1 give a
+    deterministic two-batch drain."""
+    import os
+    import shutil
+    import uuid
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "src"
+    src.mkdir()
+    t0 = pd.Timestamp("2024-01-01 10:00:00")
+
+    def write(name, rows, mtime):
+        p = src / name
+        # pandas defaults to TIMESTAMP(NANOS), which Spark's parquet
+        # reader rejects (the fixture gotcha); force microseconds
+        pd.DataFrame(rows, columns=["user_id", "event_type", "ts"]).to_parquet(
+            p, coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+        os.utime(p, (mtime, mtime))
+
+    write(
+        "a.parquet",
+        [(1, "click", t0), (9, "x", t0 + pd.Timedelta(minutes=5))],
+        1_700_000_000,
+    )
+    write(
+        "b.parquet",
+        [
+            (1, "click", t0 + pd.Timedelta(minutes=2)),  # dup within delay
+            (2, "click", t0 + pd.Timedelta(minutes=4)),  # fresh key
+        ],
+        1_700_000_100,
+    )
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(src))
+    )
+    deduped = (
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    ckpt = tmp_path / "ckpt"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r["user_id"], r["event_type"]) for r in spark.table(name).collect()}
+    rows = spark.table(name).count()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    assert got == {(1, "click"), (9, "x"), (2, "click")}
+    assert rows == 3  # the cross-batch duplicate emitted no second row
