@@ -2676,27 +2676,39 @@ _RECORDED_ROUND3 = frozenset(
 )
 
 
-#: Queries whose oracle SQL gained real content verification AFTER their
-#: last recorded verdict (round 3 upgraded the multimodal oracles from
-#: rows-only to byte-level content checks; the official record is still
-#: the round-2 rows-only verdict). Treated as never-recorded so the next
-#: sweep captures the upgraded verdict.
-_ORACLE_UPGRADED_UNRECORDED = frozenset(
+#: Names recorded by the round-4 sweep (CORRECTNESS_r04.json) -- this
+#: includes the three multimodal content-oracle upgrades, so the
+#: former _ORACLE_UPGRADED_UNRECORDED tier is retired (every oracle on
+#: file now has an official verdict for its current form).
+_RECORDED_ROUND4 = frozenset(
     {
-        "multimodal_frame_sample",
-        "multimodal_resize",
-        "multimodal_audio_features",
+        "approx_percentile_stats", "corpus_mix", "filter_predicate",
+        "flatmap_explode", "groupby_agg", "groupby_multikey", "groupby_salted",
+        "join_asof", "join_range_banded", "json_typed_agg", "lang_id",
+        "length_histogram", "map_scalar", "multimodal_audio_features",
+        "multimodal_frame_sample", "multimodal_resize", "percentile_stats",
+        "pii_redact", "pivot_event_counts", "quality_score", "quality_stratify",
+        "repetition_score", "rolling_window_range", "sample_deterministic",
+        "scan_project", "sequence_packing", "session_stats",
+        "session_window_agg", "sessionize", "sketch_countmin_topk",
+        "sliding_window_agg", "sql_cross_nation_volume",
+        "sql_customer_order_distribution", "sql_dominant_part_suppliers",
+        "sql_important_part_value", "sql_late_sole_supplier",
+        "sql_min_cost_supplier", "sql_nation_market_share",
+        "sql_nation_product_profit", "sql_null_aware_anti",
+        "sql_small_qty_revenue", "sql_top_revenue_supplier",
+        "stream_foreachbatch_idempotent", "stream_stream_join_left",
+        "text_normalize", "text_stats", "token_count_bpe",
+        "tumbling_window_agg", "wordcount", "wordcount_records_containing",
     }
 )
 
 
 def _record_staleness(name: str) -> int:
     """0 = never officially recorded (front of the sweep), then the
-    round whose sweep last recorded the name (lower = staler verdict).
-    A query whose oracle was upgraded after recording counts as
-    unrecorded: the verdict on file does not describe today's check."""
-    if name in _ORACLE_UPGRADED_UNRECORDED:
-        return 0
+    round whose sweep last recorded the name (lower = staler verdict)."""
+    if name in _RECORDED_ROUND4:
+        return 4
     if name in _RECORDED_ROUND3:
         return 3
     if name in _RECORDED_ROUND2:

@@ -1,0 +1,190 @@
+#!/usr/bin/env python
+"""Quantitative verdicts for the rows-only (approximate-by-design)
+operators: the driver's correctness sweep records them as rows>0, so
+this report attaches the number that actually matters -- recall /
+error bound vs the exact ground truth, measured at a real SF -- and
+writes it to RECALL.json.
+
+Run: python recall_report.py [sf_dir]   (default /root/testdata/sf0.01)
+
+Each entry: {metric, value, bound, pass, detail}. `bound` is the
+engine's declared floor/ceiling (the same ones tests/test_similarity.py
+/ tests/test_dedup.py assert); `pass` is value vs bound.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+
+def _recall(exact: set, approx: set) -> float:
+    return len(exact & approx) / len(exact) if exact else float("nan")
+
+
+def main(sf_dir: str) -> dict:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '16')}]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from java_mapreduce_framework_spark.operators import dedup, relational, similarity, temporal
+    from java_mapreduce_framework_spark.session import tune_session
+    from java_mapreduce_framework_spark.sources.tables import load_table, source_fingerprint
+
+    tune_session(spark)
+    out: dict[str, dict] = {}
+
+    def rec(name, metric, value, bound, op, detail):
+        ok = value >= bound if op == ">=" else value <= bound
+        out[name] = {
+            "metric": metric,
+            "value": round(value, 4),
+            "bound": f"{op} {bound}",
+            "pass": bool(ok),
+            "detail": detail,
+        }
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    events = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    # --- approx_count_distinct: HLL++ vs exact, rsd=0.02 declared
+    approx = {r["l_returnflag"]: r["approx_orders"]
+              for r in relational.approx_count_distinct(lineitem).collect()}
+    exact = {r["l_returnflag"]: r["n"]
+             for r in lineitem.groupBy("l_returnflag")
+             .agg(F.countDistinct("l_orderkey").alias("n")).collect()}
+    err = max(abs(approx[k] - exact[k]) / exact[k] for k in exact)
+    rec("approx_count_distinct", "max_group_rel_error", err, 0.06, "<=",
+        "HLL++ rsd=0.02; 3-sigma ceiling 0.06 across per-returnflag groups")
+
+    # --- approx_percentile_stats: sketch vs exact percentiles
+    ap = {r["event_type"]: r for r in temporal.approx_percentile_stats(events).collect()}
+    ex = {r["event_type"]: r for r in temporal.percentile_stats(events).collect()}
+    perr = max(
+        abs(ap[k][q] - ex[k][q]) / max(abs(ex[k][q]), 1e-9)
+        for k in ex for q in ("p50", "p95", "p100")
+    )
+    rec("approx_percentile_stats", "max_quantile_rel_error", perr, 0.05, "<=",
+        "approx_percentile accuracy=10000 vs exact interpolated percentiles, all types x {p50,p95,p100}")
+
+    # --- sketch_hll_mergeable: per-type estimates carry exact counts
+    rows = relational.sketch_hll_mergeable(events).collect()
+    per_type = [r for r in rows if r["exact_users"] is not None]
+    herr = max(abs(r["approx_users"] - r["exact_users"]) / r["exact_users"] for r in per_type)
+    rec("sketch_hll_mergeable", "max_group_rel_error", herr, 0.1, "<=",
+        f"HLL sketch vs exact per event_type ({len(per_type)} groups); merged row checked in tests")
+
+    # --- dedup_minhash: LSH recall vs exact Jaccard pairs (tau=0.8)
+    exact_pairs = {(r["doc_a"], r["doc_b"])
+                   for r in dedup.ngram_jaccard_pairs(docs, threshold=0.8).collect()}
+    lsh_pairs = {(r["doc_a"], r["doc_b"]) for r in dedup.dedup_minhash(docs).collect()}
+    rec("dedup_minhash", "pair_recall_vs_exact", _recall(exact_pairs, lsh_pairs), 0.9, ">=",
+        f"precision exact by construction (Jaccard-verified); {len(exact_pairs)} true pairs")
+
+    # --- dedup_simhash: its contract is Hamming <= max_hamming (the
+    # pigeonhole banding is COMPLETE for that truth), not Jaccard --
+    # so completeness is measured against brute-force Hamming pairs,
+    # with the Jaccard-0.8 overlap reported as secondary context
+    sim_pairs = {(r["doc_a"], r["doc_b"]) for r in dedup.dedup_simhash(docs).collect()}
+    fps = {r["doc_id"]: r["simhash"] for r in dedup.simhash_signatures(docs).collect()}
+    ids = sorted(fps)
+    ham_pairs = {
+        (x, y)
+        for i, x in enumerate(ids) for y in ids[i + 1:]
+        if bin(fps[x] ^ fps[y]).count("1") <= 3
+    }
+    jac_overlap = _recall(exact_pairs, sim_pairs)
+    rec("dedup_simhash", "hamming_pair_completeness", _recall(ham_pairs, sim_pairs), 1.0, ">=",
+        f"pigeonhole banding is exhaustive for hamming<=3 ({len(ham_pairs)} true pairs; "
+        f"bucket_cap sub-split can only drop marginal pairs); secondary: covers "
+        f"{jac_overlap:.2f} of the {len(exact_pairs)} exact Jaccard>=0.8 pairs -- "
+        "hamming<=3 is a STRICTER proximity than jaccard 0.8 by design")
+
+    # --- dedup_minhash_clusters: same-cluster doc pairs vs exact CC
+    def cluster_pairs(cc_rows):
+        from collections import defaultdict
+
+        by_c = defaultdict(list)
+        for r in cc_rows:
+            by_c[r["component_id"]].append(r["doc_id"])
+        return {(a, b) for ds in by_c.values() for a in ds for b in ds if a < b}
+
+    exact_cc = cluster_pairs(dedup.connected_components(
+        dedup.ngram_jaccard_pairs(docs, threshold=0.8)).collect())
+    lsh_cc = cluster_pairs(dedup.connected_components(dedup.dedup_minhash(docs)).collect())
+    rec("dedup_minhash_clusters", "same_cluster_pair_recall", _recall(exact_cc, lsh_cc), 0.9, ">=",
+        f"transitive-closure pair agreement; {len(exact_cc)} exact same-cluster pairs")
+
+    # --- dedup_embedding_lsh: bucketed pairs vs brute-force (tau=0.35)
+    got = {(r["vec_a"], r["vec_b"]) for r in dedup.embedding_lsh_pairs(emb, threshold=0.35).collect()}
+    exact_emb = {(r["vec_a"], r["vec_b"])
+                 for r in dedup.embedding_neardup_pairs(emb, threshold=0.35).collect()}
+    # blocked baseline is per-label; brute force over all pairs:
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").cast("array<double>").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").cast("array<double>").alias("eb"))
+    dot = F.aggregate(F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    nrm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
+    exact_all = {
+        (r["vec_a"], r["vec_b"])
+        for r in a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", (dot / (nrm(F.col("ea")) * nrm(F.col("eb")))).alias("cos"))
+        .filter(F.round("cos", 4) >= 0.35).collect()
+    }
+    prec = 1.0 if got <= exact_all else len(got & exact_all) / len(got)
+    rec("dedup_embedding_lsh", "pair_recall_vs_brute_force", _recall(exact_all, got), 0.3, ">=",
+        f"precision measured {prec:.4f} (exact cosine verify); {len(exact_all)} true pairs; "
+        f"blocked-baseline overlap {len(exact_emb & exact_all)}")
+
+    # --- ANN family: recall@5 vs exact top-k
+    exact_nn = {(r["qid"], r["nid"]) for r in similarity.similarity_topk(emb, k=5).collect()}
+    for name, df in (
+        ("similarity_ann_lsh", similarity.ann_lsh(emb, k=5)),
+        ("similarity_ann_lsh_multiprobe", similarity.ann_lsh(emb, k=5, probe_bits=1)),
+        ("similarity_ann_ivf", similarity.ann_ivf(emb, k=5)),
+    ):
+        approx_nn = {(r["qid"], r["nid"]) for r in df.collect()}
+        floor = {"similarity_ann_lsh": 0.3,
+                 "similarity_ann_lsh_multiprobe": 0.6,
+                 "similarity_ann_ivf": 0.5}[name]
+        rec(name, "recall_at_5_vs_brute_force", _recall(exact_nn, approx_nn), floor, ">=",
+            f"{len(exact_nn)} exact (query, neighbor) pairs")
+
+    # --- dedup_incremental_minhash: agreement with batch-mode run
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    dedup.build_minhash_index(spark, corpus, "mh_idx_recall",
+                              source_fp=source_fingerprint(sf_dir, "documents"))
+    inc = {(r["doc_a"], r["doc_b"]): r["est_jaccard"]
+           for r in dedup.dedup_incremental_minhash(spark, batch, "mh_idx_recall", threshold=0.5).collect()}
+    full = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in dedup.dedup_minhash(docs, threshold=0.5).collect()}
+    cross = {}
+    for (x, y), j in full.items():
+        if (x % 10 == 0) != (y % 10 == 0):
+            cross[(x, y) if x % 10 == 0 else (y, x)] = j
+    agree = len(set(inc) & set(cross)) / len(cross) if cross else float("nan")
+    mae = (sum(abs(inc[p] - cross[p]) for p in set(inc) & set(cross))
+           / max(1, len(set(inc) & set(cross))))
+    rec("dedup_incremental_minhash", "batch_mode_pair_agreement", agree, 1.0, ">=",
+        f"candidate sets identical by shared band hashing; est-Jaccard MAE {mae:.4f} "
+        f"over {len(cross)} cross pairs (128-perm estimator stderr <= 0.045)")
+
+    return out
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    report = {"sf_dir": sf, "ops": main(sf)}
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "RECALL.json"), "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report, indent=1))
+    sys.exit(0 if all(v["pass"] for v in report["ops"].values()) else 1)
