@@ -477,6 +477,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         return df.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
 
     prev_sum = _label_sum(labels)
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels.withColumnRenamed("node", "dst"), "dst")
@@ -494,8 +495,19 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         )
         cur_sum = _label_sum(labels)
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # rounds needed = component diameter; a graph deeper than
+        # max_iter would silently get WRONG labels here -- fail loud
+        # and point at the log-rounds variant instead
+        raise RuntimeError(
+            f"label propagation did not converge in {max_iter} rounds "
+            "(component diameter exceeds the budget); raise max_iter or "
+            "use connected_components_star, whose rounds scale with "
+            "log(component size) instead of diameter"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("component_id"))
 
 
@@ -823,4 +835,94 @@ def dedup_incremental_minhash(
         cand.join(idx_sigs, "doc_b")
         .select("doc_a", "doc_b", F.round(est, 4).alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def connected_components_star(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Connected components via alternating LARGE-STAR / SMALL-STAR
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") --
+    the billion-edge alternative to ``connected_components``' label
+    propagation: rounds scale with log(component size), not component
+    DIAMETER, so a pathological million-node chain converges in ~20
+    rounds instead of a million.
+
+    Each star operation is ONE hash shuffle (a min window over the
+    neighbor list's partition -- no join, no collect_list):
+
+    - large-star: for every node u, attach each LARGER neighbor
+      directly to m = min(N(u) ∪ {u});
+    - small-star: orient edges canonically (big -> small), attach u
+      and each smaller neighbor except m itself to m.
+
+    Both strictly shrink a monotone potential (sum of edge endpoints),
+    so fixpoint detection is two tiny scalar aggregates per round --
+    same sanctioned driver probe as the label-propagation twin -- and
+    at the fixpoint the edge set IS the star (node -> component min).
+    ``localCheckpoint`` per round truncates lineage exactly as in
+    ``connected_components``. Output schema matches it, and the
+    equivalence is asserted across chain/clique/random graphs in
+    tests/test_dedup.py."""
+    from pyspark.sql import Window
+
+    e = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    w = Window.partitionBy("u")
+
+    def large_star(edges: DataFrame) -> DataFrame:
+        sym = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+        m = F.least(F.col("u"), F.min("v").over(w))
+        return (
+            sym.withColumn("m", m)
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def small_star(edges: DataFrame) -> DataFrame:
+        canon = edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        withm = canon.withColumn("m", F.min("v").over(w))
+        nbrs = (
+            withm.filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        selfs = withm.select("u", F.col("m").alias("v"))
+        return nbrs.union(selfs).distinct()
+
+    def _sig(edges: DataFrame):
+        r = edges.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("u").cast("decimal(38,0)")).alias("su"),
+            F.sum(F.col("v").cast("decimal(38,0)")).alias("sv"),
+        ).first()
+        return (r["n"], r["su"], r["sv"])
+
+    sig = _sig(e)
+    for _ in range(max_iter):
+        e = small_star(large_star(e)).localCheckpoint()
+        new_sig = _sig(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # at the fixpoint e is (node -> root); roots have no outgoing edge
+    roots = e.select(F.col("u").alias("node"), F.col("v").alias("comp"))
+    return (
+        nodes.join(roots, "node", "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.coalesce("comp", "node").alias("component_id"),
+        )
     )

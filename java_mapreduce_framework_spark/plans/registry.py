@@ -1180,6 +1180,18 @@ def _dedup_minhash_clusters(spark, sf):
 
 
 @_register(
+    "dedup_cluster_components_star",
+    _REGISTRY["dedup_cluster_components"].oracle,
+    note="same clusters via alternating large-star/small-star (log-rounds CC, "
+    "the billion-edge shape); identical recursive-CTE oracle as the "
+    "label-propagation twin",
+)
+def _dedup_cluster_components_star(spark, sf):
+    pairs = dedup.ngram_jaccard_pairs(_t(spark, sf, "documents"))
+    return dedup.connected_components_star(pairs)
+
+
+@_register(
     "dedup_minhash",
     None,
     note="LSH recall is probabilistic; precision exact (Jaccard-verified) -> rows-only",

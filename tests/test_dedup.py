@@ -295,3 +295,66 @@ def test_incremental_minhash_matches_batch_mode(spark, sf_small, tmp_path):
     assert inc  # fixture plants cross-boundary near-dups
     for pair, est in inc.items():
         assert abs(est - cross[pair]) <= 0.15, (pair, est, cross[pair])
+
+
+def test_star_cc_equals_label_propagation_on_graph_shapes(spark):
+    """Large-star/small-star CC must produce the identical
+    (doc_id, component_id) labeling as min-label propagation AND as a
+    driver-side union-find ground truth, across the shapes that
+    stress each algorithm differently: a long chain (diameter exceeds
+    label propagation's default round budget -- which now fails loud,
+    so it gets an explicit max_iter; star needs only log rounds),
+    cliques, a hub star, disjoint islands, and a seeded random
+    graph."""
+    import random
+
+    from java_mapreduce_framework_spark.operators import dedup
+
+    def union_find(pairs):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {(n, find(n)) for n in parent}
+
+    rng = random.Random(3)
+    cases = {
+        "chain": [(i, i + 1) for i in range(30)],
+        "two_cliques": [(a, b) for a in range(5) for b in range(a + 1, 5)]
+        + [(a, b) for a in range(10, 14) for b in range(a + 1, 14)],
+        "hub": [(0, i) for i in range(1, 8)],
+        "islands": [(100, 101), (200, 201), (300, 301)],
+        "random": sorted(
+            {tuple(sorted(rng.sample(range(60), 2))) for _ in range(80)}
+        ),
+    }
+    for name, pairs in cases.items():
+        truth = union_find(pairs)
+        df = spark.createDataFrame(pairs, ["doc_a", "doc_b"])
+        a = {(r["doc_id"], r["component_id"])
+             for r in dedup.connected_components(df, max_iter=40).collect()}
+        b = {(r["doc_id"], r["component_id"])
+             for r in dedup.connected_components_star(df).collect()}
+        assert a == truth, f"{name}: label propagation wrong vs union-find"
+        assert b == truth, f"{name}: star CC wrong vs union-find"
+
+
+def test_label_propagation_raises_on_diameter_overflow(spark):
+    """A component deeper than max_iter must fail loud, never return
+    silently-wrong labels (the pre-round-5 behavior)."""
+    import pytest as _pytest
+
+    from java_mapreduce_framework_spark.operators import dedup
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(12)], ["doc_a", "doc_b"])
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(chain, max_iter=3)
