@@ -418,3 +418,122 @@ def embedding_quantize_int8(embeddings: DataFrame) -> DataFrame:
             F.round("scale", 6).alias("scale"),
         )
     )
+
+
+# ------------------------------------------------------------------
+# Incremental ANN: new vectors probed against a PERSISTED banded
+# sign-LSH index (the growing-vector-store production shape, symmetric
+# to dedup.build_minhash_index / dedup_incremental_minhash).
+
+
+def build_ann_index(
+    spark,
+    embeddings: DataFrame,
+    index_name: str,
+    n_planes: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+    seed: int = 7,
+    buckets: int = 8,
+    source_fp: str | None = None,
+) -> None:
+    """Persist the banded sign-LSH corpus (vec_id, emb, nn, band_id,
+    bucket) as a warehouse table bucketed+sorted on (band_id, bucket):
+    pay the signature GEMM and the layout once per corpus generation,
+    then every incremental probe equi-joins the posting lists without
+    re-hashing or shuffling the corpus. ``source_fp`` invalidates a
+    stale index after a fixture regeneration (same marker contract as
+    the minhash index)."""
+    import pathlib
+    import shutil
+    from urllib.parse import urlparse
+
+    banded = _banded_pandas(embeddings, n_planes, bands, dim, seed)
+    warehouse = pathlib.Path(
+        urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")).path
+        or "spark-warehouse"
+    )
+    marker = warehouse / index_name / "_SOURCE_FP"
+    if (
+        source_fp is not None
+        and spark.catalog.tableExists(index_name)
+        and (not marker.exists() or marker.read_text() != source_fp)
+    ):
+        spark.sql(f"DROP TABLE {index_name}")
+    if not spark.catalog.tableExists(index_name):
+        shutil.rmtree(warehouse / index_name, ignore_errors=True)
+        (
+            banded.write.mode("overwrite")
+            .bucketBy(buckets, "band_id", "bucket")
+            .sortBy("band_id", "bucket")
+            .saveAsTable(index_name)
+        )
+        if source_fp is not None:
+            marker.write_text(source_fp)
+
+
+def similarity_incremental_lsh(
+    spark,
+    new_vectors: DataFrame,
+    index_name: str,
+    k: int = 5,
+    n_planes: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+    seed: int = 7,
+    probe_bits: int = 1,
+) -> DataFrame:
+    """Top-k neighbors of NEW vectors against the persisted corpus
+    index: hash only the new batch (through the SAME numpy kernel the
+    index was built with -- a different float-summation order could
+    land a vector one bucket off its own corpus copy), multi-probe the
+    bucketed posting lists, exact-cosine + rank the candidates. The
+    corpus is never re-hashed and never shuffles: the new side
+    broadcasts into the index scan.
+
+    The geometry params MUST match the build call; at production
+    scale they would live in the index's metadata. Candidate
+    equivalence with an inline (non-persisted) run is asserted in
+    tests/test_similarity.py."""
+    q = _banded_pandas(new_vectors, n_planes, bands, dim, seed).select(
+        F.col("vec_id").alias("qid"),
+        F.col("emb").alias("qe"),
+        F.col("nn").alias("qn"),
+        "band_id",
+        "bucket",
+    )
+    if probe_bits > 0:
+        width = n_planes // bands
+        probes = [F.col("bucket")]
+        if probe_bits >= 1:
+            probes += [F.col("bucket").bitwiseXOR(F.lit(1 << r)) for r in range(width)]
+        if probe_bits >= 2:
+            probes += [
+                F.col("bucket").bitwiseXOR(F.lit((1 << r) | (1 << s)))
+                for r in range(width)
+                for s in range(r + 1, width)
+            ]
+        q = q.select(
+            "qid", "qe", "qn", "band_id",
+            F.explode(F.array_distinct(F.array(*probes))).alias("bucket"),
+        )
+    corpus = spark.table(index_name).select(
+        F.col("vec_id").alias("nid"),
+        F.col("emb").alias("ne"),
+        "nn",
+        "band_id",
+        "bucket",
+    )
+    cand = (
+        corpus.join(F.broadcast(q), ["band_id", "bucket"])
+        .filter(F.col("nid") != F.col("qid"))
+    )
+    scored = cand.select(
+        "qid", "nid", F.round(_cos_hoisted(), 6).alias("cos_sim")
+    ).distinct()
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid"))
+    return (
+        scored.select("qid", "nid", "cos_sim", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "nid", F.round("cos_sim", 4).alias("cos_sim"), "rnk")
+    )

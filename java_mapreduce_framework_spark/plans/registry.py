@@ -1349,6 +1349,34 @@ def _similarity_ann_ivf(spark, sf):
     return similarity.ann_ivf(_t(spark, sf, "embeddings"))
 
 
+@_register(
+    "similarity_incremental_lsh",
+    None,
+    note="incremental ANN: new vectors (vec_id < 10) multi-probed against a "
+    "persisted bucketed sign-LSH index of the remaining corpus; corpus never "
+    "re-hashed or shuffled. Index staged once per fixture generation "
+    "(fingerprint-keyed); inline-equivalence asserted in "
+    "tests/test_similarity.py -> rows-only",
+)
+def _similarity_incremental_lsh(spark, sf):
+    import pathlib
+
+    from ..sources.tables import source_fingerprint
+
+    emb = _t(spark, sf, "embeddings")
+    suffix = "_" + pathlib.Path(sf).name.replace(".", "_")
+    name = f"ann_idx{suffix}"
+    similarity.build_ann_index(
+        spark,
+        emb.filter(F.col("vec_id") >= 10),
+        name,
+        source_fp=source_fingerprint(sf, "embeddings"),
+    )
+    return similarity.similarity_incremental_lsh(
+        spark, emb.filter(F.col("vec_id") < 10), name
+    )
+
+
 # ---------------------------------------------------- multimodal (M5)
 
 #: Byte-level view of the multimodal payload (UTF-8 bytes of text) on

@@ -158,6 +158,35 @@ def main(sf_dir: str) -> dict:
         rec(name, "recall_at_5_vs_brute_force", _recall(exact_nn, approx_nn), floor, ">=",
             f"{len(exact_nn)} exact (query, neighbor) pairs")
 
+    # --- similarity_incremental_lsh: recall of new-vs-corpus top-5
+    corpus_e = emb.filter(F.col("vec_id") >= 10)
+    new_e = emb.filter(F.col("vec_id") < 10)
+    similarity.build_ann_index(spark, corpus_e, "ann_idx_recall",
+                               source_fp=source_fingerprint(sf_dir, "embeddings"))
+    inc_nn = {(r["qid"], r["nid"])
+              for r in similarity.similarity_incremental_lsh(spark, new_e, "ann_idx_recall").collect()}
+    from pyspark.sql import Window as _W
+
+    from java_mapreduce_framework_spark.functions.vectors import l2_norm, vec_dot
+    qs = new_e.select(F.col("vec_id").alias("qid"),
+                      F.col("embedding").cast("array<double>").alias("qe"))
+    cs = corpus_e.select(F.col("vec_id").alias("nid"),
+                         F.col("embedding").cast("array<double>").alias("ne"))
+    exact_inc = {
+        (r["qid"], r["nid"])
+        for r in cs.crossJoin(F.broadcast(qs))
+        .select("qid", "nid",
+                (vec_dot(F.col("qe"), F.col("ne"))
+                 / (l2_norm(F.col("qe")) * l2_norm(F.col("ne")))).alias("cos"))
+        .withColumn("rnk", F.row_number().over(
+            _W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))))
+        .filter(F.col("rnk") <= 5).collect()
+    }
+    rec("similarity_incremental_lsh", "recall_at_5_vs_brute_force",
+        _recall(exact_inc, inc_nn), 0.6, ">=",
+        f"{len(exact_inc)} exact new-vs-corpus (query, neighbor) pairs; "
+        "multi-probe (1 bit), corpus index persisted+bucketed")
+
     # --- dedup_incremental_minhash: agreement with batch-mode run
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
     batch = docs.filter(F.col("doc_id") % 10 == 0)

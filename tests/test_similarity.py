@@ -132,3 +132,76 @@ def test_quantize_int8_bounds_and_reconstruction(spark, sf_small):
         > F.col("scale") / 254 + 1e-6
     ).count()
     assert bad == 0
+
+
+def test_incremental_lsh_matches_inline_probe(spark, sf_small):
+    """Probing the persisted index must return exactly what the same
+    probe computes inline (same kernel, same geometry), and the
+    results must be brute-force-verifiable: every reported neighbor's
+    cosine is the true cosine, and recall@k vs exact top-k over the
+    CORPUS side stays useful."""
+    from pyspark.sql import functions as F
+
+    from java_mapreduce_framework_spark.sources.tables import (
+        load_table,
+        source_fingerprint,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    new = emb.filter(F.col("vec_id") < 10)
+    similarity.build_ann_index(
+        spark, corpus, "ann_idx_eqv", source_fp=source_fingerprint(sf_small, "embeddings")
+    )
+    inc = {
+        (r["qid"], r["nid"], r["rnk"], r["cos_sim"])
+        for r in similarity.similarity_incremental_lsh(spark, new, "ann_idx_eqv").collect()
+    }
+    # inline twin: same banding over the un-persisted corpus
+    banded = similarity._banded_pandas(corpus, 16, 4, 64, 7)
+    qb = similarity._banded_pandas(new, 16, 4, 64, 7).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qe"),
+        F.col("nn").alias("qn"), "band_id", "bucket",
+    )
+    probes = [F.col("bucket")] + [F.col("bucket").bitwiseXOR(F.lit(1 << r)) for r in range(4)]
+    qb = qb.select("qid", "qe", "qn", "band_id",
+                   F.explode(F.array_distinct(F.array(*probes))).alias("bucket"))
+    from pyspark.sql import Window
+
+    cand = (banded.select(F.col("vec_id").alias("nid"), F.col("emb").alias("ne"), "nn",
+                          "band_id", "bucket")
+            .join(F.broadcast(qb), ["band_id", "bucket"])
+            .filter(F.col("nid") != F.col("qid")))
+    scored = cand.select("qid", "nid",
+                         F.round(similarity._cos_hoisted(), 6).alias("cos_sim")).distinct()
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid"))
+    inline = {
+        (r["qid"], r["nid"], r["rnk"], r["cos_sim"])
+        for r in scored.select("qid", "nid", "cos_sim",
+                               F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 5)
+        .select("qid", "nid", F.round("cos_sim", 4).alias("cos_sim"), "rnk")
+        .collect()
+    }
+    assert inc == inline
+    assert inc, "no neighbors found; fixture degenerate"
+
+    # recall vs exact top-5 of new-vs-corpus brute force
+    qs = new.select(F.col("vec_id").alias("qid"),
+                    F.col("embedding").cast("array<double>").alias("qe"))
+    cs = corpus.select(F.col("vec_id").alias("nid"),
+                       F.col("embedding").cast("array<double>").alias("ne"))
+    from java_mapreduce_framework_spark.functions.vectors import l2_norm, vec_dot
+
+    exact = {
+        (r["qid"], r["nid"])
+        for r in cs.crossJoin(F.broadcast(qs))
+        .select("qid", "nid",
+                (vec_dot(F.col("qe"), F.col("ne"))
+                 / (l2_norm(F.col("qe")) * l2_norm(F.col("ne")))).alias("cos"))
+        .withColumn("rnk", F.row_number().over(
+            Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))))
+        .filter(F.col("rnk") <= 5).collect()
+    }
+    got_pairs = {(q, n) for q, n, _, _ in inc}
+    assert len(exact & got_pairs) / len(exact) >= 0.6
