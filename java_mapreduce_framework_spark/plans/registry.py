@@ -2321,6 +2321,33 @@ def _sketch_hll_mergeable(spark, sf):
 
 
 @_register(
+    "source_orc_roundtrip",
+    """
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(length(text)) AS BIGINT) AS total_len
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    note="documents staged to ORC (second columnar container: stripes, "
+    "pushdown, pruning) and read back via the self-describing footer; "
+    "content-sum oracle over the original parquet",
+)
+def _source_orc_roundtrip(spark, sf):
+    from ..sources.roundtrip import read_documents_orc
+
+    df = read_documents_orc(spark, sf)
+    return (
+        df.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(F.length("text")).alias("total_len"),
+        )
+        .orderBy("lang")
+    )
+
+
+@_register(
     "source_csv_roundtrip",
     """
     SELECT lang, count(*) AS n_docs,

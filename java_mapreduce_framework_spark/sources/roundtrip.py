@@ -70,6 +70,12 @@ def _stage(spark: SparkSession, sf_dir: str, fmt: str) -> pathlib.Path:
                 .write.mode("overwrite")
                 .json(str(stage / "data"))
             )
+        elif fmt == "documents_orc":
+            (
+                load_table(spark, sf_dir, "documents")
+                .write.mode("overwrite")
+                .orc(str(stage / "data"))
+            )
         elif fmt == "events_partitioned":
             (
                 load_table(spark, sf_dir, "events")
@@ -101,6 +107,15 @@ def read_documents_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema -- the log-ingest shape."""
     path = _stage(spark, sf_dir, "documents_jsonl")
     return spark.read.schema(DOCUMENTS_DDL).json(str(path))
+
+
+def read_documents_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents staged to ORC and read back -- the second columnar
+    container (stripe/row-group layout, predicate pushdown and column
+    pruning like parquet), exercising that the engine is not
+    parquet-coupled. Schema comes from ORC's self-describing footer."""
+    path = _stage(spark, sf_dir, "documents_orc")
+    return spark.read.orc(str(path))
 
 
 def read_events_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
