@@ -645,3 +645,54 @@ def sketch_hll_mergeable(events: DataFrame) -> DataFrame:
         F.lit(None).cast("bigint").alias("exact_users"),
     ).select(F.lit("__all__").alias("event_type"), "approx_users", "exact_users")
     return per_type_est.unionByName(merged)
+
+
+def quality_constraints(lineitem: DataFrame) -> DataFrame:
+    """Declarative data-quality validation (the Deequ/"unit tests for
+    data" pattern): a constraint suite evaluated in ONE aggregation
+    pass over the fact table, emitted as a long-form report
+    (constraint, metric, passed). At 100 TB this shape matters: every
+    completeness / range / uniqueness metric is a SUM/COUNT over the
+    same scan -- partial aggregation applies, the shuffle carries one
+    row -- where a per-constraint query suite would re-scan the table
+    once per check. (Uniqueness needs count_distinct's two-phase
+    expansion; it rides the same scan.)
+
+    Constraints: key completeness, compound-key uniqueness, domain
+    ranges (quantity 1..50, discount 0..0.1, tax 0..0.08,
+    non-negative price), and set membership for the flag columns --
+    the standard TPC-H invariants, so the fixture passes all of them
+    and a corrupted load would not."""
+    n = F.count("*")
+    frac = lambda c: (F.sum(F.when(c, 1).otherwise(0)) / n)  # noqa: E731
+    agg = lineitem.agg(
+        n.alias("n"),
+        (F.count("l_orderkey") / n).alias("complete_orderkey"),
+        (F.count_distinct(F.struct("l_orderkey", "l_linenumber")) / n).alias("unique_pk"),
+        frac(F.col("l_quantity").between(1, 50)).alias("range_quantity"),
+        frac(F.col("l_discount").between(0.0, 0.1)).alias("range_discount"),
+        frac(F.col("l_tax").between(0.0, 0.08)).alias("range_tax"),
+        frac(F.col("l_extendedprice") > 0).alias("positive_price"),
+        frac(F.col("l_returnflag").isin("A", "N", "R")).alias("domain_returnflag"),
+        frac(F.col("l_linestatus").isin("O", "F")).alias("domain_linestatus"),
+    )
+    checks = [
+        ("complete_orderkey", 1.0), ("unique_pk", 1.0),
+        ("range_quantity", 1.0), ("range_discount", 1.0),
+        ("range_tax", 1.0), ("positive_price", 1.0),
+        ("domain_returnflag", 1.0), ("domain_linestatus", 1.0),
+    ]
+    long = agg.selectExpr(
+        "stack({}, {}) AS (constraint, m)".format(
+            len(checks),
+            ", ".join(f"'{name}', {name}" for name, _ in checks),
+        )
+    ).select("constraint", F.round("m", 6).alias("metric"))
+    thresholds = F.create_map(
+        *[F.lit(x) for pair in checks for x in pair]
+    )
+    return long.select(
+        "constraint",
+        "metric",
+        (F.col("metric") >= thresholds[F.col("constraint")]).alias("passed"),
+    ).orderBy("constraint")

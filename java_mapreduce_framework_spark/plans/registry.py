@@ -2202,6 +2202,40 @@ def _lm_unigram_score(spark, sf):
 
 
 @_register(
+    "quality_constraints",
+    """
+    WITH agg AS (
+      SELECT count(*) AS n,
+             count(l_orderkey) * 1.0 / count(*) AS complete_orderkey,
+             count(DISTINCT (l_orderkey, l_linenumber)) * 1.0 / count(*) AS unique_pk,
+             sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 1 ELSE 0 END) * 1.0 / count(*) AS range_quantity,
+             sum(CASE WHEN l_discount BETWEEN 0.0 AND 0.1 THEN 1 ELSE 0 END) * 1.0 / count(*) AS range_discount,
+             sum(CASE WHEN l_tax BETWEEN 0.0 AND 0.08 THEN 1 ELSE 0 END) * 1.0 / count(*) AS range_tax,
+             sum(CASE WHEN l_extendedprice > 0 THEN 1 ELSE 0 END) * 1.0 / count(*) AS positive_price,
+             sum(CASE WHEN l_returnflag IN ('A','N','R') THEN 1 ELSE 0 END) * 1.0 / count(*) AS domain_returnflag,
+             sum(CASE WHEN l_linestatus IN ('O','F') THEN 1 ELSE 0 END) * 1.0 / count(*) AS domain_linestatus
+      FROM lineitem),
+    long AS (
+      SELECT 'complete_orderkey' AS "constraint", complete_orderkey AS m FROM agg
+      UNION ALL SELECT 'unique_pk', unique_pk FROM agg
+      UNION ALL SELECT 'range_quantity', range_quantity FROM agg
+      UNION ALL SELECT 'range_discount', range_discount FROM agg
+      UNION ALL SELECT 'range_tax', range_tax FROM agg
+      UNION ALL SELECT 'positive_price', positive_price FROM agg
+      UNION ALL SELECT 'domain_returnflag', domain_returnflag FROM agg
+      UNION ALL SELECT 'domain_linestatus', domain_linestatus FROM agg)
+    SELECT "constraint", round(m, 6) AS metric, m >= 1.0 AS passed
+    FROM long ORDER BY "constraint"
+    """,
+    note="Deequ-style data-quality suite: completeness / compound-key "
+    "uniqueness / ranges / domains in ONE aggregation pass (per-constraint "
+    "re-scans don't survive 100 TB); long-form report oracle",
+)
+def _quality_constraints(spark, sf):
+    return relational.quality_constraints(_t(spark, sf, "lineitem"))
+
+
+@_register(
     "stats_correlation",
     """
     WITH m AS (

@@ -192,3 +192,48 @@ def test_cdc_latest_wins_keeps_one_newest_version_per_key(spark, sf_small):
     updated = merged.filter(F.col("event_id") % 10 == 0)
     assert updated.filter(F.col("version") != 1).count() == 0
     assert merged.filter((F.col("event_id") % 10 != 0) & (F.col("version") != 0)).count() == 0
+
+
+def test_quality_constraints_single_pass_and_detects_violations(spark, sf_small):
+    """The constraint suite must (a) pass wholesale on the clean TPC-H
+    fixture, (b) evaluate in ONE scan of the table, and (c) actually
+    flag a corrupted load."""
+    from pyspark.sql import functions as F
+
+    from java_mapreduce_framework_spark.operators.relational import quality_constraints
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_small, "lineitem")
+    report = {r["constraint"]: r for r in quality_constraints(li).collect()}
+    assert len(report) == 8
+    # the synthetic fixture honors every TPC-H invariant EXCEPT
+    # compound-key uniqueness (the generator reuses line numbers) --
+    # the report must say so truthfully, with the exact ratio
+    clean = {k for k, r in report.items() if r["passed"]}
+    assert clean == set(report) - {"unique_pk"}
+    n = li.count()
+    n_pk = li.select("l_orderkey", "l_linenumber").distinct().count()
+    assert report["unique_pk"]["metric"] == round(n_pk / n, 6)
+
+    import re
+
+    plan = quality_constraints(li)._sc._jvm.PythonSQLUtils.explainString(
+        quality_constraints(li)._jdf.queryExecution(), "formatted"
+    )
+    # one physical scan: every metric (including the distinct-rewritten
+    # uniqueness) rides the same pass over the table
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)) == 1
+
+    corrupted = li.withColumn(
+        "l_quantity",
+        F.when(F.col("l_orderkey") % 7 == 0, F.lit(999.0)).otherwise(F.col("l_quantity")),
+    ).withColumn(
+        "l_returnflag",
+        F.when(F.col("l_orderkey") % 11 == 0, F.lit("Z")).otherwise(F.col("l_returnflag")),
+    )
+    bad = {r["constraint"]: r for r in quality_constraints(corrupted).collect()}
+    assert not bad["range_quantity"]["passed"]
+    assert not bad["domain_returnflag"]["passed"]
+    assert bad["range_quantity"]["metric"] < 1.0
+    # corruption touched values, not keys: uniqueness metric unchanged
+    assert bad["unique_pk"]["metric"] == report["unique_pk"]["metric"]
