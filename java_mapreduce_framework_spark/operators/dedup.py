@@ -926,3 +926,30 @@ def connected_components_star(pairs: DataFrame, max_iter: int = 50) -> DataFrame
             F.coalesce("comp", "node").alias("component_id"),
         )
     )
+
+
+def dedup_incremental_apply(
+    spark,
+    new_docs: DataFrame,
+    index_name: str,
+    num_perm: int = 128,
+    bands: int = 16,
+    n: int = 3,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """The ingest decision the incremental probe exists for: keep only
+    the new-batch docs with NO near-duplicate already in the corpus
+    index. One left-anti join of the batch against the probe's matched
+    doc_a set -- the matched set is candidate-bounded (tiny relative
+    to the batch by LSH construction), so the anti-join broadcasts.
+    Survivors keep their full rows, ready to be appended to the corpus
+    and sketched into the index for the next batch."""
+    matched = (
+        dedup_incremental_minhash(
+            spark, new_docs, index_name, num_perm, bands, n, threshold, seed
+        )
+        .select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+    )
+    return new_docs.join(F.broadcast(matched), "doc_id", "left_anti")

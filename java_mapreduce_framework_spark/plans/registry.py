@@ -1239,6 +1239,32 @@ def _dedup_incremental_minhash(spark, sf):
 
 
 @_register(
+    "dedup_incremental_apply",
+    None,
+    note="ingest decision over the incremental probe: new batch minus docs "
+    "with a near-dup already in the corpus index (broadcast anti-join on the "
+    "candidate-bounded matched set) -> rows-only",
+)
+def _dedup_incremental_apply(spark, sf):
+    import pathlib
+
+    from ..sources.tables import source_fingerprint
+
+    docs = _t(spark, sf, "documents")
+    suffix = "_" + pathlib.Path(sf).name.replace(".", "_")
+    name = f"mh_idx{suffix}"
+    dedup.build_minhash_index(
+        spark,
+        docs.filter(F.col("doc_id") % 10 != 0),
+        name,
+        source_fp=source_fingerprint(sf, "documents"),
+    )
+    return dedup.dedup_incremental_apply(
+        spark, docs.filter(F.col("doc_id") % 10 == 0), name
+    ).select("doc_id", "lang", "n_chars")
+
+
+@_register(
     "dedup_embedding",
     """
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -358,3 +358,30 @@ def test_label_propagation_raises_on_diameter_overflow(spark):
     chain = spark.createDataFrame([(i, i + 1) for i in range(12)], ["doc_a", "doc_b"])
     with _pytest.raises(RuntimeError, match="did not converge"):
         dedup.connected_components(chain, max_iter=3)
+
+
+def test_incremental_apply_drops_exactly_matched_docs(spark, sf_small):
+    """Survivors = batch minus the probe's matched doc_a set, with
+    full rows preserved."""
+    from pyspark.sql import functions as F
+
+    from java_mapreduce_framework_spark.operators import dedup
+    from java_mapreduce_framework_spark.sources.tables import (
+        load_table,
+        source_fingerprint,
+    )
+
+    docs = load_table(spark, sf_small, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    dedup.build_minhash_index(
+        spark, corpus, "mh_idx_apply", source_fp=source_fingerprint(sf_small, "documents")
+    )
+    matched = {
+        r["doc_a"]
+        for r in dedup.dedup_incremental_minhash(spark, batch, "mh_idx_apply").collect()
+    }
+    kept = {r["doc_id"] for r in dedup.dedup_incremental_apply(spark, batch, "mh_idx_apply").collect()}
+    all_batch = {r["doc_id"] for r in batch.collect()}
+    assert kept == all_batch - matched
+    assert matched, "fixture plants no cross-boundary dups; test vacuous"
