@@ -198,7 +198,11 @@ def band_struct_array(num_perm: int, bands: int):
 
 
 def minhash_candidates(
-    sig: DataFrame, num_perm: int = 128, bands: int = 16
+    sig: DataFrame,
+    num_perm: int = 128,
+    bands: int = 16,
+    bucket_cap: int = 1000,
+    sub_bits: int = 16,
 ) -> DataFrame:
     """LSH banding via bucket grouping: hash each band of
     rows_per_band signature slots, group docs by (band, band_hash),
@@ -208,18 +212,52 @@ def minhash_candidates(
     band self-join means the signature aggregation is consumed ONCE:
     the self-join form duplicates the whole 128-min subtree into both
     join sides (Spark reuses neither plan fragments nor exchanges
-    across them), doubling corpus scans and signature work. Bucket
-    membership lists are small by LSH construction; a degenerate hot
-    bucket concentrates the same quadratic pair count the self-join
-    would have shuffled to a single reducer anyway. Pairs carry both
-    docs' shingle counts (``na``/``nb``) so Jaccard verification
-    needs no separate size join."""
-    band_cols = band_struct_array(num_perm, bands)
-    banded = sig.select("doc_id", "n_shingles", F.explode(band_cols).alias("b")).select(
-        "doc_id", "n_shingles", "b.band_id", "b.band_hash"
+    across them), doubling corpus scans and signature work. Pairs
+    carry both docs' shingle counts (``na``/``nb``) so Jaccard
+    verification needs no separate size join.
+
+    Scale guard (mirrors ``dedup_simhash``): a boilerplate-heavy
+    corpus concentrates docs in hot (band, band_hash) cells, and both
+    the collected membership array and the within-bucket pair explode
+    are quadratic-class hazards there. Cells over ``bucket_cap``
+    members split deterministically on ``sub_bits`` bits of the NEXT
+    band's hash -- near-dups stay together exactly when that band
+    would also collide (the loss mirrors requiring a second band),
+    and exact duplicates, which share every band hash, never split
+    apart. The census is a windowed count on the same (band_id,
+    band_hash) shuffle the bucket grouping needs anyway; rows are
+    fixed-width (doc_id, counts, hashes), so the window buffer stays
+    small even for hot cells."""
+    from pyspark.sql import Window
+
+    rows = num_perm // bands
+    bh = [
+        F.xxhash64(F.concat_ws(",", *[f"s{j * rows + r}" for r in range(rows)]))
+        for j in range(bands)
+    ]
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_id"),
+                bh[j].alias("band_hash"),
+                F.pmod(bh[(j + 1) % bands], F.lit(1 << sub_bits))
+                .cast("int")
+                .alias("sub"),
+            )
+            for j in range(bands)
+        ]
     )
+    banded = sig.select("doc_id", "n_shingles", F.explode(band_cols).alias("b")).select(
+        "doc_id", "n_shingles", "b.band_id", "b.band_hash", "b.sub"
+    )
+    w = Window.partitionBy("band_id", "band_hash")
     buckets = (
-        banded.groupBy("band_id", "band_hash")
+        banded.withColumn("bsz", F.count("*").over(w))
+        .withColumn(
+            "subb",
+            F.when(F.col("bsz") > bucket_cap, F.col("sub")).otherwise(F.lit(0)),
+        )
+        .groupBy("band_id", "band_hash", "subb")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n_shingles"))).alias("ds"))
         .filter(F.size("ds") > 1)
     )

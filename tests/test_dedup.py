@@ -385,3 +385,28 @@ def test_incremental_apply_drops_exactly_matched_docs(spark, sf_small):
     all_batch = {r["doc_id"] for r in batch.collect()}
     assert kept == all_batch - matched
     assert matched, "fixture plants no cross-boundary dups; test vacuous"
+
+
+def test_minhash_bucket_cap_splits_hot_cells_keeps_exact_dups(spark):
+    """Force bucket splitting with a tiny cap: exact duplicates share
+    every band hash (including the next-band sub-split bits), so they
+    must ALL still pair up; and the capped run must equal the uncapped
+    run on this corpus of identical docs."""
+    from java_mapreduce_framework_spark.operators import dedup
+
+    n = 40
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(n)],
+        ["doc_id", "text"],
+    )
+    sig = dedup.minhash_signatures(docs)
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_candidates(sig, bucket_cap=5).collect()
+    }
+    uncapped = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_candidates(sig).collect()
+    }
+    expect = {(a, b) for a in range(n) for b in range(a + 1, n)}
+    assert capped == expect and uncapped == expect
