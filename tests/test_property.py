@@ -232,3 +232,37 @@ def test_ordered_sequences_match_bruteforce(rows):
         )
         expect[u] = (len(mine), ",".join(t for _, _, t in mine[:50]))
     assert got == expect
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_bmp_codec_roundtrip_property(h, w, seed):
+    """encode_bmp -> real_decode is the identity for every geometry
+    (including row-padding widths) and pixel content -- pure Python,
+    no Spark session."""
+    import numpy as np
+
+    from java_mapreduce_framework_spark.operators import multimodal as M
+
+    a = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    assert np.array_equal(M.real_decode(M.encode_bmp(a)), a)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    n=st.integers(0, 4096),
+    rate=st.sampled_from([8000, 16000, 22050, 44100]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_codec_roundtrip_property(n, rate, seed):
+    import numpy as np
+
+    from java_mapreduce_framework_spark.operators import multimodal as M
+
+    s = np.random.default_rng(seed).integers(-32768, 32768, n, dtype=np.int16)
+    r, back = M.decode_wav(M.encode_wav(s, rate))
+    assert r == rate and np.array_equal(back, s)
