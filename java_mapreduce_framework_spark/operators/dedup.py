@@ -847,13 +847,60 @@ def dedup_incremental_minhash(
     re-verify -- the corpus text is out of reach by design), which is
     the standard production trade: the estimator's stderr at 128
     permutations is ~sqrt(j(1-j)/128) <= 0.045. Candidate generation
-    is EXACTLY the batch-mode banding (shared ``band_struct_array``),
+    is EXACTLY the batch-mode banding (shared band-hash expression),
     asserted equivalent in tests/test_dedup.py."""
-    sig = minhash_signatures(new_docs, num_perm, n, seed)
-    new_banded = sig.select(
+    sig = minhash_signatures(new_docs, num_perm, n, seed).select(
+        "doc_id", F.array(*[f"s{i}" for i in range(num_perm)]).alias("sig")
+    )
+    return probe_minhash_index(spark, sig, index_name, num_perm, bands, threshold)
+
+
+def band_struct_array_from_sig(num_perm: int, bands: int):
+    """(band_id, band_hash) struct array over a signature ARRAY column
+    ``sig`` -- the same string-concat xxhash64 as ``band_struct_array``
+    computes over s0..s{n-1} columns (concat_ws implicitly casts the
+    bigints to identical strings), so array-form and column-form
+    signatures land in the same buckets; equivalence is covered by the
+    incremental-vs-batch candidate test."""
+    rows = num_perm // bands
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_id"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col("sig")[j * rows + r].cast("string")
+                            for r in range(rows)
+                        ],
+                    )
+                ).alias("band_hash"),
+            )
+            for j in range(bands)
+        ]
+    )
+
+
+def probe_minhash_index(
+    spark,
+    sigs: DataFrame,
+    index_name: str,
+    num_perm: int = 128,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """LSH-probe the persisted index with pre-computed signatures
+    (doc_id, sig array<long>): band the probe side, equi-join the
+    bucketed posting lists, estimate Jaccard from slot agreement.
+    Shared by the batch incremental op (aggregation-built signatures)
+    and the streaming ingest path (row-local signatures, one
+    microbatch at a time); both index joins stay exchange-free on the
+    index side."""
+    new_banded = sigs.select(
         F.col("doc_id").alias("doc_a"),
-        F.array(*[f"s{i}" for i in range(num_perm)]).alias("sig_a"),
-        F.explode(band_struct_array(num_perm, bands)).alias("b"),
+        F.col("sig").alias("sig_a"),
+        F.explode(band_struct_array_from_sig(num_perm, bands)).alias("b"),
     ).select("doc_a", "sig_a", "b.band_id", "b.band_hash")
     idx_bands = spark.table(f"{index_name}_bands")
     cand = (
@@ -991,3 +1038,58 @@ def dedup_incremental_apply(
         .distinct()
     )
     return new_docs.join(F.broadcast(matched), "doc_id", "left_anti")
+
+
+def minhash_signatures_rowlocal(documents: DataFrame, num_perm: int = 128,
+                                n: int = 3, seed: int = 42) -> DataFrame:
+    """MinHash signatures computed ROW-LOCALLY: shingle hashes stay
+    inside each doc's row (a JVM expression builds the distinct-gram
+    xxhash64 array), and a numpy kernel takes the per-row array to
+    num_perm mins in one broadcasted (perms x shingles) matrix op.
+
+    Same output, bit for bit, as ``minhash_signatures``' aggregation
+    path (asserted in tests) -- the difference is the execution shape:
+    the aggregation form is right for BATCH corpora (map-side partial
+    mins, no per-doc arrays in the shuffle); this form is right for
+    STREAMING ingest, where each arriving doc is naturally one row,
+    per-row state is bounded by doc length, and a streaming
+    aggregation would needlessly hold per-doc state in the store.
+    xxhash64 runs JVM-side so both forms hash identical values --
+    Python cannot reproduce Spark's xxhash64.
+
+    Emits (doc_id, sig array<long>, n_shingles)."""
+    import numpy as np
+    import pandas as pd
+
+    toks = tokens_col("text")
+    grams = F.expr(f"array_distinct({grams_expr(n)})")
+    hashed = (
+        documents.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= n)
+        .select(
+            "doc_id",
+            F.transform(grams, lambda g: F.xxhash64(g)).alias("hs"),
+        )
+    )
+    perms = _perm_tables(num_perm, seed)
+    A = np.array([a for a, _ in perms], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in perms], dtype=np.int64)[:, None]
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, sigs, counts = [], [], []
+            for doc_id, hs in zip(pdf["doc_id"], pdf["hs"]):
+                h = np.asarray(hs, dtype=np.int64) % _HASH_BOUND
+                # a*h + b < 2^60 + 2^30: exact in int64, same as the
+                # SQL expression the aggregation path evaluates
+                sig = ((A * h[None, :] + B) % _MERSENNE_P).min(axis=1)
+                ids.append(doc_id)
+                sigs.append(sig)
+                counts.append(len(h))
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"),
+                 "sig": sigs,
+                 "n_shingles": pd.Series(counts, dtype="int64")}
+            )
+
+    return hashed.mapInPandas(kernel, "doc_id long, sig array<long>, n_shingles long")

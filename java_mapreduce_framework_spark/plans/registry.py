@@ -2034,6 +2034,21 @@ def _stream_dedup_state(spark, sf):
 
 
 @_register(
+    "stream_dedup_incremental",
+    None,
+    note="streaming ingest dedup (continuous-crawl shape): arriving docs "
+    "sketched row-locally per microbatch (foreachBatch) and LSH-probed "
+    "against the persisted bucketed MinHash index; bounded drain equals the "
+    "batch incremental probe (asserted in tests/test_streaming.py) -> "
+    "rows-only",
+)
+def _stream_dedup_incremental(spark, sf):
+    from ..streaming.jobs import stream_dedup_incremental
+
+    return stream_dedup_incremental(spark, sf)
+
+
+@_register(
     "stream_dedup_watermarked",
     f"""
     SELECT DISTINCT user_id, event_type FROM {_EVTS}

@@ -161,6 +161,65 @@ def stream_dedup_watermarked(
     return _drain_to_memory(deduped, mode="append")
 
 
+def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest dedup against the PERSISTED corpus index --
+    the continuous-crawl production shape: documents arrive as a
+    stream, each microbatch is sketched row-locally and LSH-probed
+    against the bucketed MinHash index, emitting the new-vs-corpus
+    near-dup pairs as they surface.
+
+    Composition per microbatch (via ``foreachBatch``, so full batch
+    semantics apply inside): ``minhash_signatures_rowlocal`` (no
+    shuffle -- per-doc state is bounded by doc length, exactly right
+    for streaming where each doc is one arriving row) feeds
+    ``probe_minhash_index`` (exchange-free on the index side). Pair
+    dedup within the batch is EXACT across the whole stream because
+    candidates are keyed by the arriving doc: each doc_a's pairs are
+    produced entirely in the microbatch that carries doc_a.
+
+    Batch-stream equivalence: a doc's signature and band hashes are
+    bit-identical to the batch aggregation path (asserted in tests),
+    so the bounded drain equals ``dedup_incremental_minhash`` on the
+    same batch -- the declared check. Output goes to a parquet sink
+    per batch (append; batch-id idempotence is demonstrated separately
+    by ``stream_foreachbatch_idempotent``)."""
+    import shutil
+
+    from ..operators import dedup
+    from ..sources.tables import source_fingerprint
+
+    sf_name = pathlib.Path(sf_dir).name
+    name = f"mh_idx_{sf_name.replace('.', '_')}"
+    corpus = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 != 0)
+    dedup.build_minhash_index(
+        spark, corpus, name, source_fp=source_fingerprint(sf_dir, "documents")
+    )
+
+    src = _stage_stream_dir(spark, sf_dir, "documents")
+    schema = spark.read.parquet(src).schema
+    root = _REPO_ROOT / ".tmp" / "stream" / f"{sf_name}_increment_sink"
+    sink, ckpt = root / "sink", root / "ckpt"
+    shutil.rmtree(root, ignore_errors=True)
+
+    def probe_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sigs = dedup.minhash_signatures_rowlocal(
+            batch_df.filter(F.col("doc_id") % 10 == 0)
+        ).select("doc_id", "sig")
+        out = dedup.probe_minhash_index(spark, sigs, name)
+        out.write.mode("append").parquet(str(sink))
+
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .writeStream.foreachBatch(probe_batch)
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(str(sink))
+
+
 def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState``
     (the engine's arbitrary-state surface, SURVEY.md section 7 stretch):

@@ -369,3 +369,40 @@ def test_dropduplicates_within_watermark_cross_batch(spark, tmp_path):
     shutil.rmtree(ckpt, ignore_errors=True)
     assert got == {(1, "click"), (9, "x"), (2, "click")}
     assert rows == 3  # the cross-batch duplicate emitted no second row
+
+
+def test_stream_incremental_dedup_equals_batch_probe(spark, sf_small):
+    """The streaming ingest dedup's bounded drain must equal the batch
+    incremental probe on the same new-batch set: row-local signatures
+    and array-form band hashes are bit-identical to the aggregation
+    path, and per-microbatch pair dedup is exact because candidates
+    are keyed by the arriving doc."""
+    from pyspark.sql import functions as F
+
+    from java_mapreduce_framework_spark.operators import dedup
+    from java_mapreduce_framework_spark.sources.tables import (
+        load_table,
+        source_fingerprint,
+    )
+    from java_mapreduce_framework_spark.streaming.jobs import stream_dedup_incremental
+
+    got = {
+        (r["doc_a"], r["doc_b"], r["est_jaccard"])
+        for r in stream_dedup_incremental(spark, sf_small).collect()
+    }
+    docs = load_table(spark, sf_small, "documents")
+    name = "mh_idx_eqv_stream"
+    dedup.build_minhash_index(
+        spark,
+        docs.filter(F.col("doc_id") % 10 != 0),
+        name,
+        source_fp=source_fingerprint(sf_small, "documents"),
+    )
+    expect = {
+        (r["doc_a"], r["doc_b"], r["est_jaccard"])
+        for r in dedup.dedup_incremental_minhash(
+            spark, docs.filter(F.col("doc_id") % 10 == 0), name
+        ).collect()
+    }
+    assert got == expect
+    assert got, "fixture plants no cross-boundary dups; test vacuous"
