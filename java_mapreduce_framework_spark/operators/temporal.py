@@ -337,3 +337,40 @@ def rolling_window_range(events: DataFrame, window_s: int = 600) -> DataFrame:
         .cast("double")
         .alias("recent_value"),
     )
+
+
+def event_transition_matrix(events: DataFrame) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences: P(next_type | cur_type) with support counts -- the
+    behavioral-model summary (what users do next) and the input to
+    sequence-anomaly scoring.
+
+    One lead window per user (hash shuffle on user_id, ties broken by
+    event_id) produces the transition stream; a partial+final count
+    aggregation keyed on the (cur, next) pair -- alphabet-sized, so
+    the second shuffle is tiny regardless of corpus size -- and a
+    per-cur total via a window over the aggregated matrix (runs over
+    #event_types^2 rows, negligible). Probabilities are one integer
+    division, rounded once."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        events.select(
+            "user_id",
+            F.col("event_type").alias("cur_type"),
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("cur_type", "next_type")
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    w_cur = Window.partitionBy("cur_type")
+    return trans.select(
+        "cur_type",
+        "next_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(w_cur), 4
+        ).alias("p_next"),
+    )

@@ -644,3 +644,97 @@ def sequence_packing(
         )
         .select("doc_id", "lang", "n_tokens", "pack_id")
     )
+
+
+def char_entropy(documents: DataFrame) -> DataFrame:
+    """Per-document Shannon character entropy (bits/char) -- the
+    cheap garbage detector of the quality family: base64 blobs and
+    random noise sit near the top of the scale, templated boilerplate
+    near the bottom, prose in between.
+
+    Plan: explode characters (a row-local transform over
+    sequence(1, length) + substring -- the one char-splitting form
+    whose semantics the RE2-based oracle can mirror exactly; a
+    lookahead split regex cannot run on RE2), count per (doc, char),
+    fold -sum(p*log2(p)) per doc -- both aggregations partial+final,
+    keyed on (doc_id, ch) then doc_id, so the character stream
+    shuffles compressed to per-doc histograms (alphabet-bounded: <= a
+    few hundred rows per doc regardless of doc length). Entropy is
+    summed over integer-derived terms and rounded once, keeping the
+    value cross-engine stable."""
+    chars = documents.filter(F.length("text") > 0).select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.explode(
+            F.expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))")
+        ).alias("ch"),
+    )
+    hist = chars.groupBy("doc_id", "n_chars", "ch").agg(F.count("*").alias("c"))
+    p = F.col("c") / F.col("n_chars")
+    return (
+        hist.groupBy("doc_id")
+        .agg(
+            F.max("n_chars").alias("n_chars"),
+            F.round(-F.sum(p * F.log2(p)), 4).alias("char_entropy"),
+        )
+    )
+
+
+#: Fixed retrieval query for the declared bm25 operator (constants so
+#: the oracle is a closed expression; a real system parameterizes).
+BM25_QUERY_TERMS = ("data", "model", "training", "quality")
+
+
+def bm25_score(
+    documents: DataFrame,
+    terms: tuple[str, ...] = BM25_QUERY_TERMS,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document to a fixed term set --
+    the standard retrieval scorer (and the dedup-adjacent "find docs
+    about X" tool of a data-curation stack).
+
+    score(d) = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)),
+    idf(t) = ln(1 + (N-df+0.5)/(df+0.5)).
+
+    Plan: one token explosion restricted to the query terms by a
+    pushed-in isin filter (the stream that survives is tiny: only
+    query-term occurrences), tf per (doc, term) + per-term df as
+    aggregates of that filtered stream, doc lengths and corpus stats
+    as broadcast scalars. Work scales with query-term occurrences,
+    not corpus vocabulary."""
+    from ..functions.text import words_exploded
+
+    words = words_exploded(documents)
+    dl = documents.select(
+        "doc_id", F.size(tokens_col("text")).alias("dl")
+    )
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    qwords = words.filter(F.col("word").isin(*terms))
+    tf = qwords.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df = qwords.groupBy("word").agg(F.count_distinct("doc_id").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    per_term = (
+        tf.join(F.broadcast(df), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "word",
+            (idf * F.col("tf") * (k1 + 1) / denom).alias("term_score"),
+        )
+    )
+    return (
+        per_term.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_matched_terms"),
+            F.round(F.sum("term_score"), 4).alias("bm25"),
+        )
+    )

@@ -2243,6 +2243,78 @@ def _lm_unigram_score(spark, sf):
 
 
 @_register(
+    "char_entropy",
+    """
+    WITH chars AS (
+      SELECT doc_id, length(text) AS n_chars,
+             unnest(list_transform(range(1, length(text) + 1),
+                    i -> substr(text, CAST(i AS INT), 1))) AS ch
+      FROM documents WHERE length(text) > 0),
+    hist AS (SELECT doc_id, n_chars, ch, count(*) AS c
+             FROM chars GROUP BY doc_id, n_chars, ch)
+    SELECT doc_id, max(n_chars) AS n_chars,
+           round(-sum((c * 1.0 / n_chars) * log2(c * 1.0 / n_chars)), 4)
+               AS char_entropy
+    FROM hist GROUP BY doc_id
+    """,
+    note="per-doc Shannon character entropy (garbage/boilerplate quality "
+    "signal); char split via sequence+substring so the RE2 oracle mirrors "
+    "it exactly; alphabet-bounded per-doc histograms",
+)
+def _char_entropy(spark, sf):
+    return text.char_entropy(_t(spark, sf, "documents"))
+
+
+@_register(
+    "bm25_score",
+    f"""
+    WITH toks AS (SELECT doc_id, {{toks}} AS t FROM documents),
+    dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    words AS (SELECT doc_id, unnest(t) AS word FROM toks),
+    qw AS (SELECT * FROM words
+           WHERE word IN ('data', 'model', 'training', 'quality')),
+    tf AS (SELECT doc_id, word, count(*) AS tf FROM qw GROUP BY doc_id, word),
+    df AS (SELECT word, count(DISTINCT doc_id) AS df FROM qw GROUP BY word)
+    SELECT doc_id, count(*) AS n_matched_terms,
+           round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                     * tf * 2.2
+                     / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
+    FROM tf JOIN df USING (word) JOIN dl USING (doc_id) CROSS JOIN stats
+    GROUP BY doc_id
+    """.replace("{toks}", _TOKS),
+    note="Okapi BM25 relevance vs a fixed query-term set; the explosion is "
+    "pre-filtered to query terms (work tracks query-term occurrences, not "
+    "vocabulary); corpus stats broadcast",
+)
+def _bm25_score(spark, sf):
+    return text.bm25_score(_t(spark, sf, "documents"))
+
+
+@_register(
+    "event_transition_matrix",
+    f"""
+    WITH t AS (
+      SELECT event_type AS cur_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM {{evts}}),
+    m AS (SELECT cur_type, next_type, count(*) AS n_transitions
+          FROM t WHERE next_type IS NOT NULL GROUP BY cur_type, next_type)
+    SELECT cur_type, next_type, n_transitions,
+           round(n_transitions * 1.0
+                 / sum(n_transitions) OVER (PARTITION BY cur_type), 4) AS p_next
+    FROM m
+    """.replace("{evts}", _EVTS),
+    note="first-order Markov transition matrix over per-user event "
+    "sequences (lead window -> alphabet-sized count matrix -> row-"
+    "normalized probabilities)",
+)
+def _event_transition_matrix(spark, sf):
+    return temporal.event_transition_matrix(_t(spark, sf, "events"))
+
+
+@_register(
     "quality_constraints",
     """
     WITH agg AS (

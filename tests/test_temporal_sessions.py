@@ -216,3 +216,39 @@ def test_funnel_counts_monotone_nonincreasing(spark, sf_small):
     ordered = [by_stage[s] for s in sorted(by_stage)]
     assert ordered == sorted(ordered, reverse=True)
     assert ordered[0] > 0
+
+
+def test_transition_matrix_rows_normalize_and_count_exactly(spark):
+    """Hand-built sequences: transitions counted per (cur, next) in
+    (ts, event_id) order; each cur row's probabilities sum to 1."""
+    import datetime
+
+    from java_mapreduce_framework_spark.operators.temporal import (
+        event_transition_matrix,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ev(i, u, typ):
+        return (i, u, typ, t0 + datetime.timedelta(minutes=i), 1.0)
+
+    rows = [
+        ev(1, 1, "view"), ev(2, 1, "click"), ev(3, 1, "view"),
+        ev(4, 2, "view"), ev(5, 2, "view"), ev(6, 2, "buy"),
+    ]
+    events = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "ts", "value"]
+    )
+    out = {(r["cur_type"], r["next_type"]): (r["n_transitions"], r["p_next"])
+           for r in event_transition_matrix(events).collect()}
+    assert out[("view", "click")] == (1, 0.3333)
+    assert out[("view", "view")] == (1, 0.3333)
+    assert out[("view", "buy")] == (1, 0.3333)
+    assert out[("click", "view")] == (1, 1.0)
+    from collections import defaultdict
+
+    by_cur = defaultdict(float)
+    for (cur, _), (_, p) in out.items():
+        by_cur[cur] += p
+    for cur, total in by_cur.items():
+        assert abs(total - 1.0) < 0.001, (cur, total)

@@ -279,3 +279,37 @@ def test_sequence_packing_parallel_matches_serial_single_lang(spark):
             for r in sequence_packing(docs, budget=budget, num_shards=shards).collect()
         }
         assert got == serial, f"shards={shards}"
+
+
+def test_char_entropy_known_values(spark):
+    """Closed-form checks: a one-symbol doc has entropy 0; a doc of
+    2^k equiprobable symbols has entropy exactly k bits."""
+    from java_mapreduce_framework_spark.operators.text import char_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "aaaaaaaa"), (2, "abababab"), (3, "abcdabcd")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["char_entropy"] for r in char_entropy(docs).collect()}
+    assert out[1] == 0.0
+    assert out[2] == 1.0
+    assert out[3] == 2.0
+
+
+def test_bm25_prefers_term_dense_short_docs(spark):
+    """Sanity on the scoring direction: more query-term occurrences
+    raise the score; padding a doc with off-topic tokens lowers it."""
+    from java_mapreduce_framework_spark.operators.text import bm25_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "data model training quality"),
+            (2, "data data model model training quality"),
+            (3, "data model training quality " + "filler " * 50),
+            (4, "nothing relevant here at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["bm25"] for r in bm25_score(docs).collect()}
+    assert 4 not in out  # no query terms -> no row
+    assert out[2] > out[1] > out[3]
