@@ -696,3 +696,22 @@ def quality_constraints(lineitem: DataFrame) -> DataFrame:
         "metric",
         (F.col("metric") >= thresholds[F.col("constraint")]).alias("passed"),
     ).orderBy("constraint")
+
+
+def window_percent_rank(orders: DataFrame) -> DataFrame:
+    """Relative standing of every order inside its priority class:
+    percent_rank (share of peers strictly below) and cume_dist (share
+    at-or-below) over o_totalprice -- the distribution-position pair
+    that complements rank/ntile in the window family. One hash
+    shuffle on the partition key plus the window sort; both functions
+    share a single window pass."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )

@@ -374,3 +374,42 @@ def event_transition_matrix(events: DataFrame) -> DataFrame:
             F.col("n_transitions") / F.sum("n_transitions").over(w_cur), 4
         ).alias("p_next"),
     )
+
+
+def sequence_likelihood(events: DataFrame) -> DataFrame:
+    """Per-user behavioral likelihood: average log2-probability of the
+    user's own transitions under the CORPUS transition matrix -- the
+    sequence-anomaly score (bots and scripted flows replay high-
+    probability loops and score high; erratic sequences score low).
+    The behavioral analog of ``text.lm_unigram_score``.
+
+    The matrix is rebuilt UNROUNDED here (probabilities feed math, not
+    reports) and broadcast -- it is alphabet^2 rows, so the per-user
+    scoring join is map-side; one lead window + one per-user
+    aggregation are the only corpus-sized shuffles."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = events.select(
+        "user_id",
+        F.col("event_type").alias("cur_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    w_cur = Window.partitionBy("cur_type")
+    matrix = (
+        trans.groupBy("cur_type", "next_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "cur_type",
+            "next_type",
+            (F.col("n") / F.sum("n").over(w_cur)).alias("p"),
+        )
+    )
+    return (
+        trans.join(F.broadcast(matrix), ["cur_type", "next_type"])
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_transitions"),
+            F.round(F.avg(F.log2("p")), 4).alias("avg_log2p"),
+        )
+    )

@@ -2315,6 +2315,49 @@ def _event_transition_matrix(spark, sf):
 
 
 @_register(
+    "sequence_likelihood",
+    f"""
+    WITH t AS (
+      SELECT user_id, event_type AS cur_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM {{evts}}),
+    tr AS (SELECT * FROM t WHERE next_type IS NOT NULL),
+    m AS (SELECT cur_type, next_type,
+                 count(*) * 1.0
+                 / sum(count(*)) OVER (PARTITION BY cur_type) AS p
+          FROM tr GROUP BY cur_type, next_type)
+    SELECT user_id, count(*) AS n_transitions,
+           round(avg(log2(p)), 4) AS avg_log2p
+    FROM tr JOIN m USING (cur_type, next_type)
+    GROUP BY user_id
+    """.replace("{evts}", _EVTS),
+    note="per-user behavioral likelihood under the corpus transition matrix "
+    "(sequence-anomaly score, the behavioral lm_unigram_score); matrix is "
+    "alphabet^2 and broadcast",
+)
+def _sequence_likelihood(spark, sf):
+    return temporal.sequence_likelihood(_t(spark, sf, "events"))
+
+
+@_register(
+    "window_percent_rank",
+    """
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+    note="distribution-position window pair (percent_rank + cume_dist) per "
+    "priority class; one window pass",
+)
+def _window_percent_rank(spark, sf):
+    return relational.window_percent_rank(_t(spark, sf, "orders"))
+
+
+@_register(
     "quality_constraints",
     """
     WITH agg AS (
