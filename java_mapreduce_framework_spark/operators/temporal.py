@@ -413,3 +413,49 @@ def sequence_likelihood(events: DataFrame) -> DataFrame:
             F.round(F.avg(F.log2("p")), 4).alias("avg_log2p"),
         )
     )
+
+
+def activity_streaks(events: DataFrame) -> DataFrame:
+    """Gaps-and-islands: maximal runs of CONSECUTIVE active days per
+    user — the classic streak/retention primitive (DAU streaks,
+    training-data recency runs).
+
+    Single-shuffle plan: distinct (user, day) — a map-side-combinable
+    aggregate — then the standard island key ``day -
+    row_number()`` inside one window over (user_id ORDER BY day):
+    consecutive days share the anchor date, so one more grouped
+    aggregate per (user, anchor) yields start/end/length. Both
+    aggregations and the window hash-partition on user_id, so AQE
+    coalesces them onto ONE exchange; per-user state in the window is
+    a single counter (no arrays), and days-per-user is bounded by the
+    calendar, so no skew pathology exists at any corpus scale.
+
+    Reference parity: grouped aggregation over a derived key is the
+    reference's reduce phase (`worker/ReduceThread.java:40-90`); the
+    island anchor is just a computed group key.
+
+    Emits (user_id, streak_start, streak_end, streak_days).
+    """
+    days = events.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    return (
+        days.withColumn(
+            "anchor", F.date_sub(F.col("day"), F.row_number().over(w))
+        )
+        .groupBy("user_id", "anchor")
+        .agg(
+            F.min("day").alias("start_day"),
+            F.max("day").alias("end_day"),
+            F.count("*").cast("int").alias("streak_days"),
+        )
+        # midnight timestamps, the same convention as the tumbling/
+        # session window family (and the dtype both engines agree on)
+        .select(
+            "user_id",
+            F.col("start_day").cast("timestamp").alias("streak_start"),
+            F.col("end_day").cast("timestamp").alias("streak_end"),
+            "streak_days",
+        )
+    )

@@ -738,3 +738,45 @@ def bm25_score(
             F.round(F.sum("term_score"), 4).alias("bm25"),
         )
     )
+
+
+#: train/val boundaries for ``stratified_split`` (cumulative rates),
+#: shared with the oracle through ``hash_threshold``.
+SPLIT_TRAIN = 0.8
+SPLIT_VAL = 0.9  # cumulative: val is (0.8, 0.9], test is the rest
+
+
+def stratified_split(documents: DataFrame) -> DataFrame:
+    """Deterministic train/val/test assignment plus the per-stratum
+    audit counts a dataset release needs.
+
+    The split decision is a pure row function — the first 4 hex chars
+    of ``md5('split|' || doc_id)`` against the cumulative-rate
+    thresholds — so it is reproducible across runs, retries, engines,
+    and incremental backfills (same discipline as
+    ``sample_deterministic``; Spark's ``randomSplit`` is
+    partitioning-dependent and would not oracle-check). Stratification
+    is by (lang, source): the hash is uniform within every stratum, so
+    each stratum independently lands near 80/10/10 in expectation
+    without any shuffle for the ASSIGNMENT itself; the single shuffle
+    here is the audit aggregation. Emitting the per-stratum counts
+    (rather than 100 M per-doc rows) is also the 100 TB shape: the
+    assignment column is a zero-cost expression consumers re-derive.
+
+    Emits (lang, source, split, n_docs) — one row per stratum x split.
+    """
+    h = F.substring(
+        F.md5(F.concat_ws("|", F.lit("split"), F.col("doc_id").cast("string"))),
+        1,
+        4,
+    )
+    split = (
+        F.when(h < F.lit(hash_threshold(SPLIT_TRAIN)), "train")
+        .when(h < F.lit(hash_threshold(SPLIT_VAL)), "val")
+        .otherwise("test")
+    )
+    return (
+        documents.select("lang", "source", split.alias("split"))
+        .groupBy("lang", "source", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )

@@ -2850,6 +2850,108 @@ def _source_schema_evolution(spark, sf):
     )
 
 
+@_register(
+    "dedup_edit_distance",
+    """
+    WITH keys AS (
+      SELECT doc_id, lower(substr(text, 1, 24)) AS s FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
+    FROM keys a JOIN keys b ON a.doc_id < b.doc_id
+    WHERE abs(length(a.s) - length(b.s)) <= 2
+      AND levenshtein(a.s, b.s) <= 2
+    """,
+    note="q-gram count filter (provably complete) + exact levenshtein "
+    "verify on candidates only; oracle brute-forces all pairs — equal "
+    "output proves the filtered plan exact",
+)
+def _dedup_edit_distance(spark, sf):
+    return dedup.dedup_edit_distance(_t(spark, sf, "documents"))
+
+
+@_register(
+    "activity_streaks",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    isl AS (
+      SELECT user_id, day,
+             day - CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY day) AS INTEGER) AS anchor
+      FROM days
+    )
+    SELECT user_id,
+           CAST(min(day) AS TIMESTAMP) AS streak_start,
+           CAST(max(day) AS TIMESTAMP) AS streak_end,
+           CAST(count(*) AS INTEGER) AS streak_days
+    FROM isl
+    GROUP BY user_id, anchor
+    """,
+    note="gaps-and-islands consecutive-day streaks; island anchor = "
+    "day - row_number, one user-keyed shuffle end to end",
+)
+def _activity_streaks(spark, sf):
+    return temporal.activity_streaks(_t(spark, sf, "events"))
+
+
+@_register(
+    "stratified_split",
+    f"""
+    SELECT lang, source,
+           CASE
+             WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 4)
+                  < '{text.hash_threshold(text.SPLIT_TRAIN)}' THEN 'train'
+             WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 4)
+                  < '{text.hash_threshold(text.SPLIT_VAL)}' THEN 'val'
+             ELSE 'test'
+           END AS split,
+           count(*) AS n_docs
+    FROM documents
+    GROUP BY 1, 2, 3
+    """,
+    note="deterministic md5-hash train/val/test split audited per "
+    "(lang, source) stratum; same hash-threshold encoding as "
+    "sample_deterministic",
+)
+def _stratified_split(spark, sf):
+    return text.stratified_split(_t(spark, sf, "documents"))
+
+
+@_register(
+    "embedding_gram",
+    """
+    WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    idx AS (SELECT CAST(range AS INTEGER) AS i FROM range(1, 65)),
+    cells AS (
+      SELECT ia.i - 1 AS i, ja.i - 1 AS j, v[ia.i] * v[ja.i] AS prod
+      FROM e, idx ia, idx ja
+      WHERE ia.i <= len(v) AND ja.i <= len(v)
+    )
+    SELECT i, j, round(sum(prod), 6) AS gram
+    FROM cells GROUP BY 1, 2
+    """,
+    note="distributed X^T X: per-task numpy GEMM partials -> one "
+    "grouped SUM; shuffle is d^2 rows per task regardless of corpus "
+    "size (oracle unrolls the outer product row-wise)",
+)
+def _embedding_gram(spark, sf):
+    return similarity.embedding_gram(_t(spark, sf, "embeddings"))
+
+
+@_register(
+    "embedding_pca_project",
+    None,
+    note="rows-only by declared design: eigenvector sign/rotation is "
+    "BLAS-build-arbitrary; orthonormality, explained-variance "
+    "ordering, and projection-vs-numpy equality pinned in "
+    "tests/test_similarity.py",
+)
+def _embedding_pca_project(spark, sf):
+    return similarity.embedding_pca_project(_t(spark, sf, "embeddings"))
+
+
 # ---------------------------------------------- registration priority
 
 #: Queries whose oracle verdicts are already on record in

@@ -410,3 +410,44 @@ def test_minhash_bucket_cap_splits_hot_cells_keeps_exact_dups(spark):
     }
     expect = {(a, b) for a in range(n) for b in range(a + 1, n)}
     assert capped == expect and uncapped == expect
+
+
+def test_edit_distance_matches_bruteforce(spark):
+    """q-gram filter completeness: the filtered plan's output equals
+    brute-force all-pairs Levenshtein, including planted typo pairs
+    and a tiny-key pair whose count bound is vacuous."""
+    texts = [
+        "the quick brown fox jumps over the lazy dog",   # 0
+        "the quick brown fox jumps over the lazy dog",   # 1: exact dup (dist 0)
+        "the quick brawn fox jumps over the lazy dog",   # 2: 1 substitution in prefix
+        "xhe quick brown fx jumps over the lazy dog",    # 3: sub + delete in prefix
+        "completely unrelated text about other things",  # 4
+        "ab",                                            # 5: tiny key
+        "cd",                                            # 6: tiny key, 0 shared grams, dist 2
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "t", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["dist"]
+        for r in dedup.dedup_edit_distance(docs).collect()
+    }
+    # brute-force expectation over the 24-char lowercase prefixes
+    def lev(s, t):
+        d = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            prev, d[0] = d[0], i
+            for j, ct in enumerate(t, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (cs != ct))
+        return d[len(t)]
+
+    keys = [t[:24].lower() for t in texts]
+    want = {
+        (a, b): lev(keys[a], keys[b])
+        for a in range(len(texts))
+        for b in range(a + 1, len(texts))
+        if abs(len(keys[a]) - len(keys[b])) <= 2 and lev(keys[a], keys[b]) <= 2
+    }
+    assert got == want
+    assert (5, 6) in got and got[(5, 6)] == 2  # zero-shared-gram tiny pair found

@@ -34,6 +34,7 @@ ALLOWED_NESTED_LOOP = {
     "similarity_topk",
     "quality_stratify",
     "lm_unigram_score",  # 1-row broadcast corpus-total scalar
+    "bm25_score",  # 1-row broadcast (n_docs, avgdl) corpus-stats scalar
 }
 
 

@@ -205,3 +205,51 @@ def test_incremental_lsh_matches_inline_probe(spark, sf_small):
     }
     got_pairs = {(q, n) for q, n, _, _ in inc}
     assert len(exact & got_pairs) / len(exact) >= 0.6
+
+
+def test_embedding_gram_matches_numpy(spark, sf_small):
+    """Distributed partial-GEMM fold == single-shot numpy X^T X."""
+    import numpy as np
+
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    X = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in emb.collect()]
+    )
+    want = X.T @ X
+    got = similarity.embedding_gram(emb).collect()
+    assert len(got) == X.shape[1] ** 2
+    for r in got:
+        assert abs(r["gram"] - want[r["i"], r["j"]]) < 1e-5
+    # symmetry rides along
+    m = {(r["i"], r["j"]): r["gram"] for r in got}
+    assert all(m[(i, j)] == m[(j, i)] for (i, j) in m)
+
+
+def test_embedding_pca_project_matches_local_pca(spark, sf_small):
+    """Engine PCA == local numpy PCA up to per-component sign; the
+    explained variance of the projected columns is non-increasing."""
+    import numpy as np
+
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    rows = emb.collect()
+    X = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    Xc = X - X.mean(axis=0)
+    _, _, Vt = np.linalg.svd(Xc, full_matrices=False)
+    k = 8
+    local = Xc @ Vt[:k].T  # n x k reference projection
+
+    got = similarity.embedding_pca_project(emb, k=k)
+    proj = {r["vec_id"]: np.asarray(r["proj"]) for r in got.collect()}
+    ids = [r["vec_id"] for r in rows]
+    P = np.stack([proj[i] for i in ids])
+    assert P.shape == (len(ids), k)
+    # per-component sign alignment, then exact agreement
+    for c in range(k):
+        s = 1.0 if np.dot(P[:, c], local[:, c]) >= 0 else -1.0
+        assert np.allclose(P[:, c] * s, local[:, c], atol=1e-4)
+    var = P.var(axis=0)
+    assert all(var[c] >= var[c + 1] - 1e-9 for c in range(k - 1))

@@ -252,3 +252,31 @@ def test_transition_matrix_rows_normalize_and_count_exactly(spark):
         by_cur[cur] += p
     for cur, total in by_cur.items():
         assert abs(total - 1.0) < 0.001, (cur, total)
+
+
+def test_activity_streaks_islands(spark):
+    """Planted calendar: user 1 has a 3-day run, a gap, then a 2-day
+    run; user 2 has one active day. Streaks must be maximal runs."""
+    import datetime as dt
+
+    from java_mapreduce_framework_spark.operators import temporal
+
+    def ts(day, hour=9):
+        return dt.datetime(2024, 3, day, hour)
+
+    rows = [
+        # user 1: days 1,2,3 (two events on day 2), gap, days 6,7
+        (1, 1, ts(1)), (2, 1, ts(2)), (3, 1, ts(2, 15)), (4, 1, ts(3)),
+        (5, 1, ts(6)), (6, 1, ts(7)),
+        # user 2: day 10 only
+        (7, 2, ts(10)),
+    ]
+    events = spark.createDataFrame(
+        [(e, t, u, "click", 1.0, None) for e, u, t in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    got = {
+        (r["user_id"], r["streak_start"].day): (r["streak_days"], r["streak_end"].day)
+        for r in temporal.activity_streaks(events).collect()
+    }
+    assert got == {(1, 1): (3, 3), (1, 6): (2, 7), (2, 10): (1, 10)}

@@ -313,3 +313,23 @@ def test_bm25_prefers_term_dense_short_docs(spark):
     out = {r["doc_id"]: r["bm25"] for r in bm25_score(docs).collect()}
     assert 4 not in out  # no query terms -> no row
     assert out[2] > out[1] > out[3]
+
+
+def test_stratified_split_deterministic_and_exhaustive(spark, sf_small):
+    """Every doc lands in exactly one split, ratios are near 80/10/10,
+    and the assignment is a pure row function (re-run identical)."""
+    from java_mapreduce_framework_spark.operators import text as text_ops
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    out = text_ops.stratified_split(docs).collect()
+    total = sum(r["n_docs"] for r in out)
+    assert total == docs.count()
+    by_split = {}
+    for r in out:
+        by_split[r["split"]] = by_split.get(r["split"], 0) + r["n_docs"]
+    assert set(by_split) == {"train", "val", "test"}
+    assert 0.7 < by_split["train"] / total < 0.9
+    # determinism: identical output across independent runs
+    again = sorted(map(tuple, text_ops.stratified_split(docs).collect()))
+    assert again == sorted(map(tuple, out))
