@@ -9,7 +9,7 @@ definition in ``functions/text.py`` so every consumer agrees.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import grams_expr, tokens_col, words_exploded
@@ -779,4 +779,99 @@ def stratified_split(documents: DataFrame) -> DataFrame:
         documents.select("lang", "source", split.alias("split"))
         .groupBy("lang", "source", "split")
         .agg(F.count("*").alias("n_docs"))
+    )
+
+
+#: doc_chunking window geometry (tokens), shared with the oracle.
+CHUNK_SIZE = 32
+CHUNK_STRIDE = 24  # 8-token overlap between neighboring chunks
+
+
+def doc_chunking(
+    documents: DataFrame,
+    size: int = CHUNK_SIZE,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """Overlapping token-window chunker — the RAG/embedding-prep step
+    that turns documents into model-sized passages.
+
+    Pure expression plan: one tokenization, chunk starts from
+    ``sequence(1, n_tokens, stride)``, one explode, ``slice`` +
+    ``concat_ws`` per chunk. Map-only (NO shuffle at all): chunk
+    construction is row-local, so it scales with scan bandwidth and
+    parallelism is the file-split count. The trailing partial chunk is
+    kept (standard RAG practice) and empty docs yield no chunks.
+
+    Emits (doc_id, chunk_idx, n_chunk_tokens, chunk).
+    """
+    toks = tokens_col("text")
+    n = F.size("toks")
+    return (
+        documents.select("doc_id", toks.alias("toks"))
+        .filter(n >= 1)
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(F.sequence(F.lit(1), n, F.lit(stride))).alias("start"),
+        )
+        .select(
+            "doc_id",
+            ((F.col("start") - 1) / stride).cast("int").alias("chunk_idx"),
+            F.least(
+                F.lit(size), F.size("toks") - F.col("start") + 1
+            ).cast("int").alias("n_chunk_tokens"),
+            F.concat_ws(
+                " ", F.slice("toks", F.col("start"), F.lit(size))
+            ).alias("chunk"),
+        )
+    )
+
+
+def key_skew_profile(events: DataFrame) -> DataFrame:
+    """Key-skew diagnostic over the (user_id) grouping key: a log2
+    count-of-counts histogram — the operational tool that tells you
+    BEFORE a 100 TB join/agg whether salting or AQE skew handling is
+    needed, produced with two map-side-combinable aggregations (per-key
+    counts, then per-bucket fold; output is ~64 rows max).
+
+    Bucketing uses ``floor(log2(c + 0.5))``: the +0.5 shifts bucket
+    boundaries off exact powers of two so float log2 never flips a
+    boundary key (exact for all c < 2^52).
+
+    Emits (count_bucket, n_keys, n_events, max_key_count).
+    """
+    per_key = events.groupBy("user_id").agg(F.count("*").alias("c"))
+    return (
+        per_key.select(
+            F.floor(F.log2(F.col("c") + 0.5)).cast("int").alias("count_bucket"),
+            "c",
+        )
+        .groupBy("count_bucket")
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.sum("c").alias("n_events"),
+            F.max("c").alias("max_key_count"),
+        )
+    )
+
+
+def group_sample_topk(events: DataFrame, k: int = 5) -> DataFrame:
+    """Deterministic uniform k-sample per group (event_type): rank by
+    md5 of the unique row key and keep the first k — the per-stratum
+    eval-set / spot-check sampler.
+
+    Unlike a reservoir over arbitrary partition order, the hash rank
+    makes the sample a pure function of the DATA: stable across runs,
+    engines, retries, and incremental reprocessing. One window shuffle
+    keyed by the group; per-group state in the rank window is a single
+    counter.
+
+    Emits (event_type, event_id, sample_rank).
+    """
+    h = F.md5(F.concat_ws("|", F.lit("sample"), F.col("event_id").cast("string")))
+    w = Window.partitionBy("event_type").orderBy(h, "event_id")
+    return (
+        events.select("event_type", "event_id")
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
     )

@@ -2952,6 +2952,75 @@ def _embedding_pca_project(spark, sf):
     return similarity.embedding_pca_project(_t(spark, sf, "embeddings"))
 
 
+@_register(
+    "doc_chunking",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, t,
+             CAST(unnest(range(1, len(t) + 1, {text.CHUNK_STRIDE})) AS INTEGER) AS start
+      FROM toks
+      WHERE len(t) >= 1
+    )
+    SELECT doc_id,
+           CAST((start - 1) / {text.CHUNK_STRIDE} AS INTEGER) AS chunk_idx,
+           CAST(least({text.CHUNK_SIZE}, len(t) - start + 1) AS INTEGER)
+             AS n_chunk_tokens,
+           array_to_string(
+             list_slice(t, start, start + {text.CHUNK_SIZE} - 1), ' '
+           ) AS chunk
+    FROM chunks
+    """,
+    note="RAG overlapping token-window chunker; map-only, no shuffle "
+    "(chunk construction is row-local)",
+)
+def _doc_chunking(spark, sf):
+    return text.doc_chunking(_t(spark, sf, "documents"))
+
+
+@_register(
+    "key_skew_profile",
+    """
+    WITH per_key AS (
+      SELECT user_id, count(*) AS c FROM events GROUP BY user_id
+    )
+    SELECT CAST(floor(log2(c + 0.5)) AS INTEGER) AS count_bucket,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(c) AS BIGINT) AS n_events,
+           CAST(max(c) AS BIGINT) AS max_key_count
+    FROM per_key GROUP BY 1
+    """,
+    note="log2 count-of-counts key-skew diagnostic; +0.5 keeps float "
+    "log2 off power-of-two boundaries so both engines bucket "
+    "identically",
+)
+def _key_skew_profile(spark, sf):
+    return text.key_skew_profile(_t(spark, sf, "events"))
+
+
+@_register(
+    "group_sample_topk",
+    """
+    WITH ranked AS (
+      SELECT event_type, event_id,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY md5('sample|' || CAST(event_id AS VARCHAR)), event_id
+             ) AS sample_rank
+      FROM events
+    )
+    SELECT event_type, event_id, CAST(sample_rank AS INTEGER) AS sample_rank
+    FROM ranked WHERE sample_rank <= 5
+    """,
+    note="deterministic per-group k-sample by md5 rank: the sample is "
+    "a pure function of the data, stable across engines/retries",
+)
+def _group_sample_topk(spark, sf):
+    return text.group_sample_topk(_t(spark, sf, "events"))
+
+
 # ---------------------------------------------- registration priority
 
 #: Queries whose oracle verdicts are already on record in

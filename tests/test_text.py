@@ -333,3 +333,55 @@ def test_stratified_split_deterministic_and_exhaustive(spark, sf_small):
     # determinism: identical output across independent runs
     again = sorted(map(tuple, text_ops.stratified_split(docs).collect()))
     assert again == sorted(map(tuple, out))
+
+
+def test_doc_chunking_geometry_and_overlap(spark):
+    from java_mapreduce_framework_spark.operators import text as text_ops
+
+    words = [f"w{i}" for i in range(40)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(words), "en", "t", 0), (2, "", "en", "t", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = sorted(
+        text_ops.doc_chunking(docs).collect(), key=lambda r: r["chunk_idx"]
+    )
+    # 40 tokens, stride 24 -> starts 1 and 25; sizes 32 and 16
+    assert [(r["doc_id"], r["chunk_idx"], r["n_chunk_tokens"]) for r in out] == [
+        (1, 0, 32), (1, 1, 16)
+    ]
+    assert out[0]["chunk"].split() == words[:32]
+    assert out[1]["chunk"].split() == words[24:]  # 8-token overlap
+    # empty doc yields no chunks
+    assert all(r["doc_id"] == 1 for r in out)
+
+
+def test_key_skew_profile_buckets(spark):
+    from java_mapreduce_framework_spark.operators import text as text_ops
+
+    # key 1 -> 1 event (bucket 0), key 2 -> 3 (bucket 1), key 3 -> 8 (bucket 3)
+    rows = [(1, 1)] + [(2, e) for e in range(2, 5)] + [(3, e) for e in range(5, 13)]
+    events = spark.createDataFrame(
+        [(e, None, u, "click", 1.0, None) for u, e in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    got = {
+        r["count_bucket"]: (r["n_keys"], r["n_events"], r["max_key_count"])
+        for r in text_ops.key_skew_profile(events).collect()
+    }
+    assert got == {0: (1, 1, 1), 1: (1, 3, 3), 3: (1, 8, 8)}
+
+
+def test_group_sample_topk_deterministic(spark, sf_small):
+    from java_mapreduce_framework_spark.operators import text as text_ops
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_small, "events")
+    s1 = sorted(map(tuple, text_ops.group_sample_topk(events).collect()))
+    s2 = sorted(map(tuple, text_ops.group_sample_topk(events).collect()))
+    assert s1 == s2
+    per_group = {}
+    for et, _, rk in s1:
+        per_group.setdefault(et, []).append(rk)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= 5
+               for v in per_group.values())
