@@ -207,6 +207,28 @@ def main(sf_dir: str) -> dict:
         f"candidate sets identical by shared band hashing; est-Jaccard MAE {mae:.4f} "
         f"over {len(cross)} cross pairs (128-perm estimator stderr <= 0.045)")
 
+    # --- embedding_pca_project: sign-aligned agreement with a local
+    # exact numpy PCA (rows-only because eigenvector sign/rotation is
+    # BLAS-arbitrary; after per-component sign alignment the numbers
+    # must agree to fp tolerance)
+    import numpy as np
+
+    emb_rows = emb.collect()
+    X = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in emb_rows])
+    Xc = X - X.mean(axis=0)
+    _, _, Vt = np.linalg.svd(Xc, full_matrices=False)
+    local = Xc @ Vt[:8].T
+    proj = {r["vec_id"]: np.asarray(r["proj"])
+            for r in similarity.embedding_pca_project(emb, k=8).collect()}
+    P = np.stack([proj[r["vec_id"]] for r in emb_rows])
+    err = 0.0
+    for c in range(8):
+        s = 1.0 if float(np.dot(P[:, c], local[:, c])) >= 0 else -1.0
+        err = max(err, float(np.max(np.abs(P[:, c] * s - local[:, c]))))
+    rec("embedding_pca_project", "max_abs_projection_error_vs_numpy", err, 1e-4, "<=",
+        "distributed Gram+mean stats -> driver eigh vs single-shot numpy SVD, "
+        "per-component sign aligned, all 8 components x all rows")
+
     return out
 
 
