@@ -715,3 +715,86 @@ def window_percent_rank(orders: DataFrame) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+def incremental_agg_merge(events: DataFrame) -> DataFrame:
+    """Mergeable-aggregation-state rollup: per-(type, day) PARTIAL
+    moment states (count / sum / sum-of-squares / min / max) folded
+    into exact per-type totals — the incremental-refresh shape where
+    yesterday's partials are persisted and only the new day is
+    scanned, then states merge by plain addition.
+
+    Every statistic here is chosen to be mergeable: count, sum, sumsq
+    add; min/max fold; mean and population variance derive from the
+    merged moments ((ss - s^2/n) / n). That closure property is the
+    whole design — the same merge works across days, batches,
+    clusters, or checkpoint restarts, which is what makes 100 TB
+    incremental pipelines possible without full rescans. Two
+    map-side-combinable aggregations, one shuffle each, second input
+    is day-count-sized.
+
+    Emits (event_type, n_days, n_events, avg_value, var_value,
+    min_value, max_value).
+    """
+    partials = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("value").alias("s"),
+        F.sum(F.col("value") * F.col("value")).alias("ss"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    n = F.sum("n")
+    s = F.sum("s")
+    ss = F.sum("ss")
+    return partials.groupBy("event_type").agg(
+        F.count("*").cast("int").alias("n_days"),
+        n.alias("n_events"),
+        F.round(s / n, 4).alias("avg_value"),
+        F.round((ss - s * s / n) / n, 4).alias("var_value"),
+        F.round(F.min("mn"), 4).alias("min_value"),
+        F.round(F.max("mx"), 4).alias("max_value"),
+    )
+
+
+def zorder_index(events: DataFrame, bits: int = 16) -> DataFrame:
+    """Z-order (Morton) curve index over the two query dimensions of
+    the events table — (user_id, time) — plus the per-z-bucket
+    population: the DATA-LAYOUT operator. Sorting a table by this key
+    before writing clusters rows so that BOTH `user_id = ?` and
+    time-range predicates hit few files, turning parquet min/max
+    stats into 2-D data skipping (the Delta/Iceberg OPTIMIZE ZORDER
+    idea, as a plain deterministic expression).
+
+    The interleave is pure integer bit arithmetic (shift/or over
+    ``bits`` positions, unrolled at plan-build time into one JVM
+    expression) on bounded dimensions: user_id's low ``bits`` and the
+    epoch-minute's low ``bits``. Map-only until the final tiny
+    bucket-count aggregate; the intended consumer chains
+    ``.orderBy("zval")`` into a range-partitioned write.
+
+    Emits (z_bucket, n_events, n_users) — bucket = zval >> bits so
+    output stays ~2^bits-bounded for the audit while still proving
+    both dimensions interleave.
+    """
+    x = F.pmod(F.col("user_id"), F.lit(1 << bits)).cast("long")
+    minute = F.floor(F.unix_micros("ts") / F.lit(60_000_000)).cast("long")
+    y = F.pmod(minute, F.lit(1 << bits)).cast("long")
+    zval = F.lit(0).cast("long")
+    for i in range(bits):
+        xbit = F.shiftright(x, i).bitwiseAND(F.lit(1))
+        ybit = F.shiftright(y, i).bitwiseAND(F.lit(1))
+        zval = zval.bitwiseOR(F.shiftleft(xbit, 2 * i)).bitwiseOR(
+            F.shiftleft(ybit, 2 * i + 1)
+        )
+    return (
+        events.select(
+            "user_id", F.shiftright(zval, bits).alias("z_bucket")
+        )
+        .groupBy("z_bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )

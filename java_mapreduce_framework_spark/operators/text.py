@@ -875,3 +875,55 @@ def group_sample_topk(events: DataFrame, k: int = 5) -> DataFrame:
         .withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= k)
     )
+
+
+def lm_bigram_score(documents: DataFrame, k: float = 0.5) -> DataFrame:
+    """Per-document bigram language-model score with add-k smoothing:
+    avg log2 P(w_i | w_{i-1}) under the corpus's own bigram counts —
+    one rung up the perplexity-filter ladder from
+    ``lm_unigram_score`` (catches scrambled/unnatural word ORDER that
+    unigram statistics cannot see).
+
+    P(w2|w1) = (c2(w1,w2) + k) / (c1(w1) + k*V), V = vocabulary size.
+
+    Plan: the bigram stream is a row-local expression (no
+    self-join — ``transform(sequence(...))`` zips each token array
+    with its own tail); it feeds the bigram-count aggregate, the
+    unigram-count aggregate, and the per-doc scoring join. Both count
+    joins are keyed shuffles (vocabulary can exceed broadcast size at
+    corpus scale); V is the only 1-row broadcast. Docs with < 2
+    tokens have no bigrams and are absent, mirrored by the oracle.
+
+    Emits (doc_id, n_bigrams, avg_log2p).
+    """
+    toks = tokens_col("text")
+    pairs = (
+        documents.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(toks[i - 1] AS w1, toks[i] AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
+    )
+    words = words_exploded(documents)
+    c1 = words.groupBy("word").agg(F.count("*").alias("c1"))
+    c2 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    v = words.select(F.count_distinct("word").cast("double").alias("v"))
+    return (
+        pairs.join(c2, ["w1", "w2"])
+        .join(c1, pairs["w1"] == c1["word"])
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.avg(F.log2((F.col("c2") + k) / (F.col("c1") + k * F.col("v")))), 4
+            ).alias("avg_log2p"),
+        )
+    )

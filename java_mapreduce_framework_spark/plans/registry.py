@@ -3021,6 +3021,85 @@ def _group_sample_topk(spark, sf):
     return text.group_sample_topk(_t(spark, sf, "events"))
 
 
+@_register(
+    "lm_bigram_score",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    words AS (SELECT doc_id, unnest(t) AS word FROM toks),
+    big AS (
+      SELECT doc_id, unnest(t[1:len(t) - 1]) AS w1, unnest(t[2:len(t)]) AS w2
+      FROM toks WHERE len(t) >= 2
+    ),
+    c1 AS (SELECT word, count(*) AS c1 FROM words GROUP BY word),
+    c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2),
+    v AS (SELECT count(DISTINCT word) * 1.0 AS v FROM words)
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(avg(log2((c2 + 0.5) / (c1 + 0.5 * v))), 4) AS avg_log2p
+    FROM big JOIN c2 USING (w1, w2) JOIN c1 ON big.w1 = c1.word, v
+    GROUP BY doc_id
+    """,
+    note="add-k smoothed bigram LM (k=0.5); bigram stream is a "
+    "row-local array-zip expression, counts are keyed shuffles, V is "
+    "the only broadcast",
+)
+def _lm_bigram_score(spark, sf):
+    return text.lm_bigram_score(_t(spark, sf, "documents"))
+
+
+@_register(
+    "incremental_agg_merge",
+    """
+    WITH base AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, value FROM events
+    )
+    SELECT event_type,
+           CAST(count(DISTINCT day) AS INTEGER) AS n_days,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value) / count(*), 4) AS avg_value,
+           round((sum(value * value) - sum(value) * sum(value) / count(*))
+                 / count(*), 4) AS var_value,
+           round(min(value), 4) AS min_value,
+           round(max(value), 4) AS max_value
+    FROM base GROUP BY event_type
+    """,
+    note="per-(type, day) partial moment states merged to exact "
+    "per-type totals — merge == direct computation proves the state "
+    "design mergeable (oracle computes direct)",
+)
+def _incremental_agg_merge(spark, sf):
+    return relational.incremental_agg_merge(_t(spark, sf, "events"))
+
+
+def _zorder_oracle(bits: int = 16) -> str:
+    x = f"(user_id % {1 << bits})"
+    y = (
+        "(CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 60000000) AS BIGINT)"
+        f" % {1 << bits})"
+    )
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    z = " | ".join(terms)
+    return f"""
+    SELECT (({z}) >> {bits}) AS z_bucket,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1
+    """
+
+
+@_register(
+    "zorder_index",
+    _zorder_oracle(),
+    note="Morton bit-interleave of (user_id, epoch-minute) -> "
+    "2-D data-skipping layout key; oracle SQL generated from the "
+    "same unrolled bit loop",
+)
+def _zorder_index(spark, sf):
+    return relational.zorder_index(_t(spark, sf, "events"))
+
+
 # ---------------------------------------------- registration priority
 
 #: Queries whose oracle verdicts are already on record in

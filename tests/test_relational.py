@@ -237,3 +237,53 @@ def test_quality_constraints_single_pass_and_detects_violations(spark, sf_small)
     assert bad["range_quantity"]["metric"] < 1.0
     # corruption touched values, not keys: uniqueness metric unchanged
     assert bad["unique_pk"]["metric"] == report["unique_pk"]["metric"]
+
+
+def test_incremental_agg_merge_equals_direct(spark):
+    """Merged per-day moment partials == direct whole-column stats."""
+    import datetime as dt
+    import statistics
+
+    from java_mapreduce_framework_spark.operators import relational
+
+    vals = [(d, v) for d in (1, 2, 3) for v in (1.5 * d, 2.5 * d, 10.0)]
+    events = spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 5, d, 12), 7, "buy", v, None)
+            for i, (d, v) in enumerate(vals)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    [r] = relational.incremental_agg_merge(events).collect()
+    xs = [v for _, v in vals]
+    assert (r["n_days"], r["n_events"]) == (3, 9)
+    assert abs(r["avg_value"] - round(sum(xs) / 9, 4)) < 1e-9
+    assert abs(r["var_value"] - round(statistics.pvariance(xs), 4)) < 2e-4
+    assert (r["min_value"], r["max_value"]) == (1.5, 10.0)
+
+
+def test_zorder_index_interleave_reference(spark):
+    """Engine Morton code == a python-reference interleave."""
+    import datetime as dt
+
+    from java_mapreduce_framework_spark.operators import relational
+
+    def morton(x, y, bits=16):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    epoch = dt.datetime(1970, 1, 1)
+    rows = [(1, 3, 5), (2, 65535, 131071), (3, 0, 0), (4, 40000, 123456)]
+    events = spark.createDataFrame(
+        [
+            (e, epoch + dt.timedelta(minutes=m), u, "x", 0.0, None)
+            for e, u, m in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    got = {r["z_bucket"] for r in relational.zorder_index(events).collect()}
+    want = {morton(u % 65536, m % 65536) >> 16 for _, u, m in rows}
+    assert got == want

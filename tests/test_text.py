@@ -385,3 +385,26 @@ def test_group_sample_topk_deterministic(spark, sf_small):
         per_group.setdefault(et, []).append(rk)
     assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= 5
                for v in per_group.values())
+
+
+def test_lm_bigram_score_formula(spark):
+    """Hand-checked add-k bigram probability on a planted corpus."""
+    import math
+
+    from java_mapreduce_framework_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b", "en", "t", 0), (2, "a b", "en", "t", 0), (3, "c", "en", "t", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r["doc_id"]: r for r in text_ops.lm_bigram_score(docs).collect()}
+    # corpus: unigrams a:3 b:3 c:1, V=3; bigrams (a,b):3 (b,a):1
+    k, V = 0.5, 3.0
+    p_ab = (3 + k) / (3 + k * V)  # c2(a,b)=3, c1(a)=3
+    p_ba = (1 + k) / (3 + k * V)
+    want1 = (2 * math.log2(p_ab) + math.log2(p_ba)) / 3
+    assert got[1]["n_bigrams"] == 3
+    assert abs(got[1]["avg_log2p"] - round(want1, 4)) < 1e-9
+    assert got[2]["n_bigrams"] == 1
+    assert abs(got[2]["avg_log2p"] - round(math.log2(p_ab), 4)) < 1e-9
+    assert 3 not in got  # single-token doc has no bigrams
