@@ -1098,111 +1098,134 @@ def minhash_signatures_rowlocal(documents: DataFrame, num_perm: int = 128,
 def dedup_edit_distance(
     documents: DataFrame,
     prefix_len: int = 24,
-    q: int = 2,
     k: int = 2,
 ) -> DataFrame:
     """Exact edit-distance near-dup pairs over a normalized key string
     (the lowercased first ``prefix_len`` chars — the "title line" of
     each document), found WITHOUT the all-pairs cross join.
 
-    Candidate generation is the classic q-gram count filter, which is
-    provably COMPLETE (never drops a true pair): one edit operation
-    destroys at most ``q`` of a string's overlapping q-grams, so
-    ed(s, t) <= k implies s and t share at least
-    ``max(|s|,|t|) - (q-1) - k*q`` q-grams counted WITH multiplicity
-    (Gravano et al., VLDB'01 approximate string joins). The plan:
+    Candidate generation is the PassJoin pigeonhole-segment filter
+    (Li, Deng, Feng — VLDB'11 "PASS-JOIN"), provably COMPLETE: split
+    the INDEX string into ``k + 1`` contiguous segments; ``k`` edits
+    cannot touch them all, so if ed(s, t) <= k then s contains at
+    least one of t's segments VERBATIM, starting within ``k``
+    positions of its home position. The plan:
 
-    1. per-doc q-gram bag: explode ``len - q + 1`` grams, count per
-       (doc, gram) — map-side combinable aggregate;
-    2. inverted-index self-join on gram (equi-join, NOT a cross join)
-       with ``doc_a < doc_b`` and the ``|len_a - len_b| <= k`` length
-       filter pushed into the join;
-    3. multiset-intersection size per pair = ``sum(least(cnt_a,
-       cnt_b))``; keep pairs meeting the count bound;
-    4. exact verify on the surviving candidates only with the JVM
-       built-in ``levenshtein`` (no Python in the loop).
+    1. index side: each key emits its k+1 segments — row-local
+       expressions, (k+1) rows per doc;
+    2. probe side: each key emits, for every candidate partner length
+       L in ``len ± k`` and every segment slot of THAT length's
+       segmentation scheme, the substrings at the <= 2k+1 admissible
+       shifted starts (~(2k+1)^2 * (k+1) short strings per doc,
+       array_distinct'ed before the explode);
+    3. equi-join on (partner_len, segment_slot, segment_text): the
+       join key contains the FULL segment text (8 chars at the
+       defaults), so a cell's population is the number of keys
+       sharing an exact 8-char block at one slot — selective even on
+       small-vocabulary corpora where every short q-gram is hot
+       (measured at sf0.1: q-gram candidates 2.4-8M pairs; segment
+       candidates within ~2x of the 287 true pairs);
+    4. exact verify on the surviving candidate pairs only, with the
+       JVM built-in ``levenshtein`` (no Python anywhere).
 
-    Because the filter is complete and the verify is exact, the output
+    Because the filter is complete and the verify exact, the output
     equals the brute-force all-pairs result — which is exactly what
     the DuckDB oracle computes — so this is a hash-checkable exact
-    operator with a scalable plan. At 100 TB the q-gram join is
-    bounded by per-gram document frequency over SHORT keys (prefix
-    strings, not full documents); a hot-gram df-cap with a
-    completeness-preserving threshold rebate is the documented
-    extension if key skew appears (same lever as
-    ``dedup_ngram_jaccard_capped``).
+    operator with a scalable plan: both sides are linear explodes,
+    the join is keyed on content-bearing segments, and the only knob
+    at 100 TB is segment length (grows with prefix_len, and longer
+    segments mean sparser cells).
 
-    Strings shorter than ``(q - 1) + k*q + 1`` make the count bound
-    vacuous (threshold <= 0), and two tiny strings can sit within
-    distance k while sharing ZERO grams — so tiny keys get their own
-    exhaustive length-band pairing (unioned in below). That band is a
-    degenerate corner by construction: it only exists for keys of
-    < 7 chars at the defaults, vacuous here (keys are fixed-width
-    prefixes of >= 48-char documents), and bounded by the tiny-string
-    population if it ever fires. Together the two paths preserve
-    exactness for any input.
+    Keys too short to hold k+1 non-empty segments (len <= ``2k``,
+    i.e. <= 4 at the defaults) cannot be segmented; pairs whose
+    INDEX-side key is that short are recovered by an exhaustive
+    length-band pairing of the (bounded, normally empty) tiny set
+    against the whole corpus — an equi-join on exploded length keys,
+    so even the corner stays a hash join.
 
     Reference parity: the reference has no similarity join at all —
     its closest shape is WordCount's exploded-token aggregation
     (`src/edu/upenn/cis455/mapreduce/job/WordCount.java:23-52`); this
-    op reuses that explode→count core as step 1.
+    op reuses that explode→shuffle→aggregate core over derived
+    segment keys.
 
     Emits (doc_a, doc_b, dist).
     """
+    kk = k + 1  # number of segments; pigeonhole over k edits
+
     keys = documents.select(
         "doc_id",
         F.lower(F.substring("text", 1, prefix_len)).alias("s"),
     ).withColumn("slen", F.length("s"))
 
-    short_bound = (q - 1) + k * q + 1  # below this the count bound is vacuous
-    grams = (
-        keys.filter(F.col("slen") >= q)
+    # --- index side: own-length segmentation scheme, k+1 segments.
+    # scheme(L): first (k+1 - L%(k+1)) segments have length L div
+    # (k+1), the rest one more — contiguous, covering, non-empty for
+    # L >= k+1. seg_start(j) = 1 + j*base + max(0, j - (kk - rem)).
+    seg_structs = ", ".join(
+        f"struct({j} AS seg_idx,"
+        f" substring(s, 1 + {j} * (slen div {kk})"
+        f"   + greatest(0, {j} - ({kk} - (slen % {kk}))),"
+        f" (slen div {kk})"
+        f"   + (CASE WHEN {j} >= {kk} - (slen % {kk}) THEN 1 ELSE 0 END))"
+        f" AS seg_text)"
+        for j in range(kk)
+    )
+    idx = (
+        keys.filter(F.col("slen") >= kk)
         .select(
-            "doc_id",
-            "slen",
-            F.explode(
-                F.expr(f"transform(sequence(1, slen - {q} + 1), i -> substring(s, i, {q}))")
-            ).alias("gram"),
+            F.col("doc_id").alias("doc_b"),
+            F.col("slen").alias("len_b"),
+            F.explode(F.expr(f"array({seg_structs})")).alias("g"),
         )
-        .groupBy("doc_id", "slen", "gram")
-        .agg(F.count("*").alias("cnt"))
+        .select(
+            "doc_b", "len_b",
+            F.col("g.seg_idx").alias("seg_idx"),
+            F.col("g.seg_text").alias("seg_text"),
+        )
     )
 
-    a = grams.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("slen").alias("len_a"),
-        "gram",
-        F.col("cnt").alias("cnt_a"),
+    # --- probe side: for each partner length L in len±k and each
+    # slot j of scheme(L), the substrings at starts shifted by -k..k
+    # (bounds-checked; NULLs filtered inside the array, duplicates
+    # dropped before the explode).
+    seg_start = f"(1 + j * (L div {kk}) + greatest(0, j - ({kk} - (L % {kk}))))"
+    seg_len = f"((L div {kk}) + (CASE WHEN j >= {kk} - (L % {kk}) THEN 1 ELSE 0 END))"
+    case = (
+        f"CASE WHEN L >= {kk}"
+        f" AND {seg_start} + d >= 1"
+        f" AND {seg_start} + d + {seg_len} - 1 <= slen"
+        f" THEN struct(L AS lb, j AS seg_idx,"
+        f" substring(s, {seg_start} + d, {seg_len}) AS seg_text)"
+        f" END"
     )
-    b = grams.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("slen").alias("len_b"),
-        "gram",
-        F.col("cnt").alias("cnt_b"),
-    )
-    threshold = (
-        F.greatest(F.col("len_a"), F.col("len_b")) - F.lit(q - 1) - F.lit(k * q)
-    )
-    candidates = (
-        a.join(
-            b,
-            (a["gram"] == b["gram"])
-            & (F.col("doc_a") < F.col("doc_b"))
-            & (F.abs(F.col("len_a") - F.col("len_b")) <= k),
+    inner_d = f"transform(sequence(-{k}, {k}), d -> {case})"
+    inner_j = f"flatten(transform(sequence(0, {k}), j -> {inner_d}))"
+    outer_l = f"flatten(transform(sequence(slen - {k}, slen + {k}), L -> {inner_j}))"
+    probe_expr = f"array_distinct(filter({outer_l}, x -> x IS NOT NULL))"
+    probe = (
+        keys.select(
+            F.col("doc_id").alias("doc_a"),
+            F.explode(F.expr(probe_expr)).alias("g"),
         )
-        .groupBy("doc_a", "doc_b", "len_a", "len_b")
-        .agg(F.sum(F.least("cnt_a", "cnt_b")).alias("shared"))
-        .filter(F.col("shared") >= threshold)
+        .select(
+            "doc_a",
+            F.col("g.lb").alias("len_b"),
+            F.col("g.seg_idx").alias("seg_idx"),
+            F.col("g.seg_text").alias("seg_text"),
+        )
+    )
+
+    candidates = (
+        probe.join(idx, ["len_b", "seg_idx", "seg_text"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
     )
 
-    # Tiny-key fallback band: keys below the vacuous-bound length can
-    # be within distance k with zero shared grams, so they pair
-    # exhaustively within the (bounded, normally empty) tiny set.
-    tiny = keys.filter(F.col("slen") < short_bound)
-    # equi-join on an exploded length key (len_b - k .. len_b + k) so
-    # the length band |len_a - len_b| <= k is a hash join, not a
-    # nested loop — the audit-clean shape even for this corner.
+    # --- tiny-index fallback: keys with len < k+1 cannot be
+    # segmented; pair them (as the index side) against every key in
+    # their length band via an exploded-length equi-join.
+    tiny = keys.filter(F.col("slen") < kk)
     tiny_b = tiny.select(
         F.col("doc_id").alias("doc_b"),
         F.explode(
@@ -1210,7 +1233,7 @@ def dedup_edit_distance(
         ).alias("len_key"),
     )
     tiny_pairs = (
-        tiny.select(F.col("doc_id").alias("doc_a"), F.col("slen").alias("len_key"))
+        keys.select(F.col("doc_id").alias("doc_a"), F.col("slen").alias("len_key"))
         .join(tiny_b, "len_key")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
@@ -1222,6 +1245,9 @@ def dedup_edit_distance(
     return (
         candidates.join(sa, "doc_a")
         .join(sb, "doc_b")
+        .filter(
+            F.abs(F.length("s_a") - F.length("s_b")) <= k
+        )
         .select(
             "doc_a",
             "doc_b",

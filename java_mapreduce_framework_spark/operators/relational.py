@@ -798,3 +798,71 @@ def zorder_index(events: DataFrame, bits: int = 16) -> DataFrame:
             F.count_distinct("user_id").alias("n_users"),
         )
     )
+
+
+def join_bloom_pruned(
+    orders: DataFrame,
+    customer: DataFrame,
+    m_bits: int = 1 << 16,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Fact-side Bloom pruning ahead of a shuffle join — the runtime-
+    filter idea (Spark's own InjectRuntimeFilter / DPP) made explicit
+    and engine-controlled: build a Bloom filter over the FILTERED dim
+    keys (BUILDING-segment customers), broadcast its bitmap, and drop
+    non-matching fact rows BEFORE they reach the join exchange. At
+    100 TB the win is shuffle bytes: rows that cannot join never
+    leave the scan stage (the equi-join still runs after, so false
+    positives cost nothing but their shuffle and correctness is
+    bloom-independent — no false negatives by construction).
+
+    Build side: each key sets ``n_hashes`` bit positions
+    (``xxhash64(seed, key) mod m``); positions fold into 64-bit words
+    with a map-side-combinable ``bit_or`` aggregate, and the folded
+    bitmap (m/64 longs — 8 KB at the default) is the ONE bounded
+    collect (same class as the count-min sketch broadcast). Probe
+    side: pure JVM bit-test expressions against the bitmap literal
+    riding a 1-row broadcast.
+
+    Emits (o_orderpriority, n_orders, revenue).
+    """
+    dim = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    pos = [
+        F.pmod(F.xxhash64(F.lit(i), F.col("c_custkey")), F.lit(m_bits))
+        for i in range(n_hashes)
+    ]
+    words = (
+        dim.select(F.explode(F.array(*pos)).alias("p"))
+        .groupBy((F.col("p") / 64).cast("int").alias("w"))
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pmod(p, 64) AS INT)))"
+            ).alias("bits")
+        )
+        .collect()  # bounded: m_bits/64 rows (8 KB default), sketch-sized
+    )
+    vec = [0] * (m_bits // 64)
+    for r in words:
+        vec[r["w"]] = r["bits"]
+    bloom = orders.sparkSession.createDataFrame([(vec,)], "bf array<long>")
+
+    probe_bits = []
+    for i in range(n_hashes):
+        p = f"pmod(xxhash64({i}, o_custkey), {m_bits})"
+        probe_bits.append(
+            f"((shiftright(element_at(bf, CAST({p} / 64 AS INT) + 1),"
+            f" CAST(pmod({p}, 64) AS INT))) & 1) = 1"
+        )
+    pruned = (
+        orders.join(F.broadcast(bloom))  # 1-row bitmap broadcast
+        .filter(F.expr(" AND ".join(probe_bits)))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    )
+    return (
+        pruned.join(F.broadcast(dim), pruned["o_custkey"] == dim["c_custkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_dec2("o_totalprice")).cast("double").alias("revenue"),
+        )
+    )

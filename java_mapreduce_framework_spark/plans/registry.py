@@ -2862,9 +2862,9 @@ def _source_schema_evolution(spark, sf):
     WHERE abs(length(a.s) - length(b.s)) <= 2
       AND levenshtein(a.s, b.s) <= 2
     """,
-    note="q-gram count filter (provably complete) + exact levenshtein "
-    "verify on candidates only; oracle brute-forces all pairs — equal "
-    "output proves the filtered plan exact",
+    note="PassJoin pigeonhole-segment filter (provably complete) + "
+    "exact levenshtein verify on candidates only; oracle brute-forces "
+    "all pairs — equal output proves the filtered plan exact",
 )
 def _dedup_edit_distance(spark, sf):
     return dedup.dedup_edit_distance(_t(spark, sf, "documents"))
@@ -3098,6 +3098,48 @@ def _zorder_oracle(bits: int = 16) -> str:
 )
 def _zorder_index(spark, sf):
     return relational.zorder_index(_t(spark, sf, "events"))
+
+
+@_register(
+    "join_bloom_pruned",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY o_orderpriority
+    """,
+    note="explicit runtime filter: dim-key Bloom bitmap (bit_or word "
+    "fold, 8 KB broadcast) prunes fact rows before the join exchange; "
+    "no false negatives by construction, so output == plain join "
+    "(which is what the oracle runs)",
+)
+def _join_bloom_pruned(spark, sf):
+    return relational.join_bloom_pruned(
+        _t(spark, sf, "orders"), _t(spark, sf, "customer")
+    )
+
+
+@_register(
+    "stream_quality_filter",
+    f"""
+    WITH {_QUALITY_MEASURES_CTE.lstrip().rstrip()}
+    SELECT doc_id, n_tokens,
+           round(n_punct * 1.0 / greatest(n_chars, 1), 4) AS punct_ratio,
+           round(stop_hits * 1.0 / greatest(n_tokens, 1), 4) AS stopword_ratio,
+           {_QUALITY_EXPR} AS quality
+    FROM m
+    WHERE {_QUALITY_EXPR} >= 0.5
+    """,
+    note="batch quality_score operator applied UNCHANGED to a stream "
+    "(map-only => stateless append mode, no state store/watermark); "
+    "bounded drain == the filtered batch result",
+)
+def _stream_quality_filter(spark, sf):
+    from ..streaming.jobs import stream_quality_filter
+
+    return stream_quality_filter(spark, sf)
 
 
 # ---------------------------------------------- registration priority

@@ -680,3 +680,24 @@ def stream_foreachbatch_idempotent(
         .groupBy("event_type")
         .agg(F.count("*").alias("n_events"))
     )
+
+
+def stream_quality_filter(
+    spark: SparkSession, sf_dir: str, min_quality: float = 0.5
+) -> DataFrame:
+    """Streaming ingest curation: the BATCH ``text.quality_score``
+    operator applied UNCHANGED to a document stream, filtered at the
+    keep threshold — the unified batch/stream contract in one line.
+    Because the operator is map-only (pure row expressions), the
+    streaming plan is stateless append mode: no state store, no
+    watermark, unbounded-safe at any rate, and each microbatch is
+    embarrassingly parallel. This is the production shape for
+    score-and-drop at ingest time (dedup against the corpus index is
+    the stateful sibling, ``stream_dedup_incremental``)."""
+    from ..operators.text import quality_score
+
+    path = _stage_stream_dir(spark, sf_dir, "documents")
+    schema = spark.read.parquet(path).schema
+    docs = spark.readStream.schema(schema).parquet(path)
+    kept = quality_score(docs).filter(F.col("quality") >= min_quality)
+    return _drain_to_memory(kept, mode="append")

@@ -35,6 +35,7 @@ ALLOWED_NESTED_LOOP = {
     "quality_stratify",
     "lm_unigram_score",  # 1-row broadcast corpus-total scalar
     "bm25_score",  # 1-row broadcast (n_docs, avgdl) corpus-stats scalar
+    "join_bloom_pruned",  # 1-row broadcast Bloom-bitmap literal
 }
 
 

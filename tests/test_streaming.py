@@ -406,3 +406,19 @@ def test_stream_incremental_dedup_equals_batch_probe(spark, sf_small):
     }
     assert got == expect
     assert got, "fixture plants no cross-boundary dups; test vacuous"
+
+
+def test_stream_quality_filter_equals_batch(spark, sf_small):
+    """Stateless streaming reuse of the batch operator: drained stream
+    == batch quality_score + filter, row for row."""
+    from java_mapreduce_framework_spark.operators.text import quality_score
+    from java_mapreduce_framework_spark.sources.tables import load_table
+    from java_mapreduce_framework_spark.streaming.jobs import stream_quality_filter
+    from pyspark.sql import functions as F
+
+    got = sorted(map(tuple, stream_quality_filter(spark, sf_small).collect()))
+    docs = load_table(spark, sf_small, "documents")
+    want = sorted(
+        map(tuple, quality_score(docs).filter(F.col("quality") >= 0.5).collect())
+    )
+    assert got == want and len(got) > 0
