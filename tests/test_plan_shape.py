@@ -405,3 +405,62 @@ def test_sequence_packing_window_is_shard_parallel(spark, sf_small):
     assert big, specs
     for s in big:
         assert "shard" in s, f"doc_id window not shard-parallel: {s}"
+
+
+def test_doc_chunking_is_map_only(spark, sf_small):
+    """Chunk construction must be row-local: no Exchange anywhere."""
+    from java_mapreduce_framework_spark.operators import text as text_ops
+
+    plan = _formatted(text_ops.doc_chunking(load_table(spark, sf_small, "documents")))
+    assert "Exchange" not in plan
+
+
+def test_activity_streaks_single_user_exchange(spark, sf_small):
+    """Distinct, window, and final agg all key on user: AQE-visible
+    exchanges must all hash on user_id (no extra repartitions)."""
+    from java_mapreduce_framework_spark.operators import temporal
+
+    plan = _formatted(temporal.activity_streaks(load_table(spark, sf_small, "events")))
+    ex = [ln for ln in plan.splitlines() if "Arguments: hashpartitioning" in ln]
+    assert ex and all("user_id" in ln for ln in ex)
+
+
+def test_stratified_split_assignment_no_join(spark, sf_small):
+    """The split decision is a pure row function: exactly one
+    aggregation exchange (the audit count), zero joins."""
+    from java_mapreduce_framework_spark.operators import text as text_ops
+
+    plan = _formatted(text_ops.stratified_split(load_table(spark, sf_small, "documents")))
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # partial->final of ONE agg (AQE may show one reused)
+
+
+def test_embedding_gram_shuffles_cells_not_vectors(spark, sf_small):
+    """The only exchange after the GEMM pass carries (i, j, partial)
+    cells -- d^2 rows per task, never embedding vectors."""
+    from java_mapreduce_framework_spark.operators import similarity
+
+    plan = _formatted(similarity.embedding_gram(load_table(spark, sf_small, "embeddings")))
+    ex = [ln for ln in plan.splitlines() if "Arguments: hashpartitioning" in ln]
+    assert ex and all(("i#" in ln and "j#" in ln) for ln in ex)
+    assert "embedding" not in " ".join(ex)
+
+
+def test_bloom_probe_filters_before_join_exchange(spark, sf_small):
+    """The bitmap bit-test must sit on the fact scan side BELOW the
+    equi-join, so pruned rows never reach the join's shuffle/build."""
+    from java_mapreduce_framework_spark.operators import relational as rel
+
+    plan = _formatted(
+        rel.join_bloom_pruned(
+            load_table(spark, sf_small, "orders"),
+            load_table(spark, sf_small, "customer"),
+        )
+    )
+    # shiftright bit tests appear in a Filter above the orders scan,
+    # and the final join is a broadcast hash join on c_custkey
+    assert "shiftright" in plan and "BroadcastHashJoin" in plan
+    filt = plan.index("shiftright")
+    join = plan.index("BroadcastHashJoin")
+    scan_orders = plan.index("Scan parquet")  # first scan in formatted order
+    assert filt > 0 and join > 0 and scan_orders > 0
