@@ -3142,6 +3142,42 @@ def _stream_quality_filter(spark, sf):
     return stream_quality_filter(spark, sf)
 
 
+@_register(
+    "multimodal_video_frames",
+    f"""
+    WITH {_PAYLOAD_CTE},
+    fr AS (SELECT doc_id, n, bytes,
+                  CAST(unnest(range(0, 2 + (n % 3))) AS INT) AS f
+           FROM pbytes WHERE n > 0),
+    geo AS (SELECT doc_id, n, bytes, f,
+                   8 + ((n + f) % 9) AS w,
+                   8 + (((n + f) * 3) % 9) AS h
+            FROM fr),
+    px AS (SELECT doc_id, f, w, h,
+                  list_transform(range(0, w * h * 3),
+                                 k -> bytes[CAST((k + f) % n AS INT) + 1]) AS flat
+           FROM geo)
+    SELECT doc_id, f AS frame_idx,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(54 + ((3 * w + 3) // 4) * 4 * h AS BIGINT) AS frame_bytes,
+           CAST(list_sum(flat) AS BIGINT) AS sum_px,
+           CAST(list_min(flat) AS INT) AS px_min,
+           CAST(list_max(flat) AS INT) AS px_max
+    FROM px
+    """,
+    note="REAL video path: chunked container (magic + count + "
+    "length-prefixed spec-compliant BMP frames) walked by a real "
+    "bounds-checked parse loop, every frame decoded by the pure-numpy "
+    "BMP parser; oracle reconstructs every pixel of every frame from "
+    "the text column, so geometry, frame sizes, and per-frame pixel "
+    "stats prove the container walk AND the per-frame decode",
+)
+def _multimodal_video_frames(spark, sf):
+    return multimodal.decode_video_frames(
+        multimodal.attach_video_payload(_t(spark, sf, "documents"))
+    )
+
+
 # ---------------------------------------------- registration priority
 
 #: Queries whose oracle verdicts are already on record in

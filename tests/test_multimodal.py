@@ -175,3 +175,56 @@ def test_real_image_pipeline_decodes_actual_files(spark, sf_small):
     assert (m["height"], m["width"], 3) == px.shape
     assert m["sum_r"] == int(px[:, :, 0].sum(dtype=np.int64))
     assert m["n_bytes"] == len(bytes(one["payload"]))
+
+
+def test_video_container_roundtrip_and_validation():
+    """encode_video -> decode_video is pixel-exact; malformed
+    containers (bad magic, truncation, trailing bytes) all raise."""
+    import numpy as np
+    import pytest
+
+    from java_mapreduce_framework_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(11)
+    frames = [
+        rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8).astype(np.uint8)
+        for h, w in ((9, 13), (16, 8), (10, 10))
+    ]
+    payload = mm.encode_video(frames)
+    got = mm.decode_video(payload)
+    assert len(got) == 3
+    for a, b in zip(frames, got):
+        assert a.shape == b.shape and (a == b).all()
+    with pytest.raises(ValueError):
+        mm.decode_video(b"XXXX" + payload[4:])
+    with pytest.raises(ValueError):
+        mm.decode_video(payload[:-3])
+    with pytest.raises(ValueError):
+        mm.decode_video(payload + b"\x00")
+
+
+def test_video_frames_geometry_and_count(spark, sf_small):
+    """Per-doc frame count is 2 + (n % 3) and every frame's stats
+    match a local numpy decode of the same container."""
+    import numpy as np
+
+    from java_mapreduce_framework_spark.operators import multimodal as mm
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents").limit(20)
+    vids = mm.attach_video_payload(docs)
+    out = mm.decode_video_frames(vids).collect()
+    payloads = {r["doc_id"]: bytes(r["payload"]) for r in vids.collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rows in by_doc.items():
+        n = len(texts[doc_id].encode("utf-8"))
+        assert len(rows) == 2 + (n % 3)
+        local = mm.decode_video(payloads[doc_id])
+        for r in sorted(rows, key=lambda x: x["frame_idx"]):
+            arr = local[r["frame_idx"]]
+            assert (r["height"], r["width"]) == arr.shape[:2]
+            assert r["sum_px"] == int(arr.sum())
+            assert (r["px_min"], r["px_max"]) == (int(arr.min()), int(arr.max()))
