@@ -14,7 +14,7 @@ crosses rows outside keyed shuffles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -133,3 +133,138 @@ def funnel_conversion(
     for c in counts[1:]:
         out = out.unionByName(c)
     return out
+
+
+def corr_matrix(lineitem: DataFrame) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the numeric metrics
+    (quantity, extendedprice, discount) — the statistical-profiling
+    step of a dataset release, generalizing ``stats_correlation``'s
+    single pair to the full matrix IN ONE PASS.
+
+    Plan: a row-local 6-way pair explode (upper triangle incl.
+    diagonal) feeds one partial/final aggregation of the five
+    mergeable moment sums per (metric_a, metric_b); the closed-form
+    combine is the same trick as ``stats_correlation``. Fan-out is
+    x p(p+1)/2 on scan rows but the shuffle carries only
+    pairs x 6 sums — at any corpus size the exchange is O(p^2) rows.
+
+    Emits (metric_a, metric_b, n, corr).
+    """
+    metrics = [
+        ("quantity", F.col("l_quantity")),
+        ("extendedprice", F.col("l_extendedprice")),
+        ("discount", F.col("l_discount")),
+    ]
+    pairs = []
+    for i, (na, ca) in enumerate(metrics):
+        for nb_, cb in metrics[i:]:
+            pairs.append(
+                F.struct(
+                    F.lit(na).alias("metric_a"),
+                    F.lit(nb_).alias("metric_b"),
+                    ca.cast("double").alias("x"),
+                    cb.cast("double").alias("y"),
+                )
+            )
+    exploded = lineitem.select(F.explode(F.array(*pairs)).alias("p")).select(
+        "p.metric_a", "p.metric_b", "p.x", "p.y"
+    )
+    n = F.count("*").cast("double")
+    sx, sy = F.sum("x"), F.sum("y")
+    sxy, sx2, sy2 = F.sum(F.col("x") * F.col("y")), F.sum(F.col("x") * F.col("x")), F.sum(F.col("y") * F.col("y"))
+    corr = (n * sxy - sx * sy) / F.sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy))
+    return exploded.groupBy("metric_a", "metric_b").agg(
+        F.count("*").alias("n"), F.round(corr, 4).alias("corr")
+    )
+
+
+def ks_drift(
+    events: DataFrame, type_a: str = "view", type_b: str = "click"
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the value
+    distributions of two event types — the exact distribution-drift
+    monitor (did clicks start behaving like views?).
+
+    Exact KS needs the globally ordered empirical CDFs, so the plan
+    compresses FIRST: one grouped aggregation to per-distinct-value
+    counts (at most |distinct values| rows survive), then the global
+    cumulative window runs over that compressed stream. The
+    documented 100 TB posture: the window is single-partition over
+    DISTINCT VALUES, not rows — fine for bounded-cardinality metrics;
+    for unbounded ones, pre-round values to measurement precision or
+    swap in the approx-percentile sketch variant. Tie handling is
+    exact: CDFs are evaluated after absorbing all rows at each value.
+
+    Emits one row (n_a, n_b, ks_stat).
+    """
+    flagged = events.filter(
+        F.col("event_type").isin(type_a, type_b)
+    ).select(
+        "value",
+        F.when(F.col("event_type") == type_a, 1).otherwise(0).alias("ia"),
+        F.when(F.col("event_type") == type_b, 1).otherwise(0).alias("ib"),
+    )
+    per_val = flagged.groupBy("value").agg(
+        F.sum("ia").alias("ca"), F.sum("ib").alias("cb")
+    )
+    wcum = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cdf = per_val.select(
+        F.sum("ca").over(wcum).alias("cuma"),
+        F.sum("cb").over(wcum).alias("cumb"),
+        F.sum("ca").over(wall).alias("na"),
+        F.sum("cb").over(wall).alias("nb"),
+    )
+    return cdf.groupBy().agg(
+        F.max("na").alias("n_a"),
+        F.max("nb").alias("n_b"),
+        F.round(
+            F.max(F.abs(F.col("cuma") / F.col("na") - F.col("cumb") / F.col("nb"))), 4
+        ).alias("ks_stat"),
+    )
+
+
+def psi_drift(events: DataFrame, bucket_width: float = 25.0) -> DataFrame:
+    """Population Stability Index between a deterministic A/B split of
+    the corpus (even vs odd event_id — the reproducible stand-in for
+    reference-period vs current-period), over fixed-width value
+    buckets: PSI = sum (p_cur - p_ref) * ln(p_cur / p_ref). The
+    standard drift score for feature monitoring; > 0.2 conventionally
+    flags a shift.
+
+    One grouped aggregation to (bucket, side counts), window totals
+    over the bucket-bounded stream, epsilon-clamped proportions (the
+    standard empty-bucket guard, same constant both engines). Output
+    is per-bucket contributions plus the total via a rollup-free
+    second window — everything after the first agg is
+    bucket-cardinality-sized.
+
+    Emits (bucket_lo, n_ref, n_cur, psi_contrib, psi_total).
+    """
+    eps = 1e-6
+    b = (F.floor(F.col("value") / bucket_width) * bucket_width).alias("bucket_lo")
+    per_bucket = events.select(
+        b,
+        F.when(F.col("event_id") % 2 == 0, 1).otherwise(0).alias("ref"),
+        F.when(F.col("event_id") % 2 == 1, 1).otherwise(0).alias("cur"),
+    ).groupBy("bucket_lo").agg(
+        F.sum("ref").alias("n_ref"), F.sum("cur").alias("n_cur")
+    )
+    wall = Window.orderBy("bucket_lo").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    p_ref = F.greatest(F.col("n_ref") / F.sum("n_ref").over(wall), F.lit(eps))
+    p_cur = F.greatest(F.col("n_cur") / F.sum("n_cur").over(wall), F.lit(eps))
+    contrib = (p_cur - p_ref) * F.log(p_cur / p_ref)
+    with_contrib = per_bucket.select(
+        "bucket_lo", "n_ref", "n_cur", contrib.alias("contrib")
+    )
+    return with_contrib.select(
+        "bucket_lo",
+        "n_ref",
+        "n_cur",
+        F.round("contrib", 6).alias("psi_contrib"),
+        F.round(F.sum("contrib").over(wall), 4).alias("psi_total"),
+    )

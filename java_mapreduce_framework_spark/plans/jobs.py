@@ -277,6 +277,25 @@ class CountOfCountsJob:
         return [(key, str(sum(int(v) for v in values)))]
 
 
+class DistributedGrepJob:
+    """Distributed grep, the other canonical MapReduce example from
+    Dean & Ghemawat's paper (the reference ships only WordCount --
+    `src/edu/upenn/cis455/mapreduce/job/WordCount.java` -- but its
+    Job API expresses grep directly): map emits the record unchanged
+    when the value matches the pattern, reduce is the identity. The
+    map-only shape means the engine's combiner/shuffle machinery sees
+    a degenerate (key-unique) grouping -- a deliberate contract probe:
+    jobs with identity reduces must round-trip values untouched."""
+
+    PATTERN = "dup"
+
+    def map(self, key: str, value: str) -> Iterable[tuple[str, str]]:
+        return [(key, value)] if self.PATTERN in value else []
+
+    def reduce(self, key: str, values: list[str]) -> Iterable[tuple[str, str]]:
+        return [(key, v) for v in values]
+
+
 @dataclass
 class QueuedJob:
     name: str

@@ -26,7 +26,15 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import dedup, multimodal, relational, similarity, temporal, text
+from ..operators import (
+    analytics,
+    dedup,
+    multimodal,
+    relational,
+    similarity,
+    temporal,
+    text,
+)
 from ..session import tune_session
 from ..sources.tables import load_table
 
@@ -3176,6 +3184,120 @@ def _multimodal_video_frames(spark, sf):
     return multimodal.decode_video_frames(
         multimodal.attach_video_payload(_t(spark, sf, "documents"))
     )
+
+
+@_register(
+    "jobapi_grep",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id, text
+    FROM documents WHERE text LIKE '%dup%'
+    """,
+    note="Dean & Ghemawat's other canonical example through the Job "
+    "API: matching records pass through a multi-emit map and an "
+    "identity reduce untouched",
+)
+def _jobapi_grep(spark, sf):
+    from .jobs import DistributedGrepJob, run_job
+
+    out = run_job(DistributedGrepJob, _kv_documents(spark, sf))
+    return out.select(F.col("key").alias("doc_id"), F.col("value").alias("text"))
+
+
+@_register(
+    "corr_matrix",
+    """
+    WITH m AS (
+      SELECT CAST(l_quantity AS DOUBLE) AS quantity,
+             CAST(l_extendedprice AS DOUBLE) AS extendedprice,
+             CAST(l_discount AS DOUBLE) AS discount
+      FROM lineitem
+    ),
+    pairs AS (
+      SELECT 'quantity' AS metric_a, 'quantity' AS metric_b, quantity AS x, quantity AS y FROM m
+      UNION ALL SELECT 'quantity', 'extendedprice', quantity, extendedprice FROM m
+      UNION ALL SELECT 'quantity', 'discount', quantity, discount FROM m
+      UNION ALL SELECT 'extendedprice', 'extendedprice', extendedprice, extendedprice FROM m
+      UNION ALL SELECT 'extendedprice', 'discount', extendedprice, discount FROM m
+      UNION ALL SELECT 'discount', 'discount', discount, discount FROM m
+    )
+    SELECT metric_a, metric_b, CAST(count(*) AS BIGINT) AS n,
+           round((count(*) * sum(x * y) - sum(x) * sum(y))
+                 / sqrt((count(*) * sum(x * x) - sum(x) * sum(x))
+                        * (count(*) * sum(y * y) - sum(y) * sum(y))), 4) AS corr
+    FROM pairs GROUP BY metric_a, metric_b
+    """,
+    note="full Pearson matrix in one pass: row-local pair explode + "
+    "mergeable moment sums; shuffle carries O(p^2) rows at any scale",
+)
+def _corr_matrix(spark, sf):
+    return analytics.corr_matrix(_t(spark, sf, "lineitem"))
+
+
+@_register(
+    "ks_drift",
+    """
+    WITH flagged AS (
+      SELECT value,
+             CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS ia,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ib
+      FROM events WHERE event_type IN ('view', 'click')
+    ),
+    per_val AS (
+      SELECT value, sum(ia) AS ca, sum(ib) AS cb FROM flagged GROUP BY value
+    ),
+    cdf AS (
+      SELECT sum(ca) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+             sum(cb) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+             sum(ca) OVER () AS na,
+             sum(cb) OVER () AS nb
+      FROM per_val
+    )
+    SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+           round(max(abs(cuma * 1.0 / na - cumb * 1.0 / nb)), 4) AS ks_stat
+    FROM cdf
+    """,
+    note="exact two-sample KS: CDFs over the distinct-value-compressed "
+    "stream (global window runs on distinct values, not rows); "
+    "tie-exact by absorbing all rows at each value",
+)
+def _ks_drift(spark, sf):
+    return analytics.ks_drift(_t(spark, sf, "events"))
+
+
+@_register(
+    "psi_drift",
+    """
+    WITH per_bucket AS (
+      SELECT floor(value / 25.0) * 25.0 AS bucket_lo,
+             sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS n_ref,
+             sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS n_cur
+      FROM events GROUP BY 1
+    ),
+    props AS (
+      SELECT bucket_lo, n_ref, n_cur,
+             greatest(n_ref * 1.0 / sum(n_ref) OVER (), 1e-6) AS p_ref,
+             greatest(n_cur * 1.0 / sum(n_cur) OVER (), 1e-6) AS p_cur
+      FROM per_bucket
+    ),
+    contribs AS (
+      SELECT bucket_lo, n_ref, n_cur,
+             (p_cur - p_ref) * ln(p_cur / p_ref) AS contrib
+      FROM props
+    )
+    SELECT bucket_lo, CAST(n_ref AS BIGINT) AS n_ref,
+           CAST(n_cur AS BIGINT) AS n_cur,
+           round(contrib, 6) AS psi_contrib,
+           round(sum(contrib) OVER (), 4) AS psi_total
+    FROM contribs
+    """,
+    note="Population Stability Index over a deterministic even/odd "
+    "event_id split; epsilon-clamped proportions, bucket-cardinality "
+    "work after one aggregation",
+)
+def _psi_drift(spark, sf):
+    return analytics.psi_drift(_t(spark, sf, "events"))
 
 
 # ---------------------------------------------- registration priority

@@ -147,3 +147,16 @@ def test_combiner_result_equals_uncombined(spark, sf_small):
         (r["key"], r["value"]) for r in run_job(WordCountJob, kv, combine=True).collect()
     }
     assert combined == plain
+
+
+def test_jobapi_grep_identity_roundtrip(spark):
+    """Matching records pass through map + identity reduce untouched;
+    non-matching records vanish."""
+    from java_mapreduce_framework_spark.plans.jobs import DistributedGrepJob, run_job
+
+    kv = spark.createDataFrame(
+        [("1", "a dup line"), ("2", "clean line"), ("3", "dup dup"), ("4", "")],
+        "key string, value string",
+    )
+    out = {r["key"]: r["value"] for r in run_job(DistributedGrepJob, kv).collect()}
+    assert out == {"1": "a dup line", "3": "dup dup"}

@@ -266,3 +266,46 @@ def test_wav_codec_roundtrip_property(n, rate, seed):
     s = np.random.default_rng(seed).integers(-32768, 32768, n, dtype=np.int16)
     r, back = M.decode_wav(M.encode_wav(s, rate))
     assert r == rate and np.array_equal(back, s)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abc ", min_size=0, max_size=30),
+        min_size=2,
+        max_size=14,
+    )
+)
+def test_edit_distance_passjoin_complete(texts):
+    """PassJoin candidate filter completeness on adversarial inputs:
+    tiny alphabet, mixed lengths (including below the segmentable
+    minimum), empties — output must equal brute-force all-pairs
+    Levenshtein over the 24-char lowercase prefixes."""
+    from java_mapreduce_framework_spark.operators.dedup import dedup_edit_distance
+
+    spark = _spark
+    docs = spark.createDataFrame(
+        [(i, t, "en", "t", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["dist"]
+        for r in dedup_edit_distance(docs).collect()
+    }
+
+    def lev(s, t):
+        d = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            prev, d[0] = d[0], i
+            for j, ct in enumerate(t, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (cs != ct))
+        return d[len(t)]
+
+    keys = [t[:24].lower() for t in texts]
+    want = {
+        (a, b): lev(keys[a], keys[b])
+        for a in range(len(texts))
+        for b in range(a + 1, len(texts))
+        if abs(len(keys[a]) - len(keys[b])) <= 2 and lev(keys[a], keys[b]) <= 2
+    }
+    assert got == want

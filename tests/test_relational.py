@@ -319,3 +319,69 @@ def test_join_bloom_pruned_no_false_negatives_and_prunes(spark, sf_small):
     # 3 hashes / 64k bits / ~30 keys is << 1%)
     n_match = orders.join(dim, orders["o_custkey"] == dim["c_custkey"]).count()
     assert n_match < orders.count() * 0.5
+
+
+def test_corr_matrix_known_values(spark):
+    """Perfect correlation on y=2x, matrix symmetric in its diagonal,
+    off-diagonal matches numpy corrcoef."""
+    import numpy as np
+
+    from java_mapreduce_framework_spark.operators import analytics
+
+    rng = np.random.default_rng(3)
+    q = rng.uniform(1, 50, 40)
+    d = rng.uniform(0, 0.1, 40)
+    rows = [(float(qi), float(2 * qi), float(di)) for qi, di in zip(q, d)]
+    df = spark.createDataFrame(rows, "l_quantity double, l_extendedprice double, l_discount double")
+    got = {
+        (r["metric_a"], r["metric_b"]): r["corr"]
+        for r in analytics.corr_matrix(df).collect()
+    }
+    assert got[("quantity", "quantity")] == 1.0
+    assert got[("quantity", "extendedprice")] == 1.0  # y = 2x
+    want = float(np.corrcoef(q, d)[0, 1])
+    assert abs(got[("quantity", "discount")] - round(want, 4)) < 1e-3
+
+
+def test_ks_drift_planted_distributions(spark):
+    """Disjoint supports give KS=1; identical samples give KS=0."""
+    from java_mapreduce_framework_spark.operators import analytics
+
+    def ev(i, t, v):
+        return (i, None, 1, t, float(v), None)
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    disjoint = spark.createDataFrame(
+        [ev(i, "view", i) for i in range(5)]
+        + [ev(100 + i, "click", 100 + i) for i in range(5)],
+        schema,
+    )
+    [r] = analytics.ks_drift(disjoint).collect()
+    assert (r["n_a"], r["n_b"], r["ks_stat"]) == (5, 5, 1.0)
+    same = spark.createDataFrame(
+        [ev(i, "view", i % 3) for i in range(6)]
+        + [ev(100 + i, "click", i % 3) for i in range(6)],
+        schema,
+    )
+    [r] = analytics.ks_drift(same).collect()
+    assert r["ks_stat"] == 0.0
+
+
+def test_psi_drift_identical_vs_shifted(spark):
+    """Even/odd halves with identical distributions give PSI ~ 0; a
+    shifted odd half gives a clearly positive PSI."""
+    from java_mapreduce_framework_spark.operators import analytics
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    same = spark.createDataFrame(
+        [(i, None, 1, "x", float((i // 2) % 100), None) for i in range(400)],
+        schema,
+    )
+    total = {r["psi_total"] for r in analytics.psi_drift(same).collect()}
+    assert len(total) == 1 and abs(total.pop()) < 1e-6
+    shifted = spark.createDataFrame(
+        [(i, None, 1, "x", float((i % 100) + (200 if i % 2 else 0)), None) for i in range(400)],
+        schema,
+    )
+    total = {r["psi_total"] for r in analytics.psi_drift(shifted).collect()}
+    assert len(total) == 1 and total.pop() > 1.0
