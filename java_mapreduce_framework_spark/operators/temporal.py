@@ -459,3 +459,107 @@ def activity_streaks(events: DataFrame) -> DataFrame:
             "streak_days",
         )
     )
+
+
+def window_time_decay(events: DataFrame, half_life_days: float = 1.0) -> DataFrame:
+    """Exponentially time-decayed per-user engagement score — the
+    classic recency-weighted feature: each event contributes
+    ``value * 2^(-age / half_life)`` with age measured back from the
+    USER'S OWN latest event (a pure function of the data, so the
+    score is reproducible — no wall-clock "now" in the plan).
+
+    One user-keyed window (max ts) fused with one user-keyed
+    aggregation — same partitioning, so AQE runs them on a single
+    exchange. Integer-microsecond age arithmetic keeps the exponent
+    identical across engines before the one float pow.
+
+    Emits (user_id, n_events, decayed_score, last_ts).
+    """
+    us = F.unix_micros("ts")
+    w = Window.partitionBy("user_id")
+    last_us = F.max(us).over(w)
+    age_days = (last_us - us) / F.lit(86_400_000_000.0)
+    term = F.col("value") * F.pow(F.lit(2.0), -age_days / F.lit(half_life_days))
+    return (
+        events.select(
+            "user_id",
+            F.col("ts"),
+            term.alias("term"),
+            last_us.alias("last_us"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("term"), 4).alias("decayed_score"),
+            F.timestamp_micros(F.max("last_us")).alias("last_ts"),
+        )
+    )
+
+
+def cdc_scd2(events: DataFrame) -> DataFrame:
+    """Slowly-changing-dimension type 2 build from a change stream:
+    each user's events (ordered by ts, tie-broken by event_id) become
+    validity intervals [valid_from, valid_to), open-ended for the
+    current row — the standard warehouse historization of CDC feeds,
+    complementing ``cdc_latest_wins`` (which keeps only the head).
+
+    One lead window per user — a single keyed shuffle; per-row state
+    in the window is one lookahead row. Emits every version, so
+    downstream "as of time T" queries are a plain BETWEEN filter
+    (which parquet min/max stats prune once sorted by valid_from).
+
+    Emits (user_id, value, valid_from, valid_to, is_current).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return events.select(
+        "user_id",
+        "value",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+def attribution_last_touch(events: DataFrame) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the most
+    recent PRECEDING non-purchase event of the same user (the
+    marketing-analytics sibling of the as-of join, expressed as a
+    carry-forward window instead of a join — zero join, one keyed
+    shuffle).
+
+    ``last(..., ignorenulls)`` over (user, ts rows to -1) carries the
+    latest non-purchase type/time forward; purchases read it off.
+    Purchases with no prior touch attribute NULL (kept — the
+    "direct" bucket). Ties on ts break by event_id on BOTH engines.
+
+    Emits (event_id, user_id, purchase_ts, attributed_type,
+    attributed_ts).
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    non_purchase_type = F.when(
+        F.col("event_type") != "purchase", F.col("event_type")
+    )
+    non_purchase_ts = F.when(F.col("event_type") != "purchase", F.col("ts"))
+    return (
+        events.select(
+            "event_id",
+            "user_id",
+            "ts",
+            "event_type",
+            F.last(non_purchase_type, ignorenulls=True).over(w).alias("attributed_type"),
+            F.last(non_purchase_ts, ignorenulls=True).over(w).alias("attributed_ts"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "attributed_type",
+            "attributed_ts",
+        )
+    )

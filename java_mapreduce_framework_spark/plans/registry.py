@@ -3300,6 +3300,81 @@ def _psi_drift(spark, sf):
     return analytics.psi_drift(_t(spark, sf, "events"))
 
 
+@_register(
+    "window_time_decay",
+    """
+    WITH e AS (
+      SELECT user_id, value,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events
+    ),
+    w AS (
+      SELECT user_id, value, us,
+             max(us) OVER (PARTITION BY user_id) AS last_us
+      FROM e
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value * pow(2.0,
+                 -((last_us - us) / 86400000000.0))), 4) AS decayed_score,
+           make_timestamp(max(last_us)) AS last_ts
+    FROM w GROUP BY user_id
+    """,
+    note="recency-weighted engagement score; age measured from the "
+    "user's own latest event (no wall clock in the plan), integer-"
+    "micros exponent, one user-keyed exchange",
+)
+def _window_time_decay(spark, sf):
+    return temporal.window_time_decay(_t(spark, sf, "events"))
+
+
+@_register(
+    "cdc_scd2",
+    f"""
+    SELECT user_id, value,
+           CAST(ts AS TIMESTAMP) AS valid_from,
+           lead(CAST(ts AS TIMESTAMP)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           lead(ts) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+    FROM {_EVTS}
+    """,
+    note="SCD type-2 historization of a change stream: validity "
+    "intervals via one lead window, open-ended current rows",
+)
+def _cdc_scd2(spark, sf):
+    return temporal.cdc_scd2(_t(spark, sf, "events"))
+
+
+@_register(
+    "attribution_last_touch",
+    f"""
+    WITH marked AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS attributed_type,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS attributed_ts
+      FROM {_EVTS}
+    )
+    SELECT event_id, user_id, ts AS purchase_ts,
+           attributed_type, attributed_ts
+    FROM marked WHERE event_type = 'purchase'
+    """,
+    note="last-touch attribution as a carry-forward window (zero "
+    "joins): purchases credit the latest preceding non-purchase "
+    "touch; no-prior-touch purchases keep NULL (the direct bucket)",
+)
+def _attribution_last_touch(spark, sf):
+    return temporal.attribution_last_touch(_t(spark, sf, "events"))
+
+
 # ---------------------------------------------- registration priority
 
 #: Queries whose oracle verdicts are already on record in

@@ -280,3 +280,68 @@ def test_activity_streaks_islands(spark):
         for r in temporal.activity_streaks(events).collect()
     }
     assert got == {(1, 1): (3, 3), (1, 6): (2, 7), (2, 10): (1, 10)}
+
+
+def test_window_time_decay_halves_per_day(spark):
+    import datetime as dt
+
+    from java_mapreduce_framework_spark.operators import temporal
+
+    base = dt.datetime(2024, 6, 10)
+    # user 1: 8.0 now, 8.0 one day earlier, 8.0 two days earlier
+    rows = [(1, base, 8.0), (2, base - dt.timedelta(days=1), 8.0),
+            (3, base - dt.timedelta(days=2), 8.0)]
+    events = spark.createDataFrame(
+        [(e, t, 1, "x", v, None) for e, t, v in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    [r] = temporal.window_time_decay(events).collect()
+    assert r["n_events"] == 3
+    assert abs(r["decayed_score"] - (8.0 + 4.0 + 2.0)) < 1e-6
+    assert r["last_ts"] == base
+
+
+def test_cdc_scd2_intervals_chain(spark):
+    import datetime as dt
+
+    from java_mapreduce_framework_spark.operators import temporal
+
+    t = lambda m: dt.datetime(2024, 6, 10, 12, m)  # noqa: E731
+    events = spark.createDataFrame(
+        [(1, t(0), 7, "x", 1.0, None), (2, t(5), 7, "x", 2.0, None),
+         (3, t(9), 7, "x", 3.0, None), (4, t(1), 8, "x", 9.0, None)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    rows = sorted(
+        temporal.cdc_scd2(events).collect(),
+        key=lambda r: (r["user_id"], r["valid_from"]),
+    )
+    u7 = [r for r in rows if r["user_id"] == 7]
+    # intervals chain: each valid_to == next valid_from, last open
+    assert [r["valid_to"] for r in u7] == [t(5), t(9), None]
+    assert [r["is_current"] for r in u7] == [False, False, True]
+    [u8] = [r for r in rows if r["user_id"] == 8]
+    assert u8["is_current"] and u8["valid_to"] is None
+
+
+def test_attribution_last_touch_credits_latest_prior(spark):
+    import datetime as dt
+
+    from java_mapreduce_framework_spark.operators import temporal
+
+    t = lambda m: dt.datetime(2024, 6, 10, 12, m)  # noqa: E731
+    events = spark.createDataFrame(
+        [
+            (1, t(0), 7, "view", 0.0, None),
+            (2, t(2), 7, "click", 0.0, None),
+            (3, t(3), 7, "purchase", 9.0, None),   # -> click
+            (4, t(4), 7, "purchase", 5.0, None),   # -> still click (purchases don't attribute)
+            (5, t(1), 8, "purchase", 1.0, None),   # no prior touch -> NULL
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    got = {r["event_id"]: (r["attributed_type"], r["attributed_ts"])
+           for r in temporal.attribution_last_touch(events).collect()}
+    assert got[3] == ("click", t(2))
+    assert got[4] == ("click", t(2))
+    assert got[5] == (None, None)
