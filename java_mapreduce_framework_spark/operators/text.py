@@ -926,3 +926,90 @@ def lm_bigram_score(documents: DataFrame, k: float = 0.5) -> DataFrame:
             ).alias("avg_log2p"),
         )
     )
+
+
+def vocab_coverage(documents: DataFrame, top_v: int = 64) -> DataFrame:
+    """Tokenizer-prep vocabulary curve: the ``top_v`` most frequent
+    words with rank and CUMULATIVE corpus coverage — the standard
+    "how big must the vocab be" analysis before fixing a tokenizer.
+
+    One token explosion -> word counts (map-side combinable), then
+    rank + running-coverage windows over the count-sorted vocabulary.
+    The windows order the VOCABULARY, not the corpus: their input is
+    one row per distinct word, already aggregate-compressed, and the
+    top_v cut bounds the output. Ties break by word so both engines
+    rank identically. Coverage is exact rational arithmetic until the
+    one final rounding.
+
+    Emits (rank, word, cnt, cum_coverage).
+    """
+    words = words_exploded(documents)
+    counts = words.groupBy("word").agg(F.count("*").alias("cnt"))
+    order = Window.orderBy(F.col("cnt").desc(), "word")
+    total = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    run = order.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        counts.select(
+            F.row_number().over(order).alias("rank"),
+            "word",
+            "cnt",
+            F.round(
+                F.sum("cnt").over(run) / F.sum("cnt").over(total), 6
+            ).alias("cum_coverage"),
+        )
+        .filter(F.col("rank") <= top_v)
+    )
+
+
+def pair_pmi(documents: DataFrame, min_count: int = 5, k: int = 30) -> DataFrame:
+    """Collocation mining: top-k adjacent word pairs by pointwise
+    mutual information, pmi = log2(c2 * N / (c1(w1) * c1(w2))) — the
+    classic phrase detector (Church & Hanks), the step that feeds
+    multi-word tokens into a tokenizer.
+
+    Reuses the row-local bigram zip of ``lm_bigram_score``; unigram
+    and bigram counts are two combinable aggregations; the scoring
+    join is keyed on words (vocabulary can exceed broadcast at corpus
+    scale) with only the 1-row token total broadcast. ``min_count``
+    is the standard low-frequency PMI guard. Ties break on the pair.
+
+    Emits (w1, w2, n_pair, pmi).
+    """
+    toks = tokens_col("text")
+    pairs = (
+        documents.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(toks[i - 1] AS w1, toks[i] AS w2))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+    )
+    words = words_exploded(documents)
+    c1 = words.groupBy("word").agg(F.count("*").alias("c1"))
+    c2 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n_pair"))
+    total = words.select(F.count("*").cast("double").alias("n_tokens"))
+    c1a = c1.select(F.col("word").alias("w1"), F.col("c1").alias("c1a"))
+    c1b = c1.select(F.col("word").alias("w2"), F.col("c1").alias("c1b"))
+    pmi = F.log2(
+        F.col("n_pair") * F.col("n_tokens") / (F.col("c1a") * F.col("c1b"))
+    )
+    scored = (
+        c2.filter(F.col("n_pair") >= min_count)
+        .join(c1a, "w1")
+        .join(c1b, "w2")
+        .crossJoin(F.broadcast(total))
+        .select("w1", "w2", "n_pair", F.round(pmi, 4).alias("pmi"))
+    )
+    order = Window.orderBy(F.col("pmi").desc(), "w1", "w2")
+    return (
+        scored.select("*", F.row_number().over(order).alias("rnk"))
+        .filter(F.col("rnk") <= k)
+        .drop("rnk")
+    )

@@ -3375,6 +3375,99 @@ def _attribution_last_touch(spark, sf):
     return temporal.attribution_last_touch(_t(spark, sf, "events"))
 
 
+@_register(
+    "vocab_coverage",
+    _WORDS_CTE
+    + """,
+    cnt AS (SELECT word, count(*) AS cnt FROM words GROUP BY word),
+    ranked AS (
+      SELECT row_number() OVER (ORDER BY cnt DESC, word) AS rank,
+             word, cnt,
+             sum(cnt) OVER (ORDER BY cnt DESC, word
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(cnt) OVER () AS total
+      FROM cnt
+    )
+    SELECT CAST(rank AS INT) AS rank, word, CAST(cnt AS BIGINT) AS cnt,
+           round(cum * 1.0 / total, 6) AS cum_coverage
+    FROM ranked WHERE rank <= 64
+    """,
+    note="tokenizer-prep vocabulary curve: rank + cumulative corpus "
+    "coverage; windows run over the aggregate-compressed vocabulary, "
+    "not corpus rows",
+)
+def _vocab_coverage(spark, sf):
+    return text.vocab_coverage(_t(spark, sf, "documents"))
+
+
+@_register(
+    "pair_pmi",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    words AS (SELECT doc_id, unnest(t) AS word FROM toks),
+    big AS (
+      SELECT unnest(t[1:len(t) - 1]) AS w1, unnest(t[2:len(t)]) AS w2
+      FROM toks WHERE len(t) >= 2
+    ),
+    c1 AS (SELECT word, count(*) AS c1 FROM words GROUP BY word),
+    c2 AS (SELECT w1, w2, count(*) AS n_pair FROM big GROUP BY w1, w2
+           HAVING count(*) >= 5),
+    tot AS (SELECT count(*) * 1.0 AS n_tokens FROM words),
+    scored AS (
+      SELECT w1, w2, n_pair,
+             round(log2(n_pair * n_tokens / (a.c1 * b.c1)), 4) AS pmi
+      FROM c2
+      JOIN c1 a ON c2.w1 = a.word
+      JOIN c1 b ON c2.w2 = b.word, tot
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rnk
+      FROM scored
+    )
+    SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair, pmi
+    FROM ranked WHERE rnk <= 30
+    """,
+    note="Church & Hanks collocation mining: top-k adjacent pairs by "
+    "PMI; reuses the row-local bigram zip, min-count low-frequency "
+    "guard, 1-row total broadcast",
+)
+def _pair_pmi(spark, sf):
+    return text.pair_pmi(_t(spark, sf, "documents"))
+
+
+@_register(
+    "source_csv_malformed",
+    """
+    SELECT CAST(count(*) FILTER (WHERE doc_id % 10 <> 0) AS BIGINT) AS n_good,
+           CAST(count(*) FILTER (WHERE doc_id % 10 = 0) AS BIGINT) AS n_corrupt,
+           CAST(sum(n_chars) FILTER (WHERE doc_id % 10 <> 0) AS BIGINT)
+             AS chars_good
+    FROM documents
+    """,
+    note="ingest reality: deterministically corrupted CSV read in "
+    "PERMISSIVE mode with an explicit _corrupt_record column — bad "
+    "rows quarantine-and-count instead of crashing (FAILFAST) or "
+    "silently vanishing (DROPMALFORMED); oracle mirrors the "
+    "corruption rule over the original parquet",
+)
+def _source_csv_malformed(spark, sf):
+    from ..sources.roundtrip import read_documents_csv_malformed
+
+    df = read_documents_csv_malformed(spark, sf)
+    # doc_id must survive into the AGGREGATE's references: CSV
+    # corruption is detected per PARSED field, and column pruning
+    # would otherwise drop the very field the corruption lives in
+    # (the planted unparseable doc_id) — rows would read as clean.
+    # count(doc_id) ties the good-row count to the parse result.
+    return df.agg(
+        F.count("doc_id").alias("n_good"),
+        F.count("_corrupt_record").alias("n_corrupt"),
+        F.sum(
+            F.when(F.col("doc_id").isNotNull(), F.col("n_chars"))
+        ).alias("chars_good"),
+    )
+
+
 # ---------------------------------------------- registration priority
 
 #: Queries whose oracle verdicts are already on record in

@@ -83,6 +83,28 @@ def _stage(spark: SparkSession, sf_dir: str, fmt: str) -> pathlib.Path:
                 .partitionBy("event_type")
                 .parquet(str(stage / "data"))
             )
+        elif fmt == "documents_csv_malformed":
+            from pyspark.sql import functions as F
+
+            docs = load_table(spark, sf_dir, "documents")
+            qtext = F.concat(
+                F.lit('"'), F.regexp_replace("text", '"', '""'), F.lit('"')
+            )
+            good = F.concat_ws(
+                ",",
+                F.col("doc_id").cast("string"),
+                qtext,
+                F.col("lang"),
+                F.col("source"),
+                F.col("n_chars").cast("string"),
+            )
+            # every 10th doc ships an unparseable doc_id ("X<id>") --
+            # the deterministic corruption the oracle mirrors
+            bad = F.concat(F.lit("X"), good)
+            line = F.when(F.col("doc_id") % 10 == 0, bad).otherwise(good)
+            docs.select(line.alias("value")).write.mode("overwrite").text(
+                str(stage / "data")
+            )
         else:  # pragma: no cover - guarded by callers
             raise ValueError(f"unknown roundtrip format {fmt!r}")
         (stage / "_STAGED").write_text(fp)
@@ -170,3 +192,21 @@ def read_events_schema_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
         new.write.mode("overwrite").parquet(str(stage / "data" / "batch=2"))
         (stage / "_STAGED").write_text(fp)
     return spark.read.option("mergeSchema", True).parquet(str(stage / "data"))
+
+
+def read_documents_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest-reality path: CSV with deterministically corrupted
+    rows (unparseable doc_id on every 10th record), read in PERMISSIVE
+    mode with an explicit ``_corrupt_record`` column -- bad rows
+    surface as data instead of killing the job (or silently vanishing
+    as DROPMALFORMED would). The 100 TB discipline: quarantine-and-
+    count at ingest, never crash-or-drop."""
+    path = _stage(spark, sf_dir, "documents_csv_malformed")
+    return (
+        spark.read.schema(DOCUMENTS_DDL + ", _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("quote", chr(34))
+        .option("escape", chr(34))
+        .csv(str(path))
+    )

@@ -36,6 +36,8 @@ ALLOWED_NESTED_LOOP = {
     "lm_unigram_score",  # 1-row broadcast corpus-total scalar
     "bm25_score",  # 1-row broadcast (n_docs, avgdl) corpus-stats scalar
     "join_bloom_pruned",  # 1-row broadcast Bloom-bitmap literal
+    "pair_pmi",  # 1-row broadcast corpus token total
+    "lm_bigram_score",  # 1-row broadcast vocabulary-size scalar
 }
 
 

@@ -80,3 +80,26 @@ def test_staged_artifacts_refresh_on_fixture_change(spark, sf_small, tmp_path):
     new_parts = {p.name for p in data2.iterdir() if p.name.startswith("part-")}
     # rewritten files carry fresh write UUIDs: proof the stage re-derived
     assert new_parts and new_parts.isdisjoint(old_parts)
+
+
+def test_malformed_csv_quarantines_not_drops(spark, sf_small):
+    """PERMISSIVE + _corrupt_record: every 10th record surfaces as a
+    corrupt row carrying the raw line; good rows parse completely."""
+    from java_mapreduce_framework_spark.sources.roundtrip import (
+        read_documents_csv_malformed,
+    )
+    from pyspark.sql import functions as F
+
+    df = read_documents_csv_malformed(spark, sf_small).cache()
+    try:
+        total = df.count()
+        corrupt = df.filter(F.col("_corrupt_record").isNotNull()).collect()
+        assert len(corrupt) == total // 10
+        assert all(r["doc_id"] is None for r in corrupt)
+        assert all(r["_corrupt_record"].startswith("X") for r in corrupt)
+        good = df.filter(F.col("_corrupt_record").isNull())
+        assert good.filter(F.col("doc_id").isNull()).count() == 0
+        # round-trip fidelity on the good rows
+        assert good.filter(F.length("text") != F.col("n_chars")).count() == 0
+    finally:
+        df.unpersist()

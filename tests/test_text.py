@@ -408,3 +408,40 @@ def test_lm_bigram_score_formula(spark):
     assert got[2]["n_bigrams"] == 1
     assert abs(got[2]["avg_log2p"] - round(math.log2(p_ab), 4)) < 1e-9
     assert 3 not in got  # single-token doc has no bigrams
+
+
+def test_vocab_coverage_monotone_and_exact(spark):
+    from java_mapreduce_framework_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c", "en", "t", 0), (2, "a b d", "en", "t", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = sorted(text_ops.vocab_coverage(docs).collect(), key=lambda r: r["rank"])
+    # counts: a:4 b:3 c:1 d:1 over 9 tokens; ties (c, d) break by word
+    assert [(r["word"], r["cnt"]) for r in rows] == [("a", 4), ("b", 3), ("c", 1), ("d", 1)]
+    assert [r["cum_coverage"] for r in rows] == [
+        round(4 / 9, 6), round(7 / 9, 6), round(8 / 9, 6), 1.0
+    ]
+
+
+def test_pair_pmi_ranks_collocation(spark):
+    """A pair that always co-occurs outranks independent pairs."""
+    import math
+
+    from java_mapreduce_framework_spark.operators import text as text_ops
+
+    # "x y" always adjacent (6x); fillers make other pairs frequent but
+    # less associated
+    docs = spark.createDataFrame(
+        [(i, "x y a b a b a b x y", "en", "t", 0) for i in range(3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = text_ops.pair_pmi(docs, min_count=5, k=10).collect()
+    by_pair = {(r["w1"], r["w2"]): r for r in rows}
+    assert ("x", "y") in by_pair
+    n_tokens = 30.0
+    want = math.log2(6 * n_tokens / (6 * 6))
+    assert abs(by_pair[("x", "y")]["pmi"] - round(want, 4)) < 1e-9
+    top = max(rows, key=lambda r: r["pmi"])
+    assert (top["w1"], top["w2"]) == ("x", "y")
