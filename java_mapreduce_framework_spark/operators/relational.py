@@ -866,3 +866,62 @@ def join_bloom_pruned(
             F.sum(_dec2("o_totalprice")).cast("double").alias("revenue"),
         )
     )
+
+
+def set_intersect_all(a: DataFrame, b: DataFrame) -> DataFrame:
+    """INTERSECT ALL — multiset semantics: a row appears
+    min(count_a, count_b) times. Spark plans this as one aggregation
+    counting both sides' multiplicities plus a generate to re-expand —
+    bag semantics without ever joining row-by-row."""
+    return a.intersectAll(b)
+
+
+def set_except_all(a: DataFrame, b: DataFrame) -> DataFrame:
+    """EXCEPT ALL — multiset difference: max(count_a - count_b, 0)
+    copies survive. Same count-and-reexpand plan shape as
+    ``set_intersect_all``."""
+    return a.exceptAll(b)
+
+
+def flatmap_explode_outer(events: DataFrame) -> DataFrame:
+    """Null-preserving flatMap: ``explode_outer`` keeps rows whose
+    array is empty (or NULL) as one NULL-element row — the semantics
+    an ETL needs when the parent row must survive enrichment (a plain
+    explode silently DROPS those rows, a classic correctness trap).
+    The exploded array derives from the props JSON (k mod 3 steps, so
+    a third of the rows have an EMPTY array and only survive through
+    the outer semantics). Map-only, zero shuffle."""
+    m = F.pmod(F.get_json_object("props", "$.k").cast("int"), F.lit(3))
+    # explicit empty-array guard: Spark's sequence(1, 0) would emit a
+    # DESCENDING [1, 0] rather than an empty array
+    steps = F.when(m > 0, F.sequence(F.lit(1), m)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return events.select(
+        "event_id",
+        F.explode_outer(steps).alias("step"),
+    )
+
+
+def audience_overlap(events: DataFrame) -> DataFrame:
+    """Audience-overlap matrix: for every pair of event types, how
+    many distinct users did both — the cross-sell / co-engagement
+    analytics primitive.
+
+    Plan: distinct (user, type) first — the aggregate compression that
+    makes the self-join safe (fan-out per user is bounded by the TYPE
+    ALPHABET, not their event count); then the pair join keyed on
+    user_id and one count per unordered pair. Output is
+    |types|-choose-2 rows at any corpus size.
+
+    Emits (type_a, type_b, n_shared).
+    """
+    ut = events.select("user_id", "event_type").distinct()
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    return (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_shared"))
+    )

@@ -3468,6 +3468,56 @@ def _source_csv_malformed(spark, sf):
     )
 
 
+@_register("set_intersect_all", f"{_SPLIT_A} INTERSECT ALL {_SPLIT_B}")
+def _set_intersect_all(spark, sf):
+    return relational.set_intersect_all(*_orders_split(spark, sf))
+
+
+@_register("set_except_all", f"{_SPLIT_A} EXCEPT ALL {_SPLIT_B}")
+def _set_except_all(spark, sf):
+    return relational.set_except_all(*_orders_split(spark, sf))
+
+
+@_register(
+    "flatmap_explode_outer",
+    """
+    WITH e AS (
+      SELECT event_id,
+             CAST(json_extract_string(props, '$.k') AS INT) % 3 AS m
+      FROM events
+    )
+    SELECT event_id,
+           CAST(unnest(CASE WHEN m IS NULL OR m = 0
+                            THEN [CAST(NULL AS INT)]
+                            ELSE range(1, m + 1) END) AS INT) AS step
+    FROM e
+    """,
+    note="null-preserving flatMap (explode_outer): empty-array rows "
+    "survive as one NULL-element row — the trap a plain explode "
+    "silently drops",
+)
+def _flatmap_explode_outer(spark, sf):
+    return relational.flatmap_explode_outer(_t(spark, sf, "events"))
+
+
+@_register(
+    "audience_overlap",
+    """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM ut a JOIN ut b ON a.user_id = b.user_id
+      AND a.event_type < b.event_type
+    GROUP BY 1, 2
+    """,
+    note="co-engagement matrix: distinct-(user, type) compression "
+    "FIRST, so self-join fan-out per user is bounded by the type "
+    "alphabet; |types|-choose-2 output rows at any scale",
+)
+def _audience_overlap(spark, sf):
+    return relational.audience_overlap(_t(spark, sf, "events"))
+
+
 # ---------------------------------------------- registration priority
 
 #: Queries whose oracle verdicts are already on record in

@@ -385,3 +385,46 @@ def test_psi_drift_identical_vs_shifted(spark):
     )
     total = {r["psi_total"] for r in analytics.psi_drift(shifted).collect()}
     assert len(total) == 1 and total.pop() > 1.0
+
+
+def test_set_all_variants_multiset_semantics(spark):
+    """INTERSECT ALL keeps min multiplicity; EXCEPT ALL subtracts."""
+    from java_mapreduce_framework_spark.operators import relational
+
+    a = spark.createDataFrame([(1,), (1,), (1,), (2,), (3,)], "x long")
+    b = spark.createDataFrame([(1,), (1,), (3,), (3,), (4,)], "x long")
+    inter = sorted(r["x"] for r in relational.set_intersect_all(a, b).collect())
+    assert inter == [1, 1, 3]  # min(3,2)=2 ones... min counts
+    exc = sorted(r["x"] for r in relational.set_except_all(a, b).collect())
+    assert exc == [1, 2]  # 3-2 ones, the 2, zero 3s
+
+
+def test_flatmap_explode_outer_preserves_empty_rows(spark):
+    from java_mapreduce_framework_spark.operators import relational
+
+    events = spark.createDataFrame(
+        [(1, None, 1, "x", 0.0, '{"k": 3}'),   # m=0 -> NULL row kept
+         (2, None, 1, "x", 0.0, '{"k": 5}'),   # m=2 -> steps 1,2
+         (3, None, 1, "x", 0.0, None)],        # null props -> NULL row
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    got = sorted(
+        (r["event_id"], r["step"])
+        for r in relational.flatmap_explode_outer(events).collect()
+    )
+    assert got == [(1, None), (2, 1), (2, 2), (3, None)]
+
+
+def test_audience_overlap_counts_shared_users(spark):
+    from java_mapreduce_framework_spark.operators import relational
+
+    rows = [(1, "view"), (1, "click"), (1, "view"), (2, "view"), (2, "buy"), (3, "click")]
+    events = spark.createDataFrame(
+        [(i, None, u, t, 0.0, None) for i, (u, t) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    got = {
+        (r["type_a"], r["type_b"]): r["n_shared"]
+        for r in relational.audience_overlap(events).collect()
+    }
+    assert got == {("click", "view"): 1, ("buy", "view"): 1}
