@@ -1255,3 +1255,46 @@ def dedup_edit_distance(
         )
         .filter(F.col("dist") <= k)
     )
+
+
+def bfs_hops(pairs: DataFrame, max_hops: int = 8) -> DataFrame:
+    """BFS hop distance over an undirected pair graph from a
+    deterministic seed (the globally smallest node id) — the iterative
+    graph primitive beyond connected components: "how close is every
+    near-dup to this document", blast-radius analysis for
+    contamination tracing.
+
+    Classic frontier expansion: each round joins the frontier to the
+    edge list, anti-joins the visited set, and stamps the hop number;
+    ``localCheckpoint`` truncates lineage per round (the CC
+    discipline) and a scalar count is the only driver probe. Rounds
+    are bounded by ``max_hops``, so worst-case work is max_hops
+    keyed joins — each shuffle bounded by frontier x degree. Matches
+    a depth-bounded recursive-CTE BFS exactly (min hop per node).
+
+    Emits (doc_id, hop).
+    """
+    edges = pairs.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+    )
+    seed = edges.agg(F.min("a").alias("doc_id")).select(
+        "doc_id", F.lit(0).alias("hop")
+    )
+    visited = seed.localCheckpoint()
+    frontier = visited
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier["doc_id"] == edges["a"])
+            .select(F.col("b").alias("doc_id"))
+            .distinct()
+            .join(visited, "doc_id", "left_anti")
+            .withColumn("hop", F.lit(h))
+            .localCheckpoint()
+        )
+        if nxt.limit(1).count() == 0:  # scalar-only driver probe
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return visited

@@ -1013,3 +1013,40 @@ def pair_pmi(documents: DataFrame, min_count: int = 5, k: int = 30) -> DataFrame
         .filter(F.col("rnk") <= k)
         .drop("rnk")
     )
+
+
+def split_leakage_audit(documents: DataFrame, prefix_len: int = 24) -> DataFrame:
+    """Train/test contamination audit: content fingerprints (md5 of
+    the normalized prefix key) that appear in MORE THAN ONE split of
+    ``stratified_split`` — the leakage check every dataset release
+    runs before shipping an eval set. Composes the split's hash
+    assignment with an exact-duplicate fingerprint; near-dup leakage
+    is the same query over ``dedup_minhash`` clusters instead.
+
+    Two combinable aggregations (fingerprint groups, then the
+    split-span filter); output is only the leaky groups. The splits
+    column is a sorted set (bounded by 3) so both engines render it
+    identically.
+
+    Emits (fp, n_docs, splits).
+    """
+    h = F.substring(
+        F.md5(F.concat_ws("|", F.lit("split"), F.col("doc_id").cast("string"))),
+        1,
+        4,
+    )
+    split = (
+        F.when(h < F.lit(hash_threshold(SPLIT_TRAIN)), "train")
+        .when(h < F.lit(hash_threshold(SPLIT_VAL)), "val")
+        .otherwise("test")
+    )
+    fp = F.md5(F.lower(F.substring("text", 1, prefix_len)))
+    return (
+        documents.select(fp.alias("fp"), split.alias("split"))
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.concat_ws(",", F.array_sort(F.collect_set("split"))).alias("splits"),
+        )
+        .filter(F.size(F.split("splits", ",")) > 1)
+    )

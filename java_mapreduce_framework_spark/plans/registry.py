@@ -3518,6 +3518,78 @@ def _audience_overlap(spark, sf):
     return relational.audience_overlap(_t(spark, sf, "events"))
 
 
+@_register(
+    "graph_bfs_hops",
+    f"""
+    WITH RECURSIVE toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      FROM toks WHERE len(t) >= 3),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    com AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM com
+      JOIN sizes na ON com.doc_a = na.doc_id
+      JOIN sizes nb ON com.doc_b = nb.doc_id
+      WHERE c * 1.0 / (na.n + nb.n - c) >= 0.8),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs),
+    walk(node, hop) AS (
+      SELECT (SELECT min(a) FROM edges), 0
+      UNION
+      SELECT e.b, w.hop + 1
+      FROM walk w JOIN edges e ON e.a = w.node
+      WHERE w.hop < 8)
+    SELECT node AS doc_id, CAST(min(hop) AS INT) AS hop
+    FROM walk GROUP BY node
+    """,
+    note="depth-bounded BFS from the smallest node of the near-dup "
+    "graph; frontier-expansion joins + localCheckpoint == "
+    "recursive-CTE min-hop (blast-radius / contamination tracing)",
+)
+def _graph_bfs_hops(spark, sf):
+    pairs = dedup.ngram_jaccard_pairs(_t(spark, sf, "documents"))
+    return dedup.bfs_hops(pairs)
+
+
+@_register(
+    "split_leakage_audit",
+    f"""
+    WITH s AS (
+      SELECT md5(lower(substr(text, 1, 24))) AS fp,
+             CASE
+               WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 4)
+                    < '{text.hash_threshold(text.SPLIT_TRAIN)}' THEN 'train'
+               WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 4)
+                    < '{text.hash_threshold(text.SPLIT_VAL)}' THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM documents
+    ),
+    g AS (
+      SELECT fp, CAST(count(*) AS BIGINT) AS n_docs,
+             array_to_string(list_sort(list_distinct(list(split))), ',') AS splits
+      FROM s GROUP BY fp
+    )
+    SELECT fp, n_docs, splits FROM g
+    WHERE len(string_split(splits, ',')) > 1
+    """,
+    note="train/test contamination audit: content fingerprints "
+    "spanning more than one split of stratified_split; the "
+    "exact-duplicate leakage check a dataset release gates on",
+)
+def _split_leakage_audit(spark, sf):
+    return text.split_leakage_audit(_t(spark, sf, "documents"))
+
+
 # ---------------------------------------------- registration priority
 
 #: Queries whose oracle verdicts are already on record in

@@ -451,3 +451,19 @@ def test_edit_distance_matches_bruteforce(spark):
     }
     assert got == want
     assert (5, 6) in got and got[(5, 6)] == 2  # zero-shared-gram tiny pair found
+
+
+def test_bfs_hops_chain_and_cutoff(spark):
+    """Planted path graph: hop = position along the chain; nodes past
+    max_hops are excluded; off-component nodes never appear."""
+    from pyspark.sql import Row
+
+    chain = [(i, i + 1) for i in range(10)]          # 0-1-2-...-10
+    island = [(50, 51)]                               # separate component
+    pairs = spark.createDataFrame(
+        [Row(doc_a=a, doc_b=b) for a, b in chain + island]
+    )
+    got = {r["doc_id"]: r["hop"] for r in dedup.bfs_hops(pairs, max_hops=8).collect()}
+    assert got == {i: i for i in range(9)}            # hops 0..8
+    assert 9 not in got and 10 not in got             # beyond cutoff
+    assert 50 not in got and 51 not in got            # other component

@@ -445,3 +445,34 @@ def test_pair_pmi_ranks_collocation(spark):
     assert abs(by_pair[("x", "y")]["pmi"] - round(want, 4)) < 1e-9
     top = max(rows, key=lambda r: r["pmi"])
     assert (top["w1"], top["w2"]) == ("x", "y")
+
+
+def test_split_leakage_audit_finds_planted_dup(spark):
+    """Two docs with identical prefix keys landing in different
+    splits must surface; unique docs must not."""
+    from java_mapreduce_framework_spark.operators import text as text_ops
+
+    shared = "identical prefix key text that exceeds twenty-four chars"
+    # find two doc_ids whose split-hash assignments differ
+    import hashlib
+
+    def split_of(doc_id):
+        h = hashlib.md5(f"split|{doc_id}".encode()).hexdigest()[:4]
+        if h < text_ops.hash_threshold(text_ops.SPLIT_TRAIN):
+            return "train"
+        if h < text_ops.hash_threshold(text_ops.SPLIT_VAL):
+            return "val"
+        return "test"
+
+    ids = list(range(200))
+    a = next(i for i in ids if split_of(i) == "train")
+    b = next(i for i in ids if split_of(i) == "test")
+    docs = spark.createDataFrame(
+        [(a, shared, "en", "t", 0), (b, shared + " tail differs", "en", "t", 0),
+         (999, "completely unique document text", "en", "t", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = text_ops.split_leakage_audit(docs).collect()
+    assert len(rows) == 1
+    [r] = rows
+    assert r["n_docs"] == 2 and set(r["splits"].split(",")) == {"train", "test"}
