@@ -268,3 +268,81 @@ def psi_drift(events: DataFrame, bucket_width: float = 25.0) -> DataFrame:
         F.round("contrib", 6).alias("psi_contrib"),
         F.round(F.sum("contrib").over(wall), 4).alias("psi_total"),
     )
+
+
+def target_encoding(
+    documents: DataFrame, smoothing: float = 10.0
+) -> DataFrame:
+    """Smoothed mean-target encoding (the standard high-cardinality
+    categorical feature for tabular ML): each ``source`` category is
+    encoded as the shrinkage blend
+
+        enc = (n * mean_cat + m * mean_global) / (n + m)
+
+    with ``m = smoothing`` — the classic empirical-Bayes guard
+    against overfitting rare categories.
+
+    One combinable aggregation per category (count + sum, exact
+    integer arithmetic until the final division) and a 1-row global
+    aggregate broadcast into the encode expression; output is
+    category-cardinality-sized whatever the corpus size. The encoding
+    table is what a training pipeline broadcast-joins back onto the
+    full dataset (that join is ``join_broadcast``'s shape).
+
+    Emits (source, n_docs, mean_target, encoded).
+    """
+    per_cat = documents.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_t")
+    )
+    glob = per_cat.select(
+        (F.sum("sum_t") / F.sum("n_docs")).alias("mean_global")
+    )
+    enc = (
+        (F.col("sum_t") + F.lit(smoothing) * F.col("mean_global"))
+        / (F.col("n_docs") + F.lit(smoothing))
+    )
+    return per_cat.crossJoin(F.broadcast(glob)).select(
+        "source",
+        "n_docs",
+        F.round(F.col("sum_t") / F.col("n_docs"), 4).alias("mean_target"),
+        F.round(enc, 4).alias("encoded"),
+    )
+
+
+def mad_outliers(events: DataFrame, k: float = 3.5) -> DataFrame:
+    """Robust outlier detection: events whose value deviates from the
+    event-type median by more than ``k`` × MAD (median absolute
+    deviation) — the robust-statistics replacement for z-scores when
+    the metric is heavy-tailed (a single whale no longer drags the
+    mean/std it is scored against).
+
+    Two exact-median aggregations (per-type median, then per-type
+    median of absolute deviations — each one keyed shuffle over
+    type-partitioned values) and a broadcastable stats join back:
+    the stats table is event-type-cardinality-sized. Exact medians
+    (interpolated, type R-7) match across engines; zero-MAD types
+    (constant metric) are dropped explicitly since no deviation score
+    is defined there.
+
+    Emits (event_id, event_type, value, med, mad, mad_score).
+    """
+    med = events.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = events.join(F.broadcast(med), "event_type").withColumn(
+        "abs_dev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("abs_dev", F.lit(0.5)).alias("mad")
+    ).filter(F.col("mad") > 0)
+    scored = dev.join(F.broadcast(mad), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round("med", 4).alias("med"),
+        F.round("mad", 4).alias("mad"),
+        F.round(F.abs(F.col("value") - F.col("med")) / F.col("mad"), 4).alias(
+            "mad_score"
+        ),
+    )
+    return scored.filter(F.col("mad_score") > k)

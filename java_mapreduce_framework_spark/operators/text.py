@@ -1050,3 +1050,123 @@ def split_leakage_audit(documents: DataFrame, prefix_len: int = 24) -> DataFrame
         )
         .filter(F.size(F.split("splits", ",")) > 1)
     )
+
+
+def bpe_merge_step(documents: DataFrame, k: int = 20) -> DataFrame:
+    """One BPE tokenizer-training iteration (Sennrich et al. 2016):
+    the top-k adjacent SYMBOL pairs by corpus frequency, the pair a
+    byte-pair-encoding trainer would merge next. Round 1 of the real
+    algorithm — symbols are single characters; later rounds would
+    re-run the same query over the merged symbol stream.
+
+    The scale discipline mirrors ``vocab_coverage``: compress to the
+    DISTINCT-WORD vocabulary first (one combinable word count), then
+    explode character pairs over vocabulary entries weighted by word
+    frequency — at 100 TB the pair explosion runs over the
+    vocab-bounded word list, never the corpus. Pair counts are one
+    further combinable aggregation; the top-k window orders the
+    pair alphabet (alphabet², tiny). Ties break on the pair so both
+    engines rank identically.
+
+    Reference licence: WordCount is the reference's flagship job
+    (src/edu/upenn/cis455/mapreduce/job/WordCount.java:23-52); this is
+    the tokenizer-training query built on the same word-frequency
+    substrate.
+
+    Emits (rank, sym_a, sym_b, n_pair).
+    """
+    vocab = words_exploded(documents).groupBy("word").agg(
+        F.count("*").alias("word_freq")
+    )
+    # single-char words carry no pair; the guard also keeps the
+    # sequence() bound positive (Spark's sequence(1, 0) DESCENDS and
+    # would fabricate out-of-range pairs)
+    pairs = vocab.filter(F.length("word") >= 2).select(
+        "word_freq",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> struct(substring(word, i, 1) AS sym_a,"
+                "             substring(word, i + 1, 1) AS sym_b))"
+            )
+        ).alias("p"),
+    )
+    counts = pairs.groupBy("p.sym_a", "p.sym_b").agg(
+        F.sum("word_freq").alias("n_pair")
+    )
+    order = Window.orderBy(F.col("n_pair").desc(), "sym_a", "sym_b")
+    return (
+        counts.select(F.row_number().over(order).alias("rank"), "*")
+        .filter(F.col("rank") <= k)
+    )
+
+
+def chi2_feature_select(
+    documents: DataFrame, min_df: int = 10, k: int = 25
+) -> DataFrame:
+    """Chi-squared feature selection: the top-k words most associated
+    with any language label, scored by the chi² statistic over the
+    word-presence × lang contingency table — the classic filter step
+    before training a classifier on bag-of-words features.
+
+    Presence is per-document (distinct (doc, word, lang)), so the
+    contingency cells are three combinable aggregations: per-(word,
+    lang) document frequency, per-lang document totals (label-
+    cardinality rows, broadcast), and the grand total (1 row,
+    broadcast). chi² = Σ_cells (O-E)²/E expands over both presence
+    and absence cells per (word, lang) without materializing the
+    absence rows: O_absent = lang_total - df, E from row/col sums.
+    Everything after the first agg is vocab × label sized. ``min_df``
+    is the standard sparse-feature guard; ties break on the word.
+
+    Emits (rank, word, chi2, best_lang).
+    """
+    doc_words = (
+        documents.select("doc_id", "lang", F.explode(tokens_col("text")).alias("word"))
+        .distinct()
+    )
+    wl = doc_words.groupBy("word", "lang").agg(F.count("*").alias("df_wl"))
+    word_tot = wl.groupBy("word").agg(F.sum("df_wl").alias("df_w"))
+    # label marginals are DOCUMENT counts (one row per doc in the
+    # source table), not presence-pair counts — the contingency table
+    # is over documents
+    lang_tot = documents.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    grand = lang_tot.select(F.sum("n_lang").cast("double").alias("n_total"))
+    cells = (
+        wl.join(word_tot, "word")
+        .filter(F.col("df_w") >= min_df)
+        .join(F.broadcast(lang_tot), "lang")
+        .crossJoin(F.broadcast(grand))
+    )
+    # observed/expected for the (present, lang) and (absent, lang)
+    # cells; the complementary-lang cells cancel into the same sum
+    # when aggregated over langs, so per-(word,lang) we score the
+    # 2x2 table (word present/absent x this-lang/other-langs)
+    o11 = F.col("df_wl").cast("double")
+    o12 = (F.col("df_w") - F.col("df_wl")).cast("double")
+    o21 = (F.col("n_lang") - F.col("df_wl")).cast("double")
+    o22 = F.col("n_total") - F.col("df_w") - F.col("n_lang") + F.col("df_wl")
+    n = F.col("n_total")
+    denom = (o11 + o12) * (o21 + o22) * (o11 + o21) * (o12 + o22)
+    # degenerate margins (word in every doc / label covering all docs)
+    # carry no discrimination: chi2 = 0 by definition, and the guard
+    # keeps ANSI division happy
+    chi2 = F.when(
+        denom > 0,
+        n * F.pow(o11 * o22 - o12 * o21, F.lit(2.0)) / denom,
+    ).otherwise(F.lit(0.0))
+    scored = cells.select(
+        "word", "lang", F.round(chi2, 4).alias("chi2_wl")
+    )
+    best = scored.groupBy("word").agg(
+        F.max(F.struct(F.col("chi2_wl"), F.col("lang"))).alias("m")
+    ).select(
+        "word",
+        F.col("m.chi2_wl").alias("chi2"),
+        F.col("m.lang").alias("best_lang"),
+    )
+    order = Window.orderBy(F.col("chi2").desc(), "word")
+    return (
+        best.select(F.row_number().over(order).alias("rank"), "*")
+        .filter(F.col("rank") <= k)
+    )

@@ -3590,6 +3590,133 @@ def _split_leakage_audit(spark, sf):
     return text.split_leakage_audit(_t(spark, sf, "documents"))
 
 
+@_register(
+    "bpe_merge_step",
+    f"""
+    WITH words AS (SELECT unnest({_TOKS}) AS word FROM documents),
+    vocab AS (
+      SELECT word, count(*) AS word_freq FROM words
+      GROUP BY word HAVING length(word) >= 2
+    ),
+    pairs AS (
+      SELECT substr(word, CAST(i AS INT), 1) AS sym_a,
+             substr(word, CAST(i AS INT) + 1, 1) AS sym_b,
+             word_freq
+      FROM vocab, unnest(range(1, length(word))) AS r(i)
+    ),
+    counts AS (
+      SELECT sym_a, sym_b, sum(word_freq) AS n_pair
+      FROM pairs GROUP BY sym_a, sym_b
+    )
+    SELECT CAST(row_number() OVER (ORDER BY n_pair DESC, sym_a, sym_b)
+                AS INT) AS rank,
+           sym_a, sym_b, CAST(n_pair AS BIGINT) AS n_pair
+    FROM counts ORDER BY rank LIMIT 20
+    """,
+    note="one BPE trainer iteration: top merge-pair candidates; pair "
+    "explode runs over the distinct-word vocabulary (weighted by word "
+    "frequency), never the corpus",
+)
+def _bpe_merge_step(spark, sf):
+    return text.bpe_merge_step(_t(spark, sf, "documents"))
+
+
+@_register(
+    "chi2_feature_select",
+    f"""
+    WITH dw AS (
+      SELECT DISTINCT doc_id, lang, unnest({_TOKS}) AS word FROM documents
+    ),
+    wl AS (SELECT word, lang, count(*) AS df_wl FROM dw GROUP BY word, lang),
+    wt AS (SELECT word, sum(df_wl) AS df_w FROM wl GROUP BY word),
+    lt AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+    g AS (SELECT CAST(sum(n_lang) AS DOUBLE) AS n_total FROM lt),
+    cells AS (
+      SELECT wl.word, wl.lang,
+             CAST(df_wl AS DOUBLE) AS o11,
+             CAST(df_w - df_wl AS DOUBLE) AS o12,
+             CAST(n_lang - df_wl AS DOUBLE) AS o21,
+             n_total - df_w - n_lang + df_wl AS o22,
+             n_total
+      FROM wl JOIN wt USING (word) JOIN lt USING (lang) CROSS JOIN g
+      WHERE df_w >= 10
+    ),
+    scored AS (
+      SELECT word, lang,
+             round(CASE
+               WHEN (o11 + o12) * (o21 + o22) * (o11 + o21) * (o12 + o22) > 0
+               THEN n_total * pow(o11 * o22 - o12 * o21, 2)
+                    / ((o11 + o12) * (o21 + o22) * (o11 + o21) * (o12 + o22))
+               ELSE 0.0 END, 4) AS chi2_wl
+      FROM cells
+    ),
+    best AS (
+      SELECT word, max(struct_pack(chi2_wl := chi2_wl, lang := lang)) AS m
+      FROM scored GROUP BY word
+    )
+    SELECT CAST(row_number() OVER (ORDER BY m.chi2_wl DESC, word)
+                AS INT) AS rank,
+           word, m.chi2_wl AS chi2, m.lang AS best_lang
+    FROM best ORDER BY rank LIMIT 25
+    """,
+    note="chi-squared word-vs-language association over per-document "
+    "presence; everything after the first agg is vocab x label sized",
+)
+def _chi2_feature_select(spark, sf):
+    return text.chi2_feature_select(_t(spark, sf, "documents"))
+
+
+@_register(
+    "target_encoding",
+    """
+    WITH per_cat AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             sum(n_chars) AS sum_t
+      FROM documents GROUP BY source
+    ),
+    g AS (SELECT sum(sum_t) * 1.0 / sum(n_docs) AS mean_global FROM per_cat)
+    SELECT source, n_docs,
+           round(sum_t * 1.0 / n_docs, 4) AS mean_target,
+           round((sum_t + 10.0 * mean_global) / (n_docs + 10.0), 4) AS encoded
+    FROM per_cat CROSS JOIN g
+    """,
+    note="smoothed mean-target encoding (empirical-Bayes shrinkage); "
+    "category-cardinality output, exact integer sums until the final "
+    "division",
+)
+def _target_encoding(spark, sf):
+    return analytics.target_encoding(_t(spark, sf, "documents"))
+
+
+@_register(
+    "mad_outliers",
+    """
+    WITH med AS (
+      SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_id, e.event_type, e.value, m.med,
+             abs(e.value - m.med) AS abs_dev
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, median(abs_dev) AS mad FROM dev
+      GROUP BY event_type HAVING median(abs_dev) > 0
+    )
+    SELECT d.event_id, d.event_type, d.value,
+           round(d.med, 4) AS med, round(m.mad, 4) AS mad,
+           round(abs(d.value - d.med) / m.mad, 4) AS mad_score
+    FROM dev d JOIN mad m USING (event_type)
+    WHERE round(abs(d.value - d.med) / m.mad, 4) > 3.5
+    """,
+    note="robust MAD outlier gate: two exact-median aggregations + "
+    "broadcast stats join; heavy tails no longer drag the scale they "
+    "are scored against",
+)
+def _mad_outliers(spark, sf):
+    return analytics.mad_outliers(_t(spark, sf, "events"))
+
+
 # ---------------------------------------------- registration priority
 
 #: Queries whose oracle verdicts are already on record in

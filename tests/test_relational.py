@@ -428,3 +428,42 @@ def test_audience_overlap_counts_shared_users(spark):
         for r in relational.audience_overlap(events).collect()
     }
     assert got == {("click", "view"): 1, ("buy", "view"): 1}
+
+
+def test_target_encoding_shrinks_toward_global(spark):
+    """Rare categories shrink harder toward the global mean than
+    frequent ones; the blend is the textbook closed form."""
+    from java_mapreduce_framework_spark.operators import analytics
+
+    rows = [(i, "x", "en", "big", 100) for i in range(20)] + [
+        (100, "x", "en", "rare", 500)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r["source"]: r for r in analytics.target_encoding(docs).collect()}
+    g = (20 * 100 + 500) / 21.0
+    assert out["big"]["mean_target"] == 100.0
+    assert out["rare"]["mean_target"] == 500.0
+    assert out["rare"]["encoded"] == round((500 + 10 * g) / 11.0, 4)
+    assert out["big"]["encoded"] == round((2000 + 10 * g) / 30.0, 4)
+    # shrinkage: the rare category moves further toward g than big
+    assert abs(out["rare"]["encoded"] - 500) > abs(out["big"]["encoded"] - 100)
+
+
+def test_mad_outliers_flags_whale_not_bulk(spark):
+    """One extreme value is flagged; the bulk (and zero-MAD groups)
+    are not."""
+    from java_mapreduce_framework_spark.operators import analytics
+
+    rows = [(i, "2024-01-01 00:00:00", i, "buy", float(v), "{}")
+            for i, v in enumerate([10, 11, 9, 10, 12, 10, 11, 1000])]
+    # constant-valued group: MAD = 0, must be dropped entirely
+    rows += [(100 + i, "2024-01-01 00:00:00", i, "flat", 5.0, "{}") for i in range(4)]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = analytics.mad_outliers(events, k=3.5).collect()
+    assert [(r["event_id"], r["event_type"]) for r in out] == [(7, "buy")]

@@ -476,3 +476,41 @@ def test_split_leakage_audit_finds_planted_dup(spark):
     assert len(rows) == 1
     [r] = rows
     assert r["n_docs"] == 2 and set(r["splits"].split(",")) == {"train", "test"}
+
+
+def test_bpe_merge_step_counts_and_singleton_guard(spark):
+    """Pair counts weight by word frequency; single-char words carry
+    no pairs (the sequence(1,0)-descends guard)."""
+    from java_mapreduce_framework_spark.operators import text as text_ops
+
+    # "ab" x3, "abc" x1, "a" x2 (singleton: must contribute nothing)
+    docs = spark.createDataFrame(
+        [(1, "ab ab abc a", "en", "t", 0), (2, "ab a", "en", "t", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = text_ops.bpe_merge_step(docs, k=10).collect()
+    got = {(r["sym_a"], r["sym_b"]): r["n_pair"] for r in rows}
+    # a-b: 3 (ab) + 1 (abc) = 4; b-c: 1
+    assert got == {("a", "b"): 4, ("b", "c"): 1}
+    assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == [1, 2]
+
+
+def test_chi2_feature_select_separating_word_wins(spark):
+    """A word exclusive to one language outscores a uniform word."""
+    from java_mapreduce_framework_spark.operators import text as text_ops
+
+    rows_in = []
+    for i in range(12):
+        lang = "en" if i % 2 == 0 else "fr"
+        marker = "hello" if lang == "en" else "bonjour"
+        rows_in.append((i, f"{marker} common", lang, "t", 0))
+    docs = spark.createDataFrame(
+        rows_in, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = text_ops.chi2_feature_select(docs, min_df=3, k=10).collect()
+    by_word = {r["word"]: r for r in out}
+    # perfectly separating words: chi2 = N = 12; uniform word: chi2 = 0
+    assert by_word["hello"]["chi2"] == 12.0
+    assert by_word["hello"]["best_lang"] == "en"
+    assert by_word["bonjour"]["best_lang"] == "fr"
+    assert by_word["common"]["chi2"] == 0.0
