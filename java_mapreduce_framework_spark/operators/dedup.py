@@ -1298,3 +1298,46 @@ def bfs_hops(pairs: DataFrame, max_hops: int = 8) -> DataFrame:
         visited = visited.unionByName(nxt).localCheckpoint()
         frontier = nxt
     return visited
+
+
+def containment_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.9,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT pairs: common / min(|A|, |B|) >=
+    threshold. The asymmetric companion to ``ngram_jaccard_pairs`` --
+    Jaccard misses a short document wholly embedded in a long one
+    (quote farms, boilerplate wrappers, doc-in-doc contamination),
+    because the union in its denominator is dominated by the long
+    side; containment normalizes by the SMALLER shingle set, which is
+    exactly the "is A inside B" question (Broder 1997's containment
+    coefficient).
+
+    Same inverted-index mechanics and scale posture as Jaccard (one
+    shuffled-hash join on the 8-byte shingle hash, per-shingle
+    fan-out bounded by ``df_cap`` at corpus scale); only the
+    normalization differs, so the two operators share every stage up
+    to the final score.
+    """
+    sh = shingles(documents, n, hashed=True)
+    if df_cap is not None:
+        sh = df_cap_shingles(sh, df_cap)
+    sizes = shingle_sizes(sh)
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b.hint("shuffle_hash"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    cont = F.col("common") * 1.0 / F.least(F.col("na"), F.col("nb"))
+    return (
+        common.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(cont >= threshold)
+        .select("doc_a", "doc_b", F.round(cont, 4).alias("containment"))
+    )

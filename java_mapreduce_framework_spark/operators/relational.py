@@ -925,3 +925,111 @@ def audience_overlap(events: DataFrame) -> DataFrame:
         .groupBy("type_a", "type_b")
         .agg(F.count("*").alias("n_shared"))
     )
+
+
+def skyline_pareto(part: DataFrame, bucket_width: float = 100.0) -> DataFrame:
+    """2-D Pareto frontier (skyline) of parts: minimize
+    ``p_retailprice``, maximize ``p_size`` — the points no other
+    point beats on both axes (Börzsönyi et al., ICDE 2001). The
+    query shape behind "best tradeoff" product pages and multi-metric
+    data-quality frontiers.
+
+    Distributed in two stages so the exact global sort-window never
+    sees the full table:
+
+    1. **Grid prune** (map-side): per price-bucket max size is a tiny
+       combinable aggregate; a running max over STRICTLY-LOWER buckets
+       (bucket-cardinality window) broadcasts back, and any point
+       whose size <= that max is provably dominated (everything in a
+       strictly lower bucket has strictly lower price). At 100 TB
+       this discards ~everything before any global step.
+    2. **Exact skyline** over the survivors: distinct (price, size)
+       pairs ordered by (price asc, size desc); a pair survives iff
+       its size exceeds the running max size over strictly-preceding
+       pairs (textbook O(n log n) sweep as one window). Worst case
+       (perfectly anti-correlated data) survivors = frontier = input;
+       that blow-up is inherent to skylines, not to this plan.
+
+    Emits (p_retailprice, p_size, n_parts) — duplicates on the
+    frontier are collapsed with a count, ties broken nowhere (the
+    sweep is deterministic on the distinct pairs).
+    """
+    pts = part.groupBy("p_retailprice", "p_size").agg(
+        F.count("*").alias("n_parts")
+    )
+    bucket = F.floor(F.col("p_retailprice") / bucket_width).alias("bucket")
+    per_bucket = pts.select(bucket, "p_size").groupBy("bucket").agg(
+        F.max("p_size").alias("bucket_max")
+    )
+    wprev = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prune = per_bucket.select(
+        "bucket", F.max("bucket_max").over(wprev).alias("lower_max")
+    )
+    survivors = (
+        pts.withColumn("bucket", F.floor(F.col("p_retailprice") / bucket_width))
+        .join(F.broadcast(prune), "bucket")
+        .filter(F.col("lower_max").isNull() | (F.col("p_size") > F.col("lower_max")))
+    )
+    sweep = Window.orderBy(F.col("p_retailprice").asc(), F.col("p_size").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        survivors.withColumn("run_max", F.max("p_size").over(sweep))
+        .filter(F.col("run_max").isNull() | (F.col("p_size") > F.col("run_max")))
+        .select("p_retailprice", "p_size", "n_parts")
+    )
+
+
+def join_interval_overlap(lineitem: DataFrame) -> DataFrame:
+    """Interval-overlap join: every lineitem's transit interval
+    [l_shipdate, l_receiptdate] against a generated calendar of
+    quarters, counting shipments IN TRANSIT during each quarter
+    (overlap predicate: start <= q_end AND end >= q_start) — the
+    "concurrent intervals per period" shape behind occupancy,
+    in-flight-inventory, and active-subscription queries.
+
+    The calendar side is generated (28 quarters for the fixture's
+    date span) and broadcast, so the overlap inequality runs as a
+    broadcast nested-loop with fan-out bounded by the handful of
+    quarters an interval can span — per-row work is
+    O(|dim|) with a 28-row dim, and no shuffle touches the fact
+    table until the final quarter-cardinality aggregation. For
+    interval×interval joins where BOTH sides are large, band the
+    time axis instead (``join_range_banded``'s chunking is exactly
+    that path).
+
+    The fixture carries no receipt date, so the transit end derives
+    deterministically from the row: 1 + 5×l_linenumber days after
+    shipping.
+
+    Emits (q_start, n_in_transit, sum_qty).
+    """
+    spark = lineitem.sparkSession
+    quarters = spark.sql(
+        "SELECT explode(sequence(to_date('1992-01-01'),"
+        " to_date('1998-10-01'), interval 3 month)) AS q_start"
+    ).select(
+        "q_start",
+        F.date_add(F.add_months("q_start", 3), -1).alias("q_end"),
+    )
+    iv = lineitem.select(
+        F.to_date("l_shipdate").alias("ship_day"),
+        "l_linenumber",
+        "l_quantity",
+    ).withColumn(
+        "receipt_day",
+        F.date_add(F.col("ship_day"), F.lit(1) + F.col("l_linenumber") * 5),
+    )
+    overlap = (F.col("ship_day") <= F.col("q_end")) & (
+        F.col("receipt_day") >= F.col("q_start")
+    )
+    return (
+        iv.join(F.broadcast(quarters), overlap)
+        .groupBy(F.col("q_start").cast("timestamp").alias("q_start"))
+        .agg(
+            F.count("*").alias("n_in_transit"),
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+        )
+    )

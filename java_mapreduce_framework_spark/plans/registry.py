@@ -3717,6 +3717,90 @@ def _mad_outliers(spark, sf):
     return analytics.mad_outliers(_t(spark, sf, "events"))
 
 
+@_register(
+    "dedup_containment",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      FROM toks WHERE len(t) >= 3),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    com AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_a, doc_b, round(c * 1.0 / least(na.n, nb.n), 4) AS containment
+    FROM com
+    JOIN sizes na ON com.doc_a = na.doc_id
+    JOIN sizes nb ON com.doc_b = nb.doc_id
+    WHERE c * 1.0 / least(na.n, nb.n) >= 0.9
+    """,
+    note="asymmetric doc-in-doc detection: common/min(|A|,|B|) catches "
+    "short docs embedded in long ones that Jaccard's union denominator "
+    "misses; same inverted-index mechanics and df_cap scale guard",
+)
+def _dedup_containment(spark, sf):
+    return dedup.containment_pairs(_t(spark, sf, "documents"))
+
+
+@_register(
+    "skyline_pareto",
+    """
+    WITH pts AS (
+      SELECT p_retailprice, p_size, CAST(count(*) AS BIGINT) AS n_parts
+      FROM part GROUP BY p_retailprice, p_size
+    ),
+    sweep AS (
+      SELECT *, max(p_size) OVER (ORDER BY p_retailprice ASC, p_size DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_max
+      FROM pts
+    )
+    SELECT p_retailprice, p_size, n_parts FROM sweep
+    WHERE run_max IS NULL OR p_size > run_max
+    """,
+    note="2-D Pareto frontier (min price, max size): grid-prune by "
+    "price bucket discards dominated points map-side before the exact "
+    "sweep window ever sees them; oracle runs the unpruned sweep",
+)
+def _skyline_pareto(spark, sf):
+    return relational.skyline_pareto(_t(spark, sf, "part"))
+
+
+@_register(
+    "join_interval_overlap",
+    """
+    WITH quarters AS (
+      SELECT unnest(generate_series(DATE '1992-01-01', DATE '1998-10-01',
+                                    INTERVAL 3 MONTH))::DATE AS q_start
+    ),
+    q AS (
+      SELECT q_start, (q_start + INTERVAL 3 MONTH - INTERVAL 1 DAY)::DATE AS q_end
+      FROM quarters
+    )
+    SELECT CAST(q_start AS TIMESTAMP) AS q_start,
+           CAST(count(*) AS BIGINT) AS n_in_transit,
+           CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+    FROM (
+      SELECT CAST(l_shipdate AS DATE) AS ship_day,
+             CAST(l_shipdate AS DATE) + CAST(1 + l_linenumber * 5 AS INT)
+               AS receipt_day,
+             l_quantity
+      FROM lineitem
+    ) iv JOIN q
+      ON ship_day <= q_end AND receipt_day >= q_start
+    GROUP BY q_start
+    """,
+    note="interval-overlap join vs a generated quarter calendar "
+    "(in-transit occupancy per period): broadcast nested-loop with a "
+    "28-row dim; large-x-large interval joins band the axis instead",
+)
+def _join_interval_overlap(spark, sf):
+    return relational.join_interval_overlap(_t(spark, sf, "lineitem"))
+
+
 # ---------------------------------------------- registration priority
 
 #: Queries whose oracle verdicts are already on record in

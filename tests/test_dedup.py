@@ -467,3 +467,21 @@ def test_bfs_hops_chain_and_cutoff(spark):
     assert got == {i: i for i in range(9)}            # hops 0..8
     assert 9 not in got and 10 not in got             # beyond cutoff
     assert 50 not in got and 51 not in got            # other component
+
+
+def test_containment_catches_embedded_doc_jaccard_misses(spark):
+    """A short doc fully embedded in a long one: containment = 1.0
+    even though Jaccard is far below threshold."""
+    from java_mapreduce_framework_spark.operators import dedup as dd
+
+    short = "alpha beta gamma delta epsilon"
+    long = short + " " + " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, short, "en", "t", 0), (2, long, "en", "t", 0),
+         (3, "totally different text entirely here", "en", "t", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    cont = dd.containment_pairs(docs, threshold=0.9).collect()
+    assert [(r["doc_a"], r["doc_b"], r["containment"]) for r in cont] == [(1, 2, 1.0)]
+    jac = dd.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    assert jac == []  # Jaccard's union denominator misses the embedding

@@ -38,6 +38,9 @@ ALLOWED_NESTED_LOOP = {
     "join_bloom_pruned",  # 1-row broadcast Bloom-bitmap literal
     "pair_pmi",  # 1-row broadcast corpus token total
     "lm_bigram_score",  # 1-row broadcast vocabulary-size scalar
+    "chi2_feature_select",  # 1-row broadcast grand-total scalar
+    "target_encoding",  # 1-row broadcast global-mean scalar
+    "join_interval_overlap",  # 28-row broadcast quarter calendar
 }
 
 

@@ -467,3 +467,53 @@ def test_mad_outliers_flags_whale_not_bulk(spark):
     ).withColumn("ts", F.to_timestamp("ts"))
     out = analytics.mad_outliers(events, k=3.5).collect()
     assert [(r["event_id"], r["event_type"]) for r in out] == [(7, "buy")]
+
+
+def test_skyline_pareto_frontier_exact(spark):
+    """Frontier = points undominated on (min price, max size);
+    dominated and duplicate points handled per the sweep contract."""
+    from java_mapreduce_framework_spark.operators import relational as rel
+
+    rows = [
+        (1, "p", "m", "b", "t", 10, "c", 100.0, "x"),   # frontier (cheapest)
+        (2, "p", "m", "b", "t", 20, "c", 150.0, "x"),   # frontier (bigger, pricier)
+        (3, "p", "m", "b", "t", 15, "c", 180.0, "x"),   # dominated by 2
+        (4, "p", "m", "b", "t", 20, "c", 150.0, "x"),   # duplicate of 2
+        (5, "p", "m", "b", "t", 5, "c", 120.0, "x"),    # dominated by 1
+        (6, "p", "m", "b", "t", 30, "c", 400.0, "x"),   # frontier (biggest)
+    ]
+    part = spark.createDataFrame(
+        rows,
+        "p_partkey long, p_name string, p_mfgr string, p_brand string,"
+        " p_type string, p_size int, p_container string,"
+        " p_retailprice double, p_comment string",
+    )
+    out = sorted(
+        rel.skyline_pareto(part).collect(), key=lambda r: r["p_retailprice"]
+    )
+    assert [(r["p_retailprice"], r["p_size"], r["n_parts"]) for r in out] == [
+        (100.0, 10, 1), (150.0, 20, 2), (400.0, 30, 1)
+    ]
+
+
+def test_join_interval_overlap_spans_quarters(spark):
+    """An interval crossing a quarter boundary lands in both quarters."""
+    from java_mapreduce_framework_spark.operators import relational as rel
+
+    rows = [
+        # ships Mar 30, linenumber 1 -> receipt Apr 5: overlaps Q1 + Q2
+        (1, 1, 1, 1, 10.0, 1.0, 0.0, 0.0, "N", "O", "1995-03-30 00:00:00"),
+        # ships Feb 1, linenumber 1 -> receipt Feb 7: Q1 only
+        (2, 1, 1, 1, 5.0, 1.0, 0.0, 0.0, "N", "O", "1995-02-01 00:00:00"),
+    ]
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate string",
+    ).withColumn("l_shipdate", F.to_timestamp("l_shipdate"))
+    out = {str(r["q_start"])[:10]: r for r in rel.join_interval_overlap(li).collect()}
+    assert out["1995-01-01"]["n_in_transit"] == 2
+    assert out["1995-04-01"]["n_in_transit"] == 1
+    assert out["1995-01-01"]["sum_qty"] == 15.0
