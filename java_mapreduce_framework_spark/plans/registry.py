@@ -3801,6 +3801,30 @@ def _join_interval_overlap(spark, sf):
     return relational.join_interval_overlap(_t(spark, sf, "lineitem"))
 
 
+@_register(
+    "stream_topk_windowed",
+    f"""
+    WITH counts AS (
+      SELECT date_trunc('hour', ts) AS window_start, event_type,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM {_EVTS} GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n_events,
+           CAST(row_number() OVER (PARTITION BY window_start
+                ORDER BY n_events DESC, event_type) AS INT) AS rnk
+    FROM counts
+    QUALIFY rnk <= 3
+    """,
+    note="streaming trending-now: unbounded tier maintains windowed "
+    "counts, rank tier is a bounded batch query over the drained "
+    "aggregate (windows x type-alphabet sized)",
+)
+def _stream_topk_windowed(spark, sf):
+    from ..streaming.jobs import stream_topk_windowed
+
+    return stream_topk_windowed(spark, sf)
+
+
 # ---------------------------------------------- registration priority
 
 #: Queries whose oracle verdicts are already on record in

@@ -20,7 +20,7 @@ import os
 import pathlib
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens_col
@@ -701,3 +701,37 @@ def stream_quality_filter(
     docs = spark.readStream.schema(schema).parquet(path)
     kept = quality_score(docs).filter(F.col("quality") >= min_quality)
     return _drain_to_memory(kept, mode="append")
+
+
+def stream_topk_windowed(
+    spark: SparkSession, sf_dir: str, duration: str = "1 hour", k: int = 3
+) -> DataFrame:
+    """Streaming "trending now": top-k event types per tumbling
+    window. Structured Streaming cannot rank inside an unbounded
+    aggregation (rank needs the window CLOSED), so this is the
+    standard two-tier topology: the stream maintains the windowed
+    counts — the unbounded, high-volume half — and the rank runs as a
+    bounded batch query over the drained aggregate, whose size is
+    windows × type-alphabet regardless of input rate. In a live
+    deployment the rank tier reads the continuously-updated sink
+    (or runs in foreachBatch on each update); bounded-input drain
+    keeps the result equal to the batch oracle.
+
+    Emits (window_start, event_type, n_events, rnk).
+    """
+    path = _stage_stream_dir(spark, sf_dir, "events")
+    schema = spark.read.parquet(path).schema
+    events = spark.readStream.schema(schema).parquet(path)
+    agg = (
+        events.groupBy(F.window("ts", duration).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    counts = _drain_to_memory(agg)
+    rank_w = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), "event_type"
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(rank_w))
+        .filter(F.col("rnk") <= k)
+    )

@@ -422,3 +422,20 @@ def test_stream_quality_filter_equals_batch(spark, sf_small):
         map(tuple, quality_score(docs).filter(F.col("quality") >= 0.5).collect())
     )
     assert got == want and len(got) > 0
+
+
+def test_stream_topk_windowed_ranks_within_hour(spark, sf_small):
+    from java_mapreduce_framework_spark.streaming.jobs import stream_topk_windowed
+
+    out = stream_topk_windowed(spark, sf_small, k=3).collect()
+    assert out, "expected ranked rows"
+    by_w = {}
+    for r in out:
+        by_w.setdefault(r["window_start"], []).append(r)
+    for w, rows in by_w.items():
+        rows.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= 3
+        # counts non-increasing down the rank
+        counts = [r["n_events"] for r in rows]
+        assert counts == sorted(counts, reverse=True)
