@@ -26,7 +26,7 @@ from operator import add as _add
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import grams_expr, tokens_col
+from ..functions.text import grams_expr, tokens_col, words_exploded
 
 # Modulus / bounds for the MinHash permutation family
 #   h' = (a*h + b) mod P  with h, a, b < 2^30 and P = 2^31 - 1,
@@ -1340,4 +1340,66 @@ def containment_pairs(
         .join(nb, "doc_b")
         .filter(cont >= threshold)
         .select("doc_a", "doc_b", F.round(cont, 4).alias("containment"))
+    )
+
+
+def tfidf_cosine_pairs(
+    documents: DataFrame, threshold: float = 0.6, df_cap: int = 64
+) -> DataFrame:
+    """Exact tf-idf cosine near-dup pairs over the ``df_cap``-capped
+    vocabulary — the all-pairs similarity-search shape (Bayardo et
+    al., WWW '07) on TOKEN WEIGHTS rather than shingle sets: where
+    Jaccard sees only presence, weighted cosine credits repeated
+    rare terms, the signal that survives light paraphrase.
+
+    Terms with document frequency > ``df_cap`` are dropped BEFORE
+    weighting (stop-words carry near-zero idf anyway), which is both
+    the standard practice and THE scale guard: inverted-index join
+    work is Σ_term df², so capping df bounds per-term fan-out at
+    df_cap² — same posture as ``dedup_ngram_jaccard_capped``. On the
+    capped universe everything is exact: idf = ln(N / df), weights
+    tf·idf, cosine = Σ w_a·w_b / (‖a‖·‖b‖).
+
+    Plan: word counts (combinable) → df counts + broadcast cap
+    anti-join → per-doc norms (combinable) → one shuffled-hash
+    inverted-index join → pair dot products (combinable) → broadcast
+    norm join + threshold.
+
+    Emits (doc_a, doc_b, cosine).
+    """
+    tf = words_exploded(documents).groupBy("doc_id", "word").agg(
+        F.count("*").alias("tf")
+    )
+    dfc = tf.groupBy("word").agg(F.count("*").alias("df"))
+    kept = dfc.filter(F.col("df") <= df_cap)
+    n_docs = documents.select(
+        F.count("*").cast("double").alias("n_docs")
+    )
+    weights = (
+        tf.join(kept, "word")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "word",
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("w"),
+        )
+    )
+    norms = weights.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")
+    )
+    a, b = weights.alias("a"), weights.alias("b")
+    dots = (
+        a.join(b.hint("shuffle_hash"), "word")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("norm").alias("norm_a"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("norm").alias("norm_b"))
+    cos = F.col("dot") / (F.col("norm_a") * F.col("norm_b"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(cos >= threshold)
+        .select("doc_a", "doc_b", F.round(cos, 4).alias("cosine"))
     )

@@ -563,3 +563,70 @@ def attribution_last_touch(events: DataFrame) -> DataFrame:
             "attributed_ts",
         )
     )
+
+
+def snapshot_diff(
+    events: DataFrame,
+    t1: str = "2024-01-15 00:00:00",
+    t2: str = "2024-01-31 00:00:00",
+) -> DataFrame:
+    """Snapshot diff between two time-travel cuts of a CDC stream:
+    each user's state at time T is their latest event at ts <= T
+    (latest-wins, the ``cdc_latest_wins`` rule); the diff reports
+    every user whose state was ADDED or CHANGED between ``t1`` and
+    ``t2`` — the audit query behind "what moved between yesterday's
+    and today's snapshot" on incremental tables.
+
+    One scan computes BOTH snapshots: events after t2 are dropped,
+    then a single rank window per user ordered (ts desc, event_id
+    desc) is evaluated twice via conditional ranks — rank among
+    rows <= t1 and rank among all rows <= t2 — so no second shuffle
+    and no self-join. Only difference rows survive.
+
+    Emits (user_id, status, old_type, old_value, new_type, new_value).
+    """
+    upto_t2 = events.filter(F.col("ts") <= F.lit(t2).cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    in_t1 = F.col("ts") <= F.lit(t1).cast("timestamp")
+    marked = upto_t2.select(
+        "user_id", "ts", "event_id", "event_type", "value", in_t1.alias("in_t1")
+    ).withColumn(
+        "rn2", F.row_number().over(w)
+    ).withColumn(
+        # rank among t1-eligible rows only: running count of t1 rows
+        # down the same ordering
+        "rn1",
+        F.sum(F.col("in_t1").cast("int")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    new_state = marked.filter(F.col("rn2") == 1).select(
+        "user_id",
+        F.col("event_type").alias("new_type"),
+        F.round("value", 2).alias("new_value"),
+        F.col("event_id").alias("new_eid"),
+    )
+    old_state = marked.filter(in_t1 & (F.col("rn1") == 1)).select(
+        "user_id",
+        F.col("event_type").alias("old_type"),
+        F.round("value", 2).alias("old_value"),
+        F.col("event_id").alias("old_eid"),
+    )
+    j = new_state.join(old_state, "user_id", "left")
+    return (
+        j.filter(
+            F.col("old_eid").isNull() | (F.col("old_eid") != F.col("new_eid"))
+        )
+        .select(
+            "user_id",
+            F.when(F.col("old_eid").isNull(), "added")
+            .otherwise("changed")
+            .alias("status"),
+            "old_type",
+            "old_value",
+            "new_type",
+            "new_value",
+        )
+    )

@@ -1170,3 +1170,38 @@ def chi2_feature_select(
         best.select(F.row_number().over(order).alias("rank"), "*")
         .filter(F.col("rank") <= k)
     )
+
+
+def weighted_sample_es(documents: DataFrame, k: int = 10) -> DataFrame:
+    """Deterministic weighted sampling per language via the
+    Efraimidis-Spirakis key (VLDB '06 / IPL '06): each doc draws a
+    deterministic uniform u from its id hash and ranks by
+    ln(u) / weight (monotone-equivalent to the classic u^(1/w)); the
+    top-k per group IS a weighted random sample without replacement.
+    The standard corpus-mixing primitive when docs carry quality or
+    length weights — and, unlike rand()-based sampling, reproducible
+    across retries, speculative re-execution, and engines.
+
+    u derives from 4 md5 hex digits (16-bit resolution, plenty for
+    sampling; exact-tie rank breaks on doc_id). weight = n_chars.
+    Plan: map-side key computation + one per-group top-k window —
+    same shuffle as any grouped rank; nothing global.
+
+    Emits (lang, rank, doc_id, weight).
+    """
+    v = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.lit("es"), F.col("doc_id").cast("string"))), 1, 4),
+        16,
+        10,
+    ).cast("double")
+    u = (v + 0.5) / 65536.0
+    key = F.log(u) / F.col("n_chars")
+    w = Window.partitionBy("lang").orderBy(F.col("es_key").desc(), "doc_id")
+    return (
+        documents.select(
+            "lang", "doc_id", F.col("n_chars").alias("weight"), key.alias("es_key")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("lang", "rank", "doc_id", "weight")
+    )

@@ -3825,6 +3825,113 @@ def _stream_topk_windowed(spark, sf):
     return stream_topk_windowed(spark, sf)
 
 
+@_register(
+    "weighted_sample_es",
+    """
+    WITH keyed AS (
+      SELECT lang, doc_id, n_chars AS weight,
+             ln((
+               (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+               + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+               + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)
+               + 0.5) / 65536.0) / n_chars AS es_key
+      FROM (
+        SELECT lang, doc_id, n_chars,
+               md5('es|' || CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+      )
+    )
+    SELECT lang,
+           CAST(row_number() OVER (PARTITION BY lang
+                ORDER BY es_key DESC, doc_id) AS INT) AS rank,
+           doc_id, weight
+    FROM keyed
+    QUALIFY rank <= 10
+    """,
+    note="Efraimidis-Spirakis weighted sample without replacement: "
+    "deterministic hash uniform, rank by ln(u)/w per language — "
+    "reproducible across retries and engines, unlike rand()",
+)
+def _weighted_sample_es(spark, sf):
+    return text.weighted_sample_es(_t(spark, sf, "documents"))
+
+
+@_register(
+    "dedup_tfidf_cosine",
+    f"""
+    WITH words AS (
+      SELECT doc_id, unnest({_TOKS}) AS word FROM documents
+    ),
+    tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY doc_id, word),
+    dfc AS (SELECT word, count(*) AS df FROM tf GROUP BY word HAVING count(*) <= 64),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+    w AS (
+      SELECT doc_id, word, tf * ln(n_docs / df) AS w
+      FROM tf JOIN dfc USING (word) CROSS JOIN n
+    ),
+    norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dot
+      FROM w a JOIN w b USING (word)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, round(dot / (na.nrm * nb.nrm), 4) AS cosine
+    FROM dots
+    JOIN norms na ON dots.doc_a = na.doc_id
+    JOIN norms nb ON dots.doc_b = nb.doc_id
+    WHERE dot / (na.nrm * nb.nrm) >= 0.6
+    """,
+    note="exact tf-idf cosine near-dup on the df_cap-capped vocabulary "
+    "(Bayardo all-pairs shape); capping df bounds inverted-index "
+    "fan-out at df_cap^2 — the stop-words it drops carry ~zero idf",
+)
+def _dedup_tfidf_cosine(spark, sf):
+    return dedup.tfidf_cosine_pairs(_t(spark, sf, "documents"))
+
+
+@_register(
+    "snapshot_diff",
+    f"""
+    WITH upto2 AS (
+      SELECT * FROM {_EVTS} WHERE ts <= TIMESTAMP '2024-01-31 00:00:00'
+    ),
+    marked AS (
+      SELECT user_id, event_id, event_type, value,
+             ts <= TIMESTAMP '2024-01-15 00:00:00' AS in_t1,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn2,
+             sum(CASE WHEN ts <= TIMESTAMP '2024-01-15 00:00:00'
+                 THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rn1
+      FROM upto2
+    ),
+    new_state AS (
+      SELECT user_id, event_type AS new_type, round(value, 2) AS new_value,
+             event_id AS new_eid
+      FROM marked WHERE rn2 = 1
+    ),
+    old_state AS (
+      SELECT user_id, event_type AS old_type, round(value, 2) AS old_value,
+             event_id AS old_eid
+      FROM marked WHERE in_t1 AND rn1 = 1
+    )
+    SELECT n.user_id,
+           CASE WHEN o.old_eid IS NULL THEN 'added' ELSE 'changed' END AS status,
+           o.old_type, o.old_value, n.new_type, n.new_value
+    FROM new_state n LEFT JOIN old_state o USING (user_id)
+    WHERE o.old_eid IS NULL OR o.old_eid <> n.new_eid
+    """,
+    note="time-travel snapshot diff (latest-wins state at two cuts): "
+    "one scan, one window shuffle — both snapshots via conditional "
+    "ranks down the same ordering, no self-join of the raw stream",
+)
+def _snapshot_diff(spark, sf):
+    return temporal.snapshot_diff(_t(spark, sf, "events"))
+
+
 # ---------------------------------------------- registration priority
 
 #: Queries whose oracle verdicts are already on record in

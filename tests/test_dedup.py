@@ -485,3 +485,22 @@ def test_containment_catches_embedded_doc_jaccard_misses(spark):
     assert [(r["doc_a"], r["doc_b"], r["containment"]) for r in cont] == [(1, 2, 1.0)]
     jac = dd.ngram_jaccard_pairs(docs, threshold=0.8).collect()
     assert jac == []  # Jaccard's union denominator misses the embedding
+
+
+def test_tfidf_cosine_credits_repeated_rare_terms(spark):
+    """Docs sharing repeated rare vocabulary score high; unrelated
+    docs do not pair."""
+    from java_mapreduce_framework_spark.operators import dedup as dd
+
+    a = "zeppelin quartz zeppelin quartz nimbus vortex common"
+    b = "zeppelin quartz zeppelin quartz nimbus vortex common extra"
+    c = "totally unrelated words about plain cooking recipes common"
+    docs = spark.createDataFrame(
+        [(1, a, "en", "t", 0), (2, b, "en", "t", 0), (3, c, "en", "t", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = dd.tfidf_cosine_pairs(docs, threshold=0.6).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in out] == [(1, 2)]
+    # the single unseen term carries idf ln(3) vs ln(1.5) for the
+    # shared vocab, so the pair lands near 0.76, well over threshold
+    assert out[0]["cosine"] > 0.7

@@ -41,6 +41,7 @@ ALLOWED_NESTED_LOOP = {
     "chi2_feature_select",  # 1-row broadcast grand-total scalar
     "target_encoding",  # 1-row broadcast global-mean scalar
     "join_interval_overlap",  # 28-row broadcast quarter calendar
+    "dedup_tfidf_cosine",  # 1-row broadcast corpus-size scalar for idf
 }
 
 

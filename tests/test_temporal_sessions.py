@@ -1,5 +1,7 @@
 import datetime
 
+from pyspark.sql import functions as F
+
 from java_mapreduce_framework_spark.operators.temporal import (
     session_stats,
     session_window_agg,
@@ -345,3 +347,31 @@ def test_attribution_last_touch_credits_latest_prior(spark):
     assert got[3] == ("click", t(2))
     assert got[4] == ("click", t(2))
     assert got[5] == (None, None)
+
+
+def test_snapshot_diff_added_changed_unchanged(spark):
+    """User present only after t1 -> added; state replaced between
+    cuts -> changed; untouched state -> absent from the diff."""
+    from java_mapreduce_framework_spark.operators import temporal
+
+    rows = [
+        # user 1: state at t1 (eid 10), new latest before t2 (eid 11) -> changed
+        (10, "2024-01-10 00:00:00", 1, "view", 1.0, "{}"),
+        (11, "2024-01-20 00:00:00", 1, "buy", 2.0, "{}"),
+        # user 2: only after t1 -> added
+        (20, "2024-01-18 00:00:00", 2, "view", 3.0, "{}"),
+        # user 3: unchanged since before t1 -> not emitted
+        (30, "2024-01-05 00:00:00", 3, "click", 4.0, "{}"),
+        # user 4: event after t2 must be invisible -> unchanged
+        (40, "2024-01-12 00:00:00", 4, "view", 5.0, "{}"),
+        (41, "2024-02-05 00:00:00", 4, "buy", 6.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r["user_id"]: r for r in temporal.snapshot_diff(events).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["status"] == "changed" and out[1]["old_type"] == "view" and out[1]["new_type"] == "buy"
+    assert out[2]["status"] == "added" and out[2]["old_type"] is None

@@ -514,3 +514,21 @@ def test_chi2_feature_select_separating_word_wins(spark):
     assert by_word["hello"]["best_lang"] == "en"
     assert by_word["bonjour"]["best_lang"] == "fr"
     assert by_word["common"]["chi2"] == 0.0
+
+
+def test_weighted_sample_es_bias_and_determinism(spark):
+    """Heavier docs are sampled more often across disjoint id spaces;
+    two runs agree exactly."""
+    from java_mapreduce_framework_spark.operators import text as text_ops
+
+    # 200 docs: even ids weight 1000, odd ids weight 10
+    rows = [(i, "t", "en", "s", 1000 if i % 2 == 0 else 10) for i in range(200)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out1 = text_ops.weighted_sample_es(docs, k=20).collect()
+    out2 = text_ops.weighted_sample_es(docs, k=20).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    heavy = sum(1 for r in out1 if r["weight"] == 1000)
+    assert len(out1) == 20
+    assert heavy >= 15  # 100:1 weight ratio dominates the draw
