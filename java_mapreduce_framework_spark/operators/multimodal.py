@@ -592,3 +592,53 @@ def decode_video_frames(videos: DataFrame) -> DataFrame:
         schema="doc_id long, frame_idx int, width int, height int, "
         "frame_bytes long, sum_px long, px_min int, px_max int",
     )
+
+
+def image_ahash(images: DataFrame) -> DataFrame:
+    """Perceptual average-hash (aHash) duplicate grouping over REAL
+    decoded pixels: each BMP decodes (library-free ``real_decode``),
+    converts to a grayscale sum, block-averages onto the 8x8 aHash
+    grid, and emits one bit per cell (cell mean >= image mean) --
+    the classic perceptual fingerprint that survives re-encoding and
+    minor brightness-preserving edits, where a byte-exact md5 does
+    not. Docs are then grouped by hash: one representative (min
+    doc_id) + copy count per perceptual class, the image analog of
+    ``dedup_exact``.
+
+    All comparisons are exact integer cross-multiplications
+    (cell_sum * total_n >= total_sum * cell_n), so the hash is
+    bit-identical across engines and float regimes; the oracle
+    recomputes it from the text bytes the pixels tile from. The
+    Arrow-batched kernel emits 64 chars per image -- payloads never
+    reach the driver, and the group-by shuffles hashes, not pixels.
+
+    Emits (ahash, keep_doc_id, n_copies).
+    """
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = real_decode(bytes(payload))
+                h, w, _ = px.shape
+                gray = px.astype(np.int64).sum(axis=2)
+                ys = (np.arange(h) * 8) // h
+                xs = (np.arange(w) * 8) // w
+                cell = (ys[:, None] * 8 + xs[None, :]).ravel()
+                s = np.bincount(cell, weights=gray.ravel(), minlength=64).astype(
+                    np.int64
+                )
+                n = np.bincount(cell, minlength=64).astype(np.int64)
+                ts, tn = int(gray.sum()), h * w
+                bits = s * tn >= ts * n
+                ids.append(doc_id)
+                hashes.append("".join("1" if b else "0" for b in bits))
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"), "ahash": hashes}
+            )
+
+    hashed = images.mapInPandas(kernel, schema="doc_id long, ahash string")
+    return hashed.groupBy("ahash").agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies")
+    )

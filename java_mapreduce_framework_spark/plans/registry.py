@@ -3932,6 +3932,51 @@ def _snapshot_diff(spark, sf):
     return temporal.snapshot_diff(_t(spark, sf, "events"))
 
 
+@_register(
+    "multimodal_image_ahash",
+    f"""
+    WITH {_PAYLOAD_CTE},
+    geo AS (SELECT doc_id, n, bytes,
+                   8 + (n % 9) AS w, 8 + ((n * 3) % 9) AS h
+            FROM pbytes WHERE n > 0),
+    pxg AS (
+      SELECT doc_id, w, h,
+             ((p // w) * 8 // h) * 8 + ((p % w) * 8 // w) AS cell,
+             bytes[CAST((3 * p) % n AS INT) + 1]
+               + bytes[CAST((3 * p + 1) % n AS INT) + 1]
+               + bytes[CAST((3 * p + 2) % n AS INT) + 1] AS gray
+      FROM geo, unnest(range(0, w * h)) AS r(p)
+    ),
+    cells AS (
+      SELECT doc_id, cell, sum(gray) AS s, count(*) AS cn
+      FROM pxg GROUP BY doc_id, cell
+    ),
+    tot AS (
+      SELECT doc_id, cell, s, cn,
+             sum(s) OVER (PARTITION BY doc_id) AS ts,
+             sum(cn) OVER (PARTITION BY doc_id) AS tn
+      FROM cells
+    ),
+    hashes AS (
+      SELECT doc_id,
+             string_agg(CASE WHEN s * tn >= ts * cn THEN '1' ELSE '0' END,
+                        '' ORDER BY cell) AS ahash
+      FROM tot GROUP BY doc_id
+    )
+    SELECT ahash, min(doc_id) AS keep_doc_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM hashes GROUP BY ahash
+    """,
+    note="perceptual average-hash dedup over REAL decoded BMP pixels: "
+    "8x8 block-mean bits via exact integer cross-multiplication; "
+    "oracle recomputes the hash from the text bytes the pixels tile "
+    "from, so a fake decode cannot pass",
+)
+def _multimodal_image_ahash(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return multimodal.image_ahash(multimodal.attach_image_payload(docs))
+
+
 # ---------------------------------------------- registration priority
 
 #: Queries whose oracle verdicts are already on record in

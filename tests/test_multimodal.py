@@ -228,3 +228,30 @@ def test_video_frames_geometry_and_count(spark, sf_small):
             assert (r["height"], r["width"]) == arr.shape[:2]
             assert r["sum_px"] == int(arr.sum())
             assert (r["px_min"], r["px_max"]) == (int(arr.min()), int(arr.max()))
+
+
+def test_image_ahash_survives_brightness_shift(spark):
+    """A uniform +brightness edit changes every byte (md5 differs)
+    but preserves the aHash bit pattern; a structural edit does not."""
+    import numpy as np
+
+    from java_mapreduce_framework_spark.operators.multimodal import (
+        encode_bmp,
+        image_ahash,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 200, size=(16, 16, 3), dtype=np.uint8)
+    brighter = (base + 20).astype(np.uint8)  # no wraparound (<200+20)
+    structural = base.copy()
+    structural[:8, :, :] = 255  # blow out the top half
+    rows = [
+        (1, bytearray(encode_bmp(base))),
+        (2, bytearray(encode_bmp(brighter))),
+        (3, bytearray(encode_bmp(structural))),
+    ]
+    images = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = image_ahash(images).collect()
+    groups = {r["keep_doc_id"]: r for r in out}
+    assert groups[1]["n_copies"] == 2  # base + brighter collide
+    assert 3 in groups and groups[3]["n_copies"] == 1
