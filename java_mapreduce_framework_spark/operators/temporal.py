@@ -630,3 +630,86 @@ def snapshot_diff(
             "new_value",
         )
     )
+
+
+def join_asof_nearest(events: DataFrame, orders: DataFrame) -> DataFrame:
+    """Nearest-as-of join: for each event, the user's order with the
+    MINIMUM |o_orderdate - ts| in either direction — the sensor-fusion
+    / measurement-alignment variant of ``join_asof`` (backward-only
+    is wrong when the closest reading may come just after).
+
+    Same union-timeline construction, still ONE shuffle: both the
+    backward candidate (``last(..., ignorenulls)`` over preceding
+    rows) and the forward candidate (``first(..., ignorenulls)`` over
+    following rows) are evaluated on the same sorted (key, time)
+    window pass, then an exact integer microsecond-distance struct-min
+    picks the winner (ties: lower distance, then lower o_orderkey —
+    equal-date orders are pre-reduced to min o_orderkey so both
+    engines agree). No range-candidate explosion at any scale.
+
+    Emits (event_id, user_id, o_orderkey, dist_us) — events whose
+    user has no orders keep NULLs.
+    """
+    wdedup = Window.partitionBy("o_custkey", "o_orderdate").orderBy("o_orderkey")
+    r = (
+        orders.withColumn("rn", F.row_number().over(wdedup))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("k"),
+            F.col("o_orderdate").alias("t"),
+            F.lit(0).alias("tag"),
+            F.col("o_orderkey"),
+            F.lit(None).cast("bigint").alias("event_id"),
+        )
+    )
+    left = events.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        F.col("event_id"),
+    )
+    order_us = F.when(
+        F.col("o_orderkey").isNotNull(), F.unix_micros(F.col("t"))
+    )
+    base = r.unionByName(left).select(
+        "k", "t", "tag", "event_id", "o_orderkey", order_us.alias("ord_us")
+    )
+    tl = Window.partitionBy("k").orderBy("t", "tag")
+    back = tl.rowsBetween(Window.unboundedPreceding, 0)
+    fwd = tl.rowsBetween(0, Window.unboundedFollowing)
+    cand = (
+        base.select(
+            "k",
+            "t",
+            "tag",
+            "event_id",
+            F.last("o_orderkey", ignorenulls=True).over(back).alias("bk_key"),
+            F.last("ord_us", ignorenulls=True).over(back).alias("bk_us"),
+            F.first("o_orderkey", ignorenulls=True).over(fwd).alias("fw_key"),
+            F.first("ord_us", ignorenulls=True).over(fwd).alias("fw_us"),
+        )
+        .filter(F.col("tag") == 1)
+    )
+    ev_us = F.unix_micros(F.col("t"))
+    bk = F.when(
+        F.col("bk_key").isNotNull(),
+        F.struct(
+            (ev_us - F.col("bk_us")).alias("dist_us"),
+            F.col("bk_key").alias("o_orderkey"),
+        ),
+    )
+    fw = F.when(
+        F.col("fw_key").isNotNull(),
+        F.struct(
+            (F.col("fw_us") - ev_us).alias("dist_us"),
+            F.col("fw_key").alias("o_orderkey"),
+        ),
+    )
+    best = F.least(bk, fw)  # least() skips NULL structs
+    return cand.withColumn("best", best).select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        F.col("best.o_orderkey").alias("o_orderkey"),
+        F.col("best.dist_us").alias("dist_us"),
+    )

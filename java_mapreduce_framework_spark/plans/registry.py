@@ -3977,6 +3977,38 @@ def _multimodal_image_ahash(spark, sf):
     return multimodal.image_ahash(multimodal.attach_image_payload(docs))
 
 
+@_register(
+    "join_asof_nearest",
+    f"""
+    WITH o1 AS (
+      SELECT o_custkey, o_orderdate, min(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    ),
+    scored AS (
+      SELECT evts.event_id, evts.user_id, o.o_orderkey,
+             abs(epoch_us(evts.ts)
+                 - epoch_us(CAST(o.o_orderdate AS TIMESTAMP))) AS dist_us,
+             row_number() OVER (PARTITION BY evts.event_id
+               ORDER BY abs(epoch_us(evts.ts)
+                            - epoch_us(CAST(o.o_orderdate AS TIMESTAMP))),
+                        o.o_orderkey) AS rn
+      FROM {_EVTS} JOIN o1 o ON o.o_custkey = evts.user_id
+    )
+    SELECT evts.event_id, evts.user_id, s.o_orderkey, s.dist_us
+    FROM {_EVTS}
+    LEFT JOIN (SELECT * FROM scored WHERE rn = 1) s USING (event_id)
+    """,
+    note="nearest-as-of join (either direction): backward and forward "
+    "candidates from ONE sorted timeline pass, exact integer "
+    "microsecond struct-min; oracle is the brute-force per-event rank "
+    "over all the user's orders — a genuinely independent computation",
+)
+def _join_asof_nearest(spark, sf):
+    return temporal.join_asof_nearest(
+        _t(spark, sf, "events"), _t(spark, sf, "orders")
+    )
+
+
 # ---------------------------------------------- registration priority
 
 #: Queries whose oracle verdicts are already on record in

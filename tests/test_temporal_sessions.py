@@ -375,3 +375,30 @@ def test_snapshot_diff_added_changed_unchanged(spark):
     assert set(out) == {1, 2}
     assert out[1]["status"] == "changed" and out[1]["old_type"] == "view" and out[1]["new_type"] == "buy"
     assert out[2]["status"] == "added" and out[2]["old_type"] is None
+
+
+def test_join_asof_nearest_picks_closer_side(spark):
+    """Forward order wins when closer; backward wins otherwise; no
+    orders -> NULLs survive."""
+    from java_mapreduce_framework_spark.operators.temporal import join_asof_nearest
+
+    events = spark.createDataFrame(
+        [
+            (1, "2024-01-10 00:00:00", 1, "view", 0.0, "{}"),  # nearer forward
+            (2, "2024-01-02 00:00:00", 1, "view", 0.0, "{}"),  # nearer backward
+            (3, "2024-01-05 00:00:00", 9, "view", 0.0, "{}"),  # no orders
+        ],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    orders = spark.createDataFrame(
+        [
+            (100, 1, "2024-01-01 00:00:00", 10.0),
+            (200, 1, "2024-01-11 00:00:00", 20.0),
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate string, o_totalprice double",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    out = {r["event_id"]: r for r in join_asof_nearest(events, orders).collect()}
+    assert out[1]["o_orderkey"] == 200 and out[1]["dist_us"] == 86400_000_000
+    assert out[2]["o_orderkey"] == 100 and out[2]["dist_us"] == 86400_000_000
+    assert out[3]["o_orderkey"] is None and out[3]["dist_us"] is None
