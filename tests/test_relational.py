@@ -517,3 +517,58 @@ def test_join_interval_overlap_spans_quarters(spark):
     assert out["1995-01-01"]["n_in_transit"] == 2
     assert out["1995-04-01"]["n_in_transit"] == 1
     assert out["1995-01-01"]["sum_qty"] == 15.0
+
+
+def test_time_resample_gapfill_locf(spark):
+    """Silent hours appear with n_events=0 and carry the last value
+    forward; hours before any data have NULL locf."""
+    from java_mapreduce_framework_spark.operators import analytics
+
+    rows = [
+        (1, "2024-01-01 05:30:00", 1, "view", 10.0, "{}"),
+        (2, "2024-01-01 08:10:00", 1, "view", 4.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        str(r["bucket_hour"]): r
+        for r in analytics.time_resample_gapfill(events).collect()
+    }
+    assert len(out) == 720  # 30 days x 24 h x 1 type
+    assert out["2024-01-01 04:00:00"]["n_events"] == 0
+    assert out["2024-01-01 04:00:00"]["locf_value"] is None
+    assert out["2024-01-01 05:00:00"]["n_events"] == 1
+    gap = out["2024-01-01 06:00:00"]
+    assert gap["n_events"] == 0 and gap["locf_value"] == 10.0
+    assert out["2024-01-01 09:00:00"]["locf_value"] == 4.0
+
+
+def test_ab_test_ztest_detects_planted_effect(spark):
+    """A type converted only by variant-A users comes out significant;
+    a uniformly-converted type does not."""
+    from java_mapreduce_framework_spark.operators import analytics
+
+    # find some user ids per variant under the op's own hash split
+    import hashlib
+
+    a_users = [u for u in range(1000) if hashlib.md5(f"ab|{u}".encode()).hexdigest()[0] < "8"][:40]
+    b_users = [u for u in range(1000) if hashlib.md5(f"ab|{u}".encode()).hexdigest()[0] >= "8"][:40]
+    rows = []
+    eid = 0
+    for u in a_users + b_users:
+        for _ in range(10):  # everyone converts on 'view'
+            rows.append((eid, "2024-01-01 00:00:00", u, "view", 1.0, "{}")); eid += 1
+    for u in a_users:  # only A converts on 'buy'
+        for _ in range(10):
+            rows.append((eid, "2024-01-01 00:00:00", u, "buy", 1.0, "{}")); eid += 1
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r["event_type"]: r for r in analytics.ab_test_ztest(events).collect()}
+    assert out["buy"]["significant"] is True and out["buy"]["zscore"] > 1.96
+    assert "view" not in out or out["view"]["significant"] is False

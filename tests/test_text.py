@@ -532,3 +532,31 @@ def test_weighted_sample_es_bias_and_determinism(spark):
     heavy = sum(1 for r in out1 if r["weight"] == 1000)
     assert len(out1) == 20
     assert heavy >= 15  # 100:1 weight ratio dominates the draw
+
+
+def test_train_shuffle_shard_deterministic_and_dense(spark):
+    """Shards partition the corpus; positions are dense 1..n per
+    shard; two runs agree exactly."""
+    from java_mapreduce_framework_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(i, "t", "en", "s", 1) for i in range(300)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out1 = text_ops.train_shuffle_shard(docs).collect()
+    out2 = text_ops.train_shuffle_shard(docs).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    assert len(out1) == 300
+    by_shard = {}
+    for r in out1:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= set(range(8))
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # the shuffle actually permutes: positions don't follow doc_id order
+    first_shard = sorted(by_shard)[0]
+    ids_in_order = [
+        r["doc_id"] for r in sorted(out1, key=lambda r: (r["shard"], r["pos"]))
+        if r["shard"] == first_shard
+    ]
+    assert ids_in_order != sorted(ids_in_order)
