@@ -4249,8 +4249,18 @@ def _record_staleness(name: str) -> int:
 def _prioritize_unrecorded() -> None:
     """Stable-partition the registry by record staleness: unrecorded
     queries first, then stalest verdicts (original relative order kept
-    within each tier)."""
-    ordered = sorted(_REGISTRY.items(), key=lambda kv: _record_staleness(kv[0]))
+    within each tier). Within the unrecorded tier, queries WITH a SQL
+    oracle sort before rows-only ones: the sweep's 50 slots buy a
+    full hash verdict for the former, while the latter already carry
+    quantitative engine-local verdicts in RECALL.json — the weaker
+    rows>0 record can wait a round when slots are tight."""
+    ordered = sorted(
+        _REGISTRY.items(),
+        key=lambda kv: (
+            _record_staleness(kv[0]),
+            1 if kv[1].oracle is None else 0,
+        ),
+    )
     _REGISTRY.clear()
     _REGISTRY.update(ordered)
 
