@@ -469,3 +469,64 @@ def test_bloom_probe_filters_before_join_exchange(spark, sf_small):
     join = plan.index("BroadcastHashJoin")
     scan_orders = plan.index("Scan parquet")  # first scan in formatted order
     assert filt > 0 and join > 0 and scan_orders > 0
+
+
+def test_bpe_merge_step_explodes_vocab_not_corpus(spark, sf_small):
+    """The pair explosion's input must be the aggregated vocabulary:
+    the Generate (explode) node sits ABOVE the word-count aggregate,
+    so pair fan-out is vocab-bounded at any corpus size."""
+    from java_mapreduce_framework_spark.operators.text import bpe_merge_step
+
+    plan = _formatted(bpe_merge_step(load_table(spark, sf_small, "documents")))
+    # two generates: token explode (below first agg) and pair explode.
+    # The final agg keyed on sym_a/sym_b must aggregate partially
+    # (combinable), and the plan must contain a word-count hash
+    # aggregate feeding the second generate.
+    assert plan.count("Generate") >= 2
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_skyline_grid_prune_below_sweep(spark, sf_small):
+    """The bucket stats side must be broadcast (tiny), and the final
+    single-partition sweep window must consume a filtered input, not
+    the raw distinct-pairs stream."""
+    from java_mapreduce_framework_spark.operators.relational import skyline_pareto
+
+    plan = _formatted(skyline_pareto(load_table(spark, sf_small, "part")))
+    assert "BroadcastExchange" in plan  # the per-bucket prune table
+    # grid prune: a Filter on lower_max sits below the global sort
+    assert "lower_max" in plan
+
+
+def test_mad_outliers_broadcasts_stats(spark, sf_small):
+    """Both stats joins (median, MAD) must broadcast the tiny
+    per-type table, never shuffle the events side twice more."""
+    from java_mapreduce_framework_spark.operators.analytics import mad_outliers
+
+    plan = _formatted(mad_outliers(load_table(spark, sf_small, "events")))
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_time_resample_gapfill_aggregates_corpus_once(spark, sf_small):
+    """Exactly one scan of events feeds a partial aggregate; the LOCF
+    window input is the spine join, not raw events."""
+    from java_mapreduce_framework_spark.operators.analytics import (
+        time_resample_gapfill,
+    )
+
+    plan = _formatted(time_resample_gapfill(load_table(spark, sf_small, "events")))
+    assert "partial_count" in plan or "partial_sum" in plan
+    # spine side is generated + broadcast into the left join
+    assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_train_shuffle_shard_single_window_shuffle(spark, sf_small):
+    """One exchange hash-partitioned on shard feeds the rank window —
+    the same partitioning the physical shard write would reuse."""
+    from java_mapreduce_framework_spark.operators.text import train_shuffle_shard
+
+    plan = _formatted(train_shuffle_shard(load_table(spark, sf_small, "documents")))
+    # formatted mode lists node headers and arguments separately
+    assert plan.count(") Exchange") == 1
+    assert "hashpartitioning(shard" in plan
+    assert "row_number" in plan
