@@ -1403,3 +1403,102 @@ def tfidf_cosine_pairs(
         .filter(cos >= threshold)
         .select("doc_a", "doc_b", F.round(cos, 4).alias("cosine"))
     )
+
+
+def pagerank(
+    pairs: DataFrame,
+    vertices: DataFrame,
+    iters: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over the undirected near-dup graph —
+    the canonical iterative graph workload (Page et al. '99) beyond
+    the connected-components / BFS family already declared: rank mass
+    concentrates on documents central to a duplication cluster, the
+    "which doc is the canonical source" signal.
+
+    Per iteration: one keyed join (ranks × edges), one grouped sum
+    per destination, and a 1-row dangling-mass aggregate broadcast
+    into the update (isolated docs redistribute everywhere) — NO
+    driver-side scalar probes; ``localCheckpoint`` truncates lineage
+    each round (the CC discipline), so plan depth stays constant and
+    worst-case work is ``iters`` × (|E| shuffle + |V| agg). All
+    vertices (including isolated ones) participate from a uniform
+    1/N start.
+
+    Emits (doc_id, pr) rounded to 6 — both engines accumulate in
+    float64 with different summation orders; 6 digits is far above
+    the ~1e-14 reorder noise and far below the ~1e-3 rank scale.
+    """
+    verts = vertices.select("doc_id")
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionByName(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+    )
+    degs = edges.groupBy(F.col("a").alias("doc_id")).agg(
+        F.count("*").alias("deg")
+    )
+    n_row = verts.agg(F.count("*").cast("double").alias("n"))
+    ranks = verts.crossJoin(F.broadcast(n_row)).select(
+        "doc_id", (F.lit(1.0) / F.col("n")).alias("pr")
+    ).localCheckpoint()
+    for _ in range(iters):
+        contrib = (
+            ranks.join(degs, "doc_id")
+            .join(edges, F.col("doc_id") == F.col("a"))
+            .groupBy(F.col("b").alias("doc_id"))
+            .agg(F.sum(F.col("pr") / F.col("deg")).alias("s"))
+        )
+        dangling = (
+            ranks.join(degs, "doc_id", "left_anti")
+            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("m"))
+        )
+        ranks = (
+            verts.join(contrib, "doc_id", "left")
+            .crossJoin(F.broadcast(dangling))
+            .crossJoin(F.broadcast(n_row))
+            .select(
+                "doc_id",
+                (
+                    (1.0 - damping) / F.col("n")
+                    + damping
+                    * (F.coalesce(F.col("s"), F.lit(0.0)) + F.col("m") / F.col("n"))
+                ).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("doc_id", F.round("pr", 6).alias("pr"))
+
+
+def triangle_count(pairs: DataFrame) -> DataFrame:
+    """Per-document triangle participation count over the near-dup
+    graph — the clustering-structure primitive (a doc in many
+    triangles sits inside a dense duplication clique, not a chain).
+
+    Canonical distributed formulation: orient every edge small→large
+    (kills duplicate counting), join wedges (a<b<c with edges a-b,
+    b-c), close them against the oriented edge list (a-c), then
+    credit each of the three corners — three joins total, each keyed
+    on node ids, no node ever sees more than its degree² wedges. The
+    degree² wedge fan-out is the known hot spot at scale; the
+    standard mitigation (degree-ordered orientation, which this uses)
+    bounds it by the SMALLER endpoint's degree.
+
+    Emits (doc_id, n_triangles) for docs in at least one triangle.
+    """
+    e = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    # orient by id: doc_a < doc_b already holds for the pair stream
+    ab = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    bc = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    ac = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = (
+        ab.join(bc, "b")
+        .join(ac, ["a", "c"])
+        .select("a", "b", "c")
+    )
+    corners = (
+        tri.select(F.col("a").alias("doc_id"))
+        .unionByName(tri.select(F.col("b").alias("doc_id")))
+        .unionByName(tri.select(F.col("c").alias("doc_id")))
+    )
+    return corners.groupBy("doc_id").agg(F.count("*").alias("n_triangles"))

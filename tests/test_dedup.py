@@ -504,3 +504,33 @@ def test_tfidf_cosine_credits_repeated_rare_terms(spark):
     # the single unseen term carries idf ln(3) vs ln(1.5) for the
     # shared vocab, so the pair lands near 0.76, well over threshold
     assert out[0]["cosine"] > 0.7
+
+
+def test_pagerank_mass_conserved_and_hub_ranked(spark):
+    """Rank mass sums to 1; the hub of a star outranks its leaves;
+    isolated nodes keep the dangling-redistributed baseline."""
+    from java_mapreduce_framework_spark.operators import dedup as dd
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "doc_a long, doc_b long"
+    )
+    verts = spark.createDataFrame(
+        [(i,) for i in range(1, 7)], "doc_id long"
+    )  # 5, 6 isolated
+    out = {r["doc_id"]: r["pr"] for r in dd.pagerank(pairs, verts).collect()}
+    assert abs(sum(out.values()) - 1.0) < 1e-4
+    assert out[1] > out[2] > 0
+    assert out[2] == out[3] == out[4]
+    assert out[5] == out[6] and out[5] > 0
+
+
+def test_triangle_count_closed_vs_open(spark):
+    """A closed triangle credits all three corners once; an open
+    wedge credits nobody."""
+    from java_mapreduce_framework_spark.operators import dedup as dd
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "doc_a long, doc_b long"
+    )
+    out = {r["doc_id"]: r["n_triangles"] for r in dd.triangle_count(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1}
