@@ -309,3 +309,103 @@ def test_edit_distance_passjoin_complete(texts):
         if abs(len(keys[a]) - len(keys[b])) <= 2 and lev(keys[a], keys[b]) <= 2
     }
     assert got == want
+
+
+words_strategy = st.lists(
+    st.lists(st.sampled_from(list("abcdefgh")), min_size=1, max_size=6).map("".join),
+    min_size=3,
+    max_size=12,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(words_strategy, min_size=2, max_size=4))
+def test_containment_geq_jaccard_and_bruteforce(doc_words):
+    """Containment >= Jaccard on every pair (min <= union), and both
+    match the set-algebra brute force over 3-gram shingles."""
+    from java_mapreduce_framework_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    spark = _spark
+    docs = spark.createDataFrame(
+        [(i, " ".join(ws), "en", "t", 0) for i, ws in enumerate(doc_words)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    cont = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in containment_pairs(docs, threshold=0.0).collect()
+    }
+    jac = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    shingles = {}
+    for i, ws in enumerate(doc_words):
+        toks = [w for w in " ".join(ws).lower().split() if w]
+        shingles[i] = {
+            " ".join(toks[j : j + 3]) for j in range(len(toks) - 2)
+        } if len(toks) >= 3 else set()
+    for a in shingles:
+        for b in shingles:
+            if a >= b or not shingles[a] or not shingles[b]:
+                continue
+            inter = len(shingles[a] & shingles[b])
+            if inter == 0:
+                assert (a, b) not in cont and (a, b) not in jac
+                continue
+            want_c = round(inter / min(len(shingles[a]), len(shingles[b])), 4)
+            want_j = round(inter / len(shingles[a] | shingles[b]), 4)
+            assert cont[(a, b)] == want_c
+            assert jac[(a, b)] == want_j
+            assert cont[(a, b)] >= jac[(a, b)]
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 5), st.integers(0, 300)),
+             min_size=1, max_size=14),
+    st.integers(10, 290),
+    st.integers(10, 290),
+)
+def test_snapshot_diff_matches_bruteforce(ev, c1, c2):
+    """snapshot_diff == brute-force latest-wins diff at random cuts."""
+    from java_mapreduce_framework_spark.operators.temporal import snapshot_diff
+
+    t1m, t2m = min(c1, c2), max(c1, c2)
+    if t1m == t2m:
+        t2m += 1
+    spark = _spark
+    rows = [
+        (i, _ts(m), u, f"t{i % 3}", float(i), "{}") for i, (u, m) in enumerate(ev)
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {
+        r["user_id"]: (r["status"], r["old_type"], r["new_type"])
+        for r in snapshot_diff(
+            events, t1=str(_ts(t1m)), t2=str(_ts(t2m))
+        ).collect()
+    }
+
+    def latest(upto):
+        state = {}
+        for i, (u, m) in enumerate(ev):
+            if _ts(m) <= upto:
+                cur = state.get(u)
+                if cur is None or (_ts(m), i) > cur[0]:
+                    state[u] = ((_ts(m), i), f"t{i % 3}")
+        return state
+
+    s1, s2 = latest(_ts(t1m)), latest(_ts(t2m))
+    expect = {}
+    for u, (key2, type2) in s2.items():
+        if u not in s1:
+            expect[u] = ("added", None, type2)
+        elif s1[u][0] != key2:
+            expect[u] = ("changed", s1[u][1], type2)
+    assert got == expect
