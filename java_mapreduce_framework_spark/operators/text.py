@@ -1243,3 +1243,47 @@ def train_shuffle_shard(documents: DataFrame, n_shards: int = 8) -> DataFrame:
         .withColumn("pos", F.row_number().over(w))
         .select("shard", "pos", "doc_id")
     )
+
+
+def chunk_dedup(documents: DataFrame, size: int = 16) -> DataFrame:
+    """Chunk-granular cross-corpus duplication profile — the C4/CCNet
+    cleaning signal at sub-document level: a chunk (non-overlapping
+    ``size``-token window) is *duplicated* when the same token run
+    appears in MORE THAN ONE document (boilerplate, quote farms,
+    templated spam), and a doc's dup_ratio is what the curation
+    policy gates on. Document-level dedup misses this entirely: two
+    docs sharing half their text are distinct documents but half
+    boilerplate.
+
+    Plan: the ``doc_chunking`` expression plan (map-only) with
+    stride = size, chunk md5, then one combinable aggregate for
+    chunk document-frequency, a hash-keyed join back, and one
+    per-doc aggregate. The chunk hash stream shuffles 16-byte keys,
+    never chunk text; everything else is row-local.
+
+    Emits (doc_id, n_chunks, n_dup_chunks, dup_ratio).
+    """
+    chunks = doc_chunking(documents, size=size, stride=size).select(
+        "doc_id", F.md5("chunk").alias("chash")
+    )
+    dfreq = chunks.groupBy("chash").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    return (
+        chunks.join(dfreq, "chash")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).alias(
+                "n_dup_chunks"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_dup_chunks",
+            F.round(F.col("n_dup_chunks") / F.col("n_chunks"), 4).alias(
+                "dup_ratio"
+            ),
+        )
+    )

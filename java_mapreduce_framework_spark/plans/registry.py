@@ -4223,6 +4223,39 @@ def _graph_triangle_count(spark, sf):
     )
 
 
+@_register(
+    "chunk_dedup",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    chunks AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(t, CAST(start AS INT),
+                                 CAST(start AS INT) + 15), ' ')) AS chash
+      FROM toks, unnest(range(1, len(t) + 1, 16)) AS r(start)
+      WHERE len(t) >= 1
+    ),
+    dfreq AS (
+      SELECT chash, count(DISTINCT doc_id) AS n_docs
+      FROM chunks GROUP BY chash
+    )
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN d.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks,
+           round(sum(CASE WHEN d.n_docs > 1 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS dup_ratio
+    FROM chunks c JOIN dfreq d USING (chash)
+    GROUP BY c.doc_id
+    """,
+    note="C4/CCNet-style sub-document duplication profile: "
+    "non-overlapping 16-token chunks, chunk document-frequency, "
+    "per-doc dup ratio — the signal document-level dedup misses; "
+    "shuffles 16-byte chunk hashes, never chunk text",
+)
+def _chunk_dedup(spark, sf):
+    return text.chunk_dedup(_t(spark, sf, "documents"))
+
+
 # ---------------------------------------------- registration priority
 
 #: Queries whose oracle verdicts are already on record in

@@ -560,3 +560,26 @@ def test_train_shuffle_shard_deterministic_and_dense(spark):
         if r["shard"] == first_shard
     ]
     assert ids_in_order != sorted(ids_in_order)
+
+
+def test_chunk_dedup_flags_shared_boilerplate(spark):
+    """Two docs sharing an exact 16-token block are flagged on that
+    block only; a unique doc has dup_ratio 0."""
+    from java_mapreduce_framework_spark.operators import text as text_ops
+
+    block = " ".join(f"b{i}" for i in range(16))
+    uniq_a = " ".join(f"a{i}" for i in range(16))
+    uniq_c = " ".join(f"c{i}" for i in range(16))
+    docs = spark.createDataFrame(
+        [
+            (1, block + " " + uniq_a, "en", "t", 0),
+            (2, block + " " + uniq_c, "en", "t", 0),
+            (3, uniq_a.replace("a", "z"), "en", "t", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r["doc_id"]: r for r in text_ops.chunk_dedup(docs).collect()}
+    assert out[1]["n_chunks"] == 2 and out[1]["n_dup_chunks"] == 1
+    assert out[1]["dup_ratio"] == 0.5
+    assert out[2]["n_dup_chunks"] == 1
+    assert out[3]["n_dup_chunks"] == 0 and out[3]["dup_ratio"] == 0.0
