@@ -686,3 +686,55 @@ def embedding_pca_project(embeddings: DataFrame, k: int = 8) -> DataFrame:
     return embeddings.select("vec_id", "embedding").mapInPandas(
         project_kernel, "vec_id long, proj array<double>"
     )
+
+
+def embedding_knn_graph(embeddings: DataFrame, k: int = 5) -> DataFrame:
+    """Exact cosine k-NN graph over the corpus — the substrate for
+    graph-based dedup clustering, label propagation, and HNSW-style
+    index construction. Every vector gets its ``k`` nearest
+    neighbors (self excluded), rank tie-broken deterministically.
+
+    This is the DECLARED-EXACT baseline: norms are precomputed once
+    (map-side) so the all-pairs join multiplies unit work, and the
+    per-source top-k is one rank window over the pair stream. The
+    N² pair stream is the known wall at corpus scale — the scale
+    path is the bucketed family (``similarity_ann_lsh`` /
+    ``similarity_ann_ivf``): generate candidates there, then verify
+    with exactly this scoring expression. Ranking keys on the
+    6-decimal-rounded cosine (then neighbor id), far above the
+    ~1e-15 float-reorder noise between engines, so rank order is
+    engine-deterministic.
+
+    Emits (vec_id, rank, neighbor_id, cosine).
+    """
+    normed = embeddings.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        l2_norm(F.col("embedding")).alias("nrm"),
+    )
+    a = normed.select(
+        F.col("vec_id").alias("vec_id"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = normed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = F.round(
+        vec_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+    )
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select("vec_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), "neighbor_id"
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "rank", "neighbor_id", "cosine")
+    )

@@ -4256,6 +4256,32 @@ def _chunk_dedup(spark, sf):
     return text.chunk_dedup(_t(spark, sf, "documents"))
 
 
+@_register(
+    "embedding_knn_graph",
+    """
+    WITH scored AS (
+      SELECT a.vec_id, b.vec_id AS neighbor_id,
+             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 6)
+               AS cosine
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    )
+    SELECT vec_id,
+           CAST(row_number() OVER (PARTITION BY vec_id
+                ORDER BY cosine DESC, neighbor_id) AS INT) AS rank,
+           neighbor_id, cosine
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+    note="exact cosine k-NN graph (declared-exact baseline; the ANN "
+    "bucketed family is the corpus-scale candidate generator): "
+    "precomputed norms, one rank window per source, rank keyed on "
+    "the 6-decimal cosine for engine-deterministic order",
+)
+def _embedding_knn_graph(spark, sf):
+    return similarity.embedding_knn_graph(_t(spark, sf, "embeddings"))
+
+
 # ---------------------------------------------- registration priority
 
 #: Queries whose oracle verdicts are already on record in

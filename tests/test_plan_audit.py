@@ -44,6 +44,7 @@ ALLOWED_NESTED_LOOP = {
     "dedup_tfidf_cosine",  # 1-row broadcast corpus-size scalar for idf
     "ab_test_ztest",  # 1-row broadcast variant-size totals
     "time_resample_gapfill",  # tiny generated spine cross type alphabet
+    "embedding_knn_graph",  # declared-exact all-pairs baseline (ANN = scale path)
 }
 
 

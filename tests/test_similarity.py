@@ -253,3 +253,32 @@ def test_embedding_pca_project_matches_local_pca(spark, sf_small):
         assert np.allclose(P[:, c] * s, local[:, c], atol=1e-4)
     var = P.var(axis=0)
     assert all(var[c] >= var[c + 1] - 1e-9 for c in range(k - 1))
+
+
+def test_embedding_knn_graph_exact_neighbors(spark):
+    """kNN ranks match numpy brute force; self excluded; dense ranks."""
+    import numpy as np
+
+    from java_mapreduce_framework_spark.operators.similarity import (
+        embedding_knn_graph,
+    )
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(12, 8)).astype("float64")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]], "l") for i in range(12)],
+        "vec_id long, embedding array<double>, label string",
+    )
+    out = embedding_knn_graph(df, k=3).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["vec_id"], []).append((r["rank"], r["neighbor_id"]))
+    norms = np.linalg.norm(vecs, axis=1)
+    cos = (vecs @ vecs.T) / np.outer(norms, norms)
+    for i in range(12):
+        order = sorted(
+            ((round(cos[i, j], 6), j) for j in range(12) if j != i),
+            key=lambda t: (-t[0], t[1]),
+        )
+        expect = [(r + 1, j) for r, (_, j) in enumerate(order[:3])]
+        assert sorted(got[i]) == expect
