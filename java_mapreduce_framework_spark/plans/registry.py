@@ -4282,6 +4282,28 @@ def _embedding_knn_graph(spark, sf):
     return similarity.embedding_knn_graph(_t(spark, sf, "embeddings"))
 
 
+_SQL_LATERAL = """
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+             WHERE o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+"""
+
+
+@_register(
+    "sql_lateral_top_orders",
+    _SQL_LATERAL,
+    note="LATERAL correlated subquery with per-row ORDER BY ... LIMIT "
+    "(top-N per key in pure SQL): Catalyst decorrelates to a rank "
+    "window — same text runs verbatim on the oracle engine",
+)
+def _sql_lateral_top_orders(spark, sf):
+    from .sql import run_sql
+
+    return run_sql(spark, sf, _SQL_LATERAL)
+
+
 # ---------------------------------------------- registration priority
 
 #: Queries whose oracle verdicts are already on record in
