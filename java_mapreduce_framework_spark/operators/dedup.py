@@ -1274,10 +1274,12 @@ def bfs_hops(pairs: DataFrame, max_hops: int = 8) -> DataFrame:
 
     Emits (doc_id, hop).
     """
-    edges = pairs.select(
-        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
-    ).unionByName(
-        pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+        )
+        .localCheckpoint()  # materialize once: every hop re-joins this
     )
     seed = edges.agg(F.min("a").alias("doc_id")).select(
         "doc_id", F.lit(0).alias("hop")
@@ -1502,3 +1504,101 @@ def triangle_count(pairs: DataFrame) -> DataFrame:
         .unionByName(tri.select(F.col("c").alias("doc_id")))
     )
     return corners.groupBy("doc_id").agg(F.count("*").alias("n_triangles"))
+
+
+def cluster_keep_best(
+    documents: DataFrame, n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Curation-grade cluster representative selection: inside every
+    near-dup cluster keep the HIGHEST-QUALITY document, not an
+    arbitrary one. ``dedup_apply`` keeps min doc_id per exact-hash
+    group; this is the near-dup generalization a training-corpus
+    build actually wants — the C4/RefinedWeb pipelines all pick a
+    canonical survivor per duplicate cluster by a quality signal.
+
+    Composition (no new primitives, one new shuffle): exact Jaccard
+    pairs -> connected components -> left-join every doc to its
+    component (singletons label themselves — coalesce to own doc_id,
+    so the join is the only place cluster structure is consulted) ->
+    one window over component_id ranks members by (quality DESC,
+    doc_id) and counts cluster size on the SAME partitioning (both
+    window functions share one shuffle).
+
+    Scale posture: the component-label table is proportional to the
+    number of DUPLICATED docs (tiny vs the corpus at real dup rates),
+    the join is keyed on doc_id, and the window partitions by
+    component_id — hot components are duplication cliques whose size
+    LSH/exact thresholds already bound. Quality is a pure expression
+    (operators/text.py::quality_score).
+
+    Emits (doc_id, component_id, quality, cluster_size) — one row per
+    surviving document.
+    """
+    from pyspark.sql import Window
+
+    from .text import quality_score
+
+    comp = connected_components(ngram_jaccard_pairs(documents, n, threshold))
+    labeled = (
+        quality_score(documents)
+        .select("doc_id", "quality")
+        .join(comp, "doc_id", "left")
+        .withColumn("component_id", F.coalesce("component_id", F.col("doc_id")))
+    )
+    w = Window.partitionBy("component_id")
+    wr = w.orderBy(F.col("quality").desc(), "doc_id")
+    return (
+        labeled.select(
+            "doc_id",
+            "component_id",
+            "quality",
+            F.row_number().over(wr).alias("rn"),
+            F.count("*").over(w).alias("cluster_size"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def split_by_cluster(
+    documents: DataFrame, n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Leakage-FREE train/val/test assignment: the split decision is a
+    hash of the near-dup COMPONENT id, not the doc id, so every member
+    of a duplicate cluster lands in the same split by construction —
+    the fix for exactly what ``split_leakage_audit`` measures (near-dup
+    pairs straddling the train/test boundary inflate eval scores).
+
+    Unlike ``stratified_split`` the decision here is NOT a pure row
+    function — it can't be: leakage-freedom requires consulting the
+    cluster structure, which costs the pair-join + CC label table.
+    That's the honest 100 TB trade: one keyed join against a label
+    table proportional to the duplicated subset, after which the
+    md5(component_id) split is again engine-reproducible and
+    backfill-stable (same ``hash_threshold`` discipline as the other
+    split ops).
+
+    Emits (doc_id, component_id, split) — per-doc detail, so the
+    leakage property is directly checkable downstream.
+    """
+    from .text import SPLIT_TRAIN, SPLIT_VAL, hash_threshold
+
+    comp = connected_components(ngram_jaccard_pairs(documents, n, threshold))
+    labeled = (
+        documents.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .withColumn("component_id", F.coalesce("component_id", F.col("doc_id")))
+    )
+    h = F.substring(
+        F.md5(
+            F.concat_ws("|", F.lit("csplit"), F.col("component_id").cast("string"))
+        ),
+        1,
+        4,
+    )
+    split = (
+        F.when(h < F.lit(hash_threshold(SPLIT_TRAIN)), "train")
+        .when(h < F.lit(hash_threshold(SPLIT_VAL)), "val")
+        .otherwise("test")
+    )
+    return labeled.select("doc_id", "component_id", split.alias("split"))

@@ -713,3 +713,63 @@ def join_asof_nearest(events: DataFrame, orders: DataFrame) -> DataFrame:
         F.col("best.o_orderkey").alias("o_orderkey"),
         F.col("best.dist_us").alias("dist_us"),
     )
+
+
+def attribution_linear(events: DataFrame) -> DataFrame:
+    """Linear multi-touch attribution — the companion to
+    ``attribution_last_touch``: each purchase splits ONE unit of
+    credit equally across ALL the user's non-purchase touches since
+    their previous purchase, instead of crediting only the latest.
+
+    Two-window construction, zero joins: a running count of PRECEDING
+    purchases (rows frame, exclusive of self) segments each user's
+    stream — the k-th purchase carries segment k, and so do exactly
+    the touches that precede it since purchase k-1. A second,
+    unordered window over (user_id, segment) then counts the touches
+    and detects whether the segment is closed by a purchase; each
+    touch in a closed segment earns 1/n_touch. Trailing touches after
+    the last purchase stay uncredited (dropped), purchases with no
+    prior touch keep their credit in the direct bucket (no touch rows
+    to pay — also dropped here, same as last-touch's NULL bucket).
+
+    ONE user_id exchange serves both windows — hashpartitioning on
+    user_id already satisfies the (user_id, segment) clustering, so
+    the segment window adds only a sort (asserted in
+    tests/test_plan_shape.py) — followed by a partial-agg rollup to
+    the per-channel report. No fan-out; state bounded by a user's
+    events between two purchases.
+
+    Emits (attributed_type, n_touches, total_credit) — one row per
+    touch channel.
+    """
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seg = F.count(
+        F.when(F.col("event_type") == "purchase", F.lit(1))
+    ).over(w_prev)
+    staged = events.select(
+        "event_id", "user_id", "ts", "event_type", seg.alias("seg")
+    )
+    w_seg = Window.partitionBy("user_id", "seg")
+    n_touch = F.count(
+        F.when(F.col("event_type") != "purchase", F.lit(1))
+    ).over(w_seg)
+    closed = F.max(
+        F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(F.lit(0))
+    ).over(w_seg)
+    return (
+        staged.select(
+            "event_type",
+            n_touch.alias("n_touch"),
+            closed.alias("closed"),
+        )
+        .filter((F.col("event_type") != "purchase") & (F.col("closed") == 1))
+        .groupBy(F.col("event_type").alias("attributed_type"))
+        .agg(
+            F.count("*").alias("n_touches"),
+            F.round(F.sum(F.lit(1.0) / F.col("n_touch")), 4).alias("total_credit"),
+        )
+    )

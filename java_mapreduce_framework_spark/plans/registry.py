@@ -4304,6 +4304,130 @@ def _sql_lateral_top_orders(spark, sf):
     return run_sql(spark, sf, _SQL_LATERAL)
 
 
+#: Shared SQL fragment: the exact-Jaccard near-dup connected-components
+#: chain (same construction as the dedup_cluster_components oracle),
+#: parameterized by whichever ``toks`` CTE precedes it. Ends with
+#: ``comp(doc_id, component_id)``.
+_CC_CHAIN_SQL = """
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      FROM toks WHERE len(t) >= 3),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    com AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    prs AS (
+      SELECT doc_a, doc_b
+      FROM com
+      JOIN sizes na ON com.doc_a = na.doc_id
+      JOIN sizes nb ON com.doc_b = nb.doc_id
+      WHERE c * 1.0 / (na.n + nb.n - c) >= 0.8),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM prs
+      UNION ALL SELECT doc_b, doc_a FROM prs),
+    reach(node, root) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node),
+    comp AS (
+      SELECT node AS doc_id, min(root) AS component_id
+      FROM reach GROUP BY node)
+"""
+
+
+@_register(
+    "dedup_cluster_keep_best",
+    f"""
+    WITH RECURSIVE {_QUALITY_MEASURES_CTE},
+    {_CC_CHAIN_SQL},
+    q AS (SELECT doc_id, {_QUALITY_EXPR} AS quality FROM m),
+    labeled AS (
+      SELECT q.doc_id,
+             coalesce(c.component_id, q.doc_id) AS component_id,
+             q.quality
+      FROM q LEFT JOIN comp c ON q.doc_id = c.doc_id),
+    ranked AS (
+      SELECT doc_id, component_id, quality,
+             row_number() OVER (PARTITION BY component_id
+                                ORDER BY quality DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY component_id) AS cluster_size
+      FROM labeled)
+    SELECT doc_id, component_id, quality,
+           CAST(cluster_size AS BIGINT) AS cluster_size
+    FROM ranked WHERE rn = 1
+    """,
+    note="cluster representative selection: highest-quality doc "
+    "survives each near-dup component (singletons survive trivially); "
+    "rank + size share one window shuffle",
+)
+def _dedup_cluster_keep_best(spark, sf):
+    return dedup.cluster_keep_best(_t(spark, sf, "documents"))
+
+
+@_register(
+    "split_by_cluster",
+    f"""
+    WITH RECURSIVE toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    {_CC_CHAIN_SQL},
+    labeled AS (
+      SELECT d.doc_id,
+             coalesce(c.component_id, d.doc_id) AS component_id
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+    SELECT doc_id, component_id,
+           CASE
+             WHEN substr(md5('csplit|' || CAST(component_id AS VARCHAR)), 1, 4)
+                  < '{text.hash_threshold(text.SPLIT_TRAIN)}' THEN 'train'
+             WHEN substr(md5('csplit|' || CAST(component_id AS VARCHAR)), 1, 4)
+                  < '{text.hash_threshold(text.SPLIT_VAL)}' THEN 'val'
+             ELSE 'test'
+           END AS split
+    FROM labeled
+    """,
+    note="leakage-free split: assignment hashes the near-dup COMPONENT "
+    "id, so duplicate clusters can never straddle train/test -- the "
+    "constructive fix for what split_leakage_audit measures",
+)
+def _split_by_cluster(spark, sf):
+    return dedup.split_by_cluster(_t(spark, sf, "documents"))
+
+
+@_register(
+    "attribution_linear",
+    f"""
+    WITH staged AS (
+      SELECT user_id, event_type,
+             count(CASE WHEN event_type = 'purchase' THEN 1 END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS seg
+      FROM {_EVTS}
+    ),
+    segd AS (
+      SELECT event_type,
+             count(CASE WHEN event_type <> 'purchase' THEN 1 END) OVER (
+               PARTITION BY user_id, seg) AS n_touch,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id, seg) AS closed
+      FROM staged
+    )
+    SELECT event_type AS attributed_type,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           round(sum(CAST(1.0 AS DOUBLE) / n_touch), 4) AS total_credit
+    FROM segd
+    WHERE event_type <> 'purchase' AND closed = 1
+    GROUP BY 1
+    """,
+    note="linear multi-touch attribution: running purchase count "
+    "segments each user's stream, every touch in a purchase-closed "
+    "segment earns 1/n credit -- two windows, zero joins",
+)
+def _attribution_linear(spark, sf):
+    return temporal.attribution_linear(_t(spark, sf, "events"))
+
+
 # ---------------------------------------------- registration priority
 
 #: Queries whose oracle verdicts are already on record in

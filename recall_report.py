@@ -207,6 +207,39 @@ def main(sf_dir: str) -> dict:
         f"candidate sets identical by shared band hashing; est-Jaccard MAE {mae:.4f} "
         f"over {len(cross)} cross pairs (128-perm estimator stderr <= 0.045)")
 
+    # --- dedup_incremental_apply: does the ingest decision actually
+    # drop the batch docs that have an exact near-dup in the corpus?
+    # Ground truth is the exact Jaccard>=0.8 pair set computed above,
+    # restricted to cross-boundary pairs (one side batch, one corpus).
+    batch_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+    true_dup_batch = {x for p in exact_pairs for x in p if x in batch_ids
+                      and any(q not in batch_ids for q in p)}
+    kept = {r["doc_id"]
+            for r in dedup.dedup_incremental_apply(spark, batch, "mh_idx_recall").collect()}
+    dropped = batch_ids - kept
+    false_drops = dropped - true_dup_batch
+    rec("dedup_incremental_apply", "true_dup_drop_recall",
+        _recall(true_dup_batch, dropped), 0.9, ">=",
+        f"{len(true_dup_batch)} batch docs with an exact cross Jaccard>=0.8 dup; "
+        f"{len(false_drops)} false drops (est-Jaccard threshold, 128-perm stderr); "
+        "kept == batch - matched asserted exactly in tests/test_dedup.py")
+
+    # --- stream_dedup_incremental: the bounded drain must emit exactly
+    # the pairs the batch-mode probe finds on the same batch (the
+    # declared batch-stream equivalence; also asserted with est_jaccard
+    # values in tests/test_streaming.py)
+    from java_mapreduce_framework_spark.streaming.jobs import stream_dedup_incremental
+
+    stream_pairs = {(r["doc_a"], r["doc_b"])
+                    for r in stream_dedup_incremental(spark, sf_dir).collect()}
+    batch_pairs = {(r["doc_a"], r["doc_b"])
+                   for r in dedup.dedup_incremental_minhash(spark, batch, "mh_idx_recall").collect()}
+    sym = 1.0 - (len(stream_pairs ^ batch_pairs)
+                 / max(1, len(stream_pairs | batch_pairs)))
+    rec("stream_dedup_incremental", "batch_stream_pair_set_equality", sym, 1.0, ">=",
+        f"{len(batch_pairs)} batch-mode pairs; row-local streaming signatures are "
+        "bit-identical to the aggregation path, so the drain equals the batch probe")
+
     # --- embedding_pca_project: sign-aligned agreement with a local
     # exact numpy PCA (rows-only because eigenvector sign/rotation is
     # BLAS-arbitrary; after per-component sign alignment the numbers

@@ -534,3 +534,66 @@ def test_triangle_count_closed_vs_open(spark):
     )
     out = {r["doc_id"]: r["n_triangles"] for r in dd.triangle_count(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1}
+
+
+def test_cluster_keep_best_keeps_highest_quality_per_cluster(spark):
+    """Two near-dup clusters with clearly different quality members:
+    the survivor of each must be its highest-quality doc, singletons
+    must all survive, and cluster_size must count every member."""
+    from pyspark.sql import functions as F
+
+    from java_mapreduce_framework_spark.operators import dedup
+    from java_mapreduce_framework_spark.operators.text import quality_score
+
+    # 40 distinct tokens: appending " the of" to one copy keeps shingle
+    # Jaccard at 38/40 = 0.95 (still one cluster at tau=0.8) while
+    # strictly raising its quality score (length + stopword terms)
+    base_a = " ".join(f"tok{i:02d}" for i in range(40))
+    base_b = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [
+            # cluster A: near-identical triplet; doc 2 is the
+            # higher-quality variant
+            (1, base_a), (2, base_a + " the of"), (3, base_a),
+            # cluster B: identical pair -- equal quality, min id wins
+            (10, base_b), (11, base_b),
+            # singletons
+            (20, "completely unrelated text about weather patterns"),
+            (21, "another standalone document on gardening and the soil"),
+        ],
+        ["doc_id", "text"],
+    )
+    _ = F  # noqa: F841 -- fixture import parity with sibling tests
+    q = {r["doc_id"]: r["quality"] for r in quality_score(docs).collect()}
+    assert q[2] > q[1] == q[3]
+    kept = {r["doc_id"]: r for r in dedup.cluster_keep_best(docs).collect()}
+    # quality-ordered survival in A; min-id tiebreak in B; singletons kept
+    assert set(kept) == {2, 10, 20, 21}
+    assert kept[2]["cluster_size"] == 3
+    assert kept[10]["cluster_size"] == 2
+    assert kept[20]["cluster_size"] == 1 and kept[21]["cluster_size"] == 1
+    # survivor quality is the cluster max
+    assert kept[2]["quality"] == max(q[1], q[2], q[3])
+
+
+def test_split_by_cluster_never_splits_a_component(spark, sf_small):
+    """The leakage-freedom property on the real fixture: every near-dup
+    component maps to exactly one split, and the assignment covers
+    every document exactly once."""
+    from java_mapreduce_framework_spark.operators import dedup
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    rows = dedup.split_by_cluster(docs).collect()
+    assert len(rows) == docs.count()
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r["component_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_comp.values())
+    # fixture plants real multi-doc clusters; the property must be
+    # exercised, not vacuous
+    from collections import Counter
+
+    comp_sizes = Counter(r["component_id"] for r in rows)
+    assert max(comp_sizes.values()) >= 2
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}

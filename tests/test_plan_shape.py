@@ -530,3 +530,45 @@ def test_train_shuffle_shard_single_window_shuffle(spark, sf_small):
     assert plan.count(") Exchange") == 1
     assert "hashpartitioning(shard" in plan
     assert "row_number" in plan
+
+
+def test_attribution_linear_two_windows_no_join(spark, sf_small):
+    """Both attribution windows key on a user-rooted hash: zero joins,
+    and every exchange hashes on user_id (segment windows re-key on
+    (user_id, seg), still user-prefixed)."""
+    from java_mapreduce_framework_spark.operators import temporal
+
+    plan = _formatted(temporal.attribution_linear(load_table(spark, sf_small, "events")))
+    assert "Join" not in plan
+    ex = [ln for ln in plan.splitlines() if "Arguments: hashpartitioning" in ln]
+    # ONE user exchange serves both windows -- hashpartitioning(user_id)
+    # satisfies the (user_id, seg) clustering, so the segment window
+    # adds only a sort -- plus the final per-channel agg exchange
+    assert len([ln for ln in ex if "user_id" in ln]) == 1
+    assert len(ex) == 2 and any("event_type" in ln for ln in ex)
+
+
+def test_cluster_keep_best_rank_and_size_share_one_window(spark, sf_small):
+    """The representative rank and the cluster size must come from ONE
+    window shuffle over component_id -- a second exchange keyed on
+    component_id would double the final pass at corpus scale."""
+    from java_mapreduce_framework_spark.operators import dedup
+
+    plan = _formatted(dedup.cluster_keep_best(load_table(spark, sf_small, "documents")))
+    comp_ex = [
+        ln for ln in plan.splitlines()
+        if "Arguments: hashpartitioning" in ln and "component_id" in ln
+    ]
+    assert len(comp_ex) == 1
+
+
+def test_split_by_cluster_assignment_is_expression_after_label_join(spark, sf_small):
+    """After the CC label join the split itself must be a pure
+    projection: no aggregation and no extra exchange downstream of
+    the doc_id join (the plan's last exchange keys on doc_id)."""
+    from java_mapreduce_framework_spark.operators import dedup
+
+    plan = _formatted(dedup.split_by_cluster(load_table(spark, sf_small, "documents")))
+    assert "csplit" in plan and "md5" in plan  # assignment is a projection
+    # per-doc emission: nothing aggregates after the final (label) join
+    assert "HashAggregate" not in plan.split("Join")[-1]

@@ -402,3 +402,42 @@ def test_join_asof_nearest_picks_closer_side(spark):
     assert out[1]["o_orderkey"] == 200 and out[1]["dist_us"] == 86400_000_000
     assert out[2]["o_orderkey"] == 100 and out[2]["dist_us"] == 86400_000_000
     assert out[3]["o_orderkey"] is None and out[3]["dist_us"] is None
+
+
+def test_attribution_linear_credit_math(spark):
+    """Hand-built stream: u1 has touches a,b then purchase P1 (1/2
+    credit each), then touch c and purchase P2 (full credit to c),
+    then trailing touch d (uncredited). u2 purchases with no prior
+    touch (direct bucket -- no touch rows). Credits must sum to the
+    number of touch-attributed purchases."""
+    import datetime as dt
+
+    from java_mapreduce_framework_spark.operators.temporal import attribution_linear
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    rows = [
+        (1, 100, ts(0), "view"),
+        (2, 100, ts(1), "click"),
+        (3, 100, ts(2), "purchase"),
+        (4, 100, ts(3), "click"),
+        (5, 100, ts(4), "purchase"),
+        (6, 100, ts(5), "view"),      # trailing, uncredited
+        (7, 200, ts(0), "purchase"),  # direct, no touches
+    ]
+    events = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts", "event_type"]
+    )
+    got = {r["attributed_type"]: r for r in attribution_linear(events).collect()}
+    assert set(got) == {"view", "click"}
+    # view: 1 touch in P1's segment at 1/2 credit
+    assert got["view"]["n_touches"] == 1
+    assert abs(got["view"]["total_credit"] - 0.5) < 1e-9
+    # click: 1/2 (P1) + 1.0 (P2)
+    assert got["click"]["n_touches"] == 2
+    assert abs(got["click"]["total_credit"] - 1.5) < 1e-9
+    # total credit == purchases that had at least one touch (P1, P2)
+    assert abs(sum(r["total_credit"] for r in got.values()) - 2.0) < 1e-9
