@@ -738,3 +738,46 @@ def embedding_knn_graph(embeddings: DataFrame, k: int = 5) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("vec_id", "rank", "neighbor_id", "cosine")
     )
+
+
+def embedding_standardize(embeddings: DataFrame) -> DataFrame:
+    """Column-wise z-score standardization of the embedding matrix —
+    the feature-scaling pass before distance-based indexing or
+    clustering when dimensions carry different variances (raw model
+    activations, concatenated feature groups).
+
+    Two-scan shape, no per-row Python: (1) posexplode to (dim, value)
+    and aggregate per-dimension mean / population stddev — the d×N
+    fan-out is the inherent cost of column statistics, but it runs as
+    a partial→final aggregate so the shuffle carries d×partitions
+    rows, not d×N; (2) the d-row stats collapse to a single
+    array-of-structs row that broadcasts back onto the original
+    vectors, and a JVM `transform` with index applies
+    (x - mu[i]) / sd[i] element-wise. A constant dimension (sd = 0)
+    standardizes to NULL rather than Inf on both engines.
+
+    Emits (vec_id, std_embedding array<double> rounded 6).
+    """
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    u = e.select("vec_id", F.posexplode("emb").alias("dim", "v"))
+    stats = (
+        u.groupBy("dim")
+        .agg(F.avg("v").alias("mu"), F.stddev_pop("v").alias("sd"))
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "mu", "sd"))).alias("st"))
+    )
+    std = F.transform(
+        "emb",
+        lambda x, i: F.round(
+            F.when(
+                F.element_at(F.col("st"), i + 1)["sd"] != 0.0,
+                (x - F.element_at(F.col("st"), i + 1)["mu"])
+                / F.element_at(F.col("st"), i + 1)["sd"],
+            ),
+            6,
+        ),
+    )
+    return e.join(F.broadcast(stats)).select(
+        "vec_id", std.alias("std_embedding")
+    )

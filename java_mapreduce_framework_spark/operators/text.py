@@ -1287,3 +1287,73 @@ def chunk_dedup(documents: DataFrame, size: int = 16) -> DataFrame:
             ),
         )
     )
+
+
+def corpus_mix_temperature(
+    documents: DataFrame, alpha: float = 0.5
+) -> DataFrame:
+    """Temperature-based multilingual mix planning — the XLM-R /
+    mT5-style sampling formula p_l ∝ n_l^alpha that decides how much
+    to up-sample low-resource languages before training. Complements
+    ``corpus_mix`` (which APPLIES fixed per-language rates) by
+    COMPUTING the rates from corpus statistics.
+
+    Plan: one partial→final count per language (alphabet-sized
+    output), then a 1-row broadcast of the two totals joined back —
+    the corpus is scanned once, everything after the first aggregate
+    is alphabet-sized. alpha is fixed at 0.5 (temperature 2) because
+    sqrt is IEEE-correctly-rounded on every engine — a non-half power
+    would make the oracle comparison hostage to libm ulp differences
+    (same discipline as the money/DECIMAL rule).
+
+    Emits (lang, n_docs, natural_share, temp_share, sample_factor):
+    sample_factor > 1 means the language is up-sampled by the
+    temperature flattening.
+    """
+    assert alpha == 0.5, "non-sqrt powers are not engine-reproducible"
+    agg = documents.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    tot = agg.agg(
+        F.sum("n_docs").alias("total"),
+        F.sum(F.sqrt(F.col("n_docs").cast("double"))).alias("ptot"),
+    )
+    nat = F.col("n_docs") / F.col("total")
+    tmp = F.sqrt(F.col("n_docs").cast("double")) / F.col("ptot")
+    return agg.join(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.round(nat, 6).alias("natural_share"),
+        F.round(tmp, 6).alias("temp_share"),
+        F.round(tmp / nat, 4).alias("sample_factor"),
+    )
+
+
+#: k-anonymity audit parameters, shared with the oracle SQL.
+KANON_K = 5
+KANON_BUCKET = 100  # n_chars quasi-identifier bucket width
+
+
+def k_anonymity_audit(
+    documents: DataFrame, k: int = KANON_K, bucket: int = KANON_BUCKET
+) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers — the privacy-release
+    companion to ``pii_redact``: direct identifiers get redacted, but
+    a row can still be re-identified if its COMBINATION of innocuous
+    attributes (language, source, size bracket) is rare. Groups
+    smaller than k are the re-identification risk surface.
+
+    One partial→final aggregate on the quasi-identifier tuple; output
+    is bounded by QI cardinality (langs × sources × brackets), never
+    corpus-sized. The doc-length bracket is an explicit floor — a bare
+    int cast would TRUNCATE on Spark but ROUND on DuckDB.
+
+    Emits (lang, source, size_bucket, group_size, at_risk) — one row
+    per occupied QI cell.
+    """
+    size_bucket = F.floor(F.col("n_chars") / bucket).cast("int")
+    return (
+        documents.groupBy(
+            "lang", "source", size_bucket.alias("size_bucket")
+        )
+        .agg(F.count("*").alias("group_size"))
+        .withColumn("at_risk", F.col("group_size") < k)
+    )

@@ -4428,6 +4428,77 @@ def _attribution_linear(spark, sf):
     return temporal.attribution_linear(_t(spark, sf, "events"))
 
 
+@_register(
+    "corpus_mix_temperature",
+    """
+    WITH agg AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+    ),
+    tot AS (
+      SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+             sum(sqrt(CAST(n_docs AS DOUBLE))) AS ptot
+      FROM agg
+    )
+    SELECT lang, n_docs,
+           round(n_docs / CAST(total AS DOUBLE), 6) AS natural_share,
+           round(sqrt(CAST(n_docs AS DOUBLE)) / ptot, 6) AS temp_share,
+           round((sqrt(CAST(n_docs AS DOUBLE)) / ptot)
+                 / (n_docs / CAST(total AS DOUBLE)), 4) AS sample_factor
+    FROM agg CROSS JOIN tot
+    """,
+    note="XLM-R temperature sampling plan (p ~ n^alpha, alpha=0.5): "
+    "alphabet-sized after the first agg; sqrt because it is IEEE-"
+    "correctly-rounded on every engine, unlike general pow",
+)
+def _corpus_mix_temperature(spark, sf):
+    return text.corpus_mix_temperature(_t(spark, sf, "documents"))
+
+
+@_register(
+    "k_anonymity_audit",
+    f"""
+    SELECT lang, source,
+           CAST(floor(n_chars / {text.KANON_BUCKET}.0) AS INTEGER) AS size_bucket,
+           CAST(count(*) AS BIGINT) AS group_size,
+           count(*) < {text.KANON_K} AS at_risk
+    FROM documents
+    GROUP BY 1, 2, 3
+    """,
+    note="k-anonymity audit over quasi-identifiers (lang, source, "
+    "size bracket): groups smaller than k are the re-identification "
+    "risk surface pii_redact alone cannot close; QI-cardinality output",
+)
+def _k_anonymity_audit(spark, sf):
+    return text.k_anonymity_audit(_t(spark, sf, "documents"))
+
+
+@_register(
+    "embedding_standardize",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    u AS (
+      SELECT vec_id, unnest(emb) AS v, generate_subscripts(emb, 1) AS dim
+      FROM e
+    ),
+    s AS (
+      SELECT dim, avg(v) AS mu, stddev_pop(v) AS sd FROM u GROUP BY dim
+    )
+    SELECT vec_id,
+           list(round(CASE WHEN sd <> 0 THEN (v - mu) / sd END, 6)
+                ORDER BY dim) AS std_embedding
+    FROM u JOIN s USING (dim)
+    GROUP BY vec_id
+    """,
+    note="column-wise z-score: per-dim partial->final stats collapse "
+    "to one broadcast array row; constant dims standardize to NULL "
+    "not Inf on both engines",
+)
+def _embedding_standardize(spark, sf):
+    return similarity.embedding_standardize(_t(spark, sf, "embeddings"))
+
+
 # ---------------------------------------------- registration priority
 
 #: Queries whose oracle verdicts are already on record in

@@ -282,3 +282,33 @@ def test_embedding_knn_graph_exact_neighbors(spark):
         )
         expect = [(r + 1, j) for r, (_, j) in enumerate(order[:3])]
         assert sorted(got[i]) == expect
+
+
+def test_embedding_standardize_zero_mean_unit_var_and_constant_dim(spark):
+    """Standardized columns must have ~0 mean and ~1 population std;
+    a constant dimension must come back NULL (not Inf/NaN)."""
+    import math
+
+    from java_mapreduce_framework_spark.operators.similarity import (
+        embedding_standardize,
+    )
+
+    vecs = [
+        (1, [1.0, 10.0, 5.0]),
+        (2, [2.0, 10.0, 7.0]),
+        (3, [3.0, 10.0, 12.0]),
+        (4, [4.0, 10.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    out = {r["vec_id"]: r["std_embedding"]
+           for r in embedding_standardize(emb).collect()}
+    # constant dim 1 -> NULL everywhere
+    assert all(out[v][1] is None for v in out)
+    for dim in (0, 2):
+        col = [out[v][dim] for v in sorted(out)]
+        mean = sum(col) / len(col)
+        var = sum((x - mean) ** 2 for x in col) / len(col)
+        assert abs(mean) < 1e-6
+        assert abs(math.sqrt(var) - 1.0) < 1e-4
+    # z-scores of an arithmetic progression are symmetric
+    assert abs(out[1][0] + out[4][0]) < 1e-6

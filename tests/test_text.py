@@ -583,3 +583,46 @@ def test_chunk_dedup_flags_shared_boilerplate(spark):
     assert out[1]["dup_ratio"] == 0.5
     assert out[2]["n_dup_chunks"] == 1
     assert out[3]["n_dup_chunks"] == 0 and out[3]["dup_ratio"] == 0.0
+
+
+def test_corpus_mix_temperature_flattens_toward_uniform(spark, sf_small):
+    """Temperature sampling must up-sample minority languages and
+    down-sample the majority, shares must each sum to 1, and alpha=1
+    equivalence: natural share ordering is preserved (flattened, not
+    inverted)."""
+    from java_mapreduce_framework_spark.operators.text import corpus_mix_temperature
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    rows = corpus_mix_temperature(load_table(spark, sf_small, "documents")).collect()
+    assert len(rows) >= 3
+    assert abs(sum(r["natural_share"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["temp_share"] for r in rows) - 1.0) < 1e-4
+    big = max(rows, key=lambda r: r["n_docs"])
+    small = min(rows, key=lambda r: r["n_docs"])
+    assert big["sample_factor"] < 1.0 < small["sample_factor"]
+    # flattening preserves order: more docs => still >= temp share
+    ordered = sorted(rows, key=lambda r: r["n_docs"])
+    temp = [r["temp_share"] for r in ordered]
+    assert temp == sorted(temp)
+
+
+def test_k_anonymity_audit_flags_exactly_the_small_groups(spark):
+    """Synthetic QI cells either side of k: a 6-member cell must pass,
+    a 2-member cell must be flagged, and group sizes must partition
+    the corpus."""
+    from java_mapreduce_framework_spark.operators.text import k_anonymity_audit
+
+    rows = [(i, "x", "en", "web", 150) for i in range(6)] + [
+        (10, "y", "zh", "books", 950),
+        (11, "z", "zh", "books", 980),
+    ]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    got = {(r["lang"], r["source"], r["size_bucket"]): r
+           for r in k_anonymity_audit(docs).collect()}
+    assert got[("en", "web", 1)]["group_size"] == 6
+    assert got[("en", "web", 1)]["at_risk"] is False
+    assert got[("zh", "books", 9)]["group_size"] == 2
+    assert got[("zh", "books", 9)]["at_risk"] is True
+    assert sum(r["group_size"] for r in got.values()) == len(rows)
