@@ -296,6 +296,38 @@ class DistributedGrepJob:
         return [(key, v) for v in values]
 
 
+class ReduceSideJoinJob:
+    """Classic tagged reduce-side equi-join — THE canonical MapReduce
+    join a user of the reference framework would hand-write (the
+    reference ships no join operator; its Job API is how you'd get
+    one). Inputs arrive pre-tagged: dimension records as ``C\\t<name>``
+    and fact records as ``O\\t<id>``, keyed by the join key; map is the
+    identity.
+
+    The reduce exploits the engine's **secondary-sort contract**
+    (values arrive lexicographically sorted, see ``run_job``): ``C``
+    sorts before ``O``, so the single dimension record is read FIRST
+    and the fact side streams through with O(1) held state — the
+    textbook secondary-sort join optimization that makes reduce-side
+    joins viable when one key has millions of fact records. Keys with
+    no dimension record emit nothing (inner-join semantics).
+
+    NOT combiner-eligible: the reduce is stateful across the group's
+    value order, the opposite of the associative-fold contract
+    ``combine=True`` requires."""
+
+    def map(self, key: str, value: str) -> Iterable[tuple[str, str]]:
+        return [(key, value)]
+
+    def reduce(self, key: str, values: list[str]) -> Iterable[tuple[str, str]]:
+        dim = None
+        for v in values:
+            if v.startswith("C\t"):
+                dim = v[2:]
+            elif dim is not None:
+                yield key, dim + "\t" + v[2:]
+
+
 @dataclass
 class QueuedJob:
     name: str

@@ -4499,6 +4499,38 @@ def _embedding_standardize(spark, sf):
     return similarity.embedding_standardize(_t(spark, sf, "embeddings"))
 
 
+@_register(
+    "jobapi_reduce_side_join",
+    """
+    SELECT CAST(o_custkey AS VARCHAR) AS custkey,
+           c_name,
+           CAST(o_orderkey AS VARCHAR) AS orderkey
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    note="THE canonical hand-written MapReduce join through the Job "
+    "API: tagged inputs, identity map, secondary-sort reduce (the dim "
+    "record sorts first, fact side streams with O(1) state)",
+)
+def _jobapi_reduce_side_join(spark, sf):
+    from .jobs import ReduceSideJoinJob, run_job
+
+    customers = _t(spark, sf, "customer").select(
+        F.col("c_custkey").cast("string").alias("key"),
+        F.concat(F.lit("C\t"), F.col("c_name")).alias("value"),
+    )
+    orders = _t(spark, sf, "orders").select(
+        F.col("o_custkey").cast("string").alias("key"),
+        F.concat(F.lit("O\t"), F.col("o_orderkey").cast("string")).alias("value"),
+    )
+    out = run_job(ReduceSideJoinJob, customers.unionByName(orders))
+    sp = F.split("value", "\t")
+    return out.select(
+        F.col("key").alias("custkey"),
+        sp.getItem(0).alias("c_name"),
+        sp.getItem(1).alias("orderkey"),
+    )
+
+
 # ---------------------------------------------- registration priority
 
 #: Queries whose oracle verdicts are already on record in

@@ -160,3 +160,28 @@ def test_jobapi_grep_identity_roundtrip(spark):
     )
     out = {r["key"]: r["value"] for r in run_job(DistributedGrepJob, kv).collect()}
     assert out == {"1": "a dup line", "3": "dup dup"}
+
+
+def test_reduce_side_join_inner_semantics_and_dim_first(spark):
+    """Tagged reduce-side join: facts with a dim record join (all of
+    them, order-independent), keys with no dim emit nothing, and a
+    dim with no facts emits nothing -- inner-join semantics riding on
+    the secondary-sort contract (C-tagged dim sorts before O-tagged
+    facts)."""
+    from java_mapreduce_framework_spark.plans.jobs import (
+        ReduceSideJoinJob,
+        run_job,
+    )
+
+    kv = spark.createDataFrame(
+        [
+            ("7", "O\t700"),     # fact arrives "before" its dim in input
+            ("7", "C\tGretel"),  # ...but sorts after C in the reduce
+            ("7", "O\t701"),
+            ("8", "O\t800"),     # no dim record -> dropped
+            ("9", "C\tHansel"),  # dim with no facts -> no emission
+        ],
+        "key string, value string",
+    )
+    out = {(r["key"], r["value"]) for r in run_job(ReduceSideJoinJob, kv).collect()}
+    assert out == {("7", "Gretel\t700"), ("7", "Gretel\t701")}
