@@ -1432,19 +1432,20 @@ def pagerank(
     float64 with different summation orders; 6 digits is far above
     the ~1e-14 reorder noise and far below the ~1e-3 rank scale.
     """
-    verts = vertices.select("doc_id")
+    verts = vertices.select("doc_id").localCheckpoint()
     edges = (
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .unionByName(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        .localCheckpoint()  # materialize once: every iteration re-joins
     )
     degs = edges.groupBy(F.col("a").alias("doc_id")).agg(
         F.count("*").alias("deg")
-    )
-    n_row = verts.agg(F.count("*").cast("double").alias("n"))
+    ).localCheckpoint()
+    n_row = verts.agg(F.count("*").cast("double").alias("n")).localCheckpoint()
     ranks = verts.crossJoin(F.broadcast(n_row)).select(
         "doc_id", (F.lit(1.0) / F.col("n")).alias("pr")
     ).localCheckpoint()
-    for _ in range(iters):
+    for it in range(iters):
         contrib = (
             ranks.join(degs, "doc_id")
             .join(edges, F.col("doc_id") == F.col("a"))
@@ -1467,8 +1468,13 @@ def pagerank(
                     * (F.coalesce(F.col("s"), F.lit(0.0)) + F.col("m") / F.col("n"))
                 ).alias("pr"),
             )
-            .localCheckpoint()
         )
+        # lineage truncation every 3rd round: depth-3 plans stay cheap
+        # to re-derive while the per-round materialization job (the
+        # dominant fixed cost of iterative workloads on small graphs)
+        # amortizes 3x
+        if it % 3 == 2 or it == iters - 1:
+            ranks = ranks.localCheckpoint()
     return ranks.select("doc_id", F.round("pr", 6).alias("pr"))
 
 
@@ -1488,7 +1494,9 @@ def triangle_count(pairs: DataFrame) -> DataFrame:
 
     Emits (doc_id, n_triangles) for docs in at least one triangle.
     """
-    e = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    e = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).localCheckpoint()  # the edge subtree feeds all three join legs
     # orient by id: doc_a < doc_b already holds for the pair stream
     ab = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
     bc = e.select(F.col("u").alias("b"), F.col("v").alias("c"))

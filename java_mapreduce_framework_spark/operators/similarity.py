@@ -688,53 +688,88 @@ def embedding_pca_project(embeddings: DataFrame, k: int = 8) -> DataFrame:
     )
 
 
-def embedding_knn_graph(embeddings: DataFrame, k: int = 5) -> DataFrame:
+def embedding_knn_graph(
+    embeddings: DataFrame, k: int = 5, blocks: int = 8
+) -> DataFrame:
     """Exact cosine k-NN graph over the corpus — the substrate for
     graph-based dedup clustering, label propagation, and HNSW-style
     index construction. Every vector gets its ``k`` nearest
     neighbors (self excluded), rank tie-broken deterministically.
 
-    This is the DECLARED-EXACT baseline: norms are precomputed once
-    (map-side) so the all-pairs join multiplies unit work, and the
-    per-source top-k is one rank window over the pair stream. The
-    N² pair stream is the known wall at corpus scale — the scale
-    path is the bucketed family (``similarity_ann_lsh`` /
-    ``similarity_ann_ivf``): generate candidates there, then verify
-    with exactly this scoring expression. Ranking keys on the
-    6-decimal-rounded cosine (then neighbor id), far above the
-    ~1e-15 float-reorder noise between engines, so rank order is
-    engine-deterministic.
+    Distributed block-GEMM shape (the expression-tree cross join this
+    replaced spent 34 s at sf0.1 on 25 M HOF dot products): vectors
+    hash into ``blocks`` row/column blocks, the block pairs cross-join
+    (blocks² cells, each a numpy GEMM over its tile), and each cell
+    emits only its per-row top-k candidates — so the exchange after
+    the N² compute carries N × blocks × k candidate rows, never the
+    pair stream. A final rank window makes the global top-k exact:
+    every global neighbor is in its cell's top-k by construction.
+    In-cell and global ordering share one key — 6-decimal-rounded
+    cosine then neighbor id — far above the ~1e-15 float-reorder
+    noise between engines, so rank order is engine-deterministic.
+
+    The N² tile compute is still the known wall at corpus scale —
+    this is the DECLARED-EXACT baseline; the scale path is the
+    bucketed family (``similarity_ann_lsh`` / ``similarity_ann_ivf``):
+    generate candidates there, then verify with this scoring.
 
     Emits (vec_id, rank, neighbor_id, cosine).
     """
-    normed = embeddings.select(
+    import numpy as np
+    import pandas as pd
+
+    e = embeddings.select(
         "vec_id",
-        F.col("embedding").cast("array<double>").alias("e"),
-        l2_norm(F.col("embedding")).alias("nrm"),
+        F.col("embedding").cast("array<double>").alias("emb"),
+        (F.col("vec_id") % blocks).alias("blk"),
     )
-    a = normed.select(
-        F.col("vec_id").alias("vec_id"),
-        F.col("e").alias("ea"),
-        F.col("nrm").alias("na"),
+    packed = e.groupBy("blk").agg(
+        F.collect_list("vec_id").alias("ids"),
+        F.collect_list("emb").alias("mat"),
     )
-    b = normed.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("e").alias("eb"),
-        F.col("nrm").alias("nb"),
+    rows = packed.select(
+        F.col("ids").alias("rids"), F.col("mat").alias("rmat")
     )
-    cos = F.round(
-        vec_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+    cols = packed.select(
+        F.col("ids").alias("cids"), F.col("mat").alias("cmat")
     )
-    pairs = (
-        a.crossJoin(b)
-        .filter(F.col("vec_id") != F.col("neighbor_id"))
-        .select("vec_id", "neighbor_id", cos.alias("cosine"))
+    cells = rows.crossJoin(cols)
+
+    def cell_topk(batches):
+        for pdf in batches:
+            out_v: list = []
+            out_n: list = []
+            out_c: list = []
+            for _, row in pdf.iterrows():
+                rid = np.asarray(row["rids"], dtype=np.int64)
+                cid = np.asarray(row["cids"], dtype=np.int64)
+                R = np.stack([np.asarray(x, dtype=np.float64) for x in row["rmat"]])
+                C = np.stack([np.asarray(x, dtype=np.float64) for x in row["cmat"]])
+                Rn = R / np.linalg.norm(R, axis=1, keepdims=True)
+                Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+                S = np.round(Rn @ Cn.T, 6)
+                S[rid[:, None] == cid[None, :]] = -np.inf  # self-exclusion
+                kk = min(k, S.shape[1])
+                nbr_order = np.argsort(cid)  # neighbor-asc base for stable sort
+                for i in range(S.shape[0]):
+                    s = S[i]
+                    idx = nbr_order[np.argsort(-s[nbr_order], kind="stable")][:kk]
+                    idx = idx[np.isfinite(s[idx])]
+                    out_v.extend([int(rid[i])] * len(idx))
+                    out_n.extend(int(x) for x in cid[idx])
+                    out_c.extend(float(x) for x in s[idx])
+            yield pd.DataFrame(
+                {"vec_id": out_v, "neighbor_id": out_n, "cosine": out_c}
+            )
+
+    cand = cells.mapInPandas(
+        cell_topk, schema="vec_id long, neighbor_id long, cosine double"
     )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cosine").desc(), "neighbor_id"
     )
     return (
-        pairs.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("vec_id", "rank", "neighbor_id", "cosine")
     )

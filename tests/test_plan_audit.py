@@ -44,7 +44,9 @@ ALLOWED_NESTED_LOOP = {
     "dedup_tfidf_cosine",  # 1-row broadcast corpus-size scalar for idf
     "ab_test_ztest",  # 1-row broadcast variant-size totals
     "time_resample_gapfill",  # tiny generated spine cross type alphabet
-    "embedding_knn_graph",  # declared-exact all-pairs baseline (ANN = scale path)
+    "embedding_knn_graph",  # blocks^2 tile cross join (block-GEMM; ANN = scale path)
+    "corpus_mix_temperature",  # 1-row broadcast (total, ptot) corpus scalars
+    "embedding_standardize",  # 1-row broadcast per-dim stats array
 }
 
 

@@ -409,3 +409,68 @@ def test_snapshot_diff_matches_bruteforce(ev, c1, c2):
         elif s1[u][0] != key2:
             expect[u] = ("changed", s1[u][1], type2)
     assert got == expect
+
+
+attribution_stream_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 2),                      # user
+        st.integers(0, 100),                    # minute
+        st.sampled_from(["view", "click", "purchase"]),
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(attribution_stream_strategy)
+def test_attribution_linear_credit_conservation(rows):
+    """Invariant vs a brute-force replay: total credit == number of
+    purchases that have >= 1 preceding touch since the user's previous
+    purchase, and per-channel credits match the O(n^2) reference
+    computation exactly."""
+    from collections import defaultdict
+
+    from java_mapreduce_framework_spark.operators.temporal import (
+        attribution_linear,
+    )
+
+    spark = _spark
+    df = spark.createDataFrame(
+        [(i, u, _ts(m), t) for i, (u, m, t) in enumerate(rows)],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    got = {
+        r["attributed_type"]: (r["n_touches"], r["total_credit"])
+        for r in attribution_linear(df).collect()
+    }
+
+    # brute force: replay each user's stream in (ts, event_id) order
+    expect_credit: dict = defaultdict(float)
+    expect_touches: dict = defaultdict(int)
+    by_user: dict = defaultdict(list)
+    for i, (u, m, t) in enumerate(rows):
+        by_user[u].append((_ts(m), i, t))
+    credited_purchases = 0
+    for seq in by_user.values():
+        seq.sort()
+        pending: list = []
+        for _, _i, t in seq:
+            if t == "purchase":
+                if pending:
+                    credited_purchases += 1
+                    for pt in pending:
+                        expect_credit[pt] += 1.0 / len(pending)
+                        expect_touches[pt] += 1
+                pending = []
+            else:
+                pending.append(t)
+
+    assert set(got) == set(expect_credit)
+    for t in expect_credit:
+        n, c = got[t]
+        assert n == expect_touches[t]
+        assert abs(c - round(expect_credit[t], 4)) < 1e-6
+    assert (
+        abs(sum(c for _, c in got.values()) - credited_purchases) < 1e-6
+    )
