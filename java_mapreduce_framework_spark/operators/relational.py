@@ -1033,3 +1033,51 @@ def join_interval_overlap(lineitem: DataFrame) -> DataFrame:
             F.sum("l_quantity").cast("double").alias("sum_qty"),
         )
     )
+
+
+def equidepth_histogram(lineitem: DataFrame, buckets: int = 10) -> DataFrame:
+    """Equi-depth (quantile) histogram of ``l_extendedprice`` — the
+    optimizer-statistics / data-profiling primitive where every bucket
+    holds ~the same row count, unlike ``length_histogram``'s fixed
+    widths.
+
+    Deliberately NOT a global ``ntile`` window: that would force the
+    whole corpus through ONE partition's sort (the classic equi-depth
+    scale trap). Instead the interior cut points come from one exact
+    interpolated-percentile aggregate (partial→final, parallel), the
+    boundary array broadcasts, and bucket assignment is a pure row
+    expression — count of boundaries at-or-below the value. Bucket
+    populations are approximately-equal (exact only up to boundary
+    ties/interpolation, the standard equi-depth contract).
+
+    Boundaries are rounded to 4 before comparison on BOTH engines so
+    assignment never hinges on sub-rounding float noise.
+
+    Emits (bucket, n_rows, lo_price, hi_price, avg_price).
+    """
+    qs = [i / buckets for i in range(1, buckets)]
+    bounds = lineitem.agg(
+        F.transform(
+            F.percentile(
+                "l_extendedprice", F.array(*[F.lit(q) for q in qs])
+            ),
+            lambda b: F.round(b, 4),
+        ).alias("bounds")
+    )
+    bucket = F.aggregate(
+        "bounds",
+        F.lit(0),
+        lambda acc, b: acc + F.when(F.col("l_extendedprice") >= b, 1).otherwise(0),
+    )
+    return (
+        lineitem.select("l_extendedprice")
+        .crossJoin(F.broadcast(bounds))
+        .select("l_extendedprice", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.min("l_extendedprice"), 2).alias("lo_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("hi_price"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        )
+    )

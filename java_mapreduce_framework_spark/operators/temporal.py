@@ -773,3 +773,45 @@ def attribution_linear(events: DataFrame) -> DataFrame:
             F.round(F.sum(F.lit(1.0) / F.col("n_touch")), 4).alias("total_credit"),
         )
     )
+
+
+def winsorize_stats(
+    events: DataFrame, lo: float = 0.01, hi: float = 0.99
+) -> DataFrame:
+    """Percentile winsorization readout per event type — the outlier
+    treatment that CLIPS to the p01/p99 fences instead of dropping
+    rows (``mad_outliers``' robust sibling; dropping biases sums,
+    clipping preserves row counts for downstream rate math).
+
+    Two scans, both parallel: one exact interpolated-percentile
+    aggregate per type (alphabet-sized output) broadcasts back onto
+    the stream, then clamped values fold into one partial→final
+    aggregate. The fences are rounded to 4 BEFORE clamping on both
+    engines so clip decisions never hinge on sub-rounding noise.
+
+    Emits (event_type, n_events, n_clipped_low, n_clipped_high,
+    mean_raw, mean_winsorized).
+    """
+    fences = events.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(lo)), 4).alias("f_lo"),
+        F.round(F.percentile("value", F.lit(hi)), 4).alias("f_hi"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("f_lo")), F.col("f_hi"))
+    return (
+        events.join(F.broadcast(fences), "event_type")
+        .select(
+            "event_type",
+            "value",
+            clipped.alias("w"),
+            (F.col("value") < F.col("f_lo")).cast("int").alias("is_lo"),
+            (F.col("value") > F.col("f_hi")).cast("int").alias("is_hi"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("is_lo").alias("n_clipped_low"),
+            F.sum("is_hi").alias("n_clipped_high"),
+            F.round(F.avg("value"), 4).alias("mean_raw"),
+            F.round(F.avg("w"), 4).alias("mean_winsorized"),
+        )
+    )

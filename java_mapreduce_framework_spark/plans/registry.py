@@ -4531,6 +4531,66 @@ def _jobapi_reduce_side_join(spark, sf):
     )
 
 
+@_register(
+    "equidepth_histogram",
+    """
+    WITH bounds AS (
+      SELECT list_transform(
+               quantile_cont(l_extendedprice,
+                             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+               b -> round(b, 4)) AS bs
+      FROM lineitem
+    ),
+    assigned AS (
+      SELECT l_extendedprice,
+             CAST(len(list_filter(bs, b -> l_extendedprice >= b)) AS INTEGER)
+               AS bucket
+      FROM lineitem CROSS JOIN bounds
+    )
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+           round(min(l_extendedprice), 2) AS lo_price,
+           round(max(l_extendedprice), 2) AS hi_price,
+           round(avg(l_extendedprice), 4) AS avg_price
+    FROM assigned GROUP BY bucket
+    """,
+    note="equi-depth histogram WITHOUT the global-ntile single-"
+    "partition sort trap: exact percentile cut points (parallel "
+    "partial->final), boundary array broadcast, assignment is a pure "
+    "row expression",
+)
+def _equidepth_histogram(spark, sf):
+    return relational.equidepth_histogram(_t(spark, sf, "lineitem"))
+
+
+@_register(
+    "winsorize_stats",
+    f"""
+    WITH ev AS (SELECT event_type, value FROM {_EVTS}),
+    fences AS (
+      SELECT event_type,
+             round(quantile_cont(value, 0.01), 4) AS f_lo,
+             round(quantile_cont(value, 0.99), 4) AS f_hi
+      FROM ev GROUP BY event_type
+    )
+    SELECT ev.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN value < f_lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_low,
+           CAST(sum(CASE WHEN value > f_hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_high,
+           round(avg(value), 4) AS mean_raw,
+           round(avg(least(greatest(value, f_lo), f_hi)), 4) AS mean_winsorized
+    FROM ev JOIN fences USING (event_type)
+    GROUP BY ev.event_type
+    """,
+    note="p01/p99 winsorization readout: clip-don't-drop outlier "
+    "treatment; alphabet-sized fences broadcast back, fences rounded "
+    "BEFORE clamping so clip decisions never hinge on float noise",
+)
+def _winsorize_stats(spark, sf):
+    return temporal.winsorize_stats(_t(spark, sf, "events"))
+
+
 # ---------------------------------------------- registration priority
 
 #: Queries whose oracle verdicts are already on record in

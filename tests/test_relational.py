@@ -572,3 +572,44 @@ def test_ab_test_ztest_detects_planted_effect(spark):
     out = {r["event_type"]: r for r in analytics.ab_test_ztest(events).collect()}
     assert out["buy"]["significant"] is True and out["buy"]["zscore"] > 1.96
     assert "view" not in out or out["view"]["significant"] is False
+
+
+def test_equidepth_histogram_balanced_and_contiguous(spark, sf_small):
+    """Buckets must partition the rows, hold roughly equal counts
+    (within 3x of ideal on real data with ties), and their [lo, hi]
+    ranges must be ordered and non-overlapping."""
+    from java_mapreduce_framework_spark.operators.relational import (
+        equidepth_histogram,
+    )
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_small, "lineitem")
+    rows = sorted(
+        equidepth_histogram(li).collect(), key=lambda r: r["bucket"]
+    )
+    total = li.count()
+    assert [r["bucket"] for r in rows] == list(range(len(rows)))
+    assert sum(r["n_rows"] for r in rows) == total
+    ideal = total / len(rows)
+    assert all(r["n_rows"] < 3 * ideal for r in rows)
+    for a, b in zip(rows, rows[1:]):
+        assert a["hi_price"] <= b["lo_price"]
+
+
+def test_winsorize_stats_clip_bounds(spark):
+    """Hand-built values: exactly the extremes clip, means move toward
+    the center, and row counts are preserved (clip, don't drop)."""
+    import datetime as dt
+
+    from java_mapreduce_framework_spark.operators.temporal import winsorize_stats
+
+    base = dt.datetime(2024, 1, 1)
+    vals = list(range(1, 100)) + [10_000]  # one huge outlier
+    events = spark.createDataFrame(
+        [(i, 1, base, "a", float(v)) for i, v in enumerate(vals)],
+        "event_id long, user_id long, ts timestamp, event_type string, value double",
+    )
+    r = winsorize_stats(events).collect()[0]
+    assert r["n_events"] == 100
+    assert r["n_clipped_high"] >= 1  # the outlier
+    assert r["mean_winsorized"] < r["mean_raw"]  # pulled toward center
