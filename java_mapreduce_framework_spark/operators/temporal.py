@@ -815,3 +815,37 @@ def winsorize_stats(
             F.round(F.avg("w"), 4).alias("mean_winsorized"),
         )
     )
+
+
+#: Fixed epoch anchor for trend regression x-values (2023-11-14T22:13:20Z).
+#: Centering near the fixture's time range keeps x magnitudes ~1e3 so
+#: both engines' covariance accumulations agree to well past the
+#: rounding precision; an uncentered unix-hour x (~4.9e5) would put
+#: slope agreement at the mercy of catastrophic-cancellation noise.
+TREND_EPOCH = 1_700_000_000
+
+
+def trend_regression(events: DataFrame) -> DataFrame:
+    """Per-type linear trend of event values over time — the
+    monitoring primitive behind "is this metric drifting": slope,
+    intercept, and fit quality per event_type from the built-in
+    least-squares aggregates (``regr_*`` — identical covariance
+    formulas on Spark and DuckDB).
+
+    One partial→final aggregate, alphabet-sized output; the x axis is
+    hours since a fixed anchor so the arithmetic is well-conditioned
+    (see ``TREND_EPOCH``).
+
+    Emits (event_type, n_events, slope_per_hour, intercept, r2).
+    """
+    x = (F.unix_timestamp("ts") - F.lit(TREND_EPOCH)) / 3600.0
+    return (
+        events.select("event_type", x.alias("x"), F.col("value").alias("y"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.regr_slope("y", "x"), 6).alias("slope_per_hour"),
+            F.round(F.regr_intercept("y", "x"), 4).alias("intercept"),
+            F.round(F.regr_r2("y", "x"), 4).alias("r2"),
+        )
+    )

@@ -4591,6 +4591,30 @@ def _winsorize_stats(spark, sf):
     return temporal.winsorize_stats(_t(spark, sf, "events"))
 
 
+@_register(
+    "trend_regression",
+    f"""
+    WITH ev AS (
+      SELECT event_type,
+             (epoch(ts) - {temporal.TREND_EPOCH}) / 3600.0 AS x,
+             value AS y
+      FROM {_EVTS}
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(regr_slope(y, x), 6) AS slope_per_hour,
+           round(regr_intercept(y, x), 4) AS intercept,
+           round(regr_r2(y, x), 4) AS r2
+    FROM ev GROUP BY event_type
+    """,
+    note="per-type least-squares trend (metric-drift monitor): one "
+    "partial->final regr_* aggregate; x anchored near the data range "
+    "so covariance accumulation is well-conditioned on both engines",
+)
+def _trend_regression(spark, sf):
+    return temporal.trend_regression(_t(spark, sf, "events"))
+
+
 # ---------------------------------------------- registration priority
 
 #: Queries whose oracle verdicts are already on record in

@@ -441,3 +441,32 @@ def test_attribution_linear_credit_math(spark):
     assert abs(got["click"]["total_credit"] - 1.5) < 1e-9
     # total credit == purchases that had at least one touch (P1, P2)
     assert abs(sum(r["total_credit"] for r in got.values()) - 2.0) < 1e-9
+
+
+def test_trend_regression_recovers_known_slope(spark):
+    """A synthetic linear signal y = 2x + 5 must come back with slope
+    ~2/hour, intercept ~5, r2 ~1; a constant signal has slope 0."""
+    import datetime as dt
+
+    from java_mapreduce_framework_spark.operators.temporal import (
+        TREND_EPOCH,
+        trend_regression,
+    )
+
+    base = dt.datetime.fromtimestamp(TREND_EPOCH, dt.timezone.utc).replace(
+        tzinfo=None
+    )
+    rows = []
+    for h in range(48):
+        ts = base + dt.timedelta(hours=h)
+        rows.append((h, 1, ts, "linear", 2.0 * h + 5.0))
+        rows.append((1000 + h, 1, ts, "flat", 7.5))
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string, value double",
+    )
+    got = {r["event_type"]: r for r in trend_regression(events).collect()}
+    assert abs(got["linear"]["slope_per_hour"] - 2.0) < 1e-6
+    assert abs(got["linear"]["intercept"] - 5.0) < 1e-3
+    assert abs(got["linear"]["r2"] - 1.0) < 1e-6
+    assert abs(got["flat"]["slope_per_hour"]) < 1e-9
