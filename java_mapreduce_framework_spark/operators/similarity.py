@@ -816,3 +816,220 @@ def embedding_standardize(embeddings: DataFrame) -> DataFrame:
     return e.join(F.broadcast(stats)).select(
         "vec_id", std.alias("std_embedding")
     )
+
+
+# ------------------------------------------------------------------
+# Product quantization: the memory-bound ANN representation (Jegou,
+# Douze, Schmid -- TPAMI'11 "Product Quantization for Nearest
+# Neighbor Search"). At corpus scale the index holds m one-byte codes
+# per vector instead of dim floats (64x smaller at dim=64, m=8), and
+# query scoring is m table lookups instead of a dim-length dot.
+
+
+def _pq_train(x, m: int, ksub: int, iters: int, seed: int):
+    """Per-subspace Lloyd k-means on a bounded driver-side sample --
+    numpy only, seeded, fixed iteration count (deterministic for a
+    fixed (data, seed)). Returns (m, ksub, dsub) codebooks."""
+    import numpy as np
+
+    n, dim = x.shape
+    dsub = dim // m
+    rng = np.random.RandomState(seed)
+    books = np.zeros((m, ksub, dsub))
+    for s in range(m):
+        xs = x[:, s * dsub : (s + 1) * dsub]
+        cent = xs[rng.choice(n, size=min(ksub, n), replace=False)].copy()
+        for _ in range(iters):
+            d = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(len(cent)):
+                members = xs[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[s, : len(cent)] = cent
+    return books
+
+
+def _pq_sample(embeddings: DataFrame, sample_cap: int, seed: int):
+    """Deterministic hash-picked training sample, L2-normalized --
+    the one sanctioned bounded collect (same contract as ann_ivf)."""
+    import numpy as np
+
+    r = F.pmod(F.xxhash64("vec_id", F.lit(seed)), F.lit(1_000_000))
+    rows = (
+        embeddings.select("embedding", r.alias("r"))
+        .orderBy("r")
+        .limit(sample_cap)
+        .select("embedding")
+        .collect()
+    )  # bounded training sample only; the corpus is never collected
+    x = np.array([row["embedding"] for row in rows], dtype=np.float64)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+def embedding_pq_quantize(
+    embeddings: DataFrame,
+    m: int = 16,
+    ksub: int = 16,
+    sample_cap: int = 2048,
+    iters: int = 8,
+    seed: int = 13,
+) -> DataFrame:
+    """Assign every corpus vector its PQ code word (m sub-codes) plus
+    a per-vector reconstruction-quality readout.
+
+    Plan shape: train on the bounded sample (driver numpy, sanctioned
+    collect), broadcast the (m x ksub x dsub) codebook tensor (a few
+    KB), then ONE ``mapInPandas`` scan assigns codes -- per Arrow
+    batch a (batch x ksub) distance matrix per subspace, pure GEMM,
+    no shuffle anywhere. Emits (vec_id, codes array<int>, recon_cos):
+    recon_cos = cosine(normalized vector, its codebook
+    reconstruction), the per-vector quality signal that decides
+    whether m/ksub are adequate before the index ships.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    x = _pq_sample(embeddings, sample_cap, seed)
+    books = _pq_train(x, m, ksub, iters, seed)
+    bc = spark.sparkContext.broadcast(books)
+
+    def assign(batches):
+        b = bc.value
+        mm, _, dsub = b.shape
+        for pdf in batches:
+            v = np.array(list(pdf["embedding"]), dtype=np.float64)
+            v = v / np.linalg.norm(v, axis=1, keepdims=True)
+            codes = np.zeros((len(v), mm), dtype=np.int32)
+            recon = np.zeros_like(v)
+            for s in range(mm):
+                xs = v[:, s * dsub : (s + 1) * dsub]
+                d = ((xs[:, None, :] - b[s][None, :, :]) ** 2).sum(axis=2)
+                c = d.argmin(axis=1)
+                codes[:, s] = c
+                recon[:, s * dsub : (s + 1) * dsub] = b[s][c]
+            rn = np.linalg.norm(recon, axis=1)
+            rc = np.where(rn > 0, (v * recon).sum(axis=1) / rn, 0.0)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "codes": list(codes),
+                    "recon_cos": np.round(rc, 4),
+                }
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        assign, "vec_id long, codes array<int>, recon_cos double"
+    )
+
+
+def similarity_ann_pq(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_queries: int = 10,
+    m: int = 16,
+    ksub: int = 16,
+    shortlist: int = 64,
+    sample_cap: int = 2048,
+    iters: int = 8,
+    seed: int = 13,
+) -> DataFrame:
+    """ANN top-k by asymmetric distance computation (ADC) over PQ
+    codes, with exact rescoring of the shortlist.
+
+    1. *Train + assign* as ``embedding_pq_quantize`` (one corpus
+       scan; codes are the only per-vector state the search reads).
+    2. *ADC scan*: each query precomputes its (m x ksub) inner-product
+       table against the codebooks (driver-side numpy on Q vectors);
+       one ``mapInPandas`` pass over the CODES sums m table lookups
+       per (query, vector) and keeps only the per-batch top
+       ``shortlist`` per query (numpy lexsort, ties by vec_id) -- the
+       Q x N score stream never materializes, candidates leave each
+       partition pre-pruned.
+    3. *Exact rescore*: the global shortlist (per-query window over
+       the per-batch survivors) broadcast-joins the corpus for true
+       cosine; final top-k ranks on the EXACT score, so approximation
+       affects only recall (which vectors reach the shortlist), never
+       the reported similarity values.
+
+    Scale contract: at 100 TB the ADC scan reads m bytes + a long per
+    vector instead of the raw matrix, and per-partition pre-pruning
+    bounds the shuffle at (#partitions x Q x shortlist) rows.
+    Rows-only checked by the driver; recall >= 0.8 vs the brute-force
+    baseline is asserted in tests and recorded in RECALL.json.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    x = _pq_sample(embeddings, sample_cap, seed)
+    books = _pq_train(x, m, ksub, iters, seed)
+    bc = spark.sparkContext.broadcast(books)
+
+    codes = embedding_pq_quantize(
+        embeddings, m=m, ksub=ksub, sample_cap=sample_cap, iters=iters, seed=seed
+    ).select("vec_id", "codes")
+
+    q_rows = (
+        embeddings.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect()
+    )  # bounded query set only (same contract as similarity_topk)
+    qids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    qv = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    qv = qv / np.linalg.norm(qv, axis=1, keepdims=True)
+    # per-query ADC lookup tables: table[q, s, c] = <q_sub, book[s, c]>
+    dsub = books.shape[2]
+    tables = np.stack(
+        [qv[:, s * dsub : (s + 1) * dsub] @ books[s].T for s in range(books.shape[0])],
+        axis=1,
+    )
+    bq = spark.sparkContext.broadcast((qids, tables))
+
+    def adc_scan(batches):
+        ids, tabs = bq.value
+        nq = len(ids)
+        for pdf in batches:
+            c = np.array(list(pdf["codes"]), dtype=np.int64)  # (n, m)
+            vid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            # scores[q, n] = sum_s tabs[q, s, c[n, s]]
+            scores = np.zeros((nq, len(c)))
+            for s in range(c.shape[1]):
+                scores += tabs[:, s, :][:, c[:, s]]
+            out_q, out_n, out_s = [], [], []
+            top = min(shortlist, len(c))
+            for qi in range(nq):
+                mask = vid != ids[qi]
+                sc, vv = scores[qi][mask], vid[mask]
+                keep = np.lexsort((vv, -sc))[:top]
+                out_q.append(np.full(len(keep), ids[qi], dtype=np.int64))
+                out_n.append(vv[keep])
+                out_s.append(sc[keep])
+            yield pd.DataFrame(
+                {
+                    "qid": np.concatenate(out_q) if out_q else [],
+                    "nid": np.concatenate(out_n) if out_n else [],
+                    "adc": np.round(np.concatenate(out_s), 6) if out_s else [],
+                }
+            )
+
+    cand = codes.mapInPandas(adc_scan, "qid long, nid long, adc double")
+    w_adc = Window.partitionBy("qid").orderBy(F.col("adc").desc(), F.col("nid"))
+    short = (
+        cand.select("qid", "nid", F.row_number().over(w_adc).alias("r"))
+        .filter(F.col("r") <= shortlist)
+        .select("qid", "nid")
+    )
+    scored = (
+        _corpus(embeddings)
+        .join(F.broadcast(short), "nid")
+        .join(F.broadcast(_queries(embeddings, n_queries)), "qid")
+        .select("qid", "nid", F.round(_cos_hoisted(), 6).alias("cos_sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid"))
+    return (
+        scored.select("qid", "nid", "cos_sim", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "nid", F.round("cos_sim", 4).alias("cos_sim"), "rnk")
+    )

@@ -1384,6 +1384,30 @@ def _similarity_ann_ivf(spark, sf):
 
 
 @_register(
+    "embedding_pq_quantize",
+    None,
+    note="product-quantization code assignment (m=16 x 16-code books "
+    "trained on the bounded sample): one GEMM scan, no shuffle; emits "
+    "per-vector codes + reconstruction cosine. Approximate by design "
+    "-> rows-only; recon_cos bound in RECALL.json",
+)
+def _embedding_pq_quantize(spark, sf):
+    return similarity.embedding_pq_quantize(_t(spark, sf, "embeddings"))
+
+
+@_register(
+    "similarity_ann_pq",
+    None,
+    note="ADC search over PQ codes with exact shortlist rescore: "
+    "per-partition top-shortlist pre-prune bounds the shuffle, scores "
+    "reported are exact cosine. Approximate by design -> rows-only; "
+    "recall bound in RECALL.json",
+)
+def _similarity_ann_pq(spark, sf):
+    return similarity.similarity_ann_pq(_t(spark, sf, "embeddings"))
+
+
+@_register(
     "similarity_incremental_lsh",
     None,
     note="incremental ANN: new vectors (vec_id < 10) multi-probed against a "

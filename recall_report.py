@@ -150,13 +150,24 @@ def main(sf_dir: str) -> dict:
         ("similarity_ann_lsh", similarity.ann_lsh(emb, k=5)),
         ("similarity_ann_lsh_multiprobe", similarity.ann_lsh(emb, k=5, probe_bits=1)),
         ("similarity_ann_ivf", similarity.ann_ivf(emb, k=5)),
+        ("similarity_ann_pq", similarity.similarity_ann_pq(emb, k=5)),
     ):
         approx_nn = {(r["qid"], r["nid"]) for r in df.collect()}
         floor = {"similarity_ann_lsh": 0.3,
                  "similarity_ann_lsh_multiprobe": 0.6,
-                 "similarity_ann_ivf": 0.5}[name]
+                 "similarity_ann_ivf": 0.5,
+                 "similarity_ann_pq": 0.8}[name]
         rec(name, "recall_at_5_vs_brute_force", _recall(exact_nn, approx_nn), floor, ">=",
             f"{len(exact_nn)} exact (query, neighbor) pairs")
+
+    # --- embedding_pq_quantize: reconstruction quality of the code
+    # assignment (the per-vector signal the ADC search trusts)
+    mean_rc = (
+        similarity.embedding_pq_quantize(emb)
+        .agg(F.avg("recon_cos").alias("m")).collect()[0]["m"]
+    )
+    rec("embedding_pq_quantize", "mean_reconstruction_cosine", mean_rc, 0.7, ">=",
+        "m=16 subspaces x 16 codes, codebooks trained on the bounded sample")
 
     # --- similarity_incremental_lsh: recall of new-vs-corpus top-5
     corpus_e = emb.filter(F.col("vec_id") >= 10)

@@ -47,6 +47,7 @@ ALLOWED_NESTED_LOOP = {
     "embedding_knn_graph",  # blocks^2 tile cross join (block-GEMM; ANN = scale path)
     "corpus_mix_temperature",  # 1-row broadcast (total, ptot) corpus scalars
     "embedding_standardize",  # 1-row broadcast per-dim stats array
+    "equidepth_histogram",  # 1-row broadcast percentile-cut-points array
 }
 
 

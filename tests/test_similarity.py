@@ -312,3 +312,53 @@ def test_embedding_standardize_zero_mean_unit_var_and_constant_dim(spark):
         assert abs(math.sqrt(var) - 1.0) < 1e-4
     # z-scores of an arithmetic progression are symmetric
     assert abs(out[1][0] + out[4][0]) < 1e-6
+
+
+def test_pq_quantize_codes_and_reconstruction(spark, sf_small):
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    rows = similarity.embedding_pq_quantize(emb).collect()
+    assert len(rows) == emb.count()
+    for r in rows[:50]:
+        assert len(r["codes"]) == 16
+        assert all(0 <= c < 16 for c in r["codes"])
+        assert -1.0 <= r["recon_cos"] <= 1.0
+    mean_rc = sum(r["recon_cos"] for r in rows) / len(rows)
+    # 16 subspaces x 16 codes on the 64-dim fixture reconstructs well
+    # above the ~0 cosine of a random codeword
+    assert mean_rc >= 0.7, f"PQ reconstruction collapsed: {mean_rc}"
+
+
+def test_ann_pq_recall_vs_brute_force(spark, sf_small):
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    exact = {(r["qid"], r["nid"]) for r in similarity.similarity_topk(emb, k=5).collect()}
+    approx = {(r["qid"], r["nid"]) for r in similarity.similarity_ann_pq(emb, k=5).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"ADC recall collapsed: {recall}"
+
+
+def test_ann_pq_scores_are_exact_cosine(spark, sf_small):
+    # the shortlist rescore means every reported cos_sim equals the
+    # brute-force value for that (qid, nid) pair -- approximation can
+    # only cost recall, never score fidelity
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    exact = {(r["qid"], r["nid"]): r["cos_sim"]
+             for r in similarity.similarity_topk(emb, k=50).collect()}
+    for r in similarity.similarity_ann_pq(emb, k=5).collect():
+        key = (r["qid"], r["nid"])
+        if key in exact:  # top-50 covers every shortlist survivor seen
+            assert abs(r["cos_sim"] - exact[key]) < 1e-9
+
+
+def test_ann_pq_is_deterministic(spark, sf_small):
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    a = sorted(map(tuple, similarity.similarity_ann_pq(emb).collect()))
+    b = sorted(map(tuple, similarity.similarity_ann_pq(emb).collect()))
+    assert a == b
