@@ -849,3 +849,58 @@ def trend_regression(events: DataFrame) -> DataFrame:
             F.round(F.regr_r2("y", "x"), 4).alias("r2"),
         )
     )
+
+
+def interval_merge(events: DataFrame) -> DataFrame:
+    """Merge overlapping per-user activity intervals -- the classic
+    gaps-and-islands coalescing step (calendar consolidation, session
+    fusion, retention-window building). Each event opens an interval
+    of ``value`` seconds; touching/overlapping intervals of one user
+    fuse into a maximal span.
+
+    Plan: one window over (user_id ORDER BY start, event_id) computes
+    the running max of prior interval ends -- a new island starts
+    exactly where the current start exceeds every earlier end. The
+    island id is a running count of those starts in the SAME window
+    partitioning, then one grouped aggregate per (user_id, island)
+    emits the span. Window pass and final aggregate both key on
+    user_id (+island), so skew is bounded by one user's events and
+    nothing ever materializes an unbounded per-group array.
+
+    All boundary arithmetic is integer microseconds
+    (``unix_micros + floor(value * 1e6)``), so overlap decisions are
+    bit-identical cross-engine; spans rebuild via timestamp_micros.
+    """
+    from pyspark.sql import Window
+
+    us = F.unix_micros("ts")
+    end_us = us + F.floor(F.col("value") * F.lit(1_000_000.0)).cast("bigint")
+    base = events.select(
+        "user_id", "event_id", us.alias("s_us"), end_us.alias("e_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("s_us", "event_id")
+    prev_max_end = F.max("e_us").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = base.select(
+        "user_id",
+        "event_id",
+        "s_us",
+        "e_us",
+        F.when(
+            prev_max_end.isNull() | (F.col("s_us") > prev_max_end), 1
+        ).otherwise(0).alias("new_island"),
+    )
+    # island id = running count of starts, SAME (s_us, event_id) total
+    # order as the flag window -- ties must rank identically in both
+    island = F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        flagged.select("user_id", "s_us", "e_us", island.cast("int").alias("island"))
+        .groupBy("user_id", "island")
+        .agg(
+            F.timestamp_micros(F.min("s_us")).alias("span_start"),
+            F.timestamp_micros(F.max("e_us")).alias("span_end"),
+            F.count("*").alias("n_events"),
+            F.round(
+                (F.max("e_us") - F.min("s_us")) / F.lit(1_000_000.0), 4
+            ).alias("span_s"),
+        )
+    )

@@ -1357,3 +1357,51 @@ def k_anonymity_audit(
         .agg(F.count("*").alias("group_size"))
         .withColumn("at_risk", F.col("group_size") < k)
     )
+
+
+def curriculum_order(documents: DataFrame, buckets: int = 10) -> DataFrame:
+    """Curriculum construction: stream documents easy-to-hard by
+    quality decile, deterministically shuffled WITHIN each decile --
+    the standard ordering step between curation and training-batch
+    assembly (ascending-difficulty curricula; the hash shuffle kills
+    within-bucket source ordering bias).
+
+    NOT a global ``ntile`` (single-partition sort of the corpus):
+    exact decile cut points come from one percentile aggregate
+    (partial->final, one 1-row result broadcast back), bucket
+    assignment is a pure row expression against the rounded cut
+    array, and the within-bucket position is a ``row_number`` window
+    partitioned BY BUCKET ordered by the md5 content hash (the repo's
+    cross-engine hash discipline) -- ~N/buckets rows per window
+    partition, parallel across buckets, no global sort anywhere.
+
+    Cut points and quality are rounded to 4 before comparison so
+    bucket membership never hinges on float noise; md5 ties broken by
+    doc_id.
+    """
+    q = quality_score(documents).select("doc_id", "quality")
+    cuts = q.agg(
+        F.transform(
+            F.percentile("quality", F.array(*[F.lit(i / buckets) for i in range(1, buckets)])),
+            lambda c: F.round(c, 4),
+        ).alias("cuts")
+    )
+    bucket = F.size(F.filter("cuts", lambda c: F.col("quality") >= c))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("bucket").orderBy("shuffle_key", "doc_id")
+    return (
+        q.join(F.broadcast(cuts))
+        .select(
+            "doc_id",
+            "quality",
+            bucket.cast("int").alias("bucket"),
+            F.md5(F.col("doc_id").cast("string")).alias("shuffle_key"),
+        )
+        .select(
+            "doc_id",
+            "quality",
+            "bucket",
+            F.row_number().over(w).alias("pos_in_bucket"),
+        )
+    )

@@ -4639,6 +4639,86 @@ def _trend_regression(spark, sf):
     return temporal.trend_regression(_t(spark, sf, "events"))
 
 
+@_register(
+    "interval_merge",
+    """
+    WITH base AS (
+      SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS s_us,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               + CAST(floor(value * 1000000.0) AS BIGINT) AS e_us
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, s_us, e_us,
+             CASE WHEN max(e_us) OVER (
+                    PARTITION BY user_id ORDER BY s_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) IS NULL
+                  OR s_us > max(e_us) OVER (
+                    PARTITION BY user_id ORDER BY s_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  )
+             THEN 1 ELSE 0 END AS new_island
+      FROM base
+    ),
+    islands AS (
+      SELECT user_id, s_us, e_us,
+             CAST(sum(new_island) OVER (
+               PARTITION BY user_id ORDER BY s_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS INTEGER) AS island
+      FROM flagged
+    )
+    SELECT user_id, island,
+           make_timestamp(min(s_us)) AS span_start,
+           make_timestamp(max(e_us)) AS span_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round((max(e_us) - min(s_us)) / 1000000.0, 4) AS span_s
+    FROM islands GROUP BY user_id, island
+    """,
+    note="gaps-and-islands interval coalescing: running-max-of-ends "
+    "window decides island starts, island id by running count in the "
+    "SAME total order; all boundary math in integer microseconds",
+)
+def _interval_merge(spark, sf):
+    return temporal.interval_merge(_t(spark, sf, "events"))
+
+
+@_register(
+    "curriculum_order",
+    f"""
+    WITH {_QUALITY_MEASURES_CTE},
+    q AS (SELECT doc_id, {_QUALITY_EXPR} AS quality FROM m),
+    cuts AS (
+      SELECT list_transform(
+               quantile_cont(quality,
+                             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+               c -> round(c, 4)) AS cuts
+      FROM q
+    ),
+    b AS (
+      SELECT doc_id, quality,
+             CAST(len(list_filter(cuts, c -> quality >= c)) AS INTEGER)
+               AS bucket,
+             md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
+      FROM q CROSS JOIN cuts
+    )
+    SELECT doc_id, quality, bucket,
+           CAST(row_number() OVER (
+             PARTITION BY bucket ORDER BY shuffle_key, doc_id
+           ) AS INTEGER) AS pos_in_bucket
+    FROM b
+    """,
+    note="easy-to-hard curriculum by quality decile with deterministic "
+    "md5 within-bucket shuffle: exact cut points broadcast (no global "
+    "ntile sort), per-bucket row_number windows run parallel across "
+    "buckets",
+)
+def _curriculum_order(spark, sf):
+    return text.curriculum_order(_t(spark, sf, "documents"))
+
+
 # ---------------------------------------------- registration priority
 
 #: Queries whose oracle verdicts are already on record in

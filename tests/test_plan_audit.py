@@ -48,6 +48,7 @@ ALLOWED_NESTED_LOOP = {
     "corpus_mix_temperature",  # 1-row broadcast (total, ptot) corpus scalars
     "embedding_standardize",  # 1-row broadcast per-dim stats array
     "equidepth_histogram",  # 1-row broadcast percentile-cut-points array
+    "curriculum_order",  # 1-row broadcast decile-cut-points array
 }
 
 

@@ -474,3 +474,30 @@ def test_attribution_linear_credit_conservation(rows):
     assert (
         abs(sum(c for _, c in got.values()) - credited_purchases) < 1e-6
     )
+
+
+def test_curriculum_order_bucket_monotone_and_dense(spark, sf_small):
+    from pyspark.sql import functions as F
+
+    from java_mapreduce_framework_spark.operators.text import curriculum_order
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    cur = curriculum_order(docs)
+    rows = cur.collect()
+    assert len(rows) == docs.count()
+    # bucket quality ranges are monotone: max(quality in b) <= min(quality in b+1)
+    # up to the rounded cut (ties straddle only at equal quality)
+    stats = {
+        r["bucket"]: (r["lo"], r["hi"])
+        for r in cur.groupBy("bucket")
+        .agg(F.min("quality").alias("lo"), F.max("quality").alias("hi"))
+        .collect()
+    }
+    bs = sorted(stats)
+    for a, b in zip(bs, bs[1:]):
+        assert stats[a][1] <= stats[b][0]
+    # positions within each bucket are dense 1..n
+    for b in bs:
+        pos = sorted(r["pos_in_bucket"] for r in rows if r["bucket"] == b)
+        assert pos == list(range(1, len(pos) + 1))

@@ -470,3 +470,48 @@ def test_trend_regression_recovers_known_slope(spark):
     assert abs(got["linear"]["intercept"] - 5.0) < 1e-3
     assert abs(got["linear"]["r2"] - 1.0) < 1e-6
     assert abs(got["flat"]["slope_per_hour"]) < 1e-9
+
+
+def test_interval_merge_coalesces_overlaps(spark):
+    import datetime as dt
+
+    from java_mapreduce_framework_spark.operators.temporal import interval_merge
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    # user A: [0, 60], [30, 90] overlap -> one span [0, 90];
+    #         [200, 260] separate. user B: touching [0,60],[60,120] fuse
+    #         (start == running max end is NOT a gap: merge on touch).
+    rows = [
+        (1, base, "A", 60.0),
+        (2, base + dt.timedelta(seconds=30), "A", 60.0),
+        (3, base + dt.timedelta(seconds=200), "A", 60.0),
+        (4, base, "B", 60.0),
+        (5, base + dt.timedelta(seconds=60), "B", 60.0),
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "value"])
+    got = {
+        (r["user_id"], r["island"]): (r["n_events"], r["span_s"])
+        for r in interval_merge(ev).collect()
+    }
+    assert got == {
+        ("A", 1): (2, 90.0),
+        ("A", 2): (1, 60.0),
+        ("B", 1): (2, 120.0),
+    }
+
+
+def test_interval_merge_spans_cover_events(spark, sf_small):
+    from java_mapreduce_framework_spark.operators.temporal import interval_merge
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_small, "events")
+    merged = interval_merge(ev)
+    # island spans per user never overlap: end_i < start_{i+1}
+    bad = (
+        merged.alias("a")
+        .join(merged.alias("b"), "user_id")
+        .filter(F.expr("a.island + 1 = b.island AND a.span_end > b.span_start"))
+        .count()
+    )
+    assert bad == 0
+    assert merged.agg(F.sum("n_events")).collect()[0][0] == ev.count()
