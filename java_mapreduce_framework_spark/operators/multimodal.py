@@ -642,3 +642,59 @@ def image_ahash(images: DataFrame) -> DataFrame:
     return hashed.groupBy("ahash").agg(
         F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies")
     )
+
+
+#: Output schema of image_patches (DDL form).
+PATCH_SUM_SCHEMA = (
+    "doc_id long, patch_row int, patch_col int, "
+    "sum_r bigint, sum_g bigint, sum_b bigint"
+)
+
+
+def image_patches(images: DataFrame, patch: int = 4) -> DataFrame:
+    """ViT-style patch extraction over the REAL decode path: each BMP
+    decodes (library-free ``real_decode``), the pixel array splits
+    into non-overlapping ``patch`` x ``patch`` tiles (edge remainders
+    dropped, the standard ViT crop), and each tile emits its exact
+    per-channel integer pixel sum -- the patch-embedding precursor a
+    multimodal training pipeline computes per image.
+
+    One ``mapInPandas`` pass, 1:grid explosion inside the kernel (the
+    numpy reshape-sum does all tiles of an image in one vectorized
+    op); payloads never leave the executors, output rows are tiny
+    fixed-width integers. Integer sums (not float means) so the
+    oracle comparison is exact.
+    """
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, prs, pcs = [], [], []
+            srs, sgs, sbs = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = real_decode(bytes(payload))
+                h, w, _ = px.shape
+                gh, gw = h // patch, w // patch
+                if not gh or not gw:
+                    continue
+                crop = px[: gh * patch, : gw * patch].astype(np.int64)
+                sums = crop.reshape(gh, patch, gw, patch, 3).sum(axis=(1, 3))
+                ids.extend([doc_id] * (gh * gw))
+                prs.extend(np.repeat(np.arange(gh), gw))
+                pcs.extend(np.tile(np.arange(gw), gh))
+                flat = sums.reshape(-1, 3)
+                srs.extend(flat[:, 0])
+                sgs.extend(flat[:, 1])
+                sbs.extend(flat[:, 2])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "patch_row": pd.Series(prs, dtype="int32"),
+                    "patch_col": pd.Series(pcs, dtype="int32"),
+                    "sum_r": pd.Series(srs, dtype="int64"),
+                    "sum_g": pd.Series(sgs, dtype="int64"),
+                    "sum_b": pd.Series(sbs, dtype="int64"),
+                }
+            )
+
+    return images.mapInPandas(kernel, schema=PATCH_SUM_SCHEMA)

@@ -904,3 +904,50 @@ def interval_merge(events: DataFrame) -> DataFrame:
             ).alias("span_s"),
         )
     )
+
+
+def stats_moments(events: DataFrame) -> DataFrame:
+    """Per-type higher-moment distribution profile -- skewness and
+    excess kurtosis, the shape signals a drift monitor watches after
+    mean/variance stop moving (fraud spikes fatten tails long before
+    they shift the mean).
+
+    Engine-exact construction: built-in ``skewness``/``kurtosis``
+    differ across engines (population vs sample corrections), so both
+    sides compute the SAME explicit formula from mean-centered power
+    sums. Two passes: (1) per-type mean (alphabet-sized, rounded to 6
+    to pin the centering constant bit-identically cross-engine),
+    broadcast back; (2) one grouped aggregate of (v-mu)^2/3/4.
+    Centered sums are numerically safe at any value magnitude --
+    raw power sums would cancel catastrophically and make the rounded
+    result engine-dependent. Both aggregations partial->final; the
+    join is an alphabet-sized broadcast.
+
+    Emits (event_type, n_events, mean, stddev, skewness, kurt_excess).
+    """
+    mu = events.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("mu")
+    )
+    d = F.col("value") - F.col("mu")
+    cent = (
+        events.join(F.broadcast(mu), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max("mu").alias("mu"),
+            F.sum(d * d).alias("m2s"),
+            F.sum(d * d * d).alias("m3s"),
+            F.sum(d * d * d * d).alias("m4s"),
+        )
+    )
+    m2 = F.col("m2s") / F.col("n_events")
+    m3 = F.col("m3s") / F.col("n_events")
+    m4 = F.col("m4s") / F.col("n_events")
+    return cent.select(
+        "event_type",
+        "n_events",
+        F.round("mu", 4).alias("mean"),
+        F.round(F.sqrt(m2), 4).alias("stddev"),
+        F.round(m3 / F.pow(m2, 1.5), 4).alias("skewness"),
+        F.round(m4 / (m2 * m2) - 3.0, 4).alias("kurt_excess"),
+    )

@@ -1590,6 +1590,47 @@ def _multimodal_decode_bmp(spark, sf):
 
 
 @_register(
+    "multimodal_image_patches",
+    f"""
+    WITH {_PAYLOAD_CTE},
+    geo AS (SELECT doc_id, n, bytes,
+                   8 + (n % 9) AS w, 8 + ((n * 3) % 9) AS h
+            FROM pbytes WHERE n > 0),
+    grid AS (SELECT doc_id, n, bytes, w,
+                    unnest(range(0, (h // 4) * (w // 4))) AS g
+             FROM geo),
+    p AS (SELECT doc_id, n, bytes, w,
+                 CAST(g // (w // 4) AS INT) AS patch_row,
+                 CAST(g % (w // 4) AS INT) AS patch_col
+          FROM grid)
+    SELECT doc_id, patch_row, patch_col,
+           CAST(list_sum(list_transform(range(0, 16), t ->
+             bytes[CAST((((patch_row * 4 + t // 4) * w
+                          + patch_col * 4 + t % 4) * 3 + 0) % n AS INT) + 1]))
+             AS BIGINT) AS sum_r,
+           CAST(list_sum(list_transform(range(0, 16), t ->
+             bytes[CAST((((patch_row * 4 + t // 4) * w
+                          + patch_col * 4 + t % 4) * 3 + 1) % n AS INT) + 1]))
+             AS BIGINT) AS sum_g,
+           CAST(list_sum(list_transform(range(0, 16), t ->
+             bytes[CAST((((patch_row * 4 + t // 4) * w
+                          + patch_col * 4 + t % 4) * 3 + 2) % n AS INT) + 1]))
+             AS BIGINT) AS sum_b
+    FROM p
+    """,
+    note="ViT-style 4x4 patch extraction over the REAL BMP decode "
+    "path: per-tile exact integer channel sums (the patch-embedding "
+    "precursor); oracle reconstructs every patch pixel from the text "
+    "bytes, so grid geometry, crop semantics and the vectorized "
+    "reshape-sum are all pixel-proven",
+)
+def _multimodal_image_patches(spark, sf):
+    return multimodal.image_patches(
+        multimodal.attach_image_payload(_t(spark, sf, "documents"))
+    )
+
+
+@_register(
     "multimodal_audio_wav",
     f"""
     WITH {_PAYLOAD_CTE},
@@ -4717,6 +4758,40 @@ def _interval_merge(spark, sf):
 )
 def _curriculum_order(spark, sf):
     return text.curriculum_order(_t(spark, sf, "documents"))
+
+
+@_register(
+    "stats_moments",
+    f"""
+    WITH ev AS (SELECT event_type, value FROM {_EVTS}),
+    mu AS (
+      SELECT event_type, round(avg(value), 6) AS mu FROM ev GROUP BY event_type
+    ),
+    cent AS (
+      SELECT ev.event_type,
+             CAST(count(*) AS BIGINT) AS n_events,
+             max(mu) AS mu,
+             sum((value - mu) * (value - mu)) AS m2s,
+             sum((value - mu) * (value - mu) * (value - mu)) AS m3s,
+             sum((value - mu) * (value - mu) * (value - mu) * (value - mu)) AS m4s
+      FROM ev JOIN mu USING (event_type)
+      GROUP BY ev.event_type
+    )
+    SELECT event_type, n_events,
+           round(mu, 4) AS mean,
+           round(sqrt(m2s / n_events), 4) AS stddev,
+           round((m3s / n_events) / pow(m2s / n_events, 1.5), 4) AS skewness,
+           round((m4s / n_events) / pow(m2s / n_events, 2) - 3.0, 4) AS kurt_excess
+    FROM cent
+    """,
+    note="per-type skewness/excess kurtosis from mean-centered power "
+    "sums (built-in skewness/kurtosis differ cross-engine in sample "
+    "corrections; the explicit population formula is engine-exact); "
+    "centering constant pinned at 6 decimals, alphabet-sized broadcast "
+    "join, both aggregations partial->final",
+)
+def _stats_moments(spark, sf):
+    return temporal.stats_moments(_t(spark, sf, "events"))
 
 
 # ---------------------------------------------- registration priority

@@ -255,3 +255,37 @@ def test_image_ahash_survives_brightness_shift(spark):
     groups = {r["keep_doc_id"]: r for r in out}
     assert groups[1]["n_copies"] == 2  # base + brighter collide
     assert 3 in groups and groups[3]["n_copies"] == 1
+
+
+def test_image_patches_match_numpy_tiles(spark):
+    import numpy as np
+
+    rows = [Row(doc_id=7, text="the quick brown fox jumps over the lazy dog")]
+    imgs = multimodal.attach_image_payload(spark.createDataFrame(rows))
+    got = {
+        (r["patch_row"], r["patch_col"]): (r["sum_r"], r["sum_g"], r["sum_b"])
+        for r in multimodal.image_patches(imgs).collect()
+    }
+    # recompute expected tiles straight from the text bytes
+    b = np.frombuffer(rows[0].text.encode(), dtype=np.uint8)
+    n = len(b)
+    w, h = multimodal._image_geometry(n)
+    px = b[np.arange(w * h * 3) % n].reshape(h, w, 3).astype(np.int64)
+    gh, gw = h // 4, w // 4
+    assert len(got) == gh * gw
+    for pi in range(gh):
+        for pj in range(gw):
+            tile = px[pi * 4 : pi * 4 + 4, pj * 4 : pj * 4 + 4]
+            assert got[(pi, pj)] == tuple(tile.reshape(-1, 3).sum(axis=0))
+
+
+def test_image_patches_crop_drops_remainders(spark):
+    # a 9x10 geometry keeps only the 2x2 grid of full 4x4 tiles
+    rows = [Row(doc_id=1, text="x" * 37)]  # n=37 -> w=8+1=9, h=8+(111%9)=11
+    import numpy as np
+
+    n = 37
+    w, h = multimodal._image_geometry(n)
+    imgs = multimodal.attach_image_payload(spark.createDataFrame(rows))
+    out = multimodal.image_patches(imgs).collect()
+    assert len(out) == (h // 4) * (w // 4)
