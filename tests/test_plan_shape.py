@@ -572,3 +572,66 @@ def test_split_by_cluster_assignment_is_expression_after_label_join(spark, sf_sm
     assert "csplit" in plan and "md5" in plan  # assignment is a projection
     # per-doc emission: nothing aggregates after the final (label) join
     assert "HashAggregate" not in plan.split("Join")[-1]
+
+
+def test_interval_merge_all_exchanges_key_on_user(spark, sf_small):
+    """Both window passes and the final (user, island) aggregate hash
+    on user_id-prefixed keys -- no global sort, no re-keying."""
+    from java_mapreduce_framework_spark.operators import temporal
+
+    plan = _formatted(temporal.interval_merge(load_table(spark, sf_small, "events")))
+    ex = [ln for ln in plan.splitlines() if "Arguments: hashpartitioning" in ln]
+    assert ex and all("user_id" in ln for ln in ex)
+    assert "rangepartitioning" not in plan  # no global sort anywhere
+
+
+def test_curriculum_order_no_global_sort(spark, sf_small):
+    """Cut points ride a 1-row broadcast; positions come from
+    PER-BUCKET windows -- the plan must hash-partition on bucket, and
+    the only range partitioning allowed is none (a global ntile would
+    show rangepartitioning over everything)."""
+    from java_mapreduce_framework_spark.operators import text as text_ops
+
+    plan = _formatted(text_ops.curriculum_order(load_table(spark, sf_small, "documents")))
+    assert "rangepartitioning" not in plan
+    assert any(
+        "hashpartitioning(bucket" in ln for ln in plan.splitlines()
+    ), "within-bucket window must partition by bucket"
+
+
+def test_stats_moments_two_aggregates_broadcast_join(spark, sf_small):
+    """Mean pass and centered pass are both partial->final hash
+    aggregates; the mean table joins back via broadcast (alphabet-
+    sized), never a shuffle join."""
+    from java_mapreduce_framework_spark.operators import temporal
+
+    plan = _formatted(temporal.stats_moments(load_table(spark, sf_small, "events")))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") >= 4  # 2 aggs x partial+final
+
+
+def test_image_patches_map_only(spark, sf_small):
+    """Patch extraction is shuffle-free: encode + decode kernels are
+    one map-only pipeline (scan bandwidth is the only scale axis)."""
+    from java_mapreduce_framework_spark.operators import multimodal
+
+    plan = _formatted(
+        multimodal.image_patches(
+            multimodal.attach_image_payload(load_table(spark, sf_small, "documents"))
+        )
+    )
+    assert "Exchange" not in plan
+
+
+def test_ann_pq_shortlist_is_broadcast_rescore(spark, sf_small):
+    """The exact-rescore join must broadcast the (Q x shortlist)
+    candidate set over the corpus -- a shuffle join would move the
+    whole corpus for a few hundred candidates."""
+    from java_mapreduce_framework_spark.operators import similarity
+
+    plan = _formatted(
+        similarity.similarity_ann_pq(load_table(spark, sf_small, "embeddings"))
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
