@@ -1035,20 +1035,152 @@ def join_interval_overlap(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def exact_quantiles(
+    vals: DataFrame,
+    col: str,
+    qs: list[float],
+    shards: int = 32,
+    compress: bool = False,
+) -> DataFrame:
+    """Distributed EXACT interpolated quantiles (quantile_cont /
+    Spark ``percentile`` semantics: pos = (n-1)*q, linear between the
+    two straddling order statistics), returned as a 1-row DataFrame
+    with an array column ``bounds`` (rounded to 4, in ``qs`` order).
+
+    Spark's built-in exact ``percentile`` aggregate is a scale trap
+    for a GLOBAL group: its state is the full value→count map, and
+    the final merge materializes every distinct value in ONE
+    aggregation buffer — billions of entries at 100 TB. This kernel
+    keeps exactness while staying distributed end to end:
+
+      1. optional value-frequency compression (``compress=True``) —
+         ``groupBy(col).count()``, a plain partial→final aggregate
+         whose state is spread across reducers by value hash; worth
+         it only for high-duplication columns (token counts, ints) —
+         for near-unique columns like prices the dedup shuffle costs
+         more than it saves, so the default ships raw (value, 1)
+         rows, exactly what any distributed sort shuffles;
+      2. ``repartitionByRange`` on the value + in-partition sort, so
+         each shard owns a contiguous slice of the sorted domain
+         (``localCheckpoint`` pins the sampled range boundaries for
+         the two consumers below);
+      3. a two-phase exact prefix sum (the ``sequence_packing``
+         pattern): per-shard totals roll up to a ≤``shards``-row
+         offsets table, windowed on one partition because it is tiny,
+         then broadcast-joined back — each shard now knows the global
+         rank of its first row and the total row count N;
+      4. per-shard Arrow ``mapInPandas`` walks its sorted (value,
+         count) slice once and emits the order statistics at
+         positions floor((N-1)q) and ceil((N-1)q) that fall inside
+         the shard — at most 2·len(qs) rows leave the map;
+      5. a tiny final aggregate interpolates lo/hi into the boundary
+         array.
+
+    No stage ever holds more than one shard's distinct values, so the
+    memory bound is #distinct/shards — tune ``shards`` up with data
+    volume. The only single-partition step is the ≤``shards``-row
+    offsets window.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    if compress:
+        base = vals.groupBy(F.col(col).alias("v")).agg(
+            F.count("*").alias("cnt")
+        )
+    else:
+        base = vals.select(
+            F.col(col).alias("v"), F.lit(1).cast("long").alias("cnt")
+        )
+    freq = (
+        base.repartitionByRange(shards, "v")
+        .sortWithinPartitions("v")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = (
+        freq.groupBy("pid")
+        .agg(F.sum("cnt").alias("ptot"))
+        .select(
+            "pid",
+            F.coalesce(F.sum("ptot").over(w_off), F.lit(0)).alias("offset"),
+            F.sum("ptot").over(w_all).alias("n_total"),
+        )
+    )
+    sliced = freq.join(F.broadcast(offsets), "pid").sortWithinPartitions("v")
+
+    def _order_stats(batches):
+        cum = None
+        targets = None  # (q_idx, lo_pos, frac)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if cum is None:
+                cum = int(pdf["offset"].iloc[0])
+                n = int(pdf["n_total"].iloc[0])
+                targets = []
+                for i, q in enumerate(qs):
+                    pos = (n - 1) * q
+                    lo = int(math.floor(pos))
+                    targets.append((i, lo, pos - lo))
+            cnts = pdf["cnt"].to_numpy()
+            ends = cum + np.cumsum(cnts)  # exclusive end rank per row
+            out = []
+            for i, lo, frac in targets:
+                hi = lo + 1 if frac > 0 else lo
+                for pos, part in ((lo, 0), (hi, 1)):
+                    if cum <= pos < ends[-1]:
+                        j = int(np.searchsorted(ends, pos, side="right"))
+                        out.append((i, part, float(pdf["v"].iloc[j]), frac))
+            cum = int(ends[-1])
+            if out:
+                yield pd.DataFrame(
+                    out, columns=["q_idx", "part", "v", "frac"]
+                )
+
+    stats = sliced.mapInPandas(
+        _order_stats, "q_idx int, part int, v double, frac double"
+    )
+    bound = F.round(
+        F.col("v_lo") + (F.col("v_hi") - F.col("v_lo")) * F.col("frac"), 4
+    )
+    return (
+        stats.groupBy("q_idx")
+        .agg(
+            F.max(F.when(F.col("part") == 0, F.col("v"))).alias("v_lo"),
+            F.max(F.when(F.col("part") == 1, F.col("v"))).alias("v_hi"),
+            F.first("frac").alias("frac"),
+        )
+        .select(F.struct(F.col("q_idx"), bound.alias("b")).alias("s"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list("s")), lambda s: s.getField("b")
+            ).alias("bounds")
+        )
+    )
+
+
 def equidepth_histogram(lineitem: DataFrame, buckets: int = 10) -> DataFrame:
     """Equi-depth (quantile) histogram of ``l_extendedprice`` — the
     optimizer-statistics / data-profiling primitive where every bucket
     holds ~the same row count, unlike ``length_histogram``'s fixed
     widths.
 
-    Deliberately NOT a global ``ntile`` window: that would force the
-    whole corpus through ONE partition's sort (the classic equi-depth
-    scale trap). Instead the interior cut points come from one exact
-    interpolated-percentile aggregate (partial→final, parallel), the
-    boundary array broadcasts, and bucket assignment is a pure row
-    expression — count of boundaries at-or-below the value. Bucket
-    populations are approximately-equal (exact only up to boundary
-    ties/interpolation, the standard equi-depth contract).
+    Deliberately NOT a global ``ntile`` window (whole corpus through
+    ONE partition's sort) and NOT the built-in exact ``percentile``
+    aggregate (whole value→count map in ONE final buffer): the
+    interior cut points come from the distributed-exact
+    ``exact_quantiles`` kernel above, the boundary array broadcasts,
+    and bucket assignment is a pure row expression — count of
+    boundaries at-or-below the value. Bucket populations are
+    approximately-equal (exact only up to boundary ties/interpolation,
+    the standard equi-depth contract).
 
     Boundaries are rounded to 4 before comparison on BOTH engines so
     assignment never hinges on sub-rounding float noise.
@@ -1056,14 +1188,7 @@ def equidepth_histogram(lineitem: DataFrame, buckets: int = 10) -> DataFrame:
     Emits (bucket, n_rows, lo_price, hi_price, avg_price).
     """
     qs = [i / buckets for i in range(1, buckets)]
-    bounds = lineitem.agg(
-        F.transform(
-            F.percentile(
-                "l_extendedprice", F.array(*[F.lit(q) for q in qs])
-            ),
-            lambda b: F.round(b, 4),
-        ).alias("bounds")
-    )
+    bounds = exact_quantiles(lineitem, "l_extendedprice", qs)
     bucket = F.aggregate(
         "bounds",
         F.lit(0),

@@ -596,6 +596,33 @@ def test_equidepth_histogram_balanced_and_contiguous(spark, sf_small):
         assert a["hi_price"] <= b["lo_price"]
 
 
+def test_exact_quantiles_matches_builtin_percentile(spark):
+    """The distributed order-statistic kernel must reproduce Spark's
+    exact ``percentile`` (= DuckDB quantile_cont) bit-for-bit after
+    the shared round(4) — in both raw and frequency-compressed modes,
+    across shard counts (incl. shards > #values, forcing empty
+    range partitions), and with heavy ties."""
+    from java_mapreduce_framework_spark.operators.relational import (
+        exact_quantiles,
+    )
+
+    vals = [1.5, 2.25, 2.25, 2.25, 7.0, 11.125, 13.5, 13.5, 40.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9]
+    expected = df.agg(
+        F.transform(
+            F.percentile("x", F.array(*[F.lit(q) for q in qs])),
+            lambda b: F.round(b, 4),
+        ).alias("bounds")
+    ).collect()[0]["bounds"]
+    for shards in (2, 16):
+        for compress in (False, True):
+            got = exact_quantiles(
+                df, "x", qs, shards=shards, compress=compress
+            ).collect()[0]["bounds"]
+            assert got == expected, (shards, compress, got, expected)
+
+
 def test_winsorize_stats_clip_bounds(spark):
     """Hand-built values: exactly the extremes clip, means move toward
     the center, and row counts are preserved (clip, don't drop)."""
