@@ -1041,11 +1041,13 @@ def exact_quantiles(
     qs: list[float],
     shards: int = 32,
     compress: bool = False,
+    decimals: int = 4,
 ) -> DataFrame:
     """Distributed EXACT interpolated quantiles (quantile_cont /
     Spark ``percentile`` semantics: pos = (n-1)*q, linear between the
     two straddling order statistics), returned as a 1-row DataFrame
-    with an array column ``bounds`` (rounded to 4, in ``qs`` order).
+    with an array column ``bounds`` (rounded to ``decimals``, in
+    ``qs`` order).
 
     Spark's built-in exact ``percentile`` aggregate is a scale trap
     for a GLOBAL group: its state is the full value→count map, and
@@ -1094,11 +1096,18 @@ def exact_quantiles(
         base = vals.select(
             F.col(col).alias("v"), F.lit(1).cast("long").alias("cnt")
         )
+    # Pin the narrow (v, cnt) stream: repartitionByRange's range-
+    # boundary sampling job would otherwise re-run the full upstream
+    # subtree (expensive when vals is a derived score pipeline).
+    base = base.localCheckpoint(eager=False)
+    # The range exchange feeds two consumers (offsets + the walk);
+    # Catalyst's ReuseExchange dedupes the identical subtrees, and
+    # even un-reused, range sampling over the pinned base is
+    # deterministic (seeded per partition index), so pids agree.
     freq = (
         base.repartitionByRange(shards, "v")
         .sortWithinPartitions("v")
         .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
     )
     w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
     w_all = Window.orderBy("pid").rowsBetween(
@@ -1148,7 +1157,8 @@ def exact_quantiles(
         _order_stats, "q_idx int, part int, v double, frac double"
     )
     bound = F.round(
-        F.col("v_lo") + (F.col("v_hi") - F.col("v_lo")) * F.col("frac"), 4
+        F.col("v_lo") + (F.col("v_hi") - F.col("v_lo")) * F.col("frac"),
+        decimals,
     )
     return (
         stats.groupBy("q_idx")

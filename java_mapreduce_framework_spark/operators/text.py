@@ -251,15 +251,18 @@ def quality_stratify(documents: DataFrame) -> DataFrame:
     """Corpus stratification into quality quartiles — the selection
     mechanism for quality-weighted training mixes. Deliberately NOT a
     global ``ntile``: ranking the whole corpus in one window means a
-    single-partition sort of everything. Instead: one aggregate pass
-    computes the three quartile thresholds (exact percentile here so
-    the oracle matches; swap ``approx_percentile`` at 100 TB — the
-    same one-row result), broadcast to a threshold comparison fused
-    into a second scan. Two passes, no global sort, no window."""
+    single-partition sort of everything. Instead: the three quartile
+    thresholds come from the distributed-exact ``exact_quantiles``
+    kernel (range-partitioned order statistics — no approx/exact
+    tradeoff and no single-buffer percentile merge at 100 TB),
+    broadcast to a threshold comparison fused into a second scan.
+    No global sort, no window."""
+    from .relational import exact_quantiles
+
     scores = quality_score(documents).select("doc_id", "quality")
-    th = scores.agg(
-        F.percentile("quality", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias("t")
-    ).select(
+    th = exact_quantiles(
+        scores, "quality", [0.25, 0.5, 0.75], decimals=6
+    ).select(F.col("bounds").alias("t")).select(
         F.round(F.col("t")[0], 6).alias("t1"),
         F.round(F.col("t")[1], 6).alias("t2"),
         F.round(F.col("t")[2], 6).alias("t3"),
@@ -1367,9 +1370,11 @@ def curriculum_order(documents: DataFrame, buckets: int = 10) -> DataFrame:
     within-bucket source ordering bias).
 
     NOT a global ``ntile`` (single-partition sort of the corpus):
-    exact decile cut points come from one percentile aggregate
-    (partial->final, one 1-row result broadcast back), bucket
-    assignment is a pure row expression against the rounded cut
+    exact decile cut points come from the distributed
+    ``exact_quantiles`` kernel (range-partitioned order statistics,
+    one 1-row result broadcast back — no single-buffer percentile
+    merge at 100 TB), bucket assignment is a pure row expression
+    against the rounded cut
     array, and the within-bucket position is a ``row_number`` window
     partitioned BY BUCKET ordered by the md5 content hash (the repo's
     cross-engine hash discipline) -- ~N/buckets rows per window
@@ -1379,13 +1384,12 @@ def curriculum_order(documents: DataFrame, buckets: int = 10) -> DataFrame:
     bucket membership never hinges on float noise; md5 ties broken by
     doc_id.
     """
+    from .relational import exact_quantiles
+
     q = quality_score(documents).select("doc_id", "quality")
-    cuts = q.agg(
-        F.transform(
-            F.percentile("quality", F.array(*[F.lit(i / buckets) for i in range(1, buckets)])),
-            lambda c: F.round(c, 4),
-        ).alias("cuts")
-    )
+    cuts = exact_quantiles(
+        q, "quality", [i / buckets for i in range(1, buckets)]
+    ).select(F.col("bounds").alias("cuts"))
     bucket = F.size(F.filter("cuts", lambda c: F.col("quality") >= c))
     from pyspark.sql import Window
 
