@@ -1176,6 +1176,138 @@ def exact_quantiles(
     )
 
 
+def exact_quantiles_grouped(
+    vals: DataFrame,
+    key: str,
+    col: str,
+    qs: list[float],
+    shards: int = 32,
+    compress: bool = False,
+    decimals: int = 4,
+) -> DataFrame:
+    """Per-KEY exact interpolated quantiles without per-group value
+    buffering — the grouped form of ``exact_quantiles``, for the case
+    grouped ``F.percentile`` cannot survive: a low-cardinality key
+    (event types, languages, sources) over an unbounded corpus, where
+    each group's exact-percentile state would hold billions of values
+    in one aggregation buffer.
+
+    Same construction, keyed: range-partition on (key, value) — so a
+    huge group SPANS MANY SHARDS, which is the whole point — then a
+    per-(key, shard) exact prefix sum (tiny offsets table, windowed
+    per key), and a per-shard Arrow walk over the sorted runs that
+    emits only each key's straddling order statistics. Per-task
+    memory is one shard's rows regardless of how skewed the groups
+    are.
+
+    Returns long-form (``key``, q_idx, bound) — one row per key per
+    requested quantile, bound rounded to ``decimals``, matching
+    Spark ``percentile`` / DuckDB ``quantile_cont`` bit-for-bit.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    if compress:
+        base = vals.groupBy(
+            F.col(key).alias("k"), F.col(col).alias("v")
+        ).agg(F.count("*").alias("cnt"))
+    else:
+        base = vals.select(
+            F.col(key).alias("k"),
+            F.col(col).alias("v"),
+            F.lit(1).cast("long").alias("cnt"),
+        )
+    base = base.localCheckpoint(eager=False)
+    freq = (
+        base.repartitionByRange(shards, "k", "v")
+        .sortWithinPartitions("k", "v")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    w_off = (
+        Window.partitionBy("k")
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = (
+        Window.partitionBy("k")
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    offsets = (
+        freq.groupBy("pid", "k")
+        .agg(F.sum("cnt").alias("ptot"))
+        .select(
+            "pid",
+            "k",
+            F.coalesce(F.sum("ptot").over(w_off), F.lit(0)).alias("offset"),
+            F.sum("ptot").over(w_all).alias("n_total"),
+        )
+    )
+    sliced = freq.join(F.broadcast(offsets), ["pid", "k"]).sortWithinPartitions(
+        "k", "v"
+    )
+
+    def _order_stats(batches):
+        cum: dict = {}  # key -> next global rank within the key
+        meta: dict = {}  # key -> [(q_idx, lo_pos, frac)]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ks = pdf["k"].to_numpy()
+            change = np.nonzero(ks[1:] != ks[:-1])[0] + 1
+            starts = np.concatenate(([0], change))
+            stops = np.concatenate((change, [len(ks)]))
+            cnts_all = pdf["cnt"].to_numpy()
+            out = []
+            for s, e in zip(starts, stops):
+                k = ks[s]
+                if k not in cum:
+                    cum[k] = int(pdf["offset"].iloc[s])
+                    n = int(pdf["n_total"].iloc[s])
+                    tgts = []
+                    for i, q in enumerate(qs):
+                        pos = (n - 1) * q
+                        lo = int(math.floor(pos))
+                        tgts.append((i, lo, pos - lo))
+                    meta[k] = tgts
+                c = cum[k]
+                ends = c + np.cumsum(cnts_all[s:e])
+                for i, lo, frac in meta[k]:
+                    hi = lo + 1 if frac > 0 else lo
+                    for pos, part in ((lo, 0), (hi, 1)):
+                        if c <= pos < ends[-1]:
+                            j = int(np.searchsorted(ends, pos, side="right"))
+                            out.append(
+                                (k, i, part, float(pdf["v"].iloc[s + j]), frac)
+                            )
+                cum[k] = int(ends[-1])
+            if out:
+                yield pd.DataFrame(
+                    out, columns=["k", "q_idx", "part", "v", "frac"]
+                )
+
+    k_type = dict(base.dtypes)["k"]
+    stats = sliced.mapInPandas(
+        _order_stats,
+        f"k {k_type}, q_idx int, part int, v double, frac double",
+    )
+    bound = F.round(
+        F.col("v_lo") + (F.col("v_hi") - F.col("v_lo")) * F.col("frac"),
+        decimals,
+    )
+    return (
+        stats.groupBy("k", "q_idx")
+        .agg(
+            F.max(F.when(F.col("part") == 0, F.col("v"))).alias("v_lo"),
+            F.max(F.when(F.col("part") == 1, F.col("v"))).alias("v_hi"),
+            F.first("frac").alias("frac"),
+        )
+        .select(F.col("k").alias(key), "q_idx", bound.alias("bound"))
+    )
+
+
 def equidepth_histogram(lineitem: DataFrame, buckets: int = 10) -> DataFrame:
     """Equi-depth (quantile) histogram of ``l_extendedprice`` — the
     optimizer-statistics / data-profiling primitive where every bucket

@@ -124,14 +124,40 @@ def sliding_window_agg(
 def percentile_stats(events: DataFrame) -> DataFrame:
     """Exact percentiles (continuous interpolation) of event values
     per type. Exact percentile sorts within each group -- fine for
-    bounded group counts; at 100 TB over raw events switch to
-    ``approx_percentile`` (t-digest sketch, mergeable map-side) and
-    accept the rank error; both surfaces are one function swap."""
+    bounded group sizes; when groups are unbounded either switch to
+    ``approx_percentile`` (t-digest sketch, mergeable map-side,
+    bounded rank error) or keep exactness distributed with
+    ``percentile_stats_distributed`` below (grouped range-partition
+    kernel, bit-identical result)."""
     return events.groupBy("event_type").agg(
         F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
         F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
         F.round(F.max("value"), 4).alias("p100"),
     )
+
+
+def percentile_stats_distributed(events: DataFrame) -> DataFrame:
+    """Same contract as ``percentile_stats`` (exact p50/p95/p100 per
+    event type) through the grouped distributed-quantile kernel
+    (``operators/relational.py:exact_quantiles_grouped``): per-type
+    order statistics come from (key, value)-range-partitioned shards
+    with a per-(key, shard) prefix sum, so a HOT TYPE's values never
+    concentrate in one aggregation buffer — the form that holds when
+    group sizes are unbounded (low-cardinality key over an unbounded
+    corpus), where grouped ``F.percentile`` sorts each group in one
+    buffer and ``approx_percentile`` trades rank error. p100 is a
+    plain max aggregate (already partial→final)."""
+    from .relational import exact_quantiles_grouped
+
+    qb = exact_quantiles_grouped(events, "event_type", "value", [0.5, 0.95])
+    wide = qb.groupBy("event_type").agg(
+        F.max(F.when(F.col("q_idx") == 0, F.col("bound"))).alias("p50"),
+        F.max(F.when(F.col("q_idx") == 1, F.col("bound"))).alias("p95"),
+    )
+    mx = events.groupBy("event_type").agg(
+        F.round(F.max("value"), 4).alias("p100")
+    )
+    return wide.join(mx, "event_type")
 
 
 def approx_percentile_stats(events: DataFrame) -> DataFrame:

@@ -655,6 +655,23 @@ def _approx_percentile_stats(spark, sf):
     return temporal.approx_percentile_stats(_t(spark, sf, "events"))
 
 
+@_register(
+    "percentile_stats_distributed",
+    f"""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.95), 4) AS p95,
+           round(max(value), 4) AS p100
+    FROM {_EVTS} GROUP BY event_type
+    """,
+    note="same exact result through the grouped distributed-quantile "
+    "kernel: (key, value)-range-partitioned order statistics, no "
+    "per-group value buffer -- the unbounded-group-size form",
+)
+def _percentile_stats_distributed(spark, sf):
+    return temporal.percentile_stats_distributed(_t(spark, sf, "events"))
+
+
 # ---------------------------------------------- text / flagship (M1/M5)
 
 

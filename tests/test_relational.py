@@ -623,6 +623,41 @@ def test_exact_quantiles_matches_builtin_percentile(spark):
             assert got == expected, (shards, compress, got, expected)
 
 
+def test_exact_quantiles_grouped_matches_builtin(spark):
+    """Grouped kernel vs grouped F.percentile: keys with very
+    different sizes (one spanning many range shards), ties, and a
+    singleton group; both compress modes."""
+    from java_mapreduce_framework_spark.operators.relational import (
+        exact_quantiles_grouped,
+    )
+
+    rows = [("big", float(i % 97)) for i in range(2000)]
+    rows += [("small", v) for v in (1.0, 2.0, 2.0, 9.5)]
+    rows += [("one", 42.0)]
+    df = spark.createDataFrame(rows, "k string, x double")
+    qs = [0.25, 0.5, 0.9]
+    expected = {
+        (r["k"], i): r["bounds"][i]
+        for r in df.groupBy("k")
+        .agg(
+            F.transform(
+                F.percentile("x", F.array(*[F.lit(q) for q in qs])),
+                lambda b: F.round(b, 4),
+            ).alias("bounds")
+        )
+        .collect()
+        for i in range(len(qs))
+    }
+    for compress in (False, True):
+        got = {
+            (r["k"], r["q_idx"]): r["bound"]
+            for r in exact_quantiles_grouped(
+                df, "k", "x", qs, shards=16, compress=compress
+            ).collect()
+        }
+        assert got == expected, (compress, got, expected)
+
+
 def test_winsorize_stats_clip_bounds(spark):
     """Hand-built values: exactly the extremes clip, means move toward
     the center, and row counts are preserved (clip, don't drop)."""
