@@ -593,10 +593,32 @@ def test_curriculum_order_no_global_sort(spark, sf_small):
     from java_mapreduce_framework_spark.operators import text as text_ops
 
     plan = _formatted(text_ops.curriculum_order(load_table(spark, sf_small, "documents")))
-    assert "rangepartitioning" not in plan
+    # range partitioning may appear ONLY as the exact_quantiles
+    # kernel's value-domain sharding (on the narrow `v` stream); a
+    # global ntile would range-partition the corpus ordering columns
+    # (quality / shuffle_key / doc_id) instead
+    for ln in plan.splitlines():
+        if "rangepartitioning" in ln:
+            assert "v#" in ln.split("rangepartitioning", 1)[1], ln
     assert any(
         "hashpartitioning(bucket" in ln for ln in plan.splitlines()
     ), "within-bucket window must partition by bucket"
+
+
+def test_percentile_stats_distributed_no_group_buffer(spark, sf_small):
+    """The grouped quantile kernel must shard the value domain by
+    (key, value) range — NOT run a grouped exact percentile whose
+    buffer holds a whole group — and walk shards in Arrow."""
+    from java_mapreduce_framework_spark.operators import temporal
+
+    plan = _formatted(
+        temporal.percentile_stats_distributed(load_table(spark, sf_small, "events"))
+    )
+    assert any(
+        "rangepartitioning(k#" in ln for ln in plan.splitlines()
+    ), "value-domain sharding on (k, v) missing"
+    assert "MapInPandas" in plan
+    assert "percentile(" not in plan  # no single-buffer exact aggregate
 
 
 def test_stats_moments_two_aggregates_broadcast_join(spark, sf_small):
