@@ -322,7 +322,9 @@ def mad_outliers(events: DataFrame, k: float = 3.5) -> DataFrame:
     the stats table is event-type-cardinality-sized. Exact medians
     (interpolated, type R-7) match across engines; zero-MAD types
     (constant metric) are dropped explicitly since no deviation score
-    is defined there.
+    is defined there. When group sizes are unbounded, each median
+    aggregate swaps for ``exact_quantiles_grouped``
+    (``operators/relational.py``) — same values, no per-group buffer.
 
     Emits (event_id, event_type, value, med, mad, mad_score).
     """

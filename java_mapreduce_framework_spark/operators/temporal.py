@@ -814,6 +814,9 @@ def winsorize_stats(
     the stream, then clamped values fold into one partial→final
     aggregate. The fences are rounded to 4 BEFORE clamping on both
     engines so clip decisions never hinge on sub-rounding noise.
+    When group sizes are unbounded, the fence aggregate swaps for
+    ``exact_quantiles_grouped`` (same values bit-for-bit, no
+    per-group buffer) — see ``percentile_stats_distributed``.
 
     Emits (event_type, n_events, n_clipped_low, n_clipped_high,
     mean_raw, mean_winsorized).
