@@ -187,16 +187,20 @@ def ks_drift(
 
     Exact KS needs the globally ordered empirical CDFs, so the plan
     compresses FIRST: one grouped aggregation to per-distinct-value
-    counts (at most |distinct values| rows survive), then the global
-    cumulative window runs over that compressed stream. The
-    documented 100 TB posture: the window is single-partition over
-    DISTINCT VALUES, not rows — fine for bounded-cardinality metrics;
-    for unbounded ones, pre-round values to measurement precision or
-    swap in the approx-percentile sketch variant. Tie handling is
+    counts (at most |distinct values| rows survive). The cumulative
+    sums over that compressed stream are then DISTRIBUTED — never a
+    single-partition window over the distinct values: approximate
+    cut points (an approx_percentile sketch over the distinct values,
+    broadcast as one row) split the value domain into ``shards``
+    monotone cells; per-cell totals prefix-sum through a ≤shards-row
+    window; and the within-cell cumulative windows run parallel
+    across cells with the cell offset added back. Cut-point error
+    only skews cell SIZES — every CDF value is exact. Tie handling is
     exact: CDFs are evaluated after absorbing all rows at each value.
 
     Emits one row (n_a, n_b, ks_stat).
     """
+    shards = 32
     flagged = events.filter(
         F.col("event_type").isin(type_a, type_b)
     ).select(
@@ -207,22 +211,58 @@ def ks_drift(
     per_val = flagged.groupBy("value").agg(
         F.sum("ia").alias("ca"), F.sum("ib").alias("cb")
     )
-    wcum = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
-    wall = Window.orderBy("value").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    cuts = per_val.agg(
+        F.approx_percentile(
+            "value",
+            F.array(*[F.lit(i / shards) for i in range(1, shards)]),
+            F.lit(1000),
+        ).alias("cuts")
     )
-    cdf = per_val.select(
-        F.sum("ca").over(wcum).alias("cuma"),
-        F.sum("cb").over(wcum).alias("cumb"),
-        F.sum("ca").over(wall).alias("na"),
-        F.sum("cb").over(wall).alias("nb"),
+    cell = F.size(F.filter("cuts", lambda c: F.col("value") > c))
+    sharded = per_val.crossJoin(F.broadcast(cuts)).select(
+        "value", "ca", "cb", cell.alias("cell")
     )
-    return cdf.groupBy().agg(
-        F.max("na").alias("n_a"),
-        F.max("nb").alias("n_b"),
-        F.round(
-            F.max(F.abs(F.col("cuma") / F.col("na") - F.col("cumb") / F.col("nb"))), 4
-        ).alias("ks_stat"),
+    w_off = Window.orderBy("cell").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        sharded.groupBy("cell")
+        .agg(F.sum("ca").alias("pca"), F.sum("cb").alias("pcb"))
+        .select(
+            "cell",
+            F.coalesce(F.sum("pca").over(w_off), F.lit(0)).alias("offa"),
+            F.coalesce(F.sum("pcb").over(w_off), F.lit(0)).alias("offb"),
+        )
+    )
+    totals = per_val.agg(
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
+    )
+    w_in = (
+        Window.partitionBy("cell")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cdf = (
+        sharded.join(F.broadcast(offsets), "cell")
+        .select(
+            (F.sum("ca").over(w_in) + F.col("offa")).alias("cuma"),
+            (F.sum("cb").over(w_in) + F.col("offb")).alias("cumb"),
+        )
+    )
+    return (
+        cdf.crossJoin(F.broadcast(totals))
+        .groupBy()
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("cuma") / F.col("n_a")
+                        - F.col("cumb") / F.col("n_b")
+                    )
+                ),
+                4,
+            ).alias("ks_stat"),
+        )
     )
 
 

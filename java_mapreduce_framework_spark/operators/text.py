@@ -937,32 +937,34 @@ def vocab_coverage(documents: DataFrame, top_v: int = 64) -> DataFrame:
     "how big must the vocab be" analysis before fixing a tokenizer.
 
     One token explosion -> word counts (map-side combinable), then
-    rank + running-coverage windows over the count-sorted vocabulary.
-    The windows order the VOCABULARY, not the corpus: their input is
-    one row per distinct word, already aggregate-compressed, and the
-    top_v cut bounds the output. Ties break by word so both engines
-    rank identically. Coverage is exact rational arithmetic until the
-    one final rounding.
+    the top_v cut via TakeOrderedAndProject (per-partition heaps —
+    the vocabulary is never globally sorted), and rank +
+    running-coverage windows over the ≤top_v surviving rows (bounded
+    by the knob, not the data; the corpus token total joins as a
+    1-row broadcast — the shared aggregation exchange is reused, so
+    the explosion still runs once). Ties break by word so both
+    engines rank identically. Coverage is exact rational arithmetic
+    until the one final rounding.
 
     Emits (rank, word, cnt, cum_coverage).
     """
     words = words_exploded(documents)
     counts = words.groupBy("word").agg(F.count("*").alias("cnt"))
+    # top_v cut FIRST, via TakeOrderedAndProject (per-partition heaps,
+    # k-row driver merge) — never a global row_number sort of the
+    # whole vocabulary; the rank/coverage windows then run over the
+    # ≤top_v-row result, and the corpus total rides a 1-row broadcast.
+    top = counts.orderBy(F.col("cnt").desc(), "word").limit(top_v)
+    total = counts.agg(F.sum("cnt").alias("n_total"))
     order = Window.orderBy(F.col("cnt").desc(), "word")
-    total = Window.orderBy(F.lit(1)).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
     run = order.rowsBetween(Window.unboundedPreceding, 0)
-    return (
-        counts.select(
-            F.row_number().over(order).alias("rank"),
-            "word",
-            "cnt",
-            F.round(
-                F.sum("cnt").over(run) / F.sum("cnt").over(total), 6
-            ).alias("cum_coverage"),
-        )
-        .filter(F.col("rank") <= top_v)
+    return top.crossJoin(F.broadcast(total)).select(
+        F.row_number().over(order).alias("rank"),
+        "word",
+        "cnt",
+        F.round(F.sum("cnt").over(run) / F.col("n_total"), 6).alias(
+            "cum_coverage"
+        ),
     )
 
 
@@ -1010,12 +1012,11 @@ def pair_pmi(documents: DataFrame, min_count: int = 5, k: int = 30) -> DataFrame
         .crossJoin(F.broadcast(total))
         .select("w1", "w2", "n_pair", F.round(pmi, 4).alias("pmi"))
     )
-    order = Window.orderBy(F.col("pmi").desc(), "w1", "w2")
-    return (
-        scored.select("*", F.row_number().over(order).alias("rnk"))
-        .filter(F.col("rnk") <= k)
-        .drop("rnk")
-    )
+    # top-k via TakeOrderedAndProject (per-partition heaps), never a
+    # global row_number sort of the scored pair vocabulary
+    return scored.orderBy(
+        F.col("pmi").desc(), "w1", "w2"
+    ).limit(k)
 
 
 def split_leakage_audit(documents: DataFrame, prefix_len: int = 24) -> DataFrame:
@@ -1097,11 +1098,11 @@ def bpe_merge_step(documents: DataFrame, k: int = 20) -> DataFrame:
     counts = pairs.groupBy("p.sym_a", "p.sym_b").agg(
         F.sum("word_freq").alias("n_pair")
     )
+    # k-row heap cut first (TakeOrderedAndProject); the rank window
+    # then orders only the ≤k survivors — bounded by the knob
+    top = counts.orderBy(F.col("n_pair").desc(), "sym_a", "sym_b").limit(k)
     order = Window.orderBy(F.col("n_pair").desc(), "sym_a", "sym_b")
-    return (
-        counts.select(F.row_number().over(order).alias("rank"), "*")
-        .filter(F.col("rank") <= k)
-    )
+    return top.select(F.row_number().over(order).alias("rank"), "*")
 
 
 def chi2_feature_select(
@@ -1168,11 +1169,11 @@ def chi2_feature_select(
         F.col("m.chi2_wl").alias("chi2"),
         F.col("m.lang").alias("best_lang"),
     )
+    # k-row heap cut first (TakeOrderedAndProject); the rank window
+    # then orders only the ≤k survivors — bounded by the knob
+    top = best.orderBy(F.col("chi2").desc(), "word").limit(k)
     order = Window.orderBy(F.col("chi2").desc(), "word")
-    return (
-        best.select(F.row_number().over(order).alias("rank"), "*")
-        .filter(F.col("rank") <= k)
-    )
+    return top.select(F.row_number().over(order).alias("rank"), "*")
 
 
 def weighted_sample_es(documents: DataFrame, k: int = 10) -> DataFrame:
