@@ -4386,6 +4386,47 @@ def _sql_lateral_top_orders(spark, sf):
     return run_sql(spark, sf, _SQL_LATERAL)
 
 
+_SQL_RECURSIVE_SPINE = """
+    WITH RECURSIVE spine(m) AS (
+      SELECT CAST(DATE '1995-01-01' AS DATE)
+      UNION ALL
+      SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM spine
+      WHERE m < DATE '1996-12-01'
+    ),
+    mo AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+             count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+      FROM orders
+      WHERE o_orderdate >= DATE '1995-01-01'
+        AND o_orderdate < DATE '1997-01-01'
+      GROUP BY 1
+    )
+    SELECT CAST(s.m AS TIMESTAMP) AS month,
+           COALESCE(mo.n_orders, 0) AS n_orders,
+           COALESCE(mo.total_price, 0.0) AS total_price
+    FROM spine s LEFT JOIN mo ON mo.m = s.m
+"""
+
+
+@_register(
+    "sql_recursive_month_spine",
+    _SQL_RECURSIVE_SPINE,
+    note="WITH RECURSIVE intake (Spark 4 recursive CTE): bounded "
+    "monotone date-spine generation LEFT-JOINed to a grouped "
+    "aggregate so empty months survive as zero rows — the gap-"
+    "preserving reporting shape; same text runs verbatim on the "
+    "oracle engine. Recursion depth is the calendar span (24), "
+    "independent of data volume; the aggregate side stays "
+    "partial->final with the date filter pushed to the scan",
+)
+def _sql_recursive_month_spine(spark, sf):
+    from .sql import run_sql
+
+    return run_sql(spark, sf, _SQL_RECURSIVE_SPINE)
+
+
 #: Shared SQL fragment: the exact-Jaccard near-dup connected-components
 #: chain (same construction as the dedup_cluster_components oracle),
 #: parameterized by whichever ``toks`` CTE precedes it. Ends with
