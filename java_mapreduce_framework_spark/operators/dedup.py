@@ -848,9 +848,16 @@ def dedup_incremental_minhash(
     the standard production trade: the estimator's stderr at 128
     permutations is ~sqrt(j(1-j)/128) <= 0.045. Candidate generation
     is EXACTLY the batch-mode banding (shared band-hash expression),
-    asserted equivalent in tests/test_dedup.py."""
-    sig = minhash_signatures(new_docs, num_perm, n, seed).select(
-        "doc_id", F.array(*[f"s{i}" for i in range(num_perm)]).alias("sig")
+    asserted equivalent in tests/test_dedup.py.
+
+    Batch signatures come from ``minhash_signatures_rowlocal`` — the
+    ingest-shaped kernel (per-row numpy mins, state bounded by doc
+    length; bit-identical to the aggregation path, asserted in
+    tests/test_dedup.py) — because an arriving batch is naturally
+    row-per-doc and small relative to the corpus; the 128-aggregate
+    form stays the right shape for sketching whole corpora."""
+    sig = minhash_signatures_rowlocal(new_docs, num_perm, n, seed).select(
+        "doc_id", "sig"
     )
     return probe_minhash_index(spark, sig, index_name, num_perm, bands, threshold)
 
@@ -893,9 +900,9 @@ def probe_minhash_index(
     """LSH-probe the persisted index with pre-computed signatures
     (doc_id, sig array<long>): band the probe side, equi-join the
     bucketed posting lists, estimate Jaccard from slot agreement.
-    Shared by the batch incremental op (aggregation-built signatures)
-    and the streaming ingest path (row-local signatures, one
-    microbatch at a time); both index joins stay exchange-free on the
+    Shared by the batch incremental op and the streaming ingest path
+    (row-local signatures in both — one batch or microbatch at a
+    time); both index joins stay exchange-free on the
     index side."""
     new_banded = sigs.select(
         F.col("doc_id").alias("doc_a"),

@@ -49,6 +49,8 @@ ALLOWED_NESTED_LOOP = {
     "embedding_standardize",  # 1-row broadcast per-dim stats array
     "equidepth_histogram",  # 1-row broadcast percentile-cut-points array
     "curriculum_order",  # 1-row broadcast decile-cut-points array
+    "ks_drift",  # 1-row broadcast cell-cut-points array + (n_a, n_b) totals
+    "vocab_coverage",  # 1-row broadcast corpus token total
 }
 
 
