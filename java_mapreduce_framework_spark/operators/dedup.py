@@ -1426,20 +1426,23 @@ def pagerank(
     concentrates on documents central to a duplication cluster, the
     "which doc is the canonical source" signal.
 
-    Per iteration: one keyed join (ranks × edges), one grouped sum
-    per destination, and a 1-row dangling-mass aggregate broadcast
-    into the update (isolated docs redistribute everywhere) — NO
-    driver-side scalar probes; ``localCheckpoint`` truncates lineage
-    each round (the CC discipline), so plan depth stays constant and
-    worst-case work is ``iters`` × (|E| shuffle + |V| agg). All
-    vertices (including isolated ones) participate from a uniform
-    1/N start.
+    Per iteration: one keyed join (rank state × edges), one grouped
+    sum per destination, a 1-row dangling-mass aggregate broadcast
+    into the update (isolated docs redistribute everywhere), and one
+    update join back onto the static vertex table — NO driver-side
+    scalar probes; ``localCheckpoint`` truncates lineage periodically
+    (the CC discipline), so plan depth stays constant and worst-case
+    work is ``iters`` × (|E| shuffle + |V| agg). The STATIC per-vertex
+    structure (out-degree, dangling flag) is joined ONCE before the
+    loop and carried inside the rank state, so no iteration re-joins
+    degrees or re-derives the dangling set (the naive loop pays both
+    every round). All vertices (including isolated ones) participate
+    from a uniform 1/N start.
 
     Emits (doc_id, pr) rounded to 6 — both engines accumulate in
     float64 with different summation orders; 6 digits is far above
     the ~1e-14 reorder noise and far below the ~1e-3 rank scale.
     """
-    verts = vertices.select("doc_id").localCheckpoint()
     edges = (
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .unionByName(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
@@ -1447,24 +1450,29 @@ def pagerank(
     )
     degs = edges.groupBy(F.col("a").alias("doc_id")).agg(
         F.count("*").alias("deg")
-    ).localCheckpoint()
-    n_row = verts.agg(F.count("*").cast("double").alias("n")).localCheckpoint()
-    ranks = verts.crossJoin(F.broadcast(n_row)).select(
-        "doc_id", (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    n_row = vertices.agg(F.count("*").cast("double").alias("n")).localCheckpoint()
+    # static per-vertex structure, joined once and carried in-state
+    vstat = (
+        vertices.select("doc_id")
+        .join(degs, "doc_id", "left")
+        .localCheckpoint()
+    )
+    ranks = vstat.crossJoin(F.broadcast(n_row)).select(
+        "doc_id", (F.lit(1.0) / F.col("n")).alias("pr"), "deg"
     ).localCheckpoint()
     for it in range(iters):
         contrib = (
-            ranks.join(degs, "doc_id")
+            ranks.filter(F.col("deg").isNotNull())
             .join(edges, F.col("doc_id") == F.col("a"))
             .groupBy(F.col("b").alias("doc_id"))
             .agg(F.sum(F.col("pr") / F.col("deg")).alias("s"))
         )
-        dangling = (
-            ranks.join(degs, "doc_id", "left_anti")
-            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("m"))
+        dangling = ranks.filter(F.col("deg").isNull()).agg(
+            F.coalesce(F.sum("pr"), F.lit(0.0)).alias("m")
         )
         ranks = (
-            verts.join(contrib, "doc_id", "left")
+            vstat.join(contrib, "doc_id", "left")
             .crossJoin(F.broadcast(dangling))
             .crossJoin(F.broadcast(n_row))
             .select(
@@ -1474,6 +1482,7 @@ def pagerank(
                     + damping
                     * (F.coalesce(F.col("s"), F.lit(0.0)) + F.col("m") / F.col("n"))
                 ).alias("pr"),
+                "deg",
             )
         )
         # lineage truncation every 3rd round: depth-3 plans stay cheap
