@@ -2654,6 +2654,51 @@ def _source_csv_roundtrip(spark, sf):
 
 
 @_register(
+    "source_kvtext_datasource",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS key,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           substring(text, 1, 16) AS head
+    FROM documents
+    """,
+    note="the reference's key\\tvalue format as a REGISTERED Spark "
+    "data source (Spark 4 Python DataSource API, format('kvtext')): "
+    "partition-per-file distributed scan, streamed line reads; "
+    "content-exact roundtrip oracle over the original parquet",
+)
+def _source_kvtext_datasource(spark, sf):
+    import pathlib
+
+    from ..sources.kvtext_datasource import register_kvtext
+
+    # reuse the Job-API e2e staging: documents rendered as
+    # doc_id\ttext once per fixture dir
+    from .jobs import _REPO_ROOT
+    from ..sources.sinks import write_kv_text_dir
+    from ..sources.staging import stage_once
+    from ..sources.tables import load_table
+
+    sf_name = pathlib.Path(sf).name
+    in_dir = _REPO_ROOT / ".tmp" / "jobapi" / f"{sf_name}_documents_kv"
+
+    def _build(tmp: str) -> None:
+        docs = load_table(spark, sf, "documents").select(
+            F.col("doc_id").cast("string").alias("key"),
+            F.col("text").alias("value"),
+        )
+        write_kv_text_dir(docs, tmp)
+
+    stage_once(in_dir, _build)
+    register_kvtext(spark)
+    kv = spark.read.format("kvtext").load(str(in_dir))
+    return kv.select(
+        "key",
+        F.length("value").cast("bigint").alias("n_chars"),
+        F.substring("value", 1, 16).alias("head"),
+    )
+
+
+@_register(
     "source_jsonl_roundtrip",
     """
     SELECT source, count(*) AS n_docs,

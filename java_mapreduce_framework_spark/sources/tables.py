@@ -124,7 +124,10 @@ def read_kv_text_dir(spark: SparkSession, path: str) -> DataFrame:
     """
     lines = spark.read.text(path)
     parts = F.split(F.col("value"), "\t", 2)
+    # F.get, not getItem: a tabless line has no second field, and
+    # under ANSI semantics getItem(1) would fail the whole scan on
+    # one malformed line — get() degrades it to a null value instead
     return lines.select(
-        parts.getItem(0).alias("key"),
-        parts.getItem(1).alias("value"),
+        F.get(parts, 0).alias("key"),
+        F.get(parts, 1).alias("value"),
     )

@@ -11,6 +11,39 @@ def test_read_kv_text_dir(spark, tmp_path):
     assert rows == {"apple": "1", "banana": "2", "cherry": "with\ttabs"}
 
 
+def test_kvtext_datasource_contract_and_partitioning(spark, tmp_path):
+    """The registered kvtext format must (a) parse exactly like
+    read_kv_text_dir — first-tab split, tabs preserved in the value,
+    tabless line -> null value — and (b) scan one partition per data
+    file, skipping marker files."""
+    from java_mapreduce_framework_spark.sources.kvtext_datasource import (
+        register_kvtext,
+    )
+
+    (tmp_path / "part1.txt").write_text("apple\t1\nbanana\t2\n\n")
+    (tmp_path / "part2.txt").write_text("cherry\twith\ttabs\nnotab\n")
+    (tmp_path / "part3.txt").write_text("dupe\tx\n")
+    (tmp_path / "_SUCCESS").write_text("")
+    register_kvtext(spark)
+    df = spark.read.format("kvtext").load(str(tmp_path))
+    rows = {r["key"]: r["value"] for r in df.collect()}
+    assert rows == {
+        "apple": "1",
+        "banana": "2",
+        "cherry": "with\ttabs",
+        "notab": None,
+        "dupe": "x",
+        "": None,  # blank line: empty key, null value (both readers)
+    }
+    assert df.rdd.getNumPartitions() == 3
+    # parse contract equivalence with the projection-based reader
+    legacy = {
+        r["key"]: r["value"]
+        for r in read_kv_text_dir(spark, str(tmp_path)).collect()
+    }
+    assert legacy == rows
+
+
 def test_load_table_events_timestamp_us(spark, sf_small):
     events = load_table(spark, sf_small, "events")
     assert dict(events.dtypes)["ts"] == "timestamp"
