@@ -16,22 +16,30 @@ files scans N-wide exactly like the reference assigned one mapper per
 file — and like Spark's own text source splits by file. Rows stream
 through Arrow batches (the Python DataSource runtime batches
 ``read``'s tuple iterator); no file is ever materialized whole, the
-reader yields line by line. Writes stay on the engine's
-``write_kv_text_dir`` sink (executor-side ``foreachPartition``), so
-the format is read/write complete.
+reader yields line by line. The write side (``KvTextWriter``) makes
+the format read/write complete: ``df.write.format("kvtext")`` with
+task-temp files renamed on success — next to the engine's original
+``write_kv_text_dir`` sink.
 """
 
 from __future__ import annotations
 
 import os
+import uuid
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 
 class KvTextDataSource(DataSource):
     """``format("kvtext")``: directory of text files of
-    ``key\\tvalue`` lines -> (key string, value string)."""
+    ``key\\tvalue`` lines <-> (key string, value string)."""
 
     @classmethod
     def name(cls) -> str:
@@ -42,6 +50,9 @@ class KvTextDataSource(DataSource):
 
     def reader(self, schema) -> "KvTextReader":
         return KvTextReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> "KvTextWriter":
+        return KvTextWriter(self.options, overwrite)
 
 
 class _FilePartition(InputPartition):
@@ -76,6 +87,58 @@ class KvTextReader(DataSourceReader):
                 # limit-2 split: value is everything after the FIRST
                 # tab; a tabless line yields a null value
                 yield key, rest if sep else None
+
+
+class _FileCommit(WriterCommitMessage):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class KvTextWriter(DataSourceWriter):
+    """Reference-sink semantics through the format API: raw
+    ``key\\tvalue`` lines, NO quoting/escaping (the reference writes
+    raw strings, ``job/WordCountContext.java:162``); a null value
+    writes the bare key, matching ``write_kv_text_dir``'s
+    ``concat_ws`` behavior. One file per task, unique temp names
+    renamed on task success and _SUCCESS stamped at commit, so a
+    failed/speculative task never leaves a visible partial file.
+    Paths are plain filesystem paths (local or a mounted DFS) — the
+    same shared-directory assumption as the reference's per-worker
+    appends."""
+
+    def __init__(self, options, overwrite: bool):
+        path = options.get("path")
+        if not path:
+            raise ValueError("kvtext requires a path: .save(<dir>)")
+        self._dir = path
+        if overwrite and os.path.isdir(path):
+            for f in os.listdir(path):  # driver-side wipe-before-run
+                fp = os.path.join(path, f)
+                if os.path.isfile(fp):
+                    os.remove(fp)
+        os.makedirs(path, exist_ok=True)
+
+    def write(self, iterator) -> _FileCommit:
+        tmp = os.path.join(self._dir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                key = "" if row[0] is None else str(row[0])
+                if row[1] is None:
+                    fh.write(f"{key}\n")
+                else:
+                    fh.write(f"{key}\t{row[1]}\n")
+        final = os.path.join(self._dir, f"part-{uuid.uuid4().hex[:12]}.txt")
+        os.rename(tmp, final)
+        return _FileCommit(final)
+
+    def commit(self, messages) -> None:
+        with open(os.path.join(self._dir, "_SUCCESS"), "w"):
+            pass
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
 
 
 def register_kvtext(spark) -> None:

@@ -44,6 +44,34 @@ def test_kvtext_datasource_contract_and_partitioning(spark, tmp_path):
     assert legacy == rows
 
 
+def test_kvtext_datasource_write_roundtrip(spark, tmp_path):
+    """format('kvtext') write -> read roundtrip: raw lines, no
+    escaping, null value = bare key; overwrite wipes prior files."""
+    from java_mapreduce_framework_spark.sources.kvtext_datasource import (
+        register_kvtext,
+    )
+
+    register_kvtext(spark)
+    out = str(tmp_path / "kv_out")
+    df = spark.createDataFrame(
+        [("a", "1"), ("b", "x\ty"), ("c", None)], "key string, value string"
+    )
+    df.write.format("kvtext").mode("overwrite").save(out)
+    back = {
+        r["key"]: r["value"]
+        for r in spark.read.format("kvtext").load(out).collect()
+    }
+    assert back == {"a": "1", "b": "x\ty", "c": None}
+    # overwrite semantics: second write replaces, never appends
+    df2 = spark.createDataFrame([("z", "9")], "key string, value string")
+    df2.write.format("kvtext").mode("overwrite").save(out)
+    back2 = {
+        r["key"]: r["value"]
+        for r in spark.read.format("kvtext").load(out).collect()
+    }
+    assert back2 == {"z": "9"}
+
+
 def test_load_table_events_timestamp_us(spark, sf_small):
     events = load_table(spark, sf_small, "events")
     assert dict(events.dtypes)["ts"] == "timestamp"
