@@ -501,3 +501,75 @@ def test_curriculum_order_bucket_monotone_and_dense(spark, sf_small):
     for b in bs:
         pos = sorted(r["pos_in_bucket"] for r in rows if r["bucket"] == b)
         assert pos == list(range(1, len(pos) + 1))
+
+
+quantile_values = st.lists(
+    st.one_of(
+        st.integers(-50, 50).map(float),  # heavy ties
+        st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(quantile_values, st.integers(1, 6))
+def test_exact_quantiles_property_vs_numpy(vals, shards):
+    """Distributed kernel == numpy linear-interpolation quantiles
+    (same definition as Spark percentile / quantile_cont) on random
+    multisets — ties, negatives, singletons, shards > n."""
+    import numpy as np
+
+    from java_mapreduce_framework_spark.operators.relational import (
+        exact_quantiles,
+    )
+
+    spark = _spark
+    qs = [0.0, 0.23, 0.5, 0.77, 1.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = exact_quantiles(
+        df, "x", qs, shards=shards, decimals=6
+    ).collect()[0]["bounds"]
+    want = [
+        round(float(np.quantile(np.array(vals), q, method="linear")), 6)
+        for q in qs
+    ]
+    assert got == want, (vals, shards, got, want)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(-30, 30).map(float)),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(1, 5),
+)
+def test_exact_quantiles_grouped_property_vs_numpy(pairs, shards):
+    """Grouped kernel == per-key numpy quantiles on random keyed
+    multisets (skewed key sizes, ties, singleton groups)."""
+    import numpy as np
+
+    from java_mapreduce_framework_spark.operators.relational import (
+        exact_quantiles_grouped,
+    )
+
+    spark = _spark
+    qs = [0.25, 0.5, 0.9]
+    df = spark.createDataFrame(
+        [(str(k), v) for k, v in pairs], "k string, x double"
+    )
+    got = {
+        (r["k"], r["q_idx"]): r["bound"]
+        for r in exact_quantiles_grouped(
+            df, "k", "x", qs, shards=shards, decimals=6
+        ).collect()
+    }
+    want = {}
+    for k in {str(k) for k, _ in pairs}:
+        arr = np.array([v for kk, v in pairs if str(kk) == k])
+        for i, q in enumerate(qs):
+            want[(k, i)] = round(float(np.quantile(arr, q, method="linear")), 6)
+    assert got == want, (pairs, shards, got, want)
