@@ -2097,6 +2097,19 @@ def _stream_wordcount(spark, sf):
 
 
 @_register(
+    "stream_kvtext_wordcount",
+    _WORDS_CTE + "SELECT word, count(*) AS cnt FROM words GROUP BY word",
+    note="the custom kvtext source driven by Structured Streaming "
+    "(partition-per-new-file microbatches through the Python "
+    "DataSourceStreamReader); bounded drain == batch wordcount",
+)
+def _stream_kvtext_wordcount(spark, sf):
+    from ..streaming.jobs import stream_kvtext_wordcount
+
+    return stream_kvtext_wordcount(spark, sf)
+
+
+@_register(
     "stream_sessionize",
     _SESSION_WINDOW_SQL,
     note="streaming session_window state; bounded input == batch session_window_agg",

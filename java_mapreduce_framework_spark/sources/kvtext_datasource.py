@@ -31,6 +31,7 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -54,6 +55,9 @@ class KvTextDataSource(DataSource):
     def writer(self, schema, overwrite: bool) -> "KvTextWriter":
         return KvTextWriter(self.options, overwrite)
 
+    def streamReader(self, schema) -> "KvTextStreamReader":
+        return KvTextStreamReader(self.options)
+
 
 class _FilePartition(InputPartition):
     def __init__(self, path: str):
@@ -71,22 +75,68 @@ class KvTextReader(DataSourceReader):
         # one partition per data file — the reference's mapper-per-file
         # assignment and Spark text's per-file split, driver lists the
         # directory only (no data read here)
-        files = sorted(
-            os.path.join(self._dir, f)
-            for f in os.listdir(self._dir)
-            if not f.startswith(("_", "."))
-        )
-        return [_FilePartition(f) for f in files]
+        return [
+            _FilePartition(os.path.join(self._dir, f))
+            for f in _list_kv_files(self._dir)
+        ]
 
     def read(self, partition: _FilePartition) -> Iterator[tuple]:
-        with open(partition.path, encoding="utf-8") as fh:
-            for line in fh:
-                line = line.rstrip("\n")
-                key, sep, rest = line.partition("\t")
-                # same two-field contract as read_kv_text_dir's
-                # limit-2 split: value is everything after the FIRST
-                # tab; a tabless line yields a null value
-                yield key, rest if sep else None
+        # same two-field contract as read_kv_text_dir's limit-2
+        # split: value is everything after the FIRST tab; a tabless
+        # line yields a null value
+        yield from _read_kv_file(partition.path)
+
+
+def _list_kv_files(path: str) -> list[str]:
+    return sorted(
+        f for f in os.listdir(path) if not f.startswith(("_", "."))
+    )
+
+
+def _read_kv_file(path: str) -> Iterator[tuple]:
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.rstrip("\n")
+            key, sep, rest = line.partition("\t")
+            yield key, rest if sep else None
+
+
+class KvTextStreamReader(DataSourceStreamReader):
+    """``readStream.format("kvtext")``: the same directory contract as
+    the batch reader, consumed incrementally — each microbatch picks
+    up files that appeared since the last committed offset (the
+    grow-only directory the reference's workers appended into). The
+    PARTITION-based stream API, not the Simple one: file parsing runs
+    on executors, one partition per new file, so a burst of arrivals
+    scans burst-wide; the driver only lists the directory. The offset
+    is the sorted processed-file list (JSON), making replay of an
+    uncommitted batch deterministic."""
+
+    def __init__(self, options):
+        path = options.get("path")
+        if not path:
+            raise ValueError("kvtext requires a path: .load(<dir>)")
+        self._dir = path
+
+    def initialOffset(self) -> dict:
+        return {"files": []}
+
+    def latestOffset(self) -> dict:
+        return {"files": _list_kv_files(self._dir)}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        done = set(start.get("files", []))
+        return [
+            _FilePartition(os.path.join(self._dir, f))
+            for f in end.get("files", [])
+            if f not in done
+        ]
+
+    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+        yield from _read_kv_file(partition.path)
+
+    def commit(self, end: dict) -> None:
+        pass
 
 
 class _FileCommit(WriterCommitMessage):

@@ -101,6 +101,42 @@ def stream_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(counts)
 
 
+def stream_kvtext_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole lifecycle, streaming: its ``key\\tvalue``
+    directory format consumed through the REGISTERED custom source
+    (``readStream.format("kvtext")`` — partition-per-new-file
+    microbatches, sources/kvtext_datasource.py) into the flagship
+    wordcount plan. Bounded drain of the staged directory equals the
+    batch wordcount — the declared oracle."""
+    import pathlib
+
+    from ..plans.jobs import _REPO_ROOT
+    from ..sources.kvtext_datasource import register_kvtext
+    from ..sources.sinks import write_kv_text_dir
+    from ..sources.staging import stage_once
+    from ..sources.tables import load_table
+
+    sf_name = pathlib.Path(sf_dir).name
+    in_dir = _REPO_ROOT / ".tmp" / "jobapi" / f"{sf_name}_documents_kv"
+
+    def _build(tmp: str) -> None:
+        docs = load_table(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("string").alias("key"),
+            F.col("text").alias("value"),
+        )
+        write_kv_text_dir(docs, tmp)
+
+    stage_once(in_dir, _build)
+    register_kvtext(spark)
+    kv = spark.readStream.format("kvtext").load(str(in_dir))
+    counts = (
+        kv.select(F.explode(tokens_col("value")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return _drain_to_memory(counts)
+
+
 def stream_sessionize(
     spark: SparkSession, sf_dir: str, gap: str = "30 minutes"
 ) -> DataFrame:

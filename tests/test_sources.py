@@ -72,6 +72,44 @@ def test_kvtext_datasource_write_roundtrip(spark, tmp_path):
     assert back2 == {"z": "9"}
 
 
+def test_kvtext_stream_reader_offsets_and_drain(spark, tmp_path):
+    """Streaming kvtext: offset bookkeeping hands each file to exactly
+    one microbatch partition, and a bounded drain equals the batch
+    read of the same directory."""
+    from java_mapreduce_framework_spark.sources.kvtext_datasource import (
+        KvTextStreamReader,
+        register_kvtext,
+    )
+
+    (tmp_path / "a.txt").write_text("x\t1\ny\t2\n")
+    (tmp_path / "b.txt").write_text("x\t3\n")
+    rdr = KvTextStreamReader({"path": str(tmp_path)})
+    assert rdr.initialOffset() == {"files": []}
+    end = rdr.latestOffset()
+    assert end == {"files": ["a.txt", "b.txt"]}
+    parts = rdr.partitions(rdr.initialOffset(), end)
+    assert sorted(p.path.rsplit("/", 1)[1] for p in parts) == ["a.txt", "b.txt"]
+    # a later batch sees only files beyond the committed offset
+    (tmp_path / "c.txt").write_text("z\t9\n")
+    parts2 = rdr.partitions(end, rdr.latestOffset())
+    assert [p.path.rsplit("/", 1)[1] for p in parts2] == ["c.txt"]
+    assert list(rdr.read(parts2[0])) == [("z", "9")]
+
+    register_kvtext(spark)
+    from pyspark.sql import functions as F  # noqa: F811
+
+    stream = (
+        spark.readStream.format("kvtext")
+        .load(str(tmp_path))
+        .groupBy("key")
+        .agg(F.count("*").alias("n"))
+    )
+    from java_mapreduce_framework_spark.streaming.jobs import _drain_to_memory
+
+    got = {r["key"]: r["n"] for r in _drain_to_memory(stream).collect()}
+    assert got == {"x": 2, "y": 1, "z": 1}
+
+
 def test_load_table_events_timestamp_us(spark, sf_small):
     events = load_table(spark, sf_small, "events")
     assert dict(events.dtypes)["ts"] == "timestamp"
