@@ -114,9 +114,16 @@ def main() -> None:
         "sf": sf,
     }
     # Full per-query record: one JSON line on stdout plus a file copy
-    # (BENCH_FULL.json) for the judge.
+    # (BENCH_FULL.json) for the judge. Subset runs (BENCH_QUERIES)
+    # never overwrite the full record — merge their timings instead.
     print(json.dumps(full), flush=True)
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    if only and os.path.exists(full_path):
+        with open(full_path) as f:
+            prior = json.load(f)
+        prior["queries"].update(timings)
+        prior["value"] = round(sum(prior["queries"].values()), 3)
+        full = prior
     with open(full_path, "w") as f:
         json.dump(full, f, indent=1)
         f.write("\n")
