@@ -1088,6 +1088,8 @@ def exact_quantiles(
     import numpy as np
     import pandas as pd
 
+    # percentile/quantile_cont semantics: NULLs are ignored, not ranked
+    vals = vals.filter(F.col(col).isNotNull())
     if compress:
         base = vals.groupBy(F.col(col).alias("v")).agg(
             F.count("*").alias("cnt")
@@ -1203,12 +1205,18 @@ def exact_quantiles_grouped(
     Returns long-form (``key``, q_idx, bound) — one row per key per
     requested quantile, bound rounded to ``decimals``, matching
     Spark ``percentile`` / DuckDB ``quantile_cont`` bit-for-bit.
+    NULL values are ignored (the percentile contract); the one edge
+    divergence is a group whose values are ALL null — grouped
+    ``percentile`` emits (key, NULL), this kernel emits no row.
+    Callers needing that row left-join from the key set.
     """
     import math
 
     import numpy as np
     import pandas as pd
 
+    # percentile/quantile_cont semantics: NULLs are ignored, not ranked
+    vals = vals.filter(F.col(col).isNotNull())
     if compress:
         base = vals.groupBy(
             F.col(key).alias("k"), F.col(col).alias("v")
