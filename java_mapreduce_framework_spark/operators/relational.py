@@ -927,6 +927,111 @@ def audience_overlap(events: DataFrame) -> DataFrame:
     )
 
 
+_KMV_SPACE = 1 << 61  # hash domain for the KMV estimator
+
+
+def kmv_sketches(
+    events: DataFrame, k: int = 4096, cells: int = 32
+) -> DataFrame:
+    """Per-audience KMV (k-minimum-values) sketch: the ``k`` smallest
+    ``xxhash64(user_id)`` values of each event type's distinct-user
+    set — the mergeable sketch for SET-OPERATION cardinalities
+    (union/intersection), which per-group HLL cannot answer without
+    inclusion-exclusion error stacking.
+
+    Exact-k construction, two bounded phases (no audience is ever
+    sorted or collected whole):
+
+      1. distinct (user, type) compression, then per-(type, cell)
+         k-smallest — users hash into ``cells`` cells, each cell's
+         state is ~audience/cells values (size the knob so a cell
+         holds O(k), the ``bucket_cap`` discipline);
+      2. per type: merge ≤cells arrays of ≤k values and keep the k
+         smallest. EXACT: every global top-k value is necessarily in
+         its own cell's top-k.
+
+    Emits (event_type, sketch array<long> ascending, n_distinct
+    BIGINT exact-if-below-k). A sketch shorter than ``k`` IS the full
+    membership hash set (small-audience regime: estimates below are
+    exact by construction, the count-min exact-rescore discipline).
+    """
+    ut = events.select("user_id", "event_type").distinct()
+    staged = ut.select(
+        "event_type",
+        F.pmod(F.xxhash64("user_id"), F.lit(_KMV_SPACE)).alias("h"),
+        F.pmod(F.xxhash64("user_id", F.lit(7)), F.lit(cells)).alias("cell"),
+    )
+    per_cell = staged.groupBy("event_type", "cell").agg(
+        F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("hs")
+    )
+    return per_cell.groupBy("event_type").agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("hs"))), 1, k
+        ).alias("sketch")
+    )
+
+
+def audience_overlap_kmv(
+    events: DataFrame, k: int = 4096, cells: int = 32
+) -> DataFrame:
+    """``audience_overlap`` through mergeable KMV sketches — the
+    100 TB posture for co-engagement matrices: audiences shrink to
+    ≤k-value sketches BEFORE any pairing, so the pair stage touches
+    |types|² tiny arrays instead of re-joining the distinct-user
+    stream, and sketches persist/merge across corpus increments.
+
+    Intersection estimator (theta-sketch form): θ = k-th smallest of
+    the merged pair sketch; every distinct user is retained with
+    probability θ/SPACE, so n̂_∩ = |{v ∈ A∩B : v ≤ θ}| · SPACE/θ.
+    When the merged sketch holds fewer than k values it IS the full
+    union membership and the intersection count is EXACT — the
+    fixture regime, which is why this declares the same SQL oracle
+    as the exact operator; the estimator path is error-bounded in
+    ``tests/test_relational.py`` on synthetic large audiences
+    (stderr ~ 1/sqrt(k)).
+
+    Emits (type_a, type_b, n_shared) for overlapping pairs.
+    """
+    sk = kmv_sketches(events, k, cells)
+    a = sk.select(
+        F.col("event_type").alias("type_a"), F.col("sketch").alias("sa")
+    )
+    b = sk.select(
+        F.col("event_type").alias("type_b"), F.col("sketch").alias("sb")
+    )
+    u = F.slice(
+        F.array_sort(F.array_distinct(F.concat("sa", "sb"))), 1, k
+    )
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("type_a") < F.col("type_b"))
+        .select("type_a", "type_b", "sa", "sb", u.alias("u"))
+        .select(
+            "type_a",
+            "type_b",
+            F.size("u").alias("nu"),
+            F.element_at(F.col("u"), F.size("u")).alias("theta"),
+            F.array_intersect("sa", "sb").alias("both"),
+        )
+    )
+    c_below = F.size(
+        F.filter("both", lambda v: v <= F.col("theta"))
+    )
+    est = F.when(
+        F.col("nu") < k, F.size("both").cast("double")  # full membership
+    ).otherwise(
+        c_below.cast("double") * F.lit(float(_KMV_SPACE)) / F.col("theta")
+    )
+    return (
+        pairs.select(
+            "type_a",
+            "type_b",
+            F.round(est).cast("bigint").alias("n_shared"),
+        )
+        .filter(F.col("n_shared") > 0)
+    )
+
+
 def skyline_pareto(part: DataFrame, bucket_width: float = 100.0) -> DataFrame:
     """2-D Pareto frontier (skyline) of parts: minimize
     ``p_retailprice``, maximize ``p_size`` — the points no other

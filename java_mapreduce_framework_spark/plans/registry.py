@@ -3659,6 +3659,28 @@ def _audience_overlap(spark, sf):
 
 
 @_register(
+    "audience_overlap_kmv",
+    """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM ut a JOIN ut b ON a.user_id = b.user_id
+      AND a.event_type < b.event_type
+    GROUP BY 1, 2
+    """,
+    note="co-engagement through mergeable KMV sketches: audiences "
+    "shrink to k-minimum-hash arrays BEFORE pairing (exact-k via "
+    "per-cell top-k merge, never a whole-audience sort); below k "
+    "the sketch is full membership so the intersection is EXACT -- "
+    "the fixture regime, hence the same oracle as the exact "
+    "operator; the theta estimator path is error-bounded in unit "
+    "tests on synthetic large audiences",
+)
+def _audience_overlap_kmv(spark, sf):
+    return relational.audience_overlap_kmv(_t(spark, sf, "events"))
+
+
+@_register(
     "graph_bfs_hops",
     f"""
     WITH RECURSIVE toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),

@@ -51,6 +51,7 @@ ALLOWED_NESTED_LOOP = {
     "curriculum_order",  # 1-row broadcast decile-cut-points array
     "ks_drift",  # 1-row broadcast cell-cut-points array + (n_a, n_b) totals
     "vocab_coverage",  # 1-row broadcast corpus token total
+    "audience_overlap_kmv",  # |types|-row sketch table cross-paired
 }
 
 

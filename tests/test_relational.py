@@ -596,6 +596,47 @@ def test_equidepth_histogram_balanced_and_contiguous(spark, sf_small):
         assert a["hi_price"] <= b["lo_price"]
 
 
+def test_audience_overlap_kmv_estimator_accuracy(spark):
+    """Above the k threshold the KMV theta estimator must land within
+    ~4/sqrt(k) relative error on a controlled synthetic overlap
+    (20k-user audiences, 50% overlap, k=256 — far below audience
+    size, so the estimator path, not the exact regime, is exercised);
+    also the k-smallest merge must be EXACT vs a direct global sort."""
+    from java_mapreduce_framework_spark.operators.relational import (
+        audience_overlap_kmv,
+        kmv_sketches,
+    )
+
+    n, k = 20_000, 256
+    rows = [(u, "A") for u in range(n)]
+    rows += [(u, "B") for u in range(n // 2, n + n // 2)]
+    events = spark.createDataFrame(
+        [(u, t, 0.0) for u, t in rows], "user_id long, event_type string, value double"
+    )
+    got = {
+        (r["type_a"], r["type_b"]): r["n_shared"]
+        for r in audience_overlap_kmv(events, k=k, cells=16).collect()
+    }
+    true_inter = n // 2
+    rel_err = abs(got[("A", "B")] - true_inter) / true_inter
+    assert rel_err <= 4 / (k ** 0.5), (got, rel_err)
+    # exact-k construction: per-cell merge == direct top-k of all hashes
+    sk = {
+        r["event_type"]: r["sketch"]
+        for r in kmv_sketches(events, k=k, cells=16).collect()
+    }
+    direct = sorted(
+        r["h"]
+        for r in events.filter(F.col("event_type") == "A")
+        .select(
+            F.pmod(F.xxhash64("user_id"), F.lit(1 << 61)).alias("h")
+        )
+        .distinct()
+        .collect()
+    )[:k]
+    assert sk["A"] == direct
+
+
 def test_exact_quantiles_matches_builtin_percentile(spark):
     """The distributed order-statistic kernel must reproduce Spark's
     exact ``percentile`` (= DuckDB quantile_cont) bit-for-bit after
