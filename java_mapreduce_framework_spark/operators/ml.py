@@ -1,0 +1,479 @@
+"""Distributed model-fitting primitives (SURVEY.md §2B training-data
+extensions): the classifier/regressor/clustering layer a 100 TB
+curation pipeline runs on top of its relational core -- a naive-Bayes
+language classifier (train + apply, pure relational algebra, both
+hash-oracled), exact multi-feature linear regression by normal
+equations, logistic regression by fixed-iteration IRLS/Newton, and
+Lloyd k-means with deterministic seeding.
+
+Shared design across the family:
+
+- every "model" is sufficient-statistics-sized (a vocab-bounded count
+  table, a (d+1) x (d+1) moment matrix, k x d centroids), built with
+  partial->final aggregation over ONE corpus scan per pass;
+- the only ``collect()`` calls pull those model-sized statistics to
+  the driver (marked ``# bounded``), where a few-KB numpy solve/eigh
+  closes the loop; the corpus itself never leaves the executors;
+- fitted parameters are broadcast back for the apply / next-iteration
+  pass, so per-row work stays a vectorized Arrow-batch GEMM;
+- iteration counts are FIXED, seeds are content-derived (md5), and
+  outputs are rounded post-arithmetic, so results are deterministic
+  and reproducible across cluster layouts up to partial-fold fp drift
+  (~1e-12, absorbed by the 6-decimal rounding discipline).
+
+Reference licence: the reference's map->shuffle->sort->reduce core is
+exactly the count/sum substrate these fits decompose into
+(``WordCount.java:23-52`` is a degenerate event-count trainer); the
+iterative fits correspond to chained jobs in its model (SURVEY.md
+§2A job chaining, ``MasterServlet.java`` FIFO queue).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- shared
+
+def _char_bigrams(documents: DataFrame) -> DataFrame:
+    """(doc_id, lang, bigram) occurrence stream over lowercased text.
+
+    ``sequence(1, length-1)`` needs the ``length >= 2`` guard on BOTH
+    engines: Spark's ``sequence(1, 0)`` DESCENDS instead of returning
+    empty (house gotcha), and the guard keeps the row universe
+    identical to the oracle's ``range(1, length)``."""
+    return (
+        documents.filter(F.length("text") >= 2)
+        .select("doc_id", "lang", F.lower("text").alias("t"))
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(t) - 1),"
+                    " i -> substring(t, i, 2))"
+                )
+            ).alias("bigram"),
+        )
+    )
+
+
+def _nb_model(documents: DataFrame):
+    """Multinomial NB sufficient statistics over char bigrams:
+    returns (model, langs) where model = (lang, bigram, cnt, log_prob)
+    and langs = (lang, tot, v, dflt, n_docs, prior). Laplace-smoothed:
+    log_prob = ln((cnt+1)/(tot+V)), unseen-bigram default
+    dflt = ln(1/(tot+V)). All log-probs rounded to 6 decimals at the
+    model boundary so train and apply share bit-identical parameters
+    with the oracle."""
+    grams = _char_bigrams(documents)
+    counts = grams.groupBy("lang", "bigram").agg(F.count("*").alias("cnt"))
+    tot = counts.groupBy("lang").agg(F.sum("cnt").alias("tot"))
+    vocab = counts.agg(F.count_distinct("bigram").alias("v"))  # 1 row
+    n_total = documents.agg(F.count("*").alias("n_total"))  # 1 row
+    priors = (
+        documents.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+        .join(F.broadcast(n_total))
+        .withColumn(
+            "prior", F.round(F.log(F.col("n_docs") / F.col("n_total")), 6)
+        )
+        .select("lang", "n_docs", "prior")
+    )
+    langs = (
+        tot.join(F.broadcast(vocab))
+        .withColumn("dflt", F.round(F.log(1.0 / (F.col("tot") + F.col("v"))), 6))
+        .join(F.broadcast(priors), "lang")
+    )
+    model = (
+        counts.join(F.broadcast(tot), "lang")
+        .join(F.broadcast(vocab))
+        .withColumn(
+            "log_prob",
+            F.round(F.log((F.col("cnt") + 1.0) / (F.col("tot") + F.col("v"))), 6),
+        )
+        .select("lang", "bigram", "cnt", "log_prob")
+    )
+    return model, langs
+
+
+def naive_bayes_train(documents: DataFrame, top_n: int = 10) -> DataFrame:
+    """Train a multinomial naive-Bayes language classifier on char
+    bigrams and emit the head of the model: the ``top_n``
+    highest-count bigrams per language with their Laplace-smoothed
+    log-probabilities and the class prior.
+
+    Pure relational algebra -- the same count/sum substrate as
+    WordCount: one bigram-explode scan, a (lang, bigram) partial+final
+    count, two model-sized side aggregates (per-lang totals, global
+    vocab) broadcast back. The per-lang top-n rank window runs over
+    the VOCAB-bounded count table, not the corpus, so the single
+    window shuffle is model-sized at any corpus scale.
+
+    Emits (lang, bigram, cnt, log_prob, prior), top_n rows per lang,
+    rank tie-broken by bigram."""
+    model, langs = _nb_model(documents)
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("bigram"))
+    return (
+        model.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_n)
+        .join(F.broadcast(langs.select("lang", "prior")), "lang")
+        .select("lang", "bigram", "cnt", "log_prob", "prior")
+    )
+
+
+def naive_bayes_confusion(documents: DataFrame) -> DataFrame:
+    """Apply the naive-Bayes language model back over the corpus and
+    emit the confusion matrix (true lang x predicted lang, doc
+    counts) -- train + inference as one declarative plan, the
+    classifier analogue of the reference's chained-job pattern.
+
+    Score(doc, lang) = prior + sum over the doc's bigram occurrences
+    of log_prob(lang, bigram), unseen bigrams at the smoothed default.
+    Plan shape for 100 TB: per-doc bigram multiplicities (one
+    partial+final agg over the explode scan) cross the |langs|-row
+    class table (broadcast nested-loop BY DESIGN -- the row universe
+    is docs x classes), left-join the vocab-bounded model BROADCAST on
+    (lang, bigram), one keyed partial+final sum to (doc, lang), a
+    per-doc argmax window (|langs| rows per key), and a final
+    |langs|^2-row count. Nothing scales super-linearly in the corpus;
+    the model tables are vocabulary-bounded.
+
+    Scores are rounded to 6 decimals pre-ranking (house discipline:
+    partial-fold fp drift ~1e-13 cannot flip a 1e-6 rounding)."""
+    model, langs = _nb_model(documents)
+    docb = _char_bigrams(documents).groupBy(
+        F.col("doc_id"), F.col("lang").alias("lang_true"), F.col("bigram")
+    ).agg(F.count("*").alias("m"))
+    scored = (
+        docb.join(
+            F.broadcast(
+                langs.select(
+                    F.col("lang").alias("cls"), "prior", "dflt"
+                )
+            )
+        )
+        .join(
+            F.broadcast(
+                model.select(
+                    F.col("lang").alias("cls"), "bigram", "log_prob"
+                )
+            ),
+            ["cls", "bigram"],
+            "left",
+        )
+        .withColumn("part", F.col("m") * F.coalesce("log_prob", "dflt"))
+        .groupBy("doc_id", "lang_true", "cls", "prior")
+        .agg(F.sum("part").alias("ll"))
+        .withColumn("score", F.round(F.col("prior") + F.col("ll"), 6))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cls"))
+    pred = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return pred.groupBy(
+        F.col("lang_true").alias("lang"), F.col("cls").alias("pred_lang")
+    ).agg(F.count("*").alias("n_docs"))
+
+
+# ------------------------------------------------- moment-matrix fits
+
+def _tagged_moment_pass(df: DataFrame, build):
+    """Run ``build(X, y) -> list[(i, j, value)] arrays`` per Arrow
+    batch over (features, target) and fold the tagged partials with
+    one grouped SUM. Returns the folded rows (driver-side, bounded:
+    the tag universe is model-sized by construction)."""
+
+    def kernel(batches):
+        acc = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["x"]]
+            )
+            y = pdf["y"].to_numpy(dtype=np.float64)
+            for i, j, v in build(X, y):
+                acc[(i, j)] = acc.get((i, j), 0.0) + v
+        if acc:
+            ks = list(acc)
+            yield pd.DataFrame(
+                {
+                    "i": np.array([k[0] for k in ks], dtype="int32"),
+                    "j": np.array([k[1] for k in ks], dtype="int32"),
+                    "partial": np.array([acc[k] for k in ks]),
+                }
+            )
+
+    return (
+        df.mapInPandas(kernel, "i int, j int, partial double")
+        .groupBy("i", "j")
+        .agg(F.sum("partial").alias("v"))
+        .collect()  # bounded: (d+1)^2 + O(d) tagged moments, model-sized
+    )
+
+
+def _features(embeddings: DataFrame, n_feat: int, target) -> DataFrame:
+    """Narrow (x: first n_feat dims, y) projection -- the scan the
+    moment passes run over. ``slice`` keeps column pruning effective:
+    only the embedding and label columns are read."""
+    return embeddings.select(
+        F.slice("embedding", 1, n_feat).alias("x"), target.alias("y")
+    )
+
+
+def linreg_normal(embeddings: DataFrame, n_feat: int = 8) -> DataFrame:
+    """Exact multi-feature linear regression via normal equations --
+    the distributed closed-form fit (features: the first ``n_feat``
+    embedding dims + intercept; target: the label as a real).
+
+    Pass 1 accumulates the full moment matrix per Arrow batch (a
+    (d+1) x (d+1) GEMM on [X|1] extended with y as one more column --
+    X'X, X'y, y'y and the counts fall out of ONE product), folds the
+    ~(d+2)^2 tagged partials with a grouped SUM, and solves the
+    (d+1)-dim system on the driver (# bounded collect, few KB).
+    Pass 2 never rescans: SSE/SST derive from the SAME moments
+    (SSE = y'y - 2b'X'y + b'X'Xb), so the corpus is scanned exactly
+    once. Work is embarrassingly parallel; the shuffle moves
+    O(d^2) rows per task regardless of corpus size.
+
+    Emits (term, value): coefficients f0..f{n-1}, 'bias', plus fit
+    diagnostics 'r2' and 'n' -- rounded to 6 decimals.
+
+    Rows-only by declared design: the driver-side solve is not
+    SQL-expressible; coefficient parity vs numpy lstsq is pinned in
+    tests/test_ml.py and RECALL.json."""
+    feats = _features(embeddings, n_feat, F.col("label").cast("double"))
+    d = n_feat + 1  # + intercept
+
+    def build(X, y):
+        Z = np.column_stack([X, np.ones(len(X)), y])  # [X | 1 | y]
+        G = Z.T @ Z  # one GEMM: X'X, X'y, y'y, sums, n
+        dd = G.shape[0]
+        jj, ii = np.meshgrid(np.arange(dd), np.arange(dd))
+        return zip(ii.ravel().tolist(), jj.ravel().tolist(), G.ravel())
+
+    folded = _tagged_moment_pass(feats, build)
+    G = np.zeros((d + 1, d + 1))
+    for r in folded:
+        G[r["i"], r["j"]] = r["v"]
+    A = G[:d, :d]  # [X|1]'[X|1]
+    b = G[:d, d]  # [X|1]'y
+    yy = G[d, d]  # y'y
+    n = A[d - 1, d - 1]  # 1'1
+    beta = np.linalg.solve(A, b)
+    sse = yy - 2.0 * beta @ b + beta @ A @ beta
+    y_mean = b[d - 1] / n  # (1'y)/n
+    sst = yy - n * y_mean * y_mean
+    r2 = 1.0 - sse / sst if sst > 0 else float("nan")
+    terms = [f"f{i}" for i in range(n_feat)] + ["bias"]
+    rows = [(t, round(float(c), 6)) for t, c in zip(terms, beta)]
+    rows += [("r2", round(float(r2), 6)), ("n", float(n))]
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(rows, "term string, value double")
+
+
+def logreg_irls(
+    embeddings: DataFrame, n_feat: int = 4, iters: int = 4
+) -> DataFrame:
+    """Distributed logistic regression by fixed-iteration IRLS/Newton
+    (binary target: label >= 5; features: first ``n_feat`` embedding
+    dims + intercept).
+
+    Each of the ``iters`` rounds is one corpus scan: a vectorized
+    Arrow-batch kernel computes p = sigmoid(X beta) under the
+    BROADCAST current beta and accumulates the gradient X'(y - p) and
+    Hessian X'WX (W = p(1-p)) as tagged partials; a grouped SUM folds
+    them, the (d+1)-dim Newton step solves on the driver (# bounded),
+    and the updated beta broadcasts into the next round -- the
+    reference's chained-job pattern with a model-sized barrier. A
+    final scan scores log-loss and training accuracy. Total: iters+1
+    linear scans, O(d^2) shuffle rows per task, no per-pair work.
+
+    Deterministic: beta starts at zero, iteration count is fixed, and
+    partial-fold fp drift (~1e-12 per round) is absorbed by the
+    6-decimal output rounding.
+
+    Emits (term, value): coefficients f0..f{n-1}, 'bias',
+    'log_loss' (mean), 'accuracy', 'n'.
+
+    Rows-only by declared design (driver-side Newton solve is not
+    SQL-expressible); numpy-IRLS parity pinned in tests/test_ml.py
+    and RECALL.json."""
+    feats = _features(
+        embeddings, n_feat, (F.col("label") >= 5).cast("double")
+    )
+    d = n_feat + 1
+    beta = np.zeros(d)
+
+    for _ in range(iters):
+        bcur = beta.copy()
+
+        def build(X, y, bcur=bcur):
+            Z = np.column_stack([X, np.ones(len(X))])
+            p = 1.0 / (1.0 + np.exp(-(Z @ bcur)))
+            g = Z.T @ (y - p)  # gradient, d
+            H = (Z * (p * (1.0 - p))[:, None]).T @ Z  # Hessian, d x d
+            jj, ii = np.meshgrid(np.arange(d), np.arange(d))
+            out = list(zip(ii.ravel().tolist(), jj.ravel().tolist(), H.ravel()))
+            out += [(i, -1, v) for i, v in enumerate(g)]
+            return out
+
+        folded = _tagged_moment_pass(feats, build)
+        H = np.zeros((d, d))
+        g = np.zeros(d)
+        for r in folded:
+            if r["j"] == -1:
+                g[r["i"]] = r["v"]
+            else:
+                H[r["i"], r["j"]] = r["v"]
+        beta = beta + np.linalg.solve(H, g)
+
+    bfin = beta.copy()
+
+    def build_metrics(X, y, bfin=bfin):
+        Z = np.column_stack([X, np.ones(len(X))])
+        z = Z @ bfin
+        # stable log(1+exp(.)): log-loss = mean(log1p(exp(-z)) + (1-y) z)
+        ll = np.logaddexp(0.0, -z) + (1.0 - y) * z
+        acc_n = float(np.sum((z >= 0.0) == (y > 0.5)))
+        return [(0, -2, float(ll.sum())), (1, -2, acc_n), (2, -2, float(len(y)))]
+
+    folded = _tagged_moment_pass(feats, build_metrics)
+    m = {r["i"]: r["v"] for r in folded}
+    n = m[2]
+    terms = [f"f{i}" for i in range(n_feat)] + ["bias"]
+    rows = [(t, round(float(c), 6)) for t, c in zip(terms, beta)]
+    rows += [
+        ("log_loss", round(m[0] / n, 6)),
+        ("accuracy", round(m[1] / n, 6)),
+        ("n", float(n)),
+    ]
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(rows, "term string, value double")
+
+
+# ------------------------------------------------------------- k-means
+
+def kmeans_lloyd(
+    embeddings: DataFrame, k: int = 8, iters: int = 5
+) -> DataFrame:
+    """Lloyd k-means over the embedding corpus with deterministic
+    content-derived seeding and a FIXED iteration count; emits the
+    final assignment (vec_id, cluster_id, dist) for every vector.
+
+    Seeding: the k vectors with the smallest md5(vec_id) hex (the
+    repo's cross-engine hash discipline) seed clusters 0..k-1 in hash
+    order -- reproducible on any cluster layout, no RNG. Each Lloyd
+    round is ONE corpus scan: the current k x d centroid matrix
+    broadcasts into a vectorized Arrow-batch kernel (distances via
+    one GEMM, argmin assignment), which emits k x (d+1) per-task
+    partial sums/counts; a grouped SUM folds them and the k x d
+    recompute happens on the driver (# bounded collect, k*d doubles).
+    Empty clusters keep their previous centroid. A final scan emits
+    assignments. Total: iters+1 linear scans, model-sized shuffles,
+    no per-pair work -- the plan that survives 100 TB (k-NN-style
+    all-pairs would not).
+
+    Rows-only by declared design (iterative driver-coordinated fit,
+    not SQL-expressible); numpy-Lloyd parity (identical seeds,
+    identical iteration count) pinned in tests/test_ml.py, inertia
+    ratio recorded in RECALL.json."""
+    seeds = (
+        embeddings.select(
+            "vec_id",
+            "embedding",
+            F.md5(F.col("vec_id").cast("string")).alias("h"),
+        )
+        .orderBy("h")
+        .limit(k)
+        .collect()  # bounded: k seed rows, model-sized by construction
+    )
+    C = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in seeds]
+    )
+    d = C.shape[1]
+
+    for _ in range(iters):
+        Ccur = C.copy()
+
+        def kernel(batches, Ccur=Ccur):
+            acc_sum = np.zeros((k, d))
+            acc_n = np.zeros(k)
+            seen = False
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                seen = True
+                X = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+                )
+                d2 = (
+                    (X * X).sum(axis=1)[:, None]
+                    - 2.0 * X @ Ccur.T
+                    + (Ccur * Ccur).sum(axis=1)[None, :]
+                )
+                a = np.argmin(d2, axis=1)  # ties -> lowest cluster id
+                for c in range(k):
+                    mask = a == c
+                    if mask.any():
+                        acc_sum[c] += X[mask].sum(axis=0)
+                        acc_n[c] += float(mask.sum())
+            if seen:
+                cc = np.repeat(np.arange(k), d + 1)
+                jj = np.tile(np.arange(-1, d), k)
+                vv = np.column_stack([acc_n, acc_sum]).ravel()
+                yield pd.DataFrame(
+                    {
+                        "c": cc.astype("int32"),
+                        "j": jj.astype("int32"),
+                        "partial": vv,
+                    }
+                )
+
+        folded = (
+            embeddings.select("embedding")
+            .mapInPandas(kernel, "c int, j int, partial double")
+            .groupBy("c", "j")
+            .agg(F.sum("partial").alias("v"))
+            .collect()  # bounded: k x (d+1) centroid moments
+        )
+        sums = np.zeros((k, d))
+        ns = np.zeros(k)
+        for r in folded:
+            if r["j"] == -1:
+                ns[r["c"]] = r["v"]
+            else:
+                sums[r["c"], r["j"]] = r["v"]
+        C = np.where((ns > 0)[:, None], sums / np.maximum(ns, 1.0)[:, None], C)
+
+    Cfin = C.copy()
+
+    def assign_kernel(batches, Cfin=Cfin):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            d2 = (
+                (X * X).sum(axis=1)[:, None]
+                - 2.0 * X @ Cfin.T
+                + (Cfin * Cfin).sum(axis=1)[None, :]
+            )
+            a = np.argmin(d2, axis=1)
+            dist = np.sqrt(np.maximum(d2[np.arange(len(X)), a], 0.0))
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].astype("int64"),
+                    "cluster_id": a.astype("int32"),
+                    "dist": np.round(dist, 6),
+                }
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        assign_kernel, "vec_id long, cluster_id int, dist double"
+    )

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from ..operators import (
     analytics,
     dedup,
+    ml,
     multimodal,
     relational,
     similarity,
@@ -4930,6 +4931,126 @@ def _curriculum_order(spark, sf):
 )
 def _stats_moments(spark, sf):
     return temporal.stats_moments(_t(spark, sf, "events"))
+
+
+# ------------------------------------------------- ML-fit primitives
+
+#: Char-bigram occurrence stream + naive-Bayes model CTEs, shared
+#: verbatim by the ml_naive_bayes_train / ml_naive_bayes_confusion
+#: oracles (mirror of operators/ml.py::_char_bigrams / _nb_model).
+#: range(1, length) == Spark's sequence(1, length-1); the length >= 2
+#: guard keeps the row universe identical (Spark sequence(1, 0)
+#: DESCENDS -- house gotcha).
+_NB_MODEL_CTE = """
+    grams AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, length(lower(text))),
+                                   i -> substring(lower(text), i, 2))) AS bigram
+      FROM documents WHERE length(text) >= 2),
+    counts AS (SELECT lang, bigram, count(*) AS cnt FROM grams GROUP BY 1, 2),
+    tot AS (SELECT lang, sum(cnt) AS tot FROM counts GROUP BY 1),
+    vocab AS (SELECT count(DISTINCT bigram) AS v FROM counts),
+    pri AS (
+      SELECT lang,
+             round(ln(count(*) * 1.0 / (SELECT count(*) FROM documents)), 6)
+               AS prior
+      FROM documents GROUP BY 1),
+    model AS (
+      SELECT c.lang, c.bigram, c.cnt,
+             round(ln((c.cnt + 1.0) / (t.tot + v.v)), 6) AS log_prob
+      FROM counts c JOIN tot t ON t.lang = c.lang CROSS JOIN vocab v)
+"""
+
+
+@_register(
+    "ml_naive_bayes_train",
+    f"""
+    WITH {_NB_MODEL_CTE},
+    ranked AS (
+      SELECT lang, bigram, cnt, log_prob,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY cnt DESC, bigram) AS rn
+      FROM model)
+    SELECT r.lang, r.bigram, CAST(r.cnt AS BIGINT) AS cnt, r.log_prob, p.prior
+    FROM ranked r JOIN pri p ON p.lang = r.lang
+    WHERE r.rn <= 10
+    """,
+    note="multinomial NB language model head: Laplace-smoothed "
+    "char-bigram log-probs + class priors, top-10 bigrams per lang; "
+    "the rank window runs over the vocab-bounded count table, not the "
+    "corpus",
+)
+def _ml_naive_bayes_train(spark, sf):
+    return ml.naive_bayes_train(_t(spark, sf, "documents"))
+
+
+@_register(
+    "ml_naive_bayes_confusion",
+    f"""
+    WITH {_NB_MODEL_CTE},
+    langs AS (
+      SELECT t.lang, p.prior, round(ln(1.0 / (t.tot + v.v)), 6) AS dflt
+      FROM tot t CROSS JOIN vocab v JOIN pri p ON p.lang = t.lang),
+    docb AS (
+      SELECT doc_id, lang AS lang_true, bigram, count(*) AS m
+      FROM grams GROUP BY 1, 2, 3),
+    scored AS (
+      SELECT d.doc_id, d.lang_true, l.lang AS cls,
+             round(l.prior + sum(d.m * coalesce(mo.log_prob, l.dflt)), 6)
+               AS score
+      FROM docb d CROSS JOIN langs l
+      LEFT JOIN model mo ON mo.lang = l.lang AND mo.bigram = d.bigram
+      GROUP BY 1, 2, 3, l.prior),
+    pred AS (
+      SELECT doc_id, lang_true, cls,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, cls) AS rn
+      FROM scored)
+    SELECT lang_true AS lang, cls AS pred_lang,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM pred WHERE rn = 1 GROUP BY 1, 2
+    """,
+    note="NB train + inference in one declarative plan: per-doc "
+    "bigram multiplicities cross the |langs|-row class table "
+    "(broadcast by design), vocab-bounded model broadcast-left-joined, "
+    "scores rounded 6 pre-ranking; emits the |langs|^2 confusion matrix",
+)
+def _ml_naive_bayes_confusion(spark, sf):
+    return ml.naive_bayes_confusion(_t(spark, sf, "documents"))
+
+
+@_register(
+    "ml_linreg_normal",
+    None,
+    note="rows-only by declared design: normal-equation fit whose "
+    "(d+1)-dim driver solve is not SQL-expressible; one moment-matrix "
+    "scan (X'X, X'y, y'y from a single extended GEMM), coefficient "
+    "parity vs numpy lstsq pinned in tests/test_ml.py + RECALL.json",
+)
+def _ml_linreg_normal(spark, sf):
+    return ml.linreg_normal(_t(spark, sf, "embeddings"))
+
+
+@_register(
+    "ml_logreg_irls",
+    None,
+    note="rows-only by declared design: fixed-iteration IRLS/Newton "
+    "logistic fit, driver-side (d+1)-dim solves between broadcast "
+    "scans; numpy-IRLS parity pinned in tests/test_ml.py + RECALL.json",
+)
+def _ml_logreg_irls(spark, sf):
+    return ml.logreg_irls(_t(spark, sf, "embeddings"))
+
+
+@_register(
+    "ml_kmeans_lloyd",
+    None,
+    note="rows-only by declared design: iterative driver-coordinated "
+    "Lloyd fit (fixed 5 rounds, md5-seeded); numpy-Lloyd assignment "
+    "parity pinned in tests/test_ml.py, inertia ratio in RECALL.json",
+)
+def _ml_kmeans_lloyd(spark, sf):
+    return ml.kmeans_lloyd(_t(spark, sf, "embeddings"))
 
 
 # ---------------------------------------------- registration priority

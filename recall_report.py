@@ -273,6 +273,63 @@ def main(sf_dir: str) -> dict:
         "distributed Gram+mean stats -> driver eigh vs single-shot numpy SVD, "
         "per-component sign aligned, all 8 components x all rows")
 
+    # --- ML-fit primitives: distributed moment/iterative fits vs the
+    # identical serial numpy algorithm on the collected fixture
+    # (rows-only because the driver-side solves are not
+    # SQL-expressible; the algorithms themselves are deterministic)
+    from java_mapreduce_framework_spark.operators import ml as mlops
+
+    ids = np.array([r["vec_id"] for r in emb_rows], dtype=np.int64)
+    y = np.array([r["label"] for r in emb_rows], dtype=np.float64)
+
+    Z = np.column_stack([X[:, :8], np.ones(len(X))])
+    beta_ref, *_ = np.linalg.lstsq(Z, y, rcond=None)
+    lin = {r["term"]: r["value"] for r in mlops.linreg_normal(emb).collect()}
+    lin_got = np.array([lin[f"f{i}"] for i in range(8)] + [lin["bias"]])
+    rec("ml_linreg_normal", "max_abs_coef_error_vs_numpy_lstsq",
+        float(np.max(np.abs(lin_got - beta_ref))), 1e-5, "<=",
+        "one distributed extended-GEMM moment scan + driver solve vs "
+        "serial numpy lstsq on the full fixture, all 9 coefficients")
+
+    yb = (y >= 5).astype(np.float64)
+    Z4 = np.column_stack([X[:, :4], np.ones(len(X))])
+    bref = np.zeros(5)
+    for _ in range(4):
+        p = 1.0 / (1.0 + np.exp(-(Z4 @ bref)))
+        H = (Z4 * (p * (1.0 - p))[:, None]).T @ Z4
+        bref = bref + np.linalg.solve(H, Z4.T @ (yb - p))
+    lg = {r["term"]: r["value"] for r in mlops.logreg_irls(emb).collect()}
+    lg_got = np.array([lg[f"f{i}"] for i in range(4)] + [lg["bias"]])
+    rec("ml_logreg_irls", "max_abs_coef_error_vs_numpy_irls",
+        float(np.max(np.abs(lg_got - bref))), 1e-5, "<=",
+        "4 distributed Newton rounds (broadcast beta, folded "
+        "gradient+Hessian partials) vs identical serial numpy IRLS")
+
+    import hashlib as _hl
+
+    order = np.argsort(np.array(
+        [_hl.md5(str(i).encode()).hexdigest() for i in ids]))
+    C = X[order[:8]].copy()
+    for _ in range(5):
+        d2 = ((X * X).sum(1)[:, None] - 2.0 * X @ C.T
+              + (C * C).sum(1)[None, :])
+        a = np.argmin(d2, axis=1)
+        for c in range(8):
+            if (a == c).any():
+                C[c] = X[a == c].mean(axis=0)
+    d2 = ((X * X).sum(1)[:, None] - 2.0 * X @ C.T + (C * C).sum(1)[None, :])
+    a = np.argmin(d2, axis=1)
+    inertia_ref = float(np.maximum(d2[np.arange(len(X)), a], 0.0).sum())
+    km = {r["vec_id"]: r for r in mlops.kmeans_lloyd(emb).collect()}
+    agree = float(np.mean(
+        [km[int(v)]["cluster_id"] == a[i] for i, v in enumerate(ids)]))
+    inertia_got = float(sum(r["dist"] ** 2 for r in km.values()))
+    rec("ml_kmeans_lloyd", "assignment_agreement_vs_numpy_lloyd",
+        agree, 1.0, ">=",
+        "identical md5 seeding + 5 Lloyd rounds, distributed partial-sum "
+        "centroids vs serial numpy; inertia ratio %.6f (want ~1)"
+        % (inertia_got / inertia_ref if inertia_ref else float("nan")))
+
     return out
 
 
