@@ -44,33 +44,53 @@ def _char_bigrams(documents: DataFrame) -> DataFrame:
     ``sequence(1, length-1)`` needs the ``length >= 2`` guard on BOTH
     engines: Spark's ``sequence(1, 0)`` DESCENDS instead of returning
     empty (house gotcha), and the guard keeps the row universe
-    identical to the oracle's ``range(1, length)``."""
+    identical to the oracle's ``range(1, length)``.
+
+    Pairs are built over the ``split(t, '')`` char ARRAY, not via
+    ``substring(t, i, 2)``: UTF8String substring scans from the start
+    for non-ASCII, turning a positional loop into O(n^2) per document
+    (the char_entropy lesson -- ~4-5x on the CJK slice); array
+    subscripts are O(1)."""
     return (
         documents.filter(F.length("text") >= 2)
-        .select("doc_id", "lang", F.lower("text").alias("t"))
+        .select(
+            "doc_id", "lang", F.split(F.lower("text"), "").alias("c")
+        )
         .select(
             "doc_id",
             "lang",
             F.explode(
                 F.expr(
-                    "transform(sequence(1, length(t) - 1),"
-                    " i -> substring(t, i, 2))"
+                    "transform(sequence(1, size(c) - 1),"
+                    " i -> c[i-1] || c[i])"
                 )
             ).alias("bigram"),
         )
     )
 
 
-def _nb_model(documents: DataFrame):
+def _nb_model(documents: DataFrame, counts: DataFrame | None = None):
     """Multinomial NB sufficient statistics over char bigrams:
     returns (model, langs) where model = (lang, bigram, cnt, log_prob)
     and langs = (lang, tot, v, dflt, n_docs, prior). Laplace-smoothed:
     log_prob = ln((cnt+1)/(tot+V)), unseen-bigram default
     dflt = ln(1/(tot+V)). All log-probs rounded to 6 decimals at the
     model boundary so train and apply share bit-identical parameters
-    with the oracle."""
-    grams = _char_bigrams(documents)
-    counts = grams.groupBy("lang", "bigram").agg(F.count("*").alias("cnt"))
+    with the oracle.
+
+    ``counts`` (lang, bigram, cnt) may be passed in pre-materialized
+    (the apply path derives it from its own per-doc stream so the
+    corpus is scanned once); when absent it is built here and
+    localCheckpoint'ed -- counts is VOCAB-bounded (|langs| x bigram
+    alphabet), and its four downstream consumers (tot / vocab /
+    model / langs) would each re-run the corpus explode otherwise."""
+    if counts is None:
+        counts = (
+            _char_bigrams(documents)
+            .groupBy("lang", "bigram")
+            .agg(F.count("*").alias("cnt"))
+            .localCheckpoint()
+        )
     tot = counts.groupBy("lang").agg(F.sum("cnt").alias("tot"))
     vocab = counts.agg(F.count_distinct("bigram").alias("v"))  # 1 row
     n_total = documents.agg(F.count("*").alias("n_total"))  # 1 row
@@ -143,11 +163,28 @@ def naive_bayes_confusion(documents: DataFrame) -> DataFrame:
     the model tables are vocabulary-bounded.
 
     Scores are rounded to 6 decimals pre-ranking (house discipline:
-    partial-fold fp drift ~1e-13 cannot flip a 1e-6 rounding)."""
-    model, langs = _nb_model(documents)
-    docb = _char_bigrams(documents).groupBy(
-        F.col("doc_id"), F.col("lang").alias("lang_true"), F.col("bigram")
-    ).agg(F.count("*").alias("m"))
+    partial-fold fp drift ~1e-13 cannot flip a 1e-6 rounding).
+
+    The corpus explode runs ONCE: the per-doc multiplicity table
+    ``docb`` is localCheckpoint'ed (the hashed-shingle-stream pattern
+    from the dedup family -- materialize the compressed distinct
+    (doc, gram) form, ~3x smaller than the raw occurrence stream, and
+    both the model counts and the scoring join re-read it instead of
+    re-exploding the corpus)."""
+    docb = (
+        _char_bigrams(documents)
+        .groupBy(
+            F.col("doc_id"), F.col("lang").alias("lang_true"), F.col("bigram")
+        )
+        .agg(F.count("*").alias("m"))
+        .localCheckpoint()
+    )
+    counts = (
+        docb.groupBy(F.col("lang_true").alias("lang"), F.col("bigram"))
+        .agg(F.sum("m").alias("cnt"))
+        .localCheckpoint()  # vocab-bounded, derived from materialized docb
+    )
+    model, langs = _nb_model(documents, counts=counts)
     scored = (
         docb.join(
             F.broadcast(
