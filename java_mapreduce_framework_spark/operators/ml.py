@@ -514,3 +514,50 @@ def kmeans_lloyd(
     return embeddings.select("vec_id", "embedding").mapInPandas(
         assign_kernel, "vec_id long, cluster_id int, dist double"
     )
+
+
+def knn_classify(embeddings: DataFrame, k: int = 5) -> DataFrame:
+    """Leave-one-out k-NN classification over the embedding corpus:
+    every vector is labeled by the majority label of its k nearest
+    cosine neighbors (self excluded), and the result is summarized as
+    the label x predicted-label confusion matrix -- the standard
+    embedding-quality probe (silhouette's supervised cousin) run
+    before trusting embeddings for dedup or curation.
+
+    Composes the declared operators: the exact ``embedding_knn_graph``
+    (distributed block-GEMM, engine-deterministic (cosine, id) rank
+    order) supplies neighbors; one equi-join attaches neighbor labels;
+    a keyed count + per-source argmax window (k rows per key) takes
+    the vote, ties broken by (count desc, label asc); a final
+    |labels|^2-bounded count emits the matrix. Everything downstream
+    of the k-NN graph is linear in N x k. The ANN family substitutes
+    as the candidate generator at corpus scale.
+
+    Emits (label, pred_label, n_vecs)."""
+    from .similarity import embedding_knn_graph
+
+    knn = embedding_knn_graph(embeddings, k=k)
+    labels = embeddings.select("vec_id", "label")
+    votes = knn.join(
+        labels.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("nb_label"),
+        ),
+        "neighbor_id",
+    )
+    tally = votes.groupBy("vec_id", "nb_label").agg(
+        F.count("*").alias("votes")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("votes"), F.asc("nb_label")
+    )
+    pred = (
+        tally.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("nb_label").alias("pred_label"))
+    )
+    return (
+        pred.join(labels, "vec_id")
+        .groupBy("label", "pred_label")
+        .agg(F.count("*").alias("n_vecs"))
+    )

@@ -1410,3 +1410,47 @@ def curriculum_order(documents: DataFrame, buckets: int = 10) -> DataFrame:
             F.row_number().over(w).alias("pos_in_bucket"),
         )
     )
+
+
+def text_readability(documents: DataFrame) -> DataFrame:
+    """Flesch-style reading-ease score per document -- the classic
+    readability gate of the quality family (very low scores flag
+    run-on machine text, very high ones flag fragment spam).
+
+    All three measures are row-local regexp counts, so the plan is a
+    pure map over the pruned (doc_id, text) scan -- no shuffle, no
+    explode; scan bandwidth is the only scale axis:
+
+    - words: whitespace tokens (the house tokenizer);
+    - sentences: maximal [.!?]+ runs, floored at 1;
+    - syllables: maximal [aeiouy]+ vowel-group runs over the WHOLE
+      lowercased text (a vowel group cannot span whitespace, so this
+      equals the per-word sum without the per-word explode; vowelless
+      words contribute 0 rather than the classic floor of 1 -- the
+      documented simplification).
+
+    score = 206.835 - 1.015 * words/sentences - 84.6 * syllables/words
+    computed in the same literal order on both engines, rounded 4.
+
+    Emits (doc_id, n_words, n_sentences, n_syllables, flesch)."""
+    n_words = F.size(tokens_col("text"))
+    n_sent = F.greatest(F.lit(1), F.regexp_count("text", F.lit("[.!?]+")))
+    n_syl = F.regexp_count(F.lower("text"), F.lit("[aeiouy]+"))
+    return (
+        documents.filter(F.size(tokens_col("text")) > 0)
+        .select(
+            "doc_id",
+            n_words.alias("n_words"),
+            n_sent.cast("int").alias("n_sentences"),
+            n_syl.cast("int").alias("n_syllables"),
+        )
+        .withColumn(
+            "flesch",
+            F.round(
+                206.835
+                - 1.015 * (F.col("n_words") / F.col("n_sentences"))
+                - 84.6 * (F.col("n_syllables") / F.col("n_words")),
+                4,
+            ),
+        )
+    )

@@ -5134,6 +5134,66 @@ def _ml_naive_bayes_confusion(spark, sf):
 
 
 @_register(
+    "ml_knn_classify",
+    """
+    WITH scored AS (
+      SELECT a.vec_id, b.vec_id AS neighbor_id, b.label AS nb_label,
+             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 6)
+               AS cosine
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+    nn AS (
+      SELECT vec_id, nb_label,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored),
+    tally AS (
+      SELECT vec_id, nb_label, count(*) AS votes
+      FROM nn WHERE rank <= 5 GROUP BY 1, 2),
+    pred AS (
+      SELECT vec_id, nb_label AS pred_label,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY votes DESC, nb_label) AS rn
+      FROM tally)
+    SELECT e.label, p.pred_label, CAST(count(*) AS BIGINT) AS n_vecs
+    FROM pred p JOIN embeddings e USING (vec_id)
+    WHERE p.rn = 1 GROUP BY 1, 2
+    """,
+    note="leave-one-out k-NN majority-vote classification composed on "
+    "the exact block-GEMM knn graph (engine-deterministic (cosine, id) "
+    "rank); vote argmax tie-broken (count desc, label asc); oracle is "
+    "the brute-force N^2 mirror",
+)
+def _ml_knn_classify(spark, sf):
+    return ml.knn_classify(_t(spark, sf, "embeddings"))
+
+
+@_register(
+    "text_readability",
+    f"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len({_TOKS}) AS INTEGER) AS n_words,
+             CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+               AS INTEGER) AS n_sentences,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+               AS INTEGER) AS n_syllables
+      FROM documents
+      WHERE len({_TOKS}) > 0)
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           round(206.835 - 1.015 * (n_words * 1.0 / n_sentences)
+                 - 84.6 * (n_syllables * 1.0 / n_words), 4) AS flesch
+    FROM m
+    """,
+    note="Flesch reading-ease per doc: three row-local regexp counts "
+    "over the pruned (doc_id, text) scan, no shuffle; vowel-group "
+    "syllables counted corpus-wide (groups cannot span whitespace)",
+)
+def _text_readability(spark, sf):
+    return text.text_readability(_t(spark, sf, "documents"))
+
+
+@_register(
     "ml_linreg_normal",
     None,
     note="rows-only by declared design: normal-equation fit whose "

@@ -657,3 +657,70 @@ def test_ann_pq_shortlist_is_broadcast_rescore(spark, sf_small):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bootstrap_ci_single_scan_no_explode(spark, sf_small):
+    """The 24 replicate sums are wide aggregates over ONE lineitem
+    scan -- no Generate (explode) node, no row multiplication, and the
+    read schema carries only the 4 needed columns."""
+    from java_mapreduce_framework_spark.operators import analytics
+
+    import re
+
+    plan = _formatted(
+        analytics.stats_bootstrap_ci(load_table(spark, sf_small, "lineitem"))
+    )
+    # the only Generate is the stack() over the |flags|-row aggregate
+    # result (its inputs are the swx_*/sw_* aggregate columns) -- a
+    # Generate over scan rows would be the x24 explode regression
+    gens = re.findall(r"^\(\d+\) Generate[^\n]*\n(?:[^\n]*\n){1,6}", plan, re.M)
+    assert len(gens) == 1 and "swx_" in gens[0]
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_comment" not in read_schema and "l_shipdate" not in read_schema
+
+
+def test_sorted_neighborhood_rank_is_sharded_and_join_is_equi(spark, sf_small):
+    """No single-partition global window: every Window node keys on
+    the shard; the candidate join is a plain equi-join (SortMergeJoin
+    or shuffled hash on rn), never a range/nested-loop pair build."""
+    import re
+
+    from java_mapreduce_framework_spark.operators import dedup
+
+    plan = _formatted(
+        dedup.dedup_sorted_neighborhood(load_table(spark, sf_small, "documents"))
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    for m in re.finditer(r"Window \[[^\]]*partition", plan):
+        seg = plan[m.start(): m.start() + 400]
+        # offsets window is over the <=num_shards-row side table;
+        # the rank window must partition by shard
+        assert "shard" in seg or "shard_n" in seg
+
+
+def test_naive_bayes_model_joins_are_broadcast(spark, sf_small):
+    """Every model-side join in the confusion plan is a broadcast
+    (the model is vocabulary-bounded); the only shuffles are the keyed
+    aggregations and the per-doc argmax window."""
+    from java_mapreduce_framework_spark.operators import ml
+
+    plan = _formatted(
+        ml.naive_bayes_confusion(load_table(spark, sf_small, "documents"))
+    )
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ml_moment_fits_are_map_then_fold(spark, sf_small):
+    """linreg's whole distributed part is mapInPandas + one grouped
+    SUM: exactly one exchange (the fold), no joins."""
+    from java_mapreduce_framework_spark.operators import ml
+
+    out = ml.linreg_normal(load_table(spark, sf_small, "embeddings"))
+    # the returned frame is the driver-built coefficient table;
+    # the plan property that matters is asserted by construction in
+    # _tagged_moment_pass (collect is bounded) -- here we pin that the
+    # result is model-sized
+    assert out.count() == 8 + 1 + 2  # coefs + bias + r2 + n
