@@ -561,3 +561,139 @@ def knn_classify(embeddings: DataFrame, k: int = 5) -> DataFrame:
         .groupBy("label", "pred_label")
         .agg(F.count("*").alias("n_vecs"))
     )
+
+
+def adaboost_stumps(
+    embeddings: DataFrame, n_feat: int = 8, rounds: int = 5
+) -> DataFrame:
+    """Fixed-round AdaBoost over decision stumps (binary target:
+    label >= 5; features: first ``n_feat`` embedding dims) -- boosting
+    as the reference's chained-job pattern: each round is ONE corpus
+    scan that scores every candidate stump under the current example
+    weights, a model-sized driver reduction picks the best, and the
+    grown ensemble broadcasts into the next round.
+
+    Statelessness is the scale trick: example weights are NEVER
+    materialized. w_i = exp(-y_i * margin_i) is recomputed row-locally
+    each round from the broadcast ensemble (R stumps, a few hundred
+    bytes), so no corpus-sized weight column is written, shuffled, or
+    checkpointed -- the classic Spark translation of sequential
+    boosting state.
+
+    Candidate grid: per-feature thresholds at mean + std * {-1.5..1.5}
+    from one moments pass (pinned at 6 decimals), both polarities --
+    2 x 7 x n_feat candidates per round. The per-round kernel is a
+    vectorized numpy sweep emitting one weighted-error partial per
+    candidate per task; a grouped SUM folds them. Candidate errors are
+    rounded to 9 decimals before the argmin (partial-fold drift
+    ~1e-12 cannot flip it; structurally identical candidates tie-break
+    on (feature, threshold index, polarity)).
+
+    Emits per round (round, feature, threshold, polarity, alpha,
+    err) plus a summary row (round = -1) whose ``err`` column carries
+    the final ensemble training accuracy.
+
+    Rows-only by declared design (driver-coordinated iterative fit);
+    numpy-replay parity pinned in tests/test_ml.py + RECALL.json."""
+    feats = _features(
+        embeddings, n_feat, (F.col("label") >= 5).cast("double")
+    )
+
+    # one moments pass -> deterministic per-feature threshold grid
+    def build_moments(X, y):
+        out = []
+        for f in range(n_feat):
+            out.append((f, 0, float(X[:, f].sum())))
+            out.append((f, 1, float((X[:, f] ** 2).sum())))
+        out.append((-1, 0, float(len(X))))
+        return out
+
+    folded = _tagged_moment_pass(feats, build_moments)
+    sx = np.zeros(n_feat)
+    sxx = np.zeros(n_feat)
+    n = 0.0
+    for r in folded:
+        if r["i"] == -1:
+            n = r["v"]
+        elif r["j"] == 0:
+            sx[r["i"]] = r["v"]
+        else:
+            sxx[r["i"]] = r["v"]
+    mean = np.round(sx / n, 6)
+    std = np.round(np.sqrt(np.maximum(sxx / n - (sx / n) ** 2, 0.0)), 6)
+    offsets = np.array([-1.5, -1.0, -0.5, 0.0, 0.5, 1.0, 1.5])
+    grid = np.round(mean[:, None] + std[:, None] * offsets[None, :], 6)
+
+    stumps: list[tuple[int, float, int, float]] = []  # (f, t, pol, alpha)
+    n_thr = grid.shape[1]
+    for _ in range(rounds):
+        cur = list(stumps)
+
+        def build_round(X, y, cur=cur):
+            ys = 2.0 * y - 1.0  # {0,1} -> {-1,+1}
+            m = np.zeros(len(X))
+            for f, t, pol, alpha in cur:
+                m += alpha * (np.where(X[:, f] <= t, 1.0, -1.0) * pol)
+            w = np.exp(-ys * m)
+            out = [(-1, -1, float(w.sum()))]
+            for f in range(n_feat):
+                xf = X[:, f]
+                for ti in range(n_thr):
+                    h = np.where(xf <= grid[f, ti], 1.0, -1.0)
+                    wrong_pos = float(w[h != ys].sum())
+                    # polarity +1 stored at tag ti, polarity -1 at
+                    # ti + n_thr (its error is total - wrong_pos,
+                    # folded driver-side from the same partial)
+                    out.append((f, ti, wrong_pos))
+            return out
+
+        folded = _tagged_moment_pass(feats, build_round)
+        total_w = 0.0
+        wrong = np.zeros((n_feat, n_thr))
+        for r in folded:
+            if r["i"] == -1:
+                total_w = r["v"]
+            else:
+                wrong[r["i"], r["j"]] = r["v"]
+        errs_pos = np.round(wrong / total_w, 9)
+        errs_neg = np.round(1.0 - errs_pos, 9)
+        best = None  # (err, f, ti, pol)
+        for f in range(n_feat):
+            for ti in range(n_thr):
+                for pol, e in ((1, errs_pos[f, ti]), (-1, errs_neg[f, ti])):
+                    cand = (float(e), f, ti, pol)
+                    if best is None or cand < best:
+                        best = cand
+        e, f, ti, pol = best
+        e = min(max(e, 1e-9), 1.0 - 1e-9)
+        alpha = 0.5 * float(np.log((1.0 - e) / e))
+        stumps.append((f, float(grid[f, ti]), pol, alpha))
+
+    sfin = list(stumps)
+
+    def build_metrics(X, y, sfin=sfin):
+        ys = 2.0 * y - 1.0
+        m = np.zeros(len(X))
+        for f, t, pol, alpha in sfin:
+            m += alpha * (np.where(X[:, f] <= t, 1.0, -1.0) * pol)
+        correct = (m >= 0.0) == (ys > 0.0)  # margin 0 predicts +1
+        return [(0, -2, float(correct.sum())), (1, -2, float(len(X)))]
+
+    folded = _tagged_moment_pass(feats, build_metrics)
+    met = {r["i"]: r["v"] for r in folded}
+    acc = met[0] / met[1]
+    rows = []
+    for rd, (f, t, pol, alpha) in enumerate(stumps):
+        # reconstruct the round's chosen error from alpha: alpha =
+        # 0.5 ln((1-e)/e)  =>  e = 1 / (1 + exp(2 alpha))
+        e = 1.0 / (1.0 + float(np.exp(2.0 * alpha)))
+        rows.append(
+            (rd, f, round(float(t), 6), pol, round(alpha, 6), round(e, 6))
+        )
+    rows.append((-1, -1, 0.0, 0, 0.0, round(acc, 6)))
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        rows,
+        "round int, feature int, threshold double, polarity int,"
+        " alpha double, err double",
+    )

@@ -5217,6 +5217,18 @@ def _ml_logreg_irls(spark, sf):
 
 
 @_register(
+    "ml_adaboost_stumps",
+    None,
+    note="rows-only by declared design: fixed-round boosted-stump fit "
+    "with stateless weight recompute (w = exp(-y*margin) row-locally "
+    "from the broadcast ensemble -- no corpus-sized weight column); "
+    "numpy-replay parity pinned in tests/test_ml.py + RECALL.json",
+)
+def _ml_adaboost_stumps(spark, sf):
+    return ml.adaboost_stumps(_t(spark, sf, "embeddings"))
+
+
+@_register(
     "ml_kmeans_lloyd",
     None,
     note="rows-only by declared design: iterative driver-coordinated "

@@ -330,6 +330,23 @@ def main(sf_dir: str) -> dict:
         "centroids vs serial numpy; inertia ratio %.6f (want ~1)"
         % (inertia_got / inertia_ref if inertia_ref else float("nan")))
 
+    # --- ml_adaboost_stumps: distributed boosted-stump selection vs
+    # identical serial numpy replay (same grid, rounding, tie-breaks)
+    from tests.test_ml import _adaboost_numpy
+
+    ab_rows = mlops.adaboost_stumps(emb).collect()
+    got_st = [(r["feature"], r["polarity"]) for r in
+              sorted((r for r in ab_rows if r["round"] >= 0),
+                     key=lambda r: r["round"])]
+    ref_st, ref_acc = _adaboost_numpy(X, y)
+    match = float(np.mean([g == (r[0], r[2])
+                           for g, r in zip(got_st, ref_st)]))
+    rec("ml_adaboost_stumps", "stump_selection_agreement_vs_numpy",
+        match, 1.0, ">=",
+        "5 boosting rounds, stateless exp(-y*margin) weights; all "
+        "(feature, polarity) selections equal the serial replay; "
+        "ensemble train accuracy %.4f" % ref_acc)
+
     return out
 
 

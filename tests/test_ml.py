@@ -147,3 +147,61 @@ def test_naive_bayes_confusion_partitions_corpus(spark, sf_small):
     correct = sum(r["n_docs"] for r in rows if r["lang"] == r["pred_lang"])
     n_langs = docs.select("lang").distinct().count()
     assert correct > 1.5 * n_docs_in / n_langs
+
+
+def _adaboost_numpy(X, y_raw, n_feat=8, rounds=5):
+    y = (y_raw >= 5).astype(np.float64)
+    ys = 2.0 * y - 1.0
+    Xf = X[:, :n_feat]
+    mean = np.round(Xf.mean(axis=0), 6)
+    std = np.round(Xf.std(axis=0), 6)
+    offsets = np.array([-1.5, -1.0, -0.5, 0.0, 0.5, 1.0, 1.5])
+    grid = np.round(mean[:, None] + std[:, None] * offsets[None, :], 6)
+    stumps = []
+    for _ in range(rounds):
+        m = np.zeros(len(Xf))
+        for f, t, pol, alpha in stumps:
+            m += alpha * (np.where(Xf[:, f] <= t, 1.0, -1.0) * pol)
+        w = np.exp(-ys * m)
+        total = w.sum()
+        best = None
+        for f in range(n_feat):
+            for ti in range(grid.shape[1]):
+                h = np.where(Xf[:, f] <= grid[f, ti], 1.0, -1.0)
+                e_pos = round(float(w[h != ys].sum() / total), 9)
+                for pol, e in ((1, e_pos), (-1, round(1.0 - e_pos, 9))):
+                    cand = (e, f, ti, pol)
+                    if best is None or cand < best:
+                        best = cand
+        e, f, ti, pol = best
+        e = min(max(e, 1e-9), 1.0 - 1e-9)
+        alpha = 0.5 * float(np.log((1.0 - e) / e))
+        stumps.append((f, float(grid[f, ti]), pol, alpha))
+    m = np.zeros(len(Xf))
+    for f, t, pol, alpha in stumps:
+        m += alpha * (np.where(Xf[:, f] <= t, 1.0, -1.0) * pol)
+    acc = float(np.mean((m >= 0.0) == (ys > 0.0)))
+    return stumps, acc
+
+
+def test_adaboost_stumps_matches_numpy_replay(spark, sf_small, emb_np):
+    ids, X, y_raw = emb_np
+    rows = ml.adaboost_stumps(
+        load_table(spark, sf_small, "embeddings")
+    ).collect()
+    got_stumps = [
+        (r["feature"], r["threshold"], r["polarity"], r["alpha"])
+        for r in sorted(
+            (r for r in rows if r["round"] >= 0), key=lambda r: r["round"]
+        )
+    ]
+    got_acc = next(r["err"] for r in rows if r["round"] == -1)
+    ref_stumps, ref_acc = _adaboost_numpy(X, y_raw)
+    assert len(got_stumps) == len(ref_stumps) == 5
+    for g, r in zip(got_stumps, ref_stumps):
+        assert g[0] == r[0] and g[2] == r[2]  # same feature + polarity
+        assert abs(g[1] - r[1]) < 1e-9  # same threshold
+        assert abs(g[3] - r[3]) < 1e-6  # alpha up to fold drift
+    assert abs(got_acc - ref_acc) < 1e-9
+    # boosting sanity: every chosen round error strictly < 0.5
+    assert all(r["err"] < 0.5 for r in rows if r["round"] >= 0)
