@@ -1033,3 +1033,92 @@ def similarity_ann_pq(
         .filter(F.col("rnk") <= k)
         .select("qid", "nid", F.round("cos_sim", 4).alias("cos_sim"), "rnk")
     )
+
+
+def similarity_mmr(
+    embeddings: DataFrame,
+    n_queries: int = 3,
+    k: int = 10,
+    shortlist: int = 50,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k: for each query,
+    greedily select k results maximizing
+    lam * sim(q, d) - (1 - lam) * max_{s in selected} sim(d, s) --
+    the standard rerank that trades raw relevance for coverage
+    (retrieval-augmentation's answer to near-duplicate result lists).
+
+    Two-stage shape (how MMR actually runs at scale): the DISTRIBUTED
+    part is the exact top-``shortlist`` candidate generation per query
+    (the brute-force GEMM scan of ``similarity_topk_pandas``; the ANN
+    family substitutes at corpus scale); the greedy selection -- k
+    sequential argmaxes, inherently serial -- runs on the collected
+    shortlist only (# bounded: n_queries x shortlist rows, model-sized
+    by construction). The corpus itself is never collected.
+
+    Deterministic: candidate order comes from the engine's
+    (cos desc, nid) rank; greedy scores are rounded to 6 decimals
+    before comparison with nid as the tie-break (house discipline).
+
+    Emits (qid, rank, nid, relevance, mmr_score).
+
+    Rows-only by declared design (iterative greedy selection);
+    numpy-replay parity pinned in tests/test_similarity.py, diversity
+    gain vs plain top-k recorded in RECALL.json."""
+    import numpy as np
+
+    sl = (
+        similarity_topk_pandas(embeddings, k=shortlist, n_queries=n_queries)
+        .select("qid", "nid", "rnk")
+        .collect()  # bounded: n_queries x shortlist candidate ids
+    )
+    cand_ids = sorted({r["nid"] for r in sl} | set(range(n_queries)))
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in embeddings.filter(
+            F.col("vec_id").isin([int(i) for i in cand_ids])
+        )
+        .select("vec_id", "embedding")
+        .collect()  # bounded: shortlist union query vectors
+    }
+
+    def cos(a, b):
+        return float(
+            np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))
+        )
+
+    rows = []
+    for qid in range(n_queries):
+        cands = [r["nid"] for r in sorted(
+            (r for r in sl if r["qid"] == qid), key=lambda r: r["rnk"]
+        )]
+        rel = {nid: round(cos(vecs[qid], vecs[nid]), 6) for nid in cands}
+        selected: list[int] = []
+        remaining = list(cands)
+        while remaining and len(selected) < k:
+            best = None
+            for nid in remaining:
+                div = max(
+                    (round(cos(vecs[nid], vecs[s]), 6) for s in selected),
+                    default=0.0,
+                )
+                score = round(lam * rel[nid] - (1.0 - lam) * div, 6)
+                cand = (-score, nid)
+                if best is None or cand < best:
+                    best = cand
+            score, nid = -best[0], best[1]
+            selected.append(nid)
+            remaining.remove(nid)
+            rows.append(
+                (
+                    qid,
+                    len(selected),
+                    int(nid),
+                    round(rel[nid], 4),
+                    round(score, 4),
+                )
+            )
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        rows, "qid long, rank int, nid long, relevance double, mmr_score double"
+    )

@@ -980,3 +980,36 @@ def stats_moments(events: DataFrame) -> DataFrame:
         F.round(m3 / F.pow(m2, 1.5), 4).alias("skewness"),
         F.round(m4 / (m2 * m2) - 3.0, 4).alias("kurt_excess"),
     )
+
+
+def event_paths_topk(events: DataFrame, k: int = 20) -> DataFrame:
+    """Top-k most frequent 3-step event-type paths across all user
+    timelines -- sequential-pattern mining's workhorse summary (what
+    flows dominate), one order up from the first-order
+    ``event_transition_matrix``.
+
+    Plan: ONE window shuffle keyed on user_id builds consecutive
+    triples with two ``lead``s over the (ts, event_id)-total order
+    (ties broken by the unique event_id, so the path stream is
+    engine-deterministic); a partial+final count keyed on the
+    type-alphabet^3-bounded path string; the global top-k collapses to
+    ``TakeOrderedAndProject`` (orderBy + limit -- per-partition heads
+    only, no global sort shuffle). Per-user state is two lookahead
+    rows; nothing scales beyond the event scan.
+
+    Emits (path 'a>b>c', n_paths), count desc, path asc tie-break."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    triples = events.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        triples.select(
+            F.concat_ws(">", "e1", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n_paths"))
+        .orderBy(F.desc("n_paths"), F.asc("path"))
+        .limit(k)
+    )

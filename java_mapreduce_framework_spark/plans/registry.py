@@ -4934,6 +4934,29 @@ def _stats_moments(spark, sf):
 
 
 @_register(
+    "event_paths_topk",
+    f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM {_EVTS}
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT event_type || '>' || e2 || '>' || e3 AS path,
+           CAST(count(*) AS BIGINT) AS n_paths
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY 1 ORDER BY n_paths DESC, path LIMIT 20
+    """,
+    note="top-20 3-step event-type paths: one user-keyed window "
+    "shuffle (two leads over the (ts, event_id) total order), "
+    "alphabet^3-bounded count, TakeOrderedAndProject top-k (no "
+    "global sort)",
+)
+def _event_paths_topk(spark, sf):
+    return temporal.event_paths_topk(_t(spark, sf, "events"))
+
+
+@_register(
     "stats_bootstrap_ci",
     """
     WITH hashed AS (
@@ -5191,6 +5214,18 @@ def _ml_knn_classify(spark, sf):
 )
 def _text_readability(spark, sf):
     return text.text_readability(_t(spark, sf, "documents"))
+
+
+@_register(
+    "similarity_mmr",
+    None,
+    note="rows-only by declared design: greedy maximal-marginal-"
+    "relevance rerank (k sequential argmaxes) over the distributed "
+    "exact shortlist; numpy-replay parity in "
+    "tests/test_similarity.py, diversity gain in RECALL.json",
+)
+def _similarity_mmr(spark, sf):
+    return similarity.similarity_mmr(_t(spark, sf, "embeddings"))
 
 
 @_register(

@@ -330,6 +330,31 @@ def main(sf_dir: str) -> dict:
         "centroids vs serial numpy; inertia ratio %.6f (want ~1)"
         % (inertia_got / inertia_ref if inertia_ref else float("nan")))
 
+    # --- similarity_mmr: diversity gain of the greedy MMR selection
+    # vs the plain relevance top-k (mean pairwise cosine ratio < 1)
+    mmr_rows = similarity.similarity_mmr(emb).collect()
+    topk_rows = similarity.similarity_topk_pandas(emb, k=10, n_queries=3).collect()
+    Vd = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+          for r in emb_rows}
+
+    def _mean_pair(ids):
+        ids = list(ids)
+        ps = [float(np.dot(Vd[a], Vd[b])
+                    / (np.linalg.norm(Vd[a]) * np.linalg.norm(Vd[b])))
+              for i, a in enumerate(ids) for b in ids[i + 1:]]
+        return sum(ps) / len(ps)
+
+    ratios = []
+    for qid in range(3):
+        sel = [r["nid"] for r in mmr_rows if r["qid"] == qid]
+        top = [r["nid"] for r in topk_rows if r["qid"] == qid]
+        ratios.append(_mean_pair(sel) / _mean_pair(top))
+    rec("similarity_mmr", "mean_pairwise_cosine_ratio_vs_topk",
+        sum(ratios) / len(ratios), 1.0, "<=",
+        "greedy lam=0.7 MMR over the exact 50-candidate shortlist; "
+        "selection replay asserted equal to serial numpy in "
+        "tests/test_similarity.py")
+
     # --- ml_adaboost_stumps: distributed boosted-stump selection vs
     # identical serial numpy replay (same grid, rounding, tie-breaks)
     from tests.test_ml import _adaboost_numpy

@@ -52,6 +52,7 @@ ALLOWED_NESTED_LOOP = {
     "ks_drift",  # 1-row broadcast cell-cut-points array + (n_a, n_b) totals
     "vocab_coverage",  # 1-row broadcast corpus token total
     "audience_overlap_kmv",  # |types|-row sketch table cross-paired
+    "ml_knn_classify",  # inherits embedding_knn_graph's block-tile cross
     "ml_naive_bayes_train",  # 1-row broadcast vocab-size scalar
     "ml_naive_bayes_confusion",  # 1-row vocab scalar + |langs|-row class table
 }

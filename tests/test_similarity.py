@@ -362,3 +362,55 @@ def test_ann_pq_is_deterministic(spark, sf_small):
     a = sorted(map(tuple, similarity.similarity_ann_pq(emb).collect()))
     b = sorted(map(tuple, similarity.similarity_ann_pq(emb).collect()))
     assert a == b
+
+
+def test_mmr_matches_numpy_replay_and_diversifies(spark, sf_small):
+    """Greedy MMR on the engine's shortlist must equal the serial
+    numpy replay built from the collected fixture, and the selected
+    set must be strictly more diverse (lower mean pairwise cosine)
+    than the plain relevance top-k for at least one query."""
+    import numpy as np
+
+    from java_mapreduce_framework_spark.operators import similarity
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    got = similarity.similarity_mmr(emb).collect()
+    rows = emb.select("vec_id", "embedding").collect()
+    V = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in rows}
+
+    def cos(a, b):
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    lam, k, shortlist = 0.7, 10, 50
+    diversified_somewhere = False
+    for qid in range(3):
+        # replay: exact shortlist by (cos desc, nid), then greedy
+        scored = sorted(
+            ((round(cos(V[qid], V[n]), 6), -n) for n in V if n != qid),
+            reverse=True,
+        )
+        cands = [-n for _, n in scored[:shortlist]]
+        rel = {n: round(cos(V[qid], V[n]), 6) for n in cands}
+        sel = []
+        rem = list(cands)
+        while rem and len(sel) < k:
+            best = None
+            for n in rem:
+                div = max((round(cos(V[n], V[s]), 6) for s in sel), default=0.0)
+                score = round(lam * rel[n] - (1 - lam) * div, 6)
+                if best is None or (-score, n) < best:
+                    best = (-score, n)
+            sel.append(best[1]); rem.remove(best[1])
+        got_q = [r["nid"] for r in sorted(
+            (r for r in got if r["qid"] == qid), key=lambda r: r["rank"])]
+        assert got_q == sel, f"qid {qid}"
+        topk = cands[:k]
+
+        def mean_pair(ids):
+            ps = [cos(V[a], V[b]) for i, a in enumerate(ids) for b in ids[i+1:]]
+            return sum(ps) / len(ps)
+
+        if mean_pair(sel) < mean_pair(topk) - 1e-9:
+            diversified_somewhere = True
+    assert diversified_somewhere
