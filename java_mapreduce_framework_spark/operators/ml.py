@@ -697,3 +697,100 @@ def adaboost_stumps(
         "round int, feature int, threshold double, polarity int,"
         " alpha double, err double",
     )
+
+
+def logreg_ridge_sweep(
+    embeddings: DataFrame,
+    lambdas: tuple = (0.0, 0.1, 1.0),
+    n_feat: int = 4,
+    iters: int = 4,
+) -> DataFrame:
+    """Ridge-regularized logistic regression for a WHOLE hyperparameter
+    sweep in shared scans -- the 100 TB training pattern: when three
+    models need the same data pass, run one pass that feeds all three.
+
+    Each IRLS round is ONE corpus scan whose kernel evaluates every
+    lambda's current beta (all broadcast together) and emits that
+    model's gradient + Hessian partials under a model-id tag; one
+    grouped SUM folds the whole sweep and the driver takes one
+    (d+1)-dim Newton step per lambda (L2 term added driver-side:
+    grad -= lambda * beta, H += lambda * I, intercept unpenalized).
+    Total cost: iters + 1 scans for len(lambdas) models -- scan count
+    is independent of sweep width.
+
+    Emits (lam, term, value): per-lambda coefficients plus 'log_loss'
+    (unpenalized mean) and 'accuracy' from the shared metrics pass.
+
+    Rows-only by declared design; numpy-replay parity (identical
+    rounds, identical regularization) pinned in tests/test_ml.py +
+    RECALL.json."""
+    feats = _features(
+        embeddings, n_feat, (F.col("label") >= 5).cast("double")
+    )
+    d = n_feat + 1
+    L = len(lambdas)
+    betas = [np.zeros(d) for _ in range(L)]
+
+    for _ in range(iters):
+        bcur = [b.copy() for b in betas]
+
+        def build(X, y, bcur=bcur):
+            Z = np.column_stack([X, np.ones(len(X))])
+            out = []
+            for m, beta in enumerate(bcur):
+                p = 1.0 / (1.0 + np.exp(-(Z @ beta)))
+                g = Z.T @ (y - p)
+                H = (Z * (p * (1.0 - p))[:, None]).T @ Z
+                # tag layout: i = m * (d + 1) + row, j = col (or -1
+                # for the gradient) -- one flat tag space per model
+                base = m * (d + 1)
+                jj, ii = np.meshgrid(np.arange(d), np.arange(d))
+                out += list(
+                    zip((base + ii).ravel().tolist(), jj.ravel().tolist(), H.ravel())
+                )
+                out += [(base + i, -1, v) for i, v in enumerate(g)]
+            return out
+
+        folded = _tagged_moment_pass(feats, build)
+        Hs = [np.zeros((d, d)) for _ in range(L)]
+        gs = [np.zeros(d) for _ in range(L)]
+        for r in folded:
+            m, i = divmod(r["i"], d + 1)
+            if r["j"] == -1:
+                gs[m][i] = r["v"]
+            else:
+                Hs[m][i, r["j"]] = r["v"]
+        for m, lam in enumerate(lambdas):
+            reg = lam * np.eye(d)
+            reg[d - 1, d - 1] = 0.0  # intercept unpenalized
+            g = gs[m] - lam * np.append(betas[m][:-1], 0.0)
+            betas[m] = betas[m] + np.linalg.solve(Hs[m] + reg, g)
+
+    bfin = [b.copy() for b in betas]
+
+    def build_metrics(X, y, bfin=bfin):
+        Z = np.column_stack([X, np.ones(len(X))])
+        out = []
+        for m, beta in enumerate(bfin):
+            z = Z @ beta
+            ll = np.logaddexp(0.0, -z) + (1.0 - y) * z
+            acc_n = float(np.sum((z >= 0.0) == (y > 0.5)))
+            out += [
+                (m, -2, float(ll.sum())),
+                (m, -3, acc_n),
+                (m, -4, float(len(y))),
+            ]
+        return out
+
+    folded = _tagged_moment_pass(feats, build_metrics)
+    met = {(r["i"], r["j"]): r["v"] for r in folded}
+    terms = [f"f{i}" for i in range(n_feat)] + ["bias"]
+    rows = []
+    for m, lam in enumerate(lambdas):
+        n = met[(m, -4)]
+        for t, c in zip(terms, betas[m]):
+            rows.append((float(lam), t, round(float(c), 6)))
+        rows.append((float(lam), "log_loss", round(met[(m, -2)] / n, 6)))
+        rows.append((float(lam), "accuracy", round(met[(m, -3)] / n, 6)))
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(rows, "lam double, term string, value double")

@@ -5252,6 +5252,19 @@ def _ml_logreg_irls(spark, sf):
 
 
 @_register(
+    "ml_logreg_ridge_sweep",
+    None,
+    note="rows-only by declared design: whole ridge-lambda sweep "
+    "trained in SHARED scans (one pass per Newton round feeds every "
+    "lambda's gradient+Hessian under a model-id tag) -- scan count "
+    "independent of sweep width; numpy-replay parity in "
+    "tests/test_ml.py + RECALL.json",
+)
+def _ml_logreg_ridge_sweep(spark, sf):
+    return ml.logreg_ridge_sweep(_t(spark, sf, "embeddings"))
+
+
+@_register(
     "ml_adaboost_stumps",
     None,
     note="rows-only by declared design: fixed-round boosted-stump fit "

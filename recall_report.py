@@ -355,6 +355,28 @@ def main(sf_dir: str) -> dict:
         "selection replay asserted equal to serial numpy in "
         "tests/test_similarity.py")
 
+    # --- ml_logreg_ridge_sweep: shared-scan sweep vs serial replay
+    sweep = mlops.logreg_ridge_sweep(emb).collect()
+    by_lam = {}
+    for r in sweep:
+        by_lam.setdefault(r["lam"], {})[r["term"]] = r["value"]
+    Z4s = np.column_stack([X[:, :4], np.ones(len(X))])
+    max_err = 0.0
+    for lam, vals in by_lam.items():
+        bref2 = np.zeros(5)
+        for _ in range(4):
+            p = 1.0 / (1.0 + np.exp(-(Z4s @ bref2)))
+            g = Z4s.T @ (yb - p) - lam * np.append(bref2[:-1], 0.0)
+            Hm = (Z4s * (p * (1.0 - p))[:, None]).T @ Z4s + lam * np.diag(
+                [1.0] * 4 + [0.0])
+            bref2 = bref2 + np.linalg.solve(Hm, g)
+        got2 = np.array([vals[f"f{i}"] for i in range(4)] + [vals["bias"]])
+        max_err = max(max_err, float(np.max(np.abs(got2 - bref2))))
+    rec("ml_logreg_ridge_sweep", "max_abs_coef_error_vs_numpy_all_lambdas",
+        max_err, 1e-5, "<=",
+        "3 lambdas x 4 Newton rounds trained in 5 shared scans; every "
+        "coefficient of every model equals the serial replay")
+
     # --- ml_adaboost_stumps: distributed boosted-stump selection vs
     # identical serial numpy replay (same grid, rounding, tie-breaks)
     from tests.test_ml import _adaboost_numpy

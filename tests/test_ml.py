@@ -205,3 +205,38 @@ def test_adaboost_stumps_matches_numpy_replay(spark, sf_small, emb_np):
     assert abs(got_acc - ref_acc) < 1e-9
     # boosting sanity: every chosen round error strictly < 0.5
     assert all(r["err"] < 0.5 for r in rows if r["round"] >= 0)
+
+
+def test_logreg_ridge_sweep_matches_numpy_and_shrinks(spark, sf_small, emb_np):
+    _, X, y_raw = emb_np
+    y = (y_raw >= 5).astype(np.float64)
+    Z = np.column_stack([X[:, :4], np.ones(len(X))])
+    out = ml.logreg_ridge_sweep(
+        load_table(spark, sf_small, "embeddings")
+    ).collect()
+    by_lam = {}
+    for r in out:
+        by_lam.setdefault(r["lam"], {})[r["term"]] = r["value"]
+    assert set(by_lam) == {0.0, 0.1, 1.0}
+    norms = {}
+    for lam, vals in by_lam.items():
+        beta = np.zeros(5)
+        for _ in range(4):
+            p = 1.0 / (1.0 + np.exp(-(Z @ beta)))
+            g = Z.T @ (y - p) - lam * np.append(beta[:-1], 0.0)
+            H = (Z * (p * (1.0 - p))[:, None]).T @ Z + lam * np.diag(
+                [1.0] * 4 + [0.0]
+            )
+            beta = beta + np.linalg.solve(H, g)
+        got = np.array([vals[f"f{i}"] for i in range(4)] + [vals["bias"]])
+        assert np.allclose(got, beta, atol=1e-5), lam
+        norms[lam] = float(np.linalg.norm(got[:-1]))
+    # ridge must shrink the (non-intercept) coefficient norm
+    assert norms[1.0] < norms[0.1] < norms[0.0]
+    # lam=0 must equal the unregularized fit exactly
+    plain = {
+        r["term"]: r["value"]
+        for r in ml.logreg_irls(load_table(spark, sf_small, "embeddings")).collect()
+    }
+    for t in [f"f{i}" for i in range(4)] + ["bias"]:
+        assert abs(by_lam[0.0][t] - plain[t]) < 1e-9
