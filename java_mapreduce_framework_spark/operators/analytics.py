@@ -620,3 +620,80 @@ def stats_bootstrap_ci(lineitem: DataFrame, n_reps: int = 24) -> DataFrame:
         F.round(F.col("c") - 1.96 * se, 4).alias("ci_lo"),
         F.round(F.col("c") + 1.96 * se, 4).alias("ci_hi"),
     )
+
+
+def customer_rfm_segments(orders: DataFrame) -> DataFrame:
+    """Classic RFM segmentation: every customer scored into quartiles
+    of Recency (days-epoch of last order), Frequency (order count),
+    and Monetary (exact-decimal lifetime spend), then the 4x4x4
+    segment grid summarized with customer counts and segment revenue
+    -- the marketing-analytics workhorse built the way it survives
+    100 TB.
+
+    NOT a global ntile (single-partition sort x3): all nine quartile
+    cut points come from ONE ``exact_quantiles_grouped`` kernel call
+    over the long-form (metric, value) stream -- the three metrics are
+    just three groups, so the kernel's range-sharded order statistics
+    price the whole threshold table at one pass over the per-customer
+    aggregate. Cut arrays broadcast back (3 rows -> 1-row arrays) and
+    bucket assignment is a pure row expression (v > cut counting, ties
+    deterministic because both engines compare the same exact value
+    against the same 4-decimal-rounded bound). Monetary folds as
+    DECIMAL(18,2) end to end (fold-order exact), cast to double only
+    at the rounded output boundary.
+
+    Emits (r_q, f_q, m_q, n_customers, revenue), <= 64 rows."""
+    from .relational import exact_quantiles_grouped
+
+    cust = orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.max(F.col("o_orderdate").cast("date")),
+            F.lit("1970-01-01").cast("date"),
+        )
+        .cast("int")
+        .alias("r_v"),
+        F.count("*").cast("long").alias("f_v"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("m_dec"),
+    )
+    longf = cust.selectExpr(
+        "stack(3, 'r', CAST(r_v AS DOUBLE), 'f', CAST(f_v AS DOUBLE),"
+        " 'm', CAST(m_dec AS DOUBLE)) AS (metric, value)"
+    )
+    # 9-row threshold table, localCheckpoint'ed because its three
+    # cut-array consumers would each re-run the kernel otherwise
+    cuts = exact_quantiles_grouped(
+        longf, "metric", "value", [0.25, 0.5, 0.75]
+    ).localCheckpoint()
+
+    def cut_arr(m: str, name: str):
+        return (
+            cuts.filter(F.col("metric") == m)
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("q_idx", "bound"))
+                ).alias("s")
+            )
+            .select(F.expr("transform(s, x -> x.bound)").alias(name))
+        )
+
+    def quart(v, arr):
+        return (
+            F.lit(1)
+            + F.size(F.filter(arr, lambda c: v > c))
+        ).cast("int")
+
+    seg = (
+        cust.join(F.broadcast(cut_arr("r", "rc")))
+        .join(F.broadcast(cut_arr("f", "fc")))
+        .join(F.broadcast(cut_arr("m", "mc")))
+        .select(
+            quart(F.col("r_v").cast("double"), F.col("rc")).alias("r_q"),
+            quart(F.col("f_v").cast("double"), F.col("fc")).alias("f_q"),
+            quart(F.col("m_dec").cast("double"), F.col("mc")).alias("m_q"),
+            "m_dec",
+        )
+    )
+    return seg.groupBy("r_q", "f_q", "m_q").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum("m_dec").cast("double"), 2).alias("revenue"),
+    )

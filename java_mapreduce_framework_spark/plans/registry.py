@@ -4934,6 +4934,56 @@ def _stats_moments(spark, sf):
 
 
 @_register(
+    "customer_rfm_segments",
+    """
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', DATE '1970-01-01',
+                            CAST(max(o_orderdate) AS DATE)) AS INTEGER) AS r_v,
+             CAST(count(*) AS BIGINT) AS f_v,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS m_dec
+      FROM orders GROUP BY 1),
+    th AS (
+      SELECT round(quantile_cont(CAST(r_v AS DOUBLE), 0.25), 4) AS r1,
+             round(quantile_cont(CAST(r_v AS DOUBLE), 0.50), 4) AS r2,
+             round(quantile_cont(CAST(r_v AS DOUBLE), 0.75), 4) AS r3,
+             round(quantile_cont(CAST(f_v AS DOUBLE), 0.25), 4) AS f1,
+             round(quantile_cont(CAST(f_v AS DOUBLE), 0.50), 4) AS f2,
+             round(quantile_cont(CAST(f_v AS DOUBLE), 0.75), 4) AS f3,
+             round(quantile_cont(CAST(m_dec AS DOUBLE), 0.25), 4) AS m1,
+             round(quantile_cont(CAST(m_dec AS DOUBLE), 0.50), 4) AS m2,
+             round(quantile_cont(CAST(m_dec AS DOUBLE), 0.75), 4) AS m3
+      FROM cust),
+    seg AS (
+      SELECT m_dec,
+             CAST(1 + (CASE WHEN CAST(r_v AS DOUBLE) > r1 THEN 1 ELSE 0 END)
+                    + (CASE WHEN CAST(r_v AS DOUBLE) > r2 THEN 1 ELSE 0 END)
+                    + (CASE WHEN CAST(r_v AS DOUBLE) > r3 THEN 1 ELSE 0 END)
+               AS INTEGER) AS r_q,
+             CAST(1 + (CASE WHEN CAST(f_v AS DOUBLE) > f1 THEN 1 ELSE 0 END)
+                    + (CASE WHEN CAST(f_v AS DOUBLE) > f2 THEN 1 ELSE 0 END)
+                    + (CASE WHEN CAST(f_v AS DOUBLE) > f3 THEN 1 ELSE 0 END)
+               AS INTEGER) AS f_q,
+             CAST(1 + (CASE WHEN CAST(m_dec AS DOUBLE) > m1 THEN 1 ELSE 0 END)
+                    + (CASE WHEN CAST(m_dec AS DOUBLE) > m2 THEN 1 ELSE 0 END)
+                    + (CASE WHEN CAST(m_dec AS DOUBLE) > m3 THEN 1 ELSE 0 END)
+               AS INTEGER) AS m_q
+      FROM cust CROSS JOIN th)
+    SELECT r_q, f_q, m_q, CAST(count(*) AS BIGINT) AS n_customers,
+           round(CAST(sum(m_dec) AS DOUBLE), 2) AS revenue
+    FROM seg GROUP BY 1, 2, 3
+    """,
+    note="RFM quartile segmentation: all nine cut points from ONE "
+    "grouped exact-quantile kernel call over the long-form (metric, "
+    "value) stream (no global ntile sort), cut arrays broadcast back, "
+    "bucket assignment a pure row expression, monetary exact DECIMAL "
+    "end to end",
+)
+def _customer_rfm_segments(spark, sf):
+    return analytics.customer_rfm_segments(_t(spark, sf, "orders"))
+
+
+@_register(
     "event_paths_topk",
     f"""
     WITH seq AS (
