@@ -5267,6 +5267,20 @@ def _text_readability(spark, sf):
 
 
 @_register(
+    "multimodal_audio_spectrogram",
+    None,
+    note="rows-only by declared design (no FFT in the oracle engine): "
+    "real STFT over the RIFF/WAVE decode path, Hann window + rFFT "
+    "power per frame inside the Arrow kernel; pure-tone dominant-bin "
+    "physics pinned in tests/test_multimodal.py + RECALL.json",
+)
+def _multimodal_audio_spectrogram(spark, sf):
+    return multimodal.audio_spectrogram(
+        multimodal.attach_audio_payload(_t(spark, sf, "documents"))
+    )
+
+
+@_register(
     "similarity_mmr",
     None,
     note="rows-only by declared design: greedy maximal-marginal-"

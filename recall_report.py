@@ -330,6 +330,27 @@ def main(sf_dir: str) -> dict:
         "centroids vs serial numpy; inertia ratio %.6f (want ~1)"
         % (inertia_got / inertia_ref if inertia_ref else float("nan")))
 
+    # --- multimodal_audio_spectrogram: pure-tone dominant-bin physics
+    from java_mapreduce_framework_spark.operators import multimodal as mm
+    import pandas as _pd  # noqa: F401
+
+    rate, n_fft = 16000, 256
+    t_ax = np.arange(rate) / rate
+    tone_rows = [
+        (int(freq), mm.encode_wav(
+            (np.sin(2 * np.pi * freq * t_ax) * 20000).astype(np.int16), rate))
+        for freq in (500, 1000, 2000, 3000, 5000)
+    ]
+    tones = spark.createDataFrame(tone_rows, "doc_id long, payload binary")
+    spec_rows = mm.audio_spectrogram(tones).collect()
+    hits = [abs(r["dominant_bin"] - round(r["doc_id"] / rate * n_fft)) <= 1
+            for r in spec_rows]
+    rec("multimodal_audio_spectrogram", "pure_tone_bin_accuracy",
+        float(np.mean(hits)) if hits else 0.0, 1.0, ">=",
+        "5 synthesized sines 500-5000 Hz through the full "
+        "attach->RIFF-decode->Hann->rFFT path; every frame's dominant "
+        "bin within 1 of freq/rate*n_fft")
+
     # --- similarity_mmr: diversity gain of the greedy MMR selection
     # vs the plain relevance top-k (mean pairwise cosine ratio < 1)
     mmr_rows = similarity.similarity_mmr(emb).collect()

@@ -289,3 +289,52 @@ def test_image_patches_crop_drops_remainders(spark):
     imgs = multimodal.attach_image_payload(spark.createDataFrame(rows))
     out = multimodal.image_patches(imgs).collect()
     assert len(out) == (h // 4) * (w // 4)
+
+
+def test_spectrogram_pure_tone_lands_in_the_right_bin(spark):
+    """Physical pin, not a replica: a synthesized 1 kHz (and 3 kHz)
+    sine at 16 kHz must put its dominant rFFT bin at
+    freq / rate * n_fft, and Parseval ties total energy to the
+    windowed frame energy."""
+    import numpy as np
+    import pandas as pd
+
+    from java_mapreduce_framework_spark.operators import multimodal
+
+    rate, n_fft = 16000, 256
+    t = np.arange(rate) / rate
+    clips = {
+        1: (1000, np.sin(2 * np.pi * 1000 * t)),
+        2: (3000, np.sin(2 * np.pi * 3000 * t)),
+    }
+    rows = [
+        (doc_id, multimodal.encode_wav(
+            (sig * 20000).astype(np.int16), rate))
+        for doc_id, (freq, sig) in clips.items()
+    ]
+    audio = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = multimodal.audio_spectrogram(audio).collect()
+    assert out
+    win = np.hanning(n_fft)
+    for r in out:
+        freq, sig = clips[r["doc_id"]]
+        expected_bin = round(freq / rate * n_fft)
+        assert abs(r["dominant_bin"] - expected_bin) <= 1, r
+        # Parseval (one-sided): sum|X|^2 over full spectrum = N * sum x^2
+        x = (sig * 20000).astype(np.int16).astype(np.float64)
+        frame = x[r["frame_idx"] * 128: r["frame_idx"] * 128 + n_fft] * win
+        full = np.abs(np.fft.fft(frame)) ** 2
+        onesided = np.abs(np.fft.rfft(frame)) ** 2
+        assert abs(onesided.sum() - r["total_energy"]) < 1e-2
+        assert abs(full.sum() - n_fft * np.sum(frame * frame)) < 1e-2 * full.sum()
+
+
+def test_spectrogram_bounded_frames_per_clip(spark, sf_small):
+    from java_mapreduce_framework_spark.operators import multimodal
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    out = multimodal.audio_spectrogram(
+        multimodal.attach_audio_payload(docs)
+    ).groupBy("doc_id").count().agg({"count": "max"}).first()[0]
+    assert out <= 8
