@@ -794,3 +794,66 @@ def logreg_ridge_sweep(
         rows.append((float(lam), "accuracy", round(met[(m, -3)] / n, 6)))
     spark = embeddings.sparkSession
     return spark.createDataFrame(rows, "lam double, term string, value double")
+
+
+def knn_link_prediction(embeddings: DataFrame, k: int = 5, top: int = 20) -> DataFrame:
+    """Common-neighbor link prediction over the k-NN graph: for every
+    non-adjacent pair sharing at least one neighbor, score by neighbor
+    Jaccard |N(a) n N(b)| / |N(a) u N(b)| and emit the ``top``
+    strongest predicted links -- the classic graph-completion baseline
+    (who SHOULD be connected), run on the same substrate as the dedup
+    cluster family.
+
+    Plan: undirect the knn edges (union + distinct), one wedge join
+    keyed on the shared neighbor (fan-out bounded by the hub's degree
+    <= 2k -- the graph is degree-bounded by construction, so no
+    degree-ordering trick is needed), a broadcastable degree table
+    joined back, existing edges removed with a LEFT ANTI join, scores
+    rounded 4 pre-ranking, and the global top collapses to
+    TakeOrderedAndProject. Every shuffle keys on a vertex id.
+
+    Emits (doc_a, doc_b, common, jaccard), jac desc / (a, b) asc."""
+    from .similarity import embedding_knn_graph
+
+    knn = embedding_knn_graph(embeddings, k=k).select("vec_id", "neighbor_id")
+    edges = (
+        knn.union(
+            knn.select(
+                F.col("neighbor_id").alias("vec_id"),
+                F.col("vec_id").alias("neighbor_id"),
+            )
+        )
+        .distinct()
+        .localCheckpoint()  # vertex-degree-bounded edge list, consumed 4x
+    )
+    deg = edges.groupBy("vec_id").agg(F.count("*").alias("deg"))
+    wedges = (
+        edges.select(F.col("neighbor_id").alias("a"), F.col("vec_id").alias("x"))
+        .join(
+            edges.select(
+                F.col("neighbor_id").alias("b"), F.col("vec_id").alias("x")
+            ),
+            "x",
+        )
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("common"))
+    )
+    non_adjacent = wedges.join(
+        edges.select(F.col("vec_id").alias("a"), F.col("neighbor_id").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    jac = F.col("common") / (F.col("da") + F.col("db") - F.col("common"))
+    return (
+        non_adjacent.join(deg.select(F.col("vec_id").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("vec_id").alias("b"), F.col("deg").alias("db")), "b")
+        .select(
+            F.col("a").alias("doc_a"),
+            F.col("b").alias("doc_b"),
+            "common",
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(top)
+    )

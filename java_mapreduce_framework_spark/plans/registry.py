@@ -5207,6 +5207,50 @@ def _ml_naive_bayes_confusion(spark, sf):
 
 
 @_register(
+    "ml_knn_link_prediction",
+    """
+    WITH scored AS (
+      SELECT a.vec_id, b.vec_id AS neighbor_id,
+             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 6)
+               AS cosine
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+    nn AS (
+      SELECT vec_id, neighbor_id FROM (
+        SELECT vec_id, neighbor_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored) WHERE rank <= 5),
+    edges AS (
+      SELECT DISTINCT * FROM (
+        SELECT vec_id, neighbor_id FROM nn
+        UNION ALL
+        SELECT neighbor_id AS vec_id, vec_id AS neighbor_id FROM nn)),
+    deg AS (SELECT vec_id, count(*) AS deg FROM edges GROUP BY 1),
+    wedges AS (
+      SELECT e1.neighbor_id AS a, e2.neighbor_id AS b, count(*) AS common
+      FROM edges e1 JOIN edges e2 ON e1.vec_id = e2.vec_id
+      WHERE e1.neighbor_id < e2.neighbor_id
+      GROUP BY 1, 2),
+    nonadj AS (
+      SELECT w.a, w.b, w.common FROM wedges w
+      WHERE NOT EXISTS (SELECT 1 FROM edges e
+                        WHERE e.vec_id = w.a AND e.neighbor_id = w.b))
+    SELECT a AS doc_a, b AS doc_b, CAST(common AS BIGINT) AS common,
+           round(common * 1.0 / (da.deg + db.deg - common), 4) AS jaccard
+    FROM nonadj JOIN deg da ON da.vec_id = a JOIN deg db ON db.vec_id = b
+    ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20
+    """,
+    note="common-neighbor link prediction on the knn graph: wedge "
+    "join fan-out bounded by the <=2k vertex degree, anti-join "
+    "removes existing edges, TakeOrderedAndProject top-20; oracle is "
+    "the brute-force N^2 graph mirror",
+)
+def _ml_knn_link_prediction(spark, sf):
+    return ml.knn_link_prediction(_t(spark, sf, "embeddings"))
+
+
+@_register(
     "ml_knn_classify",
     """
     WITH scored AS (

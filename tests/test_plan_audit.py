@@ -49,10 +49,12 @@ ALLOWED_NESTED_LOOP = {
     "embedding_standardize",  # 1-row broadcast per-dim stats array
     "equidepth_histogram",  # 1-row broadcast percentile-cut-points array
     "curriculum_order",  # 1-row broadcast decile-cut-points array
+    "customer_rfm_segments",  # three 1-row broadcast quartile-cut arrays
     "ks_drift",  # 1-row broadcast cell-cut-points array + (n_a, n_b) totals
     "vocab_coverage",  # 1-row broadcast corpus token total
     "audience_overlap_kmv",  # |types|-row sketch table cross-paired
     "ml_knn_classify",  # inherits embedding_knn_graph's block-tile cross
+    "ml_knn_link_prediction",  # inherits embedding_knn_graph's block-tile cross
     "ml_naive_bayes_train",  # 1-row broadcast vocab-size scalar
     "ml_naive_bayes_confusion",  # 1-row vocab scalar + |langs|-row class table
 }
