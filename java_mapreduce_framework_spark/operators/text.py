@@ -9,6 +9,7 @@ definition in ``functions/text.py`` so every consumer agrees.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1453,4 +1454,95 @@ def text_readability(documents: DataFrame) -> DataFrame:
                 4,
             ),
         )
+    )
+
+
+def sql_udf_quality(spark, documents: DataFrame) -> DataFrame:
+    """The registered-UDF surface (SURVEY.md §2C): the quality formula
+    packaged as a named SQL function -- ``spark.udf.register`` of an
+    Arrow-batched ``pandas_udf`` -- and invoked from ``spark.sql``,
+    mirroring the reference's deploy-a-class-by-name extensibility
+    (``MasterServlet.java:67`` reflective Job loading) on the path a
+    SQL user would actually take. (``pandas`` is imported at module
+    scope: under ``from __future__ import annotations`` the UDF's
+    type hints are strings and pyspark resolves them against module
+    globals.)
+
+    The Python body replicates ``quality_score``'s expression tree
+    bit-for-bit: identical ASCII whitespace/word classes (Java regex
+    ``\\s`` is ASCII -- the Python mirror uses the explicit class, not
+    unicode ``\\s``), identical float op order, rounding left to the
+    SQL ``round`` so the engine and oracle round the same way. The
+    UDF stays on the Arrow batch path (one Series in, one Series
+    out); the expression form (``quality_score``) remains the
+    recommended fast path -- this query exists to keep the
+    registered-UDF contract exercised."""
+    import re
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    wordlike = re.compile(r"[a-z0-9 \t\n\x0b\f\r]")
+    stops = set(STOPWORDS["en"])
+
+    @F.pandas_udf("double")
+    def quality_udf(texts: pd.Series) -> pd.Series:
+        out = []
+        for text in texts:
+            low = (text or "").lower()
+            toks = [t for t in ws.split(low) if t]
+            n_tokens = len(toks)
+            n_chars = len(text or "")
+            n_punct = len(wordlike.sub("", low))
+            stop_hits = sum(1 for t in toks if t in stops)
+            lf = min(n_tokens * 1.0 / 100.0, 1.0)
+            pr = n_punct * 1.0 / max(n_chars, 1)
+            sr = stop_hits * 1.0 / max(n_tokens, 1)
+            out.append(lf * (1 - pr) * (0.5 + 0.5 * sr))
+        return pd.Series(out, dtype="float64")
+
+    spark.udf.register("quality_udf", quality_udf)
+    documents.createOrReplaceTempView("documents_udf_v")
+    return spark.sql(
+        "SELECT doc_id, round(quality_udf(text), 4) AS quality"
+        " FROM documents_udf_v"
+    )
+
+
+def udtf_sentence_split(spark, documents: DataFrame) -> DataFrame:
+    """The registered-UDTF surface (SURVEY.md §2C multi-emit map): a
+    Python table function that splits a document into sentences on
+    ``[.!?]+`` runs, registered with ``spark.udtf.register`` and
+    invoked through SQL's LATERAL table-function syntax -- the
+    one-row-to-many extensibility shape the reference expresses as a
+    multi-emit ``Job.map``.
+
+    Empty segments (consecutive delimiters, trailing punctuation) are
+    dropped and ``sent_idx`` counts surviving sentences, identically
+    on the oracle side. Segments are NOT trimmed -- whitespace
+    normalization semantics differ between unicode-aware Python and
+    RE2/Java ASCII classes, so the contract keeps raw segment bytes.
+    ``flatmap_explode`` remains the vectorized fast path; this query
+    keeps the UDTF contract exercised.
+
+    Emits (doc_id, sent_idx, sentence)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx int, sentence string")
+    class SplitSentences:
+        def __init__(self):
+            import re
+
+            self._re = re.compile(r"[.!?]+")
+
+        def eval(self, text):
+            i = 0
+            for p in self._re.split(text or ""):
+                if p != "":
+                    yield i, p
+                    i += 1
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    documents.createOrReplaceTempView("documents_udtf_v")
+    return spark.sql(
+        "SELECT d.doc_id, s.sent_idx, s.sentence"
+        " FROM documents_udtf_v d, LATERAL split_sentences(d.text) s"
     )

@@ -5395,6 +5395,46 @@ def _ml_kmeans_lloyd(spark, sf):
     return ml.kmeans_lloyd(_t(spark, sf, "embeddings"))
 
 
+@_register(
+    "sql_udf_quality",
+    f"""
+    WITH {_QUALITY_MEASURES_CTE}
+    SELECT doc_id, {_QUALITY_EXPR} AS quality
+    FROM m
+    """,
+    note="registered-UDF surface: the quality formula as a named "
+    "spark.udf.register'd Arrow pandas_udf invoked from spark.sql -- "
+    "same bit-level formula as quality_score, so the shared "
+    "expression oracle applies verbatim",
+)
+def _sql_udf_quality(spark, sf):
+    return text.sql_udf_quality(spark, _t(spark, sf, "documents"))
+
+
+@_register(
+    "udtf_sentence_split",
+    """
+    WITH segs AS (
+      SELECT doc_id,
+             unnest(string_split_regex(text, '[.!?]+')) AS sentence,
+             generate_subscripts(string_split_regex(text, '[.!?]+'), 1) AS pos
+      FROM documents)
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1
+                AS INTEGER) AS sent_idx,
+           sentence
+    FROM segs
+    WHERE sentence <> ''
+    """,
+    note="registered-UDTF surface: Python table function splitting "
+    "docs into sentences on [.!?]+ runs, invoked via SQL LATERAL -- "
+    "the reference's multi-emit Job.map as a SQL-facing extension "
+    "point; empty segments dropped, raw segment bytes kept",
+)
+def _udtf_sentence_split(spark, sf):
+    return text.udtf_sentence_split(spark, _t(spark, sf, "documents"))
+
+
 # ---------------------------------------------- registration priority
 
 #: Queries whose oracle verdicts are already on record in

@@ -626,3 +626,42 @@ def test_k_anonymity_audit_flags_exactly_the_small_groups(spark):
     assert got[("zh", "books", 9)]["group_size"] == 2
     assert got[("zh", "books", 9)]["at_risk"] is True
     assert sum(r["group_size"] for r in got.values()) == len(rows)
+
+
+def test_udtf_sentence_split_edges_and_udf_quality_parity(spark):
+    """UDTF: empty segments from leading/trailing/run delimiters are
+    dropped and sent_idx renumbers survivors; a no-delimiter doc is
+    one sentence; an all-delimiter doc emits nothing. UDF: the
+    registered quality_udf agrees with the expression-form
+    quality_score to the shared 4-digit rounding."""
+    from java_mapreduce_framework_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "one. two!! three?", "en"),
+            ("b", "no delimiters here", "en"),
+            ("c", "...", "en"),
+            ("d", ".lead and trail.", "en"),
+        ],
+        "doc_id string, text string, lang string",
+    )
+    rows = text_ops.udtf_sentence_split(spark, docs).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["sent_idx"], r["sentence"]))
+    for sents in by_doc.values():
+        sents.sort()
+    assert by_doc["a"] == [(0, "one"), (1, " two"), (2, " three")]
+    assert by_doc["b"] == [(0, "no delimiters here")]
+    assert "c" not in by_doc
+    assert by_doc["d"] == [(0, "lead and trail")]
+
+    q_udf = {
+        r["doc_id"]: r["quality"]
+        for r in text_ops.sql_udf_quality(spark, docs).collect()
+    }
+    q_expr = {
+        r["doc_id"]: r["quality"]
+        for r in text_ops.quality_score(docs).collect()
+    }
+    assert q_udf == q_expr
