@@ -697,3 +697,164 @@ def customer_rfm_segments(orders: DataFrame) -> DataFrame:
         F.count("*").alias("n_customers"),
         F.round(F.sum("m_dec").cast("double"), 2).alias("revenue"),
     )
+
+
+def stats_gini(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """Per-nation Gini coefficient of customer lifetime spend -- the
+    inequality / concentration summary a curation pipeline runs to
+    ask "is this slice dominated by a few heavy keys?" (the same
+    question ``key_skew_profile`` answers for shuffle keys, asked
+    here of revenue mass).
+
+    Exact rank formula G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over
+    ascending spend: within-nation ranks come from one window pass
+    (ties ordered by custkey -- the tied block's rank-sum is
+    order-invariant, so G is deterministic regardless of tiebreak),
+    and both sums fold as DECIMAL (spend exact at (18,2), rank-
+    weighted spend at (28,2)) so the division is one double op on
+    exact integers scaled 1e-2 -- engine-identical. Two keyed
+    shuffles total (customer agg, nation window+agg); at 100 TB the
+    per-nation window sorts |customers|/|nations| rows per key,
+    the same bound every per-key rank op in the engine carries.
+
+    Emits (c_nationkey, n_customers, total_spend, gini)."""
+    spend = (
+        orders.join(
+            customer.select("c_custkey", "c_nationkey"),
+            orders.o_custkey == customer.c_custkey,
+        )
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("x", "c_custkey")
+    ranked = spend.withColumn("i", F.row_number().over(w))
+    return (
+        ranked.groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum((F.col("i") * F.col("x")).cast("decimal(28,2)")).alias("six"),
+        )
+        .select(
+            "c_nationkey",
+            F.col("n").cast("int").alias("n_customers"),
+            F.round(F.col("sx").cast("double"), 2).alias("total_spend"),
+            F.round(
+                2.0 * F.col("six").cast("double")
+                / (F.col("n") * F.col("sx").cast("double"))
+                - (F.col("n") + 1.0) / F.col("n"),
+                4,
+            ).alias("gini"),
+        )
+    )
+
+
+def dp_noisy_counts(events: DataFrame, epsilon: float = 1.0) -> DataFrame:
+    """Differential-privacy-style release of daily event-type counts:
+    true counts plus Laplace(1/epsilon) noise, with the noise drawn
+    DETERMINISTICALLY from the group key (md5 -> uniform in (-0.5,
+    0.5) -> inverse-CDF), so the release is reproducible and
+    oracle-checkable while keeping the true count out of the output
+    -- the privacy-releasing aggregation shape (count contribution
+    of any single row is 1, the classic eps-DP counting query; a
+    production release would swap the keyed hash for a sealed RNG
+    seed, which changes nothing in the plan).
+
+    One grouped count, noise as a row-local expression on top -- no
+    extra shuffle, no collect. The 4-hex-digit uniform has the same
+    +0.5/65536 midpoint construction both engines mirror digit by
+    digit; |u| <= 0.49999... keeps log's argument strictly positive.
+
+    Emits (event_type, day, noisy_count)."""
+    g = events.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count("*").alias("cnt"))
+    h = F.md5(F.concat_ws("|", F.lit("dp"), "event_type", "day"))
+    u = (
+        (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") + F.lit(0.5))
+        / F.lit(65536.0)
+        - F.lit(0.5)
+    )
+    noise = (
+        F.lit(-1.0 / epsilon)
+        * F.signum(u)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u))
+    )
+    return g.select(
+        "event_type",
+        "day",
+        F.round(F.col("cnt") + noise, 4).alias("noisy_count"),
+    )
+
+
+def basket_lift_topk(
+    lineitem: DataFrame, min_support: int = 2, top: int = 20
+) -> DataFrame:
+    """Market-basket association mining over order baskets: the
+    ``top`` part pairs by lift = P(a,b)/(P(a)P(b)), with support and
+    confidence -- the classic co-occurrence workload (and the one
+    the a-priori principle exists for).
+
+    A-priori prune FIRST: items below ``min_support`` orders cannot
+    appear in a frequent pair, so the basket stream is semi-joined
+    against the frequent-item table before the pair self-join --
+    at 100 TB this is the difference between pairing every basket
+    (fan-out sum(|basket| choose 2)) and pairing only the frequent
+    residue. The self-join keys on the order id (co-partitioned,
+    no broadcast of the big side); lift's numerator and denominator
+    are exact int64 products divided once in double; the global
+    top-k collapses to TakeOrderedAndProject. The 1-row total-order
+    count joins as a broadcast scalar (allowlisted).
+
+    Emits (part_a, part_b, support, confidence, lift), lift desc."""
+    baskets = lineitem.select("l_orderkey", "l_partkey").distinct()
+    n_orders = baskets.select(
+        F.count_distinct("l_orderkey").alias("n_orders")
+    )
+    item_supp = baskets.groupBy("l_partkey").agg(
+        F.count("*").alias("supp")
+    ).filter(F.col("supp") >= min_support)
+    frequent = baskets.join(
+        item_supp.select("l_partkey"), "l_partkey", "left_semi"
+    )
+    a = frequent.select(
+        "l_orderkey", F.col("l_partkey").alias("part_a")
+    )
+    b = frequent.select(
+        "l_orderkey", F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    sa = item_supp.select(
+        F.col("l_partkey").alias("part_a"), F.col("supp").alias("supp_a")
+    )
+    sb = item_supp.select(
+        F.col("l_partkey").alias("part_b"), F.col("supp").alias("supp_b")
+    )
+    return (
+        pairs.join(sa, "part_a")
+        .join(sb, "part_b")
+        .join(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            F.round(F.col("support") / F.col("supp_a"), 4).alias(
+                "confidence"
+            ),
+            F.round(
+                (F.col("support") * F.col("n_orders"))
+                / (F.col("supp_a") * F.col("supp_b")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(
+            F.desc("lift"), F.desc("support"), "part_a", "part_b"
+        )
+        .limit(top)
+    )

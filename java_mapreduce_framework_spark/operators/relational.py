@@ -1461,3 +1461,61 @@ def equidepth_histogram(lineitem: DataFrame, buckets: int = 10) -> DataFrame:
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
         )
     )
+
+
+def column_profile(lineitem: DataFrame) -> DataFrame:
+    """Deequ-style column profiling of the fact table in ONE scan:
+    per column, row/non-null counts, completeness, exact distinct
+    cardinality, and min/max/mean of the value (numerics) or its
+    length (strings) -- the data-quality summary a pipeline records
+    per ingest batch (``quality_constraints`` is the pass/fail side;
+    this is the describe side).
+
+    All metrics ride a single wide aggregate; the exact distinct
+    counts make Catalyst plan one Expand (x|columns| row multiplier)
+    feeding a partial-then-final agg -- the standard exact-profiling
+    plan. At 100 TB swap ``F.count_distinct`` for
+    ``F.approx_count_distinct`` and the Expand disappears (HLL
+    partials merge map-side); exact is kept here because the oracle
+    hashes the values. Means fold as DECIMAL(28,4) then divide once
+    in double -- engine-identical; min/max are exact.
+
+    Emits one row per profiled column (long form via ``stack``)."""
+    cols = [
+        ("l_quantity", "num"),
+        ("l_extendedprice", "num"),
+        ("l_discount", "num"),
+        ("l_tax", "num"),
+        ("l_linenumber", "num"),
+        ("l_returnflag", "str"),
+        ("l_linestatus", "str"),
+    ]
+    aggs = [F.count("*").alias("n_rows")]
+    for c, kind in cols:
+        v = F.col(c) if kind == "num" else F.length(F.col(c))
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__n"),
+            F.count_distinct(F.col(c)).alias(f"{c}__d"),
+            F.min(v).cast("double").alias(f"{c}__min"),
+            F.max(v).cast("double").alias(f"{c}__max"),
+            F.sum(v.cast("decimal(28,4)")).alias(f"{c}__sum"),
+        ]
+    wide = lineitem.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', {c}__n, {c}__d, {c}__min, {c}__max, CAST({c}__sum AS DOUBLE)"
+        for c, _ in cols
+    )
+    return wide.selectExpr(
+        "n_rows",
+        f"stack({len(cols)}, {stacked})"
+        " AS (col_name, n_nonnull, n_distinct, min_v, max_v, sum_v)",
+    ).selectExpr(
+        "col_name",
+        "CAST(n_rows AS BIGINT) AS n_rows",
+        "CAST(n_nonnull AS BIGINT) AS n_nonnull",
+        "round(CAST(n_nonnull AS DOUBLE) / n_rows, 4) AS completeness",
+        "CAST(n_distinct AS BIGINT) AS n_distinct",
+        "min_v",
+        "max_v",
+        "round(sum_v / n_nonnull, 4) AS mean_v",
+    )

@@ -5396,6 +5396,180 @@ def _ml_kmeans_lloyd(spark, sf):
 
 
 @_register(
+    "stats_gini",
+    """
+    WITH spend AS (
+      SELECT c_nationkey, c_custkey,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT c_nationkey, c_custkey, x,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY x, c_custkey) AS i
+      FROM spend),
+    agg AS (
+      SELECT c_nationkey, count(*) AS n, sum(x) AS sx,
+             sum(CAST(i * x AS DECIMAL(28,2))) AS six
+      FROM ranked GROUP BY 1)
+    SELECT c_nationkey, CAST(n AS INT) AS n_customers,
+           round(CAST(sx AS DOUBLE), 2) AS total_spend,
+           round(2.0 * CAST(six AS DOUBLE) / (n * CAST(sx AS DOUBLE))
+                 - (n + 1.0) / n, 4) AS gini
+    FROM agg
+    """,
+    note="per-nation Gini of customer lifetime spend via the exact "
+    "rank formula: DECIMAL-exact sums, one customer agg + one "
+    "per-nation window -- tie rank-sums are order-invariant so the "
+    "coefficient is deterministic",
+)
+def _stats_gini(spark, sf):
+    return analytics.stats_gini(
+        _t(spark, sf, "orders"), _t(spark, sf, "customer")
+    )
+
+
+@_register(
+    "dp_noisy_counts",
+    """
+    WITH g AS (
+      SELECT event_type,
+             strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2),
+    n AS (
+      SELECT event_type, day, cnt,
+             md5('dp|' || event_type || '|' || day) AS h
+      FROM g),
+    u AS (
+      SELECT event_type, day, cnt,
+             ((  (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+               + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+               + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1))
+              + 0.5) / 65536.0 - 0.5 AS uu
+      FROM n)
+    SELECT event_type, day,
+           round(cnt + (-1.0) * sign(uu) * ln(1 - 2 * abs(uu)), 4)
+             AS noisy_count
+    FROM u
+    """,
+    note="eps-DP-style noisy count release with key-derived "
+    "deterministic Laplace noise (md5 -> 4-hex-digit midpoint "
+    "uniform -> inverse CDF); true counts never emitted",
+)
+def _dp_noisy_counts(spark, sf):
+    return analytics.dp_noisy_counts(_t(spark, sf, "events"))
+
+
+@_register(
+    "basket_lift_topk",
+    """
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    tot AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM baskets),
+    item AS (
+      SELECT l_partkey, count(*) AS supp FROM baskets
+      GROUP BY 1 HAVING count(*) >= 2),
+    freq AS (
+      SELECT b.l_orderkey, b.l_partkey
+      FROM baskets b JOIN item USING (l_partkey)),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS support
+      FROM freq a JOIN freq b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2)
+    SELECT part_a, part_b, CAST(support AS BIGINT) AS support,
+           round(support * 1.0 / sa.supp, 4) AS confidence,
+           round((support * n_orders) * 1.0 / (sa.supp * sb.supp), 4)
+             AS lift
+    FROM pairs
+    JOIN item sa ON sa.l_partkey = part_a
+    JOIN item sb ON sb.l_partkey = part_b
+    CROSS JOIN tot
+    ORDER BY lift DESC, support DESC, part_a, part_b
+    LIMIT 20
+    """,
+    note="market-basket lift top-20 with the a-priori prune: "
+    "below-min-support items semi-joined out BEFORE the pair "
+    "self-join; 1-row total-orders broadcast scalar (allowlisted); "
+    "TakeOrderedAndProject top-k",
+)
+def _basket_lift_topk(spark, sf):
+    return analytics.basket_lift_topk(_t(spark, sf, "lineitem"))
+
+
+@_register(
+    "column_profile",
+    """
+    WITH wide AS (
+      SELECT count(*) AS n_rows,
+        count(l_quantity) AS q_n, count(DISTINCT l_quantity) AS q_d,
+        CAST(min(l_quantity) AS DOUBLE) AS q_min,
+        CAST(max(l_quantity) AS DOUBLE) AS q_max,
+        sum(CAST(l_quantity AS DECIMAL(28,4))) AS q_sum,
+        count(l_extendedprice) AS e_n,
+        count(DISTINCT l_extendedprice) AS e_d,
+        CAST(min(l_extendedprice) AS DOUBLE) AS e_min,
+        CAST(max(l_extendedprice) AS DOUBLE) AS e_max,
+        sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS e_sum,
+        count(l_discount) AS d_n, count(DISTINCT l_discount) AS d_d,
+        CAST(min(l_discount) AS DOUBLE) AS d_min,
+        CAST(max(l_discount) AS DOUBLE) AS d_max,
+        sum(CAST(l_discount AS DECIMAL(28,4))) AS d_sum,
+        count(l_tax) AS t_n, count(DISTINCT l_tax) AS t_d,
+        CAST(min(l_tax) AS DOUBLE) AS t_min,
+        CAST(max(l_tax) AS DOUBLE) AS t_max,
+        sum(CAST(l_tax AS DECIMAL(28,4))) AS t_sum,
+        count(l_returnflag) AS r_n,
+        count(DISTINCT l_returnflag) AS r_d,
+        CAST(min(length(l_returnflag)) AS DOUBLE) AS r_min,
+        CAST(max(length(l_returnflag)) AS DOUBLE) AS r_max,
+        sum(CAST(length(l_returnflag) AS DECIMAL(28,4))) AS r_sum,
+        count(l_linestatus) AS s_n, count(DISTINCT l_linestatus) AS s_d,
+        CAST(min(length(l_linestatus)) AS DOUBLE) AS s_min,
+        CAST(max(length(l_linestatus)) AS DOUBLE) AS s_max,
+        sum(CAST(length(l_linestatus) AS DECIMAL(28,4))) AS s_sum,
+        count(l_linenumber) AS l_n, count(DISTINCT l_linenumber) AS l_d,
+        CAST(min(l_linenumber) AS DOUBLE) AS l_min,
+        CAST(max(l_linenumber) AS DOUBLE) AS l_max,
+        sum(CAST(l_linenumber AS DECIMAL(28,4))) AS l_sum
+      FROM lineitem),
+    long AS (
+      SELECT 'l_quantity' AS col_name, n_rows, q_n AS n_nonnull,
+             q_d AS n_distinct, q_min AS min_v, q_max AS max_v,
+             CAST(q_sum AS DOUBLE) AS sum_v FROM wide
+      UNION ALL SELECT 'l_extendedprice', n_rows, e_n, e_d, e_min,
+             e_max, CAST(e_sum AS DOUBLE) FROM wide
+      UNION ALL SELECT 'l_discount', n_rows, d_n, d_d, d_min, d_max,
+             CAST(d_sum AS DOUBLE) FROM wide
+      UNION ALL SELECT 'l_tax', n_rows, t_n, t_d, t_min, t_max,
+             CAST(t_sum AS DOUBLE) FROM wide
+      UNION ALL SELECT 'l_returnflag', n_rows, r_n, r_d, r_min, r_max,
+             CAST(r_sum AS DOUBLE) FROM wide
+      UNION ALL SELECT 'l_linestatus', n_rows, s_n, s_d, s_min, s_max,
+             CAST(s_sum AS DOUBLE) FROM wide
+      UNION ALL SELECT 'l_linenumber', n_rows, l_n, l_d, l_min, l_max,
+             CAST(l_sum AS DOUBLE) FROM wide)
+    SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_nonnull AS BIGINT) AS n_nonnull,
+           round(n_nonnull * 1.0 / n_rows, 4) AS completeness,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           min_v, max_v,
+           round(sum_v / n_nonnull, 4) AS mean_v
+    FROM long
+    """,
+    note="single-scan Deequ-style column profile (describe side of "
+    "quality_constraints): exact distincts ride one Expand-fed "
+    "aggregate; strings profiled by length; means fold DECIMAL then "
+    "divide once in double",
+)
+def _column_profile(spark, sf):
+    return relational.column_profile(_t(spark, sf, "lineitem"))
+
+
+@_register(
     "sql_udf_quality",
     f"""
     WITH {_QUALITY_MEASURES_CTE}

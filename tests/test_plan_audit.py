@@ -57,6 +57,7 @@ ALLOWED_NESTED_LOOP = {
     "ml_knn_link_prediction",  # inherits embedding_knn_graph's block-tile cross
     "ml_naive_bayes_train",  # 1-row broadcast vocab-size scalar
     "ml_naive_bayes_confusion",  # 1-row vocab scalar + |langs|-row class table
+    "basket_lift_topk",  # 1-row broadcast total-orders scalar
 }
 
 
