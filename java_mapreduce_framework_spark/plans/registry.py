@@ -5561,9 +5561,10 @@ def _basket_lift_topk(spark, sf):
     FROM long
     """,
     note="single-scan Deequ-style column profile (describe side of "
-    "quality_constraints): exact distincts ride one Expand-fed "
-    "aggregate; strings profiled by length; means fold DECIMAL then "
-    "divide once in double",
+    "quality_constraints): two-level (col,value) aggregate -- map-side "
+    "duplicate collapse, shuffle bounded by true cardinality, no "
+    "mixed-distinct Expand; strings profiled by length, keyed by "
+    "value; means fold DECIMAL then divide once in double",
 )
 def _column_profile(spark, sf):
     return relational.column_profile(_t(spark, sf, "lineitem"))

@@ -724,3 +724,61 @@ def test_ml_moment_fits_are_map_then_fold(spark, sf_small):
     # _tagged_moment_pass (collect is bounded) -- here we pin that the
     # result is model-sized
     assert out.count() == 8 + 1 + 2  # coefs + bias + r2 + n
+
+
+def test_stats_gini_window_is_per_nation(spark, sf_small):
+    """The rank window must partition by nation (per-key bounded
+    sort), and no plan node may fall back to a nested-loop join."""
+    import re
+
+    from java_mapreduce_framework_spark.operators import analytics
+
+    plan = _formatted(
+        analytics.stats_gini(
+            load_table(spark, sf_small, "orders"),
+            load_table(spark, sf_small, "customer"),
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*?)specifiedwindowframe", plan)
+    assert specs and all("c_nationkey" in s for s in specs), specs
+
+
+def test_dp_noisy_counts_is_one_agg_no_join(spark, sf_small):
+    """Noise is a row-local expression on top of the grouped count:
+    zero joins, one partial->final aggregation exchange."""
+    from java_mapreduce_framework_spark.operators import analytics
+
+    plan = _formatted(analytics.dp_noisy_counts(load_table(spark, sf_small, "events")))
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # one agg (AQE may show a reuse)
+
+
+def test_basket_lift_apriori_prunes_before_pair_join(spark, sf_small):
+    """The below-min-support items are semi-joined out BEFORE the pair
+    self-join (the a-priori fan-out guard), and the global top-k
+    collapses to TakeOrderedAndProject -- no full sort."""
+    from java_mapreduce_framework_spark.operators import analytics
+
+    plan = _formatted(analytics.basket_lift_topk(load_table(spark, sf_small, "lineitem")))
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+    # semi prune must sit upstream of the orderkey pair self-join
+    assert plan.index("LeftSemi") < plan.rindex("TakeOrderedAndProject")
+
+
+def test_column_profile_is_single_scan_no_expand(spark, sf_small):
+    """All per-column metrics ride ONE fact-table scan; the two-level
+    (col, value) aggregate must not plan the mixed-distinct Expand
+    row-doubler, and the value shuffle must be partial-aggregated
+    (map-side duplicate collapse -- the exact-profiling scale bound)."""
+    from java_mapreduce_framework_spark.operators import relational as rel
+
+    plan = _formatted(rel.column_profile(load_table(spark, sf_small, "lineitem")))
+    assert "Expand" not in plan  # two-level agg, not distinct-Expand
+    # one scan node: formatted output names it in the tree AND the
+    # detail section, but there is exactly one Location block
+    assert plan.count("Location") == 1
+    assert "Join" not in plan
+    assert "partial_count" in plan  # map-side collapse before shuffle
