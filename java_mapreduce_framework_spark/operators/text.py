@@ -1546,3 +1546,50 @@ def udtf_sentence_split(spark, documents: DataFrame) -> DataFrame:
         "SELECT d.doc_id, s.sent_idx, s.sentence"
         " FROM documents_udtf_v d, LATERAL split_sentences(d.text) s"
     )
+
+
+def sql_udaf_median(spark, documents: DataFrame) -> DataFrame:
+    """The registered-UDAF surface (SURVEY.md §2C, completing the
+    UDF/UDTF/UDAF extension triad): grouped-aggregate pandas UDFs --
+    an exact median and a count -- registered by name and invoked
+    from ``spark.sql`` under GROUP BY, the custom-``reduce``
+    extensibility shape of the reference's Job API expressed as a SQL
+    aggregate. Spark hands each (lang, source) group's column to the
+    Python worker as ONE Arrow batch; the kernel is a vectorized
+    numpy median, so the per-group cost is O(n) with no Python-level
+    row loop.
+
+    Both aggregates in the projection must be pandas UDAFs: Spark
+    disallows mixing group-aggregate pandas UDFs with JVM aggregates
+    in one aggregation (INVALID_PANDAS_UDF_PLACEMENT), so the doc
+    count rides a second one-liner UDAF. np.median's interpolated
+    midpoint (mean of the two central values -- exact in double for
+    int-valued inputs) matches the oracle's quantile_cont(0.5)
+    bit-for-bit. Built-in ``percentile``/the distributed
+    order-statistic kernels remain the fast path; this query keeps
+    the registered-UDAF contract exercised. Per-group state is the
+    group itself (bounded by docs per (lang, source)); the 100 TB
+    posture for unbounded keys is the two-phase kernel in
+    ``exact_quantiles_grouped``.
+
+    Emits (lang, source, median_chars, n_docs)."""
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def median_udaf(v: pd.Series) -> float:
+        return float(np.median(v.to_numpy(dtype="float64")))
+
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def count_udaf(v: pd.Series) -> int:
+        return int(len(v))
+
+    spark.udf.register("median_udaf", median_udaf)
+    spark.udf.register("count_udaf", count_udaf)
+    documents.createOrReplaceTempView("documents_udaf_v")
+    return spark.sql(
+        "SELECT lang, source,"
+        " round(median_udaf(CAST(n_chars AS DOUBLE)), 1) AS median_chars,"
+        " count_udaf(n_chars) AS n_docs"
+        " FROM documents_udaf_v GROUP BY lang, source"
+    )

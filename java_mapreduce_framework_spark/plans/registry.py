@@ -5610,6 +5610,57 @@ def _udtf_sentence_split(spark, sf):
     return text.udtf_sentence_split(spark, _t(spark, sf, "documents"))
 
 
+@_register(
+    "sql_udaf_median",
+    """
+    SELECT lang, source,
+           round(CAST(median(n_chars) AS DOUBLE), 1) AS median_chars,
+           count(*) AS n_docs
+    FROM documents GROUP BY lang, source
+    """,
+    note="registered-UDAF surface (completes the UDF/UDTF/UDAF "
+    "extension triad): grouped-aggregate pandas UDFs (numpy median + "
+    "count) invoked from spark.sql under GROUP BY -- np.median's "
+    "interpolated midpoint equals quantile_cont(0.5) bit-for-bit on "
+    "int-valued input",
+)
+def _sql_udaf_median(spark, sf):
+    return text.sql_udaf_median(spark, _t(spark, sf, "documents"))
+
+
+_SQL_PIVOT_QTY = """
+    SELECT l_returnflag,
+           CAST(COALESCE(o, 0) AS DOUBLE) AS qty_open,
+           CAST(COALESCE(f, 0) AS DOUBLE) AS qty_finished
+    FROM (SELECT l_returnflag, l_linestatus,
+                 CAST(l_quantity AS DECIMAL(18,2)) AS q FROM lineitem)
+    PIVOT (SUM(q) FOR l_linestatus IN ('O' AS o, 'F' AS f))
+"""
+
+
+@_register(
+    "sql_pivot_qty",
+    """
+    SELECT l_returnflag,
+           CAST(COALESCE(sum(CASE WHEN l_linestatus = 'O'
+                 THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0)
+                AS DOUBLE) AS qty_open,
+           CAST(COALESCE(sum(CASE WHEN l_linestatus = 'F'
+                 THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0)
+                AS DOUBLE) AS qty_finished
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    note="SQL PIVOT intake shape: Spark's native FROM ... PIVOT "
+    "(SUM FOR col IN (...)) syntax, which Catalyst lowers to the "
+    "same conditional-aggregate plan the oracle states explicitly "
+    "with CASE -- one scan, one grouped agg, DECIMAL-exact sums",
+)
+def _sql_pivot_qty(spark, sf):
+    from .sql import run_sql
+
+    return run_sql(spark, sf, _SQL_PIVOT_QTY)
+
+
 # ---------------------------------------------- registration priority
 
 #: Queries whose oracle verdicts are already on record in
