@@ -782,3 +782,31 @@ def test_column_profile_is_single_scan_no_expand(spark, sf_small):
     assert plan.count("Location") == 1
     assert "Join" not in plan
     assert "partial_count" in plan  # map-side collapse before shuffle
+
+
+def test_sql_udaf_median_is_arrow_grouped_agg(spark, sf_small):
+    """The registered UDAF must run on the Arrow grouped-agg path
+    (AggregateInPandas), keyed on the GROUP BY -- one exchange, no
+    row-at-a-time Python evaluation node."""
+    from java_mapreduce_framework_spark.operators import text as text_ops
+
+    plan = _formatted(
+        text_ops.sql_udaf_median(spark, load_table(spark, sf_small, "documents"))
+    )
+    # Spark 4 names the node ArrowAggregatePython (3.x: AggregateInPandas)
+    assert "ArrowAggregatePython" in plan or "AggregateInPandas" in plan
+    assert "BatchEvalPython" not in plan  # no non-Arrow Python path
+    assert "Join" not in plan
+
+
+def test_sql_pivot_lowers_to_conditional_aggregate(spark, sf_small):
+    """Native PIVOT with an explicit IN list must lower to one
+    grouped conditional aggregate over one scan -- no Expand, no
+    join against a distinct-values subquery."""
+    from java_mapreduce_framework_spark.plans.registry import queries
+
+    plan = _formatted(queries()["sql_pivot_qty"](spark, sf_small))
+    assert "partial_" in plan  # map-side combine survives the lowering
+    assert "Expand" not in plan
+    assert "Join" not in plan
+    assert plan.count("Location") == 1  # single scan
