@@ -573,3 +573,77 @@ def test_exact_quantiles_grouped_property_vs_numpy(pairs, shards):
         for i, q in enumerate(qs):
             want[(k, i)] = round(float(np.quantile(arr, q, method="linear")), 6)
     assert got == want, (pairs, shards, got, want)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(1, 50)),        # l_quantity
+            st.one_of(st.none(), st.integers(90068, 104999)),  # price cents
+            st.integers(0, 10),                               # discount %
+            st.integers(0, 8),                                # tax %
+            st.integers(1, 7),                                # linenumber
+            st.one_of(st.none(), st.sampled_from(["A", "N", "R"])),
+            st.sampled_from(["O", "F"]),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_column_profile_matches_bruteforce(rows):
+    """The two-level (col, value) aggregate must reproduce the naive
+    per-column profile on arbitrary frames INCLUDING nulls (the
+    parquet fixture is null-free, so completeness < 1 only exercises
+    here). Reference metrics are recomputed per column in plain
+    Python over the same value-or-length convention."""
+    from java_mapreduce_framework_spark.operators.relational import column_profile
+
+    spark = _spark
+    data = [
+        (
+            float(q) if q is not None else None,
+            float(p) / 100.0 if p is not None else None,
+            d / 100.0,
+            t / 100.0,
+            ln,
+            rf,
+            ls,
+        )
+        for (q, p, d, t, ln, rf, ls) in rows
+    ]
+    df = spark.createDataFrame(
+        data,
+        "l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_linenumber int, l_returnflag string,"
+        " l_linestatus string",
+    )
+    got = {r["col_name"]: r.asDict() for r in column_profile(df).collect()}
+
+    cols = {
+        "l_quantity": [r[0] for r in data],
+        "l_extendedprice": [r[1] for r in data],
+        "l_discount": [r[2] for r in data],
+        "l_tax": [r[3] for r in data],
+        "l_linenumber": [float(r[4]) if r[4] is not None else None for r in data],
+        "l_returnflag": [r[5] for r in data],
+        "l_linestatus": [r[6] for r in data],
+    }
+    n_rows = len(data)
+    for name, vals in cols.items():
+        nn = [v for v in vals if v is not None]
+        metric = [float(len(v)) if isinstance(v, str) else v for v in nn]
+        g = got[name]
+        assert g["n_rows"] == n_rows
+        assert g["n_nonnull"] == len(nn)
+        assert g["completeness"] == round(len(nn) / n_rows, 4)
+        assert g["n_distinct"] == len(set(nn))
+        if nn:
+            assert g["min_v"] == min(metric)
+            assert g["max_v"] == max(metric)
+            # every generated value has <= 2 decimals, so the DECIMAL
+            # fold is exact and the double mean reproduces directly
+            assert g["mean_v"] == round(sum(metric) / len(metric), 4), name
+        else:
+            assert g["min_v"] is None and g["max_v"] is None
+            assert g["mean_v"] is None
