@@ -1593,3 +1593,77 @@ def sql_udaf_median(spark, documents: DataFrame) -> DataFrame:
         " count_udaf(n_chars) AS n_docs"
         " FROM documents_udaf_v GROUP BY lang, source"
     )
+
+
+def quality_gopher_flags(documents: DataFrame) -> DataFrame:
+    """Rule-based quality gate in the Gopher / Dolma style (Rae et
+    al. '21 Table A1): instead of one blended score
+    (``quality_score``), each document gets an auditable PER-RULE
+    flag table -- word-count bounds, mean-word-length bounds,
+    symbol-to-word ratio, bullet-line and ellipsis-line fractions,
+    minimum distinct-stopword hits -- plus the conjunctive keep
+    decision. Production pipelines keep the rule table (not just the
+    verdict) so filter drift is diagnosable per rule; the pass-rate
+    census per rule is one trivial aggregate over this output.
+
+    Every measure is a row-local expression on the pruned (doc_id,
+    text) scan -- counts via length arithmetic (replace/regexp_replace
+    deltas), line fractions via filtered split arrays, stopword hits
+    via a constant-array membership filter. Map-only: zero shuffles,
+    zero joins at any scale. Flags emit as INT 0/1 (stable across
+    engine boolean renderings); thresholds follow the paper's
+    published constants where the fixture makes them non-degenerate.
+
+    Emits (doc_id, n_words, mean_word_len, f_word_count,
+    f_mean_word_len, f_symbol_ratio, f_bullet_lines,
+    f_ellipsis_lines, f_stopwords, keep)."""
+    toks = tokens_col("text")
+    n_words = F.size(toks)
+    # sum of token lengths == text with ASCII whitespace removed
+    tok_chars = F.length(F.regexp_replace(F.lower("text"), r"\s", ""))
+    mean_wl = tok_chars * 1.0 / F.greatest(n_words, F.lit(1))
+    n_hash = F.length("text") - F.length(F.regexp_replace("text", r"#", ""))
+    n_ellipsis = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("...")))
+    ) / F.lit(3)
+    symbol_ratio = (n_hash + n_ellipsis) * 1.0 / F.greatest(n_words, F.lit(1))
+    lines = F.split(F.col("text"), "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_frac = (
+        F.size(
+            F.filter(
+                lines,
+                lambda ln: F.ltrim(ln).startswith("-")
+                | F.ltrim(ln).startswith("*"),
+            )
+        )
+        * 1.0
+        / n_lines
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda ln: F.rtrim(ln).endswith("...")))
+        * 1.0
+        / n_lines
+    )
+    stops = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+    stop_hits = F.size(
+        F.filter(stops, lambda s: F.array_contains(toks, s))
+    )
+    f_wc = ((n_words >= 50) & (n_words <= 100000)).cast("int")
+    f_mwl = ((mean_wl >= 3.0) & (mean_wl <= 10.0)).cast("int")
+    f_sym = (symbol_ratio < 0.1).cast("int")
+    f_bul = (bullet_frac <= 0.9).cast("int")
+    f_ell = (ellipsis_frac <= 0.3).cast("int")
+    f_stop = (stop_hits >= 2).cast("int")
+    return documents.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        f_wc.alias("f_word_count"),
+        f_mwl.alias("f_mean_word_len"),
+        f_sym.alias("f_symbol_ratio"),
+        f_bul.alias("f_bullet_lines"),
+        f_ell.alias("f_ellipsis_lines"),
+        f_stop.alias("f_stopwords"),
+        (f_wc * f_mwl * f_sym * f_bul * f_ell * f_stop).alias("keep"),
+    )

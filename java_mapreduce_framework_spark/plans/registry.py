@@ -5628,6 +5628,61 @@ def _sql_udaf_median(spark, sf):
     return text.sql_udaf_median(spark, _t(spark, sf, "documents"))
 
 
+@_register(
+    "quality_gopher_flags",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, text, {_TOKS} AS t,
+             string_split(text, chr(10)) AS lines
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+        CAST(len(t) AS INTEGER) AS n_words,
+        length(regexp_replace(lower(text), '\\s', '', 'g')) AS tok_chars,
+        length(text) - length(replace(text, '#', '')) AS n_hash,
+        (length(text) - length(replace(text, '...', ''))) / 3
+          AS n_ellipsis,
+        greatest(len(lines), 1) AS n_lines,
+        len(list_filter(lines,
+            l -> ltrim(l) LIKE '-%' OR ltrim(l) LIKE '*%'))
+          AS bullet_lines,
+        len(list_filter(lines, l -> rtrim(l) LIKE '%...'))
+          AS ellipsis_lines,
+        len(list_filter(['the','a','of','and','to','in','is'],
+            s -> list_contains(t, s))) AS stop_hits
+      FROM toks)
+    SELECT doc_id, n_words,
+      round(tok_chars * 1.0 / greatest(n_words, 1), 4) AS mean_word_len,
+      CAST(n_words >= 50 AND n_words <= 100000 AS INT) AS f_word_count,
+      CAST(tok_chars * 1.0 / greatest(n_words, 1) >= 3.0
+           AND tok_chars * 1.0 / greatest(n_words, 1) <= 10.0 AS INT)
+        AS f_mean_word_len,
+      CAST((n_hash + n_ellipsis) * 1.0 / greatest(n_words, 1) < 0.1
+           AS INT) AS f_symbol_ratio,
+      CAST(bullet_lines * 1.0 / n_lines <= 0.9 AS INT) AS f_bullet_lines,
+      CAST(ellipsis_lines * 1.0 / n_lines <= 0.3 AS INT)
+        AS f_ellipsis_lines,
+      CAST(stop_hits >= 2 AS INT) AS f_stopwords,
+      CAST(CAST(n_words >= 50 AND n_words <= 100000 AS INT)
+         * CAST(tok_chars * 1.0 / greatest(n_words, 1) >= 3.0
+                AND tok_chars * 1.0 / greatest(n_words, 1) <= 10.0 AS INT)
+         * CAST((n_hash + n_ellipsis) * 1.0 / greatest(n_words, 1) < 0.1
+                AS INT)
+         * CAST(bullet_lines * 1.0 / n_lines <= 0.9 AS INT)
+         * CAST(ellipsis_lines * 1.0 / n_lines <= 0.3 AS INT)
+         * CAST(stop_hits >= 2 AS INT) AS INT) AS keep
+    FROM m
+    """,
+    note="Gopher/Dolma-style rule-based quality gate: auditable "
+    "per-rule INT flags (word-count/mean-word-length bounds, "
+    "symbol-to-word ratio, bullet/ellipsis line fractions, distinct "
+    "stopword minimum) + conjunctive keep -- all row-local length "
+    "arithmetic and array filters, map-only at any scale",
+)
+def _quality_gopher_flags(spark, sf):
+    return text.quality_gopher_flags(_t(spark, sf, "documents"))
+
+
 _SQL_PIVOT_QTY = """
     SELECT l_returnflag,
            CAST(COALESCE(o, 0) AS DOUBLE) AS qty_open,
