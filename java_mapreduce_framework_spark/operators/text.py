@@ -1667,3 +1667,41 @@ def quality_gopher_flags(documents: DataFrame) -> DataFrame:
         f_stop.alias("f_stopwords"),
         (f_wc * f_mwl * f_sym * f_bul * f_ell * f_stop).alias("keep"),
     )
+
+
+def corpus_token_budget(
+    documents: DataFrame, budget: int = 1_000_000
+) -> DataFrame:
+    """Training-run token-budget planner: given a total token budget
+    and the temperature-flattened language shares (same sqrt
+    discipline as ``corpus_mix_temperature``, which plans RATES over
+    doc counts -- this plans TOKENS and the epoch/oversampling factor
+    a data loader actually consumes), allocate budget tokens per
+    language and report how many epochs of each language's corpus
+    that allocation implies (epochs > 1 = the low-resource language
+    is repeated; the number LLM data curricula watch for repetition
+    harm).
+
+    One partial->final token-sum per language (whitespace tokens --
+    the budget unit; the BPE estimate is ``token_count_bpe``'s job),
+    then a 1-row broadcast of the two totals joined back: corpus
+    scanned once, everything downstream alphabet-sized. sqrt only
+    (IEEE-correctly-rounded on every engine); budget arithmetic in
+    double over exact int64 token counts.
+
+    Emits (lang, n_tokens, temp_share, alloc_tokens, epochs)."""
+    agg = documents.groupBy("lang").agg(
+        F.sum(F.size(tokens_col("text")).cast("long")).alias("n_tokens")
+    )
+    tot = agg.agg(
+        F.sum(F.sqrt(F.col("n_tokens").cast("double"))).alias("ptot")
+    )
+    share = F.sqrt(F.col("n_tokens").cast("double")) / F.col("ptot")
+    alloc = share * F.lit(float(budget))
+    return agg.join(F.broadcast(tot)).select(
+        "lang",
+        "n_tokens",
+        F.round(share, 6).alias("temp_share"),
+        F.round(alloc, 2).alias("alloc_tokens"),
+        F.round(alloc / F.col("n_tokens"), 4).alias("epochs"),
+    )

@@ -5683,6 +5683,30 @@ def _quality_gopher_flags(spark, sf):
     return text.quality_gopher_flags(_t(spark, sf, "documents"))
 
 
+@_register(
+    "corpus_token_budget",
+    f"""
+    WITH agg AS (
+      SELECT lang, CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang),
+    tot AS (SELECT sum(sqrt(CAST(n_tokens AS DOUBLE))) AS ptot FROM agg)
+    SELECT lang, n_tokens,
+           round(sqrt(CAST(n_tokens AS DOUBLE)) / ptot, 6) AS temp_share,
+           round(sqrt(CAST(n_tokens AS DOUBLE)) / ptot * 1000000.0, 2)
+             AS alloc_tokens,
+           round(sqrt(CAST(n_tokens AS DOUBLE)) / ptot * 1000000.0
+                 / n_tokens, 4) AS epochs
+    FROM agg CROSS JOIN tot
+    """,
+    note="token-budget planner: temperature (sqrt) shares over exact "
+    "per-language token sums allocate a fixed budget and report the "
+    "implied epoch/oversampling count per language; one token-sum "
+    "agg + a 1-row totals broadcast",
+)
+def _corpus_token_budget(spark, sf):
+    return text.corpus_token_budget(_t(spark, sf, "documents"))
+
+
 _SQL_PIVOT_QTY = """
     SELECT l_returnflag,
            CAST(COALESCE(o, 0) AS DOUBLE) AS qty_open,
