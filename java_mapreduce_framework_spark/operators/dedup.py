@@ -23,7 +23,7 @@ import random
 from functools import reduce as _reduce
 from operator import add as _add
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import grams_expr, tokens_col, words_exploded
@@ -1307,6 +1307,63 @@ def bfs_hops(pairs: DataFrame, max_hops: int = 8) -> DataFrame:
         visited = visited.unionByName(nxt).localCheckpoint()
         frontier = nxt
     return visited
+
+
+def label_propagation(
+    pairs: DataFrame, vertices: DataFrame, rounds: int = 3
+) -> DataFrame:
+    """Fixed-round synchronous label-propagation communities over the
+    undirected near-dup graph (Raghavan et al. '07) — the community
+    primitive beyond connected components: CC answers "reachable at
+    all", LPA's mode-of-neighbors rule splits a component into its
+    densely-linked cores (boilerplate families inside a loosely
+    chained component).
+
+    Determinism by construction: labels start as node ids, every
+    round updates ALL nodes simultaneously to the most frequent
+    neighbor label with ties broken by the SMALLEST label (count
+    desc, label asc rank window), isolated nodes keep their own id,
+    and the round count is fixed — no convergence probe, no
+    oscillation sensitivity, so the result is a pure function of the
+    edge set and both engines replay it exactly (the oracle unrolls
+    the same rounds as chained CTEs).
+
+    Per round: one keyed join (labels × edges) + one (node, label)
+    count + one per-node argmax window + the left-join back onto the
+    vertex set — all shuffles keyed on node id, per-node window
+    bounded by degree. ``localCheckpoint`` per round keeps plan depth
+    constant (the CC discipline). Emits (doc_id, community).
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+        )
+        .localCheckpoint()
+    )
+    verts = vertices.select("doc_id").localCheckpoint()
+    labels = verts.select("doc_id", F.col("doc_id").alias("label"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("c"), "label")
+    for _ in range(rounds):
+        neigh = (
+            edges.join(labels, edges["b"] == labels["doc_id"])
+            .groupBy(F.col("a").alias("doc_id"), "label")
+            .agg(F.count("*").alias("c"))
+        )
+        best = (
+            neigh.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", F.col("label").alias("new_label"))
+        )
+        labels = (
+            verts.join(best, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("new_label", "doc_id").alias("label"),
+            )
+            .localCheckpoint()
+        )
+    return labels.select("doc_id", F.col("label").alias("community"))
 
 
 def containment_pairs(

@@ -4357,6 +4357,55 @@ def _graph_pagerank(spark, sf):
     return dedup.pagerank(pairs, docs)
 
 
+def _lpa_oracle(rounds: int = 3) -> str:
+    """Unrolled fixed-round synchronous label propagation: one
+    (neighbor-count -> argmax -> relabel) CTE triple per round,
+    mirroring the Spark loop; ties break to the smallest label."""
+    parts = [
+        f"WITH {_PAIRS_CTE},",
+        "edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs"
+        " UNION ALL SELECT doc_b, doc_a FROM pairs),",
+        "l0 AS (SELECT doc_id, doc_id AS label FROM documents)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+    n{r} AS (
+      SELECT e.a AS doc_id, l.label, count(*) AS c
+      FROM edges e JOIN l{r - 1} l ON l.doc_id = e.b
+      GROUP BY 1, 2),
+    a{r} AS (
+      SELECT doc_id, label FROM (
+        SELECT doc_id, label,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY c DESC, label) AS rn
+        FROM n{r}) WHERE rn = 1),
+    l{r} AS (
+      SELECT v.doc_id, COALESCE(a.label, v.doc_id) AS label
+      FROM (SELECT doc_id FROM documents) v
+      LEFT JOIN a{r} a USING (doc_id))"""
+        )
+    parts.append(
+        f"\n    SELECT doc_id, label AS community FROM l{rounds}"
+    )
+    return "".join(parts)
+
+
+@_register(
+    "graph_label_propagation",
+    _lpa_oracle(),
+    note="fixed-round synchronous label-propagation communities over "
+    "the near-dup graph: mode-of-neighbor-labels with smallest-label "
+    "ties, isolated nodes keep their own id -- deterministic by "
+    "construction (no convergence probe); oracle unrolls the rounds "
+    "as chained CTEs",
+)
+def _graph_label_propagation(spark, sf):
+    docs = _t(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs)
+    return dedup.label_propagation(pairs, docs)
+
+
 @_register(
     "graph_triangle_count",
     f"""
