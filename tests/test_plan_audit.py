@@ -58,6 +58,7 @@ ALLOWED_NESTED_LOOP = {
     "ml_naive_bayes_train",  # 1-row broadcast vocab-size scalar
     "ml_naive_bayes_confusion",  # 1-row vocab scalar + |langs|-row class table
     "basket_lift_topk",  # 1-row broadcast total-orders scalar
+    "corpus_token_budget",  # 1-row broadcast sqrt-share total
 }
 
 
