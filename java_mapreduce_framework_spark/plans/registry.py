@@ -579,6 +579,42 @@ def _join_asof(spark, sf):
 
 
 @_register(
+    "join_asof_ttl",
+    f"""
+    WITH r AS (
+      SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                  ORDER BY o_orderkey DESC) AS rn
+        FROM orders) WHERE rn = 1),
+    m AS (
+      SELECT e.event_id, e.user_id, e.ts, r.o_orderkey, r.o_totalprice,
+             (epoch_us(e.ts) - epoch_us(CAST(r.o_orderdate AS TIMESTAMP)))
+               AS stale_us
+      FROM {_EVTS.replace('evts', 'e')} ASOF LEFT JOIN r
+        ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate)
+    SELECT event_id, user_id, ts,
+           CASE WHEN stale_us <= 777600000000000 THEN o_orderkey END
+             AS o_orderkey,
+           CASE WHEN stale_us <= 777600000000000 THEN o_totalprice END
+             AS o_totalprice,
+           CASE WHEN stale_us <= 777600000000000
+                THEN round(stale_us / 86400000000.0, 4) END
+             AS staleness_days
+    FROM m
+    """,
+    note="as-of join with a staleness TTL (feature-store "
+    "point-in-time contract): same single union-timeline pass as "
+    "join_asof, carrying the matched order's own timestamp so the "
+    "TTL test and fractional-day staleness are row-local afterwards",
+)
+def _join_asof_ttl(spark, sf):
+    return temporal.join_asof_ttl(
+        _t(spark, sf, "events"), _t(spark, sf, "orders")
+    )
+
+
+@_register(
     "join_range_banded",
     f"""
     WITH e AS (
