@@ -810,3 +810,18 @@ def test_sql_pivot_lowers_to_conditional_aggregate(spark, sf_small):
     assert "Expand" not in plan
     assert "Join" not in plan
     assert plan.count("Location") == 1  # single scan
+
+
+def test_join_asof_ttl_is_joinless_union_window(spark, sf_small):
+    """The TTL variant must keep join_asof's shape: union + ordered
+    last_value, no join operator, the TTL test purely row-local after
+    the single timeline pass."""
+    from java_mapreduce_framework_spark.operators.temporal import join_asof_ttl
+
+    events = load_table(spark, sf_small, "events")
+    orders = load_table(spark, sf_small, "orders")
+    plan = _formatted(join_asof_ttl(events, orders))
+    for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+              "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert _nodes(plan, j) == 0
+    assert _nodes(plan, "Exchange") <= 2  # tie-dedup + union sort
