@@ -641,9 +641,24 @@ def test_column_profile_matches_bruteforce(rows):
         if nn:
             assert g["min_v"] == min(metric)
             assert g["max_v"] == max(metric)
-            # every generated value has <= 2 decimals, so the DECIMAL
-            # fold is exact and the double mean reproduces directly
-            assert g["mean_v"] == round(sum(metric) / len(metric), 4), name
+            # mirror the engine's arithmetic exactly: DECIMAL(·,4) fold
+            # (exact for these <=2-decimal inputs), one double division,
+            # then round on the SHORTEST DECIMAL REPRESENTATION half-up
+            # -- both Spark (BigDecimal.valueOf) and DuckDB round this
+            # way, while Python's round() rounds the binary value with
+            # banker's ties (0.03/8 = 0.00375 -> engines 0.0038, Python
+            # 0.0037), so a plain round() reference false-alarms here
+            from decimal import ROUND_HALF_UP, Decimal
+
+            q4 = Decimal("0.0001")
+            s_dec = sum(
+                Decimal(repr(v)).quantize(q4, ROUND_HALF_UP) for v in metric
+            )
+            mean_d = float(s_dec) / len(metric)
+            want = float(
+                Decimal(repr(mean_d)).quantize(q4, ROUND_HALF_UP)
+            )
+            assert g["mean_v"] == want, name
         else:
             assert g["min_v"] is None and g["max_v"] is None
             assert g["mean_v"] is None
