@@ -63,6 +63,25 @@ def _census(plan: str) -> dict:
     return out
 
 
+def _shuffle_totals(ui_url: str, app_id: str) -> tuple[int, int]:
+    """Sum of shuffle WRITE bytes/records over all completed stages,
+    via the UI REST API (the only place local mode exposes stage
+    metrics). Per-query deltas of this running total attribute every
+    job a query triggers -- including eager localCheckpoints and
+    staged index builds during plan construction -- to that query."""
+    import json as _json
+    import urllib.request
+
+    with urllib.request.urlopen(
+        f"{ui_url}/api/v1/applications/{app_id}/stages?status=COMPLETE"
+    ) as r:
+        stages = _json.load(r)
+    return (
+        sum(s.get("shuffleWriteBytes", 0) for s in stages),
+        sum(s.get("shuffleWriteRecords", 0) for s in stages),
+    )
+
+
 def main(sf_dir: str) -> dict:
     from pyspark.sql import SparkSession
 
@@ -72,21 +91,35 @@ def main(sf_dir: str) -> dict:
         )
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.showConsoleProgress", "false")
+        # the shuffle census reads completed-stage metrics over REST;
+        # keep every stage of the sweep retained so running-total
+        # deltas can never go stale mid-census
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.retainedStages", "100000")
+        .config("spark.ui.retainedJobs", "100000")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
     from java_mapreduce_framework_spark.plans import registry
 
+    ui_url = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
     out: dict[str, dict] = {}
     for name, spec in sorted(registry.registry().items()):
         if name.startswith("stream_"):
             continue  # streaming plans drain in test_streaming
         try:
+            b0, r0 = _shuffle_totals(ui_url, app_id)
             df = spec.fn(spark, sf_dir)
             plan = df._sc._jvm.PythonSQLUtils.explainString(
                 df._jdf.queryExecution(), "formatted"
             )
             out[name] = _census(plan)
+            # run to a noop sink: full execution, nothing collected
+            df.write.format("noop").mode("overwrite").save()
+            b1, r1 = _shuffle_totals(ui_url, app_id)
+            out[name]["shuffle_write_bytes"] = b1 - b0
+            out[name]["shuffle_write_records"] = r1 - r0
         except Exception as e:  # noqa: BLE001 - census must be total
             out[name] = {"error": str(e)[:200]}
     return out
@@ -104,6 +137,16 @@ if __name__ == "__main__":
             1 for c in census.values() if c.get("BroadcastNestedLoopJoin")
         ),
         "errors": sum(1 for c in census.values() if "error" in c),
+        "shuffle_write_bytes": sum(
+            c.get("shuffle_write_bytes", 0) for c in census.values()
+        ),
+        "heaviest_shuffles": sorted(
+            (
+                (c.get("shuffle_write_bytes", 0), n)
+                for n, c in census.items()
+            ),
+            reverse=True,
+        )[:10],
     }
     with open(path, "w") as f:
         json.dump({"sf_dir": sf, "totals": totals, "plans": census}, f, indent=1)

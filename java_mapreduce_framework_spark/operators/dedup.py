@@ -303,7 +303,12 @@ def dedup_minhash(
     128-min aggregation twice.
     """
     sh = shingles(documents, n, hashed=True).localCheckpoint(eager=False)
-    sig = minhash_signatures_from_shingles(sh, num_perm, seed)
+    # Eager-checkpoint the signature table (doc_id x num_perm mins --
+    # corpus-row-bounded, narrow): the candidate subtree's band
+    # explode + bucket group then replays the cached signatures
+    # instead of re-running the 128-min aggregation over the shingle
+    # stream when AQE re-plans the downstream joins.
+    sig = minhash_signatures_from_shingles(sh, num_perm, seed).localCheckpoint()
     cand = minhash_candidates(sig, num_perm, bands)
     # Candidate-restricted intersection: expand each candidate pair by
     # doc_a's shingles, then equi-join doc_b's shingles on (doc_b,
@@ -1723,7 +1728,11 @@ def dedup_sorted_neighborhood(
         documents.select("doc_id", key.alias("sort_key"))
         .repartitionByRange(num_shards, "sort_key", "doc_id")
         .withColumn("shard", F.spark_partition_id())
-        .localCheckpoint(eager=False)
+        # EAGER: two consumers (offsets + ranked) read the physical
+        # partition id; a lazy checkpoint recomputed after executor
+        # loss could renumber partitions between them and silently
+        # shift ranks. Eager pins one materialization both read.
+        .localCheckpoint()
     )
     w_off = (
         Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
@@ -1773,3 +1782,156 @@ def dedup_sorted_neighborhood(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "gap", "jaccard")
     )
+
+
+def dedup_substring(documents: DataFrame, span_len: int = 8) -> DataFrame:
+    """Exact verbatim-span dedup at ANY token offset — the
+    suffix-array shape of Lee et al. 2021 ("Deduplicating Training
+    Data Makes Language Models Better"), re-expressed as distributed
+    window fingerprints. ``chunk_dedup`` profiles duplication at
+    FIXED non-overlapping chunk boundaries, so a verbatim span that
+    straddles a boundary is invisible to it; here EVERY
+    ``span_len``-token window (stride 1) is fingerprinted, so a
+    duplicated run of >= span_len tokens is caught at any alignment
+    (asserted against chunk_dedup's blind spot in tests/test_dedup.py).
+
+    Plan, the sketch-family discipline end to end:
+
+    1. fingerprints: per-doc sliding windows hashed JVM-side
+       (xxhash64 over the space-joined slice), DISTINCT (doc_id, h) —
+       the shuffle carries 16-byte rows, never span text. This is the
+       distributed stand-in for suffix-array construction: sorting
+       fingerprints groups equal spans exactly as sorting suffixes
+       groups equal prefixes.
+    2. candidates: one combinable group per fingerprint, posting
+       lists > 1 doc exploded to ordered (doc_a < doc_b) pairs — only
+       docs that actually share a window meet.
+    3. verify: span TEXT is re-derived for CANDIDATE DOCS ONLY (a
+       semi-join keeps the re-scan proportional to the duplicated
+       slice of the corpus, not the corpus) and compared row-locally,
+       so a 64-bit fingerprint collision cannot fabricate a pair
+       (same residual-risk note as ``shingles(hashed=True)``: a
+       same-doc collision could only UNDERcount, at birthday-bound
+       ~2^-32 odds).
+
+    Emits (doc_a, doc_b, n_spans) — n_spans = distinct shared
+    ``span_len``-token windows; reference licence: SURVEY.md §2B
+    dedup family (the reference's WordCount substrate has no
+    sub-document dedup; this is the training-data extension).
+    """
+    win_expr = (
+        f"transform(sequence(1, size(toks) - {span_len - 1}), "
+        f"i -> concat_ws(' ', slice(toks, i, {span_len})))"
+    )
+    base = (
+        documents.select("doc_id", tokens_col("text").alias("toks"))
+        .filter(F.size("toks") >= span_len)
+        .localCheckpoint(eager=False)  # shared by fingerprint + verify scans
+    )
+    win_h = (
+        base.select(
+            "doc_id",
+            F.explode(F.expr(win_expr)).alias("span"),
+        )
+        .select("doc_id", F.xxhash64("span").alias("h"))
+        .distinct()
+    )
+    buckets = (
+        win_h.groupBy("h")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    pairs = buckets.select(
+        "h",
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (x, i) -> "
+                "transform(slice(ds, i + 2, size(ds)), y -> "
+                "struct(x AS doc_a, y AS doc_b))))"
+            )
+        ).alias("p"),
+    ).select("p.doc_a", "p.doc_b", "h")
+    cand_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    # span text for candidate docs only; min(span) per (doc, h) keeps
+    # the mapping deterministic even under a same-doc hash collision
+    spans = (
+        base.join(cand_docs, "doc_id", "left_semi")
+        .select("doc_id", F.explode(F.expr(win_expr)).alias("span"))
+        .groupBy("doc_id", F.xxhash64("span").alias("h"))
+        .agg(F.min("span").alias("span"))
+    )
+    sp_a = spans.select(
+        F.col("doc_id").alias("doc_a"), "h", F.col("span").alias("span_a")
+    )
+    sp_b = spans.select(
+        F.col("doc_id").alias("doc_b"), "h", F.col("span").alias("span_b")
+    )
+    return (
+        pairs.join(sp_a, ["doc_a", "h"])
+        .join(sp_b, ["doc_b", "h"])
+        .filter(F.col("span_a") == F.col("span_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_spans"))
+    )
+
+
+def dedup_index_append(
+    spark,
+    survivors: DataFrame,
+    index_name: str,
+    num_perm: int = 128,
+    bands: int = 16,
+    n: int = 3,
+    seed: int = 42,
+    append_fp: str | None = None,
+) -> None:
+    """Write ingest survivors' bands + signatures back into the
+    persisted bucketed index tables — the last step of the
+    growing-corpus lifecycle (``build_minhash_index`` once per corpus
+    generation, then per batch: probe → ``dedup_incremental_apply`` →
+    THIS append → next batch probes corpus ∪ survivors without any
+    re-index). Parquet append with the table's own bucketBy spec keeps
+    every new file bucketed/sorted on the same keys, so subsequent
+    probes stay exchange-free on the index side exactly as against the
+    freshly built table (equivalence to a from-scratch index over
+    corpus ∪ batch is asserted in tests/test_dedup.py).
+
+    Signatures come from ``minhash_signatures_rowlocal`` (batch-shaped
+    ingest kernel, bit-identical to the aggregation path).
+
+    ``append_fp`` makes staged replays idempotent: when the marker in
+    the ``_bands`` table directory already records this fingerprint
+    the append is skipped (same marker discipline as
+    ``build_minhash_index``'s ``source_fp``)."""
+    import pathlib
+    from urllib.parse import urlparse
+
+    warehouse = pathlib.Path(
+        urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")).path
+        or "spark-warehouse"
+    )
+    marker = warehouse / f"{index_name}_bands" / "_APPEND_FP"
+    if append_fp is not None and marker.exists() and marker.read_text() == append_fp:
+        return
+    sig = minhash_signatures_rowlocal(survivors, num_perm, n, seed)
+    banded = sig.select(
+        "doc_id",
+        "n_shingles",
+        F.explode(band_struct_array_from_sig(num_perm, bands)).alias("b"),
+    ).select("b.band_id", "b.band_hash", "doc_id", "n_shingles")
+    sigs = sig.select("doc_id", "sig", "n_shingles")
+    for name, df, key in (
+        (f"{index_name}_bands", banded, "band_hash"),
+        (f"{index_name}_sigs", sigs, "doc_id"),
+    ):
+        buckets = spark.sql(f"DESCRIBE EXTENDED {name}").filter(
+            F.col("col_name") == "Num Buckets"
+        ).collect()  # bounded: 1 catalog row
+        nb = int(buckets[0]["data_type"]) if buckets else 8
+        df.write.mode("append").bucketBy(nb, key).sortBy(key).saveAsTable(name)
+    if append_fp is not None:
+        marker.write_text(append_fp)

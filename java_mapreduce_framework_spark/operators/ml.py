@@ -93,9 +93,14 @@ def _nb_model(documents: DataFrame, counts: DataFrame | None = None):
         )
     tot = counts.groupBy("lang").agg(F.sum("cnt").alias("tot"))
     vocab = counts.agg(F.count_distinct("bigram").alias("v"))  # 1 row
-    n_total = documents.agg(F.count("*").alias("n_total"))  # 1 row
+    # Priors normalize over the SCORED population -- the length >= 2
+    # corpus the bigram stream is built from -- not all documents, so
+    # a language whose docs are all single-char cannot skew priors for
+    # classes it never contributes bigrams to (round-5 advisory).
+    scored_pop = documents.filter(F.length("text") >= 2)
+    n_total = scored_pop.agg(F.count("*").alias("n_total"))  # 1 row
     priors = (
-        documents.groupBy("lang")
+        scored_pop.groupBy("lang")
         .agg(F.count("*").alias("n_docs"))
         .join(F.broadcast(n_total))
         .withColumn(

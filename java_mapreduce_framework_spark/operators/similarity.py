@@ -1072,7 +1072,12 @@ def similarity_mmr(
         .select("qid", "nid", "rnk")
         .collect()  # bounded: n_queries x shortlist candidate ids
     )
-    cand_ids = sorted({r["nid"] for r in sl} | set(range(n_queries)))
+    # Query identities come from the shortlist's own qid column (the
+    # _queries convention), not range(n_queries): if the fixture's
+    # vec_ids ever stop starting at 0 the loop degrades to the queries
+    # that actually exist instead of KeyError-ing (round-5 advisory).
+    qids = sorted({r["qid"] for r in sl})
+    cand_ids = sorted({r["nid"] for r in sl} | set(qids))
     vecs = {
         r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
         for r in embeddings.filter(
@@ -1088,7 +1093,7 @@ def similarity_mmr(
         )
 
     rows = []
-    for qid in range(n_queries):
+    for qid in qids:
         cands = [r["nid"] for r in sorted(
             (r for r in sl if r["qid"] == qid), key=lambda r: r["rnk"]
         )]

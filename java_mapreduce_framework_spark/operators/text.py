@@ -33,6 +33,16 @@ BPE_REGEX = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
 #: lookaround, no backrefs, only char classes / quantifiers.
 EMAIL_REGEX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_REGEX = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+#: >= 5 colon-separated hex groups: full/trailing-compressed IPv6
+#: without swallowing clock times or MAC-less 2-3 group hex runs;
+#: short compressed forms ("::1") are out of scope by design.
+IPV6_REGEX = r"\b(?:[0-9A-Fa-f]{1,4}:){4,7}[0-9A-Fa-f]{1,4}\b"
+IPV4_REGEX = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+#: 13-16 digits in 4-4-4-1..4 grouping with optional space/dash
+#: separators -- the Luhn-CHECKABLE shape (the checksum itself is not
+#: regular; a downstream validator can Luhn-verify the span).
+CCARD_REGEX = r"\b[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{1,4}\b"
+SSN_REGEX = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
 
 
 #: Default rate for ``sample_deterministic`` (shared with its oracle).
@@ -86,24 +96,45 @@ def text_normalize(documents: DataFrame) -> DataFrame:
 
 
 def pii_redact(documents: DataFrame) -> DataFrame:
-    """PII scrubbing: replace emails / phone-number-shaped spans with
-    typed placeholder tokens, counting matches per doc before
-    redaction. Standard pre-training compliance pass; all JVM-side
-    regexp — the 100 TB cost is one scan, no shuffle. Emails are
-    redacted first so phone-like digit runs inside them can't double
-    match. Single-pass by design (like production scrubbers):
-    back-to-back emails sharing an '@'-adjacent boundary
-    (``a@b.com@c.de``) leave a residual second address; run the
-    operator to a fixpoint if that matters for a corpus."""
-    n_emails = F.size(F.regexp_extract_all("text", F.lit(EMAIL_REGEX), F.lit(0)))
-    no_email = F.regexp_replace("text", EMAIL_REGEX, "<EMAIL>")
-    n_phones = F.size(F.regexp_extract_all(no_email, F.lit(PHONE_REGEX), F.lit(0)))
-    return documents.select(
-        "doc_id",
-        n_emails.alias("n_emails"),
-        n_phones.alias("n_phones"),
-        F.regexp_replace(no_email, PHONE_REGEX, "<PHONE>").alias("redacted"),
+    """PII scrubbing: replace email / IPv6 / IPv4 / credit-card /
+    SSN-shaped / phone-number-shaped spans with typed placeholder
+    tokens, counting matches per doc before redaction. Standard
+    pre-training compliance pass; all JVM-side regexp — the 100 TB
+    cost is one scan, no shuffle.
+
+    Redaction ORDER is the correctness load-bearer — each stage counts
+    and rewrites the PREVIOUS stage's output so broader digit shapes
+    can't re-match narrower ones already scrubbed: emails first
+    (digit runs inside addresses), then IPv6 before IPv4 (hex groups
+    contain decimal runs), then credit cards and SSNs BEFORE phones
+    (both are digit-dash runs the phone pattern would swallow), phones
+    last. All six patterns are in the Java∩RE2 common dialect
+    (no lookarounds/backrefs; \\b is ASCII-identical on both engines)
+    and shared VERBATIM with the oracle SQL.
+
+    Single-pass by design (like production scrubbers): back-to-back
+    emails sharing an '@'-adjacent boundary (``a@b.com@c.de``) leave a
+    residual second address; run the operator to a fixpoint if that
+    matters for a corpus.
+
+    Emits (doc_id, n_emails, n_ipv6, n_ipv4, n_ccards, n_ssns,
+    n_phones, redacted)."""
+    stages = (
+        (EMAIL_REGEX, "<EMAIL>", "n_emails"),
+        (IPV6_REGEX, "<IPV6>", "n_ipv6"),
+        (IPV4_REGEX, "<IPV4>", "n_ipv4"),
+        (CCARD_REGEX, "<CCARD>", "n_ccards"),
+        (SSN_REGEX, "<SSN>", "n_ssns"),
+        (PHONE_REGEX, "<PHONE>", "n_phones"),
     )
+    cur = F.col("text")
+    counts = []
+    for pat, token, name in stages:
+        counts.append(
+            F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0))).alias(name)
+        )
+        cur = F.regexp_replace(cur, pat, token)
+    return documents.select("doc_id", *counts, cur.alias("redacted"))
 
 
 def length_histogram(documents: DataFrame, bucket_width: int = 100) -> DataFrame:
@@ -1619,8 +1650,13 @@ def quality_gopher_flags(documents: DataFrame) -> DataFrame:
     f_ellipsis_lines, f_stopwords, keep)."""
     toks = tokens_col("text")
     n_words = F.size(toks)
-    # sum of token lengths == text with ASCII whitespace removed
-    tok_chars = F.length(F.regexp_replace(F.lower("text"), r"\s", ""))
+    # sum of token lengths == text with ASCII whitespace removed.
+    # Explicit class, not \s: Java \s includes \x0B (vertical tab)
+    # while RE2 \s excludes it, so \s would silently diverge from the
+    # DuckDB oracle on text containing \x0B (Java∩RE2 dialect rule).
+    tok_chars = F.length(
+        F.regexp_replace(F.lower("text"), "[ \t\n\x0b\f\r]", "")
+    )
     mean_wl = tok_chars * 1.0 / F.greatest(n_words, F.lit(1))
     n_hash = F.length("text") - F.length(F.regexp_replace("text", r"#", ""))
     n_ellipsis = (
@@ -1705,3 +1741,111 @@ def corpus_token_budget(
         F.round(alloc, 2).alias("alloc_tokens"),
         F.round(alloc / F.col("n_tokens"), 4).alias("epochs"),
     )
+
+
+def bpe_train(documents: DataFrame, n_merges: int = 6) -> DataFrame:
+    """Full BPE tokenizer-training loop (Sennrich et al. 2016) — the
+    end-to-end extension of ``bpe_merge_step``'s single iteration: N
+    rounds of (count adjacent symbol pairs, merge the most frequent
+    pair corpus-wide), emitting the learned merge table a tokenizer
+    ships with.
+
+    State is the VOCAB-bounded symbol stream (word, word_freq, pos,
+    sym) — one row per symbol of each DISTINCT word, weighted by word
+    frequency; the corpus is scanned exactly once to build it and
+    never re-tokenized (merges rewrite the weighted vocabulary only —
+    the ``vocab_coverage`` discipline). Each round is eagerly
+    ``localCheckpoint``'ed so plan lineage stays one-round deep
+    (the pagerank discipline, operators/dedup.py::pagerank).
+
+    The greedy LEFTMOST-non-overlapping merge — the sequential heart
+    of canonical BPE — is expressed relationally so both engines
+    agree bit-for-bit: matched positions form runs of consecutive
+    pos; within a run, exactly the even offsets from the run head
+    merge (pair (a,a) over "a a a a" merges positions 1 and 3 —
+    leftmost-greedy by construction). Runs come from one
+    lag+running-sum window pass, all partitioned by word, so every
+    window in a round shares the single word-hash exchange. The
+    chosen pair rides as a 1-row broadcast — zero driver collects.
+
+    Pair counts follow the canonical get_stats: OVERLAPPING
+    occurrences all count ("a a a" contributes 2 to (a,a)); ties
+    break on (sym_a, sym_b) so both engines pick the same merge.
+
+    Emits (step, sym_a, sym_b, n_pair, new_sym) — the merge list in
+    training order. Oracle: the same N rounds unrolled as chained
+    CTEs (the graph_label_propagation pattern).
+
+    Reference licence: WordCount substrate
+    (src/edu/upenn/cis455/mapreduce/job/WordCount.java:23-52) +
+    chained-jobs model (SURVEY.md §2A FIFO queue)."""
+    vocab = words_exploded(documents).groupBy("word").agg(
+        F.count("*").alias("word_freq")
+    )
+    sympos = vocab.select(
+        "word",
+        "word_freq",
+        F.posexplode(F.split("word", "")).alias("pos0", "sym"),
+    ).select(
+        "word", "word_freq", (F.col("pos0") + 1).alias("pos"), "sym"
+    ).localCheckpoint()
+
+    w = Window.partitionBy("word").orderBy("pos")
+    w_run = Window.partitionBy("word").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    merges = []
+    for step in range(1, n_merges + 1):
+        paired = sympos.withColumn("nxt", F.lead("sym").over(w))
+        counts = (
+            paired.filter(F.col("nxt").isNotNull())
+            .groupBy(F.col("sym").alias("a"), F.col("nxt").alias("b"))
+            .agg(F.sum("word_freq").alias("n_pair"))
+        )
+        top1 = counts.orderBy(F.col("n_pair").desc(), "a", "b").limit(1)
+        merges.append(
+            top1.select(
+                F.lit(step).alias("step"),
+                F.col("a").alias("sym_a"),
+                F.col("b").alias("sym_b"),
+                "n_pair",
+                F.concat("a", "b").alias("new_sym"),
+            ).localCheckpoint()
+        )
+        m = paired.crossJoin(F.broadcast(top1)).withColumn(
+            "is_m", (F.col("sym") == F.col("a")) & (F.col("nxt") == F.col("b"))
+        )
+        # two projection steps: window calls cannot nest (either engine)
+        g = m.withColumn(
+            "run_start",
+            (
+                F.col("is_m")
+                & ~F.coalesce(F.lag("is_m").over(w), F.lit(False))
+            ).cast("int"),
+        ).withColumn("run_id", F.sum("run_start").over(w_run))
+        w_runid = Window.partitionBy("word", "run_id")
+        g = g.withColumn(
+            "run_min", F.min(F.when(F.col("is_m"), F.col("pos"))).over(w_runid)
+        ).withColumn(
+            "active",
+            F.col("is_m") & ((F.col("pos") - F.col("run_min")) % 2 == 0),
+        )
+        g = g.withColumn(
+            "dropped", F.coalesce(F.lag("active").over(w), F.lit(False))
+        )
+        sympos = (
+            g.filter(~F.col("dropped"))
+            .select(
+                "word",
+                "word_freq",
+                F.row_number().over(w).alias("pos"),
+                F.when(F.col("active"), F.concat("sym", "nxt"))
+                .otherwise(F.col("sym"))
+                .alias("sym"),
+            )
+            .localCheckpoint()
+        )
+    out = merges[0]
+    for mdf in merges[1:]:
+        out = out.unionByName(mdf)
+    return out

@@ -838,23 +838,48 @@ def _text_normalize(spark, sf):
     return text.text_normalize(_t(spark, sf, "documents"))
 
 
+def _pii_redact_oracle_sql() -> str:
+    """Generated from the SAME pattern constants the Spark operator
+    compiles (operators/text.py), one chained CTE per redaction stage
+    in the same order -- the pattern strings provably cannot drift
+    between engine and oracle (the sampling-oracle discipline).
+    DuckDB's standard single-quoted literals pass backslashes through
+    verbatim, so the Python constants embed unchanged."""
+    stages = (
+        (text.EMAIL_REGEX, "<EMAIL>", "n_emails"),
+        (text.IPV6_REGEX, "<IPV6>", "n_ipv6"),
+        (text.IPV4_REGEX, "<IPV4>", "n_ipv4"),
+        (text.CCARD_REGEX, "<CCARD>", "n_ccards"),
+        (text.SSN_REGEX, "<SSN>", "n_ssns"),
+        (text.PHONE_REGEX, "<PHONE>", "n_phones"),
+    )
+    ctes = ["s0 AS (SELECT doc_id, text AS t FROM documents)"]
+    kept: list[str] = []
+    for i, (pat, token, name) in enumerate(stages, start=1):
+        prev_cols = "".join(f"{c}, " for c in kept)
+        ctes.append(
+            f"""s{i} AS (
+      SELECT doc_id, {prev_cols}
+             CAST(len(regexp_extract_all(t, '{pat}')) AS INTEGER) AS {name},
+             regexp_replace(t, '{pat}', '{token}', 'g') AS t
+      FROM s{i - 1})"""
+        )
+        kept.append(name)
+    cols = ", ".join(kept)
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT doc_id, {cols}, t AS redacted FROM s{len(stages)}"
+    )
+
+
 @_register(
     "pii_redact",
-    """
-    WITH e AS (
-      SELECT doc_id,
-             CAST(len(regexp_extract_all(text,
-                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
-             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
-                  '<EMAIL>', 'g') AS no_email
-      FROM documents)
-    SELECT doc_id, n_emails,
-           CAST(len(regexp_extract_all(no_email,
-                '\\+?[0-9][0-9()\\- ]{6,}[0-9]')) AS INTEGER) AS n_phones,
-           regexp_replace(no_email, '\\+?[0-9][0-9()\\- ]{6,}[0-9]', '<PHONE>', 'g') AS redacted
-    FROM e
-    """,
-    note="identical Java∩RE2 pattern strings on both engines",
+    _pii_redact_oracle_sql(),
+    note="six-stage typed PII scrub (email/IPv6/IPv4/credit-card/SSN/"
+    "phone) -- each stage counts+rewrites the previous stage's output "
+    "so broad digit shapes can't re-match scrubbed narrow ones; "
+    "identical Java∩RE2 pattern strings on both engines, oracle "
+    "GENERATED from the same constants",
 )
 def _pii_redact(spark, sf):
     return text.pii_redact(_t(spark, sf, "documents"))
@@ -5223,10 +5248,13 @@ _NB_MODEL_CTE = """
     tot AS (SELECT lang, sum(cnt) AS tot FROM counts GROUP BY 1),
     vocab AS (SELECT count(DISTINCT bigram) AS v FROM counts),
     pri AS (
+      -- priors over the scored (length >= 2) population, mirroring
+      -- operators/ml.py::_nb_model
       SELECT lang,
-             round(ln(count(*) * 1.0 / (SELECT count(*) FROM documents)), 6)
-               AS prior
-      FROM documents GROUP BY 1),
+             round(ln(count(*) * 1.0 /
+                      (SELECT count(*) FROM documents
+                       WHERE length(text) >= 2)), 6) AS prior
+      FROM documents WHERE length(text) >= 2 GROUP BY 1),
     model AS (
       SELECT c.lang, c.bigram, c.cnt,
              round(ln((c.cnt + 1.0) / (t.tot + v.v)), 6) AS log_prob
@@ -5723,7 +5751,10 @@ def _sql_udaf_median(spark, sf):
     m AS (
       SELECT doc_id,
         CAST(len(t) AS INTEGER) AS n_words,
-        length(regexp_replace(lower(text), '\\s', '', 'g')) AS tok_chars,
+        length(regexp_replace(lower(text),
+                              '[ ' || chr(9) || chr(10) || chr(11)
+                                   || chr(12) || chr(13) || ']',
+                              '', 'g')) AS tok_chars,
         length(text) - length(replace(text, '#', '')) AS n_hash,
         (length(text) - length(replace(text, '...', ''))) / 3
           AS n_ellipsis,
@@ -5823,6 +5854,147 @@ def _sql_pivot_qty(spark, sf):
     from .sql import run_sql
 
     return run_sql(spark, sf, _SQL_PIVOT_QTY)
+
+
+# ------------------------------------------- round-6 dedup/BPE closers
+
+@_register(
+    "dedup_substring",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         s -> s <> '') AS t
+      FROM documents),
+    win AS (
+      SELECT DISTINCT doc_id, span FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t) - 8 + 2),
+                      i -> array_to_string(t[i:i+8-1], ' '))) AS span
+        FROM toks WHERE len(t) >= 8))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_spans
+    FROM win a JOIN win b ON a.span = b.span AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+    note="suffix-fingerprint exact substring dedup (Lee et al. 2021 "
+    "shape): EVERY 8-token window fingerprinted stride-1, so verbatim "
+    "spans are caught at ANY offset -- including ones straddling "
+    "chunk_dedup's fixed 16-token boundaries (blind-spot test in "
+    "tests/test_dedup.py); 16-byte fingerprint shuffle, posting-list "
+    "candidates, span text re-derived for candidate docs only and "
+    "verified row-locally; oracle is the brute-force span self-join",
+)
+def _dedup_substring(spark, sf):
+    return dedup.dedup_substring(_t(spark, sf, "documents"))
+
+
+def _bpe_train_oracle_sql(n_merges: int = 6) -> str:
+    """Unrolled chained-CTE mirror of ``text.bpe_train`` (the
+    graph_label_propagation oracle pattern): each round is the same
+    pair-count -> top-1 -> run-parity greedy merge, spelled in
+    DuckDB's dialect. Generated, not hand-written, so the round
+    template provably cannot drift between rounds."""
+    ctes = [f"""
+    vocab AS (
+      SELECT word, count(*) AS word_freq
+      FROM (SELECT unnest({_TOKS}) AS word FROM documents)
+      GROUP BY 1),
+    r0 AS (
+      SELECT word, word_freq, CAST(i AS INTEGER) AS pos, word[i:i] AS sym
+      FROM vocab, unnest(range(1, length(word) + 1)) AS u(i))"""]
+    for x in range(1, n_merges + 1):
+        ctes.append(f"""
+    p{x} AS (
+      SELECT word, word_freq, pos, sym,
+             lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+      FROM r{x - 1}),
+    c{x} AS (SELECT sym AS a, nxt AS b, sum(word_freq) AS n_pair
+             FROM p{x} WHERE nxt IS NOT NULL GROUP BY 1, 2),
+    t{x} AS (SELECT a, b, n_pair FROM c{x}
+             ORDER BY n_pair DESC, a, b LIMIT 1),
+    m{x} AS (
+      SELECT p.*, (p.sym = t.a AND p.nxt = t.b) AS is_m
+      FROM p{x} p CROSS JOIN t{x} t),
+    s{x} AS (
+      SELECT *,
+        CASE WHEN is_m AND NOT coalesce(
+               lag(is_m) OVER (PARTITION BY word ORDER BY pos), FALSE)
+             THEN 1 ELSE 0 END AS run_start
+      FROM m{x}),
+    g{x} AS (
+      SELECT *,
+        sum(run_start) OVER (PARTITION BY word ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM s{x}),
+    h{x} AS (
+      SELECT *,
+        min(CASE WHEN is_m THEN pos END)
+          OVER (PARTITION BY word, run_id) AS run_min
+      FROM g{x}),
+    a{x} AS (
+      SELECT *, (is_m AND (pos - run_min) % 2 = 0) AS active
+      FROM h{x}),
+    d{x} AS (
+      SELECT *, coalesce(
+          lag(active) OVER (PARTITION BY word ORDER BY pos), FALSE)
+        AS dropped
+      FROM a{x}),
+    r{x} AS (
+      SELECT word, word_freq,
+             CAST(row_number() OVER (PARTITION BY word ORDER BY pos)
+                  AS INTEGER) AS pos,
+             CASE WHEN active THEN sym || nxt ELSE sym END AS sym
+      FROM d{x} WHERE NOT dropped)""")
+    finals = " UNION ALL ".join(
+        f"SELECT {x} AS step, a AS sym_a, b AS sym_b, "
+        f"CAST(n_pair AS BIGINT) AS n_pair, a || b AS new_sym FROM t{x}"
+        for x in range(1, n_merges + 1)
+    )
+    return "WITH " + ",".join(ctes) + "\n    " + finals
+
+
+@_register(
+    "bpe_train",
+    _bpe_train_oracle_sql(6),
+    note="full BPE training loop (6 merges) over bpe_merge_step's "
+    "one-iteration substrate: vocab-bounded symbol-stream state, "
+    "eager localCheckpoint per round (pagerank lineage discipline), "
+    "corpus tokenized ONCE; greedy leftmost merge expressed as "
+    "run-parity islands so both engines agree bit-for-bit; chosen "
+    "pair rides as a 1-row broadcast, zero driver collects",
+)
+def _bpe_train(spark, sf):
+    return text.bpe_train(_t(spark, sf, "documents"))
+
+
+@_register(
+    "dedup_index_append",
+    None,
+    note="growing-corpus index write-back: batch1 survivors' bands + "
+    "signatures appended (bucket-spec-preserving parquet append) into "
+    "the persisted LSH index, then batch2 probed against the appended "
+    "index -- the full ingest->probe->append->probe lifecycle with no "
+    "re-index; equivalence to a from-scratch corpus-union-batch index "
+    "asserted in tests/test_dedup.py; append staged once per fixture "
+    "generation (_APPEND_FP marker) -> rows-only",
+)
+def _dedup_index_append(spark, sf):
+    import pathlib
+
+    from ..sources.tables import source_fingerprint
+
+    docs = _t(spark, sf, "documents")
+    suffix = "_" + pathlib.Path(sf).name.replace(".", "_")
+    name = f"mh_aidx{suffix}"
+    fp = source_fingerprint(sf, "documents")
+    corpus = docs.filter((F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 10 != 5))
+    batch1 = docs.filter(F.col("doc_id") % 10 == 5)
+    batch2 = docs.filter(F.col("doc_id") % 10 == 0)
+    dedup.build_minhash_index(spark, corpus, name, source_fp=fp)
+    survivors = dedup.dedup_incremental_apply(spark, batch1, name)
+    dedup.dedup_index_append(spark, survivors, name, append_fp=fp)
+    return dedup.dedup_incremental_minhash(spark, batch2, name)
 
 
 # ---------------------------------------------- registration priority
@@ -5936,9 +6108,51 @@ _RECORDED_ROUND4 = frozenset(
 )
 
 
+#: Names recorded by the round-5 sweep (CORRECTNESS_r05.json). With
+#: this tier in place the 65 names never driver-recorded through round
+#: 5 (all ml_*, graph_pagerank, stats_bootstrap_ci, the r5 multimodal
+#: codecs, ...) sort to the front of the round-6 50-entry sample.
+_RECORDED_ROUND5 = frozenset(
+    {
+        "activity_streaks", "attribution_last_touch", "audience_overlap",
+        "audience_overlap_kmv", "bm25_score", "bpe_merge_step", "cdc_scd2",
+        "char_entropy", "chi2_feature_select", "corr_matrix",
+        "dedup_cluster_components_star", "dedup_edit_distance",
+        "doc_chunking", "embedding_gram", "event_transition_matrix",
+        "flatmap_explode_outer", "graph_bfs_hops", "group_sample_topk",
+        "incremental_agg_merge", "jobapi_grep", "join_asof_ttl",
+        "join_bloom_pruned", "key_skew_profile", "ks_drift",
+        "lm_bigram_score", "mad_outliers", "multimodal_audio_wav",
+        "multimodal_decode_bmp", "multimodal_image_patches",
+        "multimodal_video_frames", "pair_pmi",
+        "percentile_stats_distributed", "psi_drift", "quality_constraints",
+        "sequence_likelihood", "set_except_all", "set_intersect_all",
+        "source_csv_malformed", "source_kvtext_datasource",
+        "source_orc_roundtrip", "split_leakage_audit", "stratified_split",
+        "stream_dedup_watermarked", "stream_kvtext_wordcount",
+        "stream_quality_filter", "target_encoding", "vocab_coverage",
+        "window_percent_rank", "window_time_decay", "zorder_index",
+    }
+)
+
+
+#: New or semantically MODIFIED in round 6 -- their current form has
+#: no driver verdict at all (pii_redact's round-4 record describes the
+#: narrower two-pattern version), so they outrank even the
+#: never-recorded tier: fresh code is where a surprise is most likely.
+_FRESH_ROUND6 = frozenset(
+    {"dedup_substring", "bpe_train", "dedup_index_append", "pii_redact"}
+)
+
+
 def _record_staleness(name: str) -> int:
-    """0 = never officially recorded (front of the sweep), then the
-    round whose sweep last recorded the name (lower = staler verdict)."""
+    """-1 = new/modified this round (very front of the sweep), 0 =
+    never officially recorded, then the round whose sweep last
+    recorded the name (lower = staler verdict)."""
+    if name in _FRESH_ROUND6:
+        return -1
+    if name in _RECORDED_ROUND5:
+        return 5
     if name in _RECORDED_ROUND4:
         return 4
     if name in _RECORDED_ROUND3:

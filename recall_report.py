@@ -235,6 +235,27 @@ def main(sf_dir: str) -> dict:
         f"{len(false_drops)} false drops (est-Jaccard threshold, 128-perm stderr); "
         "kept == batch - matched asserted exactly in tests/test_dedup.py")
 
+    # --- dedup_index_append: probing a batch against an index that had
+    # earlier survivors APPENDED must equal probing a from-scratch
+    # index over corpus UNION survivors (set equality incl. estimates)
+    corpus3 = docs.filter((F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 10 != 5))
+    b1 = docs.filter(F.col("doc_id") % 10 == 5)
+    b2 = docs.filter(F.col("doc_id") % 10 == 0)
+    fp3 = source_fingerprint(sf_dir, "documents")
+    dedup.build_minhash_index(spark, corpus3, "mh_recall_app", source_fp=fp3)
+    surv = dedup.dedup_incremental_apply(spark, b1, "mh_recall_app")
+    dedup.dedup_index_append(spark, surv, "mh_recall_app", append_fp=fp3)
+    appended = {(r["doc_a"], r["doc_b"], r["est_jaccard"])
+                for r in dedup.dedup_incremental_minhash(spark, b2, "mh_recall_app").collect()}
+    dedup.build_minhash_index(spark, corpus3.unionByName(surv), "mh_recall_app_b",
+                              source_fp=fp3)
+    scratch = {(r["doc_a"], r["doc_b"], r["est_jaccard"])
+               for r in dedup.dedup_incremental_minhash(spark, b2, "mh_recall_app_b").collect()}
+    eq = 1.0 - (len(appended ^ scratch) / max(1, len(appended | scratch)))
+    rec("dedup_index_append", "appended_vs_scratch_probe_equality", eq, 1.0, ">=",
+        f"{len(scratch)} from-scratch corpus-union-survivors pairs; append keeps "
+        "bucket spec so probe plans and results are identical by construction")
+
     # --- stream_dedup_incremental: the bounded drain must emit exactly
     # the pairs the batch-mode probe finds on the same batch (the
     # declared batch-stream equivalence; also asserted with est_jaccard

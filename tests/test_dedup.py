@@ -624,3 +624,80 @@ def test_sorted_neighborhood_pairs_are_windowed_and_verified(spark, sf_small):
         a, b = sh[r["doc_a"]], sh[r["doc_b"]]
         jac = len(a & b) / len(a | b)
         assert abs(jac - r["jaccard"]) < 1e-3
+
+
+def test_substring_finds_straddling_span_chunk_dedup_misses(spark):
+    """The blind spot dedup_substring exists for: a verbatim 20-token
+    span shared by two docs at DIFFERENT offsets straddles
+    chunk_dedup's fixed 16-token chunk boundary, so no non-overlapping
+    chunk is identical between the docs (zero dup chunks) -- while the
+    stride-1 window fingerprints catch it at any alignment, with
+    exactly span - window + 1 shared 8-token windows."""
+    from java_mapreduce_framework_spark.operators import dedup
+    from java_mapreduce_framework_spark.operators import text as T
+
+    span = [f"s{i}" for i in range(20)]
+    doc_a = [f"a{i}" for i in range(8)] + span + [f"a{i}" for i in range(8, 20)]
+    doc_b = [f"b{i}" for i in range(3)] + span + [f"b{i}" for i in range(3, 20)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(doc_a)), (2, " ".join(doc_b))], "doc_id long, text string"
+    )
+    chunk = {r["doc_id"]: r["n_dup_chunks"] for r in T.chunk_dedup(docs).collect()}
+    assert chunk == {1: 0, 2: 0}, chunk  # fixed-boundary dedup is blind
+    sub = dedup.dedup_substring(docs, span_len=8).collect()
+    assert [(r["doc_a"], r["doc_b"], r["n_spans"]) for r in sub] == [(1, 2, 13)]
+
+
+def test_substring_no_pairs_without_shared_span(spark):
+    """Docs sharing individual tokens but no 8-token run produce no
+    pairs (the fingerprint granularity is the span, not the word)."""
+    from java_mapreduce_framework_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(30))),
+            (2, " ".join(f"w{i}" for i in range(0, 60, 2))),  # every other
+        ],
+        "doc_id long, text string",
+    )
+    assert dedup.dedup_substring(docs, span_len=8).count() == 0
+
+
+def test_index_append_probe_equals_scratch_rebuild(spark, sf_small):
+    """The growing-corpus lifecycle: probing batch2 against an index
+    that had batch1's survivors APPENDED must equal probing against a
+    from-scratch index built over corpus UNION survivors -- and the
+    append marker makes replays no-ops."""
+    from pyspark.sql import functions as F
+
+    from java_mapreduce_framework_spark.operators import dedup
+    from java_mapreduce_framework_spark.sources.tables import (
+        load_table,
+        source_fingerprint,
+    )
+
+    docs = load_table(spark, sf_small, "documents")
+    fp = source_fingerprint(sf_small, "documents")
+    corpus = docs.filter((F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 10 != 5))
+    batch1 = docs.filter(F.col("doc_id") % 10 == 5)
+    batch2 = docs.filter(F.col("doc_id") % 10 == 0)
+
+    dedup.build_minhash_index(spark, corpus, "mh_app_a", source_fp=fp)
+    survivors = dedup.dedup_incremental_apply(spark, batch1, "mh_app_a")
+    dedup.dedup_index_append(spark, survivors, "mh_app_a", append_fp=fp)
+    n_sigs = spark.table("mh_app_a_sigs").count()
+    dedup.dedup_index_append(spark, survivors, "mh_app_a", append_fp=fp)
+    assert spark.table("mh_app_a_sigs").count() == n_sigs  # idempotent replay
+
+    appended = sorted(
+        (r["doc_a"], r["doc_b"], r["est_jaccard"])
+        for r in dedup.dedup_incremental_minhash(spark, batch2, "mh_app_a").collect()
+    )
+    dedup.build_minhash_index(
+        spark, corpus.unionByName(survivors), "mh_app_b", source_fp=fp
+    )
+    scratch = sorted(
+        (r["doc_a"], r["doc_b"], r["est_jaccard"])
+        for r in dedup.dedup_incremental_minhash(spark, batch2, "mh_app_b").collect()
+    )
+    assert appended == scratch

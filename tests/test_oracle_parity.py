@@ -28,6 +28,8 @@ FAMILIES = [
     "source_csv_roundtrip",  # non-parquet ingest content preservation
     "sql_grouping_sets",   # explicit grouping-set marginals via SQL intake
     "join_full_outer",     # coalesced-key full outer join
+    "dedup_substring",     # stride-1 span fingerprints + candidate verify
+    "bpe_train",           # iterative merge loop vs unrolled-CTE oracle
 ]
 
 

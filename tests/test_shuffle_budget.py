@@ -1,0 +1,72 @@
+"""Shuffle-volume regression gate over the committed census.
+
+``explain_report.py`` executes every batch query at sf0.01 and records
+measured shuffle-write bytes per query (completed-stage deltas from the
+Spark UI REST API) into ``PLANS.json``.  Node-count pins in
+test_plan_shape.py catch *structural* regressions (a new Exchange); this
+gate catches *quantitative* ones -- the same plan shape suddenly
+shuffling 10x the bytes (a dropped projection before an exchange, a
+pre-aggregation that stopped combining, a salt fan-out that widened).
+
+The ceilings below are ~1.5x the round-6 measured values for the ten
+heaviest shufflers, so normal jitter passes while a real regression
+(shuffle volume scales linearly with SF, so +50% at sf0.01 means +50%
+at 100 TB) fails loudly.  Regenerate the census with
+``python explain_report.py`` after intentional plan changes and re-pin.
+"""
+
+import json
+import pathlib
+
+PLANS = pathlib.Path(__file__).resolve().parent.parent / "PLANS.json"
+
+#: bytes ceiling per query: ~1.5x the round-6 measured shuffle write.
+HEAVY_CEILINGS = {
+    "basket_lift_topk": 3_700_000,
+    "join_skew_salted": 3_500_000,
+    "dedup_embedding_lsh": 1_700_000,
+    "join_asof_ttl": 1_350_000,
+    "join_asof": 1_270_000,
+    "dedup_index_append": 1_050_000,
+    "dedup_incremental_apply": 1_050_000,
+    "join_asof_nearest": 1_000_000,
+    "ml_naive_bayes_confusion": 980_000,
+    "dedup_ngram_jaccard_capped": 940_000,
+}
+
+#: whole-registry ceiling (round-6 total 31.2 MB at sf0.01, x1.5 per
+#: ~40 query headroom for future rounds -- bump deliberately, not by drift).
+TOTAL_CEILING = 60_000_000
+
+
+def _census():
+    return json.loads(PLANS.read_text())
+
+
+def test_census_has_measured_shuffle_volumes():
+    p = _census()
+    assert p["totals"].get("errors", 1) == 0
+    with_bytes = [
+        n for n, c in p["plans"].items() if "shuffle_write_bytes" in c
+    ]
+    # every successfully-planned batch query carries a measurement
+    assert len(with_bytes) == p["totals"]["queries"]
+
+
+def test_heaviest_shuffles_within_budget():
+    plans = _census()["plans"]
+    over = {
+        name: (plans[name]["shuffle_write_bytes"], limit)
+        for name, limit in HEAVY_CEILINGS.items()
+        if name in plans and plans[name]["shuffle_write_bytes"] > limit
+    }
+    assert not over, f"shuffle budget exceeded (measured, ceiling): {over}"
+
+
+def test_total_shuffle_within_budget():
+    totals = _census()["totals"]
+    assert totals["shuffle_write_bytes"] <= TOTAL_CEILING, (
+        f"registry-wide shuffle write {totals['shuffle_write_bytes']} "
+        f"exceeds {TOTAL_CEILING}; find the regressing query in "
+        "PLANS.json heaviest_shuffles before bumping this ceiling"
+    )

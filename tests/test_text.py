@@ -665,3 +665,63 @@ def test_udtf_sentence_split_edges_and_udf_quality_parity(spark):
         for r in text_ops.quality_score(docs).collect()
     }
     assert q_udf == q_expr
+
+
+def test_bpe_train_greedy_overlap_and_compounding(spark):
+    """Canonical BPE semantics on a crafted vocabulary: overlapping
+    occurrences all COUNT ('aaaa' holds three (a,a) pairs) but merge
+    greedily leftmost-non-overlapping ('aaaa' -> [aa, aa], not three
+    merges); round 2 then compounds the round-1 symbol."""
+    from java_mapreduce_framework_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaaa"), (2, "aaaa")], "doc_id long, text string"
+    )
+    out = {
+        r["step"]: (r["sym_a"], r["sym_b"], r["n_pair"], r["new_sym"])
+        for r in T.bpe_train(docs, n_merges=2).collect()
+    }
+    # 3 occurrences x 3 word-occurrences of 'aaaa'
+    assert out[1] == ("a", "a", 9, "aa")
+    # after greedy merge every 'aaaa' is [aa, aa]: one (aa, aa) pair each
+    assert out[2] == ("aa", "aa", 3, "aaaa")
+
+
+def test_bpe_train_extends_bpe_merge_step(spark, sf_small):
+    """Round 1 of the loop must pick exactly bpe_merge_step's top
+    pair (same substrate, same tie-break)."""
+    from java_mapreduce_framework_spark.operators import text as T
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    step1 = T.bpe_train(docs, n_merges=1).collect()[0]
+    top = T.bpe_merge_step(docs, k=1).collect()[0]
+    assert (step1["sym_a"], step1["sym_b"], step1["n_pair"]) == (
+        top["sym_a"], top["sym_b"], top["n_pair"],
+    )
+
+
+def test_pii_redact_stage_order_prevents_double_matches(spark):
+    """The six-stage precedence contract: credit cards and SSNs are
+    typed as themselves (not swallowed by the broader phone shape),
+    IPv6 wins over IPv4-like decimal runs, times/short hex runs are
+    NOT IPv6, and every span is replaced by exactly one typed token."""
+    from java_mapreduce_framework_spark.operators import text as T
+
+    rows = [
+        (1, "mail a@b.com card 4111 1111 1111 1111 done"),
+        (2, "ssn 123-45-6789 call +1 (555) 123-4567 now"),
+        (3, "v6 2001:0db8:85a3:0000:0000:8a2e:0370:7334 v4 192.168.0.1"),
+        (4, "meeting at 12:34:56 is not an address"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in T.pii_redact(docs).collect()}
+    assert out[1]["n_emails"] == 1 and out[1]["n_ccards"] == 1
+    assert out[1]["n_phones"] == 0  # card digits not re-matched as phone
+    assert out[1]["redacted"] == "mail <EMAIL> card <CCARD> done"
+    assert out[2]["n_ssns"] == 1 and out[2]["n_phones"] == 1
+    assert out[2]["redacted"] == "ssn <SSN> call <PHONE> now"
+    assert out[3]["n_ipv6"] == 1 and out[3]["n_ipv4"] == 1
+    assert out[3]["redacted"] == "v6 <IPV6> v4 <IPV4>"
+    assert out[4]["n_ipv6"] == 0 and out[4]["n_ipv4"] == 0
+    assert out[4]["redacted"] == rows[3][1]  # untouched
