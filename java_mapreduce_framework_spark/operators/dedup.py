@@ -1935,3 +1935,71 @@ def dedup_index_append(
         df.write.mode("append").bucketBy(nb, key).sortBy(key).saveAsTable(name)
     if append_fp is not None:
         marker.write_text(append_fp)
+
+
+def common_neighbors(pairs: DataFrame) -> DataFrame:
+    """Common-neighbor link prediction over the near-dup graph -- the
+    classic "docs that share many near-dup neighbors are probably
+    near-dups the threshold missed" recovery pass (Liben-Nowell &
+    Kleinberg's common-neighbors / neighborhood-Jaccard scores). A
+    curation pipeline runs it after pair generation to surface
+    borderline duplicates for a second, cheaper verify round.
+
+    Scores every NON-adjacent pair with >= 1 common neighbor:
+    ``jaccard = |N(a) inter N(b)| / |N(a) union N(b)|``.
+
+    Plan: symmetrize edges once (checkpointed -- three consumers),
+    count wedges through each hub (fan-out bounded by deg(hub)^2,
+    the triangle_count bound), drop existing edges with a keyed
+    anti-join against the pair list, then two keyed degree joins.
+    Everything shuffles on node ids; no adjacency list ever
+    materializes as an array.
+
+    Emits (doc_a, doc_b, common_neighbors, jaccard) with doc_a <
+    doc_b.
+
+    Reference licence: composition target -- chained-jobs model
+    (SURVEY.md §2A FIFO queue) over the WordCount substrate
+    (src/edu/upenn/cis455/mapreduce/job/WordCount.java:23-52).
+    """
+    e = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionByName(
+            pairs.select(
+                F.col("doc_b").alias("a"), F.col("doc_a").alias("b")
+            )
+        )
+        .localCheckpoint()  # feeds wedge self-join + degree count
+    )
+    degs = e.groupBy(F.col("a").alias("doc_id")).agg(
+        F.count("*").alias("deg")
+    )
+    wedges = (
+        e.select(F.col("a").alias("hub"), F.col("b").alias("doc_a"))
+        .join(
+            e.select(F.col("a").alias("hub"), F.col("b").alias("doc_b")),
+            "hub",
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    cand = wedges.join(
+        pairs.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti"
+    )  # keyed anti-join; pair list scales with dup rate, so no broadcast
+    da = degs.select(F.col("doc_id").alias("doc_a"), F.col("deg").alias("deg_a"))
+    db = degs.select(F.col("doc_id").alias("doc_b"), F.col("deg").alias("deg_b"))
+    return (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("common").alias("common_neighbors"),
+            F.round(
+                F.col("common")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -1091,3 +1091,119 @@ def event_paths_topk(events: DataFrame, k: int = 20) -> DataFrame:
         .orderBy(F.desc("n_paths"), F.asc("path"))
         .limit(k)
     )
+
+
+def interval_gaps(events: DataFrame) -> DataFrame:
+    """Idle-gap extraction between a user's merged activity spans --
+    the inverse of ``interval_merge`` and the other half of the
+    gaps-and-islands pattern (dormancy windows, SLA silence periods,
+    session inter-arrival analysis all read the GAPS, not the spans).
+
+    Plan: reuse ``interval_merge``'s island coalescing verbatim, then
+    ONE extra window pass over (user_id ORDER BY island) lags the
+    previous span end.  Consecutive islands have a strictly positive
+    gap by construction (an island starts exactly where the running
+    max of prior ends is exceeded), so the lag row is the whole
+    answer -- no joins, and the added window repartitions on the same
+    user_id key the merge aggregate just grouped on.
+
+    Gap arithmetic stays in integer microseconds (the
+    ``interval_merge`` discipline) so both engines agree bit-for-bit;
+    emits (user_id, gap_start, gap_end, gap_s) -- one row per idle
+    window between two consecutive spans of one user.
+
+    Reference licence: composition target -- chained-jobs model
+    (SURVEY.md §2A FIFO queue) over the WordCount substrate
+    (src/edu/upenn/cis455/mapreduce/job/WordCount.java:23-52).
+    """
+    from pyspark.sql import Window
+
+    spans = interval_merge(events).select(
+        "user_id",
+        "island",
+        F.unix_micros("span_start").alias("s_us"),
+        F.unix_micros("span_end").alias("e_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("island")
+    prev_end = F.lag("e_us").over(w)
+    return (
+        spans.select(
+            "user_id",
+            prev_end.alias("g_us"),
+            F.col("s_us"),
+        )
+        .filter(F.col("g_us").isNotNull())
+        .select(
+            "user_id",
+            F.timestamp_micros(F.col("g_us")).alias("gap_start"),
+            F.timestamp_micros(F.col("s_us")).alias("gap_end"),
+            # 4-decimal seconds via INTEGER half-up on the exact micros
+            # delta -- round(double, 4) puts the two engines on
+            # opposite sides of the .xx5 boundary for some deltas
+            (
+                F.expr("div(s_us - g_us + 50, 100)") / F.lit(10_000.0)
+            ).alias("gap_s"),
+        )
+    )
+
+
+def window_ewma(
+    events: DataFrame, alpha: float = 0.25, span: int = 24
+) -> DataFrame:
+    """Exponentially-weighted moving average of each user's event
+    values -- the smoothing primitive behind rate dashboards and
+    drift monitors (recent points dominate, old ones decay
+    geometrically).
+
+    The textbook recursion ``y_i = a*x_i + (1-a)*y_{i-1}`` is
+    inherently sequential; the distributed formulation truncates the
+    geometric tail at ``span`` lags (weight beyond 24 lags of 0.75 is
+    < 0.1% -- the standard pandas ``ewm(..., adjust=True)``
+    normalized form) so each row is a PURE function of its bounded
+    frame:
+
+        y_i = sum_{j=0..m} (1-a)^j x_{i-j} / sum_{j=0..m} (1-a)^j
+
+    Plan: one window over (user_id ORDER BY ts, event_id) collects
+    the bounded 24-row frame (``collect_list`` preserves frame
+    order), then a row-local fold weights it -- no self-join, no
+    explode, one exchange on user_id shared with nothing else.
+
+    Cross-engine exactness: ``1-a = 0.75 = 3/4``, so ``0.75^j`` for
+    ``j <= 23`` (3^23 < 2^37) is EXACTLY representable in a double --
+    ``pow`` returns the identical bit pattern in the JVM and DuckDB,
+    the weighted sums add the same doubles in the same frame order,
+    and the 6-decimal round lands identically.  The denominator uses
+    the closed geometric form ``(1 - 0.75^n) / 0.25``.
+
+    Emits (event_id, user_id, ts, value, ewma).
+
+    Reference licence: composition target -- chained-jobs model
+    (SURVEY.md §2A FIFO queue) over the WordCount substrate
+    (src/edu/upenn/cis455/mapreduce/job/WordCount.java:23-52).
+    """
+    from pyspark.sql import Window
+
+    decay = 1.0 - alpha
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(span - 1), 0)
+    )
+    vals = F.collect_list("value").over(w)
+    return events.select(
+        "event_id", "user_id", "ts", "value", vals.alias("vals")
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.round(
+            F.expr(
+                f"aggregate(zip_with(vals, sequence(size(vals) - 1, 0, -1),"
+                f" (v, e) -> v * pow({decay!r}, e)), 0D, (acc, x) -> acc + x)"
+                f" / ((1.0 - pow({decay!r}, size(vals))) / {alpha!r})"
+            ),
+            6,
+        ).alias("ewma"),
+    )

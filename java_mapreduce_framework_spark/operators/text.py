@@ -1779,6 +1779,19 @@ def bpe_train(documents: DataFrame, n_merges: int = 6) -> DataFrame:
     Reference licence: WordCount substrate
     (src/edu/upenn/cis455/mapreduce/job/WordCount.java:23-52) +
     chained-jobs model (SURVEY.md §2A FIFO queue)."""
+    merges, _ = _bpe_loop(documents, n_merges)
+    out = merges[0]
+    for mdf in merges[1:]:
+        out = out.unionByName(mdf)
+    return out
+
+
+def _bpe_loop(documents: DataFrame, n_merges: int):
+    """Shared BPE merge loop: returns (per-step merge DataFrames, the
+    FINAL vocab symbol stream).  ``bpe_train`` unions the former;
+    ``bpe_encode`` consumes the latter -- after N rounds the state IS
+    each distinct word's post-merge token stream, so encoding costs
+    nothing beyond the training it already paid for."""
     vocab = words_exploded(documents).groupBy("word").agg(
         F.count("*").alias("word_freq")
     )
@@ -1845,7 +1858,44 @@ def bpe_train(documents: DataFrame, n_merges: int = 6) -> DataFrame:
             )
             .localCheckpoint()
         )
-    out = merges[0]
-    for mdf in merges[1:]:
-        out = out.unionByName(mdf)
-    return out
+    return merges, sympos
+
+
+def bpe_encode(documents: DataFrame, n_merges: int = 6) -> DataFrame:
+    """Corpus tokenization under the learned BPE merges -- the apply
+    half of the tokenizer lifecycle (``bpe_train`` learns the merge
+    table; this measures what it does to the corpus: token counts and
+    compression, the numbers a data pipeline budgets training runs
+    with, cf. ``corpus_token_budget``).
+
+    Key factorization: a word's post-merge token count depends only
+    on the WORD, and after ``bpe_train``'s N rounds the vocab symbol
+    stream already IS each distinct word's encoded form.  So encoding
+    adds zero extra merge passes: count surviving symbols per word
+    (vocab-bounded), then one keyed join from the exploded corpus
+    back to that per-word token count -- the corpus is scanned once
+    for training and once here, never per-round.
+
+    Emits (doc_id, n_words, n_tokens, chars_per_token): words kept,
+    BPE tokens under the learned merges, and word-chars per token
+    (the compression ratio, rounded to 4).
+
+    Reference licence: WordCount substrate
+    (src/edu/upenn/cis455/mapreduce/job/WordCount.java:23-52) +
+    chained-jobs model (SURVEY.md §2A FIFO queue)."""
+    _, sympos = _bpe_loop(documents, n_merges)
+    tok_per_word = sympos.groupBy("word").agg(
+        F.count("*").alias("n_tok")
+    )
+    return (
+        words_exploded(documents)
+        .join(tok_per_word, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.round(
+                F.sum(F.length("word")) / F.sum("n_tok"), 4
+            ).alias("chars_per_token"),
+        )
+    )

@@ -5895,6 +5895,36 @@ def _bpe_train_oracle_sql(n_merges: int = 6) -> str:
     pair-count -> top-1 -> run-parity greedy merge, spelled in
     DuckDB's dialect. Generated, not hand-written, so the round
     template provably cannot drift between rounds."""
+    finals = " UNION ALL ".join(
+        f"SELECT {x} AS step, a AS sym_a, b AS sym_b, "
+        f"CAST(n_pair AS BIGINT) AS n_pair, a || b AS new_sym FROM t{x}"
+        for x in range(1, n_merges + 1)
+    )
+    return "WITH " + _bpe_ctes(n_merges) + "\n    " + finals
+
+
+def _bpe_encode_oracle_sql(n_merges: int = 6) -> str:
+    """Encode oracle over the SAME generated merge-round chain as
+    ``_bpe_train_oracle_sql`` (one template, two finals): the final
+    round's state r{N} is each distinct word's encoded symbol stream,
+    so per-word token counts join straight onto the exploded corpus."""
+    return (
+        "WITH " + _bpe_ctes(n_merges) + f""",
+    tokw AS (SELECT word, count(*) AS n_tok
+             FROM r{n_merges} GROUP BY word),
+    docw AS (SELECT doc_id, unnest({_TOKS}) AS word FROM documents)
+    SELECT w.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(t.n_tok) AS BIGINT) AS n_tokens,
+           round(sum(length(w.word)) * 1.0 / sum(t.n_tok), 4)
+             AS chars_per_token
+    FROM docw w JOIN tokw t USING (word)
+    GROUP BY w.doc_id
+    """
+    )
+
+
+def _bpe_ctes(n_merges: int) -> str:
     ctes = [f"""
     vocab AS (
       SELECT word, count(*) AS word_freq
@@ -5946,12 +5976,7 @@ def _bpe_train_oracle_sql(n_merges: int = 6) -> str:
                   AS INTEGER) AS pos,
              CASE WHEN active THEN sym || nxt ELSE sym END AS sym
       FROM d{x} WHERE NOT dropped)""")
-    finals = " UNION ALL ".join(
-        f"SELECT {x} AS step, a AS sym_a, b AS sym_b, "
-        f"CAST(n_pair AS BIGINT) AS n_pair, a || b AS new_sym FROM t{x}"
-        for x in range(1, n_merges + 1)
-    )
-    return "WITH " + ",".join(ctes) + "\n    " + finals
+    return ",".join(ctes)
 
 
 @_register(
@@ -5995,6 +6020,168 @@ def _dedup_index_append(spark, sf):
     survivors = dedup.dedup_incremental_apply(spark, batch1, name)
     dedup.dedup_index_append(spark, survivors, name, append_fp=fp)
     return dedup.dedup_incremental_minhash(spark, batch2, name)
+
+
+@_register(
+    "bpe_encode",
+    _bpe_encode_oracle_sql(6),
+    note="apply half of the BPE lifecycle: per-word token counts read "
+    "straight off bpe_train's final vocab state (a word's encoding "
+    "depends only on the word -- zero extra merge passes), one keyed "
+    "join onto the exploded corpus; per-doc token counts and "
+    "chars-per-token compression; oracle shares the generated "
+    "merge-round CTE template with bpe_train",
+)
+def _bpe_encode(spark, sf):
+    return text.bpe_encode(_t(spark, sf, "documents"))
+
+
+@_register(
+    "graph_common_neighbors",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    cooc AS (
+      SELECT a.l_partkey AS doc_a, b.l_partkey AS doc_b
+      FROM op a
+      JOIN op b ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM cooc
+              UNION ALL SELECT doc_b, doc_a FROM cooc),
+    degs AS (SELECT a AS doc_id, count(*) AS deg FROM edges GROUP BY a),
+    wedge AS (
+      SELECT e1.b AS doc_a, e2.b AS doc_b, count(*) AS common
+      FROM edges e1 JOIN edges e2 ON e1.a = e2.a AND e1.b < e2.b
+      GROUP BY 1, 2),
+    cand AS (
+      SELECT w.* FROM wedge w
+      LEFT JOIN cooc p ON p.doc_a = w.doc_a AND p.doc_b = w.doc_b
+      WHERE p.doc_a IS NULL)
+    SELECT c.doc_a AS part_a, c.doc_b AS part_b,
+           CAST(c.common AS BIGINT) AS common_neighbors,
+           round(c.common * 1.0 / (da.deg + db.deg - c.common), 6)
+             AS jaccard
+    FROM cand c
+    JOIN degs da ON da.doc_id = c.doc_a
+    JOIN degs db ON db.doc_id = c.doc_b
+    """,
+    note="common-neighbor link prediction (Liben-Nowell--Kleinberg) "
+    "over the co-purchase graph (parts sharing >= 2 orders): "
+    "neighborhood-Jaccard scores for non-adjacent part pairs -- the "
+    "recommender candidate generator; the near-dup doc graph is a "
+    "union of cliques (zero open wedges) so the basket graph is the "
+    "non-degenerate target; wedge fan-out bounded by deg(hub)^2, "
+    "keyed anti-join drops existing edges, no adjacency arrays",
+)
+def _graph_common_neighbors(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    cooc = (
+        op.alias("a")
+        .join(
+            op.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("doc_a"),
+            F.col("b.l_partkey").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .select("doc_a", "doc_b")
+    )
+    return dedup.common_neighbors(cooc).select(
+        F.col("doc_a").alias("part_a"),
+        F.col("doc_b").alias("part_b"),
+        "common_neighbors",
+        "jaccard",
+    )
+
+
+@_register(
+    "interval_gaps",
+    """
+    WITH base AS (
+      SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS s_us,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               + CAST(floor(value * 1000000.0) AS BIGINT) AS e_us
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, s_us, e_us,
+             CASE WHEN max(e_us) OVER (
+                    PARTITION BY user_id ORDER BY s_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) IS NULL
+                  OR s_us > max(e_us) OVER (
+                    PARTITION BY user_id ORDER BY s_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  )
+             THEN 1 ELSE 0 END AS new_island
+      FROM base
+    ),
+    islands AS (
+      SELECT user_id, s_us, e_us,
+             sum(new_island) OVER (
+               PARTITION BY user_id ORDER BY s_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS island
+      FROM flagged
+    ),
+    spans AS (
+      SELECT user_id, island, min(s_us) AS s_us, max(e_us) AS e_us
+      FROM islands GROUP BY user_id, island
+    ),
+    lagd AS (
+      SELECT user_id, s_us,
+             lag(e_us) OVER (PARTITION BY user_id ORDER BY island)
+               AS g_us
+      FROM spans
+    )
+    SELECT user_id,
+           make_timestamp(g_us) AS gap_start,
+           make_timestamp(s_us) AS gap_end,
+           ((s_us - g_us + 50) // 100) / 10000.0 AS gap_s
+    FROM lagd WHERE g_us IS NOT NULL
+    """,
+    note="idle-gap extraction between merged activity spans (the "
+    "inverse of interval_merge): island coalescing reused verbatim "
+    "plus one lag window on the SAME user_id key; integer-microsecond "
+    "boundary math end to end",
+)
+def _interval_gaps(spark, sf):
+    return temporal.interval_gaps(_t(spark, sf, "events"))
+
+
+@_register(
+    "window_ewma",
+    """
+    WITH fr AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             list(value) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS vals
+      FROM events
+    )
+    SELECT event_id, user_id, ts, value,
+           round(
+             list_sum(list_transform(
+               vals, (v, i) -> v * pow(0.75, len(vals) - i)))
+             / ((1.0 - pow(0.75, len(vals))) / 0.25), 6) AS ewma
+    FROM fr
+    """,
+    note="bounded-frame exact EWMA (pandas ewm adjust=True semantics, "
+    "24-lag truncation): collect_list over one user_id window + "
+    "row-local weighted fold -- no self-join, no explode; 0.75^j for "
+    "j<=23 is exactly representable in a double so both engines "
+    "produce bit-identical weighted sums",
+)
+def _window_ewma(spark, sf):
+    return temporal.window_ewma(_t(spark, sf, "events"))
 
 
 # ---------------------------------------------- registration priority
@@ -6141,7 +6328,11 @@ _RECORDED_ROUND5 = frozenset(
 #: narrower two-pattern version), so they outrank even the
 #: never-recorded tier: fresh code is where a surprise is most likely.
 _FRESH_ROUND6 = frozenset(
-    {"dedup_substring", "bpe_train", "dedup_index_append", "pii_redact"}
+    {
+        "dedup_substring", "bpe_train", "dedup_index_append", "pii_redact",
+        "bpe_encode", "graph_common_neighbors", "interval_gaps",
+        "window_ewma",
+    }
 )
 
 

@@ -701,3 +701,36 @@ def test_index_append_probe_equals_scratch_rebuild(spark, sf_small):
         for r in dedup.dedup_incremental_minhash(spark, batch2, "mh_app_b").collect()
     )
     assert appended == scratch
+
+
+def test_common_neighbors_square_graph(spark):
+    """4-cycle a-b-c-d-a: the two diagonals are the only non-edges,
+    each sharing BOTH neighbors -> common=2, jaccard = 2/(2+2-2) = 1;
+    existing edges must not appear."""
+    from java_mapreduce_framework_spark.operators.dedup import common_neighbors
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["common_neighbors"], r["jaccard"])
+        for r in common_neighbors(pairs).collect()
+    }
+    assert got == {(1, 3): (2, 1.0), (2, 4): (2, 1.0)}
+
+
+def test_common_neighbors_path_graph(spark):
+    """Path 1-2-3: single candidate (1,3) through hub 2 with
+    jaccard 1/(1+1-1)=1; triangle 5-6-7 is closed -> contributes
+    nothing."""
+    from java_mapreduce_framework_spark.operators.dedup import common_neighbors
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (6, 7), (5, 7)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["common_neighbors"]
+        for r in common_neighbors(pairs).collect()
+    }
+    assert got == {(1, 3): 1}

@@ -515,3 +515,75 @@ def test_interval_merge_spans_cover_events(spark, sf_small):
     )
     assert bad == 0
     assert merged.agg(F.sum("n_events")).collect()[0][0] == ev.count()
+
+
+def test_interval_gaps_are_the_span_complement(spark):
+    import datetime as dt
+
+    from java_mapreduce_framework_spark.operators.temporal import interval_gaps
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    # user A spans: [0, 90] (two fused events) then [200, 260] then
+    # [500, 560] -> gaps [90, 200] (110 s) and [260, 500] (240 s).
+    # user B has one span -> no gaps.
+    rows = [
+        (1, base, "A", 60.0),
+        (2, base + dt.timedelta(seconds=30), "A", 60.0),
+        (3, base + dt.timedelta(seconds=200), "A", 60.0),
+        (4, base + dt.timedelta(seconds=500), "A", 60.0),
+        (5, base, "B", 60.0),
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "value"])
+    got = sorted(
+        (r["user_id"], r["gap_start"], r["gap_end"], r["gap_s"])
+        for r in interval_gaps(ev).collect()
+    )
+    assert got == [
+        ("A", base + dt.timedelta(seconds=90),
+         base + dt.timedelta(seconds=200), 110.0),
+        ("A", base + dt.timedelta(seconds=260),
+         base + dt.timedelta(seconds=500), 240.0),
+    ]
+
+
+def test_interval_gaps_positive_and_count(spark, sf_small):
+    from pyspark.sql import functions as F
+
+    from java_mapreduce_framework_spark.operators.temporal import (
+        interval_gaps,
+        interval_merge,
+    )
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_small, "events")
+    gaps = interval_gaps(ev)
+    # strictly positive by island construction
+    assert gaps.filter(F.col("gap_s") <= 0).count() == 0
+    # exactly one gap between each consecutive span pair of a user
+    n_gaps = gaps.count()
+    per_user = interval_merge(ev).groupBy("user_id").count().collect()
+    assert n_gaps == sum(r["count"] - 1 for r in per_user)
+
+
+def test_window_ewma_matches_pandas_reference(spark):
+    import datetime as dt
+
+    import pandas as pd
+
+    from java_mapreduce_framework_spark.operators.temporal import window_ewma
+
+    base = dt.datetime(2026, 1, 1)
+    vals = [2.0, 4.0, 8.0, 1.0, 3.0, 9.0, 27.0, 5.0]
+    rows = [
+        (i, base + dt.timedelta(seconds=i), 1, v)
+        for i, v in enumerate(vals)
+    ] + [(100, base, 2, 7.0)]
+    ev = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "value"])
+    got = {
+        r["event_id"]: r["ewma"] for r in window_ewma(ev).collect()
+    }
+    # groups shorter than the 24-lag truncation match pandas exactly
+    ref = pd.Series(vals).ewm(alpha=0.25, adjust=True).mean()
+    for i, want in enumerate(ref):
+        assert abs(got[i] - want) < 1e-6, (i, got[i], want)
+    assert got[100] == 7.0  # single-row frame: ewma == value

@@ -725,3 +725,42 @@ def test_pii_redact_stage_order_prevents_double_matches(spark):
     assert out[3]["redacted"] == "v6 <IPV6> v4 <IPV4>"
     assert out[4]["n_ipv6"] == 0 and out[4]["n_ipv4"] == 0
     assert out[4]["redacted"] == rows[3][1]  # untouched
+
+
+def test_bpe_encode_crafted_corpus(spark):
+    """Hand-traced encode under two merges: (a,a) then (aa,aa), so
+    'aaaa' collapses to ONE token while 'ab' (untouched by both
+    merges) stays two symbols."""
+    from java_mapreduce_framework_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaaa"), (2, "aaaa ab")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"], r["chars_per_token"])
+        for r in T.bpe_encode(docs, n_merges=2).collect()
+    }
+    assert got == {1: (2, 2, 4.0), 2: (2, 3, 2.0)}
+
+
+def test_bpe_encode_monotone_in_merges(spark, sf_small):
+    """More merges never increase the corpus token count, and zero
+    information is lost: n_words <= n_tokens <= total word chars."""
+    from pyspark.sql import functions as F
+
+    from java_mapreduce_framework_spark.operators import text as T
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents").limit(60)
+    tot = {
+        n: T.bpe_encode(docs, n_merges=n)
+        .agg(
+            F.sum("n_tokens").alias("t"),
+            F.sum("n_words").alias("w"),
+        )
+        .collect()[0]
+        for n in (1, 4)
+    }
+    assert tot[4]["t"] <= tot[1]["t"]
+    assert tot[4]["w"] == tot[1]["w"]
+    assert tot[4]["t"] >= tot[4]["w"]
