@@ -858,3 +858,86 @@ def basket_lift_topk(
         )
         .limit(top)
     )
+
+
+def welch_ttest(events: DataFrame) -> DataFrame:
+    """Welch's unequal-variance t-test per event type -- the
+    mean-effect readout that pairs with ``ab_test_ztest``'s
+    proportion test: users hash deterministically into A/B and the
+    test asks whether the metric ``value`` differs between arms
+    (unequal variances assumed, the safe default; dof via
+    Welch--Satterthwaite).
+
+    Execution: per-arm means first (alphabet x 2 rows, rounded to 6
+    to pin the centering constant cross-engine -- the
+    ``stats_moments`` discipline), broadcast back, then ONE grouped
+    pass of centered squares; t and the Welch dof are pure row-local
+    arithmetic on the (event_type)-sized result. Nothing after the
+    first aggregate scales with the corpus.
+
+    Emits (event_type, n_a, n_b, mean_a, mean_b, t_stat, df,
+    significant) with |t| >= 1.96 flagged (the large-sample normal
+    cut, consistent with the z-test readout).
+
+    Reference licence: composition target -- chained-jobs model
+    (SURVEY.md §2A FIFO queue) over the WordCount substrate
+    (src/edu/upenn/cis455/mapreduce/job/WordCount.java:23-52).
+    """
+    variant = F.when(
+        F.substring(
+            F.md5(
+                F.concat_ws("|", F.lit("ab"), F.col("user_id").cast("string"))
+            ),
+            1,
+            1,
+        )
+        < F.lit("8"),
+        "A",
+    ).otherwise("B")
+    base = events.select(
+        "event_type", variant.alias("variant"), "value"
+    )
+    mu = base.groupBy("event_type", "variant").agg(
+        F.round(F.avg("value"), 6).alias("mu")
+    )
+    d = F.col("value") - F.col("mu")
+    cell = (
+        base.join(F.broadcast(mu), ["event_type", "variant"])
+        .groupBy("event_type", "variant")
+        .agg(
+            F.count("*").alias("n"),
+            F.max("mu").alias("mu"),
+            F.sum(d * d).alias("css"),
+        )
+    )
+    pick = lambda v, c: F.max(F.when(F.col("variant") == v, F.col(c)))  # noqa: E731
+    wide = cell.groupBy("event_type").agg(
+        pick("A", "n").alias("n_a"),
+        pick("B", "n").alias("n_b"),
+        pick("A", "mu").alias("mean_a"),
+        pick("B", "mu").alias("mean_b"),
+        pick("A", "css").alias("css_a"),
+        pick("B", "css").alias("css_b"),
+    )
+    va = F.col("css_a") / (F.col("n_a") - 1) / F.col("n_a")  # s_a^2 / n_a
+    vb = F.col("css_b") / (F.col("n_b") - 1) / F.col("n_b")
+    t = (F.col("mean_a") - F.col("mean_b")) / F.sqrt(va + vb)
+    df = (va + vb) * (va + vb) / (
+        va * va / (F.col("n_a") - 1) + vb * vb / (F.col("n_b") - 1)
+    )
+    # zero pooled variance carries no test (and trips ANSI 0/0):
+    # degenerate cells drop on both engines, like ab_test's pp guard
+    return wide.filter(
+        (F.col("n_a") > 1)
+        & (F.col("n_b") > 1)
+        & (F.col("css_a") + F.col("css_b") > 0)
+    ).select(
+        "event_type",
+        "n_a",
+        "n_b",
+        "mean_a",
+        "mean_b",
+        F.round(t, 4).alias("t_stat"),
+        F.round(df, 2).alias("df"),
+        (F.abs(t) >= 1.96).alias("significant"),
+    )

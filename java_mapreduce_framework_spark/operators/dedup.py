@@ -2045,3 +2045,56 @@ def common_neighbors(pairs: DataFrame) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+def kcore(pairs: DataFrame, k: int = 3, rounds: int = 10) -> DataFrame:
+    """Fixed-round k-core peel -- the density filter a graph pipeline
+    runs before community/influence analysis (nodes outside the
+    k-core are tree-like fringe; inside, every member keeps >= k
+    neighbors WITHIN the core).
+
+    Synchronous peel, ``rounds`` iterations: each round drops every
+    node whose CURRENT degree is < k, then restricts the edge list to
+    surviving endpoints. Fixed round count (the
+    ``graph_label_propagation`` contract) keeps the result a pure
+    function of (graph, k, rounds) with no convergence probe -- at
+    the test SF, 10 rounds converge (verified in tests); a deeper
+    graph peels further rounds by raising the knob.
+
+    Per round: one degree aggregate + two semi-joins, all keyed on
+    node ids; state is the (a, b) edge list, eagerly
+    ``localCheckpoint``'ed so round N+1 plans from materialized state
+    (pagerank lineage discipline) -- never more than one round deep.
+
+    Emits (node_id, core_deg): surviving nodes with their final
+    within-core degree.
+
+    Reference licence: composition target -- chained-jobs model
+    (SURVEY.md §2A FIFO queue) over the WordCount substrate
+    (src/edu/upenn/cis455/mapreduce/job/WordCount.java:23-52).
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionByName(
+            pairs.select(
+                F.col("doc_b").alias("a"), F.col("doc_a").alias("b")
+            )
+        )
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        keep = (
+            edges.groupBy("a")
+            .agg(F.count("*").alias("d"))
+            .filter(F.col("d") >= k)
+            .select("a")
+        )
+        edges = (
+            edges.join(keep, "a", "left_semi")
+            .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint()
+        )
+    return edges.groupBy(F.col("a").alias("node_id")).agg(
+        F.count("*").alias("core_deg")
+    )

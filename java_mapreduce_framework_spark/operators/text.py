@@ -1899,3 +1899,100 @@ def bpe_encode(documents: DataFrame, n_merges: int = 6) -> DataFrame:
             ).alias("chars_per_token"),
         )
     )
+
+
+def rake_keyphrases(documents: DataFrame, top_k: int = 3) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) -- the classic
+    unsupervised per-document keyword miner: candidate phrases are
+    maximal stopword-free token runs; each word scores
+    degree/frequency over the doc's phrases (words that live in long
+    phrases and repeat little score high); a phrase scores the sum of
+    its word scores; top-k phrases per doc survive.
+
+    Boundary set: the union of the three ``STOPWORDS`` lists (the
+    declared deterministic language substrate; real RAKE ships a
+    fuller list as a broadcast side input).
+
+    Cross-engine exactness: word score = deg/freq is an arbitrary
+    rational, and summing rounded doubles is ADDITION-ORDER dependent
+    at the ulp -- so scores ride as exact integer MICRO-units
+    (``div(deg * 1e6, freq)``, floor division of exact bigints) and
+    only the final emitted score divides once by 1e6. Integer sums
+    are order-free; both engines rank identical numbers.
+
+    Plan shape: one posexplode scan, run-id islands via the
+    lag+running-sum window pair (the ``interval_merge`` discipline),
+    phrase length by a count window on the SAME (doc, run) keys, word
+    stats as one combinable (doc, word) aggregate joined back, phrase
+    rebuild as a sort-free array_sort(collect_list(struct)), top-k by
+    rank window per doc. Every exchange keys on doc_id (+run/word);
+    nothing corpus-global.
+
+    Emits (doc_id, rank, phrase, score).
+
+    Reference licence: WordCount substrate
+    (src/edu/upenn/cis455/mapreduce/job/WordCount.java:23-52) +
+    chained-jobs model (SURVEY.md §2A FIFO queue).
+    """
+    from pyspark.sql import Window
+
+    stops = [w for ws in STOPWORDS.values() for w in ws]
+    toks = documents.select(
+        "doc_id",
+        F.posexplode(tokens_col("text")).alias("pos", "word"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    keep = ~F.col("word").isin(stops)
+    flagged = toks.select(
+        "doc_id",
+        "pos",
+        "word",
+        keep.alias("keep"),
+        (
+            keep & ~F.coalesce(F.lag(keep).over(w), F.lit(False))
+        ).cast("int").alias("run_start"),
+    )
+    runs = flagged.withColumn(
+        "run_id",
+        F.sum("run_start").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    ).filter("keep")
+    w_run = Window.partitionBy("doc_id", "run_id")
+    sized = runs.withColumn("plen", F.count("*").over(w_run))
+    wstats = (
+        sized.groupBy("doc_id", "word")
+        .agg(
+            F.count("*").alias("freq"),
+            F.sum("plen").alias("deg"),
+        )
+        .withColumn("score_u", F.expr("div(deg * 1000000, freq)"))
+        .select("doc_id", "word", "score_u")
+    )
+    phrases = (
+        sized.join(wstats, ["doc_id", "word"])
+        .groupBy("doc_id", "run_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda s: s["word"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.sum("score_u").alias("score_u"),
+        )
+        .select("doc_id", "phrase", "score_u")
+        .distinct()
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(
+        F.col("score_u").desc(), "phrase"
+    )
+    return (
+        phrases.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "doc_id",
+            "rank",
+            "phrase",
+            (F.col("score_u") / F.lit(1_000_000.0)).alias("score"),
+        )
+    )

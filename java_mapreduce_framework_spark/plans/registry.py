@@ -4320,6 +4320,63 @@ def _ab_test_ztest(spark, sf):
 
 
 @_register(
+    "stats_ttest_welch",
+    """
+    WITH base AS (
+      SELECT event_type,
+             CASE WHEN substr(md5('ab|' || CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 'A' ELSE 'B' END AS variant,
+             value
+      FROM events
+    ),
+    mu AS (
+      SELECT event_type, variant, round(avg(value), 6) AS mu
+      FROM base GROUP BY 1, 2
+    ),
+    cell AS (
+      SELECT b.event_type, b.variant, count(*) AS n, max(m.mu) AS mu,
+             sum((b.value - m.mu) * (b.value - m.mu)) AS css
+      FROM base b
+      JOIN mu m ON m.event_type = b.event_type AND m.variant = b.variant
+      GROUP BY 1, 2
+    ),
+    wide AS (
+      SELECT event_type,
+             max(CASE WHEN variant = 'A' THEN n END) AS n_a,
+             max(CASE WHEN variant = 'B' THEN n END) AS n_b,
+             max(CASE WHEN variant = 'A' THEN mu END) AS mean_a,
+             max(CASE WHEN variant = 'B' THEN mu END) AS mean_b,
+             max(CASE WHEN variant = 'A' THEN css END) AS css_a,
+             max(CASE WHEN variant = 'B' THEN css END) AS css_b
+      FROM cell GROUP BY event_type
+    ),
+    scored AS (
+      SELECT *,
+             css_a / (n_a - 1) / n_a AS va,
+             css_b / (n_b - 1) / n_b AS vb
+      FROM wide
+      WHERE n_a > 1 AND n_b > 1 AND css_a + css_b > 0
+    )
+    SELECT event_type,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           mean_a, mean_b,
+           round((mean_a - mean_b) / sqrt(va + vb), 4) AS t_stat,
+           round((va + vb) * (va + vb)
+                 / (va * va / (n_a - 1) + vb * vb / (n_b - 1)), 2) AS df,
+           abs((mean_a - mean_b) / sqrt(va + vb)) >= 1.96 AS significant
+    FROM scored
+    """,
+    note="Welch unequal-variance t-test per event type over the same "
+    "deterministic hash A/B split as ab_test_ztest: per-arm means "
+    "rounded 6 to pin the centering constant (stats_moments "
+    "discipline), one centered-squares pass, Welch-Satterthwaite dof "
+    "as row-local arithmetic on the alphabet-sized result",
+)
+def _stats_ttest_welch(spark, sf):
+    return analytics.welch_ttest(_t(spark, sf, "events"))
+
+
+@_register(
     "train_shuffle_shard",
     """
     WITH keyed AS (
@@ -6074,10 +6131,13 @@ def _bpe_encode(spark, sf):
     "non-degenerate target; wedge fan-out bounded by deg(hub)^2, "
     "keyed anti-join drops existing edges, no adjacency arrays",
 )
-def _graph_common_neighbors(spark, sf):
+def _copurchase_pairs(spark, sf):
+    """(doc_a, doc_b) part pairs co-occurring in >= 2 orders -- the
+    shared edge substrate for the basket-graph family
+    (graph_common_neighbors, graph_kcore)."""
     li = _t(spark, sf, "lineitem")
     op = li.select("l_orderkey", "l_partkey").distinct()
-    cooc = (
+    return (
         op.alias("a")
         .join(
             op.alias("b"),
@@ -6092,7 +6152,10 @@ def _graph_common_neighbors(spark, sf):
         .filter(F.col("n_orders") >= 2)
         .select("doc_a", "doc_b")
     )
-    return dedup.common_neighbors(cooc).select(
+
+
+def _graph_common_neighbors(spark, sf):
+    return dedup.common_neighbors(_copurchase_pairs(spark, sf)).select(
         F.col("doc_a").alias("part_a"),
         F.col("doc_b").alias("part_b"),
         "common_neighbors",
@@ -6154,6 +6217,116 @@ def _graph_common_neighbors(spark, sf):
 )
 def _interval_gaps(spark, sf):
     return temporal.interval_gaps(_t(spark, sf, "events"))
+
+
+_RAKE_STOPS = "('" + "','".join(
+    w for ws in text.STOPWORDS.values() for w in ws
+) + "')"
+
+
+@_register(
+    "text_rake_keyphrases",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS pos, t[i] AS word
+      FROM (SELECT doc_id, {_TOKS} AS t FROM documents),
+           unnest(range(1, len(t) + 1)) AS u(i)
+    ),
+    flagged AS (
+      SELECT doc_id, pos, word,
+             word NOT IN {_RAKE_STOPS} AS keep,
+             CASE WHEN word NOT IN {_RAKE_STOPS}
+                   AND NOT coalesce(
+                     lag(word NOT IN {_RAKE_STOPS}) OVER (
+                       PARTITION BY doc_id ORDER BY pos), FALSE)
+                  THEN 1 ELSE 0 END AS run_start
+      FROM toks),
+    runs0 AS (
+      SELECT *, sum(run_start) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM flagged),
+    runs AS (SELECT * FROM runs0 WHERE keep),
+    sized AS (
+      SELECT *, count(*) OVER (PARTITION BY doc_id, run_id) AS plen
+      FROM runs),
+    wstats AS (
+      SELECT doc_id, word,
+             (sum(plen) * 1000000) // count(*) AS score_u
+      FROM sized GROUP BY doc_id, word),
+    phr AS (
+      SELECT DISTINCT s.doc_id,
+             string_agg(s.word, ' ' ORDER BY s.pos) AS phrase,
+             sum(ws.score_u) AS score_u
+      FROM sized s
+      JOIN wstats ws ON ws.doc_id = s.doc_id AND ws.word = s.word
+      GROUP BY s.doc_id, s.run_id)
+    SELECT doc_id,
+           CAST(row_number() OVER (
+             PARTITION BY doc_id ORDER BY score_u DESC, phrase)
+             AS INTEGER) AS rank,
+           phrase,
+           score_u / 1000000.0 AS score
+    FROM phr
+    QUALIFY rank <= 3
+    """,
+    note="RAKE keyphrase extraction (Rose et al. 2010): stopword-free "
+    "token runs as candidate phrases, word degree/frequency scores, "
+    "top-3 phrases per doc; scores ride as exact integer micro-units "
+    "(floor-div of bigints) because summing rounded doubles is "
+    "addition-order dependent; islands via the interval_merge "
+    "lag+running-sum pair, every exchange keyed on doc_id",
+)
+def _text_rake_keyphrases(spark, sf):
+    return text.rake_keyphrases(_t(spark, sf, "documents"))
+
+
+def _kcore_oracle_sql(k: int = 3, rounds: int = 10) -> str:
+    """Unrolled fixed-round synchronous k-core peel over the
+    co-purchase graph (the graph_label_propagation oracle pattern):
+    per round one degree aggregate + an endpoint-restriction CTE."""
+    head = """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    cooc AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM op a
+      JOIN op b ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2),
+    e0 AS MATERIALIZED (SELECT pa AS a, pb AS b FROM cooc
+           UNION ALL SELECT pb, pa FROM cooc)"""
+    blocks = []
+    for r in range(1, rounds + 1):
+        blocks.append(f""",
+    keep{r} AS MATERIALIZED (SELECT a FROM e{r - 1} GROUP BY a
+                HAVING count(*) >= {k}),
+    e{r} AS MATERIALIZED (
+      SELECT e.a, e.b FROM e{r - 1} e
+      JOIN keep{r} ka ON ka.a = e.a
+      JOIN keep{r} kb ON kb.a = e.b)"""
+        )
+    return (
+        head
+        + "".join(blocks)
+        + f"""
+    SELECT a AS node_id, CAST(count(*) AS BIGINT) AS core_deg
+    FROM e{rounds} GROUP BY a
+    """
+    )
+
+
+@_register(
+    "graph_kcore",
+    _kcore_oracle_sql(3, 10),
+    note="fixed-round synchronous k-core peel (k=3, 10 rounds -- "
+    "converged at test SF, asserted in tests) over the co-purchase "
+    "graph: per round one keyed degree aggregate + two semi-joins, "
+    "edge-list state eagerly localCheckpoint'ed (pagerank lineage "
+    "discipline); oracle unrolls the rounds as chained CTEs",
+)
+def _graph_kcore(spark, sf):
+    return dedup.kcore(_copurchase_pairs(spark, sf), k=3, rounds=10)
 
 
 @_register(
@@ -6331,7 +6504,8 @@ _FRESH_ROUND6 = frozenset(
     {
         "dedup_substring", "bpe_train", "dedup_index_append", "pii_redact",
         "bpe_encode", "graph_common_neighbors", "interval_gaps",
-        "window_ewma",
+        "window_ewma", "graph_kcore", "text_rake_keyphrases",
+        "stats_ttest_welch",
     }
 )
 

@@ -734,3 +734,38 @@ def test_common_neighbors_path_graph(spark):
         for r in common_neighbors(pairs).collect()
     }
     assert got == {(1, 3): 1}
+
+
+def test_kcore_peels_tail_keeps_triangle(spark):
+    """Triangle 1-2-3 with a pendant chain 3-4-5: the 2-core is the
+    triangle alone (4 and 5 peel in cascading rounds); the 3-core is
+    empty."""
+    from java_mapreduce_framework_spark.operators.dedup import kcore
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)],
+        "doc_a long, doc_b long",
+    )
+    core2 = {
+        r["node_id"]: r["core_deg"] for r in kcore(pairs, k=2, rounds=5).collect()
+    }
+    assert core2 == {1: 2, 2: 2, 3: 2}
+    assert kcore(pairs, k=3, rounds=5).count() == 0
+
+
+def test_kcore_converged_at_fixture_rounds(spark, sf_medium):
+    """The declared 10-round contract is CONVERGED at test SF: an 11th
+    round changes nothing, and every surviving node keeps deg >= k."""
+    from pyspark.sql import functions as F
+
+    from java_mapreduce_framework_spark.plans.registry import (
+        _copurchase_pairs,
+    )
+    from java_mapreduce_framework_spark.operators.dedup import kcore
+
+    pairs = _copurchase_pairs(spark, sf_medium)
+    c10 = kcore(pairs, k=3, rounds=10)
+    c11 = kcore(pairs, k=3, rounds=11)
+    assert c10.exceptAll(c11).count() == 0
+    assert c11.exceptAll(c10).count() == 0
+    assert c10.filter(F.col("core_deg") < 3).count() == 0

@@ -758,3 +758,38 @@ def test_bootstrap_ci_brackets_mean_and_matches_poisson_weights(spark, sf_small)
         mb = sums["sx"] / 100.0 / sums["n"]
         r = out[flag]
         assert abs(mb - r["mean_price"]) < 6 * max(r["se_boot"], 1e-9)
+
+
+def test_welch_ttest_detects_planted_mean_shift(spark):
+    """Variant-A users' 'buy' values sit 10 higher than B's -> huge t;
+    'view' values identical across arms -> t == 0, insignificant.
+    Reference t for the planted case: means differ by 10 with
+    within-arm variance 0.25, so |t| must clear 1.96 by miles."""
+    import hashlib
+
+    from java_mapreduce_framework_spark.operators import analytics
+
+    a_users = [u for u in range(1000)
+               if hashlib.md5(f"ab|{u}".encode()).hexdigest()[0] < "8"][:30]
+    b_users = [u for u in range(1000)
+               if hashlib.md5(f"ab|{u}".encode()).hexdigest()[0] >= "8"][:30]
+    rows, eid = [], 0
+    for i, u in enumerate(a_users):
+        rows.append((eid, "2024-01-01 00:00:00", u, "buy",
+                     20.0 + (i % 2), "{}")); eid += 1
+        rows.append((eid, "2024-01-01 00:00:00", u, "view", 5.0, "{}")); eid += 1
+    for i, u in enumerate(b_users):
+        rows.append((eid, "2024-01-01 00:00:00", u, "buy",
+                     10.0 + (i % 2), "{}")); eid += 1
+        rows.append((eid, "2024-01-01 00:00:00", u, "view", 5.0, "{}")); eid += 1
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r["event_type"]: r for r in analytics.welch_ttest(events).collect()}
+    assert out["buy"]["significant"] is True and out["buy"]["t_stat"] > 10
+    assert out["buy"]["n_a"] == 30 and out["buy"]["n_b"] == 30
+    assert out["buy"]["mean_a"] == 20.5 and out["buy"]["mean_b"] == 10.5
+    # zero-variance arms carry no test: the degenerate guard drops them
+    assert "view" not in out

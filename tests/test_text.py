@@ -764,3 +764,38 @@ def test_bpe_encode_monotone_in_merges(spark, sf_small):
     assert tot[4]["t"] <= tot[1]["t"]
     assert tot[4]["w"] == tot[1]["w"]
     assert tot[4]["t"] >= tot[4]["w"]
+
+
+def test_rake_scores_hand_traced(spark):
+    """'deep learning of the deep graph' with stop boundary {of, the}:
+    phrases [deep learning], [deep graph]; deep scores 4/2=2, learning
+    and graph 2/1=2 -> both phrases score 4.0, ranked by text."""
+    from java_mapreduce_framework_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "deep learning of the deep graph")], "doc_id long, text string"
+    )
+    got = [
+        (r["rank"], r["phrase"], r["score"])
+        for r in T.rake_keyphrases(docs).orderBy("rank").collect()
+    ]
+    assert got == [(1, "deep graph", 4.0), (2, "deep learning", 4.0)]
+
+
+def test_rake_topk_and_dedup(spark):
+    """A phrase repeated in one doc emits once; at most top_k rows per
+    doc; stop-only docs vanish."""
+    from java_mapreduce_framework_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "red fox and red fox and blue bird and green frog and tall tree"),
+            (2, "the of and"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = T.rake_keyphrases(docs, top_k=3).collect()
+    assert {r["doc_id"] for r in rows} == {1}
+    assert len(rows) == 3
+    phrases = [r["phrase"] for r in rows]
+    assert len(set(phrases)) == 3
