@@ -1207,3 +1207,125 @@ def window_ewma(
             6,
         ).alias("ewma"),
     )
+
+
+def join_scd2_pointintime(events: DataFrame) -> DataFrame:
+    """Point-in-time dimension join -- THE warehouse-correctness
+    classic: each fact row joins the dimension VERSION that was valid
+    at the fact's own timestamp, never the current one (training-data
+    pipelines call this temporal-leakage prevention; feature stores
+    call it a point-in-time join).
+
+    Dimension = ``cdc_scd2`` over each user's 'signup' events (value
+    is the versioned attribute); facts = 'purchase' events. Because
+    SCD2 validity intervals partition each key's timeline, "the
+    version valid at T" == "the last version with valid_from <= T" --
+    so the join is the UNION + ordered carry-forward as-of kernel
+    (``join_asof``'s shape: one exchange + one sort over |dim|+|fact|,
+    no range-join candidate explosion, no per-row probe). A version
+    starting exactly at the fact instant qualifies (tag orders the
+    dimension first at equal times -- [valid_from, valid_to)
+    semantics).
+
+    Facts before a user's first version keep NULL dimension columns
+    (left semantics -- the "unknown member" row of warehouse lore).
+
+    Emits (event_id, user_id, ts, dim_value, version_from).
+    """
+    # zero-width versions ([t, t) from same-instant changes) can never
+    # be valid at any T; dropping them also makes the carry-forward
+    # deterministic when several versions share a valid_from
+    dim = cdc_scd2(events.filter(F.col("event_type") == "signup")).filter(
+        F.col("valid_to").isNull()
+        | (F.col("valid_to") > F.col("valid_from"))
+    ).select(
+        F.col("user_id").alias("k"),
+        F.col("valid_from").alias("t"),
+        F.lit(0).alias("tag"),
+        F.col("value").alias("dim_value"),
+        F.col("valid_from").alias("version_from"),
+        F.lit(None).cast("bigint").alias("event_id"),
+    )
+    facts = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("double").alias("dim_value"),
+        F.lit(None).cast("timestamp").alias("version_from"),
+        "event_id",
+    )
+    timeline = Window.partitionBy("k").orderBy("t", "tag").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        dim.unionByName(facts)
+        .select(
+            "k",
+            "t",
+            "tag",
+            "event_id",
+            F.last("dim_value", ignorenulls=True).over(timeline).alias("dim_value"),
+            F.last("version_from", ignorenulls=True)
+            .over(timeline)
+            .alias("version_from"),
+        )
+        .filter(F.col("tag") == 1)
+        .select(
+            "event_id",
+            F.col("k").alias("user_id"),
+            F.col("t").alias("ts"),
+            "dim_value",
+            "version_from",
+        )
+    )
+
+
+def window_cusum(events: DataFrame) -> DataFrame:
+    """One-sided CUSUM drift detector per (user, event type) stream --
+    the classic sequential change-point statistic (Page 1954): small
+    persistent upward shifts accumulate where a z-score on single
+    points stays quiet.
+
+    The textbook recursion ``S_i = max(0, S_{i-1} + (x_i - target))``
+    looks sequential, but the prefix identity
+    ``S_i = P_i - min(0, min_{j<=i} P_j)`` (P = running sum of
+    deviations) turns it into TWO stacked running windows over one
+    (user, type) exchange -- no recursion, no self-join.
+
+    Cross-engine exactness: deviations ride as integer MICRO-units
+    (``floor(value * 1e6)`` of the identical double product, target =
+    integer-div mean per type), so the running sums are exact bigint
+    arithmetic in any evaluation order -- DuckDB's segment-tree window
+    aggregation and Spark's sequential frame walk agree bit-for-bit,
+    which double running sums would NOT.
+
+    Alarm when the statistic exceeds one full in-control mean of
+    cumulative drift (the declared, deliberately simple h; real
+    deployments tune h in sigma units).
+
+    Emits (event_id, user_id, event_type, ts, cusum, alarm).
+    """
+    v_u = F.floor(F.col("value") * F.lit(1_000_000.0)).cast("bigint")
+    base = events.select(
+        "event_id", "user_id", "event_type", "ts", v_u.alias("v_u")
+    )
+    mu = base.groupBy("event_type").agg(
+        F.expr("div(sum(v_u), count(*))").alias("mu_u")
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    stepped = (
+        base.join(F.broadcast(mu), "event_type")
+        .withColumn("p", F.sum(F.col("v_u") - F.col("mu_u")).over(run))
+    )
+    s_u = F.col("p") - F.least(F.min("p").over(run), F.lit(0))
+    return stepped.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        (s_u / F.lit(1_000_000.0)).alias("cusum"),
+        (s_u > F.abs(F.col("mu_u"))).alias("alarm"),
+    )

@@ -6330,6 +6330,75 @@ def _graph_kcore(spark, sf):
 
 
 @_register(
+    "join_scd2_pointintime",
+    f"""
+    WITH dim AS (
+      SELECT user_id, value, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS valid_to
+      FROM {_EVTS} WHERE event_type = 'signup'),
+    facts AS (
+      SELECT event_id, user_id, ts
+      FROM {_EVTS} WHERE event_type = 'purchase')
+    SELECT f.event_id, f.user_id, f.ts,
+           d.value AS dim_value, d.valid_from AS version_from
+    FROM facts f
+    LEFT JOIN dim d ON d.user_id = f.user_id
+                   AND d.valid_from <= f.ts
+                   AND (d.valid_to > f.ts OR d.valid_to IS NULL)
+    """,
+    note="point-in-time dimension join (warehouse / feature-store "
+    "temporal-leakage classic): SCD2 versions from signup events, "
+    "purchases join the version valid AT the fact instant via the "
+    "union + ordered carry-forward as-of kernel -- one exchange + "
+    "one sort over dim+facts, no range-join candidate explosion; "
+    "oracle is the brute-force interval join",
+)
+def _join_scd2_pointintime(spark, sf):
+    return temporal.join_scd2_pointintime(_t(spark, sf, "events"))
+
+
+@_register(
+    "window_cusum",
+    f"""
+    WITH base AS (
+      SELECT event_id, user_id, event_type, ts,
+             CAST(floor(value * 1000000.0) AS BIGINT) AS v_u
+      FROM {_EVTS}),
+    mu AS (
+      SELECT event_type,
+             CAST(sum(v_u) AS BIGINT) // count(*) AS mu_u
+      FROM base GROUP BY 1),
+    stepped AS (
+      SELECT b.event_id, b.user_id, b.event_type, b.ts, m.mu_u,
+             sum(b.v_u - m.mu_u) OVER (
+               PARTITION BY b.user_id, b.event_type
+               ORDER BY b.ts, b.event_id
+               ROWS UNBOUNDED PRECEDING) AS p
+      FROM base b JOIN mu m USING (event_type)),
+    scored AS (
+      SELECT *,
+             p - least(min(p) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING), 0) AS s_u
+      FROM stepped)
+    SELECT event_id, user_id, event_type, ts,
+           s_u / 1000000.0 AS cusum,
+           s_u > abs(mu_u) AS alarm
+    FROM scored
+    """,
+    note="one-sided CUSUM drift detector per (user, type) stream via "
+    "the prefix identity S = P - min(0, running min P): two stacked "
+    "running windows over ONE keyed exchange, no recursion; "
+    "deviations ride as exact integer micro-units so segment-tree "
+    "and sequential window evaluation agree bit-for-bit",
+)
+def _window_cusum(spark, sf):
+    return temporal.window_cusum(_t(spark, sf, "events"))
+
+
+@_register(
     "window_ewma",
     """
     WITH fr AS (
@@ -6505,7 +6574,7 @@ _FRESH_ROUND6 = frozenset(
         "dedup_substring", "bpe_train", "dedup_index_append", "pii_redact",
         "bpe_encode", "graph_common_neighbors", "interval_gaps",
         "window_ewma", "graph_kcore", "text_rake_keyphrases",
-        "stats_ttest_welch",
+        "stats_ttest_welch", "join_scd2_pointintime", "window_cusum",
     }
 )
 

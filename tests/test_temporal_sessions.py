@@ -587,3 +587,70 @@ def test_window_ewma_matches_pandas_reference(spark):
     for i, want in enumerate(ref):
         assert abs(got[i] - want) < 1e-6, (i, got[i], want)
     assert got[100] == 7.0  # single-row frame: ewma == value
+
+
+def test_scd2_pointintime_versions_and_unknown_member(spark):
+    import datetime as dt
+
+    from java_mapreduce_framework_spark.operators.temporal import (
+        join_scd2_pointintime,
+    )
+
+    t = lambda s: dt.datetime(2026, 1, 1) + dt.timedelta(seconds=s)  # noqa: E731
+    rows = [
+        # user 1: versions v=1.0 at t10, v=2.0 at t20
+        (1, t(10), 1, "signup", 1.0, "{}"),
+        (2, t(20), 1, "signup", 2.0, "{}"),
+        (3, t(5), 1, "purchase", 9.0, "{}"),   # before any version
+        (4, t(15), 1, "purchase", 9.0, "{}"),  # inside v1
+        (5, t(20), 1, "purchase", 9.0, "{}"),  # AT v2 start -> v2
+        (6, t(99), 1, "purchase", 9.0, "{}"),  # open-ended v2
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {
+        r["event_id"]: (r["dim_value"], r["version_from"])
+        for r in join_scd2_pointintime(ev).collect()
+    }
+    assert got == {
+        3: (None, None),
+        4: (1.0, t(10)),
+        5: (2.0, t(20)),
+        6: (2.0, t(20)),
+    }
+
+
+def test_window_cusum_matches_sequential_recursion(spark, sf_small):
+    """The prefix identity must equal the textbook sequential
+    recursion S_i = max(0, S_{i-1} + d_i), replayed in exact integer
+    micro-units per (user, type) stream."""
+    from collections import defaultdict
+
+    from java_mapreduce_framework_spark.operators.temporal import window_cusum
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_small, "events")
+    got = window_cusum(ev).collect()
+    base = ev.select("event_id", "user_id", "event_type", "ts", "value").collect()
+    import math
+
+    # engine-identical floor(value*1e6) on the double product
+    v_u = {r["event_id"]: math.floor(r["value"] * 1_000_000.0) for r in base}
+    by_type = defaultdict(list)
+    for r in base:
+        by_type[r["event_type"]].append(v_u[r["event_id"]])
+    mu = {ty: sum(vs) // len(vs) for ty, vs in by_type.items()}
+    streams = defaultdict(list)
+    for r in base:
+        streams[(r["user_id"], r["event_type"])].append(r)
+    want = {}
+    for (u, ty), rs in streams.items():
+        s = 0
+        for r in sorted(rs, key=lambda x: (x["ts"], x["event_id"])):
+            s = max(0, s + v_u[r["event_id"]] - mu[ty])
+            want[r["event_id"]] = s
+    for r in got:
+        assert r["cusum"] == want[r["event_id"]] / 1_000_000.0, r
