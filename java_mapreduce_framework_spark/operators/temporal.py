@@ -1329,3 +1329,55 @@ def window_cusum(events: DataFrame) -> DataFrame:
         (s_u / F.lit(1_000_000.0)).alias("cusum"),
         (s_u > F.abs(F.col("mu_u"))).alias("alarm"),
     )
+
+
+def window_twap(events: DataFrame) -> DataFrame:
+    """Per-(user, day) time-weighted average of ``value`` -- the TWAP
+    primitive (finance: fair average price over a window; ops
+    analytics: duration-weighted metric level, where plain AVG
+    over-counts burst samples).
+
+    Each reading holds from its timestamp until the user's next event
+    that day; the day's TWAP is sum(value * hold) / sum(hold). The
+    day's last reading has no hold duration and drops (and single-
+    event days with it) -- the declared right-open convention.
+
+    One lead window keyed (user, day) and a grouped aggregate on the
+    SAME keys: single exchange end to end. Exactness: value rides in
+    integer CENTS (floor of the identical double product) and holds
+    in integer microseconds, so the weighted sums are exact bigints
+    (cents x day-in-us < 2^62 -- no overflow) in any fold order; the
+    single closing division produces the same double on both engines.
+
+    Emits (user_id, day, n_holds, twap).
+
+    Reference licence: composition target -- chained-jobs model
+    (SURVEY.md §2A FIFO queue) over the WordCount substrate
+    (src/edu/upenn/cis455/mapreduce/job/WordCount.java:23-52).
+    """
+    # DATE stringifies differently across engines -- ship the day as a
+    # midnight TIMESTAMP (the join_interval_overlap precedent)
+    day = F.to_date("ts").cast("timestamp").alias("day")
+    v_c = F.floor(F.col("value") * F.lit(100.0)).cast("bigint")
+    base = events.select(
+        "user_id", day, F.unix_micros("ts").alias("t_us"),
+        "event_id", v_c.alias("v_c"),
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("t_us", "event_id")
+    held = base.withColumn(
+        "dt_us", F.lead("t_us").over(w) - F.col("t_us")
+    ).filter(F.col("dt_us").isNotNull())
+    return (
+        held.groupBy("user_id", "day")
+        .agg(
+            F.count("*").alias("n_holds"),
+            F.sum(F.col("v_c") * F.col("dt_us")).alias("num"),
+            F.sum("dt_us").alias("den"),
+        )
+        .select(
+            "user_id",
+            "day",
+            "n_holds",
+            F.round(F.col("num") / F.col("den") / F.lit(100.0), 6).alias("twap"),
+        )
+    )

@@ -1996,3 +1996,46 @@ def rake_keyphrases(documents: DataFrame, top_k: int = 3) -> DataFrame:
             (F.col("score_u") / F.lit(1_000_000.0)).alias("score"),
         )
     )
+
+
+def ngram_autocomplete(documents: DataFrame, max_plen: int = 3,
+                       top_k: int = 3) -> DataFrame:
+    """Prefix -> top-k completion index over the corpus vocabulary --
+    the build side of every search-box autocomplete: for each word
+    prefix of length 1..``max_plen``, the ``top_k`` most frequent
+    corpus words extending it.
+
+    Pipeline is vocab-bounded after the first aggregate: one
+    words_exploded corpus scan folds to (word, freq) [combinable],
+    prefixes explode off the VOCAB (x max_plen, not the corpus), and
+    one rank window per prefix cuts top-k. Ties break (freq DESC,
+    word) so both engines rank identically; frequency is an exact
+    count.
+
+    Emits (prefix, rank, word, freq).
+
+    Reference licence: WordCount substrate
+    (src/edu/upenn/cis455/mapreduce/job/WordCount.java:23-52) --
+    this IS wordcount with a prefix-exploded key and a rank head.
+    """
+    from pyspark.sql import Window
+
+    vocab = words_exploded(documents).groupBy("word").agg(
+        F.count("*").alias("freq")
+    )
+    pref = vocab.select(
+        "word",
+        "freq",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.least(F.length("word"), F.lit(max_plen))),
+                lambda i: F.col("word").substr(F.lit(1), i),
+            )
+        ).alias("prefix"),
+    )
+    w = Window.partitionBy("prefix").orderBy(F.col("freq").desc(), "word")
+    return (
+        pref.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("prefix", "rank", "word", "freq")
+    )

@@ -6399,6 +6399,63 @@ def _window_cusum(spark, sf):
 
 
 @_register(
+    "ngram_autocomplete",
+    f"""
+    WITH vocab AS (
+      SELECT word, count(*) AS freq
+      FROM (SELECT unnest({_TOKS}) AS word FROM documents)
+      GROUP BY 1),
+    pref AS (
+      SELECT word, freq, word[1:CAST(i AS INTEGER)] AS prefix
+      FROM vocab, unnest(range(1, least(length(word), 3) + 1)) AS u(i))
+    SELECT prefix,
+           CAST(row_number() OVER (
+             PARTITION BY prefix ORDER BY freq DESC, word)
+             AS INTEGER) AS rank,
+           word, CAST(freq AS BIGINT) AS freq
+    FROM pref
+    QUALIFY rank <= 3
+    """,
+    note="prefix -> top-3 completion index (the search-box build "
+    "side): one corpus wordcount fold, prefixes explode off the "
+    "VOCAB (not the corpus), one rank window per prefix; ties "
+    "(freq DESC, word) rank identically on both engines",
+)
+def _ngram_autocomplete(spark, sf):
+    return text.ngram_autocomplete(_t(spark, sf, "documents"))
+
+
+@_register(
+    "window_twap",
+    f"""
+    WITH base AS (
+      SELECT user_id, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS t_us, event_id,
+             CAST(floor(value * 100.0) AS BIGINT) AS v_c
+      FROM {_EVTS}),
+    held AS (
+      SELECT *, lead(t_us) OVER (
+               PARTITION BY user_id, day
+               ORDER BY t_us, event_id) - t_us AS dt_us
+      FROM base)
+    SELECT user_id, day,
+           CAST(count(*) AS BIGINT) AS n_holds,
+           round(CAST(sum(v_c * dt_us) AS BIGINT) * 1.0
+                 / CAST(sum(dt_us) AS BIGINT) / 100.0, 6) AS twap
+    FROM held WHERE dt_us IS NOT NULL
+    GROUP BY user_id, day
+    """,
+    note="per-(user, day) time-weighted average value (TWAP): each "
+    "reading holds until the next event that day, last reading drops "
+    "(right-open convention); one lead window + grouped agg on the "
+    "SAME keys = single exchange; integer cents x integer micros "
+    "keep the weighted sums exact in any fold order",
+)
+def _window_twap(spark, sf):
+    return temporal.window_twap(_t(spark, sf, "events"))
+
+
+@_register(
     "window_ewma",
     """
     WITH fr AS (
@@ -6575,6 +6632,7 @@ _FRESH_ROUND6 = frozenset(
         "bpe_encode", "graph_common_neighbors", "interval_gaps",
         "window_ewma", "graph_kcore", "text_rake_keyphrases",
         "stats_ttest_welch", "join_scd2_pointintime", "window_cusum",
+        "window_twap", "ngram_autocomplete",
     }
 )
 

@@ -654,3 +654,29 @@ def test_window_cusum_matches_sequential_recursion(spark, sf_small):
             want[r["event_id"]] = s
     for r in got:
         assert r["cusum"] == want[r["event_id"]] / 1_000_000.0, r
+
+
+def test_window_twap_weights_by_hold_duration(spark):
+    import datetime as dt
+
+    from java_mapreduce_framework_spark.operators.temporal import window_twap
+
+    base = dt.datetime(2026, 3, 1, 0, 0, 0)
+    rows = [
+        # user 1: 10.0 held 30s, 20.0 held 10s -> twap 12.5; last drops
+        (1, base, 1, "view", 10.0, "{}"),
+        (2, base + dt.timedelta(seconds=30), 1, "view", 20.0, "{}"),
+        (3, base + dt.timedelta(seconds=40), 1, "view", 99.0, "{}"),
+        # user 2: single event -> no holds, day absent
+        (4, base, 2, "view", 5.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {
+        (r["user_id"]): (r["n_holds"], r["twap"])
+        for r in window_twap(ev).collect()
+    }
+    assert got == {1: (2, 12.5)}

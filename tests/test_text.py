@@ -799,3 +799,22 @@ def test_rake_topk_and_dedup(spark):
     assert len(rows) == 3
     phrases = [r["phrase"] for r in rows]
     assert len(set(phrases)) == 3
+
+
+def test_ngram_autocomplete_prefix_ranks(spark):
+    from java_mapreduce_framework_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "car car card care cat dog do")], "doc_id long, text string"
+    )
+    rows = T.ngram_autocomplete(docs).collect()
+    idx = {}
+    for r in rows:
+        idx.setdefault(r["prefix"], []).append((r["rank"], r["word"], r["freq"]))
+    # 'car' prefix: car (freq 2) then card/care alphabetically
+    assert sorted(idx["car"]) == [(1, "car", 2), (2, "card", 1), (3, "care", 1)]
+    # 'ca' sees cat too, but top-3 cuts at rank 3
+    assert sorted(idx["ca"]) == [(1, "car", 2), (2, "card", 1), (3, "care", 1)]
+    # short word 'do' only yields prefixes up to its own length
+    assert sorted(idx["do"]) == [(1, "do", 1), (2, "dog", 1)]
+    assert all(len(v) <= 3 for v in idx.values())
