@@ -761,3 +761,85 @@ def audio_spectrogram(
             )
 
     return audio.mapInPandas(kernel, schema=AUDIO_SPEC_SCHEMA)
+
+
+#: Integer-scaled DCT-II basis for the pHash kernel: 2^14-scaled
+#: cosines, u in 0..7 (the low-frequency block), x in 0..15. The
+#: oracle SQL embeds THESE constants (generated from this function),
+#: so engine and oracle multiply identical integers.
+_DCT_N = 16
+_DCT_SCALE = 1 << 14
+
+
+def dct_consts() -> list[tuple[int, int, int]]:
+    import math
+
+    return [
+        (
+            u,
+            x,
+            round(
+                math.cos(math.pi * (2 * x + 1) * u / (2 * _DCT_N))
+                * _DCT_SCALE
+            ),
+        )
+        for u in range(8)
+        for x in range(_DCT_N)
+    ]
+
+
+def image_phash(images: DataFrame) -> DataFrame:
+    """Perceptual DCT hash (pHash) duplicate grouping over REAL
+    decoded pixels -- the frequency-domain upgrade of ``image_ahash``:
+    aHash compares cell means (brightness layout), pHash compares the
+    image's low-frequency DCT spectrum, which survives blur, mild
+    resampling, and local edits that flip aHash bits.
+
+    Exact-integer pipeline, so the hash is bit-identical across
+    engines: grayscale sums (0..765) -> nearest-neighbor 16x16
+    resample (pure index math, no averaging) -> 2D DCT as int64
+    matrix products against the 2^14-scaled cosine basis
+    (``dct_consts``; max |term| ~2e11 x 256 terms, no overflow) ->
+    the 63 AC coefficients of the top-left 8x8 block threshold
+    STRICTLY above their 32nd-smallest value (the integer lower
+    median). The oracle replays the identical integer DCT from the
+    text bytes the pixels tile from, constants embedded from the same
+    generator.
+
+    Emits (phash, keep_doc_id, n_copies) -- one row per perceptual
+    class, the image analog of ``dedup_exact``.
+
+    Reference licence: composition target -- chained-jobs model
+    (SURVEY.md §2A FIFO queue) over the WordCount substrate
+    (src/edu/upenn/cis455/mapreduce/job/WordCount.java:23-52).
+    """
+    import numpy as np
+
+    C = np.zeros((8, _DCT_N), dtype=np.int64)
+    for u, x, c in dct_consts():
+        C[u, x] = c
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = real_decode(bytes(payload))
+                h, w, _ = px.shape
+                gray = px.astype(np.int64).sum(axis=2)
+                ys = (np.arange(_DCT_N) * h) // _DCT_N
+                xs = (np.arange(_DCT_N) * w) // _DCT_N
+                g16 = gray[ys][:, xs]
+                d = C @ g16 @ C.T
+                ac = d.ravel()[1:]
+                med = np.sort(ac)[31]
+                bits = ac > med
+                ids.append(doc_id)
+                hashes.append("".join("1" if b else "0" for b in bits))
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"), "phash": hashes}
+            )
+
+    hashed = images.mapInPandas(kernel, schema="doc_id long, phash string")
+    return hashed.groupBy("phash").agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies")
+    )

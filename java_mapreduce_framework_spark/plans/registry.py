@@ -6425,6 +6425,73 @@ def _ngram_autocomplete(spark, sf):
     return text.ngram_autocomplete(_t(spark, sf, "documents"))
 
 
+_DCT_VALUES = ", ".join(
+    f"({u}, {x}, {c})" for u, x, c in multimodal.dct_consts()
+)
+
+
+@_register(
+    "multimodal_image_phash",
+    f"""
+    WITH {_PAYLOAD_CTE},
+    geo AS (SELECT doc_id, n, bytes,
+                   8 + (n % 9) AS w, 8 + ((n * 3) % 9) AS h
+            FROM pbytes WHERE n > 0),
+    dct AS (SELECT * FROM (VALUES {_DCT_VALUES}) AS c(u, x, cv)),
+    grid AS (
+      SELECT doc_id, n, bytes, i, j,
+             ((i * h) // 16) * w + ((j * w) // 16) AS p
+      FROM geo, unnest(range(0, 16)) AS ri(i),
+                unnest(range(0, 16)) AS rj(j)
+    ),
+    g16 AS (
+      SELECT doc_id, i, j,
+             bytes[CAST((3 * p) % n AS INT) + 1]
+               + bytes[CAST((3 * p + 1) % n AS INT) + 1]
+               + bytes[CAST((3 * p + 2) % n AS INT) + 1] AS gray
+      FROM grid
+    ),
+    d AS (
+      SELECT g.doc_id, cu.u AS u, cv.u AS v,
+             CAST(sum(cu.cv * cv.cv * g.gray) AS BIGINT) AS dval
+      FROM g16 g
+      JOIN dct cu ON cu.x = g.i
+      JOIN dct cv ON cv.x = g.j
+      GROUP BY 1, 2, 3
+    ),
+    ac AS (SELECT doc_id, u, v, dval FROM d
+           WHERE NOT (u = 0 AND v = 0)),
+    med AS (
+      SELECT doc_id, dval AS m
+      FROM (SELECT doc_id, dval,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY dval) AS rn
+            FROM ac)
+      WHERE rn = 32
+    ),
+    hashes AS (
+      SELECT a.doc_id,
+             string_agg(CASE WHEN a.dval > m.m THEN '1' ELSE '0' END,
+                        '' ORDER BY a.u, a.v) AS phash
+      FROM ac a JOIN med m USING (doc_id)
+      GROUP BY a.doc_id
+    )
+    SELECT phash, min(doc_id) AS keep_doc_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM hashes GROUP BY phash
+    """,
+    note="perceptual DCT hash (pHash) over REAL decoded BMP pixels: "
+    "exact-integer 2D DCT against the 2^14-scaled cosine basis "
+    "(constants embedded from the SAME generator the kernel uses), "
+    "nearest-neighbor 16x16 resample by pure index math, 63 AC bits "
+    "strictly above their integer lower median; oracle replays the "
+    "identical integer DCT from the text bytes the pixels tile from",
+)
+def _multimodal_image_phash(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return multimodal.image_phash(multimodal.attach_image_payload(docs))
+
+
 @_register(
     "window_twap",
     f"""
@@ -6632,7 +6699,7 @@ _FRESH_ROUND6 = frozenset(
         "bpe_encode", "graph_common_neighbors", "interval_gaps",
         "window_ewma", "graph_kcore", "text_rake_keyphrases",
         "stats_ttest_welch", "join_scd2_pointintime", "window_cusum",
-        "window_twap", "ngram_autocomplete",
+        "window_twap", "ngram_autocomplete", "multimodal_image_phash",
     }
 )
 

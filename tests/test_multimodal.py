@@ -338,3 +338,26 @@ def test_spectrogram_bounded_frames_per_clip(spark, sf_small):
         multimodal.attach_audio_payload(docs)
     ).groupBy("doc_id").count().agg({"count": "max"}).first()[0]
     assert out <= 8
+
+
+def test_image_phash_groups_identical_payloads(spark):
+    """Docs with identical text produce identical BMPs -> one
+    perceptual class with the min doc_id as representative; a
+    different text lands elsewhere. 63 bits, and the strict-median
+    threshold sets ~half of them."""
+    from java_mapreduce_framework_spark.operators import multimodal as M
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (7, "the quick brown fox jumps over the lazy dog"),
+         (3, "completely different pixel source text here")],
+        "doc_id long, text string",
+    )
+    out = {r["phash"]: (r["keep_doc_id"], r["n_copies"])
+           for r in M.image_phash(M.attach_image_payload(docs)).collect()}
+    assert len(out) == 2
+    assert (1, 2) in out.values() and (3, 1) in out.values()
+    for h in out:
+        assert len(h) == 63 and set(h) <= {"0", "1"}
+        # median threshold: strictly-above count is in [16, 31]
+        assert 16 <= h.count("1") <= 31
