@@ -27,7 +27,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Output schema of decode_metadata (DDL form, used by mapInPandas).
@@ -842,4 +842,133 @@ def image_phash(images: DataFrame) -> DataFrame:
     hashed = images.mapInPandas(kernel, schema="doc_id long, phash string")
     return hashed.groupBy("phash").agg(
         F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies")
+    )
+
+
+def audio_vad(audio: DataFrame, frame: int = 32) -> DataFrame:
+    """Energy-gated voice-activity detection over REAL decoded PCM --
+    the first stage of every speech pipeline (ASR pre-segmentation,
+    silence stripping before transcription cost): frames whose energy
+    clears the gate are 'speech', consecutive active frames fuse into
+    segments.
+
+    Exact-integer contract (bit-identical across engines): int16
+    samples from the RIFF parse, per-frame energy = sum of squared
+    samples over ``frame``-sample windows (int64, no overflow:
+    2^30 x frame), the gate is ``energy * 4 > clip peak energy``
+    (strict integer cross-multiplication -- no float ratio), partial
+    trailing frames drop. The oracle replays samples from the text
+    bytes the PCM was built from and runs the same integer pipeline
+    with islands-by-window.
+
+    Emits (doc_id, n_frames, n_active, n_segments, longest_run);
+    clips shorter than one frame drop.
+
+    Reference licence: composition target -- chained-jobs model
+    (SURVEY.md §2A FIFO queue) over the WordCount substrate
+    (src/edu/upenn/cis455/mapreduce/job/WordCount.java:23-52).
+    """
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "n_frames", "n_active", "n_segments",
+                "longest_run",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _, s = decode_wav(bytes(payload))
+                nf = len(s) // frame
+                if nf == 0:
+                    continue
+                x = s[: nf * frame].astype(np.int64).reshape(nf, frame)
+                e = (x * x).sum(axis=1)
+                active = e * 4 > e.max()
+                runs, cur = [], 0
+                for a in active:
+                    if a:
+                        cur += 1
+                    elif cur:
+                        runs.append(cur)
+                        cur = 0
+                if cur:
+                    runs.append(cur)
+                rows["doc_id"].append(doc_id)
+                rows["n_frames"].append(nf)
+                rows["n_active"].append(int(active.sum()))
+                rows["n_segments"].append(len(runs))
+                rows["longest_run"].append(max(runs) if runs else 0)
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="int64") for k, v in rows.items()}
+            )
+
+    return audio.mapInPandas(
+        kernel,
+        schema="doc_id long, n_frames long, n_active long, "
+        "n_segments long, longest_run long",
+    )
+
+
+def video_scene_diff(videos: DataFrame) -> DataFrame:
+    """Shot-boundary (scene-cut) detection over REAL decoded video
+    frames -- the standard frame-differencing detector every video
+    curation pipeline runs before sampling keyframes: consecutive
+    frames are compared on a fixed low-resolution grid and a pair
+    whose difference rises strictly above the clip mean flags a cut.
+
+    Frames in the container have per-frame geometry, so each frame
+    first lands on a common 8x8 grid by nearest-neighbor INDEX math
+    (no averaging -- the ``image_phash`` resample discipline), as
+    integer gray sums (0..765). Pair difference = sum of |cell
+    deltas| over 64 cells; the cut flag is the strict integer
+    cross-multiplication ``diff * n_pairs > total_diff`` (no float
+    ratio). Bit-identical across engines; the oracle replays every
+    pixel from the text bytes the frames tile from.
+
+    Emits (doc_id, frame_idx, diff, is_cut) -- one row per
+    consecutive frame pair, indexed by the LATER frame.
+
+    Reference licence: composition target -- chained-jobs model
+    (SURVEY.md §2A FIFO queue) over the WordCount substrate
+    (src/edu/upenn/cis455/mapreduce/job/WordCount.java:23-52).
+    """
+    import numpy as np
+
+    def g8(arr) -> "np.ndarray":
+        h, w, _ = arr.shape
+        gray = arr.astype(np.int64).sum(axis=2)
+        ys = (np.arange(8) * h) // 8
+        xs = (np.arange(8) * w) // 8
+        return gray[ys][:, xs]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "diff": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                grids = [g8(a) for a in decode_video(bytes(payload))]
+                for f in range(1, len(grids)):
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(f)
+                    rows["diff"].append(
+                        int(np.abs(grids[f] - grids[f - 1]).sum())
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "frame_idx": pd.Series(rows["frame_idx"], dtype="int32"),
+                    "diff": pd.Series(rows["diff"], dtype="int64"),
+                }
+            )
+
+    diffs = videos.mapInPandas(
+        kernel, schema="doc_id long, frame_idx int, diff long"
+    )
+    w = Window.partitionBy("doc_id")
+    return diffs.select(
+        "doc_id",
+        "frame_idx",
+        "diff",
+        (
+            F.col("diff") * F.count("*").over(w) > F.sum("diff").over(w)
+        ).alias("is_cut"),
     )

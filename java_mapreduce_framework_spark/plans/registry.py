@@ -6493,6 +6493,111 @@ def _multimodal_image_phash(spark, sf):
 
 
 @_register(
+    "multimodal_video_scene_diff",
+    f"""
+    WITH {_PAYLOAD_CTE},
+    fr AS (SELECT doc_id, n, bytes, CAST(f AS INTEGER) AS f
+           FROM pbytes, unnest(range(0, 2 + (n % 3))) AS u(f)
+           WHERE n > 0),
+    geo AS (SELECT doc_id, n, bytes, f,
+                   8 + ((n + f) % 9) AS w,
+                   8 + (((n + f) * 3) % 9) AS h
+            FROM fr),
+    cells AS (
+      SELECT doc_id, n, bytes, f, i, j,
+             ((i * h) // 8) * w + ((j * w) // 8) AS p
+      FROM geo, unnest(range(0, 8)) AS ri(i),
+                unnest(range(0, 8)) AS rj(j)),
+    g8 AS (
+      SELECT doc_id, f, i, j,
+             bytes[CAST((3 * p + f) % n AS INT) + 1]
+               + bytes[CAST((3 * p + 1 + f) % n AS INT) + 1]
+               + bytes[CAST((3 * p + 2 + f) % n AS INT) + 1] AS gray
+      FROM cells),
+    pair AS (
+      SELECT a.doc_id, a.f AS frame_idx,
+             sum(abs(a.gray - b.gray)) AS diff
+      FROM g8 a
+      JOIN g8 b ON b.doc_id = a.doc_id AND b.f = a.f - 1
+                AND b.i = a.i AND b.j = a.j
+      GROUP BY 1, 2),
+    tot AS (SELECT doc_id, count(*) AS np, sum(diff) AS td
+            FROM pair GROUP BY 1)
+    SELECT p.doc_id, p.frame_idx, CAST(p.diff AS BIGINT) AS diff,
+           (p.diff * t.np > t.td) AS is_cut
+    FROM pair p JOIN tot t USING (doc_id)
+    """,
+    note="shot-boundary detection over REAL decoded frames: each "
+    "frame lands on a common 8x8 grid by nearest-neighbor index "
+    "math (frames have per-frame geometry), pair difference = sum "
+    "|cell deltas|, cut flag by strict integer cross-multiplication "
+    "against the clip mean; oracle replays every pixel from text "
+    "bytes",
+)
+def _multimodal_video_scene_diff(spark, sf):
+    return multimodal.video_scene_diff(
+        multimodal.attach_video_payload(_t(spark, sf, "documents"))
+    )
+
+
+@_register(
+    "multimodal_audio_vad",
+    f"""
+    WITH {_PAYLOAD_CTE},
+    fr AS (SELECT doc_id, n, bytes, CAST(f AS INTEGER) AS f
+           FROM pbytes, unnest(range(0, n // 32)) AS u(f)
+           WHERE n >= 32),
+    sl AS (SELECT doc_id, f,
+                  list_transform(range(0, 32), k ->
+                    (bytes[CAST(32 * f + k AS INT) + 1] - 128) * 256)
+                    AS sv
+           FROM fr),
+    en AS (SELECT doc_id, f,
+                  CAST(list_sum(list_transform(sv,
+                    s -> CAST(s AS BIGINT) * s)) AS BIGINT) AS e
+           FROM sl),
+    pk AS (SELECT doc_id, max(e) AS peak FROM en GROUP BY doc_id),
+    act AS (SELECT e.doc_id, e.f, (e.e * 4 > p.peak) AS a
+            FROM en e JOIN pk p USING (doc_id)),
+    st AS (SELECT doc_id, f, a,
+                  CASE WHEN a AND NOT coalesce(
+                         lag(a) OVER (PARTITION BY doc_id ORDER BY f),
+                         FALSE)
+                       THEN 1 ELSE 0 END AS run_start
+           FROM act),
+    rid AS (SELECT *, sum(run_start) OVER (
+                    PARTITION BY doc_id ORDER BY f
+                    ROWS UNBOUNDED PRECEDING) AS run_id
+            FROM st),
+    seg AS (SELECT doc_id, run_id, count(*) AS rl
+            FROM rid WHERE a GROUP BY doc_id, run_id),
+    segstats AS (SELECT doc_id,
+                        CAST(count(*) AS BIGINT) AS n_segments,
+                        CAST(max(rl) AS BIGINT) AS longest_run
+                 FROM seg GROUP BY doc_id),
+    frames AS (SELECT doc_id,
+                      CAST(count(*) AS BIGINT) AS n_frames,
+                      CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT)
+                        AS n_active
+               FROM act GROUP BY doc_id)
+    SELECT fm.doc_id, fm.n_frames, fm.n_active,
+           coalesce(ss.n_segments, 0) AS n_segments,
+           coalesce(ss.longest_run, 0) AS longest_run
+    FROM frames fm LEFT JOIN segstats ss USING (doc_id)
+    """,
+    note="energy-gated voice-activity detection over REAL decoded "
+    "PCM: per-frame squared-sample energies (32-sample windows), "
+    "strict integer cross-multiplied gate (e*4 > clip peak), "
+    "consecutive active frames fuse into segments via the islands "
+    "window pair; oracle replays the samples from text bytes and "
+    "runs the identical integer pipeline",
+)
+def _multimodal_audio_vad(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return multimodal.audio_vad(multimodal.attach_audio_payload(docs))
+
+
+@_register(
     "window_twap",
     f"""
     WITH base AS (
@@ -6700,6 +6805,7 @@ _FRESH_ROUND6 = frozenset(
         "window_ewma", "graph_kcore", "text_rake_keyphrases",
         "stats_ttest_welch", "join_scd2_pointintime", "window_cusum",
         "window_twap", "ngram_autocomplete", "multimodal_image_phash",
+        "multimodal_audio_vad", "multimodal_video_scene_diff",
     }
 )
 

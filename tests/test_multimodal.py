@@ -361,3 +361,47 @@ def test_image_phash_groups_identical_payloads(spark):
         assert len(h) == 63 and set(h) <= {"0", "1"}
         # median threshold: strictly-above count is in [16, 31]
         assert 16 <= h.count("1") <= 31
+
+
+def test_audio_vad_flags_loud_frames(spark):
+    """A text whose bytes are near-128 (quiet) except one loud patch:
+    exactly the loud frames clear the quarter-of-peak gate, forming
+    one segment."""
+    from java_mapreduce_framework_spark.operators import multimodal as M
+
+    # ASCII only: chr(128)+ would UTF-8-encode to two bytes and shift
+    # every frame boundary
+    quiet = "\x7f" * 96            # 3 frames of near-zero samples
+    loud = "\x00" * 32             # one frame at full negative swing
+    docs = spark.createDataFrame(
+        [(1, quiet + loud + quiet)], "doc_id long, text string"
+    )
+    r = M.audio_vad(M.attach_audio_payload(docs)).collect()[0]
+    assert r["n_frames"] == 7
+    assert r["n_active"] == 1
+    assert r["n_segments"] == 1 and r["longest_run"] == 1
+
+
+def test_video_scene_diff_pairs_and_cut_flag(spark, sf_small):
+    """Every clip emits frames-1 pair rows; exactly the strictly-
+    above-mean diffs carry the cut flag."""
+    from collections import defaultdict
+
+    from java_mapreduce_framework_spark.operators import multimodal as M
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents").limit(40)
+    vids = M.attach_video_payload(docs)
+    frames = defaultdict(int)
+    for r in M.decode_video_frames(vids).collect():
+        frames[r["doc_id"]] += 1
+    rows = M.video_scene_diff(vids).collect()
+    per_doc = defaultdict(list)
+    for r in rows:
+        per_doc[r["doc_id"]].append(r)
+    assert set(per_doc) == {d for d, n in frames.items() if n >= 2}
+    for d, rs in per_doc.items():
+        assert len(rs) == frames[d] - 1
+        total = sum(r["diff"] for r in rs)
+        for r in rs:
+            assert r["is_cut"] == (r["diff"] * len(rs) > total)
