@@ -941,3 +941,82 @@ def welch_ttest(events: DataFrame) -> DataFrame:
         F.round(df, 2).alias("df"),
         (F.abs(t) >= 1.96).alias("significant"),
     )
+
+
+def mannwhitney_utest(events: DataFrame) -> DataFrame:
+    """Mann-Whitney U rank-sum test per event type over the same
+    deterministic A/B user hash as ``ab_test_ztest``/``welch_ttest``
+    -- the NONPARAMETRIC mean-shift companion: rank-based, so a fat
+    tail or outlier burst cannot fake (or mask) an effect the way it
+    can with Welch's t.
+
+    Exactness: tied values take the average rank, which lives in
+    half-units -- so ranks ride DOUBLED as exact integers
+    (``rank2 = 2 * cum_before + cnt + 1``), the rank-sum and U
+    statistic stay exact bigints, and the single closing z division
+    runs on identical doubles (IEEE sqrt is correctly rounded).
+    Large-sample normal z without tie correction -- the declared
+    simple variant.
+
+    Plan: one (type, value) group [combinable], a cumulative-count
+    window over the per-type VALUE alphabet (not the corpus), then an
+    alphabet-sized fold -- nothing after the first aggregate scales
+    with events.
+
+    Emits (event_type, n_a, n_b, u_stat, zscore, significant).
+
+    Reference licence: composition target -- chained-jobs model
+    (SURVEY.md §2A FIFO queue) over the WordCount substrate
+    (src/edu/upenn/cis455/mapreduce/job/WordCount.java:23-52).
+    """
+    variant_a = (
+        F.substring(
+            F.md5(
+                F.concat_ws("|", F.lit("ab"), F.col("user_id").cast("string"))
+            ),
+            1,
+            1,
+        )
+        < F.lit("8")
+    )
+    vg = (
+        events.select("event_type", variant_a.alias("is_a"), "value")
+        .groupBy("event_type", "value")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("is_a").cast("long")).alias("cnt_a"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = vg.withColumn(
+        "rank2",
+        2 * F.coalesce(F.sum("cnt").over(w), F.lit(0))
+        + F.col("cnt")
+        + 1,
+    )
+    agg = ranked.groupBy("event_type").agg(
+        F.sum("cnt_a").alias("n_a"),
+        F.sum(F.col("cnt") - F.col("cnt_a")).alias("n_b"),
+        F.sum(F.col("cnt_a") * F.col("rank2")).alias("r2_a"),
+    )
+    u2 = F.col("r2_a") - F.col("n_a") * (F.col("n_a") + 1)
+    mu2 = F.col("n_a") * F.col("n_b")
+    sigma = F.sqrt(
+        F.col("n_a")
+        * F.col("n_b")
+        * (F.col("n_a") + F.col("n_b") + 1)
+        / F.lit(12.0)
+    )
+    z = (u2 - mu2) / (2 * sigma)
+    return agg.filter((F.col("n_a") > 0) & (F.col("n_b") > 0)).select(
+        "event_type",
+        "n_a",
+        "n_b",
+        (u2 / F.lit(2.0)).alias("u_stat"),
+        F.round(z, 4).alias("zscore"),
+        (F.abs(z) >= 1.96).alias("significant"),
+    )

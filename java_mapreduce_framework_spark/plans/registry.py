@@ -6493,6 +6493,61 @@ def _multimodal_image_phash(spark, sf):
 
 
 @_register(
+    "stats_mannwhitney",
+    """
+    WITH base AS (
+      SELECT event_type,
+             substr(md5('ab|' || CAST(user_id AS VARCHAR)), 1, 1) < '8'
+               AS is_a,
+             value
+      FROM events
+    ),
+    vg AS (
+      SELECT event_type, value, count(*) AS cnt,
+             sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS cnt_a
+      FROM base GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT *,
+             2 * coalesce(sum(cnt) OVER (
+               PARTITION BY event_type ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + cnt + 1 AS rank2
+      FROM vg
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(sum(cnt_a) AS BIGINT) AS n_a,
+             CAST(sum(cnt - cnt_a) AS BIGINT) AS n_b,
+             CAST(sum(cnt_a * rank2) AS BIGINT) AS r2_a
+      FROM ranked GROUP BY event_type
+    ),
+    scored AS (
+      SELECT *,
+             r2_a - n_a * (n_a + 1) AS u2,
+             n_a * n_b AS mu2,
+             sqrt(n_a * n_b * (n_a + n_b + 1) / 12.0) AS sigma
+      FROM agg WHERE n_a > 0 AND n_b > 0
+    )
+    SELECT event_type, n_a, n_b,
+           u2 / 2.0 AS u_stat,
+           round((u2 - mu2) / (2 * sigma), 4) AS zscore,
+           abs((u2 - mu2) / (2 * sigma)) >= 1.96 AS significant
+    FROM scored
+    """,
+    note="Mann-Whitney U rank-sum test per event type over the same "
+    "deterministic A/B hash split (nonparametric companion to "
+    "stats_ttest_welch): tied values take average ranks carried "
+    "DOUBLED as exact integers, U and rank sums stay exact bigints, "
+    "one (type, value) fold + a cumulative window over the per-type "
+    "value alphabet; large-sample z without tie correction by "
+    "declared contract",
+)
+def _stats_mannwhitney(spark, sf):
+    return analytics.mannwhitney_utest(_t(spark, sf, "events"))
+
+
+@_register(
     "multimodal_video_scene_diff",
     f"""
     WITH {_PAYLOAD_CTE},
@@ -6806,6 +6861,7 @@ _FRESH_ROUND6 = frozenset(
         "stats_ttest_welch", "join_scd2_pointintime", "window_cusum",
         "window_twap", "ngram_autocomplete", "multimodal_image_phash",
         "multimodal_audio_vad", "multimodal_video_scene_diff",
+        "stats_mannwhitney",
     }
 )
 

@@ -793,3 +793,38 @@ def test_welch_ttest_detects_planted_mean_shift(spark):
     assert out["buy"]["mean_a"] == 20.5 and out["buy"]["mean_b"] == 10.5
     # zero-variance arms carry no test: the degenerate guard drops them
     assert "view" not in out
+
+
+def test_mannwhitney_matches_scipy_free_reference(spark):
+    """Planted shift: A's 'buy' values strictly dominate B's -> U at
+    its maximum (n_a*n_b), huge z. Tied-rank arithmetic checked
+    against a literal average-rank computation."""
+    import hashlib
+
+    from java_mapreduce_framework_spark.operators import analytics
+
+    a_users = [u for u in range(1000)
+               if hashlib.md5(f"ab|{u}".encode()).hexdigest()[0] < "8"][:20]
+    b_users = [u for u in range(1000)
+               if hashlib.md5(f"ab|{u}".encode()).hexdigest()[0] >= "8"][:20]
+    rows, eid = [], 0
+    for u in a_users:
+        rows.append((eid, "2024-01-01 00:00:00", u, "buy", 100.0, "{}")); eid += 1
+    for u in b_users:
+        rows.append((eid, "2024-01-01 00:00:00", u, "buy", 1.0, "{}")); eid += 1
+    # ties: every user contributes one identical 'view' value
+    for u in a_users + b_users:
+        rows.append((eid, "2024-01-01 00:00:00", u, "view", 7.0, "{}")); eid += 1
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r["event_type"]: r for r in analytics.mannwhitney_utest(events).collect()}
+    buy = out["buy"]
+    assert buy["u_stat"] == 400.0  # complete separation: U = n_a * n_b
+    assert buy["significant"] is True and buy["zscore"] > 5
+    # all-tied arm: every rank is the average -> U = n_a*n_b/2, z = 0
+    view = out["view"]
+    assert view["u_stat"] == 200.0 and view["zscore"] == 0.0
+    assert view["significant"] is False
