@@ -20,23 +20,33 @@ import pathlib
 
 PLANS = pathlib.Path(__file__).resolve().parent.parent / "PLANS.json"
 
-#: bytes ceiling per query: ~1.5x the round-6 measured shuffle write.
+#: bytes ceiling per query: ~1.5x the round-6 FINAL census (the
+#: MinHash signature kernel halved the sketch family's shuffles
+#: mid-round; basket_lift_topk / join_skew_salted / the asof family
+#: now sit well under the heavy list). Earlier round-6 pins kept as
+#: upper bounds for the queries that left the top-10.
 HEAVY_CEILINGS = {
+    "dedup_embedding_lsh": 1_700_000,
+    "dedup_incremental_apply": 1_060_000,
+    "ml_naive_bayes_confusion": 990_000,
+    "dedup_index_append": 980_000,
+    "dedup_ngram_jaccard_capped": 960_000,
+    "graph_kcore": 890_000,
+    "dedup_minhash_clusters": 840_000,
+    "dedup_minhash": 830_000,
+    "graph_pagerank": 790_000,
+    "graph_label_propagation": 760_000,
+    # former heavy-listers, ceilings retained
     "basket_lift_topk": 3_700_000,
     "join_skew_salted": 3_500_000,
-    "dedup_embedding_lsh": 1_700_000,
     "join_asof_ttl": 1_350_000,
     "join_asof": 1_270_000,
-    "dedup_index_append": 1_050_000,
-    "dedup_incremental_apply": 1_050_000,
     "join_asof_nearest": 1_000_000,
-    "ml_naive_bayes_confusion": 980_000,
-    "dedup_ngram_jaccard_capped": 940_000,
 }
 
-#: whole-registry ceiling (round-6 total 31.2 MB at sf0.01, x1.5 per
-#: ~40 query headroom for future rounds -- bump deliberately, not by drift).
-TOTAL_CEILING = 60_000_000
+#: whole-registry ceiling (round-6 final total 18.0 MB at sf0.01; 2x
+#: headroom for future rounds -- bump deliberately, not by drift).
+TOTAL_CEILING = 36_000_000
 
 
 def _census():
