@@ -1020,3 +1020,133 @@ def mannwhitney_utest(events: DataFrame) -> DataFrame:
         F.round(z, 4).alias("zscore"),
         (F.abs(z) >= 1.96).alias("significant"),
     )
+
+
+def anova_oneway(events: DataFrame) -> DataFrame:
+    """One-way ANOVA F-test of ``value`` across ALL event types -- the
+    k-group generalization of ``welch_ttest``'s two-arm question
+    (pooled-variance form): does the metric differ across the full
+    type alphabet at all, before any pairwise drill-down?
+
+    Execution (the ``stats_moments`` centering discipline): per-type
+    means first (alphabet-sized, rounded to 6 to pin the centering
+    constants cross-engine), broadcast back, ONE grouped pass of
+    centered squares for the within-group sum; the between-group sum
+    and the F ratio are pure row-local arithmetic on the
+    alphabet-sized result. Nothing after the first aggregate scales
+    with the corpus. Eta-squared rides along as the effect-size
+    readout (an F alone says nothing about magnitude).
+
+    Emits ONE row: (k_groups, n_total, ss_between, ss_within, f_stat,
+    eta_sq).
+
+    Reference licence: composition target -- chained-jobs model
+    (SURVEY.md §2A FIFO queue) over the WordCount substrate
+    (src/edu/upenn/cis455/mapreduce/job/WordCount.java:23-52).
+    """
+    mu = events.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("mu"),
+    )
+    d = F.col("value") - F.col("mu")
+    cell = (
+        events.join(F.broadcast(mu), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.max("mu").alias("mu"),
+            F.sum(d * d).alias("css"),
+        )
+    )
+    # grand mean over the SAME rounded per-type means, weighted by n
+    # (one double division on an alphabet-sized sum), rounded 6 to pin
+    # the between-groups centering constant; summing mu*n instead of
+    # raw values keeps both centering constants derived from the same
+    # pinned quantities on both engines
+    w = Window.partitionBy()
+    grand = F.round(
+        F.sum(F.col("mu") * F.col("n")).over(w) / F.sum("n").over(w), 6
+    )
+    g = cell.withColumn("grand", grand)
+    dg = F.col("mu") - F.col("grand")
+    agg = g.agg(
+        F.count("*").cast("bigint").alias("k_groups"),
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.sum(F.col("n") * dg * dg).alias("ssb"),
+        F.sum("css").alias("ssw"),
+    )
+    f_stat = (F.col("ssb") / (F.col("k_groups") - 1)) / (
+        F.col("ssw") / (F.col("n_total") - F.col("k_groups"))
+    )
+    return agg.filter(
+        (F.col("k_groups") > 1)
+        & (F.col("n_total") > F.col("k_groups"))
+        & (F.col("ssw") > 0)
+    ).select(
+        "k_groups",
+        "n_total",
+        F.round("ssb", 4).alias("ss_between"),
+        F.round("ssw", 4).alias("ss_within"),
+        F.round(f_stat, 4).alias("f_stat"),
+        F.round(F.col("ssb") / (F.col("ssb") + F.col("ssw")), 4).alias(
+            "eta_sq"
+        ),
+    )
+
+
+def fdr_bh(events: DataFrame, alpha: float = 0.1) -> DataFrame:
+    """Benjamini-Hochberg false-discovery-rate control over the
+    per-type A/B z-tests -- the multiple-testing step every
+    experimentation platform runs AFTER ``ab_test_ztest``: with one
+    z-test per event type, thresholding each at 1.96 inflates the
+    family-wise false-positive rate; BH bounds the EXPECTED fraction
+    of false discoveries at ``alpha`` instead.
+
+    Two-sided p-values come from the Zelen-Severo-style closed-form
+    normal-tail approximation ``p = min(1, 2*exp(-0.717|z| -
+    0.416 z^2))`` -- elementary ops only, so both engines compute the
+    IDENTICAL doubles (no erf needed anywhere); p is rounded to 8
+    before ranking so the BH sort order can never hinge on float
+    noise, with event_type as the deterministic tiebreak. The BH
+    step-up itself (rank ascending, find the largest rank with
+    ``p <= alpha*rank/m``, reject everything at or below it) is two
+    window passes over the ALPHABET-SIZED test table -- the global
+    windows never see corpus-scale data.
+
+    Emits (event_type, zscore, p_approx, p_rank, bh_crit, rejected).
+
+    Reference licence: composition target -- chained-jobs model
+    (SURVEY.md §2A FIFO queue) over the WordCount substrate
+    (src/edu/upenn/cis455/mapreduce/job/WordCount.java:23-52).
+    """
+    z = ab_test_ztest(events).select("event_type", "zscore")
+    az = F.abs(F.col("zscore"))
+    p = F.round(
+        F.least(
+            F.lit(1.0),
+            F.lit(2.0) * F.exp(-F.lit(0.717) * az - F.lit(0.416) * az * az),
+        ),
+        8,
+    )
+    scored = z.select("event_type", "zscore", p.alias("p_approx"))
+    w_rank = Window.orderBy("p_approx", "event_type")
+    w_all = Window.partitionBy()
+    ranked = scored.select(
+        "*",
+        F.row_number().over(w_rank).alias("p_rank"),
+        F.count("*").over(w_all).alias("m"),
+    )
+    crit = F.round(F.lit(alpha) * F.col("p_rank") / F.col("m"), 8)
+    flagged = ranked.select(
+        "event_type",
+        "zscore",
+        "p_approx",
+        "p_rank",
+        crit.alias("bh_crit"),
+    )
+    max_pass = F.max(
+        F.when(F.col("p_approx") <= F.col("bh_crit"), F.col("p_rank"))
+    ).over(w_all)
+    return flagged.select(
+        "*",
+        (F.col("p_rank") <= F.coalesce(max_pass, F.lit(0))).alias("rejected"),
+    )

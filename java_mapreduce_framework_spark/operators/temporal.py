@@ -1147,6 +1147,63 @@ def interval_gaps(events: DataFrame) -> DataFrame:
     )
 
 
+def interval_coverage(events: DataFrame) -> DataFrame:
+    """Per-user activity-coverage profile -- the one-row-per-user
+    readout of the gaps-and-islands family (utilization / uptime
+    dashboards read THIS, not the raw spans): how much of a user's
+    active window (first span start to last span end) was actually
+    covered by merged activity spans.
+
+    Plan: reuse ``interval_merge``'s island coalescing verbatim, then
+    ONE grouped aggregate per user over the (user_id, island) spans --
+    the aggregate keys on the same user_id the merge window just
+    partitioned by, so no new shuffle class appears and per-group
+    state is four bigints. Output is user-cardinality sized.
+
+    All duration math stays in integer microseconds (the
+    ``interval_merge`` discipline): covered/window seconds are
+    half-up integer rounding of exact micros sums, and the coverage
+    ratio divides the two exact micros ints (one double op, rounded
+    4). Spans have strictly positive width whenever ``value > 0``, so
+    the ratio denominator is the guarded CASE both engines share.
+
+    Emits (user_id, n_spans, n_events, covered_s, window_s,
+    coverage).
+
+    Reference licence: composition target -- chained-jobs model
+    (SURVEY.md §2A FIFO queue) over the WordCount substrate
+    (src/edu/upenn/cis455/mapreduce/job/WordCount.java:23-52).
+    """
+    spans = interval_merge(events).select(
+        "user_id",
+        F.unix_micros("span_start").alias("s_us"),
+        F.unix_micros("span_end").alias("e_us"),
+        "n_events",
+    )
+    agg = spans.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_spans"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.sum(F.col("e_us") - F.col("s_us")).alias("cov_us"),
+        F.min("s_us").alias("min_s"),
+        F.max("e_us").alias("max_e"),
+    )
+    win_us = F.col("max_e") - F.col("min_s")
+    return agg.select(
+        "user_id",
+        "n_spans",
+        "n_events",
+        # half-up integer rounding on exact micros (interval_gaps
+        # discipline) -- round(double, 4) splits engines at .xx5
+        (F.expr("div(cov_us + 50, 100)") / F.lit(10_000.0)).alias("covered_s"),
+        (F.expr("div(max_e - min_s + 50, 100)") / F.lit(10_000.0)).alias(
+            "window_s"
+        ),
+        F.when(
+            win_us > 0, F.round(F.col("cov_us") / win_us, 4)
+        ).alias("coverage"),
+    )
+
+
 def window_ewma(
     events: DataFrame, alpha: float = 0.25, span: int = 24
 ) -> DataFrame:

@@ -1395,6 +1395,39 @@ def k_anonymity_audit(
     )
 
 
+def l_diversity_audit(
+    documents: DataFrame, l_min: int = 3, bucket: int = KANON_BUCKET
+) -> DataFrame:
+    """l-diversity audit — the homogeneity-attack companion to
+    ``k_anonymity_audit``: a quasi-identifier group can satisfy k
+    (enough rows) yet still leak if every row in it shares ONE
+    sensitive value (knowing someone is in the group reveals the
+    attribute). Here the QI tuple is (lang, size bracket) and the
+    sensitive attribute is ``source`` — groups with fewer than
+    ``l_min`` distinct sources are the homogeneity risk surface.
+
+    One partial→final aggregate on the QI tuple (count + exact
+    count-distinct of a low-cardinality attribute); output is QI-cell
+    sized, never corpus-sized. The size bracket is the SAME explicit
+    floor as the k-audit so the two reports join cell-for-cell.
+
+    Emits (lang, size_bucket, group_size, l_distinct, at_risk).
+
+    Reference licence: composition target — chained-jobs model
+    (SURVEY.md §2A FIFO queue) over the WordCount substrate
+    (src/edu/upenn/cis455/mapreduce/job/WordCount.java:23-52).
+    """
+    size_bucket = F.floor(F.col("n_chars") / bucket).cast("int")
+    return (
+        documents.groupBy("lang", size_bucket.alias("size_bucket"))
+        .agg(
+            F.count("*").alias("group_size"),
+            F.countDistinct("source").alias("l_distinct"),
+        )
+        .withColumn("at_risk", F.col("l_distinct") < l_min)
+    )
+
+
 def curriculum_order(documents: DataFrame, buckets: int = 10) -> DataFrame:
     """Curriculum construction: stream documents easy-to-hard by
     quality decile, deterministically shuffled WITHIN each decile --

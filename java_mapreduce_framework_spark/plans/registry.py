@@ -4377,6 +4377,128 @@ def _stats_ttest_welch(spark, sf):
 
 
 @_register(
+    "stats_anova",
+    """
+    WITH mu AS (
+      SELECT event_type, round(avg(value), 6) AS mu, count(*) AS n
+      FROM events GROUP BY event_type
+    ),
+    cell AS (
+      SELECT e.event_type, max(m.n) AS n, max(m.mu) AS mu,
+             sum((e.value - m.mu) * (e.value - m.mu)) AS css
+      FROM events e JOIN mu m USING (event_type)
+      GROUP BY e.event_type
+    ),
+    g AS (
+      SELECT *, round(sum(mu * n) OVER () / sum(n) OVER (), 6) AS grand
+      FROM cell
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS k_groups,
+             CAST(sum(n) AS BIGINT) AS n_total,
+             sum(n * (mu - grand) * (mu - grand)) AS ssb,
+             sum(css) AS ssw
+      FROM g
+    )
+    SELECT k_groups, n_total,
+           round(ssb, 4) AS ss_between,
+           round(ssw, 4) AS ss_within,
+           round((ssb / (k_groups - 1)) / (ssw / (n_total - k_groups)), 4)
+             AS f_stat,
+           round(ssb / (ssb + ssw), 4) AS eta_sq
+    FROM agg
+    WHERE k_groups > 1 AND n_total > k_groups AND ssw > 0
+    """,
+    note="one-way ANOVA F across the full event-type alphabet: "
+    "per-type means rounded 6 (stats_moments centering discipline), "
+    "one centered-squares pass for SSW, grand mean re-derived from "
+    "the SAME pinned means; F and eta-squared row-local on the "
+    "one-row result",
+)
+def _stats_anova(spark, sf):
+    return analytics.anova_oneway(_t(spark, sf, "events"))
+
+
+@_register(
+    "stats_fdr_bh",
+    f"""
+    WITH users AS (
+      SELECT DISTINCT user_id,
+             CASE WHEN substr(md5('ab|' || CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 'A' ELSE 'B' END AS variant
+      FROM events
+    ),
+    conv AS (
+      SELECT user_id, event_type FROM events
+      GROUP BY user_id, event_type HAVING count(*) >= 10
+    ),
+    per_type AS (
+      SELECT c.event_type, u.variant, count(*) AS n_conv
+      FROM users u JOIN conv c USING (user_id)
+      GROUP BY c.event_type, u.variant
+    ),
+    tot_wide AS (
+      SELECT sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS n_a,
+             sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS n_b
+      FROM users
+    ),
+    wide AS (
+      SELECT event_type,
+             coalesce(max(CASE WHEN p.variant = 'A' THEN p.n_conv END), 0)
+               AS conv_a,
+             coalesce(max(CASE WHEN p.variant = 'B' THEN p.n_conv END), 0)
+               AS conv_b,
+             t.n_a, t.n_b
+      FROM per_type p CROSS JOIN tot_wide t
+      GROUP BY event_type, t.n_a, t.n_b
+    ),
+    scored0 AS (
+      SELECT *,
+             (conv_a + conv_b) * 1.0 / (n_a + n_b) AS pp,
+             conv_a * 1.0 / n_a - conv_b * 1.0 / n_b AS diff
+      FROM wide
+    ),
+    ztab AS (
+      SELECT event_type,
+             round(diff / sqrt(pp * (1 - pp) * (1.0 / n_a + 1.0 / n_b)), 4)
+               AS zscore
+      FROM scored0 WHERE pp > 0 AND pp < 1
+    ),
+    ptab AS (
+      SELECT event_type, zscore,
+             round(least(1.0, 2.0 * exp(-0.717 * abs(zscore)
+                   - 0.416 * zscore * zscore)), 8) AS p_approx
+      FROM ztab
+    ),
+    ranked AS (
+      SELECT *,
+             CAST(row_number() OVER (ORDER BY p_approx, event_type)
+                  AS INTEGER) AS p_rank,
+             count(*) OVER () AS m
+      FROM ptab
+    ),
+    flagged AS (
+      SELECT event_type, zscore, p_approx, p_rank,
+             round(0.1e0 * p_rank / m, 8) AS bh_crit
+      FROM ranked
+    )
+    SELECT event_type, zscore, p_approx, p_rank, bh_crit,
+           p_rank <= coalesce(max(CASE WHEN p_approx <= bh_crit
+                                       THEN p_rank END) OVER (), 0)
+             AS rejected
+    FROM flagged
+    """,
+    note="Benjamini-Hochberg FDR step-up over the per-type A/B "
+    "z-tests (ab_test_ztest's CTE reused verbatim): closed-form "
+    "normal-tail p (elementary ops only, identical doubles both "
+    "engines, rounded 8 before ranking), two global windows over the "
+    "ALPHABET-sized test table",
+)
+def _stats_fdr_bh(spark, sf):
+    return analytics.fdr_bh(_t(spark, sf, "events"))
+
+
+@_register(
     "train_shuffle_shard",
     """
     WITH keyed AS (
@@ -4841,6 +4963,26 @@ def _corpus_mix_temperature(spark, sf):
 )
 def _k_anonymity_audit(spark, sf):
     return text.k_anonymity_audit(_t(spark, sf, "documents"))
+
+
+@_register(
+    "l_diversity_audit",
+    f"""
+    SELECT lang,
+           CAST(floor(n_chars / {text.KANON_BUCKET}.0) AS INTEGER) AS size_bucket,
+           CAST(count(*) AS BIGINT) AS group_size,
+           CAST(count(DISTINCT source) AS BIGINT) AS l_distinct,
+           count(DISTINCT source) < 3 AS at_risk
+    FROM documents
+    GROUP BY 1, 2
+    """,
+    note="l-diversity audit (homogeneity-attack companion to "
+    "k_anonymity_audit): QI = (lang, size bracket), sensitive = "
+    "source; groups with < 3 distinct sources flagged; one "
+    "partial->final aggregate, QI-cardinality output",
+)
+def _l_diversity_audit(spark, sf):
+    return text.l_diversity_audit(_t(spark, sf, "documents"))
 
 
 @_register(
@@ -6219,6 +6361,68 @@ def _interval_gaps(spark, sf):
     return temporal.interval_gaps(_t(spark, sf, "events"))
 
 
+@_register(
+    "interval_coverage",
+    """
+    WITH base AS (
+      SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS s_us,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               + CAST(floor(value * 1000000.0) AS BIGINT) AS e_us
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, s_us, e_us,
+             CASE WHEN max(e_us) OVER (
+                    PARTITION BY user_id ORDER BY s_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) IS NULL
+                  OR s_us > max(e_us) OVER (
+                    PARTITION BY user_id ORDER BY s_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  )
+             THEN 1 ELSE 0 END AS new_island
+      FROM base
+    ),
+    islands AS (
+      SELECT user_id, s_us, e_us,
+             sum(new_island) OVER (
+               PARTITION BY user_id ORDER BY s_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS island
+      FROM flagged
+    ),
+    spans AS (
+      SELECT user_id, island, min(s_us) AS s_us, max(e_us) AS e_us,
+             count(*) AS n_events
+      FROM islands GROUP BY user_id, island
+    ),
+    agg AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_spans,
+             CAST(sum(n_events) AS BIGINT) AS n_events,
+             sum(e_us - s_us) AS cov_us,
+             min(s_us) AS min_s, max(e_us) AS max_e
+      FROM spans GROUP BY user_id
+    )
+    SELECT user_id, n_spans, n_events,
+           ((cov_us + 50) // 100) / 10000.0 AS covered_s,
+           ((max_e - min_s + 50) // 100) / 10000.0 AS window_s,
+           CASE WHEN max_e - min_s > 0
+                THEN round(cov_us * 1.0 / (max_e - min_s), 4) END
+             AS coverage
+    FROM agg
+    """,
+    note="per-user coverage readout over merged spans (utilization / "
+    "uptime): interval_merge's island kernel verbatim plus one "
+    "grouped aggregate on the SAME user_id key; covered/window "
+    "seconds via half-up integer micros, ratio one double op on "
+    "exact ints",
+)
+def _interval_coverage(spark, sf):
+    return temporal.interval_coverage(_t(spark, sf, "events"))
+
+
 _RAKE_STOPS = "('" + "','".join(
     w for ws in text.STOPWORDS.values() for w in ws
 ) + "')"
@@ -6861,7 +7065,8 @@ _FRESH_ROUND6 = frozenset(
         "stats_ttest_welch", "join_scd2_pointintime", "window_cusum",
         "window_twap", "ngram_autocomplete", "multimodal_image_phash",
         "multimodal_audio_vad", "multimodal_video_scene_diff",
-        "stats_mannwhitney",
+        "stats_mannwhitney", "stats_anova", "stats_fdr_bh",
+        "interval_coverage", "l_diversity_audit",
     }
 )
 

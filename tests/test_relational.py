@@ -828,3 +828,106 @@ def test_mannwhitney_matches_scipy_free_reference(spark):
     view = out["view"]
     assert view["u_stat"] == 200.0 and view["zscore"] == 0.0
     assert view["significant"] is False
+
+
+def test_anova_matches_closed_form(spark):
+    """Three groups with planted means; F checked against the
+    closed-form computation on the same pinned (rounded-6) means."""
+    from java_mapreduce_framework_spark.operators import analytics
+
+    rows, eid = [], 0
+    groups = {"a": [10.0, 12.0, 14.0], "b": [20.0, 22.0, 24.0],
+              "c": [10.0, 22.0, 34.0]}
+    for g, vals in groups.items():
+        for v in vals:
+            rows.append((eid, "2024-01-01 00:00:00", eid, g, v, "{}")); eid += 1
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = analytics.anova_oneway(events).collect()
+    assert len(out) == 1
+    r = out[0]
+    # by hand: means 12, 22, 22 -> grand = 56/3 rounded 6 = 18.666667
+    # ssb = 3*((12-g)^2 + 2*(22-g)^2), ssw = 8 + 8 + 288
+    g = round(56 / 3, 6)
+    ssb = 3 * ((12 - g) ** 2 + 2 * (22 - g) ** 2)
+    assert r["k_groups"] == 3 and r["n_total"] == 9
+    assert r["ss_within"] == 304.0
+    assert abs(r["ss_between"] - round(ssb, 4)) < 1e-9
+    f = (ssb / 2) / (304.0 / 6)
+    assert abs(r["f_stat"] - round(f, 4)) < 1e-9
+    assert abs(r["eta_sq"] - round(ssb / (ssb + 304.0), 4)) < 1e-9
+
+
+def test_fdr_bh_step_up_prefix(spark, sf_small):
+    """BH rejections are a prefix of the p-ranking, every rejected p
+    sits at-or-below SOME later-rank criterion (step-up), and the
+    p-approximation is monotone in |z|."""
+    from java_mapreduce_framework_spark.operators import analytics
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    out = sorted(
+        analytics.fdr_bh(load_table(spark, sf_small, "events")).collect(),
+        key=lambda r: r["p_rank"],
+    )
+    assert [r["p_rank"] for r in out] == list(range(1, len(out) + 1))
+    # monotone p along the rank order, rejected set is a prefix
+    ps = [r["p_approx"] for r in out]
+    assert ps == sorted(ps)
+    flags = [r["rejected"] for r in out]
+    assert flags == sorted(flags, reverse=True)
+    # step-up: the LAST rejected rank satisfies its own criterion
+    rejected = [r for r in out if r["rejected"]]
+    if rejected:
+        last = rejected[-1]
+        assert last["p_approx"] <= last["bh_crit"]
+    # |z| larger -> p smaller (approximation is monotone)
+    byz = sorted(out, key=lambda r: abs(r["zscore"]))
+    pz = [r["p_approx"] for r in byz]
+    assert pz == sorted(pz, reverse=True)
+
+
+def test_interval_coverage_consistent_with_merge(spark, sf_small):
+    """Coverage aggregates reproduce a direct fold over
+    interval_merge's spans: covered <= window, counts add up."""
+    from java_mapreduce_framework_spark.operators import temporal
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_small, "events")
+    spans = temporal.interval_merge(events).collect()
+    cov = {r["user_id"]: r for r in
+           temporal.interval_coverage(events).collect()}
+    from collections import defaultdict
+    n_spans, n_events = defaultdict(int), defaultdict(int)
+    for s in spans:
+        n_spans[s["user_id"]] += 1
+        n_events[s["user_id"]] += s["n_events"]
+    assert set(cov) == set(n_spans)
+    for u, r in cov.items():
+        assert r["n_spans"] == n_spans[u]
+        assert r["n_events"] == n_events[u]
+        assert r["covered_s"] <= r["window_s"] + 1e-9
+        assert 0.0 < r["coverage"] <= 1.0
+
+
+def test_l_diversity_flags_homogeneous_groups(spark):
+    """A QI cell with one source is flagged regardless of size; a
+    3-source cell is not."""
+    from java_mapreduce_framework_spark.operators import text as t
+
+    rows = [(i, "x", "en", "web", 50) for i in range(10)]
+    rows += [(100 + i, "x", "de", ["web", "book", "wiki"][i], 50)
+             for i in range(3)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long")
+    out = {(r["lang"], r["size_bucket"]): r
+           for r in t.l_diversity_audit(docs).collect()}
+    en = out[("en", 0)]
+    assert en["group_size"] == 10 and en["l_distinct"] == 1
+    assert en["at_risk"] is True
+    de = out[("de", 0)]
+    assert de["group_size"] == 3 and de["l_distinct"] == 3
+    assert de["at_risk"] is False
