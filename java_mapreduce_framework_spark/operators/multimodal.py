@@ -700,6 +700,54 @@ def image_patches(images: DataFrame, patch: int = 4) -> DataFrame:
     return images.mapInPandas(kernel, schema=PATCH_SUM_SCHEMA)
 
 
+def image_histogram(images: DataFrame, bins: int = 16) -> DataFrame:
+    """Per-image luminance histogram over the REAL decode path -- the
+    exposure/contrast profile a vision-data curator filters on before
+    training (all-dark, all-blown, or low-dynamic-range images are
+    cheap to drop once binned). Integer luminance ``r+g+b`` (0..765)
+    buckets by exact integer floor-division into 16 bins, so every
+    count is engine-exact and the oracle replays the full computation
+    from the text bytes the pixels tile from.
+
+    The Arrow kernel decodes each BMP (library-free ``real_decode``),
+    bins with one vectorized bincount, and emits at most ``bins``
+    rows per image -- payloads stay executor-local, the shuffle
+    carries (doc_id, bin, count) triples only. Occupied bins only
+    (sparse form), the group-by-free layout downstream percentile /
+    entropy readouts consume directly.
+
+    Emits (doc_id, bin, n_px).
+
+    Reference licence: composition target -- chained-jobs model
+    (SURVEY.md §2A FIFO queue) over the WordCount substrate
+    (src/edu/upenn/cis455/mapreduce/job/WordCount.java:23-52).
+    """
+    import numpy as np
+
+    width = (3 * 255) // bins + 1  # 48 for 16 bins: 765 // 48 = 15
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, bn, npx = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = real_decode(bytes(payload))
+                gray = px.astype(np.int64).sum(axis=2).ravel()
+                cnt = np.bincount(gray // width, minlength=bins)
+                for i in np.nonzero(cnt)[0]:
+                    ids.append(doc_id)
+                    bn.append(int(i))
+                    npx.append(int(cnt[i]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "bin": pd.Series(bn, dtype="int32"),
+                    "n_px": pd.Series(npx, dtype="int64"),
+                }
+            )
+
+    return images.mapInPandas(kernel, schema="doc_id long, bin int, n_px long")
+
+
 #: audio_spectrogram output schema (kept next to its sibling above).
 AUDIO_SPEC_SCHEMA = (
     "doc_id long, frame_idx int, total_energy double,"

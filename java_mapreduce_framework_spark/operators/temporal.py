@@ -1438,3 +1438,79 @@ def window_twap(events: DataFrame) -> DataFrame:
             F.round(F.col("num") / F.col("den") / F.lit(100.0), 6).alias("twap"),
         )
     )
+
+
+def event_markov_stationary(events: DataFrame, rounds: int = 12) -> DataFrame:
+    """Stationary distribution of the first-order event-type Markov
+    chain by fixed-round power iteration -- the long-run "where does
+    user attention settle" readout of ``event_transition_matrix``
+    (the matrix says what happens NEXT; the stationary vector says
+    what fraction of steps the chain spends in each state forever).
+
+    Exactness across engines: each round computes
+    ``v'(j) = sum_i v(i) * P(i, j)`` with a DETERMINISTIC fold order
+    -- the per-target terms are collected into an array sorted by
+    source state and folded left with a 0.0 seed (IEEE ``0 + x == x``
+    makes the seeded fold bit-equal to DuckDB's seedless
+    ``list_reduce``). Double sums in engine-chosen order would drift
+    in the last bit and compound over rounds; the sorted fold kills
+    that by construction, so the final round-6 probabilities are
+    bit-identical.
+
+    Scale: the transition matrix (alphabet^2 rows, exact integer
+    counts over ONE corpus-sized lead window -- the
+    ``event_transition_matrix`` plan) is eagerly localCheckpoint'ed
+    once; every iteration thereafter joins two ALPHABET-sized frames
+    -- zero corpus passes inside the loop, state checkpointed every
+    3rd round to truncate lineage (the pagerank discipline,
+    operators/dedup.py::graph_pagerank). States with no outgoing
+    transitions drop from the chain on both engines by the same join.
+
+    Emits (state, pi) -- the stationary probability per event type,
+    rounded 6.
+
+    Reference licence: composition target -- chained-jobs model
+    (SURVEY.md §2A FIFO queue) over the WordCount substrate
+    (src/edu/upenn/cis455/mapreduce/job/WordCount.java:23-52).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cur = Window.partitionBy("cur_type")
+    matrix = (
+        events.select(
+            "user_id",
+            F.col("event_type").alias("cur_type"),
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("cur_type", "next_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "cur_type",
+            "next_type",
+            (F.col("n") / F.sum("n").over(w_cur)).alias("mp"),
+        )
+        .localCheckpoint()
+    )
+    k = matrix.select("cur_type").distinct()
+    v = k.select(
+        F.col("cur_type").alias("state"),
+        (F.lit(1.0) / F.count("*").over(Window.partitionBy())).alias("p"),
+    ).localCheckpoint()
+    for r in range(rounds):
+        terms = v.join(matrix, F.col("state") == F.col("cur_type")).select(
+            "next_type",
+            F.col("state").alias("src"),
+            (F.col("p") * F.col("mp")).alias("term"),
+        )
+        v = terms.groupBy("next_type").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("src", "term"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["term"],
+            ).alias("p")
+        ).select(F.col("next_type").alias("state"), "p")
+        if r % 3 == 2:
+            v = v.localCheckpoint()
+    return v.select("state", F.round("p", 6).alias("pi"))

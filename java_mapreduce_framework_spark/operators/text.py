@@ -582,6 +582,65 @@ def countmin_heavy_hitters(
     )
 
 
+def dup_ngram_fraction(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Corpus-wide duplicate n-gram fraction per document -- the
+    Gopher/Dolma "dup n-gram" quality signal: what fraction of a
+    doc's n-gram OCCURRENCES also appear in at least one OTHER
+    document. High scores mark boilerplate and templated spam that
+    exact/near dedup keeps (the docs differ) but a trainer still
+    shouldn't over-weight. Complements ``repetition_score`` (WITHIN-
+    doc repeats) and ``dedup_substring`` (pairwise span evidence) --
+    this is the corpus-level prevalence readout.
+
+    Plan: one projection builds per-doc (shingle, multiplicity) via a
+    grams explode + keyed count (the shared ``grams_expr``
+    definition, 8-byte xxhash64 keys -- the ``shingles`` discipline);
+    document frequency is ONE more partial->final count over the
+    (doc, shingle) distinct stream; a single keyed shuffle-hash join
+    brings df back and the per-doc fold is an aggregate on doc_id.
+    Every exchange keys on shingle-hash or doc_id; nothing
+    materializes per-doc arrays and no stage is quadratic in df (the
+    join is index->doc, not doc->doc). At 100 TB the df table is
+    vocab-sized, so the join shuffles -- if a broadcastable duplicated
+    set is known small, ``df_cap_shingles``'s hot-set trick applies,
+    but correctness here needs every df>=2 shingle.
+
+    Emits (doc_id, n_grams, dup_grams, dup_frac) for docs with >= n
+    tokens.
+
+    Reference licence: composition target -- chained-jobs model
+    (SURVEY.md §2A FIFO queue) over the WordCount substrate
+    (src/edu/upenn/cis455/mapreduce/job/WordCount.java:23-52).
+    """
+    toks = tokens_col("text")
+    base = documents.select("doc_id", toks.alias("toks")).filter(
+        F.size("toks") >= n
+    )
+    g = F.explode(F.expr(grams_expr(n)))
+    inst = base.select("doc_id", g.alias("shingle")).select(
+        "doc_id", F.xxhash64("shingle").alias("shingle")
+    )
+    mult = inst.groupBy("doc_id", "shingle").agg(F.count("*").alias("cnt"))
+    dfreq = mult.groupBy("shingle").agg(F.count("*").alias("df"))
+    joined = mult.join(dfreq.hint("shuffle_hash"), "shingle")
+    dup = F.sum(F.when(F.col("df") >= 2, F.col("cnt")).otherwise(F.lit(0)))
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_grams"),
+            dup.cast("bigint").alias("dup_grams"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "dup_grams",
+            F.round(F.col("dup_grams") / F.col("n_grams"), 4).alias(
+                "dup_frac"
+            ),
+        )
+    )
+
+
 def repetition_score(documents: DataFrame, n: int = 3) -> DataFrame:
     """Boilerplate/looping-text quality signal: the fraction of a
     document's ``n``-gram occurrences that are repeats of an n-gram

@@ -981,6 +981,37 @@ def _repetition_score(spark, sf):
 
 
 @_register(
+    "quality_dup_ngram_frac",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    inst AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      FROM toks WHERE len(t) >= 3),
+    mult AS (
+      SELECT doc_id, shingle, count(*) AS cnt
+      FROM inst GROUP BY doc_id, shingle),
+    dfreq AS (SELECT shingle, count(*) AS df FROM mult GROUP BY shingle)
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN df >= 2 THEN cnt ELSE 0 END) AS BIGINT)
+             AS dup_grams,
+           round(sum(CASE WHEN df >= 2 THEN cnt ELSE 0 END) * 1.0
+                 / sum(cnt), 4) AS dup_frac
+    FROM mult JOIN dfreq USING (shingle)
+    GROUP BY doc_id
+    """,
+    note="corpus-wide duplicate 3-gram fraction per doc (the "
+    "Gopher/Dolma dup-ngram signal, cross-doc where repetition_score "
+    "is within-doc): gram multiplicities + ONE df count + one keyed "
+    "join back; 8-byte hashed shingle keys engine-side",
+)
+def _quality_dup_ngram_frac(spark, sf):
+    return text.dup_ngram_fraction(_t(spark, sf, "documents"))
+
+
+@_register(
     "sequence_packing",
     f"""
     WITH t AS (SELECT doc_id, lang, len({_TOKS}) AS n_tokens FROM documents)
@@ -1705,6 +1736,36 @@ def _multimodal_decode_bmp(spark, sf):
 )
 def _multimodal_image_patches(spark, sf):
     return multimodal.image_patches(
+        multimodal.attach_image_payload(_t(spark, sf, "documents"))
+    )
+
+
+@_register(
+    "multimodal_image_histogram",
+    f"""
+    WITH {_PAYLOAD_CTE},
+    geo AS (SELECT doc_id, n, bytes,
+                   8 + (n % 9) AS w, 8 + ((n * 3) % 9) AS h
+            FROM pbytes WHERE n > 0),
+    px AS (SELECT doc_id, n, bytes, unnest(range(0, w * h)) AS k
+           FROM geo),
+    g AS (SELECT doc_id,
+                 CAST((bytes[CAST((k * 3 + 0) % n AS INT) + 1]
+                     + bytes[CAST((k * 3 + 1) % n AS INT) + 1]
+                     + bytes[CAST((k * 3 + 2) % n AS INT) + 1]) // 48
+                      AS INT) AS bin
+          FROM px)
+    SELECT doc_id, bin, CAST(count(*) AS BIGINT) AS n_px
+    FROM g GROUP BY doc_id, bin
+    """,
+    note="per-image 16-bin luminance histogram over REAL decoded BMP "
+    "pixels (exposure/contrast curation profile): integer r+g+b "
+    "floor-binned, one vectorized bincount per image, sparse "
+    "(doc_id, bin, count) rows shuffle -- never pixels; oracle "
+    "replays every pixel from the text bytes",
+)
+def _multimodal_image_histogram(spark, sf):
+    return multimodal.image_histogram(
         multimodal.attach_image_payload(_t(spark, sf, "documents"))
     )
 
@@ -2477,6 +2538,61 @@ def _bm25_score(spark, sf):
 )
 def _event_transition_matrix(spark, sf):
     return temporal.event_transition_matrix(_t(spark, sf, "events"))
+
+
+def _markov_stationary_oracle_sql(rounds: int = 12) -> str:
+    """Unrolled chained-CTE mirror of
+    ``temporal.event_markov_stationary``: one MATERIALIZED CTE per
+    power-iteration round (MATERIALIZED keeps DuckDB from inlining
+    the chain exponentially -- the graph_kcore lesson), each folding
+    the per-target terms in SORTED source order via seedless
+    ``list_reduce`` (bit-equal to the engine's 0.0-seeded fold since
+    IEEE 0 + x == x for positive x)."""
+    parts = [
+        f"""
+    WITH t AS (
+      SELECT user_id, event_type AS cur_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM {_EVTS}),
+    m AS MATERIALIZED (
+      SELECT cur_type, next_type,
+             count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY cur_type)
+               AS mp
+      FROM t WHERE next_type IS NOT NULL GROUP BY cur_type, next_type),
+    v0 AS MATERIALIZED (
+      SELECT cur_type AS state, 1.0e0 / count(*) OVER () AS p
+      FROM (SELECT DISTINCT cur_type FROM m))"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+    v{r} AS MATERIALIZED (
+      SELECT m.next_type AS state,
+             list_reduce(list(v.p * m.mp ORDER BY v.state),
+                         (a, b) -> a + b) AS p
+      FROM v{r - 1} v JOIN m ON m.cur_type = v.state
+      GROUP BY m.next_type)"""
+        )
+    parts.append(
+        f"""
+    SELECT state, round(p, 6) AS pi FROM v{rounds}
+    """
+    )
+    return "".join(parts)
+
+
+@_register(
+    "event_markov_stationary",
+    _markov_stationary_oracle_sql(12),
+    note="stationary distribution of the event-type Markov chain by "
+    "12-round power iteration: matrix checkpointed once, every round "
+    "joins two ALPHABET-sized frames with a sorted-source "
+    "deterministic fold (bit-identical double sums both engines); "
+    "unrolled MATERIALIZED chained-CTE oracle",
+)
+def _event_markov_stationary(spark, sf):
+    return temporal.event_markov_stationary(_t(spark, sf, "events"))
 
 
 @_register(
@@ -7067,6 +7183,8 @@ _FRESH_ROUND6 = frozenset(
         "multimodal_audio_vad", "multimodal_video_scene_diff",
         "stats_mannwhitney", "stats_anova", "stats_fdr_bh",
         "interval_coverage", "l_diversity_audit",
+        "quality_dup_ngram_frac", "event_markov_stationary",
+        "multimodal_image_histogram",
     }
 )
 

@@ -405,3 +405,21 @@ def test_video_scene_diff_pairs_and_cut_flag(spark, sf_small):
         total = sum(r["diff"] for r in rs)
         for r in rs:
             assert r["is_cut"] == (r["diff"] * len(rs) > total)
+
+
+def test_image_histogram_counts_cover_all_pixels(spark, sf_small):
+    """Per-doc bin counts sum to w*h and bins stay in [0, 15]."""
+    from java_mapreduce_framework_spark.operators import multimodal
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents").limit(40)
+    imgs = multimodal.attach_image_payload(docs)
+    hist = multimodal.image_histogram(imgs).collect()
+    meta = {r["doc_id"]: r["width"] * r["height"]
+            for r in multimodal.decode_image_meta(imgs).collect()}
+    from collections import defaultdict
+    per_doc = defaultdict(int)
+    for r in hist:
+        assert 0 <= r["bin"] <= 15
+        per_doc[r["doc_id"]] += r["n_px"]
+    assert per_doc == {k: v for k, v in meta.items()}

@@ -680,3 +680,32 @@ def test_window_twap_weights_by_hold_duration(spark):
         for r in window_twap(ev).collect()
     }
     assert got == {1: (2, 12.5)}
+
+
+def test_markov_stationary_sums_to_one_and_matches_numpy(spark, sf_small):
+    """Power-iteration result is a probability vector and matches a
+    numpy replay of the same pinned computation."""
+    import numpy as np
+
+    from java_mapreduce_framework_spark.operators import temporal
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_small, "events")
+    out = {r["state"]: r["pi"]
+           for r in temporal.event_markov_stationary(events).collect()}
+    assert abs(sum(out.values()) - 1.0) < 1e-4
+    # numpy replay: matrix from the rounded transition counts
+    m = temporal.event_transition_matrix(events).collect()
+    states = sorted({r["cur_type"] for r in m})
+    idx = {s: i for i, s in enumerate(states)}
+    P = np.zeros((len(states), len(states)))
+    cnt = np.zeros((len(states), len(states)))
+    for r in m:
+        if r["next_type"] in idx:
+            cnt[idx[r["cur_type"]], idx[r["next_type"]]] = r["n_transitions"]
+    P = cnt / cnt.sum(axis=1, keepdims=True)
+    v = np.full(len(states), 1.0 / len(states))
+    for _ in range(12):
+        v = v @ P
+    for s, i in idx.items():
+        assert abs(out[s] - v[i]) < 1e-5

@@ -818,3 +818,25 @@ def test_ngram_autocomplete_prefix_ranks(spark):
     # short word 'do' only yields prefixes up to its own length
     assert sorted(idx["do"]) == [(1, "do", 1), (2, "dog", 1)]
     assert all(len(v) <= 3 for v in idx.values())
+
+
+def test_dup_ngram_fraction_planted(spark):
+    """Two identical docs share every gram (frac 1.0); a unique doc
+    scores 0; a doc sharing exactly one gram instance scores 1/3."""
+    from java_mapreduce_framework_spark.operators import text as t
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "en", "web", 7),
+            (2, "a b c d", "en", "web", 7),
+            (3, "x y z w q", "en", "web", 9),
+            (4, "p q a b c", "en", "web", 9),  # shares 'a b c' with 1/2
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r["doc_id"]: r for r in t.dup_ngram_fraction(docs).collect()}
+    assert out[1]["dup_frac"] == 1.0 and out[1]["n_grams"] == 2
+    assert out[2]["dup_frac"] == 1.0
+    assert out[3]["dup_frac"] == 0.0 and out[3]["dup_grams"] == 0
+    assert out[4]["n_grams"] == 3 and out[4]["dup_grams"] == 1
+    assert out[4]["dup_frac"] == round(1 / 3, 4)
