@@ -1634,6 +1634,56 @@ def triangle_count(pairs: DataFrame) -> DataFrame:
     return corners.groupBy("doc_id").agg(F.count("*").alias("n_triangles"))
 
 
+def clustering_coefficient(pairs: DataFrame) -> DataFrame:
+    """Per-node LOCAL clustering coefficient over an undirected pair
+    graph -- the density readout behind community detection: of all
+    pairs of v's neighbors, what fraction are themselves connected
+    (``2*tri(v) / (deg(v) * (deg(v)-1))``). Nodes embedded in cliques
+    score 1, stars score 0; the distribution separates organic
+    co-occurrence graphs from templated ones.
+
+    Composition, no new primitives: triangle credits come from
+    ``triangle_count`` (degree-ordered wedge join, fan-out bounded by
+    the smaller endpoint's degree), degrees from one count over the
+    symmetrized edge stream, and one keyed left join marries them
+    (triangle-free nodes coalesce to 0). Every exchange keys on node
+    id; the coefficient is one exact-integer division rounded once.
+
+    Emits (doc_id, deg, n_triangles, clustering_coeff) for nodes
+    with deg >= 2 (the coefficient is undefined below).
+
+    Reference licence: composition target -- chained-jobs model
+    (SURVEY.md §2A FIFO queue) over the WordCount substrate
+    (src/edu/upenn/cis455/mapreduce/job/WordCount.java:23-52).
+    """
+    edges = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    degs = edges.groupBy(F.col("u").alias("doc_id")).agg(
+        F.count("*").alias("deg")
+    )
+    tri = triangle_count(pairs)
+    cc = (
+        F.lit(2.0)
+        * F.col("n_triangles")
+        / (F.col("deg") * (F.col("deg") - F.lit(1)))
+    )
+    return (
+        degs.filter(F.col("deg") >= 2)
+        .join(tri, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("deg").cast("bigint").alias("deg"),
+            F.coalesce("n_triangles", F.lit(0))
+            .cast("bigint")
+            .alias("n_triangles"),
+        )
+        .select("doc_id", "deg", "n_triangles", F.round(cc, 6).alias("clustering_coeff"))
+    )
+
+
 def cluster_keep_best(
     documents: DataFrame, n: int = 3, threshold: float = 0.8
 ) -> DataFrame:

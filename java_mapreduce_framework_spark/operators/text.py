@@ -1110,6 +1110,83 @@ def pair_pmi(documents: DataFrame, min_count: int = 5, k: int = 30) -> DataFrame
     ).limit(k)
 
 
+def pair_llr(documents: DataFrame, min_count: int = 5, k: int = 30) -> DataFrame:
+    """Collocation mining by Dunning's log-likelihood ratio (Dunning
+    1993) -- the significance-aware companion to ``pair_pmi``: PMI
+    over-rewards rare pairs (two hapaxes that co-occur once get a
+    huge score), while the G^2 statistic weighs the FULL 2x2
+    contingency table of the bigram stream, so high scores need both
+    association AND evidence. The standard phrase-table builder for
+    tokenizer multi-word entries.
+
+    Counts are three combinable aggregations over the SAME row-local
+    bigram zip as ``pair_pmi``/``lm_bigram_score`` (pair counts,
+    first-word margins, second-word margins -- margins from the
+    BIGRAM stream, not unigrams: doc-final tokens never open a pair);
+    the scoring joins key on single words, the 1-row bigram total
+    broadcasts. The G^2 sum is four k*ln(kN/(rc)) terms in FIXED
+    written order (zero-count terms contribute 0 by the CASE guard on
+    both engines), rounded once. Top-k via TakeOrderedAndProject,
+    ties broken on the pair.
+
+    Emits (w1, w2, n_pair, llr).
+
+    Reference licence: composition target -- chained-jobs model
+    (SURVEY.md §2A FIFO queue) over the WordCount substrate
+    (src/edu/upenn/cis455/mapreduce/job/WordCount.java:23-52).
+    """
+    toks = tokens_col("text")
+    pairs = (
+        documents.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(toks[i - 1] AS w1, toks[i] AS w2))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+    )
+    c2 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("k11"))
+    r = pairs.groupBy("w1").agg(F.count("*").alias("r1"))
+    c = pairs.groupBy("w2").agg(F.count("*").alias("c1"))
+    tot = pairs.select(F.count("*").alias("n"))
+
+    def term(kc: str, rc, cc):
+        num = F.col(kc) * F.lit(1.0) * F.col("n")
+        den = rc * F.lit(1.0) * cc
+        return F.when(
+            F.col(kc) > 0, F.col(kc) * F.log(num / den)
+        ).otherwise(F.lit(0.0))
+
+    sc = (
+        c2.filter(F.col("k11") >= min_count)
+        .join(r, "w1")
+        .join(c, "w2")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("k12", F.col("r1") - F.col("k11"))
+        .withColumn("k21", F.col("c1") - F.col("k11"))
+        .withColumn(
+            "k22", F.col("n") - F.col("r1") - F.col("c1") + F.col("k11")
+        )
+    )
+    llr = F.lit(2.0) * (
+        term("k11", F.col("r1"), F.col("c1"))
+        + term("k12", F.col("r1"), F.col("n") - F.col("c1"))
+        + term("k21", F.col("n") - F.col("r1"), F.col("c1"))
+        + term("k22", F.col("n") - F.col("r1"), F.col("n") - F.col("c1"))
+    )
+    scored = sc.select(
+        "w1",
+        "w2",
+        F.col("k11").cast("bigint").alias("n_pair"),
+        F.round(llr, 4).alias("llr"),
+    )
+    return scored.orderBy(F.col("llr").desc(), "w1", "w2").limit(k)
+
+
 def split_leakage_audit(documents: DataFrame, prefix_len: int = 24) -> DataFrame:
     """Train/test contamination audit: content fingerprints (md5 of
     the normalized prefix key) that appear in MORE THAN ONE split of

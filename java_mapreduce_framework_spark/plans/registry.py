@@ -3754,6 +3754,54 @@ def _pair_pmi(spark, sf):
 
 
 @_register(
+    "pair_llr",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    big AS (
+      SELECT unnest(t[1:len(t) - 1]) AS w1, unnest(t[2:len(t)]) AS w2
+      FROM toks WHERE len(t) >= 2
+    ),
+    c2 AS (SELECT w1, w2, count(*) AS k11 FROM big GROUP BY w1, w2
+           HAVING count(*) >= 5),
+    r AS (SELECT w1, count(*) AS r1 FROM big GROUP BY w1),
+    c AS (SELECT w2, count(*) AS c1 FROM big GROUP BY w2),
+    tot AS (SELECT count(*) AS n FROM big),
+    sc AS (
+      SELECT w1, w2, k11, r1, c1, n,
+             r1 - k11 AS k12, c1 - k11 AS k21,
+             n - r1 - c1 + k11 AS k22
+      FROM c2 JOIN r USING (w1) JOIN c USING (w2) CROSS JOIN tot
+    ),
+    scored AS (
+      SELECT w1, w2, CAST(k11 AS BIGINT) AS n_pair,
+             round(2.0 * (
+               CASE WHEN k11 > 0 THEN k11 * ln((k11 * 1.0 * n)
+                    / (r1 * 1.0 * c1)) ELSE 0.0 END
+             + CASE WHEN k12 > 0 THEN k12 * ln((k12 * 1.0 * n)
+                    / (r1 * 1.0 * (n - c1))) ELSE 0.0 END
+             + CASE WHEN k21 > 0 THEN k21 * ln((k21 * 1.0 * n)
+                    / ((n - r1) * 1.0 * c1)) ELSE 0.0 END
+             + CASE WHEN k22 > 0 THEN k22 * ln((k22 * 1.0 * n)
+                    / ((n - r1) * 1.0 * (n - c1))) ELSE 0.0 END
+             ), 4) AS llr
+      FROM sc
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY llr DESC, w1, w2) AS rnk
+      FROM scored
+    )
+    SELECT w1, w2, n_pair, llr FROM ranked WHERE rnk <= 30
+    """,
+    note="Dunning log-likelihood-ratio collocations (significance-"
+    "aware companion to pair_pmi): full 2x2 contingency from three "
+    "combinable bigram-stream aggregations, G^2 as four guarded "
+    "k*ln terms in FIXED order, top-k via TakeOrderedAndProject",
+)
+def _pair_llr(spark, sf):
+    return text.pair_llr(_t(spark, sf, "documents"))
+
+
+@_register(
     "source_csv_malformed",
     """
     SELECT CAST(count(*) FILTER (WHERE doc_id % 10 <> 0) AS BIGINT) AS n_good,
@@ -6422,6 +6470,53 @@ def _graph_common_neighbors(spark, sf):
 
 
 @_register(
+    "graph_clustering_coeff",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    cooc AS (
+      SELECT a.l_partkey AS doc_a, b.l_partkey AS doc_b
+      FROM op a
+      JOIN op b ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM cooc
+              UNION ALL SELECT doc_b, doc_a FROM cooc),
+    degs AS (SELECT a AS doc_id, count(*) AS deg FROM edges GROUP BY a),
+    tri AS (
+      SELECT ab.a, ab.b, bc.c
+      FROM (SELECT doc_a AS a, doc_b AS b FROM cooc) ab
+      JOIN (SELECT doc_a AS b, doc_b AS c FROM cooc) bc USING (b)
+      JOIN (SELECT doc_a AS a, doc_b AS c FROM cooc) ac USING (a, c)),
+    corners AS (
+      SELECT a AS doc_id FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri),
+    ntri AS (SELECT doc_id, count(*) AS n_triangles
+             FROM corners GROUP BY doc_id)
+    SELECT d.doc_id AS part_id,
+           CAST(d.deg AS BIGINT) AS deg,
+           CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+           round(2.0e0 * coalesce(t.n_triangles, 0)
+                 / (d.deg * (d.deg - 1)), 6) AS clustering_coeff
+    FROM degs d LEFT JOIN ntri t USING (doc_id)
+    WHERE d.deg >= 2
+    """,
+    note="per-node local clustering coefficient over the co-purchase "
+    "graph: triangle credits from the degree-ordered wedge join "
+    "(triangle_count kernel), degrees from one symmetrized-edge "
+    "count, one keyed left join; exact-integer division rounded once",
+)
+def _graph_clustering_coeff(spark, sf):
+    return dedup.clustering_coefficient(_copurchase_pairs(spark, sf)).select(
+        F.col("doc_id").alias("part_id"),
+        "deg",
+        "n_triangles",
+        "clustering_coeff",
+    )
+
+
+@_register(
     "interval_gaps",
     """
     WITH base AS (
@@ -7184,7 +7279,8 @@ _FRESH_ROUND6 = frozenset(
         "stats_mannwhitney", "stats_anova", "stats_fdr_bh",
         "interval_coverage", "l_diversity_audit",
         "quality_dup_ngram_frac", "event_markov_stationary",
-        "multimodal_image_histogram",
+        "multimodal_image_histogram", "pair_llr",
+        "graph_clustering_coeff",
     }
 )
 

@@ -769,3 +769,23 @@ def test_kcore_converged_at_fixture_rounds(spark, sf_medium):
     assert c10.exceptAll(c11).count() == 0
     assert c11.exceptAll(c10).count() == 0
     assert c10.filter(F.col("core_deg") < 3).count() == 0
+
+
+def test_clustering_coefficient_triangle_plus_star(spark):
+    """A triangle node scores 1.0; a star hub with no closed wedges
+    scores 0.0; degree-1 leaves are excluded."""
+    from java_mapreduce_framework_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3),          # triangle 1-2-3
+         (10, 11), (10, 12), (10, 13)],   # star around 10
+        "doc_a long, doc_b long",
+    )
+    out = {r["doc_id"]: r
+           for r in dedup.clustering_coefficient(pairs).collect()}
+    for n in (1, 2, 3):
+        assert out[n]["deg"] == 2 and out[n]["n_triangles"] == 1
+        assert out[n]["clustering_coeff"] == 1.0
+    assert out[10]["deg"] == 3 and out[10]["n_triangles"] == 0
+    assert out[10]["clustering_coeff"] == 0.0
+    assert 11 not in out and 12 not in out and 13 not in out

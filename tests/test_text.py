@@ -840,3 +840,35 @@ def test_dup_ngram_fraction_planted(spark):
     assert out[3]["dup_frac"] == 0.0 and out[3]["dup_grams"] == 0
     assert out[4]["n_grams"] == 3 and out[4]["dup_grams"] == 1
     assert out[4]["dup_frac"] == round(1 / 3, 4)
+
+
+def test_pair_llr_prefers_evidence_over_rarity(spark):
+    """The pair seen 20x outranks an equally-associated pair seen 5x
+    (PMI would tie them); sub-min-count pairs never appear."""
+    from java_mapreduce_framework_spark.operators import text as t
+
+    rows = []
+    did = 0
+    for _ in range(20):
+        rows.append((did, "alpha beta", "en", "web", 10)); did += 1
+    for _ in range(5):
+        rows.append((did, "gamma delta", "en", "web", 11)); did += 1
+    for _ in range(4):
+        rows.append((did, "rare pairx", "en", "web", 9)); did += 1
+    # background noise NOT touching the scored words: with equally
+    # PURE margins, more evidence (20x vs 5x) must win -- the
+    # anti-rarity property PMI lacks (PMI would rank 5x higher here)
+    for _ in range(10):
+        rows.append((did, "foo filler", "en", "web", 12)); did += 1
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = t.pair_llr(docs, min_count=5, k=10).collect()
+    pairs = {(r["w1"], r["w2"]): r for r in out}
+    assert ("rare", "pairx") not in pairs  # below min_count
+    assert ("alpha", "beta") in pairs and ("gamma", "delta") in pairs
+    assert (
+        pairs[("alpha", "beta")]["llr"] > pairs[("gamma", "delta")]["llr"]
+    )
+    assert pairs[("alpha", "beta")]["n_pair"] == 20
