@@ -1150,3 +1150,161 @@ def fdr_bh(events: DataFrame, alpha: float = 0.1) -> DataFrame:
         "*",
         (F.col("p_rank") <= F.coalesce(max_pass, F.lit(0))).alias("rejected"),
     )
+
+
+def event_type_cooccurrence(
+    events: DataFrame, gap_seconds: int = 1800
+) -> DataFrame:
+    """Session-level market basket over EVENT TYPES: for every
+    unordered pair of types that co-occur inside one user session,
+    the support counts and the lift
+    ``P(a,b) / (P(a) * P(b))`` over sessions -- the product-analytics
+    reading of ``basket_lift_topk`` (orders x parts), answering
+    "which behaviors travel together within a visit".
+
+    Plan: the ``sessionize`` lag+running-sum construction carries
+    event_type through, one DISTINCT collapses to (user, session,
+    type) -- so every later stage is bounded by sessions x alphabet,
+    never raw events. The pair self-join keys on (user_id,
+    session_id) with per-session fan-out <= alphabet^2 (tiny,
+    constant); per-type session counts and the 1-row session total
+    broadcast back. Lift is exact-integer cross arithmetic in one
+    double expression, rounded once.
+
+    Emits (type_a, type_b, n_both, n_a, n_b, lift).
+
+    Reference licence: composition target -- chained-jobs model
+    (SURVEY.md §2A FIFO queue) over the WordCount substrate
+    (src/edu/upenn/cis455/mapreduce/job/WordCount.java:23-52).
+    """
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(
+        order
+    )
+    is_new = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    st = (
+        events.select(
+            "user_id", "ts", "event_id", "event_type", is_new.alias("is_new")
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.sum("is_new").over(running).alias("session_id"),
+        )
+        .select("user_id", "session_id", "event_type")
+        .distinct()
+    )
+    tot = (
+        st.select("user_id", "session_id")
+        .distinct()
+        .select(F.count("*").alias("n_total"))
+    )
+    per = st.groupBy("event_type").agg(F.count("*").alias("n_sess"))
+    a = st.select(
+        "user_id", "session_id", F.col("event_type").alias("type_a")
+    )
+    b = st.select(
+        "user_id", "session_id", F.col("event_type").alias("type_b")
+    )
+    both = (
+        a.join(b, ["user_id", "session_id"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_both"))
+    )
+    pa = per.select(
+        F.col("event_type").alias("type_a"), F.col("n_sess").alias("n_a")
+    )
+    pb = per.select(
+        F.col("event_type").alias("type_b"), F.col("n_sess").alias("n_b")
+    )
+    lift = (F.col("n_both") * F.lit(1.0) * F.col("n_total")) / (
+        F.col("n_a") * F.lit(1.0) * F.col("n_b")
+    )
+    return (
+        both.join(F.broadcast(pa), "type_a")
+        .join(F.broadcast(pb), "type_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_both").cast("bigint").alias("n_both"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round(lift, 4).alias("lift"),
+        )
+    )
+
+
+def funnel_time_to_convert(
+    events: DataFrame,
+    stages: tuple[str, ...] = ("signup", "view", "click", "purchase"),
+) -> DataFrame:
+    """Time-to-convert distribution per funnel step -- the latency
+    companion to ``funnel_conversion``'s survival counts: for every
+    user who reached stage i+1, how long after entering stage i did
+    they take (median and p90). The readout growth teams act on --
+    a step can convert well but take days.
+
+    The per-stage reach times reuse ``funnel_conversion``'s strict-
+    order min-ts chaining verbatim (stage i+1 counts only at-or-after
+    the user's entry into stage i); consecutive stages join per user
+    (the later stage's users are a subset by construction, so delays
+    are never negative) and delays ride as exact integer-microsecond
+    differences. The quantiles run through the DISTRIBUTED grouped
+    order-statistic kernel (``exact_quantiles_grouped``: (key,
+    value)-range-partitioned, no per-group buffer) -- step count is
+    constant but per-step delay counts are corpus-bounded, exactly
+    the low-cardinality-key/unbounded-group case the kernel exists
+    for.
+
+    Emits (step, n_users, p50_s, p90_s).
+
+    Reference licence: composition target -- chained-jobs model
+    (SURVEY.md §2A FIFO queue) over the WordCount substrate
+    (src/edu/upenn/cis455/mapreduce/job/WordCount.java:23-52).
+    """
+    from .relational import exact_quantiles_grouped
+
+    reached = None
+    per_stage = []
+    for stage in stages:
+        ev = events.filter(F.col("event_type") == stage)
+        if reached is None:
+            reached = ev.groupBy("user_id").agg(F.min("ts").alias("t"))
+        else:
+            reached = (
+                ev.join(reached.select("user_id", "t"), "user_id")
+                .filter(F.col("ts") >= F.col("t"))
+                .groupBy("user_id")
+                .agg(F.min("ts").alias("t"))
+            )
+        per_stage.append((stage, reached))
+    delays = None
+    for i in range(len(per_stage) - 1):
+        s0, d0 = per_stage[i]
+        s1, d1 = per_stage[i + 1]
+        step = f"L{i + 1}_{s0}->L{i + 2}_{s1}"
+        d = (
+            d0.select("user_id", F.unix_micros("t").alias("t0"))
+            .join(d1.select("user_id", F.unix_micros("t").alias("t1")), "user_id")
+            .select(
+                F.lit(step).alias("step"),
+                ((F.col("t1") - F.col("t0")) / F.lit(1_000_000.0)).alias(
+                    "delay_s"
+                ),
+            )
+        )
+        delays = d if delays is None else delays.unionByName(d)
+    qb = exact_quantiles_grouped(delays, "step", "delay_s", [0.5, 0.9])
+    wide = qb.groupBy("step").agg(
+        F.max(F.when(F.col("q_idx") == 0, F.col("bound"))).alias("p50_s"),
+        F.max(F.when(F.col("q_idx") == 1, F.col("bound"))).alias("p90_s"),
+    )
+    n = delays.groupBy("step").agg(
+        F.count("*").cast("bigint").alias("n_users")
+    )
+    return n.join(wide, "step").select(
+        "step", "n_users", "p50_s", "p90_s"
+    )

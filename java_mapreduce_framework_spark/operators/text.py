@@ -321,6 +321,59 @@ def token_count_bpe(documents: DataFrame) -> DataFrame:
     )
 
 
+def token_fertility(documents: DataFrame) -> DataFrame:
+    """Per-language tokenizer-fertility report: BPE-ish tokens per
+    whitespace word and characters per BPE token -- the standard
+    multilingual-tokenizer health check (a language with fertility
+    2x the corpus mean pays double the sequence length for the same
+    text, which skews both training cost and effective mixing
+    weights; chars/token is the compression readout that motivates
+    retraining the tokenizer).
+
+    Pure map-side expression work per row (the SAME whitespace and
+    ``BPE_REGEX`` pretokenizers as ``token_count_bpe``) followed by
+    ONE partial->final aggregate on lang -- integer token/char sums
+    stay exact at any corpus size, the two ratios are single double
+    divisions on the language-alphabet-sized result.
+
+    Emits (lang, n_docs, n_ws_tokens, n_bpe_tokens, n_chars,
+    fertility, chars_per_token).
+
+    Reference licence: composition target -- chained-jobs model
+    (SURVEY.md §2A FIFO queue) over the WordCount substrate
+    (src/edu/upenn/cis455/mapreduce/job/WordCount.java:23-52).
+    """
+    base = documents.select(
+        "lang",
+        F.size(tokens_col("text")).alias("ws"),
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit(BPE_REGEX), 0)
+        ).alias("bpe"),
+        F.length("text").alias("chars"),
+    )
+    agg = base.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("ws").cast("bigint").alias("n_ws_tokens"),
+        F.sum("bpe").cast("bigint").alias("n_bpe_tokens"),
+        F.sum("chars").cast("bigint").alias("n_chars"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_ws_tokens",
+        "n_bpe_tokens",
+        "n_chars",
+        F.when(
+            F.col("n_ws_tokens") > 0,
+            F.round(F.col("n_bpe_tokens") / F.col("n_ws_tokens"), 4),
+        ).alias("fertility"),
+        F.when(
+            F.col("n_bpe_tokens") > 0,
+            F.round(F.col("n_chars") / F.col("n_bpe_tokens"), 4),
+        ).alias("chars_per_token"),
+    )
+
+
 def ngram_counts(documents: DataFrame, n: int = 2, min_count: int = 2) -> DataFrame:
     """Corpus n-gram (default bigram) frequency table — the raw
     statistics behind language-model heuristics, collocation mining,

@@ -519,6 +519,46 @@ def _session_stats(spark, sf):
     return temporal.session_stats(_t(spark, sf, "events"))
 
 
+@_register(
+    "event_type_cooccurrence",
+    f"""
+    WITH s AS ({_SESSIONIZE_SQL}),
+    st AS (
+      SELECT DISTINCT s.user_id, s.session_id, e.event_type
+      FROM s JOIN (SELECT event_id, user_id, event_type FROM events) e
+        ON s.user_id = e.user_id AND s.event_id = e.event_id),
+    tot AS (SELECT count(*) AS n_total
+            FROM (SELECT DISTINCT user_id, session_id FROM st)),
+    per AS (SELECT event_type, count(*) AS n_sess
+            FROM st GROUP BY event_type),
+    pr AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS n_both
+      FROM st a JOIN st b
+        ON a.user_id = b.user_id AND a.session_id = b.session_id
+           AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT type_a, type_b,
+           CAST(n_both AS BIGINT) AS n_both,
+           CAST(pa.n_sess AS BIGINT) AS n_a,
+           CAST(pb.n_sess AS BIGINT) AS n_b,
+           round((n_both * 1.0 * t.n_total)
+                 / (pa.n_sess * 1.0 * pb.n_sess), 4) AS lift
+    FROM pr
+    JOIN per pa ON pa.event_type = pr.type_a
+    JOIN per pb ON pb.event_type = pr.type_b
+    CROSS JOIN tot t
+    """,
+    note="session-level market basket over event types (the "
+    "product-analytics reading of basket_lift_topk): sessionize "
+    "carries type through, DISTINCT collapses to sessions x "
+    "alphabet, pair self-join keyed on (user, session) with "
+    "alphabet^2-bounded fan-out; lift row-local",
+)
+def _event_type_cooccurrence(spark, sf):
+    return analytics.event_type_cooccurrence(_t(spark, sf, "events"))
+
+
 _SESSION_WINDOW_SQL = """
   WITH d AS (
     SELECT user_id, event_id, ts,
@@ -820,6 +860,41 @@ def _quality_stratify(spark, sf):
 )
 def _token_count_bpe(spark, sf):
     return text.token_count_bpe(_t(spark, sf, "documents"))
+
+
+@_register(
+    "token_fertility",
+    f"""
+    WITH base AS (
+      SELECT lang,
+             len({_TOKS}) AS ws,
+             len(regexp_extract_all(lower(text),
+                 '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe,
+             length(text) AS chars
+      FROM documents),
+    agg AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(ws) AS BIGINT) AS n_ws_tokens,
+             CAST(sum(bpe) AS BIGINT) AS n_bpe_tokens,
+             CAST(sum(chars) AS BIGINT) AS n_chars
+      FROM base GROUP BY lang)
+    SELECT lang, n_docs, n_ws_tokens, n_bpe_tokens, n_chars,
+           CASE WHEN n_ws_tokens > 0
+                THEN round(n_bpe_tokens * 1.0 / n_ws_tokens, 4) END
+             AS fertility,
+           CASE WHEN n_bpe_tokens > 0
+                THEN round(n_chars * 1.0 / n_bpe_tokens, 4) END
+             AS chars_per_token
+    FROM agg
+    """,
+    note="per-language tokenizer fertility (BPE tokens per word, "
+    "chars per token): the multilingual tokenizer health check; "
+    "map-side pretokenizers shared with token_count_bpe, ONE "
+    "partial->final aggregate, ratios row-local on the alphabet",
+)
+def _token_fertility(spark, sf):
+    return text.token_fertility(_t(spark, sf, "documents"))
 
 
 @_register(
@@ -3130,6 +3205,47 @@ def _funnel_conversion(spark, sf):
     from ..operators import analytics
 
     return analytics.funnel_conversion(_t(spark, sf, "events"))
+
+
+@_register(
+    "funnel_time_to_convert",
+    f"""
+    WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    s1 AS (SELECT user_id, min(ts) AS t FROM e
+           WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t FROM e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'view' AND e.ts >= s1.t GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(e.ts) AS t FROM e JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'click' AND e.ts >= s2.t GROUP BY e.user_id),
+    s4 AS (SELECT e.user_id, min(e.ts) AS t FROM e JOIN s3 ON e.user_id = s3.user_id
+           WHERE e.event_type = 'purchase' AND e.ts >= s3.t GROUP BY e.user_id),
+    d AS (
+      SELECT 'L1_signup->L2_view' AS step,
+             (epoch_us(s2.t) - epoch_us(s1.t)) / 1000000.0 AS delay_s
+      FROM s1 JOIN s2 USING (user_id)
+      UNION ALL
+      SELECT 'L2_view->L3_click',
+             (epoch_us(s3.t) - epoch_us(s2.t)) / 1000000.0
+      FROM s2 JOIN s3 USING (user_id)
+      UNION ALL
+      SELECT 'L3_click->L4_purchase',
+             (epoch_us(s4.t) - epoch_us(s3.t)) / 1000000.0
+      FROM s3 JOIN s4 USING (user_id))
+    SELECT step, CAST(count(*) AS BIGINT) AS n_users,
+           round(quantile_cont(delay_s, 0.5), 4) AS p50_s,
+           round(quantile_cont(delay_s, 0.9), 4) AS p90_s
+    FROM d GROUP BY step
+    """,
+    note="time-to-convert distribution per funnel step (latency "
+    "companion to funnel_conversion): min-ts chaining reused "
+    "verbatim, exact integer-micros delays, median/p90 through the "
+    "distributed grouped order-statistic kernel (no per-group "
+    "buffer)",
+)
+def _funnel_time_to_convert(spark, sf):
+    from ..operators import analytics
+
+    return analytics.funnel_time_to_convert(_t(spark, sf, "events"))
 
 
 @_register(
@@ -7280,7 +7396,8 @@ _FRESH_ROUND6 = frozenset(
         "interval_coverage", "l_diversity_audit",
         "quality_dup_ngram_frac", "event_markov_stationary",
         "multimodal_image_histogram", "pair_llr",
-        "graph_clustering_coeff",
+        "graph_clustering_coeff", "token_fertility",
+        "event_type_cooccurrence", "funnel_time_to_convert",
     }
 )
 

@@ -931,3 +931,36 @@ def test_l_diversity_flags_homogeneous_groups(spark):
     de = out[("de", 0)]
     assert de["group_size"] == 3 and de["l_distinct"] == 3
     assert de["at_risk"] is False
+
+
+def test_funnel_time_to_convert_nonnegative_and_counts(spark, sf_small):
+    """Delays are non-negative by min-ts chaining, step counts match
+    funnel_conversion's survivors, and p50 <= p90."""
+    from java_mapreduce_framework_spark.operators import analytics
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_small, "events")
+    out = {r["step"]: r
+           for r in analytics.funnel_time_to_convert(events).collect()}
+    fc = {r["stage"]: r["n_users"]
+          for r in analytics.funnel_conversion(events).collect()}
+    assert out["L1_signup->L2_view"]["n_users"] == fc["L2_view"]
+    assert out["L2_view->L3_click"]["n_users"] == fc["L3_click"]
+    assert out["L3_click->L4_purchase"]["n_users"] == fc["L4_purchase"]
+    for r in out.values():
+        assert 0.0 <= r["p50_s"] <= r["p90_s"]
+
+
+def test_event_type_cooccurrence_bounds(spark, sf_small):
+    """Support counts obey n_both <= min(n_a, n_b) and all 10
+    unordered type pairs appear at this SF; lift > 0."""
+    from java_mapreduce_framework_spark.operators import analytics
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_small, "events")
+    out = analytics.event_type_cooccurrence(events).collect()
+    assert len(out) == 10
+    for r in out:
+        assert r["type_a"] < r["type_b"]
+        assert 0 < r["n_both"] <= min(r["n_a"], r["n_b"])
+        assert r["lift"] > 0

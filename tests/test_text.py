@@ -872,3 +872,21 @@ def test_pair_llr_prefers_evidence_over_rarity(spark):
         pairs[("alpha", "beta")]["llr"] > pairs[("gamma", "delta")]["llr"]
     )
     assert pairs[("alpha", "beta")]["n_pair"] == 20
+
+
+def test_token_fertility_hand_checked(spark):
+    """Fertility and chars/token verified on literal strings."""
+    from java_mapreduce_framework_spark.operators import text as t
+
+    docs = spark.createDataFrame(
+        [(1, "hello world42", "en", "web", 13),   # ws=2, bpe: hello,world,42 =3
+         (2, "a-b c", "en", "web", 5)],           # ws=2, bpe: a,-,b,c = 4
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r["lang"]: r for r in t.token_fertility(docs).collect()}
+    en = out["en"]
+    assert en["n_docs"] == 2
+    assert en["n_ws_tokens"] == 4 and en["n_bpe_tokens"] == 7
+    assert en["n_chars"] == 18
+    assert en["fertility"] == round(7 / 4, 4)
+    assert en["chars_per_token"] == round(18 / 7, 4)
