@@ -1127,3 +1127,71 @@ def similarity_mmr(
     return spark.createDataFrame(
         rows, "qid long, rank int, nid long, relevance double, mmr_score double"
     )
+
+
+def similarity_histogram(
+    embeddings: DataFrame, m: int = 128, bins: int = 16
+) -> DataFrame:
+    """Corpus-level embedding-geometry health check: the distribution
+    of pairwise cosines over a deterministic hash subsample -- the
+    first plot anyone makes of a new embedding space (a hump near 1.0
+    means collapsed embeddings, mass near 0 means healthy spread;
+    drift between snapshots flags an encoder change).
+
+    Scale posture: the subsample is the SMALLEST ``m`` vectors by
+    content-independent md5 order (TakeOrderedAndProject -- per-
+    partition heaps, no global sort), so the pair stage is m^2/2
+    pairs by construction REGARDLESS of corpus size; both join sides
+    broadcast. Cosines reuse the hoisted-norm dot product of
+    ``similarity_topk`` rounded 6 (the proven cross-engine identity),
+    then bin by exact binary arithmetic (0.125 steps) -- bin edges
+    cannot split engines because the rounded cosine and the bin math
+    are bit-identical.
+
+    Emits (bin, bin_lo, n_pairs) over occupied bins.
+
+    Reference licence: composition target -- chained-jobs model
+    (SURVEY.md §2A FIFO queue) over the WordCount substrate
+    (src/edu/upenn/cis455/mapreduce/job/WordCount.java:23-52).
+    """
+    sub = (
+        embeddings.select(
+            "vec_id",
+            "embedding",
+            F.md5(
+                F.concat_ws(
+                    "|", F.lit("simh"), F.col("vec_id").cast("string")
+                )
+            ).alias("hk"),
+        )
+        .orderBy("hk", "vec_id")
+        .limit(m)
+    )
+    a = sub.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        l2_norm(F.col("embedding")).alias("qn"),
+    )
+    b = sub.select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("ne"),
+        l2_norm(F.col("embedding")).alias("nn"),
+    )
+    cos6 = F.round(_cos_hoisted(), 6)
+    binc = F.least(
+        F.floor((F.col("cos6") + F.lit(1.0)) * F.lit(8.0)).cast("int"),
+        F.lit(bins - 1),
+    )
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("qid") < F.col("nid"))
+        .select(cos6.alias("cos6"))
+        .select(binc.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+        .select(
+            "bin",
+            (F.lit(-1.0) + F.col("bin") * F.lit(0.125)).alias("bin_lo"),
+            "n_pairs",
+        )
+    )

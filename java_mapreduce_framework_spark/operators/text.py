@@ -257,6 +257,41 @@ def lang_id(documents: DataFrame) -> DataFrame:
     return df.select("doc_id", "lang", "en_hits", "es_hits", "de_hits", pred.alias("pred_lang"))
 
 
+def lang_id_confusion(documents: DataFrame) -> DataFrame:
+    """Language-ID quality readout: confusion matrix of the stopword
+    heuristic's prediction against the labeled ``lang`` column, plus
+    each cell's share of its true class (the per-class recall
+    diagonal and the error mass off it). The eval every classifier
+    swap ships with -- lang-ID errors silently corrupt corpus-mix
+    rates downstream, so the matrix is the guard.
+
+    One map-side scoring pass (``lang_id``'s expressions verbatim)
+    into ONE partial->final aggregate on the (true, predicted) pair;
+    the class-share window runs over the |langs| x |preds| matrix,
+    never the corpus.
+
+    Emits (lang, pred_lang, n_docs, class_frac).
+
+    Reference licence: composition target -- chained-jobs model
+    (SURVEY.md §2A FIFO queue) over the WordCount substrate
+    (src/edu/upenn/cis455/mapreduce/job/WordCount.java:23-52).
+    """
+    cm = (
+        lang_id(documents)
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    w = Window.partitionBy("lang")
+    return cm.select(
+        "lang",
+        "pred_lang",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 4).alias(
+            "class_frac"
+        ),
+    )
+
+
 def quality_score(documents: DataFrame) -> DataFrame:
     """Composite quality score from length / punctuation / stopword
     ratios -- the standard cheap pre-filter before expensive LLM-data

@@ -809,6 +809,38 @@ def _lang_id(spark, sf):
 
 
 @_register(
+    "lang_id_confusion",
+    f"""
+    WITH toks AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
+    h AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(t, x -> x IN {_EN})) AS INTEGER) AS en_hits,
+             CAST(len(list_filter(t, x -> x IN {_ES})) AS INTEGER) AS es_hits,
+             CAST(len(list_filter(t, x -> x IN {_DE})) AS INTEGER) AS de_hits
+      FROM toks),
+    p AS (
+      SELECT lang,
+             CASE WHEN en_hits >= es_hits AND en_hits >= de_hits THEN 'en'
+                  WHEN es_hits >= de_hits THEN 'es'
+                  ELSE 'de' END AS pred_lang
+      FROM h),
+    cm AS (SELECT lang, pred_lang, count(*) AS n_docs
+           FROM p GROUP BY lang, pred_lang)
+    SELECT lang, pred_lang, CAST(n_docs AS BIGINT) AS n_docs,
+           round(n_docs * 1.0
+                 / sum(n_docs) OVER (PARTITION BY lang), 4) AS class_frac
+    FROM cm
+    """,
+    note="lang-ID confusion matrix vs the labeled lang column "
+    "(per-class recall diagonal + error mass): lang_id expressions "
+    "verbatim into ONE pair aggregate; class-share window over the "
+    "matrix, never the corpus",
+)
+def _lang_id_confusion(spark, sf):
+    return text.lang_id_confusion(_t(spark, sf, "documents"))
+
+
+@_register(
     "quality_score",
     f"""
     WITH {_QUALITY_MEASURES_CTE}
@@ -1495,6 +1527,36 @@ _SIM_TOPK_SQL = """
 @_register("similarity_topk", _SIM_TOPK_SQL)
 def _similarity_topk(spark, sf):
     return similarity.similarity_topk(_t(spark, sf, "embeddings"))
+
+
+@_register(
+    "embedding_similarity_histogram",
+    """
+    WITH h AS (SELECT vec_id, embedding,
+                      md5('simh|' || CAST(vec_id AS VARCHAR)) AS hk
+               FROM embeddings),
+    r AS (SELECT vec_id, embedding,
+                 row_number() OVER (ORDER BY hk, vec_id) AS rnk FROM h),
+    sub AS (SELECT vec_id, embedding FROM r WHERE rnk <= 128),
+    p AS (SELECT round(list_cosine_similarity(
+                   CAST(a.embedding AS DOUBLE[]),
+                   CAST(b.embedding AS DOUBLE[])), 6) AS cos6
+          FROM sub a JOIN sub b ON a.vec_id < b.vec_id),
+    g AS (SELECT least(CAST(floor((cos6 + 1.0) * 8.0) AS INT), 15) AS bin
+          FROM p)
+    SELECT bin, -1.0e0 + bin * 0.125e0 AS bin_lo,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM g GROUP BY bin
+    """,
+    note="pairwise-cosine histogram over a deterministic md5 "
+    "subsample (embedding-space health check): smallest-m-by-hash "
+    "via TakeOrderedAndProject bounds the pair stage at m^2/2 "
+    "regardless of corpus size, both sides broadcast; hoisted-norm "
+    "cosine rounded 6 (the similarity_topk identity), exact binary "
+    "0.125 bins",
+)
+def _embedding_similarity_histogram(spark, sf):
+    return similarity.similarity_histogram(_t(spark, sf, "embeddings"))
 
 
 @_register(
@@ -7398,6 +7460,7 @@ _FRESH_ROUND6 = frozenset(
         "multimodal_image_histogram", "pair_llr",
         "graph_clustering_coeff", "token_fertility",
         "event_type_cooccurrence", "funnel_time_to_convert",
+        "lang_id_confusion", "embedding_similarity_histogram",
     }
 )
 

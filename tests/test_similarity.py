@@ -414,3 +414,17 @@ def test_mmr_matches_numpy_replay_and_diversifies(spark, sf_small):
         if mean_pair(sel) < mean_pair(topk) - 1e-9:
             diversified_somewhere = True
     assert diversified_somewhere
+
+
+def test_similarity_histogram_covers_all_pairs(spark, sf_small):
+    """Bin counts sum to m*(m-1)/2 and bins stay in range."""
+    from java_mapreduce_framework_spark.operators import similarity
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    m = min(128, emb.count())
+    out = similarity.similarity_histogram(emb).collect()
+    assert sum(r["n_pairs"] for r in out) == m * (m - 1) // 2
+    for r in out:
+        assert 0 <= r["bin"] <= 15
+        assert abs(r["bin_lo"] - (-1.0 + r["bin"] * 0.125)) < 1e-12

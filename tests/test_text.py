@@ -890,3 +890,28 @@ def test_token_fertility_hand_checked(spark):
     assert en["n_chars"] == 18
     assert en["fertility"] == round(7 / 4, 4)
     assert en["chars_per_token"] == round(18 / 7, 4)
+
+
+def test_lang_id_confusion_diagonal_and_shares(spark):
+    """Clean stopword docs land on the diagonal; class shares sum to
+    1 per true lang."""
+    from java_mapreduce_framework_spark.operators import text as t
+
+    docs = spark.createDataFrame(
+        [(1, "the cat is in the hat", "en", "web", 20),
+         (2, "el gato es de la casa", "es", "web", 20),
+         (3, "der hund ist ein tier", "de", "web", 20),
+         (4, "zz yy xx ww", "de", "web", 10)],  # no stopword hits -> 'en'
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = t.lang_id_confusion(docs).collect()
+    cm = {(r["lang"], r["pred_lang"]): r for r in out}
+    assert cm[("en", "en")]["n_docs"] == 1
+    assert cm[("es", "es")]["n_docs"] == 1
+    assert cm[("de", "de")]["n_docs"] == 1 and cm[("de", "en")]["n_docs"] == 1
+    assert cm[("de", "de")]["class_frac"] == 0.5
+    from collections import defaultdict
+    shares = defaultdict(float)
+    for r in out:
+        shares[r["lang"]] += r["class_frac"]
+    assert all(abs(s - 1.0) < 1e-9 for s in shares.values())
