@@ -1308,3 +1308,52 @@ def funnel_time_to_convert(
     return n.join(wide, "step").select(
         "step", "n_users", "p50_s", "p90_s"
     )
+
+
+def user_behavior_entropy(events: DataFrame) -> DataFrame:
+    """Per-user behavioral entropy over the event-type distribution
+    -- the diversity score that separates single-purpose scripts
+    (entropy 0: one event type forever) from organic users (entropy
+    near log2 |alphabet|): bot triage, engagement segmentation, and
+    the anomaly denominator ``sequence_likelihood`` doesn't cover
+    (that scores ORDER; this scores MIX).
+
+    Two keyed aggregations -- (user, type) counts, then the per-user
+    fold -- both partial->final on user-prefixed keys, so one logical
+    exchange. The entropy sum folds over the user's type counts in
+    SORTED type order via ``collect_list`` + ``array_sort`` + a
+    0.0-seeded ``aggregate`` (the ``event_markov_stationary``
+    determinism discipline: at most |alphabet| elements per user, and
+    the fold order is pinned so both engines add the SAME doubles in
+    the SAME order).
+
+    Emits (user_id, n_events, n_types, entropy) with entropy in bits,
+    rounded 4.
+
+    Reference licence: composition target -- chained-jobs model
+    (SURVEY.md §2A FIFO queue) over the WordCount substrate
+    (src/edu/upenn/cis455/mapreduce/job/WordCount.java:23-52).
+    """
+    cnt = events.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("c")
+    )
+    per = cnt.groupBy("user_id").agg(
+        F.sum("c").cast("bigint").alias("n_events"),
+        F.count("*").cast("bigint").alias("n_types"),
+        F.array_sort(F.collect_list(F.struct("event_type", "c"))).alias(
+            "cells"
+        ),
+    )
+    # H = log2(N) - (1/N) * sum c*log2(c), folded in sorted type order
+    s = F.aggregate(
+        F.col("cells"),
+        F.lit(0.0),
+        lambda acc, x: acc + x["c"] * F.log2(x["c"]),
+    )
+    h = F.log2(F.col("n_events")) - s / F.col("n_events")
+    return per.select(
+        "user_id",
+        "n_events",
+        "n_types",
+        F.round(h, 4).alias("entropy"),
+    )

@@ -467,6 +467,85 @@ def decontaminate_overlap(
     )
 
 
+def decontaminate_bloom(
+    documents: DataFrame,
+    benchmark_source: str = "src0",
+    n: int = 3,
+    min_overlap: int = 2,
+    m_bits: int = 1 << 16,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """``decontaminate_overlap`` through a Bloom prefilter -- the
+    100 TB shuffle-bytes path: the benchmark shingle set folds into a
+    broadcast bitmap (the ``join_bloom_pruned`` kernel), and corpus
+    shingles that cannot possibly match are dropped MAP-SIDE before
+    the exact verification join. Bloom false positives cost only
+    their shuffle -- the equi-join verifies everything that survives,
+    so the result is BIT-IDENTICAL to the unfiltered operator (no
+    false negatives by construction) and shares its oracle.
+
+    Why it matters at scale: the corpus shingle stream is the
+    dominant exchange of the decontamination pass; the benchmark set
+    is tiny and fixed. An 8 KB bitmap riding a 1-row broadcast
+    replaces shuffling every corpus shingle to meet a benchmark side
+    that rejects almost all of them. Bitmap build is a map-side-
+    combinable ``bit_or`` over m/64 words; the ONE collect is
+    sketch-sized and bounded by ``m_bits`` (same class as the
+    count-min broadcast).
+
+    Emits (doc_id, bench_doc_id, n_shared_shingles) -- identical to
+    ``decontaminate_overlap``.
+
+    Reference licence: composition target -- chained-jobs model
+    (SURVEY.md §2A FIFO queue) over the WordCount substrate
+    (src/edu/upenn/cis455/mapreduce/job/WordCount.java:23-52).
+    """
+    from .dedup import shingles
+
+    corpus = documents.filter(F.col("source") != benchmark_source)
+    bench = documents.filter(F.col("source") == benchmark_source)
+    sh_b = shingles(bench, n, hashed=True).select(
+        F.col("doc_id").alias("bench_doc_id"), "shingle"
+    )
+    pos = [
+        F.pmod(F.xxhash64(F.lit(i), F.col("shingle")), F.lit(m_bits))
+        for i in range(n_hashes)
+    ]
+    words = (
+        sh_b.select(F.explode(F.array(*pos)).alias("p"))
+        .groupBy((F.col("p") / 64).cast("int").alias("w"))
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pmod(p, 64) AS INT)))"
+            ).alias("bits")
+        )
+        .collect()  # bounded: m_bits/64 rows (8 KB default), sketch-sized
+    )
+    vec = [0] * (m_bits // 64)
+    for r in words:
+        vec[r["w"]] = r["bits"]
+    bloom = documents.sparkSession.createDataFrame([(vec,)], "bf array<long>")
+    probe_bits = []
+    for i in range(n_hashes):
+        p = f"pmod(xxhash64({i}, shingle), {m_bits})"
+        probe_bits.append(
+            f"((shiftright(element_at(bf, CAST({p} / 64 AS INT) + 1),"
+            f" CAST(pmod({p}, 64) AS INT))) & 1) = 1"
+        )
+    sh_c = (
+        shingles(corpus, n, hashed=True)
+        .join(F.broadcast(bloom))  # 1-row bitmap broadcast
+        .filter(F.expr(" AND ".join(probe_bits)))
+        .select("doc_id", "shingle")
+    )
+    return (
+        sh_c.join(sh_b, "shingle")
+        .groupBy("doc_id", "bench_doc_id")
+        .agg(F.count("*").alias("n_shared_shingles"))
+        .filter(F.col("n_shared_shingles") >= min_overlap)
+    )
+
+
 def doc_fingerprint(documents: DataFrame, shingle_len: int = 3) -> DataFrame:
     """Content fingerprint: minimum md5 over word 3-gram shingles
     (a 1-permutation MinHash). Rolling-hash analog kept in SQL-checkable

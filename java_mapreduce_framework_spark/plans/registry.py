@@ -559,6 +559,33 @@ def _event_type_cooccurrence(spark, sf):
     return analytics.event_type_cooccurrence(_t(spark, sf, "events"))
 
 
+@_register(
+    "user_behavior_entropy",
+    f"""
+    WITH cnt AS (
+      SELECT user_id, event_type, count(*) AS c
+      FROM events GROUP BY user_id, event_type),
+    per AS (
+      SELECT user_id,
+             CAST(sum(c) AS BIGINT) AS n_events,
+             CAST(count(*) AS BIGINT) AS n_types,
+             list(c ORDER BY event_type) AS cells
+      FROM cnt GROUP BY user_id)
+    SELECT user_id, n_events, n_types,
+           round(log2(n_events)
+                 - list_reduce(list_transform(cells, c -> c * log2(c)),
+                               (a, b) -> a + b) / n_events, 4) AS entropy
+    FROM per
+    """,
+    note="per-user behavioral entropy over the type mix (bot triage "
+    "/ diversity score; sequence_likelihood scores ORDER, this "
+    "scores MIX): two user-keyed aggregations, entropy folded in "
+    "SORTED type order (markov-stationary determinism discipline)",
+)
+def _user_behavior_entropy(spark, sf):
+    return analytics.user_behavior_entropy(_t(spark, sf, "events"))
+
+
 _SESSION_WINDOW_SQL = """
   WITH d AS (
     SELECT user_id, event_id, ts,
@@ -1175,6 +1202,31 @@ def _rolling_window_range(spark, sf):
 )
 def _decontaminate_overlap(spark, sf):
     return text.decontaminate_overlap(_t(spark, sf, "documents"))
+
+
+@_register(
+    "decontaminate_bloom",
+    f"""
+    WITH toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+    sh AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+      FROM toks WHERE len(t) >= 3)
+    SELECT c.doc_id, b.doc_id AS bench_doc_id, count(*) AS n_shared_shingles
+    FROM (SELECT * FROM sh WHERE source <> 'src0') c
+    JOIN (SELECT * FROM sh WHERE source = 'src0') b USING (shingle)
+    GROUP BY c.doc_id, b.doc_id
+    HAVING count(*) >= 2
+    """,
+    note="decontaminate_overlap through a Bloom prefilter (the "
+    "join_bloom_pruned kernel over benchmark shingles): corpus "
+    "shingles that cannot match drop MAP-SIDE before the exact "
+    "verify join -- bit-identical result (no false negatives), "
+    "shared oracle; the 100 TB shuffle-bytes path",
+)
+def _decontaminate_bloom(spark, sf):
+    return text.decontaminate_bloom(_t(spark, sf, "documents"))
 
 
 @_register(
@@ -6615,10 +6667,22 @@ def _bpe_encode(spark, sf):
     "non-degenerate target; wedge fan-out bounded by deg(hub)^2, "
     "keyed anti-join drops existing edges, no adjacency arrays",
 )
+def _graph_common_neighbors(spark, sf):
+    return dedup.common_neighbors(_copurchase_pairs(spark, sf)).select(
+        F.col("doc_a").alias("part_a"),
+        F.col("doc_b").alias("part_b"),
+        "common_neighbors",
+        "jaccard",
+    )
+
+
 def _copurchase_pairs(spark, sf):
     """(doc_a, doc_b) part pairs co-occurring in >= 2 orders -- the
     shared edge substrate for the basket-graph family
-    (graph_common_neighbors, graph_kcore)."""
+    (graph_common_neighbors, graph_kcore). NOT a registered query --
+    the @_register decorator must never land here (it once did,
+    silently replacing graph_common_neighbors' output with the bare
+    edge list; tests/test_oracle_parity.py now pins the real query)."""
     li = _t(spark, sf, "lineitem")
     op = li.select("l_orderkey", "l_partkey").distinct()
     return (
@@ -6635,15 +6699,6 @@ def _copurchase_pairs(spark, sf):
         .agg(F.count("*").alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
         .select("doc_a", "doc_b")
-    )
-
-
-def _graph_common_neighbors(spark, sf):
-    return dedup.common_neighbors(_copurchase_pairs(spark, sf)).select(
-        F.col("doc_a").alias("part_a"),
-        F.col("doc_b").alias("part_b"),
-        "common_neighbors",
-        "jaccard",
     )
 
 
@@ -7461,6 +7516,7 @@ _FRESH_ROUND6 = frozenset(
         "graph_clustering_coeff", "token_fertility",
         "event_type_cooccurrence", "funnel_time_to_convert",
         "lang_id_confusion", "embedding_similarity_histogram",
+        "decontaminate_bloom", "user_behavior_entropy",
     }
 )
 

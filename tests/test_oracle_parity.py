@@ -30,6 +30,7 @@ FAMILIES = [
     "join_full_outer",     # coalesced-key full outer join
     "dedup_substring",     # stride-1 span fingerprints + candidate verify
     "bpe_train",           # iterative merge loop vs unrolled-CTE oracle
+    "graph_common_neighbors",  # decorator-placement regression guard
 ]
 
 

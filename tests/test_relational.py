@@ -964,3 +964,32 @@ def test_event_type_cooccurrence_bounds(spark, sf_small):
         assert r["type_a"] < r["type_b"]
         assert 0 < r["n_both"] <= min(r["n_a"], r["n_b"])
         assert r["lift"] > 0
+
+
+def test_user_behavior_entropy_bounds_and_known_values(spark):
+    """Single-type user scores 0; a perfectly uniform 2-type user
+    scores exactly 1 bit; entropy <= log2(n_types)."""
+    import math
+
+    from java_mapreduce_framework_spark.operators import analytics
+
+    rows, eid = [], 0
+    for _ in range(7):
+        rows.append((eid, "2024-01-01 00:00:00", 1, "view", 1.0, "{}")); eid += 1
+    for t in ["view", "click"] * 4:
+        rows.append((eid, "2024-01-01 00:00:00", 2, t, 1.0, "{}")); eid += 1
+    for t in ["view", "view", "click", "purchase"]:
+        rows.append((eid, "2024-01-01 00:00:00", 3, t, 1.0, "{}")); eid += 1
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r["user_id"]: r
+           for r in analytics.user_behavior_entropy(events).collect()}
+    assert out[1]["entropy"] == 0.0 and out[1]["n_types"] == 1
+    assert out[2]["entropy"] == 1.0 and out[2]["n_events"] == 8
+    h3 = -(0.5 * math.log2(0.5) + 2 * 0.25 * math.log2(0.25))
+    assert abs(out[3]["entropy"] - round(h3, 4)) < 1e-9
+    for r in out.values():
+        assert 0.0 <= r["entropy"] <= math.log2(max(r["n_types"], 2)) + 1e-9

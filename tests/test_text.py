@@ -915,3 +915,17 @@ def test_lang_id_confusion_diagonal_and_shares(spark):
     for r in out:
         shares[r["lang"]] += r["class_frac"]
     assert all(abs(s - 1.0) < 1e-9 for s in shares.values())
+
+
+def test_decontaminate_bloom_equals_exact(spark, sf_small):
+    """The Bloom prefilter is transparent: result sets are identical
+    to decontaminate_overlap row for row."""
+    from java_mapreduce_framework_spark.operators import text as t
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    exact = {(r["doc_id"], r["bench_doc_id"]): r["n_shared_shingles"]
+             for r in t.decontaminate_overlap(docs).collect()}
+    bloom = {(r["doc_id"], r["bench_doc_id"]): r["n_shared_shingles"]
+             for r in t.decontaminate_bloom(docs).collect()}
+    assert bloom == exact and len(exact) > 0
