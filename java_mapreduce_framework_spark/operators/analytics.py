@@ -1357,3 +1357,159 @@ def user_behavior_entropy(events: DataFrame) -> DataFrame:
         "n_types",
         F.round(h, 4).alias("entropy"),
     )
+
+
+def hourly_autocorrelation(
+    events: DataFrame, max_lag: int = 24
+) -> DataFrame:
+    """Lag-k autocorrelation of the hourly event-count series per
+    type (k = 1, 6, 12, 24 by default's spread) -- the seasonality
+    detector behind capacity planning and anomaly baselines: a spike
+    at lag 24 means daily rhythm, at lag 1 means bursty persistence;
+    ``hourly_anomaly_zscore`` assumes i.i.d. hours, this measures how
+    wrong that is.
+
+    The hourly series per type is ONE corpus-sized aggregate (the
+    ``hourly_anomaly_zscore`` bucketing); everything after operates
+    on (type x hours) rows -- bounded by the time range, not the
+    corpus. Lagged pairs come from a range-window lookup (lag over
+    hour rank), Pearson r from explicit moment sums (the
+    ``stats_correlation`` closed form -- engine-identical, no
+    built-in corr), one grouped pass per (type, lag).
+
+    Gaps matter: missing hours are real zeros in a count series, so
+    the series joins onto a generated dense hour spine per type (the
+    ``time_resample_gapfill`` discipline) before lagging.
+
+    Emits (event_type, lag_h, n_pairs, autocorr).
+
+    Reference licence: composition target -- chained-jobs model
+    (SURVEY.md §2A FIFO queue) over the WordCount substrate
+    (src/edu/upenn/cis455/mapreduce/job/WordCount.java:23-52).
+    """
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("n"))
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    dense = (
+        spine.join(hourly, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            "h",
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    lags = [1, 6, 12, 24]
+    pairs = None
+    for k in [lag for lag in lags if lag <= max_lag]:
+        p = dense.select(
+            "event_type",
+            F.lit(k).alias("lag_h"),
+            F.col("n").alias("x"),
+            F.lag("n", k).over(w).alias("y"),
+        ).filter(F.col("y").isNotNull())
+        pairs = p if pairs is None else pairs.unionByName(p)
+    m = pairs.groupBy("event_type", "lag_h").agg(
+        F.count("*").alias("np"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    # integer moment sums are exact; the degenerate-variance guard
+    # lives on BOTH sides (ANSI 0/0)
+    varx = m["np"] * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = m["np"] * F.col("syy") - F.col("sy") * F.col("sy")
+    # varx * 1.0 * vary: convert to double BETWEEN the multiplications
+    # on BOTH engines -- a bigint product first would round differently
+    # past 2^53 than the oracle's double*double
+    r = (m["np"] * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        varx * F.lit(1.0) * vary
+    )
+    return m.filter((varx > 0) & (vary > 0)).select(
+        "event_type",
+        "lag_h",
+        F.col("np").cast("bigint").alias("n_pairs"),
+        F.round(r, 4).alias("autocorr"),
+    )
+
+
+def levene_brownforsythe(events: DataFrame) -> DataFrame:
+    """Brown-Forsythe test (Levene with group MEDIANS) for variance
+    homogeneity of ``value`` across event types -- the assumption
+    check BEHIND ``stats_anova``: the pooled-variance F is only
+    trustworthy when group variances agree, and Brown-Forsythe is the
+    robust (heavy-tail-safe) way to test exactly that. The statistic
+    IS a one-way ANOVA F computed on the absolute deviations from
+    each group's median.
+
+    Two passes: per-type exact medians (alphabet-sized, rounded 6 to
+    pin the centering constant -- the ``stats_moments`` discipline on
+    a robust center), broadcast back, then the ``anova_oneway``
+    machinery verbatim on ``|v - med|``: per-type means of the
+    deviations rounded 6, ONE centered-squares pass, grand mean
+    re-derived from the pinned means. Nothing after the first two
+    aggregates scales with the corpus. When group sizes are
+    unbounded, the median aggregate swaps for
+    ``exact_quantiles_grouped`` (same values, no per-group buffer --
+    the ``mad_outliers`` contract).
+
+    Emits ONE row: (k_groups, n_total, w_stat, var_homogeneous) with
+    the large-sample F cut at 2.37 (df1 = 4).
+
+    Reference licence: composition target -- chained-jobs model
+    (SURVEY.md §2A FIFO queue) over the WordCount substrate
+    (src/edu/upenn/cis455/mapreduce/job/WordCount.java:23-52).
+    """
+    med = events.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("med")
+    )
+    z = events.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("z")
+    )
+    mu = z.groupBy("event_type").agg(F.round(F.avg("z"), 6).alias("mu"))
+    d = F.col("z") - F.col("mu")
+    cell = (
+        z.join(F.broadcast(mu), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.max("mu").alias("mu"),
+            F.sum(d * d).alias("css"),
+        )
+    )
+    w = Window.partitionBy()
+    grand = F.round(
+        F.sum(F.col("mu") * F.col("n")).over(w) / F.sum("n").over(w), 6
+    )
+    g = cell.withColumn("grand", grand)
+    dg = F.col("mu") - F.col("grand")
+    agg = g.agg(
+        F.count("*").cast("bigint").alias("k_groups"),
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.sum(F.col("n") * dg * dg).alias("ssb"),
+        F.sum("css").alias("ssw"),
+    )
+    w_stat = (F.col("ssb") / (F.col("k_groups") - 1)) / (
+        F.col("ssw") / (F.col("n_total") - F.col("k_groups"))
+    )
+    return agg.filter(
+        (F.col("k_groups") > 1)
+        & (F.col("n_total") > F.col("k_groups"))
+        & (F.col("ssw") > 0)
+    ).select(
+        "k_groups",
+        "n_total",
+        F.round(w_stat, 4).alias("w_stat"),
+        (w_stat < 2.37).alias("var_homogeneous"),
+    )

@@ -586,6 +586,55 @@ def _user_behavior_entropy(spark, sf):
     return analytics.user_behavior_entropy(_t(spark, sf, "events"))
 
 
+@_register(
+    "hourly_autocorrelation",
+    f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+      FROM {_EVTS} GROUP BY 1, 2),
+    bounds AS (SELECT event_type, min(h) AS h0, max(h) AS h1
+               FROM hourly GROUP BY 1),
+    spine AS (
+      SELECT event_type,
+             unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      FROM bounds),
+    dense AS (
+      SELECT s.event_type, s.h, coalesce(n, 0) AS n
+      FROM spine s LEFT JOIN hourly USING (event_type, h)),
+    lagd AS (
+      SELECT event_type, n,
+             lag(n, 1) OVER w AS y1, lag(n, 6) OVER w AS y6,
+             lag(n, 12) OVER w AS y12, lag(n, 24) OVER w AS y24
+      FROM dense WINDOW w AS (PARTITION BY event_type ORDER BY h)),
+    pairs AS (
+      SELECT event_type, 1 AS lag_h, n AS x, y1 AS y FROM lagd
+      WHERE y1 IS NOT NULL
+      UNION ALL SELECT event_type, 6, n, y6 FROM lagd WHERE y6 IS NOT NULL
+      UNION ALL SELECT event_type, 12, n, y12 FROM lagd WHERE y12 IS NOT NULL
+      UNION ALL SELECT event_type, 24, n, y24 FROM lagd WHERE y24 IS NOT NULL),
+    m AS (
+      SELECT event_type, lag_h, count(*) AS np,
+             sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+             sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM pairs GROUP BY event_type, lag_h)
+    SELECT event_type, CAST(lag_h AS INT) AS lag_h,
+           CAST(np AS BIGINT) AS n_pairs,
+           round((np * sxy - sx * sy)
+                 / sqrt((np * sxx - sx * sx) * 1.0
+                        * (np * syy - sy * sy)), 4) AS autocorr
+    FROM m
+    WHERE np * sxx - sx * sx > 0 AND np * syy - sy * sy > 0
+    """,
+    note="lag-{{1,6,12,24}} autocorrelation of the hourly count "
+    "series per type (seasonality detector): one corpus aggregate, "
+    "then a dense generated hour spine (gaps are REAL zeros in a "
+    "count series), lag windows + explicit-moment Pearson r over "
+    "(type x hours)-bounded rows",
+)
+def _hourly_autocorrelation(spark, sf):
+    return analytics.hourly_autocorrelation(_t(spark, sf, "events"))
+
+
 _SESSION_WINDOW_SQL = """
   WITH d AS (
     SELECT user_id, event_id, ts,
@@ -4814,6 +4863,55 @@ def _stats_anova(spark, sf):
 
 
 @_register(
+    "stats_levene",
+    """
+    WITH med AS (
+      SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+      FROM events GROUP BY event_type
+    ),
+    z AS (
+      SELECT e.event_type, abs(e.value - m.med) AS z
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mu AS (
+      SELECT event_type, round(avg(z), 6) AS mu, count(*) AS n
+      FROM z GROUP BY event_type
+    ),
+    cell AS (
+      SELECT z.event_type, max(m.n) AS n, max(m.mu) AS mu,
+             sum((z.z - m.mu) * (z.z - m.mu)) AS css
+      FROM z JOIN mu m USING (event_type)
+      GROUP BY z.event_type
+    ),
+    g AS (
+      SELECT *, round(sum(mu * n) OVER () / sum(n) OVER (), 6) AS grand
+      FROM cell
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS k_groups,
+             CAST(sum(n) AS BIGINT) AS n_total,
+             sum(n * (mu - grand) * (mu - grand)) AS ssb,
+             sum(css) AS ssw
+      FROM g
+    )
+    SELECT k_groups, n_total,
+           round((ssb / (k_groups - 1))
+                 / (ssw / (n_total - k_groups)), 4) AS w_stat,
+           (ssb / (k_groups - 1)) / (ssw / (n_total - k_groups)) < 2.37
+             AS var_homogeneous
+    FROM agg
+    WHERE k_groups > 1 AND n_total > k_groups AND ssw > 0
+    """,
+    note="Brown-Forsythe variance-homogeneity test (the assumption "
+    "check behind stats_anova): exact per-type medians rounded 6 as "
+    "the robust centers, then the anova machinery verbatim on "
+    "|v - med|; one-row result, alphabet-sized tail",
+)
+def _stats_levene(spark, sf):
+    return analytics.levene_brownforsythe(_t(spark, sf, "events"))
+
+
+@_register(
     "stats_fdr_bh",
     f"""
     WITH users AS (
@@ -7517,6 +7615,7 @@ _FRESH_ROUND6 = frozenset(
         "event_type_cooccurrence", "funnel_time_to_convert",
         "lang_id_confusion", "embedding_similarity_histogram",
         "decontaminate_bloom", "user_behavior_entropy",
+        "hourly_autocorrelation", "stats_levene",
     }
 )
 

@@ -59,6 +59,12 @@ ALLOWED_NESTED_LOOP = {
     "ml_naive_bayes_confusion",  # 1-row vocab scalar + |langs|-row class table
     "basket_lift_topk",  # 1-row broadcast total-orders scalar
     "corpus_token_budget",  # 1-row broadcast sqrt-share total
+    "pair_llr",  # 1-row broadcast bigram total (pair_pmi's scalar)
+    "stats_fdr_bh",  # inherits ab_test_ztest's 1-row variant totals
+    "event_type_cooccurrence",  # 1-row broadcast session total
+    "decontaminate_bloom",  # 1-row broadcast Bloom-bitmap literal
+    "embedding_similarity_histogram",  # m<=128 hash-subsample self-pair (m^2/2 bounded by construction)
+    "funnel_time_to_convert",  # 1-row broadcast shard cut bounds (quantile kernel)
 }
 
 

@@ -993,3 +993,54 @@ def test_user_behavior_entropy_bounds_and_known_values(spark):
     assert abs(out[3]["entropy"] - round(h3, 4)) < 1e-9
     for r in out.values():
         assert 0.0 <= r["entropy"] <= math.log2(max(r["n_types"], 2)) + 1e-9
+
+
+def test_hourly_autocorrelation_detects_planted_period(spark):
+    """A strictly 2-hour periodic series autocorrelates negatively at
+    lag 1 and perfectly at even lags (12, 24); bounds hold."""
+    from java_mapreduce_framework_spark.operators import analytics
+
+    rows, eid = [], 0
+    # 10 days of alternating 5-then-1 events per hour
+    for hour in range(240):
+        n = 5 if hour % 2 == 0 else 1
+        for _ in range(n):
+            ts = f"2024-01-{1 + hour // 24:02d} {hour % 24:02d}:30:00"
+            rows.append((eid, ts, eid % 7, "beat", 1.0, "{}")); eid += 1
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r["lag_h"]: r["autocorr"]
+           for r in analytics.hourly_autocorrelation(events).collect()}
+    assert out[1] == -1.0   # perfect alternation
+    assert out[12] == 1.0 and out[24] == 1.0
+    assert out[6] == 1.0
+    for v in out.values():
+        assert -1.0 <= v <= 1.0
+
+
+def test_levene_flags_planted_heteroscedasticity(spark):
+    """Equal-spread groups pass; a 100x-spread group fails loudly."""
+    from java_mapreduce_framework_spark.operators import analytics
+
+    def mk(groups):
+        rows, eid = [], 0
+        for g, vals in groups.items():
+            for v in vals:
+                rows.append((eid, "2024-01-01 00:00:00", eid, g, float(v), "{}"))
+                eid += 1
+        return spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+
+    same = mk({"a": [1, 2, 3, 4, 5] * 4, "b": [11, 12, 13, 14, 15] * 4})
+    r = analytics.levene_brownforsythe(same).collect()[0]
+    assert r["var_homogeneous"] is True and r["k_groups"] == 2
+    hetero = mk({"a": [1, 2, 3, 4, 5] * 4,
+                 "b": [-200, -100, 0, 100, 200] * 4})
+    r = analytics.levene_brownforsythe(hetero).collect()[0]
+    assert r["var_homogeneous"] is False and r["w_stat"] > 10
