@@ -1020,3 +1020,125 @@ def video_scene_diff(videos: DataFrame) -> DataFrame:
             F.col("diff") * F.count("*").over(w) > F.sum("diff").over(w)
         ).alias("is_cut"),
     )
+
+
+def audio_snr(audio: DataFrame, frame: int = 32) -> DataFrame:
+    """Speech-vs-floor energy ratio per clip -- the quality gate run
+    right after ``audio_vad``: a clip whose active frames barely
+    clear its own noise floor is unusable for ASR training however
+    much "speech" the VAD found. The SNR proxy is (mean active frame
+    energy) / (mean inactive frame energy), with the VAD's exact
+    integer gate deciding the split.
+
+    Exact-integer contract: frame energies and the activity gate are
+    the ``audio_vad`` pipeline verbatim (int64 squared-sample sums,
+    strict ``e*4 > peak`` cross-multiplication); the four per-clip
+    sums are exact ints and the single closing ratio is ONE double
+    division of cross-multiplied ints (max ~2^59, no overflow),
+    rounded 6. Clips with no inactive frames (constant-energy) carry
+    no floor estimate and emit NULL snr on both engines.
+
+    Emits (doc_id, n_active, n_inactive, active_energy,
+    inactive_energy, snr).
+
+    Reference licence: composition target -- chained-jobs model
+    (SURVEY.md §2A FIFO queue) over the WordCount substrate
+    (src/edu/upenn/cis455/mapreduce/job/WordCount.java:23-52).
+    """
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "n_active", "n_inactive",
+                "active_energy", "inactive_energy",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _, s = decode_wav(bytes(payload))
+                nf = len(s) // frame
+                if nf == 0:
+                    continue
+                x = s[: nf * frame].astype(np.int64).reshape(nf, frame)
+                e = (x * x).sum(axis=1)
+                active = e * 4 > e.max()
+                rows["doc_id"].append(doc_id)
+                rows["n_active"].append(int(active.sum()))
+                rows["n_inactive"].append(int((~active).sum()))
+                rows["active_energy"].append(int(e[active].sum()))
+                rows["inactive_energy"].append(int(e[~active].sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "n_active": pd.Series(rows["n_active"], dtype="int64"),
+                    "n_inactive": pd.Series(
+                        rows["n_inactive"], dtype="int64"
+                    ),
+                    "active_energy": pd.Series(
+                        rows["active_energy"], dtype="int64"
+                    ),
+                    "inactive_energy": pd.Series(
+                        rows["inactive_energy"], dtype="int64"
+                    ),
+                }
+            )
+
+    stats = audio.mapInPandas(
+        kernel,
+        schema="doc_id long, n_active long, n_inactive long,"
+        " active_energy long, inactive_energy long",
+    )
+    snr = F.when(
+        (F.col("n_inactive") > 0) & (F.col("inactive_energy") > 0),
+        F.round(
+            (F.col("active_energy") * F.col("n_inactive"))
+            / (F.col("inactive_energy") * F.lit(1.0) * F.col("n_active")),
+            6,
+        ),
+    )
+    return stats.select(
+        "doc_id",
+        "n_active",
+        "n_inactive",
+        "active_energy",
+        "inactive_energy",
+        snr.alias("snr"),
+    )
+
+
+def image_entropy(images: DataFrame, bins: int = 16) -> DataFrame:
+    """Per-image luminance entropy -- the information/contrast score
+    on top of ``image_histogram``'s bins: near-constant images
+    (logos, blanks, letterboxes) score near 0 and are the cheapest
+    drop a vision-data curator makes; high-entropy images carry
+    texture worth training on.
+
+    The Arrow kernel is the histogram pipeline verbatim (exact
+    integer luminance bins); entropy folds over the <= ``bins``
+    per-image counts IN BIN ORDER via the sorted-array fold (the
+    ``user_behavior_entropy`` determinism discipline), so both
+    engines add the same doubles in the same order.
+
+    Emits (doc_id, n_px, n_bins, entropy) -- entropy in bits,
+    rounded 4.
+
+    Reference licence: composition target -- chained-jobs model
+    (SURVEY.md §2A FIFO queue) over the WordCount substrate
+    (src/edu/upenn/cis455/mapreduce/job/WordCount.java:23-52).
+    """
+    hist = image_histogram(images, bins)
+    per = hist.groupBy("doc_id").agg(
+        F.sum("n_px").cast("bigint").alias("n_px"),
+        F.count("*").cast("bigint").alias("n_bins"),
+        F.array_sort(F.collect_list(F.struct("bin", "n_px"))).alias(
+            "cells"
+        ),
+    )
+    s = F.aggregate(
+        F.col("cells"),
+        F.lit(0.0),
+        lambda acc, x: acc + x["n_px"] * F.log2(x["n_px"]),
+    )
+    h = F.log2(F.col("n_px")) - s / F.col("n_px")
+    return per.select(
+        "doc_id", "n_px", "n_bins", F.round(h, 4).alias("entropy")
+    )

@@ -2009,6 +2009,44 @@ def _multimodal_image_histogram(spark, sf):
 
 
 @_register(
+    "multimodal_image_entropy",
+    f"""
+    WITH {_PAYLOAD_CTE},
+    geo AS (SELECT doc_id, n, bytes,
+                   8 + (n % 9) AS w, 8 + ((n * 3) % 9) AS h
+            FROM pbytes WHERE n > 0),
+    px AS (SELECT doc_id, n, bytes, unnest(range(0, w * h)) AS k
+           FROM geo),
+    g AS (SELECT doc_id,
+                 CAST((bytes[CAST((k * 3 + 0) % n AS INT) + 1]
+                     + bytes[CAST((k * 3 + 1) % n AS INT) + 1]
+                     + bytes[CAST((k * 3 + 2) % n AS INT) + 1]) // 48
+                      AS INT) AS bin
+          FROM px),
+    hist AS (SELECT doc_id, bin, count(*) AS c FROM g GROUP BY doc_id, bin),
+    per AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_px,
+             CAST(count(*) AS BIGINT) AS n_bins,
+             list(c ORDER BY bin) AS cells
+      FROM hist GROUP BY doc_id)
+    SELECT doc_id, n_px, n_bins,
+           round(log2(n_px)
+                 - list_reduce(list_transform(cells, c -> c * log2(c)),
+                               (a, b) -> a + b) / n_px, 4) AS entropy
+    FROM per
+    """,
+    note="per-image luminance entropy over the histogram kernel "
+    "(contrast/information curation score: blanks and letterboxes "
+    "score ~0): exact integer bins, entropy folded in BIN order "
+    "(user_behavior_entropy determinism discipline)",
+)
+def _multimodal_image_entropy(spark, sf):
+    return multimodal.image_entropy(
+        multimodal.attach_image_payload(_t(spark, sf, "documents"))
+    )
+
+
+@_register(
     "multimodal_audio_wav",
     f"""
     WITH {_PAYLOAD_CTE},
@@ -7399,6 +7437,53 @@ def _multimodal_audio_vad(spark, sf):
 
 
 @_register(
+    "multimodal_audio_snr",
+    f"""
+    WITH {_PAYLOAD_CTE},
+    fr AS (SELECT doc_id, n, bytes, CAST(f AS INTEGER) AS f
+           FROM pbytes, unnest(range(0, n // 32)) AS u(f)
+           WHERE n >= 32),
+    sl AS (SELECT doc_id, f,
+                  list_transform(range(0, 32), k ->
+                    (bytes[CAST(32 * f + k AS INT) + 1] - 128) * 256)
+                    AS sv
+           FROM fr),
+    en AS (SELECT doc_id, f,
+                  CAST(list_sum(list_transform(sv,
+                    s -> CAST(s AS BIGINT) * s)) AS BIGINT) AS e
+           FROM sl),
+    pk AS (SELECT doc_id, max(e) AS peak FROM en GROUP BY doc_id),
+    act AS (SELECT e.doc_id, e.e, (e.e * 4 > p.peak) AS a
+            FROM en e JOIN pk p USING (doc_id)),
+    agg AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_active,
+             CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_inactive,
+             CAST(sum(CASE WHEN a THEN e ELSE 0 END) AS BIGINT)
+               AS active_energy,
+             CAST(sum(CASE WHEN a THEN 0 ELSE e END) AS BIGINT)
+               AS inactive_energy
+      FROM act GROUP BY doc_id)
+    SELECT doc_id, n_active, n_inactive, active_energy, inactive_energy,
+           CASE WHEN n_inactive > 0 AND inactive_energy > 0
+                THEN round((active_energy * n_inactive)
+                           / (inactive_energy * 1.0 * n_active), 6)
+           END AS snr
+    FROM agg
+    """,
+    note="speech-vs-floor energy ratio per clip (the quality gate "
+    "after audio_vad): VAD's exact integer energies/gate verbatim, "
+    "four exact int sums per clip, ONE double division of "
+    "cross-multiplied ints; no-floor clips emit NULL on both engines",
+)
+def _multimodal_audio_snr(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return multimodal.audio_snr(multimodal.attach_audio_payload(docs))
+
+
+@_register(
     "window_twap",
     f"""
     WITH base AS (
@@ -7616,6 +7701,7 @@ _FRESH_ROUND6 = frozenset(
         "lang_id_confusion", "embedding_similarity_histogram",
         "decontaminate_bloom", "user_behavior_entropy",
         "hourly_autocorrelation", "stats_levene",
+        "multimodal_audio_snr", "multimodal_image_entropy",
     }
 )
 

@@ -423,3 +423,41 @@ def test_image_histogram_counts_cover_all_pixels(spark, sf_small):
         assert 0 <= r["bin"] <= 15
         per_doc[r["doc_id"]] += r["n_px"]
     assert per_doc == {k: v for k, v in meta.items()}
+
+
+def test_audio_snr_consistent_with_vad(spark, sf_small):
+    """Active/inactive counts reconcile with audio_vad's frame
+    counts; SNR > 1 whenever defined (active frames are gated ABOVE
+    the floor)."""
+    from java_mapreduce_framework_spark.operators import multimodal
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents").limit(40)
+    audio = multimodal.attach_audio_payload(docs)
+    vad = {r["doc_id"]: r for r in multimodal.audio_vad(audio).collect()}
+    snr = {r["doc_id"]: r for r in multimodal.audio_snr(audio).collect()}
+    assert set(snr) == set(vad)
+    for d, r in snr.items():
+        assert r["n_active"] == vad[d]["n_active"]
+        assert r["n_active"] + r["n_inactive"] == vad[d]["n_frames"]
+        if r["snr"] is not None:
+            assert r["snr"] > 1.0  # gate keeps only above-floor frames
+
+
+def test_image_entropy_constant_image_scores_zero(spark):
+    """A constant-color image has one occupied bin -> entropy 0; a
+    textured image scores > 0 and <= log2(16)."""
+    import math
+
+    from java_mapreduce_framework_spark.operators import multimodal
+
+    docs = spark.createDataFrame(
+        [(1, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa", "en", "web", 32),
+         (2, "the quick brown fox jumps over the lazy dog 0123456789",
+          "en", "web", 55)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    imgs = multimodal.attach_image_payload(docs)
+    out = {r["doc_id"]: r for r in multimodal.image_entropy(imgs).collect()}
+    assert out[1]["n_bins"] == 1 and out[1]["entropy"] == 0.0
+    assert 0.0 < out[2]["entropy"] <= math.log2(16)
