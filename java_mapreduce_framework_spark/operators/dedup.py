@@ -1656,6 +1656,10 @@ def clustering_coefficient(pairs: DataFrame) -> DataFrame:
     (SURVEY.md §2A FIFO queue) over the WordCount substrate
     (src/edu/upenn/cis455/mapreduce/job/WordCount.java:23-52).
     """
+    # eager checkpoint: degrees AND triangle_count both consume the
+    # pair stream -- without it the pair-generation subtree (a
+    # self-join for the co-purchase graph) executes twice
+    pairs = pairs.localCheckpoint()
     edges = pairs.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     ).unionByName(
@@ -2054,6 +2058,10 @@ def common_neighbors(pairs: DataFrame) -> DataFrame:
     (SURVEY.md §2A FIFO queue) over the WordCount substrate
     (src/edu/upenn/cis455/mapreduce/job/WordCount.java:23-52).
     """
+    # eager checkpoint: the pair stream feeds the symmetrized edges
+    # AND the existing-edge anti-join -- without it the (possibly
+    # expensive) pair-generation subtree executes twice
+    pairs = pairs.localCheckpoint()
     e = (
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .unionByName(
