@@ -1542,3 +1542,47 @@ def column_profile(lineitem: DataFrame) -> DataFrame:
             "round(CAST(sum_dec AS DOUBLE) / n_nonnull, 4) AS mean_v",
         )
     )
+
+
+def customer_reorder_stats(orders: DataFrame, min_orders: int = 3) -> DataFrame:
+    """Per-customer reorder-cadence profile: the gaps between a
+    customer's consecutive orders summarized as count / mean / min /
+    max days -- the repurchase-rhythm signal behind churn prediction
+    and inventory planning (a customer whose max gap suddenly dwarfs
+    their mean has churned in all but name).
+
+    One lag window per customer (hash exchange on o_custkey, ordered
+    by date with orderkey tiebreak) produces the gap stream; ONE
+    grouped aggregate on the SAME key summarizes it -- Catalyst reuses
+    the exchange, so the plan carries a single shuffle. Gap arithmetic
+    is exact integer days (datediff of DATE-truncated timestamps);
+    the mean is the one double division, rounded 2. Customers with
+    fewer than ``min_orders`` orders (fewer than 2 gaps) are dropped
+    -- a single gap has no cadence to profile.
+
+    Emits (o_custkey, n_orders, n_gaps, mean_gap_days, min_gap_days,
+    max_gap_days).
+
+    Reference licence: composition target -- chained-jobs model
+    (SURVEY.md §2A FIFO queue) over the WordCount substrate
+    (src/edu/upenn/cis455/mapreduce/job/WordCount.java:23-52).
+    """
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        "o_custkey",
+        F.datediff(
+            F.to_date("o_orderdate"),
+            F.lag(F.to_date("o_orderdate")).over(w),
+        ).alias("gap_d"),
+    )
+    return (
+        gaps.groupBy("o_custkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.count("gap_d").cast("bigint").alias("n_gaps"),
+            F.round(F.avg("gap_d"), 2).alias("mean_gap_days"),
+            F.min("gap_d").cast("bigint").alias("min_gap_days"),
+            F.max("gap_d").cast("bigint").alias("max_gap_days"),
+        )
+        .filter(F.col("n_orders") >= min_orders)
+    )

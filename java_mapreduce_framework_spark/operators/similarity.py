@@ -1195,3 +1195,54 @@ def similarity_histogram(
             "n_pairs",
         )
     )
+
+
+def embedding_norm_profile(embeddings: DataFrame, k: float = 2.0) -> DataFrame:
+    """Embedding-hygiene audit by vector norm: every encoder failure
+    mode that matters operationally -- zero vectors from empty inputs,
+    exploded norms from fp overflow, collapsed shards from a bad
+    checkpoint -- shows up in the L2-norm distribution long before
+    cosine metrics move. Flags vectors whose norm z-scores beyond
+    ``k`` against the corpus mean.
+
+    One map-side norm projection (the hoisted ``l2_norm`` fold every
+    similarity operator shares), one global moment aggregate (mean
+    rounded 6 -- the ``stats_moments`` centering discipline -- then
+    ONE centered-squares pass), stats broadcast back as a 1-row
+    frame; the flag filter is a pure row expression. Output is
+    outlier-sized, never corpus-sized.
+
+    Emits (vec_id, norm, zscore) for |z| >= k.
+
+    Reference licence: composition target -- chained-jobs model
+    (SURVEY.md §2A FIFO queue) over the WordCount substrate
+    (src/edu/upenn/cis455/mapreduce/job/WordCount.java:23-52).
+    """
+    norms = embeddings.select(
+        "vec_id", l2_norm(F.col("embedding")).alias("norm")
+    )
+    mu = norms.agg(F.round(F.avg("norm"), 6).alias("mu"))
+    d = F.col("norm") - F.col("mu")
+    stats = (
+        norms.crossJoin(F.broadcast(mu))
+        .agg(
+            F.count("*").alias("n"),
+            F.max("mu").alias("mu"),
+            F.sum(d * d).alias("css"),
+        )
+        .filter((F.col("n") > 1) & (F.col("css") > 0))
+        .select(
+            "mu",
+            F.sqrt(F.col("css") / (F.col("n") - 1)).alias("sd"),
+        )
+    )
+    z = (F.col("norm") - F.col("mu")) / F.col("sd")
+    return (
+        norms.crossJoin(F.broadcast(stats))
+        .select(
+            "vec_id",
+            F.round("norm", 6).alias("norm"),
+            F.round(z, 4).alias("zscore"),
+        )
+        .filter(F.abs(F.col("zscore")) >= k)
+    )

@@ -1631,6 +1631,37 @@ def _similarity_topk(spark, sf):
 
 
 @_register(
+    "embedding_norm_profile",
+    """
+    WITH norms AS (
+      SELECT vec_id,
+             sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]),
+                                             x -> x * x),
+                              (a, b) -> a + b)) AS norm
+      FROM embeddings),
+    mu AS (SELECT round(avg(norm), 6) AS mu FROM norms),
+    st AS (
+      SELECT max(mu) AS mu, count(*) AS n,
+             sum((norm - mu) * (norm - mu)) AS css
+      FROM norms CROSS JOIN mu),
+    sd AS (SELECT mu, sqrt(css / (n - 1)) AS sd
+           FROM st WHERE n > 1 AND css > 0)
+    SELECT vec_id, round(norm, 6) AS norm,
+           round((norm - mu) / sd, 4) AS zscore
+    FROM norms CROSS JOIN sd
+    WHERE abs(round((norm - mu) / sd, 4)) >= 2.0
+    """,
+    note="embedding-hygiene audit by L2-norm z-score (zero vectors, "
+    "fp blowups, collapsed shards all move the norm distribution "
+    "first): map-side norm fold, one moment aggregate with the "
+    "rounded-6 centering discipline, 1-row stats broadcast; "
+    "outlier-sized output",
+)
+def _embedding_norm_profile(spark, sf):
+    return similarity.embedding_norm_profile(_t(spark, sf, "embeddings"))
+
+
+@_register(
     "embedding_similarity_histogram",
     """
     WITH h AS (SELECT vec_id, embedding,
@@ -2338,6 +2369,18 @@ def _sql_nation_product_profit(spark, sf):
     return run_sql(spark, sf, NATION_PRODUCT_PROFIT)
 
 
+@_register(
+    "sql_qoq_growth",
+    None,  # oracle attached below: the query text IS the oracle
+    note="quarter-over-quarter revenue growth: calendar-bounded "
+    "quarter aggregate + lag window; DECIMAL money sums",
+)
+def _sql_qoq_growth(spark, sf):
+    from .sql import QOQ_GROWTH, run_sql
+
+    return run_sql(spark, sf, QOQ_GROWTH)
+
+
 def _attach_sql_oracles() -> None:
     """The sql_* queries' oracle IS the query text: one ANSI string
     evaluated by both engines (dialect-shared subset)."""
@@ -2367,6 +2410,7 @@ def _attach_sql_oracles() -> None:
         ("sql_cross_nation_volume", _sql.CROSS_NATION_VOLUME),
         ("sql_nation_market_share", _sql.NATION_MARKET_SHARE),
         ("sql_nation_product_profit", _sql.NATION_PRODUCT_PROFIT),
+        ("sql_qoq_growth", _sql.QOQ_GROWTH),
     ):
         spec = _REGISTRY[name]
         _REGISTRY[name] = QuerySpec(spec.name, spec.fn, stmt, spec.note)
@@ -6942,6 +6986,36 @@ def _interval_gaps(spark, sf):
 
 
 @_register(
+    "customer_reorder_stats",
+    """
+    WITH gaps AS (
+      SELECT o_custkey,
+             datediff('day',
+               CAST(lag(CAST(o_orderdate AS TIMESTAMP)) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY CAST(o_orderdate AS TIMESTAMP), o_orderkey
+               ) AS DATE),
+               CAST(o_orderdate AS DATE)) AS gap_d
+      FROM orders)
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(gap_d) AS BIGINT) AS n_gaps,
+           round(avg(gap_d), 2) AS mean_gap_days,
+           CAST(min(gap_d) AS BIGINT) AS min_gap_days,
+           CAST(max(gap_d) AS BIGINT) AS max_gap_days
+    FROM gaps GROUP BY o_custkey
+    HAVING count(*) >= 3
+    """,
+    note="per-customer reorder cadence (gap stream via one lag "
+    "window + grouped agg on the SAME o_custkey key -- single "
+    "exchange): churn/repurchase-rhythm signal; exact integer day "
+    "gaps, the mean is the one double division",
+)
+def _customer_reorder_stats(spark, sf):
+    return relational.customer_reorder_stats(_t(spark, sf, "orders"))
+
+
+@_register(
     "interval_coverage",
     """
     WITH base AS (
@@ -7702,6 +7776,8 @@ _FRESH_ROUND6 = frozenset(
         "decontaminate_bloom", "user_behavior_entropy",
         "hourly_autocorrelation", "stats_levene",
         "multimodal_audio_snr", "multimodal_image_entropy",
+        "customer_reorder_stats", "embedding_norm_profile",
+        "sql_qoq_growth",
     }
 )
 

@@ -444,3 +444,21 @@ FROM (SELECT n.n_name AS nation,
 GROUP BY nation, o_year
 ORDER BY nation, o_year DESC
 """
+
+
+#: Quarter-over-quarter revenue growth: the canonical BI trend query
+#: (time-bucketed money aggregate + lag window over the QUARTER
+#: table, which is bounded by the calendar, never the data). Money
+#: sums ride DECIMAL(18,2) so both engines fold order-independently.
+QOQ_GROWTH = """
+WITH q AS (
+  SELECT date_trunc('quarter', CAST(o_orderdate AS TIMESTAMP)) AS qtr,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS revenue,
+         count(*) AS n_orders
+  FROM orders GROUP BY 1)
+SELECT qtr, revenue, n_orders,
+       round((revenue - lag(revenue) OVER (ORDER BY qtr)) * 100.0
+             / lag(revenue) OVER (ORDER BY qtr), 2) AS qoq_pct
+FROM q
+"""

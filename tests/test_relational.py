@@ -1044,3 +1044,29 @@ def test_levene_flags_planted_heteroscedasticity(spark):
                  "b": [-200, -100, 0, 100, 200] * 4})
     r = analytics.levene_brownforsythe(hetero).collect()[0]
     assert r["var_homogeneous"] is False and r["w_stat"] > 10
+
+
+def test_customer_reorder_stats_hand_case(spark):
+    """Gap stats verified on a literal order history; sub-min-orders
+    customers drop."""
+    from java_mapreduce_framework_spark.operators import relational
+
+    rows = [
+        (1, 10, "O", 5.0, "1995-01-01 00:00:00", "1-URGENT"),
+        (2, 10, "O", 5.0, "1995-01-11 00:00:00", "1-URGENT"),
+        (3, 10, "O", 5.0, "1995-02-10 00:00:00", "1-URGENT"),  # gaps 10, 30
+        (4, 20, "O", 5.0, "1995-01-01 00:00:00", "1-URGENT"),
+        (5, 20, "O", 5.0, "1995-01-02 00:00:00", "1-URGENT"),  # only 2 orders
+    ]
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    out = {r["o_custkey"]: r
+           for r in relational.customer_reorder_stats(orders).collect()}
+    assert set(out) == {10}
+    r = out[10]
+    assert r["n_orders"] == 3 and r["n_gaps"] == 2
+    assert r["mean_gap_days"] == 20.0
+    assert r["min_gap_days"] == 10 and r["max_gap_days"] == 30

@@ -428,3 +428,22 @@ def test_similarity_histogram_covers_all_pairs(spark, sf_small):
     for r in out:
         assert 0 <= r["bin"] <= 15
         assert abs(r["bin_lo"] - (-1.0 + r["bin"] * 0.125)) < 1e-12
+
+
+def test_embedding_norm_profile_flags_planted_outlier(spark):
+    """A single huge-norm vector among unit-ish vectors is flagged;
+    the bulk is not."""
+    import math
+
+    from java_mapreduce_framework_spark.operators import similarity
+
+    rows = [(i, [1.0, 0.0, 0.0, 0.0], i % 3) for i in range(30)]
+    rows += [(100, [0.9, 0.1, 0.0, 0.0], 0), (101, [1.1, 0.0, 0.1, 0.0], 1)]
+    rows.append((999, [50.0, 50.0, 50.0, 50.0], 2))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    out = {r["vec_id"]: r
+           for r in similarity.embedding_norm_profile(emb).collect()}
+    assert 999 in out and out[999]["zscore"] > 2.0
+    assert abs(out[999]["norm"] - math.sqrt(4 * 50.0 ** 2)) < 1e-6
+    assert all(v == 999 for v in out)  # the unit bulk stays unflagged
