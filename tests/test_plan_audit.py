@@ -65,6 +65,7 @@ ALLOWED_NESTED_LOOP = {
     "decontaminate_bloom",  # 1-row broadcast Bloom-bitmap literal
     "embedding_similarity_histogram",  # m<=128 hash-subsample self-pair (m^2/2 bounded by construction)
     "funnel_time_to_convert",  # 1-row broadcast shard cut bounds (quantile kernel)
+    "embedding_norm_profile",  # 1-row broadcast (mu, sd) stats scalar
 }
 
 
