@@ -808,6 +808,54 @@ def dup_ngram_fraction(documents: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def novelty_fraction(documents: DataFrame, n: int = 3) -> DataFrame:
+    """First-occurrence novelty per document: the fraction of a doc's
+    DISTINCT n-grams for which this doc is the FIRST (minimum doc_id)
+    document containing them -- the "how much genuinely new text does
+    this doc add" signal dedup-aware sampling orders by (a crawl
+    snapshot's re-crawls score near 0, fresh content near 1). The
+    attribution dual of ``quality_dup_ngram_frac``: that one asks
+    "how much of me exists elsewhere", this one asks "how much of the
+    corpus did I contribute first".
+
+    One distinct (doc, shingle) stream (8-byte hashed keys, the
+    ``shingles`` discipline), ONE min-owner aggregate per shingle,
+    one keyed join back, one per-doc fold -- the same two-shuffle
+    envelope as the dup-fraction operator, nothing quadratic in
+    document frequency anywhere.
+
+    Emits (doc_id, n_grams, n_novel, novelty_frac) for docs with
+    >= n tokens.
+
+    Reference licence: composition target -- chained-jobs model
+    (SURVEY.md §2A FIFO queue) over the WordCount substrate
+    (src/edu/upenn/cis455/mapreduce/job/WordCount.java:23-52).
+    """
+    from .dedup import shingles
+
+    sh = shingles(documents, n, hashed=True)
+    owner = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    joined = sh.join(owner.hint("shuffle_hash"), "shingle")
+    novel = F.sum(
+        F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0)
+    )
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            novel.cast("bigint").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_grams"), 4).alias(
+                "novelty_frac"
+            ),
+        )
+    )
+
+
 def repetition_score(documents: DataFrame, n: int = 3) -> DataFrame:
     """Boilerplate/looping-text quality signal: the fraction of a
     document's ``n``-gram occurrences that are repeats of an n-gram
@@ -1223,6 +1271,60 @@ def vocab_coverage(documents: DataFrame, top_v: int = 64) -> DataFrame:
         F.round(F.sum("cnt").over(run) / F.col("n_total"), 6).alias(
             "cum_coverage"
         ),
+    )
+
+
+def vocab_zipf_fit(documents: DataFrame, top_v: int = 64) -> DataFrame:
+    """Zipf-law fit over the rank-frequency curve: OLS of log2(freq)
+    on log2(rank) for the ``top_v`` most frequent words -- the
+    corpus-linguistics health check behind ``vocab_coverage``'s
+    curve. Natural text fits a slope near -1 with high r-squared;
+    templated/machine corpora bend the curve (flat head = boilerplate
+    injection, steep head = tiny effective vocabulary), so the fitted
+    exponent is a one-number drift monitor for corpus composition.
+
+    The word counts and top-V cut are the ``vocab_coverage`` plan
+    verbatim (combinable count, TakeOrderedAndProject -- the
+    vocabulary is never globally sorted); the regression is the
+    ``trend_regression`` closed form over the <= top_v surviving
+    rows: explicit moment sums, slope/intercept/r-squared row-local
+    on the ONE-row result. Nothing after the word count scales with
+    the corpus.
+
+    Emits ONE row: (n_words, zipf_exponent, intercept, r2) with
+    ``zipf_exponent = -slope`` (positive for Zipfian data).
+
+    Reference licence: composition target -- chained-jobs model
+    (SURVEY.md §2A FIFO queue) over the WordCount substrate
+    (src/edu/upenn/cis455/mapreduce/job/WordCount.java:23-52).
+    """
+    words = words_exploded(documents)
+    counts = words.groupBy("word").agg(F.count("*").alias("cnt"))
+    top = counts.orderBy(F.col("cnt").desc(), "word").limit(top_v)
+    order = Window.orderBy(F.col("cnt").desc(), "word")
+    xy = top.select(
+        F.log2(F.row_number().over(order)).alias("x"),
+        F.log2("cnt").alias("y"),
+    )
+    m = xy.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    covn = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = covn / varx
+    return m.filter((F.col("n") > 2) & (varx > 0) & (vary > 0)).select(
+        F.col("n").cast("bigint").alias("n_words"),
+        F.round(-slope, 4).alias("zipf_exponent"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4).alias(
+            "intercept"
+        ),
+        F.round(covn * covn / (varx * vary), 4).alias("r2"),
     )
 
 

@@ -1195,6 +1195,35 @@ def _quality_dup_ngram_frac(spark, sf):
 
 
 @_register(
+    "dedup_novelty_frac",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      FROM toks WHERE len(t) >= 3),
+    owner AS (SELECT shingle, min(doc_id) AS first_doc
+              FROM sh GROUP BY shingle)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           round(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS novelty_frac
+    FROM sh JOIN owner USING (shingle)
+    GROUP BY doc_id
+    """,
+    note="first-occurrence novelty per doc (fraction of its distinct "
+    "3-grams it contributed FIRST, by min doc_id): the attribution "
+    "dual of quality_dup_ngram_frac for dedup-aware sampling; same "
+    "two-shuffle envelope, nothing quadratic in df",
+)
+def _dedup_novelty_frac(spark, sf):
+    return text.novelty_fraction(_t(spark, sf, "documents"))
+
+
+@_register(
     "sequence_packing",
     f"""
     WITH t AS (SELECT doc_id, lang, len({_TOKS}) AS n_tokens FROM documents)
@@ -4075,6 +4104,39 @@ def _attribution_last_touch(spark, sf):
     "coverage; windows run over the aggregate-compressed vocabulary, "
     "not corpus rows",
 )
+@_register(
+    "vocab_zipf_fit",
+    f"""
+    WITH words AS (SELECT unnest({_TOKS}) AS word FROM documents),
+    counts AS (SELECT word, count(*) AS cnt FROM words GROUP BY word),
+    ranked AS (
+      SELECT cnt, row_number() OVER (ORDER BY cnt DESC, word) AS rank
+      FROM counts),
+    xy AS (SELECT log2(rank) AS x, log2(cnt) AS y
+           FROM ranked WHERE rank <= 64),
+    m AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM xy)
+    SELECT CAST(n AS BIGINT) AS n_words,
+           round(-((n * sxy - sx * sy) / (n * sxx - sx * sx)), 4)
+             AS zipf_exponent,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                 / n, 4) AS intercept,
+           round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r2
+    FROM m
+    WHERE n > 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """,
+    note="Zipf-exponent fit over the top-64 rank-frequency curve "
+    "(corpus-composition drift monitor): vocab_coverage's count + "
+    "TakeOrderedAndProject cut, trend_regression's closed form over "
+    "the <=64 surviving rows; one-row result",
+)
+def _vocab_zipf_fit(spark, sf):
+    return text.vocab_zipf_fit(_t(spark, sf, "documents"))
+
+
 def _vocab_coverage(spark, sf):
     return text.vocab_coverage(_t(spark, sf, "documents"))
 
@@ -7777,7 +7839,7 @@ _FRESH_ROUND6 = frozenset(
         "hourly_autocorrelation", "stats_levene",
         "multimodal_audio_snr", "multimodal_image_entropy",
         "customer_reorder_stats", "embedding_norm_profile",
-        "sql_qoq_growth",
+        "sql_qoq_growth", "dedup_novelty_frac", "vocab_zipf_fit",
     }
 )
 

@@ -929,3 +929,47 @@ def test_decontaminate_bloom_equals_exact(spark, sf_small):
     bloom = {(r["doc_id"], r["bench_doc_id"]): r["n_shared_shingles"]
              for r in t.decontaminate_bloom(docs).collect()}
     assert bloom == exact and len(exact) > 0
+
+
+def test_novelty_fraction_first_doc_wins(spark):
+    """The earliest doc owns every gram it introduces; an exact
+    re-crawl of it scores 0; partially-new docs score in between."""
+    from java_mapreduce_framework_spark.operators import text as t
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d", "en", "web", 7),
+         (2, "a b c d", "en", "web", 7),        # exact re-crawl -> 0
+         (3, "a b c x y z", "en", "web", 11)],  # shares 'a b c' only
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r["doc_id"]: r for r in t.novelty_fraction(docs).collect()}
+    assert out[1]["novelty_frac"] == 1.0
+    assert out[2]["novelty_frac"] == 0.0 and out[2]["n_novel"] == 0
+    assert out[3]["n_grams"] == 4 and out[3]["n_novel"] == 3
+    assert out[3]["novelty_frac"] == 0.75
+
+
+def test_vocab_zipf_fit_recovers_planted_exponent(spark):
+    """A corpus whose word frequencies follow freq = 2^(10-rank)
+    exactly fits slope -1 in log2-log2 space... actually freq(r) =
+    C * r^-s yields slope -s; plant s=1 via harmonic-ish counts and
+    assert the fit lands near it with r2 ~ 1 for an exact power law."""
+    from java_mapreduce_framework_spark.operators import text as t
+
+    # freq(rank) = round(1024 / rank) for ranks 1..20: near-exact
+    # s = 1 power law (integer rounding perturbs it slightly)
+    rows, did = [], 0
+    for rank in range(1, 21):
+        word = f"w{rank:02d}"
+        for _ in range(round(1024 / rank)):
+            rows.append((did, word, "en", "web", 3)); did += 1
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = t.vocab_zipf_fit(docs, top_v=20).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_words"] == 20
+    assert 0.95 <= r["zipf_exponent"] <= 1.05
+    assert r["r2"] > 0.999
