@@ -96,8 +96,26 @@ class QuerySpec:
 _REGISTRY: dict[str, QuerySpec] = {}
 
 
+#: Registered names whose implementing function deliberately does not
+#: follow the `_<name>` convention (shared impls, historical names).
+_NAME_EXEMPT: set[str] = set()
+
+
 def _register(name: str, oracle: str | None, note: str = ""):
     def deco(fn):
+        # Decorator-placement guard: an edit that splices a new
+        # registration between another query's decorator and its def
+        # silently rebinds that query to the WRONG function (it has
+        # happened twice: graph_common_neighbors round 6, then
+        # vocab_coverage). The `_<name>` convention makes the splice
+        # a hard import error instead of a silent wrong answer.
+        if name not in _NAME_EXEMPT and fn.__name__ != f"_{name}":
+            raise AssertionError(
+                f"@_register({name!r}) decorates {fn.__name__}; expected "
+                f"_{name} -- a new registration was likely spliced between "
+                "another query's decorator and its def"
+            )
+
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             tune_session(spark)
             return fn(spark, sf_dir)
@@ -4104,6 +4122,10 @@ def _attribution_last_touch(spark, sf):
     "coverage; windows run over the aggregate-compressed vocabulary, "
     "not corpus rows",
 )
+def _vocab_coverage(spark, sf):
+    return text.vocab_coverage(_t(spark, sf, "documents"))
+
+
 @_register(
     "vocab_zipf_fit",
     f"""
@@ -4135,10 +4157,6 @@ def _attribution_last_touch(spark, sf):
 )
 def _vocab_zipf_fit(spark, sf):
     return text.vocab_zipf_fit(_t(spark, sf, "documents"))
-
-
-def _vocab_coverage(spark, sf):
-    return text.vocab_coverage(_t(spark, sf, "documents"))
 
 
 @_register(
