@@ -1280,6 +1280,12 @@ def funnel_time_to_convert(
                 .groupBy("user_id")
                 .agg(F.min("ts").alias("t"))
             )
+        # deliberately NOT checkpointed: each reach table feeds the
+        # next chain stage and its own delay pair, but the recomputed
+        # subtrees are single filter+agg scans bounded by the constant
+        # stage count (funnel_conversion's shipped shape) -- measured,
+        # three eager checkpoints cost 2x more than the recompute at
+        # sf0.1 (3 blocking jobs of fixed overhead vs cheap re-scans)
         per_stage.append((stage, reached))
     delays = None
     for i in range(len(per_stage) - 1):
