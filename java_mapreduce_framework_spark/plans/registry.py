@@ -3328,6 +3328,49 @@ def _sink_compaction_roundtrip(spark, sf):
 
 
 @_register(
+    "sink_dynamic_overwrite",
+    """
+    WITH d AS (
+      SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS event_date,
+             event_type, value
+      FROM events),
+    mx AS (SELECT max(event_date) AS maxd FROM d)
+    SELECT CAST(event_date AS TIMESTAMP) AS event_date,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(CASE WHEN event_date = (SELECT maxd FROM mx)
+                          THEN value * 2 ELSE value END), 2)
+             AS total_value
+    FROM d GROUP BY event_date
+    """,
+    note="dynamic-partition-overwrite round-trip (the idempotent "
+    "daily-rerun write pattern): last day's slice recomputed "
+    "(values doubled, derived from the ORIGINAL fixture so reruns "
+    "are idempotent) and overwritten with per-write "
+    "partitionOverwriteMode=dynamic -- the oracle verifies every "
+    "untouched day survived by content",
+)
+def _sink_dynamic_overwrite(spark, sf):
+    from ..sources.roundtrip import dynamic_overwrite_events
+
+    df = dynamic_overwrite_events(spark, sf)
+    return (
+        df.groupBy("event_date")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        # day shipped as midnight TIMESTAMP (the window_twap
+        # discipline): the comparator renders DATE differently across
+        # engines
+        .select(
+            F.col("event_date").cast("timestamp").alias("event_date"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@_register(
     "text_feature_hashing",
     f"""
     {_WORDS_CTE},
@@ -7858,6 +7901,7 @@ _FRESH_ROUND6 = frozenset(
         "multimodal_audio_snr", "multimodal_image_entropy",
         "customer_reorder_stats", "embedding_norm_profile",
         "sql_qoq_growth", "dedup_novelty_frac", "vocab_zipf_fit",
+        "sink_dynamic_overwrite",
     }
 )
 

@@ -210,3 +210,49 @@ def read_documents_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("escape", chr(34))
         .csv(str(path))
     )
+
+
+def dynamic_overwrite_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-partition-overwrite round-trip -- THE idempotent
+    batch-write pattern for date-partitioned tables: a daily rerun
+    must replace ONLY the partitions it recomputed, never truncate
+    the table (static overwrite mode would). Here the base table
+    stages date-partitioned once; each call then recomputes the LAST
+    day's slice (values deterministically doubled, derived from the
+    ORIGINAL fixture so reruns are idempotent) and overwrites with
+    ``partitionOverwriteMode=dynamic`` scoped to the write -- every
+    other day's files are untouched, which the declared oracle
+    verifies by content.
+
+    100 TB posture: the rewrite job touches one day of data however
+    large the table is; the per-write option (not a global conf
+    mutation) keeps the dangerous static default for everything else.
+
+    Returns the post-overwrite table read back from disk.
+    """
+    from pyspark.sql import functions as F
+
+    sf_name = pathlib.Path(sf_dir).name
+    stage = _REPO_ROOT / ".tmp" / "roundtrip" / f"{sf_name}_events_dynpart"
+    fp = source_fingerprint(sf_dir, "events")
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    if _needs_restage(stage, fp):
+        (
+            events.write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(str(stage / "data"))
+        )
+        (stage / "_STAGED").write_text(fp)
+    max_d = events.agg(F.max("event_date").alias("d")).collect()[0]["d"]  # bounded: 1 row
+    updated = events.filter(F.col("event_date") == F.lit(max_d)).withColumn(
+        "value", F.col("value") * 2
+    )
+    (
+        updated.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_date")
+        .parquet(str(stage / "data"))
+    )
+    return spark.read.parquet(str(stage / "data"))

@@ -112,3 +112,39 @@ def test_compaction_reduces_file_count_preserving_rows(spark, sf_small):
     assert n_frag >= 64
     assert n_comp < n_frag
     assert out.count() == load_table(spark, sf_small, "events").count()
+
+
+def test_dynamic_overwrite_touches_only_last_day(spark, sf_small):
+    """The rewrite replaces ONLY the last day's partition: untouched
+    days keep their original values, the last day's doubled; rerun
+    is idempotent."""
+    from pyspark.sql import functions as F
+
+    from java_mapreduce_framework_spark.sources.roundtrip import (
+        dynamic_overwrite_events,
+    )
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    def per_day(df):
+        return {
+            r["event_date"]: r["s"]
+            for r in df.groupBy("event_date")
+            .agg(F.round(F.sum("value"), 2).alias("s"))
+            .collect()
+        }
+
+    # materialize each round-trip BEFORE the next overwrite: the lazy
+    # frame pins the file listing of ITS OWN write generation
+    got = per_day(dynamic_overwrite_events(spark, sf_small))
+    got2 = per_day(dynamic_overwrite_events(spark, sf_small))  # rerun
+    orig = load_table(spark, sf_small, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    max_d = orig.agg(F.max("event_date")).collect()[0][0]
+    base = per_day(orig)
+    assert got == got2  # rerun changed nothing
+    for d, s in base.items():
+        if d == max_d:
+            assert abs(got[d] - round(2 * s, 2)) < 0.05
+        else:
+            assert got[d] == s  # untouched partitions survive by content
