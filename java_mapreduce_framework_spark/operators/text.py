@@ -2477,3 +2477,72 @@ def ngram_autocomplete(documents: DataFrame, max_plen: int = 3,
         .filter(F.col("rank") <= top_k)
         .select("prefix", "rank", "word", "freq")
     )
+
+
+def corpus_datasheet(documents: DataFrame) -> DataFrame:
+    """One-row corpus datasheet -- the headline numbers a dataset
+    release publishes (Gebru et al.'s "datasheets for datasets"
+    reduced to the queryable core): size, token volume, exact-dup
+    rate, language-mix entropy, and mean quality. The first thing a
+    consumer reads and the drift monitor a weekly rebuild diffs.
+
+    Three bounded aggregations over ONE logical table: (1) a global
+    fold (doc/token counts + distinct content fingerprints -- the
+    ``dedup_exact`` md5 discipline), (2) per-lang counts feeding a
+    sorted-fold entropy (the ``user_behavior_entropy`` determinism
+    discipline over the language alphabet), (3) mean of the shared
+    ``quality_score`` expression (per-doc values rounded 4 BEFORE the
+    mean -- the same pinned quantities the quality operators emit).
+    Everything after the scans is alphabet- or 1-row-sized; the three
+    1-row frames cross-join by broadcast.
+
+    Emits ONE row: (n_docs, n_tokens, dup_rate, n_langs,
+    lang_entropy, mean_quality).
+
+    Reference licence: composition target -- chained-jobs model
+    (SURVEY.md §2A FIFO queue) over the WordCount substrate
+    (src/edu/upenn/cis455/mapreduce/job/WordCount.java:23-52).
+    """
+    base = documents.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.size(tokens_col("text"))).cast("bigint").alias("n_tokens"),
+        F.countDistinct(F.md5("text")).alias("n_distinct"),
+    ).select(
+        "n_docs",
+        "n_tokens",
+        F.round(
+            (F.col("n_docs") - F.col("n_distinct")) * F.lit(1.0)
+            / F.col("n_docs"),
+            4,
+        ).alias("dup_rate"),
+    )
+    lang = documents.groupBy("lang").agg(F.count("*").alias("c"))
+    ent = lang.agg(
+        F.count("*").cast("bigint").alias("n_langs"),
+        F.sum("c").alias("nn"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("lang", "c"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["c"] * F.log2(x["c"]),
+        ).alias("s"),
+    ).select(
+        "n_langs",
+        F.round(
+            F.log2(F.col("nn")) - F.col("s") / F.col("nn"), 4
+        ).alias("lang_entropy"),
+    )
+    q = quality_score(documents).agg(
+        F.round(F.avg("quality"), 4).alias("mean_quality")
+    )
+    return (
+        base.crossJoin(F.broadcast(ent))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "n_docs",
+            "n_tokens",
+            "dup_rate",
+            "n_langs",
+            "lang_entropy",
+            "mean_quality",
+        )
+    )

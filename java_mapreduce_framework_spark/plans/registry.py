@@ -1213,6 +1213,39 @@ def _quality_dup_ngram_frac(spark, sf):
 
 
 @_register(
+    "corpus_datasheet",
+    f"""
+    WITH base AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens,
+             count(DISTINCT md5(text)) AS n_distinct
+      FROM documents),
+    lang AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+    ent AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_langs, sum(c) AS nn,
+             list_reduce(list_transform(list(c ORDER BY lang),
+                                        c -> c * log2(c)),
+                         (a, b) -> a + b) AS s
+      FROM lang),
+    {_QUALITY_MEASURES_CTE},
+    q AS (SELECT round(avg({_QUALITY_EXPR}), 4) AS mean_quality FROM m)
+    SELECT n_docs, n_tokens,
+           round((n_docs - n_distinct) * 1.0 / n_docs, 4) AS dup_rate,
+           n_langs,
+           round(log2(nn) - s / nn, 4) AS lang_entropy,
+           mean_quality
+    FROM base CROSS JOIN ent CROSS JOIN q
+    """,
+    note="one-row corpus datasheet (size, tokens, exact-dup rate, "
+    "language-mix entropy, mean quality -- the release headline a "
+    "weekly rebuild diffs): three bounded aggregations, sorted-fold "
+    "entropy over the language alphabet, shared quality expression",
+)
+def _corpus_datasheet(spark, sf):
+    return text.corpus_datasheet(_t(spark, sf, "documents"))
+
+
+@_register(
     "dedup_novelty_frac",
     f"""
     WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
@@ -7901,7 +7934,7 @@ _FRESH_ROUND6 = frozenset(
         "multimodal_audio_snr", "multimodal_image_entropy",
         "customer_reorder_stats", "embedding_norm_profile",
         "sql_qoq_growth", "dedup_novelty_frac", "vocab_zipf_fit",
-        "sink_dynamic_overwrite",
+        "sink_dynamic_overwrite", "corpus_datasheet",
     }
 )
 

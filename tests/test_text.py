@@ -973,3 +973,24 @@ def test_vocab_zipf_fit_recovers_planted_exponent(spark):
     assert r["n_words"] == 20
     assert 0.95 <= r["zipf_exponent"] <= 1.05
     assert r["r2"] > 0.999
+
+
+def test_corpus_datasheet_hand_checked(spark):
+    """Datasheet numbers verified on a literal corpus: one exact dup,
+    two languages with a 3:1 split."""
+    import math
+
+    from java_mapreduce_framework_spark.operators import text as t
+
+    docs = spark.createDataFrame(
+        [(1, "a b", "en", "web", 3), (2, "a b", "en", "web", 3),
+         (3, "c d e", "en", "web", 5), (4, "f", "de", "web", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    r = t.corpus_datasheet(docs).collect()[0]
+    assert r["n_docs"] == 4 and r["n_tokens"] == 8
+    assert r["dup_rate"] == 0.25  # docs 1/2 share content
+    assert r["n_langs"] == 2
+    h = -(0.75 * math.log2(0.75) + 0.25 * math.log2(0.25))
+    assert abs(r["lang_entropy"] - round(h, 4)) < 1e-9
+    assert 0.0 <= r["mean_quality"] <= 1.0
