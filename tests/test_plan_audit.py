@@ -66,6 +66,7 @@ ALLOWED_NESTED_LOOP = {
     "embedding_similarity_histogram",  # m<=128 hash-subsample self-pair (m^2/2 bounded by construction)
     "funnel_time_to_convert",  # 1-row broadcast shard cut bounds (quantile kernel)
     "embedding_norm_profile",  # 1-row broadcast (mu, sd) stats scalar
+    "corpus_datasheet",  # three 1-row report frames cross-joined
 }
 
 
