@@ -31,6 +31,11 @@ FAMILIES = [
     "dedup_substring",     # stride-1 span fingerprints + candidate verify
     "bpe_train",           # iterative merge loop vs unrolled-CTE oracle
     "graph_common_neighbors",  # decorator-placement regression guard
+    "event_markov_stationary",  # sorted-fold determinism + unrolled-CTE oracle
+    "stats_fdr_bh",        # closed-form p + step-up windows
+    "interval_coverage",   # islands kernel + half-up micros seconds
+    "corpus_datasheet",    # shared quality fragment + sorted-fold entropy
+    "vocab_coverage",      # decorator-placement regression guard (2nd splice)
 ]
 
 
