@@ -662,3 +662,97 @@ def test_column_profile_matches_bruteforce(rows):
         else:
             assert g["min_v"] is None and g["max_v"] is None
             assert g["mean_v"] is None
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.sampled_from("abcde")),
+        min_size=2,
+        max_size=16,
+    )
+)
+def test_user_entropy_matches_bruteforce(pairs):
+    """Randomized (user, type) streams: entropy equals the textbook
+    -sum p log2 p computed in Python from exact counts."""
+    import math
+    from collections import Counter, defaultdict
+
+    from java_mapreduce_framework_spark.operators.analytics import (
+        user_behavior_entropy,
+    )
+
+    spark = _spark
+    rows = [
+        (i, _ts(i), u, f"type_{t}", 1.0, "{}")
+        for i, (u, t) in enumerate(pairs)
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {r["user_id"]: r for r in user_behavior_entropy(events).collect()}
+    per_user = defaultdict(Counter)
+    for u, t in pairs:
+        per_user[u][t] += 1
+    assert set(got) == set(per_user)
+    for u, counts in per_user.items():
+        n = sum(counts.values())
+        h = -sum(c / n * math.log2(c / n) for c in counts.values())
+        assert abs(got[u]["entropy"] - h) < 5e-4  # round-4 output
+        assert got[u]["n_events"] == n
+        assert got[u]["n_types"] == len(counts)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 400), st.integers(1, 90)),
+        min_size=1,
+        max_size=14,
+    )
+)
+def test_interval_coverage_matches_bruteforce(iv):
+    """Randomized (user, start-minute, duration-seconds) intervals:
+    covered seconds equal a brute-force union-length sweep."""
+    from collections import defaultdict
+
+    from java_mapreduce_framework_spark.operators.temporal import (
+        interval_coverage,
+    )
+
+    spark = _spark
+    rows = [
+        (i, _ts(m), u, "x", float(d), "{}")
+        for i, (u, m, d) in enumerate(iv)
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {r["user_id"]: r for r in interval_coverage(events).collect()}
+    by_user = defaultdict(list)
+    for u, m, d in iv:
+        s = m * 60  # seconds
+        by_user[u].append((s, s + d))
+    for u, spans in by_user.items():
+        spans.sort()
+        covered, cur_s, cur_e = 0, None, None
+        n_spans = 0
+        for s, e in spans:
+            if cur_e is None or s > cur_e:
+                if cur_e is not None:
+                    covered += cur_e - cur_s
+                cur_s, cur_e = s, e
+                n_spans += 1
+            else:
+                cur_e = max(cur_e, e)
+        covered += cur_e - cur_s
+        g = got[u]
+        assert g["n_spans"] == n_spans
+        assert abs(g["covered_s"] - covered) < 1e-6
+        lo = min(s for s, _ in spans)
+        hi = max(e for _, e in spans)
+        assert abs(g["window_s"] - (hi - lo)) < 1e-6
