@@ -825,3 +825,75 @@ def test_join_asof_ttl_is_joinless_union_window(spark, sf_small):
               "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert _nodes(plan, j) == 0
     assert _nodes(plan, "Exchange") <= 2  # tie-dedup + union sort
+
+
+def test_dup_ngram_frac_uses_shuffle_hash_join(spark, sf_small):
+    """The df join must stay a shuffled-hash join on the 8-byte
+    shingle key -- sort-merge would add two corpus-scale sorts for an
+    equality-only match."""
+    from java_mapreduce_framework_spark.operators.text import (
+        dup_ngram_fraction,
+    )
+
+    plan = _formatted(
+        dup_ngram_fraction(load_table(spark, sf_small, "documents"))
+    )
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_similarity_histogram_bounds_pair_stage(spark, sf_small):
+    """The hash subsample must cut via TakeOrderedAndProject (per-
+    partition heaps) -- a global sort of the corpus by hash would be
+    the scale-killer; the self-pair join rides a broadcast."""
+    from java_mapreduce_framework_spark.operators.similarity import (
+        similarity_histogram,
+    )
+
+    plan = _formatted(
+        similarity_histogram(load_table(spark, sf_small, "embeddings"))
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pair_llr_topk_never_sorts_globally(spark, sf_small):
+    """Top-k collocations cut via TakeOrderedAndProject, never a
+    global sort + row_number over the scored pair vocabulary."""
+    from java_mapreduce_framework_spark.operators.text import pair_llr
+
+    plan = _formatted(pair_llr(load_table(spark, sf_small, "documents")))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_novelty_frac_partial_aggregates(spark, sf_small):
+    """Both the min-owner aggregate and the per-doc fold run
+    partial-then-final (map-side combine)."""
+    from java_mapreduce_framework_spark.operators.text import (
+        novelty_fraction,
+    )
+
+    plan = _formatted(
+        novelty_fraction(load_table(spark, sf_small, "documents"))
+    )
+    assert "partial_min" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_reorder_stats_single_exchange(spark, sf_small):
+    """The lag window and the grouped aggregate share ONE o_custkey
+    exchange -- Catalyst must reuse the partitioning, not add a
+    second shuffle."""
+    from java_mapreduce_framework_spark.operators.relational import (
+        customer_reorder_stats,
+    )
+
+    import re
+
+    plan = _formatted(
+        customer_reorder_stats(load_table(spark, sf_small, "orders"))
+    )
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, plan[:2000]
