@@ -1350,13 +1350,9 @@ def user_behavior_entropy(events: DataFrame) -> DataFrame:
             "cells"
         ),
     )
-    # H = log2(N) - (1/N) * sum c*log2(c), folded in sorted type order
-    s = F.aggregate(
-        F.col("cells"),
-        F.lit(0.0),
-        lambda acc, x: acc + x["c"] * F.log2(x["c"]),
-    )
-    h = F.log2(F.col("n_events")) - s / F.col("n_events")
+    from ..functions.stats import entropy_bits
+
+    h = entropy_bits(F.col("cells"), F.col("n_events"))
     return per.select(
         "user_id",
         "n_events",
@@ -1366,10 +1362,10 @@ def user_behavior_entropy(events: DataFrame) -> DataFrame:
 
 
 def hourly_autocorrelation(
-    events: DataFrame, max_lag: int = 24
+    events: DataFrame, lags: tuple[int, ...] = (1, 6, 12, 24)
 ) -> DataFrame:
     """Lag-k autocorrelation of the hourly event-count series per
-    type (k = 1, 6, 12, 24 by default's spread) -- the seasonality
+    type over the requested ``lags`` profile (1/6/12/24 by default) -- the seasonality
     detector behind capacity planning and anomaly baselines: a spike
     at lag 24 means daily rhythm, at lag 1 means bursty persistence;
     ``hourly_anomaly_zscore`` assumes i.i.d. hours, this measures how
@@ -1413,10 +1409,11 @@ def hourly_autocorrelation(
             F.coalesce("n", F.lit(0)).alias("n"),
         )
     )
+    if not lags or any(k < 1 for k in lags):
+        raise ValueError(f"lags must be positive and non-empty: {lags}")
     w = Window.partitionBy("event_type").orderBy("h")
-    lags = [1, 6, 12, 24]
     pairs = None
-    for k in [lag for lag in lags if lag <= max_lag]:
+    for k in lags:
         p = dense.select(
             "event_type",
             F.lit(k).alias("lag_h"),
@@ -1481,41 +1478,17 @@ def levene_brownforsythe(events: DataFrame) -> DataFrame:
         F.round(F.percentile("value", F.lit(0.5)), 6).alias("med")
     )
     z = events.join(F.broadcast(med), "event_type").select(
-        "event_type", F.abs(F.col("value") - F.col("med")).alias("z")
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("value")
     )
-    mu = z.groupBy("event_type").agg(F.round(F.avg("z"), 6).alias("mu"))
-    d = F.col("z") - F.col("mu")
-    cell = (
-        z.join(F.broadcast(mu), "event_type")
-        .groupBy("event_type")
-        .agg(
-            F.count("*").alias("n"),
-            F.max("mu").alias("mu"),
-            F.sum(d * d).alias("css"),
-        )
-    )
-    w = Window.partitionBy()
-    grand = F.round(
-        F.sum(F.col("mu") * F.col("n")).over(w) / F.sum("n").over(w), 6
-    )
-    g = cell.withColumn("grand", grand)
-    dg = F.col("mu") - F.col("grand")
-    agg = g.agg(
-        F.count("*").cast("bigint").alias("k_groups"),
-        F.sum("n").cast("bigint").alias("n_total"),
-        F.sum(F.col("n") * dg * dg).alias("ssb"),
-        F.sum("css").alias("ssw"),
-    )
-    w_stat = (F.col("ssb") / (F.col("k_groups") - 1)) / (
-        F.col("ssw") / (F.col("n_total") - F.col("k_groups"))
-    )
-    return agg.filter(
-        (F.col("k_groups") > 1)
-        & (F.col("n_total") > F.col("k_groups"))
-        & (F.col("ssw") > 0)
-    ).select(
+    # the Brown-Forsythe W IS a one-way ANOVA F on |v - med|: reuse
+    # anova_oneway's machinery verbatim (one definition of the
+    # centering/guard discipline), then rename and add the verdict on
+    # the ROUNDED statistic (the oracle rounds identically, so the
+    # cut can never straddle engines)
+    a = anova_oneway(z)
+    return a.select(
         "k_groups",
         "n_total",
-        F.round(w_stat, 4).alias("w_stat"),
-        (w_stat < 2.37).alias("var_homogeneous"),
+        F.col("f_stat").alias("w_stat"),
+        (F.col("f_stat") < 2.37).alias("var_homogeneous"),
     )

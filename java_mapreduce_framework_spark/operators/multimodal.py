@@ -1133,12 +1133,9 @@ def image_entropy(images: DataFrame, bins: int = 16) -> DataFrame:
             "cells"
         ),
     )
-    s = F.aggregate(
-        F.col("cells"),
-        F.lit(0.0),
-        lambda acc, x: acc + x["n_px"] * F.log2(x["n_px"]),
-    )
-    h = F.log2(F.col("n_px")) - s / F.col("n_px")
+    from ..functions.stats import entropy_bits
+
+    h = entropy_bits(F.col("cells"), F.col("n_px"), count_field="n_px")
     return per.select(
         "doc_id", "n_px", "n_bins", F.round(h, 4).alias("entropy")
     )

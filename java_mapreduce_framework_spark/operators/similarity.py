@@ -1178,8 +1178,13 @@ def similarity_histogram(
         l2_norm(F.col("embedding")).alias("nn"),
     )
     cos6 = F.round(_cos_hoisted(), 6)
+    # width/base derive from `bins` (cosine spans [-1, 1], so width
+    # is 2/bins); at the registered default 16 these are exactly the
+    # 8.0 / 0.125 binary constants the oracle mirrors
     binc = F.least(
-        F.floor((F.col("cos6") + F.lit(1.0)) * F.lit(8.0)).cast("int"),
+        F.floor((F.col("cos6") + F.lit(1.0)) * F.lit(bins / 2.0)).cast(
+            "int"
+        ),
         F.lit(bins - 1),
     )
     return (
@@ -1191,7 +1196,9 @@ def similarity_histogram(
         .agg(F.count("*").cast("bigint").alias("n_pairs"))
         .select(
             "bin",
-            (F.lit(-1.0) + F.col("bin") * F.lit(0.125)).alias("bin_lo"),
+            (F.lit(-1.0) + F.col("bin") * F.lit(2.0 / bins)).alias(
+                "bin_lo"
+            ),
             "n_pairs",
         )
     )

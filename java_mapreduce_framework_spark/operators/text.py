@@ -2516,20 +2516,18 @@ def corpus_datasheet(documents: DataFrame) -> DataFrame:
             4,
         ).alias("dup_rate"),
     )
+    from ..functions.stats import entropy_bits
+
     lang = documents.groupBy("lang").agg(F.count("*").alias("c"))
     ent = lang.agg(
         F.count("*").cast("bigint").alias("n_langs"),
         F.sum("c").alias("nn"),
-        F.aggregate(
-            F.array_sort(F.collect_list(F.struct("lang", "c"))),
-            F.lit(0.0),
-            lambda acc, x: acc + x["c"] * F.log2(x["c"]),
-        ).alias("s"),
+        F.array_sort(F.collect_list(F.struct("lang", "c"))).alias("cells"),
     ).select(
         "n_langs",
-        F.round(
-            F.log2(F.col("nn")) - F.col("s") / F.col("nn"), 4
-        ).alias("lang_entropy"),
+        F.round(entropy_bits(F.col("cells"), F.col("nn")), 4).alias(
+            "lang_entropy"
+        ),
     )
     q = quality_score(documents).agg(
         F.round(F.avg("quality"), 4).alias("mean_quality")

@@ -1312,9 +1312,10 @@ def _rolling_window_range(spark, sf):
     return temporal.rolling_window_range(_t(spark, sf, "events"))
 
 
-@_register(
-    "decontaminate_overlap",
-    f"""
+#: Shared decontamination-pairs oracle: the Bloom variant is
+#: bit-identical to the exact operator BY CONTRACT (the bitmap only
+#: prefilters; the verify join decides) -- one SQL text enforces it.
+_DECON_PAIRS_SQL = f"""
     WITH toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
     sh AS (
       SELECT doc_id, source,
@@ -1326,7 +1327,12 @@ def _rolling_window_range(spark, sf):
     JOIN (SELECT * FROM sh WHERE source = 'src0') b USING (shingle)
     GROUP BY c.doc_id, b.doc_id
     HAVING count(*) >= 2
-    """,
+"""
+
+
+@_register(
+    "decontaminate_overlap",
+    _DECON_PAIRS_SQL,
     note="train/benchmark n-gram contamination pairs; hashed join keys in Spark",
 )
 def _decontaminate_overlap(spark, sf):
@@ -1335,19 +1341,7 @@ def _decontaminate_overlap(spark, sf):
 
 @_register(
     "decontaminate_bloom",
-    f"""
-    WITH toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
-    sh AS (
-      SELECT doc_id, source,
-             unnest(list_distinct(list_transform(range(1, len(t) - 1),
-                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
-      FROM toks WHERE len(t) >= 3)
-    SELECT c.doc_id, b.doc_id AS bench_doc_id, count(*) AS n_shared_shingles
-    FROM (SELECT * FROM sh WHERE source <> 'src0') c
-    JOIN (SELECT * FROM sh WHERE source = 'src0') b USING (shingle)
-    GROUP BY c.doc_id, b.doc_id
-    HAVING count(*) >= 2
-    """,
+    _DECON_PAIRS_SQL,
     note="decontaminate_overlap through a Bloom prefilter (the "
     "join_bloom_pruned kernel over benchmark shingles): corpus "
     "shingles that cannot match drop MAP-SIDE before the exact "
@@ -4944,10 +4938,13 @@ def _time_resample_gapfill(spark, sf):
     return analytics.time_resample_gapfill(_t(spark, sf, "events"))
 
 
-@_register(
-    "ab_test_ztest",
-    f"""
-    WITH users AS (
+#: Shared two-proportion z-test CTE chain (hash A/B split -> per-type
+#: z): ab_test_ztest's oracle selects ztab directly; stats_fdr_bh's
+#: step-up builds on the SAME text, so the test definition (the
+#: conv >= 10 threshold, the 'ab|' split, the z formula) can never
+#: drift between them.
+_ZTEST_CTES = """
+    users AS (
       SELECT DISTINCT user_id,
              CASE WHEN substr(md5('ab|' || CAST(user_id AS VARCHAR)), 1, 1) < '8'
                   THEN 'A' ELSE 'B' END AS variant
@@ -4982,15 +4979,27 @@ def _time_resample_gapfill(spark, sf):
              (conv_a + conv_b) * 1.0 / (n_a + n_b) AS pp,
              conv_a * 1.0 / n_a - conv_b * 1.0 / n_b AS diff
       FROM wide
+    ),
+    ztab AS (
+      SELECT event_type,
+             CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+             CAST(conv_a AS BIGINT) AS conv_a,
+             CAST(conv_b AS BIGINT) AS conv_b,
+             round(diff / sqrt(pp * (1 - pp) * (1.0 / n_a + 1.0 / n_b)), 4)
+               AS zscore,
+             abs(diff / sqrt(pp * (1 - pp) * (1.0 / n_a + 1.0 / n_b))) >= 1.96
+               AS significant
+      FROM scored WHERE pp > 0 AND pp < 1
     )
-    SELECT event_type,
-           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
-           CAST(conv_a AS BIGINT) AS conv_a, CAST(conv_b AS BIGINT) AS conv_b,
-           round(diff / sqrt(pp * (1 - pp) * (1.0 / n_a + 1.0 / n_b)), 4)
-             AS zscore,
-           abs(diff / sqrt(pp * (1 - pp) * (1.0 / n_a + 1.0 / n_b))) >= 1.96
-             AS significant
-    FROM scored WHERE pp > 0 AND pp < 1
+"""
+
+
+@_register(
+    "ab_test_ztest",
+    f"""
+    WITH {_ZTEST_CTES.strip()}
+    SELECT event_type, n_a, n_b, conv_a, conv_b, zscore, significant
+    FROM ztab
     """,
     note="two-proportion z-test per event type over a deterministic "
     "hash A/B split: per-user compression first, everything after is "
@@ -5135,7 +5144,8 @@ def _stats_anova(spark, sf):
     SELECT k_groups, n_total,
            round((ssb / (k_groups - 1))
                  / (ssw / (n_total - k_groups)), 4) AS w_stat,
-           (ssb / (k_groups - 1)) / (ssw / (n_total - k_groups)) < 2.37
+           round((ssb / (k_groups - 1))
+                 / (ssw / (n_total - k_groups)), 4) < 2.37
              AS var_homogeneous
     FROM agg
     WHERE k_groups > 1 AND n_total > k_groups AND ssw > 0
@@ -5152,48 +5162,7 @@ def _stats_levene(spark, sf):
 @_register(
     "stats_fdr_bh",
     f"""
-    WITH users AS (
-      SELECT DISTINCT user_id,
-             CASE WHEN substr(md5('ab|' || CAST(user_id AS VARCHAR)), 1, 1) < '8'
-                  THEN 'A' ELSE 'B' END AS variant
-      FROM events
-    ),
-    conv AS (
-      SELECT user_id, event_type FROM events
-      GROUP BY user_id, event_type HAVING count(*) >= 10
-    ),
-    per_type AS (
-      SELECT c.event_type, u.variant, count(*) AS n_conv
-      FROM users u JOIN conv c USING (user_id)
-      GROUP BY c.event_type, u.variant
-    ),
-    tot_wide AS (
-      SELECT sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS n_a,
-             sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS n_b
-      FROM users
-    ),
-    wide AS (
-      SELECT event_type,
-             coalesce(max(CASE WHEN p.variant = 'A' THEN p.n_conv END), 0)
-               AS conv_a,
-             coalesce(max(CASE WHEN p.variant = 'B' THEN p.n_conv END), 0)
-               AS conv_b,
-             t.n_a, t.n_b
-      FROM per_type p CROSS JOIN tot_wide t
-      GROUP BY event_type, t.n_a, t.n_b
-    ),
-    scored0 AS (
-      SELECT *,
-             (conv_a + conv_b) * 1.0 / (n_a + n_b) AS pp,
-             conv_a * 1.0 / n_a - conv_b * 1.0 / n_b AS diff
-      FROM wide
-    ),
-    ztab AS (
-      SELECT event_type,
-             round(diff / sqrt(pp * (1 - pp) * (1.0 / n_a + 1.0 / n_b)), 4)
-               AS zscore
-      FROM scored0 WHERE pp > 0 AND pp < 1
-    ),
+    WITH {_ZTEST_CTES.strip()},
     ptab AS (
       SELECT event_type, zscore,
              round(least(1.0, 2.0 * exp(-0.717 * abs(zscore)
