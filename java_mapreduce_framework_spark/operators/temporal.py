@@ -1463,8 +1463,12 @@ def event_markov_stationary(events: DataFrame, rounds: int = 12) -> DataFrame:
     once; every iteration thereafter joins two ALPHABET-sized frames
     -- zero corpus passes inside the loop, state checkpointed every
     3rd round to truncate lineage (the pagerank discipline,
-    operators/dedup.py::graph_pagerank). States with no outgoing
-    transitions drop from the chain on both engines by the same join.
+    operators/dedup.py::graph_pagerank). Dangling states (appearing
+    only as next_type) RECEIVE mass each step and shed it at the next
+    join -- so the emitted vector is the exact step-``rounds``
+    distribution including mass that just arrived on dangling states;
+    both engines and the numpy property replay
+    (tests/test_property.py) share this contract.
 
     Emits (state, pi) -- the stationary probability per event type,
     rounded 6.
