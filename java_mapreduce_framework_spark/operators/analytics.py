@@ -979,8 +979,13 @@ def mannwhitney_utest(events: DataFrame) -> DataFrame:
         )
         < F.lit("8")
     )
+    # NULL metric values carry no rank information -- drop them BEFORE
+    # grouping. Also pins cross-engine rank order: Spark windows sort
+    # NULLS FIRST while the DuckDB oracle's ORDER BY is NULLS LAST, so
+    # a stray NULL would silently diverge every subsequent rank.
     vg = (
-        events.select("event_type", variant_a.alias("is_a"), "value")
+        events.filter(F.col("value").isNotNull())
+        .select("event_type", variant_a.alias("is_a"), "value")
         .groupBy("event_type", "value")
         .agg(
             F.count("*").alias("cnt"),
@@ -1467,8 +1472,14 @@ def levene_brownforsythe(events: DataFrame) -> DataFrame:
     ``exact_quantiles_grouped`` (same values, no per-group buffer --
     the ``mad_outliers`` contract).
 
-    Emits ONE row: (k_groups, n_total, w_stat, var_homogeneous) with
-    the large-sample F cut at 2.37 (df1 = 4).
+    Emits ONE row: (k_groups, n_total, w_stat, f_crit,
+    var_homogeneous). The cut is the large-sample F critical value
+    F_crit(k-1, inf) at alpha=0.05, DERIVED from k_groups: an exact
+    chi-square/df lookup for df1 <= 12, the Wilson-Hilferty
+    approximation ``(1 - 2/(9 df) + 1.6449 sqrt(2/(9 df)))^3``
+    beyond (closed-form in both engines, so the verdict can never
+    straddle the Spark/DuckDB pair). Rounded 4 before the compare,
+    like the statistic itself.
 
     Reference licence: composition target -- chained-jobs model
     (SURVEY.md §2A FIFO queue) over the WordCount substrate
@@ -1486,9 +1497,35 @@ def levene_brownforsythe(events: DataFrame) -> DataFrame:
     # the ROUNDED statistic (the oracle rounds identically, so the
     # cut can never straddle engines)
     a = anova_oneway(z)
+    # F_crit(df1, inf) = chi2_{0.95, df1} / df1: exact for the df1
+    # range any realistic alphabet hits, Wilson-Hilferty beyond --
+    # both branches are row-local closed forms on the one-row result
+    df1 = F.col("k_groups") - F.lit(1)
+    exact = F.element_at(
+        F.create_map(
+            *[
+                F.lit(x)
+                for pair in [
+                    (1, 3.8415), (2, 2.9957), (3, 2.6049), (4, 2.3719),
+                    (5, 2.2141), (6, 2.0986), (7, 2.0096), (8, 1.9384),
+                    (9, 1.8799), (10, 1.8307), (11, 1.7886), (12, 1.7522),
+                ]
+                for x in pair
+            ]
+        ),
+        df1.cast("int"),
+    )
+    wh = F.pow(
+        F.lit(1.0)
+        - F.lit(2.0) / (F.lit(9.0) * df1)
+        + F.lit(1.6448536) * F.sqrt(F.lit(2.0) / (F.lit(9.0) * df1)),
+        F.lit(3.0),
+    )
+    f_crit = F.round(F.coalesce(exact, wh), 4)
     return a.select(
         "k_groups",
         "n_total",
         F.col("f_stat").alias("w_stat"),
-        (F.col("f_stat") < 2.37).alias("var_homogeneous"),
+        f_crit.alias("f_crit"),
+        (F.col("f_stat") < f_crit).alias("var_homogeneous"),
     )

@@ -2027,10 +2027,62 @@ def dedup_index_append(
         buckets = spark.sql(f"DESCRIBE EXTENDED {name}").filter(
             F.col("col_name") == "Num Buckets"
         ).collect()  # bounded: 1 catalog row
-        nb = int(buckets[0]["data_type"]) if buckets else 8
+        if not buckets:
+            # appending with a GUESSED bucket count to an index built
+            # with a different one silently breaks the exchange-free
+            # probe contract -- fail loudly instead of defaulting
+            raise ValueError(
+                f"cannot read bucket spec of index table {name!r}; "
+                "was it built by build_minhash_index?"
+            )
+        nb = int(buckets[0]["data_type"])
         df.write.mode("append").bucketBy(nb, key).sortBy(key).saveAsTable(name)
     if append_fp is not None:
         marker.write_text(append_fp)
+
+
+def index_append_verdict(
+    batch: DataFrame, probe_app: DataFrame, probe_ref: DataFrame
+) -> DataFrame:
+    """Per-doc equality verdict between a probe against the APPENDED
+    index and a probe against a FROM-SCRATCH referee index over the
+    same corpus — the append lifecycle's correctness invariant turned
+    into data a plain SQL oracle can pin (`probe_match` must be TRUE
+    for every batch doc; any divergence — a pair present on one side
+    only, or differing est_jaccard — flips its doc's row to FALSE and
+    fails the hash compare).
+
+    Exact float equality is the RIGHT compare here: both probes run
+    the identical slot-agreement estimator over signatures produced
+    by kernels asserted bit-identical (tests/test_dedup.py), so any
+    difference is a real index divergence, never float noise.
+
+    Plan: one full-outer join of the two candidate-bounded pair sets
+    on (doc_a, doc_b), a grouped bool_and per batch doc, then a left
+    join back onto the batch ids (docs with no pairs on either side
+    match vacuously). Everything after the probes scales with the
+    matched-pair count, not the corpus."""
+    a = probe_app.select("doc_a", "doc_b", F.col("est_jaccard").alias("ja"))
+    b = probe_ref.select("doc_a", "doc_b", F.col("est_jaccard").alias("jb"))
+    cmp = a.join(b, ["doc_a", "doc_b"], "full_outer").select(
+        "doc_a",
+        (
+            F.col("ja").isNotNull()
+            & F.col("jb").isNotNull()
+            & (F.col("ja") == F.col("jb"))
+        ).alias("ok"),
+    )
+    per_doc = cmp.groupBy(F.col("doc_a").alias("doc_id")).agg(
+        F.bool_and("ok").alias("probe_match")
+    )
+    return (
+        batch.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("probe_match", F.lit(True)).alias("probe_match"),
+        )
+    )
 
 
 def common_neighbors(pairs: DataFrame) -> DataFrame:

@@ -5140,14 +5140,29 @@ def _stats_anova(spark, sf):
              sum(n * (mu - grand) * (mu - grand)) AS ssb,
              sum(css) AS ssw
       FROM g
+    ),
+    crit AS (
+      SELECT *,
+             round(COALESCE(
+               CASE k_groups - 1
+                 WHEN 1 THEN 3.8415 WHEN 2 THEN 2.9957 WHEN 3 THEN 2.6049
+                 WHEN 4 THEN 2.3719 WHEN 5 THEN 2.2141 WHEN 6 THEN 2.0986
+                 WHEN 7 THEN 2.0096 WHEN 8 THEN 1.9384 WHEN 9 THEN 1.8799
+                 WHEN 10 THEN 1.8307 WHEN 11 THEN 1.7886 WHEN 12 THEN 1.7522
+               END,
+               pow(1.0 - 2.0 / (9.0 * (k_groups - 1))
+                   + 1.6448536 * sqrt(2.0 / (9.0 * (k_groups - 1))), 3.0)
+             ), 4) AS f_crit
+      FROM agg
     )
     SELECT k_groups, n_total,
            round((ssb / (k_groups - 1))
                  / (ssw / (n_total - k_groups)), 4) AS w_stat,
+           f_crit,
            round((ssb / (k_groups - 1))
-                 / (ssw / (n_total - k_groups)), 4) < 2.37
+                 / (ssw / (n_total - k_groups)), 4) < f_crit
              AS var_homogeneous
-    FROM agg
+    FROM crit
     WHERE k_groups > 1 AND n_total > k_groups AND ssw > 0
     """,
     note="Brown-Forsythe variance-homogeneity test (the assumption "
@@ -6893,14 +6908,20 @@ def _bpe_train(spark, sf):
 
 @_register(
     "dedup_index_append",
-    None,
+    """
+    SELECT doc_id, TRUE AS probe_match
+    FROM documents WHERE doc_id % 10 = 0
+    """,
     note="growing-corpus index write-back: batch1 survivors' bands + "
     "signatures appended (bucket-spec-preserving parquet append) into "
-    "the persisted LSH index, then batch2 probed against the appended "
-    "index -- the full ingest->probe->append->probe lifecycle with no "
-    "re-index; equivalence to a from-scratch corpus-union-batch index "
-    "asserted in tests/test_dedup.py; append staged once per fixture "
-    "generation (_APPEND_FP marker) -> rows-only",
+    "the persisted LSH index, then batch2 probed against BOTH the "
+    "appended index and a from-scratch referee index over corpus "
+    "union survivors -- the full ingest->probe->append->probe "
+    "lifecycle with no re-index, its equivalence invariant emitted AS "
+    "DATA (one probe_match row per batch2 doc, TRUE iff the two "
+    "probes' pair sets and estimates agree exactly), so the oracle "
+    "pins it; both index builds staged once per fixture generation "
+    "(_SOURCE_FP/_APPEND_FP markers)",
 )
 def _dedup_index_append(spark, sf):
     import pathlib
@@ -6910,6 +6931,7 @@ def _dedup_index_append(spark, sf):
     docs = _t(spark, sf, "documents")
     suffix = "_" + pathlib.Path(sf).name.replace(".", "_")
     name = f"mh_aidx{suffix}"
+    scratch = f"mh_aidx_ref{suffix}"
     fp = source_fingerprint(sf, "documents")
     corpus = docs.filter((F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 10 != 5))
     batch1 = docs.filter(F.col("doc_id") % 10 == 5)
@@ -6917,7 +6939,12 @@ def _dedup_index_append(spark, sf):
     dedup.build_minhash_index(spark, corpus, name, source_fp=fp)
     survivors = dedup.dedup_incremental_apply(spark, batch1, name)
     dedup.dedup_index_append(spark, survivors, name, append_fp=fp)
-    return dedup.dedup_incremental_minhash(spark, batch2, name)
+    probe_app = dedup.dedup_incremental_minhash(spark, batch2, name)
+    dedup.build_minhash_index(
+        spark, corpus.unionByName(survivors), scratch, source_fp=fp
+    )
+    probe_ref = dedup.dedup_incremental_minhash(spark, batch2, scratch)
+    return dedup.index_append_verdict(batch2, probe_app, probe_ref)
 
 
 @_register(
@@ -7484,6 +7511,7 @@ def _multimodal_image_phash(spark, sf):
                AS is_a,
              value
       FROM events
+      WHERE value IS NOT NULL
     ),
     vg AS (
       SELECT event_type, value, count(*) AS cnt,
@@ -7879,31 +7907,46 @@ _RECORDED_ROUND5 = frozenset(
 )
 
 
-#: New or semantically MODIFIED in round 6 -- their current form has
-#: no driver verdict at all (pii_redact's round-4 record describes the
-#: narrower two-pattern version), so they outrank even the
-#: never-recorded tier: fresh code is where a surprise is most likely.
-_FRESH_ROUND6 = frozenset(
+#: Names recorded by the round-6 sweep (CORRECTNESS_r06.json): the 46
+#: round-6 fresh names plus four drawn from the then-unrecorded tier
+#: (join_interval_overlap, skyline_pareto, stream_topk_windowed,
+#: dedup_containment).
+_RECORDED_ROUND6 = frozenset(
     {
-        "dedup_substring", "bpe_train", "dedup_index_append", "pii_redact",
-        "bpe_encode", "graph_common_neighbors", "interval_gaps",
-        "window_ewma", "graph_kcore", "text_rake_keyphrases",
-        "stats_ttest_welch", "join_scd2_pointintime", "window_cusum",
-        "window_twap", "ngram_autocomplete", "multimodal_image_phash",
-        "multimodal_audio_vad", "multimodal_video_scene_diff",
-        "stats_mannwhitney", "stats_anova", "stats_fdr_bh",
-        "interval_coverage", "l_diversity_audit",
-        "quality_dup_ngram_frac", "event_markov_stationary",
-        "multimodal_image_histogram", "pair_llr",
-        "graph_clustering_coeff", "token_fertility",
+        "bpe_encode", "bpe_train", "corpus_datasheet",
+        "customer_reorder_stats", "decontaminate_bloom",
+        "dedup_containment", "dedup_index_append", "dedup_novelty_frac",
+        "dedup_substring", "embedding_norm_profile",
+        "embedding_similarity_histogram", "event_markov_stationary",
         "event_type_cooccurrence", "funnel_time_to_convert",
-        "lang_id_confusion", "embedding_similarity_histogram",
-        "decontaminate_bloom", "user_behavior_entropy",
-        "hourly_autocorrelation", "stats_levene",
-        "multimodal_audio_snr", "multimodal_image_entropy",
-        "customer_reorder_stats", "embedding_norm_profile",
-        "sql_qoq_growth", "dedup_novelty_frac", "vocab_zipf_fit",
-        "sink_dynamic_overwrite", "corpus_datasheet",
+        "graph_clustering_coeff", "graph_common_neighbors", "graph_kcore",
+        "hourly_autocorrelation", "interval_coverage", "interval_gaps",
+        "join_interval_overlap", "join_scd2_pointintime",
+        "l_diversity_audit", "lang_id_confusion", "multimodal_audio_snr",
+        "multimodal_audio_vad", "multimodal_image_entropy",
+        "multimodal_image_histogram", "multimodal_image_phash",
+        "multimodal_video_scene_diff", "ngram_autocomplete", "pair_llr",
+        "pii_redact", "quality_dup_ngram_frac", "sink_dynamic_overwrite",
+        "skyline_pareto", "sql_qoq_growth", "stats_anova", "stats_fdr_bh",
+        "stats_levene", "stats_mannwhitney", "stats_ttest_welch",
+        "stream_topk_windowed", "text_rake_keyphrases", "token_fertility",
+        "user_behavior_entropy", "vocab_zipf_fit", "window_cusum",
+        "window_ewma", "window_twap",
+    }
+)
+
+
+#: New or semantically MODIFIED in round 7 -- their current form has
+#: no driver verdict at all (dedup_index_append's round-6 record
+#: describes the rows-only staged-lifecycle output, not the new
+#: SQL-checkable invariant columns; stats_levene / sql_qoq_growth
+#: changed output values per ADVICE), so they outrank even the
+#: never-recorded tier: fresh code is where a surprise is most likely.
+_FRESH_ROUND7 = frozenset(
+    {
+        "dedup_index_append", "stats_levene", "sql_qoq_growth",
+        "ulm_train", "ulm_encode", "multimodal_text_align",
+        "similarity_ann_ivfpq",
     }
 )
 
@@ -7912,8 +7955,10 @@ def _record_staleness(name: str) -> int:
     """-1 = new/modified this round (very front of the sweep), 0 =
     never officially recorded, then the round whose sweep last
     recorded the name (lower = staler verdict)."""
-    if name in _FRESH_ROUND6:
+    if name in _FRESH_ROUND7:
         return -1
+    if name in _RECORDED_ROUND6:
+        return 6
     if name in _RECORDED_ROUND5:
         return 5
     if name in _RECORDED_ROUND4:

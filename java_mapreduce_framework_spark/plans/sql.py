@@ -449,16 +449,33 @@ ORDER BY nation, o_year DESC
 #: Quarter-over-quarter revenue growth: the canonical BI trend query
 #: (time-bucketed money aggregate + lag window over the QUARTER
 #: table, which is bounded by the calendar, never the data). Money
-#: sums ride DECIMAL(18,2) so both engines fold order-independently.
+#: sums ride DECIMAL(18,2) so both engines fold order-independently,
+#: and the percentage rounds via EXACT integer-cents arithmetic
+#: (half-up away from zero), never round(double, 2) -- the .xx5
+#: boundary splits half-up/half-even across engines (the
+#: interval_gaps micros discipline). Integer division is spelled
+#: ``(a - mod(a, b)) / b`` because neither ``div`` (Spark) nor ``//``
+#: (DuckDB) parses in the other dialect; the subtraction makes the
+#: quotient exactly divisible, so the double division is exact below
+#: 2^53 (headroom: |quarterly delta| < ~$46e12 in cents x 20000).
 QOQ_GROWTH = """
 WITH q AS (
   SELECT date_trunc('quarter', CAST(o_orderdate AS TIMESTAMP)) AS qtr,
-         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-           AS revenue,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS rev_c,
          count(*) AS n_orders
-  FROM orders GROUP BY 1)
-SELECT qtr, revenue, n_orders,
-       round((revenue - lag(revenue) OVER (ORDER BY qtr)) * 100.0
-             / lag(revenue) OVER (ORDER BY qtr), 2) AS qoq_pct
-FROM q
+  FROM orders GROUP BY 1),
+d AS (
+  SELECT qtr, rev_c, n_orders,
+         (rev_c - lag(rev_c) OVER (ORDER BY qtr)) * 10000 AS nm,
+         lag(rev_c) OVER (ORDER BY qtr) AS prev_c
+  FROM q)
+SELECT qtr, CAST(rev_c AS DOUBLE) / CAST(100 AS DOUBLE) AS revenue,
+       n_orders,
+       CAST(sign(nm)
+            * ((2 * abs(nm) + prev_c
+                - mod(2 * abs(nm) + prev_c, 2 * prev_c))
+               / (2 * prev_c)) AS DOUBLE)
+         / CAST(100 AS DOUBLE) AS qoq_pct
+FROM d
 """
