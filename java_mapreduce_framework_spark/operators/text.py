@@ -2339,6 +2339,221 @@ def bpe_encode(documents: DataFrame, n_merges: int = 6) -> DataFrame:
     )
 
 
+def _ulm_viterbi_kernel(batches):
+    """Per-word Viterbi segmentation under integer micro-nat piece
+    costs -- the DP is pure integer addition and compares, so Python
+    replays the oracle's unrolled-CTE recurrence bit-for-bit. State is
+    bounded by word length; input batches are VOCAB rows (one per
+    distinct word), never the corpus.
+
+    Tie rule (mirrored EXACTLY by the oracle's ``ORDER BY cost, j
+    DESC``): iterate piece length j ascending and replace on ``<=``,
+    so among equal-cost candidates the LONGEST piece wins."""
+    for pdf in batches:
+        words, paths = [], []
+        for word, subc in zip(pdf["word"], pdf["subc"]):
+            costs = {
+                (s["st"], s["ln"]): (int(s["cost"]), s["piece"]) for s in subc
+            }
+            max_j = max((ln for _, ln in costs), default=1)
+            n = len(word)
+            best: list[tuple[int, list[str]] | None] = [(0, [])] + [None] * n
+            for i in range(1, n + 1):
+                bc: int | None = None
+                bp: list[str] = []
+                for j in range(1, min(max_j, i) + 1):
+                    hit = costs.get((i - j + 1, j))
+                    prev = best[i - j]
+                    if hit is None or prev is None:
+                        continue
+                    cand = prev[0] + hit[0]
+                    if bc is None or cand <= bc:
+                        bc, bp = cand, prev[1] + [hit[1]]
+                best[i] = (bc, bp) if bc is not None else None
+            final = best[n]
+            words.append(word)
+            paths.append(final[1] if final is not None else list(word))
+        yield pd.DataFrame({"word": words, "path": paths})
+
+
+def _ulm_loop(
+    documents: DataFrame,
+    max_piece_len: int = 4,
+    vocab_size: int = 24,
+    em_rounds: int = 3,
+):
+    """Shared unigram-LM tokenizer training loop (Kudo 2018's
+    SentencePiece unigram model, hard-EM variant): seed the piece
+    inventory with every <=``max_piece_len``-char substring of the
+    word vocabulary (all single chars kept unconditionally -- the
+    coverage floor), then ``em_rounds`` of Viterbi re-estimation:
+    segment every distinct word under current piece costs, recount
+    piece usage weighted by word frequency, drop multi-char pieces
+    that won no segment (the prune step), re-derive costs. Hard EM
+    (Viterbi counts, not forward-backward posteriors) keeps every
+    quantity integer-exact and the oracle expressible.
+
+    Costs are integer MICRO-NATS: ``round((ln(total) - ln(cnt)) *
+    1e6)`` -- the log is rounded BEFORE any comparison (the stats_fdr
+    discipline on transcendental cross-engine drift), after which the
+    DP is pure integer addition, fold-order-free on both engines.
+    Single chars carry Laplace +1 so a char's cost is always finite
+    and every word stays segmentable.
+
+    State is VOCAB-bounded everywhere: the corpus is scanned once for
+    word frequencies; substrings, costs, usage counts, and the DP all
+    live on the distinct-word table (the ``bpe_train`` discipline).
+    Each round's cost table is eagerly ``localCheckpoint``'ed so plan
+    lineage stays one-round deep (the pagerank discipline). The
+    per-round total rides as a 1-row broadcast -- zero driver
+    collects.
+
+    Returns (wf, viterbi fn, final cost DataFrame): ``ulm_train``
+    ships the cost table; ``ulm_encode`` runs one more Viterbi pass
+    under it.
+
+    Reference licence: WordCount substrate
+    (src/edu/upenn/cis455/mapreduce/job/WordCount.java:23-52) +
+    chained-jobs model (SURVEY.md section 2A FIFO queue)."""
+    wf = (
+        words_exploded(documents)
+        .groupBy("word")
+        .agg(F.count("*").alias("word_freq"))
+        .localCheckpoint()
+    )
+    subs = (
+        wf.select(
+            "word",
+            "word_freq",
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, length(word)), st -> "
+                    f"transform(sequence(1, least({max_piece_len}, "
+                    "length(word) - st + 1)), ln -> "
+                    "struct(st, ln, substring(word, st, ln) AS piece))))"
+                )
+            ).alias("s"),
+        )
+        .select("word", "word_freq", "s.st", "s.ln", "s.piece")
+        .localCheckpoint()
+    )
+    seed = subs.groupBy("piece").agg(F.sum("word_freq").alias("cnt"))
+    chars = seed.filter(F.length("piece") == 1)
+    multi = (
+        seed.filter(F.length("piece") > 1)
+        .orderBy(F.col("cnt").desc(), "piece")
+        .limit(vocab_size)
+    )
+
+    def with_costs(vocab_cnt: DataFrame) -> DataFrame:
+        tot = vocab_cnt.agg(F.sum("cnt").alias("tot"))
+        return vocab_cnt.crossJoin(F.broadcast(tot)).select(
+            "piece",
+            "cnt",
+            F.round(
+                (
+                    F.log(F.col("tot").cast("double"))
+                    - F.log(F.col("cnt").cast("double"))
+                )
+                * F.lit(1000000.0),
+                0,
+            )
+            .cast("long")
+            .alias("cost"),
+        )
+
+    def viterbi(costs: DataFrame) -> DataFrame:
+        subc = subs.join(costs.select("piece", "cost"), "piece")
+        per_word = subc.groupBy("word").agg(
+            F.collect_list(F.struct("st", "ln", "piece", "cost")).alias(
+                "subc"
+            )
+        )
+        return per_word.mapInPandas(
+            _ulm_viterbi_kernel, "word string, path array<string>"
+        )
+
+    cur = with_costs(chars.unionByName(multi)).localCheckpoint()
+    for _ in range(em_rounds):
+        usage = (
+            viterbi(cur)
+            .join(wf, "word")
+            .select("word_freq", F.explode("path").alias("piece"))
+            .groupBy("piece")
+            .agg(F.sum("word_freq").alias("usage"))
+        )
+        newv = (
+            cur.select("piece")
+            .join(usage, "piece", "left")
+            .select(
+                "piece",
+                F.when(
+                    F.length("piece") == 1,
+                    F.coalesce("usage", F.lit(0)) + 1,
+                )
+                .otherwise(F.coalesce("usage", F.lit(0)))
+                .alias("cnt"),
+            )
+            .filter(F.col("cnt") > 0)
+        )
+        cur = with_costs(newv).localCheckpoint()
+    return wf, viterbi, cur
+
+
+def ulm_train(
+    documents: DataFrame,
+    max_piece_len: int = 4,
+    vocab_size: int = 24,
+    em_rounds: int = 3,
+) -> DataFrame:
+    """Unigram-LM tokenizer training (the SentencePiece model family
+    real pipelines ship alongside BPE): emits the final piece
+    inventory after seeding + ``em_rounds`` of Viterbi re-estimation
+    and pruning -- (piece, piece_len, cnt, cost_mnat), where ``cnt``
+    is the final usage count (Laplace +1 on single chars) and
+    ``cost_mnat`` the integer micro-nat cost ``round((ln(total) -
+    ln(cnt)) * 1e6)`` a segmenter minimizes. See ``_ulm_loop`` for
+    the execution contract."""
+    _, _, cur = _ulm_loop(documents, max_piece_len, vocab_size, em_rounds)
+    return cur.select(
+        "piece",
+        F.length("piece").cast("int").alias("piece_len"),
+        "cnt",
+        F.col("cost").alias("cost_mnat"),
+    )
+
+
+def ulm_encode(
+    documents: DataFrame,
+    max_piece_len: int = 4,
+    vocab_size: int = 24,
+    em_rounds: int = 3,
+) -> DataFrame:
+    """Corpus tokenization under the trained unigram LM -- the apply
+    half of the lifecycle (``bpe_encode``'s twin): one more Viterbi
+    pass over the DISTINCT-word table under the final piece costs
+    (a word's segmentation depends only on the word), then one keyed
+    join onto the exploded corpus. Emits (doc_id, n_words, n_tokens,
+    chars_per_token) -- the same compression readout bpe_encode
+    ships, so the two tokenizer families compare directly."""
+    _, viterbi, cur = _ulm_loop(
+        documents, max_piece_len, vocab_size, em_rounds
+    )
+    enc = viterbi(cur).select("word", F.size("path").alias("n_tok"))
+    return (
+        words_exploded(documents)
+        .join(enc, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.round(
+                F.sum(F.length("word")) / F.sum("n_tok"), 4
+            ).alias("chars_per_token"),
+        )
+    )
+
+
 def rake_keyphrases(documents: DataFrame, top_k: int = 3) -> DataFrame:
     """RAKE keyphrase extraction (Rose et al. 2010) -- the classic
     unsupervised per-document keyword miner: candidate phrases are

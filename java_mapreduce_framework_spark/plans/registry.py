@@ -6961,6 +6961,189 @@ def _bpe_encode(spark, sf):
     return text.bpe_encode(_t(spark, sf, "documents"))
 
 
+#: Oracle DP horizon for the unigram-LM tokenizer: positions unrolled
+#: per Viterbi pass. Covers every fixture word (max observed length
+#: 8); a word longer than this would drop out of the ORACLE's best-
+#: path union (the engine handles any length), so the generated SQL
+#: is only valid for corpora within the horizon -- same
+#: generated-for-declared-params contract as the BPE oracle's merge
+#: count.
+_ULM_MAXLEN = 12
+
+
+def _ulm_viterbi_ctes(r: int, n_pos: int, max_piece_len: int) -> str:
+    """One unrolled Viterbi pass (DP round ``r``) under cost table
+    c{r-1}: position CTEs b{r}_i pick the min-cost segmentation ending
+    at i (ties -> longest piece, ORDER BY cost, j DESC -- mirrored by
+    the engine kernel's ascending-j ``<=`` replace), best{r} gathers
+    each word's full-length row. MATERIALIZED throughout: b{r}_i is
+    referenced by up to ``max_piece_len`` successors and the final
+    union, and DuckDB would otherwise inline the chain exponentially
+    (the graph_kcore lesson)."""
+    ctes = [
+        f"""
+    sc{r} AS MATERIALIZED (
+      SELECT s.word, s.st, s.pl, s.piece, c.cost
+      FROM subs s JOIN c{r - 1} c USING (piece)),
+    b{r}_0 AS MATERIALIZED (
+      SELECT word, CAST(0 AS BIGINT) AS cost, CAST([] AS VARCHAR[]) AS path
+      FROM wf)"""
+    ]
+    for i in range(1, n_pos + 1):
+        branches = " UNION ALL ".join(
+            f"""
+        SELECT p.word, p.cost + s.cost AS cost,
+               list_append(p.path, s.piece) AS path, {j} AS j
+        FROM b{r}_{i - j} p JOIN sc{r} s
+          ON s.word = p.word AND s.st = {i - j + 1} AND s.pl = {j}"""
+            for j in range(1, min(max_piece_len, i) + 1)
+        )
+        ctes.append(
+            f"""
+    b{r}_{i} AS MATERIALIZED (
+      SELECT word, cost, path FROM (
+        SELECT word, cost, path,
+               row_number() OVER (PARTITION BY word ORDER BY cost, j DESC)
+                 AS rn
+        FROM ({branches})) WHERE rn = 1)"""
+        )
+    best_union = " UNION ALL ".join(
+        f"SELECT w.word, w.word_freq, b.path "
+        f"FROM wf w JOIN b{r}_{i} b USING (word) WHERE w.wlen = {i}"
+        for i in range(1, n_pos + 1)
+    )
+    ctes.append(f"""
+    best{r} AS MATERIALIZED ({best_union})""")
+    return ",".join(ctes)
+
+
+def _ulm_ctes(
+    em_rounds: int = 3,
+    vocab_size: int = 24,
+    max_piece_len: int = 4,
+    n_pos: int = _ULM_MAXLEN,
+) -> str:
+    """Shared CTE chain replaying ``text._ulm_loop``: substring seed
+    -> c0 costs -> ``em_rounds`` x (Viterbi pass, usage recount,
+    prune, re-cost). Costs are integer micro-nats, the log rounded
+    BEFORE any comparison, so every DP below is exact integer
+    arithmetic on both engines."""
+    parts = [
+        f"""
+    wf AS MATERIALIZED (
+      SELECT word, count(*) AS word_freq, length(word) AS wlen
+      FROM (SELECT unnest({_TOKS}) AS word FROM documents)
+      GROUP BY word),
+    subs AS MATERIALIZED (
+      SELECT word, word_freq, CAST(st AS INT) AS st, CAST(pl AS INT) AS pl,
+             substring(word, CAST(st AS INT), CAST(pl AS INT)) AS piece
+      FROM wf, range(1, {n_pos + 1}) t(st), range(1, {max_piece_len + 1}) s(pl)
+      WHERE st + pl - 1 <= wlen),
+    seed AS MATERIALIZED (
+      SELECT piece, sum(word_freq) AS cnt FROM subs GROUP BY piece),
+    v0 AS MATERIALIZED (
+      SELECT piece, cnt FROM seed WHERE length(piece) = 1
+      UNION ALL
+      SELECT piece, cnt FROM (
+        SELECT piece, cnt,
+               row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+        FROM seed WHERE length(piece) > 1) WHERE rn <= {vocab_size}),
+    c0 AS MATERIALIZED (
+      SELECT piece, cnt,
+             CAST(round((ln(CAST((SELECT sum(cnt) FROM v0) AS DOUBLE))
+                         - ln(CAST(cnt AS DOUBLE))) * 1000000.0) AS BIGINT)
+               AS cost
+      FROM v0)"""
+    ]
+    for r in range(1, em_rounds + 1):
+        parts.append(_ulm_viterbi_ctes(r, n_pos, max_piece_len))
+        parts.append(f"""
+    u{r} AS MATERIALIZED (
+      SELECT piece, sum(word_freq) AS usage
+      FROM (SELECT word_freq, unnest(path) AS piece FROM best{r})
+      GROUP BY piece),
+    v{r} AS MATERIALIZED (
+      SELECT piece, cnt FROM (
+        SELECT c.piece,
+               CASE WHEN length(c.piece) = 1 THEN coalesce(u.usage, 0) + 1
+                    ELSE coalesce(u.usage, 0) END AS cnt
+        FROM c{r - 1} c LEFT JOIN u{r} u USING (piece))
+      WHERE cnt > 0),
+    c{r} AS MATERIALIZED (
+      SELECT piece, cnt,
+             CAST(round((ln(CAST((SELECT sum(cnt) FROM v{r}) AS DOUBLE))
+                         - ln(CAST(cnt AS DOUBLE))) * 1000000.0) AS BIGINT)
+               AS cost
+      FROM v{r})""")
+    return ",".join(parts)
+
+
+def _ulm_train_oracle_sql(em_rounds: int = 3) -> str:
+    return (
+        "WITH "
+        + _ulm_ctes(em_rounds)
+        + f"""
+    SELECT piece, CAST(length(piece) AS INT) AS piece_len,
+           CAST(cnt AS BIGINT) AS cnt, cost AS cost_mnat
+    FROM c{em_rounds}
+    """
+    )
+
+
+def _ulm_encode_oracle_sql(em_rounds: int = 3) -> str:
+    """Encode oracle over the SAME generated EM chain as
+    ``_ulm_train_oracle_sql`` plus ONE more Viterbi pass under the
+    final costs (one template, two finals -- the BPE oracle
+    pattern)."""
+    return (
+        "WITH "
+        + _ulm_ctes(em_rounds)
+        + ","
+        + _ulm_viterbi_ctes(em_rounds + 1, _ULM_MAXLEN, 4)
+        + f""",
+    tokw AS (SELECT word, len(path) AS n_tok FROM best{em_rounds + 1}),
+    docw AS (SELECT doc_id, unnest({_TOKS}) AS word FROM documents)
+    SELECT w.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(t.n_tok) AS BIGINT) AS n_tokens,
+           round(sum(length(w.word)) * 1.0 / sum(t.n_tok), 4)
+             AS chars_per_token
+    FROM docw w JOIN tokw t USING (word)
+    GROUP BY w.doc_id
+    """
+    )
+
+
+@_register(
+    "ulm_train",
+    _ulm_train_oracle_sql(3),
+    note="unigram-LM tokenizer training (SentencePiece family, hard-EM "
+    "variant): substring seed vocab (all chars + top-24 multis), 3 "
+    "rounds of Viterbi re-estimation with zero-usage pruning; costs "
+    "are integer micro-nats (ln rounded BEFORE comparison -- the "
+    "stats_fdr transcendental discipline), so the per-word DP is "
+    "exact integer arithmetic replayed bit-for-bit by the oracle's "
+    "unrolled position CTEs; all state vocab-bounded, corpus scanned "
+    "once, per-round totals ride 1-row broadcasts",
+)
+def _ulm_train(spark, sf):
+    return text.ulm_train(_t(spark, sf, "documents"))
+
+
+@_register(
+    "ulm_encode",
+    _ulm_encode_oracle_sql(3),
+    note="apply half of the unigram-LM lifecycle: one more Viterbi "
+    "pass over the DISTINCT-word table under the final piece costs, "
+    "one keyed join onto the exploded corpus; same compression "
+    "readout as bpe_encode so the two tokenizer families compare "
+    "directly; oracle shares the generated EM-chain template with "
+    "ulm_train (one template, two finals)",
+)
+def _ulm_encode(spark, sf):
+    return text.ulm_encode(_t(spark, sf, "documents"))
+
+
 @_register(
     "graph_common_neighbors",
     """

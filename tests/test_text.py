@@ -994,3 +994,89 @@ def test_corpus_datasheet_hand_checked(spark):
     h = -(0.75 * math.log2(0.75) + 0.25 * math.log2(0.25))
     assert abs(r["lang_entropy"] - round(h, 4)) < 1e-9
     assert 0.0 <= r["mean_quality"] <= 1.0
+
+
+def test_ulm_train_crafted_corpus(spark):
+    """Hand-traced unigram-LM training: 'abab' is cheaper as ONE
+    piece than as two 'ab's from round 1 on (ln33-ln3 < 2(ln33-ln6)),
+    so hard EM prunes every unused multi-char piece and the final
+    inventory is exactly the two whole words plus the char floor."""
+    from java_mapreduce_framework_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "abab abab"), (2, "abab cd")], "doc_id long, text string"
+    )
+    rows = {r["piece"]: r for r in T.ulm_train(docs).collect()}
+    assert set(rows) == {"abab", "cd", "a", "b", "c", "d"}
+    assert rows["abab"]["cnt"] == 3 and rows["cd"]["cnt"] == 1
+    # chars never won a segment: Laplace floor only
+    assert all(rows[c]["cnt"] == 1 for c in "abcd")
+    # cheapest piece is the most-used one
+    assert rows["abab"]["cost_mnat"] == min(r["cost_mnat"] for r in rows.values())
+
+
+def test_ulm_viterbi_kernel_tie_prefers_longer_piece():
+    """The declared tie rule (cost ties -> LONGEST piece, mirroring
+    the oracle's ORDER BY cost, j DESC) checked on a crafted exact
+    tie: [a,a] and [aa] both cost 10."""
+    import pandas as pd
+
+    from java_mapreduce_framework_spark.operators.text import (
+        _ulm_viterbi_kernel,
+    )
+
+    subc = [
+        {"st": 1, "ln": 1, "piece": "a", "cost": 5},
+        {"st": 2, "ln": 1, "piece": "a", "cost": 5},
+        {"st": 1, "ln": 2, "piece": "aa", "cost": 10},
+    ]
+    pdf = pd.DataFrame({"word": ["aa"], "subc": [subc]})
+    out = next(_ulm_viterbi_kernel(iter([pdf])))
+    assert list(out["path"][0]) == ["aa"]
+    # and a strictly cheaper pair beats the long piece
+    subc2 = [dict(s, cost=4) if s["ln"] == 1 else s for s in subc]
+    pdf2 = pd.DataFrame({"word": ["aa"], "subc": [subc2]})
+    out2 = next(_ulm_viterbi_kernel(iter([pdf2])))
+    assert list(out2["path"][0]) == ["a", "a"]
+
+
+def test_ulm_encode_crafted_and_bounds(spark, sf_small):
+    """Encode under the crafted training above: whole-word pieces
+    collapse each word to one token. On the fixture: every doc keeps
+    n_words <= n_tokens <= total word chars (lossless segmentation)."""
+    from pyspark.sql import functions as F
+
+    from java_mapreduce_framework_spark.operators import text as T
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    docs = spark.createDataFrame(
+        [(1, "abab abab"), (2, "abab cd")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"], r["chars_per_token"])
+        for r in T.ulm_encode(docs).collect()
+    }
+    assert got == {1: (2, 2, 4.0), 2: (2, 2, 3.0)}
+
+    fixture = load_table(spark, sf_small, "documents").limit(60)
+    enc = T.ulm_encode(fixture)
+    bad = enc.join(
+        fixture.select(
+            "doc_id",
+            F.aggregate(
+                F.transform(
+                    F.filter(
+                        F.split(F.lower("text"), r"\s+"), lambda t: t != ""
+                    ),
+                    F.length,
+                ),
+                F.lit(0),
+                lambda a, x: a + x,
+            ).alias("n_chars"),
+        ),
+        "doc_id",
+    ).filter(
+        (F.col("n_tokens") < F.col("n_words"))
+        | (F.col("n_tokens") > F.col("n_chars"))
+    )
+    assert bad.count() == 0
