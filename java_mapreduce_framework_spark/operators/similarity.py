@@ -113,6 +113,27 @@ def similarity_topk_pandas(
     )
 
 
+def _ivf_train(x, n_cells: int, iters: int, seed: int):
+    """Spherical Lloyd k-means on a bounded driver-side sample of
+    L2-NORMALIZED rows -- numpy only, seeded init, fixed iteration
+    count (deterministic for a fixed (data, seed)). Shared coarse
+    quantizer of ``ann_ivf`` and ``similarity_ann_ivfpq``; returns the
+    (n_cells x dim) unit-norm centroid matrix."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
+    for _ in range(iters):
+        sims = x @ cent.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                cent[c] = m / np.linalg.norm(m)
+    return cent
+
+
 def ann_ivf(
     embeddings: DataFrame,
     k: int = 5,
@@ -161,16 +182,7 @@ def ann_ivf(
     )  # query/training set only; the corpus is never collected
     x = np.array([r["embedding"] for r in sample], dtype=np.float64)
     x /= np.linalg.norm(x, axis=1, keepdims=True)
-    rng = np.random.RandomState(seed)
-    cent = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
-    for _ in range(iters):
-        sims = x @ cent.T
-        assign = sims.argmax(axis=1)
-        for c in range(len(cent)):
-            members = x[assign == c]
-            if len(members):
-                m = members.sum(axis=0)
-                cent[c] = m / np.linalg.norm(m)
+    cent = _ivf_train(x, n_cells, iters, seed)
     bc = spark.sparkContext.broadcast(cent)
 
     # -- assign: one scan, nearest cell per corpus vector --
@@ -1006,6 +1018,169 @@ def similarity_ann_pq(
                 out_q.append(np.full(len(keep), ids[qi], dtype=np.int64))
                 out_n.append(vv[keep])
                 out_s.append(sc[keep])
+            yield pd.DataFrame(
+                {
+                    "qid": np.concatenate(out_q) if out_q else [],
+                    "nid": np.concatenate(out_n) if out_n else [],
+                    "adc": np.round(np.concatenate(out_s), 6) if out_s else [],
+                }
+            )
+
+    cand = codes.mapInPandas(adc_scan, "qid long, nid long, adc double")
+    w_adc = Window.partitionBy("qid").orderBy(F.col("adc").desc(), F.col("nid"))
+    short = (
+        cand.select("qid", "nid", F.row_number().over(w_adc).alias("r"))
+        .filter(F.col("r") <= shortlist)
+        .select("qid", "nid")
+    )
+    scored = (
+        _corpus(embeddings)
+        .join(F.broadcast(short), "nid")
+        .join(F.broadcast(_queries(embeddings, n_queries)), "qid")
+        .select("qid", "nid", F.round(_cos_hoisted(), 6).alias("cos_sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid"))
+    return (
+        scored.select("qid", "nid", "cos_sim", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "nid", F.round("cos_sim", 4).alias("cos_sim"), "rnk")
+    )
+
+
+def similarity_ann_ivfpq(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_queries: int = 10,
+    n_cells: int = 32,
+    n_probe: int = 16,
+    m: int = 16,
+    ksub: int = 16,
+    shortlist: int = 64,
+    sample_cap: int = 2048,
+    ivf_iters: int = 5,
+    pq_iters: int = 8,
+    seed: int = 13,
+) -> DataFrame:
+    """Composed IVF-PQ ANN (the FAISS IVFADC shape): the IVF coarse
+    quantizer routes each query to its ``n_probe`` nearest cells, and
+    the PQ-ADC scan scores codes INSIDE those cells only -- recall of
+    the PQ shortlist at a fraction ``n_probe / n_cells`` of
+    ``similarity_ann_pq``'s full code scan.
+
+    1. *Train*: IVF centroids (``_ivf_train``) and PQ codebooks
+       (``_pq_train``) on the same bounded sample; PQ trains on
+       RESIDUALS (v - centroid[cell]) -- the FAISS discipline that
+       keeps sub-quantizers accurate once the coarse term is removed.
+    2. *Encode*: ONE ``mapInPandas`` scan tags every vector with its
+       cell and residual codes; the code table is then repartitioned
+       ON CELL, so same-cell codes are co-located -- the in-plan twin
+       of a persisted index laid out ``partitionBy(cell)``, where the
+       probe list prunes whole partitions at the source.
+    3. *ADC scan*: score(q, x) decomposes as <q, centroid[cell]> +
+       sum_s table[q, s, code_s] (tables are cell-independent because
+       codes encode residuals); the kernel scores each batch row ONLY
+       against queries probing its cell, keeps the per-batch top
+       ``shortlist`` per query, and never materializes the Q x N
+       stream.
+    4. *Exact rescore* of the global shortlist, as in
+       ``similarity_ann_pq`` -- approximation affects recall only,
+       never the reported cosine.
+
+    Scale contract: at 100 TB the search reads m bytes + a long per
+    vector in probed cells only (~n_probe/n_cells of the corpus);
+    everything shuffled is bounded by (#partitions x Q x shortlist).
+    Rows-only checked by the driver; recall >= similarity_ann_pq's
+    0.8 floor at a 16/32 scan fraction (half of ann_pq's full code
+    scan; the fixture's 64-dim embeddings have weak cluster
+    structure, so routing still needs half the corpus -- a clustered
+    corpus probes far fewer; 32 finer cells beat 16 coarser ones at
+    the same fraction because pruning granularity, not cell count,
+    is what routing recall buys) is asserted in tests and recorded
+    in RECALL.json."""
+    import numpy as np
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    x = _pq_sample(embeddings, sample_cap, seed)
+    cent = _ivf_train(x, n_cells, ivf_iters, seed)
+    res = x - cent[(x @ cent.T).argmax(axis=1)]
+    books = _pq_train(res, m, ksub, pq_iters, seed)
+    bc = spark.sparkContext.broadcast((cent, books))
+
+    def encode(batches):
+        c, b = bc.value
+        mm, _, dsub = b.shape
+        for pdf in batches:
+            v = np.array(list(pdf["embedding"]), dtype=np.float64)
+            v = v / np.linalg.norm(v, axis=1, keepdims=True)
+            cell = (v @ c.T).argmax(axis=1)
+            r = v - c[cell]
+            codes = np.zeros((len(v), mm), dtype=np.int32)
+            for s in range(mm):
+                xs = r[:, s * dsub : (s + 1) * dsub]
+                d = ((xs[:, None, :] - b[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "cell": cell.astype(np.int32),
+                    "codes": list(codes),
+                }
+            )
+
+    codes = (
+        embeddings.select("vec_id", "embedding")
+        .mapInPandas(encode, "vec_id long, cell int, codes array<int>")
+        .repartition(F.col("cell"))
+    )
+
+    q_rows = (
+        embeddings.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect()
+    )  # bounded query set only (same contract as similarity_topk)
+    qids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    qv = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    qv = qv / np.linalg.norm(qv, axis=1, keepdims=True)
+    dsub = books.shape[2]
+    tables = np.stack(
+        [qv[:, s * dsub : (s + 1) * dsub] @ books[s].T for s in range(books.shape[0])],
+        axis=1,
+    )
+    probes = np.argsort(-(qv @ cent.T), axis=1)[:, :n_probe]
+    bias = qv @ cent.T  # (Q x n_cells) coarse term
+    bq = spark.sparkContext.broadcast((qids, tables, probes, bias))
+
+    def adc_scan(batches):
+        ids, tabs, prb, bs = bq.value
+        # cell -> indices of queries probing it
+        by_cell: dict[int, list[int]] = {}
+        for qi in range(len(ids)):
+            for c in prb[qi]:
+                by_cell.setdefault(int(c), []).append(qi)
+        for pdf in batches:
+            c = np.array(list(pdf["codes"]), dtype=np.int64)  # (n, m)
+            vid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            cell = pdf["cell"].to_numpy(dtype=np.int64)
+            out_q, out_n, out_s = [], [], []
+            for cc in np.unique(cell):
+                qsel = by_cell.get(int(cc))
+                if not qsel:
+                    continue  # no query probes this cell: rows skipped
+                rows = np.flatnonzero(cell == cc)
+                cs, vs = c[rows], vid[rows]
+                scores = np.full((len(qsel), len(rows)), 0.0)
+                for s in range(cs.shape[1]):
+                    scores += tabs[qsel, s, :][:, cs[:, s]]
+                scores += bs[qsel][:, cc][:, None]
+                top = min(shortlist, len(rows))
+                for r_i, qi in enumerate(qsel):
+                    mask = vs != ids[qi]
+                    sc, vv = scores[r_i][mask], vs[mask]
+                    keep = np.lexsort((vv, -sc))[:top]
+                    out_q.append(np.full(len(keep), ids[qi], dtype=np.int64))
+                    out_n.append(vv[keep])
+                    out_s.append(sc[keep])
             yield pd.DataFrame(
                 {
                     "qid": np.concatenate(out_q) if out_q else [],

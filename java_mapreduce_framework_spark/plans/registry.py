@@ -1861,6 +1861,20 @@ def _similarity_ann_pq(spark, sf):
 
 
 @_register(
+    "similarity_ann_ivfpq",
+    None,
+    note="composed IVF-PQ (FAISS IVFADC shape): queries routed to "
+    "n_probe/n_cells = 16/32 cells, residual-PQ ADC scored inside "
+    "probed cells only (code table repartitioned on cell -- the "
+    "in-plan twin of a partitionBy(cell) index with source pruning), "
+    "exact shortlist rescore. Approximate by design -> rows-only; "
+    "recall floor 0.8 at 0.5 scan fraction in RECALL.json",
+)
+def _similarity_ann_ivfpq(spark, sf):
+    return similarity.similarity_ann_ivfpq(_t(spark, sf, "embeddings"))
+
+
+@_register(
     "similarity_incremental_lsh",
     None,
     note="incremental ANN: new vectors (vec_id < 10) multi-probed against a "

@@ -897,3 +897,22 @@ def test_reorder_stats_single_exchange(spark, sf_small):
     )
     n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_exchanges == 1, plan[:2000]
+
+
+def test_ann_ivfpq_codes_partitioned_by_cell(spark, sf_small):
+    """The code table must be hash-partitioned ON CELL before the ADC
+    scan (the in-plan twin of a partitionBy(cell) index layout: the
+    probe list prunes whole partitions at the source), and the exact
+    rescore must broadcast the shortlist, never shuffle the corpus."""
+    from java_mapreduce_framework_spark.operators import similarity
+
+    plan = _formatted(
+        similarity.similarity_ann_ivfpq(load_table(spark, sf_small, "embeddings"))
+    )
+    import re
+
+    assert re.search(
+        r"hashpartitioning\(cell#\d+", plan
+    ), f"no cell-keyed exchange before the ADC scan:\n{plan[:2000]}"
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

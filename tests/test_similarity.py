@@ -447,3 +447,54 @@ def test_embedding_norm_profile_flags_planted_outlier(spark):
     assert 999 in out and out[999]["zscore"] > 2.0
     assert abs(out[999]["norm"] - math.sqrt(4 * 50.0 ** 2)) < 1e-6
     assert all(v == 999 for v in out)  # the unit bulk stays unflagged
+
+
+def test_ann_ivfpq_recall_vs_brute_force(spark, sf_small):
+    """ann_pq's 0.8 recall floor must hold at HALF its scan fraction
+    (16/32 probed cells vs the full code scan)."""
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    exact = {(r["qid"], r["nid"]) for r in similarity.similarity_topk(emb, k=5).collect()}
+    approx = {(r["qid"], r["nid"]) for r in similarity.similarity_ann_ivfpq(emb, k=5).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"IVF-PQ recall collapsed: {recall}"
+
+
+def test_ann_ivfpq_scores_are_exact_cosine(spark, sf_small):
+    """Same shortlist-rescore contract as ann_pq: every reported
+    cos_sim equals the brute-force value for that pair."""
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    exact = {(r["qid"], r["nid"]): r["cos_sim"]
+             for r in similarity.similarity_topk(emb, k=50).collect()}
+    for r in similarity.similarity_ann_ivfpq(emb, k=5).collect():
+        key = (r["qid"], r["nid"])
+        if key in exact:
+            assert abs(r["cos_sim"] - exact[key]) < 1e-9
+
+
+def test_ann_ivfpq_is_deterministic(spark, sf_small):
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    a = sorted(map(tuple, similarity.similarity_ann_ivfpq(emb).collect()))
+    b = sorted(map(tuple, similarity.similarity_ann_ivfpq(emb).collect()))
+    assert a == b
+
+
+def test_ann_ivfpq_full_probe_dominates_ivf_routing(spark, sf_small):
+    """Probing ALL cells removes the routing loss: recall must then
+    be at least ann_pq's (only PQ quantization error remains, and the
+    exact rescore uses the identical shortlist machinery)."""
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    exact = {(r["qid"], r["nid"]) for r in similarity.similarity_topk(emb, k=5).collect()}
+    full = {(r["qid"], r["nid"])
+            for r in similarity.similarity_ann_ivfpq(emb, k=5, n_probe=32).collect()}
+    routed = {(r["qid"], r["nid"])
+              for r in similarity.similarity_ann_ivfpq(emb, k=5).collect()}
+    assert len(full & exact) >= len(routed & exact)
+    assert len(full & exact) / len(exact) >= 0.8
