@@ -1139,3 +1139,180 @@ def image_entropy(images: DataFrame, bins: int = 16) -> DataFrame:
     return per.select(
         "doc_id", "n_px", "n_bins", F.round(h, 4).alias("entropy")
     )
+
+
+def text_byte_histogram(documents: DataFrame, bins: int = 16) -> DataFrame:
+    """The TEXT tower of the image-text alignment pair: bin
+    consecutive utf-8 byte TRIPLES of each doc's text by integer sum
+    // 48 -- the same 16-bucket luminance construction
+    ``image_histogram`` applies to decoded (r, g, b) pixels, computed
+    straight from the text column (the remainder bytes past the last
+    full triple are dropped). Sparse long form (doc_id, bin, n_tri),
+    exactly the histogram shape the alignment cosine consumes.
+
+    Reference licence: composition target -- chained-jobs model
+    (SURVEY.md §2A FIFO queue) over the WordCount substrate
+    (src/edu/upenn/cis455/mapreduce/job/WordCount.java:23-52).
+    """
+    import numpy as np
+
+    width = (3 * 255) // bins + 1  # 48: matches image_histogram
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, bn, ntr = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                k = len(b) // 3
+                if not k:
+                    continue
+                tri = b[: 3 * k].astype(np.int64).reshape(k, 3).sum(axis=1)
+                cnt = np.bincount(tri // width, minlength=bins)
+                for i in np.nonzero(cnt)[0]:
+                    ids.append(doc_id)
+                    bn.append(int(i))
+                    ntr.append(int(cnt[i]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "bin": pd.Series(bn, dtype="int32"),
+                    "n_tri": pd.Series(ntr, dtype="int64"),
+                }
+            )
+
+    return documents.select("doc_id", "text").mapInPandas(
+        kernel, schema="doc_id long, bin int, n_tri long"
+    )
+
+
+def multimodal_text_align(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    min_quality: float = 0.25,
+    min_align: float = 0.999,
+    min_emb_cos: float = 0.0,
+) -> DataFrame:
+    """Image-text alignment curation gate -- the CLIP-filter shape for
+    multimodal corpus curation: one verdict row per document joining
+    three independent keep signals, each from a different tower:
+
+    1. *align_cos*: cosine between the image's REAL-decode luminance
+       histogram (``image_histogram`` -- BMP parsed pixel by pixel)
+       and the text's byte-triple histogram
+       (``text_byte_histogram``) -- the image/text agreement score a
+       CLIP filter thresholds. Both histograms are exact integer
+       counts, so the dot products and norms are order-free integer
+       sums and the cosine is ONE double op, rounded 4.
+    2. *quality*: the shared text-quality formula
+       (``text.quality_score`` -- one definition, engine and oracle).
+    3. *emb_cos*: cosine of the doc's embedding against its label
+       centroid (centroid values PINNED at 4 decimals before the
+       cosine, the embedding_centroids discipline; dot/norms via
+       0.0-seeded ordered folds == DuckDB's seedless list_reduce,
+       the event_markov bit-equality contract).
+
+    keep = quality >= min_quality AND align_cos >= min_align AND
+    emb_cos >= min_emb_cos. Plan: three vocab/alphabet-bounded
+    aggregates + keyed joins on doc_id/label; payloads never leave
+    the Arrow kernels; nothing after the histograms scales with
+    pixel count.
+
+    Emits (doc_id, width, height, quality, align_cos, emb_cos, keep).
+
+    Reference licence: composition target -- chained-jobs model
+    (SURVEY.md §2A FIFO queue) over the WordCount substrate
+    (src/edu/upenn/cis455/mapreduce/job/WordCount.java:23-52).
+    """
+    from ..operators.text import quality_score
+
+    img = image_histogram(attach_image_payload(documents))
+    txt = text_byte_histogram(documents)
+    dot_it = (
+        img.join(txt, ["doc_id", "bin"])
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("n_px") * F.col("n_tri")).alias("dot_it"))
+    )
+    dot_ii = img.groupBy("doc_id").agg(
+        F.sum(F.col("n_px") * F.col("n_px")).alias("dot_ii")
+    )
+    dot_tt = txt.groupBy("doc_id").agg(
+        F.sum(F.col("n_tri") * F.col("n_tri")).alias("dot_tt")
+    )
+    geom = decode_image_meta(attach_image_payload(documents)).select(
+        "doc_id", "width", "height"
+    )
+    align = (
+        dot_it.join(dot_ii, "doc_id")
+        .join(dot_tt, "doc_id")
+        .select(
+            "doc_id",
+            F.round(
+                F.col("dot_it")
+                / F.sqrt(
+                    (F.col("dot_ii") * F.col("dot_tt")).cast("double")
+                ),
+                4,
+            ).alias("align_cos"),
+        )
+    )
+
+    cent = (
+        embeddings.select(
+            "label",
+            F.posexplode(
+                F.col("embedding").cast("array<double>")
+            ).alias("pos", "v"),
+        )
+        .groupBy("label", "pos")
+        .agg((F.round(F.avg("v"), 4) + F.lit(0.0)).alias("cval"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                lambda s: s["cval"],
+            ).alias("c")
+        )
+    )
+    fold = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0.0), lambda acc, v: acc + v
+    )
+    x = F.col("embedding").cast("array<double>")
+    emb = (
+        embeddings.select(
+            F.col("vec_id").alias("doc_id"), "label", "embedding"
+        )
+        .join(F.broadcast(cent), "label")
+        .select(
+            "doc_id",
+            F.round(
+                fold(F.zip_with(x, F.col("c"), lambda a, b: a * b))
+                / (
+                    F.sqrt(fold(F.transform(x, lambda a: a * a)))
+                    * F.sqrt(
+                        fold(F.transform(F.col("c"), lambda b: b * b))
+                    )
+                ),
+                4,
+            ).alias("emb_cos"),
+        )
+    )
+
+    q = quality_score(documents).select("doc_id", "quality")
+    return (
+        geom.join(align, "doc_id")
+        .join(q, "doc_id")
+        .join(emb, "doc_id")
+        .select(
+            "doc_id",
+            "width",
+            "height",
+            "quality",
+            "align_cos",
+            "emb_cos",
+            (
+                (F.col("quality") >= min_quality)
+                & (F.col("align_cos") >= min_align)
+                & (F.col("emb_cos") >= min_emb_cos)
+            ).alias("keep"),
+        )
+    )

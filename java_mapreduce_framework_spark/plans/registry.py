@@ -2128,6 +2128,84 @@ def _multimodal_image_histogram(spark, sf):
 
 
 @_register(
+    "multimodal_text_align",
+    f"""
+    WITH {_PAYLOAD_CTE},
+    geo AS (SELECT doc_id, n, bytes,
+                   8 + (n % 9) AS w, 8 + ((n * 3) % 9) AS h
+            FROM pbytes WHERE n > 0),
+    px AS (SELECT doc_id, n, bytes, unnest(range(0, w * h)) AS k
+           FROM geo),
+    gi AS (SELECT doc_id,
+                  CAST((bytes[CAST((k * 3 + 0) % n AS INT) + 1]
+                      + bytes[CAST((k * 3 + 1) % n AS INT) + 1]
+                      + bytes[CAST((k * 3 + 2) % n AS INT) + 1]) // 48
+                       AS INT) AS bin
+           FROM px),
+    img AS (SELECT doc_id, bin, count(*) AS n_px FROM gi GROUP BY 1, 2),
+    tx AS (SELECT doc_id, n, bytes, unnest(range(0, n // 3)) AS k
+           FROM pbytes WHERE n >= 3),
+    gt AS (SELECT doc_id,
+                  CAST((bytes[CAST(k * 3 AS INT) + 1]
+                      + bytes[CAST(k * 3 + 1 AS INT) + 1]
+                      + bytes[CAST(k * 3 + 2 AS INT) + 1]) // 48
+                       AS INT) AS bin
+           FROM tx),
+    txt AS (SELECT doc_id, bin, count(*) AS n_tri FROM gt GROUP BY 1, 2),
+    dit AS (SELECT i.doc_id, sum(i.n_px * t.n_tri) AS dot_it
+            FROM img i JOIN txt t USING (doc_id, bin) GROUP BY 1),
+    dii AS (SELECT doc_id, sum(n_px * n_px) AS dot_ii FROM img GROUP BY 1),
+    dtt AS (SELECT doc_id, sum(n_tri * n_tri) AS dot_tt FROM txt GROUP BY 1),
+    align AS (SELECT doc_id,
+                     round(dot_it / sqrt(CAST(dot_ii * dot_tt AS DOUBLE)), 4)
+                       AS align_cos
+              FROM dit JOIN dii USING (doc_id) JOIN dtt USING (doc_id)),
+    {_QUALITY_MEASURES_CTE.strip().rstrip()},
+    q AS (SELECT doc_id, {_QUALITY_EXPR} AS quality FROM m),
+    centl AS (
+      SELECT label, CAST(u.i AS INT) AS pos, round(avg(u.v), 4) + 0.0 AS cval
+      FROM (SELECT label,
+                   unnest(list_transform(CAST(embedding AS DOUBLE[]),
+                          (x, i) -> struct_pack(v := x, i := i))) AS u
+            FROM embeddings)
+      GROUP BY label, u.i),
+    cent AS (SELECT label, list(cval ORDER BY pos) AS c
+             FROM centl GROUP BY label),
+    embx AS (
+      SELECT e.vec_id AS doc_id,
+             round(
+               list_reduce(list_transform(
+                   list_zip(CAST(e.embedding AS DOUBLE[]), c.c),
+                   z -> z[1] * z[2]), (a, b) -> a + b)
+               / (sqrt(list_reduce(list_transform(
+                       CAST(e.embedding AS DOUBLE[]), x -> x * x),
+                       (a, b) -> a + b))
+                * sqrt(list_reduce(list_transform(c.c, x -> x * x),
+                       (a, b) -> a + b))), 4) AS emb_cos
+      FROM embeddings e JOIN cent c USING (label))
+    SELECT g.doc_id, CAST(g.w AS INT) AS width, CAST(g.h AS INT) AS height,
+           q.quality, a.align_cos, x.emb_cos,
+           (q.quality >= 0.25 AND a.align_cos >= 0.999
+            AND x.emb_cos >= 0.0) AS keep
+    FROM geo g
+    JOIN align a USING (doc_id)
+    JOIN q USING (doc_id)
+    JOIN embx x USING (doc_id)
+    """,
+    note="CLIP-filter curation gate: REAL-decode luminance histogram "
+    "vs text byte-triple histogram cosine (exact integer dot/norms, "
+    "one double op), shared quality formula, embedding-vs-label-"
+    "centroid cosine (4-decimal pinned centroids, 0.0-seeded ordered "
+    "folds == DuckDB seedless list_reduce); one verdict row per doc, "
+    "payloads never leave the Arrow kernels",
+)
+def _multimodal_text_align(spark, sf):
+    return multimodal.multimodal_text_align(
+        _t(spark, sf, "documents"), _t(spark, sf, "embeddings")
+    )
+
+
+@_register(
     "multimodal_image_entropy",
     f"""
     WITH {_PAYLOAD_CTE},

@@ -461,3 +461,72 @@ def test_image_entropy_constant_image_scores_zero(spark):
     out = {r["doc_id"]: r for r in multimodal.image_entropy(imgs).collect()}
     assert out[1]["n_bins"] == 1 and out[1]["entropy"] == 0.0
     assert 0.0 < out[2]["entropy"] <= math.log2(16)
+
+
+def test_text_byte_histogram_hand_case(spark):
+    """'abcabc' = two (97,98,99) triples -> one bin 294//48 = 6 with
+    count 2; a 7-byte text drops the remainder byte."""
+    from java_mapreduce_framework_spark.operators import multimodal as M
+
+    docs = spark.createDataFrame(
+        [(1, "abcabc"), (2, "abcabcZ")], "doc_id long, text string"
+    )
+    rows = {(r["doc_id"], r["bin"]): r["n_tri"]
+            for r in M.text_byte_histogram(docs).collect()}
+    assert rows == {(1, 6): 2, (2, 6): 2}
+
+
+def test_text_align_discriminates_mismatched_pairs(spark):
+    """The alignment signal must separate matched from mismatched
+    image-text pairs: cross-doc cosine (doc A's decoded image vs doc
+    B's text histogram) is strictly below both own-pair cosines when
+    the byte profiles differ."""
+    from pyspark.sql import functions as F
+
+    from java_mapreduce_framework_spark.operators import multimodal as M
+
+    docs = spark.createDataFrame(
+        [(1, "aaa aaa aaa aaa aaa a"), (2, "zz!! 99 zz!! 99 zz!! 99")],
+        "doc_id long, text string",
+    )
+    img = M.image_histogram(M.attach_image_payload(docs))
+    txt = M.text_byte_histogram(docs)
+
+    def cos(img_doc, txt_doc):
+        i = img.filter(F.col("doc_id") == img_doc).select("bin", "n_px")
+        t = txt.filter(F.col("doc_id") == txt_doc).select("bin", "n_tri")
+        dot = (i.join(t, "bin")
+               .agg(F.sum(F.col("n_px") * F.col("n_tri"))).collect()[0][0]) or 0
+        ii = i.agg(F.sum(F.col("n_px") * F.col("n_px"))).collect()[0][0]
+        tt = t.agg(F.sum(F.col("n_tri") * F.col("n_tri"))).collect()[0][0]
+        return dot / (ii * tt) ** 0.5
+
+    own1, own2, cross = cos(1, 1), cos(2, 2), cos(1, 2)
+    assert cross < own1 and cross < own2
+
+
+def test_multimodal_text_align_gate_is_consistent(spark, sf_small):
+    """On the fixture: one verdict row per doc with an embedding, the
+    keep column recomputes exactly from its own signal columns, and
+    the gate is non-degenerate (some keep, some drop)."""
+    from pyspark.sql import functions as F
+
+    from java_mapreduce_framework_spark.operators import multimodal as M
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    emb = load_table(spark, sf_small, "embeddings")
+    out = M.multimodal_text_align(docs, emb)
+    bad = out.filter(
+        F.col("keep")
+        != (
+            (F.col("quality") >= 0.25)
+            & (F.col("align_cos") >= 0.999)
+            & (F.col("emb_cos") >= 0.0)
+        )
+    )
+    assert bad.count() == 0
+    agg = out.agg(
+        F.count("*").alias("n"), F.sum(F.col("keep").cast("int")).alias("k")
+    ).collect()[0]
+    assert agg["n"] == 500 and 0 < agg["k"] < 500
