@@ -212,7 +212,9 @@ def test_stream_user_stats_state_gated_on_protobuf(spark, sf_small):
     it runs and must equal the batch aggregate."""
     import pytest
 
-    from java_mapreduce_framework_spark.streaming.jobs import stream_user_stats_state
+    from java_mapreduce_framework_spark.experimental.streaming_v2 import (
+        stream_user_stats_state,
+    )
 
     try:
         from google.protobuf import descriptor  # noqa: F401
