@@ -39,8 +39,11 @@ def get_spark(app_name: str = "jmrf-spark", cpus: int | None = None) -> SparkSes
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # default generated-class cache is 100 entries; an engine
         # session serving the full registry compiles more distinct
-        # plans than that, and eviction re-pays 2-10s codegen per plan
-        .config("spark.sql.codegen.cache.maxEntries", "2000")
+        # plans than that, and eviction re-pays 2-10s codegen per
+        # plan. Sized at ~10x the registry's ~300 queries (each query
+        # compiles several WholeStageCodegen fragments plus per-run
+        # variants) so a full bench sweep never cycles the cache.
+        .config("spark.sql.codegen.cache.maxEntries", "4000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()

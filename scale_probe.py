@@ -1,0 +1,174 @@
+#!/usr/bin/env python
+"""Scale probe: synthesize a ~10x fixture (sf1-equivalent for the
+tables the heavy queries read) and measure wall-time scaling of the
+heaviest batch queries, recording evidence that no query hides a
+super-linear blowup (SCALE.md carries the committed table).
+
+Fixture synthesis (`.tmp/scale_probe/sf1x/`):
+
+- ``documents``: 10 id-offset replicas of sf0.1; replica k > 0
+  renames every whitespace-delimited token with a ``_k`` suffix
+  (whitespace runs preserved). The token-rename keeps each replica's
+  internal dup/near-dup/gram structure EXACTLY the original's while
+  making replicas share no vocabulary -- so pair-generating ops scale
+  by corpus size, not by synthetic cross-replica collisions. (Both
+  naive replication and word-shuffling fail here: replication makes
+  every doc a 10-way near-dup family; shuffling a 31-word vocabulary
+  mints random n-grams that collide ACROSS replicas and blow posting
+  lists quadratically -- measured, not hypothetical. A larger corpus
+  growing its vocabulary is also the realistic shape.)
+- ``lineitem``: 10 replicas with l_orderkey/l_partkey/l_suppkey
+  offset per replica -- the co-purchase graph becomes 10 disjoint
+  copies (linear by construction).
+- every other table: copied unchanged (the probed queries read only
+  documents/lineitem).
+
+Probe: min-of-2 runs per (query, sf) in one warmed session, factor =
+t(sf1x) / t(sf0.1). Queries with staged artifacts
+(dedup_index_append's warehouse indexes) measure the steady state --
+the second run reads the fingerprint-staged index, exactly the
+lifecycle cost the op is declared to have.
+
+Run: python scale_probe.py [--synth-only|--probe-only]
+Writes SCALE_PROBE.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import shutil
+import sys
+import time
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT = str(pathlib.Path(__file__).resolve().parent / ".tmp" / "scale_probe" / "sf1x")
+REPLICAS = 10
+
+#: the 15 heaviest batch queries of BENCH_r06 (streaming drains are
+#: rate/file-bounded, not data-plan-bounded, so they are out of scope)
+QUERIES = [
+    "graph_pagerank",
+    "dedup_minhash_clusters",
+    "ml_naive_bayes_confusion",
+    "stats_bootstrap_ci",
+    "dedup_minhash",
+    "bpe_encode",
+    "dedup_index_append",
+    "dedup_edit_distance",
+    "basket_lift_topk",
+    "bpe_train",
+    "dedup_simhash",
+    "graph_kcore",
+    "dedup_cluster_keep_best",
+    "dedup_cluster_components_star",
+    "graph_common_neighbors",
+]
+
+PASSTHROUGH = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "events", "embeddings",
+)
+
+
+def synthesize() -> None:
+    import duckdb
+
+    os.makedirs(OUT, exist_ok=True)
+    con = duckdb.connect()
+    for t in PASSTHROUGH:
+        shutil.copyfile(f"{BASE}/{t}.parquet", f"{OUT}/{t}.parquet")
+
+    cols = [
+        r[0]
+        for r in con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{BASE}/lineitem.parquet')"
+        ).fetchall()
+    ]
+    offs = {"l_orderkey": 10_000_000, "l_partkey": 1_000_000, "l_suppkey": 100_000}
+    sel = ", ".join(
+        f"{c} + k * {offs[c]} AS {c}" if c in offs else c for c in cols
+    )
+    con.execute(
+        f"""COPY (SELECT {sel}
+                  FROM read_parquet('{BASE}/lineitem.parquet'),
+                       range(0, {REPLICAS}) t(k))
+            TO '{OUT}/lineitem.parquet' (FORMAT parquet)"""
+    )
+
+    import re
+
+    df = con.execute(
+        f"SELECT * FROM read_parquet('{BASE}/documents.parquet')"
+    ).df()
+    parts = []
+    for k in range(REPLICAS):
+        d = df.copy()
+        d["doc_id"] = d["doc_id"] + k * 1_000_000
+        if k:
+            def rename(text: str, k: int = k) -> str:
+                return "".join(
+                    p if not p or p.isspace() else f"{p}_{k}"
+                    for p in re.split(r"(\s+)", text)
+                )
+
+            d["text"] = d["text"].map(rename)
+        parts.append(d)
+    import pandas as pd
+
+    con.register("docs10", pd.concat(parts, ignore_index=True))
+    con.execute(f"COPY docs10 TO '{OUT}/documents.parquet' (FORMAT parquet)")
+    print(f"# synthesized {OUT}", file=sys.stderr)
+
+
+def probe() -> None:
+    from java_mapreduce_framework_spark.plans import registry
+    from java_mapreduce_framework_spark.session import get_spark
+
+    spark = get_spark("jmrf-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = registry.registry()
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    def _ident(batches):
+        yield from batches
+
+    spark.range(100).mapInPandas(_ident, "id long").count()
+
+    results: dict[str, dict] = {}
+    for name in QUERIES:
+        ts = {}
+        for sd, tag in ((BASE, "base"), (OUT, "x10")):
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                specs[name].fn(spark, sd).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            ts[tag] = round(best, 3)
+        results[name] = {
+            **ts,
+            "factor": round(ts["x10"] / ts["base"], 2),
+        }
+        print(f"# {name}: {results[name]}", file=sys.stderr, flush=True)
+    out = {
+        "base": BASE,
+        "x10": OUT,
+        "replicas": REPLICAS,
+        "queries": results,
+    }
+    with open(
+        pathlib.Path(__file__).resolve().parent / "SCALE_PROBE.json", "w"
+    ) as f:
+        json.dump(out, f, indent=1)
+        f.write("\n")
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    if "--probe-only" not in sys.argv:
+        synthesize()
+    if "--synth-only" not in sys.argv:
+        probe()
