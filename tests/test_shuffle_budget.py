@@ -34,7 +34,10 @@ HEAVY_CEILINGS = {
     "dedup_embedding_lsh": 1_700_000,
     "dedup_incremental_apply": 1_060_000,
     "ml_naive_bayes_confusion": 990_000,
-    "dedup_index_append": 980_000,
+    # round 7 doubled the op by design: batch2 now probes BOTH the
+    # appended index and a from-scratch referee index so the append
+    # invariant ships as oracle-checkable data (measured 1.37 MB)
+    "dedup_index_append": 2_060_000,
     "dedup_ngram_jaccard_capped": 960_000,
     "graph_kcore": 890_000,
     "dedup_minhash_clusters": 840_000,
