@@ -7031,11 +7031,18 @@ def _dedup_index_append(spark, sf):
     dedup.build_minhash_index(spark, corpus, name, source_fp=fp)
     survivors = dedup.dedup_incremental_apply(spark, batch1, name)
     dedup.dedup_index_append(spark, survivors, name, append_fp=fp)
-    probe_app = dedup.dedup_incremental_minhash(spark, batch2, name)
+    # batch2 is sketched ONCE; both probes (appended index + referee)
+    # share the signature table -- the verdict compares index state,
+    # so re-deriving identical signatures would only burn a second
+    # tokenize+minhash pass
+    sig2 = dedup.minhash_signatures_rowlocal(batch2).select(
+        "doc_id", "sig"
+    ).localCheckpoint()
+    probe_app = dedup.probe_minhash_index(spark, sig2, name)
     dedup.build_minhash_index(
         spark, corpus.unionByName(survivors), scratch, source_fp=fp
     )
-    probe_ref = dedup.dedup_incremental_minhash(spark, batch2, scratch)
+    probe_ref = dedup.probe_minhash_index(spark, sig2, scratch)
     return dedup.index_append_verdict(batch2, probe_app, probe_ref)
 
 
