@@ -1529,3 +1529,108 @@ def levene_brownforsythe(events: DataFrame) -> DataFrame:
         f_crit.alias("f_crit"),
         (F.col("f_stat") < f_crit).alias("var_homogeneous"),
     )
+
+
+def survival_kaplan_meier(
+    events: DataFrame, censor_days: int = 1
+) -> DataFrame:
+    """Kaplan-Meier survival curve over user activity lifetimes -- the
+    canonical retention/churn estimator (the nonparametric S(t) every
+    product-analytics stack ships): a user's duration is the whole
+    days between their first and last event; the churn EVENT is
+    observed when the user has been silent for at least
+    ``censor_days`` before the corpus's observation edge (max ts),
+    otherwise the lifetime is right-CENSORED at its current length --
+    the distinction the naive "days active" histogram gets wrong.
+    The fixture's users are near-continuously active inside a ~30-day
+    corpus (silences at the edge span 0-2 days at every SF), so the
+    default censor window is 1 day -- the value that actually
+    bisects; a longer window censors EVERYONE and the curve is
+    vacuously 1.0 (the join_asof_ttl lesson).
+
+        S(d) = prod over event times t <= d of (1 - d_t / n_t),
+        n_t = users still at risk at t, d_t = observed churns at t.
+
+    Determinism discipline (the ulm/lm_trigram micro-nat contract):
+    each factor becomes the integer ``round((ln(n_t - d_t) - ln(n_t))
+    * 1e6)``; the product is an exact integer prefix sum over the
+    duration-ordered window, and S is one ``exp`` of identical
+    doubles, rounded 6. If a time point wipes out the whole risk set
+    (n_t = d_t), that row and everything after emit survival 0.0
+    (the ln-guard flag rides the same prefix window).
+
+    Plan: ONE user-keyed aggregate over the corpus (first/last ts,
+    map-side combine); everything after lives on the duration table,
+    which is bounded by the corpus span in DAYS, so the
+    single-partition prefix windows are alphabet-sized by
+    construction (the stats_anova tail discipline). The observation
+    edge rides as a 1-row broadcast.
+
+    Emits (duration_d, n_risk, n_events, n_censored, survival),
+    one row per distinct duration.
+
+    Reference licence: composition target -- chained-jobs model
+    (SURVEY.md section 2A FIFO queue) over the WordCount substrate
+    (src/edu/upenn/cis455/mapreduce/job/WordCount.java:23-52).
+    """
+    us = events.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    mx = events.agg(F.unix_micros(F.max("ts")).alias("mx_us"))
+    day_us = 86_400_000_000
+    per = us.crossJoin(F.broadcast(mx)).select(
+        F.expr(
+            f"div(unix_micros(last_ts) - unix_micros(first_ts), {day_us})"
+        ).alias("duration_d"),
+        (
+            F.unix_micros("last_ts")
+            <= F.col("mx_us") - F.lit(censor_days * day_us)
+        )
+        .cast("long")
+        .alias("observed"),
+    )
+    dur = per.groupBy("duration_d").agg(
+        F.count("*").alias("n_at_d"),
+        F.sum("observed").alias("n_events"),
+        (F.count("*") - F.sum("observed")).alias("n_censored"),
+    )
+    n_users = per.agg(F.count("*").alias("n_users"))
+    w_prev = (
+        Window.orderBy("duration_d")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.orderBy("duration_d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = dur.crossJoin(F.broadcast(n_users)).withColumn(
+        "n_risk",
+        F.col("n_users") - F.coalesce(F.sum("n_at_d").over(w_prev), F.lit(0)),
+    )
+    factor = F.when(F.col("n_events") == 0, F.lit(0)).when(
+        F.col("n_events") < F.col("n_risk"),
+        F.round(
+            (
+                F.log((F.col("n_risk") - F.col("n_events")).cast("double"))
+                - F.log(F.col("n_risk").cast("double"))
+            )
+            * F.lit(1e6),
+            0,
+        ).cast("long"),
+    )  # NULL when n_events == n_risk: the wipe-out flag below takes over
+    stepped = base.withColumn("f_mnat", factor).withColumn(
+        "wiped",
+        F.max((F.col("n_events") >= F.col("n_risk")).cast("int")).over(w_cum),
+    )
+    surv = F.when(F.col("wiped") == 1, F.lit(0.0)).otherwise(
+        F.round(
+            F.exp(F.sum("f_mnat").over(w_cum) / F.lit(1_000_000.0)), 6
+        )
+    )
+    return stepped.select(
+        "duration_d",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        surv.alias("survival"),
+    )

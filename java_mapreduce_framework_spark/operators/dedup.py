@@ -2208,3 +2208,121 @@ def kcore(pairs: DataFrame, k: int = 3, rounds: int = 10) -> DataFrame:
     return edges.groupBy(F.col("a").alias("node_id")).agg(
         F.count("*").alias("core_deg")
     )
+
+
+def dedup_semdedup(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    n_clusters: int = 16,
+    sample_cap: int = 2048,
+    iters: int = 5,
+    seed: int = 11,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by
+    k-means clustering + within-cluster cosine -- the embedding-space
+    answer to MinHash's lexical near-dup question, and the method's
+    actual selling point at scale: the quadratic pair search runs
+    INSIDE clusters only (~N^2/k per cluster), never across the
+    corpus.
+
+    Keep rule (the paper's, made deterministic): a vector is DROPPED
+    iff some BLOCK-mate with a SMALLER vec_id sits at cosine >=
+    threshold; ``dup_of`` records the smallest such mate. Exact
+    cosines decide -- clustering only routes, so a reported
+    (vec, dup_of) pair is never a false positive; locality can only
+    cost recall (measured vs the brute-force rule in RECALL.json).
+
+    SOFT 2-probe assignment: each vector joins its TWO nearest
+    cells' blocks, so a cos>=tau pair is found whenever the two
+    vectors' top-2 cell sets intersect. At this fixture's weak
+    cluster structure that lifts routing recall 0.39 -> ~0.73 while
+    the pair search still touches only probes^2/k = 4/16 of the
+    naive N^2 (single-probe's 0.39 recall is what the paper's
+    boundary-split caveat looks like in practice). Duplicate pair
+    sightings (both cells shared) collapse in the grouped min.
+
+    Plan: spherical k-means on the bounded sample
+    (``similarity._ivf_train`` -- the shared coarse quantizer), one
+    ``mapInPandas`` assign scan (primary cell + block array), a
+    row-local explode into block ids, then the blocked pair join
+    keyed on block id with norms hoisted out of the quadratic block
+    (the ``embedding_neardup_pairs`` discipline) and a grouped min
+    for ``dup_of``. The fixture plants no high-cosine near-dups (max
+    ~0.51), so the declared threshold is 0.35 -- the
+    ``dedup_embedding`` non-degeneracy contract.
+
+    Emits (vec_id, cluster, keep, dup_of) -- dup_of NULL on kept
+    rows.
+
+    Reference licence: composition target -- chained-jobs model
+    (SURVEY.md section 2A FIFO queue) over the WordCount substrate
+    (src/edu/upenn/cis455/mapreduce/job/WordCount.java:23-52).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.vectors import l2_norm, vec_dot
+    from . import similarity as _sim
+
+    spark = embeddings.sparkSession
+    x = _sim._pq_sample(embeddings, sample_cap, seed)
+    cent = _sim._ivf_train(x, n_clusters, iters, seed)
+    bc = spark.sparkContext.broadcast(cent)
+
+    def assign(batches):
+        c = bc.value
+        for pdf in batches:
+            m = np.array(list(pdf["embedding"]), dtype=np.float64)
+            m_n = m / np.linalg.norm(m, axis=1, keepdims=True)
+            top2 = np.argsort(-(m_n @ c.T), axis=1)[:, :2].astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "cluster": top2[:, 0],
+                    "blocks": list(top2),
+                    "embedding": pdf["embedding"],
+                }
+            )
+
+    tagged = embeddings.select("vec_id", "embedding").mapInPandas(
+        assign,
+        "vec_id long, cluster int, blocks array<int>,"
+        " embedding array<float>",
+    ).localCheckpoint()  # feeds the verdict join AND both pair sides
+    blocked = tagged.select(
+        "vec_id",
+        F.explode("blocks").alias("block"),
+        "embedding",
+        l2_norm(F.col("embedding")).alias("nrm"),
+    )
+    a = blocked.select(
+        F.col("vec_id").alias("va"),
+        "block",
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = blocked.select(
+        F.col("vec_id").alias("vb"),
+        "block",
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = vec_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    dup_of = (
+        a.join(b, "block")
+        .filter(F.col("va") < F.col("vb"))
+        .select("vb", "va", F.round(cos, 4).alias("c"))
+        .filter(F.col("c") >= threshold)
+        .groupBy(F.col("vb").alias("vec_id"))
+        .agg(F.min("va").alias("dup_of"))
+    )
+    return (
+        tagged.select("vec_id", "cluster")
+        .join(dup_of, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.col("dup_of").isNull().alias("keep"),
+            "dup_of",
+        )
+    )

@@ -1237,6 +1237,161 @@ def lm_bigram_score(documents: DataFrame, k: float = 0.5) -> DataFrame:
     )
 
 
+#: ln(0.4) in integer micro-nats -- the stupid-backoff discount is a
+#: FIXED integer constant, never a runtime transcendental, so the
+#: backoff chain adds exactly the same integer on both engines.
+_BACKOFF_MNAT = -916_291
+
+
+def lm_trigram_backoff(documents: DataFrame) -> DataFrame:
+    """Per-document trigram stupid-backoff LM score (Brants et al.
+    2007) -- the next rung of the perplexity-filter ladder above
+    ``lm_bigram_score``: trigram context catches local word-order
+    breakage bigrams can't, and stupid backoff (fixed 0.4 discount,
+    no normalization) is the smoothing actually used at corpus scale
+    because it needs nothing but raw counts.
+
+        S(w3 | w1 w2) = c(w1w2w3) / c(w1w2)         if trigram seen
+                      = 0.4 * S(w3 | w2)             else
+        S(w3 | w2)    = c(w2w3) / c(w2)              if bigram seen
+                      = 0.4 * (c(w3) + 1) / (N + V)  else (add-one floor)
+
+    HELD-OUT split, not self-scoring: counts come from the TRAIN half
+    (even doc_id), scores are emitted for the HELD-OUT half (odd
+    doc_id). Scoring a corpus against its own counts never backs off
+    (every observed trigram is in the table by construction) -- the
+    held-out shape is also what a production quality filter does:
+    score incoming docs under a reference LM.
+
+    Determinism discipline (the ulm_train micro-nat contract): each
+    count ratio becomes ``round((ln(c_num) - ln(c_den)) * 1e6)`` --
+    ONE rounded transcendental per scored token -- and the 0.4
+    discounts add the fixed integer ``_BACKOFF_MNAT`` per backoff
+    level, so per-doc totals are exact integer sums (fold-order-free)
+    and the final average is a single double division rounded 6.
+
+    Plan: the trigram stream is a row-local expression (transform
+    over the token array, no self-join and no window exchange); it
+    feeds the trigram/bigram/unigram count aggregates (map-side
+    combine; gram-keyed shuffles -- gram tables exceed broadcast size
+    at corpus scale) and the scoring joins. (N, V) ride as the only
+    1-row broadcast. Held-out docs with < 3 tokens have no trigrams
+    and are absent, mirrored by the oracle.
+
+    Emits (doc_id, n_scored, n_tri, n_bi_backoff, n_uni_backoff,
+    avg_logp) -- branch usage counts plus the avg natural-log score
+    per scored token, rounded 6.
+
+    Reference licence: composition target -- chained-jobs model
+    (SURVEY.md section 2A FIFO queue) over the WordCount substrate
+    (src/edu/upenn/cis455/mapreduce/job/WordCount.java:23-52).
+    """
+    toks = tokens_col("text")
+
+    def tri_stream(docs):
+        return (
+            docs.select("doc_id", toks.alias("toks"))
+            .filter(F.size("toks") >= 3)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(toks) - 2),"
+                        " i -> struct(toks[i - 1] AS w1, toks[i] AS w2,"
+                        " toks[i + 1] AS w3))"
+                    )
+                ).alias("t"),
+            )
+            .select("doc_id", "t.w1", "t.w2", "t.w3")
+        )
+
+    train = documents.filter(F.col("doc_id") % 2 == 0)
+    held = documents.filter(F.col("doc_id") % 2 == 1)
+    words = words_exploded(train)
+    uni = words.groupBy("word").agg(F.count("*").alias("cu"))
+    bi = (
+        train.select(toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(toks[i - 1] AS w1, toks[i] AS w2))"
+                )
+            ).alias("b")
+        )
+        .groupBy("b.w1", "b.w2")
+        .agg(F.count("*").alias("cb"))
+    )
+    tri = (
+        tri_stream(train)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count("*").alias("ct"))
+    )
+    consts = words.agg(
+        F.count("*").cast("double").alias("nn"),
+        F.count_distinct("word").cast("double").alias("vv"),
+    )
+
+    def lnr(num, den):
+        return (
+            F.round((F.log(num.cast("double")) - F.log(den)) * F.lit(1e6), 0)
+            .cast("long")
+        )
+
+    bi12 = bi.select(
+        F.col("w1"), F.col("w2"), F.col("cb").alias("cb12")
+    )
+    bi23 = bi.select(
+        F.col("w1").alias("w2"), F.col("w2").alias("w3"),
+        F.col("cb").alias("cb23"),
+    )
+    uni2 = uni.select(F.col("word").alias("w2"), F.col("cu").alias("cu2"))
+    uni3 = uni.select(F.col("word").alias("w3"), F.col("cu").alias("cu3"))
+    branch = (
+        F.when(F.col("ct").isNotNull(), F.lit(0))
+        .when(F.col("cb23").isNotNull(), F.lit(1))
+        .otherwise(F.lit(2))
+    )
+    mnat = (
+        F.when(
+            F.col("ct").isNotNull(),
+            lnr(F.col("ct"), F.col("cb12").cast("double")),
+        )
+        .when(
+            F.col("cb23").isNotNull(),
+            F.lit(_BACKOFF_MNAT)
+            + lnr(F.col("cb23"), F.col("cu2").cast("double")),
+        )
+        .otherwise(
+            F.lit(2 * _BACKOFF_MNAT)
+            + lnr(
+                F.coalesce(F.col("cu3"), F.lit(0)) + F.lit(1),
+                F.col("nn") + F.col("vv"),
+            )
+        )
+    )
+    scored = (
+        tri_stream(held)
+        .join(tri, ["w1", "w2", "w3"], "left")
+        .join(bi12, ["w1", "w2"], "left")
+        .join(bi23, ["w2", "w3"], "left")
+        .join(uni2, "w2", "left")
+        .join(uni3, "w3", "left")
+        .crossJoin(F.broadcast(consts))
+        .select("doc_id", branch.alias("br"), mnat.alias("mnat"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_scored"),
+        F.sum((F.col("br") == 0).cast("long")).alias("n_tri"),
+        F.sum((F.col("br") == 1).cast("long")).alias("n_bi_backoff"),
+        F.sum((F.col("br") == 2).cast("long")).alias("n_uni_backoff"),
+        F.round(
+            F.sum("mnat") / (F.count("*") * F.lit(1_000_000.0)), 6
+        ).alias("avg_logp"),
+    )
+
+
 def vocab_coverage(documents: DataFrame, top_v: int = 64) -> DataFrame:
     """Tokenizer-prep vocabulary curve: the ``top_v`` most frequent
     words with rank and CUMULATIVE corpus coverage — the standard

@@ -1805,6 +1805,21 @@ def _dedup_embedding_lsh(spark, sf):
 
 
 @_register(
+    "dedup_semdedup",
+    None,
+    note="SemDeDup (Abbas et al. 2023): spherical k-means routing + "
+    "within-cluster exact-cosine keep/drop verdicts (drop iff a "
+    "smaller-id cluster-mate sits at cos >= 0.35); quadratic search "
+    "runs inside clusters only (~N^2/k); exact cosines decide, so "
+    "precision is 1.0 by construction and clustering can only cost "
+    "recall -- bound in RECALL.json; k-means centroids not "
+    "SQL-replayable -> rows-only",
+)
+def _dedup_semdedup(spark, sf):
+    return dedup.dedup_semdedup(_t(spark, sf, "embeddings"))
+
+
+@_register(
     "embedding_quantize_int8",
     """
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
@@ -3943,6 +3958,85 @@ def _lm_bigram_score(spark, sf):
 
 
 @_register(
+    "lm_trigram_backoff",
+    f"""
+    WITH ttoks AS (SELECT doc_id, {_TOKS} AS t FROM documents
+                   WHERE doc_id % 2 = 0),
+    htoks AS (SELECT doc_id, {_TOKS} AS t FROM documents
+              WHERE doc_id % 2 = 1),
+    twords AS (SELECT unnest(t) AS word FROM ttoks),
+    uni AS (SELECT word, count(*) AS cu FROM twords GROUP BY word),
+    bi AS (
+      SELECT w1, w2, count(*) AS cb FROM (
+        SELECT unnest(t[1:len(t) - 1]) AS w1, unnest(t[2:len(t)]) AS w2
+        FROM ttoks WHERE len(t) >= 2)
+      GROUP BY w1, w2),
+    tri AS (
+      SELECT w1, w2, w3, count(*) AS ct FROM (
+        SELECT unnest(t[1:len(t) - 2]) AS w1,
+               unnest(t[2:len(t) - 1]) AS w2,
+               unnest(t[3:len(t)]) AS w3
+        FROM ttoks WHERE len(t) >= 3)
+      GROUP BY w1, w2, w3),
+    consts AS (SELECT CAST(count(*) AS DOUBLE) AS nn,
+                      CAST(count(DISTINCT word) AS DOUBLE) AS vv
+               FROM twords),
+    hstream AS (
+      SELECT doc_id,
+             unnest(t[1:len(t) - 2]) AS w1,
+             unnest(t[2:len(t) - 1]) AS w2,
+             unnest(t[3:len(t)]) AS w3
+      FROM htoks WHERE len(t) >= 3),
+    scored AS (
+      SELECT h.doc_id,
+             CASE WHEN t.ct IS NOT NULL THEN 0
+                  WHEN b23.cb IS NOT NULL THEN 1
+                  ELSE 2 END AS br,
+             CASE WHEN t.ct IS NOT NULL THEN
+                    CAST(round((ln(CAST(t.ct AS DOUBLE))
+                                - ln(CAST(b12.cb AS DOUBLE)))
+                               * 1000000.0) AS BIGINT)
+                  WHEN b23.cb IS NOT NULL THEN
+                    {text._BACKOFF_MNAT}
+                    + CAST(round((ln(CAST(b23.cb AS DOUBLE))
+                                  - ln(CAST(u2.cu AS DOUBLE)))
+                                 * 1000000.0) AS BIGINT)
+                  ELSE
+                    {2 * text._BACKOFF_MNAT}
+                    + CAST(round((ln(CAST(coalesce(u3.cu, 0) + 1 AS DOUBLE))
+                                  - ln(c.nn + c.vv))
+                                 * 1000000.0) AS BIGINT)
+             END AS mnat
+      FROM hstream h
+      LEFT JOIN tri t ON t.w1 = h.w1 AND t.w2 = h.w2 AND t.w3 = h.w3
+      LEFT JOIN bi b12 ON b12.w1 = h.w1 AND b12.w2 = h.w2
+      LEFT JOIN bi b23 ON b23.w1 = h.w2 AND b23.w2 = h.w3
+      LEFT JOIN uni u2 ON u2.word = h.w2
+      LEFT JOIN uni u3 ON u3.word = h.w3
+      CROSS JOIN consts c)
+    SELECT doc_id, count(*) AS n_scored,
+           CAST(sum(CASE WHEN br = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tri,
+           CAST(sum(CASE WHEN br = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bi_backoff,
+           CAST(sum(CASE WHEN br = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_uni_backoff,
+           round(sum(mnat) / (count(*) * 1000000.0), 6) AS avg_logp
+    FROM scored
+    GROUP BY doc_id
+    """,
+    note="trigram stupid-backoff LM score (Brants 2007) on a held-out "
+    "split (train = even doc_id, scored = odd): scoring a corpus "
+    "against its own counts never backs off, the held-out shape is "
+    "the production quality-filter shape; one rounded transcendental "
+    "per token (integer micro-nats, the ulm discipline), fixed "
+    "integer 0.4-discounts, per-doc integer sums + one double "
+    "division; branch usage counts ride along",
+)
+def _lm_trigram_backoff(spark, sf):
+    return text.lm_trigram_backoff(_t(spark, sf, "documents"))
+
+
+@_register(
     "incremental_agg_merge",
     """
     WITH base AS (
@@ -5264,6 +5358,66 @@ def _stats_anova(spark, sf):
 )
 def _stats_levene(spark, sf):
     return analytics.levene_brownforsythe(_t(spark, sf, "events"))
+
+
+@_register(
+    "survival_kaplan_meier",
+    """
+    WITH u AS (
+      SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS f,
+             max(CAST(ts AS TIMESTAMP)) AS l
+      FROM events GROUP BY user_id),
+    m AS (SELECT max(epoch_us(l)) AS mx_us FROM u),
+    per AS (
+      SELECT (epoch_us(l) - epoch_us(f)) // 86400000000 AS duration_d,
+             CASE WHEN epoch_us(l) <= mx_us - 86400000000
+                  THEN 1 ELSE 0 END AS observed
+      FROM u, m),
+    dur AS (
+      SELECT duration_d, count(*) AS n_at_d, sum(observed) AS n_events,
+             count(*) - sum(observed) AS n_censored
+      FROM per GROUP BY duration_d),
+    n AS (SELECT count(*) AS n_users FROM per),
+    base AS (
+      SELECT d.*,
+             n.n_users - coalesce(sum(n_at_d) OVER (
+               ORDER BY duration_d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM dur d, n),
+    st AS (
+      SELECT *,
+             CASE WHEN n_events = 0 THEN 0
+                  WHEN n_events < n_risk THEN
+                    CAST(round((ln(CAST(n_risk - n_events AS DOUBLE))
+                                - ln(CAST(n_risk AS DOUBLE)))
+                               * 1000000.0) AS BIGINT)
+             END AS f_mnat,
+             max(CASE WHEN n_events >= n_risk THEN 1 ELSE 0 END) OVER (
+               ORDER BY duration_d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wiped
+      FROM base)
+    SELECT duration_d, CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(n_censored AS BIGINT) AS n_censored,
+           CASE WHEN wiped = 1 THEN 0.0
+                ELSE round(exp(sum(f_mnat) OVER (
+                       ORDER BY duration_d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     / 1000000.0), 6)
+           END AS survival
+    FROM st
+    """,
+    note="Kaplan-Meier survival over user activity lifetimes (churn "
+    "observed after a 1-day silence before the observation edge -- "
+    "the window that bisects this fixture's near-continuous users; "
+    "30 days censors everyone, the join_asof_ttl lesson): KM factors "
+    "as integer micro-nats, product as an exact integer prefix sum "
+    "over the days-bounded duration table, one exp per row rounded "
+    "6; risk-set wipe-out rows pin survival 0.0",
+)
+def _survival_kaplan_meier(spark, sf):
+    return analytics.survival_kaplan_meier(_t(spark, sf, "events"))
 
 
 @_register(
@@ -8228,7 +8382,8 @@ _FRESH_ROUND7 = frozenset(
     {
         "dedup_index_append", "stats_levene", "sql_qoq_growth",
         "ulm_train", "ulm_encode", "multimodal_text_align",
-        "similarity_ann_ivfpq",
+        "similarity_ann_ivfpq", "lm_trigram_backoff",
+        "survival_kaplan_meier", "dedup_semdedup",
     }
 )
 

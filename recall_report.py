@@ -144,6 +144,21 @@ def main(sf_dir: str) -> dict:
         f"precision measured {prec:.4f} (exact cosine verify); {len(exact_all)} true pairs; "
         f"blocked-baseline overlap {len(exact_emb & exact_all)}")
 
+    # --- dedup_semdedup: drop-set recall vs the brute-force rule
+    # (drop iff a smaller-id neighbor sits at cos >= 0.35 ANYWHERE);
+    # precision is 1.0 by construction (exact cosines decide inside
+    # clusters), so only routing recall is at stake
+    brute_drops = {vb for _, vb in exact_all}
+    sem_rows = dedup.dedup_semdedup(emb).collect()
+    sem_drops = {r["vec_id"] for r in sem_rows if not r["keep"]}
+    sem_prec = 1.0 if sem_drops <= brute_drops else (
+        len(sem_drops & brute_drops) / len(sem_drops))
+    rec("dedup_semdedup", "drop_recall_vs_brute_force",
+        _recall(brute_drops, sem_drops), 0.5, ">=",
+        f"precision measured {sem_prec:.4f} (exact within-cluster cosine); "
+        f"{len(brute_drops)} brute-force droppable vectors; 16 k-means "
+        "clusters route the quadratic search")
+
     # --- ANN family: recall@5 vs exact top-k
     exact_nn = {(r["qid"], r["nid"]) for r in similarity.similarity_topk(emb, k=5).collect()}
     for name, df in (

@@ -789,3 +789,51 @@ def test_clustering_coefficient_triangle_plus_star(spark):
     assert out[10]["deg"] == 3 and out[10]["n_triangles"] == 0
     assert out[10]["clustering_coeff"] == 0.0
     assert 11 not in out and 12 not in out and 13 not in out
+
+
+def test_semdedup_verdicts_are_exact_and_routed(spark, sf_small):
+    """Every reported (vec, dup_of) pair must be a TRUE cosine>=tau
+    pair with dup_of < vec_id (precision 1.0 -- clustering only
+    routes); the drop set must recover at least half of the
+    brute-force droppable vectors; verdict partition is total."""
+    from pyspark.sql import functions as F
+
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    out = {r["vec_id"]: r for r in dedup.dedup_semdedup(emb).collect()}
+    # brute-force unblocked truth (embedding_neardup_pairs blocks on label)
+    a = emb.select(F.col("vec_id").alias("va"),
+                   F.col("embedding").cast("array<double>").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vb"),
+                   F.col("embedding").cast("array<double>").alias("eb"))
+    dot = F.aggregate(F.zip_with("ea", "eb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        c, F.lit(0.0), lambda acc, x: acc + x * x))
+    true_pairs = {
+        (r["va"], r["vb"])
+        for r in a.crossJoin(b).filter(F.col("va") < F.col("vb"))
+        .select("va", "vb",
+                F.round(dot / (nrm(F.col("ea")) * nrm(F.col("eb"))), 4)
+                .alias("c"))
+        .filter(F.col("c") >= 0.35).collect()
+    }
+    assert len(out) == emb.count()
+    for vid, r in out.items():
+        assert r["keep"] == (r["dup_of"] is None)
+        if r["dup_of"] is not None:
+            assert r["dup_of"] < vid
+            assert (r["dup_of"], vid) in true_pairs  # precision 1.0
+    brute_drops = {vb for _, vb in true_pairs}
+    sem_drops = {v for v, r in out.items() if not r["keep"]}
+    assert len(sem_drops & brute_drops) >= 0.5 * len(brute_drops)
+
+
+def test_semdedup_is_deterministic(spark, sf_small):
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    a = sorted(map(tuple, dedup.dedup_semdedup(emb).collect()))
+    b = sorted(map(tuple, dedup.dedup_semdedup(emb).collect()))
+    assert a == b
