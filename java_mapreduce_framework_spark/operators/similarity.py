@@ -1428,3 +1428,59 @@ def embedding_norm_profile(embeddings: DataFrame, k: float = 2.0) -> DataFrame:
         )
         .filter(F.abs(F.col("zscore")) >= k)
     )
+
+
+def embedding_matryoshka_eval(
+    embeddings: DataFrame,
+    ks: tuple[int, ...] = (8, 16, 32),
+    k: int = 5,
+    n_queries: int = 10,
+) -> DataFrame:
+    """Matryoshka-style dimension-truncation evaluation (Kusupati et
+    al. 2022's deployment question): how much top-k retrieval quality
+    survives when vectors are cut to their first ``kd`` dimensions?
+    The curve decides how small a serving index can be BEFORE
+    re-embedding anything -- the standard audit run over a candidate
+    embedding column.
+
+    For each prefix length: exact cosine top-k over the SLICED
+    vectors (``similarity_topk`` verbatim on a projected column --
+    one definition of top-k/tie semantics for full and truncated
+    alike), then per-query overlap against the full-dimension top-k.
+
+    Plan: one broadcast cross join + rank window per prefix length
+    (the slice is a row-local projection, so each pass reads fewer
+    bytes than the full-dim baseline -- exactly the economics the
+    curve measures); the per-query overlap joins are k-row
+    broadcasts. Emits (k_dim, qid, n_overlap, recall_at_k).
+
+    Reference licence: composition target -- chained-jobs model
+    (SURVEY.md section 2A FIFO queue) over the WordCount substrate
+    (src/edu/upenn/cis455/mapreduce/job/WordCount.java:23-52).
+    """
+    from functools import reduce
+
+    full = similarity_topk(embeddings, k, n_queries).select("qid", "nid")
+    qids = full.select("qid").distinct()
+    outs = []
+    for kd in ks:
+        sliced = embeddings.select(
+            "vec_id", F.slice("embedding", 1, kd).alias("embedding")
+        )
+        t = similarity_topk(sliced, k, n_queries).select("qid", "nid")
+        ov = (
+            t.join(full, ["qid", "nid"])
+            .groupBy("qid")
+            .agg(F.count("*").alias("n_overlap"))
+        )
+        outs.append(
+            qids.join(ov, "qid", "left").select(
+                F.lit(kd).alias("k_dim"),
+                "qid",
+                F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+                F.round(
+                    F.coalesce("n_overlap", F.lit(0)) / F.lit(float(k)), 2
+                ).alias("recall_at_k"),
+            )
+        )
+    return reduce(lambda x, y: x.unionByName(y), outs)

@@ -1875,6 +1875,57 @@ def _similarity_ann_pq(spark, sf):
     return similarity.similarity_ann_pq(_t(spark, sf, "embeddings"))
 
 
+def _matryoshka_oracle_sql(ks=(8, 16, 32), k=5) -> str:
+    """Per-prefix-length replay of _SIM_TOPK_SQL over sliced vectors,
+    overlap-joined against the full-dimension top-k."""
+    def topk_cte(tag: str, emb_expr: str) -> str:
+        return f"""
+    q{tag} AS (SELECT vec_id AS qid, {emb_expr} AS qe
+               FROM embeddings WHERE vec_id < 10),
+    s{tag} AS (
+      SELECT qid, e.vec_id AS nid,
+             round(list_cosine_similarity(qe,
+                   {emb_expr.replace('embedding', 'e.embedding')}), 6)
+               AS cos6
+      FROM q{tag} CROSS JOIN embeddings e WHERE e.vec_id <> qid),
+    t{tag} AS (
+      SELECT qid, nid FROM (
+        SELECT qid, nid,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cos6 DESC, nid) AS rnk
+        FROM s{tag}) WHERE rnk <= {k})"""
+
+    parts = [topk_cte("full", "CAST(embedding AS DOUBLE[])")]
+    finals = []
+    for kd in ks:
+        parts.append(
+            topk_cte(str(kd), f"CAST(embedding[1:{kd}] AS DOUBLE[])")
+        )
+        finals.append(f"""
+    SELECT {kd} AS k_dim, q.qid,
+           CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+           round(coalesce(o.n_overlap, 0) / {float(k)}, 2) AS recall_at_k
+    FROM (SELECT DISTINCT qid FROM tfull) q
+    LEFT JOIN (SELECT t.qid, count(*) AS n_overlap
+               FROM t{kd} t JOIN tfull f
+                 ON f.qid = t.qid AND f.nid = t.nid
+               GROUP BY t.qid) o ON o.qid = q.qid""")
+    return "WITH " + ",".join(parts) + " UNION ALL ".join(finals)
+
+
+@_register(
+    "embedding_matryoshka_eval",
+    _matryoshka_oracle_sql(),
+    note="Matryoshka dimension-truncation audit: exact top-5 over "
+    "8/16/32-dim prefixes vs the full 64-dim top-5 (one top-k "
+    "definition, similarity_topk verbatim on a sliced column); "
+    "per-(prefix, query) overlap and recall -- the how-small-can-the-"
+    "serving-index-be curve",
+)
+def _embedding_matryoshka_eval(spark, sf):
+    return similarity.embedding_matryoshka_eval(_t(spark, sf, "embeddings"))
+
+
 @_register(
     "similarity_ann_ivfpq",
     None,
@@ -8384,6 +8435,7 @@ _FRESH_ROUND7 = frozenset(
         "ulm_train", "ulm_encode", "multimodal_text_align",
         "similarity_ann_ivfpq", "lm_trigram_backoff",
         "survival_kaplan_meier", "dedup_semdedup",
+        "embedding_matryoshka_eval",
     }
 )
 

@@ -498,3 +498,22 @@ def test_ann_ivfpq_full_probe_dominates_ivf_routing(spark, sf_small):
               for r in similarity.similarity_ann_ivfpq(emb, k=5).collect()}
     assert len(full & exact) >= len(routed & exact)
     assert len(full & exact) / len(exact) >= 0.8
+
+
+def test_matryoshka_full_prefix_is_perfect_and_curve_plausible(spark, sf_small):
+    """A 64-dim 'prefix' IS the full vector, so its recall must be
+    1.0 for every query; the default curve must average somewhere
+    strictly between chance and perfect, and longer prefixes must not
+    be worse on average."""
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    full = similarity.embedding_matryoshka_eval(emb, ks=(64,)).collect()
+    assert len(full) == 10 and all(r["recall_at_k"] == 1.0 for r in full)
+    curve = similarity.embedding_matryoshka_eval(emb).collect()
+    by_k = {}
+    for r in curve:
+        by_k.setdefault(r["k_dim"], []).append(r["recall_at_k"])
+    means = {kd: sum(v) / len(v) for kd, v in by_k.items()}
+    assert set(means) == {8, 16, 32}
+    assert means[8] <= means[32] and 0.0 < means[32] <= 1.0
