@@ -2827,6 +2827,28 @@ def _stream_dedup_incremental(spark, sf):
 
 
 @_register(
+    "stream_index_ingest",
+    """
+    SELECT doc_id, TRUE AS ingest_match
+    FROM documents WHERE doc_id % 10 = 0
+    """,
+    note="the FULL growing-corpus ingest lifecycle as a stream: each "
+    "microbatch LSH-probed against the persisted index, survivors "
+    "appended back inside the same foreachBatch, so later batches "
+    "dedup against earlier batches' survivors with no re-index; "
+    "verdict emitted AS DATA (per-doc stream == sequential-replay "
+    "agreement, oracle pins every row TRUE); slice order pinned by "
+    "staged mtimes + maxFilesPerTrigger=1; cross-batch dedup forced "
+    "on a crafted corpus in tests/test_streaming.py; staged once per "
+    "fixture generation (_DONE_FP)",
+)
+def _stream_index_ingest(spark, sf):
+    from ..streaming.jobs import stream_index_ingest
+
+    return stream_index_ingest(spark, sf)
+
+
+@_register(
     "stream_dedup_watermarked",
     f"""
     SELECT DISTINCT user_id, event_type FROM {_EVTS}
@@ -8435,7 +8457,7 @@ _FRESH_ROUND7 = frozenset(
         "ulm_train", "ulm_encode", "multimodal_text_align",
         "similarity_ann_ivfpq", "lm_trigram_backoff",
         "survival_kaplan_meier", "dedup_semdedup",
-        "embedding_matryoshka_eval",
+        "embedding_matryoshka_eval", "stream_index_ingest",
     }
 )
 

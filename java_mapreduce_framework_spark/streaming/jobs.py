@@ -687,3 +687,140 @@ def stream_topk_windowed(
         counts.withColumn("rnk", F.row_number().over(rank_w))
         .filter(F.col("rnk") <= k)
     )
+
+
+def stream_index_ingest(
+    spark: SparkSession, sf_dir: str, n_slices: int = 4
+) -> DataFrame:
+    """The FULL growing-corpus ingest lifecycle as a stream -- the
+    step past ``stream_dedup_incremental``'s probe-only shape: each
+    microbatch is LSH-probed against the persisted index, its
+    SURVIVORS (docs with no near-dup in the corpus-so-far) are
+    appended back into the index inside the same ``foreachBatch``,
+    so LATER microbatches deduplicate against EARLIER microbatches'
+    survivors with no re-index ever. This is the continuous-crawl
+    loop ``dedup_index_append`` stages once, run end to end under
+    streaming semantics.
+
+    Verdict AS DATA (the dedup_index_append oracle discipline): the
+    streamed survivor set must equal a sequential batch replay of the
+    same slices (probe -> ``dedup_incremental_apply`` ->
+    ``dedup_index_append``, same order); one row per streamed doc,
+    ``ingest_match`` TRUE iff stream and replay agreed on its fate --
+    so the plain SQL oracle pins every row TRUE. Docs WITHIN one
+    microbatch are probed against the index only, not each other --
+    in BOTH paths, by the same incremental-apply contract.
+
+    Microbatch order is pinned: the streamed tenth of the corpus is
+    staged as ``n_slices`` parquet files with strictly increasing
+    mtimes, and the file source runs ``maxFilesPerTrigger=1`` with
+    ``latestFirst=false``, so slices arrive oldest-first exactly as
+    the replay consumes them.
+
+    Staged once per fixture generation (``_DONE_FP`` marker): a rerun
+    on the same fixture reads the persisted verdict parquet; a
+    regenerated fixture drops both ingest indexes and replays the
+    whole lifecycle. 100 TB posture: per microbatch the corpus never
+    reshuffles (both index joins bucketed on the index side), and the
+    append writes stay bucket-spec-preserving -- state grows with
+    survivors only."""
+    import shutil
+    import time as _time
+
+    from ..operators import dedup
+    from ..sources.tables import source_fingerprint
+
+    sf_name = pathlib.Path(sf_dir).name
+    tag = sf_name.replace(".", "_")
+    fp = source_fingerprint(sf_dir, "documents")
+    root = _REPO_ROOT / ".tmp" / "stream" / f"{sf_name}_index_ingest"
+    src, sink, ckpt = root / "src", root / "sink", root / "ckpt"
+    done = root / "_DONE_FP"
+    verdict_path = str(root / "verdict")
+    if done.exists() and done.read_text() == fp:
+        return spark.read.parquet(verdict_path)
+
+    shutil.rmtree(root, ignore_errors=True)
+    root.mkdir(parents=True)
+    name_s, name_r = f"mh_ing_s_{tag}", f"mh_ing_r_{tag}"
+    for nm in (name_s, name_r):
+        for suffix in ("_bands", "_sigs"):
+            spark.sql(f"DROP TABLE IF EXISTS {nm}{suffix}")
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    streamed = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "slice", (F.col("doc_id") / 10 % n_slices).cast("int")
+    )
+    for i in range(n_slices):
+        p = src / f"slice_{i}.parquet"
+        streamed.filter(F.col("slice") == i).drop("slice").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(p))
+        t = _time.time() + i  # strictly increasing mtimes, slice order
+        for f_ in pathlib.Path(p).rglob("*"):
+            os.utime(f_, (t, t))
+        os.utime(p, (t, t))
+
+    dedup.build_minhash_index(spark, corpus, name_s)
+    dedup.build_minhash_index(spark, corpus, name_r)
+
+    schema = spark.read.parquet(str(src / "slice_0.parquet")).schema
+
+    def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        survivors = dedup.dedup_incremental_apply(spark, batch_df, name_s)
+        dedup.dedup_index_append(spark, survivors, name_s)
+        # the append's saveAsTable runs on the MICROBATCH CLONE
+        # session (batch_df's lineage), which refreshes the clone's
+        # relation cache only -- without an explicit refresh the
+        # OUTER session's probe would read a stale file listing and
+        # the next batch would silently miss this batch's survivors
+        # (observed, not hypothetical: the crafted cross-batch dup
+        # survived until this line existed)
+        spark.catalog.refreshTable(f"{name_s}_bands")
+        spark.catalog.refreshTable(f"{name_s}_sigs")
+        survivors.select("doc_id").write.mode("append").parquet(str(sink))
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(str(src) + "/*.parquet")
+        .writeStream.foreachBatch(ingest_batch)
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # sequential batch replay, same slice order, same per-slice contract
+    replay_parts = []
+    for i in range(n_slices):
+        sl = spark.read.parquet(str(src / f"slice_{i}.parquet"))
+        sv = dedup.dedup_incremental_apply(spark, sl, name_r)
+        dedup.dedup_index_append(spark, sv, name_r)
+        replay_parts.append(sv.select("doc_id").localCheckpoint())
+    replay = replay_parts[0]
+    for p_ in replay_parts[1:]:
+        replay = replay.unionByName(p_)
+
+    stream_sv = spark.read.parquet(str(sink)).withColumn(
+        "in_stream", F.lit(True)
+    )
+    replay_sv = replay.withColumn("in_replay", F.lit(True))
+    verdict = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id")
+        .join(stream_sv, "doc_id", "left")
+        .join(replay_sv, "doc_id", "left")
+        .select(
+            "doc_id",
+            (
+                F.coalesce("in_stream", F.lit(False))
+                == F.coalesce("in_replay", F.lit(False))
+            ).alias("ingest_match"),
+        )
+    )
+    verdict.write.mode("overwrite").parquet(verdict_path)
+    done.write_text(fp)
+    return spark.read.parquet(verdict_path)

@@ -441,3 +441,60 @@ def test_stream_topk_windowed_ranks_within_hour(spark, sf_small):
         # counts non-increasing down the rank
         counts = [r["n_events"] for r in rows]
         assert counts == sorted(counts, reverse=True)
+
+
+def test_stream_index_ingest_cross_batch_dedup_and_replay_equality(
+    spark, tmp_path
+):
+    """The ingest loop's defining property, forced on a crafted
+    corpus: doc 20 (slice 2) is an exact dup of doc 10 (slice 1) with
+    NO match in the base corpus -- it can only be dropped because an
+    EARLIER microbatch's survivor was appended to the index; doc 40
+    near-dups the corpus and drops on the ordinary probe; the verdict
+    must be all-TRUE (stream == sequential replay)."""
+    from java_mapreduce_framework_spark.streaming.jobs import (
+        stream_index_ingest,
+    )
+
+    def words(seed, n=24):
+        return " ".join(f"w{seed}x{i}" for i in range(n))
+
+    dup_text = words("dup")
+    corpus_text = words("corp")
+    rows = [(i, words(f"c{i}"), "en", "t", 1) for i in range(1, 10)]
+    rows[4] = (5, corpus_text, "en", "t", 1)
+    rows += [
+        (10, dup_text, "en", "t", 1),        # slice 1: survives, appended
+        (20, dup_text, "en", "t", 1),        # slice 2: dup of 10 -> cross-batch drop
+        (30, words("solo"), "en", "t", 1),   # slice 3: survives
+        (40, corpus_text, "en", "t", 1),     # slice 0: dup of corpus doc 5
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    out = {r["doc_id"]: r["ingest_match"]
+           for r in stream_index_ingest(spark, str(tmp_path)).collect()}
+    assert out == {10: True, 20: True, 30: True, 40: True}
+    sink = spark.read.parquet(
+        f"/root/repo/.tmp/stream/{tmp_path.name}_index_ingest/sink"
+    )
+    survivors = {r["doc_id"] for r in sink.collect()}
+    assert survivors == {10, 30}, survivors
+
+
+def test_stream_index_ingest_fixture_verdict_all_true(spark, sf_small):
+    from pyspark.sql import functions as F
+
+    from java_mapreduce_framework_spark.streaming.jobs import (
+        stream_index_ingest,
+    )
+
+    out = stream_index_ingest(spark, sf_small)
+    agg = out.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("ingest_match").cast("int")).alias("m"),
+    ).collect()[0]
+    assert agg["n"] == agg["m"] > 0
