@@ -2914,3 +2914,82 @@ def corpus_datasheet(documents: DataFrame) -> DataFrame:
             "mean_quality",
         )
     )
+
+
+def t_closeness_audit(
+    documents: DataFrame, t: float = 0.45, bucket: int = KANON_BUCKET
+) -> DataFrame:
+    """t-closeness audit (Li et al. 2007) -- the third rung of the
+    privacy-release ladder after ``k_anonymity_audit`` (group size)
+    and ``l_diversity_audit`` (distinct sensitive values): a group
+    can be large AND diverse yet still leak when its sensitive-value
+    DISTRIBUTION differs sharply from the corpus-wide one (a skewness
+    attack reads the group's tilt directly). For the categorical
+    sensitive attribute the standard distance is total variation:
+
+        t_group = (1/2) * sum over sources |p_group - p_global|
+
+    computed EXACTLY: with integer counts, |cnt_g * N - cnt_all *
+    n_g| is an integer numerator over the common denominator
+    (n_g * N), so the per-group sum is fold-order-free and the
+    division happens once, rounded 6. (Exact while n_g * N < 2^63 --
+    at corpus scales beyond that the numerators switch to DECIMAL;
+    the fixtures are nowhere near.)
+
+    Plan: one partial->final aggregate on (QI tuple, source), one
+    source-marginal aggregate (both alphabet-sized outputs), a
+    QI-cells x sources expansion so ABSENT sources still contribute
+    their |0 - q| mass (the term a naive inner join silently drops),
+    then a grouped integer sum. Same explicit-floor size bracket as
+    the sibling audits, so all three reports join cell-for-cell.
+
+    Emits (lang, size_bucket, group_size, t_closeness, at_risk).
+    The default threshold 0.45 bisects both fixtures' group-tvd
+    range (0.225 .. 0.9, median ~0.5) -- a textbook 0.2 flags EVERY
+    cell and the boolean is vacuous (the embedding_norm_profile
+    non-degeneracy lesson).
+
+    Reference licence: composition target -- chained-jobs model
+    (SURVEY.md section 2A FIFO queue) over the WordCount substrate
+    (src/edu/upenn/cis455/mapreduce/job/WordCount.java:23-52).
+    """
+    size_bucket = F.floor(F.col("n_chars") / bucket).cast("int")
+    gs = (
+        documents.groupBy(
+            "lang", size_bucket.alias("size_bucket"), "source"
+        )
+        .agg(F.count("*").alias("cnt_g"))
+    )
+    glob = documents.groupBy("source").agg(F.count("*").alias("cnt_all"))
+    n_all = documents.agg(F.count("*").alias("n_big"))
+    cells = gs.groupBy("lang", "size_bucket").agg(
+        F.sum("cnt_g").alias("group_size")
+    )
+    expanded = (
+        cells.crossJoin(F.broadcast(glob))
+        .join(gs, ["lang", "size_bucket", "source"], "left")
+        .crossJoin(F.broadcast(n_all))
+        .select(
+            "lang",
+            "size_bucket",
+            "group_size",
+            F.abs(
+                F.coalesce("cnt_g", F.lit(0)) * F.col("n_big")
+                - F.col("cnt_all") * F.col("group_size")
+            ).alias("num"),
+            "n_big",
+        )
+    )
+    tvd = F.round(
+        F.sum("num")
+        / (F.lit(2.0) * F.max("group_size") * F.max("n_big")),
+        6,
+    )
+    return (
+        expanded.groupBy("lang", "size_bucket")
+        .agg(
+            F.max("group_size").alias("group_size"),
+            tvd.alias("t_closeness"),
+        )
+        .withColumn("at_risk", F.col("t_closeness") > t)
+    )

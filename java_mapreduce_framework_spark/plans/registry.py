@@ -6019,6 +6019,52 @@ def _l_diversity_audit(spark, sf):
 
 
 @_register(
+    "t_closeness_audit",
+    f"""
+    WITH base AS (
+      SELECT lang,
+             CAST(floor(n_chars / {text.KANON_BUCKET}.0) AS INTEGER)
+               AS size_bucket,
+             source
+      FROM documents),
+    gs AS (SELECT lang, size_bucket, source, count(*) AS cnt_g
+           FROM base GROUP BY 1, 2, 3),
+    gmarg AS (SELECT source, count(*) AS cnt_all FROM base GROUP BY 1),
+    n AS (SELECT count(*) AS n_big FROM base),
+    cells AS (SELECT lang, size_bucket, sum(cnt_g) AS group_size
+              FROM gs GROUP BY 1, 2),
+    expanded AS (
+      SELECT c.lang, c.size_bucket, c.group_size,
+             abs(coalesce(g.cnt_g, 0) * n.n_big
+                 - gl.cnt_all * c.group_size) AS num,
+             n.n_big
+      FROM cells c
+      CROSS JOIN gmarg gl
+      LEFT JOIN gs g ON g.lang = c.lang AND g.size_bucket = c.size_bucket
+                    AND g.source = gl.source
+      CROSS JOIN n)
+    SELECT lang, size_bucket,
+           CAST(max(group_size) AS BIGINT) AS group_size,
+           round(sum(num) / (CAST(2 AS DOUBLE) * max(group_size)
+                             * max(n_big)), 6) AS t_closeness,
+           round(sum(num) / (CAST(2 AS DOUBLE) * max(group_size)
+                             * max(n_big)), 6) > 0.45 AS at_risk
+    FROM expanded
+    GROUP BY lang, size_bucket
+    """,
+    note="t-closeness audit (Li et al. 2007; third rung after "
+    "k-anonymity and l-diversity): per-QI-cell total-variation "
+    "distance of the sensitive (source) distribution vs the corpus "
+    "marginal, computed EXACTLY over integer cross-products "
+    "(fold-order-free numerator, one division rounded 6); absent "
+    "sources contribute their |0 - q| mass via the cells x sources "
+    "expansion; threshold 0.45 bisects the fixture tvd range",
+)
+def _t_closeness_audit(spark, sf):
+    return text.t_closeness_audit(_t(spark, sf, "documents"))
+
+
+@_register(
     "embedding_standardize",
     """
     WITH e AS (
@@ -8458,6 +8504,7 @@ _FRESH_ROUND7 = frozenset(
         "similarity_ann_ivfpq", "lm_trigram_backoff",
         "survival_kaplan_meier", "dedup_semdedup",
         "embedding_matryoshka_eval", "stream_index_ingest",
+        "t_closeness_audit",
     }
 )
 

@@ -1080,3 +1080,32 @@ def test_ulm_encode_crafted_and_bounds(spark, sf_small):
         | (F.col("n_tokens") > F.col("n_chars"))
     )
     assert bad.count() == 0
+
+
+def test_t_closeness_flags_planted_skew(spark):
+    """A QI cell whose sensitive distribution mirrors the corpus
+    marginal scores ~0; a cell holding ONLY the rare source scores
+    its full tilt; hand-checked tvd values."""
+    from java_mapreduce_framework_spark.operators import text as T
+
+    rows = []
+    # cell A (lang=en, bucket 0): 8 docs, 4 web + 4 book == marginal-ish
+    for i in range(4):
+        rows.append((i, "x", "en", "web", 10))
+        rows.append((10 + i, "x", "en", "book", 10))
+    # cell B (lang=de, bucket 0): 2 docs, only 'book' -- fully tilted
+    rows += [(20, "x", "de", "book", 10), (21, "x", "de", "book", 10)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    out = {(r["lang"], r["size_bucket"]): r
+           for r in T.t_closeness_audit(docs).collect()}
+    # marginal: web 4/10, book 6/10
+    a = out[("en", 0)]
+    assert a["group_size"] == 8
+    # cell A: web 1/2 vs 2/5, book 1/2 vs 3/5 -> tvd = 0.1
+    assert abs(a["t_closeness"] - 0.1) < 1e-9 and not a["at_risk"]
+    b = out[("de", 0)]
+    # cell B: book 1 vs 3/5, web 0 vs 2/5 -> tvd = 0.4
+    assert abs(b["t_closeness"] - 0.4) < 1e-9
