@@ -821,3 +821,130 @@ def test_markov_stationary_is_probability_vector(stream):
         assert abs(pi - v[idx[s]]) < 1e-5
     for s in set(allst) - set(got):
         assert v[idx[s]] < 1e-9  # unreported states carry no mass
+
+
+docs_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["aa", "ab", "abab", "ba", "cd", "dcba", "x"]),
+        min_size=1,
+        max_size=10,
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(docs_strategy)
+def test_ulm_encode_is_lossless_and_bounded(token_lists):
+    """On random small corpora the unigram-LM encode must satisfy the
+    lossless-segmentation bounds for EVERY doc: n_words <= n_tokens
+    <= total word chars (every word segments fully, no token ever
+    spans words)."""
+    from java_mapreduce_framework_spark.operators import text as T
+
+    spark = _spark
+    docs = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(token_lists)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in T.ulm_encode(docs, em_rounds=2).collect()}
+    for i, toks in enumerate(token_lists):
+        r = got[i]
+        assert r["n_words"] == len(toks)
+        assert r["n_words"] <= r["n_tokens"] <= sum(len(t) for t in toks)
+
+
+@settings(max_examples=6, deadline=None)
+@given(docs_strategy)
+def test_lm_trigram_backoff_scores_are_valid_logprobs(token_lists):
+    """Stupid-backoff scores are log-RATIOS of counts <= denominator
+    plus negative discounts, so every per-doc average must be <= 0,
+    and the three branch counters must partition n_scored."""
+    from java_mapreduce_framework_spark.operators import text as T
+
+    spark = _spark
+    docs = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(token_lists)],
+        "doc_id long, text string",
+    )
+    for r in T.lm_trigram_backoff(docs).collect():
+        assert r["avg_logp"] <= 0.0
+        assert (
+            r["n_tri"] + r["n_bi_backoff"] + r["n_uni_backoff"]
+            == r["n_scored"] > 0
+        )
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 40), st.booleans()),
+        min_size=2,
+        max_size=16,
+    )
+)
+def test_kaplan_meier_matches_serial_replay(rows):
+    """KM output must equal a serial numpy-free Python replay of the
+    estimator (same integer micro-nat factors, same censoring rule),
+    and survival must be non-increasing in duration."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from java_mapreduce_framework_spark.operators.analytics import (
+        survival_kaplan_meier,
+    )
+
+    spark = _spark
+    # (user, day-of-last-event, has_early_first) -> synthesize first/last
+    ev = []
+    for i, (u, last_day, early) in enumerate(rows):
+        first = _ts(0) if early else _ts(last_day * 1440)
+        ev.append((2 * i, first, u * 100 + i, "t", 1.0, "{}"))
+        ev.append((2 * i + 1, _ts(last_day * 1440), u * 100 + i, "t", 1.0, "{}"))
+    events = spark.createDataFrame(
+        ev,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = sorted(
+        map(tuple, survival_kaplan_meier(events, censor_days=1).collect())
+    )
+    # serial replay
+    users = {}
+    for _, ts, uid, *_ in ev:
+        lo, hi = users.get(uid, (ts, ts))
+        users[uid] = (min(lo, ts), max(hi, ts))
+    mx = max(hi for _, hi in users.values())
+    per = [
+        (
+            int((hi - lo).total_seconds() // 86400),
+            hi <= mx - datetime.timedelta(days=1),
+        )
+        for lo, hi in users.values()
+    ]
+    durs = sorted({d for d, _ in per})
+    at_risk = len(per)
+    cum = 0
+    wiped = False
+    want = []
+    for d in durs:
+        n_ev = sum(1 for x, o in per if x == d and o)
+        n_cn = sum(1 for x, o in per if x == d and not o)
+        if n_ev >= at_risk:
+            wiped = True
+        elif n_ev:
+            # HALF_UP on the shortest decimal repr -- Python round()
+            # is banker's on the binary value (the repo's documented
+            # test-replay discipline)
+            cum += int(Decimal(repr(
+                (math.log(at_risk - n_ev) - math.log(at_risk)) * 1e6
+            )).quantize(Decimal("1"), ROUND_HALF_UP))
+        s = 0.0 if wiped else float(Decimal(repr(
+            math.exp(cum / 1e6))).quantize(Decimal("0.000001"),
+                                           ROUND_HALF_UP))
+        want.append((d, at_risk, n_ev, n_cn, s))
+        at_risk -= n_ev + n_cn
+    assert got == sorted(want)
+    surv = [s for *_, s in sorted(want)]
+    assert all(a >= b for a, b in zip(surv, surv[1:]))
