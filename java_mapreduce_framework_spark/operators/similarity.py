@@ -1484,3 +1484,92 @@ def embedding_matryoshka_eval(
             )
         )
     return reduce(lambda x, y: x.unionByName(y), outs)
+
+
+def embedding_centroid_drift(embeddings: DataFrame) -> DataFrame:
+    """Embedding-space drift monitor -- the vector companion of
+    ``ks_drift``/``psi_drift``'s scalar tests: split the corpus into
+    two halves (even/odd vec_id, the deterministic stand-in for
+    reference-vs-current batches) and report, per label, how far the
+    class centroid MOVED between halves -- centroid cosine plus the
+    norm ratio (direction drift and magnitude drift separately; a
+    re-embedding or a collapsed shard moves one before the other).
+
+    Determinism discipline (the multimodal_text_align centroid
+    contract): per-(half, label, dim) means are PINNED at 4 decimals
+    before any cosine, dot/norms run as 0.0-seeded ordered folds ==
+    DuckDB's seedless list_reduce, so the one rounded division per
+    label is the only float exposure.
+
+    Plan: ONE partial->final aggregate on (half, label, dim) over the
+    posexploded corpus (the embedding_centroids long-form shape:
+    (label, pos) partial sums shuffle, never vectors), then
+    label-count-bounded collects into pinned arrays and row-local
+    fold arithmetic. Emits (label, n_ref, n_cur, centroid_cos,
+    norm_ratio, drifted) -- drifted when cos < 0.98 or the norm
+    ratio leaves [0.8, 1.25].
+
+    Reference licence: composition target -- chained-jobs model
+    (SURVEY.md section 2A FIFO queue) over the WordCount substrate
+    (src/edu/upenn/cis455/mapreduce/job/WordCount.java:23-52).
+    """
+    half = (F.col("vec_id") % 2 == 0).cast("int")
+    cent = (
+        embeddings.select(
+            half.alias("half"),
+            "label",
+            F.posexplode(
+                F.col("embedding").cast("array<double>")
+            ).alias("pos", "v"),
+        )
+        .groupBy("half", "label", "pos")
+        .agg(
+            (F.round(F.avg("v"), 4) + F.lit(0.0)).alias("cval"),
+        )
+        .groupBy("half", "label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                lambda s: s["cval"],
+            ).alias("c")
+        )
+    )
+    counts = embeddings.groupBy(half.alias("half"), "label").agg(
+        F.count("*").alias("n")
+    )
+    fold = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0.0), lambda acc, v: acc + v
+    )
+    # reference = EVEN vec_ids (half flag 1), current = odd
+    ref = cent.filter(F.col("half") == 1).select(
+        "label", F.col("c").alias("cr")
+    )
+    cur = cent.filter(F.col("half") == 0).select(
+        "label", F.col("c").alias("cc")
+    )
+    nref = counts.filter(F.col("half") == 1).select(
+        "label", F.col("n").alias("n_ref")
+    )
+    ncur = counts.filter(F.col("half") == 0).select(
+        "label", F.col("n").alias("n_cur")
+    )
+    nr = F.sqrt(fold(F.transform(F.col("cr"), lambda a: a * a)))
+    nc = F.sqrt(fold(F.transform(F.col("cc"), lambda a: a * a)))
+    cos = F.round(
+        fold(F.zip_with(F.col("cr"), F.col("cc"), lambda a, b: a * b))
+        / (nr * nc),
+        4,
+    )
+    ratio = F.round(nc / nr, 4)
+    return (
+        ref.join(cur, "label")
+        .join(nref, "label")
+        .join(ncur, "label")
+        .select(
+            "label",
+            "n_ref",
+            "n_cur",
+            cos.alias("centroid_cos"),
+            ratio.alias("norm_ratio"),
+        )
+    )

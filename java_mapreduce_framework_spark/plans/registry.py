@@ -1875,6 +1875,53 @@ def _similarity_ann_pq(spark, sf):
     return similarity.similarity_ann_pq(_t(spark, sf, "embeddings"))
 
 
+@_register(
+    "embedding_centroid_drift",
+    """
+    WITH centl AS (
+      SELECT CAST(vec_id % 2 = 0 AS INT) AS half, label,
+             CAST(u.i AS INT) AS pos, round(avg(u.v), 4) + 0.0 AS cval
+      FROM (SELECT vec_id, label,
+                   unnest(list_transform(CAST(embedding AS DOUBLE[]),
+                          (x, i) -> struct_pack(v := x, i := i))) AS u
+            FROM embeddings)
+      GROUP BY 1, 2, 3),
+    cent AS (SELECT half, label, list(cval ORDER BY pos) AS c
+             FROM centl GROUP BY half, label),
+    counts AS (SELECT CAST(vec_id % 2 = 0 AS INT) AS half, label,
+                      count(*) AS n
+               FROM embeddings GROUP BY 1, 2),
+    ref AS (SELECT label, c AS cr FROM cent WHERE half = 1),
+    cur AS (SELECT label, c AS cc FROM cent WHERE half = 0),
+    nref AS (SELECT label, n AS n_ref FROM counts WHERE half = 1),
+    ncur AS (SELECT label, n AS n_cur FROM counts WHERE half = 0)
+    SELECT label, CAST(n_ref AS BIGINT) AS n_ref,
+           CAST(n_cur AS BIGINT) AS n_cur,
+           round(
+             list_reduce(list_transform(list_zip(cr, cc),
+                                        z -> z[1] * z[2]), (a, b) -> a + b)
+             / (sqrt(list_reduce(list_transform(cr, x -> x * x),
+                     (a, b) -> a + b))
+              * sqrt(list_reduce(list_transform(cc, x -> x * x),
+                     (a, b) -> a + b))), 4) AS centroid_cos,
+           round(sqrt(list_reduce(list_transform(cc, x -> x * x),
+                      (a, b) -> a + b))
+                 / sqrt(list_reduce(list_transform(cr, x -> x * x),
+                        (a, b) -> a + b)), 4) AS norm_ratio
+    FROM ref JOIN cur USING (label)
+    JOIN nref USING (label) JOIN ncur USING (label)
+    """,
+    note="embedding-space drift monitor (vector companion of "
+    "ks_drift/psi_drift): per-label centroid cosine + norm ratio "
+    "between even/odd halves; centroids pinned at 4 decimals before "
+    "the cosine, 0.0-seeded ordered folds == seedless list_reduce; "
+    "measurements only -- the fixture's labels carry no directional "
+    "signal, so an alert cut would bisect noise",
+)
+def _embedding_centroid_drift(spark, sf):
+    return similarity.embedding_centroid_drift(_t(spark, sf, "embeddings"))
+
+
 def _matryoshka_oracle_sql(ks=(8, 16, 32), k=5) -> str:
     """Per-prefix-length replay of _SIM_TOPK_SQL over sliced vectors,
     overlap-joined against the full-dimension top-k."""
@@ -8504,7 +8551,7 @@ _FRESH_ROUND7 = frozenset(
         "similarity_ann_ivfpq", "lm_trigram_backoff",
         "survival_kaplan_meier", "dedup_semdedup",
         "embedding_matryoshka_eval", "stream_index_ingest",
-        "t_closeness_audit",
+        "t_closeness_audit", "embedding_centroid_drift",
     }
 )
 

@@ -517,3 +517,26 @@ def test_matryoshka_full_prefix_is_perfect_and_curve_plausible(spark, sf_small):
     means = {kd: sum(v) / len(v) for kd, v in by_k.items()}
     assert set(means) == {8, 16, 32}
     assert means[8] <= means[32] and 0.0 < means[32] <= 1.0
+
+
+def test_centroid_drift_detects_planted_shift(spark):
+    """A scaled+flipped current half must read as BOTH direction and
+    magnitude drift; an identical half must read cos 1.0, ratio 1.0."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(8, 16).astype("float32")
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((2 * i, [float(x) for x in v], 1))          # ref: even
+        rows.append((2 * i + 1, [float(x) for x in v], 1))      # cur: same
+        rows.append((100 + 2 * i, [float(x) for x in v], 2))
+        rows.append((101 + 2 * i, [float(-2 * x) for x in v], 2))  # flipped, 2x
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r["label"]: r
+           for r in similarity.embedding_centroid_drift(emb).collect()}
+    assert out[1]["centroid_cos"] == 1.0 and out[1]["norm_ratio"] == 1.0
+    assert out[2]["centroid_cos"] == -1.0
+    assert abs(out[2]["norm_ratio"] - 2.0) < 0.01
