@@ -48,7 +48,13 @@ REPLICAS = 10
 
 #: the 15 heaviest batch queries of BENCH_r06 (streaming drains are
 #: rate/file-bounded, not data-plan-bounded, so they are out of scope)
+#: plus the round-7 document-heavy additions (the embeddings table is
+#: a passthrough in this fixture, so embedding-only ops would probe a
+#: constant input and prove nothing)
 QUERIES = [
+    "ulm_encode",
+    "lm_trigram_backoff",
+    "multimodal_text_align",
     "graph_pagerank",
     "dedup_minhash_clusters",
     "ml_naive_bayes_confusion",
