@@ -67,6 +67,10 @@ ALLOWED_NESTED_LOOP = {
     "funnel_time_to_convert",  # 1-row broadcast shard cut bounds (quantile kernel)
     "embedding_norm_profile",  # 1-row broadcast (mu, sd) stats scalar
     "corpus_datasheet",  # three 1-row report frames cross-joined
+    "lm_trigram_backoff",  # 1-row broadcast (N, V) train-marginal scalars
+    "survival_kaplan_meier",  # two 1-row broadcasts: max-ts edge, user total
+    "t_closeness_audit",  # |sources|-row marginal + 1-row corpus total
+    "embedding_matryoshka_eval",  # similarity_topk's broadcast Q x N per prefix
 }
 
 
