@@ -1518,3 +1518,69 @@ def event_markov_stationary(events: DataFrame, rounds: int = 12) -> DataFrame:
         if r % 3 == 2:
             v = v.localCheckpoint()
     return v.select("state", F.round("p", 6).alias("pi"))
+
+
+def dau_wau_mau(events: DataFrame, wau_days: int = 7, mau_days: int = 30) -> DataFrame:
+    """Rolling distinct-user engagement -- the DAU/WAU/MAU triple plus
+    the DAU/MAU stickiness ratio, the flagship product-analytics
+    readout (a rolling DISTINCT is NOT a rolling sum: the same user
+    active twice in a week is one WAU, which is why none of the
+    sliding-sum windows can express this).
+
+    Scale shape: ONE distinct (day, user) aggregate collapses the
+    event stream first (map-side combine; the day-user matrix is the
+    op's true input size), then each active pair fans out to the
+    window anchors it supports via a row-local explode of 0..k-1 day
+    offsets -- fan-out is x7/x30 on DISTINCT pairs, never on raw
+    events -- and one count-distinct per anchor day finishes it.
+    Anchors are restricted to days the corpus actually contains
+    (calendar-bounded output). Days ship as midnight TIMESTAMP (the
+    join_interval_overlap precedent: DATE renders differently across
+    engines).
+
+    Emits (day, dau, wau, mau, stickiness) with stickiness =
+    round(dau / mau, 4).
+
+    Reference licence: composition target -- chained-jobs model
+    (SURVEY.md section 2A FIFO queue) over the WordCount substrate
+    (src/edu/upenn/cis455/mapreduce/job/WordCount.java:23-52).
+    """
+    du = (
+        events.select(
+            F.date_trunc("day", "ts").alias("day"), "user_id"
+        )
+        .distinct()
+        .localCheckpoint()  # feeds dau + two fan-outs + the day spine
+    )
+    days = du.select("day").distinct()
+    dau = du.groupBy("day").agg(F.count_distinct("user_id").alias("dau"))
+
+    def rolling(k: int, name: str) -> DataFrame:
+        fan = du.select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {k - 1}),"
+                    " i -> timestampadd(DAY, i, day))"
+                )
+            ).alias("day"),
+            "user_id",
+        )
+        return (
+            fan.join(days, "day", "left_semi")
+            .groupBy("day")
+            .agg(F.count_distinct("user_id").alias(name))
+        )
+
+    wau = rolling(wau_days, "wau")
+    mau = rolling(mau_days, "mau")
+    return (
+        dau.join(wau, "day")
+        .join(mau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            "mau",
+            F.round(F.col("dau") / F.col("mau"), 4).alias("stickiness"),
+        )
+    )

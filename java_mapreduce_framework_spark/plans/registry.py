@@ -5481,6 +5481,39 @@ def _stats_levene(spark, sf):
 
 
 @_register(
+    "events_dau_wau_mau",
+    """
+    WITH du AS (
+      SELECT DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+                      user_id
+      FROM events),
+    days AS (SELECT DISTINCT day FROM du),
+    dau AS (SELECT day, count(DISTINCT user_id) AS dau
+            FROM du GROUP BY day),
+    wfan AS (SELECT du.day + i * INTERVAL 1 DAY AS day, du.user_id
+             FROM du, range(0, 7) t(i)),
+    wau AS (SELECT f.day, count(DISTINCT f.user_id) AS wau
+            FROM wfan f JOIN days USING (day) GROUP BY f.day),
+    mfan AS (SELECT du.day + i * INTERVAL 1 DAY AS day, du.user_id
+             FROM du, range(0, 30) t(i)),
+    mau AS (SELECT f.day, count(DISTINCT f.user_id) AS mau
+            FROM mfan f JOIN days USING (day) GROUP BY f.day)
+    SELECT day, CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+           CAST(mau AS BIGINT) AS mau,
+           round(dau / mau, 4) AS stickiness
+    FROM dau JOIN wau USING (day) JOIN mau USING (day)
+    """,
+    note="rolling distinct-user engagement (DAU/WAU/MAU + DAU/MAU "
+    "stickiness): a rolling DISTINCT, not a rolling sum -- ONE "
+    "distinct (day, user) collapse first, then x7/x30 fan-out on "
+    "DISTINCT pairs (never raw events) to trailing window anchors, "
+    "one count-distinct per anchor; days ship as midnight TIMESTAMP",
+)
+def _events_dau_wau_mau(spark, sf):
+    return temporal.dau_wau_mau(_t(spark, sf, "events"))
+
+
+@_register(
     "survival_kaplan_meier",
     """
     WITH u AS (
@@ -8552,6 +8585,7 @@ _FRESH_ROUND7 = frozenset(
         "survival_kaplan_meier", "dedup_semdedup",
         "embedding_matryoshka_eval", "stream_index_ingest",
         "t_closeness_audit", "embedding_centroid_drift",
+        "events_dau_wau_mau",
     }
 )
 

@@ -709,3 +709,27 @@ def test_markov_stationary_sums_to_one_and_matches_numpy(spark, sf_small):
         v = v @ P
     for s, i in idx.items():
         assert abs(out[s] - v[i]) < 1e-5
+
+
+def test_dau_wau_mau_hand_case(spark):
+    """Hand-counted rolling distincts: user 1 active days 1+2, user 2
+    day 1 only, user 3 day 9 only — WAU is a DISTINCT (user 1 twice
+    in one window counts once) and day 9's trailing week excludes
+    days 1-2."""
+    from pyspark.sql import functions as F
+
+    from java_mapreduce_framework_spark.operators.temporal import dau_wau_mau
+
+    rows = [
+        (1, "2024-01-01 05:00:00", 1), (2, "2024-01-01 06:00:00", 1),
+        (3, "2024-01-02 05:00:00", 1), (4, "2024-01-01 07:00:00", 2),
+        (5, "2024-01-09 05:00:00", 3),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {str(r["day"])[:10]: (r["dau"], r["wau"], r["mau"], r["stickiness"])
+           for r in dau_wau_mau(ev).collect()}
+    assert out["2024-01-01"] == (2, 2, 2, 1.0)
+    assert out["2024-01-02"] == (1, 2, 2, 0.5)     # users {1,2} in window
+    assert out["2024-01-09"] == (1, 1, 3, round(1 / 3, 4))
