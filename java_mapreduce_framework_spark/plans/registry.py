@@ -8575,8 +8575,23 @@ _RECORDED_ROUND6 = frozenset(
 #: no driver verdict at all (dedup_index_append's round-6 record
 #: describes the rows-only staged-lifecycle output, not the new
 #: SQL-checkable invariant columns; stats_levene / sql_qoq_growth
-#: changed output values per ADVICE), so they outrank even the
-#: never-recorded tier: fresh code is where a surprise is most likely.
+#: changed output values per ADVICE; the other 12 are this round's
+#: new operators), so they outrank even the never-recorded tier:
+#: fresh code is where a surprise is most likely. With 15 FRESH +
+#: the 47 never-recorded SQL-oracle names, the round-7 sweep's 50
+#: slots cover all FRESH plus ~35 of the backlog; the remaining
+#: backlog (and the rows-only tail) lands in round 8.
+_FRESH_ROUND7 = frozenset(
+    {
+        "dedup_index_append", "stats_levene", "sql_qoq_growth",
+        "ulm_train", "ulm_encode", "multimodal_text_align",
+        "similarity_ann_ivfpq", "lm_trigram_backoff",
+        "survival_kaplan_meier", "dedup_semdedup",
+        "embedding_matryoshka_eval", "stream_index_ingest",
+        "t_closeness_audit", "embedding_centroid_drift",
+        "events_dau_wau_mau",
+    }
+)
 _FRESH_ROUND7 = frozenset(
     {
         "dedup_index_append", "stats_levene", "sql_qoq_growth",
