@@ -1584,3 +1584,46 @@ def dau_wau_mau(events: DataFrame, wau_days: int = 7, mau_days: int = 30) -> Dat
             F.round(F.col("dau") / F.col("mau"), 4).alias("stickiness"),
         )
     )
+
+
+def window_ohlc(events: DataFrame) -> DataFrame:
+    """Per-(user, day) OHLC resample of ``value`` -- the candle the
+    metrics/finance world downsamples any tick stream into (open =
+    first reading of the day, close = last, high/low = extremes);
+    the order-sensitive companion of ``window_twap``'s time-weighted
+    mean.
+
+    Open/close are pinned by the total order (ts, event_id) -- same-
+    timestamp ties break on event_id, the repo's standard tiebreak,
+    so both engines pick the same reading. ONE exchange on (user_id,
+    day): both rank windows and the final aggregate share it; high/
+    low/count are plain aggregates on the same pass. Days ship as
+    midnight TIMESTAMP (the join_interval_overlap precedent).
+
+    Emits (user_id, day, open, high, low, close, n_readings).
+
+    Reference licence: composition target -- chained-jobs model
+    (SURVEY.md section 2A FIFO queue) over the WordCount substrate
+    (src/edu/upenn/cis455/mapreduce/job/WordCount.java:23-52).
+    """
+    day = F.date_trunc("day", "ts")
+    w_asc = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    w_desc = Window.partitionBy("user_id", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = events.select(
+        "user_id", day.alias("day"), "ts", "event_id", "value"
+    ).select(
+        "user_id",
+        "day",
+        "value",
+        F.row_number().over(w_asc).alias("r_open"),
+        F.row_number().over(w_desc).alias("r_close"),
+    )
+    return ranked.groupBy("user_id", "day").agg(
+        F.max(F.when(F.col("r_open") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("r_close") == 1, F.col("value"))).alias("close"),
+        F.count("*").alias("n_readings"),
+    )

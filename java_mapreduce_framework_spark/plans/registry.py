@@ -5481,6 +5481,36 @@ def _stats_levene(spark, sf):
 
 
 @_register(
+    "window_ohlc",
+    """
+    WITH r AS (
+      SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+             value,
+             row_number() OVER (
+               PARTITION BY user_id, date_trunc('day', CAST(ts AS TIMESTAMP))
+               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS r_open,
+             row_number() OVER (
+               PARTITION BY user_id, date_trunc('day', CAST(ts AS TIMESTAMP))
+               ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS r_close
+      FROM events)
+    SELECT user_id, day,
+           max(CASE WHEN r_open = 1 THEN value END) AS open,
+           max(value) AS high, min(value) AS low,
+           max(CASE WHEN r_close = 1 THEN value END) AS close,
+           count(*) AS n_readings
+    FROM r GROUP BY user_id, day
+    """,
+    note="per-(user, day) OHLC candle resample -- order-sensitive "
+    "companion of window_twap: open/close pinned by the (ts, "
+    "event_id) total order, one (user, day) exchange shared by both "
+    "rank windows and the final aggregate; days as midnight "
+    "TIMESTAMP",
+)
+def _window_ohlc(spark, sf):
+    return temporal.window_ohlc(_t(spark, sf, "events"))
+
+
+@_register(
     "events_dau_wau_mau",
     """
     WITH du AS (
@@ -8589,7 +8619,7 @@ _FRESH_ROUND7 = frozenset(
         "survival_kaplan_meier", "dedup_semdedup",
         "embedding_matryoshka_eval", "stream_index_ingest",
         "t_closeness_audit", "embedding_centroid_drift",
-        "events_dau_wau_mau",
+        "events_dau_wau_mau", "window_ohlc",
     }
 )
 _FRESH_ROUND7 = frozenset(
@@ -8600,7 +8630,7 @@ _FRESH_ROUND7 = frozenset(
         "survival_kaplan_meier", "dedup_semdedup",
         "embedding_matryoshka_eval", "stream_index_ingest",
         "t_closeness_audit", "embedding_centroid_drift",
-        "events_dau_wau_mau",
+        "events_dau_wau_mau", "window_ohlc",
     }
 )
 

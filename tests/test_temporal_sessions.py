@@ -733,3 +733,26 @@ def test_dau_wau_mau_hand_case(spark):
     assert out["2024-01-01"] == (2, 2, 2, 1.0)
     assert out["2024-01-02"] == (1, 2, 2, 0.5)     # users {1,2} in window
     assert out["2024-01-09"] == (1, 1, 3, round(1 / 3, 4))
+
+
+def test_window_ohlc_hand_case_with_timestamp_ties(spark):
+    """Hand-checked candle including a same-timestamp tie: event_id
+    breaks it, so the open is the LOWER id's reading."""
+    from pyspark.sql import functions as F
+
+    from java_mapreduce_framework_spark.operators.temporal import window_ohlc
+
+    rows = [
+        (2, "2024-01-01 09:00:00", 1, 5.0),   # tie on ts: id 1 < 2
+        (1, "2024-01-01 09:00:00", 1, 3.0),
+        (3, "2024-01-01 15:00:00", 1, 9.0),
+        (4, "2024-01-02 08:00:00", 1, 7.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {str(r["day"])[:10]: (r["open"], r["high"], r["low"], r["close"],
+                                r["n_readings"])
+           for r in window_ohlc(ev).collect()}
+    assert out["2024-01-01"] == (3.0, 9.0, 3.0, 9.0, 3)
+    assert out["2024-01-02"] == (7.0, 7.0, 7.0, 7.0, 1)
