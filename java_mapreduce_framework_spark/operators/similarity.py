@@ -803,7 +803,11 @@ def embedding_standardize(embeddings: DataFrame) -> DataFrame:
     (x - mu[i]) / sd[i] element-wise. A constant dimension (sd = 0)
     standardizes to NULL rather than Inf on both engines.
 
-    Emits (vec_id, std_embedding array<double> rounded 6).
+    Emits the LONG form (vec_id, dim, std_value rounded 6) — scalar
+    columns only, so the result is sortable/hashable by any
+    canonicalizer (an array<double> output column crashes pandas
+    ``sort_values``; wide consumers pivot back with
+    ``array_agg(std_value ORDER BY dim)``).
     """
     e = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
@@ -825,8 +829,9 @@ def embedding_standardize(embeddings: DataFrame) -> DataFrame:
             6,
         ),
     )
-    return e.join(F.broadcast(stats)).select(
-        "vec_id", std.alias("std_embedding")
+    return (
+        e.join(F.broadcast(stats))
+        .select("vec_id", F.posexplode(std).alias("dim", "std_value"))
     )
 
 
@@ -1505,9 +1510,11 @@ def embedding_centroid_drift(embeddings: DataFrame) -> DataFrame:
     posexploded corpus (the embedding_centroids long-form shape:
     (label, pos) partial sums shuffle, never vectors), then
     label-count-bounded collects into pinned arrays and row-local
-    fold arithmetic. Emits (label, n_ref, n_cur, centroid_cos,
-    norm_ratio, drifted) -- drifted when cos < 0.98 or the norm
-    ratio leaves [0.8, 1.25].
+    fold arithmetic. Emits the measurements only -- (label, n_ref,
+    n_cur, centroid_cos, norm_ratio); thresholding (e.g. alert when
+    cos < 0.98 or the norm ratio leaves [0.8, 1.25]) is the
+    caller's policy, kept out of the contract so the oracle compares
+    pure arithmetic.
 
     Reference licence: composition target -- chained-jobs model
     (SURVEY.md section 2A FIFO queue) over the WordCount substrate

@@ -6188,14 +6188,15 @@ def _t_closeness_audit(spark, sf):
       SELECT dim, avg(v) AS mu, stddev_pop(v) AS sd FROM u GROUP BY dim
     )
     SELECT vec_id,
-           list(round(CASE WHEN sd <> 0 THEN (v - mu) / sd END, 6)
-                ORDER BY dim) AS std_embedding
+           dim - 1 AS dim,
+           round(CASE WHEN sd <> 0 THEN (v - mu) / sd END, 6) AS std_value
     FROM u JOIN s USING (dim)
-    GROUP BY vec_id
     """,
     note="column-wise z-score: per-dim partial->final stats collapse "
     "to one broadcast array row; constant dims standardize to NULL "
-    "not Inf on both engines",
+    "not Inf on both engines; LONG output (vec_id, dim, std_value) so "
+    "every column is scalar -- an array<double> result column crashes "
+    "a raw-column sort_values canonicalizer (driver ERR r07)",
 )
 def _embedding_standardize(spark, sf):
     return similarity.embedding_standardize(_t(spark, sf, "embeddings"))
@@ -8601,36 +8602,51 @@ _RECORDED_ROUND6 = frozenset(
 )
 
 
-#: New or semantically MODIFIED in round 7 -- their current form has
-#: no driver verdict at all (dedup_index_append's round-6 record
-#: describes the rows-only staged-lifecycle output, not the new
-#: SQL-checkable invariant columns; stats_levene / sql_qoq_growth
-#: changed output values per ADVICE; the other 12 are this round's
-#: new operators), so they outrank even the never-recorded tier:
-#: fresh code is where a surprise is most likely. With 15 FRESH +
-#: the 47 never-recorded SQL-oracle names, the round-7 sweep's 50
-#: slots cover all FRESH plus ~35 of the backlog; the remaining
-#: backlog (and the rows-only tail) lands in round 8.
-_FRESH_ROUND7 = frozenset(
+#: Names recorded by the round-7 sweep (CORRECTNESS_r07.json): the
+#: round-7 fresh tier plus 33 drawn from the never-recorded backlog.
+#: embedding_standardize is deliberately NOT here — its r07 row is a
+#: canonicalizer ERR, not a verdict, and its output schema changed
+#: this round, so it re-enters the FRESH tier below.
+_RECORDED_ROUND7 = frozenset(
     {
-        "dedup_index_append", "stats_levene", "sql_qoq_growth",
-        "ulm_train", "ulm_encode", "multimodal_text_align",
-        "similarity_ann_ivfpq", "lm_trigram_backoff",
-        "survival_kaplan_meier", "dedup_semdedup",
-        "embedding_matryoshka_eval", "stream_index_ingest",
-        "t_closeness_audit", "embedding_centroid_drift",
-        "events_dau_wau_mau", "window_ohlc",
+        "ab_test_ztest", "attribution_linear", "chunk_dedup",
+        "corpus_mix_temperature", "curriculum_order",
+        "customer_rfm_segments", "dedup_cluster_keep_best",
+        "dedup_index_append", "dedup_semdedup",
+        "dedup_sorted_neighborhood", "dedup_tfidf_cosine",
+        "embedding_centroid_drift", "embedding_knn_graph",
+        "embedding_matryoshka_eval", "equidepth_histogram",
+        "event_paths_topk", "events_dau_wau_mau", "graph_label_propagation",
+        "graph_pagerank", "graph_triangle_count", "interval_merge",
+        "jobapi_reduce_side_join", "join_asof_nearest",
+        "k_anonymity_audit", "lm_trigram_backoff",
+        "ml_naive_bayes_confusion", "ml_naive_bayes_train",
+        "multimodal_image_ahash", "multimodal_text_align",
+        "similarity_ann_ivfpq", "snapshot_diff", "split_by_cluster",
+        "sql_lateral_top_orders", "sql_qoq_growth",
+        "sql_recursive_month_spine", "stats_bootstrap_ci", "stats_levene",
+        "stats_moments", "stream_index_ingest", "survival_kaplan_meier",
+        "t_closeness_audit", "time_resample_gapfill",
+        "train_shuffle_shard", "trend_regression", "ulm_encode",
+        "ulm_train", "weighted_sample_es", "window_ohlc",
+        "winsorize_stats",
     }
 )
-_FRESH_ROUND7 = frozenset(
+
+
+#: New or semantically MODIFIED in round 8 -- their current form has
+#: no driver verdict at all (embedding_standardize's only driver
+#: contact was the r07 canonicalizer ERR, and this round changed its
+#: output to the scalar-only long form; the rest are this round's
+#: new operators), so they outrank even the never-recorded tier:
+#: fresh code is where a surprise is most likely. With this FRESH
+#: tier plus the 27-name never-recorded backlog (all ml_*,
+#: similarity_ann_pq, sql_udf/udaf/udtf, ... — VERDICT r07 "What's
+#: missing" #1), the round-8 sweep's 50 slots cover BOTH in full,
+#: which would make the cumulative driver record complete.
+_FRESH_ROUND8 = frozenset(
     {
-        "dedup_index_append", "stats_levene", "sql_qoq_growth",
-        "ulm_train", "ulm_encode", "multimodal_text_align",
-        "similarity_ann_ivfpq", "lm_trigram_backoff",
-        "survival_kaplan_meier", "dedup_semdedup",
-        "embedding_matryoshka_eval", "stream_index_ingest",
-        "t_closeness_audit", "embedding_centroid_drift",
-        "events_dau_wau_mau", "window_ohlc",
+        "embedding_standardize",
     }
 )
 
@@ -8639,8 +8655,10 @@ def _record_staleness(name: str) -> int:
     """-1 = new/modified this round (very front of the sweep), 0 =
     never officially recorded, then the round whose sweep last
     recorded the name (lower = staler verdict)."""
-    if name in _FRESH_ROUND7:
+    if name in _FRESH_ROUND8:
         return -1
+    if name in _RECORDED_ROUND7:
+        return 7
     if name in _RECORDED_ROUND6:
         return 6
     if name in _RECORDED_ROUND5:

@@ -61,6 +61,20 @@ def compare(name: str, spark, sf_dir: str) -> tuple[bool, str]:
     sdf = spec.fn(spark, sf_dir).toPandas()
     if spec.oracle is None:
         return True, f"rows-only: {len(sdf)} rows"
+    # Driver-canon compatibility guard: the driver canonicalizes by
+    # pandas sort_values over the RAW columns (CORRECTNESS_r07 shows
+    # its exact traceback), so an array/map/struct-valued result
+    # column crashes it with "unhashable type: numpy.ndarray" even
+    # when the math is right. Reproduce that sort here so the local
+    # replica fails the same way the driver would, BEFORE our
+    # stringify-then-sort hash can mask the incompatibility.
+    try:
+        sdf.sort_values(by=sorted(sdf.columns))
+    except TypeError as e:
+        return False, (
+            f"driver-canon incompatible (raw sort_values raised "
+            f"{type(e).__name__}: {e}); emit scalar columns only"
+        )
     odf = duckdb_run(spec.oracle, sf_dir)
     if sorted(sdf.columns) != sorted(odf.columns):
         return False, f"schema mismatch: spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"

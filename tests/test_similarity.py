@@ -300,18 +300,21 @@ def test_embedding_standardize_zero_mean_unit_var_and_constant_dim(spark):
         (4, [4.0, 10.0, 1.0]),
     ]
     emb = spark.createDataFrame(vecs, ["vec_id", "embedding"])
-    out = {r["vec_id"]: r["std_embedding"]
-           for r in embedding_standardize(emb).collect()}
+    rows = embedding_standardize(emb).collect()
+    # long form: (vec_id, dim, std_value) scalar columns only —
+    # 4 vectors x 3 dims = 12 rows
+    assert len(rows) == 12
+    out = {(r["vec_id"], r["dim"]): r["std_value"] for r in rows}
     # constant dim 1 -> NULL everywhere
-    assert all(out[v][1] is None for v in out)
+    assert all(out[(v, 1)] is None for v in (1, 2, 3, 4))
     for dim in (0, 2):
-        col = [out[v][dim] for v in sorted(out)]
+        col = [out[(v, dim)] for v in (1, 2, 3, 4)]
         mean = sum(col) / len(col)
         var = sum((x - mean) ** 2 for x in col) / len(col)
         assert abs(mean) < 1e-6
         assert abs(math.sqrt(var) - 1.0) < 1e-4
     # z-scores of an arithmetic progression are symmetric
-    assert abs(out[1][0] + out[4][0]) < 1e-6
+    assert abs(out[(1, 0)] + out[(4, 0)]) < 1e-6
 
 
 def test_pq_quantize_codes_and_reconstruction(spark, sf_small):

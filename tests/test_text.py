@@ -1109,3 +1109,28 @@ def test_t_closeness_flags_planted_skew(spark):
     b = out[("de", 0)]
     # cell B: book 1 vs 3/5, web 0 vs 2/5 -> tvd = 0.4
     assert abs(b["t_closeness"] - 0.4) < 1e-9
+
+
+def test_ulm_oracle_horizon_covers_fixture_words(spark, sf_small, sf_medium):
+    """The generated ULM oracle unrolls Viterbi positions only up to
+    ``registry._ULM_MAXLEN``; a fixture word longer than that would
+    silently drop out of the ORACLE's best-path union (the engine
+    handles any length) and surface only as an opaque sweep hash
+    mismatch. Fail loudly here instead if a fixture regeneration ever
+    ships a longer word at either oracle-gate scale."""
+    import pyspark.sql.functions as F
+
+    from java_mapreduce_framework_spark.functions.text import words_exploded
+    from java_mapreduce_framework_spark.plans.registry import _ULM_MAXLEN
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    for sf in (sf_small, sf_medium):
+        docs = load_table(spark, sf, "documents")
+        longest = words_exploded(docs).agg(
+            F.max(F.length("word")).alias("m")
+        ).collect()[0]["m"]
+        assert longest <= _ULM_MAXLEN, (
+            f"{sf}: longest fixture word is {longest} chars but the "
+            f"generated ULM oracle's DP horizon is {_ULM_MAXLEN}; "
+            f"raise _ULM_MAXLEN (registry) so the oracle stays valid"
+        )
