@@ -1634,3 +1634,177 @@ def survival_kaplan_meier(
         "n_censored",
         surv.alias("survival"),
     )
+
+
+def kruskal_wallis(events: DataFrame) -> DataFrame:
+    """Kruskal-Wallis H test of ``value`` across ALL event types --
+    the rank-based (distribution-free) sibling of ``anova_oneway``,
+    and the k-group generalization of ``mannwhitney_utest``: does the
+    metric's *distribution* differ across the type alphabet when
+    normality can't be assumed?
+
+    Rank discipline (the mannwhitney contract): NULL values dropped
+    BEFORE grouping, the pooled rank table lives on the DISTINCT
+    value alphabet (one (value, type) count collapse first -- nothing
+    after the first aggregate scales with events), and tied ranks are
+    carried DOUBLED as exact integers (avg rank = cum_before +
+    (cnt+1)/2, so 2*avg is always integral). The per-group term
+    sum(R2_g^2 / n_g) is rounded to an integer micro-unit BEFORE the
+    k-term fold: every summand is exact, so the fold is
+    order-insensitive on both engines. Tie correction applied from
+    exact sum(t^3 - t). The cut is chi2_{0.95, k-1}, DERIVED from
+    k_groups via the stats_levene table (Wilson-Hilferty beyond it).
+
+    Plan: one combinable (type, value) aggregate, a cumulative-count
+    window over the pooled VALUE alphabet, one alphabet-sized
+    aggregate -- a 100 TB corpus shuffles only its distinct (type,
+    value) pairs.
+
+    Emits ONE row: (k_groups, n_total, h_stat, chi2_crit, reject).
+
+    Reference licence: composition target -- chained-jobs model
+    (SURVEY.md §2A FIFO queue) over the WordCount substrate
+    (src/edu/upenn/cis455/mapreduce/job/WordCount.java:23-52).
+    """
+    vg = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy("event_type", "value")
+        .agg(F.count("*").alias("cnt"))
+    )
+    vtot = vg.groupBy("value").agg(F.sum("cnt").alias("cnt_v"))
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vtot.select(
+        "value",
+        "cnt_v",
+        (
+            2 * F.coalesce(F.sum("cnt_v").over(w), F.lit(0))
+            + F.col("cnt_v")
+            + 1
+        ).alias("rank2"),
+    )
+    per_group = (
+        vg.join(ranked.select("value", "rank2"), "value")
+        .groupBy("event_type")
+        .agg(
+            F.sum("cnt").alias("n_g"),
+            F.sum(F.col("cnt") * F.col("rank2")).alias("r2_g"),
+        )
+    )
+    # term_g = round(R2_g^2 / n_g): R2_g exact bigint -> identical
+    # double on both engines; rounded to an exact integer so the
+    # k-term sum is fold-order-free
+    terms = per_group.select(
+        "n_g",
+        F.round(
+            F.col("r2_g").cast("double")
+            * F.col("r2_g").cast("double")
+            / F.col("n_g"),
+            0,
+        )
+        .cast("long")
+        .alias("term"),
+    )
+    ties = vtot.agg(
+        F.sum(
+            F.col("cnt_v") * F.col("cnt_v") * F.col("cnt_v") - F.col("cnt_v")
+        ).alias("tie_sum")
+    )
+    agg = terms.agg(
+        F.count("*").alias("k_groups"),
+        F.sum("n_g").alias("n_total"),
+        F.sum("term").alias("s_terms"),
+    ).join(F.broadcast(ties))
+    n = F.col("n_total")
+    # H = 12/(N(N+1)) * sum(R_g^2/n_g) - 3(N+1); with doubled ranks
+    # R2 = 2R the first factor becomes 3/(N(N+1))
+    h_raw = (
+        F.lit(3.0) * F.col("s_terms") / (n * (n + 1)) - 3 * (n + 1)
+    )
+    # N^3 in double (an exact bigint cube overflows past N ~ 2e6)
+    n_d = n.cast("double")
+    correction = F.lit(1.0) - F.col("tie_sum") / (n_d * n_d * n_d - n_d)
+    h_stat = F.round(h_raw / correction, 4)
+    df1 = F.col("k_groups") - F.lit(1)
+    exact = F.element_at(
+        F.create_map(
+            *[
+                F.lit(x)
+                for pair in [
+                    (1, 3.8415), (2, 5.9915), (3, 7.8147), (4, 9.4877),
+                    (5, 11.0705), (6, 12.5916), (7, 14.0671), (8, 15.5073),
+                    (9, 16.9190), (10, 18.3070), (11, 19.6751), (12, 21.0261),
+                ]
+                for x in pair
+            ]
+        ),
+        df1.cast("int"),
+    )
+    # Wilson-Hilferty beyond the table: chi2 ~ df*(1 - 2/(9df) + z*sqrt(2/(9df)))^3
+    wh = df1 * F.pow(
+        F.lit(1.0)
+        - F.lit(2.0) / (F.lit(9.0) * df1)
+        + F.lit(1.6448536) * F.sqrt(F.lit(2.0) / (F.lit(9.0) * df1)),
+        F.lit(3.0),
+    )
+    crit = F.round(F.coalesce(exact, wh), 4)
+    return agg.select(
+        F.col("k_groups").cast("int").alias("k_groups"),
+        "n_total",
+        h_stat.alias("h_stat"),
+        crit.alias("chi2_crit"),
+        (h_stat >= crit).alias("reject"),
+    )
+
+
+def hhi_concentration(events: DataFrame) -> DataFrame:
+    """Herfindahl-Hirschman concentration of per-user activity within
+    each event type -- the "is this metric driven by a few whales?"
+    audit every usage dashboard needs before trusting a mean (HHI =
+    sum of squared user shares; 1/HHI is the effective number of
+    contributing users).
+
+    Integer-exact construction: shares are never materialized --
+    HHI = sum(cnt_u^2) / total^2, where both numerator and
+    denominator are exact BIGINTs from one (type, user) count
+    collapse, so the only float exposure is the final division
+    (rounded 6) on both engines. A fold of per-user double shares
+    would be order-dependent; this is not.
+
+    Plan: one combinable (type, user) aggregate, then an alphabet-
+    sized rollup. Two keyed shuffles, both on small keys; nothing
+    driver-side.
+
+    Emits (event_type, n_users, n_events, hhi, effective_users)
+    where effective_users = round(total^2 / sum(cnt^2), 4).
+
+    Reference licence: grouped double-aggregation -- the reference's
+    map -> shuffle -> grouped-reduce core applied twice (SURVEY.md
+    §2A rows 4,7,8).
+    """
+    per_user = events.groupBy("event_type", "user_id").agg(
+        F.count("*").alias("cnt")
+    )
+    return (
+        per_user.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("cnt").alias("n_events"),
+            F.sum(F.col("cnt") * F.col("cnt")).alias("sq"),
+        )
+        .select(
+            "event_type",
+            "n_users",
+            "n_events",
+            F.round(
+                F.col("sq")
+                / (F.col("n_events").cast("double") * F.col("n_events")),
+                6,
+            ).alias("hhi"),
+            F.round(
+                F.col("n_events").cast("double")
+                * F.col("n_events")
+                / F.col("sq"),
+                4,
+            ).alias("effective_users"),
+        )
+    )

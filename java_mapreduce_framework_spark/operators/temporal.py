@@ -1627,3 +1627,201 @@ def window_ohlc(events: DataFrame) -> DataFrame:
         F.max(F.when(F.col("r_close") == 1, F.col("value"))).alias("close"),
         F.count("*").alias("n_readings"),
     )
+
+
+def window_bollinger(events: DataFrame, n: int = 24, k: int = 2) -> DataFrame:
+    """Per-user Bollinger bands over the reading stream -- the rolling
+    mean +/- ``k`` sigma envelope (middle/upper/lower) that turns
+    ``hourly_anomaly_zscore``'s batch z-test into a per-reading
+    online band, the standard "is this point unusual vs its own
+    recent history" monitor.
+
+    Exactness discipline (the window_cusum contract): DuckDB windows
+    aggregate doubles via a segment tree while Spark folds the frame
+    in order, so double window-sums are NOT cross-engine stable. The
+    fixture's values are cents-exact; the rolling sum and sum of
+    squares therefore run on BIGINT cents (sum cnt^2 bounded by
+    n * (5e7)^2 ~ 6e16 at the fixture's 490.02 max -- inside int64),
+    and mean/stddev come out of the two exact integers row-locally:
+    var = (n*ssq - s^2) / (n*(n-1)), one division + sqrt per row,
+    identical IEEE ops on identical inputs on both engines.
+
+    Plan: ONE user_id exchange, one sort serves both rolling frames
+    (rows between n-1 preceding and current); rows with fewer than
+    ``n`` trailing readings emit NULL bands (warm-up, flagged by
+    n_window). State per partition is the n-row frame -- at 100 TB
+    the exchange carries (user, ts, cents), nothing wider.
+
+    Emits (user_id, event_id, ts, value, mid, upper, lower,
+    n_window).
+
+    Reference licence: sort-within-key + grouped fold (SURVEY.md
+    §2A rows 4,6,7 -- the secondary-sort contract).
+    """
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(n - 1), 0)
+    )
+    base = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.count("*").over(w).alias("n_window"),
+        F.sum(cents).over(w).alias("s"),
+        F.sum(cents * cents).over(w).alias("ssq"),
+    )
+    nn = F.col("n_window")
+    var_c = (
+        (nn * F.col("ssq") - F.col("s") * F.col("s")).cast("double")
+        / (nn * (nn - 1))
+    )
+    sd_c = F.sqrt(F.greatest(var_c, F.lit(0.0)))
+    # band values scaled to 1e-4 dollars and rounded to an INTEGER:
+    # s/2400 lands on exact .5-at-digit-5 decimals whenever 3 | s, and
+    # round(double, 4) on such boundaries splits engines (Spark
+    # rounds the shortest decimal repr half-up, DuckDB the binary
+    # value) -- integer-boundary rounding is the one case where both
+    # rules provably agree (X.5 is always exactly representable)
+    mean4 = F.col("s") * F.lit(100.0) / nn
+    spread4 = F.lit(100.0 * k) * sd_c
+    full = nn >= n
+    return base.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.when(full, F.round(mean4).cast("long") / F.lit(1e4)).alias("mid"),
+        F.when(
+            full, F.round(mean4 + spread4).cast("long") / F.lit(1e4)
+        ).alias("upper"),
+        F.when(
+            full, F.round(mean4 - spread4).cast("long") / F.lit(1e4)
+        ).alias("lower"),
+        nn.cast("int").alias("n_window"),
+    )
+
+
+def seasonal_dow_decompose(events: DataFrame) -> DataFrame:
+    """Weekly-seasonality decomposition of the daily event-count
+    series: each day's count splits into the day-of-week seasonal
+    mean and an additive residual -- the first-pass STL stand-in that
+    answers "is Monday always like this, or is THIS Monday weird?"
+    (hourly_anomaly_zscore's calendar-seasonal sibling; residuals
+    feed any downstream outlier rule).
+
+    Exact arithmetic: daily counts and per-dow sums are integers, so
+    dow_mean = sum/n_days is the single float division (rounded 4)
+    and residual = count - dow_mean derives from it identically on
+    both engines. Day-of-week alignment pinned to 0 = Sunday (Spark
+    dayofweek is 1-based Sunday, DuckDB 0-based -- the time_heatmap
+    convention).
+
+    Plan: one day collapse (365 rows/year however big the corpus),
+    one 7-row dow aggregate broadcast back. Nothing after the first
+    partial->final count scales with events.
+
+    Emits (day, dow, n_events, dow_mean, residual).
+
+    Reference licence: grouped double-aggregation (SURVEY.md §2A
+    rows 4,7,8).
+    """
+    daily = events.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").alias("n_events")
+    )
+    dowc = daily.withColumn("dow", F.dayofweek("day") - 1)
+    seas = dowc.groupBy("dow").agg(
+        F.sum("n_events").alias("s"), F.count("*").alias("n_days")
+    )
+    return (
+        dowc.join(F.broadcast(seas), "dow")
+        .select(
+            "day",
+            "dow",
+            "n_events",
+            F.round(F.col("s") / F.col("n_days"), 4).alias("dow_mean"),
+            F.round(
+                F.col("n_events") - F.col("s") / F.col("n_days"), 4
+            ).alias("residual"),
+        )
+    )
+
+
+def attribution_position_based(events: DataFrame) -> DataFrame:
+    """Position-based (U-shaped 40/20/40) multi-touch attribution --
+    the third member of the attribution family: first and last touch
+    before a purchase each earn 40% of the credit, the middle touches
+    split the remaining 20% evenly (1-touch segments keep 100%,
+    2-touch segments 50/50). The industry-standard compromise between
+    ``attribution_last_touch`` (recency-biased) and
+    ``attribution_linear`` (position-blind).
+
+    Credit is integer PARTS-PER-MILLION: 400000 to the edges, the
+    middle share round(200000 / (n-2)) -- from exact integers, so the
+    per-channel fold is an exact BIGINT sum, order-free on both
+    engines (a fold of double credit fractions would not be); one
+    division at the end converts to credit units (rounded 4).
+
+    Plan: attribution_linear's two-window construction (running
+    purchase count segments each user's stream; ONE user_id exchange
+    serves both windows) plus a touch-rank row_number over the same
+    sort order, then the per-channel rollup.
+
+    Emits (attributed_type, n_touches, total_credit).
+
+    Reference licence: composition target -- chained-jobs model
+    (SURVEY.md §2A FIFO queue) with the secondary-sort contract
+    (rows 4,6,7).
+    """
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seg = F.count(
+        F.when(F.col("event_type") == "purchase", F.lit(1))
+    ).over(w_prev)
+    staged = events.select(
+        "event_id", "user_id", "ts", "event_type", seg.alias("seg")
+    )
+    w_seg = Window.partitionBy("user_id", "seg")
+    n_touch = F.count(
+        F.when(F.col("event_type") != "purchase", F.lit(1))
+    ).over(w_seg)
+    closed = F.max(
+        F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(F.lit(0))
+    ).over(w_seg)
+    touches = (
+        staged.select(
+            "user_id",
+            "seg",
+            "ts",
+            "event_id",
+            "event_type",
+            n_touch.alias("n_touch"),
+            closed.alias("closed"),
+        )
+        .filter((F.col("event_type") != "purchase") & (F.col("closed") == 1))
+    )
+    w_pos = Window.partitionBy("user_id", "seg").orderBy("ts", "event_id")
+    pos = touches.withColumn("pos", F.row_number().over(w_pos))
+    nt = F.col("n_touch")
+    edge = (F.col("pos") == 1) | (F.col("pos") == nt)
+    ppm = (
+        F.when(nt == 1, F.lit(1000000))
+        .when(nt == 2, F.lit(500000))
+        .when(edge, F.lit(400000))
+        .otherwise(F.round(F.lit(200000.0) / (nt - 2)).cast("long"))
+    )
+    return (
+        pos.select(
+            F.col("event_type").alias("attributed_type"), ppm.alias("ppm")
+        )
+        .groupBy("attributed_type")
+        .agg(
+            F.count("*").alias("n_touches"),
+            F.round(F.sum("ppm") / F.lit(1e6), 4).alias("total_credit"),
+        )
+    )

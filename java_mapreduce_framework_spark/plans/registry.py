@@ -8434,6 +8434,224 @@ def _window_ewma(spark, sf):
     return temporal.window_ewma(_t(spark, sf, "events"))
 
 
+@_register(
+    "stats_kruskal_wallis",
+    f"""
+    WITH vg AS (
+      SELECT event_type, value, count(*) AS cnt
+      FROM {_EVTS} WHERE value IS NOT NULL
+      GROUP BY event_type, value),
+    vtot AS (SELECT value, sum(cnt) AS cnt_v FROM vg GROUP BY value),
+    ranked AS (
+      SELECT value, cnt_v,
+             2 * coalesce(sum(cnt_v) OVER (
+               ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + cnt_v + 1 AS rank2
+      FROM vtot),
+    pg AS (
+      SELECT event_type, sum(cnt) AS n_g, sum(cnt * rank2) AS r2_g
+      FROM vg JOIN ranked USING (value)
+      GROUP BY event_type),
+    terms AS (
+      SELECT n_g,
+             CAST(round(CAST(r2_g AS DOUBLE) * CAST(r2_g AS DOUBLE)
+                        / n_g) AS BIGINT) AS term
+      FROM pg),
+    ties AS (
+      SELECT sum(cnt_v * cnt_v * cnt_v - cnt_v) AS tie_sum FROM vtot),
+    agg AS (
+      SELECT count(*) AS k_groups, sum(n_g) AS n_total,
+             sum(term) AS s_terms
+      FROM terms),
+    st AS (
+      SELECT k_groups, n_total, s_terms, tie_sum,
+             k_groups - 1 AS df1,
+             CAST(n_total AS DOUBLE) AS n_d
+      FROM agg, ties)
+    SELECT CAST(k_groups AS INTEGER) AS k_groups,
+           CAST(n_total AS BIGINT) AS n_total,
+           round((3.0 * s_terms / (n_total * (n_total + 1))
+                  - 3 * (n_total + 1))
+                 / (1.0 - tie_sum / (n_d * n_d * n_d - n_d)), 4) AS h_stat,
+           round(coalesce(
+             CASE df1 WHEN 1 THEN 3.8415 WHEN 2 THEN 5.9915
+                      WHEN 3 THEN 7.8147 WHEN 4 THEN 9.4877
+                      WHEN 5 THEN 11.0705 WHEN 6 THEN 12.5916
+                      WHEN 7 THEN 14.0671 WHEN 8 THEN 15.5073
+                      WHEN 9 THEN 16.9190 WHEN 10 THEN 18.3070
+                      WHEN 11 THEN 19.6751 WHEN 12 THEN 21.0261 END,
+             df1 * pow(1.0 - 2.0 / (9.0 * df1)
+                       + 1.6448536 * sqrt(2.0 / (9.0 * df1)), 3.0)), 4)
+             AS chi2_crit,
+           round((3.0 * s_terms / (n_total * (n_total + 1))
+                  - 3 * (n_total + 1))
+                 / (1.0 - tie_sum / (n_d * n_d * n_d - n_d)), 4)
+           >= round(coalesce(
+             CASE df1 WHEN 1 THEN 3.8415 WHEN 2 THEN 5.9915
+                      WHEN 3 THEN 7.8147 WHEN 4 THEN 9.4877
+                      WHEN 5 THEN 11.0705 WHEN 6 THEN 12.5916
+                      WHEN 7 THEN 14.0671 WHEN 8 THEN 15.5073
+                      WHEN 9 THEN 16.9190 WHEN 10 THEN 18.3070
+                      WHEN 11 THEN 19.6751 WHEN 12 THEN 21.0261 END,
+             df1 * pow(1.0 - 2.0 / (9.0 * df1)
+                       + 1.6448536 * sqrt(2.0 / (9.0 * df1)), 3.0)), 4)
+             AS reject
+    FROM st
+    """,
+    note="rank-based k-group test (anova's distribution-free "
+    "sibling): doubled tied ranks on the distinct value alphabet "
+    "(mannwhitney contract), per-group terms rounded to exact "
+    "integers BEFORE the k-term fold so the sum is order-free, tie "
+    "correction from exact sum(t^3-t); chi2 crit derived from "
+    "k_groups (stats_levene table, Wilson-Hilferty beyond)",
+)
+def _stats_kruskal_wallis(spark, sf):
+    return analytics.kruskal_wallis(_t(spark, sf, "events"))
+
+
+@_register(
+    "events_hhi_concentration",
+    f"""
+    WITH pu AS (
+      SELECT event_type, user_id, count(*) AS cnt
+      FROM {_EVTS} GROUP BY 1, 2),
+    a AS (
+      SELECT event_type, count(*) AS n_users, sum(cnt) AS n_events,
+             sum(cnt * cnt) AS sq
+      FROM pu GROUP BY 1)
+    SELECT event_type, CAST(n_users AS BIGINT) AS n_users,
+           CAST(n_events AS BIGINT) AS n_events,
+           round(sq / (CAST(n_events AS DOUBLE) * n_events), 6) AS hhi,
+           round(CAST(n_events AS DOUBLE) * n_events / sq, 4)
+             AS effective_users
+    FROM a
+    """,
+    note="whale-concentration audit (HHI + effective user count) "
+    "per event type: shares never materialize -- sum(cnt^2)/total^2 "
+    "from two exact BIGINTs, one rounded division per row, no "
+    "order-dependent double fold",
+)
+def _events_hhi_concentration(spark, sf):
+    return analytics.hhi_concentration(_t(spark, sf, "events"))
+
+
+@_register(
+    "window_bollinger",
+    f"""
+    WITH c AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM {_EVTS}),
+    w AS (
+      SELECT user_id, event_id, ts, value,
+             count(*) OVER fr AS n_window,
+             sum(cents) OVER fr AS s,
+             sum(cents * cents) OVER fr AS ssq
+      FROM c
+      WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+    SELECT user_id, event_id, ts, value,
+           CASE WHEN n_window >= 24 THEN
+             CAST(round(s * 100.0 / n_window) AS BIGINT) / 1e4 END AS mid,
+           CASE WHEN n_window >= 24 THEN
+             CAST(round(s * 100.0 / n_window
+                    + 200.0 * sqrt(greatest(
+                        CAST(n_window * ssq - s * s AS DOUBLE)
+                        / (n_window * (n_window - 1)), 0.0)))
+                  AS BIGINT) / 1e4 END AS upper,
+           CASE WHEN n_window >= 24 THEN
+             CAST(round(s * 100.0 / n_window
+                    - 200.0 * sqrt(greatest(
+                        CAST(n_window * ssq - s * s AS DOUBLE)
+                        / (n_window * (n_window - 1)), 0.0)))
+                  AS BIGINT) / 1e4 END AS lower,
+           CAST(n_window AS INTEGER) AS n_window
+    FROM w
+    """,
+    note="per-user rolling mean +/- 2 sigma bands, 24-reading frame: "
+    "rolling sum and sum-of-squares on BIGINT cents (DuckDB window "
+    "doubles sum via segment tree -- the window_cusum lesson), "
+    "mean/stddev derived row-locally from the two exact integers; "
+    "bands rounded at INTEGER 1e-4-dollar scale (s/2400 lands on "
+    ".5-at-digit-5 boundaries where round(double,4) splits engines); "
+    "warm-up rows (< 24 readings) emit NULL bands",
+)
+def _window_bollinger(spark, sf):
+    return temporal.window_bollinger(_t(spark, sf, "events"))
+
+
+@_register(
+    "seasonal_dow_decompose",
+    f"""
+    WITH daily AS (
+      SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+             count(*) AS n_events
+      FROM {_EVTS} GROUP BY 1),
+    d2 AS (SELECT day, dayofweek(day) AS dow, n_events FROM daily),
+    seas AS (SELECT dow, sum(n_events) AS s, count(*) AS n_days
+             FROM d2 GROUP BY 1)
+    SELECT day, CAST(dow AS INTEGER) AS dow,
+           CAST(n_events AS BIGINT) AS n_events,
+           round(s * 1.0 / n_days, 4) AS dow_mean,
+           round(n_events - s * 1.0 / n_days, 4) AS residual
+    FROM d2 JOIN seas USING (dow)
+    """,
+    note="weekly-seasonality decomposition of the daily count "
+    "series: day collapse (365 rows/year), 7-row dow mean broadcast "
+    "back, additive residual; dow pinned 0 = Sunday (Spark is "
+    "1-based -- the time_heatmap convention); the one float division "
+    "is integer/integer rounded 4",
+)
+def _seasonal_dow_decompose(spark, sf):
+    return temporal.seasonal_dow_decompose(_t(spark, sf, "events"))
+
+
+@_register(
+    "attribution_position_based",
+    f"""
+    WITH staged AS (
+      SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+             count(CASE WHEN event_type = 'purchase' THEN 1 END) OVER (
+               PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS seg
+      FROM {_EVTS}),
+    segd AS (
+      SELECT user_id, seg, event_id, ts, event_type,
+             count(CASE WHEN event_type <> 'purchase' THEN 1 END) OVER (
+               PARTITION BY user_id, seg) AS n_touch,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id, seg) AS closed
+      FROM staged),
+    touches AS (
+      SELECT event_type, n_touch,
+             row_number() OVER (
+               PARTITION BY user_id, seg ORDER BY ts, event_id) AS pos
+      FROM segd
+      WHERE event_type <> 'purchase' AND closed = 1),
+    cr AS (
+      SELECT event_type,
+             CASE WHEN n_touch = 1 THEN 1000000
+                  WHEN n_touch = 2 THEN 500000
+                  WHEN pos = 1 OR pos = n_touch THEN 400000
+                  ELSE CAST(round(200000.0 / (n_touch - 2)) AS BIGINT)
+             END AS ppm
+      FROM touches)
+    SELECT event_type AS attributed_type,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           round(sum(ppm) / 1e6, 4) AS total_credit
+    FROM cr GROUP BY 1
+    """,
+    note="U-shaped 40/20/40 multi-touch attribution "
+    "(attribution_linear's position-aware sibling): same two-window "
+    "segment construction plus a touch-rank row_number on the same "
+    "sort; credit carried as integer ppm so the per-channel fold is "
+    "an exact BIGINT sum, one division at the end",
+)
+def _attribution_position_based(spark, sf):
+    return temporal.attribution_position_based(_t(spark, sf, "events"))
+
+
 # ---------------------------------------------- registration priority
 
 #: Queries whose oracle verdicts are already on record in
@@ -8647,6 +8865,11 @@ _RECORDED_ROUND7 = frozenset(
 _FRESH_ROUND8 = frozenset(
     {
         "embedding_standardize",
+        "stats_kruskal_wallis",
+        "events_hhi_concentration",
+        "window_bollinger",
+        "seasonal_dow_decompose",
+        "attribution_position_based",
     }
 )
 

@@ -1070,3 +1070,70 @@ def test_customer_reorder_stats_hand_case(spark):
     assert r["n_orders"] == 3 and r["n_gaps"] == 2
     assert r["mean_gap_days"] == 20.0
     assert r["min_gap_days"] == 10 and r["max_gap_days"] == 30
+
+
+def test_kruskal_wallis_matches_scipy_free_reference(spark):
+    """Hand-checkable H: three groups with a planted shift and ties,
+    verified against a literal average-rank computation of H with tie
+    correction (the scipy.stats.kruskal formula)."""
+    from java_mapreduce_framework_spark.operators import analytics
+
+    groups = {"a": [1.0, 2.0, 3.0], "b": [2.0, 4.0, 6.0],
+              "c": [10.0, 11.0, 12.0]}
+    rows, eid = [], 0
+    for g, vals in groups.items():
+        for v in vals:
+            rows.append((eid, "2024-01-01 00:00:00", eid, g, v, "{}"))
+            eid += 1
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = analytics.kruskal_wallis(events).collect()[0]
+    # literal reference: pooled average ranks with ties
+    pooled = sorted(v for vals in groups.values() for v in vals)
+    import collections
+    cnt = collections.Counter(pooled)
+    rank = {}
+    before = 0
+    for v in sorted(cnt):
+        rank[v] = before + (cnt[v] + 1) / 2
+        before += cnt[v]
+    n = len(pooled)
+    s = sum(
+        sum(rank[v] for v in vals) ** 2 / len(vals)
+        for vals in groups.values()
+    )
+    h = 12.0 * s / (n * (n + 1)) - 3 * (n + 1)
+    c = 1.0 - sum(t**3 - t for t in cnt.values()) / (n**3 - n)
+    assert r["k_groups"] == 3 and r["n_total"] == 9
+    assert abs(r["h_stat"] - h / c) < 2e-4
+    # df=2 -> chi2 crit 5.9915; planted shift is large enough to reject
+    assert r["chi2_crit"] == 5.9915
+    assert r["reject"] == (r["h_stat"] >= r["chi2_crit"])
+
+
+def test_hhi_concentration_extremes(spark):
+    """Monopoly -> HHI 1.0 / effective 1; perfect split across 4
+    users -> HHI 0.25 / effective 4."""
+    from java_mapreduce_framework_spark.operators import analytics
+
+    rows, eid = [], 0
+    for _ in range(6):  # one whale owns all 'mono' events
+        rows.append((eid, "2024-01-01 00:00:00", 1, "mono", 1.0, "{}"))
+        eid += 1
+    for u in range(4):  # 2 events each across 4 users
+        for _ in range(2):
+            rows.append((eid, "2024-01-01 00:00:00", u, "flat", 1.0, "{}"))
+            eid += 1
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r["event_type"]: r for r in
+           analytics.hhi_concentration(events).collect()}
+    assert out["mono"]["hhi"] == 1.0 and out["mono"]["effective_users"] == 1.0
+    assert out["flat"]["hhi"] == 0.25 and out["flat"]["effective_users"] == 4.0
+    assert out["flat"]["n_users"] == 4 and out["flat"]["n_events"] == 8

@@ -756,3 +756,89 @@ def test_window_ohlc_hand_case_with_timestamp_ties(spark):
            for r in window_ohlc(ev).collect()}
     assert out["2024-01-01"] == (3.0, 9.0, 3.0, 9.0, 3)
     assert out["2024-01-02"] == (7.0, 7.0, 7.0, 7.0, 1)
+
+
+def test_window_bollinger_constant_and_warmup(spark):
+    """A constant 24-reading stream has sigma 0 (all bands equal the
+    value); the first 23 rows are warm-up NULLs; a 25th outlier
+    reading moves the mean by (outlier - dropped)/24 exactly."""
+    from java_mapreduce_framework_spark.operators import temporal
+
+    rows = [
+        (i, f"2024-01-01 00:{i:02d}:00", 1, "r", 10.0, "{}")
+        for i in range(24)
+    ]
+    rows.append((24, "2024-01-01 00:24:00", 1, "r", 34.0, "{}"))
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r["event_id"]: r for r in
+           temporal.window_bollinger(events).collect()}
+    assert out[0]["mid"] is None and out[22]["upper"] is None
+    assert out[22]["n_window"] == 23
+    r23 = out[23]
+    assert r23["mid"] == 10.0 and r23["upper"] == 10.0 and r23["lower"] == 10.0
+    r24 = out[24]  # window now 23x10 + 1x34 -> mean 11.0
+    assert r24["mid"] == 11.0
+    assert r24["upper"] > 11.0 and r24["lower"] < 11.0
+    # symmetric bands around the mid at 1e-4 resolution
+    assert abs((r24["upper"] + r24["lower"]) / 2 - r24["mid"]) <= 1e-4
+
+
+def test_seasonal_dow_decompose_planted_weekly_pattern(spark):
+    """Two Mondays with different counts: dow_mean is their average
+    and residuals are symmetric; dow is 0-based Sunday."""
+    from java_mapreduce_framework_spark.operators import temporal
+
+    rows, eid = [], 0
+    # 2024-01-01 and 2024-01-08 are Mondays (dow 1); 4 and 8 events
+    for n, day in ((4, "2024-01-01"), (8, "2024-01-08")):
+        for _ in range(n):
+            rows.append((eid, f"{day} 12:00:00", 1, "x", 1.0, "{}"))
+            eid += 1
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {str(r["day"])[:10]: r for r in
+           temporal.seasonal_dow_decompose(events).collect()}
+    a, b = out["2024-01-01"], out["2024-01-08"]
+    assert a["dow"] == 1 and b["dow"] == 1
+    assert a["dow_mean"] == 6.0 and b["dow_mean"] == 6.0
+    assert a["residual"] == -2.0 and b["residual"] == 2.0
+
+
+def test_attribution_position_based_u_shape(spark):
+    """4 touches then a purchase: edges earn 0.4 each, the two
+    middles 0.1 each; a single-touch segment earns the full 1.0;
+    trailing touches after the last purchase earn nothing."""
+    from java_mapreduce_framework_spark.operators import temporal
+
+    rows = [
+        # user 1: view, click, view, click, purchase
+        (0, "2024-01-01 00:00:00", 1, "view", 1.0, "{}"),
+        (1, "2024-01-01 00:01:00", 1, "click", 1.0, "{}"),
+        (2, "2024-01-01 00:02:00", 1, "view", 1.0, "{}"),
+        (3, "2024-01-01 00:03:00", 1, "click", 1.0, "{}"),
+        (4, "2024-01-01 00:04:00", 1, "purchase", 1.0, "{}"),
+        # user 2: single touch -> full credit; then an uncredited tail
+        (5, "2024-01-02 00:00:00", 2, "view", 1.0, "{}"),
+        (6, "2024-01-02 00:01:00", 2, "purchase", 1.0, "{}"),
+        (7, "2024-01-02 00:02:00", 2, "click", 1.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r["attributed_type"]: r for r in
+           temporal.attribution_position_based(events).collect()}
+    # user 1: view first (0.4) + view middle (0.1); click middle (0.1)
+    # + click last (0.4); user 2: view single (1.0)
+    assert out["view"]["total_credit"] == 1.5
+    assert out["click"]["total_credit"] == 0.5
+    assert out["view"]["n_touches"] == 3  # trailing click uncredited
+    assert out["click"]["n_touches"] == 2
