@@ -1808,3 +1808,100 @@ def hhi_concentration(events: DataFrame) -> DataFrame:
             ).alias("effective_users"),
         )
     )
+
+
+def quantile_sketch(events: DataFrame, bins: int = 256) -> DataFrame:
+    """Mergeable fixed-bin quantile sketch per event type -- the
+    deterministic stand-in for t-digest/KLL in the sketch family
+    (next to ``sketch_hll_mergeable`` and ``sketch_countmin_topk``):
+    per-partition histograms over a common [min, max] grid merge
+    associatively (the partial->final aggregate IS the sketch merge),
+    and quantiles read off the merged counts by linear interpolation
+    inside the straddling bin. Unlike ``approx_percentile_stats``
+    (Spark's opaque sketch, rows-only check) this sketch's estimate
+    is exactly reproducible in SQL, so it carries a full hash oracle.
+
+    Determinism: bin ids come from floor((v - lo) * bins / (hi - lo))
+    on exact per-type min/max (no arithmetic on lo/hi, both are data
+    values); counts and cumulative counts are exact integers; the
+    interpolation reads only integers plus lo/width. Identical IEEE
+    expressions on identical operands on both engines, rounded once.
+
+    Plan: one per-type (lo, hi, n) aggregate broadcast back (alphabet
+    -sized), one (type, bin) count collapse, a cumulative window over
+    each type's <= ``bins`` rows, and a 3-quantile fan-out on the
+    straddling bins only. Nothing after the first aggregate scales
+    with events.
+
+    Emits (event_type, n_events, q, est).
+
+    Reference licence: grouped double-aggregation + sorted groups
+    (SURVEY.md §2A rows 4,6,7,8).
+    """
+    stats = events.filter(F.col("value").isNotNull()).groupBy(
+        "event_type"
+    ).agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.count("*").alias("n"),
+    )
+    binned = (
+        events.filter(F.col("value").isNotNull())
+        .join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "lo",
+            "hi",
+            "n",
+            F.when(F.col("hi") == F.col("lo"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.floor(
+                        (F.col("value") - F.col("lo"))
+                        * bins
+                        / (F.col("hi") - F.col("lo"))
+                    ),
+                    F.lit(bins - 1),
+                )
+            )
+            .cast("int")
+            .alias("bin"),
+        )
+        .groupBy("event_type", "lo", "hi", "n", "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = binned.withColumn("cum", F.sum("cnt").over(w))
+    qs = F.explode(
+        F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99))
+    ).alias("q")
+    fan = cum.select("*", qs).withColumn(
+        "target", F.ceil(F.col("q") * F.col("n"))
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(bins))
+    est = F.round(
+        F.col("lo")
+        + width
+        * (
+            F.col("bin")
+            + (F.col("target") - (F.col("cum") - F.col("cnt")))
+            / F.col("cnt")
+        ),
+        6,
+    )
+    return (
+        fan.filter(
+            (F.col("cum") >= F.col("target"))
+            & (F.col("cum") - F.col("cnt") < F.col("target"))
+        )
+        .select(
+            "event_type",
+            F.col("n").alias("n_events"),
+            "q",
+            est.alias("est"),
+        )
+    )

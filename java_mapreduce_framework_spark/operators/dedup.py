@@ -2326,3 +2326,67 @@ def dedup_semdedup(
             "dup_of",
         )
     )
+
+
+def adamic_adar(pairs: DataFrame) -> DataFrame:
+    """Adamic-Adar link prediction over the near-dup / co-purchase
+    graph -- ``common_neighbors``' frequency-weighted upgrade (Adamic
+    & Adar 2003; the strongest of the classic local similarity
+    indices in Liben-Nowell & Kleinberg's study): a shared neighbor
+    is evidence in inverse proportion to how promiscuous it is,
+    AA(a,b) = sum over w in N(a) & N(b) of 1 / ln(deg(w)).
+
+    Exactness: each hub's credit is the integer micro-nat
+    round(1e6 / ln(deg)) -- the ULM/IM cost discipline: the one
+    transcendental is rounded to an exact integer BEFORE any
+    aggregation, so the per-pair sum is an order-free BIGINT fold on
+    both engines. deg(hub) >= 2 whenever a wedge exists, so ln is
+    never 0.
+
+    Plan: the common_neighbors kernel with the hub's degree joined
+    onto the symmetrized edge list before the wedge self-join (a
+    node-keyed join, no adjacency arrays); wedge fan-out bounded by
+    deg(hub)^2; existing edges dropped by keyed anti-join.
+
+    Emits (doc_a, doc_b, common_neighbors, aa_mnat) for non-adjacent
+    pairs, doc_a < doc_b.
+
+    Reference licence: composition target -- chained-jobs model
+    (SURVEY.md §2A FIFO queue) over the WordCount substrate
+    (src/edu/upenn/cis455/mapreduce/job/WordCount.java:23-52).
+    """
+    pairs = pairs.localCheckpoint()
+    e = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+        )
+        .localCheckpoint()
+    )
+    # deg-1 hubs cannot host a wedge AND would divide by ln(1) = 0:
+    # filter them before the credit expression (also prunes their
+    # edges out of the wedge self-join)
+    degs = (
+        e.groupBy(F.col("a").alias("hub"))
+        .agg(F.count("*").alias("deg"))
+        .filter(F.col("deg") >= 2)
+    )
+    credit = F.round(F.lit(1e6) / F.log(F.col("deg").cast("double"))).cast(
+        "long"
+    )
+    eh = e.select(F.col("a").alias("hub"), "b").join(
+        degs.select("hub", credit.alias("mnat")), "hub"
+    )
+    wedges = (
+        eh.select("hub", F.col("b").alias("doc_a"), "mnat")
+        .join(eh.select("hub", F.col("b").alias("doc_b")), "hub")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count("*").alias("common_neighbors"),
+            F.sum("mnat").alias("aa_mnat"),
+        )
+    )
+    return wedges.join(
+        pairs.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti"
+    ).select("doc_a", "doc_b", "common_neighbors", "aa_mnat")

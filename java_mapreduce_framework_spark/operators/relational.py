@@ -1586,3 +1586,81 @@ def customer_reorder_stats(orders: DataFrame, min_orders: int = 3) -> DataFrame:
         )
         .filter(F.col("n_orders") >= min_orders)
     )
+
+
+def cdc_merge_upsert(orders: DataFrame, cut: str = "1998-01-01") -> DataFrame:
+    """MERGE INTO semantics over a snapshot + changelog -- the full
+    upsert/delete application ``cdc_latest_wins`` (pure latest-wins,
+    no base table, no deletes) stops short of: a target state keyed
+    by customer absorbs a change batch where each change either
+    UPSERTS the customer's record or DELETES it, latest change wins.
+
+    Deterministic split of the fixture: the target is each customer's
+    latest order BEFORE ``cut``; orders on/after the cut form the
+    changelog, a final-status ('F') order meaning account closure
+    (op 'D'), anything else an upsert (op 'U') carrying the new
+    record.
+
+    Plan: both the base state and the latest pending change per key
+    come from ``max_by`` over a (date, key) ordering struct -- the
+    groupby_argmax discipline, partial->final aggregates with no
+    window sort -- followed by ONE full-outer keyed join and a
+    row-local CASE: change absent -> keep base; 'D' -> drop; 'U' ->
+    replace-or-insert. At 100 TB the changelog is a fraction of the
+    base and the join shuffles only (key, one record) per side; a
+    production deployment pairs this kernel with partition-pruned
+    rewrites (see cdc_latest_wins's note).
+
+    Emits the post-merge state (o_custkey, o_orderkey, o_totalprice,
+    o_orderdate, src) where src tags 'base' kept rows vs 'change'
+    applied upserts.
+
+    Reference licence: reduce-side join + grouped fold (SURVEY.md
+    §2A rows 3,4,7,8).
+    """
+    rec = F.struct("o_orderdate", "o_orderkey", "o_totalprice", "o_orderstatus")
+    key = F.struct("o_orderdate", "o_orderkey")
+    base = (
+        orders.filter(F.col("o_orderdate") < F.lit(cut))
+        .groupBy("o_custkey")
+        .agg(F.max_by(rec, key).alias("r"))
+        .select(
+            "o_custkey",
+            F.col("r.o_orderkey").alias("b_orderkey"),
+            F.col("r.o_totalprice").alias("b_totalprice"),
+            F.col("r.o_orderdate").alias("b_orderdate"),
+        )
+    )
+    latest_change = (
+        orders.filter(F.col("o_orderdate") >= F.lit(cut))
+        .groupBy("o_custkey")
+        .agg(F.max_by(rec, key).alias("r"))
+        .select(
+            "o_custkey",
+            F.when(F.col("r.o_orderstatus") == "F", F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            F.col("r.o_orderkey").alias("c_orderkey"),
+            F.col("r.o_totalprice").alias("c_totalprice"),
+            F.col("r.o_orderdate").alias("c_orderdate"),
+        )
+    )
+    merged = base.join(latest_change, "o_custkey", "full_outer")
+    return (
+        merged.filter((F.col("op").isNull()) | (F.col("op") == "U"))
+        .select(
+            "o_custkey",
+            F.when(F.col("op") == "U", F.col("c_orderkey"))
+            .otherwise(F.col("b_orderkey"))
+            .alias("o_orderkey"),
+            F.when(F.col("op") == "U", F.col("c_totalprice"))
+            .otherwise(F.col("b_totalprice"))
+            .alias("o_totalprice"),
+            F.when(F.col("op") == "U", F.col("c_orderdate"))
+            .otherwise(F.col("b_orderdate"))
+            .alias("o_orderdate"),
+            F.when(F.col("op") == "U", F.lit("change"))
+            .otherwise(F.lit("base"))
+            .alias("src"),
+        )
+    )

@@ -2993,3 +2993,75 @@ def t_closeness_audit(
         )
         .withColumn("at_risk", F.col("t_closeness") > t)
     )
+
+
+def lm_kneser_ney_bigram(
+    documents: DataFrame, discount: float = 0.75, top_k: int = 200
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (Kneser & Ney
+    1995; Chen & Goodman 1999's benchmark winner) for the corpus's
+    top bigrams -- the smoothing the add-k ladder (``lm_bigram_score``)
+    is an approximation of: the backoff mass goes to words by how
+    many CONTEXTS they complete (continuation count), not raw
+    frequency, which is what stops "Francisco" absorbing probability
+    outside "San Francisco".
+
+        P_kn(w2|w1) = max(c(w1 w2) - D, 0) / c(w1·)
+                      + (D * N1+(w1 ·) / c(w1·)) * (N1+(· w2) / B)
+
+    with D = ``discount``, N1+ the distinct-continuation counts and B
+    the number of distinct bigram types.
+
+    Exactness: every input to the formula is an exact integer count
+    (bigram counts, left/right continuation counts, type total), so
+    both engines evaluate the same IEEE expression on identical
+    operands; the result rounds once at 6. Emits the top ``top_k``
+    bigrams by (count DESC, w1, w2) -- deterministic tie order.
+
+    Plan: the bigram stream is the row-local array-zip expression
+    (lm_bigram_score's kernel, no self-join); one (w1,w2) count
+    collapse feeds the left-marginal, right-continuation and
+    type-total aggregates; two keyed joins onto vocabulary-sized
+    tables + one 1-row broadcast; TakeOrdered cuts top_k before any
+    output sort. Nothing after the first aggregate scales with the
+    corpus.
+
+    Reference licence: WordCount substrate
+    (src/edu/upenn/cis455/mapreduce/job/WordCount.java:23-52) +
+    chained-jobs model (SURVEY.md §2A FIFO queue).
+    """
+    toks = tokens_col("text")
+    big = (
+        documents.select(toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(toks[i - 1] AS w1, toks[i] AS w2))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    left = c2.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count("*").alias("n_after")
+    )
+    right = c2.groupBy("w2").agg(F.count("*").alias("n_before"))
+    btypes = c2.agg(F.count("*").alias("b"))
+    d = F.lit(discount)
+    pkn = F.round(
+        F.greatest(F.col("c12") - d, F.lit(0.0)) / F.col("c1")
+        + (d * F.col("n_after") / F.col("c1"))
+        * (F.col("n_before") / F.col("b")),
+        6,
+    )
+    return (
+        c2.join(left, "w1")
+        .join(right, "w2")
+        .join(F.broadcast(btypes))
+        .select("w1", "w2", "c12", pkn.alias("pkn"))
+        .orderBy(F.col("c12").desc(), "w1", "w2")
+        .limit(top_k)
+    )

@@ -8652,6 +8652,173 @@ def _attribution_position_based(spark, sf):
     return temporal.attribution_position_based(_t(spark, sf, "events"))
 
 
+@_register(
+    "graph_adamic_adar",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    cooc AS (
+      SELECT a.l_partkey AS doc_a, b.l_partkey AS doc_b
+      FROM op a
+      JOIN op b ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM cooc
+              UNION ALL SELECT doc_b, doc_a FROM cooc),
+    degs AS (
+      SELECT a AS hub,
+             CAST(round(1e6 / ln(count(*))) AS BIGINT) AS mnat
+      FROM edges GROUP BY a
+      HAVING count(*) >= 2),
+    eh AS (SELECT e.a AS hub, e.b, d.mnat
+           FROM edges e JOIN degs d ON d.hub = e.a),
+    wedge AS (
+      SELECT e1.b AS doc_a, e2.b AS doc_b,
+             count(*) AS common, sum(e1.mnat) AS aa
+      FROM eh e1 JOIN eh e2 ON e1.hub = e2.hub AND e1.b < e2.b
+      GROUP BY 1, 2),
+    cand AS (
+      SELECT w.* FROM wedge w
+      LEFT JOIN cooc p ON p.doc_a = w.doc_a AND p.doc_b = w.doc_b
+      WHERE p.doc_a IS NULL)
+    SELECT doc_a AS part_a, doc_b AS part_b,
+           CAST(common AS BIGINT) AS common_neighbors,
+           CAST(aa AS BIGINT) AS aa_mnat
+    FROM cand
+    """,
+    note="Adamic-Adar link prediction over the co-purchase graph "
+    "(common_neighbors' frequency-weighted upgrade): hub credit is "
+    "the integer micro-nat round(1e6/ln(deg)) -- the one "
+    "transcendental rounded to an exact integer BEFORE the per-pair "
+    "fold, so the sum is order-free; wedge fan-out bounded by "
+    "deg(hub)^2, existing edges dropped by keyed anti-join",
+)
+def _graph_adamic_adar(spark, sf):
+    return dedup.adamic_adar(_copurchase_pairs(spark, sf)).select(
+        F.col("doc_a").alias("part_a"),
+        F.col("doc_b").alias("part_b"),
+        "common_neighbors",
+        "aa_mnat",
+    )
+
+
+@_register(
+    "lm_kneser_ney_bigram",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    big AS (
+      SELECT unnest(t[1:len(t) - 1]) AS w1, unnest(t[2:len(t)]) AS w2
+      FROM toks WHERE len(t) >= 2),
+    c2 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2),
+    lft AS (SELECT w1, sum(c12) AS c1, count(*) AS n_after
+            FROM c2 GROUP BY w1),
+    rgt AS (SELECT w2, count(*) AS n_before FROM c2 GROUP BY w2),
+    bt AS (SELECT count(*) AS b FROM c2)
+    SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+           round(greatest(c12 - 0.75, 0.0) / c1
+                 + (0.75 * n_after / c1) * (n_before / b), 6) AS pkn
+    FROM c2 JOIN lft USING (w1) JOIN rgt USING (w2), bt
+    ORDER BY c12 DESC, w1, w2 LIMIT 200
+    """,
+    note="interpolated Kneser-Ney bigram probabilities (top 200 "
+    "bigrams): backoff mass by continuation counts, not frequency; "
+    "every formula input is an exact integer so both engines "
+    "evaluate identical IEEE expressions, rounded once at 6; "
+    "deterministic (count DESC, w1, w2) tie order",
+)
+def _lm_kneser_ney_bigram(spark, sf):
+    return text.lm_kneser_ney_bigram(_t(spark, sf, "documents"))
+
+
+@_register(
+    "cdc_merge_upsert",
+    """
+    WITH rb AS (
+      SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+    base AS (
+      SELECT o_custkey, o_orderkey AS b_orderkey,
+             o_totalprice AS b_totalprice, o_orderdate AS b_orderdate
+      FROM rb WHERE rn = 1),
+    rc AS (
+      SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate,
+             o_orderstatus,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'),
+    chg AS (
+      SELECT o_custkey,
+             CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+             o_orderkey AS c_orderkey, o_totalprice AS c_totalprice,
+             o_orderdate AS c_orderdate
+      FROM rc WHERE rn = 1)
+    SELECT o_custkey,
+           CASE WHEN op = 'U' THEN c_orderkey ELSE b_orderkey END
+             AS o_orderkey,
+           CASE WHEN op = 'U' THEN c_totalprice ELSE b_totalprice END
+             AS o_totalprice,
+           CASE WHEN op = 'U' THEN c_orderdate ELSE b_orderdate END
+             AS o_orderdate,
+           CASE WHEN op = 'U' THEN 'change' ELSE 'base' END AS src
+    FROM base FULL OUTER JOIN chg USING (o_custkey)
+    WHERE op IS NULL OR op = 'U'
+    """,
+    note="MERGE INTO semantics (upsert + delete + latest-wins) over "
+    "a snapshot/changelog split of orders at 1998-01-01: base state "
+    "and latest pending change both via max_by ordering structs "
+    "(groupby_argmax discipline, no window sort), one full-outer "
+    "keyed join, row-local CASE application; 'F' changes close the "
+    "account (delete), others replace-or-insert",
+)
+def _cdc_merge_upsert(spark, sf):
+    return relational.cdc_merge_upsert(_t(spark, sf, "orders"))
+
+
+@_register(
+    "sketch_quantile_mergeable",
+    f"""
+    WITH ev AS (SELECT event_type, value FROM {_EVTS}
+                WHERE value IS NOT NULL),
+    stats AS (
+      SELECT event_type, min(value) AS lo, max(value) AS hi,
+             count(*) AS n
+      FROM ev GROUP BY 1),
+    binned AS (
+      SELECT event_type, lo, hi, n,
+             CAST(CASE WHEN hi = lo THEN 0
+                  ELSE least(floor((value - lo) * 256 / (hi - lo)), 255)
+                  END AS INTEGER) AS bin,
+             count(*) AS cnt
+      FROM ev JOIN stats USING (event_type)
+      GROUP BY 1, 2, 3, 4, 5),
+    cum AS (
+      SELECT *, sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM binned),
+    fan AS (
+      SELECT cum.*, qq.q, ceil(qq.q * n) AS target
+      FROM cum CROSS JOIN (
+        SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.95 AS DOUBLE),
+                       CAST(0.99 AS DOUBLE)]) AS q) qq)
+    SELECT event_type, CAST(n AS BIGINT) AS n_events, q,
+           round(lo + ((hi - lo) / 256.0)
+                 * (bin + (target - (cum - cnt)) / cnt), 6) AS est
+    FROM fan
+    WHERE cum >= target AND cum - cnt < target
+    """,
+    note="mergeable fixed-bin quantile sketch (deterministic "
+    "t-digest/KLL stand-in, hash-oracled unlike Spark's opaque "
+    "approx_percentile): per-partition histograms on a common "
+    "[min,max] grid merge associatively in the partial->final "
+    "aggregate; p50/p95/p99 by integer-exact interpolation in the "
+    "straddling bin",
+)
+def _sketch_quantile_mergeable(spark, sf):
+    return analytics.quantile_sketch(_t(spark, sf, "events"))
+
+
 # ---------------------------------------------- registration priority
 
 #: Queries whose oracle verdicts are already on record in
@@ -8870,6 +9037,10 @@ _FRESH_ROUND8 = frozenset(
         "window_bollinger",
         "seasonal_dow_decompose",
         "attribution_position_based",
+        "graph_adamic_adar",
+        "lm_kneser_ney_bigram",
+        "cdc_merge_upsert",
+        "sketch_quantile_mergeable",
     }
 )
 

@@ -837,3 +837,23 @@ def test_semdedup_is_deterministic(spark, sf_small):
     a = sorted(map(tuple, dedup.dedup_semdedup(emb).collect()))
     b = sorted(map(tuple, dedup.dedup_semdedup(emb).collect()))
     assert a == b
+
+
+def test_adamic_adar_hand_graph(spark):
+    """Path graph 1-2-3 plus 2-4: hub 2 (deg 3) connects the three
+    leaf pairs with credit round(1e6/ln 3); adjacent pairs excluded;
+    deg-1 leaves host no wedges."""
+    import math
+
+    from java_mapreduce_framework_spark.operators.dedup import adamic_adar
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (2, 4)], ["doc_a", "doc_b"]
+    )
+    out = {(r["doc_a"], r["doc_b"]): r for r in adamic_adar(pairs).collect()}
+    # the only wedges run through hub 2 (deg 3): leaf pairs (1,3),(1,4),(3,4)
+    assert set(out) == {(1, 3), (1, 4), (3, 4)}
+    expected = round(1e6 / math.log(3))
+    for r in out.values():
+        assert r["common_neighbors"] == 1
+        assert r["aa_mnat"] == expected

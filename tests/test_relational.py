@@ -1137,3 +1137,60 @@ def test_hhi_concentration_extremes(spark):
     assert out["mono"]["hhi"] == 1.0 and out["mono"]["effective_users"] == 1.0
     assert out["flat"]["hhi"] == 0.25 and out["flat"]["effective_users"] == 4.0
     assert out["flat"]["n_users"] == 4 and out["flat"]["n_events"] == 8
+
+
+def test_cdc_merge_upsert_semantics(spark):
+    """Keys: 1 base-only (kept), 2 base+U (replaced), 3 base+D
+    (dropped), 4 change-only U (inserted); latest change per key
+    wins."""
+    from java_mapreduce_framework_spark.operators.relational import (
+        cdc_merge_upsert,
+    )
+
+    rows = [
+        # (orderkey, custkey, status, price, date, priority)
+        (10, 1, "O", 100.0, "1997-01-01", "1-URGENT"),
+        (20, 2, "O", 200.0, "1997-06-01", "1-URGENT"),
+        (21, 2, "O", 250.0, "1998-05-01", "1-URGENT"),  # upsert
+        (30, 3, "O", 300.0, "1997-02-01", "1-URGENT"),
+        (31, 3, "O", 310.0, "1998-02-01", "1-URGENT"),  # superseded
+        (32, 3, "F", 320.0, "1998-03-01", "1-URGENT"),  # delete wins
+        (40, 4, "O", 400.0, "1998-04-01", "1-URGENT"),  # insert
+    ]
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    out = {r["o_custkey"]: r for r in cdc_merge_upsert(orders).collect()}
+    assert set(out) == {1, 2, 4}  # 3 deleted
+    assert out[1]["o_orderkey"] == 10 and out[1]["src"] == "base"
+    assert out[2]["o_orderkey"] == 21 and out[2]["src"] == "change"
+    assert out[2]["o_totalprice"] == 250.0
+    assert out[4]["o_orderkey"] == 40 and out[4]["src"] == "change"
+
+
+def test_quantile_sketch_exact_on_uniform_grid(spark):
+    """1..100 exactly once: every bin holds observations, the
+    straddling-bin interpolation is exact for p50/p95/p99 up to one
+    bin width; n and q fan-out are exact."""
+    from java_mapreduce_framework_spark.operators.analytics import (
+        quantile_sketch,
+    )
+
+    rows = [
+        (i, "2024-01-01 00:00:00", i, "u", float(i), "{}")
+        for i in range(1, 101)
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r["q"]: r for r in quantile_sketch(events).collect()}
+    assert set(out) == {0.5, 0.95, 0.99}
+    assert all(r["n_events"] == 100 for r in out.values())
+    width = 99.0 / 256
+    for q in (0.5, 0.95, 0.99):
+        true_q = 1 + 99.0 * q  # uniform grid ground truth (approx)
+        assert abs(out[q]["est"] - true_q) <= width + 1e-6

@@ -1134,3 +1134,30 @@ def test_ulm_oracle_horizon_covers_fixture_words(spark, sf_small, sf_medium):
             f"generated ULM oracle's DP horizon is {_ULM_MAXLEN}; "
             f"raise _ULM_MAXLEN (registry) so the oracle stays valid"
         )
+
+
+def test_kneser_ney_bigram_hand_corpus(spark):
+    """Hand-traced KN on a 4-bigram corpus: continuation mass flows
+    by distinct contexts, and probabilities per left context stay in
+    (0, 1]."""
+    from java_mapreduce_framework_spark.operators import text as T
+
+    # bigrams: (a b) x2, (c b) x1, (a d) x1 -> B = 3 types
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "c b"), (4, "a d")],
+        "doc_id long, text string",
+    )
+    rows = {(r["w1"], r["w2"]): r for r in
+            T.lm_kneser_ney_bigram(docs).collect()}
+    assert set(rows) == {("a", "b"), ("c", "b"), ("a", "d")}
+    ab = rows[("a", "b")]
+    assert ab["c12"] == 2
+    # c1(a)=3, n_after(a)=2, n_before(b)=2, B=3, D=0.75
+    expect_ab = (2 - 0.75) / 3 + (0.75 * 2 / 3) * (2 / 3)
+    assert abs(ab["pkn"] - round(expect_ab, 6)) < 1e-9
+    cb = rows[("c", "b")]
+    # c1(c)=1, n_after(c)=1: max(1-0.75,0)/1 + (0.75*1/1)*(2/3)
+    expect_cb = 0.25 + 0.75 * (2 / 3)
+    assert abs(cb["pkn"] - round(expect_cb, 6)) < 1e-9
+    # per-context probabilities over observed continuations stay <= 1
+    assert ab["pkn"] + rows[("a", "d")]["pkn"] <= 1.0
