@@ -90,9 +90,10 @@ def main() -> None:
         timings[name] = round(min(timings.get(name, float("inf")), took), 3)
         print(f"# {rnd} {name}: {took:.3f}s", file=sys.stderr, flush=True)
 
-    # the arbitrary-state streaming query degrades every later query in
-    # the session, so it runs dead last (after the outlier pass too)
-    normal = [n for n in names if n != "stream_dedup_state"]
+    # the arbitrary-state streaming queries degrade every later query
+    # in the session, so they run dead last (after the outlier pass)
+    STATEFUL_LAST = ("stream_dedup_state", "stream_session_timeout")
+    normal = [n for n in names if n not in STATEFUL_LAST]
     for name in normal:
         for rnd in range(runs):
             _measure(name, f"r{rnd}")
@@ -109,9 +110,10 @@ def main() -> None:
         for name in normal:
             if timings[name] > 2.0:
                 _measure(name, "slow-recheck")
-    if "stream_dedup_state" in names:
-        for rnd in range(runs):
-            _measure("stream_dedup_state", f"r{rnd}")
+    for name in STATEFUL_LAST:
+        if name in names:
+            for rnd in range(runs):
+                _measure(name, f"r{rnd}")
 
     total = round(sum(timings.values()), 3)
     full = {

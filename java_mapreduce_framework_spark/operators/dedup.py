@@ -1153,6 +1153,7 @@ def dedup_edit_distance(
     documents: DataFrame,
     prefix_len: int = 24,
     k: int = 2,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Exact edit-distance near-dup pairs over a normalized key string
     (the lowercased first ``prefix_len`` chars — the "title line" of
@@ -1197,6 +1198,20 @@ def dedup_edit_distance(
     against the whole corpus — an equi-join on exploded length keys,
     so even the corner stays a hash join.
 
+    ``df_cap`` is the corpus-scale guard (the ``df_cap_shingles``
+    discipline): per-cell join work is population^2, so one hot
+    normalized prefix (a boilerplate header shared by millions of
+    docs at 100 TB) would dominate the probe join. With a cap set,
+    DOCS whose own index segmentation touches any cell with
+    population > df_cap are excluded from pairing entirely — whole
+    docs, not individual postings, because dropping a posting breaks
+    the pigeonhole completeness proof, while dropping a doc keeps it
+    intact for every remaining pair (an index doc with all cells
+    under the cap still has all its segments present). The oracle
+    applies the identical exclusion, so the capped variant stays
+    hash-checkable; the excluded hot family is exactly the clique a
+    near-dup pass would collapse to one representative anyway.
+
     Reference parity: the reference has no similarity join at all —
     its closest shape is WordCount's exploded-token aggregation
     (`src/edu/upenn/cis455/mapreduce/job/WordCount.java:23-52`); this
@@ -1225,6 +1240,37 @@ def dedup_edit_distance(
         f" AS seg_text)"
         for j in range(kk)
     )
+    if df_cap is not None:
+        # hot-cell exclusion BEFORE either side is built: cells are
+        # (len, slot, segment text); docs touching a cell hotter than
+        # df_cap leave the corpus for this pass (see docstring)
+        seg0 = (
+            keys.filter(F.col("slen") >= kk)
+            .select(
+                "doc_id",
+                F.col("slen").alias("len_b"),
+                F.explode(F.expr(f"array({seg_structs})")).alias("g"),
+            )
+            .select(
+                "doc_id",
+                "len_b",
+                F.col("g.seg_idx").alias("seg_idx"),
+                F.col("g.seg_text").alias("seg_text"),
+            )
+        )
+        hot = (
+            seg0.groupBy("len_b", "seg_idx", "seg_text")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > df_cap)
+            .select("len_b", "seg_idx", "seg_text")
+        )  # Zipf tail above the cap: tiny, broadcastable
+        excluded = (
+            seg0.join(F.broadcast(hot), ["len_b", "seg_idx", "seg_text"])
+            .select("doc_id")
+            .distinct()
+        )
+        keys = keys.join(excluded, "doc_id", "left_anti").localCheckpoint()
+
     idx = (
         keys.filter(F.col("slen") >= kk)
         .select(

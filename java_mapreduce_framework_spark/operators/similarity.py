@@ -1580,3 +1580,112 @@ def embedding_centroid_drift(embeddings: DataFrame) -> DataFrame:
             ratio.alias("norm_ratio"),
         )
     )
+
+
+def embedding_whiten(embeddings: DataFrame, eps: float = 1e-6) -> DataFrame:
+    """ZCA whitening of the corpus embeddings -- the decorrelating
+    upgrade of ``embedding_standardize`` (which fixes marginal
+    variances but leaves correlations): X_white = (X - mu) @ W with
+    W = U diag(1/sqrt(lambda + eps)) U^T, the unique symmetric PSD
+    inverse square root of the covariance. ZCA (not PCA-) whitening
+    deliberately: the symmetric W is invariant to eigenvector sign
+    and rotation, so the output has no BLAS-arbitrary indeterminacy
+    -- what keeps this a stable operator even though the
+    eigendecomposition itself makes it non-SQL-expressible
+    (rows-only; RECALL bound: covariance of the whitened output ==
+    identity to fp tolerance).
+
+    Plan shape is ``embedding_pca_project``'s exactly: ONE
+    ``mapInPandas`` pass accumulates (Gram partial, sum, count) per
+    task -- the shuffle carries d^2 + d + 1 rows per task however big
+    the corpus; the folded covariance (model-sized, the one
+    sanctioned collect) is eigendecomposed on the driver; W and mu
+    broadcast back inside a second vectorized pass. Corpus scanned
+    exactly twice, no per-pair work.
+
+    Emits the LONG form (vec_id, dim, white_value rounded 6) --
+    scalar columns only (the embedding_standardize driver-canon
+    lesson).
+
+    Reference licence: composition target -- chained-jobs model
+    (SURVEY.md §2A FIFO queue) over the WordCount substrate
+    (src/edu/upenn/cis455/mapreduce/job/WordCount.java:23-52).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def stats_kernel(batches):
+        gram = None
+        vsum = None
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            g = X.T @ X
+            s = X.sum(axis=0)
+            gram = g if gram is None else gram + g
+            vsum = s if vsum is None else vsum + s
+            n += len(pdf)
+        if gram is not None:
+            d = gram.shape[0]
+            jj, ii = np.meshgrid(np.arange(d), np.arange(d))
+            yield pd.DataFrame(
+                {
+                    "i": np.concatenate(
+                        [ii.ravel(), np.arange(d), [-1]]
+                    ).astype("int32"),
+                    "j": np.concatenate(
+                        [jj.ravel(), -np.ones(d), [-1]]
+                    ).astype("int32"),
+                    "partial": np.concatenate([gram.ravel(), vsum, [float(n)]]),
+                }
+            )
+
+    folded = (
+        embeddings.select("embedding")
+        .mapInPandas(stats_kernel, "i int, j int, partial double")
+        .groupBy("i", "j")
+        .agg(F.sum("partial").alias("v"))
+        .collect()  # bounded: d^2 + d + 1 rows, model-sized by construction
+    )
+    d = max(r["i"] for r in folded) + 1
+    gram = np.zeros((d, d))
+    mean = np.zeros(d)
+    n = 0.0
+    for r in folded:
+        if r["i"] == -1:
+            n = r["v"]
+        elif r["j"] == -1:
+            mean[r["i"]] = r["v"]
+        else:
+            gram[r["i"], r["j"]] = r["v"]
+    mean /= n
+    cov = gram / n - np.outer(mean, mean)
+    eigvals, eigvecs = np.linalg.eigh(cov)
+    w = eigvecs @ np.diag(1.0 / np.sqrt(eigvals + eps)) @ eigvecs.T
+
+    def whiten_kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            Xw = np.round((X - mean) @ w, 6)
+            m = Xw.shape[0]
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(
+                        pdf["vec_id"].to_numpy().astype("int64"), d
+                    ),
+                    "dim": np.tile(np.arange(d, dtype="int32"), m),
+                    "white_value": Xw.ravel(),
+                }
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        whiten_kernel, "vec_id long, dim int, white_value double"
+    )

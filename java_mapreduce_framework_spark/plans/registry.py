@@ -8819,6 +8819,109 @@ def _sketch_quantile_mergeable(spark, sf):
     return analytics.quantile_sketch(_t(spark, sf, "events"))
 
 
+@_register(
+    "dedup_edit_distance_capped",
+    """
+    WITH keys AS (
+      SELECT doc_id, lower(substr(text, 1, 24)) AS s,
+             length(lower(substr(text, 1, 24))) AS len
+      FROM documents),
+    segs AS (
+      SELECT doc_id, len, j,
+             substring(s, 1 + j * (len // 3)
+                          + greatest(0, j - (3 - (len % 3))),
+                       (len // 3)
+                          + CASE WHEN j >= 3 - (len % 3)
+                                 THEN 1 ELSE 0 END) AS seg_text
+      FROM keys, (SELECT unnest([0, 1, 2]) AS j) jj
+      WHERE len >= 3),
+    hot AS (
+      SELECT len, j, seg_text FROM segs
+      GROUP BY 1, 2, 3 HAVING count(*) > 16),
+    excl AS (
+      SELECT DISTINCT doc_id FROM segs JOIN hot USING (len, j, seg_text)),
+    kept AS (
+      SELECT * FROM keys
+      WHERE doc_id NOT IN (SELECT doc_id FROM excl))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
+    FROM kept a JOIN kept b ON a.doc_id < b.doc_id
+    WHERE abs(a.len - b.len) <= 2
+      AND levenshtein(a.s, b.s) <= 2
+    """,
+    note="dedup_edit_distance's 100 TB posture: whole DOCS touching "
+    "an index segment cell hotter than df_cap=16 are excluded before "
+    "pairing (dropping postings would break the pigeonhole "
+    "completeness proof; dropping docs keeps it for every remaining "
+    "pair), bounding per-cell probe-join fan-out at cap^2; oracle "
+    "applies the identical exclusion then brute-forces the kept set "
+    "-- at sf0.01 the cap excludes the 23-doc hot-prefix family",
+)
+def _dedup_edit_distance_capped(spark, sf):
+    return dedup.dedup_edit_distance(_t(spark, sf, "documents"), df_cap=16)
+
+
+@_register(
+    "stream_session_timeout",
+    f"""
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+               FROM events),
+    lg AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                       > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM lg),
+    sess AS (
+      SELECT user_id, sid, min(ts) AS session_start,
+             max(ts) AS session_end, CAST(count(*) AS BIGINT) AS n_events
+      FROM s GROUP BY 1, 2),
+    mx AS (SELECT max(epoch_us(ts)) AS mxus FROM e),
+    lastsess AS (SELECT user_id, max(sid) AS last_sid FROM sess GROUP BY 1)
+    SELECT user_id, session_start, session_end, n_events,
+           CASE WHEN sid <> last_sid THEN 'gap' ELSE 'timeout' END
+             AS closed_by
+    FROM sess JOIN lastsess USING (user_id), mx
+    WHERE sid <> last_sid
+       OR (epoch_us(session_end) + 1800000000) // 1000
+          < mxus // 1000 - 1800000
+    """,
+    note="timer-driven session closure (applyInPandasWithState + "
+    "EventTimeTimeout): in-stream-closed sessions emit 'gap' from "
+    "the update function, the trailing open session parks in state "
+    "with a timer at last+gap and emits 'timeout' when the watermark "
+    "passes it; oracle = batch sessions minus the tail the final "
+    "watermark (max - 30min, ms granularity) never reaches -- the "
+    "stateful capability NoTimeout stream_dedup_state leaves out, "
+    "and the v1 stand-in for the protobuf-gated streaming_v2 surface",
+)
+def _stream_session_timeout(spark, sf):
+    from ..streaming.jobs import stream_session_timeout
+
+    return stream_session_timeout(spark, sf)
+
+
+@_register(
+    "embedding_whiten",
+    None,  # eigendecomposition: not SQL-expressible; RECALL bound
+    # pins covariance(whitened) == I to fp tolerance
+    note="ZCA whitening (the decorrelating upgrade of "
+    "embedding_standardize): W = U diag(1/sqrt(l+eps)) U^T is the "
+    "UNIQUE symmetric PSD inverse square root, so unlike PCA there "
+    "is no eigenvector-sign indeterminacy; pca_project's two-scan "
+    "stats plan (d^2+d+1 shuffle rows per task, one model-sized "
+    "collect, vectorized broadcast-back); LONG scalar output",
+)
+def _embedding_whiten(spark, sf):
+    return similarity.embedding_whiten(_t(spark, sf, "embeddings"))
+
+
 # ---------------------------------------------- registration priority
 
 #: Queries whose oracle verdicts are already on record in
@@ -9041,6 +9144,9 @@ _FRESH_ROUND8 = frozenset(
         "lm_kneser_ney_bigram",
         "cdc_merge_upsert",
         "sketch_quantile_mergeable",
+        "dedup_edit_distance_capped",
+        "stream_session_timeout",
+        "embedding_whiten",
     }
 )
 

@@ -824,3 +824,98 @@ def stream_index_ingest(
     verdict.write.mode("overwrite").parquet(verdict_path)
     done.write_text(fp)
     return spark.read.parquet(verdict_path)
+
+
+def stream_session_timeout(
+    spark: SparkSession,
+    sf_dir: str,
+    gap_s: int = 1800,
+    delay: str = "30 minutes",
+) -> DataFrame:
+    """Timer-driven session closure via ``applyInPandasWithState`` +
+    ``GroupStateTimeout.EventTimeTimeout`` -- the stateful-streaming
+    capability ``stream_dedup_state`` (NoTimeout) leaves on the
+    table, and the v1 stand-in for the protobuf-gated
+    transformWithState surface (experimental/streaming_v2.py): a
+    user's session must close even if the user NEVER sends another
+    event, which no data-driven operator can do -- only a timer
+    fired by the advancing watermark.
+
+    Per user, gap-based sessions (the ``sessionize`` contract):
+    sessions already closed by a later in-stream event emit from the
+    update function itself (closed_by = 'gap'); the trailing OPEN
+    session parks in state with an event-time timer at
+    last_event + gap, and emits when the watermark passes the timer
+    (closed_by = 'timeout'), its state dropped. Trailing sessions the
+    final watermark (max event time - delay) never reaches stay
+    withheld, exactly as on a live stream -- the declared oracle
+    encodes that cutoff, making the bounded drain == batch sessions
+    minus the withheld tail.
+
+    State per user is (start_us, last_us, n_events) -- three int64s
+    however long the stream runs; timers are the state store's, not
+    per-row work. The in-function sort is per (user, microbatch)
+    only.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    path = _stage_stream_dir(spark, sf_dir, "events")
+    schema = spark.read.parquet(path).schema
+    events = (
+        spark.readStream.schema(schema)
+        .parquet(path)
+        .withWatermark("ts", delay)
+        .select("user_id", "ts", "event_id")
+    )
+    gap_us = gap_s * 1_000_000
+
+    def session_fn(key, pdf_iter, state: GroupState):
+        out = []
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            out.append((key[0], start_us, last_us, n, "timeout"))
+            state.remove()
+        else:
+            rows = pd.concat(list(pdf_iter), ignore_index=True)
+            rows = rows.sort_values(["ts", "event_id"])
+            # Arrow hands pandas datetime64[ns]; state carries int64 us
+            ts_us = rows["ts"].astype("datetime64[us]").astype("int64")
+            cur = state.get if state.exists else None
+            for t in ts_us:
+                t = int(t)
+                if cur is None:
+                    cur = (t, t, 1)
+                elif t - cur[1] > gap_us:
+                    out.append((key[0], cur[0], cur[1], cur[2], "gap"))
+                    cur = (t, t, 1)
+                else:
+                    cur = (cur[0], t, cur[2] + 1)
+            if cur is not None:
+                state.update(cur)
+                state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "user_id", "start_us", "end_us", "n_events", "closed_by"
+            ],
+        )
+
+    sessions = events.groupBy("user_id").applyInPandasWithState(
+        session_fn,
+        outputStructType=(
+            "user_id bigint, start_us bigint, end_us bigint,"
+            " n_events bigint, closed_by string"
+        ),
+        stateStructType="start_us bigint, last_us bigint, n bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    out = _drain_to_memory(sessions, mode="append")
+    return out.select(
+        "user_id",
+        F.timestamp_micros(F.col("start_us")).alias("session_start"),
+        F.timestamp_micros(F.col("end_us")).alias("session_end"),
+        "n_events",
+        "closed_by",
+    )

@@ -316,6 +316,24 @@ def main(sf_dir: str) -> dict:
         "distributed Gram+mean stats -> driver eigh vs single-shot numpy SVD, "
         "per-component sign aligned, all 8 components x all rows")
 
+    # --- embedding_whiten: rows-only because of the driver-side
+    # eigendecomposition, but ZCA's symmetric W is unique (no sign
+    # freedom) -- the verdict is the DEFINITION of whitening:
+    # covariance of the whitened corpus == identity to fp tolerance
+    wh = {r["vec_id"]: None for r in emb_rows}
+    wrows = similarity.embedding_whiten(emb).collect()
+    dW = 1 + max(r["dim"] for r in wrows)
+    Wm = np.zeros((len(emb_rows), dW))
+    idpos = {r["vec_id"]: p for p, r in enumerate(emb_rows)}
+    for r in wrows:
+        Wm[idpos[r["vec_id"]], r["dim"]] = r["white_value"]
+    cw = np.cov(Wm, rowvar=False, bias=True)
+    werr = float(np.max(np.abs(cw - np.eye(dW))))
+    rec("embedding_whiten", "max_abs_deviation_of_whitened_cov_from_identity",
+        werr, 1e-2, "<=",
+        f"{len(emb_rows)} vectors x {dW} dims; ZCA W = U diag(1/sqrt(l+eps)) U^T "
+        "applied distributed; identity-covariance is whitening's defining property")
+
     # --- ML-fit primitives: distributed moment/iterative fits vs the
     # identical serial numpy algorithm on the collected fixture
     # (rows-only because the driver-side solves are not

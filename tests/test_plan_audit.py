@@ -71,6 +71,8 @@ ALLOWED_NESTED_LOOP = {
     "survival_kaplan_meier",  # two 1-row broadcasts: max-ts edge, user total
     "t_closeness_audit",  # |sources|-row marginal + 1-row corpus total
     "embedding_matryoshka_eval",  # similarity_topk's broadcast Q x N per prefix
+    "stats_kruskal_wallis",  # 1-row broadcast tie-correction scalar
+    "lm_kneser_ney_bigram",  # 1-row broadcast bigram-type total
 }
 
 

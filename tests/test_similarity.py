@@ -543,3 +543,28 @@ def test_centroid_drift_detects_planted_shift(spark):
     assert out[1]["centroid_cos"] == 1.0 and out[1]["norm_ratio"] == 1.0
     assert out[2]["centroid_cos"] == -1.0
     assert abs(out[2]["norm_ratio"] - 2.0) < 0.01
+
+
+def test_embedding_whiten_identity_covariance_and_long_form(spark, sf_small):
+    """Whitening's defining property on the real fixture: the
+    whitened corpus has ~zero mean and ~identity covariance; output
+    is the scalar-only long form."""
+    import numpy as np
+
+    from java_mapreduce_framework_spark.operators.similarity import (
+        embedding_whiten,
+    )
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    rows = embedding_whiten(emb).collect()
+    d = 1 + max(r["dim"] for r in rows)
+    ids = sorted({r["vec_id"] for r in rows})
+    pos = {v: i for i, v in enumerate(ids)}
+    X = np.zeros((len(ids), d))
+    for r in rows:
+        X[pos[r["vec_id"]], r["dim"]] = r["white_value"]
+    assert len(rows) == len(ids) * d
+    assert np.max(np.abs(X.mean(axis=0))) < 1e-3
+    cov = np.cov(X, rowvar=False, bias=True)
+    assert np.max(np.abs(cov - np.eye(d))) < 1e-2

@@ -498,3 +498,53 @@ def test_stream_index_ingest_fixture_verdict_all_true(spark, sf_small):
         F.sum(F.col("ingest_match").cast("int")).alias("m"),
     ).collect()[0]
     assert agg["n"] == agg["m"] > 0
+
+
+def test_stream_session_timeout_crafted_timer_semantics(spark, tmp_path):
+    """The timer's defining property on a crafted corpus: a session
+    whose user NEVER sends another event still closes ('timeout')
+    once the watermark passes last+gap; in-stream-closed sessions
+    report 'gap'; the stream-global trailing session (inside the
+    final watermark's reach + gap) stays withheld like on a live
+    stream."""
+    import datetime as dt
+
+    from java_mapreduce_framework_spark.streaming.jobs import (
+        stream_session_timeout,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = [
+        # user 1: two events 10min apart (one session), then a lone
+        # event 50min later -- a second session nothing ever closes
+        # in-stream
+        (1, at(0), 1, "x", 1.0, "{}"),
+        (2, at(10), 1, "x", 1.0, "{}"),
+        (3, at(60), 1, "x", 1.0, "{}"),
+        # user 2: one early event, then the stream-global max ts ten
+        # days out (keeps the final watermark far past user 1's tail)
+        (4, at(5), 2, "x", 1.0, "{}"),
+        (5, at(14400), 2, "x", 1.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    events.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = [
+        (r["user_id"], r["n_events"], r["closed_by"])
+        for r in stream_session_timeout(spark, str(tmp_path))
+        .orderBy("user_id", "session_start")
+        .collect()
+    ]
+    assert out == [
+        (1, 2, "gap"),       # closed in-stream by event 3
+        (1, 1, "timeout"),   # closed only by the watermark timer
+        (2, 1, "gap"),       # closed in-stream by event 5
+        # user 2's trailing session: withheld (watermark never passes)
+    ]
