@@ -1,0 +1,654 @@
+"""ml section of the declared query registry -- bodies verbatim
+from the monolithic plans/registry.py (round-8 maintainability split;
+identical registry() output, zero plan changes)."""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+
+from ...operators import (  # noqa: F401
+    analytics,
+    dedup,
+    ml,
+    multimodal,
+    relational,
+    similarity,
+    temporal,
+    text,
+)
+from ...sources.tables import load_table  # noqa: F401
+from .core import (  # noqa: F401
+    _QUALITY_EXPR,
+    _QUALITY_MEASURES_CTE,
+    _TOKS,
+    _register,
+    _t,
+)
+
+
+# ------------------------------------------------- ML-fit primitives
+
+#: Char-bigram occurrence stream + naive-Bayes model CTEs, shared
+#: verbatim by the ml_naive_bayes_train / ml_naive_bayes_confusion
+#: oracles (mirror of operators/ml.py::_char_bigrams / _nb_model).
+#: range(1, length) == Spark's sequence(1, length-1); the length >= 2
+#: guard keeps the row universe identical (Spark sequence(1, 0)
+#: DESCENDS -- house gotcha).
+_NB_MODEL_CTE = """
+    grams AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, length(lower(text))),
+                                   i -> substring(lower(text), i, 2))) AS bigram
+      FROM documents WHERE length(text) >= 2),
+    counts AS (SELECT lang, bigram, count(*) AS cnt FROM grams GROUP BY 1, 2),
+    tot AS (SELECT lang, sum(cnt) AS tot FROM counts GROUP BY 1),
+    vocab AS (SELECT count(DISTINCT bigram) AS v FROM counts),
+    pri AS (
+      -- priors over the scored (length >= 2) population, mirroring
+      -- operators/ml.py::_nb_model
+      SELECT lang,
+             round(ln(count(*) * 1.0 /
+                      (SELECT count(*) FROM documents
+                       WHERE length(text) >= 2)), 6) AS prior
+      FROM documents WHERE length(text) >= 2 GROUP BY 1),
+    model AS (
+      SELECT c.lang, c.bigram, c.cnt,
+             round(ln((c.cnt + 1.0) / (t.tot + v.v)), 6) AS log_prob
+      FROM counts c JOIN tot t ON t.lang = c.lang CROSS JOIN vocab v)
+"""
+
+
+@_register(
+    "ml_naive_bayes_train",
+    f"""
+    WITH {_NB_MODEL_CTE},
+    ranked AS (
+      SELECT lang, bigram, cnt, log_prob,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY cnt DESC, bigram) AS rn
+      FROM model)
+    SELECT r.lang, r.bigram, CAST(r.cnt AS BIGINT) AS cnt, r.log_prob, p.prior
+    FROM ranked r JOIN pri p ON p.lang = r.lang
+    WHERE r.rn <= 10
+    """,
+    note="multinomial NB language model head: Laplace-smoothed "
+    "char-bigram log-probs + class priors, top-10 bigrams per lang; "
+    "the rank window runs over the vocab-bounded count table, not the "
+    "corpus",
+)
+def _ml_naive_bayes_train(spark, sf):
+    return ml.naive_bayes_train(_t(spark, sf, "documents"))
+
+
+@_register(
+    "ml_naive_bayes_confusion",
+    f"""
+    WITH {_NB_MODEL_CTE},
+    langs AS (
+      SELECT t.lang, p.prior, round(ln(1.0 / (t.tot + v.v)), 6) AS dflt
+      FROM tot t CROSS JOIN vocab v JOIN pri p ON p.lang = t.lang),
+    docb AS (
+      SELECT doc_id, lang AS lang_true, bigram, count(*) AS m
+      FROM grams GROUP BY 1, 2, 3),
+    scored AS (
+      SELECT d.doc_id, d.lang_true, l.lang AS cls,
+             round(l.prior + sum(d.m * coalesce(mo.log_prob, l.dflt)), 6)
+               AS score
+      FROM docb d CROSS JOIN langs l
+      LEFT JOIN model mo ON mo.lang = l.lang AND mo.bigram = d.bigram
+      GROUP BY 1, 2, 3, l.prior),
+    pred AS (
+      SELECT doc_id, lang_true, cls,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, cls) AS rn
+      FROM scored)
+    SELECT lang_true AS lang, cls AS pred_lang,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM pred WHERE rn = 1 GROUP BY 1, 2
+    """,
+    note="NB train + inference in one declarative plan: per-doc "
+    "bigram multiplicities cross the |langs|-row class table "
+    "(broadcast by design), vocab-bounded model broadcast-left-joined, "
+    "scores rounded 6 pre-ranking; emits the |langs|^2 confusion matrix",
+)
+def _ml_naive_bayes_confusion(spark, sf):
+    return ml.naive_bayes_confusion(_t(spark, sf, "documents"))
+
+
+@_register(
+    "ml_knn_link_prediction",
+    """
+    WITH scored AS (
+      SELECT a.vec_id, b.vec_id AS neighbor_id,
+             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 6)
+               AS cosine
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+    nn AS (
+      SELECT vec_id, neighbor_id FROM (
+        SELECT vec_id, neighbor_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored) WHERE rank <= 5),
+    edges AS (
+      SELECT DISTINCT * FROM (
+        SELECT vec_id, neighbor_id FROM nn
+        UNION ALL
+        SELECT neighbor_id AS vec_id, vec_id AS neighbor_id FROM nn)),
+    deg AS (SELECT vec_id, count(*) AS deg FROM edges GROUP BY 1),
+    wedges AS (
+      SELECT e1.neighbor_id AS a, e2.neighbor_id AS b, count(*) AS common
+      FROM edges e1 JOIN edges e2 ON e1.vec_id = e2.vec_id
+      WHERE e1.neighbor_id < e2.neighbor_id
+      GROUP BY 1, 2),
+    nonadj AS (
+      SELECT w.a, w.b, w.common FROM wedges w
+      WHERE NOT EXISTS (SELECT 1 FROM edges e
+                        WHERE e.vec_id = w.a AND e.neighbor_id = w.b))
+    SELECT a AS doc_a, b AS doc_b, CAST(common AS BIGINT) AS common,
+           round(common * 1.0 / (da.deg + db.deg - common), 4) AS jaccard
+    FROM nonadj JOIN deg da ON da.vec_id = a JOIN deg db ON db.vec_id = b
+    ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20
+    """,
+    note="common-neighbor link prediction on the knn graph: wedge "
+    "join fan-out bounded by the <=2k vertex degree, anti-join "
+    "removes existing edges, TakeOrderedAndProject top-20; oracle is "
+    "the brute-force N^2 graph mirror",
+)
+def _ml_knn_link_prediction(spark, sf):
+    return ml.knn_link_prediction(_t(spark, sf, "embeddings"))
+
+
+@_register(
+    "ml_knn_classify",
+    """
+    WITH scored AS (
+      SELECT a.vec_id, b.vec_id AS neighbor_id, b.label AS nb_label,
+             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 6)
+               AS cosine
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+    nn AS (
+      SELECT vec_id, nb_label,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored),
+    tally AS (
+      SELECT vec_id, nb_label, count(*) AS votes
+      FROM nn WHERE rank <= 5 GROUP BY 1, 2),
+    pred AS (
+      SELECT vec_id, nb_label AS pred_label,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY votes DESC, nb_label) AS rn
+      FROM tally)
+    SELECT e.label, p.pred_label, CAST(count(*) AS BIGINT) AS n_vecs
+    FROM pred p JOIN embeddings e USING (vec_id)
+    WHERE p.rn = 1 GROUP BY 1, 2
+    """,
+    note="leave-one-out k-NN majority-vote classification composed on "
+    "the exact block-GEMM knn graph (engine-deterministic (cosine, id) "
+    "rank); vote argmax tie-broken (count desc, label asc); oracle is "
+    "the brute-force N^2 mirror",
+)
+def _ml_knn_classify(spark, sf):
+    return ml.knn_classify(_t(spark, sf, "embeddings"))
+
+
+@_register(
+    "text_readability",
+    f"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len({_TOKS}) AS INTEGER) AS n_words,
+             CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+               AS INTEGER) AS n_sentences,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+               AS INTEGER) AS n_syllables
+      FROM documents
+      WHERE len({_TOKS}) > 0)
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           round(206.835 - 1.015 * (n_words * 1.0 / n_sentences)
+                 - 84.6 * (n_syllables * 1.0 / n_words), 4) AS flesch
+    FROM m
+    """,
+    note="Flesch reading-ease per doc: three row-local regexp counts "
+    "over the pruned (doc_id, text) scan, no shuffle; vowel-group "
+    "syllables counted corpus-wide (groups cannot span whitespace)",
+)
+def _text_readability(spark, sf):
+    return text.text_readability(_t(spark, sf, "documents"))
+
+
+@_register(
+    "multimodal_audio_spectrogram",
+    None,
+    note="rows-only by declared design (no FFT in the oracle engine): "
+    "real STFT over the RIFF/WAVE decode path, Hann window + rFFT "
+    "power per frame inside the Arrow kernel; pure-tone dominant-bin "
+    "physics pinned in tests/test_multimodal.py + RECALL.json",
+)
+def _multimodal_audio_spectrogram(spark, sf):
+    return multimodal.audio_spectrogram(
+        multimodal.attach_audio_payload(_t(spark, sf, "documents"))
+    )
+
+
+@_register(
+    "similarity_mmr",
+    None,
+    note="rows-only by declared design: greedy maximal-marginal-"
+    "relevance rerank (k sequential argmaxes) over the distributed "
+    "exact shortlist; numpy-replay parity in "
+    "tests/test_similarity.py, diversity gain in RECALL.json",
+)
+def _similarity_mmr(spark, sf):
+    return similarity.similarity_mmr(_t(spark, sf, "embeddings"))
+
+
+@_register(
+    "ml_linreg_normal",
+    None,
+    note="rows-only by declared design: normal-equation fit whose "
+    "(d+1)-dim driver solve is not SQL-expressible; one moment-matrix "
+    "scan (X'X, X'y, y'y from a single extended GEMM), coefficient "
+    "parity vs numpy lstsq pinned in tests/test_ml.py + RECALL.json",
+)
+def _ml_linreg_normal(spark, sf):
+    return ml.linreg_normal(_t(spark, sf, "embeddings"))
+
+
+@_register(
+    "ml_logreg_irls",
+    None,
+    note="rows-only by declared design: fixed-iteration IRLS/Newton "
+    "logistic fit, driver-side (d+1)-dim solves between broadcast "
+    "scans; numpy-IRLS parity pinned in tests/test_ml.py + RECALL.json",
+)
+def _ml_logreg_irls(spark, sf):
+    return ml.logreg_irls(_t(spark, sf, "embeddings"))
+
+
+@_register(
+    "ml_logreg_ridge_sweep",
+    None,
+    note="rows-only by declared design: whole ridge-lambda sweep "
+    "trained in SHARED scans (one pass per Newton round feeds every "
+    "lambda's gradient+Hessian under a model-id tag) -- scan count "
+    "independent of sweep width; numpy-replay parity in "
+    "tests/test_ml.py + RECALL.json",
+)
+def _ml_logreg_ridge_sweep(spark, sf):
+    return ml.logreg_ridge_sweep(_t(spark, sf, "embeddings"))
+
+
+@_register(
+    "ml_adaboost_stumps",
+    None,
+    note="rows-only by declared design: fixed-round boosted-stump fit "
+    "with stateless weight recompute (w = exp(-y*margin) row-locally "
+    "from the broadcast ensemble -- no corpus-sized weight column); "
+    "numpy-replay parity pinned in tests/test_ml.py + RECALL.json",
+)
+def _ml_adaboost_stumps(spark, sf):
+    return ml.adaboost_stumps(_t(spark, sf, "embeddings"))
+
+
+@_register(
+    "ml_kmeans_lloyd",
+    None,
+    note="rows-only by declared design: iterative driver-coordinated "
+    "Lloyd fit (fixed 5 rounds, md5-seeded); numpy-Lloyd assignment "
+    "parity pinned in tests/test_ml.py, inertia ratio in RECALL.json",
+)
+def _ml_kmeans_lloyd(spark, sf):
+    return ml.kmeans_lloyd(_t(spark, sf, "embeddings"))
+
+
+@_register(
+    "stats_gini",
+    """
+    WITH spend AS (
+      SELECT c_nationkey, c_custkey,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT c_nationkey, c_custkey, x,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY x, c_custkey) AS i
+      FROM spend),
+    agg AS (
+      SELECT c_nationkey, count(*) AS n, sum(x) AS sx,
+             sum(CAST(i * x AS DECIMAL(28,2))) AS six
+      FROM ranked GROUP BY 1)
+    SELECT c_nationkey, CAST(n AS INT) AS n_customers,
+           round(CAST(sx AS DOUBLE), 2) AS total_spend,
+           round(2.0 * CAST(six AS DOUBLE) / (n * CAST(sx AS DOUBLE))
+                 - (n + 1.0) / n, 4) AS gini
+    FROM agg
+    """,
+    note="per-nation Gini of customer lifetime spend via the exact "
+    "rank formula: DECIMAL-exact sums, one customer agg + one "
+    "per-nation window -- tie rank-sums are order-invariant so the "
+    "coefficient is deterministic",
+)
+def _stats_gini(spark, sf):
+    return analytics.stats_gini(
+        _t(spark, sf, "orders"), _t(spark, sf, "customer")
+    )
+
+
+@_register(
+    "dp_noisy_counts",
+    """
+    WITH g AS (
+      SELECT event_type,
+             strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2),
+    n AS (
+      SELECT event_type, day, cnt,
+             md5('dp|' || event_type || '|' || day) AS h
+      FROM g),
+    u AS (
+      SELECT event_type, day, cnt,
+             ((  (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+               + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+               + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1))
+              + 0.5) / 65536.0 - 0.5 AS uu
+      FROM n)
+    SELECT event_type, day,
+           round(cnt + (-1.0) * sign(uu) * ln(1 - 2 * abs(uu)), 4)
+             AS noisy_count
+    FROM u
+    """,
+    note="eps-DP-style noisy count release with key-derived "
+    "deterministic Laplace noise (md5 -> 4-hex-digit midpoint "
+    "uniform -> inverse CDF); true counts never emitted",
+)
+def _dp_noisy_counts(spark, sf):
+    return analytics.dp_noisy_counts(_t(spark, sf, "events"))
+
+
+@_register(
+    "basket_lift_topk",
+    """
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    tot AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM baskets),
+    item AS (
+      SELECT l_partkey, count(*) AS supp FROM baskets
+      GROUP BY 1 HAVING count(*) >= 2),
+    freq AS (
+      SELECT b.l_orderkey, b.l_partkey
+      FROM baskets b JOIN item USING (l_partkey)),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS support
+      FROM freq a JOIN freq b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2)
+    SELECT part_a, part_b, CAST(support AS BIGINT) AS support,
+           round(support * 1.0 / sa.supp, 4) AS confidence,
+           round((support * n_orders) * 1.0 / (sa.supp * sb.supp), 4)
+             AS lift
+    FROM pairs
+    JOIN item sa ON sa.l_partkey = part_a
+    JOIN item sb ON sb.l_partkey = part_b
+    CROSS JOIN tot
+    ORDER BY lift DESC, support DESC, part_a, part_b
+    LIMIT 20
+    """,
+    note="market-basket lift top-20 with the a-priori prune: "
+    "below-min-support items semi-joined out BEFORE the pair "
+    "self-join; 1-row total-orders broadcast scalar (allowlisted); "
+    "TakeOrderedAndProject top-k",
+)
+def _basket_lift_topk(spark, sf):
+    return analytics.basket_lift_topk(_t(spark, sf, "lineitem"))
+
+
+@_register(
+    "column_profile",
+    """
+    WITH wide AS (
+      SELECT count(*) AS n_rows,
+        count(l_quantity) AS q_n, count(DISTINCT l_quantity) AS q_d,
+        CAST(min(l_quantity) AS DOUBLE) AS q_min,
+        CAST(max(l_quantity) AS DOUBLE) AS q_max,
+        sum(CAST(l_quantity AS DECIMAL(28,4))) AS q_sum,
+        count(l_extendedprice) AS e_n,
+        count(DISTINCT l_extendedprice) AS e_d,
+        CAST(min(l_extendedprice) AS DOUBLE) AS e_min,
+        CAST(max(l_extendedprice) AS DOUBLE) AS e_max,
+        sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS e_sum,
+        count(l_discount) AS d_n, count(DISTINCT l_discount) AS d_d,
+        CAST(min(l_discount) AS DOUBLE) AS d_min,
+        CAST(max(l_discount) AS DOUBLE) AS d_max,
+        sum(CAST(l_discount AS DECIMAL(28,4))) AS d_sum,
+        count(l_tax) AS t_n, count(DISTINCT l_tax) AS t_d,
+        CAST(min(l_tax) AS DOUBLE) AS t_min,
+        CAST(max(l_tax) AS DOUBLE) AS t_max,
+        sum(CAST(l_tax AS DECIMAL(28,4))) AS t_sum,
+        count(l_returnflag) AS r_n,
+        count(DISTINCT l_returnflag) AS r_d,
+        CAST(min(length(l_returnflag)) AS DOUBLE) AS r_min,
+        CAST(max(length(l_returnflag)) AS DOUBLE) AS r_max,
+        sum(CAST(length(l_returnflag) AS DECIMAL(28,4))) AS r_sum,
+        count(l_linestatus) AS s_n, count(DISTINCT l_linestatus) AS s_d,
+        CAST(min(length(l_linestatus)) AS DOUBLE) AS s_min,
+        CAST(max(length(l_linestatus)) AS DOUBLE) AS s_max,
+        sum(CAST(length(l_linestatus) AS DECIMAL(28,4))) AS s_sum,
+        count(l_linenumber) AS l_n, count(DISTINCT l_linenumber) AS l_d,
+        CAST(min(l_linenumber) AS DOUBLE) AS l_min,
+        CAST(max(l_linenumber) AS DOUBLE) AS l_max,
+        sum(CAST(l_linenumber AS DECIMAL(28,4))) AS l_sum
+      FROM lineitem),
+    long AS (
+      SELECT 'l_quantity' AS col_name, n_rows, q_n AS n_nonnull,
+             q_d AS n_distinct, q_min AS min_v, q_max AS max_v,
+             CAST(q_sum AS DOUBLE) AS sum_v FROM wide
+      UNION ALL SELECT 'l_extendedprice', n_rows, e_n, e_d, e_min,
+             e_max, CAST(e_sum AS DOUBLE) FROM wide
+      UNION ALL SELECT 'l_discount', n_rows, d_n, d_d, d_min, d_max,
+             CAST(d_sum AS DOUBLE) FROM wide
+      UNION ALL SELECT 'l_tax', n_rows, t_n, t_d, t_min, t_max,
+             CAST(t_sum AS DOUBLE) FROM wide
+      UNION ALL SELECT 'l_returnflag', n_rows, r_n, r_d, r_min, r_max,
+             CAST(r_sum AS DOUBLE) FROM wide
+      UNION ALL SELECT 'l_linestatus', n_rows, s_n, s_d, s_min, s_max,
+             CAST(s_sum AS DOUBLE) FROM wide
+      UNION ALL SELECT 'l_linenumber', n_rows, l_n, l_d, l_min, l_max,
+             CAST(l_sum AS DOUBLE) FROM wide)
+    SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_nonnull AS BIGINT) AS n_nonnull,
+           round(n_nonnull * 1.0 / n_rows, 4) AS completeness,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           min_v, max_v,
+           round(sum_v / n_nonnull, 4) AS mean_v
+    FROM long
+    """,
+    note="single-scan Deequ-style column profile (describe side of "
+    "quality_constraints): two-level (col,value) aggregate -- map-side "
+    "duplicate collapse, shuffle bounded by true cardinality, no "
+    "mixed-distinct Expand; strings profiled by length, keyed by "
+    "value; means fold DECIMAL then divide once in double",
+)
+def _column_profile(spark, sf):
+    return relational.column_profile(_t(spark, sf, "lineitem"))
+
+
+@_register(
+    "sql_udf_quality",
+    f"""
+    WITH {_QUALITY_MEASURES_CTE}
+    SELECT doc_id, {_QUALITY_EXPR} AS quality
+    FROM m
+    """,
+    note="registered-UDF surface: the quality formula as a named "
+    "spark.udf.register'd Arrow pandas_udf invoked from spark.sql -- "
+    "same bit-level formula as quality_score, so the shared "
+    "expression oracle applies verbatim",
+)
+def _sql_udf_quality(spark, sf):
+    return text.sql_udf_quality(spark, _t(spark, sf, "documents"))
+
+
+@_register(
+    "udtf_sentence_split",
+    """
+    WITH segs AS (
+      SELECT doc_id,
+             unnest(string_split_regex(text, '[.!?]+')) AS sentence,
+             generate_subscripts(string_split_regex(text, '[.!?]+'), 1) AS pos
+      FROM documents)
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1
+                AS INTEGER) AS sent_idx,
+           sentence
+    FROM segs
+    WHERE sentence <> ''
+    """,
+    note="registered-UDTF surface: Python table function splitting "
+    "docs into sentences on [.!?]+ runs, invoked via SQL LATERAL -- "
+    "the reference's multi-emit Job.map as a SQL-facing extension "
+    "point; empty segments dropped, raw segment bytes kept",
+)
+def _udtf_sentence_split(spark, sf):
+    return text.udtf_sentence_split(spark, _t(spark, sf, "documents"))
+
+
+@_register(
+    "sql_udaf_median",
+    """
+    SELECT lang, source,
+           round(CAST(median(n_chars) AS DOUBLE), 1) AS median_chars,
+           count(*) AS n_docs
+    FROM documents GROUP BY lang, source
+    """,
+    note="registered-UDAF surface (completes the UDF/UDTF/UDAF "
+    "extension triad): grouped-aggregate pandas UDFs (numpy median + "
+    "count) invoked from spark.sql under GROUP BY -- np.median's "
+    "interpolated midpoint equals quantile_cont(0.5) bit-for-bit on "
+    "int-valued input",
+)
+def _sql_udaf_median(spark, sf):
+    return text.sql_udaf_median(spark, _t(spark, sf, "documents"))
+
+
+@_register(
+    "quality_gopher_flags",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, text, {_TOKS} AS t,
+             string_split(text, chr(10)) AS lines
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+        CAST(len(t) AS INTEGER) AS n_words,
+        length(regexp_replace(lower(text),
+                              '[ ' || chr(9) || chr(10) || chr(11)
+                                   || chr(12) || chr(13) || ']',
+                              '', 'g')) AS tok_chars,
+        length(text) - length(replace(text, '#', '')) AS n_hash,
+        (length(text) - length(replace(text, '...', ''))) / 3
+          AS n_ellipsis,
+        greatest(len(lines), 1) AS n_lines,
+        len(list_filter(lines,
+            l -> ltrim(l) LIKE '-%' OR ltrim(l) LIKE '*%'))
+          AS bullet_lines,
+        len(list_filter(lines, l -> rtrim(l) LIKE '%...'))
+          AS ellipsis_lines,
+        len(list_filter(['the','a','of','and','to','in','is'],
+            s -> list_contains(t, s))) AS stop_hits
+      FROM toks)
+    SELECT doc_id, n_words,
+      round(tok_chars * 1.0 / greatest(n_words, 1), 4) AS mean_word_len,
+      CAST(n_words >= 50 AND n_words <= 100000 AS INT) AS f_word_count,
+      CAST(tok_chars * 1.0 / greatest(n_words, 1) >= 3.0
+           AND tok_chars * 1.0 / greatest(n_words, 1) <= 10.0 AS INT)
+        AS f_mean_word_len,
+      CAST((n_hash + n_ellipsis) * 1.0 / greatest(n_words, 1) < 0.1
+           AS INT) AS f_symbol_ratio,
+      CAST(bullet_lines * 1.0 / n_lines <= 0.9 AS INT) AS f_bullet_lines,
+      CAST(ellipsis_lines * 1.0 / n_lines <= 0.3 AS INT)
+        AS f_ellipsis_lines,
+      CAST(stop_hits >= 2 AS INT) AS f_stopwords,
+      CAST(CAST(n_words >= 50 AND n_words <= 100000 AS INT)
+         * CAST(tok_chars * 1.0 / greatest(n_words, 1) >= 3.0
+                AND tok_chars * 1.0 / greatest(n_words, 1) <= 10.0 AS INT)
+         * CAST((n_hash + n_ellipsis) * 1.0 / greatest(n_words, 1) < 0.1
+                AS INT)
+         * CAST(bullet_lines * 1.0 / n_lines <= 0.9 AS INT)
+         * CAST(ellipsis_lines * 1.0 / n_lines <= 0.3 AS INT)
+         * CAST(stop_hits >= 2 AS INT) AS INT) AS keep
+    FROM m
+    """,
+    note="Gopher/Dolma-style rule-based quality gate: auditable "
+    "per-rule INT flags (word-count/mean-word-length bounds, "
+    "symbol-to-word ratio, bullet/ellipsis line fractions, distinct "
+    "stopword minimum) + conjunctive keep -- all row-local length "
+    "arithmetic and array filters, map-only at any scale",
+)
+def _quality_gopher_flags(spark, sf):
+    return text.quality_gopher_flags(_t(spark, sf, "documents"))
+
+
+@_register(
+    "corpus_token_budget",
+    f"""
+    WITH agg AS (
+      SELECT lang, CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang),
+    tot AS (SELECT sum(sqrt(CAST(n_tokens AS DOUBLE))) AS ptot FROM agg)
+    SELECT lang, n_tokens,
+           round(sqrt(CAST(n_tokens AS DOUBLE)) / ptot, 6) AS temp_share,
+           round(sqrt(CAST(n_tokens AS DOUBLE)) / ptot * 1000000.0, 2)
+             AS alloc_tokens,
+           round(sqrt(CAST(n_tokens AS DOUBLE)) / ptot * 1000000.0
+                 / n_tokens, 4) AS epochs
+    FROM agg CROSS JOIN tot
+    """,
+    note="token-budget planner: temperature (sqrt) shares over exact "
+    "per-language token sums allocate a fixed budget and report the "
+    "implied epoch/oversampling count per language; one token-sum "
+    "agg + a 1-row totals broadcast",
+)
+def _corpus_token_budget(spark, sf):
+    return text.corpus_token_budget(_t(spark, sf, "documents"))
+
+
+_SQL_PIVOT_QTY = """
+    SELECT l_returnflag,
+           CAST(COALESCE(o, 0) AS DOUBLE) AS qty_open,
+           CAST(COALESCE(f, 0) AS DOUBLE) AS qty_finished
+    FROM (SELECT l_returnflag, l_linestatus,
+                 CAST(l_quantity AS DECIMAL(18,2)) AS q FROM lineitem)
+    PIVOT (SUM(q) FOR l_linestatus IN ('O' AS o, 'F' AS f))
+"""
+
+
+@_register(
+    "sql_pivot_qty",
+    """
+    SELECT l_returnflag,
+           CAST(COALESCE(sum(CASE WHEN l_linestatus = 'O'
+                 THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0)
+                AS DOUBLE) AS qty_open,
+           CAST(COALESCE(sum(CASE WHEN l_linestatus = 'F'
+                 THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0)
+                AS DOUBLE) AS qty_finished
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    note="SQL PIVOT intake shape: Spark's native FROM ... PIVOT "
+    "(SUM FOR col IN (...)) syntax, which Catalyst lowers to the "
+    "same conditional-aggregate plan the oracle states explicitly "
+    "with CASE -- one scan, one grouped agg, DECIMAL-exact sums",
+)
+def _sql_pivot_qty(spark, sf):
+    from ..sql import run_sql
+
+    return run_sql(spark, sf, _SQL_PIVOT_QTY)
+
+

@@ -31,6 +31,17 @@ lifecycle cost the op is declared to have.
 
 Run: python scale_probe.py [--synth-only|--probe-only]
 Writes SCALE_PROBE.json.
+
+``--x100``: the escalation round for the three WORST 10x factors
+(dedup_edit_distance 9.1, ml_naive_bayes_confusion 8.1, dedup_minhash
+5.6 in round 7) -- a 10x factor near 10 is consistent with both
+linearity and a creeping quadratic whose crossover sits past the 10x
+corpus; only a second decade separates them (linear -> factor ~100,
+quadratic -> factor ~10,000). Synthesizes 100 token-renamed document
+replicas (the three queries read only ``documents``; every other
+table passes through) and appends an ``x100`` section to
+SCALE_PROBE.json. Single-run timings (each x100 run is minutes; the
+linear-vs-quadratic verdict needs a decade, not ±10%).
 """
 
 from __future__ import annotations
@@ -76,6 +87,94 @@ PASSTHROUGH = (
     "region", "nation", "customer", "supplier", "part", "orders",
     "events", "embeddings",
 )
+
+
+#: x100 escalation targets: the three worst 10x factors of round 7.
+X100_OUT = str(
+    pathlib.Path(__file__).resolve().parent / ".tmp" / "scale_probe" / "sf10x"
+)
+X100_REPLICAS = 100
+X100_QUERIES = ["dedup_edit_distance", "ml_naive_bayes_confusion", "dedup_minhash"]
+
+
+def synthesize_x100() -> None:
+    """100 token-renamed document replicas; everything else passes
+    through (the x100 queries read only documents)."""
+    import re
+
+    import duckdb
+    import pandas as pd
+
+    os.makedirs(X100_OUT, exist_ok=True)
+    for t in PASSTHROUGH + ("lineitem",):
+        shutil.copyfile(f"{BASE}/{t}.parquet", f"{X100_OUT}/{t}.parquet")
+    con = duckdb.connect()
+    df = con.execute(
+        f"SELECT * FROM read_parquet('{BASE}/documents.parquet')"
+    ).df()
+    parts = []
+    for k in range(X100_REPLICAS):
+        d = df.copy()
+        d["doc_id"] = d["doc_id"] + k * 1_000_000
+        if k:
+            def rename(text: str, k: int = k) -> str:
+                return "".join(
+                    p if not p or p.isspace() else f"{p}_{k}"
+                    for p in re.split(r"(\s+)", text)
+                )
+
+            d["text"] = d["text"].map(rename)
+        parts.append(d)
+    con.register("docs100", pd.concat(parts, ignore_index=True))
+    con.execute(
+        f"COPY docs100 TO '{X100_OUT}/documents.parquet' (FORMAT parquet)"
+    )
+    print(f"# synthesized {X100_OUT}", file=sys.stderr)
+
+
+def probe_x100() -> None:
+    from java_mapreduce_framework_spark.plans import registry
+    from java_mapreduce_framework_spark.session import get_spark
+
+    spark = get_spark("jmrf-scale-probe-x100")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = registry.registry()
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    def _ident(batches):
+        yield from batches
+
+    spark.range(100).mapInPandas(_ident, "id long").count()
+
+    results: dict[str, dict] = {}
+    for name in X100_QUERIES:
+        ts = {}
+        for sd, tag, runs in ((BASE, "base", 2), (X100_OUT, "x100", 1)):
+            best = float("inf")
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                specs[name].fn(spark, sd).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            ts[tag] = round(best, 3)
+        results[name] = {
+            **ts,
+            "factor": round(ts["x100"] / ts["base"], 1),
+        }
+        print(f"# x100 {name}: {results[name]}", file=sys.stderr, flush=True)
+    path = pathlib.Path(__file__).resolve().parent / "SCALE_PROBE.json"
+    doc = json.loads(path.read_text()) if path.exists() else {}
+    doc["x100"] = {
+        "base": BASE,
+        "fixture": X100_OUT,
+        "replicas": X100_REPLICAS,
+        "queries": results,
+    }
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=1)
+        f.write("\n")
+    print(json.dumps(doc["x100"]))
 
 
 def synthesize() -> None:
@@ -174,7 +273,13 @@ def probe() -> None:
 
 
 if __name__ == "__main__":
-    if "--probe-only" not in sys.argv:
-        synthesize()
-    if "--synth-only" not in sys.argv:
-        probe()
+    if "--x100" in sys.argv:
+        if "--probe-only" not in sys.argv:
+            synthesize_x100()
+        if "--synth-only" not in sys.argv:
+            probe_x100()
+    else:
+        if "--probe-only" not in sys.argv:
+            synthesize()
+        if "--synth-only" not in sys.argv:
+            probe()
