@@ -98,9 +98,24 @@ X100_QUERIES = ["dedup_edit_distance", "ml_naive_bayes_confusion", "dedup_minhas
 
 
 def synthesize_x100() -> None:
-    """100 token-renamed document replicas; everything else passes
-    through (the x100 queries read only documents)."""
-    import re
+    """100 document replicas under per-replica SUBSTITUTION CIPHERS;
+    everything else passes through (the x100 queries read only
+    documents).
+
+    Cipher, not the 10x probe's ``_k`` token-suffix rename: suffixing
+    leaves every mid-token substring (``"quick"`` inside
+    ``"quick_17"``) shared across the 90 equal-length replicas, so
+    dedup_edit_distance's SEGMENT cells (substrings of the 24-char
+    prefix) collide cross-replica and the probe join goes quadratic
+    in replica count -- a synthesis artifact, measured at factor 333
+    before this fix (whole-token-keyed ops like naive-bayes and
+    MinHash were immune: their keys always contain the suffix). A
+    bijective per-replica char map preserves within-replica dup/gram
+    structure AND lengths exactly while sharing no multi-char
+    substring across replicas -- the shape of a real corpus whose
+    vocabulary grows with size."""
+    import random
+    import string
 
     import duckdb
     import pandas as pd
@@ -112,18 +127,20 @@ def synthesize_x100() -> None:
     df = con.execute(
         f"SELECT * FROM read_parquet('{BASE}/documents.parquet')"
     ).df()
+    alphabet = string.ascii_lowercase + string.ascii_uppercase + string.digits
     parts = []
     for k in range(X100_REPLICAS):
         d = df.copy()
         d["doc_id"] = d["doc_id"] + k * 1_000_000
         if k:
-            def rename(text: str, k: int = k) -> str:
-                return "".join(
-                    p if not p or p.isspace() else f"{p}_{k}"
-                    for p in re.split(r"(\s+)", text)
-                )
-
-            d["text"] = d["text"].map(rename)
+            rnd = random.Random(k)
+            lo = list(string.ascii_lowercase)
+            up = list(string.ascii_uppercase)
+            dg = list(string.digits)
+            for cls in (lo, up, dg):
+                rnd.shuffle(cls)
+            table = str.maketrans(alphabet, "".join(lo + up + dg))
+            d["text"] = d["text"].str.translate(table)
         parts.append(d)
     con.register("docs100", pd.concat(parts, ignore_index=True))
     con.execute(
