@@ -1905,3 +1905,69 @@ def quantile_sketch(events: DataFrame, bins: int = 256) -> DataFrame:
             est.alias("est"),
         )
     )
+
+
+def spearman_corr(events: DataFrame) -> DataFrame:
+    """Spearman rank correlation between the metric value and event
+    TIME per event type -- the monotone-trend detector
+    (``stats_correlation``'s Pearson sees only linear association;
+    ``trend_regression`` fits a line; Spearman answers "is this
+    metric drifting monotonically at all?" robustly to outliers and
+    nonlinearity).
+
+    Tie discipline (the mannwhitney/kruskal contract): value ranks
+    are average ranks carried DOUBLED as exact integers off one
+    (type, value) alphabet collapse joined back; time ranks are
+    2 * row_number (timestamps are unique per the (ts, event_id)
+    total order). The five per-type sums (n, sum u, sum u^2, sum uv,
+    sum v^2-free closed forms where possible) are exact BIGINTs; the
+    final Pearson-on-ranks combination runs in double, identically
+    ordered on both engines, rounded 4.
+
+    Emits (event_type, n_events, spearman_rho).
+    """
+    vg = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy("event_type", "value")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w_val = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = vg.select(
+        "event_type",
+        "value",
+        (
+            2 * F.coalesce(F.sum("cnt").over(w_val), F.lit(0))
+            + F.col("cnt")
+            + 1
+        ).alias("u"),
+    )
+    w_ts = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    rows = (
+        events.filter(F.col("value").isNotNull())
+        .select("event_type", "value", "ts", "event_id")
+        .withColumn("v", 2 * F.row_number().over(w_ts))
+        .join(ranked, ["event_type", "value"])
+    )
+    agg = rows.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("u").alias("su"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("u") * F.col("u")).alias("suu"),
+        F.sum(F.col("v") * F.col("v")).alias("svv"),
+        F.sum(F.col("u") * F.col("v")).alias("suv"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("suv") - F.col("su").cast("double") * F.col("sv")
+    den = F.sqrt(
+        (n * F.col("suu") - F.col("su").cast("double") * F.col("su"))
+        * (n * F.col("svv") - F.col("sv").cast("double") * F.col("sv"))
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        F.round(num / den, 4).alias("spearman_rho"),
+    )

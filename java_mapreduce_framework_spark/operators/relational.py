@@ -1664,3 +1664,107 @@ def cdc_merge_upsert(orders: DataFrame, cut: str = "1998-01-01") -> DataFrame:
             .alias("src"),
         )
     )
+
+
+def customer_clv_cohort(orders: DataFrame) -> DataFrame:
+    """Cohorted customer-lifetime-value curve -- ``retention_cohorts``'
+    revenue sibling on the orders table: customers cohort by the
+    QUARTER of their first order; each cohort reports, per quarter of
+    age, how many customers were active and the revenue they
+    produced. The matrix every LTV model and payback-period analysis
+    starts from.
+
+    Cohort/age arithmetic is pure integers on date parts
+    ((y2-y1)*4 + (q2-q1)); revenue sums run in DECIMAL(18,2) cast
+    back to double (the money contract -- double sums round .xx5
+    differently across engines). Plan: one argmin-style aggregate for
+    first-order quarters (groupby_argmax discipline), an alphabet-ish
+    keyed join back (customers x 1 row), one (cohort, age) rollup.
+
+    Emits (cohort_q 'YYYY-Qn', age_q, n_customers, revenue).
+    """
+    qcol = (
+        F.year("o_orderdate") * 4 + F.quarter("o_orderdate") - 1
+    )  # absolute quarter index
+    first = orders.groupBy("o_custkey").agg(
+        F.min(qcol).alias("cohort_idx")
+    )
+    staged = (
+        orders.select(
+            "o_custkey",
+            qcol.alias("q_idx"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        )
+        .join(first, "o_custkey")
+        .withColumn("age_q", F.col("q_idx") - F.col("cohort_idx"))
+    )
+    cohort_label = F.concat_ws(
+        "-Q",
+        F.floor(F.col("cohort_idx") / 4).cast("int").cast("string"),
+        ((F.col("cohort_idx") % 4) + 1).cast("string"),
+    )
+    return (
+        staged.groupBy("cohort_idx", "age_q")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.sum("price").cast("double").alias("revenue"),
+        )
+        .select(
+            cohort_label.alias("cohort_q"),
+            F.col("age_q").cast("int").alias("age_q"),
+            "n_customers",
+            "revenue",
+        )
+    )
+
+
+def orders_abc_classification(lineitem: DataFrame) -> DataFrame:
+    """ABC inventory classification of parts by discounted revenue --
+    the cumulative-share cut every ops/procurement pipeline runs
+    (A = parts inside the first 70% of revenue, B = to 90%, C =
+    tail), and the skyline/pareto family's one-dimensional sibling.
+
+    Exactness: per-line revenue extprice*(1-discount) is an exact
+    integer in 1e-4 dollars (cents x (100 - discount_pct)); per-part
+    sums and the running total are BIGINT window sums (integer
+    running sums are engine-safe; double ones are not), and the
+    class cut is an integer CROSS-MULTIPLICATION (cum*10 <= 7*total)
+    so no share ratio is ever materialized. One keyed aggregate, one
+    ordered window over the parts table (ties broken by partkey), a
+    1-row total broadcast.
+
+    Emits (l_partkey, revenue, cum_share, abc_class).
+    """
+    rev_e4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    per_part = lineitem.groupBy("l_partkey").agg(
+        F.sum(rev_e4).alias("rev_e4")
+    )
+    w = Window.orderBy(F.col("rev_e4").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = per_part.agg(F.sum("rev_e4").alias("tot_e4"))
+    cum = per_part.withColumn("cum_e4", F.sum("rev_e4").over(w)).join(
+        F.broadcast(tot)
+    )
+    abc = (
+        F.when(F.col("cum_e4") * 10 <= F.col("tot_e4") * 7, F.lit("A"))
+        .when(F.col("cum_e4") * 10 <= F.col("tot_e4") * 9, F.lit("B"))
+        .otherwise(F.lit("C"))
+    )
+    # revenue to cents at INTEGER scale (X.5 quotients are exactly
+    # representable, the one rounding rule both engines share), then
+    # one exact division to dollars
+    return cum.select(
+        "l_partkey",
+        (
+            F.round(F.col("rev_e4") / F.lit(100.0)).cast("long")
+            / F.lit(100.0)
+        ).alias("revenue"),
+        F.round(F.col("cum_e4") / F.col("tot_e4").cast("double"), 6).alias(
+            "cum_share"
+        ),
+        abc.alias("abc_class"),
+    )

@@ -1825,3 +1825,144 @@ def attribution_position_based(events: DataFrame) -> DataFrame:
             F.round(F.sum("ppm") / F.lit(1e6), 4).alias("total_credit"),
         )
     )
+
+
+def stats_jarque_bera(events: DataFrame) -> DataFrame:
+    """Jarque-Bera normality test per event type -- the gate before
+    any z-score/parametric rule downstream (``hourly_anomaly_zscore``,
+    ``ab_test_ztest`` assume roughly normal inputs; JB is the cheap
+    moment-based check that assumption deserves): JB = n/6 * (S^2 +
+    K^2/4) with S the skewness and K the excess kurtosis, chi2(2)
+    under H0.
+
+    Reuses ``stats_moments``' engine-exact discipline verbatim:
+    per-type mean rounded 6 pins the centering constant, ONE grouped
+    pass of centered power sums, row-local moment arithmetic on the
+    alphabet-sized result -- the construction whose cross-engine
+    agreement is already driver-hash-proven. The 5% cut is
+    chi2_{0.95, 2} = 5.9915, a constant (df is always 2).
+
+    Emits (event_type, n_events, jb_stat, chi2_crit, normal).
+    """
+    mu = events.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("mu")
+    )
+    d = F.col("value") - F.col("mu")
+    cent = (
+        events.join(F.broadcast(mu), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(d * d).alias("m2s"),
+            F.sum(d * d * d).alias("m3s"),
+            F.sum(d * d * d * d).alias("m4s"),
+        )
+    )
+    n = F.col("n_events")
+    m2 = F.col("m2s") / n
+    m3 = F.col("m3s") / n
+    m4 = F.col("m4s") / n
+    s = m3 / F.pow(m2, F.lit(1.5))
+    k = m4 / (m2 * m2) - F.lit(3.0)
+    jb = F.round(n / F.lit(6.0) * (s * s + k * k / F.lit(4.0)), 4)
+    return cent.select(
+        "event_type",
+        "n_events",
+        jb.alias("jb_stat"),
+        F.lit(5.9915).alias("chi2_crit"),
+        (jb < F.lit(5.9915)).alias("normal"),
+    )
+
+
+def window_drawdown(events: DataFrame) -> DataFrame:
+    """Per-user running peak and drawdown over the reading stream --
+    the risk readout every monitoring dashboard pairs with the raw
+    series (how far below the best-so-far are we, and what is the
+    worst dip so far): peak = running max, drawdown = peak - value,
+    max_drawdown = running max of drawdown.
+
+    All three run on exact BIGINT cents (running MAX of integers is
+    segment-tree-safe -- only double SUMS split engines), so the two
+    stacked windows share one (user_id) exchange and one sort, and
+    the /100 conversions at the end are identical integer/double
+    divisions on both engines.
+
+    Emits (user_id, event_id, ts, value, peak, drawdown,
+    max_drawdown).
+    """
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    staged = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.max(cents).over(w).alias("peak_c"),
+        cents.alias("c"),
+    ).withColumn("dd_c", F.col("peak_c") - F.col("c"))
+    return staged.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        (F.col("peak_c") / F.lit(100.0)).alias("peak"),
+        (F.col("dd_c") / F.lit(100.0)).alias("drawdown"),
+        (F.max("dd_c").over(w) / F.lit(100.0)).alias("max_drawdown"),
+    )
+
+
+def window_rsi(events: DataFrame, n: int = 14) -> DataFrame:
+    """Per-user Relative Strength Index over the last ``n`` deltas --
+    the bounded-oscillator companion of ``window_bollinger`` (bands
+    flag level excursions, RSI flags one-sided momentum): RSI =
+    100 * sum(gains) / (sum(gains) + sum(losses)) over the trailing
+    ``n`` reading-to-reading changes (the simple-average Cutler form,
+    exactly representable -- Wilder's recursive smoothing is not
+    cross-engine-exact).
+
+    Gains/losses are BIGINT cents off one lag, their rolling sums
+    exact integers over one more window on the SAME (user, ts,
+    event_id) sort (one exchange total); the single division rounds
+    at 4. Flat windows (no movement) and warm-up rows (< n deltas)
+    emit NULL.
+
+    Emits (user_id, event_id, ts, value, rsi, n_deltas).
+    """
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cents = F.round(F.col("value") * 100).cast("long")
+    delta = cents - F.lag(cents).over(w_ord)
+    staged = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        delta.alias("d"),
+    )
+    w_roll = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(n - 1), 0)
+    )
+    gains = F.sum(F.when(F.col("d") > 0, F.col("d")).otherwise(F.lit(0))).over(
+        w_roll
+    )
+    losses = F.sum(
+        F.when(F.col("d") < 0, -F.col("d")).otherwise(F.lit(0))
+    ).over(w_roll)
+    n_deltas = F.count("d").over(w_roll)
+    rsi = F.when(
+        (n_deltas >= n) & (gains + losses > 0),
+        F.round(F.lit(100.0) * gains / (gains + losses), 4),
+    )
+    return staged.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        rsi.alias("rsi"),
+        n_deltas.cast("int").alias("n_deltas"),
+    )

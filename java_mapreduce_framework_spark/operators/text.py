@@ -3065,3 +3065,32 @@ def lm_kneser_ney_bigram(
         .orderBy(F.col("c12").desc(), "w1", "w2")
         .limit(top_k)
     )
+
+
+def lang_id_margin(documents: DataFrame) -> DataFrame:
+    """Language-ID confidence margin -- the router's abstain signal:
+    ``lang_id`` always answers, but a corpus pipeline needs to know
+    WHICH answers to trust (route low-margin docs to a heavier
+    classifier, drop them from lang-stratified mixes). Margin =
+    top stopword-hit count minus the runner-up's; ties give margin 0.
+
+    Pure row-local integer arithmetic on ``lang_id``'s scoring
+    expressions (top2 = sum - greatest - least of the three hit
+    counts -- no sort, no struct ordering); zero shuffles, map-only.
+
+    Emits (doc_id, lang, pred_lang, margin, confident) with
+    ``confident`` = margin >= 2 (at least two stopword hits of
+    separation).
+    """
+    scored = lang_id(documents)
+    g = F.greatest("en_hits", "es_hits", "de_hits")
+    l = F.least("en_hits", "es_hits", "de_hits")
+    mid = F.col("en_hits") + F.col("es_hits") + F.col("de_hits") - g - l
+    margin = (g - mid).cast("int")
+    return scored.select(
+        "doc_id",
+        "lang",
+        "pred_lang",
+        margin.alias("margin"),
+        (margin >= 2).alias("confident"),
+    )

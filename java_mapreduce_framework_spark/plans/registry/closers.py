@@ -18,6 +18,9 @@ from ...operators import (  # noqa: F401
 )
 from ...sources.tables import load_table  # noqa: F401
 from .core import (  # noqa: F401
+    _DE,
+    _EN,
+    _ES,
     _EVTS,
     _TOKS,
     _register,
@@ -1703,3 +1706,248 @@ def _embedding_whiten(spark, sf):
     return similarity.embedding_whiten(_t(spark, sf, "embeddings"))
 
 
+
+
+@_register(
+    "stats_jarque_bera",
+    f"""
+    WITH ev AS (SELECT event_type, value FROM {_EVTS}),
+    mu AS (
+      SELECT event_type, round(avg(value), 6) AS mu
+      FROM ev GROUP BY event_type),
+    cent AS (
+      SELECT ev.event_type,
+             CAST(count(*) AS BIGINT) AS n_events,
+             sum((value - mu) * (value - mu)) AS m2s,
+             sum((value - mu) * (value - mu) * (value - mu)) AS m3s,
+             sum((value - mu) * (value - mu) * (value - mu)
+                 * (value - mu)) AS m4s
+      FROM ev JOIN mu USING (event_type)
+      GROUP BY ev.event_type),
+    sk AS (
+      SELECT event_type, n_events,
+             (m3s / n_events) / pow(m2s / n_events, 1.5) AS s,
+             (m4s / n_events)
+               / ((m2s / n_events) * (m2s / n_events)) - 3.0 AS k
+      FROM cent)
+    SELECT event_type, n_events,
+           round(n_events / 6.0 * (s * s + k * k / 4.0), 4) AS jb_stat,
+           5.9915 AS chi2_crit,
+           round(n_events / 6.0 * (s * s + k * k / 4.0), 4) < 5.9915
+             AS normal
+    FROM sk
+    """,
+    note="Jarque-Bera normality gate per type: JB = n/6*(S^2+K^2/4) "
+    "from stats_moments' driver-hash-proven centered power sums "
+    "(centering constant pinned at 6 decimals); chi2(2) crit 5.9915 "
+    "is a constant -- df never varies",
+)
+def _stats_jarque_bera(spark, sf):
+    return temporal.stats_jarque_bera(_t(spark, sf, "events"))
+
+
+@_register(
+    "window_drawdown",
+    f"""
+    WITH c AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             CAST(round(value * 100) AS BIGINT) AS cts
+      FROM {_EVTS}),
+    w AS (
+      SELECT user_id, event_id, ts, value, cts,
+             max(cts) OVER fr AS peak_c
+      FROM c
+      WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    d AS (SELECT *, peak_c - cts AS dd_c FROM w)
+    SELECT user_id, event_id, ts, value,
+           peak_c / 100.0 AS peak,
+           dd_c / 100.0 AS drawdown,
+           max(dd_c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0
+             AS max_drawdown
+    FROM d
+    """,
+    note="per-user running peak / drawdown / max drawdown on exact "
+    "BIGINT cents (integer running MAX is segment-tree-safe); two "
+    "stacked windows share one exchange and sort; /100 conversions "
+    "are identical integer/double divisions",
+)
+def _window_drawdown(spark, sf):
+    return temporal.window_drawdown(_t(spark, sf, "events"))
+
+
+@_register(
+    "window_rsi",
+    f"""
+    WITH c AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM {_EVTS}),
+    d AS (
+      SELECT user_id, event_id, ts, value,
+             cents - lag(cents) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS d
+      FROM c),
+    r AS (
+      SELECT user_id, event_id, ts, value,
+             sum(CASE WHEN d > 0 THEN d ELSE 0 END) OVER fr AS g,
+             sum(CASE WHEN d < 0 THEN -d ELSE 0 END) OVER fr AS l,
+             count(d) OVER fr AS n_deltas
+      FROM d
+      WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+    SELECT user_id, event_id, ts, value,
+           CASE WHEN n_deltas >= 14 AND g + l > 0
+                THEN round(100.0 * g / (g + l), 4) END AS rsi,
+           CAST(n_deltas AS INTEGER) AS n_deltas
+    FROM r
+    """,
+    note="Cutler-form RSI over the trailing 14 deltas (simple "
+    "averages are exactly representable; Wilder's recursive "
+    "smoothing is not cross-engine-exact): gains/losses as BIGINT "
+    "cents off one lag + one rolling window on the same sort, single "
+    "rounded division; flat windows and warm-up rows NULL",
+)
+def _window_rsi(spark, sf):
+    return temporal.window_rsi(_t(spark, sf, "events"))
+
+
+@_register(
+    "stats_spearman",
+    f"""
+    WITH ev AS (
+      SELECT event_type, value, CAST(ts AS TIMESTAMP) AS ts, event_id
+      FROM {_EVTS} WHERE value IS NOT NULL),
+    vg AS (SELECT event_type, value, count(*) AS cnt
+           FROM ev GROUP BY 1, 2),
+    ranked AS (
+      SELECT event_type, value,
+             2 * coalesce(sum(cnt) OVER (PARTITION BY event_type
+               ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + cnt + 1 AS u
+      FROM vg),
+    rws AS (
+      SELECT ev.event_type, u,
+             2 * row_number() OVER (PARTITION BY ev.event_type
+               ORDER BY ts, event_id) AS v
+      FROM ev JOIN ranked ON ev.event_type = ranked.event_type
+                         AND ev.value = ranked.value),
+    agg AS (
+      SELECT event_type, count(*) AS n, sum(u) AS su, sum(v) AS sv,
+             sum(u * u) AS suu, sum(v * v) AS svv, sum(u * v) AS suv
+      FROM rws GROUP BY 1)
+    SELECT event_type, CAST(n AS BIGINT) AS n_events,
+           round((CAST(n AS DOUBLE) * suv - CAST(su AS DOUBLE) * sv)
+                 / sqrt((CAST(n AS DOUBLE) * suu
+                         - CAST(su AS DOUBLE) * su)
+                        * (CAST(n AS DOUBLE) * svv
+                           - CAST(sv AS DOUBLE) * sv)), 4)
+             AS spearman_rho
+    FROM agg
+    """,
+    note="Spearman rho of value vs event time per type (the monotone "
+    "drift detector next to Pearson stats_correlation and "
+    "trend_regression's line fit): doubled average value ranks off "
+    "the alphabet collapse, doubled row_number time ranks (unique "
+    "total order), exact BIGINT sums, one rounded double combination",
+)
+def _stats_spearman(spark, sf):
+    return analytics.spearman_corr(_t(spark, sf, "events"))
+
+
+@_register(
+    "customer_clv_cohort",
+    """
+    WITH o AS (
+      SELECT o_custkey,
+             year(o_orderdate) * 4 + quarter(o_orderdate) - 1 AS q_idx,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders),
+    fq AS (SELECT o_custkey, min(q_idx) AS cohort_idx FROM o GROUP BY 1),
+    staged AS (
+      SELECT o.o_custkey, cohort_idx, q_idx - cohort_idx AS age_q, price
+      FROM o JOIN fq USING (o_custkey))
+    SELECT concat(CAST(cohort_idx // 4 AS VARCHAR), '-Q',
+                  CAST(cohort_idx % 4 + 1 AS VARCHAR)) AS cohort_q,
+           CAST(age_q AS INTEGER) AS age_q,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(sum(price) AS DOUBLE) AS revenue
+    FROM staged GROUP BY cohort_idx, age_q
+    """,
+    note="cohorted customer-lifetime-value matrix "
+    "(retention_cohorts' revenue sibling on orders): cohort/age as "
+    "pure integer quarter indices, revenue in DECIMAL(18,2) cast "
+    "back (the money contract); one argmin aggregate + keyed join + "
+    "one rollup",
+)
+def _customer_clv_cohort(spark, sf):
+    return relational.customer_clv_cohort(_t(spark, sf, "orders"))
+
+
+@_register(
+    "orders_abc_classification",
+    """
+    WITH pp AS (
+      SELECT l_partkey,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+               AS rev_e4
+      FROM lineitem GROUP BY 1),
+    tot AS (SELECT sum(rev_e4) AS tot_e4 FROM pp),
+    cum AS (
+      SELECT l_partkey, rev_e4,
+             sum(rev_e4) OVER (ORDER BY rev_e4 DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_e4
+      FROM pp)
+    SELECT l_partkey,
+           CAST(round(rev_e4 / 100.0) AS BIGINT) / 100.0 AS revenue,
+           round(cum_e4 / CAST(tot_e4 AS DOUBLE), 6) AS cum_share,
+           CASE WHEN cum_e4 * 10 <= tot_e4 * 7 THEN 'A'
+                WHEN cum_e4 * 10 <= tot_e4 * 9 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM cum, tot
+    """,
+    note="ABC revenue classification of parts (70/90 cumulative-share "
+    "cuts): per-line revenue exact in 1e-4 dollars (cents x "
+    "(100-disc_pct) integers), BIGINT running sums, class cut by "
+    "integer cross-multiplication -- no share ratio materialized; "
+    "revenue display rounded to cents at INTEGER scale",
+)
+def _orders_abc_classification(spark, sf):
+    return relational.orders_abc_classification(_t(spark, sf, "lineitem"))
+
+
+@_register(
+    "lang_id_margin",
+    f"""
+    WITH toks AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
+    h AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(t, x -> x IN {_EN})) AS INTEGER) AS en_hits,
+             CAST(len(list_filter(t, x -> x IN {_ES})) AS INTEGER) AS es_hits,
+             CAST(len(list_filter(t, x -> x IN {_DE})) AS INTEGER) AS de_hits
+      FROM toks),
+    m AS (
+      SELECT doc_id, lang, en_hits, es_hits, de_hits,
+             CASE WHEN en_hits >= es_hits AND en_hits >= de_hits THEN 'en'
+                  WHEN es_hits >= de_hits THEN 'es'
+                  ELSE 'de' END AS pred_lang,
+             CAST(greatest(en_hits, es_hits, de_hits)
+                  - (en_hits + es_hits + de_hits
+                     - greatest(en_hits, es_hits, de_hits)
+                     - least(en_hits, es_hits, de_hits))
+                  AS INTEGER) AS margin
+      FROM h)
+    SELECT doc_id, lang, pred_lang, margin, margin >= 2 AS confident
+    FROM m
+    """,
+    note="language-ID confidence margin (the router's abstain "
+    "signal): top-hit minus runner-up via greatest/least integer "
+    "arithmetic on lang_id's scoring expressions verbatim -- "
+    "map-only, zero shuffles; confident = margin >= 2",
+)
+def _lang_id_margin(spark, sf):
+    return text.lang_id_margin(_t(spark, sf, "documents"))

@@ -249,6 +249,13 @@ _FRESH_ROUND8 = frozenset(
         "dedup_edit_distance_capped",
         "stream_session_timeout",
         "embedding_whiten",
+        "stats_jarque_bera",
+        "window_drawdown",
+        "window_rsi",
+        "stats_spearman",
+        "customer_clv_cohort",
+        "orders_abc_classification",
+        "lang_id_margin",
     }
 )
 

@@ -1194,3 +1194,86 @@ def test_quantile_sketch_exact_on_uniform_grid(spark):
     for q in (0.5, 0.95, 0.99):
         true_q = 1 + 99.0 * q  # uniform grid ground truth (approx)
         assert abs(out[q]["est"] - true_q) <= width + 1e-6
+
+
+def test_spearman_perfect_monotone_and_anticorrelation(spark):
+    """Values strictly increasing in time -> rho 1; strictly
+    decreasing -> rho -1; a tie-heavy series stays in (-1, 1)."""
+    from java_mapreduce_framework_spark.operators import analytics
+
+    rows, eid = [], 0
+    for i in range(20):
+        rows.append((eid, f"2024-01-01 00:{i:02d}:00", 1, "up",
+                     float(i), "{}")); eid += 1
+        rows.append((eid, f"2024-01-01 00:{i:02d}:00", 1, "down",
+                     float(100 - i), "{}")); eid += 1
+        rows.append((eid, f"2024-01-01 00:{i:02d}:00", 1, "tied",
+                     float(i % 2), "{}")); eid += 1
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r["event_type"]: r["spearman_rho"] for r in
+           analytics.spearman_corr(events).collect()}
+    assert out["up"] == 1.0
+    assert out["down"] == -1.0
+    assert -1.0 < out["tied"] < 1.0
+
+
+def test_clv_cohort_hand_orders(spark):
+    """Customer 1 orders in 1995-Q1 and 1995-Q3 (ages 0 and 2);
+    customer 2 only in 1995-Q3 (its own cohort, age 0); revenue sums
+    exact."""
+    from java_mapreduce_framework_spark.operators.relational import (
+        customer_clv_cohort,
+    )
+
+    rows = [
+        (1, 1, "O", 100.10, "1995-02-01", "x"),
+        (2, 1, "O", 50.20, "1995-08-01", "x"),
+        (3, 2, "O", 70.00, "1995-09-01", "x"),
+    ]
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    out = {(r["cohort_q"], r["age_q"]): r
+           for r in customer_clv_cohort(orders).collect()}
+    assert out[("1995-Q1", 0)]["revenue"] == 100.10
+    assert out[("1995-Q1", 2)]["revenue"] == 50.20
+    # both customers contribute to 1995-Q3 rows but in different cohorts
+    assert out[("1995-Q3", 0)]["n_customers"] == 1
+    assert out[("1995-Q3", 0)]["revenue"] == 70.00
+
+
+def test_abc_classification_cut_points(spark):
+    """Four parts at 70/10/10/10 revenue: the 70%-exact part is A
+    (<= is inclusive), the next two land in B and C by the cumulative
+    cut, and shares are exact."""
+    from java_mapreduce_framework_spark.operators.relational import (
+        orders_abc_classification,
+    )
+
+    rows = [
+        # (orderkey, partkey, suppkey, linenumber, qty, extprice,
+        #  discount, tax, rf, ls, shipdate)
+        (1, 1, 1, 1, 1.0, 700.0, 0.0, 0.0, "N", "O", "1995-01-01"),
+        (2, 2, 1, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", "1995-01-01"),
+        (3, 3, 1, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", "1995-01-01"),
+        (4, 4, 1, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", "1995-01-01"),
+    ]
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate string",
+    ).withColumn("l_shipdate", F.to_timestamp("l_shipdate"))
+    out = {r["l_partkey"]: r for r in
+           orders_abc_classification(li).collect()}
+    assert out[1]["abc_class"] == "A" and out[1]["cum_share"] == 0.7
+    assert out[2]["abc_class"] == "B" and out[2]["cum_share"] == 0.8
+    assert out[3]["abc_class"] == "B" and out[3]["cum_share"] == 0.9
+    assert out[4]["abc_class"] == "C" and out[4]["revenue"] == 100.0

@@ -842,3 +842,77 @@ def test_attribution_position_based_u_shape(spark):
     assert out["click"]["total_credit"] == 0.5
     assert out["view"]["n_touches"] == 3  # trailing click uncredited
     assert out["click"]["n_touches"] == 2
+
+
+def test_jarque_bera_normal_vs_skewed(spark):
+    """A symmetric near-normal sample keeps JB small; a heavily
+    one-sided sample blows past the chi2(2) cut."""
+    import math
+
+    from java_mapreduce_framework_spark.operators import temporal
+
+    rows, eid = [], 0
+    # near-normal: symmetric triangular-ish values
+    for v in [8, 9, 9, 10, 10, 10, 10, 11, 11, 12] * 5:
+        rows.append((eid, "2024-01-01 00:00:00", eid, "sym", float(v), "{}"))
+        eid += 1
+    # skewed: lognormal-ish one-sided tail
+    for v in [1, 1, 1, 1, 1, 1, 1, 2, 30, 100] * 5:
+        rows.append((eid, "2024-01-01 00:00:00", eid, "skw", float(v), "{}"))
+        eid += 1
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r["event_type"]: r for r in
+           temporal.stats_jarque_bera(events).collect()}
+    assert out["sym"]["normal"] is True
+    assert out["skw"]["normal"] is False
+    assert out["skw"]["jb_stat"] > out["sym"]["jb_stat"]
+    assert math.isclose(out["sym"]["chi2_crit"], 5.9915)
+
+
+def test_window_drawdown_hand_series(spark):
+    """Series 10, 12, 8, 11, 7: peak tracks the max, drawdown the dip
+    from it, max_drawdown the worst dip so far."""
+    from java_mapreduce_framework_spark.operators import temporal
+
+    vals = [10.0, 12.0, 8.0, 11.0, 7.0]
+    rows = [
+        (i, f"2024-01-01 00:0{i}:00", 1, "r", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r["event_id"]: r for r in
+           temporal.window_drawdown(events).collect()}
+    assert [out[i]["peak"] for i in range(5)] == [10.0, 12.0, 12.0, 12.0, 12.0]
+    assert [out[i]["drawdown"] for i in range(5)] == [0.0, 0.0, 4.0, 1.0, 5.0]
+    assert [out[i]["max_drawdown"] for i in range(5)] == [0.0, 0.0, 4.0, 4.0, 5.0]
+
+
+def test_window_rsi_extremes_and_warmup(spark):
+    """Monotone-up window -> RSI 100; monotone-down -> 0; first 14
+    rows (13 deltas) are warm-up NULLs."""
+    from java_mapreduce_framework_spark.operators import temporal
+
+    rows = []
+    for i in range(15):  # strictly increasing for user 1
+        rows.append((i, f"2024-01-01 00:{i:02d}:00", 1, "r",
+                     10.0 + i, "{}"))
+    for i in range(15):  # strictly decreasing for user 2
+        rows.append((100 + i, f"2024-01-01 00:{i:02d}:00", 2, "r",
+                     50.0 - i, "{}"))
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r["event_id"]: r for r in temporal.window_rsi(events).collect()}
+    assert out[13]["rsi"] is None and out[13]["n_deltas"] == 13
+    assert out[14]["rsi"] == 100.0 and out[14]["n_deltas"] == 14
+    assert out[114]["rsi"] == 0.0

@@ -1161,3 +1161,20 @@ def test_kneser_ney_bigram_hand_corpus(spark):
     assert abs(cb["pkn"] - round(expect_cb, 6)) < 1e-9
     # per-context probabilities over observed continuations stay <= 1
     assert ab["pkn"] + rows[("a", "d")]["pkn"] <= 1.0
+
+
+def test_lang_id_margin_hand_docs(spark):
+    """'the of la' -> en 2 hits vs es 1 -> margin 1, not confident;
+    'the of and is' -> margin 4 - 0 = 4, confident; an all-tie doc
+    has margin 0."""
+    from java_mapreduce_framework_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "the of la", "en"), (2, "the of and is", "en"),
+         (3, "zzz qqq", "de")],
+        "doc_id long, text string, lang string",
+    )
+    out = {r["doc_id"]: r for r in T.lang_id_margin(docs).collect()}
+    assert out[1]["margin"] == 1 and out[1]["confident"] is False
+    assert out[2]["margin"] == 4 and out[2]["confident"] is True
+    assert out[3]["margin"] == 0 and out[3]["pred_lang"] == "en"  # tie rule
