@@ -1971,3 +1971,134 @@ def spearman_corr(events: DataFrame) -> DataFrame:
         F.col("n").alias("n_events"),
         F.round(num / den, 4).alias("spearman_rho"),
     )
+
+
+def benford_audit(orders: DataFrame) -> DataFrame:
+    """Benford's-law first-digit audit of order amounts -- the
+    classic fraud/synthetic-data screen (organically-grown magnitude
+    distributions put digit d first with probability log10(1+1/d);
+    fabricated or capped amounts don't): observed first-digit counts
+    against the Benford expectation, with each digit's excess.
+
+    First digit extracted via STRING math on exact integer cents
+    (floor(log10(x)) flips below powers of ten in float, string
+    heads cannot); the expectation's one transcendental
+    (log10(1+1/d)) evaluates on both engines from the same 9 digit
+    constants. Per-digit rows, no cross-digit fold -- the chi-square
+    rides as an exact integer micro-unit sum.
+
+    Emits (digit, n_obs, expected, excess_pct, chi2_micro) where
+    chi2_micro is the digit's (obs-exp)^2/exp in integer micro-units
+    (sum them for the global statistic).
+    """
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    obs = (
+        orders.filter(F.col("o_totalprice") > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").alias("n_obs"))
+    )
+    tot = obs.agg(F.sum("n_obs").alias("n"))
+    exp = F.col("n") * F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return obs.join(F.broadcast(tot)).select(
+        "digit",
+        "n_obs",
+        F.round(exp, 4).alias("expected"),
+        F.round((F.col("n_obs") - exp) / exp * 100.0, 4).alias("excess_pct"),
+        F.round((F.col("n_obs") - exp) * (F.col("n_obs") - exp) / exp * 1e6)
+        .cast("long")
+        .alias("chi2_micro"),
+    )
+
+
+def interarrival_burstiness(events: DataFrame) -> DataFrame:
+    """Inter-arrival burstiness profile per event type -- the
+    "is this stream Poisson or bursty" diagnostic capacity planning
+    and anomaly baselines start from: coefficient of variation of the
+    per-user inter-arrival gaps, and the Goh-Barabasi burstiness
+    B = (cv - 1)/(cv + 1) (B = 0 pure Poisson, B -> 1 bursty,
+    B < 0 regular/clocked).
+
+    Gaps are integer SECONDS (truncated micros -- keeps the squared
+    sum inside int64 through ~1e5 gaps/type at the fixture's 30-day
+    range); mean/cv derive row-locally from the three exact integer
+    sums (n, sum g, sum g^2), identical IEEE on both engines.
+
+    Emits (event_type, n_gaps, mean_gap_s, cv, burstiness).
+    """
+    w = Window.partitionBy("event_type", "user_id").orderBy(
+        "ts", "event_id"
+    )
+    us = F.unix_micros(F.col("ts"))
+    gap = F.floor((us - F.lag(us).over(w)) / F.lit(1_000_000)).cast("long")
+    gaps = events.select(
+        "event_type", gap.alias("g")
+    ).filter(F.col("g").isNotNull())
+    agg = gaps.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        F.sum("g").alias("s"),
+        F.sum(F.col("g") * F.col("g")).alias("ssq"),
+    )
+    n = F.col("n_gaps")
+    # mean to centiseconds at INTEGER scale (s/n lands on exact .xx5
+    # boundaries where round(double, 2) splits engines), then one
+    # exact division back
+    mean = F.round(F.col("s") * F.lit(100.0) / n).cast("long") / F.lit(
+        100.0
+    )
+    # population sd / mean, all from exact integers
+    cv = F.sqrt(
+        (n * F.col("ssq") - F.col("s") * F.col("s")).cast("double")
+    ) / F.col("s")
+    return agg.select(
+        "event_type",
+        "n_gaps",
+        mean.alias("mean_gap_s"),
+        F.round(cv, 4).alias("cv"),
+        F.round((cv - 1) / (cv + 1), 4).alias("burstiness"),
+    )
+
+
+def zscore_cross_sectional(events: DataFrame) -> DataFrame:
+    """Cross-sectional daily activity z-score per (day, user) -- the
+    "who is unusually active TODAY vs everyone else" flag
+    (``hourly_anomaly_zscore`` compares a cell to its own history;
+    this compares users to their peers within one day -- the
+    bot/incident triage cut).
+
+    Day-level peer stats fold from exact integer daily counts, and
+    the z-score uses the all-integer identity
+    z = (m*cnt - S) / sqrt(m*ssq - S*S) (algebraically equal to
+    (cnt - mean)/sd_pop, but every value under the sqrt is an exact
+    BIGINT, so both engines compute identical doubles). Days where
+    all users tie (sd 0) emit NULL.
+
+    Plan: one (day, user) count collapse, one day-level rollup
+    broadcast back (366 rows/year), row-local arithmetic.
+
+    Emits (day, user_id, n_events, zscore).
+    """
+    du = events.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).agg(F.count("*").alias("cnt"))
+    stats = du.groupBy("day").agg(
+        F.count("*").alias("m"),
+        F.sum("cnt").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("ssq"),
+    )
+    denom_sq = F.col("m") * F.col("ssq") - F.col("s") * F.col("s")
+    z = F.when(
+        denom_sq > 0,
+        F.round(
+            (F.col("m") * F.col("cnt") - F.col("s")).cast("double")
+            / F.sqrt(denom_sq.cast("double")),
+            4,
+        ),
+    )
+    return du.join(F.broadcast(stats), "day").select(
+        "day",
+        "user_id",
+        F.col("cnt").alias("n_events"),
+        z.alias("zscore"),
+    )

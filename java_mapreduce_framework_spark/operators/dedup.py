@@ -2436,3 +2436,32 @@ def adamic_adar(pairs: DataFrame) -> DataFrame:
     return wedges.join(
         pairs.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti"
     ).select("doc_a", "doc_b", "common_neighbors", "aa_mnat")
+
+
+def degree_histogram(pairs: DataFrame) -> DataFrame:
+    """Degree distribution of the pair graph -- the first structural
+    sanity check on any generated edge set (a dedup pair graph that
+    suddenly grows a fat-degree tail means a hot shingle slipped past
+    its cap; a co-purchase graph's tail is the hub catalog): how many
+    nodes carry each degree, and what fraction of the graph that is.
+
+    One symmetrized-edge count (the common_neighbors substrate), one
+    alphabet-sized (distinct-degree) rollup, a 1-row total broadcast;
+    frac = n_nodes/total is the single rounded division from exact
+    integers.
+
+    Emits (deg, n_nodes, frac) -- at most max-degree rows.
+    """
+    e = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).unionByName(
+        pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+    )
+    degs = e.groupBy("a").agg(F.count("*").alias("deg"))
+    hist = degs.groupBy("deg").agg(F.count("*").alias("n_nodes"))
+    tot = hist.agg(F.sum("n_nodes").alias("tot"))
+    return hist.join(F.broadcast(tot)).select(
+        F.col("deg").cast("bigint").alias("deg"),
+        "n_nodes",
+        F.round(F.col("n_nodes") / F.col("tot").cast("double"), 6).alias(
+            "frac"
+        ),
+    )

@@ -1316,3 +1316,69 @@ def multimodal_text_align(
             ).alias("keep"),
         )
     )
+
+
+def image_sharpness(images: DataFrame) -> DataFrame:
+    """Per-image Laplacian-variance sharpness over the REAL decode
+    path -- the standard blur detector (variance of the 4-neighbor
+    Laplacian collapses for defocused/low-detail images): the
+    curation cut that drops blurry frames before vision training,
+    next to ``image_entropy``'s contrast cut.
+
+    Exact-integer discipline: luminance is integer ``r+g+b``
+    (0..765), the interior Laplacian ``4L - up - down - left -
+    right`` stays an integer (|lap| <= 3060), and the population
+    variance derives from the three exact sums via
+    (n*ssq - s*s)/n^2 -- the single double division both engines
+    perform identically, rounded 4. Images smaller than 3x3 (none
+    under the fixture geometry) emit NULL.
+
+    The Arrow kernel decodes each BMP (``real_decode``), runs the
+    Laplacian as four vectorized shifts, and emits ONE row per image
+    -- payloads stay executor-local, the shuffle carries (doc_id,
+    n_interior, sharpness) only.
+
+    Emits (doc_id, n_interior, sharpness).
+
+    Reference licence: composition target -- chained-jobs model
+    (SURVEY.md §2A FIFO queue) over the WordCount substrate
+    (src/edu/upenn/cis455/mapreduce/job/WordCount.java:23-52).
+    """
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nint, sharp = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = real_decode(bytes(payload))
+                lum = px.astype(np.int64).sum(axis=2)  # h x w, 0..765
+                h, w = lum.shape
+                ids.append(doc_id)
+                if h < 3 or w < 3:
+                    nint.append(0)
+                    sharp.append(None)
+                    continue
+                lap = (
+                    4 * lum[1:-1, 1:-1]
+                    - lum[:-2, 1:-1]
+                    - lum[2:, 1:-1]
+                    - lum[1:-1, :-2]
+                    - lum[1:-1, 2:]
+                )
+                n = lap.size
+                s = int(lap.sum())
+                ssq = int((lap.astype(np.int64) ** 2).sum())
+                var = (n * ssq - s * s) / (n * n)
+                nint.append(n)
+                sharp.append(round(var, 4))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_interior": pd.Series(nint, dtype="int64"),
+                    "sharpness": pd.Series(sharp, dtype="float64"),
+                }
+            )
+
+    return images.mapInPandas(
+        kernel, schema="doc_id long, n_interior long, sharpness double"
+    )

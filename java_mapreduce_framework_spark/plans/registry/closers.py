@@ -1951,3 +1951,167 @@ def _orders_abc_classification(spark, sf):
 )
 def _lang_id_margin(spark, sf):
     return text.lang_id_margin(_t(spark, sf, "documents"))
+
+
+@_register(
+    "graph_degree_histogram",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    cooc AS (
+      SELECT a.l_partkey AS doc_a, b.l_partkey AS doc_b
+      FROM op a
+      JOIN op b ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2),
+    edges AS (SELECT doc_a AS a FROM cooc
+              UNION ALL SELECT doc_b FROM cooc),
+    degs AS (SELECT a, count(*) AS deg FROM edges GROUP BY a),
+    hist AS (SELECT deg, count(*) AS n_nodes FROM degs GROUP BY deg),
+    tot AS (SELECT sum(n_nodes) AS tot FROM hist)
+    SELECT CAST(deg AS BIGINT) AS deg, CAST(n_nodes AS BIGINT) AS n_nodes,
+           round(n_nodes / CAST(tot AS DOUBLE), 6) AS frac
+    FROM hist, tot
+    """,
+    note="degree distribution of the co-purchase graph (the "
+    "structural sanity check on any generated pair set -- a fat tail "
+    "means a hot key slipped a cap): one symmetrized-edge count, one "
+    "distinct-degree rollup, 1-row total broadcast",
+)
+def _graph_degree_histogram(spark, sf):
+    return dedup.degree_histogram(_copurchase_pairs(spark, sf))
+
+
+@_register(
+    "stats_benford",
+    """
+    WITH c AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      FROM orders WHERE o_totalprice > 0),
+    obs AS (SELECT digit, count(*) AS n_obs FROM c GROUP BY digit),
+    tot AS (SELECT sum(n_obs) AS n FROM obs)
+    SELECT digit, CAST(n_obs AS BIGINT) AS n_obs,
+           round(n * log10(1.0 + 1.0 / digit), 4) AS expected,
+           round((n_obs - n * log10(1.0 + 1.0 / digit))
+                 / (n * log10(1.0 + 1.0 / digit)) * 100.0, 4)
+             AS excess_pct,
+           CAST(round((n_obs - n * log10(1.0 + 1.0 / digit))
+                      * (n_obs - n * log10(1.0 + 1.0 / digit))
+                      / (n * log10(1.0 + 1.0 / digit)) * 1e6) AS BIGINT)
+             AS chi2_micro
+    FROM obs, tot
+    """,
+    note="Benford first-digit audit of order amounts (fraud / "
+    "synthetic-data screen): first digit via STRING math on exact "
+    "integer cents (float floor(log10) flips below powers of ten); "
+    "per-digit rows, chi-square contribution as integer micro-units "
+    "-- no cross-digit double fold",
+)
+def _stats_benford(spark, sf):
+    return analytics.benford_audit(_t(spark, sf, "orders"))
+
+
+@_register(
+    "events_interarrival_burstiness",
+    f"""
+    WITH g AS (
+      SELECT event_type,
+             CAST(floor((epoch_us(CAST(ts AS TIMESTAMP))
+                    - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                        PARTITION BY event_type, user_id
+                        ORDER BY CAST(ts AS TIMESTAMP), event_id))
+                   / 1000000) AS BIGINT) AS gp
+      FROM events),
+    gg AS (SELECT event_type, gp FROM g WHERE gp IS NOT NULL),
+    agg AS (
+      SELECT event_type, count(*) AS n_gaps, sum(gp) AS s,
+             sum(gp * gp) AS ssq
+      FROM gg GROUP BY 1)
+    SELECT event_type, CAST(n_gaps AS BIGINT) AS n_gaps,
+           CAST(round(s * 100.0 / n_gaps) AS BIGINT) / 100.0 AS mean_gap_s,
+           round(sqrt(CAST(n_gaps * ssq - s * s AS DOUBLE)) / s, 4) AS cv,
+           round((sqrt(CAST(n_gaps * ssq - s * s AS DOUBLE)) / s - 1)
+                 / (sqrt(CAST(n_gaps * ssq - s * s AS DOUBLE)) / s + 1), 4)
+             AS burstiness
+    FROM agg
+    """,
+    note="per-type inter-arrival burstiness (Goh-Barabasi B = "
+    "(cv-1)/(cv+1); 0 = Poisson, ->1 bursty, <0 clocked): integer-"
+    "second gaps off one lag, mean/cv row-local from three exact "
+    "integer sums",
+)
+def _events_interarrival_burstiness(spark, sf):
+    return analytics.interarrival_burstiness(_t(spark, sf, "events"))
+
+
+@_register(
+    "events_zscore_cross_sectional",
+    f"""
+    WITH du AS (
+      SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, user_id,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2),
+    st AS (
+      SELECT day, count(*) AS m, sum(cnt) AS s, sum(cnt * cnt) AS ssq
+      FROM du GROUP BY 1)
+    SELECT day, user_id, CAST(cnt AS BIGINT) AS n_events,
+           CASE WHEN m * ssq - s * s > 0 THEN
+             round(CAST(m * cnt - s AS DOUBLE)
+                   / sqrt(CAST(m * ssq - s * s AS DOUBLE)), 4)
+           END AS zscore
+    FROM du JOIN st USING (day)
+    """,
+    note="cross-sectional daily activity z-score per (day, user) -- "
+    "peers-today comparison next to hourly_anomaly's own-history "
+    "one: all-integer identity z = (m*cnt-s)/sqrt(m*ssq-s^2) keeps "
+    "every value under the sqrt an exact BIGINT; all-tied days NULL",
+)
+def _events_zscore_cross_sectional(spark, sf):
+    return analytics.zscore_cross_sectional(_t(spark, sf, "events"))
+
+
+@_register(
+    "multimodal_image_sharpness",
+    f"""
+    WITH {_PAYLOAD_CTE},
+    geo AS (SELECT doc_id, n, bytes,
+                   8 + (n % 9) AS w, 8 + ((n * 3) % 9) AS h
+            FROM pbytes WHERE n > 0),
+    lum AS (SELECT doc_id, w, h,
+                   list_transform(range(0, w * h), k ->
+                       bytes[CAST((k * 3 + 0) % n AS INT) + 1]
+                     + bytes[CAST((k * 3 + 1) % n AS INT) + 1]
+                     + bytes[CAST((k * 3 + 2) % n AS INT) + 1]) AS l
+            FROM geo),
+    px AS (SELECT doc_id, w, h, l, unnest(range(0, w * h)) AS k
+           FROM lum),
+    lap AS (
+      SELECT doc_id,
+             4 * l[CAST(k AS INT) + 1]
+             - l[CAST(k - w AS INT) + 1]
+             - l[CAST(k + w AS INT) + 1]
+             - l[CAST(k - 1 AS INT) + 1]
+             - l[CAST(k + 1 AS INT) + 1] AS v
+      FROM px
+      WHERE k % w >= 1 AND k % w <= w - 2
+        AND k // w >= 1 AND k // w <= h - 2),
+    agg AS (
+      SELECT doc_id, count(*) AS n, sum(v) AS s, sum(v * v) AS ssq
+      FROM lap GROUP BY doc_id)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_interior,
+           round(CAST(n * ssq - s * s AS DOUBLE) / (n * n), 4)
+             AS sharpness
+    FROM agg
+    """,
+    note="Laplacian-variance blur detector over the REAL BMP decode "
+    "path (image_entropy's sharpness sibling): integer luminance, "
+    "integer 4-neighbor Laplacian on interior pixels, population "
+    "variance from three exact sums; kernel emits 1 row/image, "
+    "shuffle carries stats not pixels; oracle replays pixels from "
+    "text bytes",
+)
+def _multimodal_image_sharpness(spark, sf):
+    return multimodal.image_sharpness(
+        multimodal.attach_image_payload(_t(spark, sf, "documents"))
+    )

@@ -256,6 +256,11 @@ _FRESH_ROUND8 = frozenset(
         "customer_clv_cohort",
         "orders_abc_classification",
         "lang_id_margin",
+        "graph_degree_histogram",
+        "stats_benford",
+        "events_interarrival_burstiness",
+        "events_zscore_cross_sectional",
+        "multimodal_image_sharpness",
     }
 )
 

@@ -857,3 +857,18 @@ def test_adamic_adar_hand_graph(spark):
     for r in out.values():
         assert r["common_neighbors"] == 1
         assert r["aa_mnat"] == expected
+
+
+def test_degree_histogram_star_graph(spark):
+    """Star 1-(2,3,4): hub degree 3 (one node), leaves degree 1
+    (three nodes), fractions exact quarters."""
+    from java_mapreduce_framework_spark.operators.dedup import (
+        degree_histogram,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], ["doc_a", "doc_b"]
+    )
+    out = {r["deg"]: r for r in degree_histogram(pairs).collect()}
+    assert out[3]["n_nodes"] == 1 and out[3]["frac"] == 0.25
+    assert out[1]["n_nodes"] == 3 and out[1]["frac"] == 0.75

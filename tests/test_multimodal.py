@@ -530,3 +530,37 @@ def test_multimodal_text_align_gate_is_consistent(spark, sf_small):
         F.count("*").alias("n"), F.sum(F.col("keep").cast("int")).alias("k")
     ).collect()[0]
     assert agg["n"] == 500 and 0 < agg["k"] < 500
+
+
+def test_image_sharpness_constant_vs_textured(spark):
+    """A constant image has zero Laplacian variance; any texture
+    makes it positive -- checked over the real BMP encode/decode
+    round trip with a numpy reference on the same pixels."""
+    import numpy as np
+
+    from java_mapreduce_framework_spark.operators import multimodal as M
+
+    docs = spark.createDataFrame(
+        [(1, "aaaaaaaaaaaaaaaaaaaaaaaaaaaa"), (2, "the quick brown fox 123")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           M.image_sharpness(M.attach_image_payload(docs)).collect()}
+    # doc 1: every byte equal -> every pixel equal -> variance 0
+    assert out[1]["sharpness"] == 0.0
+    assert out[2]["sharpness"] > 0.0
+    # numpy reference for doc 2 over the same deterministic pixels
+    b = np.frombuffer(b"the quick brown fox 123", dtype=np.uint8)
+    w, h = M._image_geometry(len(b))
+    lum = (
+        b[np.arange(w * h * 3) % len(b)]
+        .reshape(h, w, 3)
+        .astype(np.int64)
+        .sum(axis=2)
+    )
+    lap = (4 * lum[1:-1, 1:-1] - lum[:-2, 1:-1] - lum[2:, 1:-1]
+           - lum[1:-1, :-2] - lum[1:-1, 2:])
+    n = lap.size
+    var = (n * int((lap ** 2).sum()) - int(lap.sum()) ** 2) / (n * n)
+    assert abs(out[2]["sharpness"] - round(var, 4)) < 1e-9
+    assert out[2]["n_interior"] == n

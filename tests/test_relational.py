@@ -1277,3 +1277,85 @@ def test_abc_classification_cut_points(spark):
     assert out[2]["abc_class"] == "B" and out[2]["cum_share"] == 0.8
     assert out[3]["abc_class"] == "B" and out[3]["cum_share"] == 0.9
     assert out[4]["abc_class"] == "C" and out[4]["revenue"] == 100.0
+
+
+def test_benford_uniform_digits_deviate(spark):
+    """Orders planted with uniform first digits: digit 1 runs a big
+    NEGATIVE excess vs Benford's 30.1%, digit 9 a large positive one;
+    expectations sum to n."""
+    from java_mapreduce_framework_spark.operators.analytics import (
+        benford_audit,
+    )
+
+    rows = []
+    k = 0
+    for d in range(1, 10):
+        for _ in range(10):  # 10 orders per leading digit
+            rows.append((k, 1, "O", d * 100.0 + 0.5, "1995-01-01", "x"))
+            k += 1
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    out = {r["digit"]: r for r in benford_audit(orders).collect()}
+    assert set(out) == set(range(1, 10))
+    assert all(r["n_obs"] == 10 for r in out.values())
+    assert out[1]["excess_pct"] < -50  # 10 obs vs ~27 expected
+    assert out[9]["excess_pct"] > 100  # 10 obs vs ~4 expected
+    assert abs(sum(r["expected"] for r in out.values()) - 90) < 0.01
+
+
+def test_interarrival_burstiness_clocked_vs_bursty(spark):
+    """A perfectly clocked stream has cv 0 -> B = -1; a bursty one
+    (many tiny gaps + one huge) pushes cv > 1 -> B > 0."""
+    from java_mapreduce_framework_spark.operators.analytics import (
+        interarrival_burstiness,
+    )
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for i in range(10):  # clocked: exactly 60s apart
+        rows.append((eid, t0 + dt.timedelta(seconds=60 * i), 1, "clock",
+                     1.0, "{}")); eid += 1
+    burst_offsets = [0, 1, 2, 3, 4, 5, 6, 7, 8, 100000]
+    for off in burst_offsets:
+        rows.append((eid, t0 + dt.timedelta(seconds=off), 1, "burst",
+                     1.0, "{}")); eid += 1
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {r["event_type"]: r for r in
+           interarrival_burstiness(events).collect()}
+    assert out["clock"]["cv"] == 0.0 and out["clock"]["burstiness"] == -1.0
+    assert out["clock"]["mean_gap_s"] == 60.0
+    assert out["burst"]["cv"] > 1.0 and out["burst"]["burstiness"] > 0.0
+
+
+def test_zscore_cross_sectional_hand_day(spark):
+    """Counts 1, 3 on one day: z = +/-1 exactly (population sd);
+    a solo-user day has sd 0 -> NULL."""
+    from java_mapreduce_framework_spark.operators.analytics import (
+        zscore_cross_sectional,
+    )
+
+    rows = [
+        (0, "2024-01-01 10:00:00", 1, "x", 1.0, "{}"),
+        (1, "2024-01-01 11:00:00", 2, "x", 1.0, "{}"),
+        (2, "2024-01-01 12:00:00", 2, "x", 1.0, "{}"),
+        (3, "2024-01-01 13:00:00", 2, "x", 1.0, "{}"),
+        (4, "2024-01-02 10:00:00", 1, "x", 1.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {(str(r["day"])[:10], r["user_id"]): r
+           for r in zscore_cross_sectional(events).collect()}
+    assert out[("2024-01-01", 1)]["zscore"] == -1.0
+    assert out[("2024-01-01", 2)]["zscore"] == 1.0
+    assert out[("2024-01-02", 1)]["zscore"] is None
