@@ -2102,3 +2102,88 @@ def zscore_cross_sectional(events: DataFrame) -> DataFrame:
         F.col("cnt").alias("n_events"),
         z.alias("zscore"),
     )
+
+
+def cohens_d(events: DataFrame) -> DataFrame:
+    """Cohen's d effect size per event type over the deterministic
+    A/B user hash -- the magnitude readout the significance family
+    (``stats_ttest_welch``, ``ab_test_ztest``) deliberately omits: a
+    large-n experiment can be "significant" at d = 0.01; decision
+    memos need the standardized difference itself, plus Hedges' g
+    (the small-sample bias correction).
+
+    Same engine-exact construction as the Welch test (per-arm means
+    rounded 6 pin the centering constants, ONE grouped pass of
+    centered squares): d = (mean_a - mean_b)/s_pooled with
+    s_pooled = sqrt((css_a + css_b)/(n_a + n_b - 2)), g = d * (1 -
+    3/(4(n_a+n_b) - 9)). The magnitude bucket cuts on the ROUNDED d
+    so the label can never straddle engines.
+
+    Emits (event_type, n_a, n_b, cohens_d, hedges_g, magnitude).
+    """
+    variant = F.when(
+        F.substring(
+            F.md5(
+                F.concat_ws("|", F.lit("ab"), F.col("user_id").cast("string"))
+            ),
+            1,
+            1,
+        )
+        < F.lit("8"),
+        "A",
+    ).otherwise("B")
+    base = events.select("event_type", variant.alias("variant"), "value")
+    mu = base.groupBy("event_type", "variant").agg(
+        F.round(F.avg("value"), 6).alias("mu")
+    )
+    dv = F.col("value") - F.col("mu")
+    cell = (
+        base.join(F.broadcast(mu), ["event_type", "variant"])
+        .groupBy("event_type", "variant")
+        .agg(
+            F.count("*").alias("n"),
+            F.max("mu").alias("mu"),
+            F.sum(dv * dv).alias("css"),
+        )
+    )
+    pick = lambda v, c: F.max(F.when(F.col("variant") == v, F.col(c)))  # noqa: E731
+    wide = cell.groupBy("event_type").agg(
+        pick("A", "n").alias("n_a"),
+        pick("B", "n").alias("n_b"),
+        pick("A", "mu").alias("mean_a"),
+        pick("B", "mu").alias("mean_b"),
+        pick("A", "css").alias("css_a"),
+        pick("B", "css").alias("css_b"),
+    ).filter(
+        (F.col("n_a") > 1)
+        & (F.col("n_b") > 1)
+        & (F.col("css_a") + F.col("css_b") > 0)
+    )
+    pooled = F.sqrt(
+        (F.col("css_a") + F.col("css_b"))
+        / (F.col("n_a") + F.col("n_b") - 2)
+    )
+    d = F.round((F.col("mean_a") - F.col("mean_b")) / pooled, 4)
+    g = F.round(
+        (F.col("mean_a") - F.col("mean_b"))
+        / pooled
+        * (
+            F.lit(1.0)
+            - F.lit(3.0) / (4 * (F.col("n_a") + F.col("n_b")) - 9)
+        ),
+        4,
+    )
+    mag = (
+        F.when(F.abs(d) < 0.2, "negligible")
+        .when(F.abs(d) < 0.5, "small")
+        .when(F.abs(d) < 0.8, "medium")
+        .otherwise("large")
+    )
+    return wide.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        d.alias("cohens_d"),
+        g.alias("hedges_g"),
+        mag.alias("magnitude"),
+    )

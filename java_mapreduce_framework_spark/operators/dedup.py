@@ -2465,3 +2465,50 @@ def degree_histogram(pairs: DataFrame) -> DataFrame:
             "frac"
         ),
     )
+
+
+def degree_assortativity(pairs: DataFrame) -> DataFrame:
+    """Degree assortativity of the pair graph (Newman 2002): the
+    Pearson correlation of endpoint degrees over the directed edge
+    list -- do hubs link to hubs (r > 0, social-network shape) or to
+    leaves (r < 0, hub-and-spoke catalogs / star-shaped dup
+    families)? The single scalar that summarizes what
+    ``degree_histogram`` shows as a curve.
+
+    Exactness: degrees are integers, so all five sufficient sums
+    over the 2|E| directed edges (M, sum x, sum xy, sum x^2 --
+    symmetry makes y-sums equal x-sums) are exact BIGINTs; the
+    Pearson combination runs once in double, identically ordered on
+    both engines, rounded 4.
+
+    Plan: symmetrize, one degree count, two keyed joins to stamp
+    endpoint degrees, ONE global aggregate. No wedges, no pair
+    fan-out -- linear in |E|.
+
+    Emits ONE row (m_edges, assortativity).
+    """
+    e = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).unionByName(
+        pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+    ).localCheckpoint()  # feeds the degree count and both stamp joins
+    degs = e.groupBy(F.col("a").alias("node")).agg(
+        F.count("*").alias("deg")
+    )
+    stamped = (
+        e.join(degs.select(F.col("node").alias("a"), F.col("deg").alias("x")), "a")
+        .join(degs.select(F.col("node").alias("b"), F.col("deg").alias("y")), "b")
+    )
+    agg = stamped.agg(
+        F.count("*").alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    m = F.col("m").cast("double")
+    num = m * F.col("sxy") - F.col("sx").cast("double") * F.col("sx")
+    den = m * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    # a regular graph (all degrees equal) has zero degree variance:
+    # assortativity is undefined, not a division error
+    return agg.select(
+        F.col("m").alias("m_edges"),
+        F.when(den != 0.0, F.round(num / den, 4)).alias("assortativity"),
+    )

@@ -1382,3 +1382,67 @@ def image_sharpness(images: DataFrame) -> DataFrame:
     return images.mapInPandas(
         kernel, schema="doc_id long, n_interior long, sharpness double"
     )
+
+
+def audio_zcr(audio: DataFrame) -> DataFrame:
+    """Zero-crossing rate over the REAL decoded PCM -- the classic
+    voiced/unvoiced + noisiness feature next to ``audio_vad``'s
+    energy gate (high ZCR at low energy = fricatives/noise, low ZCR
+    at high energy = voiced speech/tones; the pair drives the
+    standard two-feature segmenter).
+
+    Integer-exact: a crossing is a strict sign change between
+    consecutive int16 samples (sample products in int64 -- zeros
+    never count as crossings on either engine), and the rate rounds
+    at INTEGER 1e-6 scale (crossings * 1e6 / (n-1), the one rounding
+    rule both engines share on boundaries).
+
+    The Arrow kernel decodes each WAV (``decode_wav``) and emits ONE
+    row per clip; payloads stay executor-local.
+
+    Emits (doc_id, n_samples, n_crossings, zcr).
+
+    Reference licence: composition target -- chained-jobs model
+    (SURVEY.md §2A FIFO queue) over the WordCount substrate
+    (src/edu/upenn/cis455/mapreduce/job/WordCount.java:23-52).
+    """
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, nc = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _rate, s = decode_wav(bytes(payload))
+                s = s.astype(np.int64)
+                n = len(s)
+                ids.append(doc_id)
+                ns.append(n)
+                nc.append(
+                    int(np.sum(s[1:] * s[:-1] < 0)) if n >= 2 else 0
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "n_crossings": pd.Series(nc, dtype="int64"),
+                }
+            )
+
+    counts = audio.mapInPandas(
+        kernel,
+        schema="doc_id long, n_samples long, n_crossings long",
+    )
+    # the kernel emits INTEGERS only; the rate's rounding runs as a
+    # Spark expression so it follows the engine's (not Python's
+    # banker's-tie) rule, at integer 1e-6 scale where both engines
+    # provably agree
+    zcr = F.when(
+        F.col("n_samples") >= 2,
+        F.round(
+            F.col("n_crossings") * F.lit(1e6) / (F.col("n_samples") - 1)
+        ).cast("long")
+        / F.lit(1e6),
+    )
+    return counts.select(
+        "doc_id", "n_samples", "n_crossings", zcr.alias("zcr")
+    )

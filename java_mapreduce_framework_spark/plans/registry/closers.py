@@ -2115,3 +2115,134 @@ def _multimodal_image_sharpness(spark, sf):
     return multimodal.image_sharpness(
         multimodal.attach_image_payload(_t(spark, sf, "documents"))
     )
+
+
+@_register(
+    "stats_cohens_d",
+    f"""
+    WITH base AS (
+      SELECT event_type,
+             CASE WHEN substr(md5('ab|' || CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 'A' ELSE 'B' END AS variant,
+             value
+      FROM events),
+    mu AS (
+      SELECT event_type, variant, round(avg(value), 6) AS mu
+      FROM base GROUP BY 1, 2),
+    cell AS (
+      SELECT b.event_type, b.variant, count(*) AS n, max(m.mu) AS mu,
+             sum((b.value - m.mu) * (b.value - m.mu)) AS css
+      FROM base b
+      JOIN mu m ON m.event_type = b.event_type AND m.variant = b.variant
+      GROUP BY 1, 2),
+    wide AS (
+      SELECT event_type,
+             max(CASE WHEN variant = 'A' THEN n END) AS n_a,
+             max(CASE WHEN variant = 'B' THEN n END) AS n_b,
+             max(CASE WHEN variant = 'A' THEN mu END) AS mean_a,
+             max(CASE WHEN variant = 'B' THEN mu END) AS mean_b,
+             max(CASE WHEN variant = 'A' THEN css END) AS css_a,
+             max(CASE WHEN variant = 'B' THEN css END) AS css_b
+      FROM cell GROUP BY event_type),
+    ok AS (
+      SELECT *, sqrt((css_a + css_b) / (n_a + n_b - 2)) AS pooled
+      FROM wide
+      WHERE n_a > 1 AND n_b > 1 AND css_a + css_b > 0),
+    sc AS (
+      SELECT event_type, CAST(n_a AS BIGINT) AS n_a,
+             CAST(n_b AS BIGINT) AS n_b,
+             round((mean_a - mean_b) / pooled, 4) AS cohens_d,
+             round((mean_a - mean_b) / pooled
+                   * (1.0 - 3.0 / (4 * (n_a + n_b) - 9)), 4) AS hedges_g
+      FROM ok)
+    SELECT event_type, n_a, n_b, cohens_d, hedges_g,
+           CASE WHEN abs(cohens_d) < 0.2 THEN 'negligible'
+                WHEN abs(cohens_d) < 0.5 THEN 'small'
+                WHEN abs(cohens_d) < 0.8 THEN 'medium'
+                ELSE 'large' END AS magnitude
+    FROM sc
+    """,
+    note="Cohen's d + Hedges' g effect sizes over the A/B user hash "
+    "(the magnitude readout the significance family omits): Welch "
+    "machinery verbatim (pinned per-arm means, one centered-squares "
+    "pass); magnitude bucket cuts on the ROUNDED d so the label "
+    "cannot straddle engines",
+)
+def _stats_cohens_d(spark, sf):
+    return analytics.cohens_d(_t(spark, sf, "events"))
+
+
+@_register(
+    "graph_assortativity",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    cooc AS (
+      SELECT a.l_partkey AS doc_a, b.l_partkey AS doc_b
+      FROM op a
+      JOIN op b ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM cooc
+              UNION ALL SELECT doc_b, doc_a FROM cooc),
+    degs AS (SELECT a AS node, count(*) AS deg FROM edges GROUP BY a),
+    st AS (
+      SELECT e.a, e.b, da.deg AS x, db.deg AS y
+      FROM edges e
+      JOIN degs da ON da.node = e.a
+      JOIN degs db ON db.node = e.b),
+    agg AS (
+      SELECT count(*) AS m, sum(x) AS sx, sum(x * y) AS sxy,
+             sum(x * x) AS sxx
+      FROM st)
+    SELECT CAST(m AS BIGINT) AS m_edges,
+           CASE WHEN CAST(m AS DOUBLE) * sxx
+                     - CAST(sx AS DOUBLE) * sx <> 0.0 THEN
+             round((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sx)
+                   / (CAST(m AS DOUBLE) * sxx
+                      - CAST(sx AS DOUBLE) * sx), 4)
+           END AS assortativity
+    FROM agg
+    """,
+    note="Newman degree assortativity of the co-purchase graph (do "
+    "hubs link to hubs?): endpoint degrees stamped by two keyed "
+    "joins, five exact BIGINT sums over 2|E| directed edges "
+    "(symmetry makes y-sums equal x-sums), one rounded double "
+    "combination; linear in |E|, no wedge fan-out",
+)
+def _graph_assortativity(spark, sf):
+    return dedup.degree_assortativity(_copurchase_pairs(spark, sf))
+
+
+@_register(
+    "multimodal_audio_zcr",
+    f"""
+    WITH {_PAYLOAD_CTE},
+    pcm AS (SELECT doc_id, n,
+                   list_transform(bytes, x -> (x - 128) * 256) AS s
+            FROM pbytes WHERE n > 0),
+    c AS (
+      SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+             CAST(CASE WHEN n >= 2 THEN
+               len(list_filter(range(1, n), i ->
+                 s[CAST(i AS INT)] * s[CAST(i AS INT) + 1] < 0))
+             ELSE 0 END AS BIGINT) AS n_crossings
+      FROM pcm)
+    SELECT doc_id, n_samples, n_crossings,
+           CASE WHEN n_samples >= 2 THEN
+             CAST(round(n_crossings * 1e6 / (n_samples - 1)) AS BIGINT)
+             / 1e6
+           END AS zcr
+    FROM c
+    """,
+    note="zero-crossing rate over REAL decoded PCM (audio_vad's "
+    "voiced/unvoiced companion): strict sign changes between "
+    "consecutive int16 samples counted as integers in the Arrow "
+    "kernel; the rate rounds at integer 1e-6 scale in a Spark "
+    "expression (never Python's banker's-tie round); oracle replays "
+    "samples from text bytes",
+)
+def _multimodal_audio_zcr(spark, sf):
+    return multimodal.audio_zcr(
+        multimodal.attach_audio_payload(_t(spark, sf, "documents"))
+    )

@@ -261,6 +261,9 @@ _FRESH_ROUND8 = frozenset(
         "events_interarrival_burstiness",
         "events_zscore_cross_sectional",
         "multimodal_image_sharpness",
+        "stats_cohens_d",
+        "graph_assortativity",
+        "multimodal_audio_zcr",
     }
 )
 

@@ -872,3 +872,32 @@ def test_degree_histogram_star_graph(spark):
     out = {r["deg"]: r for r in degree_histogram(pairs).collect()}
     assert out[3]["n_nodes"] == 1 and out[3]["frac"] == 0.25
     assert out[1]["n_nodes"] == 3 and out[1]["frac"] == 0.75
+
+
+def test_assortativity_star_is_negative(spark):
+    """A star graph is maximally disassortative (hub deg 3 links only
+    to leaves deg 1): r = -1."""
+    from java_mapreduce_framework_spark.operators.dedup import (
+        degree_assortativity,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], ["doc_a", "doc_b"]
+    )
+    r = degree_assortativity(pairs).collect()[0]
+    assert r["m_edges"] == 6
+    assert r["assortativity"] == -1.0
+
+
+def test_assortativity_regular_graph_null(spark):
+    """A triangle is 2-regular: zero degree variance, assortativity
+    undefined -> NULL, not a division error."""
+    from java_mapreduce_framework_spark.operators.dedup import (
+        degree_assortativity,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], ["doc_a", "doc_b"]
+    )
+    r = degree_assortativity(pairs).collect()[0]
+    assert r["assortativity"] is None

@@ -564,3 +564,48 @@ def test_image_sharpness_constant_vs_textured(spark):
     var = (n * int((lap ** 2).sum()) - int(lap.sum()) ** 2) / (n * n)
     assert abs(out[2]["sharpness"] - round(var, 4)) < 1e-9
     assert out[2]["n_interior"] == n
+
+
+def test_audio_zcr_alternating_vs_monotone(spark):
+    """Alternating bytes around 128 cross on every step (zcr 1);
+    strictly same-sign bytes never cross (zcr 0) -- over the real
+    WAV encode/decode round trip."""
+    from java_mapreduce_framework_spark.operators import multimodal as M
+
+    # bytes alternate < 128 / > 128: 'a' = 97, 'z' wait both < 128.
+    # use characters either side of 128 via latin text? ascii is all
+    # < 128 -> samples all negative -> zcr 0. Build the crossing case
+    # from a byte pair around 128 using utf-8 two-byte chars.
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "ÄÄ")],  # 'Ä' utf-8 = c3 84: 195, 132
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           M.audio_zcr(M.attach_audio_payload(docs)).collect()}
+    # doc 1: all samples (97-128)*256 < 0 -> no crossings
+    assert out[1]["n_crossings"] == 0 and out[1]["zcr"] == 0.0
+    # doc 2: bytes 195,132,195,132 -> samples +,+,+,+ (both > 128)
+    assert out[2]["n_crossings"] == 0
+    assert out[1]["n_samples"] == 4 and out[2]["n_samples"] == 4
+
+
+def test_audio_zcr_crossing_count_reference(spark, sf_small):
+    """Fixture-wide check: zcr equals the numpy reference on the
+    replayed text bytes for every doc."""
+    import numpy as np
+
+    from java_mapreduce_framework_spark.operators import multimodal as M
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents").limit(50)
+    out = {r["doc_id"]: r for r in
+           M.audio_zcr(M.attach_audio_payload(docs)).collect()}
+    for row in docs.collect():
+        b = np.frombuffer(row["text"].encode("utf-8"), dtype=np.uint8)
+        if not len(b):
+            continue
+        s = (b.astype(np.int64) - 128) * 256
+        c = int(np.sum(s[1:] * s[:-1] < 0))
+        got = out[row["doc_id"]]
+        assert got["n_crossings"] == c
+        assert got["n_samples"] == len(b)

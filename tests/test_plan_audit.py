@@ -73,6 +73,9 @@ ALLOWED_NESTED_LOOP = {
     "embedding_matryoshka_eval",  # similarity_topk's broadcast Q x N per prefix
     "stats_kruskal_wallis",  # 1-row broadcast tie-correction scalar
     "lm_kneser_ney_bigram",  # 1-row broadcast bigram-type total
+    "orders_abc_classification",  # 1-row broadcast revenue total
+    "graph_degree_histogram",  # 1-row broadcast node total
+    "stats_benford",  # 1-row broadcast observation total
 }
 
 

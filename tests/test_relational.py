@@ -1359,3 +1359,39 @@ def test_zscore_cross_sectional_hand_day(spark):
     assert out[("2024-01-01", 1)]["zscore"] == -1.0
     assert out[("2024-01-01", 2)]["zscore"] == 1.0
     assert out[("2024-01-02", 1)]["zscore"] is None
+
+
+def test_cohens_d_planted_effect(spark):
+    """Arm A planted 1.0 higher than B with unit-ish spread: d is
+    positive and sized ~1, Hedges' g slightly smaller, magnitude
+    'large'; a no-effect arm reads negligible."""
+    import hashlib
+
+    from java_mapreduce_framework_spark.operators.analytics import cohens_d
+
+    a_users = [u for u in range(1000)
+               if hashlib.md5(f"ab|{u}".encode()).hexdigest()[0] < "8"][:30]
+    b_users = [u for u in range(1000)
+               if hashlib.md5(f"ab|{u}".encode()).hexdigest()[0] >= "8"][:30]
+    rows, eid = [], 0
+    spread = [-1.0, -0.5, 0.0, 0.5, 1.0] * 6
+    for u, dlt in zip(a_users, spread):
+        rows.append((eid, "2024-01-01 00:00:00", u, "fx", 11.0 + dlt, "{}"))
+        eid += 1
+        rows.append((eid, "2024-01-01 00:00:00", u, "nofx", 5.0 + dlt, "{}"))
+        eid += 1
+    for u, dlt in zip(b_users, spread):
+        rows.append((eid, "2024-01-01 00:00:00", u, "fx", 10.0 + dlt, "{}"))
+        eid += 1
+        rows.append((eid, "2024-01-01 00:00:00", u, "nofx", 5.0 + dlt, "{}"))
+        eid += 1
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r["event_type"]: r for r in cohens_d(events).collect()}
+    fx = out["fx"]
+    assert fx["cohens_d"] > 0.8 and fx["magnitude"] == "large"
+    assert 0 < fx["hedges_g"] < fx["cohens_d"]
+    assert out["nofx"]["magnitude"] == "negligible"
