@@ -916,3 +916,63 @@ def test_ann_ivfpq_codes_partitioned_by_cell(spark, sf_small):
     ), f"no cell-keyed exchange before the ADC scan:\n{plan[:2000]}"
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_window_bollinger_single_user_exchange(spark, sf_small):
+    """The three rolling aggregates (count, sum, sum of squares) must
+    ride ONE user_id window exchange -- no joins, no second shuffle."""
+    from java_mapreduce_framework_spark.operators import temporal
+
+    plan = _formatted(
+        temporal.window_bollinger(load_table(spark, sf_small, "events"))
+    )
+    assert "Join" not in plan
+    ex = [ln for ln in plan.splitlines() if "Arguments: hashpartitioning" in ln]
+    assert len(ex) == 1 and "user_id" in ex[0]
+
+
+def test_window_drawdown_and_rsi_single_exchange(spark, sf_small):
+    """Stacked windows (peak then max-drawdown; lag then rolling
+    sums) share one (user_id) exchange and one sort each."""
+    from java_mapreduce_framework_spark.operators import temporal
+
+    for op in (temporal.window_drawdown, temporal.window_rsi):
+        plan = _formatted(op(load_table(spark, sf_small, "events")))
+        assert "Join" not in plan
+        ex = [
+            ln for ln in plan.splitlines()
+            if "Arguments: hashpartitioning" in ln
+        ]
+        assert len(ex) == 1 and "user_id" in ex[0], op.__name__
+
+
+def test_attribution_position_based_inherits_linear_shape(spark, sf_small):
+    """The position-aware variant must keep attribution_linear's
+    shape: zero joins, ONE user exchange serving all three windows
+    (prev-purchase count, segment stats, touch rank), one final
+    channel agg exchange."""
+    from java_mapreduce_framework_spark.operators import temporal
+
+    plan = _formatted(
+        temporal.attribution_position_based(
+            load_table(spark, sf_small, "events")
+        )
+    )
+    assert "Join" not in plan
+    ex = [ln for ln in plan.splitlines() if "Arguments: hashpartitioning" in ln]
+    assert len([ln for ln in ex if "user_id" in ln]) == 1
+    assert len(ex) == 2 and any("attributed_type" in ln or "event_type" in ln
+                                for ln in ex)
+
+
+def test_quantile_sketch_stats_broadcast_not_shuffled(spark, sf_small):
+    """The per-type (lo, hi, n) grid stats must come back as a
+    BROADCAST join onto the scan -- a shuffled join here would add a
+    corpus-sized exchange before binning."""
+    from java_mapreduce_framework_spark.operators import analytics
+
+    plan = _formatted(
+        analytics.quantile_sketch(load_table(spark, sf_small, "events"))
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

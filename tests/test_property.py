@@ -948,3 +948,69 @@ def test_kaplan_meier_matches_serial_replay(rows):
     assert got == sorted(want)
     surv = [s for *_, s in sorted(want)]
     assert all(a >= b for a, b in zip(surv, surv[1:]))
+
+
+@settings(max_examples=8, deadline=None)
+@given(attribution_stream_strategy)
+def test_attribution_position_based_credit_conservation(rows):
+    """Invariant vs a brute-force replay of the U-shaped rule: every
+    purchase-closed segment pays out exactly 1.0 (up to ppm-integer
+    rounding of the middle share), 40/20/40 split by position, and
+    per-channel totals match the O(n^2) reference."""
+    from collections import defaultdict
+
+    from java_mapreduce_framework_spark.operators.temporal import (
+        attribution_position_based,
+    )
+
+    spark = _spark
+    df = spark.createDataFrame(
+        [(i, u, _ts(m), t) for i, (u, m, t) in enumerate(rows)],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    got = {
+        r["attributed_type"]: (r["n_touches"], r["total_credit"])
+        for r in attribution_position_based(df).collect()
+    }
+
+    expect_ppm: dict = defaultdict(int)
+    expect_touches: dict = defaultdict(int)
+    by_user: dict = defaultdict(list)
+    for i, (u, m, t) in enumerate(rows):
+        by_user[u].append((_ts(m), i, t))
+    n_segments = 0
+    for seq in by_user.values():
+        seq.sort()
+        pending: list = []
+        for _, _i, t in seq:
+            if t == "purchase":
+                if pending:
+                    n_segments += 1
+                    n = len(pending)
+                    for pos, pt in enumerate(pending, 1):
+                        if n == 1:
+                            ppm = 1_000_000
+                        elif n == 2:
+                            ppm = 500_000
+                        elif pos in (1, n):
+                            ppm = 400_000
+                        else:
+                            # Spark/DuckDB round(double) at integer
+                            # boundary == half-up for positives
+                            import math
+                            ppm = math.floor(200_000.0 / (n - 2) + 0.5)
+                        expect_ppm[pt] += ppm
+                        expect_touches[pt] += 1
+                pending = []
+            else:
+                pending.append(t)
+
+    assert set(got) == set(expect_ppm)
+    total_credit = 0.0
+    for t in expect_ppm:
+        assert got[t][0] == expect_touches[t]
+        assert abs(got[t][1] - round(expect_ppm[t] / 1e6, 4)) < 1e-9
+        total_credit += got[t][1]
+    # each closed segment pays ~1.0 (middle-share integer rounding
+    # drifts at most a few ppm per segment)
+    assert abs(total_credit - n_segments) < 1e-4 * max(1, n_segments)
