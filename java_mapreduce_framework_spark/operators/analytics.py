@@ -2047,9 +2047,14 @@ def interarrival_burstiness(events: DataFrame) -> DataFrame:
     mean = F.round(F.col("s") * F.lit(100.0) / n).cast("long") / F.lit(
         100.0
     )
-    # population sd / mean, all from exact integers
+    # population sd / mean: the three sums are exact integers, but
+    # n*ssq and s*s overflow int64 once gaps reach day scale at
+    # sf0.1 (caught by the bench run) -- combine in DOUBLE instead:
+    # identical bigint operands give identical doubles on both
+    # engines, which is all cross-engine determinism needs
     cv = F.sqrt(
-        (n * F.col("ssq") - F.col("s") * F.col("s")).cast("double")
+        n.cast("double") * F.col("ssq")
+        - F.col("s").cast("double") * F.col("s")
     ) / F.col("s")
     return agg.select(
         "event_type",

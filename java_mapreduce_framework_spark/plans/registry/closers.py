@@ -2030,9 +2030,12 @@ def _stats_benford(spark, sf):
       FROM gg GROUP BY 1)
     SELECT event_type, CAST(n_gaps AS BIGINT) AS n_gaps,
            CAST(round(s * 100.0 / n_gaps) AS BIGINT) / 100.0 AS mean_gap_s,
-           round(sqrt(CAST(n_gaps * ssq - s * s AS DOUBLE)) / s, 4) AS cv,
-           round((sqrt(CAST(n_gaps * ssq - s * s AS DOUBLE)) / s - 1)
-                 / (sqrt(CAST(n_gaps * ssq - s * s AS DOUBLE)) / s + 1), 4)
+           round(sqrt(CAST(n_gaps AS DOUBLE) * ssq
+                      - CAST(s AS DOUBLE) * s) / s, 4) AS cv,
+           round((sqrt(CAST(n_gaps AS DOUBLE) * ssq
+                       - CAST(s AS DOUBLE) * s) / s - 1)
+                 / (sqrt(CAST(n_gaps AS DOUBLE) * ssq
+                         - CAST(s AS DOUBLE) * s) / s + 1), 4)
              AS burstiness
     FROM agg
     """,
