@@ -2192,3 +2192,122 @@ def cohens_d(events: DataFrame) -> DataFrame:
         g.alias("hedges_g"),
         mag.alias("magnitude"),
     )
+
+
+def runs_test(events: DataFrame) -> DataFrame:
+    """Wald-Wolfowitz runs test of value-sequence randomness per
+    event type -- the order-sensitive check the moment family cannot
+    make: a metric whose values look fine marginally can still
+    alternate or trend (cache flapping, load-balancer ping-pong,
+    ramp-ups), and the count of above/below-median RUNS exposes
+    exactly that.
+
+    Median pinned at 4 decimals on both engines (the winsorize fence
+    discipline -- exact interpolated percentile, rounded before any
+    comparison); values equal to the pinned median drop (standard
+    practice). A run boundary is a lag sign change over the (ts,
+    event_id) total order; a, b, and R are exact integers and the
+    large-sample z derives in DOUBLE (the burstiness lesson: the
+    2ab(2ab-a-b) product overflows int64 past ~1e5 rows/arm, and
+    identical integer operands give identical doubles anyway).
+
+    Plan: one per-type percentile aggregate broadcast back, ONE
+    (type)-keyed window for the lag, one rollup. Emits
+    (event_type, n_above, n_below, n_runs, zscore, random_order)
+    with |z| < 1.96 reading as consistent-with-random.
+    """
+    med = events.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("med")
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    signed = (
+        events.join(F.broadcast(med), "event_type")
+        .filter(F.col("value") != F.col("med"))
+        .select(
+            "event_type",
+            "ts",
+            "event_id",
+            (F.col("value") > F.col("med")).cast("int").alias("sgn"),
+        )
+    )
+    runs = signed.select(
+        "event_type",
+        "sgn",
+        F.when(
+            F.lag("sgn").over(w).isNull()
+            | (F.lag("sgn").over(w) != F.col("sgn")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    agg = runs.groupBy("event_type").agg(
+        F.sum("sgn").alias("a"),
+        F.sum(F.lit(1) - F.col("sgn")).alias("b"),
+        F.sum("new_run").alias("r"),
+    )
+    a = F.col("a").cast("double")
+    b = F.col("b").cast("double")
+    n = a + b
+    mu = F.lit(1.0) + 2 * a * b / n
+    var = 2 * a * b * (2 * a * b - a - b) / (n * n * (n - 1))
+    z = F.round((F.col("r") - mu) / F.sqrt(var), 4)
+    return agg.filter((F.col("a") > 0) & (F.col("b") > 0)).select(
+        "event_type",
+        F.col("a").alias("n_above"),
+        F.col("b").alias("n_below"),
+        F.col("r").alias("n_runs"),
+        z.alias("zscore"),
+        (F.abs(z) < 1.96).alias("random_order"),
+    )
+
+
+def funnel_conversion_windowed(
+    events: DataFrame,
+    stages: tuple[str, ...] = ("signup", "view", "click", "purchase"),
+    window_hours: int = 72,
+) -> DataFrame:
+    """Conversion funnel with a per-step TIME WINDOW -- the constraint
+    every product funnel tool exposes and ``funnel_conversion``
+    deliberately omits: stage i+1 counts only if it happens within
+    ``window_hours`` of the user's entry into stage i (a purchase
+    three weeks after the click is a different journey, not a
+    conversion).
+
+    Same min-ts chain, one extra upper bound per step: the filter
+    becomes t <= ts <= t + window. Plan depth is still the constant
+    stage count, every shuffle keys on user_id, and the window
+    arithmetic is integer microseconds (no float time math).
+
+    Emits one row per stage (stage, n_users), monotone
+    non-increasing and <= the unconstrained funnel stage-by-stage.
+    """
+    win_us = window_hours * 3600 * 1_000_000
+    reached = None
+    counts = []
+    for i, stage in enumerate(stages):
+        ev = events.filter(F.col("event_type") == stage)
+        if reached is None:
+            reached = ev.groupBy("user_id").agg(F.min("ts").alias("t"))
+        else:
+            reached = (
+                ev.join(reached, "user_id")
+                .filter(
+                    (F.col("ts") >= F.col("t"))
+                    & (
+                        F.unix_micros("ts")
+                        <= F.unix_micros("t") + F.lit(win_us)
+                    )
+                )
+                .groupBy("user_id")
+                .agg(F.min("ts").alias("t"))
+            )
+        counts.append(
+            reached.agg(F.count("*").alias("n_users")).select(
+                F.lit(f"L{i + 1}_{stage}").alias("stage"), "n_users"
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out

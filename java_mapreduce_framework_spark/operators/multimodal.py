@@ -1446,3 +1446,61 @@ def audio_zcr(audio: DataFrame) -> DataFrame:
     return counts.select(
         "doc_id", "n_samples", "n_crossings", zcr.alias("zcr")
     )
+
+
+def video_shots(videos: DataFrame) -> DataFrame:
+    """Shot segmentation over the cut flags -- the gaps-and-islands
+    step that turns ``video_scene_diff``'s per-pair boundary stream
+    into the SHOT table a video curation pipeline actually samples
+    from (one keyframe per shot, shot-length filters, per-shot
+    dedup): a shot runs from each cut (or frame 0) to the frame
+    before the next cut.
+
+    Pure composition: the scene-diff kernel emits one integer row
+    per frame pair; a synthetic frame-0 row per clip anchors the
+    first shot; shot_id = running count of cuts over the (doc,
+    frame) order (one doc-keyed window -- clips are short, the
+    partition is the clip); one (doc, shot) rollup. All integers
+    end-to-end.
+
+    Emits (doc_id, shot_id, start_frame, end_frame, n_frames,
+    total_diff).
+
+    Reference licence: composition target -- chained-jobs model
+    (SURVEY.md §2A FIFO queue) over the WordCount substrate
+    (src/edu/upenn/cis455/mapreduce/job/WordCount.java:23-52).
+    """
+    sd = video_scene_diff(videos)
+    f0 = sd.groupBy("doc_id").agg(
+        F.lit(0).alias("frame_idx"),
+        F.lit(0).cast("long").alias("diff"),
+        F.lit(False).alias("is_cut"),
+    )
+    frames = sd.select("doc_id", "frame_idx", "diff", "is_cut").unionByName(
+        f0.select("doc_id", "frame_idx", "diff", "is_cut")
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("frame_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    staged = frames.withColumn(
+        "shot_id", F.sum(F.col("is_cut").cast("int")).over(w)
+    )
+    return (
+        staged.groupBy("doc_id", "shot_id")
+        .agg(
+            F.min("frame_idx").alias("start_frame"),
+            F.max("frame_idx").alias("end_frame"),
+            F.count("*").cast("bigint").alias("n_frames"),
+            F.sum("diff").alias("total_diff"),
+        )
+        .select(
+            "doc_id",
+            F.col("shot_id").cast("int").alias("shot_id"),
+            "start_frame",
+            "end_frame",
+            "n_frames",
+            "total_diff",
+        )
+    )

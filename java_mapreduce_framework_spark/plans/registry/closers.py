@@ -2249,3 +2249,154 @@ def _multimodal_audio_zcr(spark, sf):
     return multimodal.audio_zcr(
         multimodal.attach_audio_payload(_t(spark, sf, "documents"))
     )
+
+
+@_register(
+    "stats_runs_test",
+    f"""
+    WITH ev AS (
+      SELECT event_type, value, CAST(ts AS TIMESTAMP) AS ts, event_id
+      FROM events),
+    med AS (
+      SELECT event_type, round(quantile_cont(value, 0.5), 4) AS med
+      FROM ev GROUP BY 1),
+    sg AS (
+      SELECT ev.event_type, ts, event_id,
+             CASE WHEN value > med THEN 1 ELSE 0 END AS sgn
+      FROM ev JOIN med USING (event_type)
+      WHERE value <> med),
+    rn AS (
+      SELECT event_type, sgn,
+             CASE WHEN lag(sgn) OVER w IS NULL
+                    OR lag(sgn) OVER w <> sgn THEN 1 ELSE 0 END AS new_run
+      FROM sg WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+    agg AS (
+      SELECT event_type, sum(sgn) AS a, sum(1 - sgn) AS b,
+             sum(new_run) AS r
+      FROM rn GROUP BY 1),
+    sc AS (
+      SELECT event_type, CAST(a AS BIGINT) AS n_above,
+             CAST(b AS BIGINT) AS n_below, CAST(r AS BIGINT) AS n_runs,
+             round((r - (1.0 + 2 * CAST(a AS DOUBLE) * b
+                         / (CAST(a AS DOUBLE) + b)))
+                   / sqrt(2 * CAST(a AS DOUBLE) * b
+                          * (2 * CAST(a AS DOUBLE) * b
+                             - CAST(a AS DOUBLE) - b)
+                          / ((CAST(a AS DOUBLE) + b)
+                             * (CAST(a AS DOUBLE) + b)
+                             * (CAST(a AS DOUBLE) + b - 1))), 4) AS zscore
+      FROM agg WHERE a > 0 AND b > 0)
+    SELECT event_type, n_above, n_below, n_runs, zscore,
+           abs(zscore) < 1.96 AS random_order
+    FROM sc
+    """,
+    note="Wald-Wolfowitz runs test of value-sequence randomness per "
+    "type (the order-sensitive check moments can't make): median "
+    "pinned at 4 decimals (winsorize fence discipline), equal-to-"
+    "median rows dropped, run boundaries via lag over the (ts, "
+    "event_id) total order; z in DOUBLE from exact integer a/b/R "
+    "(2ab(2ab-a-b) overflows int64 -- the burstiness lesson)",
+)
+def _stats_runs_test(spark, sf):
+    return analytics.runs_test(_t(spark, sf, "events"))
+
+
+@_register(
+    "funnel_conversion_windowed",
+    f"""
+    WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+               FROM events),
+    s1 AS (SELECT user_id, min(ts) AS t FROM e
+           WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t
+           FROM e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'view' AND e.ts >= s1.t
+             AND epoch_us(e.ts) <= epoch_us(s1.t) + 259200000000
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(e.ts) AS t
+           FROM e JOIN s2 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts >= s2.t
+             AND epoch_us(e.ts) <= epoch_us(s2.t) + 259200000000
+           GROUP BY e.user_id),
+    s4 AS (SELECT e.user_id, min(e.ts) AS t
+           FROM e JOIN s3 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts >= s3.t
+             AND epoch_us(e.ts) <= epoch_us(s3.t) + 259200000000
+           GROUP BY e.user_id)
+    SELECT 'L1_signup' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM s1
+    UNION ALL
+    SELECT 'L2_view', CAST(count(*) AS BIGINT) FROM s2
+    UNION ALL
+    SELECT 'L3_click', CAST(count(*) AS BIGINT) FROM s3
+    UNION ALL
+    SELECT 'L4_purchase', CAST(count(*) AS BIGINT) FROM s4
+    """,
+    note="conversion funnel with a 72h per-step window (the "
+    "constraint funnel_conversion deliberately omits: a purchase "
+    "three weeks after the click is not a conversion): same min-ts "
+    "chain + one integer-microsecond upper bound per step; counts "
+    "monotone and <= the unconstrained funnel stage-by-stage",
+)
+def _funnel_conversion_windowed(spark, sf):
+    return analytics.funnel_conversion_windowed(_t(spark, sf, "events"))
+
+
+@_register(
+    "multimodal_video_shots",
+    f"""
+    WITH {_PAYLOAD_CTE},
+    fr AS (SELECT doc_id, n, bytes, CAST(f AS INTEGER) AS f
+           FROM pbytes, unnest(range(0, 2 + (n % 3))) AS u(f)
+           WHERE n > 0),
+    geo AS (SELECT doc_id, n, bytes, f,
+                   8 + ((n + f) % 9) AS w,
+                   8 + (((n + f) * 3) % 9) AS h
+            FROM fr),
+    cells AS (
+      SELECT doc_id, n, bytes, f, i, j,
+             ((i * h) // 8) * w + ((j * w) // 8) AS p
+      FROM geo, unnest(range(0, 8)) AS ri(i),
+                unnest(range(0, 8)) AS rj(j)),
+    g8 AS (
+      SELECT doc_id, f, i, j,
+             bytes[CAST((3 * p + f) % n AS INT) + 1]
+               + bytes[CAST((3 * p + 1 + f) % n AS INT) + 1]
+               + bytes[CAST((3 * p + 2 + f) % n AS INT) + 1] AS gray
+      FROM cells),
+    pair AS (
+      SELECT a.doc_id, a.f AS frame_idx,
+             sum(abs(a.gray - b.gray)) AS diff
+      FROM g8 a
+      JOIN g8 b ON b.doc_id = a.doc_id AND b.f = a.f - 1
+                AND b.i = a.i AND b.j = a.j
+      GROUP BY 1, 2),
+    tot AS (SELECT doc_id, count(*) AS np, sum(diff) AS td
+            FROM pair GROUP BY 1),
+    flagged AS (
+      SELECT p.doc_id, p.frame_idx, CAST(p.diff AS BIGINT) AS diff,
+             CASE WHEN p.diff * t.np > t.td THEN 1 ELSE 0 END AS is_cut
+      FROM pair p JOIN tot t USING (doc_id)
+      UNION ALL
+      SELECT doc_id, 0, 0, 0 FROM tot),
+    st AS (
+      SELECT doc_id, frame_idx, diff,
+             sum(is_cut) OVER (PARTITION BY doc_id ORDER BY frame_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS shot_id
+      FROM flagged)
+    SELECT doc_id, CAST(shot_id AS INTEGER) AS shot_id,
+           min(frame_idx) AS start_frame, max(frame_idx) AS end_frame,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(sum(diff) AS BIGINT) AS total_diff
+    FROM st GROUP BY doc_id, shot_id
+    """,
+    note="shot segmentation over the cut flags (gaps-and-islands on "
+    "video_scene_diff's pair stream): synthetic frame-0 row anchors "
+    "the first shot, shot_id = running cut count over one doc-keyed "
+    "window, one (doc, shot) rollup -- all integers end-to-end; the "
+    "shot table a video pipeline samples keyframes from",
+)
+def _multimodal_video_shots(spark, sf):
+    return multimodal.video_shots(
+        multimodal.attach_video_payload(_t(spark, sf, "documents"))
+    )

@@ -264,6 +264,9 @@ _FRESH_ROUND8 = frozenset(
         "stats_cohens_d",
         "graph_assortativity",
         "multimodal_audio_zcr",
+        "stats_runs_test",
+        "funnel_conversion_windowed",
+        "multimodal_video_shots",
     }
 )
 

@@ -609,3 +609,36 @@ def test_audio_zcr_crossing_count_reference(spark, sf_small):
         got = out[row["doc_id"]]
         assert got["n_crossings"] == c
         assert got["n_samples"] == len(b)
+
+
+def test_video_shots_partition_frames_exactly(spark, sf_small):
+    """Shots tile each clip's frames exactly: per doc, shot spans are
+    contiguous, start at 0, end at the last frame, and n_frames sums
+    to the clip's frame count; every shot after the first starts at a
+    cut."""
+    from collections import defaultdict
+
+    from java_mapreduce_framework_spark.operators import multimodal as M
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents").limit(40)
+    vids = M.attach_video_payload(docs)
+    shots = defaultdict(list)
+    for r in M.video_shots(vids).collect():
+        shots[r["doc_id"]].append(r)
+    cuts = defaultdict(set)
+    nframes = {}
+    for r in M.video_scene_diff(vids).collect():
+        if r["is_cut"]:
+            cuts[r["doc_id"]].add(r["frame_idx"])
+        nframes[r["doc_id"]] = max(nframes.get(r["doc_id"], 0),
+                                   r["frame_idx"])
+    assert shots
+    for doc, ss in shots.items():
+        ss.sort(key=lambda r: r["shot_id"])
+        assert ss[0]["start_frame"] == 0
+        assert ss[-1]["end_frame"] == nframes[doc]
+        assert sum(r["n_frames"] for r in ss) == nframes[doc] + 1
+        for prev, cur in zip(ss, ss[1:]):
+            assert cur["start_frame"] == prev["end_frame"] + 1
+            assert cur["start_frame"] in cuts[doc]

@@ -1395,3 +1395,68 @@ def test_cohens_d_planted_effect(spark):
     assert fx["cohens_d"] > 0.8 and fx["magnitude"] == "large"
     assert 0 < fx["hedges_g"] < fx["cohens_d"]
     assert out["nofx"]["magnitude"] == "negligible"
+
+
+def test_runs_test_alternating_vs_blocked(spark):
+    """A strictly alternating sequence has the maximum run count
+    (z >> 0, rejected); a blocked half-half sequence has 2 runs
+    (z << 0, rejected); a hand-mixed one sits in between."""
+    from java_mapreduce_framework_spark.operators.analytics import runs_test
+
+    rows, eid = [], 0
+    for i in range(40):  # alternate below/above median
+        rows.append((eid, f"2024-01-01 00:{i:02d}:00", 1, "alt",
+                     1.0 if i % 2 else 9.0, "{}")); eid += 1
+    for i in range(40):  # first half low, second half high
+        rows.append((eid, f"2024-01-01 00:{i:02d}:00", 1, "blk",
+                     1.0 if i < 20 else 9.0, "{}")); eid += 1
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r["event_type"]: r for r in runs_test(events).collect()}
+    alt, blk = out["alt"], out["blk"]
+    assert alt["n_runs"] == 40 and alt["zscore"] > 1.96
+    assert blk["n_runs"] == 2 and blk["zscore"] < -1.96
+    assert alt["random_order"] is False and blk["random_order"] is False
+    assert alt["n_above"] == 20 and alt["n_below"] == 20
+
+
+def test_funnel_windowed_drops_late_conversions(spark):
+    """User 1 converts each step within the 72h window; user 2's
+    purchase lands outside it and drops at L4; both pass the
+    unconstrained funnel, proving the window is the difference."""
+    import datetime as dt
+
+    from java_mapreduce_framework_spark.operators.analytics import (
+        funnel_conversion,
+        funnel_conversion_windowed,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(h):
+        return t0 + dt.timedelta(hours=h)
+
+    rows = [
+        (0, at(0), 1, "signup", 1.0, "{}"),
+        (1, at(1), 1, "view", 1.0, "{}"),
+        (2, at(2), 1, "click", 1.0, "{}"),
+        (3, at(3), 1, "purchase", 1.0, "{}"),
+        (4, at(0), 2, "signup", 1.0, "{}"),
+        (5, at(1), 2, "view", 1.0, "{}"),
+        (6, at(2), 2, "click", 1.0, "{}"),
+        (7, at(2 + 100), 2, "purchase", 1.0, "{}"),  # 100h later
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    win = {r["stage"]: r["n_users"]
+           for r in funnel_conversion_windowed(events).collect()}
+    unc = {r["stage"]: r["n_users"]
+           for r in funnel_conversion(events).collect()}
+    assert win["L3_click"] == 2 and win["L4_purchase"] == 1
+    assert unc["L4_purchase"] == 2
