@@ -1966,3 +1966,64 @@ def window_rsi(events: DataFrame, n: int = 14) -> DataFrame:
         rsi.alias("rsi"),
         n_deltas.cast("int").alias("n_deltas"),
     )
+
+
+def attribution_first_touch(events: DataFrame) -> DataFrame:
+    """First-touch attribution -- the fourth and final member of the
+    attribution family (last-touch recency, linear position-blind,
+    U-shaped position-based, and this: full credit to the touch that
+    STARTED the journey, the acquisition-channel view): each purchase
+    credits the FIRST non-purchase touch since the user's previous
+    purchase.
+
+    Construction: the family's shared running-purchase-count segment
+    window, then ``first(..., ignorenulls)`` over the (user, seg)
+    order carried up to the purchase row (the purchase is its
+    segment's last row, so the frame sees every touch). Zero joins,
+    ONE user_id exchange serving both windows; no-prior-touch
+    purchases keep NULL (the direct bucket), ties break by event_id
+    on both engines.
+
+    Emits (event_id, user_id, purchase_ts, attributed_type,
+    attributed_ts).
+    """
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seg = F.count(
+        F.when(F.col("event_type") == "purchase", F.lit(1))
+    ).over(w_prev)
+    staged = events.select(
+        "event_id", "user_id", "ts", "event_type", seg.alias("seg")
+    )
+    w_seg = (
+        Window.partitionBy("user_id", "seg")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    np_type = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    np_ts = F.when(F.col("event_type") != "purchase", F.col("ts"))
+    return (
+        staged.select(
+            "event_id",
+            "user_id",
+            "ts",
+            "event_type",
+            F.first(np_type, ignorenulls=True).over(w_seg).alias(
+                "attributed_type"
+            ),
+            F.first(np_ts, ignorenulls=True).over(w_seg).alias(
+                "attributed_ts"
+            ),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "attributed_type",
+            "attributed_ts",
+        )
+    )

@@ -2400,3 +2400,39 @@ def _multimodal_video_shots(spark, sf):
     return multimodal.video_shots(
         multimodal.attach_video_payload(_t(spark, sf, "documents"))
     )
+
+
+@_register(
+    "attribution_first_touch",
+    f"""
+    WITH staged AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+             count(CASE WHEN event_type = 'purchase' THEN 1 END) OVER (
+               PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS seg
+      FROM {_EVTS}),
+    marked AS (
+      SELECT event_id, user_id, ts, event_type,
+             first_value(CASE WHEN event_type <> 'purchase'
+                              THEN event_type END IGNORE NULLS) OVER (
+               PARTITION BY user_id, seg ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS attributed_type,
+             first_value(CASE WHEN event_type <> 'purchase'
+                              THEN ts END IGNORE NULLS) OVER (
+               PARTITION BY user_id, seg ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS attributed_ts
+      FROM staged)
+    SELECT event_id, user_id, ts AS purchase_ts,
+           attributed_type, attributed_ts
+    FROM marked WHERE event_type = 'purchase'
+    """,
+    note="first-touch attribution (the acquisition-channel view "
+    "completing the last/linear/position family): full credit to the "
+    "first touch since the previous purchase via the shared segment "
+    "window + first_value ignore-nulls; zero joins, one user "
+    "exchange, direct bucket stays NULL",
+)
+def _attribution_first_touch(spark, sf):
+    return temporal.attribution_first_touch(_t(spark, sf, "events"))

@@ -267,6 +267,7 @@ _FRESH_ROUND8 = frozenset(
         "stats_runs_test",
         "funnel_conversion_windowed",
         "multimodal_video_shots",
+        "attribution_first_touch",
     }
 )
 

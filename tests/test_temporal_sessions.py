@@ -916,3 +916,29 @@ def test_window_rsi_extremes_and_warmup(spark):
     assert out[13]["rsi"] is None and out[13]["n_deltas"] == 13
     assert out[14]["rsi"] == 100.0 and out[14]["n_deltas"] == 14
     assert out[114]["rsi"] == 0.0
+
+
+def test_attribution_first_touch_credits_journey_start(spark):
+    """view, click, purchase -> credit to the FIRST touch (view);
+    a second journey after the purchase credits its own first touch;
+    a touchless purchase stays in the NULL direct bucket."""
+    from java_mapreduce_framework_spark.operators import temporal
+
+    rows = [
+        (0, "2024-01-01 00:00:00", 1, "view", 1.0, "{}"),
+        (1, "2024-01-01 00:01:00", 1, "click", 1.0, "{}"),
+        (2, "2024-01-01 00:02:00", 1, "purchase", 1.0, "{}"),
+        (3, "2024-01-01 00:03:00", 1, "click", 1.0, "{}"),
+        (4, "2024-01-01 00:04:00", 1, "purchase", 1.0, "{}"),
+        (5, "2024-01-02 00:00:00", 2, "purchase", 1.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r["event_id"]: r for r in
+           temporal.attribution_first_touch(events).collect()}
+    assert out[2]["attributed_type"] == "view"   # not the closer click
+    assert out[4]["attributed_type"] == "click"  # second journey
+    assert out[5]["attributed_type"] is None     # direct bucket
