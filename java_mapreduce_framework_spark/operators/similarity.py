@@ -622,7 +622,10 @@ def embedding_pca_project(embeddings: DataFrame, k: int = 8) -> DataFrame:
     the engine-local test pins orthonormality, explained-variance
     ordering, and projection-vs-numpy equality.
 
-    Emits (vec_id, proj array<double> length k).
+    Emits the LONG form ``(vec_id, dim, value)`` — one row per
+    (vector, component), scalar columns only, same contract as the
+    round-8 ``embedding_standardize`` fix: the driver canonicalizer
+    crashes on array-valued output columns (CORRECTNESS_r08).
     """
     import numpy as np
     import pandas as pd
@@ -687,16 +690,20 @@ def embedding_pca_project(embeddings: DataFrame, k: int = 8) -> DataFrame:
             X = np.stack(
                 [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
             )
-            P = (X - mean) @ comps
+            P = np.round((X - mean) @ comps, 6)  # n x k
+            n, kk = P.shape
             yield pd.DataFrame(
                 {
-                    "vec_id": pdf["vec_id"].astype("int64"),
-                    "proj": list(np.round(P, 6)),
+                    "vec_id": np.repeat(
+                        pdf["vec_id"].to_numpy(dtype="int64"), kk
+                    ),
+                    "dim": np.tile(np.arange(kk, dtype="int32"), n),
+                    "value": P.ravel(),
                 }
             )
 
     return embeddings.select("vec_id", "embedding").mapInPandas(
-        project_kernel, "vec_id long, proj array<double>"
+        project_kernel, "vec_id long, dim int, value double"
     )
 
 
@@ -884,32 +891,18 @@ def _pq_sample(embeddings: DataFrame, sample_cap: int, seed: int):
     return x / np.linalg.norm(x, axis=1, keepdims=True)
 
 
-def embedding_pq_quantize(
-    embeddings: DataFrame,
-    m: int = 16,
-    ksub: int = 16,
-    sample_cap: int = 2048,
-    iters: int = 8,
-    seed: int = 13,
-) -> DataFrame:
-    """Assign every corpus vector its PQ code word (m sub-codes) plus
-    a per-vector reconstruction-quality readout.
-
-    Plan shape: train on the bounded sample (driver numpy, sanctioned
-    collect), broadcast the (m x ksub x dsub) codebook tensor (a few
-    KB), then ONE ``mapInPandas`` scan assigns codes -- per Arrow
-    batch a (batch x ksub) distance matrix per subspace, pure GEMM,
-    no shuffle anywhere. Emits (vec_id, codes array<int>, recon_cos):
-    recon_cos = cosine(normalized vector, its codebook
-    reconstruction), the per-vector quality signal that decides
-    whether m/ksub are adequate before the index ships.
-    """
+def _pq_codes_df(embeddings: DataFrame, books) -> DataFrame:
+    """INTERNAL: assign PQ codes given a trained codebook tensor.
+    Emits the array form ``(vec_id, codes array<int>, recon_cos)`` for
+    in-plan consumers (``similarity_ann_pq``'s ADC scan reads the
+    array column directly); the REGISTERED ``embedding_pq_quantize``
+    wraps this and flattens ``codes`` to a scalar string, because the
+    driver's canonicalizer crashes on array-valued output columns
+    (CORRECTNESS_r08 ``embedding_pq_quantize`` ERR)."""
     import numpy as np
     import pandas as pd
 
     spark = embeddings.sparkSession
-    x = _pq_sample(embeddings, sample_cap, seed)
-    books = _pq_train(x, m, ksub, iters, seed)
     bc = spark.sparkContext.broadcast(books)
 
     def assign(batches):
@@ -938,6 +931,38 @@ def embedding_pq_quantize(
 
     return embeddings.select("vec_id", "embedding").mapInPandas(
         assign, "vec_id long, codes array<int>, recon_cos double"
+    )
+
+
+def embedding_pq_quantize(
+    embeddings: DataFrame,
+    m: int = 16,
+    ksub: int = 16,
+    sample_cap: int = 2048,
+    iters: int = 8,
+    seed: int = 13,
+) -> DataFrame:
+    """Assign every corpus vector its PQ code word (m sub-codes) plus
+    a per-vector reconstruction-quality readout.
+
+    Plan shape: train on the bounded sample (driver numpy, sanctioned
+    collect), broadcast the (m x ksub x dsub) codebook tensor (a few
+    KB), then ONE ``mapInPandas`` scan assigns codes -- per Arrow
+    batch a (batch x ksub) distance matrix per subspace, pure GEMM,
+    no shuffle anywhere. Emits ``(vec_id, codes string, recon_cos)``
+    -- ``codes`` is the m sub-codes comma-joined (scalar-only output
+    by contract: the driver canonicalizer crashes on array columns,
+    CORRECTNESS_r08); recon_cos = cosine(normalized vector, its
+    codebook reconstruction), the per-vector quality signal that
+    decides whether m/ksub are adequate before the index ships.
+    """
+    spark = embeddings.sparkSession
+    x = _pq_sample(embeddings, sample_cap, seed)
+    books = _pq_train(x, m, ksub, iters, seed)
+    return _pq_codes_df(embeddings, books).select(
+        "vec_id",
+        F.concat_ws(",", F.col("codes").cast("array<string>")).alias("codes"),
+        "recon_cos",
     )
 
 
@@ -984,9 +1009,7 @@ def similarity_ann_pq(
     books = _pq_train(x, m, ksub, iters, seed)
     bc = spark.sparkContext.broadcast(books)
 
-    codes = embedding_pq_quantize(
-        embeddings, m=m, ksub=ksub, sample_cap=sample_cap, iters=iters, seed=seed
-    ).select("vec_id", "codes")
+    codes = _pq_codes_df(embeddings, books).select("vec_id", "codes")
 
     q_rows = (
         embeddings.filter(F.col("vec_id") < n_queries)

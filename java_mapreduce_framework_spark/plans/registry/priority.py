@@ -234,6 +234,63 @@ _RECORDED_ROUND7 = frozenset(
 #: similarity_ann_pq, sql_udf/udaf/udtf, ... — VERDICT r07 "What's
 #: missing" #1), the round-8 sweep's 50 slots cover BOTH in full,
 #: which would make the cumulative driver record complete.
+#: Names recorded by the round-8 sweep (CORRECTNESS_r08.json): the 50
+#: sampled slots, minus embedding_pq_quantize — its r08 row is a
+#: canonicalizer ERR (array<int> codes column), not a verdict, and its
+#: output schema changed this round, so it re-enters the FRESH tier.
+_RECORDED_ROUND8 = frozenset(
+    {
+        "attribution_first_touch", "attribution_position_based",
+        "basket_lift_topk", "cdc_merge_upsert", "column_profile",
+        "corpus_token_budget", "customer_clv_cohort",
+        "dedup_edit_distance_capped", "dedup_incremental_apply",
+        "dedup_incremental_minhash", "dp_noisy_counts",
+        "embedding_standardize", "embedding_whiten",
+        "events_hhi_concentration", "events_interarrival_burstiness",
+        "events_zscore_cross_sectional", "funnel_conversion_windowed",
+        "graph_adamic_adar", "graph_assortativity",
+        "graph_degree_histogram", "lang_id_margin",
+        "lm_kneser_ney_bigram", "ml_knn_classify",
+        "ml_knn_link_prediction", "multimodal_audio_zcr",
+        "multimodal_image_sharpness", "multimodal_video_shots",
+        "orders_abc_classification", "quality_gopher_flags",
+        "seasonal_dow_decompose", "similarity_ann_pq",
+        "similarity_incremental_lsh", "sketch_quantile_mergeable",
+        "sql_pivot_qty", "sql_udaf_median", "sql_udf_quality",
+        "stats_benford", "stats_cohens_d", "stats_gini",
+        "stats_jarque_bera", "stats_kruskal_wallis", "stats_runs_test",
+        "stats_spearman", "stream_session_timeout", "text_readability",
+        "udtf_sentence_split", "window_bollinger", "window_drawdown",
+        "window_rsi",
+    }
+)
+
+
+#: New or semantically MODIFIED in round 9, plus the 9 names the
+#: rotating 50-slot sample has NEVER reached through 8 rounds (VERDICT
+#: r08 "Next round" #4: drain them so the cumulative driver record is
+#: complete). embedding_pq_quantize (r08 canonicalizer ERR -> codes
+#: flattened to a scalar string this round) and embedding_pca_project
+#: (proj array<double> -> long form (vec_id, dim, value) this round)
+#: are schema-modified, so their only valid verdict is a fresh one.
+_FRESH_ROUND9 = frozenset(
+    {
+        # schema-modified this round (driver scalar-only contract)
+        "embedding_pq_quantize",
+        "embedding_pca_project",
+        # never driver-sampled through round 8 (VERDICT r08 item #4)
+        "stream_dedup_incremental",
+        "multimodal_audio_spectrogram",
+        "similarity_mmr",
+        "ml_linreg_normal",
+        "ml_logreg_irls",
+        "ml_logreg_ridge_sweep",
+        "ml_adaboost_stumps",
+        "ml_kmeans_lloyd",
+    }
+)
+
+
 _FRESH_ROUND8 = frozenset(
     {
         "embedding_standardize",
@@ -276,8 +333,13 @@ def _record_staleness(name: str) -> int:
     """-1 = new/modified this round (very front of the sweep), 0 =
     never officially recorded, then the round whose sweep last
     recorded the name (lower = staler verdict)."""
-    if name in _FRESH_ROUND8:
+    if name in _FRESH_ROUND9:
         return -1
+    if name in _RECORDED_ROUND8:
+        # every _FRESH_ROUND8 name landed in the r08 sweep's 50 slots:
+        # all 32 are either here (31, verdict on record) or re-fresh in
+        # _FRESH_ROUND9 (embedding_pq_quantize, r08 ERR + schema change)
+        return 8
     if name in _RECORDED_ROUND7:
         return 7
     if name in _RECORDED_ROUND6:

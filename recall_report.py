@@ -305,9 +305,12 @@ def main(sf_dir: str) -> dict:
     Xc = X - X.mean(axis=0)
     _, _, Vt = np.linalg.svd(Xc, full_matrices=False)
     local = Xc @ Vt[:8].T
-    proj = {r["vec_id"]: np.asarray(r["proj"])
-            for r in similarity.embedding_pca_project(emb, k=8).collect()}
-    P = np.stack([proj[r["vec_id"]] for r in emb_rows])
+    proj = {}
+    for r in similarity.embedding_pca_project(emb, k=8).collect():
+        proj.setdefault(r["vec_id"], {})[r["dim"]] = r["value"]
+    P = np.stack(
+        [np.array([proj[r["vec_id"]][c] for c in range(8)]) for r in emb_rows]
+    )
     err = 0.0
     for c in range(8):
         s = 1.0 if float(np.dot(P[:, c], local[:, c])) >= 0 else -1.0

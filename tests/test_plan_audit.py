@@ -82,14 +82,14 @@ ALLOWED_NESTED_LOOP = {
 def test_no_unintended_nested_loops_or_cartesians(spark, sf_small):
     """One registry-wide sweep checking two global invariants per
     batch query: (a) no cartesian / unintended nested-loop join in
-    the physical plan; (b) every ORACLE-BEARING query's output schema
-    is scalar-only. (b) exists because the driver's correctness gate
-    canonicalizes results with pandas ``sort_values`` over the raw
-    columns, which raises ``TypeError: unhashable type:
-    numpy.ndarray`` on an array/map/struct-valued column even when
-    the values are correct — exactly how ``embedding_standardize``
-    shipped green locally for 4 rounds and then went ERR on first
-    driver contact (CORRECTNESS_r07)."""
+    the physical plan; (b) EVERY registered query's output schema is
+    scalar-only — rows-only queries included, because the driver
+    canonicalizes those too: ``embedding_standardize`` (oracle-bearing,
+    CORRECTNESS_r07) and ``embedding_pq_quantize`` (rows-only,
+    CORRECTNESS_r08) both shipped green locally and then ERR'd on
+    first driver contact with ``TypeError: unhashable type:
+    numpy.ndarray`` from pandas ``sort_values`` over an
+    array-valued column."""
     from pyspark.sql.types import ArrayType, MapType, StructType
 
     failures = []
@@ -97,18 +97,17 @@ def test_no_unintended_nested_loops_or_cartesians(spark, sf_small):
         if name.startswith("stream_"):
             continue  # streaming plans are exercised in test_streaming
         df = spec.fn(spark, sf_small)
-        if spec.oracle is not None:
-            bad = [
-                f.name
-                for f in df.schema.fields
-                if isinstance(f.dataType, (ArrayType, MapType, StructType))
-            ]
-            if bad:
-                failures.append(
-                    f"{name}: oracle-bearing query emits non-scalar "
-                    f"column(s) {bad} (driver canonicalizer crashes "
-                    f"on these; emit long form or concat_ws)"
-                )
+        bad = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if bad:
+            failures.append(
+                f"{name}: query emits non-scalar column(s) {bad} "
+                f"(driver canonicalizer crashes on these regardless "
+                f"of oracle; emit long form or concat_ws)"
+            )
         plan = _formatted(df)
         if _nodes(plan, "CartesianProduct"):
             failures.append(f"{name}: CartesianProduct")

@@ -243,9 +243,12 @@ def test_embedding_pca_project_matches_local_pca(spark, sf_small):
     local = Xc @ Vt[:k].T  # n x k reference projection
 
     got = similarity.embedding_pca_project(emb, k=k)
-    proj = {r["vec_id"]: np.asarray(r["proj"]) for r in got.collect()}
+    # long form (vec_id, dim, value): scalar-only driver contract
+    proj = {}
+    for r in got.collect():
+        proj.setdefault(r["vec_id"], {})[r["dim"]] = r["value"]
     ids = [r["vec_id"] for r in rows]
-    P = np.stack([proj[i] for i in ids])
+    P = np.stack([np.array([proj[i][c] for c in range(k)]) for i in ids])
     assert P.shape == (len(ids), k)
     # per-component sign alignment, then exact agreement
     for c in range(k):
@@ -324,8 +327,10 @@ def test_pq_quantize_codes_and_reconstruction(spark, sf_small):
     rows = similarity.embedding_pq_quantize(emb).collect()
     assert len(rows) == emb.count()
     for r in rows[:50]:
-        assert len(r["codes"]) == 16
-        assert all(0 <= c < 16 for c in r["codes"])
+        # codes is the comma-joined scalar string (driver canon contract)
+        codes = [int(c) for c in r["codes"].split(",")]
+        assert len(codes) == 16
+        assert all(0 <= c < 16 for c in codes)
         assert -1.0 <= r["recon_cos"] <= 1.0
     mean_rc = sum(r["recon_cos"] for r in rows) / len(rows)
     # 16 subspaces x 16 codes on the 64-dim fixture reconstructs well
