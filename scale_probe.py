@@ -89,12 +89,22 @@ PASSTHROUGH = (
 )
 
 
-#: x100 escalation targets: the three worst 10x factors of round 7.
+#: x100 escalation targets: the three worst 10x factors of round 7,
+#: plus (round 9) the two LSH+connected-components compositions whose
+#: scale risk is ROUND COUNT, not volume -- the 10x probe showed ~5x
+#: factors, but CC's iteration count grows with component diameter,
+#: which only a second decade of data can stress.
 X100_OUT = str(
     pathlib.Path(__file__).resolve().parent / ".tmp" / "scale_probe" / "sf10x"
 )
 X100_REPLICAS = 100
-X100_QUERIES = ["dedup_edit_distance", "ml_naive_bayes_confusion", "dedup_minhash"]
+X100_QUERIES = [
+    "dedup_edit_distance",
+    "ml_naive_bayes_confusion",
+    "dedup_minhash",
+    "dedup_minhash_clusters",
+    "dedup_cluster_keep_best",
+]
 
 
 def synthesize_x100() -> None:
@@ -163,8 +173,11 @@ def probe_x100() -> None:
 
     spark.range(100).mapInPandas(_ident, "id long").count()
 
+    only = [a for a in sys.argv[1:] if not a.startswith("--")]
     results: dict[str, dict] = {}
     for name in X100_QUERIES:
+        if only and name not in only:
+            continue
         ts = {}
         for sd, tag, runs in ((BASE, "base", 2), (X100_OUT, "x100", 1)):
             best = float("inf")
@@ -182,11 +195,13 @@ def probe_x100() -> None:
         print(f"# x100 {name}: {results[name]}", file=sys.stderr, flush=True)
     path = pathlib.Path(__file__).resolve().parent / "SCALE_PROBE.json"
     doc = json.loads(path.read_text()) if path.exists() else {}
+    # merge: subset runs extend the recorded x100 table, never shrink it
+    prior = doc.get("x100", {}).get("queries", {})
     doc["x100"] = {
         "base": BASE,
         "fixture": X100_OUT,
         "replicas": X100_REPLICAS,
-        "queries": results,
+        "queries": {**prior, **results},
     }
     with open(path, "w") as f:
         json.dump(doc, f, indent=1)
