@@ -2311,3 +2311,753 @@ def funnel_conversion_windowed(
     for c in counts[1:]:
         out = out.unionByName(c)
     return out
+
+
+# ------------------------------------------------------------- round 9
+# Classical-statistics and product-analytics closers. Shared design
+# rule (same as the round-8 stats family): every statistic is built
+# from EXACT INTEGER sufficient statistics (counts, cent-sums,
+# doubled ranks) folded by keyed aggregation, with at most ONE double
+# expression at the end -- so the identical closed form evaluates
+# bit-equal on Spark and the DuckDB oracle regardless of fold order.
+# 1-row broadcast totals ride the allowlisted BroadcastNestedLoopJoin
+# pattern (benford_audit precedent); nothing collects.
+
+
+def chisq_independence(events: DataFrame) -> DataFrame:
+    """Chi-squared test of independence on the event_type x
+    day-of-week contingency table -- "does activity mix shift by
+    weekday?", the screening test behind seasonality-aware sampling.
+
+    One partial+final count aggregation builds the (types x 7) cell
+    table; marginals and the grand total are broadcast back (each is
+    at most |types|+7 rows + one 1-row total regardless of scale).
+    Expected counts rt*ct/n stay an exact-integer product divided
+    once in double; each cell's chi-square contribution ships as
+    integer micro-units so the global statistic is a plain integer
+    SUM downstream (no cross-cell double fold).
+
+    Emits (event_type, dow, n_obs, expected, chi2_micro); dow is
+    Spark's 1=Sunday..7=Saturday convention (oracle shifts DuckDB's
+    0-based one).
+    """
+    cells = (
+        events.groupBy("event_type", F.dayofweek("ts").alias("dow"))
+        .agg(F.count("*").alias("n_obs"))
+    )
+    rt = cells.groupBy("event_type").agg(F.sum("n_obs").alias("rt"))
+    ct = cells.groupBy("dow").agg(F.sum("n_obs").alias("ct"))
+    tot = cells.agg(F.sum("n_obs").alias("n"))
+    exp = (F.col("rt") * F.col("ct")).cast("double") / F.col("n")
+    return (
+        cells.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .join(F.broadcast(tot))
+        .select(
+            "event_type",
+            "dow",
+            F.col("n_obs").cast("long").alias("n_obs"),
+            F.round(exp, 4).alias("expected"),
+            F.round((F.col("n_obs") - exp) * (F.col("n_obs") - exp) / exp * 1e6)
+            .cast("long")
+            .alias("chi2_micro"),
+        )
+    )
+
+
+def cramers_v(events: DataFrame) -> DataFrame:
+    """Cramer's V effect size for the same event_type x day-of-week
+    contingency -- the "is the dependence big enough to matter"
+    companion of ``chisq_independence`` (chi-square grows with n;
+    V in [0,1] does not).
+
+    The global chi-square is the exact integer SUM of the per-cell
+    micro-unit contributions (one aggregation over the cell table --
+    never a double fold), and V = sqrt(chi2 / (n * (min(r,c) - 1)))
+    is one double expression off four exact integers.
+
+    Emits ONE row (n_obs, dof, chi2, cramers_v).
+    """
+    cells = chisq_independence(events)
+    agg = cells.agg(
+        F.sum("n_obs").alias("n"),
+        F.sum("chi2_micro").alias("chi2_micro"),
+        F.count_distinct("event_type").alias("r"),
+        F.count_distinct("dow").alias("c"),
+    )
+    chi2 = F.col("chi2_micro") / 1e6
+    kmin = F.least(F.col("r"), F.col("c")) - 1
+    return agg.select(
+        F.col("n").cast("long").alias("n_obs"),
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("dof"),
+        F.round(chi2, 4).alias("chi2"),
+        F.round(F.sqrt(chi2 / (F.col("n") * kmin)), 4).alias("cramers_v"),
+    )
+
+
+def _daily_counts(events: DataFrame) -> DataFrame:
+    """(day, x=n_events, y=value-cent-sum) daily series -- the shared
+    substrate of the rank/trend statistics below. One partial+final
+    aggregation; the output is day-count-sized (bounded by calendar
+    span, not data volume)."""
+    return events.groupBy(
+        F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.count("*").alias("x"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("y"),
+    )
+
+
+def kendall_tau_daily(events: DataFrame) -> DataFrame:
+    """Kendall's tau-b rank correlation between daily event count and
+    daily value volume -- the robust are-they-moving-together check
+    that Pearson's r (stats_correlation) gets wrong under outliers.
+
+    The day-pair join is quadratic IN CALENDAR DAYS (n*(n-1)/2 pairs
+    over the day-count-bounded daily table -- 435 pairs for a month,
+    ~66k for a decade), never in events: the O(N) reduction to the
+    daily series happens first, so at 100 TB the pair stage still
+    sees only days. Concordant/discordant/tie counts are exact
+    integers; tau-b's sqrt runs once in double.
+
+    Emits ONE row (n_days, n_concordant, n_discordant, tau_b).
+    """
+    d = _daily_counts(events)
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(
+        F.broadcast(b), F.col("a.day") < F.col("b.day")
+    ).select(
+        (F.col("b.x") - F.col("a.x")).alias("dx"),
+        (F.col("b.y") - F.col("a.y")).alias("dy"),
+    )
+    agg = pairs.agg(
+        F.count("*").alias("n0"),
+        F.sum(
+            ((F.col("dx") > 0) & (F.col("dy") > 0)).cast("long")
+            + ((F.col("dx") < 0) & (F.col("dy") < 0)).cast("long")
+        ).alias("conc"),
+        F.sum(
+            ((F.col("dx") > 0) & (F.col("dy") < 0)).cast("long")
+            + ((F.col("dx") < 0) & (F.col("dy") > 0)).cast("long")
+        ).alias("disc"),
+        F.sum((F.col("dx") == 0).cast("long")).alias("tx"),
+        F.sum((F.col("dy") == 0).cast("long")).alias("ty"),
+    )
+    n_days = d.agg(F.count("*").alias("n_days"))
+    return agg.join(F.broadcast(n_days)).select(
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("conc").cast("long").alias("n_concordant"),
+        F.col("disc").cast("long").alias("n_discordant"),
+        F.round(
+            (F.col("conc") - F.col("disc"))
+            / F.sqrt(
+                (F.col("n0") - F.col("tx")).cast("double")
+                * (F.col("n0") - F.col("ty"))
+            ),
+            4,
+        ).alias("tau_b"),
+    )
+
+
+def theil_sen_daily(events: DataFrame) -> DataFrame:
+    """Theil-Sen robust trend of the daily event count -- the
+    median-of-pairwise-slopes estimator that one outage day cannot
+    drag (unlike ``trend_regression``'s least squares).
+
+    Same scale shape as ``kendall_tau_daily``: slopes are computed
+    over the day-count-bounded pair set only. Each slope is ONE
+    double division of exact integers (count delta / day delta), the
+    median is the exact order statistic both engines interpolate
+    identically, and the intercept re-scans the daily table with the
+    1-row slope broadcast.
+
+    Emits ONE row (n_days, n_pairs, slope_per_day, intercept).
+    """
+    d = _daily_counts(events).select(
+        (F.unix_micros("day") / F.lit(86_400_000_000)).cast("long").alias("t"),
+        "x",
+    )
+    a, b = d.alias("a"), d.alias("b")
+    slopes = a.join(F.broadcast(b), F.col("a.t") < F.col("b.t")).select(
+        (
+            (F.col("b.x") - F.col("a.x")).cast("double")
+            / (F.col("b.t") - F.col("a.t"))
+        ).alias("slope")
+    )
+    med = slopes.agg(
+        F.count("*").alias("n_pairs"), F.median("slope").alias("slope")
+    )
+    resid = d.join(F.broadcast(med)).select(
+        "n_pairs",
+        "slope",
+        (F.col("x") - F.col("slope") * F.col("t")).alias("r"),
+    )
+    return resid.groupBy("n_pairs", "slope").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.round(F.median("r"), 4).alias("intercept"),
+    ).select(
+        "n_days",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.round("slope", 6).alias("slope_per_day"),
+        "intercept",
+    )
+
+
+def grubbs_daily(events: DataFrame) -> DataFrame:
+    """Grubbs' max-deviation outlier test over the daily event-count
+    series -- "is the most extreme day statistically surprising?",
+    the gate before excluding an incident day from baselines.
+
+    Deviations are compared as |n*y - s| (exact integers -- the
+    argmax day is decided without ANY floating point), and the G
+    statistic is one double expression off the exact (n, s, ssq)
+    moment integers. The suspect day ties to the earliest calendar
+    day, matching the oracle's deterministic order.
+
+    Emits ONE row (n_days, suspect_day, dev_scaled, g_stat).
+    """
+    d = _daily_counts(events)
+    mo = d.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("ssq"),
+    )
+    dev = d.join(F.broadcast(mo)).select(
+        "day",
+        "n",
+        "s",
+        "ssq",
+        F.abs(F.col("n") * F.col("x") - F.col("s")).alias("dev"),
+    )
+    w = Window.orderBy(F.col("dev").desc(), F.col("day").asc())
+    top = dev.select(
+        "*", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") == 1)
+    g = F.col("dev") / F.sqrt(
+        F.col("n").cast("double")
+        * (F.col("n") * F.col("ssq") - F.col("s") * F.col("s"))
+        / (F.col("n") - 1)
+    )
+    return top.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("day").alias("suspect_day"),
+        F.col("dev").cast("long").alias("dev_scaled"),
+        F.round(g, 4).alias("g_stat"),
+    )
+
+
+def wilcoxon_signed_rank(events: DataFrame) -> DataFrame:
+    """Wilcoxon signed-rank test of per-user value volume, first half
+    of the month vs second -- the paired nonparametric before/after
+    test (the within-subjects sibling of ``stats_mannwhitney``).
+
+    Per-user cent-sums for each half come from one keyed aggregation;
+    zero differences drop (standard Wilcoxon practice); |d| ranks are
+    carried DOUBLED as exact integers so midrank ties stay integral
+    (the mannwhitney trick), and the normal-approximation z is one
+    double expression off the exact integer (n, W+) pair. No tie
+    correction in sigma (documented; ties in cent-sums are rare and
+    the identical formula runs on both engines).
+
+    Emits ONE row (n_pairs, w_plus2, w_minus2, z_stat).
+    """
+    halves = events.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.dayofmonth("ts") <= 15,
+                F.floor(F.col("value") * 100).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("a"),
+        F.sum(
+            F.when(
+                F.dayofmonth("ts") >= 16,
+                F.floor(F.col("value") * 100).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("b"),
+    )
+    diffs = halves.select(
+        (F.col("b") - F.col("a")).alias("d")
+    ).filter(F.col("d") != 0)
+    # doubled midranks over |d|: rank2 = 2*(#strictly smaller) + (#tied) + 1
+    byval = diffs.groupBy(F.abs("d").alias("ad")).agg(
+        F.count("*").alias("cnt"),
+        F.sum((F.col("d") > 0).cast("long")).alias("pos"),
+    )
+    w = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = byval.select(
+        "ad",
+        "cnt",
+        "pos",
+        (
+            2 * F.coalesce(F.sum("cnt").over(w), F.lit(0))
+            + F.col("cnt")
+            + 1
+        ).alias("rank2"),
+    )
+    agg = ranked.agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.col("pos") * F.col("rank2")).alias("w2p"),
+        F.sum((F.col("cnt") - F.col("pos")) * F.col("rank2")).alias("w2m"),
+    )
+    n = F.col("n")
+    z = (
+        F.col("w2p").cast("double") - (n * (n + 1)).cast("double") / 2
+    ) / F.sqrt(n.cast("double") * (n + 1) * (2 * n + 1) / 6)
+    return agg.select(
+        n.cast("long").alias("n_pairs"),
+        F.col("w2p").cast("long").alias("w_plus2"),
+        F.col("w2m").cast("long").alias("w_minus2"),
+        F.round(z, 4).alias("z_stat"),
+    )
+
+
+def ljung_box_daily(events: DataFrame, max_lag: int = 7) -> DataFrame:
+    """Ljung-Box portmanteau test over the daily event-count series:
+    are the first ``max_lag`` autocorrelations jointly zero? -- the
+    is-it-white-noise gate before trusting an anomaly baseline.
+
+    Integer-exact construction: with s = sum(y), each lag's
+    autocovariance numerator sums (n*y_t - s)(n*y_{t-k} - s) --
+    EXACT integers -- as is the lag-0 denominator, so every r_k is
+    one integer-ratio double. The cumulative Q statistic folds the
+    max_lag r_k^2/(n-k) terms in lag order on both engines (a fixed
+    7-term sequence, not a data-ordered fold).
+
+    Emits one row per lag (lag, n_days, autocorr, q_cumulative).
+    """
+    d = _daily_counts(events)
+    mo = d.agg(F.count("*").alias("n"), F.sum("x").alias("s"))
+    base = d.join(F.broadcast(mo)).select(
+        "day", "n", (F.col("n") * F.col("x") - F.col("s")).alias("dev")
+    )
+    wday = Window.orderBy("day")
+    lagged = base.select(
+        "n",
+        "dev",
+        *[
+            F.lag("dev", k).over(wday).alias(f"dev_{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    agg = lagged.groupBy("n").agg(
+        F.sum(F.col("dev") * F.col("dev")).alias("den"),
+        *[
+            F.sum(F.col("dev") * F.col(f"dev_{k}")).alias(f"num_{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    rows = []
+    for k in range(1, max_lag + 1):
+        rows.append(
+            agg.select(
+                F.lit(k).alias("lag"),
+                F.col("n").cast("long").alias("n_days"),
+                F.round(
+                    F.col(f"num_{k}").cast("double") / F.col("den"), 6
+                ).alias("autocorr"),
+                F.round(
+                    F.col("n").cast("double")
+                    * (F.col("n") + 2)
+                    * sum(
+                        (
+                            (
+                                F.col(f"num_{j}").cast("double")
+                                / F.col("den")
+                            )
+                            ** 2
+                            / (F.col("n") - j)
+                            for j in range(1, k + 1)
+                        ),
+                        F.lit(0.0),
+                    ),
+                    4,
+                ).alias("q_cumulative"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def session_bounce(events: DataFrame) -> DataFrame:
+    """Daily bounce rate: share of 30-minute-gap sessions that
+    contain exactly one event -- the canonical engagement-quality
+    ratio next to ``session_stats``' volume view.
+
+    Composes the sessionize kernel (one user-keyed exchange shared
+    with the gap window), then ONE day-keyed count aggregation;
+    the ratio is integer/integer rounded once.
+
+    Emits (day, n_sessions, n_bounces, bounce_rate).
+    """
+    from .temporal import session_stats
+
+    ss = session_stats(events)
+    return (
+        ss.groupBy(F.date_trunc("day", "session_start").alias("day"))
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum((F.col("n_events") == 1).cast("long")).alias("n_bounces"),
+        )
+        .select(
+            "day",
+            F.col("n_sessions").cast("long").alias("n_sessions"),
+            F.col("n_bounces").cast("long").alias("n_bounces"),
+            F.round(
+                F.col("n_bounces") / F.col("n_sessions").cast("double"), 4
+            ).alias("bounce_rate"),
+        )
+    )
+
+
+def power_user_curve(events: DataFrame) -> DataFrame:
+    """Active-days distribution (the L28-style power-user curve):
+    how many users were active exactly k days, with the cumulative
+    "k or more days" count read top-down -- the engagement-depth
+    report behind DAU/MAU interpretation.
+
+    Two keyed aggregations (distinct (user, day) -> per-user day
+    count -> histogram) + one cumulative window over the
+    day-count-bounded histogram. All integers.
+
+    Emits (active_days, n_users, n_users_at_least).
+    """
+    per_user = (
+        events.select("user_id", F.date_trunc("day", "ts").alias("day"))
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.count("*").alias("active_days"))
+    )
+    hist = per_user.groupBy("active_days").agg(F.count("*").alias("n_users"))
+    w = Window.orderBy(F.col("active_days").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return hist.select(
+        F.col("active_days").cast("long").alias("active_days"),
+        F.col("n_users").cast("long").alias("n_users"),
+        F.sum("n_users").over(w).cast("long").alias("n_users_at_least"),
+    )
+
+
+def churn_hazard(events: DataFrame) -> DataFrame:
+    """Discrete-time churn hazard by tenure week: of the users who
+    survived INTO week w (since their own first activity), what share
+    was last seen during week w -- the retention curve's derivative,
+    per-tenure-bucket (the discrete sibling of
+    ``survival_kaplan_meier``'s event-time view).
+
+    One per-user (first, last) aggregation, a week-count-bounded
+    histogram of last-seen weeks, and a suffix-sum window turn
+    "users at risk in week w" into exact integers; the hazard is one
+    integer ratio.
+
+    Emits (tenure_week, n_churned, n_at_risk, hazard).
+    """
+    span = events.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("first_day"),
+        F.max(F.date_trunc("day", "ts")).alias("last_day"),
+    )
+    by_week = span.select(
+        F.floor(
+            F.datediff("last_day", "first_day") / 7
+        ).cast("long").alias("tenure_week")
+    ).groupBy("tenure_week").agg(F.count("*").alias("n_churned"))
+    w = Window.orderBy(F.col("tenure_week").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return by_week.select(
+        "tenure_week",
+        F.col("n_churned").cast("long").alias("n_churned"),
+        F.sum("n_churned").over(w).cast("long").alias("n_at_risk"),
+    ).select(
+        "tenure_week",
+        "n_churned",
+        "n_at_risk",
+        F.round(
+            F.col("n_churned") / F.col("n_at_risk").cast("double"), 4
+        ).alias("hazard"),
+    )
+
+
+def changepoint_binary(events: DataFrame) -> DataFrame:
+    """Binary changepoint detection on the daily event-count series:
+    the single split minimizing total within-segment squared error --
+    "when did the level shift?", the first question after a drift
+    alert fires.
+
+    Prefix sums of the exact integer (y, y^2) series make every
+    candidate split's SSE one closed-form double off integers; the
+    argmin decides on (sse, day) so ties break deterministically.
+    Day-count-bounded throughout after the O(N) daily reduction.
+
+    Emits ONE row (split_day, n_days, sse_full, sse_split, rel_drop)
+    -- split_day is the first day of the RIGHT segment.
+    """
+    d = _daily_counts(events)
+    wday = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    pre = d.select(
+        "day",
+        F.row_number().over(Window.orderBy("day")).alias("k"),
+        F.sum("x").over(wday).alias("s_k"),
+        F.sum(F.col("x") * F.col("x")).over(wday).alias("q_k"),
+        F.lead("day").over(Window.orderBy("day")).alias("next_day"),
+    )
+    tot = pre.agg(
+        F.max("k").alias("n"), F.max("s_k").alias("s_n"), F.max("q_k").alias("q_n")
+    )
+    cand = pre.join(F.broadcast(tot)).filter(F.col("k") < F.col("n"))
+    sse_left = F.col("q_k") - (F.col("s_k") * F.col("s_k")).cast("double") / F.col("k")
+    sse_right = (
+        F.col("q_n")
+        - F.col("q_k")
+        - ((F.col("s_n") - F.col("s_k")) * (F.col("s_n") - F.col("s_k"))).cast(
+            "double"
+        )
+        / (F.col("n") - F.col("k"))
+    )
+    scored = cand.select(
+        "day",
+        "next_day",
+        "n",
+        "s_n",
+        "q_n",
+        (sse_left + sse_right).alias("sse"),
+    )
+    w = Window.orderBy(F.col("sse").asc(), F.col("day").asc())
+    best = scored.select("*", F.row_number().over(w).alias("rn")).filter(
+        F.col("rn") == 1
+    )
+    sse_full = F.col("q_n") - (F.col("s_n") * F.col("s_n")).cast("double") / F.col(
+        "n"
+    )
+    return best.select(
+        F.col("next_day").alias("split_day"),
+        F.col("n").cast("long").alias("n_days"),
+        F.round(sse_full, 4).alias("sse_full"),
+        F.round(F.col("sse"), 4).alias("sse_split"),
+        F.round((sse_full - F.col("sse")) / sse_full, 4).alias("rel_drop"),
+    )
+
+
+# ------------------------------------------------- round 9, batch 2
+
+
+def new_vs_returning(events: DataFrame) -> DataFrame:
+    """Daily new-vs-returning user split: of the day's active users,
+    how many were seen for the FIRST time that day -- the
+    acquisition-vs-retention decomposition every growth dashboard
+    leads with.
+
+    Distinct (user, day) reduction, a per-user min-day window on the
+    SAME user key (one exchange), then a day-keyed rollup. All
+    integers plus one ratio.
+
+    Emits (day, n_active, n_new, n_returning, new_share).
+    """
+    du = events.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id")
+    flagged = du.select(
+        "day", (F.col("day") == F.min("day").over(w)).cast("long").alias("is_new")
+    )
+    return flagged.groupBy("day").agg(
+        F.count("*").cast("long").alias("n_active"),
+        F.sum("is_new").cast("long").alias("n_new"),
+        (F.count("*") - F.sum("is_new")).cast("long").alias("n_returning"),
+        F.round(F.sum("is_new") / F.count("*").cast("double"), 4).alias(
+            "new_share"
+        ),
+    )
+
+
+def value_pareto(events: DataFrame, buckets: int = 10) -> DataFrame:
+    """Value-concentration (Pareto) curve: users ranked by total
+    value volume, bucketed into deciles, with each decile's share
+    and the running cumulative share -- the "do 10% of users carry
+    80% of value" readout that complements the single-number Gini /
+    HHI views.
+
+    Per-user cent totals from one keyed aggregation; ntile over the
+    (cents DESC, user_id) total order is deterministic on both
+    engines; shares are integer-cent ratios. The rank window runs
+    over the USER-count-sized table, not events.
+
+    Emits (decile, n_users, value_cents, share, cum_share).
+    """
+    per_user = events.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    w = Window.orderBy(F.col("cents").desc(), F.col("user_id"))
+    bucketed = per_user.select(
+        F.ntile(buckets).over(w).alias("decile"), "cents"
+    ).groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("cents").cast("long").alias("value_cents"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return bucketed.select(
+        F.col("decile").cast("int").alias("decile"),
+        "n_users",
+        "value_cents",
+        F.round(
+            F.col("value_cents") / F.sum("value_cents").over(wt).cast("double"),
+            4,
+        ).alias("share"),
+        F.round(
+            F.sum("value_cents").over(wc)
+            / F.sum("value_cents").over(wt).cast("double"),
+            4,
+        ).alias("cum_share"),
+    )
+
+
+def type_share_trend(events: DataFrame) -> DataFrame:
+    """Event-type mix trend: each type's share of the day's events
+    and the share's day-over-day delta -- the mix-shift monitor that
+    catches "errors doubled as a share of traffic" even when
+    absolute volume moved too.
+
+    One (day, type) count aggregation; the day total is a window
+    over the same keys (no second shuffle), the delta one lag per
+    type. Integer counts, two rounded ratios.
+
+    Emits (day, event_type, n_events, share, share_delta).
+    """
+    g = events.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    wd = Window.partitionBy("day")
+    share = F.round(F.col("n") / F.sum("n").over(wd).cast("double"), 4)
+    wt = Window.partitionBy("event_type").orderBy("day")
+    with_share = g.select(
+        "day", "event_type", F.col("n").cast("long").alias("n_events"),
+        share.alias("share"),
+    )
+    return with_share.select(
+        "day",
+        "event_type",
+        "n_events",
+        "share",
+        F.round(
+            F.col("share") - F.lag("share").over(wt), 4
+        ).alias("share_delta"),
+    )
+
+
+def dp_randomized_response(
+    events: DataFrame, p_truth: float = 0.75, cut: float = 50.0
+) -> DataFrame:
+    """Randomized-response release of a per-event binary attribute
+    (value >= cut): each row reports its TRUE bit with probability
+    ``p_truth``, else the flipped bit, and the aggregate debiases
+    with the standard (rate - (1-p)) / (2p - 1) estimator -- the
+    local-DP counting mechanism (Warner 1965), dp_noisy_counts'
+    per-row-noise sibling.
+
+    The coin is DETERMINISTIC md5-per-event (same 4-hex-digit
+    midpoint uniform both engines mirror), so the release is
+    reproducible and oracle-checkable; a production release would
+    swap in a sealed RNG seed, changing nothing in the plan. One
+    grouped aggregation, noise row-local.
+
+    Emits (event_type, n, n_reported, reported_rate, est_true_rate).
+    """
+    h = F.md5(F.concat_ws("|", F.lit("rr"), F.col("event_id").cast("string")))
+    u = (
+        F.conv(F.substring(h, 1, 4), 16, 10).cast("long") + F.lit(0.5)
+    ) / F.lit(65536.0)
+    true_bit = (F.col("value") >= cut).cast("long")
+    reported = F.when(u < p_truth, true_bit).otherwise(1 - true_bit)
+    g = events.select("event_type", reported.alias("rep")).groupBy(
+        "event_type"
+    ).agg(F.count("*").alias("n"), F.sum("rep").alias("n_rep"))
+    rate = F.col("n_rep") / F.col("n").cast("double")
+    return g.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_rep").cast("long").alias("n_reported"),
+        F.round(rate, 4).alias("reported_rate"),
+        F.round(
+            (rate - (1.0 - p_truth)) / (2.0 * p_truth - 1.0), 4
+        ).alias("est_true_rate"),
+    )
+
+
+def repeat_interval(orders: DataFrame) -> DataFrame:
+    """Repeat-purchase cadence: the distribution of day gaps between
+    each customer's consecutive orders -- mean plus exact p50/p90,
+    the reorder-cycle number inventory and lifecycle marketing both
+    key on.
+
+    One customer-keyed lag window produces integer day gaps; the
+    median/p90 run through the distributed order-statistic kernel
+    (``exact_quantiles``) -- NOT single-buffer percentile, which
+    would hold every gap in one aggregation buffer at corpus scale.
+
+    Emits ONE row (n_gaps, mean_gap_days, p50_gap_days,
+    p90_gap_days).
+    """
+    from .relational import exact_quantiles
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        F.datediff(
+            "o_orderdate", F.lag("o_orderdate").over(w)
+        ).cast("long").alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    stats = gaps.agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.round(F.sum("gap") / F.count("*").cast("double"), 4).alias(
+            "mean_gap_days"
+        ),
+    )
+    q = exact_quantiles(gaps.select(F.col("gap").cast("double").alias("gap")),
+                        "gap", [0.5, 0.9])
+    pivoted = q.select(
+        F.element_at("bounds", 1).alias("p50_gap_days"),
+        F.element_at("bounds", 2).alias("p90_gap_days"),
+    )
+    return stats.join(F.broadcast(pivoted))
+
+
+def ship_delay_profile(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """Order-to-ship delay histogram by week: how long line items
+    take to ship after their order date, with each week-bucket's
+    share -- the fulfillment-SLA profile.
+
+    One keyed join on o_orderkey (the fact table's natural key),
+    integer day deltas bucketed row-locally, a week-count-bounded
+    histogram, and a 1-row total broadcast for shares.
+
+    Emits (delay_week, n_items, share).
+    """
+    j = lineitem.select("l_orderkey", "l_shipdate").join(
+        orders.select(
+            F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
+        ),
+        "l_orderkey",
+    )
+    hist = j.select(
+        F.floor(
+            F.datediff("l_shipdate", "o_orderdate") / 7
+        ).cast("long").alias("delay_week")
+    ).groupBy("delay_week").agg(F.count("*").alias("n_items"))
+    tot = hist.agg(F.sum("n_items").alias("total"))
+    # share rounds at INTEGER 1e-6 scale (the one rounding rule both
+    # engines share on .5 boundaries -- round(x, 4) split them on the
+    # sf0.01 fixture's 9/60000-style shares, measured)
+    return hist.join(F.broadcast(tot)).select(
+        "delay_week",
+        F.col("n_items").cast("long").alias("n_items"),
+        (
+            F.round(
+                F.col("n_items") * F.lit(1e6) / F.col("total").cast("double")
+            ).cast("long")
+            / F.lit(1e6)
+        ).alias("share"),
+    )

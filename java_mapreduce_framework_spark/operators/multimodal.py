@@ -1504,3 +1504,160 @@ def video_shots(videos: DataFrame) -> DataFrame:
             "total_diff",
         )
     )
+
+
+# ------------------------------------------------------------- round 9
+
+
+def image_dhash(images: DataFrame) -> DataFrame:
+    """Perceptual difference-hash (dHash) duplicate grouping over the
+    REAL decode path -- ``image_ahash``'s gradient sibling: instead
+    of cell-vs-global-mean bits, each bit compares HORIZONTALLY
+    ADJACENT cell means on an 8-row x 9-column grid (64 bits from 8x8
+    comparisons), which survives global brightness/contrast shifts
+    that move every ahash bit at once.
+
+    The downsample is the classic nearest-neighbor resize: sample
+    pixel (i*h//8, j*w//9) for the 8x9 grid -- every grid point is
+    EXACTLY ONE pixel (a cell-mean grid would leave the 9th column
+    empty on w=8 fixtures), so every comparison is an exact integer
+    ``>`` and the hash is bit-identical across engines; the oracle
+    recomputes it from the text bytes the pixels tile from. The
+    kernel emits 64 chars per image -- payloads stay executor-local,
+    the group-by shuffles hashes only.
+
+    Emits (dhash, keep_doc_id, n_copies).
+    """
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = real_decode(bytes(payload))
+                h, w, _ = px.shape
+                gray = px.astype(np.int64).sum(axis=2)
+                rows = (np.arange(8) * h) // 8
+                cols = (np.arange(9) * w) // 9
+                sub = gray[np.ix_(rows, cols)]
+                bits = (sub[:, :8] > sub[:, 1:]).ravel()
+                ids.append(doc_id)
+                hashes.append("".join("1" if b else "0" for b in bits))
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"), "dhash": hashes}
+            )
+
+    hashed = images.mapInPandas(kernel, schema="doc_id long, dhash string")
+    return hashed.groupBy("dhash").agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies")
+    )
+
+
+def audio_clipping(audio: DataFrame, threshold: int = 16384) -> DataFrame:
+    """Clipping / headroom report over the REAL decoded PCM: per
+    clip, the fraction of samples at or beyond ``threshold`` absolute
+    amplitude and the peak absolute sample -- the capture-quality
+    gate next to ``audio_snr`` (clipped speech poisons ASR training
+    data even at high SNR).
+
+    Threshold 16384 (half full-scale) deliberately: the fixture's
+    PCM derives from ASCII text bytes, so |sample| <= 24576 and a
+    32000-style near-full-scale threshold would pass vacuously --
+    half-scale bisects the fixture's amplitude range (same
+    non-degeneracy rule as embedding_norm_profile's k).
+
+    Counts are exact integers in the Arrow kernel; the fraction
+    rounds at integer 1e-6 scale in a Spark expression (engine
+    rounding, never Python's banker's ties). Payloads never leave
+    executors.
+
+    Emits (doc_id, n_samples, n_clipped, peak_abs, clip_frac).
+    """
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, nc, pk = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _rate, s = decode_wav(bytes(payload))
+                a = np.abs(s.astype(np.int64))
+                ids.append(doc_id)
+                ns.append(len(a))
+                nc.append(int(np.sum(a >= threshold)))
+                pk.append(int(a.max()) if len(a) else 0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "n_clipped": pd.Series(nc, dtype="int64"),
+                    "peak_abs": pd.Series(pk, dtype="int64"),
+                }
+            )
+
+    counts = audio.mapInPandas(
+        kernel,
+        schema="doc_id long, n_samples long, n_clipped long, peak_abs long",
+    )
+    return counts.select(
+        "doc_id",
+        "n_samples",
+        "n_clipped",
+        "peak_abs",
+        F.when(
+            F.col("n_samples") > 0,
+            F.round(F.col("n_clipped") * F.lit(1e6) / F.col("n_samples"))
+            / F.lit(1e6),
+        ).alias("clip_frac"),
+    )
+
+
+def audio_silence(audio: DataFrame, threshold: int = 8192) -> DataFrame:
+    """Leading/trailing-silence report over the REAL decoded PCM:
+    how many samples below ``threshold`` absolute amplitude pad each
+    end of the clip, plus the total silent count -- the trim
+    decision before feature extraction (``audio_vad`` windows
+    energy; this is the exact sample-level endpoint view).
+
+    Threshold 8192 bisects the ASCII-derived fixture amplitudes
+    (lowercase letters decode under it, capitals/digits/punctuation
+    over), so the report is non-degenerate by construction. Integer
+    counts only in the Arrow kernel; payloads never leave executors.
+
+    Emits (doc_id, n_samples, lead_silence, trail_silence, n_silent).
+    """
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, ld, tr, sil = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _rate, s = decode_wav(bytes(payload))
+                a = np.abs(s.astype(np.int64))
+                n = len(a)
+                loud = np.flatnonzero(a >= threshold)
+                ids.append(doc_id)
+                ns.append(n)
+                if len(loud):
+                    ld.append(int(loud[0]))
+                    tr.append(int(n - 1 - loud[-1]))
+                else:
+                    ld.append(n)
+                    tr.append(n)
+                sil.append(int(np.sum(a < threshold)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "lead_silence": pd.Series(ld, dtype="int64"),
+                    "trail_silence": pd.Series(tr, dtype="int64"),
+                    "n_silent": pd.Series(sil, dtype="int64"),
+                }
+            )
+
+    return audio.mapInPandas(
+        kernel,
+        schema=(
+            "doc_id long, n_samples long, lead_silence long,"
+            " trail_silence long, n_silent long"
+        ),
+    )

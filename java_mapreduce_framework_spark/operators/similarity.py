@@ -1712,3 +1712,64 @@ def embedding_whiten(embeddings: DataFrame, eps: float = 1e-6) -> DataFrame:
     return embeddings.select("vec_id", "embedding").mapInPandas(
         whiten_kernel, "vec_id long, dim int, white_value double"
     )
+
+
+def embedding_dim_stats(embeddings: DataFrame) -> DataFrame:
+    """Per-dimension distribution profile of the embedding matrix --
+    the first look before standardize/whiten/PCA decide anything
+    (dead dimensions, scale mismatches between concatenated feature
+    groups, and saturated activations all show up here).
+
+    Same two-phase shape as ``embedding_standardize``'s stats pass:
+    posexplode to (dim, value) and ONE partial+final aggregation per
+    dimension -- the shuffle carries d x partitions rows, never
+    d x N. Min/max are exact; mean/stddev follow the standardize
+    precedent (cross-engine-stable at 6 decimals on float32-sourced
+    doubles).
+
+    Emits (dim, n_vecs, mean_v, std_v, min_v, max_v).
+    """
+    u = embeddings.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "v"
+        )
+    )
+    return u.groupBy("dim").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.round(F.avg("v"), 6).alias("mean_v"),
+        F.round(F.stddev_pop("v"), 6).alias("std_v"),
+        F.round(F.min("v"), 6).alias("min_v"),
+        F.round(F.max("v"), 6).alias("max_v"),
+    )
+
+
+def embedding_dim_clip_bounds(
+    embeddings: DataFrame, lo: float = 0.01, hi: float = 0.99
+) -> DataFrame:
+    """Per-dimension robust clip bounds (p1/p99) for outlier clipping
+    before quantization or standardization -- ``embedding_dim_stats``
+    tells you a dimension is heavy-tailed; this emits the exact
+    bounds the clipping pass applies.
+
+    Runs through the distributed order-statistic kernel
+    (``exact_quantiles_grouped``): range-sharded (dim, value)
+    partitions, two-phase prefix sums, Arrow walk emitting only the
+    straddling order statistics -- per-task memory is one shard,
+    never a dimension's full value list (grouped ``percentile``
+    would buffer N values per dimension at corpus scale).
+
+    Emits (dim, q_idx, bound) -- long form, q_idx 0 = lo, 1 = hi.
+    """
+    from .relational import exact_quantiles_grouped
+
+    u = embeddings.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "v"
+        )
+    )
+    out = exact_quantiles_grouped(u, "dim", "v", [lo, hi], decimals=6)
+    return out.select(
+        F.col("dim").cast("int").alias("dim"),
+        F.col("q_idx").cast("int").alias("q_idx"),
+        "bound",
+    )

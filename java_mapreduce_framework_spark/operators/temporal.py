@@ -2027,3 +2027,188 @@ def attribution_first_touch(events: DataFrame) -> DataFrame:
             "attributed_ts",
         )
     )
+
+
+# ------------------------------------------------------------- round 9
+# Technical-indicator windows over the per-(user, day) close series.
+# Shared substrate: _daily_candle() resamples each user's events to
+# one row per active day with integer-cent OHLC fields (the exact
+# arithmetic window_ohlc/window_twap established), so every indicator
+# below is a bounded-frame window over a day-count-sized series --
+# one (user_id) exchange, integer sufficient statistics, one double
+# expression at the end.
+
+
+def _daily_candle(events: DataFrame) -> DataFrame:
+    """(user_id, day, high_c, low_c, close_c) integer-cent daily
+    candle -- close pinned by the (ts, event_id) total order."""
+    cents = F.floor(F.col("value") * 100).cast("long")
+    wd = Window.partitionBy(
+        "user_id", F.date_trunc("day", "ts")
+    ).orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    r = events.select(
+        "user_id",
+        F.date_trunc("day", "ts").alias("day"),
+        cents.alias("v_c"),
+        F.row_number().over(wd).alias("r_close"),
+    )
+    return r.groupBy("user_id", "day").agg(
+        F.max("v_c").alias("high_c"),
+        F.min("v_c").alias("low_c"),
+        F.max(F.when(F.col("r_close") == 1, F.col("v_c"))).alias("close_c"),
+    )
+
+
+def window_macd(
+    events: DataFrame,
+    fast_decay: float = 0.75,
+    fast_span: int = 12,
+    slow_decay: float = 0.875,
+    slow_span: int = 18,
+) -> DataFrame:
+    """MACD momentum indicator over each user's daily close series:
+    fast EWMA minus slow EWMA of the integer-cent closes (the
+    classic crossover signal, here with the engine's exact-arithmetic
+    EWMA construction).
+
+    Both EWMAs use ``window_ewma``'s normalized bounded-frame form --
+    decays 3/4 and 7/8 chosen so EVERY in-frame power (0.75^j, j<12;
+    0.875^j, j<18 -- 7^17 < 2^53) is exactly representable in a
+    double, making the weighted folds bit-identical across engines.
+    One user-keyed exchange feeds both frames and the daily resample.
+
+    Emits (user_id, day, close_c, ema_fast, ema_slow, macd).
+    """
+
+    def ewma_expr(col: str, decay: float, span: int) -> str:
+        alpha = 1.0 - decay
+        return (
+            f"aggregate(zip_with({col}, sequence(size({col}) - 1, 0, -1),"
+            f" (v, e) -> v * pow({decay!r}, e)), 0D, (acc, x) -> acc + x)"
+            f" / ((1.0 - pow({decay!r}, size({col}))) / {alpha!r})"
+        )
+
+    candle = _daily_candle(events)
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(-(fast_span - 1), 0)
+    )
+    ws = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(-(slow_span - 1), 0)
+    )
+    framed = candle.select(
+        "user_id",
+        "day",
+        "close_c",
+        F.collect_list(F.col("close_c").cast("double")).over(wf).alias("vf"),
+        F.collect_list(F.col("close_c").cast("double")).over(ws).alias("vs"),
+    )
+    fast = F.expr(ewma_expr("vf", fast_decay, fast_span))
+    slow = F.expr(ewma_expr("vs", slow_decay, slow_span))
+    return framed.select(
+        "user_id",
+        "day",
+        "close_c",
+        F.round(fast / 100.0, 6).alias("ema_fast"),
+        F.round(slow / 100.0, 6).alias("ema_slow"),
+        F.round((fast - slow) / 100.0, 6).alias("macd"),
+    )
+
+
+def window_stochastic(
+    events: DataFrame, k_window: int = 14
+) -> DataFrame:
+    """Stochastic oscillator (%K/%D) over each user's daily closes:
+    where today's close sits inside the rolling 14-day high-low range
+    (0 = at the low, 100 = at the high), %D the 3-day smoothing.
+
+    The rolling extrema are exact integer cents, %K one integer-ratio
+    double, and %D the FIXED three-term average (k + lag1 + lag2)/3
+    -- no data-ordered double fold. Flat ranges (high == low) emit
+    NULL on both engines.
+
+    Emits (user_id, day, close_c, pct_k, pct_d).
+    """
+    candle = _daily_candle(events)
+    wk = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(-(k_window - 1), 0)
+    )
+    ranged = candle.select(
+        "user_id",
+        "day",
+        "close_c",
+        F.min("low_c").over(wk).alias("mn"),
+        F.max("high_c").over(wk).alias("mx"),
+    )
+    k = F.when(
+        F.col("mx") > F.col("mn"),
+        (F.col("close_c") - F.col("mn")).cast("double")
+        * 100.0
+        / (F.col("mx") - F.col("mn")),
+    )
+    wo = Window.partitionBy("user_id").orderBy("day")
+    with_k = ranged.select(
+        "user_id", "day", "close_c", k.alias("k_raw")
+    ).select(
+        "user_id",
+        "day",
+        "close_c",
+        "k_raw",
+        F.lag("k_raw", 1).over(wo).alias("k1"),
+        F.lag("k_raw", 2).over(wo).alias("k2"),
+    )
+    return with_k.select(
+        "user_id",
+        "day",
+        "close_c",
+        F.round(F.col("k_raw"), 4).alias("pct_k"),
+        F.round(
+            (F.col("k_raw") + F.col("k1") + F.col("k2")) / 3.0, 4
+        ).alias("pct_d"),
+    )
+
+
+def window_atr(events: DataFrame, atr_window: int = 14) -> DataFrame:
+    """Average True Range volatility over each user's daily candles:
+    TR = max(high-low, |high-prev_close|, |low-prev_close|) in exact
+    integer cents (first day falls back to high-low), ATR its
+    rolling 14-day mean -- the position-sizing volatility number.
+
+    One user-keyed exchange shared by the candle resample, the
+    prev-close lag, and the rolling mean; TR is integer throughout
+    and ATR one integer-sum ratio.
+
+    Emits (user_id, day, true_range_c, atr).
+    """
+    candle = _daily_candle(events)
+    wo = Window.partitionBy("user_id").orderBy("day")
+    pc = F.lag("close_c").over(wo)
+    tr = F.when(pc.isNull(), F.col("high_c") - F.col("low_c")).otherwise(
+        F.greatest(
+            F.col("high_c") - F.col("low_c"),
+            F.abs(F.col("high_c") - pc),
+            F.abs(F.col("low_c") - pc),
+        )
+    )
+    wa = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(-(atr_window - 1), 0)
+    )
+    with_tr = candle.select("user_id", "day", tr.alias("true_range_c"))
+    return with_tr.select(
+        "user_id",
+        "day",
+        F.col("true_range_c").cast("long").alias("true_range_c"),
+        F.round(
+            F.sum("true_range_c").over(wa)
+            / F.count("*").over(wa).cast("double")
+            / 100.0,
+            6,
+        ).alias("atr"),
+    )

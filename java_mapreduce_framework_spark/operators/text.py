@@ -3094,3 +3094,258 @@ def lang_id_margin(documents: DataFrame) -> DataFrame:
         margin.alias("margin"),
         (margin >= 2).alias("confident"),
     )
+
+
+# ------------------------------------------------------------- round 9
+
+
+def hapax_ratio(documents: DataFrame) -> DataFrame:
+    """Per-language hapax-legomenon profile: vocabulary size, number
+    of words occurring exactly once in that language's corpus slice,
+    and their ratio -- the classic vocabulary-richness / OCR-noise
+    screen (a hapax ratio drifting up usually means garbage tokens,
+    drifting down means boilerplate).
+
+    One exploded (lang, word) count aggregation (partial+final,
+    keyed on the pair) then a lang-keyed rollup -- the second shuffle
+    carries vocab-sized rows only. All counts exact integers.
+
+    Emits (lang, n_tokens, vocab_size, n_hapax, hapax_ratio).
+    """
+    wc = (
+        documents.select("lang", F.explode(tokens_col("text")).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return wc.groupBy("lang").agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("vocab_size"),
+        F.sum((F.col("cnt") == 1).cast("long")).cast("long").alias("n_hapax"),
+        F.round(
+            F.sum((F.col("cnt") == 1).cast("long"))
+            / F.count("*").cast("double"),
+            4,
+        ).alias("hapax_ratio"),
+    )
+
+
+#: sentence segmentation shared by sentence_stats / sentence_dedup:
+#: split on [.!?]+ runs, trim, drop empties -- mirrored verbatim by
+#: the DuckDB oracle's string_split_regex pipeline.
+def _sentences_col():
+    return F.filter(
+        F.transform(
+            F.split(F.col("text"), r"[.!?]+"), lambda s: F.trim(s)
+        ),
+        lambda s: s != "",
+    )
+
+
+def sentence_stats(documents: DataFrame) -> DataFrame:
+    """Per-document sentence-shape profile: sentence count, mean
+    tokens per sentence, longest sentence in characters -- the
+    readability-adjacent quality signals a Gopher-style rule set
+    reads (walls of unpunctuated text and staccato fragment spam
+    both sit at the profile's edges).
+
+    Pure map-only row-local expressions off ONE sentence array and
+    one token count; zero shuffle.
+
+    Emits (doc_id, n_sentences, avg_sentence_tokens,
+    max_sentence_chars).
+    """
+    sents = _sentences_col()
+    return documents.select(
+        "doc_id",
+        F.size(sents).cast("long").alias("n_sentences"),
+        F.round(
+            F.size(tokens_col("text"))
+            / F.greatest(F.size(sents), F.lit(1)).cast("double"),
+            4,
+        ).alias("avg_sentence_tokens"),
+        F.coalesce(
+            F.array_max(F.transform(sents, lambda s: F.length(s))), F.lit(0)
+        ).cast("long").alias("max_sentence_chars"),
+    )
+
+
+def sentence_dedup(documents: DataFrame) -> DataFrame:
+    """Cross-document exact sentence deduplication report: for each
+    document, how many of its sentences are first occurrences vs
+    duplicates of a sentence seen earlier in the corpus order
+    (doc_id, then position) -- the sentence-level boilerplate
+    removal pass (C4's dedup granularity) summarized per document.
+
+    One exploded (sentence -> first-occurrence rank) window keyed on
+    the normalized sentence text, then a doc-keyed count rollup; the
+    shuffle carries sentence instances once.
+
+    Emits (doc_id, n_sentences, n_duplicate).
+    """
+    inst = documents.select(
+        "doc_id", F.posexplode(_sentences_col()).alias("idx", "sent")
+    ).select("doc_id", "idx", F.lower(F.col("sent")).alias("s"))
+    w = Window.partitionBy("s").orderBy("doc_id", "idx")
+    ranked = inst.select(
+        "doc_id", F.row_number().over(w).alias("rn")
+    )
+    return ranked.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_sentences"),
+        F.sum((F.col("rn") > 1).cast("long")).cast("long").alias("n_duplicate"),
+    )
+
+
+def good_turing_counts(documents: DataFrame) -> DataFrame:
+    """Good-Turing count-of-counts table with the adjusted counts
+    r* = (r+1) * N_{r+1} / N_r -- the smoothing substrate every
+    Katz/Kneser-Ney-family language model starts from (and a quick
+    Zipf-tail sanity check: N_1 should dominate).
+
+    Two keyed count aggregations (word counts -> count-of-counts)
+    plus one lead window over the count-frequency table, which is
+    tiny (distinct r values) whatever the corpus size. r* is one
+    integer-ratio double; the top count (no N_{r+1}) emits NULL on
+    both engines.
+
+    Emits (r, n_r, r_star).
+    """
+    wc = (
+        documents.select(F.explode(tokens_col("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("r"))
+    )
+    nr = wc.groupBy("r").agg(F.count("*").alias("n_r"))
+    w = Window.orderBy("r")
+    return nr.select(
+        F.col("r").cast("long").alias("r"),
+        F.col("n_r").cast("long").alias("n_r"),
+        F.when(
+            F.lead("r").over(w) == F.col("r") + 1,
+            F.round(
+                (F.col("r") + 1)
+                * F.lead("n_r").over(w)
+                / F.col("n_r").cast("double"),
+                4,
+            ),
+        ).alias("r_star"),
+    )
+
+
+def bigram_entropy_rate(documents: DataFrame) -> DataFrame:
+    """Per-context conditional bigram entropy H(w2 | w1) in integer
+    micro-nats -- the local-predictability profile of the corpus
+    (templated boilerplate contexts sit near zero; open contexts
+    near ln(successors)), and the number a bigram LM's achievable
+    compression is read from.
+
+    Each (w1, w2) term c12 * ln(c1/c12) rounds to integer micro-nats
+    BEFORE the per-context sum (the graph_adamic_adar discipline:
+    never a cross-term double fold), so the grouped SUM is exact;
+    the nats-per-token readout is one integer-ratio double. Bigram
+    counts shuffle on the pair key, then on w1 -- both vocab-sized.
+
+    Emits (w1, n_contexts, n_successors, h_micro, entropy_nats).
+    """
+    toks = tokens_col("text")
+    pairs = documents.select(
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    c12 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    term = F.round(
+        F.col("c12")
+        * F.log(F.col("c1").cast("double") / F.col("c12"))
+        * 1e6
+    ).cast("long")
+    return (
+        c12.join(c1, "w1")
+        .select("w1", "c1", term.alias("t"))
+        .groupBy("w1", "c1")
+        .agg(
+            F.count("*").cast("long").alias("n_successors"),
+            F.sum("t").cast("long").alias("h_micro"),
+        )
+        .select(
+            "w1",
+            F.col("c1").cast("long").alias("n_contexts"),
+            "n_successors",
+            "h_micro",
+            F.round(
+                F.col("h_micro") / (F.col("c1") * F.lit(1e6)), 6
+            ).alias("entropy_nats"),
+        )
+    )
+
+
+def case_profile(documents: DataFrame) -> DataFrame:
+    """Per-document character-case/class profile: uppercase, digit,
+    and alphabetic counts with their ratios, plus a
+    starts-with-capital flag -- the cheap SHOUTING/serial-number/
+    prose discriminator in the quality family.
+
+    Counts via length-of-stripped-string arithmetic (one regex pass
+    per class, identical on both engines); map-only, zero shuffle.
+
+    Emits (doc_id, n_chars, n_upper, n_digit, n_alpha, upper_ratio,
+    digit_ratio, starts_capital).
+    """
+    n_chars = F.length("text")
+    n_upper = n_chars - F.length(F.regexp_replace("text", "[A-Z]", ""))
+    n_digit = n_chars - F.length(F.regexp_replace("text", "[0-9]", ""))
+    n_alpha = n_chars - F.length(
+        F.regexp_replace("text", "[A-Za-z]", "")
+    )
+    return documents.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        n_upper.cast("long").alias("n_upper"),
+        n_digit.cast("long").alias("n_digit"),
+        n_alpha.cast("long").alias("n_alpha"),
+        F.round(
+            n_upper / F.greatest(n_alpha, F.lit(1)).cast("double"), 4
+        ).alias("upper_ratio"),
+        F.round(
+            n_digit / F.greatest(n_chars, F.lit(1)).cast("double"), 4
+        ).alias("digit_ratio"),
+        (F.substring("text", 1, 1).rlike("[A-Z]")).cast("long").alias(
+            "starts_capital"
+        ),
+    )
+
+
+def vocab_growth_curve(documents: DataFrame) -> DataFrame:
+    """Heaps'-law vocabulary growth: scanning documents in doc_id
+    order, how many NEW words each document contributes and the
+    running vocabulary size -- the curve whose flattening says the
+    corpus stopped bringing new language (and whose slope calibrates
+    dedup/diversity targets).
+
+    Per-word first-occurrence doc (one keyed MIN aggregation), a
+    doc-keyed count, and one cumulative window over the
+    document-count-bounded curve. All integers.
+
+    Emits (doc_id, n_new_words, cum_vocab) -- one row per document
+    that introduced at least one new word.
+    """
+    first = (
+        documents.select(
+            "doc_id", F.explode(tokens_col("text")).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    curve = first.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count("*").alias("n_new_words")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    return curve.select(
+        "doc_id",
+        F.col("n_new_words").cast("long").alias("n_new_words"),
+        F.sum("n_new_words").over(w).cast("long").alias("cum_vocab"),
+    )

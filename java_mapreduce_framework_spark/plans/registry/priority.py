@@ -275,6 +275,46 @@ _RECORDED_ROUND8 = frozenset(
 #: are schema-modified, so their only valid verdict is a fresh one.
 _FRESH_ROUND9 = frozenset(
     {
+        # new this round (plans/registry/round9.py)
+        "stats_chisq_independence",
+        "stats_cramers_v",
+        "stats_kendall_tau",
+        "stats_theil_sen",
+        "stats_grubbs",
+        "stats_wilcoxon_signed_rank",
+        "stats_ljung_box",
+        "events_session_bounce",
+        "events_power_user_curve",
+        "events_churn_hazard",
+        "time_changepoint_binary",
+        "window_macd",
+        "window_stochastic",
+        "window_atr",
+        "text_hapax_ratio",
+        "text_sentence_stats",
+        "dedup_sentence_exact",
+        "lm_good_turing_counts",
+        "graph_edge_jaccard",
+        "graph_component_stats",
+        "embedding_dim_stats",
+        "sql_yoy_growth",
+        "sql_discount_elasticity",
+        "multimodal_image_dhash",
+        "multimodal_audio_clipping",
+        # new this round, batch 2
+        "events_new_vs_returning",
+        "events_value_pareto",
+        "events_type_share_trend",
+        "dp_randomized_response",
+        "orders_repeat_interval",
+        "orders_ship_delay_profile",
+        "lm_bigram_entropy_rate",
+        "quality_case_profile",
+        "vocab_growth_curve",
+        "embedding_dim_clip_bounds",
+        "multimodal_audio_silence",
+        "sql_customer_balance_deciles",
+        "sql_parts_type_revenue",
         # schema-modified this round (driver scalar-only contract)
         "embedding_pq_quantize",
         "embedding_pca_project",

@@ -479,3 +479,79 @@ SELECT qtr, CAST(rev_c AS DOUBLE) / CAST(100 AS DOUBLE) AS revenue,
          / CAST(100 AS DOUBLE) AS qoq_pct
 FROM d
 """
+
+
+#: Year-over-year revenue growth -- QOQ_GROWTH's calendar-year
+#: sibling, same exact-integer-cents growth arithmetic (mod-based
+#: half-up division: neither `div` nor `//` parses in both dialects).
+YOY_GROWTH = """
+WITH y AS (
+  SELECT date_trunc('year', CAST(o_orderdate AS TIMESTAMP)) AS yr,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS rev_c,
+         count(*) AS n_orders
+  FROM orders GROUP BY 1),
+d AS (
+  SELECT yr, rev_c, n_orders,
+         (rev_c - lag(rev_c) OVER (ORDER BY yr)) * 10000 AS nm,
+         lag(rev_c) OVER (ORDER BY yr) AS prev_c
+  FROM y)
+SELECT yr, CAST(rev_c AS DOUBLE) / CAST(100 AS DOUBLE) AS revenue,
+       n_orders,
+       CAST(sign(nm)
+            * ((2 * abs(nm) + prev_c
+                - mod(2 * abs(nm) + prev_c, 2 * prev_c))
+               / (2 * prev_c)) AS DOUBLE)
+         / CAST(100 AS DOUBLE) AS yoy_pct
+FROM d
+"""
+
+
+#: Demand profile by discount band: does a deeper discount move
+#: quantity? All aggregates exact (integer quantities, DECIMAL cent
+#: sums); the per-band mean is one integer-ratio double.
+DISCOUNT_ELASTICITY = """
+SELECT CAST(round(l_discount * 100) AS INTEGER) AS disc_band,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)
+             / count(*), 4) AS avg_qty,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+                 AS BIGINT) AS DOUBLE)
+         / CAST(100 AS DOUBLE) AS revenue
+FROM lineitem
+GROUP BY 1
+"""
+
+
+#: Customer account-balance deciles: ntile over the (balance,
+#: custkey) total order is deterministic in both dialects; balances
+#: aggregate as exact integer cents.
+CUSTOMER_BALANCE_DECILES = """
+WITH b AS (
+  SELECT c_custkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c,
+         ntile(10) OVER (ORDER BY c_acctbal DESC, c_custkey) AS decile
+  FROM customer)
+SELECT CAST(decile AS INTEGER) AS decile,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(min(bal_c) AS DOUBLE) / CAST(100 AS DOUBLE) AS min_bal,
+       CAST(max(bal_c) AS DOUBLE) / CAST(100 AS DOUBLE) AS max_bal,
+       CAST(sum(bal_c) AS DOUBLE) / CAST(100 AS DOUBLE) AS sum_bal
+FROM b GROUP BY decile
+"""
+
+
+#: Revenue by part type: the catalog-mix report (no partsupp table
+#: in the fixture, so margin is out of scope -- volume and revenue
+#: per type are in). DECIMAL cent sums, integer quantities.
+PARTS_TYPE_REVENUE = """
+SELECT p.p_type,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT)
+         AS total_qty,
+       CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) * 100
+                 AS BIGINT) AS DOUBLE)
+         / CAST(100 AS DOUBLE) AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+GROUP BY p.p_type
+"""

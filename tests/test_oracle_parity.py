@@ -36,6 +36,13 @@ FAMILIES = [
     "interval_coverage",   # islands kernel + half-up micros seconds
     "corpus_datasheet",    # shared quality fragment + sorted-fold entropy
     "vocab_coverage",      # decorator-placement regression guard (2nd splice)
+    # round 9
+    "stats_chisq_independence",  # integer micro-unit contingency discipline
+    "window_macd",         # dual exact-decay EWMA folds
+    "stats_theil_sen",     # exact interpolated medians over pair slopes
+    "dedup_sentence_exact",  # sentence-keyed first-occurrence window
+    "orders_ship_delay_profile",  # integer-1e-6-scale share rounding
+    "multimodal_image_dhash",  # nearest-neighbor downsample pixel replay
 ]
 
 

@@ -76,6 +76,16 @@ ALLOWED_NESTED_LOOP = {
     "orders_abc_classification",  # 1-row broadcast revenue total
     "graph_degree_histogram",  # 1-row broadcast node total
     "stats_benford",  # 1-row broadcast observation total
+    # round 9: 1-row broadcast totals / day-count-bounded pair joins
+    "stats_chisq_independence",  # 1-row broadcast grand total
+    "stats_cramers_v",  # inherits chisq's 1-row total
+    "stats_kendall_tau",  # day-bounded pair join + 1-row n_days
+    "stats_theil_sen",  # day-bounded pair join + 1-row median slope
+    "stats_grubbs",  # 1-row broadcast moment triple
+    "stats_ljung_box",  # 1-row broadcast (n, s) moments
+    "time_changepoint_binary",  # 1-row broadcast series totals
+    "orders_repeat_interval",  # 1-row broadcast quantile-kernel pivot
+    "orders_ship_delay_profile",  # 1-row broadcast histogram total
 }
 
 

@@ -30,6 +30,10 @@ PLANS = pathlib.Path(__file__).resolve().parent.parent / "PLANS.json"
 #: stream meeting the vocab-keyed df join -- linear in corpus, by
 #: design the family's heaviest.
 HEAVY_CEILINGS = {
+    # round 9: the near-dup component triage report shares the pair
+    # generation of dedup_cluster_components and adds two keyed
+    # rollups (measured 952 KB at sf0.001)
+    "graph_component_stats": 1_450_000,
     "quality_dup_ngram_frac": 2_050_000,
     "dedup_embedding_lsh": 1_700_000,
     "dedup_incremental_apply": 1_060_000,
