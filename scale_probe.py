@@ -81,6 +81,10 @@ QUERIES = [
     "dedup_cluster_keep_best",
     "dedup_cluster_components_star",
     "graph_common_neighbors",
+    # round-9 additions that read the replicated tables (documents /
+    # lineitem): the component triage report and the edge scorer
+    "graph_component_stats",
+    "graph_edge_jaccard",
 ]
 
 PASSTHROUGH = (
@@ -273,8 +277,11 @@ def probe() -> None:
 
     spark.range(100).mapInPandas(_ident, "id long").count()
 
+    only = [a for a in sys.argv[1:] if not a.startswith("--")]
     results: dict[str, dict] = {}
     for name in QUERIES:
+        if only and name not in only:
+            continue
         ts = {}
         for sd, tag in ((BASE, "base"), (OUT, "x10")):
             best = float("inf")
@@ -290,18 +297,22 @@ def probe() -> None:
             "factor": round(ts["x10"] / ts["base"], 2),
         }
         print(f"# {name}: {results[name]}", file=sys.stderr, flush=True)
+    path = pathlib.Path(__file__).resolve().parent / "SCALE_PROBE.json"
+    # preserve the x100 section (and any prior 10x rows a subset run
+    # didn't re-measure) -- same merge discipline as probe_x100
+    prior = json.loads(path.read_text()) if path.exists() else {}
     out = {
         "base": BASE,
         "x10": OUT,
         "replicas": REPLICAS,
-        "queries": results,
+        "queries": {**prior.get("queries", {}), **results},
     }
-    with open(
-        pathlib.Path(__file__).resolve().parent / "SCALE_PROBE.json", "w"
-    ) as f:
+    if "x100" in prior:
+        out["x100"] = prior["x100"]
+    with open(path, "w") as f:
         json.dump(out, f, indent=1)
         f.write("\n")
-    print(json.dumps(out))
+    print(json.dumps({k: out[k] for k in ("base", "x10", "replicas", "queries")}))
 
 
 if __name__ == "__main__":
