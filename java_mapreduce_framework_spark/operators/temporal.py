@@ -2041,12 +2041,21 @@ def attribution_first_touch(events: DataFrame) -> DataFrame:
 
 def _daily_candle(events: DataFrame) -> DataFrame:
     """(user_id, day, high_c, low_c, close_c) integer-cent daily
-    candle -- close pinned by the (ts, event_id) total order."""
+    candle -- close pinned by the (ts, event_id) total order.
+
+    Partitioned by user_id UP FRONT: hash(user_id) satisfies the
+    clustered-distribution requirement of every downstream stage (the
+    (user_id, day) close-rank window, the (user_id, day) aggregate,
+    and the indicators' (user_id) frames -- the subset rule), so the
+    whole resample + indicator pipeline runs on ONE exchange; left to
+    EnsureRequirements, the alias mismatch between the window's
+    date_trunc projection and the groupBy key inserts three
+    (measured, pinned in tests/test_plan_shape.py)."""
     cents = F.floor(F.col("value") * 100).cast("long")
     wd = Window.partitionBy(
         "user_id", F.date_trunc("day", "ts")
     ).orderBy(F.col("ts").desc(), F.col("event_id").desc())
-    r = events.select(
+    r = events.repartition(F.col("user_id")).select(
         "user_id",
         F.date_trunc("day", "ts").alias("day"),
         cents.alias("v_c"),

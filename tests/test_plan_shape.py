@@ -976,3 +976,53 @@ def test_quantile_sketch_stats_broadcast_not_shuffled(spark, sf_small):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ------------------------------------------------------------- round 9
+
+
+def test_daily_candle_indicators_single_user_exchange(spark, sf_small):
+    """The three technical indicators share ONE user-keyed exchange:
+    the daily-candle resample, every bounded frame, and the lag all
+    run on the same (user_id) partitioning -- a second Exchange would
+    mean the window keys diverged from the aggregation keys."""
+    from java_mapreduce_framework_spark.operators import temporal as T
+
+    ev = load_table(spark, sf_small, "events")
+    for fn in (T.window_atr, T.window_stochastic):
+        plan = _formatted(fn(ev))
+        assert _nodes(plan, "Exchange") == 1, fn.__name__
+    # MACD adds the two collect_list frames on the same key
+    assert _nodes(plan := _formatted(T.window_macd(ev)), "Exchange") == 1, plan[:0]
+
+
+def test_embedding_dim_stats_partial_then_final(spark, sf_small):
+    """The per-dimension profile must combine map-side: the shuffle
+    carries d x partitions partial rows, never the d x N exploded
+    stream."""
+    from java_mapreduce_framework_spark.operators import similarity as S
+
+    plan = _formatted(S.embedding_dim_stats(load_table(spark, sf_small, "embeddings")))
+    assert "partial_" in plan  # partial_count/partial_avg markers
+    assert _nodes(plan, "Exchange") == 1
+
+
+def test_chisq_marginals_broadcast_not_shuffled(spark, sf_small):
+    """Row/column marginals and the grand total join back as
+    broadcasts -- a SortMergeJoin here would shuffle the cell table
+    three times for tables that are at most |types|+7 rows."""
+    from java_mapreduce_framework_spark.operators import analytics as A
+
+    plan = _formatted(A.chisq_independence(load_table(spark, sf_small, "events")))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_sentence_dedup_single_sentence_keyed_exchange(spark, sf_small):
+    """First-occurrence ranking shuffles sentence instances ONCE on
+    the normalized sentence; the doc rollup adds the doc-keyed
+    exchange -- two total, nothing quadratic."""
+    from java_mapreduce_framework_spark.operators import text as T
+
+    plan = _formatted(T.sentence_dedup(load_table(spark, sf_small, "documents")))
+    assert _nodes(plan, "Exchange") == 2
