@@ -2646,12 +2646,13 @@ def ljung_box_daily(events: DataFrame, max_lag: int = 7) -> DataFrame:
             for k in range(1, max_lag + 1)
         ],
     )
-    rows = []
-    for k in range(1, max_lag + 1):
-        rows.append(
-            agg.select(
+    # all max_lag rows come off the ONE aggregate row via an array
+    # explode -- a per-lag select + union would re-execute the whole
+    # daily reduction per lag (28 exchanges measured, 4 after)
+    lag_structs = F.array(
+        *[
+            F.struct(
                 F.lit(k).alias("lag"),
-                F.col("n").cast("long").alias("n_days"),
                 F.round(
                     F.col(f"num_{k}").cast("double") / F.col("den"), 6
                 ).alias("autocorr"),
@@ -2673,11 +2674,18 @@ def ljung_box_daily(events: DataFrame, max_lag: int = 7) -> DataFrame:
                     4,
                 ).alias("q_cumulative"),
             )
-        )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+            for k in range(1, max_lag + 1)
+        ]
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.explode(lag_structs).alias("e"),
+    ).select(
+        F.col("e.lag").alias("lag"),
+        "n_days",
+        F.col("e.autocorr").alias("autocorr"),
+        F.col("e.q_cumulative").alias("q_cumulative"),
+    )
 
 
 def session_bounce(events: DataFrame) -> DataFrame:

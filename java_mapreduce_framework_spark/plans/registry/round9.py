@@ -722,7 +722,11 @@ def _lm_good_turing_counts(spark, sf):
 def _graph_edge_jaccard(spark, sf):
     from .closers import _copurchase_pairs
 
-    cooc = _copurchase_pairs(spark, sf)
+    # eager checkpoint: cooc feeds FOUR consumers (both union halves,
+    # the left join, and -- via edges -- degrees and both wedge
+    # sides); without it the co-purchase pair aggregation re-executes
+    # per consumer (34 exchanges measured, 7 after)
+    cooc = _copurchase_pairs(spark, sf).localCheckpoint()
     edges = cooc.unionByName(
         cooc.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
