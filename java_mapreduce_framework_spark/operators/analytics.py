@@ -2449,10 +2449,13 @@ def kendall_tau_daily(events: DataFrame) -> DataFrame:
         F.col("conc").cast("long").alias("n_concordant"),
         F.col("disc").cast("long").alias("n_discordant"),
         F.round(
-            (F.col("conc") - F.col("disc"))
-            / F.sqrt(
-                (F.col("n0") - F.col("tx")).cast("double")
-                * (F.col("n0") - F.col("ty"))
+            F.when(
+                (F.col("n0") > F.col("tx")) & (F.col("n0") > F.col("ty")),
+                (F.col("conc") - F.col("disc"))
+                / F.sqrt(
+                    (F.col("n0") - F.col("tx")).cast("double")
+                    * (F.col("n0") - F.col("ty"))
+                ),
             ),
             4,
         ).alias("tau_b"),
@@ -2844,7 +2847,9 @@ def changepoint_binary(events: DataFrame) -> DataFrame:
         F.col("n").cast("long").alias("n_days"),
         F.round(sse_full, 4).alias("sse_full"),
         F.round(F.col("sse"), 4).alias("sse_split"),
-        F.round((sse_full - F.col("sse")) / sse_full, 4).alias("rel_drop"),
+        F.round(
+            F.when(sse_full > 0, (sse_full - F.col("sse")) / sse_full), 4
+        ).alias("rel_drop"),
     )
 
 

@@ -183,8 +183,10 @@ def _stats_cramers_v(spark, sf):
     SELECT CAST(n_days AS BIGINT) AS n_days,
            CAST(conc AS BIGINT) AS n_concordant,
            CAST(disc AS BIGINT) AS n_discordant,
-           round((conc - disc)
-                 / sqrt(CAST(n0 - tx AS DOUBLE) * (n0 - ty)), 4) AS tau_b
+           round(CASE WHEN n0 > tx AND n0 > ty THEN
+                   (conc - disc)
+                   / sqrt(CAST(n0 - tx AS DOUBLE) * (n0 - ty))
+                 END, 4) AS tau_b
     FROM agg, nd
     """,
     note="Kendall tau-b between daily event count and daily value "
@@ -469,8 +471,10 @@ def _events_churn_hazard(spark, sf):
     SELECT next_day AS split_day, CAST(n AS BIGINT) AS n_days,
            round(q_n - CAST(s_n * s_n AS DOUBLE) / n, 4) AS sse_full,
            round(sse, 4) AS sse_split,
-           round((q_n - CAST(s_n * s_n AS DOUBLE) / n - sse)
-                 / (q_n - CAST(s_n * s_n AS DOUBLE) / n), 4) AS rel_drop
+           round(CASE WHEN q_n - CAST(s_n * s_n AS DOUBLE) / n > 0 THEN
+                   (q_n - CAST(s_n * s_n AS DOUBLE) / n - sse)
+                   / (q_n - CAST(s_n * s_n AS DOUBLE) / n)
+                 END, 4) AS rel_drop
     FROM best WHERE rn = 1
     """,
     note="binary changepoint on daily counts: integer prefix sums "

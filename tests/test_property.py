@@ -1014,3 +1014,136 @@ def test_attribution_position_based_credit_conservation(rows):
     # each closed segment pays ~1.0 (middle-share integer rounding
     # drifts at most a few ppm per segment)
     assert abs(total_credit - n_segments) < 1e-4 * max(1, n_segments)
+
+
+# ------------------------------------------------------------- round 9
+
+daily_counts_strategy = st.lists(
+    st.integers(1, 40), min_size=3, max_size=10  # events per consecutive day
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(daily_counts_strategy)
+def test_kendall_tau_bounds_and_sign(counts):
+    """tau_b always lands in [-1, 1]; a strictly increasing series
+    scores 1.0 (count and value volume move together by
+    construction: every event carries the same value)."""
+    from java_mapreduce_framework_spark.operators.analytics import (
+        kendall_tau_daily,
+    )
+
+    spark = _spark
+    rows, i = [], 0
+    for d, cnt in enumerate(counts):
+        for _ in range(cnt):
+            rows.append((i, _ts(d * 1440), 1, "a", 5.0, "{}"))
+            i += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = kendall_tau_daily(df).collect()[0]
+    if out["tau_b"] is not None:
+        assert -1.0 <= out["tau_b"] <= 1.0
+    if all(counts[i] < counts[i + 1] for i in range(len(counts) - 1)):
+        assert out["tau_b"] == 1.0
+
+
+@settings(max_examples=6, deadline=None)
+@given(daily_counts_strategy)
+def test_changepoint_sse_decomposition(counts):
+    """The chosen split's SSE never exceeds the unsplit SSE, and
+    rel_drop stays in [0, 1] (a split can only remove variance)."""
+    from java_mapreduce_framework_spark.operators.analytics import (
+        changepoint_binary,
+    )
+
+    spark = _spark
+    rows, i = [], 0
+    for d, cnt in enumerate(counts):
+        for _ in range(cnt):
+            rows.append((i, _ts(d * 1440), 1, "a", 1.0, "{}"))
+            i += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = changepoint_binary(df).collect()[0]
+    assert out["sse_split"] <= out["sse_full"] + 1e-9
+    if out["sse_full"] > 0:
+        assert -1e-9 <= out["rel_drop"] <= 1.0 + 1e-9
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 9), st.integers(1, 200)),
+        min_size=2,
+        max_size=16,
+    )
+)
+def test_power_user_curve_conservation(recs):
+    """The histogram conserves users: sum(n_users) == distinct users,
+    and the cumulative column equals the suffix sums exactly."""
+    from java_mapreduce_framework_spark.operators.analytics import (
+        power_user_curve,
+    )
+
+    spark = _spark
+    rows = [
+        (i, _ts(day * 1440 + i), u, "a", float(v), "{}")
+        for i, (u, day, v) in enumerate(recs)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = sorted(
+        power_user_curve(df).collect(), key=lambda r: -r["active_days"]
+    )
+    n_users = len({u for (u, _, _) in recs})
+    assert sum(r["n_users"] for r in out) == n_users
+    running = 0
+    for r in out:
+        running += r["n_users"]
+        assert r["n_users_at_least"] == running
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.integers(-300, 300).filter(lambda d: d != 0),
+             min_size=1, max_size=10)
+)
+def test_wilcoxon_rank_conservation(diffs):
+    """W+ + W- == n(n+1) in doubled-rank units regardless of ties,
+    and flipping every difference swaps W+ and W-."""
+    from java_mapreduce_framework_spark.operators.analytics import (
+        wilcoxon_signed_rank,
+    )
+
+    spark = _spark
+
+    def build(ds):
+        rows = []
+        for i, d in enumerate(ds):
+            # first-half baseline 10.00, second half 10.00 + d cents
+            rows.append((2 * i, _ts(5 * 1440), i, "a", 10.0, "{}"))
+            rows.append(
+                (2 * i + 1, _ts(20 * 1440), i, "a", 10.0 + d / 100.0, "{}")
+            )
+        return spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+
+    out = wilcoxon_signed_rank(build(diffs)).collect()[0]
+    n = out["n_pairs"]
+    assert out["w_plus2"] + out["w_minus2"] == n * (n + 1)
+    flipped = wilcoxon_signed_rank(build([-d for d in diffs])).collect()[0]
+    assert flipped["w_plus2"] == out["w_minus2"]
+    assert flipped["w_minus2"] == out["w_plus2"]
