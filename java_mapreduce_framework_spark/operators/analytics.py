@@ -3074,3 +3074,532 @@ def ship_delay_profile(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
             / F.lit(1e6)
         ).alias("share"),
     )
+
+
+# ------------------------------------------------------------------
+# round 9, batch 3: paired/blocked classical tests, serial-correlation
+# diagnostics, information-theoretic association, growth accounting,
+# activation latency, session concurrency.
+# Reference licence: all are multi-round grouped aggregations /
+# windows, the workload class the reference's map->shuffle->sort->
+# reduce core exists to express (SURVEY.md section 2A;
+# src/edu/upenn/cis455/mapreduce/job/WordCount.java:23-52 is its one
+# shipped job).
+# ------------------------------------------------------------------
+
+
+def mcnemar_paired(events: DataFrame, event_type: str = "purchase") -> DataFrame:
+    """McNemar's test for paired binary outcomes: did each user
+    convert (>= 1 ``event_type`` event) in the FIRST half of the month
+    vs the SECOND half -- the before/after test for the same subjects
+    that an unpaired two-proportion z-test (ab_test_ztest) answers
+    incorrectly.
+
+    Only the discordant pairs carry signal: b = converted early but
+    not late, c = the reverse; chi2 = (b - c)^2 / (b + c), NULL when
+    no user disagrees with themselves. One user-keyed aggregation to
+    the per-user (early, late) bit pair, then a 1-row fold of exact
+    integer counts; the single double division runs once at the end.
+    At 100 TB the per-user reduction is the only shuffle and the
+    statistic fold is map-side partial + 1-row final.
+
+    Emits ONE row (n_users, b_early_only, c_late_only, mcnemar_chi2).
+    """
+    half = F.when(F.dayofmonth("ts") <= 15, 1).otherwise(0)
+    hit = (F.col("event_type") == event_type).cast("int")
+    per_user = events.groupBy("user_id").agg(
+        F.max(F.when(half == 1, hit).otherwise(0)).alias("early"),
+        F.max(F.when(half == 0, hit).otherwise(0)).alias("late"),
+    )
+    b = F.sum(((F.col("early") == 1) & (F.col("late") == 0)).cast("long"))
+    c = F.sum(((F.col("early") == 0) & (F.col("late") == 1)).cast("long"))
+    return per_user.agg(
+        F.count("*").cast("long").alias("n_users"),
+        b.alias("b_early_only"),
+        c.alias("c_late_only"),
+    ).select(
+        "n_users",
+        "b_early_only",
+        "c_late_only",
+        F.round(
+            F.when(
+                F.col("b_early_only") + F.col("c_late_only") > 0,
+                F.pow(F.col("b_early_only") - F.col("c_late_only"), 2)
+                / (F.col("b_early_only") + F.col("c_late_only")).cast(
+                    "double"
+                ),
+            ),
+            4,
+        ).alias("mcnemar_chi2"),
+    )
+
+
+def cochran_q(
+    events: DataFrame,
+    types: tuple = ("click", "purchase", "error"),
+) -> DataFrame:
+    """Cochran's Q: do the k binary treatments (did the user perform
+    each of ``types`` at least once) have the same success rate
+    across users -- the k-treatment generalization of McNemar.
+
+    Q = (k-1) * (k * sum_j C_j^2 - T^2) / (k * T - sum_i R_i^2) with
+    C_j the per-treatment totals, R_i the per-user row sums, T the
+    grand total -- every sufficient statistic an exact integer, Q one
+    double. NULL when every user has an all-equal row (denominator
+    0). Shape: one user-keyed aggregation to k indicator bits, then a
+    1-row fold; column totals ride the same fold as sums of bits.
+
+    Emits ONE row (n_users, k, t_total, q_stat).
+    """
+    k = len(types)
+    bits = [
+        F.max((F.col("event_type") == t).cast("int")).alias(f"x{j}")
+        for j, t in enumerate(types)
+    ]
+    per_user = events.groupBy("user_id").agg(*bits)
+    row_sum = sum(F.col(f"x{j}") for j in range(k))
+    agg = per_user.agg(
+        F.count("*").cast("long").alias("n_users"),
+        *[F.sum(f"x{j}").cast("long").alias(f"c{j}") for j in range(k)],
+        F.sum(row_sum * row_sum).cast("long").alias("ssq_rows"),
+    )
+    c_sq = sum(F.col(f"c{j}") * F.col(f"c{j}") for j in range(k))
+    t_total = sum(F.col(f"c{j}") for j in range(k))
+    denom = F.lit(k) * t_total - F.col("ssq_rows")
+    return agg.select(
+        "n_users",
+        F.lit(k).cast("long").alias("k"),
+        t_total.cast("long").alias("t_total"),
+        F.round(
+            F.when(
+                denom > 0,
+                F.lit(k - 1)
+                * (F.lit(k) * c_sq - t_total * t_total).cast("double")
+                / denom.cast("double"),
+            ),
+            4,
+        ).alias("q_stat"),
+    )
+
+
+def friedman_ranks(events: DataFrame) -> DataFrame:
+    """Friedman rank test substrate: users are blocks, event types are
+    treatments, the response is each user's count of that type
+    (missing combinations count 0 via a dense user x type grid).
+    Within each user the k counts are midranked; the classic
+    statistic chi2_F = 12/(N k (k+1)) * sum_j R_j^2 - 3 N (k+1) is
+    computed from the EXACT doubled rank sums (midranks live on the
+    half-integer lattice, so 2*midrank = 2*rank + ties - 1 is an
+    integer; no tie-correction factor is applied, which both engines
+    agree on by construction).
+
+    Shape: per-(user, type) count, dense-completed by a broadcast
+    cross of the type dimension (k rows), midranks via one user-keyed
+    window, then a k-row rank-sum aggregation; the statistic is one
+    double off integer rank sums. Output is k+0 rows -- treatments
+    with their doubled rank sums and the shared statistic.
+
+    Emits (event_type, rank_sum_x2, n_blocks, friedman_stat).
+    """
+    counts = events.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("cnt")
+    )
+    users = events.select("user_id").distinct()
+    types = events.select("event_type").distinct()
+    dense = (
+        users.join(F.broadcast(types))
+        .join(counts, ["user_id", "event_type"], "left")
+        .select(
+            "user_id",
+            "event_type",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+        )
+    )
+    wu = Window.partitionBy("user_id").orderBy("cnt")
+    wt = Window.partitionBy("user_id", "cnt")
+    ranked = dense.select(
+        "user_id",
+        "event_type",
+        (
+            F.lit(2) * F.rank().over(wu) + F.count("*").over(wt) - F.lit(1)
+        ).alias("mr2"),
+    )
+    sums = ranked.groupBy("event_type").agg(
+        F.sum("mr2").cast("long").alias("rank_sum_x2"),
+        F.count("*").cast("long").alias("n_blocks"),
+    )
+    k = F.count("*")
+    stat = sums.agg(
+        k.cast("long").alias("k"),
+        F.max("n_blocks").alias("n"),
+        F.sum(
+            F.col("rank_sum_x2") * F.col("rank_sum_x2")
+        ).cast("long").alias("ssq4"),
+    ).select(
+        F.round(
+            F.lit(12.0)
+            / (F.col("n") * F.col("k") * (F.col("k") + 1)).cast("double")
+            * (F.col("ssq4").cast("double") / 4.0)
+            - F.lit(3.0) * F.col("n") * (F.col("k") + 1),
+            4,
+        ).alias("friedman_stat")
+    )
+    return sums.join(F.broadcast(stat)).select(
+        "event_type", "rank_sum_x2", "n_blocks", "friedman_stat"
+    )
+
+
+def durbin_watson_daily(events: DataFrame) -> DataFrame:
+    """Durbin-Watson serial-correlation test on the residuals of the
+    daily-count trend line -- "is what trend_regression didn't explain
+    autocorrelated" (DW ~ 2 none, -> 0 positive, -> 4 negative).
+
+    The OLS fit uses exact integer moment sums (n, St, Stt, Sy, Sty);
+    slope and intercept are each ONE double expression written in the
+    same operation order as the oracle. Residuals are then rounded to
+    1e-6 integers so the lag-difference fold is exact integer
+    arithmetic on both engines -- the two final sums never fold raw
+    doubles. Day index = days since the first day (integer).
+
+    Shape: O(N) daily reduction, 1-row moment broadcast, one
+    day-ordered lag window over the day-count-bounded series.
+
+    Emits ONE row (n_days, slope_per_day, dw_stat).
+    """
+    d = _daily_counts(events)
+    t0 = d.agg(F.min("day").alias("d0"))
+    dd = d.join(F.broadcast(t0)).select(
+        F.datediff("day", "d0").cast("long").alias("t"), "x"
+    )
+    mo = dd.agg(
+        F.count("*").alias("n"),
+        F.sum("t").alias("st"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+        F.sum("x").alias("sy"),
+        F.sum(F.col("t") * F.col("x")).alias("sty"),
+    )
+    slope = (
+        (F.col("n") * F.col("sty") - F.col("st") * F.col("sy")).cast("double")
+        / (F.col("n") * F.col("stt") - F.col("st") * F.col("st")).cast(
+            "double"
+        )
+    )
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("st").cast("double")
+    ) / F.col("n").cast("double")
+    res = dd.join(F.broadcast(mo)).select(
+        "t",
+        F.col("n").cast("long").alias("n_days"),
+        F.round(slope, 6).alias("slope_per_day"),
+        F.round(
+            (
+                F.col("x").cast("double")
+                - intercept
+                - slope * F.col("t").cast("double")
+            )
+            * F.lit(1e6)
+        ).cast("long").alias("e6"),
+    )
+    wo = Window.orderBy("t")
+    diff = F.col("e6") - F.lag("e6").over(wo)
+    lagged = res.select(
+        "n_days",
+        "slope_per_day",
+        "e6",
+        diff.alias("de6"),
+    )
+    return lagged.groupBy("n_days", "slope_per_day").agg(
+        F.round(
+            F.sum(F.col("de6") * F.col("de6")).cast("double")
+            / F.sum(F.col("e6") * F.col("e6")).cast("double"),
+            4,
+        ).alias("dw_stat")
+    ).select("n_days", "slope_per_day", "dw_stat")
+
+
+def mutual_information(events: DataFrame) -> DataFrame:
+    """Mutual information between event_type and day-of-week in nats
+    -- the model-free association strength that chi-square
+    significance (stats_chisq_independence) doesn't give directly.
+
+    Per-cell terms (n_ij/n) * ln(n_ij * n / (rt_i * ct_j)) are each
+    ONE double expression off exact integer counts, rounded to
+    integer nano-nats, then summed EXACTLY -- no cross-cell double
+    fold. Marginals broadcast (k x 7 cells).
+
+    Emits ONE row (n_obs, n_cells, mi_nanonats, mi_nats).
+    """
+    cells = events.groupBy(
+        "event_type", F.dayofweek("ts").alias("dow")
+    ).agg(F.count("*").alias("n_obs"))
+    rt = cells.groupBy("event_type").agg(F.sum("n_obs").alias("rt"))
+    ct = cells.groupBy("dow").agg(F.sum("n_obs").alias("ct"))
+    tot = cells.agg(F.sum("n_obs").alias("n"))
+    term = (
+        F.col("n_obs").cast("double") / F.col("n").cast("double")
+    ) * F.log(
+        F.col("n_obs").cast("double")
+        * F.col("n").cast("double")
+        / (F.col("rt").cast("double") * F.col("ct").cast("double"))
+    )
+    joined = (
+        cells.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .join(F.broadcast(tot))
+        .select(
+            "n",
+            "n_obs",
+            F.round(term * F.lit(1e9)).cast("long").alias("nano"),
+        )
+    )
+    return joined.agg(
+        F.max("n").cast("long").alias("n_obs"),
+        F.count("*").cast("long").alias("n_cells"),
+        F.sum("nano").cast("long").alias("mi_nanonats"),
+    ).select(
+        "n_obs",
+        "n_cells",
+        "mi_nanonats",
+        F.round(F.col("mi_nanonats") / F.lit(1e9), 6).alias("mi_nats"),
+    )
+
+def pacf_daily(events: DataFrame) -> DataFrame:
+    """Partial autocorrelation of the daily event-count series at lags
+    1 and 2 via Durbin-Levinson -- the AR-order diagnostic
+    (phi_22 ~ 0 means an AR(1) fit suffices; hourly_autocorrelation
+    answers the raw-ACF question at hour grain).
+
+    Lag covariances are assembled from EXACT integer sums scaled by
+    n^2: G_k = n^2*C_k - n*S*(A_k + B_k) + (n-k)*S^2 where C_k is the
+    lagged product sum and A_k/B_k the leading/trailing partial sums
+    -- identical integers on both engines; r_k = G_k/G_0 and
+    phi_22 = (r_2 - r_1^2)/(1 - r_1^2) are the only doubles. (The
+    n^2-scaled products stay under 2^63 up to ~1e9-event days over a
+    30-day window; beyond that the sums need 128-bit accumulation,
+    which DuckDB already uses and Spark would need DECIMAL for.)
+
+    Shape: O(N) daily reduction, lead windows over the day-bounded
+    series, 1-row fold.
+
+    Emits ONE row (n_days, r1, r2, pacf_lag2).
+    """
+    d = _daily_counts(events)
+    wo = Window.orderBy("day")
+    led = d.select(
+        "x",
+        F.lead("x", 1).over(wo).alias("x1"),
+        F.lead("x", 2).over(wo).alias("x2"),
+    )
+    mo = led.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("x1")).alias("c1"),
+        F.sum(F.when(F.col("x1").isNotNull(), F.col("x"))).alias("a1"),
+        F.sum("x1").alias("b1"),
+        F.sum(F.col("x") * F.col("x2")).alias("c2"),
+        F.sum(F.when(F.col("x2").isNotNull(), F.col("x"))).alias("a2"),
+        F.sum("x2").alias("b2"),
+    )
+    n, s = F.col("n"), F.col("s")
+    g0 = (n * n * F.col("sxx") - n * s * s).cast("double")
+    g1 = (
+        n * n * F.col("c1") - n * s * (F.col("a1") + F.col("b1"))
+        + (n - 1) * s * s
+    ).cast("double")
+    g2 = (
+        n * n * F.col("c2") - n * s * (F.col("a2") + F.col("b2"))
+        + (n - 2) * s * s
+    ).cast("double")
+    r1, r2 = g1 / g0, g2 / g0
+    return mo.select(
+        n.cast("long").alias("n_days"),
+        F.round(r1, 6).alias("r1"),
+        F.round(r2, 6).alias("r2"),
+        F.round(
+            F.when(r1 * r1 != 1.0, (r2 - r1 * r1) / (1.0 - r1 * r1)), 6
+        ).alias("pacf_lag2"),
+    )
+
+
+def growth_accounting(events: DataFrame) -> DataFrame:
+    """Daily growth accounting: every active user classified NEW
+    (first day ever), RETAINED (also active the previous calendar
+    day) or RESURRECTED (returning after a gap), plus the CHURNED
+    count (active the previous day, absent today) -- the
+    new/retained/resurrected/churned ledger whose identity
+    DAU(d) = new + retained + resurrected every product team recites.
+
+    Shape: distinct (user, day) reduction, one user-keyed lag/lead
+    window, then two day-keyed rollups (statuses from the lag side,
+    churn attributed to gap days from the lead side) merged by a full
+    outer join on the day-bounded ledger.
+
+    Emits (day, n_new, n_retained, n_resurrected, n_churned).
+    """
+    active = events.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    wu = Window.partitionBy("user_id").orderBy("day")
+    flagged = active.select(
+        "user_id",
+        "day",
+        F.lag("day").over(wu).alias("prev_day"),
+        F.lead("day").over(wu).alias("next_day"),
+    )
+    status = F.when(F.col("prev_day").isNull(), F.lit("new")).when(
+        F.datediff("day", "prev_day") == 1, F.lit("retained")
+    ).otherwise(F.lit("resurrected"))
+    by_status = flagged.groupBy("day").agg(
+        F.sum((status == "new").cast("long")).alias("n_new"),
+        F.sum((status == "retained").cast("long")).alias("n_retained"),
+        F.sum((status == "resurrected").cast("long")).alias(
+            "n_resurrected"
+        ),
+    )
+    last_day = active.agg(F.max("day").alias("last_day"))
+    churn = (
+        flagged.join(F.broadcast(last_day))
+        .filter(
+            (
+                F.col("next_day").isNull()
+                | (F.datediff("next_day", "day") > 1)
+            )
+            & (F.col("day") < F.col("last_day"))
+        )
+        .select(F.date_add("day", 1).cast("timestamp").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").alias("n_churned"))
+    )
+    z = F.lit(0).cast("long")
+    return by_status.join(churn, "day", "full_outer").select(
+        "day",
+        F.coalesce("n_new", z).alias("n_new"),
+        F.coalesce("n_retained", z).alias("n_retained"),
+        F.coalesce("n_resurrected", z).alias("n_resurrected"),
+        F.coalesce("n_churned", z).alias("n_churned"),
+    )
+
+
+def time_to_nth_event(events: DataFrame, nth: int = 5) -> DataFrame:
+    """Activation latency: per user, the time from their first event
+    to their ``nth`` -- the "how long to reach the activation
+    milestone" onboarding number -- folded to one distribution row
+    (median and p90 over exact microsecond gaps, interpolated
+    identically by both engines' exact percentile).
+
+    Shape: one user-keyed window ranks events (ts, event_id total
+    order); the per-user gap is microsecond-exact integer arithmetic;
+    the final fold is a 1-row exact percentile over the
+    user-count-bounded gap set.
+
+    Emits ONE row (n_users, n_reached, median_s, p90_s).
+    """
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = events.select(
+        "user_id",
+        "ts",
+        F.row_number().over(wu).alias("rn"),
+    ).filter(F.col("rn").isin(1, nth))
+    per_user = ranked.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                F.col("rn") == nth,
+                F.unix_micros("ts"),
+            )
+        ).alias("t_nth"),
+        F.min(F.when(F.col("rn") == 1, F.unix_micros("ts"))).alias("t_first"),
+    )
+    gap = (F.col("t_nth") - F.col("t_first")).alias("gap_us")
+    gaps = per_user.select("user_id", gap)
+    return gaps.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.count("gap_us").cast("long").alias("n_reached"),
+        F.round(F.percentile("gap_us", F.lit(0.5)) / 1e6, 4).alias(
+            "median_s"
+        ),
+        F.round(F.percentile("gap_us", F.lit(0.9)) / 1e6, 4).alias("p90_s"),
+    )
+
+
+def concurrency_peak(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Peak concurrent sessions per calendar day -- the capacity
+    number (license seats, connection pools) that neither session
+    counts nor DAU answer: how many 30-minute-gap sessions OVERLAP at
+    the worst moment of each day.
+
+    Sweep-line per day: each session contributes +1 at its (clamped)
+    start in every day it spans and -1 at its end in the day it ends;
+    within a day points are totally ordered by (ts, delta DESC,
+    user_id, session_id) -- starts BEFORE ends at equal timestamps
+    (closed-interval semantics: a single-event session still counts
+    as concurrent at its instant, and two sessions touching at t were
+    both genuinely alive at t) -- and the running sum's max is the
+    peak. Carry-over from sessions alive at midnight is
+    exact because the day-spanning explode re-emits them at each
+    day's start. Partitioned BY DAY, so no global-order window ever
+    sees more than a day of points; the explode fan-out is bounded by
+    session length in days (30-min-gap sessions rarely span two).
+
+    Emits (day, n_sessions_touching, peak_concurrent).
+    """
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    is_new = (
+        F.lag("ts").over(wu).isNull()
+        | (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(wu))
+            > gap_minutes * 60_000_000
+        )
+    ).cast("int")
+    ws = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sess = events.select(
+        "user_id", "ts", F.sum(is_new).over(ws).alias("session_id")
+    ).groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("t_start"), F.max("ts").alias("t_end")
+    )
+    spans = sess.select(
+        "user_id",
+        "session_id",
+        "t_start",
+        "t_end",
+        F.explode(
+            F.sequence(
+                F.date_trunc("day", "t_start"),
+                F.date_trunc("day", "t_end"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day"),
+    )
+    starts = spans.select(
+        "day",
+        F.greatest("t_start", F.col("day").cast("timestamp")).alias("ts"),
+        F.lit(1).alias("delta"),
+        "user_id",
+        "session_id",
+    )
+    ends = spans.filter(
+        F.date_trunc("day", "t_end") == F.col("day")
+    ).select(
+        "day",
+        F.col("t_end").alias("ts"),
+        F.lit(-1).alias("delta"),
+        "user_id",
+        "session_id",
+    )
+    points = starts.unionByName(ends)
+    wd = (
+        Window.partitionBy("day")
+        .orderBy("ts", F.col("delta").desc(), "user_id", "session_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    running = points.select(
+        "day", F.sum("delta").over(wd).alias("load"), "session_id", "user_id"
+    )
+    return running.groupBy("day").agg(
+        F.count_distinct("user_id", "session_id")
+        .cast("long")
+        .alias("n_sessions_touching"),
+        F.max("load").cast("long").alias("peak_concurrent"),
+    )

@@ -2039,9 +2039,12 @@ def attribution_first_touch(events: DataFrame) -> DataFrame:
 # expression at the end.
 
 
-def _daily_candle(events: DataFrame) -> DataFrame:
+def _daily_candle(events: DataFrame, with_volume: bool = False) -> DataFrame:
     """(user_id, day, high_c, low_c, close_c) integer-cent daily
     candle -- close pinned by the (ts, event_id) total order.
+    ``with_volume=True`` adds ``n_ev`` (events that day) for the
+    volume-weighted indicators (OBV, MFI) without touching the
+    default plan the round-9 pins cover.
 
     Partitioned by user_id UP FRONT: hash(user_id) satisfies the
     clustered-distribution requirement of every downstream stage (the
@@ -2061,11 +2064,14 @@ def _daily_candle(events: DataFrame) -> DataFrame:
         cents.alias("v_c"),
         F.row_number().over(wd).alias("r_close"),
     )
-    return r.groupBy("user_id", "day").agg(
+    aggs = [
         F.max("v_c").alias("high_c"),
         F.min("v_c").alias("low_c"),
         F.max(F.when(F.col("r_close") == 1, F.col("v_c"))).alias("close_c"),
-    )
+    ]
+    if with_volume:
+        aggs.append(F.count("*").alias("n_ev"))
+    return r.groupBy("user_id", "day").agg(*aggs)
 
 
 def window_macd(
@@ -2220,4 +2226,209 @@ def window_atr(events: DataFrame, atr_window: int = 14) -> DataFrame:
             / 100.0,
             6,
         ).alias("atr"),
+    )
+
+
+# ------------------------------------------------------------------
+# round 9, batch 3: volume-aware technical indicators over the daily
+# candle substrate. Same exactness discipline as MACD/ATR: integer
+# cents everywhere, at most one double expression per output column,
+# exact-decay EWMA weights (decay a dyadic rational so pow(decay, j)
+# is exactly representable).
+# ------------------------------------------------------------------
+
+
+def window_obv(events: DataFrame) -> DataFrame:
+    """On-balance volume over each user's daily candles: volume (that
+    day's event count) accumulates positively when the close rises,
+    negatively when it falls -- the classic is-volume-confirming-the-
+    move indicator.
+
+    Direction = sign(close - prev_close) on exact integer cents (0 on
+    the first day and on flat closes); OBV the running integer sum.
+    One user-keyed exchange shared by the candle resample, the lag,
+    and the cumulative frame.
+
+    Emits (user_id, day, direction, obv).
+    """
+    candle = _daily_candle(events, with_volume=True)
+    wo = Window.partitionBy("user_id").orderBy("day")
+    prev = F.lag("close_c").over(wo)
+    direction = F.when(
+        prev.isNull() | (F.col("close_c") == prev), F.lit(0)
+    ).when(F.col("close_c") > prev, F.lit(1)).otherwise(F.lit(-1))
+    signed = candle.select(
+        "user_id",
+        "day",
+        direction.alias("direction"),
+        (direction * F.col("n_ev")).alias("flow"),
+    )
+    wc = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return signed.select(
+        "user_id",
+        "day",
+        F.col("direction").cast("int").alias("direction"),
+        F.sum("flow").over(wc).cast("long").alias("obv"),
+    )
+
+
+def window_donchian(events: DataFrame, channel_days: int = 7) -> DataFrame:
+    """Donchian channel over each user's daily candles: the rolling
+    7-day high/low envelope plus where today's close sits inside it
+    (0 = at the channel low, 1 = at the high; NULL on a flat
+    channel) -- the breakout detector.
+
+    Rolling extrema are exact integer cents over a rows-frame;
+    channel position is ONE integer-ratio double.
+
+    Emits (user_id, day, don_high_c, don_low_c, chan_pos).
+    """
+    candle = _daily_candle(events)
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(-(channel_days - 1), 0)
+    )
+    hi = F.max("high_c").over(wr)
+    lo = F.min("low_c").over(wr)
+    return candle.select(
+        "user_id",
+        "day",
+        hi.cast("long").alias("don_high_c"),
+        lo.cast("long").alias("don_low_c"),
+        F.round(
+            F.when(
+                hi > lo,
+                (F.col("close_c") - lo).cast("double")
+                / (hi - lo).cast("double"),
+            ),
+            6,
+        ).alias("chan_pos"),
+    )
+
+
+def window_mfi(events: DataFrame, mfi_window: int = 14) -> DataFrame:
+    """Money Flow Index over each user's daily candles: volume-
+    weighted RSI -- raw money flow = typical price x volume, split
+    into positive/negative by the typical-price direction, MFI =
+    100 * pos / (pos + neg) over the rolling 14 days.
+
+    Typical price is kept as the INTEGER 3x-sum high+low+close (the
+    /3 never happens: both the direction comparison and the flow
+    ratio are invariant to the common factor), so raw flows are exact
+    integer cent-units; flat days (tp == prev tp) and the first day
+    count as neither. MFI is ONE integer-ratio double, NULL when the
+    window has no directional flow.
+
+    Emits (user_id, day, mfi).
+    """
+    candle = _daily_candle(events, with_volume=True)
+    wo = Window.partitionBy("user_id").orderBy("day")
+    tp3 = F.col("high_c") + F.col("low_c") + F.col("close_c")
+    prev = F.lag(tp3).over(wo)
+    flow = tp3 * F.col("n_ev")
+    flows = candle.select(
+        "user_id",
+        "day",
+        F.when(prev.isNotNull() & (tp3 > prev), flow)
+        .otherwise(F.lit(0))
+        .alias("pos_flow"),
+        F.when(prev.isNotNull() & (tp3 < prev), flow)
+        .otherwise(F.lit(0))
+        .alias("neg_flow"),
+    )
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(-(mfi_window - 1), 0)
+    )
+    pos = F.sum("pos_flow").over(wr)
+    neg = F.sum("neg_flow").over(wr)
+    return flows.select(
+        "user_id",
+        "day",
+        F.round(
+            F.when(
+                pos + neg > 0,
+                F.lit(100.0) * pos.cast("double")
+                / (pos + neg).cast("double"),
+            ),
+            4,
+        ).alias("mfi"),
+    )
+
+
+def window_keltner(
+    events: DataFrame,
+    decay: float = 0.875,
+    span: int = 18,
+    atr_window: int = 10,
+    mult: int = 2,
+) -> DataFrame:
+    """Keltner channel over each user's daily candles: an exact-decay
+    EWMA of the close as the center line, banded at +/- 2 x ATR(10)
+    -- MACD's trend line wearing ATR's volatility envelope, the
+    squeeze/breakout indicator.
+
+    Composition of the two existing exact kernels: the EWMA fold uses
+    the dyadic decay 7/8 (pow(0.875, j) exactly representable, same
+    argument as window_macd), ATR is an integer-cent true-range mean.
+    breach = -1/0/+1 for close below/inside/above the band, decided
+    on the same doubles both engines computed identically.
+
+    Emits (user_id, day, center, upper, lower, breach).
+    """
+    candle = _daily_candle(events)
+    wo = Window.partitionBy("user_id").orderBy("day")
+    pc = F.lag("close_c").over(wo)
+    tr = F.when(pc.isNull(), F.col("high_c") - F.col("low_c")).otherwise(
+        F.greatest(
+            F.col("high_c") - F.col("low_c"),
+            F.abs(F.col("high_c") - pc),
+            F.abs(F.col("low_c") - pc),
+        )
+    )
+    we = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        -(span - 1), 0
+    )
+    wa = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        -(atr_window - 1), 0
+    )
+    alpha = 1.0 - decay
+    ewma = (
+        f"aggregate(zip_with(vc, sequence(size(vc) - 1, 0, -1),"
+        f" (v, e) -> v * pow({decay!r}, e)), 0D, (acc, x) -> acc + x)"
+        f" / ((1.0 - pow({decay!r}, size(vc))) / {alpha!r})"
+    )
+    framed = candle.select(
+        "user_id",
+        "day",
+        "close_c",
+        F.collect_list(F.col("close_c").cast("double")).over(we).alias("vc"),
+        tr.alias("tr"),
+    ).select(
+        "user_id",
+        "day",
+        "close_c",
+        F.expr(ewma).alias("center_c"),
+        (
+            F.sum("tr").over(wa).cast("double")
+            / F.count("*").over(wa).cast("double")
+        ).alias("atr_c"),
+    )
+    upper = F.col("center_c") + F.lit(float(mult)) * F.col("atr_c")
+    lower = F.col("center_c") - F.lit(float(mult)) * F.col("atr_c")
+    return framed.select(
+        "user_id",
+        "day",
+        F.round(F.col("center_c") / 100.0, 6).alias("center"),
+        F.round(upper / 100.0, 6).alias("upper"),
+        F.round(lower / 100.0, 6).alias("lower"),
+        F.when(F.col("close_c").cast("double") > upper, F.lit(1))
+        .when(F.col("close_c").cast("double") < lower, F.lit(-1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("breach"),
     )

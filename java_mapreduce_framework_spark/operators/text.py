@@ -3349,3 +3349,64 @@ def vocab_growth_curve(documents: DataFrame) -> DataFrame:
         F.col("n_new_words").cast("long").alias("n_new_words"),
         F.sum("n_new_words").over(w).cast("long").alias("cum_vocab"),
     )
+
+
+def char_js_divergence(documents: DataFrame) -> DataFrame:
+    """Jensen-Shannon divergence between each source's character
+    distribution and the whole corpus's -- the per-source drift/
+    contamination detector (a source whose char mix diverges from the
+    corpus is OCR garbage, the wrong language, or markup) that
+    ks_drift/psi_drift answer only for NUMERIC columns.
+
+    JS(P_s || Q) = 0.5 KL(P_s||M) + 0.5 KL(Q||M), M = (P_s+Q)/2, with
+    Q the global distribution (sources included -- the "fleet
+    average" convention). Per-(source, char) terms are each ONE
+    double expression off exact integer counts, rounded to integer
+    nano-nats and summed EXACTLY -- no cross-char double fold; chars
+    a source never emits still contribute their 0.5*q*ln(2) mass via
+    the dense source x alphabet grid (alphabet-bounded broadcast).
+
+    Emits (source, n_chars, js_nanonats, js_nats).
+    """
+    chars = documents.filter(F.length("text") > 0).select(
+        "source", F.explode(F.split("text", "")).alias("ch")
+    )
+    sc = chars.groupBy("source", "ch").agg(F.count("*").alias("c_s"))
+    gc = chars.groupBy("ch").agg(F.count("*").alias("c_g"))
+    ns = sc.groupBy("source").agg(F.sum("c_s").alias("n_s"))
+    ng = gc.agg(F.sum("c_g").alias("n_g"))
+    grid = (
+        ns.join(F.broadcast(gc))
+        .join(sc, ["source", "ch"], "left")
+        .join(F.broadcast(ng))
+        .select(
+            "source",
+            "n_s",
+            F.coalesce(F.col("c_s"), F.lit(0)).alias("c_s"),
+            "c_g",
+            "n_g",
+        )
+    )
+    p = F.col("c_s").cast("double") / F.col("n_s").cast("double")
+    q = F.col("c_g").cast("double") / F.col("n_g").cast("double")
+    m = (p + q) / F.lit(2.0)
+    term = (
+        F.when(F.col("c_s") > 0, F.lit(0.5) * p * F.log(p / m)).otherwise(
+            F.lit(0.0)
+        )
+        + F.lit(0.5) * q * F.log(q / m)
+    )
+    terms = grid.select(
+        "source",
+        "n_s",
+        F.round(term * F.lit(1e9)).cast("long").alias("nano"),
+    )
+    return terms.groupBy("source").agg(
+        F.max("n_s").cast("long").alias("n_chars"),
+        F.sum("nano").cast("long").alias("js_nanonats"),
+    ).select(
+        "source",
+        "n_chars",
+        "js_nanonats",
+        F.round(F.col("js_nanonats") / F.lit(1e9), 6).alias("js_nats"),
+    )

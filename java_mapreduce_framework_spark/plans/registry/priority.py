@@ -315,6 +315,23 @@ _FRESH_ROUND9 = frozenset(
         "multimodal_audio_silence",
         "sql_customer_balance_deciles",
         "sql_parts_type_revenue",
+        # new this round, batch 3 (plans/registry/round9b.py)
+        "stats_mcnemar",
+        "stats_cochran_q",
+        "stats_friedman",
+        "stats_durbin_watson",
+        "stats_mutual_information",
+        "stats_pacf",
+        "events_growth_accounting",
+        "events_time_to_nth",
+        "events_concurrency_peak",
+        "window_obv",
+        "window_donchian",
+        "window_mfi",
+        "window_keltner",
+        "graph_preferential_attachment",
+        "text_char_js_divergence",
+        "sql_nation_trade_balance",
         # schema-modified this round (driver scalar-only contract)
         "embedding_pq_quantize",
         "embedding_pca_project",

@@ -1,0 +1,721 @@
+"""round-9 batch-3 section of the declared query registry: paired /
+blocked classical tests (McNemar, Cochran's Q, Friedman ranks),
+serial-correlation diagnostics (Durbin-Watson, PACF), mutual
+information, product growth accounting (new/retained/resurrected/
+churned, activation latency, peak session concurrency),
+volume-aware technical indicators (OBV, Donchian, MFI, Keltner),
+the preferential-attachment link predictor, per-source character
+JS divergence, and a nation trade-balance SQL intake query.
+
+Every query is hash-oracled (DuckDB SQL over the same parquet); the
+cross-engine exactness rules are the registry's usual ones: integer
+sufficient statistics, at most one double expression per output
+column written in the same operation order on both sides, identical
+rounding, ties broken by unique keys.
+
+Reference licence: all are multi-round grouped aggregations /
+windows, the workload class the reference's map->shuffle->sort->
+reduce core exists to express (SURVEY.md section 2A;
+src/edu/upenn/cis455/mapreduce/job/WordCount.java:23-52 is its one
+shipped job).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+
+from ...operators import (  # noqa: F401
+    analytics,
+    dedup,
+    temporal,
+    text,
+)
+from .core import (  # noqa: F401
+    _EVTS,
+    _register,
+    _t,
+)
+from .round9 import _CANDLE_CTE  # noqa: F401
+
+# ------------------------------------------------ shared SQL fragments
+
+#: daily candle + volume (events that day) -- mirror of
+#: temporal._daily_candle(with_volume=True).
+_CANDLE_VOL_CTE = """
+    r AS (
+      SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+             CAST(floor(value * 100.0) AS BIGINT) AS v_c,
+             row_number() OVER (
+               PARTITION BY user_id, date_trunc('day', CAST(ts AS TIMESTAMP))
+               ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS r_close
+      FROM events),
+    candle AS (
+      SELECT user_id, day, max(v_c) AS high_c, min(v_c) AS low_c,
+             max(CASE WHEN r_close = 1 THEN v_c END) AS close_c,
+             count(*) AS n_ev
+      FROM r GROUP BY user_id, day)
+"""
+
+#: per-user (early, late) conversion bit pair -- mirror of
+#: analytics.mcnemar_paired's per-user stage.
+_PAIRED_BITS_CTE = """
+    pu AS (
+      SELECT user_id,
+             max(CASE WHEN date_part('day', CAST(ts AS TIMESTAMP)) <= 15
+                       AND event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS early,
+             max(CASE WHEN date_part('day', CAST(ts AS TIMESTAMP)) > 15
+                       AND event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS late
+      FROM events GROUP BY user_id)
+"""
+
+
+# -------------------------------------------------- classical statistics
+
+
+@_register(
+    "stats_mcnemar",
+    f"""
+    WITH {_PAIRED_BITS_CTE},
+    agg AS (
+      SELECT count(*) AS n_users,
+             sum(CASE WHEN early = 1 AND late = 0 THEN 1 ELSE 0 END) AS b,
+             sum(CASE WHEN early = 0 AND late = 1 THEN 1 ELSE 0 END) AS c
+      FROM pu)
+    SELECT CAST(n_users AS BIGINT) AS n_users,
+           CAST(b AS BIGINT) AS b_early_only,
+           CAST(c AS BIGINT) AS c_late_only,
+           round(CASE WHEN b + c > 0 THEN
+                   pow(b - c, 2) / CAST(b + c AS DOUBLE)
+                 END, 4) AS mcnemar_chi2
+    FROM agg
+    """,
+    note="McNemar paired-binary test (converted early-month vs "
+    "late-month, same users): only discordant pairs carry signal; "
+    "exact integer b/c counts, chi2 one double division",
+)
+def _stats_mcnemar(spark, sf):
+    return analytics.mcnemar_paired(_t(spark, sf, "events"))
+
+
+@_register(
+    "stats_cochran_q",
+    """
+    WITH pu AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x0,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x1,
+             max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS x2
+      FROM events GROUP BY user_id),
+    agg AS (
+      SELECT count(*) AS n_users,
+             sum(x0) AS c0, sum(x1) AS c1, sum(x2) AS c2,
+             sum((x0 + x1 + x2) * (x0 + x1 + x2)) AS ssq_rows
+      FROM pu)
+    SELECT CAST(n_users AS BIGINT) AS n_users,
+           CAST(3 AS BIGINT) AS k,
+           CAST(c0 + c1 + c2 AS BIGINT) AS t_total,
+           round(CASE WHEN 3 * (c0 + c1 + c2) - ssq_rows > 0 THEN
+                   2 * CAST(3 * (c0 * c0 + c1 * c1 + c2 * c2)
+                            - (c0 + c1 + c2) * (c0 + c1 + c2) AS DOUBLE)
+                   / CAST(3 * (c0 + c1 + c2) - ssq_rows AS DOUBLE)
+                 END, 4) AS q_stat
+    FROM agg
+    """,
+    note="Cochran's Q over k=3 did-the-user-do-it treatments "
+    "(click/purchase/error): every sufficient statistic an exact "
+    "integer bit sum, Q one double; NULL when all rows are constant",
+)
+def _stats_cochran_q(spark, sf):
+    return analytics.cochran_q(_t(spark, sf, "events"))
+
+
+@_register(
+    "stats_friedman",
+    """
+    WITH counts AS (
+      SELECT user_id, event_type, count(*) AS cnt
+      FROM events GROUP BY user_id, event_type),
+    users AS (SELECT DISTINCT user_id FROM events),
+    types AS (SELECT DISTINCT event_type FROM events),
+    dense AS (
+      SELECT u.user_id, t.event_type, coalesce(c.cnt, 0) AS cnt
+      FROM users u CROSS JOIN types t
+      LEFT JOIN counts c
+        ON c.user_id = u.user_id AND c.event_type = t.event_type),
+    ranked AS (
+      SELECT user_id, event_type,
+             2 * rank() OVER (PARTITION BY user_id ORDER BY cnt)
+             + count(*) OVER (PARTITION BY user_id, cnt) - 1 AS mr2
+      FROM dense),
+    sums AS (
+      SELECT event_type,
+             CAST(sum(mr2) AS BIGINT) AS rank_sum_x2,
+             CAST(count(*) AS BIGINT) AS n_blocks
+      FROM ranked GROUP BY event_type),
+    stat AS (
+      SELECT round(12.0 / CAST(max(n_blocks) * count(*) * (count(*) + 1)
+                               AS DOUBLE)
+                   * (CAST(sum(rank_sum_x2 * rank_sum_x2) AS DOUBLE) / 4.0)
+                   - 3.0 * max(n_blocks) * (count(*) + 1), 4)
+               AS friedman_stat
+      FROM sums)
+    SELECT event_type, rank_sum_x2, n_blocks, friedman_stat
+    FROM sums, stat
+    """,
+    note="Friedman rank test (users = blocks, event types = "
+    "treatments, response = per-user type count over a dense grid): "
+    "doubled midranks keep the rank sums on the integer lattice; the "
+    "classic statistic (no tie correction, stated on both sides) is "
+    "one double off integer rank sums",
+)
+def _stats_friedman(spark, sf):
+    return analytics.friedman_ranks(_t(spark, sf, "events"))
+
+
+_DAILY_X_CTE = """
+    daily AS (
+      SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+             count(*) AS x
+      FROM events GROUP BY 1)
+"""
+
+
+@_register(
+    "stats_durbin_watson",
+    f"""
+    WITH {_DAILY_X_CTE},
+    t0 AS (SELECT min(day) AS d0 FROM daily),
+    dd AS (SELECT date_diff('day', d0, day) AS t, x FROM daily, t0),
+    mo AS (
+      SELECT count(*) AS n, sum(t) AS st, sum(t * t) AS stt,
+             sum(x) AS sy, sum(t * x) AS sty
+      FROM dd),
+    fit AS (
+      SELECT n, st, sy,
+             CAST(CAST(n * sty - st * sy AS BIGINT) AS DOUBLE)
+             / CAST(CAST(n * stt - st * st AS BIGINT) AS DOUBLE) AS b
+      FROM mo),
+    res AS (
+      SELECT dd.t, CAST(n AS BIGINT) AS n_days,
+             round(b, 6) AS slope_per_day,
+             CAST(round((CAST(x AS DOUBLE)
+                         - (CAST(sy AS DOUBLE) - b * CAST(st AS DOUBLE))
+                           / CAST(n AS DOUBLE)
+                         - b * CAST(t AS DOUBLE)) * 1e6) AS BIGINT) AS e6
+      FROM dd, fit),
+    lagged AS (
+      SELECT n_days, slope_per_day, e6,
+             e6 - lag(e6) OVER (ORDER BY t) AS de6
+      FROM res)
+    SELECT n_days, slope_per_day,
+           round(CAST(sum(de6 * de6) AS DOUBLE)
+                 / CAST(sum(e6 * e6) AS DOUBLE), 4) AS dw_stat
+    FROM lagged GROUP BY n_days, slope_per_day
+    """,
+    note="Durbin-Watson on the daily-count OLS residuals: exact "
+    "integer moment sums, slope/intercept each one double in the "
+    "same operation order on both engines, residuals rounded to 1e-6 "
+    "integers so the lag-difference fold is exact",
+)
+def _stats_durbin_watson(spark, sf):
+    return analytics.durbin_watson_daily(_t(spark, sf, "events"))
+
+
+@_register(
+    "stats_mutual_information",
+    """
+    WITH cells AS (
+      SELECT event_type,
+             dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS dow,
+             count(*) AS n_obs
+      FROM events GROUP BY 1, 2),
+    rt AS (SELECT event_type, sum(n_obs) AS rt FROM cells GROUP BY 1),
+    ct AS (SELECT dow, sum(n_obs) AS ct FROM cells GROUP BY 1),
+    tot AS (SELECT sum(n_obs) AS n FROM cells),
+    terms AS (
+      SELECT n, n_obs,
+             CAST(round((CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE))
+                        * ln(CAST(n_obs AS DOUBLE) * CAST(n AS DOUBLE)
+                             / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)))
+                        * 1e9) AS BIGINT) AS nano
+      FROM cells JOIN rt USING (event_type) JOIN ct USING (dow), tot)
+    SELECT CAST(max(n) AS BIGINT) AS n_obs,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(nano) AS BIGINT) AS mi_nanonats,
+           round(CAST(sum(nano) AS BIGINT) / 1e9, 6) AS mi_nats
+    FROM terms
+    """,
+    note="mutual information between event_type and day-of-week: "
+    "per-cell terms one double each off exact integer counts, "
+    "rounded to integer nano-nats and summed exactly (no cross-cell "
+    "double fold); marginals broadcast",
+)
+def _stats_mutual_information(spark, sf):
+    return analytics.mutual_information(_t(spark, sf, "events"))
+
+
+@_register(
+    "stats_pacf",
+    f"""
+    WITH {_DAILY_X_CTE},
+    led AS (
+      SELECT x,
+             lead(x, 1) OVER (ORDER BY day) AS x1,
+             lead(x, 2) OVER (ORDER BY day) AS x2
+      FROM daily),
+    mo AS (
+      SELECT count(*) AS n, sum(x) AS s, sum(x * x) AS sxx,
+             sum(x * x1) AS c1,
+             sum(CASE WHEN x1 IS NOT NULL THEN x END) AS a1,
+             sum(x1) AS b1,
+             sum(x * x2) AS c2,
+             sum(CASE WHEN x2 IS NOT NULL THEN x END) AS a2,
+             sum(x2) AS b2
+      FROM led),
+    g AS (
+      SELECT n,
+             CAST(CAST(n * n * sxx - n * s * s AS BIGINT) AS DOUBLE) AS g0,
+             CAST(CAST(n * n * c1 - n * s * (a1 + b1) + (n - 1) * s * s
+                       AS BIGINT) AS DOUBLE) AS g1,
+             CAST(CAST(n * n * c2 - n * s * (a2 + b2) + (n - 2) * s * s
+                       AS BIGINT) AS DOUBLE) AS g2
+      FROM mo)
+    SELECT CAST(n AS BIGINT) AS n_days,
+           round(g1 / g0, 6) AS r1,
+           round(g2 / g0, 6) AS r2,
+           round(CASE WHEN (g1 / g0) * (g1 / g0) <> 1.0 THEN
+                   (g2 / g0 - (g1 / g0) * (g1 / g0))
+                   / (1.0 - (g1 / g0) * (g1 / g0))
+                 END, 6) AS pacf_lag2
+    FROM g
+    """,
+    note="partial autocorrelation of daily counts at lags 1-2 "
+    "(Durbin-Levinson closed form): lag covariances assembled from "
+    "n^2-scaled exact integer sums, r1/r2/phi22 the only doubles",
+)
+def _stats_pacf(spark, sf):
+    return analytics.pacf_daily(_t(spark, sf, "events"))
+
+
+# ------------------------------------------------------ product analytics
+
+
+@_register(
+    "events_growth_accounting",
+    """
+    WITH active AS (
+      SELECT DISTINCT user_id,
+             date_trunc('day', CAST(ts AS TIMESTAMP)) AS day
+      FROM events),
+    fl AS (
+      SELECT user_id, day,
+             lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day,
+             lead(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day
+      FROM active),
+    st AS (
+      SELECT day,
+             sum(CASE WHEN prev_day IS NULL THEN 1 ELSE 0 END) AS n_new,
+             sum(CASE WHEN prev_day IS NOT NULL
+                       AND date_diff('day', prev_day, day) = 1
+                      THEN 1 ELSE 0 END) AS n_retained,
+             sum(CASE WHEN prev_day IS NOT NULL
+                       AND date_diff('day', prev_day, day) > 1
+                      THEN 1 ELSE 0 END) AS n_resurrected
+      FROM fl GROUP BY day),
+    ld AS (SELECT max(day) AS last_day FROM active),
+    ch AS (
+      SELECT day + INTERVAL 1 DAY AS day, count(*) AS n_churned
+      FROM fl, ld
+      WHERE (next_day IS NULL OR date_diff('day', day, next_day) > 1)
+        AND day < last_day
+      GROUP BY 1)
+    SELECT coalesce(st.day, ch.day) AS day,
+           CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+           CAST(coalesce(n_retained, 0) AS BIGINT) AS n_retained,
+           CAST(coalesce(n_resurrected, 0) AS BIGINT) AS n_resurrected,
+           CAST(coalesce(n_churned, 0) AS BIGINT) AS n_churned
+    FROM st FULL OUTER JOIN ch ON st.day = ch.day
+    """,
+    note="daily growth accounting (new/retained/resurrected/churned "
+    "ledger, DAU = new + retained + resurrected): distinct user-day "
+    "reduction, one user-keyed lag/lead window, two day-keyed "
+    "rollups merged by a full outer join on the day-bounded ledger",
+)
+def _events_growth_accounting(spark, sf):
+    return analytics.growth_accounting(_t(spark, sf, "events"))
+
+
+@_register(
+    "events_time_to_nth",
+    f"""
+    WITH r AS (
+      SELECT user_id, ts,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM {_EVTS}),
+    pu AS (
+      SELECT user_id,
+             max(CASE WHEN rn = 5 THEN epoch_us(ts) END) AS t_nth,
+             min(CASE WHEN rn = 1 THEN epoch_us(ts) END) AS t_first
+      FROM r WHERE rn IN (1, 5) GROUP BY user_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(count(t_nth - t_first) AS BIGINT) AS n_reached,
+           round(quantile_cont(t_nth - t_first, 0.5) / 1e6, 4) AS median_s,
+           round(quantile_cont(t_nth - t_first, 0.9) / 1e6, 4) AS p90_s
+    FROM pu
+    """,
+    note="activation latency (first event -> 5th event, per user): "
+    "microsecond-exact integer gaps, exact interpolated median/p90 "
+    "over the user-count-bounded gap set",
+)
+def _events_time_to_nth(spark, sf):
+    return analytics.time_to_nth_event(_t(spark, sf, "events"))
+
+
+@_register(
+    "events_concurrency_peak",
+    f"""
+    WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events),
+    fl AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                       > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    se AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM fl),
+    ses AS (
+      SELECT user_id, session_id,
+             min(ts) AS t_start, max(ts) AS t_end
+      FROM se GROUP BY user_id, session_id),
+    spans AS (
+      SELECT user_id, session_id, t_start, t_end,
+             unnest(generate_series(date_trunc('day', t_start),
+                                    date_trunc('day', t_end),
+                                    INTERVAL 1 DAY)) AS day
+      FROM ses),
+    pts AS (
+      SELECT day, greatest(t_start, CAST(day AS TIMESTAMP)) AS ts,
+             1 AS delta, user_id, session_id
+      FROM spans
+      UNION ALL
+      SELECT day, t_end, -1, user_id, session_id
+      FROM spans WHERE date_trunc('day', t_end) = day),
+    run AS (
+      SELECT day,
+             sum(delta) OVER (
+               PARTITION BY day
+               ORDER BY ts, delta DESC, user_id, session_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS load
+      FROM pts),
+    tou AS (SELECT day, count(*) AS n FROM spans GROUP BY day)
+    SELECT run.day,
+           CAST(max(tou.n) AS BIGINT) AS n_sessions_touching,
+           CAST(max(run.load) AS BIGINT) AS peak_concurrent
+    FROM run JOIN tou ON run.day = tou.day
+    GROUP BY run.day
+    """,
+    note="peak concurrent 30-min-gap sessions per day: sweep-line "
+    "partitioned BY DAY (closed intervals: starts before ends at "
+    "equal timestamps, so single-event sessions register), "
+    "midnight carry-over re-emitted by the day-spanning explode, so "
+    "no global-order window ever sees more than a day of points",
+)
+def _events_concurrency_peak(spark, sf):
+    return analytics.concurrency_peak(_t(spark, sf, "events"))
+
+
+# -------------------------------------------------- technical indicators
+
+
+@_register(
+    "window_obv",
+    f"""
+    WITH {_CANDLE_VOL_CTE},
+    d AS (
+      SELECT user_id, day, n_ev,
+             CASE WHEN lag(close_c) OVER w IS NULL
+                    OR close_c = lag(close_c) OVER w THEN 0
+                  WHEN close_c > lag(close_c) OVER w THEN 1
+                  ELSE -1 END AS direction
+      FROM candle WINDOW w AS (PARTITION BY user_id ORDER BY day))
+    SELECT user_id, day,
+           CAST(direction AS INTEGER) AS direction,
+           CAST(sum(direction * n_ev) OVER (
+                  PARTITION BY user_id ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS obv
+    FROM d
+    """,
+    note="on-balance volume over per-user daily candles: direction "
+    "decided on exact integer cents, OBV a running integer sum -- "
+    "zero doubles anywhere; one user-keyed exchange",
+)
+def _window_obv(spark, sf):
+    return temporal.window_obv(_t(spark, sf, "events"))
+
+
+@_register(
+    "window_donchian",
+    f"""
+    WITH {_CANDLE_CTE}
+    SELECT user_id, day,
+           CAST(max(high_c) OVER wr AS BIGINT) AS don_high_c,
+           CAST(min(low_c) OVER wr AS BIGINT) AS don_low_c,
+           round(CASE WHEN max(high_c) OVER wr > min(low_c) OVER wr THEN
+                   CAST(close_c - min(low_c) OVER wr AS DOUBLE)
+                   / CAST(max(high_c) OVER wr - min(low_c) OVER wr
+                          AS DOUBLE)
+                 END, 6) AS chan_pos
+    FROM candle
+    WINDOW wr AS (PARTITION BY user_id ORDER BY day
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+    note="Donchian 7-day channel over per-user daily candles: "
+    "rolling extrema exact integer cents, channel position one "
+    "integer-ratio double, flat channels NULL on both engines",
+)
+def _window_donchian(spark, sf):
+    return temporal.window_donchian(_t(spark, sf, "events"))
+
+
+@_register(
+    "window_mfi",
+    f"""
+    WITH {_CANDLE_VOL_CTE},
+    tp AS (
+      SELECT user_id, day,
+             high_c + low_c + close_c AS tp3, n_ev
+      FROM candle),
+    f AS (
+      SELECT user_id, day,
+             CASE WHEN lag(tp3) OVER w IS NOT NULL
+                   AND tp3 > lag(tp3) OVER w
+                  THEN tp3 * n_ev ELSE 0 END AS pos_flow,
+             CASE WHEN lag(tp3) OVER w IS NOT NULL
+                   AND tp3 < lag(tp3) OVER w
+                  THEN tp3 * n_ev ELSE 0 END AS neg_flow
+      FROM tp WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+    wsum AS (
+      SELECT user_id, day,
+             sum(pos_flow) OVER wr AS pos, sum(neg_flow) OVER wr AS neg
+      FROM f
+      WINDOW wr AS (PARTITION BY user_id ORDER BY day
+                    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+    SELECT user_id, day,
+           round(CASE WHEN pos + neg > 0 THEN
+                   100.0 * CAST(pos AS DOUBLE) / CAST(pos + neg AS DOUBLE)
+                 END, 4) AS mfi
+    FROM wsum
+    """,
+    note="Money Flow Index (volume-weighted RSI) over per-user daily "
+    "candles: typical price kept as the integer 3x-sum (the /3 "
+    "cancels), raw flows exact integer cent-units, MFI one "
+    "integer-ratio double; directionless windows NULL",
+)
+def _window_mfi(spark, sf):
+    return temporal.window_mfi(_t(spark, sf, "events"))
+
+
+def _keltner_oracle() -> str:
+    ctr = (
+        "list_sum(list_transform(vc, (v, i) ->"
+        " v * pow(0.875, len(vc) - i)))"
+        " / ((1.0 - pow(0.875, len(vc))) / 0.125)"
+    )
+    return f"""
+    WITH {_CANDLE_CTE},
+    tr AS (
+      SELECT user_id, day, close_c,
+             CASE WHEN lag(close_c) OVER w IS NULL
+                  THEN high_c - low_c
+                  ELSE greatest(high_c - low_c,
+                                abs(high_c - lag(close_c) OVER w),
+                                abs(low_c - lag(close_c) OVER w))
+             END AS true_range_c
+      FROM candle
+      WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+    fr AS (
+      SELECT user_id, day, close_c,
+             list(CAST(close_c AS DOUBLE)) OVER we AS vc,
+             sum(true_range_c) OVER wa AS trs,
+             count(*) OVER wa AS trn
+      FROM tr
+      WINDOW we AS (PARTITION BY user_id ORDER BY day
+                    ROWS BETWEEN 17 PRECEDING AND CURRENT ROW),
+             wa AS (PARTITION BY user_id ORDER BY day
+                    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)),
+    c1 AS (
+      SELECT user_id, day, close_c,
+             ({ctr}) AS center_c,
+             CAST(trs AS DOUBLE) / CAST(trn AS DOUBLE) AS atr_c
+      FROM fr)
+    SELECT user_id, day,
+           round(center_c / 100.0, 6) AS center,
+           round((center_c + 2.0 * atr_c) / 100.0, 6) AS upper,
+           round((center_c - 2.0 * atr_c) / 100.0, 6) AS lower,
+           CAST(CASE WHEN CAST(close_c AS DOUBLE)
+                          > center_c + 2.0 * atr_c THEN 1
+                     WHEN CAST(close_c AS DOUBLE)
+                          < center_c - 2.0 * atr_c THEN -1
+                     ELSE 0 END AS INTEGER) AS breach
+    FROM c1
+    """
+
+
+@_register(
+    "window_keltner",
+    _keltner_oracle(),
+    note="Keltner channel: window_macd's exact-decay EWMA (dyadic "
+    "decay 7/8, every in-frame power exactly representable) as the "
+    "center, window_atr's integer-cent true-range mean as the band; "
+    "breach decided on identical doubles",
+)
+def _window_keltner(spark, sf):
+    return temporal.window_keltner(_t(spark, sf, "events"))
+
+
+# ------------------------------------------------------------- graph
+
+
+@_register(
+    "graph_preferential_attachment",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    cooc AS (
+      SELECT a.l_partkey AS doc_a, b.l_partkey AS doc_b
+      FROM op a
+      JOIN op b ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM cooc
+              UNION ALL SELECT doc_b, doc_a FROM cooc),
+    degs AS (SELECT a AS doc_id, count(*) AS deg FROM edges GROUP BY a),
+    wedge AS (
+      SELECT DISTINCT e1.b AS doc_a, e2.b AS doc_b
+      FROM edges e1 JOIN edges e2 ON e1.a = e2.a AND e1.b < e2.b),
+    cand AS (
+      SELECT w.doc_a, w.doc_b FROM wedge w
+      ANTI JOIN cooc c ON c.doc_a = w.doc_a AND c.doc_b = w.doc_b)
+    SELECT cand.doc_a, cand.doc_b,
+           CAST(da.deg AS BIGINT) AS deg_a,
+           CAST(db.deg AS BIGINT) AS deg_b,
+           CAST(da.deg * db.deg AS BIGINT) AS pa_score
+    FROM cand
+    JOIN degs da ON da.doc_id = cand.doc_a
+    JOIN degs db ON db.doc_id = cand.doc_b
+    """,
+    note="preferential-attachment link prediction over the "
+    "co-purchase graph (completes the classical panel with "
+    "common_neighbors / adamic_adar / edge_jaccard): wedge join "
+    "bounded by deg(hub)^2, keyed anti-join, pure INTEGER scores -- "
+    "the one link predictor with a zero-double oracle",
+)
+def _graph_preferential_attachment(spark, sf):
+    from .closers import _copurchase_pairs
+
+    return dedup.preferential_attachment(_copurchase_pairs(spark, sf)).select(
+        F.col("doc_a").alias("doc_a"),
+        F.col("doc_b").alias("doc_b"),
+        "deg_a",
+        "deg_b",
+        "pa_score",
+    )
+
+
+# ------------------------------------------------------------- text
+
+
+@_register(
+    "text_char_js_divergence",
+    """
+    WITH chars AS (
+      SELECT source,
+             unnest(list_transform(range(1, length(text) + 1),
+                    i -> substr(text, CAST(i AS INT), 1))) AS ch
+      FROM documents WHERE length(text) > 0),
+    sc AS (SELECT source, ch, count(*) AS c_s
+           FROM chars GROUP BY source, ch),
+    gc AS (SELECT ch, count(*) AS c_g FROM chars GROUP BY ch),
+    ns AS (SELECT source, sum(c_s) AS n_s FROM sc GROUP BY source),
+    ng AS (SELECT sum(c_g) AS n_g FROM gc),
+    grid AS (
+      SELECT ns.source, ns.n_s,
+             coalesce(sc.c_s, 0) AS c_s, gc.c_g, ng.n_g
+      FROM ns CROSS JOIN gc
+      LEFT JOIN sc ON sc.source = ns.source AND sc.ch = gc.ch
+      CROSS JOIN ng),
+    terms AS (
+      SELECT source, n_s,
+             CAST(round((CASE WHEN c_s > 0 THEN
+                           0.5 * (CAST(c_s AS DOUBLE) / CAST(n_s AS DOUBLE))
+                           * ln((CAST(c_s AS DOUBLE) / CAST(n_s AS DOUBLE))
+                                / ((CAST(c_s AS DOUBLE)
+                                    / CAST(n_s AS DOUBLE)
+                                    + CAST(c_g AS DOUBLE)
+                                      / CAST(n_g AS DOUBLE)) / 2.0))
+                         ELSE 0.0 END
+                         + 0.5 * (CAST(c_g AS DOUBLE) / CAST(n_g AS DOUBLE))
+                           * ln((CAST(c_g AS DOUBLE) / CAST(n_g AS DOUBLE))
+                                / ((CAST(c_s AS DOUBLE)
+                                    / CAST(n_s AS DOUBLE)
+                                    + CAST(c_g AS DOUBLE)
+                                      / CAST(n_g AS DOUBLE)) / 2.0)))
+                        * 1e9) AS BIGINT) AS nano
+      FROM grid)
+    SELECT source,
+           CAST(max(n_s) AS BIGINT) AS n_chars,
+           CAST(sum(nano) AS BIGINT) AS js_nanonats,
+           round(CAST(sum(nano) AS BIGINT) / 1e9, 6) AS js_nats
+    FROM terms GROUP BY source
+    """,
+    note="per-source character-distribution JS divergence vs the "
+    "corpus (drift/contamination detector for TEXT, where "
+    "ks_drift/psi_drift cover numerics): per-(source, char) terms "
+    "one double each, integer nano-nat rounding, exact sums; dense "
+    "source x alphabet grid is alphabet-bounded",
+)
+def _text_char_js_divergence(spark, sf):
+    return text.char_js_divergence(_t(spark, sf, "documents"))
+
+
+# -------------------------------------------------------- SQL intake
+
+
+@_register(
+    "sql_nation_trade_balance",
+    None,  # oracle attached below: the SAME SQL string runs on DuckDB
+    note="per-nation trade balance (exports minus imports, domestic "
+    "flows excluded) through the spark.sql intake: one flows "
+    "aggregation, two-sided UNION ALL unpivot instead of an OR-join "
+    "against the nation dimension, DECIMAL cents end to end",
+)
+def _sql_nation_trade_balance(spark, sf):
+    from ..sql import NATION_TRADE_BALANCE, run_sql
+
+    return run_sql(spark, sf, NATION_TRADE_BALANCE)
+
+
+def _attach_sql_oracles() -> None:
+    """sql_* queries' oracle IS the query text (dialect-shared subset)."""
+    from .core import _REGISTRY, QuerySpec
+    from .. import sql as _sql
+
+    for name, stmt in (
+        ("sql_nation_trade_balance", _sql.NATION_TRADE_BALANCE),
+    ):
+        spec = _REGISTRY[name]
+        _REGISTRY[name] = QuerySpec(spec.name, spec.fn, stmt, spec.note)
+
+
+_attach_sql_oracles()

@@ -555,3 +555,41 @@ SELECT p.p_type,
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 GROUP BY p.p_type
 """
+
+
+#: Per-nation trade balance: exports (this nation's suppliers selling
+#: to foreign customers) minus imports (its customers buying from
+#: foreign suppliers), domestic flows excluded. One flows
+#: aggregation, then a two-sided UNION ALL unpivot so each nation
+#: rolls up without an OR-join against the nation dimension; DECIMAL
+#: arithmetic kept in exact 1e-4-dollar integer units end to end (the
+#: scale-4 product sum times 10000 is an INTEGER, so the BIGINT cast
+#: never rounds -- Spark truncates decimal->bigint where DuckDB
+#: rounds), one /10000 double at the end.
+NATION_TRADE_BALANCE = """
+WITH flows AS (
+  SELECT s.s_nationkey AS supp_n, c.c_nationkey AS cust_n,
+         CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(18,2))
+                     - CAST(l.l_discount AS DECIMAL(18,2)))) * 10000
+              AS BIGINT) AS rev_c4
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE s.s_nationkey <> c.c_nationkey
+  GROUP BY s.s_nationkey, c.c_nationkey),
+sides AS (
+  SELECT supp_n AS nk, rev_c4 AS exp_c4, CAST(0 AS BIGINT) AS imp_c4
+  FROM flows
+  UNION ALL
+  SELECT cust_n, CAST(0 AS BIGINT), rev_c4 FROM flows)
+SELECT n.n_name AS nation,
+       CAST(sum(exp_c4) AS BIGINT) AS export_c4,
+       CAST(sum(imp_c4) AS BIGINT) AS import_c4,
+       CAST(CAST(sum(exp_c4) AS BIGINT)
+            - CAST(sum(imp_c4) AS BIGINT) AS DOUBLE)
+         / CAST(10000 AS DOUBLE) AS trade_balance
+FROM sides JOIN nation n ON n.n_nationkey = sides.nk
+GROUP BY n.n_name
+"""

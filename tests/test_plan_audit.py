@@ -86,6 +86,13 @@ ALLOWED_NESTED_LOOP = {
     "time_changepoint_binary",  # 1-row broadcast series totals
     "orders_repeat_interval",  # 1-row broadcast quantile-kernel pivot
     "orders_ship_delay_profile",  # 1-row broadcast histogram total
+    # round 9 batch 3: 1-row broadcast scalars / alphabet-sized grids
+    "stats_friedman",  # k-row type dimension cross + 1-row statistic
+    "stats_durbin_watson",  # 1-row broadcasts: first-day anchor, moments
+    "stats_mutual_information",  # 1-row broadcast grand total
+    "stats_pacf",  # 1-row moment fold feeding closed-form expressions
+    "events_growth_accounting",  # 1-row broadcast last-day edge
+    "text_char_js_divergence",  # alphabet-bounded source x char grid + 1-row corpus total
 }
 
 

@@ -1,0 +1,360 @@
+"""Engine-local semantics tests for the round-9 batch-3 operators:
+each pins the operator's math on a crafted input against a hand-
+computed reference (the DuckDB oracle sweep covers fixture parity;
+these cover the SEMANTICS on inputs chosen to exercise the edges --
+discordant-pair-only signal, constant blocks, midnight-crossing
+sessions, flat channels, breach boundaries)."""
+
+import datetime
+import math
+
+from pyspark.sql import functions as F
+
+from java_mapreduce_framework_spark.operators import (
+    analytics,
+    dedup,
+    temporal,
+    text,
+)
+
+
+def _events(spark, rows):
+    """rows: (event_id, iso_ts, user_id, event_type, value)"""
+    return spark.createDataFrame(
+        [
+            (
+                i,
+                datetime.datetime.fromisoformat(ts),
+                u,
+                t,
+                float(v),
+                "{}",
+            )
+            for (i, ts, u, t, v) in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+
+
+# ------------------------------------------------------------- stats
+
+
+def test_mcnemar_only_discordant_pairs_count(spark):
+    # user 1: early+late (concordant, no signal); user 2: early only
+    # (b); users 3,4: late only (c) -> b=1, c=2, chi2=(1-2)^2/3
+    rows = [
+        (0, "2024-01-05T10:00:00", 1, "purchase", 1.0),
+        (1, "2024-01-20T10:00:00", 1, "purchase", 1.0),
+        (2, "2024-01-05T10:00:00", 2, "purchase", 1.0),
+        (3, "2024-01-20T10:00:00", 2, "click", 1.0),
+        (4, "2024-01-20T10:00:00", 3, "purchase", 1.0),
+        (5, "2024-01-02T10:00:00", 3, "click", 1.0),
+        (6, "2024-01-22T10:00:00", 4, "purchase", 1.0),
+        (7, "2024-01-02T10:00:00", 4, "view", 1.0),
+    ]
+    out = analytics.mcnemar_paired(_events(spark, rows)).collect()[0]
+    assert out["n_users"] == 4
+    assert out["b_early_only"] == 1
+    assert out["c_late_only"] == 2
+    assert out["mcnemar_chi2"] == round(1.0 / 3.0, 4)
+
+
+def test_mcnemar_no_disagreement_is_null(spark):
+    rows = [
+        (0, "2024-01-05T10:00:00", 1, "purchase", 1.0),
+        (1, "2024-01-20T10:00:00", 1, "purchase", 1.0),
+    ]
+    out = analytics.mcnemar_paired(_events(spark, rows)).collect()[0]
+    assert out["mcnemar_chi2"] is None
+
+
+def test_cochran_q_hand_computed(spark):
+    # 3 users x 3 treatments: u1 all three, u2 click only, u3 click+
+    # purchase. C=(3,2,1), R=(3,1,2), T=6.
+    # Q = 2*(3*(9+4+1) - 36)/(3*6 - (9+1+4)) = 2*6/4 = 3.0
+    rows = [
+        (0, "2024-01-05T10:00:00", 1, "click", 1.0),
+        (1, "2024-01-05T11:00:00", 1, "purchase", 1.0),
+        (2, "2024-01-05T12:00:00", 1, "error", 1.0),
+        (3, "2024-01-05T10:00:00", 2, "click", 1.0),
+        (4, "2024-01-05T10:00:00", 3, "click", 1.0),
+        (5, "2024-01-05T11:00:00", 3, "purchase", 1.0),
+    ]
+    out = analytics.cochran_q(_events(spark, rows)).collect()[0]
+    assert out["n_users"] == 3 and out["t_total"] == 6
+    assert out["q_stat"] == 3.0
+
+
+def test_friedman_identical_blocks_max_stat(spark):
+    # every user ranks the 3 types identically (a < b < c counts) ->
+    # rank sums maximally spread; with no ties mr2 = 2r-1+0 lattice
+    rows = []
+    i = 0
+    for u in (1, 2):
+        for t, reps in (("a", 1), ("b", 2), ("c", 3)):
+            for _ in range(reps):
+                rows.append((i, "2024-01-05T10:00:00", u, t, 1.0))
+                i += 1
+    out = analytics.friedman_ranks(_events(spark, rows)).collect()
+    by_type = {r["event_type"]: r for r in out}
+    # per user: ranks 1,2,3 -> mr2 = 2*rank + 1 - 1 = 2,4,6; x2 users
+    assert by_type["a"]["rank_sum_x2"] == 4
+    assert by_type["b"]["rank_sum_x2"] == 8
+    assert by_type["c"]["rank_sum_x2"] == 12
+    # chi2_F = 12/(2*3*4) * (1+4+9)*... = 12/(24)*(2^2+4^2+6^2)/4*... ->
+    # classic N=2,k=3 perfect agreement = N*(k-1)*W with W=1 -> 4.0
+    assert by_type["a"]["friedman_stat"] == 4.0
+
+
+def test_durbin_watson_alternating_residuals(spark):
+    # counts 2,1,2,1,2 around a flat trend -> strong negative serial
+    # correlation -> DW near 4
+    rows = []
+    i = 0
+    for d, n in enumerate((2, 1, 2, 1, 2)):
+        for _ in range(n):
+            rows.append((i, f"2024-01-0{d+1}T09:00:00", 1, "a", 1.0))
+            i += 1
+    out = analytics.durbin_watson_daily(_events(spark, rows)).collect()[0]
+    assert out["n_days"] == 5
+    assert out["dw_stat"] > 3.0
+
+
+def test_mutual_information_independent_is_zero(spark):
+    # type x dow perfectly proportional -> MI = 0 exactly
+    rows = []
+    i = 0
+    for day in ("2024-01-01", "2024-01-02"):  # Mon, Tue
+        for t, reps in (("a", 2), ("b", 4)):
+            for _ in range(reps):
+                rows.append((i, f"{day}T10:00:00", 1, t, 1.0))
+                i += 1
+    out = analytics.mutual_information(_events(spark, rows)).collect()[0]
+    assert out["n_obs"] == 12 and out["n_cells"] == 4
+    assert out["mi_nanonats"] == 0 and out["mi_nats"] == 0.0
+
+
+def test_pacf_ar1_like_series(spark):
+    # smooth ramp: r1 high; phi22 must equal (r2-r1^2)/(1-r1^2)
+    rows = []
+    i = 0
+    for d, n in enumerate((1, 2, 3, 4, 5, 6)):
+        for _ in range(n):
+            rows.append((i, f"2024-01-0{d+1}T09:00:00", 1, "a", 1.0))
+            i += 1
+    out = analytics.pacf_daily(_events(spark, rows)).collect()[0]
+    assert out["n_days"] == 6
+    r1, r2 = out["r1"], out["r2"]
+    expect = (r2 - r1 * r1) / (1 - r1 * r1)
+    assert abs(out["pacf_lag2"] - expect) < 1e-4
+
+
+# -------------------------------------------------- product analytics
+
+
+def test_growth_accounting_ledger(spark):
+    # u1 active d1,d2,d4 (new, retained, resurrected; churn on d3, d5)
+    # u2 active d1 only (new; churn on d2) -- but d5 churn only if
+    # d5 <= last day (last day = d4, so u1's d4 exit is not counted)
+    rows = [
+        (0, "2024-01-01T10:00:00", 1, "a", 1.0),
+        (1, "2024-01-02T10:00:00", 1, "a", 1.0),
+        (2, "2024-01-04T10:00:00", 1, "a", 1.0),
+        (3, "2024-01-01T10:00:00", 2, "a", 1.0),
+    ]
+    out = {
+        r["day"].day: r
+        for r in analytics.growth_accounting(_events(spark, rows)).collect()
+    }
+    assert out[1]["n_new"] == 2
+    assert out[2]["n_retained"] == 1 and out[2]["n_churned"] == 1
+    assert out[3]["n_churned"] == 1  # u1 absent on d3
+    assert out[4]["n_resurrected"] == 1
+    assert 5 not in out  # last-day edge: no churn attributed past d4
+
+
+def test_time_to_nth_exact_gap(spark):
+    # u1 reaches 5 events in exactly 40 s; u2 has only 2 events
+    rows = [(i, f"2024-01-01T10:00:{i*10:02d}", 1, "a", 1.0) for i in range(5)]
+    rows += [(10, "2024-01-01T10:00:00", 2, "a", 1.0),
+             (11, "2024-01-01T10:00:10", 2, "a", 1.0)]
+    out = analytics.time_to_nth_event(_events(spark, rows)).collect()[0]
+    assert out["n_users"] == 2 and out["n_reached"] == 1
+    assert out["median_s"] == 40.0 and out["p90_s"] == 40.0
+
+
+def test_concurrency_peak_overlapping_sessions(spark):
+    # three users online 10:00-10:05; one more at 23:50 crossing to
+    # next day 00:10 -> day1 peak 3, day2 carry-over peak 1
+    rows = []
+    i = 0
+    for u in (1, 2, 3):
+        rows.append((i, "2024-01-01T10:00:00", u, "a", 1.0)); i += 1
+        rows.append((i, "2024-01-01T10:05:00", u, "a", 1.0)); i += 1
+    rows.append((i, "2024-01-01T23:50:00", 4, "a", 1.0)); i += 1
+    rows.append((i, "2024-01-02T00:10:00", 4, "a", 1.0)); i += 1
+    out = {
+        r["day"].day: r
+        for r in analytics.concurrency_peak(_events(spark, rows)).collect()
+    }
+    assert out[1]["peak_concurrent"] == 3
+    assert out[1]["n_sessions_touching"] == 4
+    assert out[2]["peak_concurrent"] == 1
+    assert out[2]["n_sessions_touching"] == 1
+
+
+def test_concurrency_closed_interval_at_equal_ts(spark):
+    # closed-interval semantics: u1's 40-min gap splits them into two
+    # zero-length sessions, the second coinciding with u2's
+    # single-event session at 09:40 -- both genuinely alive at that
+    # instant, so peak 2 (ends-first ordering would report 0: the
+    # -1s of zero-length sessions would land before their +1s)
+    rows = [
+        (0, "2024-01-01T09:00:00", 1, "a", 1.0),
+        (1, "2024-01-01T09:40:00", 1, "a", 1.0),
+        (2, "2024-01-01T09:40:00", 2, "a", 1.0),
+    ]
+    out = analytics.concurrency_peak(_events(spark, rows)).collect()
+    assert out[0]["peak_concurrent"] == 2
+    # disjoint instants never overlap
+    rows2 = [
+        (0, "2024-01-01T09:00:00", 1, "a", 1.0),
+        (1, "2024-01-01T10:00:00", 2, "a", 1.0),
+    ]
+    out2 = analytics.concurrency_peak(_events(spark, rows2)).collect()
+    assert out2[0]["peak_concurrent"] == 1
+
+
+# -------------------------------------------------- technical indicators
+
+
+def test_obv_accumulates_signed_volume(spark):
+    # u1 closes: d1=100 (dir 0, vol 1), d2=200 (up, vol 2),
+    # d3=100 (down, vol 1) -> obv 0, +2, +1
+    rows = [
+        (0, "2024-01-01T10:00:00", 1, "a", 1.00),
+        (1, "2024-01-02T10:00:00", 1, "a", 9.00),
+        (2, "2024-01-02T11:00:00", 1, "a", 2.00),
+        (3, "2024-01-03T10:00:00", 1, "a", 1.00),
+    ]
+    out = sorted(
+        temporal.window_obv(_events(spark, rows)).collect(),
+        key=lambda r: r["day"],
+    )
+    assert [r["direction"] for r in out] == [0, 1, -1]
+    assert [r["obv"] for r in out] == [0, 2, 1]
+
+
+def test_donchian_flat_channel_null(spark):
+    rows = [
+        (0, "2024-01-01T10:00:00", 1, "a", 5.00),
+        (1, "2024-01-02T10:00:00", 1, "a", 5.00),
+        (2, "2024-01-03T10:00:00", 1, "a", 8.00),
+    ]
+    out = sorted(
+        temporal.window_donchian(_events(spark, rows)).collect(),
+        key=lambda r: r["day"],
+    )
+    assert out[0]["chan_pos"] is None and out[1]["chan_pos"] is None
+    assert out[2]["don_high_c"] == 800 and out[2]["don_low_c"] == 500
+    assert out[2]["chan_pos"] == 1.0
+
+
+def test_mfi_all_up_is_100(spark):
+    rows = [
+        (0, "2024-01-01T10:00:00", 1, "a", 1.00),
+        (1, "2024-01-02T10:00:00", 1, "a", 2.00),
+        (2, "2024-01-03T10:00:00", 1, "a", 3.00),
+    ]
+    out = sorted(
+        temporal.window_mfi(_events(spark, rows)).collect(),
+        key=lambda r: r["day"],
+    )
+    assert out[0]["mfi"] is None  # first day: no direction yet
+    assert out[1]["mfi"] == 100.0 and out[2]["mfi"] == 100.0
+
+
+def test_keltner_flat_series_never_breaches(spark):
+    rows = [
+        (i, f"2024-01-0{i+1}T10:00:00", 1, "a", 5.00) for i in range(5)
+    ]
+    out = temporal.window_keltner(_events(spark, rows)).collect()
+    assert all(r["breach"] == 0 for r in out)
+    assert all(r["center"] == 5.0 for r in out)
+    assert all(r["upper"] == 5.0 and r["lower"] == 5.0 for r in out)
+
+
+def test_keltner_spike_breaches_up(spark):
+    rows = [
+        (i, f"2024-01-0{i+1}T10:00:00", 1, "a", 5.00) for i in range(4)
+    ]
+    rows.append((9, "2024-01-05T10:00:00", 1, "a", 50.00))
+    out = sorted(
+        temporal.window_keltner(_events(spark, rows)).collect(),
+        key=lambda r: r["day"],
+    )
+    assert out[-1]["breach"] == 1
+
+
+# ------------------------------------------------------------- graph
+
+
+def test_preferential_attachment_path_graph(spark):
+    # path a-b-c (as near-dup pairs): only non-adjacent wedge pair is
+    # (a, c) with deg(a)=deg(c)=1 -> pa_score 1
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "doc_a long, doc_b long"
+    )
+    out = dedup.preferential_attachment(pairs).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 3)
+    assert r["deg_a"] == 1 and r["deg_b"] == 1 and r["pa_score"] == 1
+
+
+def test_preferential_attachment_star_scores(spark):
+    # star: hub 1 with leaves 2,3,4 -> leaf pairs score 1*1; deg(hub)=3
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "doc_a long, doc_b long"
+    )
+    out = dedup.preferential_attachment(pairs).collect()
+    assert len(out) == 3  # (2,3), (2,4), (3,4)
+    assert all(r["pa_score"] == 1 for r in out)
+
+
+# ------------------------------------------------------------- text
+
+
+def test_char_js_divergence_identical_source_is_zero(spark):
+    # one source == the corpus -> P = Q -> JS exactly 0
+    docs = spark.createDataFrame(
+        [(1, "abcabc", "en", "s1", 6), (2, "abc", "en", "s1", 3)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    out = text.char_js_divergence(docs).collect()
+    assert len(out) == 1
+    assert out[0]["js_nanonats"] == 0 and out[0]["js_nats"] == 0.0
+
+
+def test_char_js_divergence_disjoint_alphabets_ln2(spark):
+    # two sources with disjoint alphabets, equal mass: each source's
+    # JS vs the pooled corpus is ln(2)/2 + ln(2)/2 ... per-char:
+    # p=1/k vs q=1/(2k): JS = 0.5*ln(4/3)+... -- just pin symmetry
+    # and positivity
+    docs = spark.createDataFrame(
+        [(1, "aaaa", "en", "s1", 4), (2, "bbbb", "en", "s2", 4)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    out = {r["source"]: r for r in text.char_js_divergence(docs).collect()}
+    assert out["s1"]["js_nanonats"] == out["s2"]["js_nanonats"]
+    # P=delta(a), Q=(a:1/2, b:1/2) -> JS = 0.5 ln(4/3) + ... compute:
+    # a-term: 0.5*1*ln(1/0.75) + 0.5*0.5*ln(0.5/0.75); b: 0.5*0.5*ln(2)
+    expect = (
+        0.5 * math.log(1 / 0.75)
+        + 0.5 * 0.5 * math.log(0.5 / 0.75)
+        + 0.5 * 0.5 * math.log(2.0)
+    )
+    assert abs(out["s1"]["js_nats"] - round(expect, 6)) < 2e-6

@@ -48,6 +48,9 @@ HEAVY_CEILINGS = {
     "dedup_minhash": 830_000,
     "graph_common_neighbors": 780_000,
     "graph_pagerank": 790_000,
+    # round 9 batch 3: shares common_neighbors' wedge skeleton plus
+    # a distinct on the wedge pairs (measured 361 KB at sf0.001)
+    "graph_preferential_attachment": 550_000,
     "graph_label_propagation": 760_000,
     "graph_clustering_coeff": 550_000,
     # former heavy-listers, ceilings retained
