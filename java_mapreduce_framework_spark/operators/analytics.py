@@ -3603,3 +3603,105 @@ def concurrency_peak(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         .alias("n_sessions_touching"),
         F.max("load").cast("long").alias("peak_concurrent"),
     )
+
+def cronbach_alpha(events: DataFrame) -> DataFrame:
+    """Cronbach's alpha over the k event-type "items": does a user who
+    does a lot of one thing do a lot of everything (high alpha = the
+    per-type counts measure one underlying engagement trait; low =
+    the types are independent behaviors). The internal-consistency
+    number any composite engagement score should report before it
+    ships.
+
+    alpha = k/(k-1) * (1 - sum_j V_j / V_total) with per-item and
+    row-total population variances assembled at n^2 scale from exact
+    integer sums (n*sum(x^2) - sum(x)^2) -- the common factor cancels
+    in the ratio, so alpha is ONE double off integers. Dense per-user
+    rows via the same k-row broadcast cross as stats_friedman.
+
+    Emits ONE row (n_users, k, alpha).
+    """
+    counts = events.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("cnt")
+    )
+    users = events.select("user_id").distinct()
+    types = events.select("event_type").distinct()
+    dense = (
+        users.join(F.broadcast(types))
+        .join(counts, ["user_id", "event_type"], "left")
+        .select(
+            "user_id",
+            "event_type",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+        )
+    )
+    per_item = dense.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("cnt").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("ssq"),
+    )
+    item_fold = per_item.agg(
+        F.max("n").alias("n"),
+        F.count("*").alias("k"),
+        F.sum(
+            F.col("n") * F.col("ssq") - F.col("s") * F.col("s")
+        ).alias("sum_vj"),
+    )
+    per_user = dense.groupBy("user_id").agg(F.sum("cnt").alias("tot"))
+    tot_fold = per_user.agg(
+        F.sum("tot").alias("st"),
+        F.sum(F.col("tot") * F.col("tot")).alias("stt"),
+        F.count("*").alias("n2"),
+    )
+    j = item_fold.join(F.broadcast(tot_fold))
+    v_tot = F.col("n2") * F.col("stt") - F.col("st") * F.col("st")
+    return j.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.col("k").cast("long").alias("k"),
+        F.round(
+            F.when(
+                v_tot > 0,
+                F.col("k").cast("double")
+                / (F.col("k") - 1).cast("double")
+                * (
+                    F.lit(1.0)
+                    - F.col("sum_vj").cast("double") / v_tot.cast("double")
+                ),
+            ),
+            4,
+        ).alias("alpha"),
+    )
+
+
+def active_days_histogram(events: DataFrame) -> DataFrame:
+    """Engagement-frequency histogram: how many users were active on
+    exactly d distinct days -- the L28-style distribution whose shape
+    (power-user hump vs one-and-done spike) DAU/WAU/MAU averages
+    hide.
+
+    Distinct (user, day) reduction, per-user day count, then a
+    day-count-bounded histogram with shares rounded at INTEGER 1e-6
+    scale (the one rounding rule both engines share on .5
+    boundaries).
+
+    Emits (active_days, n_users, share).
+    """
+    per_user = (
+        events.select("user_id", F.date_trunc("day", "ts").alias("day"))
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.count("*").alias("active_days"))
+    )
+    hist = per_user.groupBy("active_days").agg(
+        F.count("*").alias("n_users")
+    )
+    tot = hist.agg(F.sum("n_users").alias("total"))
+    return hist.join(F.broadcast(tot)).select(
+        F.col("active_days").cast("long").alias("active_days"),
+        F.col("n_users").cast("long").alias("n_users"),
+        (
+            F.round(
+                F.col("n_users") * F.lit(1e6) / F.col("total").cast("double")
+            ).cast("long")
+            / F.lit(1e6)
+        ).alias("share"),
+    )

@@ -2573,3 +2573,46 @@ def preferential_attachment(pairs: DataFrame) -> DataFrame:
             (F.col("deg_a") * F.col("deg_b")).cast("long").alias("pa_score"),
         )
     )
+
+
+def degree_gini(pairs: DataFrame) -> DataFrame:
+    """Gini coefficient of the degree distribution over the near-dup /
+    co-purchase graph -- the one-number skew readout behind
+    graph_degree_histogram: 0 = every node equally connected, ->1 =
+    a few hubs own the graph (and those hubs are where wedge-join
+    fan-out, LSH hot buckets, and skew salting all concentrate).
+
+    gini = (2 * sum_i i*d_(i) - (n+1) * sum d) / (n * sum d) over
+    degrees sorted ascending with (deg, doc_id) tie order -- every
+    term an exact integer, ONE double at the end. The rank window
+    runs over the node table (dimension-sized: nodes are catalog
+    entries, not events).
+
+    Emits ONE row (n_nodes, n_edges_directed, gini).
+    """
+    e = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).unionByName(
+        pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+    )
+    degs = e.groupBy(F.col("a").alias("doc_id")).agg(
+        F.count("*").alias("deg")
+    )
+    w = Window.orderBy("deg", "doc_id")
+    ranked = degs.select(
+        "deg", (F.row_number().over(w)).alias("i")
+    )
+    agg = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("deg").alias("sd"),
+        F.sum(F.col("i") * F.col("deg")).alias("sid"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_nodes"),
+        F.col("sd").cast("long").alias("n_edges_directed"),
+        F.round(
+            (
+                F.lit(2) * F.col("sid") - (F.col("n") + 1) * F.col("sd")
+            ).cast("double")
+            / (F.col("n") * F.col("sd")).cast("double"),
+            6,
+        ).alias("gini"),
+    )

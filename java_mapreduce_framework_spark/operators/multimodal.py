@@ -1661,3 +1661,120 @@ def audio_silence(audio: DataFrame, threshold: int = 8192) -> DataFrame:
             " trail_silence long, n_silent long"
         ),
     )
+
+
+def image_contrast(images: DataFrame) -> DataFrame:
+    """Per-image RMS contrast over the REAL decode path -- the
+    standard-deviation-of-luminance companion to ``image_entropy``'s
+    histogram view (flat gradients can carry high entropy but zero
+    usable contrast; RMS contrast catches them).
+
+    The Arrow kernel decodes each BMP (library-free ``real_decode``)
+    and emits ONLY integer sufficient statistics (n_px, sum of
+    r+g+b luminance, sum of its square); contrast =
+    sqrt(n*sum_sq - sum^2) / n runs once in double as a Spark
+    expression, so the oracle can replay every pixel from the text
+    bytes and land on the identical value. Payloads stay
+    executor-local; the shuffle carries three integers per image.
+
+    Emits (doc_id, n_px, lum_sum, rms_contrast).
+    """
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, s1, s2 = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = real_decode(bytes(payload))
+                gray = px.astype(np.int64).sum(axis=2).ravel()
+                ids.append(doc_id)
+                ns.append(int(gray.size))
+                s1.append(int(gray.sum()))
+                s2.append(int((gray * gray).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_px": pd.Series(ns, dtype="int64"),
+                    "lum_sum": pd.Series(s1, dtype="int64"),
+                    "lum_sumsq": pd.Series(s2, dtype="int64"),
+                }
+            )
+
+    stats = images.mapInPandas(
+        kernel,
+        schema="doc_id long, n_px long, lum_sum long, lum_sumsq long",
+    )
+    return stats.select(
+        "doc_id",
+        "n_px",
+        "lum_sum",
+        F.round(
+            F.sqrt(
+                (
+                    F.col("n_px") * F.col("lum_sumsq")
+                    - F.col("lum_sum") * F.col("lum_sum")
+                ).cast("double")
+            )
+            / F.col("n_px").cast("double"),
+            4,
+        ).alias("rms_contrast"),
+    )
+
+
+def audio_dynamic_range(audio: DataFrame) -> DataFrame:
+    """Per-clip crest factor over the REAL decoded PCM: peak over RMS
+    in dB -- the compression/clipping diagnostic next to
+    ``audio_clipping``'s hard-threshold count (a squashed clip keeps
+    its peak but loses its crest; heavy limiting shows up here long
+    before samples pin at full scale).
+
+    The Arrow kernel emits integer sufficient statistics only
+    (n, peak = max |s|, sum of s^2); the dB value
+    10*log10(peak^2 * n / sum_sq) runs once in double as a Spark
+    expression (identical to the oracle's), NULL on digital silence.
+
+    Emits (doc_id, n_samples, peak, crest_db).
+    """
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, pk, sq = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _rate, s = decode_wav(bytes(payload))
+                s = s.astype(np.int64)
+                ids.append(doc_id)
+                ns.append(int(s.size))
+                pk.append(int(np.abs(s).max()) if s.size else 0)
+                sq.append(int((s * s).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "peak": pd.Series(pk, dtype="int64"),
+                    "sumsq": pd.Series(sq, dtype="int64"),
+                }
+            )
+
+    stats = audio.mapInPandas(
+        kernel,
+        schema="doc_id long, n_samples long, peak long, sumsq long",
+    )
+    return stats.select(
+        "doc_id",
+        "n_samples",
+        "peak",
+        F.round(
+            F.when(
+                F.col("sumsq") > 0,
+                F.lit(10.0)
+                * F.log10(
+                    (F.col("peak") * F.col("peak") * F.col("n_samples")).cast(
+                        "double"
+                    )
+                    / F.col("sumsq").cast("double")
+                ),
+            ),
+            4,
+        ).alias("crest_db"),
+    )

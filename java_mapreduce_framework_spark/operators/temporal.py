@@ -2432,3 +2432,53 @@ def window_keltner(
         .cast("int")
         .alias("breach"),
     )
+
+def window_ulcer_index(events: DataFrame, ui_window: int = 14) -> DataFrame:
+    """Ulcer index over each user's daily closes: the RMS of the
+    rolling percentage drawdown -- window_drawdown's depth readout
+    squared and averaged, so long shallow slumps and short deep
+    crashes rank on the same pain scale (Martin's downside-risk
+    alternative to ATR's direction-blind volatility).
+
+    Per-day percentage drawdown (close vs running peak close, exact
+    integer cents) is ONE double, rounded to integer micro-percent
+    before squaring -- the 14-day mean-of-squares folds exact
+    integers (max 1e16 per term, window-bounded), and UI is one
+    trailing sqrt.
+
+    Emits (user_id, day, dd_micro_pct, ulcer_index).
+    """
+    candle = _daily_candle(events)
+    wo = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    peak = F.max("close_c").over(wo)
+    dd = candle.select(
+        "user_id",
+        "day",
+        F.round(
+            (peak - F.col("close_c")).cast("double")
+            / peak.cast("double")
+            * F.lit(1e8)
+        ).cast("long").alias("dd_micro_pct"),  # percent x 1e6
+    )
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(-(ui_window - 1), 0)
+    )
+    return dd.select(
+        "user_id",
+        "day",
+        "dd_micro_pct",
+        F.round(
+            F.sqrt(
+                F.sum(
+                    F.col("dd_micro_pct") * F.col("dd_micro_pct")
+                ).over(wr).cast("double")
+                / F.count("*").over(wr).cast("double")
+            )
+            / F.lit(1e6),
+            6,
+        ).alias("ulcer_index"),
+    )

@@ -3410,3 +3410,181 @@ def char_js_divergence(documents: DataFrame) -> DataFrame:
         "js_nanonats",
         F.round(F.col("js_nanonats") / F.lit(1e9), 6).alias("js_nats"),
     )
+
+
+def lang_id_kappa(documents: DataFrame) -> DataFrame:
+    """Cohen's kappa between the stopword language heuristic and the
+    labeled ``lang`` column -- the chance-corrected scalar that
+    ``lang_id_confusion``'s matrix rolls up to (accuracy alone
+    flatters any classifier on a skewed label mix).
+
+    kappa = (n * sum_diag - sum_c row_c * col_c)
+          / (n^2 - sum_c row_c * col_c): every sufficient statistic
+    an exact integer off the confusion cells, kappa ONE double.
+
+    Emits ONE row (n_docs, n_agree, kappa).
+    """
+    pred = lang_id(documents).select("lang", "pred_lang")
+    cells = pred.groupBy("lang", "pred_lang").agg(
+        F.count("*").alias("n_cell")
+    )
+    rows = cells.groupBy("lang").agg(F.sum("n_cell").alias("r"))
+    cols = cells.groupBy("pred_lang").agg(F.sum("n_cell").alias("c"))
+    chance = (
+        rows.join(
+            cols, rows["lang"] == cols["pred_lang"], "inner"
+        ).agg(F.sum(F.col("r") * F.col("c")).alias("rc"))
+    )
+    agg = cells.agg(
+        F.sum("n_cell").alias("n"),
+        F.sum(
+            F.when(F.col("lang") == F.col("pred_lang"), F.col("n_cell"))
+        ).alias("diag"),
+    )
+    return agg.join(F.broadcast(chance)).select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("diag").cast("long").alias("n_agree"),
+        F.round(
+            F.when(
+                F.col("n") * F.col("n") != F.col("rc"),
+                (F.col("n") * F.col("diag") - F.col("rc")).cast("double")
+                / (F.col("n") * F.col("n") - F.col("rc")).cast("double"),
+            ),
+            4,
+        ).alias("kappa"),
+    )
+
+
+def simpson_diversity(documents: DataFrame) -> DataFrame:
+    """Per-source Simpson lexical diversity: the probability two
+    word tokens drawn (without replacement) from a source differ --
+    1 - sum n_w(n_w - 1) / (N(N - 1)). The repetition-robust
+    companion to vocab_growth_curve's Heaps exponent: boilerplate
+    farms score low, diverse prose high, and unlike type-token
+    ratios the index is length-unbiased.
+
+    Pure integers until the final division (collision counts
+    n_w(n_w-1) sum exactly); one double per source.
+
+    Emits (source, n_tokens, n_types, simpson_diversity).
+    """
+    words = documents.select(
+        "source", F.explode(tokens_col("text")).alias("word")
+    )
+    wc = words.groupBy("source", "word").agg(F.count("*").alias("c"))
+    agg = wc.groupBy("source").agg(
+        F.sum("c").alias("n"),
+        F.count("*").alias("n_types"),
+        F.sum(F.col("c") * (F.col("c") - 1)).alias("coll"),
+    )
+    return agg.select(
+        "source",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.col("n_types").cast("long").alias("n_types"),
+        F.round(
+            F.when(
+                F.col("n") > 1,
+                F.lit(1.0)
+                - F.col("coll").cast("double")
+                / (F.col("n") * (F.col("n") - 1)).cast("double"),
+            ),
+            6,
+        ).alias("simpson_diversity"),
+    )
+
+
+def word_burstiness(documents: DataFrame, top_k: int = 100) -> DataFrame:
+    """Church-Gale word burstiness for the top-df vocabulary: given a
+    word appears in a document at all, how often does it appear AGAIN
+    (mean occurrences per containing doc, and the share of containing
+    docs where it repeats). Function words spread thin (burstiness
+    ~1); content/topic words clump -- the signal that separates them
+    without any stopword list, and a feature quality scorers use to
+    spot keyword-stuffed spam (burstiness far above the vocabulary
+    trend).
+
+    Per-(doc, word) counts reduce the token stream before anything
+    ranks; the top-k cut is deterministic ((df, total, word) order)
+    and k-bounded. Integer sufficient statistics; two ratio doubles.
+
+    Emits (word, df, total_count, mean_per_doc, repeat_doc_share).
+    """
+    dw = (
+        documents.select("doc_id", F.explode(tokens_col("text")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("c"))
+    )
+    per_word = dw.groupBy("word").agg(
+        F.count("*").alias("df"),
+        F.sum("c").alias("total"),
+        F.sum((F.col("c") >= 2).cast("long")).alias("df_ge2"),
+    )
+    top = per_word.orderBy(
+        F.col("df").desc(), F.col("total").desc(), "word"
+    ).limit(top_k)
+    return top.select(
+        "word",
+        F.col("df").cast("long").alias("df"),
+        F.col("total").cast("long").alias("total_count"),
+        F.round(
+            F.col("total").cast("double") / F.col("df").cast("double"), 6
+        ).alias("mean_per_doc"),
+        (
+            F.round(
+                F.col("df_ge2") * F.lit(1e6) / F.col("df").cast("double")
+            ).cast("long")
+            / F.lit(1e6)
+        ).alias("repeat_doc_share"),
+    )
+
+
+def source_cross_entropy(documents: DataFrame) -> DataFrame:
+    """Per-source cross entropy under the corpus unigram LM: the
+    average surprise (nats/token) of a source's word stream scored by
+    the fleet-average distribution -- low = templated/mainstream
+    text, high = off-distribution vocabulary. The source-level
+    companion to lm_unigram_score's per-doc readout, and the standard
+    domain-mix diagnostic before corpus reweighting.
+
+    Per-(source, word) terms c_s(w) * ln(N / c(w)) are each ONE
+    double off exact integer counts, rounded to integer micro-nats
+    and summed EXACTLY; H_s divides once by the source's token count.
+
+    Emits (source, n_tokens, h_micronats, cross_entropy_nats).
+    """
+    words = documents.select(
+        "source", F.explode(tokens_col("text")).alias("word")
+    )
+    sc = words.groupBy("source", "word").agg(F.count("*").alias("c_s"))
+    gc = words.groupBy("word").agg(F.count("*").alias("c_g"))
+    ng = gc.agg(F.sum("c_g").alias("n_g"))
+    terms = (
+        sc.join(gc, "word")
+        .join(F.broadcast(ng))
+        .select(
+            "source",
+            "c_s",
+            F.round(
+                F.col("c_s").cast("double")
+                * F.log(
+                    F.col("n_g").cast("double") / F.col("c_g").cast("double")
+                )
+                * F.lit(1e6)
+            ).cast("long").alias("micro"),
+        )
+    )
+    agg = terms.groupBy("source").agg(
+        F.sum("c_s").cast("long").alias("n_tokens"),
+        F.sum("micro").cast("long").alias("h_micronats"),
+    )
+    return agg.select(
+        "source",
+        "n_tokens",
+        "h_micronats",
+        F.round(
+            F.col("h_micronats").cast("double")
+            / F.lit(1e6)
+            / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("cross_entropy_nats"),
+    )

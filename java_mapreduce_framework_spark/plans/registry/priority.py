@@ -332,6 +332,17 @@ _FRESH_ROUND9 = frozenset(
         "graph_preferential_attachment",
         "text_char_js_divergence",
         "sql_nation_trade_balance",
+        # new this round, batch 4 (plans/registry/round9b.py)
+        "stats_cohens_kappa",
+        "stats_cronbach_alpha",
+        "window_ulcer_index",
+        "events_active_days_histogram",
+        "text_simpson_diversity",
+        "text_word_burstiness",
+        "lm_source_cross_entropy",
+        "graph_degree_gini",
+        "multimodal_image_contrast",
+        "multimodal_audio_dynamic_range",
         # schema-modified this round (driver scalar-only contract)
         "embedding_pq_quantize",
         "embedding_pca_project",

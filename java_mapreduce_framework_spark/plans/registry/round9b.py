@@ -1,11 +1,15 @@
-"""round-9 batch-3 section of the declared query registry: paired /
-blocked classical tests (McNemar, Cochran's Q, Friedman ranks),
-serial-correlation diagnostics (Durbin-Watson, PACF), mutual
-information, product growth accounting (new/retained/resurrected/
-churned, activation latency, peak session concurrency),
-volume-aware technical indicators (OBV, Donchian, MFI, Keltner),
-the preferential-attachment link predictor, per-source character
-JS divergence, and a nation trade-balance SQL intake query.
+"""round-9 batches 3-4 of the declared query registry: paired /
+blocked classical tests (McNemar, Cochran's Q, Friedman ranks,
+Cohen's kappa, Cronbach's alpha), serial-correlation diagnostics
+(Durbin-Watson, PACF), mutual information, product growth accounting
+(new/retained/resurrected/churned, activation latency, peak session
+concurrency, active-days histogram), volume/risk technical
+indicators (OBV, Donchian, MFI, Keltner, Ulcer index), graph link
+prediction and degree skew (preferential attachment, degree Gini),
+text/LM source diagnostics (character JS divergence, Simpson
+diversity, word burstiness, cross entropy), two multimodal codec
+readouts (RMS contrast, crest factor), and a nation trade-balance
+SQL intake query.
 
 Every query is hash-oracled (DuckDB SQL over the same parquet); the
 cross-engine exactness rules are the registry's usual ones: integer
@@ -719,3 +723,339 @@ def _attach_sql_oracles() -> None:
 
 
 _attach_sql_oracles()
+
+
+# ------------------------------------------------ batch 4 (same round)
+
+from ...operators import multimodal  # noqa: E402,F401
+from .core import _TOKS, _EN, _ES, _DE  # noqa: E402,F401
+from .multimodal import _PAYLOAD_CTE  # noqa: E402,F401
+from .round9 import _COPURCHASE_CTE  # noqa: E402,F401
+
+#: lang_id prediction CTE chain (verbatim from the lang_id oracle).
+_LANG_PRED_CTE = f"""
+    toks AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
+    h AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(t, x -> x IN {_EN})) AS INTEGER) AS en_hits,
+             CAST(len(list_filter(t, x -> x IN {_ES})) AS INTEGER) AS es_hits,
+             CAST(len(list_filter(t, x -> x IN {_DE})) AS INTEGER) AS de_hits
+      FROM toks),
+    p AS (
+      SELECT lang,
+             CASE WHEN en_hits >= es_hits AND en_hits >= de_hits THEN 'en'
+                  WHEN es_hits >= de_hits THEN 'es'
+                  ELSE 'de' END AS pred_lang
+      FROM h)
+"""
+
+#: dense user x event_type count grid (shared by friedman / cronbach).
+_DENSE_GRID_CTE = """
+    counts AS (
+      SELECT user_id, event_type, count(*) AS cnt
+      FROM events GROUP BY user_id, event_type),
+    users AS (SELECT DISTINCT user_id FROM events),
+    types AS (SELECT DISTINCT event_type FROM events),
+    dense AS (
+      SELECT u.user_id, t.event_type, coalesce(c.cnt, 0) AS cnt
+      FROM users u CROSS JOIN types t
+      LEFT JOIN counts c
+        ON c.user_id = u.user_id AND c.event_type = t.event_type)
+"""
+
+
+@_register(
+    "stats_cohens_kappa",
+    f"""
+    WITH {_LANG_PRED_CTE},
+    cm AS (SELECT lang, pred_lang, count(*) AS n_cell
+           FROM p GROUP BY lang, pred_lang),
+    r AS (SELECT lang, sum(n_cell) AS r FROM cm GROUP BY lang),
+    c AS (SELECT pred_lang, sum(n_cell) AS c FROM cm GROUP BY pred_lang),
+    ch AS (SELECT sum(r.r * c.c) AS rc
+           FROM r JOIN c ON r.lang = c.pred_lang),
+    a AS (SELECT sum(n_cell) AS n,
+                 sum(CASE WHEN lang = pred_lang THEN n_cell END) AS diag
+          FROM cm)
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           CAST(diag AS BIGINT) AS n_agree,
+           round(CASE WHEN n * n <> rc THEN
+                   CAST(n * diag - rc AS DOUBLE)
+                   / CAST(n * n - rc AS DOUBLE)
+                 END, 4) AS kappa
+    FROM a, ch
+    """,
+    note="Cohen's kappa between the stopword language heuristic and "
+    "the labeled lang column (lang_id_confusion's chance-corrected "
+    "scalar): integer confusion-cell sufficient statistics, kappa "
+    "one double",
+)
+def _stats_cohens_kappa(spark, sf):
+    return text.lang_id_kappa(_t(spark, sf, "documents"))
+
+
+@_register(
+    "stats_cronbach_alpha",
+    f"""
+    WITH {_DENSE_GRID_CTE},
+    pi AS (SELECT event_type, count(*) AS n, sum(cnt) AS s,
+                  sum(cnt * cnt) AS ssq
+           FROM dense GROUP BY event_type),
+    itf AS (SELECT max(n) AS n, count(*) AS k,
+                   sum(n * ssq - s * s) AS sum_vj
+            FROM pi),
+    pu AS (SELECT user_id, sum(cnt) AS tot FROM dense GROUP BY user_id),
+    tf AS (SELECT sum(tot) AS st, sum(tot * tot) AS stt,
+                  count(*) AS n2
+           FROM pu)
+    SELECT CAST(n AS BIGINT) AS n_users,
+           CAST(k AS BIGINT) AS k,
+           round(CASE WHEN n2 * stt - st * st > 0 THEN
+                   CAST(k AS DOUBLE) / CAST(k - 1 AS DOUBLE)
+                   * (1.0 - CAST(sum_vj AS DOUBLE)
+                            / CAST(n2 * stt - st * st AS DOUBLE))
+                 END, 4) AS alpha
+    FROM itf, tf
+    """,
+    note="Cronbach's alpha over the k event-type items (is per-type "
+    "activity one engagement trait): item and row-total variances at "
+    "n^2 scale from exact integer sums (the factor cancels), alpha "
+    "one double; stats_friedman's dense grid reused",
+)
+def _stats_cronbach_alpha(spark, sf):
+    return analytics.cronbach_alpha(_t(spark, sf, "events"))
+
+
+@_register(
+    "window_ulcer_index",
+    f"""
+    WITH {_CANDLE_CTE},
+    dd AS (
+      SELECT user_id, day,
+             CAST(round(CAST(max(close_c) OVER wo - close_c AS DOUBLE)
+                        / CAST(max(close_c) OVER wo AS DOUBLE) * 1e8)
+                  AS BIGINT) AS dd_micro_pct
+      FROM candle
+      WINDOW wo AS (PARTITION BY user_id ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT user_id, day, dd_micro_pct,
+           round(sqrt(CAST(sum(dd_micro_pct * dd_micro_pct) OVER wr
+                           AS DOUBLE)
+                      / CAST(count(*) OVER wr AS DOUBLE)) / 1e6, 6)
+             AS ulcer_index
+    FROM dd
+    WINDOW wr AS (PARTITION BY user_id ORDER BY day
+                  ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    """,
+    note="Ulcer index (RMS of rolling percentage drawdown) over "
+    "per-user daily closes: per-day drawdown one double rounded to "
+    "integer micro-percent BEFORE squaring, window fold exact, one "
+    "trailing sqrt",
+)
+def _window_ulcer_index(spark, sf):
+    return temporal.window_ulcer_index(_t(spark, sf, "events"))
+
+
+@_register(
+    "events_active_days_histogram",
+    """
+    WITH ad AS (
+      SELECT user_id,
+             count(DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP)))
+               AS active_days
+      FROM events GROUP BY user_id),
+    h AS (SELECT active_days, count(*) AS n_users
+          FROM ad GROUP BY active_days),
+    t AS (SELECT sum(n_users) AS total FROM h)
+    SELECT CAST(active_days AS BIGINT) AS active_days,
+           CAST(n_users AS BIGINT) AS n_users,
+           CAST(round(n_users * 1e6 / CAST(total AS DOUBLE)) AS BIGINT)
+             / 1e6 AS share
+    FROM h, t
+    """,
+    note="engagement-frequency histogram (users by distinct active "
+    "days -- the L28-style distribution DAU/WAU/MAU averages hide): "
+    "distinct user-day reduction, day-count-bounded histogram, "
+    "shares at integer 1e-6 scale",
+)
+def _events_active_days_histogram(spark, sf):
+    return analytics.active_days_histogram(_t(spark, sf, "events"))
+
+
+@_register(
+    "text_simpson_diversity",
+    f"""
+    WITH words AS (
+      SELECT source, unnest({_TOKS}) AS word FROM documents),
+    wc AS (SELECT source, word, count(*) AS c
+           FROM words GROUP BY source, word),
+    a AS (SELECT source, sum(c) AS n, count(*) AS n_types,
+                 sum(c * (c - 1)) AS coll
+          FROM wc GROUP BY source)
+    SELECT source, CAST(n AS BIGINT) AS n_tokens,
+           CAST(n_types AS BIGINT) AS n_types,
+           round(CASE WHEN n > 1 THEN
+                   1.0 - CAST(coll AS DOUBLE)
+                         / CAST(n * (n - 1) AS DOUBLE)
+                 END, 6) AS simpson_diversity
+    FROM a
+    """,
+    note="per-source Simpson lexical diversity (probability two "
+    "tokens differ, length-unbiased unlike TTR): integer collision "
+    "counts, one double per source",
+)
+def _text_simpson_diversity(spark, sf):
+    return text.simpson_diversity(_t(spark, sf, "documents"))
+
+
+@_register(
+    "text_word_burstiness",
+    f"""
+    WITH dw AS (
+      SELECT doc_id, word, count(*) AS c
+      FROM (SELECT doc_id, unnest({_TOKS}) AS word FROM documents)
+      GROUP BY doc_id, word),
+    pw AS (SELECT word, count(*) AS df, sum(c) AS total,
+                  sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS df_ge2
+           FROM dw GROUP BY word),
+    top AS (SELECT * FROM pw
+            ORDER BY df DESC, total DESC, word LIMIT 100)
+    SELECT word, CAST(df AS BIGINT) AS df,
+           CAST(total AS BIGINT) AS total_count,
+           round(CAST(total AS DOUBLE) / CAST(df AS DOUBLE), 6)
+             AS mean_per_doc,
+           CAST(round(df_ge2 * 1e6 / CAST(df AS DOUBLE)) AS BIGINT)
+             / 1e6 AS repeat_doc_share
+    FROM top
+    """,
+    note="Church-Gale word burstiness for the top-100-df vocabulary "
+    "(content words clump, function words spread thin): per-(doc, "
+    "word) reduction before any ranking, deterministic (df, total, "
+    "word) top-k, integer sufficient statistics",
+)
+def _text_word_burstiness(spark, sf):
+    return text.word_burstiness(_t(spark, sf, "documents"))
+
+
+@_register(
+    "lm_source_cross_entropy",
+    f"""
+    WITH words AS (
+      SELECT source, unnest({_TOKS}) AS word FROM documents),
+    sc AS (SELECT source, word, count(*) AS c_s
+           FROM words GROUP BY source, word),
+    gc AS (SELECT word, count(*) AS c_g FROM words GROUP BY word),
+    ng AS (SELECT sum(c_g) AS n_g FROM gc),
+    terms AS (
+      SELECT source, c_s,
+             CAST(round(CAST(c_s AS DOUBLE)
+                        * ln(CAST(n_g AS DOUBLE) / CAST(c_g AS DOUBLE))
+                        * 1e6) AS BIGINT) AS micro
+      FROM sc JOIN gc USING (word), ng)
+    SELECT source, CAST(sum(c_s) AS BIGINT) AS n_tokens,
+           CAST(sum(micro) AS BIGINT) AS h_micronats,
+           round(CAST(sum(micro) AS BIGINT) / 1e6
+                 / CAST(sum(c_s) AS DOUBLE), 6) AS cross_entropy_nats
+    FROM terms GROUP BY source
+    """,
+    note="per-source cross entropy under the corpus unigram LM (the "
+    "domain-mix diagnostic before corpus reweighting): per-(source, "
+    "word) terms one double each, integer micro-nat rounding, exact "
+    "sums; word-keyed count join, 1-row corpus total broadcast",
+)
+def _lm_source_cross_entropy(spark, sf):
+    return text.source_cross_entropy(_t(spark, sf, "documents"))
+
+
+@_register(
+    "graph_degree_gini",
+    f"""
+    WITH {_COPURCHASE_CTE},
+    rk AS (SELECT deg, row_number() OVER (ORDER BY deg, doc_id) AS i
+           FROM degs),
+    a AS (SELECT count(*) AS n, sum(deg) AS sd, sum(i * deg) AS sid
+          FROM rk)
+    SELECT CAST(n AS BIGINT) AS n_nodes,
+           CAST(sd AS BIGINT) AS n_edges_directed,
+           round(CAST(2 * sid - (n + 1) * sd AS DOUBLE)
+                 / CAST(n * sd AS DOUBLE), 6) AS gini
+    FROM a
+    """,
+    note="Gini coefficient of the co-purchase degree distribution "
+    "(the one-number hub-skew readout behind graph_degree_histogram "
+    "-- where wedge fan-out and LSH hot buckets concentrate): sorted "
+    "integer rank sums, one double; rank window over the "
+    "dimension-sized node table",
+)
+def _graph_degree_gini(spark, sf):
+    from .closers import _copurchase_pairs
+
+    return dedup.degree_gini(_copurchase_pairs(spark, sf))
+
+
+@_register(
+    "multimodal_image_contrast",
+    f"""
+    WITH {_PAYLOAD_CTE},
+    geo AS (SELECT doc_id, n, bytes,
+                   8 + (n % 9) AS w, 8 + ((n * 3) % 9) AS h
+            FROM pbytes WHERE n > 0),
+    px AS (SELECT doc_id, n, bytes, unnest(range(0, w * h)) AS k
+           FROM geo),
+    l AS (SELECT doc_id,
+                 CAST(bytes[CAST((k * 3 + 0) % n AS INT) + 1]
+                    + bytes[CAST((k * 3 + 1) % n AS INT) + 1]
+                    + bytes[CAST((k * 3 + 2) % n AS INT) + 1]
+                      AS BIGINT) AS lum
+          FROM px),
+    a AS (SELECT doc_id, count(*) AS n_px, sum(lum) AS s1,
+                 sum(lum * lum) AS s2
+          FROM l GROUP BY doc_id)
+    SELECT doc_id, CAST(n_px AS BIGINT) AS n_px,
+           CAST(s1 AS BIGINT) AS lum_sum,
+           round(sqrt(CAST(n_px * s2 - s1 * s1 AS DOUBLE))
+                 / CAST(n_px AS DOUBLE), 4) AS rms_contrast
+    FROM a
+    """,
+    note="per-image RMS contrast over REAL decoded BMP pixels "
+    "(image_entropy's stddev companion -- flat gradients carry "
+    "entropy but no contrast): Arrow kernel emits integer (n, sum, "
+    "sumsq) only, the sqrt runs as a Spark expression; oracle "
+    "replays every pixel from the text bytes",
+)
+def _multimodal_image_contrast(spark, sf):
+    return multimodal.image_contrast(
+        multimodal.attach_image_payload(_t(spark, sf, "documents"))
+    )
+
+
+@_register(
+    "multimodal_audio_dynamic_range",
+    f"""
+    WITH {_PAYLOAD_CTE},
+    pcm AS (SELECT doc_id, n,
+                   list_transform(bytes, x -> (x - 128) * 256) AS s
+            FROM pbytes WHERE n > 0),
+    a AS (SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+                 CAST(list_max(list_transform(s, x -> abs(x)))
+                      AS BIGINT) AS peak,
+                 CAST(list_sum(list_transform(s, x -> x * x))
+                      AS BIGINT) AS sumsq
+          FROM pcm)
+    SELECT doc_id, n_samples, peak,
+           round(CASE WHEN sumsq > 0 THEN
+                   10.0 * log10(CAST(peak * peak * n_samples AS DOUBLE)
+                                / CAST(sumsq AS DOUBLE))
+                 END, 4) AS crest_db
+    FROM a
+    """,
+    note="per-clip crest factor (peak/RMS in dB) over REAL decoded "
+    "PCM -- the compression/limiting diagnostic next to "
+    "audio_clipping's hard-threshold count: integer (n, peak, sumsq) "
+    "from the Arrow kernel, one log10 double; oracle replays samples "
+    "from text bytes",
+)
+def _multimodal_audio_dynamic_range(spark, sf):
+    return multimodal.audio_dynamic_range(
+        multimodal.attach_audio_payload(_t(spark, sf, "documents"))
+    )

@@ -93,6 +93,11 @@ ALLOWED_NESTED_LOOP = {
     "stats_pacf",  # 1-row moment fold feeding closed-form expressions
     "events_growth_accounting",  # 1-row broadcast last-day edge
     "text_char_js_divergence",  # alphabet-bounded source x char grid + 1-row corpus total
+    # round 9 batch 4
+    "stats_cohens_kappa",  # 1-row chance-agreement scalar broadcast
+    "stats_cronbach_alpha",  # friedman's k-row grid cross + two 1-row folds
+    "events_active_days_histogram",  # 1-row broadcast user total
+    "lm_source_cross_entropy",  # 1-row broadcast corpus token total
 }
 
 

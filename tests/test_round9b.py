@@ -358,3 +358,181 @@ def test_char_js_divergence_disjoint_alphabets_ln2(spark):
         + 0.5 * 0.5 * math.log(2.0)
     )
     assert abs(out["s1"]["js_nats"] - round(expect, 6)) < 2e-6
+
+
+# ------------------------------------------------------ batch 4
+
+
+def _docs(spark, rows):
+    """rows: (doc_id, text, lang, source)"""
+    return spark.createDataFrame(
+        [(i, t, lg, s, len(t)) for (i, t, lg, s) in rows],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+
+
+def test_cohens_kappa_perfect_agreement(spark):
+    # every doc's stopword prediction matches the label -> kappa 1
+    rows = [
+        (1, "the a of and to", "en", "s1"),
+        (2, "el la de y es", "es", "s1"),
+        (3, "der die das und ist", "de", "s1"),
+    ]
+    out = text.lang_id_kappa(_docs(spark, rows)).collect()[0]
+    assert out["n_docs"] == 3 and out["n_agree"] == 3
+    assert out["kappa"] == 1.0
+
+
+def test_cohens_kappa_chance_only_is_zero_or_less(spark):
+    # labels uncorrelated with predictions: all predicted en (tie
+    # preference), labels split -> kappa <= 0
+    rows = [
+        (1, "xyz xyz", "en", "s1"),
+        (2, "xyz xyz", "de", "s1"),
+    ]
+    out = text.lang_id_kappa(_docs(spark, rows)).collect()[0]
+    assert out["n_agree"] == 1
+    # n*diag - rc = 2*1 - (1*2) = 0 -> kappa 0
+    assert out["kappa"] == 0.0
+
+
+def test_cronbach_alpha_perfectly_correlated_items(spark):
+    # two users, each doing every type in proportion 1:2 (u2 doubles
+    # u1) -> items perfectly correlated -> alpha 1... compute: items
+    # a: (1, 2), b: (2, 4). V_a ~ (n*ssq - s^2) = 2*5 - 9 = 1,
+    # V_b = 2*20 - 36 = 4; tot = (3, 6): V_t = 2*45 - 81 = 9.
+    # alpha = 2/1 * (1 - 5/9) = 8/9
+    rows = []
+    i = 0
+    for u, mult in ((1, 1), (2, 2)):
+        for t, base in (("a", 1), ("b", 2)):
+            for _ in range(base * mult):
+                rows.append((i, "2024-01-05T10:00:00", u, t, 1.0))
+                i += 1
+    out = analytics.cronbach_alpha(_events(spark, rows)).collect()[0]
+    assert out["n_users"] == 2 and out["k"] == 2
+    assert out["alpha"] == round(8.0 / 9.0, 4)
+
+
+def test_ulcer_index_monotone_rise_is_zero(spark):
+    rows = [
+        (i, f"2024-01-0{i+1}T10:00:00", 1, "a", 1.0 + i) for i in range(5)
+    ]
+    out = temporal.window_ulcer_index(_events(spark, rows)).collect()
+    assert all(r["dd_micro_pct"] == 0 for r in out)
+    assert all(r["ulcer_index"] == 0.0 for r in out)
+
+
+def test_ulcer_index_half_drawdown(spark):
+    # close 200 then 100 -> drawdown 50% on day 2;
+    # UI(day2) = sqrt((0 + 50e6^2)/2)/1e6
+    rows = [
+        (0, "2024-01-01T10:00:00", 1, "a", 2.0),
+        (1, "2024-01-02T10:00:00", 1, "a", 1.0),
+    ]
+    out = sorted(
+        temporal.window_ulcer_index(_events(spark, rows)).collect(),
+        key=lambda r: r["day"],
+    )
+    assert out[1]["dd_micro_pct"] == 50_000_000
+    expect = round(math.sqrt((50e6 ** 2) / 2) / 1e6, 6)
+    assert out[1]["ulcer_index"] == expect
+
+
+def test_active_days_histogram(spark):
+    rows = [
+        (0, "2024-01-01T10:00:00", 1, "a", 1.0),
+        (1, "2024-01-02T10:00:00", 1, "a", 1.0),
+        (2, "2024-01-01T10:00:00", 2, "a", 1.0),
+        (3, "2024-01-01T11:00:00", 2, "a", 1.0),  # same day, still 1
+        (4, "2024-01-01T10:00:00", 3, "a", 1.0),
+    ]
+    out = {
+        r["active_days"]: r
+        for r in analytics.active_days_histogram(
+            _events(spark, rows)
+        ).collect()
+    }
+    assert out[1]["n_users"] == 2 and out[2]["n_users"] == 1
+    assert out[1]["share"] == round(2e6 / 3) / 1e6
+
+
+def test_simpson_diversity_extremes(spark):
+    rows = [
+        (1, "w w w w", "en", "mono"),   # all same token -> 0
+        (2, "a b c d", "en", "poly"),   # all distinct -> 1
+    ]
+    out = {r["source"]: r for r in text.simpson_diversity(_docs(spark, rows)).collect()}
+    assert out["mono"]["simpson_diversity"] == 0.0
+    assert out["poly"]["simpson_diversity"] == 1.0
+
+
+def test_word_burstiness_content_vs_function(spark):
+    # 'the' appears once per doc (burstiness 1); 'zebra' appears 3x
+    # in its single doc (mean 3, repeat share 1)
+    rows = [
+        (1, "the zebra zebra zebra", "en", "s"),
+        (2, "the cat", "en", "s"),
+        (3, "the dog", "en", "s"),
+    ]
+    out = {r["word"]: r for r in text.word_burstiness(_docs(spark, rows)).collect()}
+    assert out["the"]["df"] == 3 and out["the"]["mean_per_doc"] == 1.0
+    assert out["the"]["repeat_doc_share"] == 0.0
+    assert out["zebra"]["df"] == 1 and out["zebra"]["mean_per_doc"] == 3.0
+    assert out["zebra"]["repeat_doc_share"] == 1.0
+
+
+def test_source_cross_entropy_uniform_corpus(spark):
+    # both sources share the identical uniform unigram distribution
+    # -> each source's cross entropy equals the corpus entropy ln(2)
+    rows = [
+        (1, "a b", "en", "s1"),
+        (2, "a b", "en", "s2"),
+    ]
+    out = {r["source"]: r for r in text.source_cross_entropy(_docs(spark, rows)).collect()}
+    for s in ("s1", "s2"):
+        assert abs(out[s]["cross_entropy_nats"] - round(math.log(2), 6)) < 2e-6
+
+
+def test_degree_gini_regular_vs_star(spark):
+    # triangle (regular, every deg 2) -> gini 0
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "doc_a long, doc_b long"
+    )
+    out = dedup.degree_gini(tri).collect()[0]
+    assert out["n_nodes"] == 3 and out["gini"] == 0.0
+    # star on 4 nodes: degs (1,1,1,3) -> gini = (2*(1+2+3+12) - 5*6)
+    # / (4*6) = (36-30)/24 = 0.25
+    star = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "doc_a long, doc_b long"
+    )
+    out2 = dedup.degree_gini(star).collect()[0]
+    assert out2["gini"] == 0.25
+
+
+def test_image_contrast_matches_numpy(spark):
+    from java_mapreduce_framework_spark.operators import multimodal as mm
+    import numpy as np
+
+    docs = _docs(spark, [(1, "contrast test payload bytes!", "en", "s")])
+    out = mm.image_contrast(mm.attach_image_payload(docs)).collect()[0]
+    px = mm.real_decode(
+        bytes(
+            mm.attach_image_payload(docs).select("payload").collect()[0][0]
+        )
+    )
+    gray = px.astype(np.int64).sum(axis=2).ravel()
+    n, s1, s2 = gray.size, int(gray.sum()), int((gray * gray).sum())
+    assert out["n_px"] == n and out["lum_sum"] == s1
+    expect = math.sqrt(n * s2 - s1 * s1) / n
+    assert abs(out["rms_contrast"] - round(expect, 4)) < 1e-9
+
+
+def test_audio_dynamic_range_constant_tone_is_zero_db(spark):
+    # constant |amplitude| -> peak == rms -> 0 dB
+    from java_mapreduce_framework_spark.operators import multimodal as mm
+
+    docs = _docs(spark, [(1, "zzzz", "en", "s")])  # constant bytes
+    out = mm.audio_dynamic_range(mm.attach_audio_payload(docs)).collect()[0]
+    assert out["crest_db"] == 0.0
