@@ -85,6 +85,10 @@ QUERIES = [
     # lineitem): the component triage report and the edge scorer
     "graph_component_stats",
     "graph_edge_jaccard",
+    # round-9 batch 3-4: the remaining wedge-join consumer and the
+    # degree-skew scalar on the same co-purchase substrate
+    "graph_preferential_attachment",
+    "graph_degree_gini",
 ]
 
 PASSTHROUGH = (
