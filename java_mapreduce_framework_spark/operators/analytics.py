@@ -3705,3 +3705,165 @@ def active_days_histogram(events: DataFrame) -> DataFrame:
             / F.lit(1e6)
         ).alias("share"),
     )
+
+def permutation_test(events: DataFrame, k_perms: int = 64) -> DataFrame:
+    """Permutation test for the A/B mean-value gap: instead of the
+    normal approximation (ab_test_ztest), re-randomize the group
+    labels ``k_perms`` times and ask how often a random split beats
+    the observed one -- the assumption-free p-value.
+
+    Every randomization is DETERMINISTIC md5 bit-slicing (the
+    dp_noisy_counts / corpus_mix discipline): the observed assignment
+    keys md5(event_id || 'ab|'), permutation k keys
+    md5(event_id || ':' || k); both engines derive identical bits.
+    Group means are single-double integer-cent ratios; the >= race
+    compares identically-computed doubles. The k_perms-row dimension
+    broadcasts against the event stream (fan-out = K, bounded by the
+    declared constant), and each permutation folds map-side.
+
+    Emits ONE row (k_perms, obs_diff, n_perms_ge, p_value).
+    """
+    cents = F.floor(F.col("value") * 100).cast("long")
+    obs_bit = F.when(
+        F.substring(F.md5(F.concat(F.col("event_id").cast("string"), F.lit("ab|"))), 1, 1)
+        .isin("0", "1", "2", "3", "4", "5", "6", "7"),
+        1,
+    ).otherwise(0)
+    base = events.select(cents.alias("v_c"), obs_bit.alias("g"), "event_id")
+    def diff_for(df, grp):
+        a_n = F.sum(F.when(grp == 1, 1).otherwise(0))
+        a_s = F.sum(F.when(grp == 1, F.col("v_c")).otherwise(0))
+        b_n = F.sum(F.when(grp == 0, 1).otherwise(0))
+        b_s = F.sum(F.when(grp == 0, F.col("v_c")).otherwise(0))
+        return (
+            a_s.cast("double") / a_n.cast("double")
+            - b_s.cast("double") / b_n.cast("double")
+        )
+    obs = base.agg(diff_for(base, F.col("g")).alias("obs_diff"))
+    ks = events.sparkSession.range(k_perms).select(
+        F.col("id").cast("int").alias("k")
+    )
+    perm_bit = F.when(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("event_id").cast("string"),
+                    F.lit(":"),
+                    F.col("k").cast("string"),
+                )
+            ),
+            1,
+            1,
+        ).isin("0", "1", "2", "3", "4", "5", "6", "7"),
+        1,
+    ).otherwise(0)
+    per_k = (
+        base.join(F.broadcast(ks))
+        .select("v_c", "k", perm_bit.alias("g"))
+        .groupBy("k")
+        .agg(
+            (
+                F.sum(F.when(F.col("g") == 1, F.col("v_c")).otherwise(0)).cast("double")
+                / F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("double")
+                - F.sum(F.when(F.col("g") == 0, F.col("v_c")).otherwise(0)).cast("double")
+                / F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).cast("double")
+            ).alias("diff_k")
+        )
+    )
+    race = per_k.join(F.broadcast(obs)).agg(
+        F.count("*").cast("long").alias("k_perms"),
+        F.max(F.round(F.col("obs_diff"), 4)).alias("obs_diff"),
+        F.sum(
+            (F.abs(F.col("diff_k")) >= F.abs(F.col("obs_diff"))).cast("long")
+        ).alias("n_perms_ge"),
+    )
+    return race.select(
+        "k_perms",
+        "obs_diff",
+        "n_perms_ge",
+        F.round(
+            (F.col("n_perms_ge") + 1).cast("double")
+            / (F.col("k_perms") + 1).cast("double"),
+            4,
+        ).alias("p_value"),
+    )
+
+
+def hodges_lehmann_shift(events: DataFrame) -> DataFrame:
+    """Hodges-Lehmann location shift between the first and second
+    half of the month's daily value volumes: the median of all
+    cross-pair differences -- the robust "how much did daily revenue
+    move" estimate whose breakdown point a couple of outage or spike
+    days cannot reach (the estimator behind the Mann-Whitney
+    confidence interval).
+
+    The pair set is CALENDAR-DAY-bounded (15 x 15 a month); pair
+    sums stay integer cents until the exact interpolated median,
+    which both engines compute identically (quantile_cont parity).
+
+    Emits ONE row (n_pairs, hl_shift).
+    """
+    daily = _daily_counts(events)
+    half1 = daily.filter(F.dayofmonth("day") <= 15).select(
+        F.col("y").alias("y1")
+    )
+    half2 = daily.filter(F.dayofmonth("day") > 15).select(
+        F.col("y").alias("y2")
+    )
+    pairs = half2.join(F.broadcast(half1)).select(
+        (F.col("y2") - F.col("y1")).alias("d_c")
+    )
+    return pairs.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.round(F.percentile("d_c", F.lit(0.5)) / 100.0, 4).alias(
+            "hl_shift"
+        ),
+    )
+
+
+def open_order_backlog(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Daily open-order backlog: orders count as open from their
+    order date until their LAST line item ships -- the
+    work-in-progress curve (openings, closings, and the running
+    backlog) an operations dashboard draws first.
+
+    One keyed max-shipdate reduction per order, two day-keyed
+    rollups, a full outer join on the day-bounded ledger, and one
+    cumulative window over calendar days. All counts integer.
+
+    Emits (day, n_opened, n_closed, open_backlog).
+    """
+    done = lineitem.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("done_ts")
+    )
+    spans = orders.select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.date_trunc("day", "o_orderdate").alias("open_day"),
+    ).join(
+        done.select(
+            "l_orderkey", F.date_trunc("day", "done_ts").alias("close_day")
+        ),
+        "l_orderkey",
+    )
+    opened = spans.groupBy(F.col("open_day").alias("day")).agg(
+        F.count("*").alias("n_opened")
+    )
+    closed = spans.groupBy(F.col("close_day").alias("day")).agg(
+        F.count("*").alias("n_closed")
+    )
+    z = F.lit(0).cast("long")
+    ledger = opened.join(closed, "day", "full_outer").select(
+        "day",
+        F.coalesce("n_opened", z).alias("n_opened"),
+        F.coalesce("n_closed", z).alias("n_closed"),
+    )
+    wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return ledger.select(
+        "day",
+        F.col("n_opened").cast("long").alias("n_opened"),
+        F.col("n_closed").cast("long").alias("n_closed"),
+        F.sum(F.col("n_opened") - F.col("n_closed"))
+        .over(wc)
+        .cast("long")
+        .alias("open_backlog"),
+    )

@@ -2616,3 +2616,56 @@ def degree_gini(pairs: DataFrame) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+def resource_allocation(pairs: DataFrame) -> DataFrame:
+    """Resource-allocation link prediction over the near-dup /
+    co-purchase graph: AA's harder-decaying sibling (Zhou, Lu &
+    Zhang 2009), RA(a,b) = sum over shared neighbors w of
+    1 / deg(w) -- each hub splits one unit of "resource" among its
+    neighbors, so promiscuous hubs are discounted linearly instead of
+    logarithmically (empirically the best of the local indices on
+    dense graphs). Completes the panel: CN / Jaccard / AA / PA / RA.
+
+    Exactness: the hub credit is the integer micro-unit
+    round(1e6 / deg) -- rounded BEFORE the per-pair fold (the
+    adamic_adar discipline), so the sum is an order-free BIGINT fold
+    on both engines. Same plan skeleton: degree joined onto the
+    symmetrized edges, wedge self-join bounded by deg(hub)^2, keyed
+    anti-join against existing edges.
+
+    Emits (doc_a, doc_b, common_neighbors, ra_micro) for non-adjacent
+    pairs, doc_a < doc_b.
+    """
+    pairs = pairs.localCheckpoint()
+    e = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+        )
+        .localCheckpoint()
+    )
+    # wedge hubs always carry deg >= 2 (edges to both endpoints); the
+    # filter just prunes leaf edges out of the self-join early
+    degs = (
+        e.groupBy(F.col("a").alias("hub"))
+        .agg(F.count("*").alias("deg"))
+        .filter(F.col("deg") >= 2)
+    )
+    credit = F.round(F.lit(1e6) / F.col("deg").cast("double")).cast("long")
+    eh = e.select(F.col("a").alias("hub"), "b").join(
+        degs.select("hub", credit.alias("micro")), "hub"
+    )
+    wedges = (
+        eh.select("hub", F.col("b").alias("doc_a"), "micro")
+        .join(eh.select("hub", F.col("b").alias("doc_b")), "hub")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count("*").alias("common_neighbors"),
+            F.sum("micro").alias("ra_micro"),
+        )
+    )
+    return wedges.join(
+        pairs.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti"
+    ).select("doc_a", "doc_b", "common_neighbors", "ra_micro")

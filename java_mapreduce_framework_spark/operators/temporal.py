@@ -2482,3 +2482,54 @@ def window_ulcer_index(events: DataFrame, ui_window: int = 14) -> DataFrame:
             6,
         ).alias("ulcer_index"),
     )
+
+def window_ichimoku(events: DataFrame) -> DataFrame:
+    """Ichimoku cloud over each user's daily candles: conversion/base
+    lines as rolling (high+low)/2 midpoints (9/26 days), the two
+    senkou cloud spans displaced 26 days FORWARD (so today's row
+    carries the cloud computed 26 days ago, as charted), and the
+    chikou lagging close from 26 days ahead.
+
+    Midpoints live on the half-integer-cent lattice: every extremum
+    is an exact integer and each output column divides once in
+    double. Displacement is exact row arithmetic (lag/lead over the
+    day order), never calendar math.
+
+    Emits (user_id, day, tenkan, kijun, senkou_a, senkou_b, chikou).
+    """
+    candle = _daily_candle(events)
+    def mid2(days: int):
+        wr = (
+            Window.partitionBy("user_id")
+            .orderBy("day")
+            .rowsBetween(-(days - 1), 0)
+        )
+        return F.max("high_c").over(wr) + F.min("low_c").over(wr)
+    t2 = mid2(9)
+    k2 = mid2(26)
+    sb2 = mid2(52)
+    wo = Window.partitionBy("user_id").orderBy("day")
+    mids = candle.select(
+        "user_id",
+        "day",
+        "close_c",
+        t2.alias("t2"),
+        k2.alias("k2"),
+        (t2 + k2).alias("sa4"),
+        sb2.alias("sb2"),
+    )
+    return mids.select(
+        "user_id",
+        "day",
+        F.round(F.col("t2").cast("double") / 200.0, 6).alias("tenkan"),
+        F.round(F.col("k2").cast("double") / 200.0, 6).alias("kijun"),
+        F.round(
+            F.lag("sa4", 26).over(wo).cast("double") / 400.0, 6
+        ).alias("senkou_a"),
+        F.round(
+            F.lag("sb2", 26).over(wo).cast("double") / 200.0, 6
+        ).alias("senkou_b"),
+        F.round(
+            F.lead("close_c", 26).over(wo).cast("double") / 100.0, 6
+        ).alias("chikou"),
+    )

@@ -3588,3 +3588,110 @@ def source_cross_entropy(documents: DataFrame) -> DataFrame:
             6,
         ).alias("cross_entropy_nats"),
     )
+
+
+def yule_k(documents: DataFrame) -> DataFrame:
+    """Yule's K vocabulary-richness characteristic per source: the
+    classic repeat-rate statistic K = 1e4 * (sum m^2 V(m) - N) / N^2
+    over the count-of-counts profile (V(m) = words used exactly m
+    times) -- length-invariant like simpson_diversity but weighted
+    toward the heavy repeaters, which is why stylometry uses it to
+    fingerprint authors and quality pipelines to flag template farms.
+
+    Sufficient statistics are exact integers (sum m^2 V(m) equals the
+    sum of per-word squared counts); K is ONE double per source.
+
+    Emits (source, n_tokens, n_types, yule_k).
+    """
+    words = documents.select(
+        "source", F.explode(tokens_col("text")).alias("word")
+    )
+    wc = words.groupBy("source", "word").agg(F.count("*").alias("c"))
+    agg = wc.groupBy("source").agg(
+        F.sum("c").alias("n"),
+        F.count("*").alias("n_types"),
+        F.sum(F.col("c") * F.col("c")).alias("m2"),
+    )
+    return agg.select(
+        "source",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.col("n_types").cast("long").alias("n_types"),
+        F.round(
+            F.lit(1e4)
+            * (F.col("m2") - F.col("n")).cast("double")
+            / (F.col("n") * F.col("n")).cast("double"),
+            4,
+        ).alias("yule_k"),
+    )
+
+
+def heaps_fit(documents: DataFrame) -> DataFrame:
+    """Heaps'-law fit over the vocabulary growth curve: regress
+    ln(vocab) on ln(cumulative tokens) across the doc-scan
+    checkpoints and report (K, beta) of V = K * N^beta -- the scalar
+    pair that vocab_growth_curve's raw curve exists to produce
+    (beta ~ 0.5 for natural text; beta near 1 = vocabulary still
+    exploding = dedup/normalization not done; beta near 0 =
+    template farm).
+
+    Each checkpoint's (ln N_d, ln V_d) is ONE double off exact
+    integers, rounded to integer MILLI-nats (1e3 -- the n*sum(x*y)
+    moment at micro scale overflows int64 past ~500 checkpoints;
+    milli keeps the full fold under 2^63 to ~1e9 checkpoints while
+    the fit readout keeps 3 significant decimals); the OLS moment
+    sums then fold exact integers (doc-count-bounded series), and
+    slope/intercept are each one double expression.
+
+    Emits ONE row (n_points, heaps_beta, heaps_k).
+    """
+    words = documents.select(
+        "doc_id", F.explode(tokens_col("text")).alias("word")
+    )
+    first_seen = words.groupBy("word").agg(F.min("doc_id").alias("d0"))
+    new_per_doc = first_seen.groupBy(F.col("d0").alias("doc_id")).agg(
+        F.count("*").alias("new_words")
+    )
+    toks_per_doc = words.groupBy("doc_id").agg(F.count("*").alias("n_toks"))
+    wo = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    curve = (
+        toks_per_doc.join(new_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.sum("n_toks").over(wo).alias("cum_toks"),
+            F.sum(F.coalesce("new_words", F.lit(0)))
+            .over(wo)
+            .alias("vocab"),
+        )
+        .filter(F.col("cum_toks") > 0)
+    )
+    pts = curve.select(
+        F.round(F.log(F.col("cum_toks").cast("double")) * F.lit(1e3))
+        .cast("long")
+        .alias("x"),
+        F.round(F.log(F.col("vocab").cast("double")) * F.lit(1e3))
+        .cast("long")
+        .alias("y"),
+    )
+    mo = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+    )
+    intercept_micro = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return mo.select(
+        F.col("n").cast("long").alias("n_points"),
+        F.round(slope, 6).alias("heaps_beta"),
+        F.round(F.exp(intercept_micro / F.lit(1e3)), 4).alias("heaps_k"),
+    )

@@ -343,6 +343,17 @@ _FRESH_ROUND9 = frozenset(
         "graph_degree_gini",
         "multimodal_image_contrast",
         "multimodal_audio_dynamic_range",
+        # new this round, batch 5 (plans/registry/round9b.py)
+        "stats_permutation_test",
+        "stats_hodges_lehmann",
+        "window_ichimoku",
+        "text_yule_k",
+        "text_heaps_fit",
+        "graph_resource_allocation",
+        "orders_open_backlog",
+        "sql_nation_top_customers",
+        "multimodal_image_quadrants",
+        "multimodal_audio_envelope",
         # schema-modified this round (driver scalar-only contract)
         "embedding_pq_quantize",
         "embedding_pca_project",

@@ -1059,3 +1059,396 @@ def _multimodal_audio_dynamic_range(spark, sf):
     return multimodal.audio_dynamic_range(
         multimodal.attach_audio_payload(_t(spark, sf, "documents"))
     )
+
+
+# ------------------------------------------------ batch 5 (same round)
+
+
+@_register(
+    "stats_permutation_test",
+    """
+    WITH base AS (
+      SELECT CAST(floor(value * 100.0) AS BIGINT) AS v_c,
+             CASE WHEN substr(md5(CAST(event_id AS VARCHAR) || 'ab|'),
+                              1, 1)
+                       IN ('0','1','2','3','4','5','6','7')
+                  THEN 1 ELSE 0 END AS g,
+             event_id
+      FROM events),
+    obs AS (
+      SELECT CAST(sum(CASE WHEN g = 1 THEN v_c ELSE 0 END) AS DOUBLE)
+             / CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             - CAST(sum(CASE WHEN g = 0 THEN v_c ELSE 0 END) AS DOUBLE)
+             / CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+               AS obs_diff
+      FROM base),
+    perms AS (
+      SELECT b.v_c, t.k,
+             CASE WHEN substr(md5(CAST(b.event_id AS VARCHAR) || ':'
+                                  || CAST(t.k AS VARCHAR)), 1, 1)
+                       IN ('0','1','2','3','4','5','6','7')
+                  THEN 1 ELSE 0 END AS g
+      FROM base b, range(64) t(k)),
+    per_k AS (
+      SELECT k,
+             CAST(sum(CASE WHEN g = 1 THEN v_c ELSE 0 END) AS DOUBLE)
+             / CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             - CAST(sum(CASE WHEN g = 0 THEN v_c ELSE 0 END) AS DOUBLE)
+             / CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+               AS diff_k
+      FROM perms GROUP BY k),
+    race AS (
+      SELECT CAST(count(*) AS BIGINT) AS k_perms,
+             max(round(obs_diff, 4)) AS obs_diff,
+             CAST(sum(CASE WHEN abs(diff_k) >= abs(obs_diff)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_perms_ge
+      FROM per_k, obs)
+    SELECT k_perms, obs_diff, n_perms_ge,
+           round(CAST(n_perms_ge + 1 AS DOUBLE)
+                 / CAST(k_perms + 1 AS DOUBLE), 4) AS p_value
+    FROM race
+    """,
+    note="assumption-free permutation test for the A/B mean-value "
+    "gap: 64 DETERMINISTIC md5-bit relabelings (dp_noisy_counts "
+    "discipline), each folded map-side; the >= race compares "
+    "identically-computed doubles; fan-out bounded by the declared "
+    "K, never data-dependent",
+)
+def _stats_permutation_test(spark, sf):
+    return analytics.permutation_test(_t(spark, sf, "events"))
+
+
+@_register(
+    "stats_hodges_lehmann",
+    """
+    WITH daily AS (
+      SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+             sum(CAST(floor(value * 100.0) AS BIGINT)) AS y
+      FROM events GROUP BY 1),
+    h1 AS (SELECT y AS y1 FROM daily WHERE date_part('day', day) <= 15),
+    h2 AS (SELECT y AS y2 FROM daily WHERE date_part('day', day) > 15),
+    p AS (SELECT y2 - y1 AS d_c FROM h2, h1)
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           round(quantile_cont(d_c, 0.5) / 100.0, 4) AS hl_shift
+    FROM p
+    """,
+    note="Hodges-Lehmann location shift (median of cross-pair "
+    "differences, first vs second half-month daily volumes): pair "
+    "set CALENDAR-DAY-bounded, integer cents until the exact "
+    "interpolated median",
+)
+def _stats_hodges_lehmann(spark, sf):
+    return analytics.hodges_lehmann_shift(_t(spark, sf, "events"))
+
+
+@_register(
+    "window_ichimoku",
+    f"""
+    WITH {_CANDLE_CTE},
+    mids AS (
+      SELECT user_id, day, close_c,
+             max(high_c) OVER w9 + min(low_c) OVER w9 AS t2,
+             max(high_c) OVER w26 + min(low_c) OVER w26 AS k2,
+             max(high_c) OVER w9 + min(low_c) OVER w9
+             + max(high_c) OVER w26 + min(low_c) OVER w26 AS sa4,
+             max(high_c) OVER w52 + min(low_c) OVER w52 AS sb2
+      FROM candle
+      WINDOW w9 AS (PARTITION BY user_id ORDER BY day
+                    ROWS BETWEEN 8 PRECEDING AND CURRENT ROW),
+             w26 AS (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN 25 PRECEDING AND CURRENT ROW),
+             w52 AS (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN 51 PRECEDING AND CURRENT ROW))
+    SELECT user_id, day,
+           round(CAST(t2 AS DOUBLE) / 200.0, 6) AS tenkan,
+           round(CAST(k2 AS DOUBLE) / 200.0, 6) AS kijun,
+           round(CAST(lag(sa4, 26) OVER wo AS DOUBLE) / 400.0, 6)
+             AS senkou_a,
+           round(CAST(lag(sb2, 26) OVER wo AS DOUBLE) / 200.0, 6)
+             AS senkou_b,
+           round(CAST(lead(close_c, 26) OVER wo AS DOUBLE) / 100.0, 6)
+             AS chikou
+    FROM mids
+    WINDOW wo AS (PARTITION BY user_id ORDER BY day)
+    """,
+    note="Ichimoku cloud over per-user daily candles: every midpoint "
+    "an exact half-integer (kept x2/x4 integer until one final "
+    "division), spans displaced by exact ROW arithmetic (lag/lead "
+    "26), edge rows NULL on both engines",
+)
+def _window_ichimoku(spark, sf):
+    return temporal.window_ichimoku(_t(spark, sf, "events"))
+
+
+@_register(
+    "text_yule_k",
+    f"""
+    WITH words AS (
+      SELECT source, unnest({_TOKS}) AS word FROM documents),
+    wc AS (SELECT source, word, count(*) AS c
+           FROM words GROUP BY source, word),
+    a AS (SELECT source, sum(c) AS n, count(*) AS n_types,
+                 sum(c * c) AS m2
+          FROM wc GROUP BY source)
+    SELECT source, CAST(n AS BIGINT) AS n_tokens,
+           CAST(n_types AS BIGINT) AS n_types,
+           round(1e4 * CAST(m2 - n AS DOUBLE)
+                 / CAST(n * n AS DOUBLE), 4) AS yule_k
+    FROM a
+    """,
+    note="Yule's K repeat-rate characteristic per source (stylometry "
+    "/ template-farm fingerprint; simpson_diversity's heavy-repeater-"
+    "weighted sibling): integer squared-count sums, K one double",
+)
+def _text_yule_k(spark, sf):
+    return text.yule_k(_t(spark, sf, "documents"))
+
+
+@_register(
+    "text_heaps_fit",
+    f"""
+    WITH words AS (
+      SELECT doc_id, unnest({_TOKS}) AS word FROM documents),
+    fs AS (SELECT word, min(doc_id) AS d0 FROM words GROUP BY word),
+    npd AS (SELECT d0 AS doc_id, count(*) AS new_words
+            FROM fs GROUP BY d0),
+    tpd AS (SELECT doc_id, count(*) AS n_toks FROM words GROUP BY doc_id),
+    curve AS (
+      SELECT t.doc_id,
+             sum(t.n_toks) OVER wo AS cum_toks,
+             sum(coalesce(n.new_words, 0)) OVER wo AS vocab
+      FROM tpd t LEFT JOIN npd n ON n.doc_id = t.doc_id
+      WINDOW wo AS (ORDER BY t.doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    pts AS (
+      SELECT CAST(round(ln(CAST(cum_toks AS DOUBLE)) * 1e3) AS BIGINT)
+               AS x,
+             CAST(round(ln(CAST(vocab AS DOUBLE)) * 1e3) AS BIGINT)
+               AS y
+      FROM curve WHERE cum_toks > 0),
+    mo AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy
+      FROM pts),
+    fit AS (
+      SELECT n, sx, sy,
+             CAST(CAST(n * sxy - sx * sy AS BIGINT) AS DOUBLE)
+             / CAST(CAST(n * sxx - sx * sx AS BIGINT) AS DOUBLE) AS b
+      FROM mo)
+    SELECT CAST(n AS BIGINT) AS n_points,
+           round(b, 6) AS heaps_beta,
+           round(exp(((CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE))
+                      / CAST(n AS DOUBLE)) / 1e3), 4) AS heaps_k
+    FROM fit
+    """,
+    note="Heaps'-law (K, beta) fit over the vocabulary growth curve: "
+    "per-checkpoint log points rounded to integer MILLI-nats (micro "
+    "overflows the n*sum(xy) moment past ~500 checkpoints), OLS "
+    "moments fold exact integers over the doc-count-bounded series "
+    "(downsample checkpoints before the fold at 1e8+ docs), slope "
+    "and intercept one double each",
+)
+def _text_heaps_fit(spark, sf):
+    return text.heaps_fit(_t(spark, sf, "documents"))
+
+
+@_register(
+    "graph_resource_allocation",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    cooc AS (
+      SELECT a.l_partkey AS doc_a, b.l_partkey AS doc_b
+      FROM op a
+      JOIN op b ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM cooc
+              UNION ALL SELECT doc_b, doc_a FROM cooc),
+    degs AS (
+      SELECT a AS hub,
+             CAST(round(1e6 / count(*)) AS BIGINT) AS micro
+      FROM edges GROUP BY a
+      HAVING count(*) >= 2),
+    eh AS (SELECT e.a AS hub, e.b, d.micro
+           FROM edges e JOIN degs d ON d.hub = e.a),
+    wedge AS (
+      SELECT e1.b AS doc_a, e2.b AS doc_b,
+             count(*) AS common, sum(e1.micro) AS ra
+      FROM eh e1 JOIN eh e2 ON e1.hub = e2.hub AND e1.b < e2.b
+      GROUP BY 1, 2),
+    cand AS (
+      SELECT w.* FROM wedge w
+      LEFT JOIN cooc p ON p.doc_a = w.doc_a AND p.doc_b = w.doc_b
+      WHERE p.doc_a IS NULL)
+    SELECT doc_a AS part_a, doc_b AS part_b,
+           CAST(common AS BIGINT) AS common_neighbors,
+           CAST(ra AS BIGINT) AS ra_micro
+    FROM cand
+    """,
+    note="resource-allocation link prediction (Zhou-Lu-Zhang; AA's "
+    "linearly-decaying sibling, completing the CN/Jaccard/AA/PA/RA "
+    "panel): hub credit = integer micro-unit round(1e6/deg) rounded "
+    "BEFORE the order-free per-pair fold; wedge fan-out bounded by "
+    "deg(hub)^2",
+)
+def _graph_resource_allocation(spark, sf):
+    from .closers import _copurchase_pairs
+
+    return dedup.resource_allocation(_copurchase_pairs(spark, sf)).select(
+        F.col("doc_a").alias("part_a"),
+        F.col("doc_b").alias("part_b"),
+        "common_neighbors",
+        "ra_micro",
+    )
+
+
+@_register(
+    "orders_open_backlog",
+    """
+    WITH done AS (
+      SELECT l_orderkey, max(l_shipdate) AS done_ts
+      FROM lineitem GROUP BY l_orderkey),
+    spans AS (
+      SELECT date_trunc('day', o.o_orderdate) AS open_day,
+             date_trunc('day', d.done_ts) AS close_day
+      FROM orders o JOIN done d ON o.o_orderkey = d.l_orderkey),
+    op AS (SELECT open_day AS day, count(*) AS n_opened
+           FROM spans GROUP BY open_day),
+    cl AS (SELECT close_day AS day, count(*) AS n_closed
+           FROM spans GROUP BY close_day),
+    led AS (
+      SELECT coalesce(op.day, cl.day) AS day,
+             coalesce(n_opened, 0) AS n_opened,
+             coalesce(n_closed, 0) AS n_closed
+      FROM op FULL OUTER JOIN cl ON op.day = cl.day)
+    SELECT day, CAST(n_opened AS BIGINT) AS n_opened,
+           CAST(n_closed AS BIGINT) AS n_closed,
+           CAST(sum(n_opened - n_closed) OVER (
+                  ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS open_backlog
+    FROM led
+    """,
+    note="daily open-order backlog (open from order date until the "
+    "LAST line ships): keyed max reduction, two day-keyed rollups, "
+    "one cumulative window over the calendar-bounded ledger",
+)
+def _orders_open_backlog(spark, sf):
+    return analytics.open_order_backlog(
+        _t(spark, sf, "orders"), _t(spark, sf, "lineitem")
+    )
+
+
+@_register(
+    "sql_nation_top_customers",
+    None,  # oracle attached below: the SAME SQL string runs on DuckDB
+    note="top-3 customers by lifetime revenue per nation through the "
+    "spark.sql intake: windowed rank inside a dimension partition, "
+    "deterministic (revenue DESC, name) ties, exact 1e-4-dollar "
+    "integer revenue",
+)
+def _sql_nation_top_customers(spark, sf):
+    from ..sql import NATION_TOP_CUSTOMERS, run_sql
+
+    return run_sql(spark, sf, NATION_TOP_CUSTOMERS)
+
+
+@_register(
+    "multimodal_image_quadrants",
+    f"""
+    WITH {_PAYLOAD_CTE},
+    geo AS (SELECT doc_id, n, bytes,
+                   8 + (n % 9) AS w, 8 + ((n * 3) % 9) AS h
+            FROM pbytes WHERE n > 0),
+    px AS (SELECT doc_id, n, bytes, w, h, unnest(range(0, w * h)) AS k
+           FROM geo),
+    g AS (SELECT doc_id, w, h, (k // w) AS r, (k % w) AS c,
+                 CAST(bytes[CAST((k * 3 + 0) % n AS INT) + 1]
+                    + bytes[CAST((k * 3 + 1) % n AS INT) + 1]
+                    + bytes[CAST((k * 3 + 2) % n AS INT) + 1]
+                      AS BIGINT) AS lum
+          FROM px),
+    q AS (
+      SELECT doc_id,
+             sum(CASE WHEN r < h // 2 AND c < w // 2 THEN lum
+                      ELSE 0 END) AS q_tl,
+             sum(CASE WHEN r < h // 2 AND c >= w // 2 THEN lum
+                      ELSE 0 END) AS q_tr,
+             sum(CASE WHEN r >= h // 2 AND c < w // 2 THEN lum
+                      ELSE 0 END) AS q_bl,
+             sum(CASE WHEN r >= h // 2 AND c >= w // 2 THEN lum
+                      ELSE 0 END) AS q_br
+      FROM g GROUP BY doc_id)
+    SELECT doc_id, CAST(q_tl AS BIGINT) AS q_tl,
+           CAST(q_tr AS BIGINT) AS q_tr,
+           CAST(q_bl AS BIGINT) AS q_bl,
+           CAST(q_br AS BIGINT) AS q_br,
+           round(CASE WHEN q_tr + q_bl > 0 THEN
+                   CAST(q_tl + q_br AS DOUBLE)
+                   / CAST(q_tr + q_bl AS DOUBLE)
+                 END, 4) AS diag_balance
+    FROM q
+    """,
+    note="per-image quadrant luminance balance over REAL decoded BMP "
+    "pixels (composition/vignetting probe): integer quadrant sums "
+    "from the Arrow kernel (floor split, middle row/col to "
+    "bottom/right), one ratio double; oracle replays every pixel",
+)
+def _multimodal_image_quadrants(spark, sf):
+    return multimodal.image_quadrants(
+        multimodal.attach_image_payload(_t(spark, sf, "documents"))
+    )
+
+
+@_register(
+    "multimodal_audio_envelope",
+    f"""
+    WITH {_PAYLOAD_CTE},
+    pcm AS (SELECT doc_id, n,
+                   list_transform(bytes, x -> (x - 128) * 256) AS s
+            FROM pbytes WHERE n > 0),
+    segs AS (SELECT doc_id, n, s, unnest(range(0, 4)) AS seg FROM pcm),
+    parts AS (
+      SELECT doc_id, seg, (seg * n) // 4 AS lo,
+             ((seg + 1) * n) // 4 AS hi, s
+      FROM segs),
+    vals AS (
+      SELECT doc_id, seg, hi - lo AS n_in_seg,
+             coalesce(list_sum(list_transform(
+               list_slice(s, CAST(lo + 1 AS INT), CAST(hi AS INT)),
+               x -> x * x)), 0) AS sumsq
+      FROM parts)
+    SELECT doc_id, CAST(seg AS INTEGER) AS seg,
+           CAST(n_in_seg AS BIGINT) AS n_in_seg,
+           CAST(sumsq AS BIGINT) AS sumsq,
+           round(CASE WHEN n_in_seg > 0 THEN
+                   sqrt(CAST(sumsq AS DOUBLE)
+                        / CAST(n_in_seg AS DOUBLE))
+                 END, 4) AS rms
+    FROM vals
+    """,
+    note="per-clip 4-segment energy envelope over REAL decoded PCM "
+    "(attack/sustain/decay shape above audio_vad's frame gate): "
+    "floor segment boundaries i*n//4, integer (count, sumsq) per "
+    "segment from the Arrow kernel, RMS one double; long scalar "
+    "form, never an array column",
+)
+def _multimodal_audio_envelope(spark, sf):
+    return multimodal.audio_envelope(
+        multimodal.attach_audio_payload(_t(spark, sf, "documents"))
+    )
+
+
+def _attach_sql_oracles_b5() -> None:
+    from .core import _REGISTRY, QuerySpec
+    from .. import sql as _sql
+
+    for name, stmt in (
+        ("sql_nation_top_customers", _sql.NATION_TOP_CUSTOMERS),
+    ):
+        spec = _REGISTRY[name]
+        _REGISTRY[name] = QuerySpec(spec.name, spec.fn, stmt, spec.note)
+
+
+_attach_sql_oracles_b5()

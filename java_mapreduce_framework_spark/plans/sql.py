@@ -593,3 +593,32 @@ SELECT n.n_name AS nation,
 FROM sides JOIN nation n ON n.n_nationkey = sides.nk
 GROUP BY n.n_name
 """
+
+
+#: Top-3 customers by lifetime revenue within each nation -- the
+#: windowed-SQL intake shape (rank inside a dimension partition,
+#: deterministic (revenue DESC, name) tie order). Revenue kept in
+#: exact 1e-4-dollar integer units until the final /10000 double
+#: (same truncate-vs-round rationale as NATION_TRADE_BALANCE).
+NATION_TOP_CUSTOMERS = """
+WITH rev AS (
+  SELECT c.c_nationkey AS nk, c.c_name,
+         CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(18,2))
+                     - CAST(l.l_discount AS DECIMAL(18,2)))) * 10000
+              AS BIGINT) AS rev_c4
+  FROM customer c
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY c.c_nationkey, c.c_name),
+rk AS (
+  SELECT nk, c_name, rev_c4,
+         row_number() OVER (
+           PARTITION BY nk ORDER BY rev_c4 DESC, c_name) AS rn
+  FROM rev)
+SELECT n.n_name AS nation, rk.c_name AS customer,
+       CAST(rk.rev_c4 AS DOUBLE) / CAST(10000 AS DOUBLE) AS revenue,
+       CAST(rn AS INTEGER) AS rank_in_nation
+FROM rk JOIN nation n ON n.n_nationkey = rk.nk
+WHERE rn <= 3
+"""

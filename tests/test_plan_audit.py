@@ -98,6 +98,9 @@ ALLOWED_NESTED_LOOP = {
     "stats_cronbach_alpha",  # friedman's k-row grid cross + two 1-row folds
     "events_active_days_histogram",  # 1-row broadcast user total
     "lm_source_cross_entropy",  # 1-row broadcast corpus token total
+    # round 9 batch 5
+    "stats_permutation_test",  # 64-row permutation-id broadcast + 1-row obs
+    "stats_hodges_lehmann",  # day-bounded half-month cross pair join
 }
 
 

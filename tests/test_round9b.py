@@ -536,3 +536,141 @@ def test_audio_dynamic_range_constant_tone_is_zero_db(spark):
     docs = _docs(spark, [(1, "zzzz", "en", "s")])  # constant bytes
     out = mm.audio_dynamic_range(mm.attach_audio_payload(docs)).collect()[0]
     assert out["crest_db"] == 0.0
+
+
+# ------------------------------------------------------ batch 5
+
+
+def test_permutation_test_null_effect_high_p(spark):
+    # identical values in both groups -> every permutation diff is 0
+    # >= |obs| = 0 -> p = 1
+    rows = [(i, "2024-01-05T10:00:00", 1, "a", 5.0) for i in range(40)]
+    out = analytics.permutation_test(_events(spark, rows)).collect()[0]
+    assert out["k_perms"] == 64
+    assert out["obs_diff"] == 0.0
+    assert out["n_perms_ge"] == 64 and out["p_value"] == 1.0
+
+
+def test_hodges_lehmann_constant_shift(spark):
+    # first half days all 100 cents, second half all 300 -> every
+    # pair difference 200 -> HL = 2.00
+    rows = []
+    i = 0
+    for d in (1, 2, 3):
+        rows.append((i, f"2024-01-{d:02d}T10:00:00", 1, "a", 1.0)); i += 1
+    for d in (20, 21, 22):
+        rows.append((i, f"2024-01-{d:02d}T10:00:00", 1, "a", 3.0)); i += 1
+    out = analytics.hodges_lehmann_shift(_events(spark, rows)).collect()[0]
+    assert out["n_pairs"] == 9
+    assert out["hl_shift"] == 2.0
+
+
+def test_ichimoku_flat_series(spark):
+    # constant closes: tenkan = kijun = close, spans null before row
+    # 27, chikou null in the last 26 rows (short series -> all null)
+    rows = [
+        (i, f"2024-01-{i+1:02d}T10:00:00", 1, "a", 4.0) for i in range(5)
+    ]
+    out = sorted(
+        temporal.window_ichimoku(_events(spark, rows)).collect(),
+        key=lambda r: r["day"],
+    )
+    assert all(r["tenkan"] == 4.0 and r["kijun"] == 4.0 for r in out)
+    assert all(r["senkou_a"] is None and r["chikou"] is None for r in out)
+
+
+def test_yule_k_uniform_text_is_zero_for_singletons(spark):
+    # all words distinct -> m2 == n -> K = 0
+    docs = _docs(spark, [(1, "a b c d e", "en", "s1")])
+    out = text.yule_k(docs).collect()[0]
+    assert out["yule_k"] == 0.0
+    # one word repeated r times: K = 1e4 * (r^2 - r)/r^2
+    docs2 = _docs(spark, [(2, "w w w w", "en", "s2")])
+    out2 = text.yule_k(docs2).collect()[0]
+    assert out2["yule_k"] == round(1e4 * (16 - 4) / 16.0, 4)
+
+
+def test_heaps_fit_pure_power_law(spark):
+    # every doc = 4 tokens, all globally distinct -> V = N exactly ->
+    # beta 1, K 1
+    docs = _docs(
+        spark,
+        [(d, " ".join(f"w{d}_{j}" for j in range(4)), "en", "s") for d in range(6)],
+    )
+    out = text.heaps_fit(docs).collect()[0]
+    assert out["n_points"] == 6
+    assert out["heaps_beta"] == 1.0
+    assert out["heaps_k"] == 1.0
+
+
+def test_resource_allocation_star(spark):
+    # star: hub 1 (deg 3) joins leaves pairwise -> RA = 1e6/3 per pair
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "doc_a long, doc_b long"
+    )
+    out = dedup.resource_allocation(pairs).collect()
+    assert len(out) == 3
+    assert all(r["ra_micro"] == round(1e6 / 3) for r in out)
+    assert all(r["common_neighbors"] == 1 for r in out)
+
+
+def test_open_backlog_ledger(spark):
+    orders = spark.createDataFrame(
+        [
+            (1, 10, "O", 5.0, datetime.datetime(1995, 1, 1), "1-URGENT"),
+            (2, 11, "O", 5.0, datetime.datetime(1995, 1, 2), "1-URGENT"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    )
+    li = spark.createDataFrame(
+        [
+            (1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+             datetime.datetime(1995, 1, 3)),
+            (1, 2, 2, 2, 1.0, 1.0, 0.0, 0.0, "N", "O",
+             datetime.datetime(1995, 1, 5)),
+            (2, 3, 3, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+             datetime.datetime(1995, 1, 2)),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    )
+    out = {
+        r["day"].day: r
+        for r in analytics.open_order_backlog(orders, li).collect()
+    }
+    # order 1 open 1/1 -> closes 1/5 (LAST ship); order 2 open+close 1/2
+    assert out[1]["open_backlog"] == 1
+    assert out[2]["n_opened"] == 1 and out[2]["n_closed"] == 1
+    assert out[2]["open_backlog"] == 1
+    assert out[5]["n_closed"] == 1 and out[5]["open_backlog"] == 0
+
+
+def test_image_quadrants_sum_to_total(spark):
+    from java_mapreduce_framework_spark.operators import multimodal as mm
+    import numpy as np
+
+    docs = _docs(spark, [(1, "quadrant balance probe text", "en", "s")])
+    out = mm.image_quadrants(mm.attach_image_payload(docs)).collect()[0]
+    px = mm.real_decode(
+        bytes(mm.attach_image_payload(docs).select("payload").collect()[0][0])
+    )
+    total = int(px.astype(np.int64).sum())
+    assert out["q_tl"] + out["q_tr"] + out["q_bl"] + out["q_br"] == total
+
+
+def test_audio_envelope_segments_partition_clip(spark):
+    from java_mapreduce_framework_spark.operators import multimodal as mm
+
+    docs = _docs(spark, [(1, "abcdefghijk", "en", "s")])  # n = 11
+    out = sorted(
+        mm.audio_envelope(mm.attach_audio_payload(docs)).collect(),
+        key=lambda r: r["seg"],
+    )
+    assert [r["seg"] for r in out] == [0, 1, 2, 3]
+    # floor boundaries of 11: sizes 2, 3, 3, 3
+    assert [r["n_in_seg"] for r in out] == [2, 3, 3, 3]
+    assert all(r["rms"] is not None and r["rms"] > 0 for r in out)

@@ -51,6 +51,9 @@ HEAVY_CEILINGS = {
     # round 9 batch 3: shares common_neighbors' wedge skeleton plus
     # a distinct on the wedge pairs (measured 361 KB at sf0.001)
     "graph_preferential_attachment": 550_000,
+    # round 9 batch 5: adamic_adar's skeleton with 1e6/deg credits
+    # (measured 476 KB at sf0.001)
+    "graph_resource_allocation": 720_000,
     "graph_label_propagation": 760_000,
     "graph_clustering_coeff": 550_000,
     # former heavy-listers, ceilings retained
