@@ -3867,3 +3867,248 @@ def open_order_backlog(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
         .cast("long")
         .alias("open_backlog"),
     )
+
+def g_test_independence(events: DataFrame) -> DataFrame:
+    """G-test (log-likelihood ratio) of event_type x day-of-week
+    independence -- the chi-square's LR sibling
+    (G = 2 sum n_ij ln(n_ij / expected)), additive across partitions
+    of the table and the better-behaved statistic at small expected
+    counts.
+
+    Same cell substrate as stats_chisq_independence; each cell's term
+    is ONE double off exact integers, rounded to integer nano-units
+    and summed EXACTLY -- the global G is an integer sum, never a
+    cross-cell double fold.
+
+    Emits ONE row (n_obs, n_cells, dof, g_stat).
+    """
+    cells = events.groupBy(
+        "event_type", F.dayofweek("ts").alias("dow")
+    ).agg(F.count("*").alias("n_obs"))
+    rt = cells.groupBy("event_type").agg(F.sum("n_obs").alias("rt"))
+    ct = cells.groupBy("dow").agg(F.sum("n_obs").alias("ct"))
+    tot = cells.agg(F.sum("n_obs").alias("n"))
+    term = (
+        F.lit(2.0)
+        * F.col("n_obs").cast("double")
+        * F.log(
+            F.col("n_obs").cast("double")
+            * F.col("n").cast("double")
+            / (F.col("rt").cast("double") * F.col("ct").cast("double"))
+        )
+    )
+    joined = (
+        cells.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .join(F.broadcast(tot))
+        .select(
+            "n",
+            "n_obs",
+            F.round(term * F.lit(1e9)).cast("long").alias("nano"),
+        )
+    )
+    agg = joined.agg(
+        F.max("n").cast("long").alias("n_obs"),
+        F.count("*").cast("long").alias("n_cells"),
+        F.sum("nano").alias("g_nano"),
+    )
+    lv = cells.agg(
+        F.count_distinct("event_type").alias("r"),
+        F.count_distinct("dow").alias("c"),
+    )
+    return agg.join(F.broadcast(lv)).select(
+        "n_obs",
+        "n_cells",
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("dof"),
+        F.round(F.col("g_nano") / F.lit(1e9), 4).alias("g_stat"),
+    )
+
+
+def bartlett_test(events: DataFrame) -> DataFrame:
+    """Bartlett's test of equal value-variance across event types --
+    stats_levene's parametric sibling (more powerful under
+    normality, famously fragile otherwise; run both and disagree
+    loudly).
+
+    Per-group sample variances come from exact integer cent moments
+    (n*ssq - s^2 over n(n-1)); the per-group ln terms are each ONE
+    double rounded to integer nano-units and folded exactly, so the
+    statistic never sums raw doubles in data order. Groups with n < 2
+    or zero variance are excluded on both engines (ln would blow up).
+
+    Emits ONE row (k_groups, n_total, bartlett_stat).
+    """
+    g = events.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("s"),
+        F.sum(
+            F.floor(F.col("value") * 100).cast("long")
+            * F.floor(F.col("value") * 100).cast("long")
+        ).alias("ssq"),
+    ).filter(
+        (F.col("n") >= 2)
+        & (F.col("n") * F.col("ssq") - F.col("s") * F.col("s") > 0)
+    )
+    s2 = (
+        (F.col("n") * F.col("ssq") - F.col("s") * F.col("s")).cast("double")
+        / (F.col("n") * (F.col("n") - 1)).cast("double")
+    )
+    # per-group terms each ONE double, rounded to integer units
+    # BEFORE the cross-group fold (group order must not matter):
+    # (n-1)*s2 at micro scale (nano overflows int64 when n * cent
+    # variance nears 1e10), the two log/reciprocal terms at nano
+    per = g.select(
+        "n",
+        (F.col("n") - 1).alias("df"),
+        F.round(
+            (
+                (F.col("n") * F.col("ssq") - F.col("s") * F.col("s")).cast(
+                    "double"
+                )
+                / F.col("n").cast("double")
+            )
+            * F.lit(1e6)
+        ).cast("long").alias("ss_micro"),
+        F.round(
+            (F.col("n") - 1).cast("double") * F.log(s2) * F.lit(1e9)
+        ).cast("long").alias("ln_nano"),
+        F.round(F.lit(1e9) / (F.col("n") - 1).cast("double"))
+        .cast("long")
+        .alias("inv_df_nano"),
+    )
+    agg = per.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n").cast("long").alias("n_total"),
+        F.sum("df").alias("df_tot"),
+        F.sum("ss_micro").alias("ss_micro_tot"),
+        F.sum("ln_nano").alias("ln_sum_nano"),
+        F.sum("inv_df_nano").alias("inv_sum_nano"),
+    )
+    sp2 = (
+        F.col("ss_micro_tot").cast("double") / F.lit(1e6)
+    ) / F.col("df_tot").cast("double")
+    num = (
+        F.col("df_tot").cast("double") * F.log(sp2)
+        - F.col("ln_sum_nano").cast("double") / F.lit(1e9)
+    )
+    c = F.lit(1.0) + (
+        F.col("inv_sum_nano").cast("double") / F.lit(1e9)
+        - F.lit(1.0) / F.col("df_tot").cast("double")
+    ) / (F.lit(3.0) * (F.col("k") - 1).cast("double"))
+    return agg.select(
+        "k",
+        "n_total",
+        F.round(num / c, 4).alias("bartlett_stat"),
+    )
+
+
+def supplier_leadtime(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """Per-supplier fulfilment lead time: mean and variance of the
+    order-date -> ship-date gap in days -- the vendor scorecard
+    (orders_ship_delay_profile's histogram view, resolved to WHO is
+    slow and HOW erratically).
+
+    Integer day deltas; variance assembled from exact integer moment
+    sums at n^2 scale (one double division). Output is
+    supplier-dimension-sized.
+
+    Emits (l_suppkey, n_items, mean_days, var_days).
+    """
+    j = lineitem.select("l_orderkey", "l_suppkey", "l_shipdate").join(
+        orders.select(
+            F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
+        ),
+        "l_orderkey",
+    )
+    d = j.select(
+        "l_suppkey",
+        F.datediff("l_shipdate", "o_orderdate").cast("long").alias("dd"),
+    )
+    agg = d.groupBy("l_suppkey").agg(
+        F.count("*").alias("n"),
+        F.sum("dd").alias("s"),
+        F.sum(F.col("dd") * F.col("dd")).alias("ssq"),
+    )
+    return agg.select(
+        "l_suppkey",
+        F.col("n").cast("long").alias("n_items"),
+        F.round(
+            F.col("s").cast("double") / F.col("n").cast("double"), 4
+        ).alias("mean_days"),
+        F.round(
+            F.when(
+                F.col("n") >= 2,
+                (
+                    F.col("n") * F.col("ssq") - F.col("s") * F.col("s")
+                ).cast("double")
+                / (F.col("n") * (F.col("n") - 1)).cast("double"),
+            ),
+            4,
+        ).alias("var_days"),
+    )
+
+
+def dp_exponential_median(events: DataFrame, epsilon: float = 1.0) -> DataFrame:
+    """Differentially-private median of the event value via the
+    exponential mechanism -- dp_noisy_counts' sibling for a
+    NON-additive statistic (Laplace noise on a median is wrong; the
+    exponential mechanism selects a candidate with probability
+    proportional to exp(eps * u / 2) where u = -|rank - n/2|).
+
+    Selection is DETERMINISTIC md5-Gumbel (the engine's seeded-noise
+    discipline): each distinct cent value draws
+    g = -ln(-ln(md5_uniform)) from its own digest, and the mechanism
+    picks argmax of eps*u/2 + g -- distributionally the exponential
+    mechanism, reproducible on both engines digit for digit. Scores
+    and the argmax tie-break (highest score, then lowest value) are
+    computed on identically-derived doubles.
+
+    Emits ONE row (n_obs, n_candidates, true_median, dp_median).
+    """
+    cents = F.floor(F.col("value") * 100).cast("long")
+    vals = events.select(cents.alias("v_c"))
+    n_row = vals.agg(
+        F.count("*").alias("n"),
+        F.percentile("v_c", F.lit(0.5)).alias("true_med_c"),
+    )
+    by_val = vals.groupBy("v_c").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy("v_c")
+    ranked = by_val.select(
+        "v_c",
+        "cnt",
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("below"),
+    )
+    # uniform in (0,1) from the first 12 hex digits of the value's md5
+    hx = F.md5(F.concat(F.col("v_c").cast("string"), F.lit("|expmed")))
+    u01 = (
+        F.conv(F.substring(hx, 1, 12), 16, 10).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(16 ** 12 + 2))
+    gumbel = -F.log(-F.log(u01))
+    scored = ranked.join(F.broadcast(n_row)).select(
+        "v_c",
+        "n",
+        "true_med_c",
+        (
+            F.lit(epsilon / 2.0)
+            * -F.abs(
+                (F.col("below") + F.col("cnt")).cast("double")
+                - F.col("n").cast("double") / F.lit(2.0)
+            )
+            + gumbel
+        ).alias("score"),
+    )
+    wpick = Window.orderBy(F.col("score").desc(), F.col("v_c"))
+    pick = scored.select(
+        "n",
+        "true_med_c",
+        "v_c",
+        F.row_number().over(wpick).alias("rn"),
+    ).filter(F.col("rn") == 1)
+    n_cand = scored.agg(F.count("*").alias("n_candidates"))
+    return pick.join(F.broadcast(n_cand)).select(
+        F.col("n").cast("long").alias("n_obs"),
+        F.col("n_candidates").cast("long").alias("n_candidates"),
+        F.round(F.col("true_med_c") / 100.0, 4).alias("true_median"),
+        F.round(F.col("v_c") / 100.0, 2).alias("dp_median"),
+    )

@@ -2669,3 +2669,62 @@ def resource_allocation(pairs: DataFrame) -> DataFrame:
     return wedges.join(
         pairs.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti"
     ).select("doc_a", "doc_b", "common_neighbors", "ra_micro")
+
+
+def global_transitivity(pairs: DataFrame) -> DataFrame:
+    """Global transitivity (wedge closure rate) of the near-dup /
+    co-purchase graph: 3 * triangles / wedges -- the ONE-number
+    companion to the per-node ``clustering_coefficient`` (a graph can
+    hold high local coefficients yet low transitivity when hubs stay
+    open; this is the hub-weighted truth).
+
+    Wedges = sum over nodes of deg*(deg-1)/2 (exact integers off the
+    degree table); closed wedges counted by joining each wedge's
+    endpoints against the edge set (the triangle_count bound:
+    fan-out deg(hub)^2, one keyed semi-join). The ratio is ONE
+    double.
+
+    Emits ONE row (n_nodes, n_wedges, n_closed_wedges, transitivity).
+    """
+    pairs = pairs.localCheckpoint()
+    e = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+        )
+        .localCheckpoint()
+    )
+    degs = e.groupBy(F.col("a").alias("doc_id")).agg(
+        F.count("*").alias("deg")
+    )
+    wedge_total = degs.agg(
+        F.count("*").alias("n_nodes"),
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2)
+        .cast("long")
+        .alias("n_wedges"),
+    )
+    w1 = e.select(F.col("a").alias("hub"), F.col("b").alias("x"))
+    w2 = e.select(F.col("a").alias("hub"), F.col("b").alias("y"))
+    open_wedges = (
+        w1.join(w2, "hub").filter(F.col("x") < F.col("y"))
+    )
+    closed = open_wedges.join(
+        pairs.select(
+            F.col("doc_a").alias("x"), F.col("doc_b").alias("y")
+        ),
+        ["x", "y"],
+        "left_semi",
+    ).agg(F.count("*").alias("n_closed"))
+    return wedge_total.join(F.broadcast(closed)).select(
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        "n_wedges",
+        F.col("n_closed").cast("long").alias("n_closed_wedges"),
+        F.round(
+            F.when(
+                F.col("n_wedges") > 0,
+                F.col("n_closed").cast("double")
+                / F.col("n_wedges").cast("double"),
+            ),
+            6,
+        ).alias("transitivity"),
+    )

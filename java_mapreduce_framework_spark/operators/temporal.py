@@ -2533,3 +2533,43 @@ def window_ichimoku(events: DataFrame) -> DataFrame:
             F.lead("close_c", 26).over(wo).cast("double") / 100.0, 6
         ).alias("chikou"),
     )
+
+def window_zscore_rolling(
+    events: DataFrame, z_window: int = 14
+) -> DataFrame:
+    """Rolling z-score of each user's daily close against its own
+    trailing 14-day mean/std -- hourly_anomaly_zscore's cousin scoped
+    to the price series (the mean-reversion / anomaly trigger that
+    Bollinger %b expresses in band units).
+
+    Mean and variance are assembled from exact integer-cent window
+    sums (n*ssq - s^2 at n^2 scale); z is ONE double expression, NULL
+    on flat windows and on the first day (n == 1).
+
+    Emits (user_id, day, close_c, zscore).
+    """
+    candle = _daily_candle(events)
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(-(z_window - 1), 0)
+    )
+    n = F.count("*").over(wr)
+    s = F.sum("close_c").over(wr)
+    ssq = F.sum(F.col("close_c") * F.col("close_c")).over(wr)
+    var_n2 = n * ssq - s * s
+    z = (
+        (n * F.col("close_c") - s).cast("double")
+        / F.sqrt(
+            (var_n2 * n).cast("double") / (n - 1).cast("double")
+        )
+    )
+    return candle.select(
+        "user_id",
+        "day",
+        F.col("close_c").cast("long").alias("close_c"),
+        F.round(
+            F.when((n >= 2) & (var_n2 > 0), z),
+            4,
+        ).alias("zscore"),
+    )

@@ -266,13 +266,9 @@ _RECORDED_ROUND8 = frozenset(
 )
 
 
-#: New or semantically MODIFIED in round 9, plus the 9 names the
-#: rotating 50-slot sample has NEVER reached through 8 rounds (VERDICT
-#: r08 "Next round" #4: drain them so the cumulative driver record is
-#: complete). embedding_pq_quantize (r08 canonicalizer ERR -> codes
-#: flattened to a scalar string this round) and embedding_pca_project
-#: (proj array<double> -> long form (vec_id, dim, value) this round)
-#: are schema-modified, so their only valid verdict is a fresh one.
+#: New in round 9 (batches 1-5). The schema-modified pair and the
+#: nine never-driver-sampled names live in _FRESH_ROUND9_CRITICAL
+#: below, one tier ahead of these.
 _FRESH_ROUND9 = frozenset(
     {
         # new this round (plans/registry/round9.py)
@@ -343,6 +339,13 @@ _FRESH_ROUND9 = frozenset(
         "graph_degree_gini",
         "multimodal_image_contrast",
         "multimodal_audio_dynamic_range",
+        # new this round, batch 6 (plans/registry/round9b.py)
+        "stats_g_test",
+        "stats_bartlett",
+        "window_zscore_rolling",
+        "orders_supplier_leadtime",
+        "graph_transitivity",
+        "dp_exponential_median",
         # new this round, batch 5 (plans/registry/round9b.py)
         "stats_permutation_test",
         "stats_hodges_lehmann",
@@ -354,6 +357,19 @@ _FRESH_ROUND9 = frozenset(
         "sql_nation_top_customers",
         "multimodal_image_quadrants",
         "multimodal_audio_envelope",
+    }
+)
+
+
+#: MUST land in CORRECTNESS_r09's 50 slots even though they are
+#: rows-only (which normally yields the slot to an oracle-bearing
+#: name): the two round-9 schema fixes whose only valid verdict is a
+#: fresh driver run (VERDICT r08 item #1), and the nine names the
+#: rotating sample never reached through 8 rounds (item #4). With
+#: ~110 round-9-fresh names competing for 50 slots, the ordinary
+#: rows-only demotion would starve exactly these again.
+_FRESH_ROUND9_CRITICAL = frozenset(
+    {
         # schema-modified this round (driver scalar-only contract)
         "embedding_pq_quantize",
         "embedding_pca_project",
@@ -412,6 +428,10 @@ def _record_staleness(name: str) -> int:
     """-1 = new/modified this round (very front of the sweep), 0 =
     never officially recorded, then the round whose sweep last
     recorded the name (lower = staler verdict)."""
+    if name in _FRESH_ROUND9_CRITICAL:
+        # guaranteed slots: rows-only names the ordinary demotion
+        # would starve behind ~110 oracle-bearing round-9 entries
+        return -2
     if name in _FRESH_ROUND9:
         return -1
     if name in _RECORDED_ROUND8:

@@ -1452,3 +1452,235 @@ def _attach_sql_oracles_b5() -> None:
 
 
 _attach_sql_oracles_b5()
+
+
+# ------------------------------------------------ batch 6 (same round)
+
+
+@_register(
+    "stats_g_test",
+    """
+    WITH cells AS (
+      SELECT event_type,
+             dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS dow,
+             count(*) AS n_obs
+      FROM events GROUP BY 1, 2),
+    rt AS (SELECT event_type, sum(n_obs) AS rt FROM cells GROUP BY 1),
+    ct AS (SELECT dow, sum(n_obs) AS ct FROM cells GROUP BY 1),
+    tot AS (SELECT sum(n_obs) AS n FROM cells),
+    terms AS (
+      SELECT n, n_obs,
+             CAST(round(2.0 * CAST(n_obs AS DOUBLE)
+                        * ln(CAST(n_obs AS DOUBLE) * CAST(n AS DOUBLE)
+                             / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)))
+                        * 1e9) AS BIGINT) AS nano
+      FROM cells JOIN rt USING (event_type) JOIN ct USING (dow), tot),
+    lv AS (SELECT count(DISTINCT event_type) AS r,
+                  count(DISTINCT dow) AS c
+           FROM cells)
+    SELECT CAST(max(n) AS BIGINT) AS n_obs,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST((max(r) - 1) * (max(c) - 1) AS BIGINT) AS dof,
+           round(sum(nano) / 1e9, 4) AS g_stat
+    FROM terms, lv
+    """,
+    note="G-test (log-likelihood ratio) of event_type x day-of-week "
+    "independence -- chi-square's additive LR sibling: per-cell "
+    "terms one double each off exact integers, rounded to integer "
+    "nano-units, summed exactly",
+)
+def _stats_g_test(spark, sf):
+    return analytics.g_test_independence(_t(spark, sf, "events"))
+
+
+@_register(
+    "stats_bartlett",
+    """
+    WITH g AS (
+      SELECT event_type, count(*) AS n,
+             sum(CAST(floor(value * 100.0) AS BIGINT)) AS s,
+             sum(CAST(floor(value * 100.0) AS BIGINT)
+                 * CAST(floor(value * 100.0) AS BIGINT)) AS ssq
+      FROM events GROUP BY event_type),
+    f AS (SELECT * FROM g
+          WHERE n >= 2 AND n * ssq - s * s > 0),
+    per AS (
+      SELECT n, n - 1 AS df,
+             CAST(round((CAST(CAST(n * ssq - s * s AS BIGINT) AS DOUBLE)
+                         / CAST(n AS DOUBLE)) * 1e6) AS BIGINT)
+               AS ss_micro,
+             CAST(round(CAST(n - 1 AS DOUBLE)
+                        * ln(CAST(CAST(n * ssq - s * s AS BIGINT)
+                                  AS DOUBLE)
+                             / CAST(CAST(n * (n - 1) AS BIGINT)
+                                    AS DOUBLE))
+                        * 1e9) AS BIGINT) AS ln_nano,
+             CAST(round(1e9 / CAST(n - 1 AS DOUBLE)) AS BIGINT)
+               AS inv_df_nano
+      FROM f),
+    a AS (
+      SELECT count(*) AS k, sum(n) AS n_total, sum(df) AS df_tot,
+             sum(ss_micro) AS ss_micro_tot,
+             sum(ln_nano) AS ln_sum_nano,
+             sum(inv_df_nano) AS inv_sum_nano
+      FROM per)
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(n_total AS BIGINT) AS n_total,
+           round((CAST(df_tot AS DOUBLE)
+                  * ln((CAST(ss_micro_tot AS DOUBLE) / 1e6)
+                       / CAST(df_tot AS DOUBLE))
+                  - CAST(ln_sum_nano AS DOUBLE) / 1e9)
+                 / (1.0 + (CAST(inv_sum_nano AS DOUBLE) / 1e9
+                           - 1.0 / CAST(df_tot AS DOUBLE))
+                          / (3.0 * CAST(k - 1 AS DOUBLE))), 4)
+             AS bartlett_stat
+    FROM a
+    """,
+    note="Bartlett's equal-variance test across event types "
+    "(stats_levene's parametric sibling): per-group variance/log/"
+    "reciprocal terms each one double off exact integer cent "
+    "moments, rounded to integer micro/nano units BEFORE the "
+    "cross-group fold (group order cannot matter)",
+)
+def _stats_bartlett(spark, sf):
+    return analytics.bartlett_test(_t(spark, sf, "events"))
+
+
+@_register(
+    "window_zscore_rolling",
+    f"""
+    WITH {_CANDLE_CTE},
+    rz AS (
+      SELECT user_id, day, close_c,
+             count(*) OVER wr AS n,
+             sum(close_c) OVER wr AS s,
+             sum(close_c * close_c) OVER wr AS ssq
+      FROM candle
+      WINDOW wr AS (PARTITION BY user_id ORDER BY day
+                    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+    SELECT user_id, day, CAST(close_c AS BIGINT) AS close_c,
+           round(CASE WHEN n >= 2 AND n * ssq - s * s > 0 THEN
+                   CAST(n * close_c - s AS DOUBLE)
+                   / sqrt(CAST((n * ssq - s * s) * n AS DOUBLE)
+                          / CAST(n - 1 AS DOUBLE))
+                 END, 4) AS zscore
+    FROM rz
+    """,
+    note="rolling 14-day z-score of each user's daily close against "
+    "its own trailing mean/std: exact integer-cent window moments at "
+    "n^2 scale, z one double; flat windows and day one NULL",
+)
+def _window_zscore_rolling(spark, sf):
+    return temporal.window_zscore_rolling(_t(spark, sf, "events"))
+
+
+@_register(
+    "orders_supplier_leadtime",
+    """
+    WITH d AS (
+      SELECT l.l_suppkey,
+             date_diff('day', o.o_orderdate, l.l_shipdate) AS dd
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    a AS (
+      SELECT l_suppkey, count(*) AS n, sum(dd) AS s,
+             sum(dd * dd) AS ssq
+      FROM d GROUP BY l_suppkey)
+    SELECT l_suppkey, CAST(n AS BIGINT) AS n_items,
+           round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 4) AS mean_days,
+           round(CASE WHEN n >= 2 THEN
+                   CAST(CAST(n * ssq - s * s AS BIGINT) AS DOUBLE)
+                   / CAST(CAST(n * (n - 1) AS BIGINT) AS DOUBLE)
+                 END, 4) AS var_days
+    FROM a
+    """,
+    note="per-supplier fulfilment lead time (mean + variance of "
+    "order->ship days; the vendor scorecard behind "
+    "orders_ship_delay_profile's histogram): integer day deltas, "
+    "n^2-scaled exact variance, supplier-dimension-sized output",
+)
+def _orders_supplier_leadtime(spark, sf):
+    return analytics.supplier_leadtime(
+        _t(spark, sf, "lineitem"), _t(spark, sf, "orders")
+    )
+
+
+@_register(
+    "graph_transitivity",
+    f"""
+    WITH {_COPURCHASE_CTE},
+    wt AS (
+      SELECT count(*) AS n_nodes,
+             CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges
+      FROM degs),
+    ow AS (
+      SELECT w1.b AS x, w2.b AS y
+      FROM edges w1 JOIN edges w2
+        ON w1.a = w2.a AND w1.b < w2.b),
+    cw AS (
+      SELECT count(*) AS n_closed
+      FROM ow SEMI JOIN cooc ON cooc.doc_a = ow.x AND cooc.doc_b = ow.y)
+    SELECT CAST(n_nodes AS BIGINT) AS n_nodes, n_wedges,
+           CAST(n_closed AS BIGINT) AS n_closed_wedges,
+           round(CASE WHEN n_wedges > 0 THEN
+                   CAST(n_closed AS DOUBLE) / CAST(n_wedges AS DOUBLE)
+                 END, 6) AS transitivity
+    FROM wt, cw
+    """,
+    note="global transitivity (3*triangles/wedges) of the "
+    "co-purchase graph -- the hub-weighted one-number companion to "
+    "the per-node clustering coefficient: integer wedge counts off "
+    "the degree table, closed wedges via one keyed semi-join, ratio "
+    "one double",
+)
+def _graph_transitivity(spark, sf):
+    from .closers import _copurchase_pairs
+
+    return dedup.global_transitivity(_copurchase_pairs(spark, sf))
+
+
+@_register(
+    "dp_exponential_median",
+    """
+    WITH vals AS (
+      SELECT CAST(floor(value * 100.0) AS BIGINT) AS v_c FROM events),
+    nr AS (SELECT count(*) AS n,
+                  quantile_cont(v_c, 0.5) AS true_med_c
+           FROM vals),
+    bv AS (SELECT v_c, count(*) AS cnt FROM vals GROUP BY v_c),
+    rk AS (
+      SELECT v_c, cnt,
+             sum(cnt) OVER (ORDER BY v_c
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - cnt AS below
+      FROM bv),
+    sc AS (
+      SELECT v_c, n, true_med_c,
+             0.5 * -abs(CAST(below + cnt AS DOUBLE)
+                        - CAST(n AS DOUBLE) / 2.0)
+             + -ln(-ln((list_sum(list_transform(range(1, 13), i ->
+                 (strpos('0123456789abcdef',
+                         substr(md5(CAST(v_c AS VARCHAR) || '|expmed'),
+                                CAST(i AS INT), 1)) - 1)
+                 * pow(16, 12 - i))) + 1.0) / 281474976710658.0))
+               AS score
+      FROM rk, nr),
+    pick AS (
+      SELECT v_c, n, true_med_c,
+             row_number() OVER (ORDER BY score DESC, v_c) AS rn
+      FROM sc),
+    nc AS (SELECT count(*) AS n_candidates FROM sc)
+    SELECT CAST(n AS BIGINT) AS n_obs,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           round(true_med_c / 100.0, 4) AS true_median,
+           round(v_c / 100.0, 2) AS dp_median
+    FROM pick, nc WHERE rn = 1
+    """,
+    note="differentially-private median via the exponential "
+    "mechanism with DETERMINISTIC md5-Gumbel selection "
+    "(dp_noisy_counts' discipline for a non-additive statistic): "
+    "12-hex-digit uniform is an exact integer < 2^53 on both "
+    "engines, utility = -|rank - n/2|, argmax ties (score DESC, "
+    "value) deterministic",
+)
+def _dp_exponential_median(spark, sf):
+    return analytics.dp_exponential_median(_t(spark, sf, "events"))

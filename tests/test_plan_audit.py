@@ -101,6 +101,10 @@ ALLOWED_NESTED_LOOP = {
     # round 9 batch 5
     "stats_permutation_test",  # 64-row permutation-id broadcast + 1-row obs
     "stats_hodges_lehmann",  # day-bounded half-month cross pair join
+    # round 9 batch 6
+    "stats_g_test",  # 1-row grand total + 1-row level counts
+    "graph_transitivity",  # 1-row wedge total x 1-row closed count
+    "dp_exponential_median",  # 1-row (n, true median) + candidate count
 }
 
 

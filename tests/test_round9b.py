@@ -674,3 +674,96 @@ def test_audio_envelope_segments_partition_clip(spark):
     # floor boundaries of 11: sizes 2, 3, 3, 3
     assert [r["n_in_seg"] for r in out] == [2, 3, 3, 3]
     assert all(r["rms"] is not None and r["rms"] > 0 for r in out)
+
+
+# ------------------------------------------------------ batch 6
+
+
+def test_g_test_independent_table_is_zero(spark):
+    rows = []
+    i = 0
+    for day in ("2024-01-01", "2024-01-02"):
+        for t, reps in (("a", 2), ("b", 4)):
+            for _ in range(reps):
+                rows.append((i, f"{day}T10:00:00", 1, t, 1.0))
+                i += 1
+    out = analytics.g_test_independence(_events(spark, rows)).collect()[0]
+    assert out["dof"] == 1 and out["g_stat"] == 0.0
+
+
+def test_bartlett_equal_variances_near_zero(spark):
+    # identical value multisets per type -> identical variances ->
+    # statistic 0 (up to the nano rounding of identical terms: exact 0)
+    rows = []
+    i = 0
+    for t in ("a", "b"):
+        for v in (1.0, 2.0, 3.0, 4.0):
+            rows.append((i, "2024-01-05T10:00:00", 1, t, v))
+            i += 1
+    out = analytics.bartlett_test(_events(spark, rows)).collect()[0]
+    assert out["k"] == 2 and out["n_total"] == 8
+    assert abs(out["bartlett_stat"]) < 1e-6
+
+
+def test_zscore_rolling_flat_is_null_spike_positive(spark):
+    rows = [
+        (i, f"2024-01-{i+1:02d}T10:00:00", 1, "a", 5.0) for i in range(4)
+    ]
+    rows.append((9, "2024-01-05T10:00:00", 1, "a", 50.0))
+    out = sorted(
+        temporal.window_zscore_rolling(_events(spark, rows)).collect(),
+        key=lambda r: r["day"],
+    )
+    assert out[0]["zscore"] is None  # n == 1
+    assert all(r["zscore"] is None for r in out[1:4])  # flat window
+    assert out[4]["zscore"] > 1.5  # the spike
+
+
+def test_supplier_leadtime_exact(spark):
+    orders = spark.createDataFrame(
+        [(1, 1, "O", 1.0, datetime.datetime(1995, 1, 1), "x")],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    )
+    li = spark.createDataFrame(
+        [
+            (1, 1, 7, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+             datetime.datetime(1995, 1, 3)),
+            (1, 2, 7, 2, 1.0, 1.0, 0.0, 0.0, "N", "O",
+             datetime.datetime(1995, 1, 7)),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    )
+    out = analytics.supplier_leadtime(li, orders).collect()[0]
+    # gaps 2 and 6 days: mean 4, sample var = ((2-4)^2+(6-4)^2)/1 = 8
+    assert out["n_items"] == 2
+    assert out["mean_days"] == 4.0 and out["var_days"] == 8.0
+
+
+def test_transitivity_triangle_vs_path(spark):
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "doc_a long, doc_b long"
+    )
+    out = dedup.global_transitivity(tri).collect()[0]
+    assert out["n_wedges"] == 3 and out["n_closed_wedges"] == 3
+    assert out["transitivity"] == 1.0
+    path = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    out2 = dedup.global_transitivity(path).collect()[0]
+    assert out2["n_wedges"] == 1 and out2["n_closed_wedges"] == 0
+    assert out2["transitivity"] == 0.0
+
+
+def test_dp_exponential_median_near_true(spark):
+    # strong epsilon and a long run of identical central values ->
+    # the mechanism lands on (or adjacent to) the true median
+    rows = [(i, "2024-01-05T10:00:00", 1, "a", 5.0) for i in range(50)]
+    rows += [(100 + i, "2024-01-05T11:00:00", 1, "a", 1.0) for i in range(5)]
+    rows += [(200 + i, "2024-01-05T12:00:00", 1, "a", 9.0) for i in range(5)]
+    out = analytics.dp_exponential_median(_events(spark, rows)).collect()[0]
+    assert out["n_obs"] == 60 and out["n_candidates"] == 3
+    assert out["true_median"] == 5.0
+    assert out["dp_median"] in (1.0, 5.0, 9.0)
