@@ -3730,7 +3730,8 @@ def permutation_test(events: DataFrame, k_perms: int = 64) -> DataFrame:
         1,
     ).otherwise(0)
     base = events.select(cents.alias("v_c"), obs_bit.alias("g"), "event_id")
-    def diff_for(df, grp):
+
+    def mean_diff(grp):
         a_n = F.sum(F.when(grp == 1, 1).otherwise(0))
         a_s = F.sum(F.when(grp == 1, F.col("v_c")).otherwise(0))
         b_n = F.sum(F.when(grp == 0, 1).otherwise(0))
@@ -3739,7 +3740,8 @@ def permutation_test(events: DataFrame, k_perms: int = 64) -> DataFrame:
             a_s.cast("double") / a_n.cast("double")
             - b_s.cast("double") / b_n.cast("double")
         )
-    obs = base.agg(diff_for(base, F.col("g")).alias("obs_diff"))
+
+    obs = base.agg(mean_diff(F.col("g")).alias("obs_diff"))
     ks = events.sparkSession.range(k_perms).select(
         F.col("id").cast("int").alias("k")
     )
@@ -3761,14 +3763,7 @@ def permutation_test(events: DataFrame, k_perms: int = 64) -> DataFrame:
         base.join(F.broadcast(ks))
         .select("v_c", "k", perm_bit.alias("g"))
         .groupBy("k")
-        .agg(
-            (
-                F.sum(F.when(F.col("g") == 1, F.col("v_c")).otherwise(0)).cast("double")
-                / F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("double")
-                - F.sum(F.when(F.col("g") == 0, F.col("v_c")).otherwise(0)).cast("double")
-                / F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).cast("double")
-            ).alias("diff_k")
-        )
+        .agg(mean_diff(F.col("g")).alias("diff_k"))
     )
     race = per_k.join(F.broadcast(obs)).agg(
         F.count("*").cast("long").alias("k_perms"),

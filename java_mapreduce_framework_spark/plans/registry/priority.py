@@ -340,6 +340,7 @@ _FRESH_ROUND9 = frozenset(
         "multimodal_image_contrast",
         "multimodal_audio_dynamic_range",
         # new this round, batch 6 (plans/registry/round9b.py)
+        "stream_cdc_upsert",
         "stats_g_test",
         "stats_bartlett",
         "window_zscore_rolling",

@@ -1684,3 +1684,37 @@ def _graph_transitivity(spark, sf):
 )
 def _dp_exponential_median(spark, sf):
     return analytics.dp_exponential_median(_t(spark, sf, "events"))
+
+
+@_register(
+    "stream_cdc_upsert",
+    f"""
+    WITH base AS (SELECT event_id, ts, user_id, event_type, value,
+                         0 AS version
+                  FROM {_EVTS}),
+    upd AS (SELECT event_id, ts + INTERVAL 1 HOUR AS ts, user_id,
+                   event_type, round(value * 2, 2) AS value,
+                   1 AS version
+            FROM {_EVTS} WHERE event_id % 10 = 0),
+    u AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+    r AS (SELECT *, row_number() OVER (PARTITION BY event_id
+                                       ORDER BY version DESC, ts DESC)
+                      AS rnk
+          FROM u)
+    SELECT event_id, ts, user_id, event_type,
+           round(value, 2) AS value, version
+    FROM r WHERE rnk = 1
+    """,
+    note="MERGE INTO as a stream: change-batch files upsert into a "
+    "persisted parquet target inside foreachBatch (read target + "
+    "union + latest-(version, ts)-wins + overwrite) -- "
+    "cdc_latest_wins' kernel made continuous. Latest-wins is "
+    "associative over batches, so the drained target equals the "
+    "batch oracle regardless of microbatch slicing "
+    "(maxFilesPerTrigger=2 forces several), and re-merging an "
+    "already-applied batch is a no-op (restart safety)",
+)
+def _stream_cdc_upsert(spark, sf):
+    from ...streaming.jobs import stream_cdc_upsert
+
+    return stream_cdc_upsert(spark, sf)

@@ -919,3 +919,103 @@ def stream_session_timeout(
         "n_events",
         "closed_by",
     )
+
+
+def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGE INTO kernel as a stream: change batches arrive as
+    files (base snapshot rows at version 0, amended rows at version
+    1), and every microbatch upserts into a persisted parquet target
+    inside ``foreachBatch`` -- read target, union the batch, keep the
+    newest (version, ts) per key, overwrite. This is the streaming
+    form of ``cdc_latest_wins``'s batch kernel and the production
+    shape of a continuously-maintained mutable table on an immutable
+    store (Delta/Iceberg MERGE does exactly this per commit).
+
+    Latest-wins is associative and commutative over batches, so the
+    final target is INDEPENDENT of how the file source slices
+    microbatches (``maxFilesPerTrigger=2`` forces several) -- which
+    is what makes the bounded drain equal to the batch oracle, and
+    what makes the operator restart-safe in production: re-merging an
+    already-applied batch is a no-op.
+
+    At 100 TB the full-target rewrite becomes partition-pruned
+    (dynamic partition overwrite on the touched keys' partitions --
+    exercised by sink_dynamic_overwrite); the MERGE logic here is
+    unchanged.
+
+    Emits the final table (event_id, ts, user_id, event_type, value,
+    version).
+    """
+    import shutil
+
+    from ..sources.roundtrip import _needs_restage
+    from ..sources.tables import source_fingerprint
+
+    sf_name = pathlib.Path(sf_dir).name
+    stage = _REPO_ROOT / ".tmp" / "stream" / f"{sf_name}_cdc_upsert"
+    fp = source_fingerprint(sf_dir, "events")
+    if _needs_restage(stage, fp):
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        base = ev.withColumn("version", F.lit(0))
+        upd = (
+            ev.filter(F.pmod("event_id", F.lit(10)) == 0)
+            .select(
+                "event_id",
+                (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts"),
+                "user_id",
+                "event_type",
+                F.round(F.col("value") * 2, 2).alias("value"),
+                F.lit(1).alias("version"),
+            )
+        )
+        shutil.rmtree(stage, ignore_errors=True)
+        base.repartition(3).write.mode("overwrite").parquet(
+            str(stage / "data")
+        )
+        upd.repartition(1).write.mode("append").parquet(str(stage / "data"))
+        (stage / "_STAGED").write_text(fp)
+
+    src = str(stage / "data")
+    schema = spark.read.parquet(src).schema
+    sink = stage / "target"
+    ckpt = _ckpt_root() / f"cdc_upsert_{uuid.uuid4().hex[:12]}"
+    shutil.rmtree(sink, ignore_errors=True)
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        bs = batch_df.sparkSession
+        if (sink / "_SUCCESS").exists():
+            target = bs.read.parquet(str(sink))
+            merged_in = target.unionByName(batch_df)
+        else:
+            merged_in = batch_df
+        w = Window.partitionBy("event_id").orderBy(
+            F.col("version").desc(), F.col("ts").desc()
+        )
+        merged = (
+            merged_in.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") == 1)
+            .drop("rnk")
+            .localCheckpoint()  # materialize BEFORE overwriting the input
+        )
+        merged.write.mode("overwrite").parquet(str(sink))
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+        .writeStream.foreachBatch(merge)
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(str(sink)).select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        F.round("value", 2).alias("value"),
+        F.col("version").cast("int").alias("version"),
+    )

@@ -767,3 +767,34 @@ def test_dp_exponential_median_near_true(spark):
     assert out["n_obs"] == 60 and out["n_candidates"] == 3
     assert out["true_median"] == 5.0
     assert out["dp_median"] in (1.0, 5.0, 9.0)
+
+
+def test_stream_cdc_upsert_batch_boundary_invariance(spark, sf_small):
+    """The drained streaming target must equal the batch latest-wins
+    kernel row for row (associativity over microbatches), and
+    re-running the drain (fresh checkpoint, already-staged files)
+    must be idempotent."""
+    from java_mapreduce_framework_spark.operators.relational import (
+        cdc_latest_wins,
+    )
+    from java_mapreduce_framework_spark.sources.tables import load_table
+    from java_mapreduce_framework_spark.streaming.jobs import (
+        stream_cdc_upsert,
+    )
+
+    got = {
+        r["event_id"]: (r["value"], r["version"])
+        for r in stream_cdc_upsert(spark, sf_small).collect()
+    }
+    want = {
+        r["event_id"]: (round(r["value"], 2), r["version"])
+        for r in cdc_latest_wins(
+            load_table(spark, sf_small, "events")
+        ).collect()
+    }
+    assert got == want
+    again = {
+        r["event_id"]: (r["value"], r["version"])
+        for r in stream_cdc_upsert(spark, sf_small).collect()
+    }
+    assert again == got
