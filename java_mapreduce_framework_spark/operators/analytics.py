@@ -4107,3 +4107,73 @@ def dp_exponential_median(events: DataFrame, epsilon: float = 1.0) -> DataFrame:
         F.round(F.col("true_med_c") / 100.0, 4).alias("true_median"),
         F.round(F.col("v_c") / 100.0, 2).alias("dp_median"),
     )
+
+def daily_type_entropy(events: DataFrame) -> DataFrame:
+    """Daily event-type mix entropy: how balanced each day's traffic
+    is across types (ln-based; 0 = one type owns the day, ln(k) =
+    perfectly even) -- the day-grain companion to
+    user_behavior_entropy's per-user view, and the drift alarm for a
+    pipeline whose type mix is supposed to be stable day over day.
+
+    Per-(day, type) terms (c/n)*ln(n/c) are each ONE double off
+    exact integer counts, rounded to integer nano-nats and summed
+    exactly per day -- no cross-type double fold; the day table is
+    calendar-bounded.
+
+    Emits (day, n_events, n_types, entropy_nats).
+    """
+    cells = events.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.count("*").alias("c"))
+    totals = cells.groupBy("day").agg(F.sum("c").alias("n"))
+    term = (
+        F.col("c").cast("double") / F.col("n").cast("double")
+    ) * F.log(F.col("n").cast("double") / F.col("c").cast("double"))
+    joined = cells.join(totals, "day").select(
+        "day",
+        "n",
+        F.round(term * F.lit(1e9)).cast("long").alias("nano"),
+    )
+    return joined.groupBy("day").agg(
+        F.max("n").cast("long").alias("n_events"),
+        F.count("*").cast("long").alias("n_types"),
+        F.round(F.sum("nano") / F.lit(1e9), 6).alias("entropy_nats"),
+    )
+
+
+def discount_depth_profile(lineitem: DataFrame) -> DataFrame:
+    """Volume-discount policy readout: per 10-unit quantity bracket,
+    how deep the average discount runs and how much revenue sits
+    there -- the is-bigger-really-cheaper curve a pricing analyst
+    draws before touching the discount schedule.
+
+    Brackets are exact integer floor(quantity/10); discounts
+    aggregate as integer basis points (floor(discount * 10000)) and
+    revenue in exact 1e-4-dollar DECIMAL units, so both ratios are
+    single doubles off integers.
+
+    Emits (qty_bracket, n_items, avg_discount_bps, revenue).
+    """
+    bps = F.floor(F.col("l_discount") * 10000).cast("long")
+    rev_c4 = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    b = lineitem.select(
+        F.floor(F.col("l_quantity") / 10).cast("long").alias("qty_bracket"),
+        bps.alias("bps"),
+        rev_c4.alias("rev"),
+    )
+    agg = b.groupBy("qty_bracket").agg(
+        F.count("*").alias("n"),
+        F.sum("bps").alias("sbps"),
+        (F.sum("rev") * 10000).cast("long").alias("rev_c4"),
+    )
+    return agg.select(
+        "qty_bracket",
+        F.col("n").cast("long").alias("n_items"),
+        F.round(
+            F.col("sbps").cast("double") / F.col("n").cast("double"), 4
+        ).alias("avg_discount_bps"),
+        (F.col("rev_c4").cast("double") / F.lit(10000.0)).alias("revenue"),
+    )

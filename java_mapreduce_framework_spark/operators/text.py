@@ -3695,3 +3695,33 @@ def heaps_fit(documents: DataFrame) -> DataFrame:
         F.round(slope, 6).alias("heaps_beta"),
         F.round(F.exp(intercept_micro / F.lit(1e3)), 4).alias("heaps_k"),
     )
+
+
+def word_length_histogram(documents: DataFrame) -> DataFrame:
+    """Corpus word-length histogram: token counts and share per
+    character length -- the tokenizer-design diagnostic
+    (length-1-2 spikes = fragmentation, a heavy 15+ tail = URLs/
+    concatenations that need pre-splitting) that doc-level
+    length_histogram cannot show.
+
+    One token-stream reduction to a length-bounded histogram; shares
+    round at INTEGER 1e-6 scale.
+
+    Emits (word_len, n_tokens, share).
+    """
+    lens = documents.select(
+        F.explode(tokens_col("text")).alias("word")
+    ).select(F.length("word").cast("long").alias("word_len"))
+    hist = lens.groupBy("word_len").agg(F.count("*").alias("n_tokens"))
+    tot = hist.agg(F.sum("n_tokens").alias("total"))
+    return hist.join(F.broadcast(tot)).select(
+        "word_len",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (
+            F.round(
+                F.col("n_tokens") * F.lit(1e6)
+                / F.col("total").cast("double")
+            ).cast("long")
+            / F.lit(1e6)
+        ).alias("share"),
+    )

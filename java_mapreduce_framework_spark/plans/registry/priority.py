@@ -339,6 +339,11 @@ _FRESH_ROUND9 = frozenset(
         "graph_degree_gini",
         "multimodal_image_contrast",
         "multimodal_audio_dynamic_range",
+        # new this round, batch 7 (plans/registry/round9b.py)
+        "events_daily_type_entropy",
+        "orders_discount_depth",
+        "text_word_length_histogram",
+        "sql_segment_repeat_rate",
         # new this round, batch 6 (plans/registry/round9b.py)
         "stream_cdc_upsert",
         "stats_g_test",

@@ -1718,3 +1718,113 @@ def _stream_cdc_upsert(spark, sf):
     from ...streaming.jobs import stream_cdc_upsert
 
     return stream_cdc_upsert(spark, sf)
+
+
+# ------------------------------------------------ batch 7 (same round)
+
+
+@_register(
+    "events_daily_type_entropy",
+    """
+    WITH cells AS (
+      SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+             event_type, count(*) AS c
+      FROM events GROUP BY 1, 2),
+    totals AS (SELECT day, sum(c) AS n FROM cells GROUP BY day),
+    terms AS (
+      SELECT cells.day, n,
+             CAST(round((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                        * ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE))
+                        * 1e9) AS BIGINT) AS nano
+      FROM cells JOIN totals ON cells.day = totals.day)
+    SELECT day, CAST(max(n) AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_types,
+           round(sum(nano) / 1e9, 6) AS entropy_nats
+    FROM terms GROUP BY day
+    """,
+    note="daily event-type mix entropy (day-grain drift alarm next "
+    "to user_behavior_entropy's per-user view): per-cell nano-nat "
+    "integer terms, exact per-day sums, calendar-bounded output",
+)
+def _events_daily_type_entropy(spark, sf):
+    return analytics.daily_type_entropy(_t(spark, sf, "events"))
+
+
+@_register(
+    "orders_discount_depth",
+    """
+    WITH b AS (
+      SELECT CAST(floor(l_quantity / 10) AS BIGINT) AS qty_bracket,
+             CAST(floor(l_discount * 10000) AS BIGINT) AS bps,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2))
+                - CAST(l_discount AS DECIMAL(18,2))) AS rev
+      FROM lineitem),
+    a AS (
+      SELECT qty_bracket, count(*) AS n, sum(bps) AS sbps,
+             CAST(sum(rev) * 10000 AS BIGINT) AS rev_c4
+      FROM b GROUP BY qty_bracket)
+    SELECT qty_bracket, CAST(n AS BIGINT) AS n_items,
+           round(CAST(sbps AS DOUBLE) / CAST(n AS DOUBLE), 4)
+             AS avg_discount_bps,
+           CAST(rev_c4 AS DOUBLE) / 10000.0 AS revenue
+    FROM a
+    """,
+    note="volume-discount policy curve per 10-unit quantity bracket: "
+    "integer basis points and exact 1e-4-dollar DECIMAL revenue "
+    "(the decimal->bigint cast never rounds), two single-double "
+    "ratios",
+)
+def _orders_discount_depth(spark, sf):
+    return analytics.discount_depth_profile(_t(spark, sf, "lineitem"))
+
+
+@_register(
+    "text_word_length_histogram",
+    f"""
+    WITH lens AS (
+      SELECT CAST(length(unnest({_TOKS})) AS BIGINT) AS word_len
+      FROM documents),
+    h AS (SELECT word_len, count(*) AS n_tokens
+          FROM lens GROUP BY word_len),
+    t AS (SELECT sum(n_tokens) AS total FROM h)
+    SELECT word_len, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(round(n_tokens * 1e6 / CAST(total AS DOUBLE)) AS BIGINT)
+             / 1e6 AS share
+    FROM h, t
+    """,
+    note="corpus word-length histogram (tokenizer-design diagnostic: "
+    "fragmentation spikes at 1-2 chars, URL/concatenation tail past "
+    "15): one token reduction, length-bounded output, shares at "
+    "integer 1e-6 scale",
+)
+def _text_word_length_histogram(spark, sf):
+    return text.word_length_histogram(_t(spark, sf, "documents"))
+
+
+@_register(
+    "sql_segment_repeat_rate",
+    None,  # oracle attached below: the SAME SQL string runs on DuckDB
+    note="repeat-purchase rate per market segment through the "
+    "spark.sql intake (the loyalty read on c_mktsegment): left join "
+    "keeps order-less customers as dormant, repeat share at integer "
+    "1e-6 scale",
+)
+def _sql_segment_repeat_rate(spark, sf):
+    from ..sql import SEGMENT_REPEAT_RATE, run_sql
+
+    return run_sql(spark, sf, SEGMENT_REPEAT_RATE)
+
+
+def _attach_sql_oracles_b7() -> None:
+    from .core import _REGISTRY, QuerySpec
+    from .. import sql as _sql
+
+    for name, stmt in (
+        ("sql_segment_repeat_rate", _sql.SEGMENT_REPEAT_RATE),
+    ):
+        spec = _REGISTRY[name]
+        _REGISTRY[name] = QuerySpec(spec.name, spec.fn, stmt, spec.note)
+
+
+_attach_sql_oracles_b7()

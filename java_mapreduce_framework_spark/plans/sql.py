@@ -622,3 +622,30 @@ SELECT n.n_name AS nation, rk.c_name AS customer,
 FROM rk JOIN nation n ON n.n_nationkey = rk.nk
 WHERE rn <= 3
 """
+
+
+#: Repeat-purchase rate per market segment: the loyalty read on the
+#: one customer attribute (c_mktsegment) nothing else in the intake
+#: uses. Repeat share rounds at INTEGER 1e-6 scale (the one rule
+#: both engines share on .5 boundaries).
+SEGMENT_REPEAT_RATE = """
+WITH oc AS (
+  SELECT c.c_mktsegment, c.c_custkey, count(o.o_orderkey) AS n_orders
+  FROM customer c
+  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_mktsegment, c.c_custkey),
+seg AS (
+  SELECT c_mktsegment,
+         count(*) AS n_customers,
+         sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS n_repeat,
+         sum(CASE WHEN n_orders = 0 THEN 1 ELSE 0 END) AS n_dormant
+  FROM oc GROUP BY c_mktsegment)
+SELECT c_mktsegment AS segment,
+       CAST(n_customers AS BIGINT) AS n_customers,
+       CAST(n_repeat AS BIGINT) AS n_repeat,
+       CAST(n_dormant AS BIGINT) AS n_dormant,
+       CAST(CAST(round(n_repeat * 1e6
+                       / CAST(n_customers AS DOUBLE)) AS BIGINT)
+            AS DOUBLE) / 1e6 AS repeat_share
+FROM seg
+"""

@@ -105,6 +105,8 @@ ALLOWED_NESTED_LOOP = {
     "stats_g_test",  # 1-row grand total + 1-row level counts
     "graph_transitivity",  # 1-row wedge total x 1-row closed count
     "dp_exponential_median",  # 1-row (n, true median) + candidate count
+    # round 9 batch 7
+    "text_word_length_histogram",  # 1-row broadcast token total
 }
 
 

@@ -798,3 +798,55 @@ def test_stream_cdc_upsert_batch_boundary_invariance(spark, sf_small):
         for r in stream_cdc_upsert(spark, sf_small).collect()
     }
     assert again == got
+
+
+# ------------------------------------------------------ batch 7
+
+
+def test_daily_type_entropy_extremes(spark):
+    rows = [
+        (0, "2024-01-01T10:00:00", 1, "a", 1.0),
+        (1, "2024-01-01T11:00:00", 1, "a", 1.0),  # day 1: one type -> 0
+        (2, "2024-01-02T10:00:00", 1, "a", 1.0),
+        (3, "2024-01-02T11:00:00", 1, "b", 1.0),  # day 2: even -> ln 2
+    ]
+    out = {
+        r["day"].day: r
+        for r in analytics.daily_type_entropy(_events(spark, rows)).collect()
+    }
+    assert out[1]["entropy_nats"] == 0.0
+    assert abs(out[2]["entropy_nats"] - round(math.log(2), 6)) < 2e-6
+
+
+def test_discount_depth_brackets(spark):
+    li = spark.createDataFrame(
+        [
+            (1, 1, 1, 1, 5.0, 100.0, 0.10, 0.0, "N", "O",
+             datetime.datetime(1995, 1, 3)),
+            (1, 2, 1, 2, 25.0, 200.0, 0.20, 0.0, "N", "O",
+             datetime.datetime(1995, 1, 3)),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    )
+    out = {
+        r["qty_bracket"]: r
+        for r in analytics.discount_depth_profile(li).collect()
+    }
+    assert out[0]["avg_discount_bps"] == 1000.0
+    assert out[0]["revenue"] == 90.0
+    assert out[2]["avg_discount_bps"] == 2000.0
+    assert out[2]["revenue"] == 160.0
+
+
+def test_word_length_histogram_shares(spark):
+    docs = _docs(spark, [(1, "a bb bb cccc", "en", "s")])
+    out = {
+        r["word_len"]: r
+        for r in text.word_length_histogram(docs).collect()
+    }
+    assert out[1]["n_tokens"] == 1 and out[2]["n_tokens"] == 2
+    assert out[4]["n_tokens"] == 1
+    assert out[2]["share"] == 0.5
