@@ -137,6 +137,16 @@ def main() -> None:
     with open(full_path, "w") as f:
         json.dump(full, f, indent=1)
         f.write("\n")
+    # Round-over-round history: BENCH_FULL.json is overwritten every
+    # run, so full (non-subset) runs also APPEND the complete record
+    # to BENCH_HISTORY.jsonl — per-query regression checks across
+    # rounds then need no git archaeology (VERDICT r09 item #6).
+    if not only:
+        hist_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl"
+        )
+        with open(hist_path, "a") as f:
+            f.write(json.dumps(full) + "\n")
     # The driver records only the trailing ~2.5 KB of output and parses
     # the LAST JSON line; the full 87-query line overflows that window
     # (round 1's official record came back unparsed). Final line =

@@ -266,6 +266,89 @@ _RECORDED_ROUND8 = frozenset(
 )
 
 
+#: Names recorded by the round-9 sweep (CORRECTNESS_r09.json): the 10
+#: _FRESH_ROUND9_CRITICAL guaranteed slots (all rows-only, recorded as
+#: rows>0) plus 40 oracle-bearing round-9 names, all hash-pass.
+_RECORDED_ROUND9 = frozenset(
+    {
+        "dedup_sentence_exact", "dp_randomized_response",
+        "embedding_dim_clip_bounds", "embedding_dim_stats",
+        "embedding_pca_project", "embedding_pq_quantize",
+        "events_churn_hazard", "events_new_vs_returning",
+        "events_power_user_curve", "events_session_bounce",
+        "events_type_share_trend", "events_value_pareto",
+        "graph_component_stats", "graph_edge_jaccard",
+        "lm_bigram_entropy_rate", "lm_good_turing_counts",
+        "ml_adaboost_stumps", "ml_kmeans_lloyd", "ml_linreg_normal",
+        "ml_logreg_irls", "ml_logreg_ridge_sweep",
+        "multimodal_audio_clipping", "multimodal_audio_silence",
+        "multimodal_audio_spectrogram", "multimodal_image_dhash",
+        "orders_repeat_interval", "orders_ship_delay_profile",
+        "quality_case_profile", "similarity_mmr",
+        "sql_customer_balance_deciles", "sql_discount_elasticity",
+        "sql_parts_type_revenue", "sql_yoy_growth",
+        "stats_chisq_independence", "stats_cochran_q", "stats_cramers_v",
+        "stats_grubbs", "stats_kendall_tau", "stats_ljung_box",
+        "stats_mcnemar", "stats_theil_sen", "stats_wilcoxon_signed_rank",
+        "stream_dedup_incremental", "text_hapax_ratio",
+        "text_sentence_stats", "time_changepoint_binary",
+        "vocab_growth_curve", "window_atr", "window_macd",
+        "window_stochastic",
+    }
+)
+
+
+#: The 45 round-9 names the rotating 50-slot sample never reached
+#: through round 9 (VERDICT r09 "Next round" #1): every one is
+#: hash-oracled and passes the judge's independent full sweep, but the
+#: official driver record has no verdict for them. They take the very
+#: front of the round-10 sample (45 of 50 slots); the remaining 5 go
+#: to the fresh round-10 tier below.
+_NEVER_SAMPLED_THROUGH_R9 = frozenset(
+    {
+        "dp_exponential_median", "events_active_days_histogram",
+        "events_concurrency_peak", "events_daily_type_entropy",
+        "events_growth_accounting", "events_time_to_nth",
+        "graph_degree_gini", "graph_preferential_attachment",
+        "graph_resource_allocation", "graph_transitivity",
+        "lm_source_cross_entropy", "multimodal_audio_dynamic_range",
+        "multimodal_audio_envelope", "multimodal_image_contrast",
+        "multimodal_image_quadrants", "orders_discount_depth",
+        "orders_open_backlog", "orders_supplier_leadtime",
+        "sql_nation_top_customers", "sql_nation_trade_balance",
+        "sql_segment_repeat_rate", "stats_bartlett",
+        "stats_cohens_kappa", "stats_cronbach_alpha",
+        "stats_durbin_watson", "stats_friedman", "stats_g_test",
+        "stats_hodges_lehmann", "stats_mutual_information", "stats_pacf",
+        "stats_permutation_test", "stream_cdc_upsert",
+        "text_char_js_divergence", "text_heaps_fit",
+        "text_simpson_diversity", "text_word_burstiness",
+        "text_word_length_histogram", "text_yule_k", "window_donchian",
+        "window_ichimoku", "window_keltner", "window_mfi", "window_obv",
+        "window_ulcer_index", "window_zscore_rolling",
+    }
+)
+
+
+#: New in round 10 -- no driver verdict yet; they take the sample
+#: slots left after the 45-name backlog above (5 in round 10, the
+#: rest next round).
+_FRESH_ROUND10 = frozenset(
+    {
+        "sql_returned_item_value",
+        "sql_shipping_priority",
+        "events_retention_triangle",
+        "text_compression_ratio_proxy",
+        "window_vwap_bands",
+        "orders_clerk_workload",
+        "stats_levene_brown_forsythe",
+        "graph_rich_club",
+        "lm_perplexity_bucket",
+        "multimodal_image_border_mean",
+    }
+)
+
+
 #: New in round 9 (batches 1-5). The schema-modified pair and the
 #: nine never-driver-sampled names live in _FRESH_ROUND9_CRITICAL
 #: below, one tier ahead of these.
@@ -434,12 +517,19 @@ def _record_staleness(name: str) -> int:
     """-1 = new/modified this round (very front of the sweep), 0 =
     never officially recorded, then the round whose sweep last
     recorded the name (lower = staler verdict)."""
-    if name in _FRESH_ROUND9_CRITICAL:
-        # guaranteed slots: rows-only names the ordinary demotion
-        # would starve behind ~110 oracle-bearing round-9 entries
+    if name in _NEVER_SAMPLED_THROUGH_R9:
+        # guaranteed round-10 slots: the 45-name backlog with oracles
+        # on file but no official driver verdict (VERDICT r09 #1)
         return -2
-    if name in _FRESH_ROUND9:
+    if name in _FRESH_ROUND10:
         return -1
+    if name in _RECORDED_ROUND9 or name in _FRESH_ROUND9_CRITICAL:
+        return 9
+    if name in _FRESH_ROUND9:
+        # round-9 names that neither landed in the r09 sweep nor sit
+        # in the 45-name backlog cannot exist (the two sets partition
+        # _FRESH_ROUND9), but keep the tier as a safety net
+        return 9
     if name in _RECORDED_ROUND8:
         # every _FRESH_ROUND8 name landed in the r08 sweep's 50 slots:
         # all 32 are either here (31, verdict on record) or re-fresh in
