@@ -4177,3 +4177,209 @@ def discount_depth_profile(lineitem: DataFrame) -> DataFrame:
         ).alias("avg_discount_bps"),
         (F.col("rev_c4").cast("double") / F.lit(10000.0)).alias("revenue"),
     )
+
+
+def retention_triangle(events: DataFrame) -> DataFrame:
+    """Weekly retention TRIANGLE: the cohort matrix of
+    ``retention_cohorts`` completed into the report analysts actually
+    read -- every (cohort_week, week_offset) cell carries the cohort's
+    size, the retained user count, and the retained SHARE, offset 0
+    included (share 1.0 by construction, the sanity diagonal).
+
+    Plan: first-seen week per user (one user-keyed aggregate),
+    distinct (user, week) activity, one join back on user_id, then
+    the weeks^2-bounded rollup; cohort sizes come from a second
+    aggregation over the same first-seen table and broadcast-join the
+    triangle (weeks-bounded, never data-sized). Shares round at
+    INTEGER 1e-6 scale -- the one rounding rule both engines share on
+    .5 boundaries.
+
+    Emits (cohort_week, week_offset, cohort_size, n_retained,
+    retained_share).
+    """
+    first_seen = events.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", "ts")).alias("cohort_week")
+    )
+    sizes = first_seen.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_size")
+    )
+    active = events.select(
+        "user_id", F.date_trunc("week", "ts").alias("active_week")
+    ).distinct()
+    tri = (
+        active.join(first_seen, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("active_week", "cohort_week") / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_retained"))
+    )
+    return tri.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        F.col("cohort_size").cast("long").alias("cohort_size"),
+        F.col("n_retained").cast("long").alias("n_retained"),
+        (
+            F.round(
+                F.col("n_retained") * F.lit(1e6)
+                / F.col("cohort_size").cast("double")
+            ).cast("long")
+            / F.lit(1e6)
+        ).alias("retained_share"),
+    )
+
+
+def orders_dow_profile(orders: DataFrame) -> DataFrame:
+    """Order-intake weekday profile: volume, exact-cents value, and
+    share of weekly demand per ISO day-of-week -- the operations-side
+    seasonality read (``seasonal_dow_decompose`` covers the events
+    stream; this covers the order book).
+
+    One partial+final aggregation to a 7-row output; money rides as
+    exact 1e-4-dollar DECIMAL-derived integers until the final /1e4
+    double, count shares round at integer 1e-6 scale.
+
+    Emits (dow, n_orders, total_value, order_share) with Spark's
+    1=Sunday convention (oracle shifts DuckDB's dayofweek to match).
+    """
+    c4 = F.col("o_totalprice").cast("decimal(18,2)")
+    agg = orders.groupBy(F.dayofweek("o_orderdate").alias("dow")).agg(
+        F.count("*").alias("n"),
+        (F.sum(c4) * 10000).cast("long").alias("val_c4"),
+    )
+    total = agg.select(F.sum("n").alias("n_total"))
+    return agg.crossJoin(F.broadcast(total)).select(
+        "dow",
+        F.col("n").cast("long").alias("n_orders"),
+        (F.col("val_c4").cast("double") / F.lit(10000.0)).alias("total_value"),
+        (
+            F.round(
+                F.col("n") * F.lit(1e6) / F.col("n_total").cast("double")
+            ).cast("long")
+            / F.lit(1e6)
+        ).alias("order_share"),
+    )
+
+
+def ansari_bradley(events: DataFrame) -> DataFrame:
+    """Ansari-Bradley two-sample DISPERSION test per event type over
+    the deterministic md5 A/B user split shared with
+    ``ab_test_ztest``/``mannwhitney_utest`` -- the nonparametric
+    scale-shift companion to their location tests: AB scores walk up
+    from both ends of the pooled ranking (1, 2, ..., ceil(N/2), ...,
+    2, 1), so a variant whose values crowd the extremes scores low
+    and one that hugs the pooled median scores high.
+
+    Exactness: ties take the average AB score of their run. A run of
+    positions [lo, hi] has an EXACT INTEGER score sum (closed form
+    over min(pos, N+1-pos)); the per-run A-side contribution
+    cnt_a * run_sum / cnt and the squared-score moment run_sum^2 /
+    cnt round to INTEGER MICRO-UNITS before the grouped fold (the
+    js_divergence nano-nat discipline), so the cross-group sums are
+    exact and the closing z expression runs on identical doubles.
+
+    Plan: one (type, value) combinable aggregate, a cumulative-count
+    window over the per-type VALUE alphabet, an alphabet-sized fold.
+
+    Emits (event_type, n_a, n_b, t_ab, zscore, significant).
+    """
+    variant_a = (
+        F.substring(
+            F.md5(
+                F.concat_ws("|", F.lit("ab"), F.col("user_id").cast("string"))
+            ),
+            1,
+            1,
+        )
+        < F.lit("8")
+    )
+    vg = (
+        events.filter(F.col("value").isNotNull())
+        .select("event_type", variant_a.alias("is_a"), "value")
+        .groupBy("event_type", "value")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("is_a").cast("long")).alias("cnt_a"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wn = Window.partitionBy("event_type")
+    run = (
+        vg.withColumn("lo", F.coalesce(F.sum("cnt").over(w), F.lit(0)) + 1)
+        .withColumn("hi", F.col("lo") + F.col("cnt") - 1)
+        .withColumn("n_tot", F.sum("cnt").over(wn))
+    )
+
+    # closed-form sum over positions [lo, hi] of min(pos, N+1-pos):
+    # split at m = floor((N+1)/2); ascending part sums pos, the
+    # mirrored part sums N+1-pos -- both triangular-number integer
+    # arithmetic, exact in bigint.
+    def _tri(a, b):  # sum of integers in [a, b], 0 when empty
+        return F.when(b >= a, (a + b) * (b - a + 1) / 2).otherwise(F.lit(0))
+
+    m = F.floor((F.col("n_tot") + 1) / 2).cast("long")
+    asc_hi = F.least(F.col("hi"), m)
+    desc_lo = F.greatest(F.col("lo"), m + 1)
+    np1 = F.col("n_tot") + 1
+    run_sum = (
+        _tri(F.col("lo"), asc_hi)
+        + _tri(np1 - F.col("hi"), np1 - desc_lo)
+    ).cast("long")
+    terms = run.select(
+        "event_type",
+        "cnt",
+        "cnt_a",
+        "n_tot",
+        F.round(
+            F.col("cnt_a") * run_sum * F.lit(1e6) / F.col("cnt").cast("double")
+        )
+        .cast("long")
+        .alias("t_a_micro"),
+        run_sum.alias("run_sum"),
+        F.round(
+            run_sum * run_sum * F.lit(1e6) / F.col("cnt").cast("double")
+        )
+        .cast("long")
+        .alias("ssq_micro"),
+    )
+    agg = terms.groupBy("event_type").agg(
+        F.sum("cnt_a").alias("n_a"),
+        F.sum(F.col("cnt") - F.col("cnt_a")).alias("n_b"),
+        F.max("n_tot").alias("n_tot"),
+        F.sum("t_a_micro").alias("t_a_micro"),
+        F.sum("run_sum").alias("s_all"),
+        F.sum("ssq_micro").alias("ssq_micro"),
+    )
+    n_a = F.col("n_a").cast("double")
+    n_b = F.col("n_b").cast("double")
+    n_tot = F.col("n_tot").cast("double")
+    t_a = F.col("t_a_micro").cast("double") / F.lit(1e6)
+    mean_s = F.col("s_all").cast("double") / n_tot
+    # Var(T_A) = m*n*(N*sum(s^2) - (sum s)^2) / (N^2*(N-1))
+    var = (
+        n_a
+        * n_b
+        * (
+            n_tot * (F.col("ssq_micro").cast("double") / F.lit(1e6))
+            - F.col("s_all").cast("double") * F.col("s_all").cast("double")
+        )
+        / (n_tot * n_tot * (n_tot - F.lit(1.0)))
+    )
+    # all-tied input => zero variance; NULL z (ANSI division guard)
+    z = F.when(var > 0, (t_a - n_a * mean_s) / F.sqrt(var))
+    return agg.filter(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0) & (F.col("n_tot") > 2)
+    ).select(
+        "event_type",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(t_a, 6).alias("t_ab"),
+        F.round(z, 4).alias("zscore"),
+        (F.abs(z) > F.lit(1.96)).alias("significant"),
+    )

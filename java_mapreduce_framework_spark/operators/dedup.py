@@ -2294,12 +2294,16 @@ def dedup_semdedup(
     Plan: spherical k-means on the bounded sample
     (``similarity._ivf_train`` -- the shared coarse quantizer), one
     ``mapInPandas`` assign scan (primary cell + block array), a
-    row-local explode into block ids, then the blocked pair join
-    keyed on block id with norms hoisted out of the quadratic block
-    (the ``embedding_neardup_pairs`` discipline) and a grouped min
-    for ``dup_of``. The fixture plants no high-cosine near-dups (max
-    ~0.51), so the declared threshold is 0.35 -- the
-    ``dedup_embedding`` non-degeneracy contract.
+    row-local explode into block ids, then ONE ``applyInPandas`` per
+    cell computing the normalized cosine matrix as a block GEMM
+    (round-10: replaces the per-pair expression-fold join -- same
+    round-4 verdicts, the shuffle carries each cell's vectors once
+    instead of n_b^2 joined pair rows) and a grouped min for
+    ``dup_of``. Cell payloads must fit one worker: k scales with the
+    corpus so n/k stays bounded, the SemDeDup deployment contract.
+    The fixture plants no high-cosine near-dups (max ~0.51), so the
+    declared threshold is 0.35 -- the ``dedup_embedding``
+    non-degeneracy contract.
 
     Emits (vec_id, cluster, keep, dup_of) -- dup_of NULL on kept
     rows.
@@ -2311,7 +2315,6 @@ def dedup_semdedup(
     import numpy as np
     import pandas as pd
 
-    from ..functions.vectors import l2_norm, vec_dot
     from . import similarity as _sim
 
     spark = embeddings.sparkSession
@@ -2338,31 +2341,37 @@ def dedup_semdedup(
         assign,
         "vec_id long, cluster int, blocks array<int>,"
         " embedding array<float>",
-    ).localCheckpoint()  # feeds the verdict join AND both pair sides
+    ).localCheckpoint()  # feeds the verdict join AND the pair stage
     blocked = tagged.select(
-        "vec_id",
-        F.explode("blocks").alias("block"),
-        "embedding",
-        l2_norm(F.col("embedding")).alias("nrm"),
+        "vec_id", F.explode("blocks").alias("block"), "embedding"
     )
-    a = blocked.select(
-        F.col("vec_id").alias("va"),
-        "block",
-        F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na"),
-    )
-    b = blocked.select(
-        F.col("vec_id").alias("vb"),
-        "block",
-        F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb"),
-    )
-    cos = vec_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+
+    def block_pairs(pdf):
+        # per-cell GEMM (the paper's actual within-cluster shape):
+        # one normalized cosine matrix per block instead of a
+        # per-pair expression fold -- same round-4 verdicts, ~10x
+        # less per-pair cost, and the shuffle carries each cell's
+        # vectors once instead of n_b^2 joined pair rows. Cell
+        # payload must fit one worker (k scales with the corpus so
+        # n/k stays bounded -- the SemDeDup deployment contract).
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = np.array(list(pdf["embedding"]), dtype=np.float64)[order]
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        c = np.round(m @ m.T, 4)
+        iu = np.triu_indices(len(ids), k=1)
+        hit = c[iu] >= threshold
+        return pd.DataFrame(
+            {
+                "vb": ids[iu[1]][hit],
+                "va": ids[iu[0]][hit],
+            }
+        )
+
     dup_of = (
-        a.join(b, "block")
-        .filter(F.col("va") < F.col("vb"))
-        .select("vb", "va", F.round(cos, 4).alias("c"))
-        .filter(F.col("c") >= threshold)
+        blocked.groupBy("block")
+        .applyInPandas(block_pairs, "vb long, va long")
         .groupBy(F.col("vb").alias("vec_id"))
         .agg(F.min("va").alias("dup_of"))
     )
@@ -2728,3 +2737,97 @@ def global_transitivity(pairs: DataFrame) -> DataFrame:
             6,
         ).alias("transitivity"),
     )
+
+
+def rich_club(pairs: DataFrame, k_grid: tuple[int, ...] = (1, 2, 3, 4, 6, 8, 12, 16)) -> DataFrame:
+    """Rich-club coefficient profile over the near-dup / co-purchase
+    graph: for each degree threshold k, the density of the subgraph
+    induced by nodes of degree > k -- phi(k) = 2*E_k / (N_k*(N_k-1)).
+    A rising phi(k) says the hubs preferentially interconnect (the
+    "rich club" of catalog staples bought together); flat-or-falling
+    says hub links are incidental. Completes the degree-structure
+    panel next to ``graph_degree_gini`` / ``graph_assortativity``.
+
+    Plan: symmetrized degree count (node-bounded), one keyed join to
+    tag each edge with min(deg_a, deg_b), then BOTH sides reduce to
+    bounded histograms (nodes per degree, edges per min-degree)
+    before the constant |k_grid|-row cross -- the grid join touches
+    histogram rows, never data rows, so the whole profile costs two
+    keyed aggregates at any scale. phi is ONE double division off
+    exact integer counts.
+
+    Emits (k, n_nodes, n_edges, phi) -- one row per threshold with
+    N_k >= 2.
+    """
+    e = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).unionByName(
+        pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+    )
+    degs = e.groupBy(F.col("a").alias("node")).agg(F.count("*").alias("deg"))
+    deg_hist = degs.groupBy("deg").agg(F.count("*").alias("n_nodes"))
+    da = degs.select(F.col("node").alias("doc_a"), F.col("deg").alias("deg_a"))
+    db = degs.select(F.col("node").alias("doc_b"), F.col("deg").alias("deg_b"))
+    edge_hist = (
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(F.least("deg_a", "deg_b").alias("min_deg"))
+        .groupBy("min_deg")
+        .agg(F.count("*").alias("n_edges"))
+    )
+    spark = pairs.sparkSession
+    grid = F.broadcast(
+        spark.createDataFrame([(int(k),) for k in k_grid], "k int")
+    )
+    nodes_k = (
+        deg_hist.join(grid, deg_hist.deg > F.col("k"))
+        .groupBy("k")
+        .agg(F.sum("n_nodes").alias("n_nodes"))
+    )
+    edges_k = (
+        edge_hist.join(grid, edge_hist.min_deg > F.col("k"))
+        .groupBy("k")
+        .agg(F.sum("n_edges").alias("n_edges"))
+    )
+    return (
+        nodes_k.join(edges_k, "k", "left")
+        .filter(F.col("n_nodes") >= 2)
+        .select(
+            "k",
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.coalesce(F.col("n_edges"), F.lit(0)).cast("long").alias("n_edges"),
+            F.round(
+                F.lit(2.0)
+                * F.coalesce(F.col("n_edges"), F.lit(0)).cast("double")
+                / (F.col("n_nodes") * (F.col("n_nodes") - 1)).cast("double"),
+                6,
+            ).alias("phi"),
+        )
+    )
+
+
+def staged_table(spark, name: str, source_fp: str, build):
+    """Fingerprint-staged warehouse table: materialize ``build()``
+    once per fixture generation and read it back on every later run
+    (the ``_SOURCE_FP`` marker contract of ``build_minhash_index``) --
+    the general form of the lifecycle-state staging the index tables
+    already use, for DERIVED state like batch signatures or ingest
+    survivors whose recompute is deterministic given the fixture."""
+    import pathlib
+    import shutil
+    from urllib.parse import urlparse
+
+    warehouse = pathlib.Path(
+        urlparse(
+            spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        ).path
+        or "spark-warehouse"
+    )
+    marker = warehouse / name / "_SOURCE_FP"
+    if spark.catalog.tableExists(name) and (
+        not marker.exists() or marker.read_text() != source_fp
+    ):
+        spark.sql(f"DROP TABLE {name}")
+    if not spark.catalog.tableExists(name):
+        shutil.rmtree(warehouse / name, ignore_errors=True)
+        build().write.mode("overwrite").saveAsTable(name)
+        marker.write_text(source_fp)
+    return spark.table(name)

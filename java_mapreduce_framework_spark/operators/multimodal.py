@@ -1900,3 +1900,71 @@ def audio_envelope(audio: DataFrame, n_segments: int = 4) -> DataFrame:
             4,
         ).alias("rms"),
     )
+
+
+def image_border_mean(images: DataFrame) -> DataFrame:
+    """Per-image border-vs-interior luminance ratio over the REAL
+    decode path: integer luminance sums for the 1-pixel frame and the
+    interior -- the cheap letterbox / matting / watermark-frame
+    detector (a black-padded or white-matted image shows a border
+    mean far from its interior mean; natural photos sit near 1).
+
+    The Arrow kernel emits INTEGER sums only (n_px, border pixel
+    count, border luminance sum, total luminance sum); the single
+    ratio double (border_sum * n_interior) / (interior_sum *
+    n_border) runs as a Spark expression off exact integers --
+    written as ONE division so the oracle's pixel replay lands on the
+    identical value. Geometry is always >= 8x8 so the interior is
+    never empty; a zero interior sum yields NULL.
+
+    Emits (doc_id, n_px, n_border, border_sum, interior_sum,
+    border_ratio).
+    """
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, nb, bs, ts = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = real_decode(bytes(payload))
+                gray = px.astype(np.int64).sum(axis=2)
+                h, w = gray.shape
+                total = int(gray.sum())
+                interior = int(gray[1 : h - 1, 1 : w - 1].sum())
+                ids.append(doc_id)
+                ns.append(int(h * w))
+                nb.append(int(h * w - (h - 2) * (w - 2)))
+                bs.append(total - interior)
+                ts.append(total)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_px": pd.Series(ns, dtype="int64"),
+                    "n_border": pd.Series(nb, dtype="int64"),
+                    "border_sum": pd.Series(bs, dtype="int64"),
+                    "total_sum": pd.Series(ts, dtype="int64"),
+                }
+            )
+
+    stats = images.mapInPandas(
+        kernel,
+        schema="doc_id long, n_px long, n_border long, border_sum long,"
+        " total_sum long",
+    )
+    inter_sum = F.col("total_sum") - F.col("border_sum")
+    n_inter = F.col("n_px") - F.col("n_border")
+    return stats.select(
+        "doc_id",
+        "n_px",
+        "n_border",
+        "border_sum",
+        inter_sum.alias("interior_sum"),
+        F.round(
+            F.when(
+                inter_sum > 0,
+                (F.col("border_sum") * n_inter).cast("double")
+                / (inter_sum * F.col("n_border")).cast("double"),
+            ),
+            4,
+        ).alias("border_ratio"),
+    )

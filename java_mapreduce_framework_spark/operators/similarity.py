@@ -1773,3 +1773,62 @@ def embedding_dim_clip_bounds(
         F.col("q_idx").cast("int").alias("q_idx"),
         "bound",
     )
+
+
+def embedding_pca_project2(embeddings: DataFrame) -> DataFrame:
+    """Closed-form PCA projection of the first TWO embedding dims onto
+    their principal axes -- the hash-oracled member of the PCA family
+    (``embedding_pca_project`` keeps the general top-k form, numpy
+    parity in RECALL.json): a 2x2 covariance eigendecomposition is
+    closed-form (theta = atan2(2b, a - c) / 2), so BOTH the component
+    computation and the projection run as pure Spark expressions --
+    zero collects, zero numpy, and the DuckDB oracle replays the
+    identical arithmetic.
+
+    Sign convention (the BLAS-arbitrary part, pinned): each
+    eigenvector's x-component is made non-negative (ties: positive
+    y), so the projection is fully deterministic cross-engine.
+
+    Plan: ONE moment aggregate (n, sums, cross-moments -- 1 row),
+    broadcast back over the corpus (bounded nested-loop by design),
+    per-row projection expressions. Nothing scales beyond the scan.
+
+    Emits the LONG form (vec_id, pc, value), pc 0 = major axis.
+    """
+    base = embeddings.select(
+        "vec_id",
+        F.element_at("embedding", 1).cast("double").alias("x"),
+        F.element_at("embedding", 2).cast("double").alias("y"),
+    )
+    mom = base.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    j = base.crossJoin(F.broadcast(mom))  # bounded: 1-row moment scalar
+    mx = F.col("sx") / F.col("n")
+    my = F.col("sy") / F.col("n")
+    a = F.col("sxx") / F.col("n") - mx * mx
+    c = F.col("syy") / F.col("n") - my * my
+    b = F.col("sxy") / F.col("n") - mx * my
+    th = F.atan2(F.lit(2.0) * b, a - c) / F.lit(2.0)
+    cs = F.cos(th)
+    sn = F.sin(th)
+    s1 = F.when(
+        (cs < 0) | ((cs == 0) & (sn < 0)), F.lit(-1.0)
+    ).otherwise(F.lit(1.0))
+    s2 = F.when(
+        (-sn < 0) | ((sn == 0) & (cs < 0)), F.lit(-1.0)
+    ).otherwise(F.lit(1.0))
+    p1 = F.round(
+        s1 * ((F.col("x") - mx) * cs + (F.col("y") - my) * sn), 6
+    )
+    p2 = F.round(
+        s2 * ((F.col("y") - my) * cs - (F.col("x") - mx) * sn), 6
+    )
+    return j.select("vec_id", p1.alias("p1v"), p2.alias("p2v")).selectExpr(
+        "vec_id", "stack(2, 0, p1v, 1, p2v) AS (pc, value)"
+    )

@@ -2573,3 +2573,64 @@ def window_zscore_rolling(
             4,
         ).alias("zscore"),
     )
+
+
+def window_vwap_bands(events: DataFrame, n: int = 14, k: int = 2) -> DataFrame:
+    """Per-user rolling VWAP bands over the daily candle stream: the
+    volume-weighted rolling mean of the integer-cent daily closes
+    (volume = events that day) with a +/- ``k`` sigma envelope -- the
+    volume-aware sibling of ``window_bollinger`` (a heavy-volume day
+    pulls the center toward its close; Bollinger weighs all days
+    equally) and the banded upgrade of ``window_twap``.
+
+    Exactness: all rolling moments are BIGINT sums over the
+    ``_daily_candle(with_volume=True)`` integers -- sum(close*vol),
+    sum(vol), sum(close), sum(close^2) -- so the per-row VWAP and
+    sigma come out of exact integers with one double expression each,
+    and band values round at INTEGER 1e-4-dollar scale (the
+    window_bollinger boundary rule).
+
+    Plan: the candle's single user_id exchange satisfies the rolling
+    frames (subset rule); nothing after the daily resample scales
+    with raw events.
+
+    Emits (user_id, day, close, vwap, upper, lower, n_window).
+    """
+    candle = _daily_candle(events, with_volume=True)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(-(n - 1), 0)
+    )
+    base = candle.select(
+        "user_id",
+        "day",
+        F.col("close_c"),
+        F.count("*").over(w).alias("n_window"),
+        F.sum(F.col("close_c") * F.col("n_ev")).over(w).alias("pv"),
+        F.sum("n_ev").over(w).alias("vol"),
+        F.sum("close_c").over(w).alias("s"),
+        F.sum(F.col("close_c") * F.col("close_c")).over(w).alias("ssq"),
+    )
+    nn = F.col("n_window")
+    var_c = (
+        (nn * F.col("ssq") - F.col("s") * F.col("s")).cast("double")
+        / (nn * (nn - 1))
+    )
+    sd_c = F.sqrt(F.greatest(var_c, F.lit(0.0)))
+    vwap4 = F.col("pv").cast("double") * F.lit(100.0) / F.col("vol")
+    spread4 = F.lit(100.0 * k) * sd_c
+    full = nn >= n
+    return base.select(
+        "user_id",
+        "day",
+        (F.col("close_c").cast("double") / F.lit(100.0)).alias("close"),
+        F.when(full, F.round(vwap4).cast("long") / F.lit(1e4)).alias("vwap"),
+        F.when(
+            full, F.round(vwap4 + spread4).cast("long") / F.lit(1e4)
+        ).alias("upper"),
+        F.when(
+            full, F.round(vwap4 - spread4).cast("long") / F.lit(1e4)
+        ).alias("lower"),
+        nn.cast("long").alias("n_window"),
+    )

@@ -3725,3 +3725,114 @@ def word_length_histogram(documents: DataFrame) -> DataFrame:
             / F.lit(1e6)
         ).alias("share"),
     )
+
+
+def common_trigram_coverage(documents: DataFrame, top_k: int = 100) -> DataFrame:
+    """Per-document coverage by the corpus's ``top_k`` most frequent
+    word trigrams -- the boilerplate detector one level above
+    ``repetition_score``'s within-doc view: navigation chrome, license
+    headers, and template scaffolding all surface as documents whose
+    trigram stream is mostly corpus-common, while genuinely novel
+    prose scores near zero.
+
+    Plan: one trigram explode feeds the corpus frequency table; the
+    top-k cut compiles to ``TakeOrderedAndProject`` (count DESC,
+    trigram ASC -- fully deterministic) and broadcasts as a k-row
+    semi-join side back onto the same exploded stream; one doc-keyed
+    aggregate closes. Work is two passes over the trigram stream and
+    a constant-size broadcast at any corpus scale. Coverage rounds at
+    INTEGER 1e-6 scale.
+
+    Emits (doc_id, n_trigrams, n_common, common_share).
+    """
+    toks = tokens_col("text")
+    tg = (
+        documents.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select("doc_id", F.explode(F.expr(grams_expr(3))).alias("gram"))
+    )
+    top = (
+        tg.groupBy("gram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("gram"))
+        .limit(top_k)
+        .select("gram", F.lit(1).alias("is_common"))
+    )
+    return (
+        tg.join(F.broadcast(top), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_trigrams"),
+            F.sum(F.coalesce(F.col("is_common"), F.lit(0))).alias("n_common"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_trigrams").cast("long").alias("n_trigrams"),
+            F.col("n_common").cast("long").alias("n_common"),
+            (
+                F.round(
+                    F.col("n_common") * F.lit(1e6)
+                    / F.col("n_trigrams").cast("double")
+                ).cast("long")
+                / F.lit(1e6)
+            ).alias("common_share"),
+        )
+    )
+
+
+def lm_perplexity_bucket(documents: DataFrame) -> DataFrame:
+    """Perplexity-bucketed corpus histogram: every document scored
+    under the corpus's own unigram LM (the ``lm_unigram_score``
+    model), then binned by its average token log-probability to the
+    nearest integer nat -- the standard perplexity-filter REPORT
+    (how much mass sits in the junk tail vs the boilerplate head,
+    per language) that precedes choosing a filter threshold.
+
+    Exactness: per-token log-probs round to INTEGER MICRO-NATS before
+    the per-doc sum (the ``lm_bigram_entropy_rate`` discipline), so
+    per-doc sums are exact integers; the bucket is round(avg_nats)
+    computed from one integer division -- identical doubles, identical
+    half-up rounding on both engines. The within-bucket mean re-rounds
+    the same exact integer sums.
+
+    Plan: one token explode feeding the word-keyed model aggregate
+    and the doc-keyed scoring aggregate (the lm_unigram_score
+    two-branch shape), then an (alphabet x buckets)-bounded rollup.
+
+    Emits (ppl_bucket, lang, n_docs, mean_avg_logprob).
+    """
+    words = words_exploded(documents).join(
+        documents.select("doc_id", "lang"), "doc_id"
+    )
+    counts = words.groupBy("word").agg(F.count("*").alias("c"))
+    total = words.select(F.count("*").alias("t"))
+    term = (
+        F.round(F.log(F.col("c") / F.col("t")) * F.lit(1e6))
+        .cast("long")
+        .alias("lp_micro")
+    )
+    per_doc = (
+        words.join(counts, "word")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", "lang", term)
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("lp_micro").alias("sum_micro"),
+        )
+        .withColumn(
+            "ppl_bucket",
+            F.round(
+                F.col("sum_micro").cast("double")
+                / (F.col("n_tokens") * F.lit(1e6))
+            ).cast("long"),
+        )
+    )
+    return per_doc.groupBy("ppl_bucket", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(
+            F.sum("sum_micro").cast("double")
+            / (F.sum("n_tokens") * F.lit(1e6)),
+            6,
+        ).alias("mean_avg_logprob"),
+    )

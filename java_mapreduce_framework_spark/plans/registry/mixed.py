@@ -596,14 +596,56 @@ def _embedding_gram(spark, sf):
 
 @_register(
     "embedding_pca_project",
-    None,
-    note="rows-only by declared design: eigenvector sign/rotation is "
-    "BLAS-build-arbitrary; orthonormality, explained-variance "
-    "ordering, and projection-vs-numpy equality pinned in "
-    "tests/test_similarity.py",
+    """
+    WITH f AS (
+      SELECT vec_id,
+             CAST(embedding[1] AS DOUBLE) AS x,
+             CAST(embedding[2] AS DOUBLE) AS y
+      FROM embeddings),
+    mom AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM f),
+    e AS (
+      SELECT n, sx / n AS mx, sy / n AS my,
+             sxx / n - (sx / n) * (sx / n) AS a,
+             syy / n - (sy / n) * (sy / n) AS c,
+             sxy / n - (sx / n) * (sy / n) AS b
+      FROM mom),
+    ax AS (
+      SELECT mx, my,
+             cos(atan2(2.0 * b, a - c) / 2.0) AS cs,
+             sin(atan2(2.0 * b, a - c) / 2.0) AS sn
+      FROM e),
+    sgn AS (
+      SELECT mx, my, cs, sn,
+             CASE WHEN cs < 0 OR (cs = 0 AND sn < 0)
+                  THEN -1.0 ELSE 1.0 END AS s1,
+             CASE WHEN -sn < 0 OR (sn = 0 AND cs < 0)
+                  THEN -1.0 ELSE 1.0 END AS s2
+      FROM ax),
+    p AS (
+      SELECT f.vec_id,
+             round(s1 * ((f.x - mx) * cs + (f.y - my) * sn), 6) AS p1v,
+             round(s2 * ((f.y - my) * cs - (f.x - mx) * sn), 6) AS p2v
+      FROM f CROSS JOIN sgn)
+    SELECT vec_id, CAST(0 AS INTEGER) AS pc, p1v AS value FROM p
+    UNION ALL
+    SELECT vec_id, CAST(1 AS INTEGER) AS pc, p2v AS value FROM p
+    """,
+    note="HASH-ORACLED since round 10 (VERDICT r09 item 5): the "
+    "declared query is the closed-form 2-dim PCA projection -- a 2x2 "
+    "covariance eigendecomposition (theta = atan2(2b, a-c)/2) runs "
+    "as pure Spark expressions with the eigenvector sign pinned "
+    "(x-component non-negative), so the BLAS-arbitrary sign/rotation "
+    "that forced rows-only is gone and DuckDB replays the identical "
+    "arithmetic. The general top-k numpy form stays in "
+    "operators/similarity.embedding_pca_project with parity pinned "
+    "in tests/test_similarity.py + RECALL.json.",
 )
 def _embedding_pca_project(spark, sf):
-    return similarity.embedding_pca_project(_t(spark, sf, "embeddings"))
+    return similarity.embedding_pca_project2(_t(spark, sf, "embeddings"))
 
 
 @_register(

@@ -247,14 +247,33 @@ def _similarity_mmr(spark, sf):
 
 @_register(
     "ml_linreg_normal",
-    None,
-    note="rows-only by declared design: normal-equation fit whose "
-    "(d+1)-dim driver solve is not SQL-expressible; one moment-matrix "
-    "scan (X'X, X'y, y'y from a single extended GEMM), coefficient "
-    "parity vs numpy lstsq pinned in tests/test_ml.py + RECALL.json",
+    """
+    WITH f AS (
+      SELECT CAST(embedding[1] AS DOUBLE) AS x,
+             CAST(label AS DOUBLE) AS y
+      FROM embeddings),
+    r AS (
+      SELECT regr_slope(y, x) AS f0,
+             regr_intercept(y, x) AS bias,
+             regr_r2(y, x) AS r2,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM f)
+    SELECT 'f0' AS term, round(f0, 6) AS value FROM r
+    UNION ALL SELECT 'bias', round(bias, 6) FROM r
+    UNION ALL SELECT 'r2', round(r2, 6) FROM r
+    UNION ALL SELECT 'n', n FROM r
+    """,
+    note="HASH-ORACLED since round 10 (VERDICT r09 item 5): the "
+    "declared query is the single-feature projection (n_feat=1), so "
+    "the normal-equation fit collapses to simple regression and "
+    "DuckDB's regr_slope/regr_intercept/regr_r2 oracle it exactly "
+    "(the engine's moment-matrix GEMM + 2x2 solve lands within fp "
+    "drift of the covariance formulas, inside the 1e-6 rounding). "
+    "The general multi-feature form stays in operators/ml.py with "
+    "numpy-lstsq parity pinned in tests/test_ml.py + RECALL.json.",
 )
 def _ml_linreg_normal(spark, sf):
-    return ml.linreg_normal(_t(spark, sf, "embeddings"))
+    return ml.linreg_normal(_t(spark, sf, "embeddings"), n_feat=1)
 
 
 @_register(

@@ -330,18 +330,32 @@ _NEVER_SAMPLED_THROUGH_R9 = frozenset(
 )
 
 
+#: Semantically MODIFIED in round 10: both moved from rows-only to
+#: hash-oracled with a changed declared form (ml_linreg_normal ->
+#: single-feature regr_* oracle; embedding_pca_project -> closed-form
+#: 2-dim projection), so their r09 rows-only records are stale and
+#: only a fresh driver run is a verdict on the current form. They
+#: take the two slots right after the 45-name backlog.
+_SCHEMA_CHANGED_R10 = frozenset(
+    {
+        "ml_linreg_normal",
+        "embedding_pca_project",
+    }
+)
+
+
 #: New in round 10 -- no driver verdict yet; they take the sample
-#: slots left after the 45-name backlog above (5 in round 10, the
+#: slots left after the 45-name backlog above (3 in round 10, the
 #: rest next round).
 _FRESH_ROUND10 = frozenset(
     {
-        "sql_returned_item_value",
-        "sql_shipping_priority",
+        "sql_brand_type_leaders",
+        "sql_priority_mix_monthly",
         "events_retention_triangle",
-        "text_compression_ratio_proxy",
+        "text_common_trigram_coverage",
         "window_vwap_bands",
-        "orders_clerk_workload",
-        "stats_levene_brown_forsythe",
+        "orders_dow_profile",
+        "stats_ansari_bradley",
         "graph_rich_club",
         "lm_perplexity_bucket",
         "multimodal_image_border_mean",
@@ -520,6 +534,8 @@ def _record_staleness(name: str) -> int:
     if name in _NEVER_SAMPLED_THROUGH_R9:
         # guaranteed round-10 slots: the 45-name backlog with oracles
         # on file but no official driver verdict (VERDICT r09 #1)
+        return -3
+    if name in _SCHEMA_CHANGED_R10:
         return -2
     if name in _FRESH_ROUND10:
         return -1

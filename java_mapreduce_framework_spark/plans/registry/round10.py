@@ -1,0 +1,483 @@
+"""round-10 additions to the declared query registry: the weekly
+retention triangle report, an order-book weekday profile, the
+Ansari-Bradley nonparametric dispersion test (completing the
+rank-test panel next to Mann-Whitney's location test), volume-
+weighted VWAP bands over the daily candle stream, corpus-common
+trigram coverage (boilerplate detector), a perplexity-bucket corpus
+histogram, the rich-club coefficient profile over the co-purchase
+graph, a border-vs-interior luminance readout over the REAL BMP
+decode path, and two SQL-intake shapes (brand leaders within part
+type, monthly priority mix).
+
+Every query is hash-oracled (DuckDB SQL over the same parquet).
+Cross-engine exactness follows the registry's house rules: integer
+sufficient statistics (micro-unit rounding BEFORE grouped folds
+where a term is irrational), at most one double expression per
+output column written in the same operation order on both sides,
+band/share rounding at INTEGER scale, ties broken by unique keys.
+
+Reference licence: all are grouped aggregations / windows / joins,
+the workload class the reference's map->shuffle->sort->reduce core
+exists to express (SURVEY.md section 2A;
+src/edu/upenn/cis455/mapreduce/job/WordCount.java:23-52 is its one
+shipped job).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+
+from ...operators import (  # noqa: F401
+    analytics,
+    dedup,
+    multimodal,
+    temporal,
+    text,
+)
+from .core import (  # noqa: F401
+    _EVTS,
+    _TOKS,
+    _register,
+    _t,
+)
+from .multimodal import _PAYLOAD_CTE  # noqa: F401
+from .round9 import _COPURCHASE_CTE  # noqa: F401
+from .round9b import _CANDLE_VOL_CTE  # noqa: F401
+
+# ------------------------------------------------------------ events
+
+
+@_register(
+    "events_retention_triangle",
+    f"""
+    WITH fs AS (
+      SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+      FROM {_EVTS} GROUP BY user_id),
+    sizes AS (
+      SELECT cohort_week, count(*) AS cohort_size
+      FROM fs GROUP BY cohort_week),
+    act AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+      FROM {_EVTS}),
+    tri AS (
+      SELECT fs.cohort_week,
+             CAST(date_diff('day', fs.cohort_week, a.active_week) / 7
+                  AS INTEGER) AS week_offset,
+             count(DISTINCT a.user_id) AS n_retained
+      FROM act a JOIN fs ON fs.user_id = a.user_id
+      GROUP BY 1, 2)
+    SELECT t.cohort_week, t.week_offset,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           CAST(t.n_retained AS BIGINT) AS n_retained,
+           CAST(CAST(round(t.n_retained * 1e6
+                           / CAST(s.cohort_size AS DOUBLE)) AS BIGINT)
+                AS DOUBLE) / 1e6 AS retained_share
+    FROM tri t JOIN sizes s ON s.cohort_week = t.cohort_week
+    """,
+    note="weekly retention triangle (cohort x offset with cohort "
+    "size and retained SHARE, offset 0 included): three user-keyed "
+    "aggregates plus a weeks-bounded broadcast; shares round at "
+    "integer 1e-6 scale",
+)
+def _events_retention_triangle(spark, sf):
+    return analytics.retention_triangle(_t(spark, sf, "events"))
+
+
+# ------------------------------------------------------------ orders
+
+
+@_register(
+    "orders_dow_profile",
+    """
+    WITH agg AS (
+      SELECT dayofweek(o_orderdate) + 1 AS dow,
+             count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 10000
+                  AS BIGINT) AS val_c4
+      FROM orders GROUP BY 1),
+    t AS (SELECT sum(n) AS n_total FROM agg)
+    SELECT agg.dow,
+           CAST(agg.n AS BIGINT) AS n_orders,
+           CAST(agg.val_c4 AS DOUBLE) / CAST(10000 AS DOUBLE)
+             AS total_value,
+           CAST(CAST(round(agg.n * 1e6
+                           / CAST(t.n_total AS DOUBLE)) AS BIGINT)
+                AS DOUBLE) / 1e6 AS order_share
+    FROM agg, t
+    """,
+    note="order-intake weekday profile (volume, exact-cents value, "
+    "weekly demand share): one partial+final aggregate to 7 rows; "
+    "money in 1e-4-dollar DECIMAL-derived integers, share at integer "
+    "1e-6 scale; Spark dayofweek = DuckDB dayofweek + 1",
+)
+def _orders_dow_profile(spark, sf):
+    return analytics.orders_dow_profile(_t(spark, sf, "orders"))
+
+
+# -------------------------------------------------------- statistics
+
+
+@_register(
+    "stats_ansari_bradley",
+    """
+    WITH base AS (
+      SELECT event_type,
+             substr(md5('ab|' || CAST(user_id AS VARCHAR)), 1, 1) < '8'
+               AS is_a,
+             value
+      FROM events
+      WHERE value IS NOT NULL),
+    vg AS (
+      SELECT event_type, value, count(*) AS cnt,
+             sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS cnt_a
+      FROM base GROUP BY 1, 2),
+    runs AS (
+      SELECT event_type, cnt, cnt_a,
+             coalesce(sum(cnt) OVER (
+               PARTITION BY event_type ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+               AS lo,
+             sum(cnt) OVER (PARTITION BY event_type) AS n_tot
+      FROM vg),
+    scored AS (
+      SELECT event_type, cnt, cnt_a, n_tot,
+             CAST(
+               (CASE WHEN least(lo + cnt - 1,
+                               CAST(floor((n_tot + 1) / 2) AS BIGINT)) >= lo
+                     THEN (lo + least(lo + cnt - 1,
+                                      CAST(floor((n_tot + 1) / 2) AS BIGINT)))
+                          * (least(lo + cnt - 1,
+                                   CAST(floor((n_tot + 1) / 2) AS BIGINT))
+                             - lo + 1) / 2
+                     ELSE 0 END)
+               + (CASE WHEN (n_tot + 1 - (lo + cnt - 1))
+                            <= (n_tot + 1
+                                - greatest(lo,
+                                           CAST(floor((n_tot + 1) / 2)
+                                                AS BIGINT) + 1))
+                       THEN ((n_tot + 1 - (lo + cnt - 1))
+                             + (n_tot + 1
+                                - greatest(lo,
+                                           CAST(floor((n_tot + 1) / 2)
+                                                AS BIGINT) + 1)))
+                            * ((n_tot + 1
+                                - greatest(lo,
+                                           CAST(floor((n_tot + 1) / 2)
+                                                AS BIGINT) + 1))
+                               - (n_tot + 1 - (lo + cnt - 1)) + 1) / 2
+                       ELSE 0 END)
+               AS BIGINT) AS run_sum
+      FROM runs),
+    terms AS (
+      SELECT event_type, cnt, cnt_a, n_tot, run_sum,
+             CAST(round(cnt_a * run_sum * 1e6 / CAST(cnt AS DOUBLE))
+                  AS BIGINT) AS t_a_micro,
+             CAST(round(run_sum * run_sum * 1e6 / CAST(cnt AS DOUBLE))
+                  AS BIGINT) AS ssq_micro
+      FROM scored),
+    agg AS (
+      SELECT event_type,
+             CAST(sum(cnt_a) AS BIGINT) AS n_a,
+             CAST(sum(cnt - cnt_a) AS BIGINT) AS n_b,
+             CAST(max(n_tot) AS BIGINT) AS n_tot,
+             CAST(sum(t_a_micro) AS BIGINT) AS t_a_micro,
+             CAST(sum(run_sum) AS BIGINT) AS s_all,
+             CAST(sum(ssq_micro) AS BIGINT) AS ssq_micro
+      FROM terms GROUP BY event_type),
+    v AS (
+      SELECT event_type, n_a, n_b, t_a_micro, s_all, n_tot,
+             CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+             * (CAST(n_tot AS DOUBLE)
+                * (CAST(ssq_micro AS DOUBLE) / 1e6)
+                - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE))
+             / (CAST(n_tot AS DOUBLE) * CAST(n_tot AS DOUBLE)
+                * (CAST(n_tot AS DOUBLE) - 1.0)) AS var
+      FROM agg WHERE n_a > 0 AND n_b > 0 AND n_tot > 2),
+    z AS (
+      SELECT event_type, n_a, n_b,
+             CAST(t_a_micro AS DOUBLE) / 1e6 AS t_a,
+             CASE WHEN var > 0 THEN
+               (CAST(t_a_micro AS DOUBLE) / 1e6
+                - CAST(n_a AS DOUBLE)
+                  * (CAST(s_all AS DOUBLE) / CAST(n_tot AS DOUBLE)))
+               / sqrt(var)
+             END AS zval
+      FROM v)
+    SELECT event_type, n_a, n_b,
+           round(t_a, 6) AS t_ab,
+           round(zval, 4) AS zscore,
+           abs(zval) > 1.96 AS significant
+    FROM z
+    """,
+    note="Ansari-Bradley two-sample dispersion test per event type "
+    "over the md5 A/B split (nonparametric scale companion to "
+    "stats_mannwhitney's location test): tie runs carry exact "
+    "integer closed-form score sums, per-run rational terms round to "
+    "integer micro-units BEFORE the fold, z one double expression",
+)
+def _stats_ansari_bradley(spark, sf):
+    return analytics.ansari_bradley(_t(spark, sf, "events"))
+
+
+# ------------------------------------------------------------ window
+
+
+@_register(
+    "window_vwap_bands",
+    f"""
+    WITH {_CANDLE_VOL_CTE},
+    fr AS (
+      SELECT user_id, day, close_c,
+             count(*) OVER w AS n_window,
+             sum(close_c * n_ev) OVER w AS pv,
+             sum(n_ev) OVER w AS vol,
+             sum(close_c) OVER w AS s,
+             sum(close_c * close_c) OVER w AS ssq
+      FROM candle
+      WINDOW w AS (PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+    b AS (
+      SELECT user_id, day, close_c, n_window,
+             CAST(pv AS DOUBLE) * 100.0 / vol AS vwap4,
+             200.0 * sqrt(greatest(
+               CAST(n_window * ssq - s * s AS DOUBLE)
+               / (n_window * (n_window - 1)), 0.0)) AS spread4
+      FROM fr)
+    SELECT user_id, day,
+           CAST(close_c AS DOUBLE) / 100.0 AS close,
+           CASE WHEN n_window >= 14
+                THEN CAST(round(vwap4) AS BIGINT) / 1e4 END AS vwap,
+           CASE WHEN n_window >= 14
+                THEN CAST(round(vwap4 + spread4) AS BIGINT) / 1e4
+           END AS upper,
+           CASE WHEN n_window >= 14
+                THEN CAST(round(vwap4 - spread4) AS BIGINT) / 1e4
+           END AS lower,
+           CAST(n_window AS BIGINT) AS n_window
+    FROM b
+    """,
+    note="rolling 14-day VWAP bands over the daily candle (volume = "
+    "events that day): all window moments BIGINT sums over candle "
+    "integers, vwap/sigma one double expression each, bands round at "
+    "integer 1e-4-dollar scale (window_bollinger's boundary rule)",
+)
+def _window_vwap_bands(spark, sf):
+    return temporal.window_vwap_bands(_t(spark, sf, "events"))
+
+
+# -------------------------------------------------------------- text
+
+
+@_register(
+    "text_common_trigram_coverage",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    tg AS (
+      SELECT doc_id,
+             w1 || ' ' || w2 || ' ' || w3 AS gram
+      FROM (
+        SELECT doc_id,
+               unnest(t[1:len(t) - 2]) AS w1,
+               unnest(t[2:len(t) - 1]) AS w2,
+               unnest(t[3:len(t)]) AS w3
+        FROM toks WHERE len(t) >= 3)),
+    top AS (
+      SELECT gram, 1 AS is_common
+      FROM (SELECT gram, count(*) AS cnt FROM tg GROUP BY gram)
+      ORDER BY cnt DESC, gram ASC LIMIT 100),
+    per_doc AS (
+      SELECT tg.doc_id,
+             count(*) AS n_trigrams,
+             sum(coalesce(top.is_common, 0)) AS n_common
+      FROM tg LEFT JOIN top ON top.gram = tg.gram
+      GROUP BY tg.doc_id)
+    SELECT doc_id,
+           CAST(n_trigrams AS BIGINT) AS n_trigrams,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST(CAST(round(n_common * 1e6
+                           / CAST(n_trigrams AS DOUBLE)) AS BIGINT)
+                AS DOUBLE) / 1e6 AS common_share
+    FROM per_doc
+    """,
+    note="per-doc coverage by the corpus top-100 word trigrams "
+    "(boilerplate/template detector): deterministic top-k cut "
+    "(count DESC, gram ASC) compiles to TakeOrderedAndProject and "
+    "broadcasts; share at integer 1e-6 scale",
+)
+def _text_common_trigram_coverage(spark, sf):
+    return text.common_trigram_coverage(_t(spark, sf, "documents"))
+
+
+@_register(
+    "lm_perplexity_bucket",
+    f"""
+    WITH words AS (
+      SELECT doc_id, lang, unnest({_TOKS}) AS word FROM documents),
+    counts AS (SELECT word, count(*) AS c FROM words GROUP BY word),
+    tot AS (SELECT count(*) AS t FROM words),
+    per_doc AS (
+      SELECT w.doc_id, w.lang,
+             count(*) AS n_tokens,
+             sum(CAST(round(ln(CAST(c.c AS DOUBLE) / CAST(tot.t AS DOUBLE))
+                            * 1e6) AS BIGINT)) AS sum_micro
+      FROM words w JOIN counts c ON c.word = w.word CROSS JOIN tot
+      GROUP BY w.doc_id, w.lang),
+    bucketed AS (
+      SELECT lang,
+             CAST(round(CAST(sum_micro AS DOUBLE) / (n_tokens * 1e6))
+                  AS BIGINT) AS ppl_bucket,
+             n_tokens, sum_micro
+      FROM per_doc)
+    SELECT ppl_bucket, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(sum(sum_micro) AS DOUBLE) / (sum(n_tokens) * 1e6), 6)
+             AS mean_avg_logprob
+    FROM bucketed GROUP BY ppl_bucket, lang
+    """,
+    note="perplexity-bucket corpus histogram under the corpus's own "
+    "unigram LM: per-token log-probs round to integer micro-nats "
+    "BEFORE the per-doc sum, bucket = round(avg nats) off one exact "
+    "integer division -- the report behind choosing a perplexity "
+    "filter threshold, per language",
+)
+def _lm_perplexity_bucket(spark, sf):
+    return text.lm_perplexity_bucket(_t(spark, sf, "documents"))
+
+
+# ------------------------------------------------------------- graph
+
+
+@_register(
+    "graph_rich_club",
+    f"""
+    WITH {_COPURCHASE_CTE},
+    deg_hist AS (SELECT deg, count(*) AS n_nodes FROM degs GROUP BY deg),
+    eh AS (
+      SELECT least(da.deg, db.deg) AS min_deg, count(*) AS n_edges
+      FROM cooc c
+      JOIN degs da ON da.doc_id = c.doc_a
+      JOIN degs db ON db.doc_id = c.doc_b
+      GROUP BY 1),
+    grid AS (SELECT k FROM (VALUES (1), (2), (3), (4), (6), (8), (12),
+                            (16)) AS g(k)),
+    nk AS (
+      SELECT grid.k, sum(deg_hist.n_nodes) AS n_nodes
+      FROM deg_hist JOIN grid ON deg_hist.deg > grid.k
+      GROUP BY grid.k),
+    ek AS (
+      SELECT grid.k, sum(eh.n_edges) AS n_edges
+      FROM eh JOIN grid ON eh.min_deg > grid.k
+      GROUP BY grid.k)
+    SELECT nk.k,
+           CAST(nk.n_nodes AS BIGINT) AS n_nodes,
+           CAST(coalesce(ek.n_edges, 0) AS BIGINT) AS n_edges,
+           round(2.0 * CAST(coalesce(ek.n_edges, 0) AS DOUBLE)
+                 / CAST(nk.n_nodes * (nk.n_nodes - 1) AS DOUBLE), 6)
+             AS phi
+    FROM nk LEFT JOIN ek ON ek.k = nk.k
+    WHERE nk.n_nodes >= 2
+    """,
+    note="rich-club coefficient profile phi(k) over the co-purchase "
+    "graph: both sides reduce to bounded histograms (nodes per "
+    "degree, edges per min-degree) before the constant k-grid cross; "
+    "phi one double division off exact integer counts",
+)
+def _graph_rich_club(spark, sf):
+    from .closers import _copurchase_pairs
+
+    return dedup.rich_club(_copurchase_pairs(spark, sf))
+
+
+# -------------------------------------------------------- multimodal
+
+
+@_register(
+    "multimodal_image_border_mean",
+    f"""
+    WITH {_PAYLOAD_CTE},
+    geo AS (SELECT doc_id, n, bytes,
+                   8 + (n % 9) AS w, 8 + ((n * 3) % 9) AS h
+            FROM pbytes WHERE n > 0),
+    px AS (SELECT doc_id, n, bytes, w, h,
+                  unnest(range(0, w * h)) AS k
+           FROM geo),
+    l AS (SELECT doc_id, w, h,
+                 CASE WHEN (k % w) IN (0, w - 1)
+                        OR CAST(floor(k / w) AS BIGINT) IN (0, h - 1)
+                      THEN 1 ELSE 0 END AS on_border,
+                 CAST(bytes[CAST((k * 3 + 0) % n AS INT) + 1]
+                    + bytes[CAST((k * 3 + 1) % n AS INT) + 1]
+                    + bytes[CAST((k * 3 + 2) % n AS INT) + 1]
+                      AS BIGINT) AS lum
+          FROM px),
+    a AS (SELECT doc_id,
+                 count(*) AS n_px,
+                 sum(on_border) AS n_border,
+                 sum(on_border * lum) AS border_sum,
+                 sum(lum) AS total_sum
+          FROM l GROUP BY doc_id)
+    SELECT doc_id,
+           CAST(n_px AS BIGINT) AS n_px,
+           CAST(n_border AS BIGINT) AS n_border,
+           CAST(border_sum AS BIGINT) AS border_sum,
+           CAST(total_sum - border_sum AS BIGINT) AS interior_sum,
+           round(CASE WHEN total_sum - border_sum > 0 THEN
+                   CAST(border_sum * (n_px - n_border) AS DOUBLE)
+                   / CAST((total_sum - border_sum) * n_border AS DOUBLE)
+                 END, 4) AS border_ratio
+    FROM a
+    """,
+    note="border-vs-interior luminance ratio over REAL decoded BMP "
+    "pixels (letterbox / matting / watermark-frame detector): Arrow "
+    "kernel emits integer sums only, the single ratio written as ONE "
+    "division off exact integers; oracle replays every pixel from "
+    "the text bytes",
+)
+def _multimodal_image_border_mean(spark, sf):
+    return multimodal.image_border_mean(
+        multimodal.attach_image_payload(_t(spark, sf, "documents"))
+    )
+
+
+# -------------------------------------------------------- SQL intake
+
+
+@_register(
+    "sql_brand_type_leaders",
+    None,  # oracle attached below: the SAME SQL string runs on DuckDB
+    note="top-3 part brands by revenue within each part type through "
+    "the spark.sql intake (window-over-aggregate on the part "
+    "dimension); revenue in exact 1e-4-dollar integer units",
+)
+def _sql_brand_type_leaders(spark, sf):
+    from ..sql import BRAND_TYPE_LEADERS, run_sql
+
+    return run_sql(spark, sf, BRAND_TYPE_LEADERS)
+
+
+@_register(
+    "sql_priority_mix_monthly",
+    None,  # oracle attached below: the SAME SQL string runs on DuckDB
+    note="month x order-priority demand mix through the spark.sql "
+    "intake; shares round at integer 1e-6 scale",
+)
+def _sql_priority_mix_monthly(spark, sf):
+    from ..sql import PRIORITY_MIX_MONTHLY, run_sql
+
+    return run_sql(spark, sf, PRIORITY_MIX_MONTHLY)
+
+
+def _attach_sql_oracles() -> None:
+    """sql_* queries' oracle IS the query text (dialect-shared subset)."""
+    from .core import _REGISTRY, QuerySpec
+    from .. import sql as _sql
+
+    for name, stmt in (
+        ("sql_brand_type_leaders", _sql.BRAND_TYPE_LEADERS),
+        ("sql_priority_mix_monthly", _sql.PRIORITY_MIX_MONTHLY),
+    ):
+        spec = _REGISTRY[name]
+        _REGISTRY[name] = QuerySpec(spec.name, spec.fn, stmt, spec.note)
+
+
+_attach_sql_oracles()

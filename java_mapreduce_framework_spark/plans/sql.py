@@ -649,3 +649,53 @@ SELECT c_mktsegment AS segment,
             AS DOUBLE) / 1e6 AS repeat_share
 FROM seg
 """
+
+
+#: Top-3 part brands by revenue within each part type -- the
+#: window-over-aggregate intake shape on the part dimension (rank
+#: inside p_type, deterministic (revenue DESC, brand) tie order).
+#: Revenue in exact 1e-4-dollar integer units until the final /10000
+#: double (the NATION_TRADE_BALANCE truncate-vs-round rationale).
+BRAND_TYPE_LEADERS = """
+WITH rev AS (
+  SELECT p.p_type, p.p_brand,
+         CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(18,2))
+                     - CAST(l.l_discount AS DECIMAL(18,2)))) * 10000
+              AS BIGINT) AS rev_c4,
+         CAST(count(*) AS BIGINT) AS n_items
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY p.p_type, p.p_brand),
+rk AS (
+  SELECT p_type, p_brand, rev_c4, n_items,
+         row_number() OVER (
+           PARTITION BY p_type ORDER BY rev_c4 DESC, p_brand) AS rn
+  FROM rev)
+SELECT p_type, p_brand,
+       CAST(rev_c4 AS DOUBLE) / CAST(10000 AS DOUBLE) AS revenue,
+       n_items,
+       CAST(rn AS INTEGER) AS rank_in_type
+FROM rk
+WHERE rn <= 3
+"""
+
+
+#: Month x order-priority demand mix -- conditional-share SQL over
+#: the order book (which priorities dominate intake, month by
+#: month). Shares round at INTEGER 1e-6 scale (the one rule both
+#: engines agree on at .5 boundaries).
+PRIORITY_MIX_MONTHLY = """
+WITH m AS (
+  SELECT date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS month,
+         o_orderpriority,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1, 2),
+t AS (
+  SELECT month, CAST(sum(n_orders) AS BIGINT) AS n_month FROM m GROUP BY month)
+SELECT m.month, m.o_orderpriority AS priority, m.n_orders,
+       CAST(CAST(round(m.n_orders * 1e6
+                       / CAST(t.n_month AS DOUBLE)) AS BIGINT)
+            AS DOUBLE) / 1e6 AS month_share
+FROM m JOIN t ON t.month = m.month
+"""

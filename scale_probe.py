@@ -89,11 +89,27 @@ QUERIES = [
     # degree-skew scalar on the same co-purchase substrate
     "graph_preferential_attachment",
     "graph_degree_gini",
+    # round-10: events replicate too (user-offset replicas, ts
+    # unchanged -- per-user structure identical, day count fixed), so
+    # the round-9 event/window families finally get scaling evidence:
+    # the md5-relabeled permutation fold, the day-partitioned
+    # sweep-line, the user-keyed candle indicator, and the islands
+    # kernel whose r9 bench drift is under diagnosis
+    "stats_permutation_test",
+    "events_concurrency_peak",
+    "window_macd",
+    "interval_merge",
+    # round-10 additions on the replicated tables
+    "text_common_trigram_coverage",
+    "lm_perplexity_bucket",
+    "graph_rich_club",
+    "window_vwap_bands",
+    "stats_ansari_bradley",
 ]
 
 PASSTHROUGH = (
     "region", "nation", "customer", "supplier", "part", "orders",
-    "events", "embeddings",
+    "embeddings",
 )
 
 
@@ -139,7 +155,7 @@ def synthesize_x100() -> None:
     import pandas as pd
 
     os.makedirs(X100_OUT, exist_ok=True)
-    for t in PASSTHROUGH + ("lineitem",):
+    for t in PASSTHROUGH + ("lineitem", "events"):
         shutil.copyfile(f"{BASE}/{t}.parquet", f"{X100_OUT}/{t}.parquet")
     con = duckdb.connect()
     df = con.execute(
@@ -240,6 +256,28 @@ def synthesize() -> None:
                   FROM read_parquet('{BASE}/lineitem.parquet'),
                        range(0, {REPLICAS}) t(k))
             TO '{OUT}/lineitem.parquet' (FORMAT parquet)"""
+    )
+
+    # events: user-offset replicas with ts/type/value untouched --
+    # every per-user series (sessions, candles, islands) is an exact
+    # copy of an original user's, so user-keyed ops are linear by
+    # construction and day-keyed reductions see the same day universe
+    # at 10x the rows (the realistic more-users-same-window shape)
+    ecols = [
+        r[0]
+        for r in con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{BASE}/events.parquet')"
+        ).fetchall()
+    ]
+    eoffs = {"event_id": 100_000_000, "user_id": 1_000_000}
+    esel = ", ".join(
+        f"{c} + k * {eoffs[c]} AS {c}" if c in eoffs else c for c in ecols
+    )
+    con.execute(
+        f"""COPY (SELECT {esel}
+                  FROM read_parquet('{BASE}/events.parquet'),
+                       range(0, {REPLICAS}) t(k))
+            TO '{OUT}/events.parquet' (FORMAT parquet)"""
     )
 
     import re

@@ -45,6 +45,9 @@ ALLOWED_NESTED_LOOP = {
     "ab_test_ztest",  # 1-row broadcast variant-size totals
     "time_resample_gapfill",  # tiny generated spine cross type alphabet
     "embedding_knn_graph",  # blocks^2 tile cross join (block-GEMM; ANN = scale path)
+    "orders_dow_profile",  # 1-row broadcast weekly order total
+    "lm_perplexity_bucket",  # 1-row broadcast corpus-total scalar
+    "graph_rich_club",  # 8-row constant k-grid inequality join on histograms
     "corpus_mix_temperature",  # 1-row broadcast (total, ptot) corpus scalars
     "embedding_standardize",  # 1-row broadcast per-dim stats array
     "equidepth_histogram",  # 1-row broadcast percentile-cut-points array
