@@ -4331,6 +4331,11 @@ def ansari_bradley(events: DataFrame) -> DataFrame:
         _tri(F.col("lo"), asc_hi)
         + _tri(np1 - F.col("hi"), np1 - desc_lo)
     ).cast("long")
+    # ssq squares in DOUBLE and stays at UNIT scale: run_sum can reach
+    # N^2/4, so an integer square overflows int64 past N ~ 2e5
+    # (measured: the 10x scale probe's ANSI long-overflow), while
+    # sum(s^2) <= N^3/12 keeps the ROUNDED unit-scale moment inside
+    # int64 far beyond any per-type alphabet this engine will see
     terms = run.select(
         "event_type",
         "cnt",
@@ -4343,10 +4348,12 @@ def ansari_bradley(events: DataFrame) -> DataFrame:
         .alias("t_a_micro"),
         run_sum.alias("run_sum"),
         F.round(
-            run_sum * run_sum * F.lit(1e6) / F.col("cnt").cast("double")
+            run_sum.cast("double")
+            * run_sum.cast("double")
+            / F.col("cnt").cast("double")
         )
         .cast("long")
-        .alias("ssq_micro"),
+        .alias("ssq_unit"),
     )
     agg = terms.groupBy("event_type").agg(
         F.sum("cnt_a").alias("n_a"),
@@ -4354,7 +4361,7 @@ def ansari_bradley(events: DataFrame) -> DataFrame:
         F.max("n_tot").alias("n_tot"),
         F.sum("t_a_micro").alias("t_a_micro"),
         F.sum("run_sum").alias("s_all"),
-        F.sum("ssq_micro").alias("ssq_micro"),
+        F.sum("ssq_unit").alias("ssq_unit"),
     )
     n_a = F.col("n_a").cast("double")
     n_b = F.col("n_b").cast("double")
@@ -4366,7 +4373,7 @@ def ansari_bradley(events: DataFrame) -> DataFrame:
         n_a
         * n_b
         * (
-            n_tot * (F.col("ssq_micro").cast("double") / F.lit(1e6))
+            n_tot * F.col("ssq_unit").cast("double")
             - F.col("s_all").cast("double") * F.col("s_all").cast("double")
         )
         / (n_tot * n_tot * (n_tot - F.lit(1.0)))
@@ -4382,4 +4389,356 @@ def ansari_bradley(events: DataFrame) -> DataFrame:
         F.round(t_a, 6).alias("t_ab"),
         F.round(z, 4).alias("zscore"),
         (F.abs(z) > F.lit(1.96)).alias("significant"),
+    )
+
+
+def ks_two_sample(events: DataFrame) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test per event type over the
+    deterministic md5 A/B user split -- the DISTRIBUTION-shift
+    companion to Mann-Whitney's location test and Ansari-Bradley's
+    scale test (a variant that changes shape without moving mean or
+    spread only shows up here).
+
+    Exactness: the ECDF gap is kept as the exact INTEGER
+    cross-product ``|ca * n_b - cb * n_a|`` (ca/cb = cumulative
+    counts at each distinct value), maxed as a bigint; D and the
+    Kolmogorov z are one double expression each off that integer.
+
+    Plan: one (type, value) combinable aggregate, a cumulative-count
+    window over the per-type value alphabet, an alphabet-sized max
+    fold -- the mannwhitney plan shape.
+
+    Emits (event_type, n_a, n_b, d_stat, ks_z, significant)
+    (significant at the alpha=0.05 Kolmogorov critical 1.358).
+    """
+    variant_a = (
+        F.substring(
+            F.md5(
+                F.concat_ws("|", F.lit("ab"), F.col("user_id").cast("string"))
+            ),
+            1,
+            1,
+        )
+        < F.lit("8")
+    )
+    vg = (
+        events.filter(F.col("value").isNotNull())
+        .select("event_type", variant_a.alias("is_a"), "value")
+        .groupBy("event_type", "value")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("is_a").cast("long")).alias("cnt_a"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = vg.select(
+        "event_type",
+        "cnt",
+        "cnt_a",
+        F.sum("cnt_a").over(w).alias("ca"),
+        F.sum(F.col("cnt") - F.col("cnt_a")).over(w).alias("cb"),
+    )
+    # totals = the max of each cumulative count, needed per row for
+    # the integer cross-product gap -- one more type-keyed window on
+    # the same alphabet-sized frame
+    wt = Window.partitionBy("event_type")
+    gap = cum.select(
+        "event_type",
+        F.max("ca").over(wt).alias("n_a"),
+        F.max("cb").over(wt).alias("n_b"),
+        F.abs(
+            F.col("ca") * F.max("cb").over(wt)
+            - F.col("cb") * F.max("ca").over(wt)
+        ).alias("g"),
+    )
+    out = gap.groupBy("event_type", "n_a", "n_b").agg(
+        F.max("g").alias("d_num")
+    )
+    n_a = F.col("n_a").cast("double")
+    n_b = F.col("n_b").cast("double")
+    d = F.col("d_num").cast("double") / (n_a * n_b)
+    z = d * F.sqrt(n_a * n_b / (n_a + n_b))
+    return out.filter((F.col("n_a") > 0) & (F.col("n_b") > 0)).select(
+        "event_type",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(d, 6).alias("d_stat"),
+        F.round(z, 4).alias("ks_z"),
+        (z > F.lit(1.358)).alias("significant"),
+    )
+
+
+def page_trend(events: DataFrame) -> DataFrame:
+    """Page's L trend test across event types (ordered-alternative
+    sibling of ``friedman_ranks``, same user-blocked design): with
+    treatments taken in a FIXED order (alphabetical event type), L =
+    sum over treatments of j * R_j detects a monotone trend in the
+    per-user type-count profile that Friedman's omnibus chi-square
+    dilutes.
+
+    Exactness: the friedman dense-grid doubled midranks keep every
+    rank sum an exact bigint; L rides doubled (L2 = sum j * mr2_sum),
+    the treatment index j is the alphabetical row_number over the
+    type alphabet, and the classical normal approximation (E[L] =
+    N*k*(k+1)^2/4, Var[L] = N*k^2*(k+1)*(k^2-1)/144) is one double
+    expression off integers.
+
+    Emits (event_type, j, rank_sum_x2, page_l, page_z) -- per-type
+    rows each carrying the global statistic (the friedman output
+    shape).
+    """
+    counts = events.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("cnt")
+    )
+    users = events.select("user_id").distinct()
+    types = events.select("event_type").distinct()
+    dense = (
+        users.crossJoin(F.broadcast(types))
+        .join(counts, ["user_id", "event_type"], "left")
+        .select(
+            "user_id", "event_type", F.coalesce("cnt", F.lit(0)).alias("cnt")
+        )
+    )
+    wr = Window.partitionBy("user_id").orderBy("cnt")
+    wt = Window.partitionBy("user_id", "cnt")
+    ranked = dense.select(
+        "user_id",
+        "event_type",
+        (
+            2 * F.rank().over(wr) + F.count("*").over(wt) - 1
+        ).alias("mr2"),
+    )
+    sums = ranked.groupBy("event_type").agg(
+        F.sum("mr2").cast("long").alias("rank_sum_x2"),
+        F.count("*").cast("long").alias("n_blocks"),
+    )
+    wj = Window.orderBy("event_type")
+    pos = sums.select(
+        "event_type",
+        "rank_sum_x2",
+        "n_blocks",
+        F.row_number().over(wj).cast("long").alias("j"),
+    )
+    wall = Window.partitionBy()
+    l2 = F.sum(F.col("j") * F.col("rank_sum_x2")).over(wall)
+    k = F.count("*").over(wall)
+    n = F.max("n_blocks").over(wall)
+    stat = pos.select(
+        "event_type",
+        "j",
+        "rank_sum_x2",
+        l2.alias("l2"),
+        k.alias("k"),
+        n.alias("n"),
+    )
+    kd = F.col("k").cast("double")
+    nd = F.col("n").cast("double")
+    l = F.col("l2").cast("double") / F.lit(2.0)
+    mean_l = nd * kd * (kd + 1) * (kd + 1) / F.lit(4.0)
+    var_l = (
+        nd * kd * kd * (kd + 1) * (kd * kd - 1) / F.lit(144.0)
+    )
+    return stat.select(
+        "event_type",
+        F.col("j").cast("int").alias("j"),
+        "rank_sum_x2",
+        F.round(l, 1).alias("page_l"),
+        F.round(
+            F.when(var_l > 0, (l - mean_l) / F.sqrt(var_l)), 4
+        ).alias("page_z"),
+    )
+
+
+def sign_test_paired(events: DataFrame) -> DataFrame:
+    """Paired sign test on each user's early-month vs late-month
+    per-event value level -- the magnitude-free sibling of
+    ``mcnemar_paired`` (which needs a binary outcome): did a user's
+    typical reading move up or down between halves, counted as signs
+    only, so one outlier burst cannot fake a shift.
+
+    Exactness: per-user sums ride as exact integer CENTS, and the
+    mean comparison cross-multiplies counts instead of dividing
+    (late_sum * early_n vs early_sum * late_n) -- the sign is decided
+    on exact integers, never on a float mean. Ties (exact equality)
+    drop, the declared classical treatment. z = (n_pos - n_neg) /
+    sqrt(n_pos + n_neg), one double.
+
+    Emits ONE row (n_users, n_pos, n_neg, n_tie, sign_z,
+    significant).
+    """
+    cents = F.floor(F.col("value") * 100).cast("long")
+    early = F.dayofmonth("ts") <= 15
+    pu = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(early, cents)).alias("es"),
+            F.count(F.when(early, F.lit(1))).alias("en"),
+            F.sum(F.when(~early, cents)).alias("ls"),
+            F.count(F.when(~early, F.lit(1))).alias("ln"),
+        )
+        .filter((F.col("en") > 0) & (F.col("ln") > 0))
+    )
+    lhs = F.col("ls") * F.col("en")
+    rhs = F.col("es") * F.col("ln")
+    agg = pu.agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.when(lhs > rhs, 1).otherwise(0)).alias("n_pos"),
+        F.sum(F.when(lhs < rhs, 1).otherwise(0)).alias("n_neg"),
+        F.sum(F.when(lhs == rhs, 1).otherwise(0)).alias("n_tie"),
+    )
+    np_ = F.col("n_pos").cast("double")
+    nn_ = F.col("n_neg").cast("double")
+    z = F.when(
+        F.col("n_pos") + F.col("n_neg") > 0,
+        (np_ - nn_) / F.sqrt(np_ + nn_),
+    )
+    return agg.select(
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        F.col("n_tie").cast("long").alias("n_tie"),
+        F.round(z, 4).alias("sign_z"),
+        (F.abs(z) > F.lit(1.96)).alias("significant"),
+    )
+
+
+def user_lifespan_histogram(events: DataFrame) -> DataFrame:
+    """User-lifespan histogram: days between each user's first and
+    last event, counted per span -- the engagement-duration
+    distribution next to ``events_active_days_histogram``'s
+    active-day COUNT view (a user active on 2 days a year apart
+    lands far right here, far left there).
+
+    One user-keyed aggregate to (first, last), an integer day diff,
+    a spans-bounded rollup. Shares round at integer 1e-6 scale.
+
+    Emits (lifespan_days, n_users, user_share).
+    """
+    pu = events.groupBy("user_id").agg(
+        F.datediff(
+            F.date_trunc("day", F.max("ts")), F.date_trunc("day", F.min("ts"))
+        ).alias("lifespan_days")
+    )
+    hist = pu.groupBy("lifespan_days").agg(F.count("*").alias("n_users"))
+    total = hist.select(F.sum("n_users").alias("n_total"))
+    return hist.crossJoin(F.broadcast(total)).select(
+        F.col("lifespan_days").cast("int").alias("lifespan_days"),
+        F.col("n_users").cast("long").alias("n_users"),
+        (
+            F.round(
+                F.col("n_users") * F.lit(1e6) / F.col("n_total").cast("double")
+            ).cast("long")
+            / F.lit(1e6)
+        ).alias("user_share"),
+    )
+
+
+def hourly_load_factor(events: DataFrame) -> DataFrame:
+    """Per-day peak-to-mean hourly load factor -- the capacity-planning
+    number (how much hotter is the day's peak hour than its average
+    hour) with the peak hour identified (ties -> earliest hour).
+
+    Two bounded aggregations: (day, hour) counts, then a day-keyed
+    rollup where the peak is resolved via one day-partitioned max
+    window (24 rows per day). load_factor = peak * 24 / total, one
+    double off exact integers.
+
+    Emits (day, n_events, peak_hour, peak_count, load_factor).
+    """
+    hourly = events.groupBy(
+        F.date_trunc("day", "ts").alias("day"), F.hour("ts").alias("hr")
+    ).agg(F.count("*").alias("cnt"))
+    wd = Window.partitionBy("day")
+    tagged = hourly.select(
+        "day",
+        "hr",
+        "cnt",
+        F.max("cnt").over(wd).alias("peak"),
+        F.sum("cnt").over(wd).alias("total"),
+    )
+    return (
+        tagged.groupBy("day", "peak", "total")
+        .agg(F.min(F.when(F.col("cnt") == F.col("peak"), F.col("hr"))).alias("peak_hour"))
+        .select(
+            "day",
+            F.col("total").cast("long").alias("n_events"),
+            F.col("peak_hour").cast("int").alias("peak_hour"),
+            F.col("peak").cast("long").alias("peak_count"),
+            F.round(
+                F.col("peak") * F.lit(24.0) / F.col("total").cast("double"), 4
+            ).alias("load_factor"),
+        )
+    )
+
+
+def type_share_by_dow(events: DataFrame) -> DataFrame:
+    """Event-type mix by day-of-week: the weekly seasonality of WHAT
+    users do, not just how much (``seasonal_dow_decompose`` covers
+    volume; this covers composition -- support tickets spike Monday,
+    purchases cluster weekends).
+
+    One (type, dow) partial+final count, shares within each weekday
+    via a 7-partition window over the alphabet-sized matrix; shares
+    round at integer 1e-6 scale.
+
+    Emits (event_type, dow, n_events, dow_share) with Spark's
+    1=Sunday convention.
+    """
+    agg = events.groupBy(
+        "event_type", F.dayofweek("ts").alias("dow")
+    ).agg(F.count("*").alias("n"))
+    wd = Window.partitionBy("dow")
+    return agg.select(
+        "event_type",
+        "dow",
+        F.col("n").cast("long").alias("n_events"),
+        (
+            F.round(
+                F.col("n") * F.lit(1e6)
+                / F.sum("n").over(wd).cast("double")
+            ).cast("long")
+            / F.lit(1e6)
+        ).alias("dow_share"),
+    )
+
+
+def poisson_dispersion(events: DataFrame) -> DataFrame:
+    """Poisson overdispersion index of the daily event counts: D =
+    sum((x - mean)^2) / mean (the chi-square dispersion statistic;
+    D >> n-1 says the arrival process is burstier than Poisson --
+    the day-grain companion to ``events_interarrival_burstiness``).
+
+    Exactness: with integer daily counts, D = (n * sum(x^2) - S^2)/
+    (n * ... reduces to (n*sxx - s*s)/s scaled by 1 -- every
+    sufficient statistic an exact bigint off one day-keyed count,
+    D and the normal z = (D - (n-1)) / sqrt(2*(n-1)) one double each.
+
+    Emits ONE row (n_days, n_events, dispersion, z, overdispersed).
+    """
+    daily = events.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").alias("x")
+    )
+    agg = daily.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n")
+    d = (n * F.col("sxx") - F.col("s") * F.col("s")).cast("double") / F.col(
+        "s"
+    ).cast("double")
+    z = (d - (n - 1).cast("double")) / F.sqrt(
+        F.lit(2.0) * (n - 1).cast("double")
+    )
+    return agg.filter(n > 1).select(
+        n.cast("long").alias("n_days"),
+        F.col("s").cast("long").alias("n_events"),
+        F.round(d, 4).alias("dispersion"),
+        F.round(z, 4).alias("z"),
+        (z > F.lit(1.96)).alias("overdispersed"),
     )

@@ -1968,3 +1968,126 @@ def image_border_mean(images: DataFrame) -> DataFrame:
             4,
         ).alias("border_ratio"),
     )
+
+
+def image_colorfulness(images: DataFrame) -> DataFrame:
+    """Per-image Hasler-Susstrunk colorfulness over the REAL decode
+    path: M = sqrt(var_rg + var_yb) + 0.3 * sqrt(mean_rg^2 +
+    mean_yb^2) on the opponent channels rg = R-G, yb = (R+G)/2 - B --
+    the screenshot/grayscale-scan detector next to image_contrast's
+    luminance view (a vivid photo scores high, a text scan near 0).
+
+    The Arrow kernel emits INTEGER sums only, with both opponent
+    channels kept at 2x scale (rg2 = 2R-2G, yb2 = R+G-2B) so the /2
+    never truncates; the closing metric is one double expression off
+    five exact integers, halved at the end. Oracle replays every
+    pixel from the text bytes.
+
+    Emits (doc_id, n_px, rg2_sum, yb2_sum, colorfulness).
+    """
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, s1, q1, s2, q2 = [], [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = real_decode(bytes(payload)).astype(np.int64)
+                r, g, b = px[..., 0], px[..., 1], px[..., 2]
+                rg2 = (2 * r - 2 * g).ravel()
+                yb2 = (r + g - 2 * b).ravel()
+                ids.append(doc_id)
+                ns.append(int(rg2.size))
+                s1.append(int(rg2.sum()))
+                q1.append(int((rg2 * rg2).sum()))
+                s2.append(int(yb2.sum()))
+                q2.append(int((yb2 * yb2).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_px": pd.Series(ns, dtype="int64"),
+                    "rg2_sum": pd.Series(s1, dtype="int64"),
+                    "rg2_sumsq": pd.Series(q1, dtype="int64"),
+                    "yb2_sum": pd.Series(s2, dtype="int64"),
+                    "yb2_sumsq": pd.Series(q2, dtype="int64"),
+                }
+            )
+
+    stats = images.mapInPandas(
+        kernel,
+        schema="doc_id long, n_px long, rg2_sum long, rg2_sumsq long,"
+        " yb2_sum long, yb2_sumsq long",
+    )
+    n = F.col("n_px").cast("double")
+    var_rg2 = (
+        F.col("n_px") * F.col("rg2_sumsq")
+        - F.col("rg2_sum") * F.col("rg2_sum")
+    ).cast("double") / (n * n)
+    var_yb2 = (
+        F.col("n_px") * F.col("yb2_sumsq")
+        - F.col("yb2_sum") * F.col("yb2_sum")
+    ).cast("double") / (n * n)
+    mean_rg2 = F.col("rg2_sum").cast("double") / n
+    mean_yb2 = F.col("yb2_sum").cast("double") / n
+    m = (
+        F.sqrt(var_rg2 + var_yb2)
+        + F.lit(0.3) * F.sqrt(mean_rg2 * mean_rg2 + mean_yb2 * mean_yb2)
+    ) / F.lit(2.0)
+    return stats.select(
+        "doc_id",
+        "n_px",
+        "rg2_sum",
+        "yb2_sum",
+        F.round(m, 4).alias("colorfulness"),
+    )
+
+
+def image_row_profile(images: DataFrame) -> DataFrame:
+    """Per-image ROW luminance profile over the REAL decode path:
+    one row of output per pixel row with its integer luminance sum
+    and mean -- the banding / letterbox / split-frame diagnostic at
+    row grain (image_border_mean's 1-px frame can miss a 3-row
+    letterbox bar; the profile can't).
+
+    Long scalar form (doc_id, row, ...) -- never an array column (the
+    driver canonicalizer contract). The kernel emits integer row
+    sums; the mean is one double per row.
+
+    Emits (doc_id, row, n_in_row, lum_sum, row_mean).
+    """
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, rows, ws, sums = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = real_decode(bytes(payload))
+                gray = px.astype(np.int64).sum(axis=2)
+                h, w = gray.shape
+                rs = gray.sum(axis=1)
+                ids.extend([doc_id] * h)
+                rows.extend(range(h))
+                ws.extend([w] * h)
+                sums.extend(int(v) for v in rs)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "row": pd.Series(rows, dtype="int32"),
+                    "n_in_row": pd.Series(ws, dtype="int64"),
+                    "lum_sum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    stats = images.mapInPandas(
+        kernel,
+        schema="doc_id long, row int, n_in_row long, lum_sum long",
+    )
+    return stats.select(
+        "doc_id",
+        "row",
+        "n_in_row",
+        "lum_sum",
+        F.round(
+            F.col("lum_sum").cast("double") / F.col("n_in_row").cast("double"),
+            4,
+        ).alias("row_mean"),
+    )

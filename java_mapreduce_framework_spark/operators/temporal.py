@@ -2634,3 +2634,58 @@ def window_vwap_bands(events: DataFrame, n: int = 14, k: int = 2) -> DataFrame:
         ).alias("lower"),
         nn.cast("long").alias("n_window"),
     )
+
+
+def window_pivot_points(events: DataFrame) -> DataFrame:
+    """Classic floor-trader pivot levels off each user's PREVIOUS
+    daily candle: P = (H+L+C)/3 with first resistance/support
+    R1 = 2P - L, S1 = 2P - H and the second band R2 = P + (H-L),
+    S2 = P - (H-L) -- the day-ahead reference grid every OHLC
+    consumer derives, here from the engine's exact-integer candle.
+
+    Exactness: every level rides as an integer numerator at 3x cent
+    scale (p_x3 = H+L+C and friends -- /3 never executes on either
+    engine until the single final double), and the breach flag
+    compares 3*close against those integers exactly.
+
+    Plan: the candle's one user_id exchange plus a lag window on the
+    same key -- nothing beyond the daily resample scales with raw
+    events.
+
+    Emits (user_id, day, close, pivot, r1, s1, r2, s2, breach)
+    (breach 1 above R1, -1 below S1, else 0; NULL first day).
+    """
+    candle = _daily_candle(events)
+    w = Window.partitionBy("user_id").orderBy("day")
+    lagged = candle.select(
+        "user_id",
+        "day",
+        "close_c",
+        F.lag("high_c").over(w).alias("ph"),
+        F.lag("low_c").over(w).alias("pl"),
+        F.lag("close_c").over(w).alias("pc"),
+    )
+    p3 = F.col("ph") + F.col("pl") + F.col("pc")
+    r1_3 = 2 * p3 - 3 * F.col("pl")
+    s1_3 = 2 * p3 - 3 * F.col("ph")
+    r2_3 = p3 + 3 * (F.col("ph") - F.col("pl"))
+    s2_3 = p3 - 3 * (F.col("ph") - F.col("pl"))
+
+    def dollars(x3):
+        return F.round(x3.cast("double") / F.lit(300.0), 4)
+
+    return lagged.select(
+        "user_id",
+        "day",
+        (F.col("close_c").cast("double") / F.lit(100.0)).alias("close"),
+        dollars(p3).alias("pivot"),
+        dollars(r1_3).alias("r1"),
+        dollars(s1_3).alias("s1"),
+        dollars(r2_3).alias("r2"),
+        dollars(s2_3).alias("s2"),
+        F.when(F.col("ph").isNull(), F.lit(None).cast("int"))
+        .when((3 * F.col("close_c")) > r1_3, F.lit(1))
+        .when((3 * F.col("close_c")) < s1_3, F.lit(-1))
+        .otherwise(F.lit(0))
+        .alias("breach"),
+    )

@@ -3836,3 +3836,98 @@ def lm_perplexity_bucket(documents: DataFrame) -> DataFrame:
             6,
         ).alias("mean_avg_logprob"),
     )
+
+
+def sentence_length_gini(documents: DataFrame) -> DataFrame:
+    """Per-document Gini coefficient of sentence CHAR lengths -- the
+    structural-uniformity signal next to ``sentence_stats``' means
+    (templated listicles and boilerplate walls both show near-zero
+    dispersion; organic prose sits midband).
+
+    Exactness: with the doc's sentence lengths sorted ascending, the
+    Gini numerator 2*sum(i * x_i) - (n+1)*sum(x) is an exact integer
+    (ties rank arbitrarily WITHOUT changing the sum -- equal x under
+    different i permute identical products), and the single closing
+    division by n*sum(x) runs on identical doubles.
+
+    Plan: one sentence explode keyed by doc for the rank window, one
+    doc-keyed fold. The shuffle carries sentence instances once.
+
+    Emits (doc_id, n_sentences, gini) -- NULL gini when the doc has
+    < 2 sentences or zero total length.
+    """
+    inst = documents.select(
+        "doc_id", F.posexplode(_sentences_col()).alias("idx", "sent")
+    ).select("doc_id", "idx", F.length("sent").alias("ln"))
+    w = Window.partitionBy("doc_id").orderBy("ln", "idx")
+    ranked = inst.select(
+        "doc_id", "ln", F.row_number().over(w).alias("rn")
+    )
+    agg = ranked.groupBy("doc_id").agg(
+        F.count("*").alias("n"),
+        F.sum("ln").alias("s"),
+        F.sum(F.col("rn") * F.col("ln")).alias("rs"),
+    )
+    num = 2 * F.col("rs") - (F.col("n") + 1) * F.col("s")
+    gini = F.when(
+        (F.col("n") >= 2) & (F.col("s") > 0),
+        num.cast("double") / (F.col("n") * F.col("s")).cast("double"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_sentences"),
+        F.round(gini, 6).alias("gini"),
+    )
+
+
+def doc_length_quantiles(documents: DataFrame) -> DataFrame:
+    """Per-language exact interpolated quantiles of document length
+    (p25/p50/p75/p90 of ``n_chars``) through the distributed
+    order-statistic kernel -- the corpus-planning numbers (context
+    budget fit, chunking policy) that a grouped ``percentile`` cannot
+    provide at scale without buffering a language's full value list.
+
+    ``exact_quantiles_grouped``: range-sharded on (lang, value),
+    two-phase exact prefix sums, Arrow walk emitting only straddling
+    statistics -- per-task memory is one shard regardless of how
+    skewed languages are. Long form (lang, q_idx, bound), bit-equal
+    to quantile_cont.
+    """
+    from .relational import exact_quantiles_grouped
+
+    vals = documents.select(
+        "lang", F.col("n_chars").cast("double").alias("v")
+    )
+    return exact_quantiles_grouped(vals, "lang", "v", [0.25, 0.5, 0.75, 0.9])
+
+
+def token_count_histogram(documents: DataFrame) -> DataFrame:
+    """Order-of-magnitude token-count histogram per source: documents
+    bucketed by the DECIMAL DIGIT COUNT of their token count (1-9,
+    10-99, ...) -- the sequence-length planning view (how much of each
+    source fits a context window) with a bucket rule that is exact on
+    both engines by construction (string length of the integer, no
+    log2 boundary fp risk).
+
+    One tokenize scan, a (source, digits)-bounded rollup. Emits
+    (source, magnitude_digits, n_docs, total_tokens).
+    """
+    n_tok = F.size(tokens_col("text"))
+    return (
+        documents.select(
+            "source",
+            n_tok.alias("n_tokens"),
+            F.length(n_tok.cast("string")).alias("magnitude_digits"),
+        )
+        .groupBy("source", "magnitude_digits")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .select(
+            "source",
+            F.col("magnitude_digits").cast("int").alias("magnitude_digits"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("total_tokens").cast("long").alias("total_tokens"),
+        )
+    )

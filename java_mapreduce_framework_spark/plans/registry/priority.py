@@ -359,6 +359,23 @@ _FRESH_ROUND10 = frozenset(
         "graph_rich_club",
         "lm_perplexity_bucket",
         "multimodal_image_border_mean",
+        # batch 2
+        "stats_ks_two_sample",
+        "stats_page_trend",
+        "stats_sign_test",
+        "window_pivot_points",
+        "events_user_lifespan_histogram",
+        "events_hourly_load_factor",
+        "multimodal_image_colorfulness",
+        "multimodal_image_row_profile",
+        "text_sentence_length_gini",
+        "sql_order_linecount_distribution",
+        # batch 3
+        "doc_length_quantiles",
+        "token_count_histogram",
+        "events_type_share_by_dow",
+        "stats_poisson_dispersion",
+        "sql_supplier_hhi_by_nation",
     }
 )
 

@@ -172,8 +172,9 @@ def _orders_dow_profile(spark, sf):
       SELECT event_type, cnt, cnt_a, n_tot, run_sum,
              CAST(round(cnt_a * run_sum * 1e6 / CAST(cnt AS DOUBLE))
                   AS BIGINT) AS t_a_micro,
-             CAST(round(run_sum * run_sum * 1e6 / CAST(cnt AS DOUBLE))
-                  AS BIGINT) AS ssq_micro
+             CAST(round(CAST(run_sum AS DOUBLE) * CAST(run_sum AS DOUBLE)
+                        / CAST(cnt AS DOUBLE))
+                  AS BIGINT) AS ssq_unit
       FROM scored),
     agg AS (
       SELECT event_type,
@@ -182,13 +183,12 @@ def _orders_dow_profile(spark, sf):
              CAST(max(n_tot) AS BIGINT) AS n_tot,
              CAST(sum(t_a_micro) AS BIGINT) AS t_a_micro,
              CAST(sum(run_sum) AS BIGINT) AS s_all,
-             CAST(sum(ssq_micro) AS BIGINT) AS ssq_micro
+             CAST(sum(ssq_unit) AS BIGINT) AS ssq_unit
       FROM terms GROUP BY event_type),
     v AS (
       SELECT event_type, n_a, n_b, t_a_micro, s_all, n_tot,
              CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
-             * (CAST(n_tot AS DOUBLE)
-                * (CAST(ssq_micro AS DOUBLE) / 1e6)
+             * (CAST(n_tot AS DOUBLE) * CAST(ssq_unit AS DOUBLE)
                 - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE))
              / (CAST(n_tot AS DOUBLE) * CAST(n_tot AS DOUBLE)
                 * (CAST(n_tot AS DOUBLE) - 1.0)) AS var
@@ -481,3 +481,539 @@ def _attach_sql_oracles() -> None:
 
 
 _attach_sql_oracles()
+
+
+# ---------------------------------------------- batch 2 (same round)
+
+from .round9 import _CANDLE_CTE, _SENTS  # noqa: E402,F401
+from .round9b import _DENSE_GRID_CTE  # noqa: E402,F401
+
+
+@_register(
+    "stats_ks_two_sample",
+    """
+    WITH base AS (
+      SELECT event_type,
+             substr(md5('ab|' || CAST(user_id AS VARCHAR)), 1, 1) < '8'
+               AS is_a,
+             value
+      FROM events
+      WHERE value IS NOT NULL),
+    vg AS (
+      SELECT event_type, value, count(*) AS cnt,
+             sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS cnt_a
+      FROM base GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type,
+             sum(cnt_a) OVER w AS ca,
+             sum(cnt - cnt_a) OVER w AS cb
+      FROM vg
+      WINDOW w AS (PARTITION BY event_type ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    gap AS (
+      SELECT event_type,
+             max(ca) OVER wt AS n_a,
+             max(cb) OVER wt AS n_b,
+             abs(ca * max(cb) OVER wt - cb * max(ca) OVER wt) AS g
+      FROM cum
+      WINDOW wt AS (PARTITION BY event_type)),
+    o AS (
+      SELECT event_type, CAST(n_a AS BIGINT) AS n_a,
+             CAST(n_b AS BIGINT) AS n_b,
+             CAST(max(g) AS BIGINT) AS d_num
+      FROM gap GROUP BY 1, 2, 3),
+    z AS (
+      SELECT event_type, n_a, n_b,
+             CAST(d_num AS DOUBLE)
+               / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS d,
+             CAST(d_num AS DOUBLE)
+               / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+               * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                      / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+               AS zval
+      FROM o WHERE n_a > 0 AND n_b > 0)
+    SELECT event_type, n_a, n_b,
+           round(d, 6) AS d_stat,
+           round(zval, 4) AS ks_z,
+           zval > 1.358 AS significant
+    FROM z
+    """,
+    note="two-sample Kolmogorov-Smirnov per event type over the md5 "
+    "A/B split (distribution-shape companion to mannwhitney/"
+    "ansari_bradley): ECDF gap kept as the exact integer "
+    "cross-product |ca*n_b - cb*n_a|, D and z one double each",
+)
+def _stats_ks_two_sample(spark, sf):
+    return analytics.ks_two_sample(_t(spark, sf, "events"))
+
+
+@_register(
+    "stats_page_trend",
+    f"""
+    WITH {_DENSE_GRID_CTE},
+    ranked AS (
+      SELECT user_id, event_type,
+             2 * rank() OVER (PARTITION BY user_id ORDER BY cnt)
+             + count(*) OVER (PARTITION BY user_id, cnt) - 1 AS mr2
+      FROM dense),
+    sums AS (
+      SELECT event_type,
+             CAST(sum(mr2) AS BIGINT) AS rank_sum_x2,
+             CAST(count(*) AS BIGINT) AS n_blocks
+      FROM ranked GROUP BY event_type),
+    pos AS (
+      SELECT event_type, rank_sum_x2, n_blocks,
+             CAST(row_number() OVER (ORDER BY event_type) AS BIGINT) AS j
+      FROM sums),
+    stat AS (
+      SELECT CAST(sum(j * rank_sum_x2) AS BIGINT) AS l2,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(max(n_blocks) AS BIGINT) AS n
+      FROM pos)
+    SELECT event_type, CAST(j AS INTEGER) AS j, rank_sum_x2,
+           round(CAST(l2 AS DOUBLE) / 2.0, 1) AS page_l,
+           round(CASE WHEN CAST(n AS DOUBLE) * CAST(k AS DOUBLE)
+                           * CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) + 1)
+                           * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1)
+                           / 144.0 > 0
+                 THEN (CAST(l2 AS DOUBLE) / 2.0
+                       - CAST(n AS DOUBLE) * CAST(k AS DOUBLE)
+                         * (CAST(k AS DOUBLE) + 1)
+                         * (CAST(k AS DOUBLE) + 1) / 4.0)
+                      / sqrt(CAST(n AS DOUBLE) * CAST(k AS DOUBLE)
+                             * CAST(k AS DOUBLE)
+                             * (CAST(k AS DOUBLE) + 1)
+                             * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1)
+                             / 144.0)
+                 END, 4) AS page_z
+    FROM pos, stat
+    """,
+    note="Page's L ordered-alternative trend test (friedman's "
+    "monotone sibling, alphabetical treatment order): doubled "
+    "midranks over the dense user x type grid keep L2 an exact "
+    "bigint; classical normal approximation one double expression",
+)
+def _stats_page_trend(spark, sf):
+    return analytics.page_trend(_t(spark, sf, "events"))
+
+
+@_register(
+    "stats_sign_test",
+    """
+    WITH pu AS (
+      SELECT user_id,
+             sum(CASE WHEN date_part('day', CAST(ts AS TIMESTAMP)) <= 15
+                      THEN CAST(floor(value * 100) AS BIGINT) END) AS es,
+             count(CASE WHEN date_part('day', CAST(ts AS TIMESTAMP)) <= 15
+                        THEN 1 END) AS en,
+             sum(CASE WHEN date_part('day', CAST(ts AS TIMESTAMP)) > 15
+                      THEN CAST(floor(value * 100) AS BIGINT) END) AS ls,
+             count(CASE WHEN date_part('day', CAST(ts AS TIMESTAMP)) > 15
+                        THEN 1 END) AS lcnt
+      FROM events WHERE value IS NOT NULL
+      GROUP BY user_id),
+    eligible AS (SELECT * FROM pu WHERE en > 0 AND lcnt > 0),
+    agg AS (
+      SELECT count(*) AS n_users,
+             sum(CASE WHEN ls * en > es * lcnt THEN 1 ELSE 0 END) AS n_pos,
+             sum(CASE WHEN ls * en < es * lcnt THEN 1 ELSE 0 END) AS n_neg,
+             sum(CASE WHEN ls * en = es * lcnt THEN 1 ELSE 0 END) AS n_tie
+      FROM eligible)
+    SELECT CAST(n_users AS BIGINT) AS n_users,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(n_neg AS BIGINT) AS n_neg,
+           CAST(n_tie AS BIGINT) AS n_tie,
+           round(CASE WHEN n_pos + n_neg > 0 THEN
+                   (CAST(n_pos AS DOUBLE) - CAST(n_neg AS DOUBLE))
+                   / sqrt(CAST(n_pos AS DOUBLE) + CAST(n_neg AS DOUBLE))
+                 END, 4) AS sign_z,
+           abs((CAST(n_pos AS DOUBLE) - CAST(n_neg AS DOUBLE))
+               / sqrt(CAST(n_pos AS DOUBLE) + CAST(n_neg AS DOUBLE)))
+             > 1.96 AS significant
+    FROM agg
+    """,
+    note="paired sign test, early-month vs late-month per-user value "
+    "level (mcnemar's continuous-input sibling): signs decided on "
+    "exact integer-cent cross-products (never a float mean), ties "
+    "dropped, classical z one double",
+)
+def _stats_sign_test(spark, sf):
+    return analytics.sign_test_paired(_t(spark, sf, "events"))
+
+
+@_register(
+    "window_pivot_points",
+    f"""
+    WITH {_CANDLE_CTE},
+    lagged AS (
+      SELECT user_id, day, close_c,
+             lag(high_c) OVER w AS ph,
+             lag(low_c) OVER w AS pl,
+             lag(close_c) OVER w AS pc
+      FROM candle
+      WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+    lv AS (
+      SELECT user_id, day, close_c, ph,
+             ph + pl + pc AS p3,
+             2 * (ph + pl + pc) - 3 * pl AS r1_3,
+             2 * (ph + pl + pc) - 3 * ph AS s1_3,
+             ph + pl + pc + 3 * (ph - pl) AS r2_3,
+             ph + pl + pc - 3 * (ph - pl) AS s2_3
+      FROM lagged)
+    SELECT user_id, day,
+           CAST(close_c AS DOUBLE) / 100.0 AS close,
+           round(CAST(p3 AS DOUBLE) / 300.0, 4) AS pivot,
+           round(CAST(r1_3 AS DOUBLE) / 300.0, 4) AS r1,
+           round(CAST(s1_3 AS DOUBLE) / 300.0, 4) AS s1,
+           round(CAST(r2_3 AS DOUBLE) / 300.0, 4) AS r2,
+           round(CAST(s2_3 AS DOUBLE) / 300.0, 4) AS s2,
+           CAST(CASE WHEN ph IS NULL THEN NULL
+                     WHEN 3 * close_c > r1_3 THEN 1
+                     WHEN 3 * close_c < s1_3 THEN -1
+                     ELSE 0 END AS INTEGER) AS breach
+    FROM lv
+    """,
+    note="floor-trader pivot levels off the previous daily candle "
+    "(P/R1/S1/R2/S2): every level an integer numerator at 3x cent "
+    "scale, /3 never executes until the single final double; breach "
+    "compares 3*close against exact integers",
+)
+def _window_pivot_points(spark, sf):
+    return temporal.window_pivot_points(_t(spark, sf, "events"))
+
+
+@_register(
+    "events_user_lifespan_histogram",
+    f"""
+    WITH pu AS (
+      SELECT user_id,
+             date_diff('day',
+                       date_trunc('day', min(ts)),
+                       date_trunc('day', max(ts))) AS lifespan_days
+      FROM {_EVTS} GROUP BY user_id),
+    hist AS (
+      SELECT lifespan_days, count(*) AS n_users
+      FROM pu GROUP BY lifespan_days),
+    t AS (SELECT sum(n_users) AS n_total FROM hist)
+    SELECT CAST(lifespan_days AS INTEGER) AS lifespan_days,
+           CAST(n_users AS BIGINT) AS n_users,
+           CAST(CAST(round(n_users * 1e6
+                           / CAST(t.n_total AS DOUBLE)) AS BIGINT)
+                AS DOUBLE) / 1e6 AS user_share
+    FROM hist, t
+    """,
+    note="user-lifespan histogram (first-to-last-event day span): "
+    "the engagement-duration view next to active_days_histogram's "
+    "count view; one user-keyed aggregate, spans-bounded rollup, "
+    "shares at integer 1e-6 scale",
+)
+def _events_user_lifespan_histogram(spark, sf):
+    return analytics.user_lifespan_histogram(_t(spark, sf, "events"))
+
+
+@_register(
+    "events_hourly_load_factor",
+    f"""
+    WITH hourly AS (
+      SELECT date_trunc('day', ts) AS day,
+             date_part('hour', ts) AS hr,
+             count(*) AS cnt
+      FROM {_EVTS} GROUP BY 1, 2),
+    tagged AS (
+      SELECT day, hr, cnt,
+             max(cnt) OVER (PARTITION BY day) AS peak,
+             sum(cnt) OVER (PARTITION BY day) AS total
+      FROM hourly)
+    SELECT day,
+           CAST(total AS BIGINT) AS n_events,
+           CAST(min(CASE WHEN cnt = peak THEN hr END) AS INTEGER)
+             AS peak_hour,
+           CAST(peak AS BIGINT) AS peak_count,
+           round(peak * 24.0 / CAST(total AS DOUBLE), 4) AS load_factor
+    FROM tagged GROUP BY day, peak, total
+    """,
+    note="per-day peak-to-mean hourly load factor with the peak hour "
+    "(ties -> earliest): two bounded aggregations + one 24-rows-per-"
+    "day max window; load factor one double off exact integers",
+)
+def _events_hourly_load_factor(spark, sf):
+    return analytics.hourly_load_factor(_t(spark, sf, "events"))
+
+
+@_register(
+    "multimodal_image_colorfulness",
+    f"""
+    WITH {_PAYLOAD_CTE},
+    geo AS (SELECT doc_id, n, bytes,
+                   8 + (n % 9) AS w, 8 + ((n * 3) % 9) AS h
+            FROM pbytes WHERE n > 0),
+    px AS (SELECT doc_id, n, bytes, unnest(range(0, w * h)) AS k
+           FROM geo),
+    l AS (SELECT doc_id,
+                 CAST(bytes[CAST((k * 3 + 0) % n AS INT) + 1] AS BIGINT)
+                   AS r,
+                 CAST(bytes[CAST((k * 3 + 1) % n AS INT) + 1] AS BIGINT)
+                   AS g,
+                 CAST(bytes[CAST((k * 3 + 2) % n AS INT) + 1] AS BIGINT)
+                   AS b
+          FROM px),
+    o AS (SELECT doc_id, 2 * r - 2 * g AS rg2, r + g - 2 * b AS yb2
+          FROM l),
+    a AS (SELECT doc_id, count(*) AS n_px,
+                 sum(rg2) AS s1, sum(rg2 * rg2) AS q1,
+                 sum(yb2) AS s2, sum(yb2 * yb2) AS q2
+          FROM o GROUP BY doc_id)
+    SELECT doc_id, CAST(n_px AS BIGINT) AS n_px,
+           CAST(s1 AS BIGINT) AS rg2_sum,
+           CAST(s2 AS BIGINT) AS yb2_sum,
+           round((sqrt(CAST(n_px * q1 - s1 * s1 AS DOUBLE)
+                       / (CAST(n_px AS DOUBLE) * CAST(n_px AS DOUBLE))
+                       + CAST(n_px * q2 - s2 * s2 AS DOUBLE)
+                         / (CAST(n_px AS DOUBLE) * CAST(n_px AS DOUBLE)))
+                  + 0.3 * sqrt((CAST(s1 AS DOUBLE) / CAST(n_px AS DOUBLE))
+                               * (CAST(s1 AS DOUBLE) / CAST(n_px AS DOUBLE))
+                               + (CAST(s2 AS DOUBLE) / CAST(n_px AS DOUBLE))
+                                 * (CAST(s2 AS DOUBLE)
+                                    / CAST(n_px AS DOUBLE))))
+                 / 2.0, 4) AS colorfulness
+    FROM a
+    """,
+    note="Hasler-Susstrunk colorfulness over REAL decoded BMP pixels "
+    "(grayscale-scan detector next to image_contrast): opponent "
+    "channels at exact 2x integer scale, one closing double halved "
+    "at the end; oracle replays every pixel",
+)
+def _multimodal_image_colorfulness(spark, sf):
+    return multimodal.image_colorfulness(
+        multimodal.attach_image_payload(_t(spark, sf, "documents"))
+    )
+
+
+@_register(
+    "multimodal_image_row_profile",
+    f"""
+    WITH {_PAYLOAD_CTE},
+    geo AS (SELECT doc_id, n, bytes,
+                   8 + (n % 9) AS w, 8 + ((n * 3) % 9) AS h
+            FROM pbytes WHERE n > 0),
+    px AS (SELECT doc_id, n, bytes, w, unnest(range(0, w * h)) AS k
+           FROM geo),
+    l AS (SELECT doc_id, CAST(floor(k / w) AS INTEGER) AS row,
+                 CAST(bytes[CAST((k * 3 + 0) % n AS INT) + 1]
+                    + bytes[CAST((k * 3 + 1) % n AS INT) + 1]
+                    + bytes[CAST((k * 3 + 2) % n AS INT) + 1]
+                      AS BIGINT) AS lum
+          FROM px),
+    a AS (SELECT doc_id, row, count(*) AS n_in_row, sum(lum) AS lum_sum
+          FROM l GROUP BY doc_id, row)
+    SELECT doc_id, row,
+           CAST(n_in_row AS BIGINT) AS n_in_row,
+           CAST(lum_sum AS BIGINT) AS lum_sum,
+           round(CAST(lum_sum AS DOUBLE) / CAST(n_in_row AS DOUBLE), 4)
+             AS row_mean
+    FROM a
+    """,
+    note="per-row luminance profile over REAL decoded BMP pixels "
+    "(banding/letterbox diagnostic at row grain, long scalar form): "
+    "integer row sums from the Arrow kernel, one mean double per row",
+)
+def _multimodal_image_row_profile(spark, sf):
+    return multimodal.image_row_profile(
+        multimodal.attach_image_payload(_t(spark, sf, "documents"))
+    )
+
+
+@_register(
+    "text_sentence_length_gini",
+    f"""
+    WITH s AS (SELECT doc_id, {_SENTS} AS sents FROM documents),
+    inst AS (
+      SELECT doc_id, u.i AS idx, length(u.s) AS ln
+      FROM (SELECT doc_id,
+                   unnest(list_transform(sents,
+                          (x, i) -> struct_pack(s := x, i := i))) AS u
+            FROM s)),
+    ranked AS (
+      SELECT doc_id, ln,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY ln, idx) AS rn
+      FROM inst),
+    a AS (
+      SELECT doc_id, count(*) AS n, sum(ln) AS s,
+             sum(rn * ln) AS rs
+      FROM ranked GROUP BY doc_id)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_sentences,
+           round(CASE WHEN n >= 2 AND s > 0 THEN
+                   CAST(2 * rs - (n + 1) * s AS DOUBLE)
+                   / CAST(n * s AS DOUBLE)
+                 END, 6) AS gini
+    FROM a
+    """,
+    note="per-doc Gini of sentence char lengths (template-uniformity "
+    "signal next to sentence_stats): sorted-rank numerator an exact "
+    "integer (tie order provably cancels), one closing division",
+)
+def _text_sentence_length_gini(spark, sf):
+    return text.sentence_length_gini(_t(spark, sf, "documents"))
+
+
+@_register(
+    "sql_order_linecount_distribution",
+    None,  # oracle attached below: the SAME SQL string runs on DuckDB
+    note="order-size histogram (orders per line-item count) through "
+    "the spark.sql intake; left join keeps zero-line orders honest",
+)
+def _sql_order_linecount_distribution(spark, sf):
+    from ..sql import ORDER_LINECOUNT_DISTRIBUTION, run_sql
+
+    return run_sql(spark, sf, ORDER_LINECOUNT_DISTRIBUTION)
+
+
+def _attach_sql_oracles_b2() -> None:
+    """sql_* queries' oracle IS the query text (dialect-shared subset)."""
+    from .core import _REGISTRY, QuerySpec
+    from .. import sql as _sql
+
+    for name, stmt in (
+        ("sql_order_linecount_distribution", _sql.ORDER_LINECOUNT_DISTRIBUTION),
+    ):
+        spec = _REGISTRY[name]
+        _REGISTRY[name] = QuerySpec(spec.name, spec.fn, stmt, spec.note)
+
+
+_attach_sql_oracles_b2()
+
+
+# ---------------------------------------------- batch 3 (same round)
+
+
+@_register(
+    "doc_length_quantiles",
+    """
+    SELECT lang, q_idx, bound FROM (
+      SELECT lang, 0 AS q_idx,
+             round(quantile_cont(CAST(n_chars AS DOUBLE), 0.25), 4) + 0.0
+               AS bound
+      FROM documents GROUP BY lang
+      UNION ALL
+      SELECT lang, 1 AS q_idx,
+             round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 4) + 0.0
+      FROM documents GROUP BY lang
+      UNION ALL
+      SELECT lang, 2 AS q_idx,
+             round(quantile_cont(CAST(n_chars AS DOUBLE), 0.75), 4) + 0.0
+      FROM documents GROUP BY lang
+      UNION ALL
+      SELECT lang, 3 AS q_idx,
+             round(quantile_cont(CAST(n_chars AS DOUBLE), 0.9), 4) + 0.0
+      FROM documents GROUP BY lang)
+    """,
+    note="per-language exact doc-length quantiles (p25/p50/p75/p90) "
+    "through the distributed order-statistic kernel "
+    "(exact_quantiles_grouped) -- grouped percentile would buffer a "
+    "language's full value list; bit-equal to quantile_cont",
+)
+def _doc_length_quantiles(spark, sf):
+    return text.doc_length_quantiles(_t(spark, sf, "documents"))
+
+
+@_register(
+    "token_count_histogram",
+    f"""
+    WITH t AS (
+      SELECT source, len({_TOKS}) AS n_tokens FROM documents)
+    SELECT source,
+           CAST(length(CAST(n_tokens AS VARCHAR)) AS INTEGER)
+             AS magnitude_digits,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM t GROUP BY 1, 2
+    """,
+    note="order-of-magnitude token-count histogram per source "
+    "(sequence-length planning view): bucket = decimal digit count "
+    "of the token count -- exact on both engines by construction, "
+    "no log2 boundary fp risk",
+)
+def _token_count_histogram(spark, sf):
+    return text.token_count_histogram(_t(spark, sf, "documents"))
+
+
+@_register(
+    "events_type_share_by_dow",
+    f"""
+    WITH agg AS (
+      SELECT event_type, dayofweek(ts) + 1 AS dow, count(*) AS n
+      FROM {_EVTS} GROUP BY 1, 2)
+    SELECT event_type, CAST(dow AS INTEGER) AS dow,
+           CAST(n AS BIGINT) AS n_events,
+           CAST(CAST(round(n * 1e6
+                           / CAST(sum(n) OVER (PARTITION BY dow)
+                                  AS DOUBLE)) AS BIGINT)
+                AS DOUBLE) / 1e6 AS dow_share
+    FROM agg
+    """,
+    note="event-type mix by day-of-week (composition seasonality "
+    "next to seasonal_dow_decompose's volume view): alphabet x 7 "
+    "matrix, shares at integer 1e-6 scale within each weekday",
+)
+def _events_type_share_by_dow(spark, sf):
+    return analytics.type_share_by_dow(_t(spark, sf, "events"))
+
+
+@_register(
+    "stats_poisson_dispersion",
+    f"""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day, count(*) AS x
+      FROM {_EVTS} GROUP BY 1),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM daily)
+    SELECT n AS n_days, s AS n_events,
+           round(CAST(n * sxx - s * s AS DOUBLE) / CAST(s AS DOUBLE), 4)
+             AS dispersion,
+           round((CAST(n * sxx - s * s AS DOUBLE) / CAST(s AS DOUBLE)
+                  - CAST(n - 1 AS DOUBLE))
+                 / sqrt(2.0 * CAST(n - 1 AS DOUBLE)), 4) AS z,
+           (CAST(n * sxx - s * s AS DOUBLE) / CAST(s AS DOUBLE)
+            - CAST(n - 1 AS DOUBLE))
+           / sqrt(2.0 * CAST(n - 1 AS DOUBLE)) > 1.96 AS overdispersed
+    FROM agg WHERE n > 1
+    """,
+    note="Poisson overdispersion index of daily counts (chi-square "
+    "dispersion statistic, day-grain companion to "
+    "interarrival_burstiness): exact integer moments off one "
+    "day-keyed count, D and z one double each",
+)
+def _stats_poisson_dispersion(spark, sf):
+    return analytics.poisson_dispersion(_t(spark, sf, "events"))
+
+
+@_register(
+    "sql_supplier_hhi_by_nation",
+    None,  # oracle attached below: the SAME SQL string runs on DuckDB
+    note="supplier-concentration HHI per nation through the spark.sql "
+    "intake: squared revenue shares per supplier, each term rounded "
+    "to integer nano units BEFORE the per-nation fold",
+)
+def _sql_supplier_hhi_by_nation(spark, sf):
+    from ..sql import SUPPLIER_HHI_BY_NATION, run_sql
+
+    return run_sql(spark, sf, SUPPLIER_HHI_BY_NATION)
+
+
+def _attach_sql_oracles_b3() -> None:
+    """sql_* queries' oracle IS the query text (dialect-shared subset)."""
+    from .core import _REGISTRY, QuerySpec
+    from .. import sql as _sql
+
+    for name, stmt in (
+        ("sql_supplier_hhi_by_nation", _sql.SUPPLIER_HHI_BY_NATION),
+    ):
+        spec = _REGISTRY[name]
+        _REGISTRY[name] = QuerySpec(spec.name, spec.fn, stmt, spec.note)
+
+
+_attach_sql_oracles_b3()

@@ -699,3 +699,52 @@ SELECT m.month, m.o_orderpriority AS priority, m.n_orders,
             AS DOUBLE) / 1e6 AS month_share
 FROM m JOIN t ON t.month = m.month
 """
+
+
+#: Order-size histogram: how many orders carry n line items -- the
+#: pure size distribution next to CUSTOMER_ORDER_DISTRIBUTION's
+#: per-customer view (left join keeps zero-line orders honest).
+ORDER_LINECOUNT_DISTRIBUTION = """
+WITH lc AS (
+  SELECT o.o_orderkey, count(l.l_orderkey) AS n_items
+  FROM orders o
+  LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey)
+SELECT CAST(n_items AS BIGINT) AS n_items,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM lc GROUP BY n_items
+"""
+
+
+#: Supplier-concentration HHI per nation: how captive is each
+#: nation's supply base (sum of squared revenue shares across its
+#: suppliers). Shares square in DOUBLE off exact 1e-4-dollar integer
+#: revenues, each term rounded to integer NANO units BEFORE the
+#: per-nation fold (order-free exact sum), one /1e9 at the end.
+SUPPLIER_HHI_BY_NATION = """
+WITH rev AS (
+  SELECT s.s_nationkey AS nk, l.l_suppkey,
+         CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(18,2))
+                     - CAST(l.l_discount AS DECIMAL(18,2)))) * 10000
+              AS BIGINT) AS rev_c4
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  GROUP BY s.s_nationkey, l.l_suppkey),
+tot AS (
+  SELECT nk, CAST(sum(rev_c4) AS BIGINT) AS tot_c4,
+         CAST(count(*) AS BIGINT) AS n_suppliers
+  FROM rev GROUP BY nk),
+terms AS (
+  SELECT r.nk, t.tot_c4, t.n_suppliers,
+         CAST(round((CAST(r.rev_c4 AS DOUBLE) / CAST(t.tot_c4 AS DOUBLE))
+                    * (CAST(r.rev_c4 AS DOUBLE) / CAST(t.tot_c4 AS DOUBLE))
+                    * 1e9) AS BIGINT) AS hhi_nano
+  FROM rev r JOIN tot t ON t.nk = r.nk)
+SELECT n.n_name AS nation,
+       CAST(max(n_suppliers) AS BIGINT) AS n_suppliers,
+       CAST(max(tot_c4) AS DOUBLE) / CAST(10000 AS DOUBLE) AS revenue,
+       round(CAST(sum(hhi_nano) AS BIGINT) / 1e9, 6) AS hhi
+FROM terms JOIN nation n ON n.n_nationkey = terms.nk
+GROUP BY n.n_name
+"""

@@ -48,6 +48,9 @@ ALLOWED_NESTED_LOOP = {
     "orders_dow_profile",  # 1-row broadcast weekly order total
     "lm_perplexity_bucket",  # 1-row broadcast corpus-total scalar
     "graph_rich_club",  # 8-row constant k-grid inequality join on histograms
+    "embedding_pca_project",  # 1-row broadcast moment scalar (closed-form PCA)
+    "events_user_lifespan_histogram",  # 1-row broadcast user total
+    "stats_page_trend",  # users x type-alphabet dense grid (friedman's shape)
     "corpus_mix_temperature",  # 1-row broadcast (total, ptot) corpus scalars
     "embedding_standardize",  # 1-row broadcast per-dim stats array
     "equidepth_histogram",  # 1-row broadcast percentile-cut-points array

@@ -301,3 +301,207 @@ def test_orders_dow_profile_shares_sum_to_one(spark):
     assert by_dow[2]["n_orders"] == 2
     assert by_dow[2]["total_value"] == 400.0
     assert abs(sum(r["order_share"] for r in out) - 1.0) < 1e-5
+
+
+# ----------------------------------------------------------- batch 2
+
+
+def _variant_a(user_id: int) -> bool:
+    import hashlib
+
+    return hashlib.md5(f"ab|{user_id}".encode()).hexdigest()[0] < "8"
+
+
+def test_ks_two_sample_disjoint_supports(spark):
+    # A users at low values, B users at high values -> D = 1
+    rows, eid = [], 0
+    a_users = [u for u in range(1, 40) if _variant_a(u)][:5]
+    b_users = [u for u in range(1, 40) if not _variant_a(u)][:5]
+    for u in a_users:
+        rows.append((eid, "2024-01-01T00:00:00", u, "x", 1.0 + u * 0.01))
+        eid += 1
+    for u in b_users:
+        rows.append((eid, "2024-01-01T00:00:00", u, "x", 100.0 + u))
+        eid += 1
+    out = analytics.ks_two_sample(_events(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_a"] == 5 and r["n_b"] == 5
+    assert r["d_stat"] == 1.0
+    assert r["significant"]
+
+
+def test_page_trend_hand_computed(spark):
+    # 2 users, counts strictly increasing along alphabetical type
+    # order (a:1, b:2, c:3) -> mr2 per user = 2,4,6; L2 = 56, L = 28,
+    # E[L] = 24, Var = 4, z = 2.0
+    rows, eid = [], 0
+    for u in (1, 2):
+        for t, n in (("a", 1), ("b", 2), ("c", 3)):
+            for _ in range(n):
+                rows.append((eid, "2024-01-01T00:00:00", u, t, 1.0))
+                eid += 1
+    out = {r["event_type"]: r for r in analytics.page_trend(_events(spark, rows)).collect()}
+    assert out["a"]["j"] == 1 and out["c"]["j"] == 3
+    assert out["a"]["rank_sum_x2"] == 4
+    assert out["c"]["rank_sum_x2"] == 12
+    assert out["a"]["page_l"] == 28.0
+    assert out["a"]["page_z"] == 2.0
+
+
+def test_sign_test_clear_shift(spark):
+    # 3 users move up (late mean > early), 1 moves down, 1 ties
+    rows, eid = [], 0
+    for u, (e, l) in enumerate([(1.0, 5.0), (1.0, 5.0), (1.0, 5.0),
+                                (5.0, 1.0), (2.0, 2.0)], start=1):
+        rows.append((eid, "2024-01-05T00:00:00", u, "x", e)); eid += 1
+        rows.append((eid, "2024-01-25T00:00:00", u, "x", l)); eid += 1
+    r = analytics.sign_test_paired(_events(spark, rows)).collect()[0]
+    assert r["n_users"] == 5
+    assert r["n_pos"] == 3 and r["n_neg"] == 1 and r["n_tie"] == 1
+    assert r["sign_z"] == 1.0
+    assert not r["significant"]
+
+
+def test_pivot_points_levels_and_breach(spark):
+    rows = [
+        (0, "2024-01-01T01:00:00", 1, "x", 3.0),
+        (1, "2024-01-01T02:00:00", 1, "x", 1.0),
+        (2, "2024-01-01T03:00:00", 1, "x", 2.0),
+        (3, "2024-01-02T01:00:00", 1, "x", 4.0),
+    ]
+    out = {r["day"].day: r for r in temporal.window_pivot_points(_events(spark, rows)).collect()}
+    d2 = out[2]
+    assert d2["pivot"] == 2.0
+    assert d2["r1"] == 3.0 and d2["s1"] == 1.0
+    assert d2["r2"] == 4.0 and d2["s2"] == 0.0
+    assert d2["breach"] == 1  # close 4.00 above R1 3.00
+    assert out[1]["breach"] is None  # no prior day
+
+
+def test_user_lifespan_histogram(spark):
+    rows = [
+        (0, "2024-01-01T00:00:00", 1, "x", 1.0),
+        (1, "2024-01-08T00:00:00", 1, "x", 1.0),
+        (2, "2024-01-03T00:00:00", 2, "x", 1.0),
+    ]
+    out = {r["lifespan_days"]: r for r in analytics.user_lifespan_histogram(_events(spark, rows)).collect()}
+    assert out[7]["n_users"] == 1
+    assert out[0]["n_users"] == 1
+    assert out[0]["user_share"] == 0.5
+
+
+def test_hourly_load_factor_peak_and_ratio(spark):
+    rows = [
+        (0, "2024-01-01T00:10:00", 1, "x", 1.0),
+        (1, "2024-01-01T00:20:00", 2, "x", 1.0),
+        (2, "2024-01-01T00:30:00", 3, "x", 1.0),
+        (3, "2024-01-01T01:30:00", 4, "x", 1.0),
+    ]
+    r = analytics.hourly_load_factor(_events(spark, rows)).collect()[0]
+    assert r["n_events"] == 4
+    assert r["peak_hour"] == 0 and r["peak_count"] == 3
+    assert r["load_factor"] == 18.0
+
+
+def test_colorfulness_gray_tile_is_zero(spark):
+    # text of one repeated char -> every pixel R=G=B -> colorfulness 0
+    docs = _docs(spark, [(1, "m" * 50, "en", "s")])
+    r = multimodal.image_colorfulness(
+        multimodal.attach_image_payload(docs)
+    ).collect()[0]
+    assert r["rg2_sum"] == 0 and r["yb2_sum"] == 0
+    assert r["colorfulness"] == 0.0
+
+
+def test_row_profile_uniform_rows(spark):
+    docs = _docs(spark, [(1, "m" * 50, "en", "s")])
+    out = multimodal.image_row_profile(
+        multimodal.attach_image_payload(docs)
+    ).collect()
+    means = {r["row_mean"] for r in out}
+    assert means == {3.0 * ord("m")}
+    n = 50
+    w, h = 8 + (n % 9), 8 + ((n * 3) % 9)
+    assert len(out) == h
+    assert all(r["n_in_row"] == w for r in out)
+
+
+def test_sentence_gini_hand_computed(spark):
+    docs = _docs(spark, [(1, "aa. bbbb.", "en", "s"), (2, "cc.", "en", "s")])
+    out = {r["doc_id"]: r for r in text.sentence_length_gini(docs).collect()}
+    # doc 1: lengths [2, 4] -> num = 2*(1*2+2*4) - 3*6 = 2, gini = 2/12
+    assert out[1]["n_sentences"] == 2
+    assert out[1]["gini"] == round(2 / 12, 6)
+    assert out[2]["gini"] is None  # single sentence
+
+
+# ----------------------------------------------------------- batch 3
+
+
+def test_doc_length_quantiles_matches_interpolation(spark):
+    docs = _docs(
+        spark,
+        [(i, "x" * n, "en", "s") for i, n in enumerate([10, 20, 30, 40, 50])],
+    )
+    out = {r["q_idx"]: r["bound"] for r in text.doc_length_quantiles(docs).collect()}
+    # numpy-style linear interpolation on [10..50]
+    assert out[0] == 20.0  # p25
+    assert out[1] == 30.0  # p50
+    assert out[2] == 40.0  # p75
+    assert out[3] == 46.0  # p90 = 40 + 0.6*10
+
+
+def test_token_count_histogram_digit_buckets(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c", "en", "s1"),          # 3 tokens -> 1 digit
+            (2, " ".join(["w"] * 12), "en", "s1"),  # 12 -> 2 digits
+            (3, "q", "en", "s2"),
+        ],
+    )
+    out = {
+        (r["source"], r["magnitude_digits"]): r
+        for r in text.token_count_histogram(docs).collect()
+    }
+    assert out[("s1", 1)]["n_docs"] == 1 and out[("s1", 1)]["total_tokens"] == 3
+    assert out[("s1", 2)]["n_docs"] == 1 and out[("s1", 2)]["total_tokens"] == 12
+    assert out[("s2", 1)]["n_docs"] == 1
+
+
+def test_type_share_by_dow_shares_within_weekday(spark):
+    rows = [
+        (0, "2024-01-01T10:00:00", 1, "a", 1.0),  # Monday
+        (1, "2024-01-01T11:00:00", 2, "a", 1.0),
+        (2, "2024-01-01T12:00:00", 3, "b", 1.0),
+        (3, "2024-01-02T10:00:00", 4, "b", 1.0),  # Tuesday
+    ]
+    out = {
+        (r["event_type"], r["dow"]): r["dow_share"]
+        for r in analytics.type_share_by_dow(_events(spark, rows)).collect()
+    }
+    assert out[("a", 2)] == 0.666667
+    assert out[("b", 2)] == 0.333333
+    assert out[("b", 3)] == 1.0
+
+
+def test_poisson_dispersion_constant_vs_bursty(spark):
+    # constant daily counts -> D = 0, z very negative
+    rows = []
+    eid = 0
+    for d in range(1, 11):
+        for _ in range(5):
+            rows.append((eid, f"2024-01-{d:02d}T10:00:00", eid, "x", 1.0))
+            eid += 1
+    r = analytics.poisson_dispersion(_events(spark, rows)).collect()[0]
+    assert r["n_days"] == 10 and r["n_events"] == 50
+    assert r["dispersion"] == 0.0
+    assert not r["overdispersed"]
+    # one bursty day -> dispersion > n-1
+    rows2 = list(rows)
+    for _ in range(45):
+        rows2.append((eid, "2024-01-11T10:00:00", eid, "x", 1.0))
+        eid += 1
+    r2 = analytics.poisson_dispersion(_events(spark, rows2)).collect()[0]
+    assert r2["overdispersed"]
