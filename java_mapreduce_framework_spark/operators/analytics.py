@@ -4742,3 +4742,68 @@ def poisson_dispersion(events: DataFrame) -> DataFrame:
         F.round(z, 4).alias("z"),
         (z > F.lit(1.96)).alias("overdispersed"),
     )
+
+
+def seasonal_naive_mase(events: DataFrame) -> DataFrame:
+    """Seasonal-naive forecastability report per event type: the MASE
+    numerator/denominator pair -- MAE of the lag-7 (weekly-seasonal)
+    naive forecast of daily counts vs MAE of the lag-1 naive -- the
+    standard "is there exploitable weekly structure" check run before
+    fitting any real forecaster (MASE < 1: the seasonal naive beats
+    persistence).
+
+    Exactness: daily counts are exact integers, both error sums are
+    integer |diffs| over gap-checked lags (a missing day invalidates
+    that pair rather than silently comparing wrong offsets), and the
+    verdict ``seasonal_better`` compares INTEGER cross-products
+    (s7 * n1 < s1 * n7) -- no float mean ever decides. MAE/MASE are
+    one double each for display.
+
+    Emits (event_type, n_days, mae_lag1, mae_lag7, mase,
+    seasonal_better).
+    """
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").alias("x"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "day",
+        "x",
+        F.lag("x", 1).over(w).alias("p1"),
+        F.lag("day", 1).over(w).alias("d1"),
+        F.lag("x", 7).over(w).alias("p7"),
+        F.lag("day", 7).over(w).alias("d7"),
+    )
+    e1 = F.when(
+        F.datediff("day", "d1") == 1, F.abs(F.col("x") - F.col("p1"))
+    )
+    e7 = F.when(
+        F.datediff("day", "d7") == 7, F.abs(F.col("x") - F.col("p7"))
+    )
+    agg = lagged.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum(e1).alias("s1"),
+        F.count(e1).alias("n1"),
+        F.sum(e7).alias("s7"),
+        F.count(e7).alias("n7"),
+    )
+    return agg.filter((F.col("n1") > 0) & (F.col("n7") > 0)).select(
+        "event_type",
+        F.col("n_days").cast("long").alias("n_days"),
+        F.round(F.col("s1").cast("double") / F.col("n1").cast("double"), 4)
+        .alias("mae_lag1"),
+        F.round(F.col("s7").cast("double") / F.col("n7").cast("double"), 4)
+        .alias("mae_lag7"),
+        F.round(
+            F.when(
+                F.col("s1") > 0,
+                (F.col("s7") * F.col("n1")).cast("double")
+                / (F.col("s1") * F.col("n7")).cast("double"),
+            ),
+            4,
+        ).alias("mase"),
+        (F.col("s7") * F.col("n1") < F.col("s1") * F.col("n7")).alias(
+            "seasonal_better"
+        ),
+    )

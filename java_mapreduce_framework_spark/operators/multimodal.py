@@ -2091,3 +2091,108 @@ def image_row_profile(images: DataFrame) -> DataFrame:
             4,
         ).alias("row_mean"),
     )
+
+def audio_autocorr_pitch(
+    audio: DataFrame, lags: tuple[int, ...] = (2, 3, 4, 5, 8, 16, 32, 64)
+) -> DataFrame:
+    """Autocorrelation pitch probe over the REAL decoded PCM: the
+    MEAN-CENTERED autocorrelation at a fixed candidate-lag grid, with
+    the best (max mean-product) lag reported per clip -- the classic
+    time-domain fundamental-period estimate (voiced/tonal content
+    autocorrelates at its period; without centering the DC offset of
+    byte-derived PCM drowns every lag, and without per-lag
+    normalization shorter lags win on term count alone).
+
+    Exactness: the Arrow kernel emits RAW integer sufficient
+    statistics only (lag product, head/tail sums, total, energy --
+    no rounding, no division), and BOTH engines derive the centered
+    statistics from them identically: c = round(S/n) is one shared
+    double rounding, then ac_c = ac - c*(head+tail) + (n-lag)*c^2
+    and energy_c = E - 2*c*S + n*c^2 are exact integers again. The
+    per-lag mean ac_c/(n-lag) is one double; argmax ties pin to the
+    smallest lag.
+
+    Emits (doc_id, n_samples, best_lag, clarity) -- clarity =
+    best mean product over mean energy, ~1 for a pure periodic clip.
+    """
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, lg, ac, hd, tl, st, en = [], [], [], [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _rate, s = decode_wav(bytes(payload))
+                s = s.astype(np.int64)
+                n = int(s.size)
+                total = int(s.sum())
+                energy = int((s * s).sum())
+                for lag in lags:
+                    if n <= lag:
+                        continue
+                    ids.append(doc_id)
+                    ns.append(n)
+                    lg.append(lag)
+                    ac.append(int((s[:-lag] * s[lag:]).sum()))
+                    hd.append(int(s[: n - lag].sum()))
+                    tl.append(int(s[lag:].sum()))
+                    st.append(total)
+                    en.append(energy)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "lag": pd.Series(lg, dtype="int32"),
+                    "ac_raw": pd.Series(ac, dtype="int64"),
+                    "head_sum": pd.Series(hd, dtype="int64"),
+                    "tail_sum": pd.Series(tl, dtype="int64"),
+                    "s_total": pd.Series(st, dtype="int64"),
+                    "energy_raw": pd.Series(en, dtype="int64"),
+                }
+            )
+
+    rows = audio.mapInPandas(
+        kernel,
+        schema="doc_id long, n_samples long, lag int, ac_raw long,"
+        " head_sum long, tail_sum long, s_total long, energy_raw long",
+    )
+    n = F.col("n_samples")
+    c = F.round(F.col("s_total").cast("double") / n).cast("long")
+    ac_c = (
+        F.col("ac_raw")
+        - c * (F.col("head_sum") + F.col("tail_sum"))
+        + (n - F.col("lag")) * c * c
+    )
+    energy_c = F.col("energy_raw") - 2 * c * F.col("s_total") + n * c * c
+    base = rows.select(
+        "doc_id",
+        "n_samples",
+        "lag",
+        (ac_c.cast("double") / (n - F.col("lag")).cast("double")).alias(
+            "mean_ac"
+        ),
+        energy_c.alias("energy_c"),
+    )
+    wd = Window.partitionBy("doc_id")
+    tagged = base.withColumn("mx", F.max("mean_ac").over(wd))
+    return (
+        tagged.groupBy("doc_id", "n_samples", "energy_c", "mx")
+        .agg(
+            F.min(F.when(F.col("mean_ac") == F.col("mx"), F.col("lag"))).alias(
+                "best_lag"
+            )
+        )
+        .select(
+            "doc_id",
+            "n_samples",
+            F.col("best_lag").cast("int").alias("best_lag"),
+            F.round(
+                F.when(
+                    F.col("energy_c") > 0,
+                    F.col("mx")
+                    * F.col("n_samples").cast("double")
+                    / F.col("energy_c").cast("double"),
+                ),
+                6,
+            ).alias("clarity"),
+        )
+    )

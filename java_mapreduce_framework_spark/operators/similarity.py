@@ -1832,3 +1832,45 @@ def embedding_pca_project2(embeddings: DataFrame) -> DataFrame:
     return j.select("vec_id", p1.alias("p1v"), p2.alias("p2v")).selectExpr(
         "vec_id", "stack(2, 0, p1v, 1, p2v) AS (pc, value)"
     )
+
+
+def embedding_label_cohesion(embeddings: DataFrame) -> DataFrame:
+    """Per-vector cosine to its LABEL's centroid -- the cluster-
+    cohesion / labeling-QA readout (a mislabeled or boundary vector
+    sits far from its class mean; per-label cohesion distributions
+    rank label quality before training on them).
+
+    Plan: one posexplode to the (label, dim) grain, a label-keyed mean
+    aggregate (labels x d rows -- model-sized), broadcast back onto
+    the exploded stream, one vec-keyed fold building dot/norms, a
+    single cosine double per vector. Everything after the explode is
+    keyed on (label, dim) or vec_id; nothing is ever all-pairs.
+
+    Emits (vec_id, label, cos_to_centroid) rounded 4 (per-dim double
+    sums drift ~1e-15 across engines' fold orders -- far inside the
+    rounding).
+    """
+    ex = embeddings.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "v"
+        ),
+    )
+    cent = ex.groupBy("label", "pos").agg(
+        (F.sum("v") / F.count("*")).alias("m")
+    )
+    j = ex.join(F.broadcast(cent), ["label", "pos"])
+    per_vec = j.groupBy("vec_id", "label").agg(
+        F.sum(F.col("v") * F.col("m")).alias("dot"),
+        F.sum(F.col("v") * F.col("v")).alias("v2"),
+        F.sum(F.col("m") * F.col("m")).alias("m2"),
+    )
+    cos = F.col("dot") / (F.sqrt(F.col("v2")) * F.sqrt(F.col("m2")))
+    return per_vec.select(
+        "vec_id",
+        "label",
+        F.round(F.when((F.col("v2") > 0) & (F.col("m2") > 0), cos), 4).alias(
+            "cos_to_centroid"
+        ),
+    )

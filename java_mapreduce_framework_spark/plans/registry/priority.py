@@ -376,6 +376,11 @@ _FRESH_ROUND10 = frozenset(
         "events_type_share_by_dow",
         "stats_poisson_dispersion",
         "sql_supplier_hhi_by_nation",
+        "stream_daily_active_users",
+        # batch 4
+        "forecast_seasonal_naive_mase",
+        "embedding_label_cohesion",
+        "multimodal_audio_autocorr_pitch",
     }
 )
 

@@ -31,6 +31,7 @@ from ...operators import (  # noqa: F401
     analytics,
     dedup,
     multimodal,
+    similarity,
     temporal,
     text,
 )
@@ -1017,3 +1018,158 @@ def _attach_sql_oracles_b3() -> None:
 
 
 _attach_sql_oracles_b3()
+
+
+@_register(
+    "stream_daily_active_users",
+    f"""
+    SELECT date_trunc('day', ts) AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+    FROM {_EVTS} GROUP BY 1
+    """,
+    note="streaming exact DAU: per-day distinct users as ONE stateful "
+    "collect_set aggregation (streaming rejects count_distinct; the "
+    "set state is the single-operator exact form, swapped for HLL or "
+    "the watermarked dropDuplicates->agg chain unbounded); complete "
+    "mode == batch distinct on the bounded fixture",
+)
+def _stream_daily_active_users(spark, sf):
+    from ...streaming.jobs import stream_daily_active_users
+
+    return stream_daily_active_users(spark, sf)
+
+
+# ---------------------------------------------- batch 4 (same round)
+
+
+@_register(
+    "forecast_seasonal_naive_mase",
+    f"""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day, count(*) AS x
+      FROM {_EVTS} GROUP BY 1, 2),
+    lagged AS (
+      SELECT event_type, day, x,
+             lag(x, 1) OVER w AS p1, lag(day, 1) OVER w AS d1,
+             lag(x, 7) OVER w AS p7, lag(day, 7) OVER w AS d7
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+    agg AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(CASE WHEN date_diff('day', d1, day) = 1
+                           THEN abs(x - p1) END) AS BIGINT) AS s1,
+             CAST(count(CASE WHEN date_diff('day', d1, day) = 1
+                             THEN abs(x - p1) END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN date_diff('day', d7, day) = 7
+                           THEN abs(x - p7) END) AS BIGINT) AS s7,
+             CAST(count(CASE WHEN date_diff('day', d7, day) = 7
+                             THEN abs(x - p7) END) AS BIGINT) AS n7
+      FROM lagged GROUP BY event_type)
+    SELECT event_type, n_days,
+           round(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE), 4) AS mae_lag1,
+           round(CAST(s7 AS DOUBLE) / CAST(n7 AS DOUBLE), 4) AS mae_lag7,
+           round(CASE WHEN s1 > 0 THEN
+                   CAST(s7 * n1 AS DOUBLE) / CAST(s1 * n7 AS DOUBLE)
+                 END, 4) AS mase,
+           s7 * n1 < s1 * n7 AS seasonal_better
+    FROM agg WHERE n1 > 0 AND n7 > 0
+    """,
+    note="seasonal-naive MASE per event type (weekly lag-7 naive MAE "
+    "vs lag-1 persistence MAE on daily counts, gap-checked lags): "
+    "integer error sums, the seasonal_better verdict an exact "
+    "integer cross-product, MAE/MASE one double each",
+)
+def _forecast_seasonal_naive_mase(spark, sf):
+    return analytics.seasonal_naive_mase(_t(spark, sf, "events"))
+
+
+@_register(
+    "embedding_label_cohesion",
+    """
+    WITH u AS (
+      SELECT vec_id, label, CAST(t.u.i AS INTEGER) AS pos, t.u.v AS v
+      FROM (SELECT vec_id, label,
+                   unnest(list_transform(CAST(embedding AS DOUBLE[]),
+                          (x, i) -> struct_pack(v := x, i := i))) AS u
+            FROM embeddings) t),
+    cent AS (
+      SELECT label, pos, sum(v) / count(*) AS m
+      FROM u GROUP BY 1, 2),
+    pv AS (
+      SELECT u.vec_id, u.label,
+             sum(u.v * c.m) AS dot,
+             sum(u.v * u.v) AS v2,
+             sum(c.m * c.m) AS m2
+      FROM u JOIN cent c ON c.label = u.label AND c.pos = u.pos
+      GROUP BY 1, 2)
+    SELECT vec_id, label,
+           round(CASE WHEN v2 > 0 AND m2 > 0 THEN
+                   dot / (sqrt(v2) * sqrt(m2))
+                 END, 4) AS cos_to_centroid
+    FROM pv
+    """,
+    note="per-vector cosine to its label centroid (cluster-cohesion / "
+    "labeling-QA readout): label-keyed mean at the (label, dim) "
+    "grain broadcast back, one cosine double per vector at round 4 "
+    "(fold drift ~1e-15, far inside)",
+)
+def _embedding_label_cohesion(spark, sf):
+    return similarity.embedding_label_cohesion(_t(spark, sf, "embeddings"))
+
+
+@_register(
+    "multimodal_audio_autocorr_pitch",
+    f"""
+    WITH {_PAYLOAD_CTE},
+    pcm AS (SELECT doc_id, n,
+                   list_transform(bytes, x -> (x - 128) * 256) AS s
+            FROM pbytes WHERE n > 0),
+    lags AS (SELECT k FROM (VALUES (2), (3), (4), (5), (8), (16), (32),
+                            (64)) AS g(k)),
+    raw AS (
+      SELECT doc_id, n, k AS lag,
+             CAST(list_sum(list_transform(range(1, n - k + 1),
+                    i -> s[CAST(i AS INT)] * s[CAST(i + k AS INT)]))
+                  AS BIGINT) AS ac_raw,
+             CAST(list_sum(s[1:n - k]) AS BIGINT) AS head_sum,
+             CAST(list_sum(s[k + 1:n]) AS BIGINT) AS tail_sum,
+             CAST(list_sum(s) AS BIGINT) AS s_total,
+             CAST(list_sum(list_transform(s, v -> v * v)) AS BIGINT)
+               AS energy_raw
+      FROM pcm JOIN lags ON n > k),
+    cent AS (
+      SELECT doc_id, n, lag,
+             CAST(round(CAST(s_total AS DOUBLE) / n) AS BIGINT) AS c,
+             ac_raw, head_sum, tail_sum, s_total, energy_raw
+      FROM raw),
+    cc AS (
+      SELECT doc_id, n, lag,
+             CAST(ac_raw - c * (head_sum + tail_sum)
+                  + (n - lag) * c * c AS DOUBLE)
+               / CAST(n - lag AS DOUBLE) AS mean_ac,
+             energy_raw - 2 * c * s_total + n * c * c AS energy_c
+      FROM cent),
+    tagged AS (
+      SELECT doc_id, n, lag, mean_ac, energy_c,
+             max(mean_ac) OVER (PARTITION BY doc_id) AS mx
+      FROM cc)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+           CAST(min(CASE WHEN mean_ac = mx THEN lag END) AS INTEGER)
+             AS best_lag,
+           round(CASE WHEN energy_c > 0 THEN
+                   mx * CAST(n AS DOUBLE) / CAST(energy_c AS DOUBLE)
+                 END, 6) AS clarity
+    FROM tagged GROUP BY doc_id, n, energy_c, mx
+    """,
+    note="mean-centered autocorrelation pitch probe over REAL decoded "
+    "PCM at a fixed candidate-lag grid: the Arrow kernel emits raw "
+    "integer sufficient statistics only, both engines derive the "
+    "centered ac/energy identically (one shared round(S/n)), per-lag "
+    "means normalize away term-count bias, argmax ties pin to the "
+    "smallest lag",
+)
+def _multimodal_audio_autocorr_pitch(spark, sf):
+    return multimodal.audio_autocorr_pitch(
+        multimodal.attach_audio_payload(_t(spark, sf, "documents"))
+    )

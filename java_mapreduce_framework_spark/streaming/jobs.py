@@ -1019,3 +1019,28 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 2).alias("value"),
         F.col("version").cast("int").alias("version"),
     )
+
+
+def stream_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact DAU: per-day distinct user count maintained as
+    ONE stateful aggregation (a per-day user-id set via
+    ``collect_set`` -- streaming rejects ``count_distinct`` and
+    chaining ``dropDuplicates`` into an agg would need the
+    multi-stateful append path, so the set-state form is the single-
+    operator way to hold exact distincts under the microbatch
+    executor). Complete mode keeps bounded-input equality with the
+    batch ``count(DISTINCT user_id)``.
+
+    Unbounded deployment swaps ``approx_count_distinct`` (HLL state,
+    constant per day) or the dropDuplicates->agg chain with
+    watermarks; the fixture-scale exact form is the declared
+    contract, state bounded by users-per-day.
+    """
+    path = _stage_stream_dir(spark, sf_dir, "events")
+    schema = spark.read.parquet(path).schema
+    events = spark.readStream.schema(schema).parquet(path)
+    agg = (
+        events.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.size(F.collect_set("user_id")).cast("long").alias("dau"))
+    )
+    return _drain_to_memory(agg)

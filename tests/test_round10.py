@@ -505,3 +505,49 @@ def test_poisson_dispersion_constant_vs_bursty(spark):
         eid += 1
     r2 = analytics.poisson_dispersion(_events(spark, rows2)).collect()[0]
     assert r2["overdispersed"]
+
+
+# ----------------------------------------------------------- batch 4
+
+
+def test_seasonal_naive_mase_weekly_pattern(spark):
+    # strong weekly pattern: weekday counts 10, weekend 2, two weeks
+    # -> lag-7 error 0, lag-1 error > 0 -> mase 0, seasonal_better
+    rows, eid = [], 0
+    import datetime as dt
+
+    for d in range(1, 15):
+        date = dt.date(2024, 1, d)
+        n = 2 if date.weekday() >= 5 else 10
+        for _ in range(n):
+            rows.append((eid, f"2024-01-{d:02d}T10:00:00", eid, "x", 1.0))
+            eid += 1
+    r = analytics.seasonal_naive_mase(_events(spark, rows)).collect()[0]
+    assert r["mae_lag7"] == 0.0
+    assert r["mase"] == 0.0
+    assert r["seasonal_better"]
+
+
+def test_embedding_label_cohesion_identical_vectors(spark):
+    # all vectors of label 0 identical -> cosine to centroid = 1
+    emb = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0, 4.0], 0) for i in range(4)]
+        + [(10, [1.0, 0.0, 0.0, 0.0], 1), (11, [-1.0, 0.0, 0.0, 0.0], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {r["vec_id"]: r for r in similarity.embedding_label_cohesion(emb).collect()}
+    for i in range(4):
+        assert out[i]["cos_to_centroid"] == 1.0
+    # label 1's centroid is the zero vector -> NULL (m2 = 0)
+    assert out[10]["cos_to_centroid"] is None
+
+
+def test_audio_autocorr_pitch_periodic_signal(spark):
+    # text with period 4 -> PCM periodic with period 4 -> best_lag 4
+    docs = _docs(spark, [(1, "abcd" * 30, "en", "s")])
+    r = multimodal.audio_autocorr_pitch(
+        multimodal.attach_audio_payload(docs)
+    ).collect()[0]
+    assert r["n_samples"] == 120
+    assert r["best_lag"] == 4
+    assert 0 < r["clarity"] <= 1.0
