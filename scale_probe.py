@@ -128,6 +128,11 @@ X100_QUERIES = [
     "dedup_minhash",
     "dedup_minhash_clusters",
     "dedup_cluster_keep_best",
+    # round-10: the two new document-heavy additions whose 10x
+    # factors (8.55 / 2.99) warrant a second decade -- the trigram
+    # top-k broadcast and the two-branch unigram scan
+    "text_common_trigram_coverage",
+    "lm_perplexity_bucket",
 ]
 
 
