@@ -4807,3 +4807,148 @@ def seasonal_naive_mase(events: DataFrame) -> DataFrame:
             "seasonal_better"
         ),
     )
+
+
+def orders_monthly_value_zscore(orders: DataFrame) -> DataFrame:
+    """Monthly order-book revenue anomalies: each month's intake value
+    z-scored against all months -- the finance-side sibling of
+    ``hourly_anomaly_zscore`` (which watches the event stream). A
+    promotion spike or a missing-feed month surfaces as |z| > 2.
+
+    Exactness: monthly revenue rides as exact 1e-4-dollar
+    DECIMAL-derived integers; the cross-month mean/std derive from
+    integer sums via one window over the months-bounded table, and z
+    is one double expression -- identical inputs, identical IEEE ops.
+
+    Emits (month, n_orders, revenue, zscore, is_anomaly).
+    """
+    c4 = F.col("o_totalprice").cast("decimal(18,2)")
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(
+        F.count("*").alias("n"),
+        (F.sum(c4) * 10000).cast("long").alias("rev_c4"),
+    )
+    w = Window.partitionBy()
+    stat = monthly.select(
+        "month",
+        "n",
+        "rev_c4",
+        F.count("*").over(w).alias("m"),
+        F.sum("rev_c4").over(w).alias("s"),
+        # squares in DOUBLE: monthly rev_c4 ~ 2e11 at sf0.1, so an
+        # integer square exceeds int64 (same class as the ansari
+        # tie-run square the 10x probe caught)
+        F.sum(
+            F.col("rev_c4").cast("double") * F.col("rev_c4").cast("double")
+        ).over(w).alias("ssq"),
+    )
+    m = F.col("m").cast("double")
+    mean = F.col("s").cast("double") / m
+    var = (
+        m * F.col("ssq") - F.col("s").cast("double") * F.col("s").cast("double")
+    ) / (m * m)
+    z = F.when(var > 0, (F.col("rev_c4").cast("double") - mean) / F.sqrt(var))
+    return stat.select(
+        "month",
+        F.col("n").cast("long").alias("n_orders"),
+        (F.col("rev_c4").cast("double") / F.lit(10000.0)).alias("revenue"),
+        F.round(z, 4).alias("zscore"),
+        (F.abs(z) > F.lit(2.0)).alias("is_anomaly"),
+    )
+
+
+def customer_recency_buckets(
+    customer: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """Customer dormancy ladder: every customer bucketed by days since
+    their LAST order relative to the book's final order date -- the
+    lifecycle segmentation (active / cooling / dormant / lost /
+    never-ordered) that ``sql_dormant_customers`` answers for one
+    fixed window, generalized to the standard 30/90/365 ladder.
+
+    One customer-keyed max aggregate, a 1-row anchor broadcast, an
+    integer day diff into a CASE ladder, a 5-row rollup. The left
+    join keeps never-ordered customers honest (NULL recency bucket
+    'never').
+
+    Emits (bucket, n_customers, share) ordered by the ladder's
+    integer rank; shares at integer 1e-6 scale.
+    """
+    last = orders.groupBy("o_custkey").agg(
+        F.max(F.date_trunc("day", "o_orderdate")).alias("last_day")
+    )
+    anchor = orders.agg(
+        F.max(F.date_trunc("day", "o_orderdate")).alias("anchor")
+    )
+    j = (
+        customer.select(F.col("c_custkey").alias("o_custkey"))
+        .join(last, "o_custkey", "left")
+        .crossJoin(F.broadcast(anchor))
+        .select(F.datediff("anchor", "last_day").alias("recency_days"))
+    )
+    r = F.col("recency_days")
+    bucket = (
+        F.when(r.isNull(), F.lit("5_never"))
+        .when(r <= 30, F.lit("1_active_30d"))
+        .when(r <= 90, F.lit("2_cooling_90d"))
+        .when(r <= 365, F.lit("3_dormant_1y"))
+        .otherwise(F.lit("4_lost"))
+    )
+    hist = j.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n_customers")
+    )
+    total = hist.select(F.sum("n_customers").alias("n_total"))
+    return hist.crossJoin(F.broadcast(total)).select(
+        "bucket",
+        F.col("n_customers").cast("long").alias("n_customers"),
+        (
+            F.round(
+                F.col("n_customers") * F.lit(1e6)
+                / F.col("n_total").cast("double")
+            ).cast("long")
+            / F.lit(1e6)
+        ).alias("share"),
+    )
+
+
+def error_rate_wilson(events: DataFrame, z: float = 1.96) -> DataFrame:
+    """Daily error rate with a Wilson score interval -- the
+    uncertainty-aware SLO readout (a 3-error day out of 10 events and
+    a 300-error day out of 1000 have the same point rate; the Wilson
+    bounds tell them apart). The interval is the standard choice for
+    small counts where the normal approximation's bounds escape
+    [0, 1].
+
+    Exactness: per-day (errors, total) are exact integers; the three
+    Wilson terms (center, margin, denominator) are each one double
+    expression written identically on both engines off those two
+    integers.
+
+    Emits (day, n_events, n_errors, error_rate, wilson_low,
+    wilson_high).
+    """
+    daily = events.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).alias("e"),
+    )
+    n = F.col("n").cast("double")
+    p = F.col("e").cast("double") / n
+    z2 = F.lit(z * z)
+    denom = F.lit(1.0) + z2 / n
+    center = p + z2 / (F.lit(2.0) * n)
+    margin = F.lit(z) * F.sqrt(
+        p * (F.lit(1.0) - p) / n + z2 / (F.lit(4.0) * n * n)
+    )
+    return daily.select(
+        "day",
+        F.col("n").cast("long").alias("n_events"),
+        F.col("e").cast("long").alias("n_errors"),
+        (
+            F.round(F.col("e") * F.lit(1e6) / n).cast("long") / F.lit(1e6)
+        ).alias("error_rate"),
+        F.round((center - margin) / denom, 6).alias("wilson_low"),
+        F.round((center + margin) / denom, 6).alias("wilson_high"),
+    )

@@ -381,6 +381,10 @@ _FRESH_ROUND10 = frozenset(
         "forecast_seasonal_naive_mase",
         "embedding_label_cohesion",
         "multimodal_audio_autocorr_pitch",
+        # batch 5
+        "orders_monthly_value_zscore",
+        "customer_recency_buckets",
+        "events_error_rate_wilson",
     }
 )
 

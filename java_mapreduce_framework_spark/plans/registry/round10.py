@@ -1173,3 +1173,135 @@ def _multimodal_audio_autocorr_pitch(spark, sf):
     return multimodal.audio_autocorr_pitch(
         multimodal.attach_audio_payload(_t(spark, sf, "documents"))
     )
+
+
+# ---------------------------------------------- batch 5 (same round)
+
+
+@_register(
+    "orders_monthly_value_zscore",
+    """
+    WITH monthly AS (
+      SELECT date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS month,
+             count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 10000
+                  AS BIGINT) AS rev_c4
+      FROM orders GROUP BY 1),
+    stat AS (
+      SELECT month, n, rev_c4,
+             count(*) OVER () AS m,
+             sum(rev_c4) OVER () AS s,
+             sum(CAST(rev_c4 AS DOUBLE) * CAST(rev_c4 AS DOUBLE)) OVER ()
+               AS ssq
+      FROM monthly)
+    SELECT month, CAST(n AS BIGINT) AS n_orders,
+           CAST(rev_c4 AS DOUBLE) / 10000.0 AS revenue,
+           round(CASE WHEN (CAST(m AS DOUBLE) * ssq
+                            - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                           / (CAST(m AS DOUBLE) * CAST(m AS DOUBLE)) > 0
+                 THEN (CAST(rev_c4 AS DOUBLE)
+                       - CAST(s AS DOUBLE) / CAST(m AS DOUBLE))
+                      / sqrt((CAST(m AS DOUBLE) * ssq
+                              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                             / (CAST(m AS DOUBLE) * CAST(m AS DOUBLE)))
+                 END, 4) AS zscore,
+           abs((CAST(rev_c4 AS DOUBLE)
+                - CAST(s AS DOUBLE) / CAST(m AS DOUBLE))
+               / sqrt((CAST(m AS DOUBLE) * ssq
+                       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                      / (CAST(m AS DOUBLE) * CAST(m AS DOUBLE)))) > 2.0
+             AS is_anomaly
+    FROM stat
+    """,
+    note="monthly order-book revenue z-scores (finance-side sibling "
+    "of hourly_anomaly_zscore): exact 1e-4-dollar integer monthly "
+    "revenues, cross-month moments via one months-bounded window, z "
+    "one double expression",
+)
+def _orders_monthly_value_zscore(spark, sf):
+    return analytics.orders_monthly_value_zscore(_t(spark, sf, "orders"))
+
+
+@_register(
+    "customer_recency_buckets",
+    """
+    WITH last AS (
+      SELECT o_custkey,
+             max(date_trunc('day', CAST(o_orderdate AS TIMESTAMP)))
+               AS last_day
+      FROM orders GROUP BY o_custkey),
+    anchor AS (
+      SELECT max(date_trunc('day', CAST(o_orderdate AS TIMESTAMP)))
+               AS anchor
+      FROM orders),
+    j AS (
+      SELECT date_diff('day', l.last_day, a.anchor) AS recency_days
+      FROM customer c
+      LEFT JOIN last l ON l.o_custkey = c.c_custkey
+      CROSS JOIN anchor a),
+    hist AS (
+      SELECT CASE WHEN recency_days IS NULL THEN '5_never'
+                  WHEN recency_days <= 30 THEN '1_active_30d'
+                  WHEN recency_days <= 90 THEN '2_cooling_90d'
+                  WHEN recency_days <= 365 THEN '3_dormant_1y'
+                  ELSE '4_lost' END AS bucket,
+             count(*) AS n_customers
+      FROM j GROUP BY 1),
+    t AS (SELECT sum(n_customers) AS n_total FROM hist)
+    SELECT bucket, CAST(n_customers AS BIGINT) AS n_customers,
+           CAST(CAST(round(n_customers * 1e6
+                           / CAST(t.n_total AS DOUBLE)) AS BIGINT)
+                AS DOUBLE) / 1e6 AS share
+    FROM hist, t
+    """,
+    note="customer dormancy ladder (days since last order vs the "
+    "book's final date, 30/90/365 buckets, never-ordered kept by the "
+    "left join): one customer-keyed max + 1-row anchor broadcast + "
+    "5-row rollup; shares at integer 1e-6 scale",
+)
+def _customer_recency_buckets(spark, sf):
+    return analytics.customer_recency_buckets(
+        _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    )
+
+
+@_register(
+    "events_error_rate_wilson",
+    f"""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             count(*) AS n,
+             sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS e
+      FROM {_EVTS} GROUP BY 1)
+    SELECT day, CAST(n AS BIGINT) AS n_events,
+           CAST(e AS BIGINT) AS n_errors,
+           CAST(CAST(round(e * 1e6 / CAST(n AS DOUBLE)) AS BIGINT)
+                AS DOUBLE) / 1e6 AS error_rate,
+           round(((CAST(e AS DOUBLE) / CAST(n AS DOUBLE)
+                   + 3.8416 / (2.0 * CAST(n AS DOUBLE)))
+                  - 1.96 * sqrt(CAST(e AS DOUBLE) / CAST(n AS DOUBLE)
+                                * (1.0 - CAST(e AS DOUBLE)
+                                         / CAST(n AS DOUBLE))
+                                / CAST(n AS DOUBLE)
+                                + 3.8416 / (4.0 * CAST(n AS DOUBLE)
+                                            * CAST(n AS DOUBLE))))
+                 / (1.0 + 3.8416 / CAST(n AS DOUBLE)), 6) AS wilson_low,
+           round(((CAST(e AS DOUBLE) / CAST(n AS DOUBLE)
+                   + 3.8416 / (2.0 * CAST(n AS DOUBLE)))
+                  + 1.96 * sqrt(CAST(e AS DOUBLE) / CAST(n AS DOUBLE)
+                                * (1.0 - CAST(e AS DOUBLE)
+                                         / CAST(n AS DOUBLE))
+                                / CAST(n AS DOUBLE)
+                                + 3.8416 / (4.0 * CAST(n AS DOUBLE)
+                                            * CAST(n AS DOUBLE))))
+                 / (1.0 + 3.8416 / CAST(n AS DOUBLE)), 6) AS wilson_high
+    FROM daily
+    """,
+    note="daily error rate with a Wilson score interval "
+    "(uncertainty-aware SLO readout; the interval of choice where "
+    "small counts push normal bounds outside [0,1]): center/margin/"
+    "denominator one double expression each off exact per-day "
+    "integer (errors, total)",
+)
+def _events_error_rate_wilson(spark, sf):
+    return analytics.error_rate_wilson(_t(spark, sf, "events"))

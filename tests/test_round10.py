@@ -551,3 +551,59 @@ def test_audio_autocorr_pitch_periodic_signal(spark):
     assert r["n_samples"] == 120
     assert r["best_lag"] == 4
     assert 0 < r["clarity"] <= 1.0
+
+
+# ----------------------------------------------------------- batch 5
+
+
+def test_monthly_zscore_spike_flagged(spark):
+    import datetime as dt
+
+    orders = spark.createDataFrame(
+        [(i, 1, "O", 100.0, dt.datetime(2023, 1 + (i % 12), 1), "1-U")
+         for i in range(24)]
+        + [(100, 1, "O", 5000.0, dt.datetime(2024, 1, 1), "1-U")],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    )
+    out = analytics.orders_monthly_value_zscore(orders).collect()
+    spike = max(out, key=lambda r: r["revenue"])
+    assert spike["revenue"] == 5000.0
+    assert spike["is_anomaly"]
+    assert sum(1 for r in out if r["is_anomaly"]) == 1
+
+
+def test_recency_buckets_ladder(spark):
+    import datetime as dt
+
+    customer = spark.createDataFrame(
+        [(i, f"c{i}", 0, 0.0, "SEG") for i in range(1, 5)],
+        "c_custkey long, c_name string, c_nationkey int,"
+        " c_acctbal double, c_mktsegment string",
+    )
+    orders = spark.createDataFrame(
+        [
+            (1, 1, "O", 1.0, dt.datetime(2024, 6, 30), "1"),   # anchor
+            (2, 2, "O", 1.0, dt.datetime(2024, 5, 1), "1"),    # 60d
+            (3, 3, "O", 1.0, dt.datetime(2023, 1, 1), "1"),    # >365d
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    )
+    out = {r["bucket"]: r for r in analytics.customer_recency_buckets(customer, orders).collect()}
+    assert out["1_active_30d"]["n_customers"] == 1
+    assert out["2_cooling_90d"]["n_customers"] == 1
+    assert out["4_lost"]["n_customers"] == 1
+    assert out["5_never"]["n_customers"] == 1
+    assert out["5_never"]["share"] == 0.25
+
+
+def test_wilson_interval_brackets_rate(spark):
+    rows = [(i, "2024-01-01T10:00:00", i, "error" if i < 3 else "click", 1.0)
+            for i in range(10)]
+    r = analytics.error_rate_wilson(_events(spark, rows)).collect()[0]
+    assert r["n_events"] == 10 and r["n_errors"] == 3
+    assert r["wilson_low"] < 0.3 < r["wilson_high"]
+    assert 0.0 <= r["wilson_low"] and r["wilson_high"] <= 1.0
