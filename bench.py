@@ -147,10 +147,30 @@ def main() -> None:
         )
         with open(hist_path, "a") as f:
             f.write(json.dumps(full) + "\n")
-    # The driver records only the trailing ~2.5 KB of output and parses
-    # the LAST JSON line; the full 87-query line overflows that window
+    # The driver records only the trailing ~2 KB of output and parses
+    # the LAST JSON line; the full 461-query line overflows that window
     # (round 1's official record came back unparsed). Final line =
-    # compact summary that always fits: suite total + slowest five.
+    # compact summary that always fits: suite total + slowest five +
+    # the FULL per-query map packed to ~900 chars (VERDICT r10 #7 --
+    # BENCH_rNN.json should carry every entry inline, not just top-5;
+    # the plain map is ~13 KB, so it rides as zlib+base64 of one
+    # big-endian uint16 per query, centiseconds, names in ascending
+    # order). Decode:
+    #   names = sorted(json.load(open('BENCH_FULL.json'))['queries'])
+    #   vals = zlib.decompress(base64.b64decode(rec['queries_all_b64']))
+    #   full = {n: v / 100 for n, v in zip(names, struct.iter_unpack('>H', vals))}
+    # (names also live in the matching BENCH_HISTORY.jsonl line;
+    # names_sha1_8 pins which name list the packing used.)
+    import base64
+    import hashlib
+    import struct
+    import zlib
+
+    names_sorted = sorted(timings)
+    packed = b"".join(
+        struct.pack(">H", min(65535, round(timings[n] * 100)))
+        for n in names_sorted
+    )
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
     print(
         json.dumps(
@@ -162,6 +182,14 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "full": "BENCH_FULL.json",
+                "queries_all_b64": base64.b64encode(
+                    zlib.compress(packed, 9)
+                ).decode(),
+                "queries_all_codec": "zlib+b64 of >H centiseconds per "
+                "query, ascending name order (decode recipe in bench.py)",
+                "names_sha1_8": hashlib.sha1(
+                    ",".join(names_sorted).encode()
+                ).hexdigest()[:8],
             }
         ),
         flush=True,

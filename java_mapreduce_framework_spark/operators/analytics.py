@@ -4729,9 +4729,13 @@ def poisson_dispersion(events: DataFrame) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
     )
     n = F.col("n")
-    d = (n * F.col("sxx") - F.col("s") * F.col("s")).cast("double") / F.col(
-        "s"
-    ).cast("double")
+    # Square in DOUBLE at unit scale (ADVICE r10): s*s in int64
+    # overflows once total events exceed ~3e9 -- the same long-
+    # overflow class fixed in ansari_bradley / monthly zscore. The
+    # operands are exact integers < 2^53 at any realistic day count,
+    # so the double products are still bit-exact vs the oracle.
+    s_d = F.col("s").cast("double")
+    d = (n.cast("double") * F.col("sxx").cast("double") - s_d * s_d) / s_d
     z = (d - (n - 1).cast("double")) / F.sqrt(
         F.lit(2.0) * (n - 1).cast("double")
     )
@@ -4912,7 +4916,7 @@ def customer_recency_buckets(
     )
 
 
-def error_rate_wilson(events: DataFrame, z: float = 1.96) -> DataFrame:
+def error_rate_wilson(events: DataFrame) -> DataFrame:
     """Daily error rate with a Wilson score interval -- the
     uncertainty-aware SLO readout (a 3-error day out of 10 events and
     a 300-error day out of 1000 have the same point rate; the Wilson
@@ -4923,7 +4927,9 @@ def error_rate_wilson(events: DataFrame, z: float = 1.96) -> DataFrame:
     Exactness: per-day (errors, total) are exact integers; the three
     Wilson terms (center, margin, denominator) are each one double
     expression written identically on both engines off those two
-    integers.
+    integers. z is fixed at 1.96 and z^2 is spelled ``1.96 * 1.96``
+    on BOTH engines (not the decimal 3.8416, which is a different
+    double) so the hash oracle shares every bit (ADVICE r10).
 
     Emits (day, n_events, n_errors, error_rate, wilson_low,
     wilson_high).
@@ -4936,6 +4942,7 @@ def error_rate_wilson(events: DataFrame, z: float = 1.96) -> DataFrame:
     )
     n = F.col("n").cast("double")
     p = F.col("e").cast("double") / n
+    z = 1.96
     z2 = F.lit(z * z)
     denom = F.lit(1.0) + z2 / n
     center = p + z2 / (F.lit(2.0) * n)

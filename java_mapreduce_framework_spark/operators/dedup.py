@@ -2359,7 +2359,13 @@ def dedup_semdedup(
         ids = ids[order]
         m = np.array(list(pdf["embedding"]), dtype=np.float64)[order]
         m = m / np.linalg.norm(m, axis=1, keepdims=True)
-        c = np.round(m @ m.T, 4)
+        # HALF_UP at 1e-4 like F.round everywhere else in the repo
+        # (np.round is banker's/half-to-even -- a cosine landing on a
+        # half-boundary would flip the keep/drop verdict vs the
+        # recorded round-4 expression path; ADVICE r10). HALF_UP is
+        # half-away-from-zero, so round |c| and restore the sign.
+        g = m @ m.T
+        c = np.sign(g) * np.floor(np.abs(g) * 1e4 + 0.5) / 1e4
         iu = np.triu_indices(len(ids), k=1)
         hit = c[iu] >= threshold
         return pd.DataFrame(

@@ -1,607 +1,48 @@
-"""priority section of the declared query registry -- bodies verbatim
-from the monolithic plans/registry.py (round-8 maintainability split;
-identical registry() output, zero plan changes)."""
+"""Registration-order priority for the declared query registry.
+
+The driver's per-round correctness sweep samples the FIRST 50
+registered entries, so registration order is a record-keeping lever
+(query semantics are order-independent). The ordering policy, applied
+as a stable sort over the import-order registry:
+
+1. never-driver-sampled queries (no CORRECTNESS_rNN verdict on file)
+   register first -- they need their first official verdict;
+2. then ``STALE_ROTATION`` -- the stalest-verdict cohort explicitly
+   rotated into this round's spare sample slots (VERDICT r10 #3);
+3. then everything else, stalest official verdict first.
+
+Within each tier, queries WITH a SQL oracle sort before rows-only
+ones: a sample slot buys a full hash verdict for the former, while
+the latter already carry quantitative engine-local verdicts in
+RECALL.json -- the weaker rows>0 record can wait when slots are
+tight.
+
+Rounds 1-10 maintained this as a hand-grown cascade of per-round
+frozensets; round 11 replaced it with ``_verdict_record.py``, a
+GENERATED latest-verdict map distilled from the CORRECTNESS_r*.json
+files themselves (single source of truth; regenerate with
+``python tools/regen_priority.py`` after each driver sweep lands).
+"""
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession  # noqa: F401
-from pyspark.sql import functions as F  # noqa: F401
-
-from ...operators import (  # noqa: F401
-    analytics,
-    dedup,
-    ml,
-    multimodal,
-    relational,
-    similarity,
-    temporal,
-    text,
-)
-from ...sources.tables import load_table  # noqa: F401
-from .core import (  # noqa: F401
-    _REGISTRY,
-    queries,
-    registry,
-)
-
-
-# ---------------------------------------------- registration priority
-
-#: Queries whose oracle verdicts are already on record in
-#: CORRECTNESS_r01.json / CORRECTNESS_r02.json. The driver's per-round
-#: correctness sweep stops after the first 50 registered entries, so
-#: registration order is a record-keeping lever (the semantics of
-#: every query are order-independent): brand-new queries register
-#: first (no verdict yet), then the round-1 set (stalest verdict),
-#: then the round-2 set (freshest). Keep both sets frozen at their
-#: recorded contents -- re-deriving them per round would reshuffle
-#: names that already have verdicts.
-_RECORDED_ROUND1 = frozenset(
-    {
-        "scan_project", "filter_predicate", "map_scalar", "flatmap_explode",
-        "groupby_agg", "groupby_multikey", "groupby_salted", "distinct_keys",
-        "count_distinct", "approx_count_distinct", "sort_global", "topk",
-        "join_equi_inner", "join_left_outer", "join_semi_anti",
-        "join_broadcast", "join_skew_salted", "set_union", "set_intersect",
-        "set_except", "window_rank", "window_running_agg", "grouping_rollup",
-        "unpivot_metrics", "grouping_cube", "json_extract", "groupby_argmax",
-        "json_typed_agg", "sessionize", "session_stats", "session_window_agg",
-        "tumbling_window_agg", "join_asof", "join_range_banded",
-        "pivot_event_counts", "sliding_window_agg", "percentile_stats",
-        "approx_percentile_stats", "wordcount", "wordcount_records_containing",
-        "text_stats", "lang_id", "quality_score", "quality_stratify",
-        "token_count_bpe", "text_normalize", "pii_redact", "length_histogram",
-        "sample_deterministic", "corpus_mix",
-    }
-)
-
-
-#: Names recorded by the round-2 sweep (CORRECTNESS_r02.json).
-_RECORDED_ROUND2 = frozenset(
-    {
-        "approx_count_distinct", "count_distinct", "curation_pipeline",
-        "decontaminate_overlap", "dedup_apply", "dedup_cluster_components",
-        "dedup_embedding", "dedup_exact", "dedup_minhash",
-        "dedup_minhash_clusters", "dedup_ngram_jaccard",
-        "dedup_ngram_jaccard_capped", "dedup_simhash", "distinct_keys",
-        "doc_fingerprint", "embedding_centroids", "filter_predicate",
-        "flatmap_explode", "groupby_agg", "groupby_multikey",
-        "groupby_salted", "jobapi_chained", "jobapi_inverted_index",
-        "jobapi_wordcount", "jobapi_wordcount_e2e",
-        "jobapi_wordcount_literal", "map_scalar",
-        "multimodal_audio_features", "multimodal_decode",
-        "multimodal_frame_sample", "multimodal_resize", "ngram_counts",
-        "scan_project", "similarity_ann_ivf", "similarity_ann_lsh",
-        "similarity_topk", "similarity_topk_pandas", "sql_pricing_summary",
-        "sql_promo_share", "sql_regional_volume", "sql_revenue_forecast",
-        "sql_top_orders", "stream_dedup_state", "stream_sessionize",
-        "stream_sliding_window", "stream_static_join",
-        "stream_tumbling_window", "stream_tumbling_window_watermarked",
-        "stream_wordcount", "tfidf_top_terms",
-    }
-)
-
-
-#: Names recorded by the round-3 sweep (CORRECTNESS_r03.json).
-_RECORDED_ROUND3 = frozenset(
-    {
-        "cdc_latest_wins", "dedup_embedding_lsh", "embedding_quantize_int8",
-        "funnel_conversion", "groupby_argmax", "grouping_cube",
-        "grouping_rollup", "hourly_anomaly_zscore",
-        "jobapi_wordcount_combined", "join_broadcast",
-        "join_bucketed_colocated", "join_equi_inner", "join_full_outer",
-        "join_left_outer", "join_semi_anti", "join_skew_salted",
-        "json_extract", "lm_unigram_score", "ordered_event_sequences",
-        "retention_cohorts", "set_except", "set_intersect", "set_union",
-        "similarity_ann_lsh_multiprobe", "sink_compaction_roundtrip",
-        "sketch_hll_mergeable", "sort_global", "source_csv_roundtrip",
-        "source_jsonl_roundtrip", "source_partitioned_pruned",
-        "source_schema_evolution", "sql_big_orders", "sql_bracketed_revenue",
-        "sql_dormant_customers", "sql_grouping_sets",
-        "sql_order_priority_check", "sql_parts_supplier_spread",
-        "sql_priority_shipments", "sql_returned_revenue",
-        "stats_correlation", "stream_session_window_watermarked",
-        "stream_stream_join", "text_feature_hashing", "time_heatmap",
-        "topk", "unpivot_metrics", "window_lead_delta", "window_ntile",
-        "window_rank", "window_running_agg",
-    }
-)
-
-
-#: Names recorded by the round-4 sweep (CORRECTNESS_r04.json) -- this
-#: includes the three multimodal content-oracle upgrades, so the
-#: former _ORACLE_UPGRADED_UNRECORDED tier is retired (every oracle on
-#: file now has an official verdict for its current form).
-_RECORDED_ROUND4 = frozenset(
-    {
-        "approx_percentile_stats", "corpus_mix", "filter_predicate",
-        "flatmap_explode", "groupby_agg", "groupby_multikey", "groupby_salted",
-        "join_asof", "join_range_banded", "json_typed_agg", "lang_id",
-        "length_histogram", "map_scalar", "multimodal_audio_features",
-        "multimodal_frame_sample", "multimodal_resize", "percentile_stats",
-        "pii_redact", "pivot_event_counts", "quality_score", "quality_stratify",
-        "repetition_score", "rolling_window_range", "sample_deterministic",
-        "scan_project", "sequence_packing", "session_stats",
-        "session_window_agg", "sessionize", "sketch_countmin_topk",
-        "sliding_window_agg", "sql_cross_nation_volume",
-        "sql_customer_order_distribution", "sql_dominant_part_suppliers",
-        "sql_important_part_value", "sql_late_sole_supplier",
-        "sql_min_cost_supplier", "sql_nation_market_share",
-        "sql_nation_product_profit", "sql_null_aware_anti",
-        "sql_small_qty_revenue", "sql_top_revenue_supplier",
-        "stream_foreachbatch_idempotent", "stream_stream_join_left",
-        "text_normalize", "text_stats", "token_count_bpe",
-        "tumbling_window_agg", "wordcount", "wordcount_records_containing",
-    }
-)
-
-
-#: Names recorded by the round-5 sweep (CORRECTNESS_r05.json). With
-#: this tier in place the 65 names never driver-recorded through round
-#: 5 (all ml_*, graph_pagerank, stats_bootstrap_ci, the r5 multimodal
-#: codecs, ...) sort to the front of the round-6 50-entry sample.
-_RECORDED_ROUND5 = frozenset(
-    {
-        "activity_streaks", "attribution_last_touch", "audience_overlap",
-        "audience_overlap_kmv", "bm25_score", "bpe_merge_step", "cdc_scd2",
-        "char_entropy", "chi2_feature_select", "corr_matrix",
-        "dedup_cluster_components_star", "dedup_edit_distance",
-        "doc_chunking", "embedding_gram", "event_transition_matrix",
-        "flatmap_explode_outer", "graph_bfs_hops", "group_sample_topk",
-        "incremental_agg_merge", "jobapi_grep", "join_asof_ttl",
-        "join_bloom_pruned", "key_skew_profile", "ks_drift",
-        "lm_bigram_score", "mad_outliers", "multimodal_audio_wav",
-        "multimodal_decode_bmp", "multimodal_image_patches",
-        "multimodal_video_frames", "pair_pmi",
-        "percentile_stats_distributed", "psi_drift", "quality_constraints",
-        "sequence_likelihood", "set_except_all", "set_intersect_all",
-        "source_csv_malformed", "source_kvtext_datasource",
-        "source_orc_roundtrip", "split_leakage_audit", "stratified_split",
-        "stream_dedup_watermarked", "stream_kvtext_wordcount",
-        "stream_quality_filter", "target_encoding", "vocab_coverage",
-        "window_percent_rank", "window_time_decay", "zorder_index",
-    }
-)
-
-
-#: Names recorded by the round-6 sweep (CORRECTNESS_r06.json): the 46
-#: round-6 fresh names plus four drawn from the then-unrecorded tier
-#: (join_interval_overlap, skyline_pareto, stream_topk_windowed,
-#: dedup_containment).
-_RECORDED_ROUND6 = frozenset(
-    {
-        "bpe_encode", "bpe_train", "corpus_datasheet",
-        "customer_reorder_stats", "decontaminate_bloom",
-        "dedup_containment", "dedup_index_append", "dedup_novelty_frac",
-        "dedup_substring", "embedding_norm_profile",
-        "embedding_similarity_histogram", "event_markov_stationary",
-        "event_type_cooccurrence", "funnel_time_to_convert",
-        "graph_clustering_coeff", "graph_common_neighbors", "graph_kcore",
-        "hourly_autocorrelation", "interval_coverage", "interval_gaps",
-        "join_interval_overlap", "join_scd2_pointintime",
-        "l_diversity_audit", "lang_id_confusion", "multimodal_audio_snr",
-        "multimodal_audio_vad", "multimodal_image_entropy",
-        "multimodal_image_histogram", "multimodal_image_phash",
-        "multimodal_video_scene_diff", "ngram_autocomplete", "pair_llr",
-        "pii_redact", "quality_dup_ngram_frac", "sink_dynamic_overwrite",
-        "skyline_pareto", "sql_qoq_growth", "stats_anova", "stats_fdr_bh",
-        "stats_levene", "stats_mannwhitney", "stats_ttest_welch",
-        "stream_topk_windowed", "text_rake_keyphrases", "token_fertility",
-        "user_behavior_entropy", "vocab_zipf_fit", "window_cusum",
-        "window_ewma", "window_twap",
-    }
-)
-
-
-#: Names recorded by the round-7 sweep (CORRECTNESS_r07.json): the
-#: round-7 fresh tier plus 33 drawn from the never-recorded backlog.
-#: embedding_standardize is deliberately NOT here — its r07 row is a
-#: canonicalizer ERR, not a verdict, and its output schema changed
-#: this round, so it re-enters the FRESH tier below.
-_RECORDED_ROUND7 = frozenset(
-    {
-        "ab_test_ztest", "attribution_linear", "chunk_dedup",
-        "corpus_mix_temperature", "curriculum_order",
-        "customer_rfm_segments", "dedup_cluster_keep_best",
-        "dedup_index_append", "dedup_semdedup",
-        "dedup_sorted_neighborhood", "dedup_tfidf_cosine",
-        "embedding_centroid_drift", "embedding_knn_graph",
-        "embedding_matryoshka_eval", "equidepth_histogram",
-        "event_paths_topk", "events_dau_wau_mau", "graph_label_propagation",
-        "graph_pagerank", "graph_triangle_count", "interval_merge",
-        "jobapi_reduce_side_join", "join_asof_nearest",
-        "k_anonymity_audit", "lm_trigram_backoff",
-        "ml_naive_bayes_confusion", "ml_naive_bayes_train",
-        "multimodal_image_ahash", "multimodal_text_align",
-        "similarity_ann_ivfpq", "snapshot_diff", "split_by_cluster",
-        "sql_lateral_top_orders", "sql_qoq_growth",
-        "sql_recursive_month_spine", "stats_bootstrap_ci", "stats_levene",
-        "stats_moments", "stream_index_ingest", "survival_kaplan_meier",
-        "t_closeness_audit", "time_resample_gapfill",
-        "train_shuffle_shard", "trend_regression", "ulm_encode",
-        "ulm_train", "weighted_sample_es", "window_ohlc",
-        "winsorize_stats",
-    }
-)
-
-
-#: New or semantically MODIFIED in round 8 -- their current form has
-#: no driver verdict at all (embedding_standardize's only driver
-#: contact was the r07 canonicalizer ERR, and this round changed its
-#: output to the scalar-only long form; the rest are this round's
-#: new operators), so they outrank even the never-recorded tier:
-#: fresh code is where a surprise is most likely. With this FRESH
-#: tier plus the 27-name never-recorded backlog (all ml_*,
-#: similarity_ann_pq, sql_udf/udaf/udtf, ... — VERDICT r07 "What's
-#: missing" #1), the round-8 sweep's 50 slots cover BOTH in full,
-#: which would make the cumulative driver record complete.
-#: Names recorded by the round-8 sweep (CORRECTNESS_r08.json): the 50
-#: sampled slots, minus embedding_pq_quantize — its r08 row is a
-#: canonicalizer ERR (array<int> codes column), not a verdict, and its
-#: output schema changed this round, so it re-enters the FRESH tier.
-_RECORDED_ROUND8 = frozenset(
-    {
-        "attribution_first_touch", "attribution_position_based",
-        "basket_lift_topk", "cdc_merge_upsert", "column_profile",
-        "corpus_token_budget", "customer_clv_cohort",
-        "dedup_edit_distance_capped", "dedup_incremental_apply",
-        "dedup_incremental_minhash", "dp_noisy_counts",
-        "embedding_standardize", "embedding_whiten",
-        "events_hhi_concentration", "events_interarrival_burstiness",
-        "events_zscore_cross_sectional", "funnel_conversion_windowed",
-        "graph_adamic_adar", "graph_assortativity",
-        "graph_degree_histogram", "lang_id_margin",
-        "lm_kneser_ney_bigram", "ml_knn_classify",
-        "ml_knn_link_prediction", "multimodal_audio_zcr",
-        "multimodal_image_sharpness", "multimodal_video_shots",
-        "orders_abc_classification", "quality_gopher_flags",
-        "seasonal_dow_decompose", "similarity_ann_pq",
-        "similarity_incremental_lsh", "sketch_quantile_mergeable",
-        "sql_pivot_qty", "sql_udaf_median", "sql_udf_quality",
-        "stats_benford", "stats_cohens_d", "stats_gini",
-        "stats_jarque_bera", "stats_kruskal_wallis", "stats_runs_test",
-        "stats_spearman", "stream_session_timeout", "text_readability",
-        "udtf_sentence_split", "window_bollinger", "window_drawdown",
-        "window_rsi",
-    }
-)
-
-
-#: Names recorded by the round-9 sweep (CORRECTNESS_r09.json): the 10
-#: _FRESH_ROUND9_CRITICAL guaranteed slots (all rows-only, recorded as
-#: rows>0) plus 40 oracle-bearing round-9 names, all hash-pass.
-_RECORDED_ROUND9 = frozenset(
-    {
-        "dedup_sentence_exact", "dp_randomized_response",
-        "embedding_dim_clip_bounds", "embedding_dim_stats",
-        "embedding_pca_project", "embedding_pq_quantize",
-        "events_churn_hazard", "events_new_vs_returning",
-        "events_power_user_curve", "events_session_bounce",
-        "events_type_share_trend", "events_value_pareto",
-        "graph_component_stats", "graph_edge_jaccard",
-        "lm_bigram_entropy_rate", "lm_good_turing_counts",
-        "ml_adaboost_stumps", "ml_kmeans_lloyd", "ml_linreg_normal",
-        "ml_logreg_irls", "ml_logreg_ridge_sweep",
-        "multimodal_audio_clipping", "multimodal_audio_silence",
-        "multimodal_audio_spectrogram", "multimodal_image_dhash",
-        "orders_repeat_interval", "orders_ship_delay_profile",
-        "quality_case_profile", "similarity_mmr",
-        "sql_customer_balance_deciles", "sql_discount_elasticity",
-        "sql_parts_type_revenue", "sql_yoy_growth",
-        "stats_chisq_independence", "stats_cochran_q", "stats_cramers_v",
-        "stats_grubbs", "stats_kendall_tau", "stats_ljung_box",
-        "stats_mcnemar", "stats_theil_sen", "stats_wilcoxon_signed_rank",
-        "stream_dedup_incremental", "text_hapax_ratio",
-        "text_sentence_stats", "time_changepoint_binary",
-        "vocab_growth_curve", "window_atr", "window_macd",
-        "window_stochastic",
-    }
-)
-
-
-#: The 45 round-9 names the rotating 50-slot sample never reached
-#: through round 9 (VERDICT r09 "Next round" #1): every one is
-#: hash-oracled and passes the judge's independent full sweep, but the
-#: official driver record has no verdict for them. They take the very
-#: front of the round-10 sample (45 of 50 slots); the remaining 5 go
-#: to the fresh round-10 tier below.
-_NEVER_SAMPLED_THROUGH_R9 = frozenset(
-    {
-        "dp_exponential_median", "events_active_days_histogram",
-        "events_concurrency_peak", "events_daily_type_entropy",
-        "events_growth_accounting", "events_time_to_nth",
-        "graph_degree_gini", "graph_preferential_attachment",
-        "graph_resource_allocation", "graph_transitivity",
-        "lm_source_cross_entropy", "multimodal_audio_dynamic_range",
-        "multimodal_audio_envelope", "multimodal_image_contrast",
-        "multimodal_image_quadrants", "orders_discount_depth",
-        "orders_open_backlog", "orders_supplier_leadtime",
-        "sql_nation_top_customers", "sql_nation_trade_balance",
-        "sql_segment_repeat_rate", "stats_bartlett",
-        "stats_cohens_kappa", "stats_cronbach_alpha",
-        "stats_durbin_watson", "stats_friedman", "stats_g_test",
-        "stats_hodges_lehmann", "stats_mutual_information", "stats_pacf",
-        "stats_permutation_test", "stream_cdc_upsert",
-        "text_char_js_divergence", "text_heaps_fit",
-        "text_simpson_diversity", "text_word_burstiness",
-        "text_word_length_histogram", "text_yule_k", "window_donchian",
-        "window_ichimoku", "window_keltner", "window_mfi", "window_obv",
-        "window_ulcer_index", "window_zscore_rolling",
-    }
-)
-
-
-#: Semantically MODIFIED in round 10: both moved from rows-only to
-#: hash-oracled with a changed declared form (ml_linreg_normal ->
-#: single-feature regr_* oracle; embedding_pca_project -> closed-form
-#: 2-dim projection), so their r09 rows-only records are stale and
-#: only a fresh driver run is a verdict on the current form. They
-#: take the two slots right after the 45-name backlog.
-_SCHEMA_CHANGED_R10 = frozenset(
-    {
-        "ml_linreg_normal",
-        "embedding_pca_project",
-    }
-)
-
-
-#: New in round 10 -- no driver verdict yet; they take the sample
-#: slots left after the 45-name backlog above (3 in round 10, the
-#: rest next round).
-_FRESH_ROUND10 = frozenset(
-    {
-        "sql_brand_type_leaders",
-        "sql_priority_mix_monthly",
-        "events_retention_triangle",
-        "text_common_trigram_coverage",
-        "window_vwap_bands",
-        "orders_dow_profile",
-        "stats_ansari_bradley",
-        "graph_rich_club",
-        "lm_perplexity_bucket",
-        "multimodal_image_border_mean",
-        # batch 2
-        "stats_ks_two_sample",
-        "stats_page_trend",
-        "stats_sign_test",
-        "window_pivot_points",
-        "events_user_lifespan_histogram",
-        "events_hourly_load_factor",
-        "multimodal_image_colorfulness",
-        "multimodal_image_row_profile",
-        "text_sentence_length_gini",
-        "sql_order_linecount_distribution",
-        # batch 3
-        "doc_length_quantiles",
-        "token_count_histogram",
-        "events_type_share_by_dow",
-        "stats_poisson_dispersion",
-        "sql_supplier_hhi_by_nation",
-        "stream_daily_active_users",
-        # batch 4
-        "forecast_seasonal_naive_mase",
-        "embedding_label_cohesion",
-        "multimodal_audio_autocorr_pitch",
-        # batch 5
-        "orders_monthly_value_zscore",
-        "customer_recency_buckets",
-        "events_error_rate_wilson",
-    }
-)
-
-
-#: New in round 9 (batches 1-5). The schema-modified pair and the
-#: nine never-driver-sampled names live in _FRESH_ROUND9_CRITICAL
-#: below, one tier ahead of these.
-_FRESH_ROUND9 = frozenset(
-    {
-        # new this round (plans/registry/round9.py)
-        "stats_chisq_independence",
-        "stats_cramers_v",
-        "stats_kendall_tau",
-        "stats_theil_sen",
-        "stats_grubbs",
-        "stats_wilcoxon_signed_rank",
-        "stats_ljung_box",
-        "events_session_bounce",
-        "events_power_user_curve",
-        "events_churn_hazard",
-        "time_changepoint_binary",
-        "window_macd",
-        "window_stochastic",
-        "window_atr",
-        "text_hapax_ratio",
-        "text_sentence_stats",
-        "dedup_sentence_exact",
-        "lm_good_turing_counts",
-        "graph_edge_jaccard",
-        "graph_component_stats",
-        "embedding_dim_stats",
-        "sql_yoy_growth",
-        "sql_discount_elasticity",
-        "multimodal_image_dhash",
-        "multimodal_audio_clipping",
-        # new this round, batch 2
-        "events_new_vs_returning",
-        "events_value_pareto",
-        "events_type_share_trend",
-        "dp_randomized_response",
-        "orders_repeat_interval",
-        "orders_ship_delay_profile",
-        "lm_bigram_entropy_rate",
-        "quality_case_profile",
-        "vocab_growth_curve",
-        "embedding_dim_clip_bounds",
-        "multimodal_audio_silence",
-        "sql_customer_balance_deciles",
-        "sql_parts_type_revenue",
-        # new this round, batch 3 (plans/registry/round9b.py)
-        "stats_mcnemar",
-        "stats_cochran_q",
-        "stats_friedman",
-        "stats_durbin_watson",
-        "stats_mutual_information",
-        "stats_pacf",
-        "events_growth_accounting",
-        "events_time_to_nth",
-        "events_concurrency_peak",
-        "window_obv",
-        "window_donchian",
-        "window_mfi",
-        "window_keltner",
-        "graph_preferential_attachment",
-        "text_char_js_divergence",
-        "sql_nation_trade_balance",
-        # new this round, batch 4 (plans/registry/round9b.py)
-        "stats_cohens_kappa",
-        "stats_cronbach_alpha",
-        "window_ulcer_index",
-        "events_active_days_histogram",
-        "text_simpson_diversity",
-        "text_word_burstiness",
-        "lm_source_cross_entropy",
-        "graph_degree_gini",
-        "multimodal_image_contrast",
-        "multimodal_audio_dynamic_range",
-        # new this round, batch 7 (plans/registry/round9b.py)
-        "events_daily_type_entropy",
-        "orders_discount_depth",
-        "text_word_length_histogram",
-        "sql_segment_repeat_rate",
-        # new this round, batch 6 (plans/registry/round9b.py)
-        "stream_cdc_upsert",
-        "stats_g_test",
-        "stats_bartlett",
-        "window_zscore_rolling",
-        "orders_supplier_leadtime",
-        "graph_transitivity",
-        "dp_exponential_median",
-        # new this round, batch 5 (plans/registry/round9b.py)
-        "stats_permutation_test",
-        "stats_hodges_lehmann",
-        "window_ichimoku",
-        "text_yule_k",
-        "text_heaps_fit",
-        "graph_resource_allocation",
-        "orders_open_backlog",
-        "sql_nation_top_customers",
-        "multimodal_image_quadrants",
-        "multimodal_audio_envelope",
-    }
-)
-
-
-#: MUST land in CORRECTNESS_r09's 50 slots even though they are
-#: rows-only (which normally yields the slot to an oracle-bearing
-#: name): the two round-9 schema fixes whose only valid verdict is a
-#: fresh driver run (VERDICT r08 item #1), and the nine names the
-#: rotating sample never reached through 8 rounds (item #4). With
-#: ~110 round-9-fresh names competing for 50 slots, the ordinary
-#: rows-only demotion would starve exactly these again.
-_FRESH_ROUND9_CRITICAL = frozenset(
-    {
-        # schema-modified this round (driver scalar-only contract)
-        "embedding_pq_quantize",
-        "embedding_pca_project",
-        # never driver-sampled through round 8 (VERDICT r08 item #4)
-        "stream_dedup_incremental",
-        "multimodal_audio_spectrogram",
-        "similarity_mmr",
-        "ml_linreg_normal",
-        "ml_logreg_irls",
-        "ml_logreg_ridge_sweep",
-        "ml_adaboost_stumps",
-        "ml_kmeans_lloyd",
-    }
-)
-
-
-_FRESH_ROUND8 = frozenset(
-    {
-        "embedding_standardize",
-        "stats_kruskal_wallis",
-        "events_hhi_concentration",
-        "window_bollinger",
-        "seasonal_dow_decompose",
-        "attribution_position_based",
-        "graph_adamic_adar",
-        "lm_kneser_ney_bigram",
-        "cdc_merge_upsert",
-        "sketch_quantile_mergeable",
-        "dedup_edit_distance_capped",
-        "stream_session_timeout",
-        "embedding_whiten",
-        "stats_jarque_bera",
-        "window_drawdown",
-        "window_rsi",
-        "stats_spearman",
-        "customer_clv_cohort",
-        "orders_abc_classification",
-        "lang_id_margin",
-        "graph_degree_histogram",
-        "stats_benford",
-        "events_interarrival_burstiness",
-        "events_zscore_cross_sectional",
-        "multimodal_image_sharpness",
-        "stats_cohens_d",
-        "graph_assortativity",
-        "multimodal_audio_zcr",
-        "stats_runs_test",
-        "funnel_conversion_windowed",
-        "multimodal_video_shots",
-        "attribution_first_touch",
-    }
-)
+from ._verdict_record import LATEST_VERDICT, STALE_ROTATION
+from .core import _REGISTRY
 
 
 def _record_staleness(name: str) -> int:
-    """-1 = new/modified this round (very front of the sweep), 0 =
-    never officially recorded, then the round whose sweep last
-    recorded the name (lower = staler verdict)."""
-    if name in _NEVER_SAMPLED_THROUGH_R9:
-        # guaranteed round-10 slots: the 45-name backlog with oracles
-        # on file but no official driver verdict (VERDICT r09 #1)
-        return -3
-    if name in _SCHEMA_CHANGED_R10:
-        return -2
-    if name in _FRESH_ROUND10:
-        return -1
-    if name in _RECORDED_ROUND9 or name in _FRESH_ROUND9_CRITICAL:
-        return 9
-    if name in _FRESH_ROUND9:
-        # round-9 names that neither landed in the r09 sweep nor sit
-        # in the 45-name backlog cannot exist (the two sets partition
-        # _FRESH_ROUND9), but keep the tier as a safety net
-        return 9
-    if name in _RECORDED_ROUND8:
-        # every _FRESH_ROUND8 name landed in the r08 sweep's 50 slots:
-        # all 32 are either here (31, verdict on record) or re-fresh in
-        # _FRESH_ROUND9 (embedding_pq_quantize, r08 ERR + schema change)
-        return 8
-    if name in _RECORDED_ROUND7:
-        return 7
-    if name in _RECORDED_ROUND6:
-        return 6
-    if name in _RECORDED_ROUND5:
-        return 5
-    if name in _RECORDED_ROUND4:
-        return 4
-    if name in _RECORDED_ROUND3:
-        return 3
-    if name in _RECORDED_ROUND2:
-        return 2
-    if name in _RECORDED_ROUND1:
+    """0 = never officially driver-sampled (front of the sweep),
+    1 = this round's explicit stale rotation, else 1 + the round
+    whose sweep last recorded the name (lower = staler verdict)."""
+    if name not in LATEST_VERDICT:
+        return 0
+    if name in STALE_ROTATION:
         return 1
-    return 0
+    return 1 + LATEST_VERDICT[name]
 
 
 def _prioritize_unrecorded() -> None:
-    """Stable-partition the registry by record staleness: unrecorded
-    queries first, then stalest verdicts (original relative order kept
-    within each tier). Within the unrecorded tier, queries WITH a SQL
-    oracle sort before rows-only ones: the sweep's 50 slots buy a
-    full hash verdict for the former, while the latter already carry
-    quantitative engine-local verdicts in RECALL.json — the weaker
-    rows>0 record can wait a round when slots are tight."""
+    """Stable-partition the registry by record staleness (module
+    docstring policy). Original relative order kept within tiers."""
     ordered = sorted(
         _REGISTRY.items(),
         key=lambda kv: (

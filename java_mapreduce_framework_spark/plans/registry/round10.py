@@ -973,12 +973,12 @@ def _events_type_share_by_dow(spark, sf):
              CAST(sum(x * x) AS BIGINT) AS sxx
       FROM daily)
     SELECT n AS n_days, s AS n_events,
-           round(CAST(n * sxx - s * s AS DOUBLE) / CAST(s AS DOUBLE), 4)
+           round((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / CAST(s AS DOUBLE), 4)
              AS dispersion,
-           round((CAST(n * sxx - s * s AS DOUBLE) / CAST(s AS DOUBLE)
+           round(((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / CAST(s AS DOUBLE)
                   - CAST(n - 1 AS DOUBLE))
                  / sqrt(2.0 * CAST(n - 1 AS DOUBLE)), 4) AS z,
-           (CAST(n * sxx - s * s AS DOUBLE) / CAST(s AS DOUBLE)
+           ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / CAST(s AS DOUBLE)
             - CAST(n - 1 AS DOUBLE))
            / sqrt(2.0 * CAST(n - 1 AS DOUBLE)) > 1.96 AS overdispersed
     FROM agg WHERE n > 1
@@ -1278,23 +1278,23 @@ def _customer_recency_buckets(spark, sf):
            CAST(CAST(round(e * 1e6 / CAST(n AS DOUBLE)) AS BIGINT)
                 AS DOUBLE) / 1e6 AS error_rate,
            round(((CAST(e AS DOUBLE) / CAST(n AS DOUBLE)
-                   + 3.8416 / (2.0 * CAST(n AS DOUBLE)))
+                   + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE)))
                   - 1.96 * sqrt(CAST(e AS DOUBLE) / CAST(n AS DOUBLE)
                                 * (1.0 - CAST(e AS DOUBLE)
                                          / CAST(n AS DOUBLE))
                                 / CAST(n AS DOUBLE)
-                                + 3.8416 / (4.0 * CAST(n AS DOUBLE)
+                                + (1.96 * 1.96) / (4.0 * CAST(n AS DOUBLE)
                                             * CAST(n AS DOUBLE))))
-                 / (1.0 + 3.8416 / CAST(n AS DOUBLE)), 6) AS wilson_low,
+                 / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE)), 6) AS wilson_low,
            round(((CAST(e AS DOUBLE) / CAST(n AS DOUBLE)
-                   + 3.8416 / (2.0 * CAST(n AS DOUBLE)))
+                   + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE)))
                   + 1.96 * sqrt(CAST(e AS DOUBLE) / CAST(n AS DOUBLE)
                                 * (1.0 - CAST(e AS DOUBLE)
                                          / CAST(n AS DOUBLE))
                                 / CAST(n AS DOUBLE)
-                                + 3.8416 / (4.0 * CAST(n AS DOUBLE)
+                                + (1.96 * 1.96) / (4.0 * CAST(n AS DOUBLE)
                                             * CAST(n AS DOUBLE))))
-                 / (1.0 + 3.8416 / CAST(n AS DOUBLE)), 6) AS wilson_high
+                 / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE)), 6) AS wilson_high
     FROM daily
     """,
     note="daily error rate with a Wilson score interval "

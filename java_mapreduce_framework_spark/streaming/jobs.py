@@ -1022,20 +1022,55 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def stream_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming exact DAU: per-day distinct user count maintained as
-    ONE stateful aggregation (a per-day user-id set via
-    ``collect_set`` -- streaming rejects ``count_distinct`` and
-    chaining ``dropDuplicates`` into an agg would need the
-    multi-stateful append path, so the set-state form is the single-
-    operator way to hold exact distincts under the microbatch
-    executor). Complete mode keeps bounded-input equality with the
-    batch ``count(DISTINCT user_id)``.
+    """Streaming exact DAU, bounded-state form (the declared plan;
+    promoted from the complete-mode set-state variant below, VERDICT
+    r10 #4): a watermarked streaming ``dropDuplicates`` on
+    (day, user_id) emits each pair exactly once in append mode, and
+    the per-day count is an agg over the deduped emission. State is
+    one entry per distinct (day, user) *inside the lateness horizon*
+    -- the 1-day watermark evicts closed days, so state is ~2 days of
+    users regardless of stream length, vs the set-state variant whose
+    per-day user-id sets grow with history and are replayed every
+    trigger by complete mode.
 
-    Unbounded deployment swaps ``approx_count_distinct`` (HLL state,
-    constant per day) or the dropDuplicates->agg chain with
-    watermarks; the fixture-scale exact form is the declared
-    contract, state bounded by users-per-day.
+    The count here runs on the drained sink rather than as a chained
+    windowed agg because append mode only emits windows the watermark
+    has closed -- the in-flight final day would be silently missing
+    from a bounded drain (and from the count-distinct oracle). At
+    scale the downstream count is the same one-shuffle agg whether it
+    reads the dedup emission from a sink or a chained stage.
+
+    Exactness: dedup emission is exact (the bounded drain processes
+    the backlog in one availableNow batch, where the watermark is
+    still at its initial floor, so no fixture row can be
+    late-dropped); the per-day count of exact distinct pairs equals
+    batch ``count(DISTINCT user_id)``.
     """
+    path = _stage_stream_dir(spark, sf_dir, "events")
+    schema = spark.read.parquet(path).schema
+    events = spark.readStream.schema(schema).parquet(path)
+    pairs = (
+        events.select(F.date_trunc("day", "ts").alias("day"), "user_id")
+        .withWatermark("day", "1 day")
+        .dropDuplicates(["day", "user_id"])
+    )
+    drained = _drain_to_memory(pairs, mode="append")
+    return drained.groupBy("day").agg(
+        F.count("*").cast("long").alias("dau")
+    )
+
+
+def stream_daily_active_users_setstate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fixture-scale exact-DAU variant: per-day distinct user count as
+    ONE stateful aggregation (a per-day user-id set via
+    ``collect_set`` in complete mode -- streaming rejects
+    ``count_distinct``). Kept as the single-operator reference for
+    bounded-equivalence tests; NOT the declared plan, because the
+    set state grows with history and complete mode re-emits the full
+    result every trigger. The declared bounded-state form is
+    ``stream_daily_active_users`` above."""
     path = _stage_stream_dir(spark, sf_dir, "events")
     schema = spark.read.parquet(path).schema
     events = spark.readStream.schema(schema).parquet(path)

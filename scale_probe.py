@@ -133,7 +133,36 @@ X100_QUERIES = [
     # top-k broadcast and the two-branch unigram scan
     "text_common_trigram_coverage",
     "lm_perplexity_bucket",
+    # round-11 (VERDICT r10 #6): the two iterative-join families whose
+    # scale risk is round count x per-round shuffle (10x factors
+    # 2.58 / 2.52), and the streaming ingest lifecycle (unstaged per
+    # run -- see X100_UNSTAGE)
+    "graph_pagerank",
+    "graph_kcore",
+    "stream_index_ingest",
 ]
+
+
+def _unstage_index_ingest(spark, sf_dir: str) -> None:
+    """Force stream_index_ingest to replay its FULL lifecycle: the op
+    is _DONE_FP-staged (a rerun on the same fixture reads the
+    persisted verdict parquet in ~0.1 s), so a min-of-N timing would
+    measure the staged read, not the microbatch ingest the probe is
+    after. Deleting the stage root resets the marker; the op itself
+    drops its warehouse index tables on replay."""
+    sf_name = pathlib.Path(sf_dir).name
+    shutil.rmtree(
+        pathlib.Path(__file__).resolve().parent
+        / ".tmp" / "stream" / f"{sf_name}_index_ingest",
+        ignore_errors=True,
+    )
+
+
+#: Lifecycle-staged queries: run the unstage hook before EVERY timed
+#: run (base and x100) so each run pays the end-to-end lifecycle.
+X100_UNSTAGE = {
+    "stream_index_ingest": _unstage_index_ingest,
+}
 
 
 def synthesize_x100() -> None:
@@ -160,9 +189,32 @@ def synthesize_x100() -> None:
     import pandas as pd
 
     os.makedirs(X100_OUT, exist_ok=True)
-    for t in PASSTHROUGH + ("lineitem", "events"):
+    for t in PASSTHROUGH + ("events",):
         shutil.copyfile(f"{BASE}/{t}.parquet", f"{X100_OUT}/{t}.parquet")
     con = duckdb.connect()
+    # lineitem: key-offset replicas exactly like the 10x synthesis
+    # (round-11: graph_kcore joined the x100 list and reads the
+    # co-purchase graph off lineitem -- a passthrough copy would
+    # probe a constant input and prove nothing). Offsets keep the
+    # replicas' order/part key spaces disjoint, so co-purchase pairs
+    # scale linearly by construction, as a real 100x corpus's would.
+    lcols = [
+        r[0]
+        for r in con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{BASE}/lineitem.parquet')"
+        ).fetchall()
+    ]
+    loffs = {"l_orderkey": 10_000_000, "l_partkey": 1_000_000,
+             "l_suppkey": 100_000}
+    lsel = ", ".join(
+        f"{c} + k * {loffs[c]} AS {c}" if c in loffs else c for c in lcols
+    )
+    con.execute(
+        f"""COPY (SELECT {lsel}
+                  FROM read_parquet('{BASE}/lineitem.parquet'),
+                       range(0, {X100_REPLICAS}) t(k))
+            TO '{X100_OUT}/lineitem.parquet' (FORMAT parquet)"""
+    )
     df = con.execute(
         f"SELECT * FROM read_parquet('{BASE}/documents.parquet')"
     ).df()
@@ -208,9 +260,15 @@ def probe_x100() -> None:
         if only and name not in only:
             continue
         ts = {}
+        unstage = X100_UNSTAGE.get(name)
         for sd, tag, runs in ((BASE, "base", 2), (X100_OUT, "x100", 1)):
+            if unstage is not None:
+                runs = 1  # each run pays the full lifecycle; min-of-N
+                # would just multiply minutes of probe wall-clock
             best = float("inf")
             for _ in range(runs):
+                if unstage is not None:
+                    unstage(spark, sd)
                 t0 = time.perf_counter()
                 specs[name].fn(spark, sd).write.format("noop").mode(
                     "overwrite"

@@ -113,6 +113,8 @@ ALLOWED_NESTED_LOOP = {
     "dp_exponential_median",  # 1-row (n, true median) + candidate count
     # round 9 batch 7
     "text_word_length_histogram",  # 1-row broadcast token total
+    # round 10 batch 5 (late batch; guard missed in 50c6932, VERDICT r10 #1)
+    "customer_recency_buckets",  # 1-row broadcast max-orderdate anchor
 }
 
 
