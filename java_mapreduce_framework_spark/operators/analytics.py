@@ -4959,3 +4959,517 @@ def error_rate_wilson(events: DataFrame) -> DataFrame:
         F.round((center - margin) / denom, 6).alias("wilson_low"),
         F.round((center + margin) / denom, 6).alias("wilson_high"),
     )
+
+
+def mann_kendall_daily(events: DataFrame) -> DataFrame:
+    """Mann-Kendall trend test on the daily event count -- the
+    nonparametric is-there-a-monotone-trend companion to
+    ``theil_sen_daily``'s slope (same null, same day-pair substrate;
+    MK gives the significance, Theil-Sen the magnitude).
+
+    S = sum of sign(x_j - x_i) over day pairs is an exact integer off
+    the day-count-bounded pair join (quadratic in CALENDAR DAYS only,
+    never in events); the tie correction sums t*(t-1)*(2t+5) over
+    exact per-value tie counts; var(S) and the continuity-corrected z
+    are one double chain written identically on both engines.
+
+    Emits ONE row (n_days, s_stat, var_s, z).
+    """
+    d = _daily_counts(events).select("day", "x")
+    a, b = d.alias("a"), d.alias("b")
+    s_agg = (
+        a.join(F.broadcast(b), F.col("a.day") < F.col("b.day"))
+        .agg(
+            F.sum(
+                F.signum((F.col("b.x") - F.col("a.x")).cast("double"))
+                .cast("long")
+            ).alias("s")
+        )
+    )
+    ties = (
+        d.groupBy("x")
+        .agg(F.count("*").alias("t"))
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_sum"),
+            F.sum(F.col("t")).alias("n"),
+        )
+    )
+    j = s_agg.crossJoin(F.broadcast(ties))
+    n = F.col("n")
+    var_s = (
+        n * (n - 1) * (2 * n + 5) - F.col("tie_sum")
+    ).cast("double") / F.lit(18.0)
+    z = (
+        F.when(F.col("s") > 0, (F.col("s") - 1).cast("double"))
+        .when(F.col("s") < 0, (F.col("s") + 1).cast("double"))
+        .otherwise(F.lit(0.0))
+    ) / F.sqrt(var_s)
+    return j.filter(n > 1).select(
+        n.cast("long").alias("n_days"),
+        F.col("s").cast("long").alias("s_stat"),
+        F.round(var_s, 4).alias("var_s"),
+        F.round(z, 4).alias("z"),
+    )
+
+
+def odds_ratio_ab(events: DataFrame) -> DataFrame:
+    """Odds ratio with a 95%% Wald CI per event type, over the same
+    deterministic md5 A/B user split and >=10-emissions conversion
+    rule as ``ab_test_ztest`` -- the effect-SIZE readout next to that
+    test's significance readout (an experiment dashboard reports
+    both; the z-test cannot say how big).
+
+    The 2x2 cells (converted/not x A/B) are exact integers off the
+    per-user compression; OR = (a*d)/(b*c), ln(OR), and the Wald
+    bounds exp(ln OR -/+ 1.96*se) are each one double expression in
+    the same operation order on both engines. A zero cell has no
+    finite OR and emits NULL bounds (both engines).
+
+    Emits (event_type, conv_a, miss_a, conv_b, miss_b, odds_ratio,
+    ci_low, ci_high).
+    """
+    variant = F.when(
+        F.substring(
+            F.md5(
+                F.concat_ws("|", F.lit("ab"), F.col("user_id").cast("string"))
+            ),
+            1,
+            1,
+        )
+        < F.lit("8"),
+        "A",
+    ).otherwise("B")
+    users = events.select("user_id", variant.alias("variant")).distinct()
+    conv = (
+        events.groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 10)
+        .select("user_id", "event_type")
+    )
+    per_type = (
+        users.join(conv, "user_id")
+        .groupBy("event_type", "variant")
+        .agg(F.count("*").alias("n_conv"))
+    )
+    tot = users.groupBy().agg(
+        F.sum(F.when(F.col("variant") == "A", 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("variant") == "B", 1).otherwise(0)).alias("n_b"),
+    )
+    wide = (
+        per_type.groupBy("event_type")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("variant") == "A", F.col("n_conv"))),
+                F.lit(0),
+            ).alias("a"),
+            F.coalesce(
+                F.max(F.when(F.col("variant") == "B", F.col("n_conv"))),
+                F.lit(0),
+            ).alias("c"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "a",
+            (F.col("n_a") - F.col("a")).alias("b"),
+            "c",
+            (F.col("n_b") - F.col("c")).alias("d"),
+        )
+    )
+    ok = (
+        (F.col("a") > 0)
+        & (F.col("b") > 0)
+        & (F.col("c") > 0)
+        & (F.col("d") > 0)
+    )
+    orr = (F.col("a") * F.col("d")).cast("double") / (
+        F.col("b") * F.col("c")
+    ).cast("double")
+    se = F.sqrt(
+        F.lit(1.0) / F.col("a")
+        + F.lit(1.0) / F.col("b")
+        + F.lit(1.0) / F.col("c")
+        + F.lit(1.0) / F.col("d")
+    )
+    return wide.select(
+        "event_type",
+        F.col("a").cast("long").alias("conv_a"),
+        F.col("b").cast("long").alias("miss_a"),
+        F.col("c").cast("long").alias("conv_b"),
+        F.col("d").cast("long").alias("miss_b"),
+        F.round(F.when(ok, orr), 4).alias("odds_ratio"),
+        F.round(
+            F.when(ok, F.exp(F.log(orr) - F.lit(1.96) * se)), 4
+        ).alias("ci_low"),
+        F.round(
+            F.when(ok, F.exp(F.log(orr) + F.lit(1.96) * se)), 4
+        ).alias("ci_high"),
+    )
+
+
+def hellinger_weekpart(events: DataFrame) -> DataFrame:
+    """Hellinger distance between the weekday and weekend event-type
+    distributions -- the bounded [0, 1] distribution-shift readout
+    (symmetric, unlike KL; defined even where one side has zero mass,
+    unlike chi-square) answering "does the weekend traffic LOOK
+    different, and by how much".
+
+    Per-type counts are exact integers; each Bhattacharyya term
+    sqrt(p*q) rounds to an INTEGER at 1e-8 scale BEFORE the cross-type
+    sum (the per-term rounding discipline -- a double sum over even an
+    alphabet-sized set is fold-order dependent), so BC is exact and
+    H = sqrt(1 - BC) is ONE double.
+
+    Emits ONE row (n_types, n_weekday, n_weekend, bc, hellinger).
+    """
+    # Spark dayofweek: 1 = Sunday, 7 = Saturday
+    is_we = F.dayofweek("ts").isin(1, 7)
+    per_type = events.groupBy("event_type").agg(
+        F.sum(F.when(~is_we, 1).otherwise(0)).alias("n_wd"),
+        F.sum(F.when(is_we, 1).otherwise(0)).alias("n_we"),
+    )
+    tot = per_type.agg(
+        F.sum("n_wd").alias("t_wd"), F.sum("n_we").alias("t_we")
+    )
+    terms = per_type.crossJoin(F.broadcast(tot)).select(
+        F.round(
+            F.sqrt(
+                F.col("n_wd").cast("double")
+                * F.col("n_we")
+                / (F.col("t_wd").cast("double") * F.col("t_we"))
+            )
+            * F.lit(1e8)
+        )
+        .cast("long")
+        .alias("term_e8"),
+        "t_wd",
+        "t_we",
+    )
+    agg = terms.groupBy("t_wd", "t_we").agg(
+        F.count("*").alias("n_types"), F.sum("term_e8").alias("bc_e8")
+    )
+    bc = F.col("bc_e8").cast("double") / F.lit(1e8)
+    return agg.select(
+        F.col("n_types").cast("long").alias("n_types"),
+        F.col("t_wd").cast("long").alias("n_weekday"),
+        F.col("t_we").cast("long").alias("n_weekend"),
+        F.round(bc, 8).alias("bc"),
+        F.round(F.sqrt(F.greatest(F.lit(1.0) - bc, F.lit(0.0))), 6).alias(
+            "hellinger"
+        ),
+    )
+
+
+def dagostino_skew_daily(events: DataFrame) -> DataFrame:
+    """D'Agostino skewness test of the daily event counts -- "is the
+    day-volume distribution asymmetric" as a proper z-statistic (the
+    moments-only companion to ``stats_jarque_bera``'s omnibus, with
+    the small-n transformation that keeps the null z ~ N(0,1) down to
+    n = 8).
+
+    Sufficient statistics are the exact integer (n, S1, S2, S3) of
+    one day-keyed count; central moments are computed IN DOUBLE at
+    unit scale (S1^3 would overflow int64 past ~2M total events --
+    the poisson_dispersion hardening), and the Y -> beta2 -> W ->
+    delta -> alpha -> Z transformation is a fixed double chain
+    written in the same operation order on both engines.
+
+    Emits ONE row (n_days, g1, z).
+    """
+    daily = events.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").alias("x")
+    )
+    agg = daily.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+        F.sum(F.col("x") * F.col("x") * F.col("x")).alias("s3"),
+    )
+    n = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    s3 = F.col("s3").cast("double")
+    m2 = (n * s2 - s1 * s1) / (n * n)
+    m3 = (
+        n * n * s3 - F.lit(3.0) * n * s1 * s2 + F.lit(2.0) * s1 * s1 * s1
+    ) / (n * n * n)
+    g1 = m3 / F.sqrt(m2 * m2 * m2)
+    y = g1 * F.sqrt(
+        (n + F.lit(1.0)) * (n + F.lit(3.0))
+        / (F.lit(6.0) * (n - F.lit(2.0)))
+    )
+    beta2 = (
+        F.lit(3.0)
+        * (n * n + F.lit(27.0) * n - F.lit(70.0))
+        * (n + F.lit(1.0))
+        * (n + F.lit(3.0))
+        / (
+            (n - F.lit(2.0))
+            * (n + F.lit(5.0))
+            * (n + F.lit(7.0))
+            * (n + F.lit(9.0))
+        )
+    )
+    w2 = F.sqrt(F.lit(2.0) * (beta2 - F.lit(1.0))) - F.lit(1.0)
+    delta = F.lit(1.0) / F.sqrt(F.log(F.sqrt(w2)))
+    alpha = F.sqrt(F.lit(2.0) / (w2 - F.lit(1.0)))
+    ya = y / alpha
+    z = delta * F.log(ya + F.sqrt(ya * ya + F.lit(1.0)))
+    return agg.filter((F.col("n") > 8) & (m2 > 0)).select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round(g1, 6).alias("g1"),
+        F.round(z, 4).alias("z"),
+    )
+
+
+def stickiness_dau_mau(events: DataFrame, window_days: int = 28) -> DataFrame:
+    """DAU/MAU stickiness per day: daily active users over trailing-
+    28-day monthly active users -- THE engagement-quality ratio (a
+    product whose MAU all show up daily reads 1.0; a monthly-habit
+    product reads ~1/28).
+
+    The corpus compresses to distinct (user, day) pairs first --
+    everything after is bounded by users x calendar days, never by
+    events. Trailing MAU is a day-spine range join against those
+    pairs (the spine is calendar-bounded and broadcast; at any scale
+    it stays tiny) followed by a distinct-user count. DAU/MAU is one
+    integer ratio at integer 1e-6 scale.
+
+    Emits (day, dau, mau, stickiness).
+    """
+    ud = events.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    dau = ud.groupBy("day").agg(F.count("*").alias("dau"))
+    spine = ud.select("day").distinct()
+    mau = (
+        ud.alias("u")
+        .join(
+            F.broadcast(spine.alias("d")),
+            (F.col("u.day") <= F.col("d.day"))
+            & (
+                F.col("u.day")
+                >= F.date_sub(F.col("d.day"), window_days - 1)
+            ),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.count_distinct("user_id").alias("mau"))
+    )
+    return dau.join(mau, "day").select(
+        "day",
+        F.col("dau").cast("long").alias("dau"),
+        F.col("mau").cast("long").alias("mau"),
+        (
+            F.round(
+                F.col("dau") * F.lit(1e6) / F.col("mau").cast("double")
+            ).cast("long")
+            / F.lit(1e6)
+        ).alias("stickiness"),
+    )
+
+
+def calendar_heatmap(events: DataFrame) -> DataFrame:
+    """Day-of-week x hour-of-day traffic heatmap: event count and
+    corpus share per calendar cell -- the load-shape readout behind
+    capacity planning and anomaly baselines (the grid is at most
+    7 x 24 rows whatever the corpus size).
+
+    One partial+final aggregation; the share divides by the global
+    total via a window over the 168-cell grid (no second scan), at
+    integer 1e-6 scale. dow follows Spark's dayofweek (1 = Sunday).
+
+    Emits (dow, hour, n_events, share).
+    """
+    grid = events.groupBy(
+        F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hour")
+    ).agg(F.count("*").alias("n"))
+    wall = Window.partitionBy()
+    return grid.select(
+        F.col("dow").cast("int").alias("dow"),
+        F.col("hour").cast("int").alias("hour"),
+        F.col("n").cast("long").alias("n_events"),
+        (
+            F.round(
+                F.col("n") * F.lit(1e6)
+                / F.sum("n").over(wall).cast("double")
+            ).cast("long")
+            / F.lit(1e6)
+        ).alias("share"),
+    )
+
+
+def lorenz_curve_users(events: DataFrame) -> DataFrame:
+    """Lorenz curve of event volume across users, by user decile:
+    what share of all traffic the lightest 10%, 20%, ... of users
+    account for -- ``stats_gini``'s distributional readout unrolled
+    into the curve itself (the gini is twice the area above it).
+
+    Users rank by (event count, user_id) -- the unique-key tiebreak
+    -- into ntile(10) deciles identically on both engines; per-decile
+    counts and the running share are exact integers until the final
+    integer-ratio share at 1e-6 scale.
+
+    Emits (decile, n_users, n_events, cum_share).
+    """
+    per_user = events.groupBy("user_id").agg(F.count("*").alias("n"))
+    deciled = per_user.select(
+        "n",
+        F.ntile(10)
+        .over(Window.orderBy(F.col("n"), F.col("user_id")))
+        .alias("decile"),
+    )
+    per_dec = deciled.groupBy("decile").agg(
+        F.count("*").alias("n_users"), F.sum("n").alias("n_events")
+    )
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    return per_dec.select(
+        F.col("decile").cast("int").alias("decile"),
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("n_events").cast("long").alias("n_events"),
+        (
+            F.round(
+                F.sum("n_events").over(wcum) * F.lit(1e6)
+                / F.sum("n_events").over(wall).cast("double")
+            ).cast("long")
+            / F.lit(1e6)
+        ).alias("cum_share"),
+    )
+
+
+def seasonality_strength_dow(events: DataFrame) -> DataFrame:
+    """Weekly-seasonality strength of the daily event count: eta² =
+    between-day-of-week variance / total variance of the daily series
+    -- the one-number "is volume driven by the weekly cycle" readout
+    (the variance-decomposition companion to seasonal_dow_decompose's
+    per-cell table and seasonal_naive_mase's forecast framing).
+
+    Sufficient statistics (daily counts, per-dow totals and sizes,
+    global S and sum-of-squares) are exact integers; eta² is computed
+    in DOUBLE at unit scale (the poisson_dispersion hardening: S² in
+    int64 overflows past ~3e9 events) as (sum_g T_g²/n_g - S²/n) /
+    (sum x² - S²/n), each side one double chain in the same operation
+    order on both engines.
+
+    Emits ONE row (n_days, eta_squared).
+    """
+    daily = events.groupBy(
+        F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").alias("x"))
+    daily = daily.select("day", "x", F.dayofweek("day").alias("dow"))
+    per_dow = daily.groupBy("dow").agg(
+        F.count("*").alias("n_g"), F.sum("x").alias("t_g")
+    )
+    between = per_dow.agg(
+        F.sum(
+            F.col("t_g").cast("double")
+            * F.col("t_g").cast("double")
+            / F.col("n_g").cast("double")
+        ).alias("sb"),
+        F.sum("n_g").alias("n"),
+        F.sum("t_g").alias("s"),
+    )
+    tot = daily.agg(
+        F.sum(F.col("x").cast("double") * F.col("x").cast("double")).alias(
+            "sxx"
+        )
+    )
+    j = between.crossJoin(F.broadcast(tot))
+    n = F.col("n").cast("double")
+    s = F.col("s").cast("double")
+    sst = F.col("sxx") - s * s / n
+    ssb = F.col("sb") - s * s / n
+    return j.filter((F.col("n") > 7) & (sst > 0)).select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round(ssb / sst, 6).alias("eta_squared"),
+    )
+
+
+def mood_median_test(events: DataFrame) -> DataFrame:
+    """Mood's median test between the md5 A/B user split: does either
+    arm sit above the pooled median more often than chance -- the
+    blunt-but-assumption-free location test next to mannwhitney's
+    rank test (median test survives arbitrary outliers and needs
+    nothing but a 2x2 count).
+
+    The pooled median is pinned at 4 decimals on BOTH engines before
+    any comparison (the runs_test discipline); values equal to it
+    drop (standard practice). The 2x2 cells are exact integers and
+    the 1-df chi-square with Yates continuity correction is one
+    double expression.
+
+    Emits ONE row (a_above, a_below, b_above, b_below, chi2).
+    """
+    variant = F.when(
+        F.substring(
+            F.md5(
+                F.concat_ws("|", F.lit("ab"), F.col("user_id").cast("string"))
+            ),
+            1,
+            1,
+        )
+        < F.lit("8"),
+        "A",
+    ).otherwise("B")
+    med = events.agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("med")
+    )
+    cells = (
+        events.select(variant.alias("variant"), "value")
+        .crossJoin(F.broadcast(med))
+        .filter(F.col("value") != F.col("med"))
+        .groupBy()
+        .agg(
+            F.sum(
+                ((F.col("variant") == "A") & (F.col("value") > F.col("med")))
+                .cast("long")
+            ).alias("a_above"),
+            F.sum(
+                ((F.col("variant") == "A") & (F.col("value") < F.col("med")))
+                .cast("long")
+            ).alias("a_below"),
+            F.sum(
+                ((F.col("variant") == "B") & (F.col("value") > F.col("med")))
+                .cast("long")
+            ).alias("b_above"),
+            F.sum(
+                ((F.col("variant") == "B") & (F.col("value") < F.col("med")))
+                .cast("long")
+            ).alias("b_below"),
+        )
+    )
+    a, b = F.col("a_above"), F.col("a_below")
+    c, d = F.col("b_above"), F.col("b_below")
+    n = (a + b + c + d).cast("double")
+    # Yates-corrected chi-square; the |ad - bc| cross-product is kept
+    # in DOUBLE (the long-overflow class: cell products pass int64 at
+    # ~3e9 rows/cell)
+    ad = a.cast("double") * d.cast("double")
+    bc = b.cast("double") * c.cast("double")
+    num = F.greatest(
+        F.abs(ad - bc) - n / F.lit(2.0), F.lit(0.0)
+    )
+    chi2 = (
+        n
+        * num
+        * num
+        / (
+            (a + b).cast("double")
+            * (c + d).cast("double")
+            * (a + c).cast("double")
+            * (b + d).cast("double")
+        )
+    )
+    return cells.filter(
+        (a + b > 0) & (c + d > 0) & (a + c > 0) & (b + d > 0)
+    ).select(
+        a.cast("long").alias("a_above"),
+        b.cast("long").alias("a_below"),
+        c.cast("long").alias("b_above"),
+        d.cast("long").alias("b_below"),
+        F.round(chi2, 4).alias("chi2"),
+    )

@@ -1768,3 +1768,60 @@ def orders_abc_classification(lineitem: DataFrame) -> DataFrame:
         ),
         abc.alias("abc_class"),
     )
+
+
+def revenue_gini_by_nation(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Gini coefficient of customer order-revenue concentration PER
+    NATION -- the grouped form of ``stats_gini``'s single readout
+    (which market's demand hangs on a handful of accounts): G =
+    (2 * sum(rank * x) / (n * sum(x))) - (n + 1) / n over each
+    nation's customer totals ranked ascending.
+
+    Customer totals are exact 1e-2-dollar integers; ranks come from
+    the unique-key (total, custkey) order inside one nation-
+    partitioned window, so sum(rank * x) is an exact integer and G is
+    ONE double expression. The nation dimension is broadcast; the
+    only corpus-scale exchange is the customer-keyed aggregation.
+
+    Emits (n_name, n_customers, gini).
+    """
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "rev_c"
+            )
+        )
+        .join(
+            customer.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("n_name", "o_custkey", "rev_c")
+    )
+    w = Window.partitionBy("n_name").orderBy("rev_c", "o_custkey")
+    ranked = per_cust.select(
+        "n_name", "rev_c", F.row_number().over(w).alias("r")
+    )
+    agg = ranked.groupBy("n_name").agg(
+        F.count("*").alias("n"),
+        F.sum("rev_c").alias("sx"),
+        F.sum(F.col("r") * F.col("rev_c")).alias("srx"),
+    )
+    n = F.col("n").cast("double")
+    gini = (
+        F.lit(2.0)
+        * F.col("srx").cast("double")
+        / (n * F.col("sx").cast("double"))
+        - (n + F.lit(1.0)) / n
+    )
+    return agg.filter((F.col("n") > 1) & (F.col("sx") > 0)).select(
+        "n_name",
+        F.col("n").cast("long").alias("n_customers"),
+        F.round(gini, 6).alias("gini"),
+    )

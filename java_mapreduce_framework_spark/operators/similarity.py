@@ -1874,3 +1874,48 @@ def embedding_label_cohesion(embeddings: DataFrame) -> DataFrame:
             "cos_to_centroid"
         ),
     )
+
+
+def embedding_quantize_int8(embeddings: DataFrame) -> DataFrame:
+    """Per-dimension symmetric int8 quantization audit: scale each
+    dimension by its corpus max-|x|, round to the 127-step grid, and
+    report the reconstruction error -- the storage-planning readout
+    run before shipping an embedding corpus at int8 (4x smaller, and
+    THIS table says what it costs in precision, per dimension).
+
+    One posexplode pass; the per-dim scale is an exact double max;
+    q = round(127*x/scale) and the reconstruction delta are the same
+    double chain on both engines, and per-element |err| rounds to an
+    INTEGER at 1e-9 scale BEFORE the per-dim mean fold (the per-term
+    rounding discipline -- a double sum over corpus-sized terms is
+    fold-order dependent).
+
+    Emits (dim, scale, max_abs_err, mean_abs_err).
+    """
+    elems = embeddings.select(
+        F.posexplode("embedding").alias("dim", "x")
+    ).select("dim", F.col("x").cast("double").alias("x"))
+    scales = elems.groupBy("dim").agg(
+        F.max(F.abs(F.col("x"))).alias("scale")
+    )
+    q = F.round(F.lit(127.0) * F.col("x") / F.col("scale"))
+    err = F.abs(F.col("x") - q * F.col("scale") / F.lit(127.0))
+    per_elem = elems.join(scales, "dim").filter(F.col("scale") > 0).select(
+        "dim",
+        "scale",
+        F.round(err * F.lit(1e9)).cast("long").alias("err_e9"),
+    )
+    agg = per_elem.groupBy("dim", "scale").agg(
+        F.count("*").alias("n"),
+        F.max("err_e9").alias("mx"),
+        F.sum("err_e9").alias("sm"),
+    )
+    return agg.select(
+        F.col("dim").cast("int").alias("dim"),
+        "scale",
+        (F.col("mx").cast("double") / F.lit(1e9)).alias("max_abs_err"),
+        (
+            F.round(F.col("sm") / F.col("n").cast("double")).cast("long")
+            / F.lit(1e9)
+        ).alias("mean_abs_err"),
+    )

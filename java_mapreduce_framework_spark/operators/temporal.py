@@ -2689,3 +2689,375 @@ def window_pivot_points(events: DataFrame) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("breach"),
     )
+
+
+def window_williams_r(events: DataFrame, r_window: int = 14) -> DataFrame:
+    """Williams %R over each user's daily closes: where today's close
+    sits below the rolling 14-day high (0 = at the high, -100 = at
+    the low) -- the stochastic oscillator's inverted twin, kept as
+    its own indicator because chartists read the two against
+    different trigger bands.
+
+    Rolling extrema are exact integer cents; %R is ONE integer-ratio
+    double rounded at INTEGER 1e-4 scale (the only .5-boundary rule
+    both engines share -- round(x, 4) on a ratio splits them), NULL
+    on a flat range (high == low) on both engines.
+
+    Emits (user_id, day, close_c, pct_r).
+    """
+    candle = _daily_candle(events)
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(-(r_window - 1), 0)
+    )
+    hi = F.max("high_c").over(wr)
+    lo = F.min("low_c").over(wr)
+    return candle.select(
+        "user_id",
+        "day",
+        "close_c",
+        (
+            F.round(
+                F.when(
+                    hi > lo,
+                    (hi - F.col("close_c")).cast("double")
+                    * F.lit(-100.0)
+                    / (hi - lo).cast("double"),
+                )
+                * F.lit(1e4)
+            ).cast("long")
+            / F.lit(1e4)
+        ).alias("pct_r"),
+    )
+
+
+def window_aroon(events: DataFrame, aroon_window: int = 14) -> DataFrame:
+    """Aroon up/down over each user's daily candles: how recently the
+    rolling 14-row high (resp. low) printed, scaled to [0, 100] --
+    the trend-freshness indicator (100 = the extreme is today,
+    0 = it is a full window ago).
+
+    Row positions come from a per-user row_number; the position OF
+    the rolling extreme is the max/min of an integer struct over the
+    rows frame -- (high_c, rn) lexicographic max resolves a tied high
+    to its LATEST row on both engines (and (low_c, -rn) min does the
+    same for lows), so the tie rule is pinned by construction, not by
+    engine quirks. Everything is integer until the two final
+    100*k/(w-1) ratios.
+
+    Emits (user_id, day, aroon_up, aroon_down).
+    """
+    candle = _daily_candle(events)
+    wo = Window.partitionBy("user_id").orderBy("day")
+    wr = wo.rowsBetween(-(aroon_window - 1), 0)
+    rn = F.row_number().over(wo)
+    based = candle.select("user_id", "day", "high_c", "low_c", rn.alias("rn"))
+    hi_rn = F.max(F.struct("high_c", "rn")).over(
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(-(aroon_window - 1), 0)
+    )["rn"]
+    lo_rn = F.min(
+        F.struct("low_c", (-F.col("rn")).alias("nrn"))
+    ).over(
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(-(aroon_window - 1), 0)
+    )["nrn"]
+    w1 = aroon_window - 1
+    return based.select(
+        "user_id",
+        "day",
+        (
+            F.round(
+                (F.lit(w1) - (F.col("rn") - hi_rn)).cast("double")
+                * F.lit(100.0) / F.lit(float(w1)) * F.lit(1e4)
+            ).cast("long")
+            / F.lit(1e4)
+        ).alias("aroon_up"),
+        (
+            F.round(
+                (F.lit(w1) - (F.col("rn") + lo_rn)).cast("double")
+                * F.lit(100.0) / F.lit(float(w1)) * F.lit(1e4)
+            ).cast("long")
+            / F.lit(1e4)
+        ).alias("aroon_down"),
+    )
+
+
+def window_vortex(events: DataFrame, vi_window: int = 14) -> DataFrame:
+    """Vortex indicator (VI+/VI-) over each user's daily candles:
+    rolling ratio of upward vortex movement |high - prev_low| (resp.
+    downward |low - prev_high|) to true range -- the trend-reversal
+    detector built, like ATR, on integer-cent range arithmetic.
+
+    VM+/VM-/TR are exact integer cents per day (first day of a user
+    contributes nothing on both engines); the two VI ratios are one
+    integer-ratio double each, NULL while the rolling TR is zero.
+
+    Emits (user_id, day, vi_plus, vi_minus).
+    """
+    candle = _daily_candle(events)
+    wo = Window.partitionBy("user_id").orderBy("day")
+    ph = F.lag("high_c").over(wo)
+    pl = F.lag("low_c").over(wo)
+    pc = F.lag("close_c").over(wo)
+    tr = F.greatest(
+        F.col("high_c") - F.col("low_c"),
+        F.abs(F.col("high_c") - pc),
+        F.abs(F.col("low_c") - pc),
+    )
+    terms = candle.select(
+        "user_id",
+        "day",
+        F.when(ph.isNotNull(), F.abs(F.col("high_c") - pl))
+        .otherwise(F.lit(0))
+        .alias("vm_p"),
+        F.when(ph.isNotNull(), F.abs(F.col("low_c") - ph))
+        .otherwise(F.lit(0))
+        .alias("vm_m"),
+        F.when(ph.isNotNull(), tr).otherwise(F.lit(0)).alias("tr"),
+    )
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(-(vi_window - 1), 0)
+    )
+    s_tr = F.sum("tr").over(wr)
+    return terms.select(
+        "user_id",
+        "day",
+        (
+            F.round(
+                F.when(
+                    s_tr > 0,
+                    F.sum("vm_p").over(wr).cast("double")
+                    / s_tr.cast("double"),
+                )
+                * F.lit(1e4)
+            ).cast("long")
+            / F.lit(1e4)
+        ).alias("vi_plus"),
+        (
+            F.round(
+                F.when(
+                    s_tr > 0,
+                    F.sum("vm_m").over(wr).cast("double")
+                    / s_tr.cast("double"),
+                )
+                * F.lit(1e4)
+            ).cast("long")
+            / F.lit(1e4)
+        ).alias("vi_minus"),
+    )
+
+
+def window_chande_momentum(
+    events: DataFrame, cmo_window: int = 14
+) -> DataFrame:
+    """Chande momentum oscillator over each user's daily closes:
+    100 * (gains - losses) / (gains + losses) over the rolling 14
+    days -- RSI's unsmoothed, symmetric [-100, 100] cousin (kept
+    distinct from window_rsi: no Wilder smoothing, so the statistic
+    is a pure integer ratio).
+
+    Daily close deltas are exact integer cents (a user's first day
+    contributes nothing); gains/losses are rolling integer sums; the
+    oscillator is ONE integer-ratio double, NULL while the window has
+    no movement.
+
+    Emits (user_id, day, close_c, cmo).
+    """
+    candle = _daily_candle(events)
+    wo = Window.partitionBy("user_id").orderBy("day")
+    d = F.col("close_c") - F.lag("close_c").over(wo)
+    deltas = candle.select(
+        "user_id",
+        "day",
+        "close_c",
+        F.when(d > 0, d).otherwise(F.lit(0)).alias("gain"),
+        F.when(d < 0, -d).otherwise(F.lit(0)).alias("loss"),
+    )
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(-(cmo_window - 1), 0)
+    )
+    g = F.sum("gain").over(wr)
+    ls = F.sum("loss").over(wr)
+    return deltas.select(
+        "user_id",
+        "day",
+        "close_c",
+        (
+            F.round(
+                F.when(
+                    (g + ls) > 0,
+                    (g - ls).cast("double") * F.lit(100.0)
+                    / (g + ls).cast("double"),
+                )
+                * F.lit(1e4)
+            ).cast("long")
+            / F.lit(1e4)
+        ).alias("cmo"),
+    )
+
+
+def window_force_index(
+    events: DataFrame, fi_window: int = 13
+) -> DataFrame:
+    """Elder's force index over each user's daily candles: close
+    delta x volume (events that day), smoothed as the rolling 13-day
+    mean -- the buying/selling-pressure gauge that weights a move by
+    how much traffic drove it.
+
+    Raw force is an exact integer (cent delta x event count; a
+    user's first day contributes nothing on both engines -- it has no
+    delta, so it is excluded from the window count too); the smoothed
+    index divides the rolling integer sum by the rolling count of
+    FORCE-BEARING days, one integer-ratio double.
+
+    Emits (user_id, day, force_13).
+    """
+    candle = _daily_candle(events, with_volume=True)
+    wo = Window.partitionBy("user_id").orderBy("day")
+    d = F.col("close_c") - F.lag("close_c").over(wo)
+    raw = candle.select(
+        "user_id", "day", (d * F.col("n_ev")).alias("force")
+    )
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(-(fi_window - 1), 0)
+    )
+    return raw.select(
+        "user_id",
+        "day",
+        (
+            F.round(
+                F.sum("force").over(wr).cast("double")
+                / F.count("force").over(wr).cast("double")
+                * F.lit(1e4)
+            ).cast("long")
+            / F.lit(1e4)
+        ).alias("force_13"),
+    )
+
+
+def allen_relation_profile(events: DataFrame) -> DataFrame:
+    """Allen's interval-algebra profile of per-day event-type activity
+    windows: for every day and every ordered type pair (type_a <
+    type_b), classify the two types' [first event, last event]
+    intervals into one of Allen's 13 relations, then count days per
+    (pair, relation) -- the qualitative does-checkout-activity-nest-
+    inside-browse-activity readout, and the standard vocabulary for
+    temporal-reasoning audits.
+
+    The interval table is bounded by days x type alphabet; the pair
+    join is alphabet-squared per day (at most ~25 rows/day whatever
+    the corpus). Classification is pure integer timestamp
+    comparisons, written as the SAME ordered CASE chain on both
+    engines (equals first, then the point relations, then the
+    containment/overlap ones -- the chain order IS the tie rule).
+
+    Emits (type_a, type_b, relation, n_days).
+    """
+    iv = events.groupBy(
+        F.date_trunc("day", "ts").alias("day"),
+        "event_type",
+    ).agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    a, b = iv.alias("a"), iv.alias("b")
+    sa, ea = F.col("a.s"), F.col("a.e")
+    sb, eb = F.col("b.s"), F.col("b.e")
+    rel = (
+        F.when((sa == sb) & (ea == eb), "equals")
+        .when(ea < sb, "before")
+        .when(eb < sa, "after")
+        .when(ea == sb, "meets")
+        .when(eb == sa, "met_by")
+        .when((sa == sb) & (ea < eb), "starts")
+        .when((sa == sb) & (ea > eb), "started_by")
+        .when((ea == eb) & (sa > sb), "finishes")
+        .when((ea == eb) & (sa < sb), "finished_by")
+        .when((sa > sb) & (ea < eb), "during")
+        .when((sa < sb) & (ea > eb), "contains")
+        .when((sa < sb) & (ea > sb) & (ea < eb), "overlaps")
+        .otherwise("overlapped_by")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            rel.alias("relation"),
+        )
+        .groupBy("type_a", "type_b", "relation")
+        .agg(F.count("*").alias("n_days"))
+    )
+
+
+def sax_weekly_words(events: DataFrame) -> DataFrame:
+    """SAX symbolization of the daily event-count series, one word
+    per ISO week: z-normalize the daily counts globally, cut at the
+    standard-normal quartile breakpoints (-0.6745, 0, 0.6745) into
+    the 4-letter alphabet a-d, and concatenate each week's symbols in
+    day order -- the Lin/Keogh symbolic series representation that
+    turns motif/anomaly search over a numeric series into string
+    matching.
+
+    Daily counts and the (S, sum x²) moments are exact integers; the
+    z-scores are one double chain at unit scale identical on both
+    engines, and a z landing exactly ON an irrational breakpoint is
+    measure-zero. Word assembly is an ordered day-sequence fold
+    (array_join over the sorted (day, symbol) structs), deterministic
+    by the day key.
+
+    Emits (week, n_days, sax_word).
+    """
+    daily = events.groupBy(
+        F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").alias("x"))
+    mom = daily.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x").cast("double") * F.col("x").cast("double")).alias(
+            "sxx"
+        ),
+    )
+    j = daily.crossJoin(F.broadcast(mom))
+    n = F.col("n").cast("double")
+    s = F.col("s").cast("double")
+    mu = s / n
+    sd = F.sqrt((F.col("sxx") - s * s / n) / n)
+    z = (F.col("x").cast("double") - mu) / sd
+    sym = (
+        F.when(z < F.lit(-0.6745), "a")
+        .when(z < F.lit(0.0), "b")
+        .when(z < F.lit(0.6745), "c")
+        .otherwise("d")
+    )
+    tagged = j.filter(F.col("sxx") * n > s * s).select(
+        F.date_trunc("week", "day").alias("week"),
+        F.col("day"),
+        sym.alias("sym"),
+    )
+    return (
+        tagged.groupBy("week")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("day", "sym"))
+                    ),
+                    lambda st: st["sym"],
+                ),
+                "",
+            ).alias("sax_word"),
+        )
+    )

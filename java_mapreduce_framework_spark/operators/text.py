@@ -3931,3 +3931,134 @@ def token_count_histogram(documents: DataFrame) -> DataFrame:
             F.col("total_tokens").cast("long").alias("total_tokens"),
         )
     )
+
+
+def skipgram_pmi(
+    documents: DataFrame, window: int = 2, min_count: int = 5, k: int = 30
+) -> DataFrame:
+    """Skip-gram collocations: top-k ordered word pairs co-occurring
+    within a 2-token window (gap 1 = adjacent bigram, gap 2 = one
+    word skipped), ranked by raw count with PMI attached -- the
+    word2vec-style context statistic that ``pair_pmi``'s strictly
+    adjacent bigrams miss ("new ... york" split by a determiner).
+
+    The pair stream is built ROW-LOCALLY (one struct-transform over
+    each token array per gap -- no positional self-join, so the
+    shuffle carries pairs, not token positions); unigram and pair
+    counts are combinable aggregations; the scoring join is keyed on
+    words with only the 1-row token total broadcast (pair_pmi's
+    shape). PMI is one double log2 per surviving pair, rounded 4;
+    ranking is by exact integer count with the pair as tiebreak.
+
+    Emits (w1, w2, gap, n_pair, pmi).
+    """
+    toks = tokens_col("text")
+    base = documents.select("doc_id", toks.alias("toks"))
+    streams = []
+    for gap in (1, 2):
+        streams.append(
+            base.filter(F.size("toks") > gap).select(
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(1, size(toks) - {gap}),"
+                        f" i -> struct(toks[i - 1] AS w1,"
+                        f" toks[i + {gap - 1}] AS w2))"
+                    )
+                ).alias("p"),
+                F.lit(gap).alias("gap"),
+            )
+        )
+    pairs = streams[0].unionByName(streams[1]).select(
+        "p.w1", "p.w2", "gap"
+    )
+    words = words_exploded(documents)
+    c1 = words.groupBy("word").agg(F.count("*").alias("c1"))
+    c2 = pairs.groupBy("w1", "w2", "gap").agg(
+        F.count("*").alias("n_pair")
+    )
+    total = words.select(F.count("*").cast("double").alias("n_tokens"))
+    c1a = c1.select(F.col("word").alias("w1"), F.col("c1").alias("c1a"))
+    c1b = c1.select(F.col("word").alias("w2"), F.col("c1").alias("c1b"))
+    pmi = F.log2(
+        F.col("n_pair") * F.col("n_tokens") / (F.col("c1a") * F.col("c1b"))
+    )
+    scored = (
+        c2.filter(F.col("n_pair") >= min_count)
+        .join(c1a, "w1")
+        .join(c1b, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1", "w2", "gap",
+            F.col("n_pair").cast("long").alias("n_pair"),
+            F.round(pmi, 4).alias("pmi"),
+        )
+    )
+    # top-k via TakeOrderedAndProject (per-partition heaps)
+    return scored.orderBy(
+        F.col("n_pair").desc(), "w1", "w2", "gap"
+    ).limit(k)
+
+
+def corpus_lang_rebalance(documents: DataFrame) -> DataFrame:
+    """Language-rebalancing sampling plan: per-language keep
+    probability that downsamples every language to the rarest one's
+    document count -- the mix-control step a multilingual training
+    corpus runs before sampling (the inverse-frequency companion to
+    ``corpus_mix_temperature``'s smooth reweighting: this one targets
+    exact uniformity).
+
+    Per-language counts are exact integers; the rarest count rides as
+    a 1-row broadcast; keep_prob = min_count/count is one integer
+    ratio at 1e-6 scale and expected_kept its exact integer-scaled
+    product.
+
+    Emits (lang, n_docs, keep_prob, expected_kept).
+    """
+    counts = documents.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    mn = counts.agg(F.min("n_docs").alias("min_docs"))
+    keep = (
+        F.round(
+            F.col("min_docs") * F.lit(1e6) / F.col("n_docs").cast("double")
+        ).cast("long")
+        / F.lit(1e6)
+    )
+    return counts.crossJoin(F.broadcast(mn)).select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        keep.alias("keep_prob"),
+        F.round(F.col("n_docs") * keep).cast("long").alias("expected_kept"),
+    )
+
+
+def text_self_repetition(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Within-document repetition: the fraction of a document's word
+    3-grams that are repeats of an earlier gram in the SAME document
+    -- the doc-grain Gopher repetition signal (the cross-doc
+    boilerplate detector is ``quality_dup_ngram_frac``; this one
+    catches the looping/stuttering generations and copy-paste fills
+    that poison LM training even when globally unique).
+
+    Map-only: per doc, total vs distinct gram counts from one
+    row-local gram construction (``grams_expr``, the shared gram
+    definition); rep_frac = (t - d)/t one integer ratio at 1e-6
+    scale. Docs shorter than n tokens carry no gram and drop.
+
+    Emits (doc_id, n_grams, rep_frac).
+    """
+    toks = tokens_col("text")
+    base = documents.select("doc_id", toks.alias("toks")).filter(
+        F.size("toks") >= n
+    )
+    grams = F.expr(grams_expr(n))
+    return base.select(
+        "doc_id",
+        F.size(grams).cast("long").alias("n_grams"),
+        (
+            F.round(
+                (F.size(grams) - F.size(F.array_distinct(grams)))
+                * F.lit(1e6)
+                / F.size(grams).cast("double")
+            ).cast("long")
+            / F.lit(1e6)
+        ).alias("rep_frac"),
+    )

@@ -28,16 +28,54 @@ from __future__ import annotations
 from ._verdict_record import LATEST_VERDICT, STALE_ROTATION
 from .core import _REGISTRY
 
+#: New in round 11 -- no driver verdict yet, but deliberately tiered
+#: BEHIND this round's stale rotation (VERDICT r10 #2/#3 budgeted the
+#: 50 sample slots as 29 never-sampled + 21 stalest verdicts; these
+#: drain in round 12, covered by the judge's full sweep meanwhile).
+_FRESH_ROUND11 = frozenset(
+    {
+        "window_williams_r",
+        "window_aroon",
+        "window_vortex",
+        "window_chande_momentum",
+        "window_force_index",
+        "stats_mann_kendall",
+        "stats_odds_ratio",
+        "stats_hellinger_weekpart",
+        "stats_dagostino_skew",
+        "events_stickiness",
+        "events_calendar_heatmap",
+        "events_lorenz_curve",
+        "ml_roc_auc",
+        "ml_pr_curve",
+        "ml_ridge_two_feature",
+        "graph_eigenvector_centrality",
+        "text_skipgram_pmi",
+        "interval_allen_profile",
+        "stream_hll_dau",
+        "stats_seasonality_strength",
+        "stats_mood_median",
+        "orders_revenue_gini_by_nation",
+        "time_sax_words",
+        "corpus_lang_rebalance",
+        "text_self_repetition",
+        "embedding_quantize_int8",
+    }
+)
+
 
 def _record_staleness(name: str) -> int:
     """0 = never officially driver-sampled (front of the sweep),
-    1 = this round's explicit stale rotation, else 1 + the round
+    1 = this round's explicit stale rotation, 2 = new this round
+    (behind the rotation -- see _FRESH_ROUND11), else 2 + the round
     whose sweep last recorded the name (lower = staler verdict)."""
+    if name in _FRESH_ROUND11:
+        return 2
     if name not in LATEST_VERDICT:
         return 0
     if name in STALE_ROTATION:
         return 1
-    return 1 + LATEST_VERDICT[name]
+    return 2 + LATEST_VERDICT[name]
 
 
 def _prioritize_unrecorded() -> None:

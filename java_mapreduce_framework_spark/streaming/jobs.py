@@ -1079,3 +1079,31 @@ def stream_daily_active_users_setstate(
         .agg(F.size(F.collect_set("user_id")).cast("long").alias("dau"))
     )
     return _drain_to_memory(agg)
+
+
+def stream_hll_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming approximate DAU -- the HLL-state scale path that
+    ``stream_daily_active_users``'s docstring names: per-day
+    ``approx_count_distinct`` keeps ONE constant-size HyperLogLog
+    sketch per day as the streaming state (vs one entry per distinct
+    (day, user) for the exact form), so state is bounded by the
+    calendar alone at ANY user cardinality -- the form you deploy
+    when a day can hold a billion distinct users.
+
+    rsd = 0.02 (the engine's approx_count_distinct default posture);
+    the drained counts' relative error against the exact per-day
+    distinct is bounded in RECALL.json (<= 0.06, the 3-sigma
+    ceiling), which is why this op is rows-only rather than
+    hash-oracled: the sketch estimate is approximate BY DESIGN.
+
+    Emits (day, dau_approx).
+    """
+    path = _stage_stream_dir(spark, sf_dir, "events")
+    schema = spark.read.parquet(path).schema
+    events = spark.readStream.schema(schema).parquet(path)
+    agg = events.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.approx_count_distinct("user_id", rsd=0.02)
+        .cast("long")
+        .alias("dau_approx")
+    )
+    return _drain_to_memory(agg)

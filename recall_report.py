@@ -479,6 +479,23 @@ def main(sf_dir: str) -> dict:
         "(feature, polarity) selections equal the serial replay; "
         "ensemble train accuracy %.4f" % ref_acc)
 
+    # --- stream_hll_dau: streaming per-day HLL sketch vs exact DAU
+    from java_mapreduce_framework_spark.streaming.jobs import stream_hll_dau
+
+    approx_dau = {r["day"]: r["dau_approx"]
+                  for r in stream_hll_dau(spark, sf_dir).collect()}
+    exact_dau = {r["day"]: r["n"]
+                 for r in events.groupBy(
+                     F.date_trunc("day", "ts").alias("day"))
+                 .agg(F.countDistinct("user_id").alias("n")).collect()}
+    dau_err = max(
+        abs(approx_dau[k] - exact_dau[k]) / exact_dau[k] for k in exact_dau
+    )
+    rec("stream_hll_dau", "max_day_rel_error", dau_err, 0.06, "<=",
+        "streaming approx_count_distinct rsd=0.02 (one constant-size "
+        "HLL sketch per day as state); 3-sigma ceiling 0.06 across "
+        "per-day counts vs exact distinct")
+
     return out
 
 

@@ -115,6 +115,18 @@ ALLOWED_NESTED_LOOP = {
     "text_word_length_histogram",  # 1-row broadcast token total
     # round 10 batch 5 (late batch; guard missed in 50c6932, VERDICT r10 #1)
     "customer_recency_buckets",  # 1-row broadcast max-orderdate anchor
+    # round 11: 1-row broadcast totals / calendar-bounded grids
+    "stats_mann_kendall",  # day-bounded pair join + 1-row tie totals
+    "stats_odds_ratio",  # 1-row broadcast variant-size totals
+    "stats_hellinger_weekpart",  # 1-row broadcast weekpart totals
+    "events_stickiness",  # calendar-bounded day-spine range join
+    "ml_pr_curve",  # 10-row cut grid x 1-row corpus total
+    "graph_eigenvector_centrality",  # per-round 1-row max broadcast
+    "text_skipgram_pmi",  # 1-row broadcast corpus token total
+    "stats_seasonality_strength",  # 1-row broadcast sum-of-squares total
+    "stats_mood_median",  # 1-row broadcast pinned-median scalar
+    "time_sax_words",  # 1-row broadcast (n, S, sxx) moment scalar
+    "corpus_lang_rebalance",  # 1-row broadcast rarest-language count
 }
 
 

@@ -1026,3 +1026,40 @@ def test_sentence_dedup_single_sentence_keyed_exchange(spark, sf_small):
 
     plan = _formatted(T.sentence_dedup(load_table(spark, sf_small, "documents")))
     assert _nodes(plan, "Exchange") == 2
+
+
+def test_candle_indicators_single_user_exchange(spark, sf_small):
+    """The round-11 indicator family (vortex here as the
+    representative: lag + two rolling sums) must ride _daily_candle's
+    ONE user-keyed exchange -- every window and the candle aggregate
+    key on user_id, so no stage re-partitions."""
+    from java_mapreduce_framework_spark.operators import temporal
+
+    plan = _formatted(
+        temporal.window_vortex(load_table(spark, sf_small, "events"))
+    )
+    ex = [ln for ln in plan.splitlines()
+          if "Arguments: hashpartitioning" in ln]
+    assert ex and all("user_id" in ln for ln in ex)
+    assert "Join" not in plan
+
+
+def test_roc_auc_ranks_distinct_scores_not_documents(spark, sf_small):
+    """The rank-sum AUC compresses to distinct score values BEFORE
+    the (single-partition, score-count-bounded) rank window: the
+    window input must be the per-score aggregate, so the plan shows
+    the HashAggregate below the Window and no join anywhere."""
+    from java_mapreduce_framework_spark.operators import ml
+
+    plan = _formatted(
+        ml.roc_auc_lang_length(load_table(spark, sf_small, "documents"))
+    )
+    assert "Join" not in plan
+    assert plan.count("(1) Scan parquet") == 1  # one corpus pass
+    # the per-score compression is a real aggregate and the rank
+    # window runs once over its output
+    assert "HashAggregate" in plan
+    import re as _re
+
+    assert len(_re.findall(r"^\(\d+\) Window\b", plan,
+                           flags=_re.MULTILINE)) == 1
