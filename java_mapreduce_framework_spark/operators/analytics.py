@@ -5473,3 +5473,240 @@ def mood_median_test(events: DataFrame) -> DataFrame:
         d.cast("long").alias("b_below"),
         F.round(chi2, 4).alias("chi2"),
     )
+
+
+def quade_ranks(events: DataFrame) -> DataFrame:
+    """Quade rank test on the friedman substrate (users are blocks,
+    event types are treatments, the response is each user's count of
+    the type over a dense user x type grid) -- friedman's
+    range-weighted upgrade: blocks whose counts SPREAD more carry
+    more weight, so a handful of decisive users cannot be outvoted by
+    a mass of indifferent ones. The standard pairing in the
+    repeated-measures panel (report both; they disagree exactly when
+    block scale carries signal).
+
+    Exactness: within-block midranks are DOUBLED integers (the house
+    midrank lattice); block weights are the DOUBLED midranks of each
+    block's integer count range across blocks; the Quade scores
+    S_ij = Q_i * (r_ij - (k+1)/2) live on the QUARTER lattice, so
+    s4 = q2 * (mr2 - k - 1) is an exact integer per cell. The A and B
+    sums of squares then square in DOUBLE at unit scale (s4^2 sums
+    pass int64 at ~1e6 blocks -- the poisson hardening), and the
+    F-form statistic (n-1)*B/(A-B) is one double ratio; perfect
+    agreement (A == B) emits NULL on both engines.
+
+    Emits (event_type, s4_sum, quade_stat) -- k rows, the per-type
+    quarter-lattice score sums plus the shared statistic.
+    """
+    counts = events.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("cnt")
+    )
+    users = events.select("user_id").distinct()
+    types = events.select("event_type").distinct()
+    dense = (
+        users.join(F.broadcast(types))
+        .join(counts, ["user_id", "event_type"], "left")
+        .select(
+            "user_id",
+            "event_type",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+        )
+    )
+    wu = Window.partitionBy("user_id").orderBy("cnt")
+    wt = Window.partitionBy("user_id", "cnt")
+    ranked = dense.select(
+        "user_id",
+        "event_type",
+        (
+            F.lit(2) * F.rank().over(wu) + F.count("*").over(wt) - F.lit(1)
+        ).alias("mr2"),
+    )
+    ranges = dense.groupBy("user_id").agg(
+        (F.max("cnt") - F.min("cnt")).alias("rng")
+    )
+    wr = Window.orderBy("rng")
+    wrt = Window.partitionBy("rng")
+    weights = ranges.select(
+        "user_id",
+        (
+            F.lit(2) * F.rank().over(wr) + F.count("*").over(wrt) - F.lit(1)
+        ).alias("q2"),
+    )
+    k1 = types.count() + 1  # bounded: type-alphabet size
+    cells = ranked.join(weights, "user_id").select(
+        "event_type",
+        (F.col("q2") * (F.col("mr2") - F.lit(k1))).alias("s4"),
+    )
+    per_type = cells.groupBy("event_type").agg(
+        F.sum("s4").cast("long").alias("s4_sum"),
+        F.count("*").alias("n_blocks"),
+        F.sum(
+            F.col("s4").cast("double") * F.col("s4").cast("double")
+        ).alias("a16"),
+    )
+    tot = per_type.agg(
+        F.sum("a16").alias("a16"),
+        F.sum(
+            F.col("s4_sum").cast("double") * F.col("s4_sum").cast("double")
+        ).alias("bsq16"),
+        F.max("n_blocks").cast("double").alias("n"),
+    )
+    b16 = F.col("bsq16") / F.col("n")
+    stat = tot.select(
+        F.when(
+            F.col("a16") > b16,
+            F.round(
+                (F.col("n") - F.lit(1.0)) * b16 / (F.col("a16") - b16), 4
+            ),
+        ).alias("quade_stat")
+    )
+    return per_type.select("event_type", "s4_sum").join(
+        F.broadcast(stat)
+    )
+
+
+def markov_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition matrix of event types over each
+    user's (ts, event_id)-ordered stream -- P(next type | type) as an
+    alphabet x alphabet table; the raw substrate behind
+    ``event_markov_stationary``'s fixed point, emitted directly
+    because the CONDITIONAL rows (what follows an error? what follows
+    a purchase?) are the operational readout.
+
+    One user-keyed lag window over the total order, then an
+    alphabet-squared aggregation; transition counts are exact
+    integers and each row-share is one integer ratio at 1e-6 scale.
+
+    Emits (from_type, to_type, n_transitions, p).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = events.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n_transitions")
+    )
+    wrow = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        F.col("n_transitions").cast("long").alias("n_transitions"),
+        (
+            F.round(
+                F.col("n_transitions") * F.lit(1e6)
+                / F.sum("n_transitions").over(wrow).cast("double")
+            ).cast("long")
+            / F.lit(1e6)
+        ).alias("p"),
+    )
+
+
+def interpurchase_cv(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Inter-purchase regularity per customer segment: the
+    coefficient of variation of each repeat customer's order-gap
+    days, bucketed into the classic regular (< 0.5) / intermediate /
+    bursty (> 1.0) ladder and rolled up per market segment -- the
+    purchase-rhythm readout subscription businesses watch (a segment
+    drifting bursty is churning in slow motion).
+
+    Per-customer gap moments (n, sum, sum of squares) are exact
+    integer day arithmetic off one (customer ORDER BY date, key)
+    window; each CV is one double chain; the bucket cut is a double
+    comparison against exact half/one constants. Customers with
+    fewer than 3 orders carry no gap variance and drop.
+
+    Emits (c_mktsegment, bucket, n_customers).
+    """
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.select(
+            "o_custkey",
+            F.datediff(
+                "o_orderdate", F.lag("o_orderdate").over(w)
+            ).alias("gap"),
+        )
+        .filter(F.col("gap").isNotNull())
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("gap").alias("s"),
+            F.sum(F.col("gap") * F.col("gap")).alias("sxx"),
+        )
+        .filter((F.col("n") >= 2) & (F.col("s") > 0))
+    )
+    n = F.col("n").cast("double")
+    s = F.col("s").cast("double")
+    cv = F.sqrt((F.col("sxx").cast("double") - s * s / n) / n) / (s / n)
+    bucketed = gaps.select(
+        "o_custkey",
+        F.when(cv < 0.5, "regular")
+        .when(cv <= 1.0, "intermediate")
+        .otherwise("bursty")
+        .alias("bucket"),
+    )
+    return (
+        bucketed.join(
+            customer.select("c_custkey", "c_mktsegment"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment", "bucket")
+        .agg(F.count("*").cast("long").alias("n_customers"))
+    )
+
+
+def peak_days(events: DataFrame) -> DataFrame:
+    """Local-peak detection on the daily event-count series: days
+    strictly above BOTH calendar neighbors AND above the global
+    mean + 1 sigma -- the load-spike inventory (every flagged day is
+    an incident-review candidate; the two-sided neighbor rule drops
+    plateau shoulders). The cut is 1 sigma, not the alarm-grade 2:
+    the fixture's near-uniform day volume tops out at z ~ 1.6, so a
+    2-sigma cut returns ZERO rows at the sf0.01 gate and the hash
+    passes vacuously (the embedding_norm_profile lesson) -- don't
+    "tighten" it back.
+
+    Daily counts and the (n, S) sufficient statistics are exact
+    integers; sum x^2 and the z chain compute in DOUBLE at unit scale
+    (the int64-overflow hardening), written in the same operation
+    order on both engines, so the z > 2 flag decides identically --
+    the neighbor comparisons are pure integer.
+
+    Emits (day, n_events, prev_n, next_n, z).
+    """
+    daily = events.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").alias("x")
+    )
+    wo = Window.orderBy("day")
+    lagged = daily.select(
+        "day",
+        "x",
+        F.lag("x").over(wo).alias("xp"),
+        F.lead("x").over(wo).alias("xn"),
+    )
+    mom = daily.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x").cast("double") * F.col("x").cast("double")).alias(
+            "sxx"
+        ),
+    )
+    j = lagged.crossJoin(F.broadcast(mom))
+    n = F.col("n").cast("double")
+    s = F.col("s").cast("double")
+    mu = s / n
+    sd = F.sqrt((F.col("sxx") - s * s / n) / n)
+    z = (F.col("x").cast("double") - mu) / sd
+    return j.filter(
+        F.col("xp").isNotNull()
+        & F.col("xn").isNotNull()
+        & (F.col("x") > F.col("xp"))
+        & (F.col("x") > F.col("xn"))
+        & (z > F.lit(1.0))
+    ).select(
+        "day",
+        F.col("x").cast("long").alias("n_events"),
+        F.col("xp").cast("long").alias("prev_n"),
+        F.col("xn").cast("long").alias("next_n"),
+        F.round(z, 4).alias("z"),
+    )

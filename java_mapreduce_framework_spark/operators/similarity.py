@@ -1876,8 +1876,8 @@ def embedding_label_cohesion(embeddings: DataFrame) -> DataFrame:
     )
 
 
-def embedding_quantize_int8(embeddings: DataFrame) -> DataFrame:
-    """Per-dimension symmetric int8 quantization audit: scale each
+def embedding_quantize_error_audit(embeddings: DataFrame) -> DataFrame:
+    """Per-dimension symmetric int8 quantization ERROR AUDIT: scale each
     dimension by its corpus max-|x|, round to the 127-step grid, and
     report the reconstruction error -- the storage-planning readout
     run before shipping an embedding corpus at int8 (4x smaller, and

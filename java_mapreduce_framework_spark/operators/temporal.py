@@ -3061,3 +3061,145 @@ def sax_weekly_words(events: DataFrame) -> DataFrame:
             ).alias("sax_word"),
         )
     )
+
+
+def window_trix(
+    events: DataFrame, decay: float = 0.75, span: int = 12
+) -> DataFrame:
+    """TRIX momentum indicator over each user's daily closes: the
+    1-period rate of change of a TRIPLE-smoothed EWMA -- the classic
+    noise-immune momentum gauge (three smoothing passes kill
+    everything but the persistent trend; the rate of change turns it
+    into an oscillator around zero).
+
+    Each smoothing stage is ``window_ewma``'s normalized
+    bounded-frame form (decay 3/4, 12-lag frame -- every in-frame
+    power exactly representable in a double), stacked three times:
+    stage k collects stage k-1's values over the same user-ordered
+    frame and folds them IN FRAME ORDER on both engines, so e1/e2/e3
+    are bit-identical doubles cross-engine (the macd precedent,
+    chained). The final rate of change is one ratio rounded at
+    INTEGER 1e-6 scale, NULL on a user's first day.
+
+    One user_id exchange feeds the candle and all three stages.
+
+    Emits (user_id, day, trix).
+    """
+    alpha = 1.0 - decay
+
+    def fold(col: str) -> str:
+        return (
+            f"aggregate(zip_with({col}, sequence(size({col}) - 1, 0, -1),"
+            f" (v, e) -> v * pow({decay!r}, e)), 0D, (acc, x) -> acc + x)"
+            f" / ((1.0 - pow({decay!r}, size({col}))) / {alpha!r})"
+        )
+
+    candle = _daily_candle(events)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(-(span - 1), 0)
+    )
+    s1 = candle.select(
+        "user_id",
+        "day",
+        F.collect_list(F.col("close_c").cast("double")).over(w).alias("v0"),
+    ).select("user_id", "day", F.expr(fold("v0")).alias("e1"))
+    s2 = s1.select(
+        "user_id", "day", F.collect_list("e1").over(w).alias("v1")
+    ).select("user_id", "day", F.expr(fold("v1")).alias("e2"))
+    s3 = s2.select(
+        "user_id", "day", F.collect_list("e2").over(w).alias("v2")
+    ).select("user_id", "day", F.expr(fold("v2")).alias("e3"))
+    wo = Window.partitionBy("user_id").orderBy("day")
+    prev = F.lag("e3").over(wo)
+    return s3.select(
+        "user_id",
+        "day",
+        (
+            F.round((F.col("e3") - prev) / prev * F.lit(1e6)).cast("long")
+            / F.lit(1e6)
+        ).alias("trix"),
+    )
+
+
+def window_hull_ma(events: DataFrame, span: int = 12) -> DataFrame:
+    """Hull moving average over each user's daily closes: WMA over
+    sqrt(n) lags of (2*WMA(n/2) - WMA(n)) -- the low-lag smoother
+    (ordinary MAs trail the series; Hull's difference construction
+    cancels most of the lag while keeping the smoothing).
+
+    The two inner WMAs use INTEGER linear weights over integer cents
+    (numerators exact, denominator the constant triangular number),
+    their 2a-b combination is QUANTIZED to an exact 1e-4-cent integer
+    before the outer pass (a double intermediate would make the outer
+    weighted fold order-sensitive cross-engine -- the window_cusum
+    segment-tree lesson), and the outer 3-lag WMA is again an exact
+    integer fold. One user_id exchange feeds the candle and all
+    three window passes.
+
+    Emits (user_id, day, hma).
+    """
+    candle = _daily_candle(events)
+    half = span // 2
+    sq = max(2, int(span ** 0.5))
+    w_half = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(-(half - 1), 0)
+    )
+    w_full = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(-(span - 1), 0)
+    )
+    w_out = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(-(sq - 1), 0)
+    )
+
+    def wma_expr(col: str) -> str:
+        return (
+            f"aggregate(zip_with({col}, sequence(1, size({col})),"
+            f" (v, j) -> v * j), 0D, (acc, x) -> acc + x)"
+            f" / (size({col}) * (size({col}) + 1) / 2.0)"
+        )
+
+    staged = candle.select(
+        "user_id",
+        "day",
+        F.collect_list(F.col("close_c").cast("double"))
+        .over(w_half)
+        .alias("vh"),
+        F.collect_list(F.col("close_c").cast("double"))
+        .over(w_full)
+        .alias("vf"),
+    ).select(
+        "user_id",
+        "day",
+        # 2*WMA(half) - WMA(full), quantized to exact 1e-4-cent ints
+        F.round(
+            (
+                F.lit(2.0) * F.expr(wma_expr("vh"))
+                - F.expr(wma_expr("vf"))
+            )
+            * F.lit(1e4)
+        )
+        .cast("long")
+        .alias("d4"),
+    )
+    out = staged.select(
+        "user_id",
+        "day",
+        F.collect_list(F.col("d4").cast("double")).over(w_out).alias("vo"),
+    )
+    # the outer WMA lives in 1e-4-cent = 1e-6-dollar units; rounding
+    # at integer scale and dividing by 1e6 emits dollars at 1e-6 grain
+    return out.select(
+        "user_id",
+        "day",
+        (
+            F.round(F.expr(wma_expr("vo"))).cast("long") / F.lit(1e6)
+        ).alias("hma"),
+    )

@@ -120,6 +120,17 @@ def _register(name: str, oracle: str | None, note: str = ""):
             tune_session(spark)
             return fn(spark, sf_dir)
 
+        # Collision guard (round 11): a later module re-registering an
+        # existing name SILENTLY replaced its fn AND oracle (it
+        # happened twice in one round: multimodal_image_entropy and
+        # embedding_quantize_int8 got duplicated under the same names
+        # with different semantics, and the sweep kept passing because
+        # fn and oracle were swapped TOGETHER). Hard-fail instead.
+        if name in _REGISTRY:
+            raise AssertionError(
+                f"duplicate registration of {name!r} -- the name is "
+                "already declared by an earlier registry module"
+            )
         _REGISTRY[name] = QuerySpec(name, wrapped, oracle, note)
         return fn
 

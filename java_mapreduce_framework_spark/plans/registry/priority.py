@@ -59,7 +59,13 @@ _FRESH_ROUND11 = frozenset(
         "time_sax_words",
         "corpus_lang_rebalance",
         "text_self_repetition",
-        "embedding_quantize_int8",
+        "embedding_quantize_error_audit",
+        "window_trix",
+        "stats_quade",
+        "events_markov_transitions",
+        "customer_interpurchase_cv",
+        "window_hull_ma",
+        "events_peak_days",
     }
 )
 

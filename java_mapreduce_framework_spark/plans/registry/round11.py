@@ -950,7 +950,7 @@ def _text_self_repetition(spark, sf):
 
 
 @_register(
-    "embedding_quantize_int8",
+    "embedding_quantize_error_audit",
     """
     WITH elems AS (
       SELECT u.i - 1 AS dim, u.v AS x
@@ -972,11 +972,289 @@ def _text_self_repetition(spark, sf):
                      AS BIGINT) AS DOUBLE) / 1e9 AS mean_abs_err
     FROM per_elem GROUP BY dim, scale
     """,
-    note="per-dimension symmetric int8 quantization audit (what 4x "
+    note="per-dimension symmetric int8 quantization ERROR AUDIT "
+    "(what 4x "
     "storage compression costs in precision): exact double per-dim "
     "max scale, reconstruction deltas the same double chain both "
     "engines, per-element |err| to integers at 1e-9 BEFORE the mean "
     "fold (per-term rounding discipline)",
 )
-def _embedding_quantize_int8(spark, sf):
-    return similarity.embedding_quantize_int8(_t(spark, sf, "embeddings"))
+def _embedding_quantize_error_audit(spark, sf):
+    return similarity.embedding_quantize_error_audit(
+        _t(spark, sf, "embeddings")
+    )
+
+
+# ------------------------------------------------ batch 3 (round 11)
+
+from .multimodal import _PAYLOAD_CTE  # noqa: E402,F401
+
+
+def _trix_oracle(decay: str = "0.75", alpha: str = "0.25",
+                 span: int = 12) -> str:
+    """Three chained window_ewma-style normalized bounded-frame folds
+    (the macd oracle's fold, stacked), then the 1-period rate of
+    change at integer 1e-6 scale."""
+    def fold(col: str) -> str:
+        return (
+            f"list_sum(list_transform({col}, (v, i) ->"
+            f" v * pow({decay}, len({col}) - i)))"
+            f" / ((1.0 - pow({decay}, len({col}))) / {alpha})"
+        )
+
+    frame = f"ROWS BETWEEN {span - 1} PRECEDING AND CURRENT ROW"
+    return f"""
+    WITH {_CANDLE_CTE},
+    f1 AS (
+      SELECT user_id, day, list(CAST(close_c AS DOUBLE)) OVER (
+               PARTITION BY user_id ORDER BY day {frame}) AS v0
+      FROM candle),
+    s1 AS (SELECT user_id, day, {fold('v0')} AS e1 FROM f1),
+    f2 AS (
+      SELECT user_id, day, list(e1) OVER (
+               PARTITION BY user_id ORDER BY day {frame}) AS v1
+      FROM s1),
+    s2 AS (SELECT user_id, day, {fold('v1')} AS e2 FROM f2),
+    f3 AS (
+      SELECT user_id, day, list(e2) OVER (
+               PARTITION BY user_id ORDER BY day {frame}) AS v2
+      FROM s2),
+    s3 AS (SELECT user_id, day, {fold('v2')} AS e3 FROM f3),
+    lagged AS (
+      SELECT user_id, day, e3,
+             lag(e3) OVER (PARTITION BY user_id ORDER BY day) AS pe3
+      FROM s3)
+    SELECT user_id, day,
+           CAST(round((e3 - pe3) / pe3 * 1e6) AS BIGINT) / 1e6 AS trix
+    FROM lagged
+    """
+
+
+@_register(
+    "window_trix",
+    _trix_oracle(),
+    note="TRIX (1-period rate of change of a triple-smoothed EWMA) "
+    "over per-user daily closes: three stacked normalized "
+    "bounded-frame folds (decay 3/4, every in-frame power exact in a "
+    "double, folds run in frame order on both engines -- the macd "
+    "precedent chained), rate of change at integer 1e-6 scale",
+)
+def _window_trix(spark, sf):
+    return temporal.window_trix(_t(spark, sf, "events"))
+
+
+@_register(
+    "stats_quade",
+    f"""
+    WITH counts AS (
+      SELECT user_id, event_type, count(*) AS cnt
+      FROM {_EVTS} GROUP BY 1, 2),
+    users AS (SELECT DISTINCT user_id FROM {_EVTS}),
+    types AS (SELECT DISTINCT event_type FROM {_EVTS}),
+    dense AS (
+      SELECT u.user_id, t.event_type, coalesce(c.cnt, 0) AS cnt
+      FROM users u CROSS JOIN types t
+      LEFT JOIN counts c
+        ON c.user_id = u.user_id AND c.event_type = t.event_type),
+    ranked AS (
+      SELECT user_id, event_type,
+             2 * rank() OVER (PARTITION BY user_id ORDER BY cnt)
+             + count(*) OVER (PARTITION BY user_id, cnt) - 1 AS mr2
+      FROM dense),
+    ranges AS (
+      SELECT user_id, max(cnt) - min(cnt) AS rng
+      FROM dense GROUP BY user_id),
+    weights AS (
+      SELECT user_id,
+             2 * rank() OVER (ORDER BY rng)
+             + count(*) OVER (PARTITION BY rng) - 1 AS q2
+      FROM ranges),
+    kk AS (SELECT count(*) + 1 AS k1 FROM types),
+    cells AS (
+      SELECT r.event_type, w.q2 * (r.mr2 - kk.k1) AS s4
+      FROM ranked r JOIN weights w USING (user_id), kk),
+    per_type AS (
+      SELECT event_type, CAST(sum(s4) AS BIGINT) AS s4_sum,
+             count(*) AS n_blocks,
+             sum(CAST(s4 AS DOUBLE) * CAST(s4 AS DOUBLE)) AS a16
+      FROM cells GROUP BY event_type),
+    tot AS (
+      SELECT sum(a16) AS a16,
+             sum(CAST(s4_sum AS DOUBLE) * CAST(s4_sum AS DOUBLE)) AS bsq16,
+             CAST(max(n_blocks) AS DOUBLE) AS n
+      FROM per_type)
+    SELECT p.event_type, p.s4_sum,
+           CASE WHEN t.a16 > t.bsq16 / t.n THEN
+             round((t.n - 1.0) * (t.bsq16 / t.n)
+                   / (t.a16 - t.bsq16 / t.n), 4)
+           END AS quade_stat
+    FROM per_type p, tot t
+    """,
+    note="Quade range-weighted rank test on the friedman substrate "
+    "(blocks that spread more carry more weight): doubled midranks "
+    "x doubled range-rank weights put the Quade scores on an exact "
+    "quarter lattice (s4 integers); A/B sums of squares square in "
+    "double at unit scale; perfect agreement emits NULL",
+)
+def _stats_quade(spark, sf):
+    return analytics.quade_ranks(_t(spark, sf, "events"))
+
+
+# ------------------------------------------------ batch 4 (round 11)
+
+
+@_register(
+    "events_markov_transitions",
+    f"""
+    WITH pairs AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM {_EVTS}),
+    counts AS (
+      SELECT from_type, to_type, count(*) AS n_transitions
+      FROM pairs WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type)
+    SELECT from_type, to_type,
+           CAST(n_transitions AS BIGINT) AS n_transitions,
+           CAST(CAST(round(n_transitions * 1e6
+                           / CAST(sum(n_transitions)
+                                  OVER (PARTITION BY from_type)
+                                  AS DOUBLE)) AS BIGINT)
+                AS DOUBLE) / 1e6 AS p
+    FROM counts
+    """,
+    note="first-order Markov transition matrix of event types per "
+    "user stream (the conditional rows behind event_markov_"
+    "stationary's fixed point): one user-keyed lead window, "
+    "alphabet-squared aggregation, row shares at integer 1e-6 scale",
+)
+def _events_markov_transitions(spark, sf):
+    return analytics.markov_transitions(_t(spark, sf, "events"))
+
+
+@_register(
+    "customer_interpurchase_cv",
+    """
+    WITH gaps AS (
+      SELECT o_custkey,
+             date_diff('day',
+                       CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS DATE),
+                       CAST(o_orderdate AS DATE)) AS gap
+      FROM orders),
+    mom AS (
+      SELECT o_custkey, count(*) AS n, sum(gap) AS s,
+             sum(gap * gap) AS sxx
+      FROM gaps WHERE gap IS NOT NULL
+      GROUP BY o_custkey
+      HAVING count(*) >= 2 AND sum(gap) > 0),
+    bucketed AS (
+      SELECT o_custkey,
+             CASE WHEN sqrt((CAST(sxx AS DOUBLE)
+                             - CAST(s AS DOUBLE) * s / n) / n)
+                       / (CAST(s AS DOUBLE) / n) < 0.5 THEN 'regular'
+                  WHEN sqrt((CAST(sxx AS DOUBLE)
+                             - CAST(s AS DOUBLE) * s / n) / n)
+                       / (CAST(s AS DOUBLE) / n) <= 1.0
+                    THEN 'intermediate'
+                  ELSE 'bursty' END AS bucket
+      FROM mom)
+    SELECT c.c_mktsegment, b.bucket,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM bucketed b JOIN customer c ON b.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment, b.bucket
+    """,
+    note="inter-purchase regularity ladder per market segment "
+    "(regular/intermediate/bursty by gap CV; a segment drifting "
+    "bursty is churning in slow motion): exact integer day-gap "
+    "moments off one customer-ordered window, CV one double chain, "
+    "repeat customers only",
+)
+def _customer_interpurchase_cv(spark, sf):
+    return analytics.interpurchase_cv(
+        _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    )
+
+
+def _hull_oracle(span: int = 12) -> str:
+    half, sq = span // 2, max(2, int(span ** 0.5))
+
+    def wma(col: str) -> str:
+        return (
+            f"list_sum(list_transform({col}, (v, i) -> v * i))"
+            f" / (len({col}) * (len({col}) + 1) / 2.0)"
+        )
+
+    return f"""
+    WITH {_CANDLE_CTE},
+    fr AS (
+      SELECT user_id, day,
+             list(CAST(close_c AS DOUBLE)) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN {half - 1} PRECEDING AND CURRENT ROW) AS vh,
+             list(CAST(close_c AS DOUBLE)) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN {span - 1} PRECEDING AND CURRENT ROW) AS vf
+      FROM candle),
+    staged AS (
+      SELECT user_id, day,
+             CAST(round((2.0 * ({wma('vh')}) - ({wma('vf')})) * 1e4)
+                  AS BIGINT) AS d4
+      FROM fr),
+    outp AS (
+      SELECT user_id, day,
+             list(CAST(d4 AS DOUBLE)) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN {sq - 1} PRECEDING AND CURRENT ROW) AS vo
+      FROM staged)
+    SELECT user_id, day,
+           CAST(round({wma('vo')}) AS BIGINT) / 1e6 AS hma
+    FROM outp
+    """
+
+
+@_register(
+    "window_hull_ma",
+    _hull_oracle(),
+    note="Hull moving average (WMA over sqrt(n) lags of 2*WMA(n/2) - "
+    "WMA(n), the low-lag smoother) over per-user daily closes: "
+    "integer linear-weight folds in frame order, the 2a-b stage "
+    "QUANTIZED to exact 1e-4-cent integers before the outer pass "
+    "(the segment-tree fold-order lesson), output dollars at 1e-6",
+)
+def _window_hull_ma(spark, sf):
+    return temporal.window_hull_ma(_t(spark, sf, "events"))
+
+
+@_register(
+    "events_peak_days",
+    f"""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day, count(*) AS x
+      FROM {_EVTS} GROUP BY 1),
+    lagged AS (
+      SELECT day, x,
+             lag(x) OVER (ORDER BY day) AS xp,
+             lead(x) OVER (ORDER BY day) AS xn
+      FROM daily),
+    mom AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(x) AS DOUBLE) AS s,
+             sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS sxx
+      FROM daily)
+    SELECT day, CAST(x AS BIGINT) AS n_events,
+           CAST(xp AS BIGINT) AS prev_n, CAST(xn AS BIGINT) AS next_n,
+           round((x - s / n) / sqrt((sxx - s * s / n) / n), 4) AS z
+    FROM lagged, mom
+    WHERE xp IS NOT NULL AND xn IS NOT NULL AND x > xp AND x > xn
+      AND (x - s / n) / sqrt((sxx - s * s / n) / n) > 1.0
+    """,
+    note="local-peak days (strictly above both calendar neighbors "
+    "AND global mean + 1 sigma -- 2 sigma is vacuous on the "
+    "near-uniform fixture; load-spike inventory): exact "
+    "integer neighbor comparisons, the z chain in double at unit "
+    "scale in the same operation order on both engines",
+)
+def _events_peak_days(spark, sf):
+    return analytics.peak_days(_t(spark, sf, "events"))

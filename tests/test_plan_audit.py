@@ -127,6 +127,8 @@ ALLOWED_NESTED_LOOP = {
     "stats_mood_median",  # 1-row broadcast pinned-median scalar
     "time_sax_words",  # 1-row broadcast (n, S, sxx) moment scalar
     "corpus_lang_rebalance",  # 1-row broadcast rarest-language count
+    "stats_quade",  # friedman's k-row grid cross + 1-row (k+1) scalar
+    "events_peak_days",  # 1-row broadcast (n, S, sxx) moment scalar
 }
 
 

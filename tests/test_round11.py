@@ -444,15 +444,142 @@ def test_self_repetition_loop_vs_unique(spark):
     assert 3 not in out
 
 
-def test_quantize_int8_error_bound(spark, sf_small):
+def test_quantize_error_audit_bound(spark, sf_small):
     from java_mapreduce_framework_spark.operators import similarity
     from java_mapreduce_framework_spark.sources.tables import load_table
 
     emb = load_table(spark, sf_small, "embeddings")
-    rows = similarity.embedding_quantize_int8(emb).collect()
+    rows = similarity.embedding_quantize_error_audit(emb).collect()
     assert len(rows) > 0
     for r in rows:
         # symmetric int8 rounding error is at most scale/254 per
         # element (half a quantization step)
         assert r["max_abs_err"] <= r["scale"] / 254.0 + 1e-9
         assert 0.0 <= r["mean_abs_err"] <= r["max_abs_err"] + 1e-12
+
+
+# ------------------------------------------------------- batch 3
+
+
+def test_trix_constant_series_is_zero(spark):
+    # constant closes -> every EWMA stage equals the close -> RoC 0
+    ev = _daily(spark, [10.0] * 5)
+    rows = {r["day"].day: r["trix"]
+            for r in temporal.window_trix(ev).collect()}
+    assert rows[1] is None  # no previous e3
+    assert all(rows[d] == 0.0 for d in range(2, 6))
+
+
+def test_trix_matches_pandas_replay(spark):
+    import pandas as pd
+
+    closes = [10.0, 12.0, 11.0, 15.0, 13.0, 14.0, 16.0]
+    ev = _daily(spark, closes)
+    out = {r["day"].day: r["trix"]
+           for r in temporal.window_trix(ev).collect()}
+    cents = pd.Series([c * 100 for c in closes])
+
+    def ewma(s):
+        # normalized bounded-frame EWMA, decay 3/4, 12-lag frame
+        vals = []
+        for i in range(len(s)):
+            lo = max(0, i - 11)
+            fr = s[lo:i + 1]
+            wts = [0.75 ** (len(fr) - 1 - j) for j in range(len(fr))]
+            vals.append(sum(v * w for v, w in zip(fr, wts))
+                        / ((1 - 0.75 ** len(fr)) / 0.25))
+        return vals
+
+    e = ewma(ewma(ewma(list(cents))))
+    for d in range(2, 8):
+        exp = (e[d - 1] - e[d - 2]) / e[d - 2]
+        assert abs(out[d] - round(exp * 1e6) / 1e6) < 2e-6
+
+
+def test_quade_perfect_agreement_null_stat(spark):
+    # every user prefers types identically and spreads identically:
+    # A == B -> statistic undefined -> NULL
+    rows = []
+    eid = 0
+    for u in (1, 2):
+        for t, c in (("a", 1), ("b", 2), ("c", 3)):
+            for _ in range(c):
+                rows.append((eid, "2024-01-01T12:00:00", u, t, 1.0))
+                eid += 1
+    out = analytics.quade_ranks(_events(spark, rows)).collect()
+    assert len(out) == 3
+    assert all(r["quade_stat"] is None for r in out)
+    # quarter-lattice scores: type c gets the max positive sum
+    sums = {r["event_type"]: r["s4_sum"] for r in out}
+    assert sums["c"] > 0 > sums["a"] and sums["b"] == 0
+
+
+# ------------------------------------------------------- batch 4
+
+
+def test_markov_transitions_rows_sum_to_one(spark):
+    rows = [
+        (0, "2024-01-01T10:00:00", 1, "a", 1.0),
+        (1, "2024-01-01T10:01:00", 1, "b", 1.0),
+        (2, "2024-01-01T10:02:00", 1, "a", 1.0),
+        (3, "2024-01-01T10:03:00", 1, "b", 1.0),
+        (4, "2024-01-01T10:00:00", 2, "a", 1.0),
+        (5, "2024-01-01T10:01:00", 2, "a", 1.0),
+    ]
+    out = analytics.markov_transitions(_events(spark, rows)).collect()
+    trans = {(r["from_type"], r["to_type"]): r for r in out}
+    # user 1: a->b, b->a, a->b; user 2: a->a
+    assert trans[("a", "b")]["n_transitions"] == 2
+    assert trans[("a", "a")]["n_transitions"] == 1
+    assert trans[("b", "a")]["n_transitions"] == 1
+    a_row = [r for r in out if r["from_type"] == "a"]
+    assert abs(sum(r["p"] for r in a_row) - 1.0) < 1e-5
+    assert trans[("a", "b")]["p"] == round(2 / 3 * 1e6) / 1e6
+
+
+def test_interpurchase_cv_buckets(spark):
+    import datetime as dt
+
+    # cust 1: perfectly regular 10-day gaps -> cv 0 -> regular;
+    # cust 2: gaps 1 and 99 -> cv = 49/50 -> intermediate (0.98)
+    orders = spark.createDataFrame(
+        [
+            (1, 1, dt.datetime(2024, 1, 1)),
+            (2, 1, dt.datetime(2024, 1, 11)),
+            (3, 1, dt.datetime(2024, 1, 21)),
+            (4, 2, dt.datetime(2024, 1, 1)),
+            (5, 2, dt.datetime(2024, 1, 2)),
+            (6, 2, dt.datetime(2024, 4, 11)),
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp",
+    )
+    customer = spark.createDataFrame(
+        [(1, "BUILDING"), (2, "BUILDING")],
+        "c_custkey long, c_mktsegment string",
+    )
+    out = {(r["c_mktsegment"], r["bucket"]): r["n_customers"]
+           for r in analytics.interpurchase_cv(customer, orders).collect()}
+    assert out[("BUILDING", "regular")] == 1
+    assert out[("BUILDING", "intermediate")] == 1
+
+
+def test_hull_ma_constant_series_is_close(spark):
+    # constant closes: every WMA equals the close, 2a-b = close,
+    # HMA = close exactly
+    ev = _daily(spark, [10.0] * 6)
+    rows = {r["day"].day: r["hma"]
+            for r in temporal.window_hull_ma(ev).collect()}
+    assert all(v == 10.0 for v in rows.values())
+
+
+def test_peak_days_flags_strict_local_max(spark):
+    # counts: 1,1,1,1,5,1,1,1,1 -> day 5 is the only local peak
+    rows = []
+    eid = 0
+    for d, c in enumerate([1, 1, 1, 1, 5, 1, 1, 1, 1], start=1):
+        for _ in range(c):
+            rows.append((eid, f"2024-01-{d:02d}T12:00:00", 1, "x", 1.0))
+            eid += 1
+    out = analytics.peak_days(_events(spark, rows)).collect()
+    assert len(out) == 1 and out[0]["day"].day == 5
+    assert out[0]["n_events"] == 5 and out[0]["prev_n"] == 1
