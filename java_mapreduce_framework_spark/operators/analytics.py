@@ -5710,3 +5710,116 @@ def peak_days(events: DataFrame) -> DataFrame:
         F.col("xn").cast("long").alias("next_n"),
         F.round(z, 4).alias("z"),
     )
+
+
+def bartels_rank_test(events: DataFrame) -> DataFrame:
+    """Bartels rank test of randomness on the daily event-count
+    series -- the rank version of von Neumann's ratio (RVN =
+    successive rank differences squared over rank variance; ~2 under
+    randomness, -> 0 trending, -> 4 oscillating): the
+    order-sensitive companion to ``stats_runs_test`` that keeps
+    magnitude ORDER information the sign-only runs test throws away.
+
+    Midranks of the daily counts are DOUBLED integers (the house
+    lattice), so the numerator sum of squared successive differences
+    and the denominator centered sum of squares are both exact
+    integer cross-products (scaled x4 and x4n^2 respectively -- the
+    n^2 scaling clears the rank mean without a rational); RVN and
+    the normal z = (RVN - 2) / sqrt(4/n) are one double chain each.
+
+    Emits ONE row (n_days, rvn, z, random_order).
+    """
+    daily = events.groupBy(
+        F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").alias("x"))
+    wr = Window.orderBy("x")
+    wt = Window.partitionBy("x")
+    wo = Window.orderBy("day")
+    ranked = daily.select(
+        "day",
+        (
+            F.lit(2) * F.rank().over(wr) + F.count("*").over(wt) - F.lit(1)
+        ).alias("r2"),
+    )
+    lagged = ranked.select(
+        "r2", F.lag("r2").over(wo).alias("p2")
+    )
+    agg = lagged.agg(
+        F.count("*").alias("n"),
+        F.sum("r2").alias("s"),
+        F.sum(F.col("r2") * F.col("r2")).alias("sxx"),
+        F.sum(
+            F.when(
+                F.col("p2").isNotNull(),
+                (F.col("r2") - F.col("p2")) * (F.col("r2") - F.col("p2")),
+            ).otherwise(F.lit(0))
+        ).alias("num4"),
+    )
+    n = F.col("n").cast("double")
+    # denominator x 4n^2: n * (n*sxx - s^2) keeps everything integer
+    # until this one double chain (unit-scale hardening)
+    den = (
+        n * F.col("sxx").cast("double") - F.col("s").cast("double")
+        * F.col("s").cast("double")
+    ) / n
+    rvn = F.col("num4").cast("double") / den
+    z = (rvn - F.lit(2.0)) / F.sqrt(F.lit(4.0) / n)
+    return agg.filter((F.col("n") > 2) & (den > 0)).select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round(rvn, 4).alias("rvn"),
+        F.round(z, 4).alias("z"),
+        (F.abs(z) < F.lit(1.96)).alias("random_order"),
+    )
+
+
+def cusum_break(events: DataFrame) -> DataFrame:
+    """CUSUM structural-break scan of the daily event counts: the day
+    maximizing |cumulative deviation from the global mean|, with the
+    Kolmogorov-style normalized statistic -- "did the level shift,
+    and when" as one row (``time_changepoint_binary`` answers the
+    same via binary segmentation; CUSUM is the classical test whose
+    null distribution is known, so its statistic is comparable
+    across series).
+
+    The scan is exact INTEGER arithmetic end to end: the cumulative
+    deviation at day k is (n*P_k - k*S)/n with P_k the integer prefix
+    sum, so |n*P_k - k*S| is an exact integer cross-product and the
+    argmax day is decided without a single double (ties -> earliest
+    day, the deterministic rule). Only the final normalization
+    divides by n*sd*sqrt(n) in double at unit scale.
+
+    Emits ONE row (n_days, break_day, cusum_stat).
+    """
+    daily = events.groupBy(
+        F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").alias("x"))
+    wo = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    wk = Window.orderBy("day")
+    pref = daily.select(
+        "day",
+        F.sum("x").over(wo).alias("p"),
+        F.row_number().over(wk).alias("k"),
+    )
+    mom = daily.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x").cast("double") * F.col("x").cast("double")).alias(
+            "sxx"
+        ),
+    )
+    j = pref.crossJoin(F.broadcast(mom))
+    dev = F.abs(F.col("n") * F.col("p") - F.col("k") * F.col("s"))
+    best = (
+        j.select("day", "n", "s", "sxx", dev.alias("dev"))
+        .orderBy(F.col("dev").desc(), F.col("day"))
+        .limit(1)
+    )
+    n = F.col("n").cast("double")
+    s = F.col("s").cast("double")
+    sd = F.sqrt((F.col("sxx") - s * s / n) / n)
+    stat = F.col("dev").cast("double") / (n * sd * F.sqrt(n))
+    return best.filter(F.col("sxx") * n > s * s).select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("day").alias("break_day"),
+        F.round(stat, 4).alias("cusum_stat"),
+    )

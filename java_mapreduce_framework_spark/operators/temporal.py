@@ -3203,3 +3203,45 @@ def window_hull_ma(events: DataFrame, span: int = 12) -> DataFrame:
             F.round(F.expr(wma_expr("vo"))).cast("long") / F.lit(1e6)
         ).alias("hma"),
     )
+
+
+def window_dpo(events: DataFrame, span: int = 14) -> DataFrame:
+    """Detrended price oscillator over each user's daily closes:
+    close minus the (span/2 + 1)-days-ago SMA(span) -- the cycle
+    isolator (subtracting the DISPLACED moving average removes the
+    trend component, leaving the oscillation the other indicators
+    ride on top of).
+
+    The SMA is an exact integer-cent rolling sum over a rows frame
+    divided at INTEGER 1e-4 scale; the displacement is one lag of
+    that quantized value, so dpo = close - displaced_sma is exact on
+    the 1e-4-cent lattice on both engines. A user's first
+    (span/2 + 1) days carry no displaced average and emit NULL.
+
+    Emits (user_id, day, close_c, dpo).
+    """
+    candle = _daily_candle(events)
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(-(span - 1), 0)
+    )
+    wo = Window.partitionBy("user_id").orderBy("day")
+    shift = span // 2 + 1
+    sma4 = F.round(
+        F.sum("close_c").over(wr) * F.lit(1e4)
+        / F.count("close_c").over(wr).cast("double")
+    ).cast("long")
+    staged = candle.select(
+        "user_id", "day", "close_c", sma4.alias("sma4")
+    )
+    disp = F.lag("sma4", shift).over(wo)
+    return staged.select(
+        "user_id",
+        "day",
+        "close_c",
+        (
+            (F.col("close_c") * F.lit(10000) - disp).cast("double")
+            / F.lit(1e4)
+        ).alias("dpo"),
+    )

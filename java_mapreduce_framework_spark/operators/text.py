@@ -4062,3 +4062,56 @@ def text_self_repetition(documents: DataFrame, n: int = 3) -> DataFrame:
             / F.lit(1e6)
         ).alias("rep_frac"),
     )
+
+
+def novelty_saturation(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Corpus novelty-saturation curve: the share of each doc-id
+    decile's word 3-grams that are FIRST OCCURRENCES in doc_id order
+    -- the diminishing-returns readout of corpus growth (a flattening
+    curve says new documents mostly repeat what the corpus already
+    has; the acquisition-budget signal next to
+    ``vocab_growth_curve``'s vocabulary framing, here at the n-gram
+    grain dedup actually operates on).
+
+    One gram explode; each gram's first-carrier is an exact min over
+    doc_id; deciles cut by ntile over the unique doc_id order;
+    novelty shares are integer ratios at 1e-6 scale.
+
+    Emits (decile, n_docs, n_grams, n_first, novelty).
+    """
+    toks = tokens_col("text")
+    grams = (
+        documents.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= n)
+        .select(
+            "doc_id", F.explode(F.expr(grams_expr(n))).alias("gram")
+        )
+    )
+    first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                (F.col("doc_id") == F.col("first_doc")).cast("long")
+            ).alias("n_first"),
+        )
+    )
+    deciled = per_doc.select(
+        "n_grams",
+        "n_first",
+        F.ntile(10).over(Window.orderBy("doc_id")).alias("decile"),
+    )
+    return deciled.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_grams").cast("long").alias("n_grams"),
+        F.sum("n_first").cast("long").alias("n_first"),
+        (
+            F.round(
+                F.sum("n_first") * F.lit(1e6)
+                / F.sum("n_grams").cast("double")
+            ).cast("long")
+            / F.lit(1e6)
+        ).alias("novelty"),
+    )

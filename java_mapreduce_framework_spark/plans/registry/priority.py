@@ -66,6 +66,10 @@ _FRESH_ROUND11 = frozenset(
         "customer_interpurchase_cv",
         "window_hull_ma",
         "events_peak_days",
+        "window_dpo",
+        "stats_bartels_rank",
+        "stats_cusum_break",
+        "text_novelty_saturation",
     }
 )
 

@@ -1258,3 +1258,152 @@ def _window_hull_ma(spark, sf):
 )
 def _events_peak_days(spark, sf):
     return analytics.peak_days(_t(spark, sf, "events"))
+
+
+# ------------------------------------------------ batch 5 (round 11)
+
+
+@_register(
+    "window_dpo",
+    f"""
+    WITH {_CANDLE_CTE},
+    staged AS (
+      SELECT user_id, day, close_c,
+             CAST(round(sum(close_c) OVER wr * 1e4
+                        / CAST(count(close_c) OVER wr AS DOUBLE))
+                  AS BIGINT) AS sma4
+      FROM candle
+      WINDOW wr AS (PARTITION BY user_id ORDER BY day
+                    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+    SELECT user_id, day, close_c,
+           CAST(close_c * 10000
+                - lag(sma4, 8) OVER (PARTITION BY user_id ORDER BY day)
+                AS DOUBLE) / 1e4 AS dpo
+    FROM staged
+    """,
+    note="detrended price oscillator (close minus the displaced "
+    "SMA(14) -- the cycle isolator) per user: SMA quantized to exact "
+    "1e-4-cent integers before the lag, dpo exact on that lattice; "
+    "first span/2+1 days NULL on both engines",
+)
+def _window_dpo(spark, sf):
+    return temporal.window_dpo(_t(spark, sf, "events"))
+
+
+@_register(
+    "stats_bartels_rank",
+    f"""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day, count(*) AS x
+      FROM {_EVTS} GROUP BY 1),
+    ranked AS (
+      SELECT day,
+             2 * rank() OVER (ORDER BY x)
+             + count(*) OVER (PARTITION BY x) - 1 AS r2
+      FROM daily),
+    lagged AS (
+      SELECT r2, lag(r2) OVER (ORDER BY day) AS p2 FROM ranked),
+    agg AS (
+      SELECT count(*) AS n, sum(r2) AS s, sum(r2 * r2) AS sxx,
+             sum(CASE WHEN p2 IS NOT NULL
+                      THEN (r2 - p2) * (r2 - p2) ELSE 0 END) AS num4
+      FROM lagged)
+    SELECT CAST(n AS BIGINT) AS n_days,
+           round(CAST(num4 AS DOUBLE)
+                 / ((n * CAST(sxx AS DOUBLE)
+                     - CAST(s AS DOUBLE) * s) / n), 4) AS rvn,
+           round((CAST(num4 AS DOUBLE)
+                  / ((n * CAST(sxx AS DOUBLE)
+                      - CAST(s AS DOUBLE) * s) / n) - 2.0)
+                 / sqrt(4.0 / n), 4) AS z,
+           abs((CAST(num4 AS DOUBLE)
+                / ((n * CAST(sxx AS DOUBLE)
+                    - CAST(s AS DOUBLE) * s) / n) - 2.0)
+               / sqrt(4.0 / n)) < 1.96 AS random_order
+    FROM agg
+    WHERE n > 2 AND n * CAST(sxx AS DOUBLE) - CAST(s AS DOUBLE) * s > 0
+    """,
+    note="Bartels rank test (rank von Neumann ratio ~2 under "
+    "randomness; trend -> 0, oscillation -> 4) on daily counts -- "
+    "the magnitude-order companion to runs_test: doubled midranks "
+    "keep both quadratic sums exact integers, RVN and z one double "
+    "chain each",
+)
+def _stats_bartels_rank(spark, sf):
+    return analytics.bartels_rank_test(_t(spark, sf, "events"))
+
+
+@_register(
+    "stats_cusum_break",
+    f"""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day, count(*) AS x
+      FROM {_EVTS} GROUP BY 1),
+    pref AS (
+      SELECT day,
+             sum(x) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+             row_number() OVER (ORDER BY day) AS k
+      FROM daily),
+    mom AS (
+      SELECT count(*) AS n, sum(x) AS s,
+             sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS sxx
+      FROM daily),
+    best AS (
+      SELECT day, n, s, sxx, abs(n * p - k * s) AS dev
+      FROM pref, mom
+      ORDER BY abs(n * p - k * s) DESC, day LIMIT 1)
+    SELECT CAST(n AS BIGINT) AS n_days, day AS break_day,
+           round(CAST(dev AS DOUBLE)
+                 / (n * sqrt((sxx - CAST(s AS DOUBLE) * s / n) / n)
+                    * sqrt(CAST(n AS DOUBLE))), 4) AS cusum_stat
+    FROM best
+    WHERE sxx * n > CAST(s AS DOUBLE) * s
+    """,
+    note="CUSUM structural-break scan of daily counts (level-shift "
+    "day + Kolmogorov-style statistic; changepoint_binary's "
+    "classical-test sibling): |n*P_k - k*S| exact integer "
+    "cross-products decide the argmax day without a double, ties -> "
+    "earliest; only the final normalization is a double chain",
+)
+def _stats_cusum_break(spark, sf):
+    return analytics.cusum_break(_t(spark, sf, "events"))
+
+
+@_register(
+    "text_novelty_saturation",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+      FROM toks WHERE len(t) >= 3),
+    first AS (
+      SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY gram),
+    per_doc AS (
+      SELECT g.doc_id, count(*) AS n_grams,
+             sum(CASE WHEN g.doc_id = f.first_doc THEN 1 ELSE 0 END)
+               AS n_first
+      FROM grams g JOIN first f USING (gram)
+      GROUP BY g.doc_id),
+    deciled AS (
+      SELECT n_grams, n_first,
+             ntile(10) OVER (ORDER BY doc_id) AS decile
+      FROM per_doc)
+    SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_grams) AS BIGINT) AS n_grams,
+           CAST(sum(n_first) AS BIGINT) AS n_first,
+           CAST(CAST(round(sum(n_first) * 1e6
+                           / CAST(sum(n_grams) AS DOUBLE)) AS BIGINT)
+                AS DOUBLE) / 1e6 AS novelty
+    FROM deciled GROUP BY decile
+    """,
+    note="corpus novelty-saturation curve (share of each doc-decile's "
+    "3-grams that are corpus-first occurrences in doc_id order -- the "
+    "acquisition diminishing-returns readout at the grain dedup "
+    "operates on): first-carrier one exact min per gram, deciles by "
+    "ntile over the unique doc order, shares at 1e-6",
+)
+def _text_novelty_saturation(spark, sf):
+    return text.novelty_saturation(_t(spark, sf, "documents"))

@@ -129,6 +129,7 @@ ALLOWED_NESTED_LOOP = {
     "corpus_lang_rebalance",  # 1-row broadcast rarest-language count
     "stats_quade",  # friedman's k-row grid cross + 1-row (k+1) scalar
     "events_peak_days",  # 1-row broadcast (n, S, sxx) moment scalar
+    "stats_cusum_break",  # 1-row broadcast (n, S, sxx) moment scalar
 }
 
 

@@ -583,3 +583,59 @@ def test_peak_days_flags_strict_local_max(spark):
     out = analytics.peak_days(_events(spark, rows)).collect()
     assert len(out) == 1 and out[0]["day"].day == 5
     assert out[0]["n_events"] == 5 and out[0]["prev_n"] == 1
+
+
+# ------------------------------------------------------- batch 5
+
+
+def test_dpo_constant_series_and_warmup_null(spark):
+    ev = _daily(spark, [10.0] * 10)
+    rows = {r["day"].day: r["dpo"]
+            for r in temporal.window_dpo(ev).collect()}
+    # displacement is span/2 + 1 = 8: first 8 days NULL, then exact 0
+    assert all(rows[d] is None for d in range(1, 9))
+    assert rows[9] == 0.0 and rows[10] == 0.0
+
+
+def test_bartels_rank_alternating_series(spark):
+    # strictly alternating counts 1,5,1,5,... -> max oscillation:
+    # rvn -> 4-ish, z strongly positive
+    rows = []
+    eid = 0
+    for d in range(1, 11):
+        c = 5 if d % 2 == 0 else 1
+        for _ in range(c):
+            rows.append((eid, f"2024-01-{d:02d}T12:00:00", 1, "x", 1.0))
+            eid += 1
+    out = analytics.bartels_rank_test(_events(spark, rows)).collect()[0]
+    assert out["n_days"] == 10
+    assert out["rvn"] > 3.0
+    assert out["z"] > 1.96 and out["random_order"] is False
+
+
+def test_cusum_break_finds_level_shift(spark):
+    # counts: 5 days of 2, then 5 days of 10 -> break at day 5
+    rows = []
+    eid = 0
+    for d in range(1, 11):
+        c = 2 if d <= 5 else 10
+        for _ in range(c):
+            rows.append((eid, f"2024-01-{d:02d}T12:00:00", 1, "x", 1.0))
+            eid += 1
+    out = analytics.cusum_break(_events(spark, rows)).collect()[0]
+    assert out["break_day"].day == 5
+    assert out["cusum_stat"] > 0.5  # decisive shift
+
+
+def test_novelty_saturation_monotone_on_repeats(spark):
+    # doc 0 introduces everything; docs 1..9 repeat it verbatim ->
+    # decile 1 (containing doc 0) is the only novelty carrier
+    docs = _docs(
+        spark,
+        [(i, "alpha beta gamma delta epsilon", "en", "s")
+         for i in range(10)],
+    )
+    out = {r["decile"]: r for r in text.novelty_saturation(docs).collect()}
+    assert out[1]["novelty"] == 1.0
+    assert all(out[d]["novelty"] == 0.0 for d in range(2, 11))
+    assert out[1]["n_grams"] == 3  # 5 tokens -> 3 trigram slots
