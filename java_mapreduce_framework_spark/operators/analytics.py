@@ -5823,3 +5823,66 @@ def cusum_break(events: DataFrame) -> DataFrame:
         F.col("day").alias("break_day"),
         F.round(stat, 4).alias("cusum_stat"),
     )
+
+
+def acf_table(events: DataFrame, max_lag: int = 7) -> DataFrame:
+    """Autocorrelation table of the daily event count at lags 1..7 --
+    the raw ACF readout next to ``stats_pacf``'s partial form and
+    ``stats_ljung_box``'s portmanteau (the three are read together:
+    ACF says which lags correlate, PACF which do so directly, Ljung-
+    Box whether any of it is significant).
+
+    Each lag's numerator is the sum of (n*x_i - S)(n*x_{i+k} - S)
+    cross-products and the denominator the lag-0 sum -- both computed
+    in DOUBLE at unit scale (the int64-overflow hardening; the
+    operands are exact integers, so the doubles are identical
+    cross-engine). One day-ordered window produces all 7 lags off
+    the calendar-bounded daily table.
+
+    Emits (lag, n_pairs, acf).
+    """
+    daily = events.groupBy(
+        F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").alias("x"))
+    mom = daily.agg(
+        F.count("*").alias("n"), F.sum("x").alias("s")
+    )
+    wo = Window.orderBy("day")
+    lagged = daily.select(
+        "x",
+        *[
+            F.lag("x", k).over(wo).alias(f"x{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    ).crossJoin(F.broadcast(mom))
+    n = F.col("n").cast("double")
+    s = F.col("s").cast("double")
+    dev = n * F.col("x").cast("double") - s
+    agg = lagged.agg(
+        F.sum(dev * dev).alias("den"),
+        *[
+            F.sum(
+                F.when(
+                    F.col(f"x{k}").isNotNull(),
+                    dev * (n * F.col(f"x{k}").cast("double") - s),
+                )
+            ).alias(f"num{k}")
+            for k in range(1, max_lag + 1)
+        ],
+        *[
+            F.sum(F.col(f"x{k}").isNotNull().cast("long")).alias(f"np{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    rows = [
+        agg.select(
+            F.lit(k).cast("int").alias("lag"),
+            F.col(f"np{k}").cast("long").alias("n_pairs"),
+            F.round(F.col(f"num{k}") / F.col("den"), 4).alias("acf"),
+        )
+        for k in range(1, max_lag + 1)
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -70,6 +70,7 @@ _FRESH_ROUND11 = frozenset(
         "stats_bartels_rank",
         "stats_cusum_break",
         "text_novelty_saturation",
+        "stats_acf_table",
     }
 )
 

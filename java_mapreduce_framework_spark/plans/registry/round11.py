@@ -1407,3 +1407,48 @@ def _stats_cusum_break(spark, sf):
 )
 def _text_novelty_saturation(spark, sf):
     return text.novelty_saturation(_t(spark, sf, "documents"))
+
+
+def _acf_oracle(max_lag: int = 7) -> str:
+    lag_cols = ",\n             ".join(
+        f"lag(x, {k}) OVER (ORDER BY day) AS x{k}"
+        for k in range(1, max_lag + 1)
+    )
+    branches = "\n    UNION ALL\n".join(
+        f"""    SELECT CAST({k} AS INTEGER) AS lag,
+           CAST(sum(CASE WHEN x{k} IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pairs,
+           round(sum(CASE WHEN x{k} IS NOT NULL THEN
+                   (n * CAST(x AS DOUBLE) - s)
+                   * (n * CAST(x{k} AS DOUBLE) - s) END)
+                 / sum((n * CAST(x AS DOUBLE) - s)
+                       * (n * CAST(x AS DOUBLE) - s)), 4) AS acf
+    FROM lagged"""
+        for k in range(1, max_lag + 1)
+    )
+    return f"""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day, count(*) AS x
+      FROM {_EVTS} GROUP BY 1),
+    mom AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(x) AS DOUBLE) AS s
+      FROM daily),
+    lagged AS (
+      SELECT x,
+             {lag_cols},
+             n, s
+      FROM daily, mom)
+{branches}
+    """
+
+
+@_register(
+    "stats_acf_table",
+    _acf_oracle(),
+    note="autocorrelation table of daily counts at lags 1..7 (read "
+    "with stats_pacf and stats_ljung_box): per-lag cross-products of "
+    "n*x - S deviations in double at unit scale off exact integers, "
+    "one day-ordered window feeds all lags",
+)
+def _stats_acf_table(spark, sf):
+    return analytics.acf_table(_t(spark, sf, "events"))

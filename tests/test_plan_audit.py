@@ -130,6 +130,7 @@ ALLOWED_NESTED_LOOP = {
     "stats_quade",  # friedman's k-row grid cross + 1-row (k+1) scalar
     "events_peak_days",  # 1-row broadcast (n, S, sxx) moment scalar
     "stats_cusum_break",  # 1-row broadcast (n, S, sxx) moment scalar
+    "stats_acf_table",  # 1-row broadcast (n, S) moment scalar
 }
 
 

@@ -639,3 +639,19 @@ def test_novelty_saturation_monotone_on_repeats(spark):
     assert out[1]["novelty"] == 1.0
     assert all(out[d]["novelty"] == 0.0 for d in range(2, 11))
     assert out[1]["n_grams"] == 3  # 5 tokens -> 3 trigram slots
+
+
+def test_acf_table_alternating_series(spark):
+    # alternating 1,5 series: lag-1 acf strongly negative, lag-2
+    # strongly positive
+    rows = []
+    eid = 0
+    for d in range(1, 13):
+        c = 5 if d % 2 == 0 else 1
+        for _ in range(c):
+            rows.append((eid, f"2024-01-{d:02d}T12:00:00", 1, "x", 1.0))
+            eid += 1
+    out = {r["lag"]: r for r in analytics.acf_table(_events(spark, rows)).collect()}
+    assert len(out) == 7
+    assert out[1]["acf"] < -0.8 and out[2]["acf"] > 0.7
+    assert out[1]["n_pairs"] == 11 and out[7]["n_pairs"] == 5
