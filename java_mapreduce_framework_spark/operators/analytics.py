@@ -5886,3 +5886,52 @@ def acf_table(events: DataFrame, max_lag: int = 7) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+def weekend_lift(events: DataFrame) -> DataFrame:
+    """Weekend lift per event type: the ratio of weekend daily-rate
+    to weekday daily-rate -- the one-number per-type companion to
+    ``hellinger_weekpart``'s whole-distribution distance (Hellinger
+    says THAT the mix shifts; lift says which types drive it and in
+    which direction).
+
+    Counts and the weekend/weekday DAY counts (from the calendar the
+    corpus actually spans) are exact integers; the lift is one
+    integer cross-product ratio -- (we_n * wd_days) / (wd_n *
+    we_days) -- at integer 1e-6 scale, NULL when a type never fires
+    on weekdays.
+
+    Emits (event_type, n_weekday, n_weekend, lift).
+    """
+    is_we = F.dayofweek("ts").isin(1, 7)
+    per_type = events.groupBy("event_type").agg(
+        F.sum(F.when(~is_we, 1).otherwise(0)).alias("n_wd"),
+        F.sum(F.when(is_we, 1).otherwise(0)).alias("n_we"),
+    )
+    days = events.select(
+        F.date_trunc("day", "ts").alias("day")
+    ).distinct().agg(
+        F.sum(
+            F.when(F.dayofweek("day").isin(1, 7), 0).otherwise(1)
+        ).alias("wd_days"),
+        F.sum(
+            F.when(F.dayofweek("day").isin(1, 7), 1).otherwise(0)
+        ).alias("we_days"),
+    )
+    j = per_type.crossJoin(F.broadcast(days))
+    lift = (
+        F.round(
+            (F.col("n_we") * F.col("wd_days")).cast("double")
+            * F.lit(1e6)
+            / (F.col("n_wd") * F.col("we_days")).cast("double")
+        ).cast("long")
+        / F.lit(1e6)
+    )
+    return j.select(
+        "event_type",
+        F.col("n_wd").cast("long").alias("n_weekday"),
+        F.col("n_we").cast("long").alias("n_weekend"),
+        F.when(
+            (F.col("n_wd") > 0) & (F.col("we_days") > 0), lift
+        ).alias("lift"),
+    )

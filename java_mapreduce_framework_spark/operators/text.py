@@ -4115,3 +4115,47 @@ def novelty_saturation(documents: DataFrame, n: int = 3) -> DataFrame:
             / F.lit(1e6)
         ).alias("novelty"),
     )
+
+
+def stopword_profile(documents: DataFrame) -> DataFrame:
+    """Per-language stopword-share profile against the three
+    curated stoplists (en/es/de -- the same alphabets lang_id keys
+    on): what fraction of each declared language's tokens hit each
+    list. The diagonal should dominate; off-diagonal mass is the
+    mislabeled-or-code-mixed signal a corpus audit reads BEFORE
+    trusting the lang column (the marginal companion to
+    lang_id_confusion's per-doc verdicts).
+
+    One token explode, one (lang x 3-list) aggregation; shares are
+    integer ratios at 1e-6 scale.
+
+    Emits (lang, n_tokens, en_share, es_share, de_share).
+    """
+    en = ["the", "a", "of", "and", "to", "in", "is"]
+    es = ["el", "la", "de", "y", "es", "un", "que"]
+    de = ["der", "die", "das", "und", "ist", "ein", "zu"]
+    words = documents.select(
+        "lang", F.explode(tokens_col("text")).alias("word")
+    )
+    agg = words.groupBy("lang").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.col("word").isin(en).cast("long")).alias("en_hits"),
+        F.sum(F.col("word").isin(es).cast("long")).alias("es_hits"),
+        F.sum(F.col("word").isin(de).cast("long")).alias("de_hits"),
+    )
+
+    def share(c: str):
+        return (
+            F.round(
+                F.col(c) * F.lit(1e6) / F.col("n_tokens").cast("double")
+            ).cast("long")
+            / F.lit(1e6)
+        )
+
+    return agg.select(
+        "lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        share("en_hits").alias("en_share"),
+        share("es_hits").alias("es_share"),
+        share("de_hits").alias("de_share"),
+    )

@@ -71,6 +71,8 @@ _FRESH_ROUND11 = frozenset(
         "stats_cusum_break",
         "text_novelty_saturation",
         "stats_acf_table",
+        "text_stopword_profile",
+        "events_weekend_lift",
     }
 )
 

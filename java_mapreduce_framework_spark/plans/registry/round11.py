@@ -38,6 +38,9 @@ from ...operators import (  # noqa: F401
     text,
 )
 from .core import (  # noqa: F401
+    _DE,
+    _EN,
+    _ES,
     _EVTS,
     _TOKS,
     _register,
@@ -1452,3 +1455,70 @@ def _acf_oracle(max_lag: int = 7) -> str:
 )
 def _stats_acf_table(spark, sf):
     return analytics.acf_table(_t(spark, sf, "events"))
+
+
+# ------------------------------------------------ batch 6 (round 11)
+
+
+@_register(
+    "text_stopword_profile",
+    f"""
+    WITH words AS (
+      SELECT lang, unnest({_TOKS}) AS word FROM documents),
+    agg AS (
+      SELECT lang, count(*) AS n_tokens,
+             sum(CASE WHEN word IN {_EN} THEN 1 ELSE 0 END) AS en_hits,
+             sum(CASE WHEN word IN {_ES} THEN 1 ELSE 0 END) AS es_hits,
+             sum(CASE WHEN word IN {_DE} THEN 1 ELSE 0 END) AS de_hits
+      FROM words GROUP BY lang)
+    SELECT lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(CAST(round(en_hits * 1e6 / CAST(n_tokens AS DOUBLE))
+                     AS BIGINT) AS DOUBLE) / 1e6 AS en_share,
+           CAST(CAST(round(es_hits * 1e6 / CAST(n_tokens AS DOUBLE))
+                     AS BIGINT) AS DOUBLE) / 1e6 AS es_share,
+           CAST(CAST(round(de_hits * 1e6 / CAST(n_tokens AS DOUBLE))
+                     AS BIGINT) AS DOUBLE) / 1e6 AS de_share
+    FROM agg
+    """,
+    note="per-language stopword-share profile against the en/es/de "
+    "stoplists lang_id keys on (off-diagonal mass = mislabeled or "
+    "code-mixed corpus signal; marginal companion to "
+    "lang_id_confusion): one explode + lang x 3 aggregation, shares "
+    "at integer 1e-6 scale",
+)
+def _text_stopword_profile(spark, sf):
+    return text.stopword_profile(_t(spark, sf, "documents"))
+
+
+@_register(
+    "events_weekend_lift",
+    f"""
+    WITH per_type AS (
+      SELECT event_type,
+             sum(CASE WHEN dayofweek(ts) IN (0, 6) THEN 0 ELSE 1 END)
+               AS n_wd,
+             sum(CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END)
+               AS n_we
+      FROM {_EVTS} GROUP BY event_type),
+    days AS (
+      SELECT sum(CASE WHEN dayofweek(day) IN (0, 6) THEN 0 ELSE 1 END)
+               AS wd_days,
+             sum(CASE WHEN dayofweek(day) IN (0, 6) THEN 1 ELSE 0 END)
+               AS we_days
+      FROM (SELECT DISTINCT date_trunc('day', ts) AS day FROM {_EVTS}))
+    SELECT event_type, CAST(n_wd AS BIGINT) AS n_weekday,
+           CAST(n_we AS BIGINT) AS n_weekend,
+           CASE WHEN n_wd > 0 AND we_days > 0 THEN
+             CAST(CAST(round(CAST(n_we * wd_days AS DOUBLE) * 1e6
+                             / CAST(n_wd * we_days AS DOUBLE)) AS BIGINT)
+                  AS DOUBLE) / 1e6
+           END AS lift
+    FROM per_type, days
+    """,
+    note="weekend daily-rate lift per event type (which types drive "
+    "hellinger_weekpart's shift, and which way): exact integer "
+    "counts and calendar day counts, lift one integer cross-product "
+    "ratio at 1e-6 scale",
+)
+def _events_weekend_lift(spark, sf):
+    return analytics.weekend_lift(_t(spark, sf, "events"))

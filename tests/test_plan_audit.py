@@ -131,6 +131,7 @@ ALLOWED_NESTED_LOOP = {
     "events_peak_days",  # 1-row broadcast (n, S, sxx) moment scalar
     "stats_cusum_break",  # 1-row broadcast (n, S, sxx) moment scalar
     "stats_acf_table",  # 1-row broadcast (n, S) moment scalar
+    "events_weekend_lift",  # 1-row broadcast calendar day counts
 }
 
 

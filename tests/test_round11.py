@@ -655,3 +655,46 @@ def test_acf_table_alternating_series(spark):
     assert len(out) == 7
     assert out[1]["acf"] < -0.8 and out[2]["acf"] > 0.7
     assert out[1]["n_pairs"] == 11 and out[7]["n_pairs"] == 5
+
+
+def test_stopword_profile_shares_and_crafted_diagonal(spark):
+    # crafted corpus where the label matches the vocabulary -- the
+    # diagonal must dominate (the FIXTURE's synthetic es/de docs
+    # carry no real Spanish/German stopwords, which is exactly the
+    # mislabel signal this profile exists to expose, so the fixture
+    # is asserted only through the oracle sweep)
+    docs = _docs(
+        spark,
+        [
+            (1, "the cat of the house and a dog", "en", "s"),
+            (2, "el gato de la casa y es un", "es", "s"),
+            (3, "der hund und die katze ist ein", "de", "s"),
+        ],
+    )
+    out = {r["lang"]: r for r in text.stopword_profile(docs).collect()}
+    assert out["en"]["en_share"] > max(out["en"]["es_share"],
+                                       out["en"]["de_share"])
+    assert out["es"]["es_share"] > max(out["es"]["en_share"],
+                                       out["es"]["de_share"])
+    assert out["de"]["de_share"] > max(out["de"]["en_share"],
+                                       out["de"]["es_share"])
+    for r in out.values():
+        assert 0.0 <= r["en_share"] <= 1.0
+
+
+def test_weekend_lift_hand_computed(spark):
+    # Mon Jan 1 + Sat Jan 6 2024: type a fires 2/day weekday, 4 on
+    # the weekend day -> lift = (4 * 1) / (2 * 1) = 2
+    rows = [
+        (0, "2024-01-01T10:00:00", 1, "a", 1.0),
+        (1, "2024-01-01T11:00:00", 1, "a", 1.0),
+        (2, "2024-01-06T10:00:00", 1, "a", 1.0),
+        (3, "2024-01-06T11:00:00", 1, "a", 1.0),
+        (4, "2024-01-06T12:00:00", 1, "a", 1.0),
+        (5, "2024-01-06T13:00:00", 1, "a", 1.0),
+        (6, "2024-01-01T10:00:00", 1, "b", 1.0),
+    ]
+    out = {r["event_type"]: r
+           for r in analytics.weekend_lift(_events(spark, rows)).collect()}
+    assert out["a"]["lift"] == 2.0
+    assert out["b"]["n_weekend"] == 0 and out["b"]["lift"] == 0.0
