@@ -158,9 +158,13 @@ def main() -> None:
     # order). Decode:
     #   names = sorted(json.load(open('BENCH_FULL.json'))['queries'])
     #   vals = zlib.decompress(base64.b64decode(rec['queries_all_b64']))
-    #   full = {n: v / 100 for n, v in zip(names, struct.iter_unpack('>H', vals))}
-    # (names also live in the matching BENCH_HISTORY.jsonl line;
-    # names_sha1_8 pins which name list the packing used.)
+    #   full = {n: v / 100 for n, (v,) in
+    #           zip(names, struct.iter_unpack('>H', vals))}
+    # (iter_unpack yields 1-tuples -- unpack them. Names also live in
+    # the matching BENCH_HISTORY.jsonl line; names_sha1_8 pins which
+    # name list the packing used. >H saturates at 655.35 s per query;
+    # any clamped entry is flagged in queries_clamped below, so a
+    # missing flag certifies the packed values are exact.)
     import base64
     import hashlib
     import struct
@@ -171,29 +175,31 @@ def main() -> None:
         struct.pack(">H", min(65535, round(timings[n] * 100)))
         for n in names_sorted
     )
+    clamped = [n for n in names_sorted if round(timings[n] * 100) > 65535]
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
-    print(
-        json.dumps(
-            {
-                "metric": "total_wall_sec_all_declared_queries",
-                "value": total,
-                "unit": "sec",
-                "queries": slowest,
-                "sf": sf,
-                "n_queries": len(timings),
-                "full": "BENCH_FULL.json",
-                "queries_all_b64": base64.b64encode(
-                    zlib.compress(packed, 9)
-                ).decode(),
-                "queries_all_codec": "zlib+b64 of >H centiseconds per "
-                "query, ascending name order (decode recipe in bench.py)",
-                "names_sha1_8": hashlib.sha1(
-                    ",".join(names_sorted).encode()
-                ).hexdigest()[:8],
-            }
-        ),
-        flush=True,
-    )
+    record = {
+        "metric": "total_wall_sec_all_declared_queries",
+        "value": total,
+        "unit": "sec",
+        "queries": slowest,
+        "sf": sf,
+        "n_queries": len(timings),
+        "full": "BENCH_FULL.json",
+        "queries_all_b64": base64.b64encode(
+            zlib.compress(packed, 9)
+        ).decode(),
+        "queries_all_codec": "zlib+b64 of >H centiseconds per "
+        "query, ascending name order, saturating at 65535 "
+        "(decode recipe in bench.py)",
+        "names_sha1_8": hashlib.sha1(
+            ",".join(names_sorted).encode()
+        ).hexdigest()[:8],
+    }
+    if clamped:
+        # >H saturates at 655.35 s; exact values stay in the
+        # queries/slowest map and BENCH_FULL.json.
+        record["queries_clamped"] = clamped
+    print(json.dumps(record), flush=True)
 
 
 if __name__ == "__main__":

@@ -5669,7 +5669,7 @@ def peak_days(events: DataFrame) -> DataFrame:
     Daily counts and the (n, S) sufficient statistics are exact
     integers; sum x^2 and the z chain compute in DOUBLE at unit scale
     (the int64-overflow hardening), written in the same operation
-    order on both engines, so the z > 2 flag decides identically --
+    order on both engines, so the z > 1 flag decides identically --
     the neighbor comparisons are pure integer.
 
     Emits (day, n_events, prev_n, next_n, z).

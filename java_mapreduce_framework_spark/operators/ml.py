@@ -929,23 +929,33 @@ def pr_curve_lang_length(documents: DataFrame, cuts: int = 10) -> DataFrame:
     positives are an exact integer running sum; precision and recall
     are one integer ratio each at integer 1e-6 scale.
 
+    Scale: no document-cardinality global window. The rank space is
+    compressed to distinct (score, t, pos) rows first (exactly
+    ``roc_auc_lang_length``'s discipline), the one-partition running
+    sum runs over that score-bounded stream, and each rank_cut is
+    located inside its score bucket by a 10-row broadcast inequality
+    join; only then does the operator touch documents again --
+    restricted to the <= 10 hit buckets, windowed per cut (partition
+    size bounded by the largest tie group, never the corpus).
+
     Emits (cut_pct, rank_cut, score_cut, n_pos_at_cut, precision,
     recall).
     """
     spark = documents.sparkSession
-    w = Window.orderBy(F.col("n_chars").desc(), F.col("doc_id"))
-    ranked = documents.select(
-        F.col("n_chars").alias("score"),
-        (F.col("lang") == "en").cast("long").alias("pos"),
-        F.row_number().over(w).alias("rn"),
-    ).select(
+    per_score = documents.groupBy(F.col("n_chars").alias("score")).agg(
+        F.count("*").alias("t"),
+        F.sum((F.col("lang") == "en").cast("long")).alias("pos"),
+    )
+    # Exclusive prefix sums over DISTINCT scores (descending): the
+    # only one-partition window, score-cardinality by construction.
+    w = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = per_score.select(
         "score",
-        "rn",
-        F.sum("pos").over(
-            Window.orderBy("rn").rowsBetween(
-                Window.unboundedPreceding, 0
-            )
-        ).alias("cum_pos"),
+        "t",
+        F.coalesce(F.sum("t").over(w), F.lit(0)).alias("below_t"),
+        F.coalesce(F.sum("pos").over(w), F.lit(0)).alias("below_pos"),
     )
     tot = documents.agg(
         F.count("*").alias("n"),
@@ -958,12 +968,51 @@ def pr_curve_lang_length(documents: DataFrame, cuts: int = 10) -> DataFrame:
         "k",
         "n_pos",
         F.floor(F.col("n") * F.col("k") / F.lit(cuts))
-        .cast("int")
+        .cast("long")
         .alias("rank_cut"),
+    ).filter(F.col("rank_cut") >= 1)
+    # Locate each cut's score bucket: below_t < rank_cut <= below_t+t.
+    # 10-row broadcast inequality join against the compressed stream.
+    located = cum.join(
+        F.broadcast(cuts_df),
+        (F.col("rank_cut") > F.col("below_t"))
+        & (F.col("rank_cut") <= F.col("below_t") + F.col("t")),
+    ).select(
+        "k",
+        "n_pos",
+        "rank_cut",
+        "score",
+        "below_pos",
+        (F.col("rank_cut") - F.col("below_t")).alias("offset"),
     )
+    # Resolve the in-bucket rank: only docs in the <= cuts hit
+    # buckets survive the broadcast semi-restriction; the window is
+    # partitioned per cut (bounded by the largest tie group).
+    in_bucket = documents.select(
+        F.col("n_chars").alias("score"),
+        "doc_id",
+        (F.col("lang") == "en").cast("long").alias("p"),
+    ).join(F.broadcast(located), "score")
+    wg = Window.partitionBy("k").orderBy("doc_id")
+    at_cut = in_bucket.select(
+        "k",
+        "n_pos",
+        "rank_cut",
+        "score",
+        "below_pos",
+        "offset",
+        F.row_number().over(wg).alias("rg"),
+        F.sum("p")
+        .over(wg.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cumg"),
+    ).filter(F.col("rg") == F.col("offset"))
     return (
-        ranked.join(
-            F.broadcast(cuts_df), F.col("rn") == F.col("rank_cut")
+        at_cut.select(
+            "k",
+            "n_pos",
+            "rank_cut",
+            "score",
+            (F.col("below_pos") + F.col("cumg")).alias("cum_pos"),
         )
         .select(
             (F.col("k") * F.lit(100 // cuts)).alias("cut_pct"),

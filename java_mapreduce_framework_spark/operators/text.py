@@ -4064,7 +4064,9 @@ def text_self_repetition(documents: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
-def novelty_saturation(documents: DataFrame, n: int = 3) -> DataFrame:
+def novelty_saturation(
+    documents: DataFrame, n: int = 3, shards: int = 32
+) -> DataFrame:
     """Corpus novelty-saturation curve: the share of each doc-id
     decile's word 3-grams that are FIRST OCCURRENCES in doc_id order
     -- the diminishing-returns readout of corpus growth (a flattening
@@ -4074,8 +4076,17 @@ def novelty_saturation(documents: DataFrame, n: int = 3) -> DataFrame:
     grain dedup actually operates on).
 
     One gram explode; each gram's first-carrier is an exact min over
-    doc_id; deciles cut by ntile over the unique doc_id order;
-    novelty shares are integer ratios at 1e-6 scale.
+    doc_id; deciles cut by ntile semantics over the unique doc_id
+    order; novelty shares are integer ratios at 1e-6 scale.
+
+    Scale: no corpus-cardinality global window. The per-doc table is
+    range-sharded on doc_id; per-shard row counts roll up to a
+    <=``shards``-row offsets table (the only one-partition window),
+    broadcast back so each row's GLOBAL rank is shard offset +
+    in-shard row_number -- the exact-quantile kernel's prefix-sum
+    pattern. The decile is then ntile's closed form over (rank, N):
+    the first N mod 10 tiles get floor(N/10)+1 rows, the rest
+    floor(N/10), identical to the ntile(10) the oracle runs.
 
     Emits (decile, n_docs, n_grams, n_first, novelty).
     """
@@ -4098,10 +4109,52 @@ def novelty_saturation(documents: DataFrame, n: int = 3) -> DataFrame:
             ).alias("n_first"),
         )
     )
-    deciled = per_doc.select(
+    # Pin the narrow per-doc stream: repartitionByRange's boundary-
+    # sampling job would otherwise re-run the gram explode + join,
+    # and the pinned input keeps the (deterministic, seeded) range
+    # sampling identical for the two consumers below.
+    base = per_doc.localCheckpoint(eager=False)
+    sharded = base.repartitionByRange(shards, "doc_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w_off = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = (
+        sharded.groupBy("pid")
+        .agg(F.count("*").alias("ptot"))
+        .select(
+            "pid",
+            F.coalesce(F.sum("ptot").over(w_off), F.lit(0)).alias(
+                "offset"
+            ),
+            F.sum("ptot").over(w_all).alias("n_total"),
+        )
+    )
+    w_in = Window.partitionBy("pid").orderBy("doc_id")
+    ranked = sharded.join(F.broadcast(offsets), "pid").select(
         "n_grams",
         "n_first",
-        F.ntile(10).over(Window.orderBy("doc_id")).alias("decile"),
+        (F.col("offset") + F.row_number().over(w_in)).alias("r"),
+        F.col("n_total").alias("nn"),
+    )
+    # ntile(10) closed form on the exact global rank: q = N div 10,
+    # rem = N mod 10; first rem tiles hold q+1 rows, the rest q.
+    q = F.floor(F.col("nn") / 10)
+    rem = F.col("nn") % 10
+    deciled = ranked.select(
+        "n_grams",
+        "n_first",
+        F.when(
+            F.col("r") <= rem * (q + 1),
+            F.ceil(F.col("r") / (q + 1)),
+        )
+        .otherwise(rem + F.ceil((F.col("r") - rem * (q + 1)) / q))
+        .cast("int")
+        .alias("decile"),
     )
     return deciled.groupBy("decile").agg(
         F.count("*").cast("long").alias("n_docs"),

@@ -538,9 +538,11 @@ def _ml_roc_auc(spark, sf):
     """,
     note="precision/recall of the length-as-English detector at 10 "
     "coverage cuts (roc_auc's operating-points companion): ranks "
-    "deterministic via the (score DESC, doc_id) unique-key order, "
-    "cut rows selected by a 10-row constant grid vs the 1-row corpus "
-    "total (both broadcast), ratios at integer 1e-6 scale",
+    "deterministic via the (score DESC, doc_id) unique-key order; "
+    "the rank space is compressed to distinct scores (roc_auc's "
+    "discipline), each floor(N*k/10) cut located in its score "
+    "bucket by a 10-row broadcast inequality join, in-bucket rank "
+    "windowed per cut; ratios at integer 1e-6 scale",
 )
 def _ml_pr_curve(spark, sf):
     return ml.pr_curve_lang_length(_t(spark, sf, "documents"))
@@ -1405,8 +1407,9 @@ def _stats_cusum_break(spark, sf):
     note="corpus novelty-saturation curve (share of each doc-decile's "
     "3-grams that are corpus-first occurrences in doc_id order -- the "
     "acquisition diminishing-returns readout at the grain dedup "
-    "operates on): first-carrier one exact min per gram, deciles by "
-    "ntile over the unique doc order, shares at 1e-6",
+    "operates on): first-carrier one exact min per gram, deciles = "
+    "ntile(10) in closed form over the range-shard prefix-sum global "
+    "rank (no corpus-cardinality window), shares at 1e-6",
 )
 def _text_novelty_saturation(spark, sf):
     return text.novelty_saturation(_t(spark, sf, "documents"))
