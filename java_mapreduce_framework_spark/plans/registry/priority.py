@@ -28,10 +28,16 @@ from __future__ import annotations
 from ._verdict_record import LATEST_VERDICT, STALE_ROTATION
 from .core import _REGISTRY
 
-#: New in round 11 -- no driver verdict yet, but deliberately tiered
-#: BEHIND this round's stale rotation (VERDICT r10 #2/#3 budgeted the
-#: 50 sample slots as 29 never-sampled + 21 stalest verdicts; these
-#: drain in round 12, covered by the judge's full sweep meanwhile).
+#: New THIS round -- no driver verdict yet, deliberately tiered
+#: BEHIND the stale rotation so they don't crowd out queries whose
+#: first-or-stalest official verdict this round's 50 slots should
+#: buy. Retired into the never-sampled tier at next round's start
+#: (the round-11 set below drained exactly this way in round 12).
+_FRESH_THIS_ROUND: frozenset[str] = frozenset()
+
+#: Round-11 additions, retired in round 12: CORRECTNESS_r11 sampled
+#: none of them, so they now lead the sweep through the ordinary
+#: never-sampled tier (VERDICT r11 #1 -- 39 names + 11 spare slots).
 _FRESH_ROUND11 = frozenset(
     {
         "window_williams_r",
@@ -80,9 +86,9 @@ _FRESH_ROUND11 = frozenset(
 def _record_staleness(name: str) -> int:
     """0 = never officially driver-sampled (front of the sweep),
     1 = this round's explicit stale rotation, 2 = new this round
-    (behind the rotation -- see _FRESH_ROUND11), else 2 + the round
-    whose sweep last recorded the name (lower = staler verdict)."""
-    if name in _FRESH_ROUND11:
+    (behind the rotation -- see _FRESH_THIS_ROUND), else 2 + the
+    round whose sweep last recorded the name (lower = staler)."""
+    if name in _FRESH_THIS_ROUND:
         return 2
     if name not in LATEST_VERDICT:
         return 0
