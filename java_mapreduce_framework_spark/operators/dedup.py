@@ -373,32 +373,65 @@ def dedup_minhash(
     )
 
 
-def simhash_signatures(documents: DataFrame) -> DataFrame:
-    """64-bit SimHash per doc: for each bit position, sum +cnt/-cnt of
-    token-hash bits weighted by term frequency; bit = (sum > 0).
-    Expressed as 64 SUM aggregates over (doc, token, cnt) -- partial
-    aggregation applies, one shuffle row per doc."""
+def simhash_signatures(
+    documents: DataFrame, bands: int = 4
+) -> DataFrame:
+    """64-bit SimHash per doc as ``bands`` x 16-bit CHUNKS: for each
+    bit position, sum +cnt/-cnt of token-hash bits weighted by term
+    frequency; bit = (sum > 0). Expressed as 64 SUM aggregates over
+    (doc, token, cnt) -- partial aggregation applies, one shuffle row
+    per doc.
+
+    The hash family is md5-derived (band j's 16 token-hash bits =
+    hex chars 4j+1..4j+4 of md5(word)) -- the repo's cross-engine
+    hash discipline, so a DuckDB oracle reproduces every fingerprint
+    bit exactly (xxhash64, the previous family, has no DuckDB
+    mirror). Emitting the chunks as an ``array<int>`` instead of one
+    packed 64-bit long keeps every value a nonnegative 16-bit int:
+    no sign-extension trap on either engine's right-shift, and
+    Hamming distance folds per chunk.
+    """
+    width = 64 // bands
+    assert width == 16 and bands * 4 <= 32, "md5 supplies 32 hex chars"
     toks = tokens_col("text")
-    tf = (
-        documents.select("doc_id", F.explode(toks).alias("word"))
-        .groupBy("doc_id", "word")
-        .agg(F.count("*").alias("cnt"))
-        .withColumn("h", F.xxhash64("word"))
+    tf = documents.select(
+        "doc_id", F.explode(toks).alias("word")
+    ).groupBy("doc_id", "word").agg(F.count("*").alias("cnt"))
+    hs = tf.select(
+        "doc_id",
+        "cnt",
+        *[
+            F.conv(F.substring(F.md5("word"), j * 4 + 1, 4), 16, 10)
+            .cast("int")
+            .alias(f"h{j}")
+            for j in range(bands)
+        ],
     )
     bit_sums = [
         F.sum(
-            F.when(F.shiftrightunsigned("h", i).bitwiseAND(F.lit(1)) == 1, F.col("cnt")).otherwise(
-                -F.col("cnt")
-            )
-        ).alias(f"b{i}")
-        for i in range(64)
+            F.when(
+                F.shiftrightunsigned(f"h{j}", k).bitwiseAND(F.lit(1))
+                == 1,
+                F.col("cnt"),
+            ).otherwise(-F.col("cnt"))
+        ).alias(f"b{j}_{k}")
+        for j in range(bands)
+        for k in range(width)
     ]
-    per_doc = tf.groupBy("doc_id").agg(*bit_sums)
-    bits = [
-        F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
-        for i in range(64)
+    per_doc = hs.groupBy("doc_id").agg(*bit_sums)
+    chunks = [
+        _reduce(
+            _add,
+            [
+                F.when(
+                    F.col(f"b{j}_{k}") > 0, F.lit(1 << k).cast("int")
+                ).otherwise(F.lit(0).cast("int"))
+                for k in range(width)
+            ],
+        )
+        for j in range(bands)
     ]
-    return per_doc.select("doc_id", _reduce(_add, bits).alias("simhash"))
+    return per_doc.select("doc_id", F.array(*chunks).alias("cs"))
 
 
 def dedup_simhash(
@@ -438,25 +471,22 @@ def dedup_simhash(
     from pyspark.sql import Window
 
     width = 64 // bands
-    sig = simhash_signatures(documents)
+    sig = simhash_signatures(documents, bands=bands)
     sub_mask = F.lit((1 << min(sub_bits, width)) - 1)
     chunk = F.array(
         *[
             F.struct(
                 F.lit(j).alias("band_id"),
-                F.shiftrightunsigned("simhash", j * width)
-                .bitwiseAND(F.lit((1 << width) - 1))
-                .alias("chunk"),
-                F.shiftrightunsigned("simhash", ((j + 1) % bands) * width)
+                F.element_at("cs", j + 1).alias("chunk"),
+                F.element_at("cs", ((j + 1) % bands) + 1)
                 .bitwiseAND(sub_mask)
-                .cast("int")
                 .alias("sub"),
             )
             for j in range(bands)
         ]
     )
-    banded = sig.select("doc_id", "simhash", F.explode(chunk).alias("c")).select(
-        "doc_id", "simhash", "c.band_id", "c.chunk", "c.sub"
+    banded = sig.select("doc_id", "cs", F.explode(chunk).alias("c")).select(
+        "doc_id", "cs", "c.band_id", "c.chunk", "c.sub"
     )
     w = Window.partitionBy("band_id", "chunk")
     buckets = (
@@ -466,7 +496,7 @@ def dedup_simhash(
             F.when(F.col("bsz") > bucket_cap, F.col("sub")).otherwise(F.lit(0)),
         )
         .groupBy("band_id", "chunk", "subb")
-        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("ds"))
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "cs"))).alias("ds"))
         .filter(F.size("ds") > 1)
     )
     pairs = F.explode(
@@ -474,13 +504,21 @@ def dedup_simhash(
             "flatten(transform(ds, (x, i) -> "
             "transform(slice(ds, i + 2, size(ds)), y -> "
             "struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
-            "x.simhash AS sim_a, y.simhash AS sim_b))))"
+            "x.cs AS cs_a, y.cs AS cs_b))))"
         )
     ).alias("p")
-    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    # Per-chunk XOR popcounts fold to the 64-bit Hamming distance --
+    # every operand is a nonnegative 16-bit int on both engines.
+    ham = F.aggregate(
+        F.zip_with(
+            "cs_a", "cs_b", lambda a, b: F.bit_count(a.bitwiseXOR(b))
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
     return (
         buckets.select(pairs)
-        .select("p.doc_a", "p.doc_b", "p.sim_a", "p.sim_b")
+        .select("p.doc_a", "p.doc_b", "p.cs_a", "p.cs_b")
         .select("doc_a", "doc_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
@@ -833,12 +871,14 @@ def build_minhash_index(
       joins on candidate corpus ids, again shuffle-free on the index.
 
     Pay the sketch + bucketed write once per corpus generation; every
-    subsequent batch shuffles only itself. ``source_fp`` invalidates a
-    stale index when the underlying fixture regenerates (same marker
-    contract as ``relational.join_bucketed_colocated``)."""
-    import pathlib
-    import shutil
-    from urllib.parse import urlparse
+    subsequent batch shuffles only itself -- and, since round 12,
+    once per generation means across SESSIONS too: a fresh session
+    adopts the on-disk staging by external registration instead of
+    rebuilding (``sources.staging.ensure_staged_table``, VERDICT r11
+    #4). ``source_fp`` invalidates a stale index when the underlying
+    fixture regenerates (same marker contract as
+    ``relational.join_bucketed_colocated``)."""
+    from ..sources.staging import ensure_staged_table
 
     sig = minhash_signatures(documents, num_perm, n, seed)
     banded = sig.select(
@@ -849,27 +889,19 @@ def build_minhash_index(
         F.array(*[f"s{i}" for i in range(num_perm)]).alias("sig"),
         "n_shingles",
     )
-    warehouse = pathlib.Path(
-        urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")).path
-        or "spark-warehouse"
-    )
     specs = (
         (f"{index_name}_bands", banded, "band_hash"),
         (f"{index_name}_sigs", sigs, "doc_id"),
     )
     for name, df, key in specs:
-        marker = warehouse / name / "_SOURCE_FP"
-        if (
-            source_fp is not None
-            and spark.catalog.tableExists(name)
-            and (not marker.exists() or marker.read_text() != source_fp)
-        ):
-            spark.sql(f"DROP TABLE {name}")
-        if not spark.catalog.tableExists(name):
-            shutil.rmtree(warehouse / name, ignore_errors=True)
-            df.write.mode("overwrite").bucketBy(buckets, key).sortBy(key).saveAsTable(name)
-            if source_fp is not None:
-                marker.write_text(source_fp)
+        ensure_staged_table(
+            spark,
+            name,
+            (lambda df=df: df),
+            source_fp,
+            bucket_cols=[key],
+            buckets=buckets,
+        )
 
 
 def dedup_incremental_minhash(
@@ -2816,27 +2848,12 @@ def staged_table(spark, name: str, source_fp: str, build):
     (the ``_SOURCE_FP`` marker contract of ``build_minhash_index``) --
     the general form of the lifecycle-state staging the index tables
     already use, for DERIVED state like batch signatures or ingest
-    survivors whose recompute is deterministic given the fixture."""
-    import pathlib
-    import shutil
-    from urllib.parse import urlparse
+    survivors whose recompute is deterministic given the fixture.
+    Fresh sessions adopt intact on-disk staging instead of rebuilding
+    (``sources.staging.ensure_staged_table``)."""
+    from ..sources.staging import ensure_staged_table
 
-    warehouse = pathlib.Path(
-        urlparse(
-            spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-        ).path
-        or "spark-warehouse"
-    )
-    marker = warehouse / name / "_SOURCE_FP"
-    if spark.catalog.tableExists(name) and (
-        not marker.exists() or marker.read_text() != source_fp
-    ):
-        spark.sql(f"DROP TABLE {name}")
-    if not spark.catalog.tableExists(name):
-        shutil.rmtree(warehouse / name, ignore_errors=True)
-        build().write.mode("overwrite").saveAsTable(name)
-        marker.write_text(source_fp)
-    return spark.table(name)
+    return ensure_staged_table(spark, name, build, source_fp)
 
 
 def eigenvector_centrality(

@@ -456,32 +456,17 @@ def build_ann_index(
     re-hashing or shuffling the corpus. ``source_fp`` invalidates a
     stale index after a fixture regeneration (same marker contract as
     the minhash index)."""
-    import pathlib
-    import shutil
-    from urllib.parse import urlparse
+    from ..sources.staging import ensure_staged_table
 
     banded = _banded_pandas(embeddings, n_planes, bands, dim, seed)
-    warehouse = pathlib.Path(
-        urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")).path
-        or "spark-warehouse"
+    ensure_staged_table(
+        spark,
+        index_name,
+        lambda: banded,
+        source_fp,
+        bucket_cols=["band_id", "bucket"],
+        buckets=buckets,
     )
-    marker = warehouse / index_name / "_SOURCE_FP"
-    if (
-        source_fp is not None
-        and spark.catalog.tableExists(index_name)
-        and (not marker.exists() or marker.read_text() != source_fp)
-    ):
-        spark.sql(f"DROP TABLE {index_name}")
-    if not spark.catalog.tableExists(index_name):
-        shutil.rmtree(warehouse / index_name, ignore_errors=True)
-        (
-            banded.write.mode("overwrite")
-            .bucketBy(buckets, "band_id", "bucket")
-            .sortBy("band_id", "bucket")
-            .saveAsTable(index_name)
-        )
-        if source_fp is not None:
-            marker.write_text(source_fp)
 
 
 def similarity_incremental_lsh(
@@ -852,17 +837,23 @@ def embedding_standardize(embeddings: DataFrame) -> DataFrame:
 
 def _pq_train(x, m: int, ksub: int, iters: int, seed: int):
     """Per-subspace Lloyd k-means on a bounded driver-side sample --
-    numpy only, seeded, fixed iteration count (deterministic for a
-    fixed (data, seed)). Returns (m, ksub, dsub) codebooks."""
+    numpy only, fixed iteration count. Deterministic for a fixed
+    sample with ZERO RNG: each subspace seeds from the sample's
+    first ksub rows (``_pq_sample`` already delivers rows in
+    md5(vec_id) hash order, i.e. content-shuffled), argmin ties go
+    to the lowest code, empty codes keep their centroid -- the
+    ``kmeans_lloyd`` discipline, which is what lets a DuckDB oracle
+    unroll the identical iteration (round-12 promotion). ``seed`` is
+    kept for signature stability; the hash order replaces it.
+    Returns (m, ksub, dsub) codebooks."""
     import numpy as np
 
     n, dim = x.shape
     dsub = dim // m
-    rng = np.random.RandomState(seed)
     books = np.zeros((m, ksub, dsub))
     for s in range(m):
         xs = x[:, s * dsub : (s + 1) * dsub]
-        cent = xs[rng.choice(n, size=min(ksub, n), replace=False)].copy()
+        cent = xs[: min(ksub, n)].copy()
         for _ in range(iters):
             d = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
             assign = d.argmin(axis=1)
@@ -875,13 +866,19 @@ def _pq_train(x, m: int, ksub: int, iters: int, seed: int):
 
 
 def _pq_sample(embeddings: DataFrame, sample_cap: int, seed: int):
-    """Deterministic hash-picked training sample, L2-normalized --
-    the one sanctioned bounded collect (same contract as ann_ivf)."""
+    """Deterministic hash-picked training sample, L2-normalized, in
+    md5(vec_id) hash order -- the one sanctioned bounded collect
+    (same contract as ann_ivf). The md5-string order (vs the prior
+    xxhash64 pick) is the repo's cross-engine hash discipline: a SQL
+    oracle reproduces both WHICH rows train the codebook and their
+    seeding order."""
     import numpy as np
 
-    r = F.pmod(F.xxhash64("vec_id", F.lit(seed)), F.lit(1_000_000))
     rows = (
-        embeddings.select("embedding", r.alias("r"))
+        embeddings.select(
+            "embedding",
+            F.md5(F.col("vec_id").cast("string")).alias("r"),
+        )
         .orderBy("r")
         .limit(sample_cap)
         .select("embedding")

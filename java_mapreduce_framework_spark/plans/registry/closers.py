@@ -180,8 +180,10 @@ def _bpe_train(spark, sf):
     "lifecycle with no re-index, its equivalence invariant emitted AS "
     "DATA (one probe_match row per batch2 doc, TRUE iff the two "
     "probes' pair sets and estimates agree exactly), so the oracle "
-    "pins it; both index builds staged once per fixture generation "
-    "(_SOURCE_FP/_APPEND_FP markers)",
+    "pins it; index builds AND the referee probe stage once per "
+    "fixture generation (_SOURCE_FP/_APPEND_FP markers; fresh "
+    "sessions adopt on-disk staging) -- the appended-side probe "
+    "computes live every run",
 )
 def _dedup_index_append(spark, sf):
     import pathlib
@@ -223,10 +225,22 @@ def _dedup_index_append(spark, sf):
         ),
     )
     probe_app = dedup.probe_minhash_index(spark, sig2, name)
-    dedup.build_minhash_index(
-        spark, corpus.unionByName(survivors), scratch, source_fp=fp
-    )
-    probe_ref = dedup.probe_minhash_index(spark, sig2, scratch)
+
+    # The REFEREE side -- a from-scratch index over corpus union
+    # survivors and batch2's probe against it -- is pure
+    # fixture-deterministic expectation (no appended state flows into
+    # it), so it stages like survivors/sig2 (VERDICT r11 #4: the
+    # referee rebuild + live re-probe was ~2s of fixed cost per run).
+    # The APPENDED side's probe stays live: the verdict still
+    # compares freshly computed append-lifecycle state against the
+    # staged ground truth every run.
+    def _ref():
+        dedup.build_minhash_index(
+            spark, corpus.unionByName(survivors), scratch, source_fp=fp
+        )
+        return dedup.probe_minhash_index(spark, sig2, scratch)
+
+    probe_ref = dedup.staged_table(spark, f"{scratch}_probe", fp, _ref)
     return dedup.index_append_verdict(batch2, probe_app, probe_ref)
 
 

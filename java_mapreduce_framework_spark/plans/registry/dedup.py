@@ -222,10 +222,66 @@ def _dedup_minhash(spark, sf):
     return dedup.dedup_minhash(_t(spark, sf, "documents"))
 
 
+def _simhash_oracle() -> str:
+    """Brute-force SimHash oracle: reproduce every fingerprint chunk
+    (md5-derived token hashes, 64 bit-majority sums), then emit ALL
+    pairs at Hamming <= 3 via an N^2 self-join -- exact at gate scale
+    because the engine's 4-band pigeonhole GUARANTEES a colliding
+    band for every Hamming<=3 pair, and no fixture bucket exceeds
+    bucket_cap (so the sub-split never drops a candidate). The
+    banded engine plan is the 100 TB path; the quadratic oracle is
+    DuckDB-side only."""
+    hsums = ",\n             ".join(
+        f"sum(CASE WHEN (h{j} >> {k}) & 1 = 1 THEN cnt ELSE -cnt END)"
+        f" AS b{j}_{k}"
+        for j in range(4)
+        for k in range(16)
+    )
+    chunks = ",\n             ".join(
+        " + ".join(
+            f"(CASE WHEN b{j}_{k} > 0 THEN {1 << k} ELSE 0 END)"
+            for k in range(16)
+        )
+        + f" AS c{j}"
+        for j in range(4)
+    )
+    ham = " + ".join(f"bit_count(xor(a.c{j}, b.c{j}))" for j in range(4))
+    return f"""
+    WITH tf AS (
+      SELECT doc_id, word, count(*) AS cnt
+      FROM (SELECT doc_id, unnest({_TOKS}) AS word FROM documents)
+      GROUP BY 1, 2),
+    h AS (
+      SELECT doc_id, cnt,
+             ('0x' || substr(md5(word), 1, 4))::INT AS h0,
+             ('0x' || substr(md5(word), 5, 4))::INT AS h1,
+             ('0x' || substr(md5(word), 9, 4))::INT AS h2,
+             ('0x' || substr(md5(word), 13, 4))::INT AS h3
+      FROM tf),
+    sig AS (
+      SELECT doc_id,
+             {hsums}
+      FROM h GROUP BY doc_id),
+    chunks AS (
+      SELECT doc_id,
+             {chunks}
+      FROM sig)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           {ham} AS hamming
+    FROM chunks a JOIN chunks b ON a.doc_id < b.doc_id
+    WHERE {ham} <= 3
+    """
+
+
 @_register(
     "dedup_simhash",
-    None,
-    note="SimHash banding; Hamming-verified -> rows-only",
+    _simhash_oracle(),
+    note="SimHash banding, Hamming-verified; md5-derived hash family "
+    "so the fingerprints replicate bit-exactly in SQL (round-12 "
+    "promotion from rows-only, VERDICT r11 #3). Oracle is the "
+    "quadratic brute-force mirror -- exact-equal at gate scale by "
+    "the 4-band pigeonhole (no fixture bucket exceeds bucket_cap); "
+    "the banded grouping stays the declared 100 TB plan",
 )
 def _dedup_simhash(spark, sf):
     return dedup.dedup_simhash(_t(spark, sf, "documents"))

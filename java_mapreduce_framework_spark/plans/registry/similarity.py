@@ -194,13 +194,100 @@ def _similarity_ann_ivf(spark, sf):
     return similarity.ann_ivf(_t(spark, sf, "embeddings"))
 
 
+def _pq_quantize_oracle(
+    m: int = 16, ksub: int = 16, iters: int = 8, dim: int = 64
+) -> str:
+    """Unrolled PQ-codebook oracle: the ``ml_kmeans_lloyd``
+    unrolled-Lloyd discipline, with ALL m subspaces trained in
+    parallel through one long-form table keyed by subspace id
+    (s = dim div dsub) -- so 8 rounds of 3 CTEs cover all 16
+    per-subspace k-means fits. Valid at gate scale because the
+    training sample (first 2048 rows in md5(vec_id) order) is the
+    WHOLE corpus there (N=500 at sf0.01), so sample == corpus and
+    seeds == first ksub rows in hash order. CTEs MATERIALIZED per
+    the kcore/kmeans precedent."""
+    dsub = dim // m
+    rounds = []
+    for r in range(1, iters + 1):
+        rounds.append(f"""
+    dist{r} AS MATERIALIZED (
+      SELECT u.vec_id, u.s, c.c, sum((u.x - c.cx) * (u.x - c.cx)) AS d2
+      FROM u JOIN cent{r - 1} c ON u.s = c.s AND u.dim = c.dim
+      GROUP BY 1, 2, 3),
+    asg{r} AS MATERIALIZED (
+      SELECT vec_id, s, c FROM (
+        SELECT vec_id, s, c,
+               row_number() OVER (PARTITION BY vec_id, s
+                                  ORDER BY d2, c) AS rn
+        FROM dist{r}) WHERE rn = 1),
+    newc{r} AS (
+      SELECT a.s, a.c, u.dim, avg(u.x) AS cx
+      FROM asg{r} a JOIN u ON a.vec_id = u.vec_id AND a.s = u.s
+      GROUP BY 1, 2, 3),
+    cent{r} AS MATERIALIZED (
+      SELECT p.s, p.c, p.dim, coalesce(n.cx, p.cx) AS cx
+      FROM cent{r - 1} p
+      LEFT JOIN newc{r} n
+        ON p.s = n.s AND p.c = n.c AND p.dim = n.dim)""")
+    chain = ",".join(rounds)
+    return f"""
+    WITH u AS MATERIALIZED (
+      SELECT vec_id, CAST(t.i - 1 AS INT) AS dim,
+             CAST((t.i - 1) // {dsub} AS INT) AS s,
+             t.v / nrm AS x
+      FROM (SELECT vec_id,
+                   unnest(list_transform(CAST(embedding AS DOUBLE[]),
+                          (v, i) -> struct_pack(v := v, i := i))) AS t,
+                   sqrt(list_sum(list_transform(
+                        CAST(embedding AS DOUBLE[]),
+                        v -> v * v))) AS nrm
+            FROM embeddings)),
+    seedrk AS (
+      SELECT vec_id,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)))
+               - 1 AS c
+      FROM embeddings),
+    cent0 AS MATERIALIZED (
+      SELECT u.s, k.c, u.dim, u.x AS cx
+      FROM seedrk k JOIN u USING (vec_id) WHERE k.c < {ksub}),{chain},
+    distf AS MATERIALIZED (
+      SELECT u.vec_id, u.s, c.c, sum((u.x - c.cx) * (u.x - c.cx)) AS d2
+      FROM u JOIN cent{iters} c ON u.s = c.s AND u.dim = c.dim
+      GROUP BY 1, 2, 3),
+    asgf AS MATERIALIZED (
+      SELECT vec_id, s, c FROM (
+        SELECT vec_id, s, c,
+               row_number() OVER (PARTITION BY vec_id, s
+                                  ORDER BY d2, c) AS rn
+        FROM distf) WHERE rn = 1),
+    recon AS (
+      SELECT a.vec_id,
+             sum(u.x * c.cx) AS dot,
+             sqrt(sum(c.cx * c.cx)) AS rn
+      FROM asgf a
+      JOIN cent{iters} c ON a.s = c.s AND a.c = c.c
+      JOIN u ON u.vec_id = a.vec_id AND u.dim = c.dim
+      GROUP BY 1)
+    SELECT CAST(a.vec_id AS BIGINT) AS vec_id,
+           string_agg(CAST(a.c AS VARCHAR), ',' ORDER BY a.s) AS codes,
+           CASE WHEN max(r.rn) > 0
+                THEN round(max(r.dot) / max(r.rn), 4) ELSE 0.0
+           END AS recon_cos
+    FROM asgf a JOIN recon r ON a.vec_id = r.vec_id
+    GROUP BY a.vec_id
+    """
+
+
 @_register(
     "embedding_pq_quantize",
-    None,
+    _pq_quantize_oracle(),
     note="product-quantization code assignment (m=16 x 16-code books "
-    "trained on the bounded sample): one GEMM scan, no shuffle; emits "
-    "per-vector codes + reconstruction cosine. Approximate by design "
-    "-> rows-only; recon_cos bound in RECALL.json",
+    "trained on the bounded md5-ordered sample): one GEMM scan, no "
+    "shuffle; emits per-vector codes + reconstruction cosine. "
+    "Round-12 promotion from rows-only (VERDICT r11 #3): zero-RNG "
+    "hash seeding lets the oracle unroll all 16 per-subspace Lloyd "
+    "fits in parallel (subspace-keyed long form, 8 MATERIALIZED "
+    "rounds); recon_cos bound stays in RECALL.json",
 )
 def _embedding_pq_quantize(spark, sf):
     return similarity.embedding_pq_quantize(_t(spark, sf, "embeddings"))

@@ -95,12 +95,12 @@ def main(sf_dir: str) -> dict:
     # so completeness is measured against brute-force Hamming pairs,
     # with the Jaccard-0.8 overlap reported as secondary context
     sim_pairs = {(r["doc_a"], r["doc_b"]) for r in dedup.dedup_simhash(docs).collect()}
-    fps = {r["doc_id"]: r["simhash"] for r in dedup.simhash_signatures(docs).collect()}
+    fps = {r["doc_id"]: r["cs"] for r in dedup.simhash_signatures(docs).collect()}
     ids = sorted(fps)
     ham_pairs = {
         (x, y)
         for i, x in enumerate(ids) for y in ids[i + 1:]
-        if bin(fps[x] ^ fps[y]).count("1") <= 3
+        if sum(bin(a ^ b).count("1") for a, b in zip(fps[x], fps[y])) <= 3
     }
     jac_overlap = _recall(exact_pairs, sim_pairs)
     rec("dedup_simhash", "hamming_pair_completeness", _recall(ham_pairs, sim_pairs), 1.0, ">=",

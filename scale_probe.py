@@ -140,7 +140,24 @@ X100_QUERIES = [
     "graph_pagerank",
     "graph_kcore",
     "stream_index_ingest",
+    # round-12 (VERDICT r11 #5): the ANN ladder -- the family whose
+    # recall/latency trade CHANGES with corpus density, so the x100
+    # run also re-measures recall@5 vs brute force (X100_RECALL)
+    "similarity_ann_lsh",
+    "similarity_ann_pq",
+    "similarity_ann_ivfpq",
+    "similarity_incremental_lsh",
 ]
+
+#: ANN entries also record recall@5 vs an exact numpy-GEMM brute
+#: force on the SAME fixture (corpus restricted to vec_id >= 10 for
+#: the incremental op, whose registry plan probes new-vs-corpus).
+X100_RECALL = {
+    "similarity_ann_lsh": None,
+    "similarity_ann_pq": None,
+    "similarity_ann_ivfpq": None,
+    "similarity_incremental_lsh": 10,
+}
 
 
 def _unstage_index_ingest(spark, sf_dir: str) -> None:
@@ -237,7 +254,100 @@ def synthesize_x100() -> None:
     con.execute(
         f"COPY docs100 TO '{X100_OUT}/documents.parquet' (FORMAT parquet)"
     )
+    # embeddings: 100 replicas under per-replica SIGNED DIMENSION
+    # PERMUTATIONS (round-12, VERDICT r11 #5) -- each replica's map is
+    # an orthogonal transform, so within-replica norms and cosines
+    # are preserved EXACTLY (the replica keeps the base corpus's
+    # neighbor structure) while cross-replica cosines decorrelate --
+    # the shape of a corpus whose density grows 100x. Plain
+    # replication would plant 99 exact duplicates of every neighbor
+    # (recall would read artificially easy); random noise would
+    # destroy the within-replica structure the ANN ladder indexes.
+    import numpy as np
+
+    edf = con.execute(
+        f"SELECT * FROM read_parquet('{BASE}/embeddings.parquet')"
+    ).df()
+    base_m = np.array(list(edf["embedding"]), dtype=np.float32)
+    dim = base_m.shape[1]
+    eparts = []
+    for k in range(X100_REPLICAS):
+        d = edf.copy()
+        d["vec_id"] = d["vec_id"] + k * 1_000_000
+        if k:
+            rnd = np.random.RandomState(1000 + k)
+            perm = rnd.permutation(dim)
+            signs = rnd.choice([-1.0, 1.0], size=dim).astype(np.float32)
+            d["embedding"] = list(base_m[:, perm] * signs)
+        eparts.append(d)
+    con.register("emb100", pd.concat(eparts, ignore_index=True))
+    con.execute(
+        f"""COPY (SELECT * REPLACE (CAST(embedding AS FLOAT[]) AS embedding)
+                  FROM emb100)
+            TO '{X100_OUT}/embeddings.parquet' (FORMAT parquet)"""
+    )
     print(f"# synthesized {X100_OUT}", file=sys.stderr)
+
+
+def _exact_topk_pairs(spark, sf_dir: str, corpus_min=None, k: int = 5):
+    """Exact (qid, nid) top-k pairs by numpy-GEMM brute force over
+    the fixture -- the recall referee for the ANN x100 entries.
+    ``corpus_min`` restricts candidates to vec_id >= corpus_min (the
+    incremental op's new-vs-corpus split); default scores the whole
+    corpus with self excluded, matching the batch ANN ops."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q_rows = (
+        emb.filter(F.col("vec_id") < 10)
+        .select("vec_id", "embedding")
+        .collect()
+    )  # 10 query vectors only
+    qids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    qm = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    qm_n = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((qids, qm_n))
+    cand = emb if corpus_min is None else emb.filter(
+        F.col("vec_id") >= corpus_min
+    )
+
+    def score(batches):
+        b_qids, b_qm = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.array(list(pdf["embedding"]), dtype=np.float64)
+            cm_n = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+            sims = cm_n @ b_qm.T
+            nids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            # local top-k per batch: only k rows per query leave
+            out = []
+            for qi, qid in enumerate(b_qids):
+                s = sims[:, qi]
+                top = np.argsort(-s, kind="stable")[: k + 1]
+                for j in top:
+                    out.append((qid, int(nids[j]), float(s[j])))
+            yield pd.DataFrame(out, columns=["qid", "nid", "cos_sim"])
+
+    scored = cand.select("vec_id", "embedding").mapInPandas(
+        score, "qid long, nid long, cos_sim double"
+    ).filter(F.col("qid") != F.col("nid"))
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("nid")
+    )
+    rows = (
+        scored.select(
+            "qid", "nid", F.row_number().over(w).alias("rnk")
+        )
+        .filter(F.col("rnk") <= k)
+        .collect()
+    )
+    return {(r["qid"], r["nid"]) for r in rows}
 
 
 def probe_x100() -> None:
@@ -256,6 +366,7 @@ def probe_x100() -> None:
 
     only = [a for a in sys.argv[1:] if not a.startswith("--")]
     results: dict[str, dict] = {}
+    exact_cache: dict = {}
     for name in X100_QUERIES:
         if only and name not in only:
             continue
@@ -279,6 +390,22 @@ def probe_x100() -> None:
             **ts,
             "factor": round(ts["x100"] / ts["base"], 1),
         }
+        if name in X100_RECALL:
+            # recall@5 at x100 density vs exact brute force (the
+            # point of probing ANN at all -- VERDICT r11 #5)
+            cmin = X100_RECALL[name]
+            if cmin not in exact_cache:
+                exact_cache[cmin] = _exact_topk_pairs(
+                    spark, X100_OUT, corpus_min=cmin
+                )
+            exact = exact_cache[cmin]
+            got = {
+                (r["qid"], r["nid"])
+                for r in specs[name].fn(spark, X100_OUT).collect()
+            }
+            results[name]["recall_at_5_x100"] = round(
+                len(exact & got) / len(exact), 3
+            )
         print(f"# x100 {name}: {results[name]}", file=sys.stderr, flush=True)
     path = pathlib.Path(__file__).resolve().parent / "SCALE_PROBE.json"
     doc = json.loads(path.read_text()) if path.exists() else {}

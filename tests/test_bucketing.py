@@ -97,3 +97,62 @@ def test_incremental_minhash_index_side_never_shuffles(spark, sf_small):
     # one scan of the fixture file (the new batch); index reads come
     # from the warehouse tables
     assert plan.count("documents.parquet") == 1
+
+
+def test_staged_table_adoption_skips_rebuild_and_keeps_buckets(
+    spark, sf_small, tmp_path
+):
+    """Fresh-session semantics of the round-12 staging fix: when the
+    catalog entry is missing but the on-disk staging is intact and
+    fingerprint-current, ``ensure_staged_table`` must ADOPT the files
+    (external registration -- build() never called) and re-attach the
+    bucket spec so probes stay exchange-free. Simulated by copying a
+    staged bucketed table's directory to a catalog-unknown name."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from java_mapreduce_framework_spark.sources.staging import (
+        ensure_staged_table,
+        warehouse_dir,
+    )
+
+    docs = load_table(spark, sf_small, "documents").limit(100)
+    base = docs.select("doc_id", F.md5("text").alias("h"))
+    ensure_staged_table(
+        spark, "adopt_src", lambda: base, "fp-1",
+        bucket_cols=["doc_id"], buckets=4,
+    )
+    wh = warehouse_dir(spark)
+    shutil.rmtree(wh / "adopt_dst", ignore_errors=True)
+    spark.sql("DROP TABLE IF EXISTS adopt_dst")
+    shutil.copytree(wh / "adopt_src", wh / "adopt_dst")
+
+    def _boom():
+        raise AssertionError("adoption path must not rebuild")
+
+    adopted = ensure_staged_table(
+        spark, "adopt_dst", _boom, "fp-1",
+        bucket_cols=["doc_id"], buckets=4,
+    )
+    assert adopted.count() == base.count()
+    # bucket metadata re-attached: a self-join on the bucket key of
+    # two adopted reads plans without an Exchange on either side
+    a, b = spark.table("adopt_dst"), spark.table("adopt_dst")
+    j = a.hint("merge").join(b.withColumnRenamed("h", "h2"), "doc_id")
+    plan = j._sc._jvm.PythonSQLUtils.explainString(
+        j._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange hashpartitioning(doc_id" not in plan
+    # stale fingerprint still forces a rebuild (marker contract kept)
+    rebuilt = {"n": 0}
+
+    def _rebuild():
+        rebuilt["n"] += 1
+        return base
+
+    ensure_staged_table(
+        spark, "adopt_dst", _rebuild, "fp-2",
+        bucket_cols=["doc_id"], buckets=4,
+    )
+    assert rebuilt["n"] == 1
