@@ -233,12 +233,86 @@ def _multimodal_audio_spectrogram(spark, sf):
     )
 
 
+def _mmr_oracle(
+    n_queries: int = 3, k: int = 10, shortlist: int = 50, lam: float = 0.7
+) -> str:
+    """Unrolled greedy-MMR oracle: one (div, argmax-pick, selected)
+    CTE triple per rank -- the kmeans/PQ unrolled-iteration
+    discipline applied to a greedy selection. Cosines are the proven
+    ``similarity_topk`` cross-engine identity
+    (list_cosine_similarity over DOUBLE casts, rounded 6); scores
+    round to 6 BEFORE the argmax with nid as tie-break, exactly the
+    engine's comparison."""
+    mu = round(1.0 - lam, 10)
+    rounds = []
+    for r in range(2, k + 1):
+        rounds.append(f"""
+    div{r} AS (
+      SELECT c.qid, c.nid, c.rel, max(p.c) AS div
+      FROM sl c
+      JOIN sel{r - 1} s ON s.qid = c.qid
+      JOIN ps p ON p.qid = c.qid AND p.na = c.nid AND p.nb = s.nid
+      WHERE NOT EXISTS (SELECT 1 FROM sel{r - 1} x
+                        WHERE x.qid = c.qid AND x.nid = c.nid)
+      GROUP BY 1, 2, 3),
+    pick{r} AS MATERIALIZED (
+      SELECT qid, nid, rel, score, {r} AS rnk FROM (
+        SELECT qid, nid, rel,
+               round({lam} * rel - {mu} * div, 6) AS score,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY round({lam} * rel - {mu} * div, 6) DESC,
+                          nid) AS rn
+        FROM div{r}) WHERE rn = 1),
+    sel{r} AS MATERIALIZED (
+      SELECT * FROM sel{r - 1} UNION ALL SELECT * FROM pick{r})""")
+    chain = ",".join(rounds)
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+      FROM embeddings WHERE vec_id < {n_queries}),
+    s AS (
+      SELECT qid, e.vec_id AS nid,
+             round(list_cosine_similarity(qe,
+                   CAST(e.embedding AS DOUBLE[])), 6) AS rel
+      FROM q CROSS JOIN embeddings e WHERE e.vec_id <> qid),
+    sl AS MATERIALIZED (
+      SELECT qid, nid, rel FROM (
+        SELECT qid, nid, rel,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY rel DESC, nid) AS rnk
+        FROM s) WHERE rnk <= {shortlist}),
+    ps AS MATERIALIZED (
+      SELECT a.qid, a.nid AS na, b.nid AS nb,
+             round(list_cosine_similarity(
+                   CAST(ea.embedding AS DOUBLE[]),
+                   CAST(eb.embedding AS DOUBLE[])), 6) AS c
+      FROM sl a JOIN sl b ON a.qid = b.qid AND a.nid <> b.nid
+      JOIN embeddings ea ON ea.vec_id = a.nid
+      JOIN embeddings eb ON eb.vec_id = b.nid),
+    pick1 AS MATERIALIZED (
+      SELECT qid, nid, rel, score, 1 AS rnk FROM (
+        SELECT qid, nid, rel, round({lam} * rel, 6) AS score,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY round({lam} * rel, 6) DESC, nid) AS rn
+        FROM sl) WHERE rn = 1),
+    sel1 AS MATERIALIZED (SELECT * FROM pick1),{chain}
+    SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS INT) AS rank,
+           CAST(nid AS BIGINT) AS nid,
+           round(rel, 4) AS relevance,
+           round(score, 4) AS mmr_score
+    FROM sel{k}
+    """
+
+
 @_register(
     "similarity_mmr",
-    None,
-    note="rows-only by declared design: greedy maximal-marginal-"
-    "relevance rerank (k sequential argmaxes) over the distributed "
-    "exact shortlist; numpy-replay parity in "
+    _mmr_oracle(),
+    note="greedy maximal-marginal-relevance rerank (k sequential "
+    "argmaxes) over the distributed exact shortlist; round-12 "
+    "promotion from rows-only: the oracle unrolls the greedy "
+    "selection as one (div, argmax, selected) CTE triple per rank "
+    "over the same 6-rounded cosine identity, so the full rerank "
+    "hash-verifies; numpy-replay parity stays in "
     "tests/test_similarity.py, diversity gain in RECALL.json",
 )
 def _similarity_mmr(spark, sf):
@@ -276,25 +350,195 @@ def _ml_linreg_normal(spark, sf):
     return ml.linreg_normal(_t(spark, sf, "embeddings"), n_feat=1)
 
 
+def _irls_feat_cte(n_feat: int) -> str:
+    """Shared feature projection: first n_feat embedding dims +
+    intercept, target = (label >= 5)."""
+    d = n_feat + 1
+    feat_sel = ",\n             ".join(
+        [
+            f"CAST(embedding[{i + 1}] AS DOUBLE) AS x{i}"
+            for i in range(n_feat)
+        ]
+        + [f"1.0 AS x{d - 1}", "CAST(label >= 5 AS INT) + 0.0 AS y"]
+    )
+    return f"""f AS MATERIALIZED (
+      SELECT {feat_sel}
+      FROM embeddings)"""
+
+
+def _irls_chain(pfx: str, lam: float, n_feat: int, iters: int) -> str:
+    """One unrolled IRLS/Newton chain (CTE fragment; assumes the
+    shared ``f`` feature CTE): per round, one corpus moment pass
+    (gradient + Hessian as 1-row sums under the previous beta) and a
+    GENERATED closed-form Cholesky solve of the (d+1)-dim Newton
+    step, written as lateral column aliases (H + lam*I is SPD, so
+    unpivoted Cholesky is stable; vs numpy's pivoted LU the betas
+    differ at ~1e-13, far inside the 1e-6 output rounding). The L2
+    term enters exactly as the engine's driver-side step: H += lam*I
+    and g -= lam*beta with the INTERCEPT unpenalized."""
+    d = n_feat + 1
+
+    def chol_exprs() -> str:
+        # ridge-adjusted moments, L entries, forward solve u, back
+        # solve step s0..s{d-1} -- all lateral aliases in one SELECT
+        lines = []
+        for i in range(d):
+            for j in range(i, d):
+                adj = f" + {lam}" if (i == j and i < d - 1 and lam) else ""
+                lines.append(f"h{i}{j}{adj} AS a{i}{j}")
+        for i in range(d):
+            adj = f" - {lam} * b{i}" if (i < d - 1 and lam) else ""
+            lines.append(f"g{i}{adj} AS e{i}")
+        for i in range(d):
+            for j in range(i + 1):
+                dots = " - ".join(
+                    [f"a{min(i, j)}{max(i, j)}"]
+                    + [f"l{i}{t} * l{j}{t}" for t in range(j)]
+                )
+                if i == j:
+                    lines.append(f"sqrt({dots}) AS l{i}{i}")
+                else:
+                    lines.append(f"({dots}) / l{j}{j} AS l{i}{j}")
+        for i in range(d):
+            dots = " - ".join(
+                [f"e{i}"] + [f"l{i}{t} * u{t}" for t in range(i)]
+            )
+            lines.append(f"({dots}) / l{i}{i} AS u{i}")
+        for i in range(d - 1, -1, -1):
+            dots = " - ".join(
+                [f"u{i}"] + [f"l{t}{i} * s{t}" for t in range(i + 1, d)]
+            )
+            lines.append(f"({dots}) / l{i}{i} AS s{i}")
+        return ",\n             ".join(lines)
+
+    z = " + ".join(f"b{i} * x{i}" for i in range(d))
+    hsums = ",\n             ".join(
+        f"sum(w * x{i} * x{j}) AS h{i}{j}"
+        for i in range(d)
+        for j in range(i, d)
+    )
+    gsums = ",\n             ".join(
+        f"sum((y - p) * x{i}) AS g{i}" for i in range(d)
+    )
+    b0 = ", ".join(f"0.0 AS b{i}" for i in range(d))
+    parts = [f"""
+    {pfx}beta0 AS (SELECT {b0})"""]
+    for r in range(1, iters + 1):
+        newb = ", ".join(f"b{i} + s{i} AS b{i}" for i in range(d))
+        parts.append(f"""
+    {pfx}m{r} AS MATERIALIZED (
+      SELECT {hsums},
+             {gsums}
+      FROM (SELECT f.*, 1.0 / (1.0 + exp(-({z}))) AS p,
+                   p * (1.0 - p) AS w
+            FROM f CROSS JOIN {pfx}beta{r - 1})),
+    {pfx}step{r} AS (
+      SELECT {chol_exprs()}
+      FROM {pfx}m{r} CROSS JOIN {pfx}beta{r - 1}),
+    {pfx}beta{r} AS MATERIALIZED (
+      SELECT {newb} FROM {pfx}beta{r - 1} CROSS JOIN {pfx}step{r})""")
+    return ",".join(parts)
+
+
+def _irls_metrics_cte(pfx: str, n_feat: int, iters: int) -> str:
+    """Final-scan metrics under the fitted beta: log-loss via the
+    stable softplus identity max(t,0)+ln(1+exp(-|t|)) -- numpy's
+    logaddexp -- so no exp overflow at any z; accuracy by the same
+    z >= 0 decision."""
+    d = n_feat + 1
+    z = " + ".join(f"b{i} * x{i}" for i in range(d))
+    return f"""{pfx}met AS MATERIALIZED (
+      SELECT sum(greatest(-z, 0.0) + ln(1.0 + exp(-abs(z)))
+                 + (1.0 - y) * z) AS ll,
+             sum(CASE WHEN (z >= 0.0) = (y > 0.5)
+                      THEN 1 ELSE 0 END) AS acc,
+             count(*) AS n
+      FROM (SELECT f.y, ({z}) AS z FROM f CROSS JOIN {pfx}beta{iters}))"""
+
+
+def _irls_oracle(n_feat: int = 4, iters: int = 4) -> str:
+    d = n_feat + 1
+    coef_rows = "\n    UNION ALL ".join(
+        f"SELECT 'f{i}' AS term, round(b{i}, 6) AS value FROM beta{iters}"
+        for i in range(n_feat)
+    )
+    return f"""
+    WITH {_irls_feat_cte(n_feat)},{_irls_chain("", 0.0, n_feat, iters)},
+    {_irls_metrics_cte("", n_feat, iters)}
+    {coef_rows}
+    UNION ALL SELECT 'bias', round(b{d - 1}, 6) FROM beta{iters}
+    UNION ALL SELECT 'log_loss', round(ll / n, 6) FROM met
+    UNION ALL SELECT 'accuracy', round(acc * 1.0 / n, 6) FROM met
+    UNION ALL SELECT 'n', n + 0.0 FROM met
+    """
+
+
 @_register(
     "ml_logreg_irls",
-    None,
-    note="rows-only by declared design: fixed-iteration IRLS/Newton "
-    "logistic fit, driver-side (d+1)-dim solves between broadcast "
-    "scans; numpy-IRLS parity pinned in tests/test_ml.py + RECALL.json",
+    _irls_oracle(),
+    note="fixed-iteration IRLS/Newton logistic fit, driver-side "
+    "(d+1)-dim solves between broadcast scans; round-12 promotion "
+    "from rows-only: the oracle unrolls each Newton round as a 1-row "
+    "moment pass plus a generated closed-form Cholesky solve, so "
+    "coefficients AND metrics hash-verify; numpy-IRLS parity stays "
+    "pinned in tests/test_ml.py + RECALL.json",
 )
 def _ml_logreg_irls(spark, sf):
     return ml.logreg_irls(_t(spark, sf, "embeddings"))
 
 
+def _ridge_sweep_oracle(
+    lambdas=(0.0, 0.1, 1.0), n_feat: int = 4, iters: int = 4
+) -> str:
+    """The sweep oracle composes one ``_irls_chain`` per lambda over
+    the SHARED feature CTE -- the engine runs the three fits off one
+    tagged scan per round, the oracle runs three unrolled chains;
+    identical per-model arithmetic either way (the L2 step enters as
+    H + lam*I / g - lam*beta, intercept unpenalized)."""
+    d = n_feat + 1
+    chains = ",".join(
+        _irls_chain(f"la{m}_", lam, n_feat, iters)
+        + ",\n    "
+        + _irls_metrics_cte(f"la{m}_", n_feat, iters)
+        for m, lam in enumerate(lambdas)
+    )
+    rows = []
+    for m, lam in enumerate(lambdas):
+        p = f"la{m}_"
+        for i in range(n_feat):
+            rows.append(
+                f"SELECT {lam} + 0.0 AS lam, 'f{i}' AS term, "
+                f"round(b{i}, 6) AS value FROM {p}beta{iters}"
+            )
+        rows.append(
+            f"SELECT {lam} + 0.0, 'bias', round(b{d - 1}, 6) "
+            f"FROM {p}beta{iters}"
+        )
+        rows.append(
+            f"SELECT {lam} + 0.0, 'log_loss', round(ll / n, 6) "
+            f"FROM {p}met"
+        )
+        rows.append(
+            f"SELECT {lam} + 0.0, 'accuracy', round(acc * 1.0 / n, 6) "
+            f"FROM {p}met"
+        )
+    union = "\n    UNION ALL ".join(rows)
+    return f"""
+    WITH {_irls_feat_cte(n_feat)},{chains}
+    {union}
+    """
+
+
 @_register(
     "ml_logreg_ridge_sweep",
-    None,
-    note="rows-only by declared design: whole ridge-lambda sweep "
-    "trained in SHARED scans (one pass per Newton round feeds every "
-    "lambda's gradient+Hessian under a model-id tag) -- scan count "
-    "independent of sweep width; numpy-replay parity in "
-    "tests/test_ml.py + RECALL.json",
+    _ridge_sweep_oracle(),
+    note="whole ridge-lambda sweep trained in SHARED scans (one pass "
+    "per Newton round feeds every lambda's gradient+Hessian under a "
+    "model-id tag) -- scan count independent of sweep width; "
+    "round-12 promotion from rows-only: one unrolled Cholesky-Newton "
+    "chain per lambda in the oracle, so all three models' "
+    "coefficients AND metrics hash-verify; numpy-replay parity stays "
+    "in tests/test_ml.py + RECALL.json",
 )
 def _ml_logreg_ridge_sweep(spark, sf):
     return ml.logreg_ridge_sweep(_t(spark, sf, "embeddings"))
