@@ -5935,3 +5935,421 @@ def weekend_lift(events: DataFrame) -> DataFrame:
             (F.col("n_wd") > 0) & (F.col("we_days") > 0), lift
         ).alias("lift"),
     )
+
+
+def cliff_delta(events: DataFrame) -> DataFrame:
+    """Cliff's delta per event type over the deterministic A/B user
+    hash (the ``mannwhitney_utest`` split) -- the EFFECT-SIZE
+    companion to the U test's significance verdict: delta =
+    P(a > b) - P(a < b) in [-1, 1], readable without reference to
+    sample size (|delta| < 0.147 is the conventional 'negligible'
+    line). A test can be significant and negligible at once; this is
+    the column that says which.
+
+    Exactness: greater/less pair counts come off the (type, value)
+    compression with ONE exclusive cumulative window over the
+    per-type VALUE alphabet (gt = sum cntA(v) * cumB(<v); lt
+    symmetric from the B-side totals) -- all exact bigints; delta is
+    one integer ratio at 1e-6 scale. NULL values drop first (no rank
+    information), exactly as the U test does.
+
+    Emits (event_type, n_a, n_b, gt_pairs, lt_pairs, cliff_delta).
+    """
+    variant_a = (
+        F.substring(
+            F.md5(
+                F.concat_ws("|", F.lit("ab"), F.col("user_id").cast("string"))
+            ),
+            1,
+            1,
+        )
+        < F.lit("8")
+    )
+    vg = (
+        events.filter(F.col("value").isNotNull())
+        .select("event_type", variant_a.alias("is_a"), "value")
+        .groupBy("event_type", "value")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("is_a").cast("long")).alias("cnt_a"),
+        )
+        .select(
+            "event_type",
+            "value",
+            "cnt_a",
+            (F.col("cnt") - F.col("cnt_a")).alias("cnt_b"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = vg.select(
+        "event_type",
+        "cnt_a",
+        "cnt_b",
+        F.coalesce(F.sum("cnt_b").over(w), F.lit(0)).alias("b_below"),
+        F.coalesce(F.sum("cnt_a").over(w), F.lit(0)).alias("a_below"),
+    )
+    agg = staged.groupBy("event_type").agg(
+        F.sum("cnt_a").alias("n_a"),
+        F.sum("cnt_b").alias("n_b"),
+        F.sum(F.col("cnt_a") * F.col("b_below")).alias("gt_pairs"),
+        F.sum(F.col("cnt_b") * F.col("a_below")).alias("lt_pairs"),
+    )
+    return agg.filter((F.col("n_a") > 0) & (F.col("n_b") > 0)).select(
+        "event_type",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("gt_pairs").cast("long").alias("gt_pairs"),
+        F.col("lt_pairs").cast("long").alias("lt_pairs"),
+        (
+            F.round(
+                (F.col("gt_pairs") - F.col("lt_pairs")) * F.lit(1e6)
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).cast("long")
+            / F.lit(1e6)
+        ).alias("cliff_delta"),
+    )
+
+
+def cvm_two_sample(events: DataFrame) -> DataFrame:
+    """Two-sample Cramer-von Mises statistic per event type over the
+    same A/B split -- the WHOLE-CDF distance next to
+    ``stats_ks_two_sample``'s single worst point: KS sees the largest
+    gap, CvM integrates every gap, so a distribution that differs
+    mildly everywhere (but sharply nowhere) still registers.
+
+    Declared variant: the ECDF form T = (n_a*n_b/N^2) * sum over
+    pooled values of w_v * (F_a(v) - F_b(v))^2 with w_v the pooled
+    count at v and F the inclusive ECDFs. Each per-value term is a
+    double built from exact integer ratios (identical cross-engine)
+    and QUANTIZED to an integer 1e-9 unit before the grouped sum
+    (double hash-aggregation is fold-order-dependent -- the
+    micro-nat discipline); the closing scale is one division.
+
+    Emits (event_type, n_a, n_b, cvm_stat).
+    """
+    variant_a = (
+        F.substring(
+            F.md5(
+                F.concat_ws("|", F.lit("ab"), F.col("user_id").cast("string"))
+            ),
+            1,
+            1,
+        )
+        < F.lit("8")
+    )
+    vg = (
+        events.filter(F.col("value").isNotNull())
+        .select("event_type", variant_a.alias("is_a"), "value")
+        .groupBy("event_type", "value")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("is_a").cast("long")).alias("cnt_a"),
+        )
+    )
+    w_in = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("event_type")
+    staged = vg.select(
+        "event_type",
+        "cnt",
+        F.sum("cnt_a").over(w_in).alias("ca_in"),
+        (F.sum("cnt").over(w_in) - F.sum("cnt_a").over(w_in)).alias(
+            "cb_in"
+        ),
+        F.sum("cnt_a").over(w_all).alias("n_a"),
+        (F.sum("cnt").over(w_all) - F.sum("cnt_a").over(w_all)).alias(
+            "n_b"
+        ),
+    ).filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+    fdiff = (
+        F.col("ca_in").cast("double") / F.col("n_a").cast("double")
+        - F.col("cb_in").cast("double") / F.col("n_b").cast("double")
+    )
+    term9 = F.round(
+        F.col("cnt").cast("double") * fdiff * fdiff * F.lit(1e9)
+    ).cast("long")
+    agg = staged.groupBy("event_type").agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.sum(term9).alias("t9"),
+    )
+    n_tot = F.col("n_a") + F.col("n_b")
+    return agg.select(
+        "event_type",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(
+            F.col("t9").cast("double")
+            * F.col("n_a").cast("double")
+            * F.col("n_b").cast("double")
+            / (
+                F.lit(1e9)
+                * n_tot.cast("double")
+                * n_tot.cast("double")
+            ),
+            6,
+        ).alias("cvm_stat"),
+    )
+
+
+def jonckheere_terpstra(lineitem: DataFrame) -> DataFrame:
+    """Jonckheere-Terpstra ordered-alternative trend test: do
+    line-item quantities drift as the ship-date MONTH advances? The
+    k-group generalization of Mann-Whitney AGAINST AN ORDERING --
+    anova/kruskal ask 'any difference', JT asks 'a monotone one',
+    which is the seasonal-drift question.
+
+    Exactness: the corpus compresses to the (month, quantity) count
+    grid FIRST (12 x 50 cells -- both alphabets bounded), so the
+    pairwise-U fold is a grid self-join, never a data-sized one.
+    Ties carry half-credit, so the statistic rides DOUBLED as an
+    exact bigint (2U = 2*[x1 < x2] + [x1 = x2] summed over ordered
+    group pairs); mean and the tie-free null variance come from
+    group sizes; the z division is the only double. Declared simple
+    variant: no tie correction in the variance, exactly like
+    ``stats_mannwhitney``'s z.
+
+    Emits ONE row (n_total, jt2, e_jt2, zscore).
+    """
+    grid = lineitem.select(
+        F.month("l_shipdate").alias("g"),
+        F.col("l_quantity").cast("long").alias("v"),
+    ).groupBy("g", "v").agg(F.count("*").alias("cnt"))
+    a = grid.select(
+        F.col("g").alias("g1"), F.col("v").alias("v1"),
+        F.col("cnt").alias("c1"),
+    )
+    b = grid.select(
+        F.col("g").alias("g2"), F.col("v").alias("v2"),
+        F.col("cnt").alias("c2"),
+    )
+    # grid x grid: 600 x 600 cells max -- alphabet-squared, never
+    # corpus-sized
+    pairs = a.join(
+        b,
+        (F.col("g1") < F.col("g2"))
+        & (F.col("v1") <= F.col("v2")),
+    ).select(
+        F.when(F.col("v1") < F.col("v2"), 2 * F.col("c1") * F.col("c2"))
+        .otherwise(F.col("c1") * F.col("c2"))
+        .alias("u2")
+    )
+    jt2 = pairs.agg(F.sum("u2").alias("jt2"))
+    sizes = grid.groupBy("g").agg(F.sum("cnt").alias("n_g"))
+    moments = sizes.agg(
+        F.sum("n_g").alias("n"),
+        F.sum(F.col("n_g") * F.col("n_g")).alias("s2"),
+        F.sum(
+            F.col("n_g") * F.col("n_g") * (2 * F.col("n_g") + 3)
+        ).alias("s3"),
+    )
+    joined = jt2.crossJoin(F.broadcast(moments))
+    e2 = (F.col("n") * F.col("n") - F.col("s2")) / 2  # doubled mean
+    var = (
+        F.col("n").cast("double") * F.col("n") * (2 * F.col("n") + 3)
+        - F.col("s3").cast("double")
+    ) / F.lit(72.0)
+    return joined.select(
+        F.col("n").cast("long").alias("n_total"),
+        F.col("jt2").cast("long").alias("jt2"),
+        e2.cast("long").alias("e_jt2"),
+        F.round(
+            (F.col("jt2") - e2).cast("double")
+            / (F.lit(2.0) * F.sqrt(var)),
+            6,
+        ).alias("zscore"),
+    )
+
+
+def retention_halflife(events: DataFrame) -> DataFrame:
+    """Exponential retention half-life: pool the weekly retention
+    triangle across cohorts per week offset, fit ln(rate) ~ offset by
+    closed-form OLS over offsets >= 1, and report the implied
+    half-life in weeks -- the single number the triangle's curve
+    compresses to (the acquisition-payback input next to
+    ``events_retention_triangle``'s full matrix).
+
+    Exactness: pooled (retained, size) per offset are exact bigints;
+    each offset's ln(rate) is rounded to integer MICRO-NATS before
+    the OLS moment sums (the lm_* discipline -- ln differs at ulp
+    scale across engines, sums must fold integers); the slope and
+    half-life are closed-form doubles off those integer moments.
+    Offsets with zero retention drop (no ln), offset 0 is excluded
+    by construction (share 1.0, pure intercept mass).
+
+    Emits ONE row (n_points, slope_micro_nats, half_life_weeks).
+    """
+    first_seen = events.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", "ts")).alias("cohort_week")
+    )
+    sizes = first_seen.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_size")
+    )
+    active = events.select(
+        "user_id", F.date_trunc("week", "ts").alias("active_week")
+    ).distinct()
+    tri = (
+        active.join(first_seen, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("active_week", "cohort_week") / 7)
+            .cast("int")
+            .alias("off"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_ret"))
+    )
+    pooled = (
+        tri.join(F.broadcast(sizes), "cohort_week")
+        .filter(F.col("off") >= 1)
+        .groupBy("off")
+        .agg(
+            F.sum("n_ret").alias("ret"),
+            F.sum("cohort_size").alias("size"),
+        )
+        .filter(F.col("ret") > 0)
+    )
+    lr = F.round(
+        F.log(
+            F.col("ret").cast("double") / F.col("size").cast("double")
+        )
+        * F.lit(1e6)
+    ).cast("long")
+    pts = pooled.select(F.col("off").cast("long").alias("x"), lr.alias("y6"))
+    m = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y6").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y6")).alias("sxy"),
+    )
+    slope6 = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+            "double"
+        )
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+    )
+    import math
+
+    # a perfectly flat pooled curve (every ln(rate) equal after the
+    # micro-nat rounding -- tiny fixtures do this) has slope exactly
+    # 0: the half-life is undefined, not an error
+    return m.filter(F.col("n") >= 2).select(
+        F.col("n").cast("long").alias("n_points"),
+        F.round(slope6, 6).alias("slope_micro_nats"),
+        F.when(
+            slope6 != 0.0,
+            F.round(F.lit(-math.log(2.0) * 1e6) / slope6, 4),
+        ).alias("half_life_weeks"),
+    )
+
+
+def gini_trend(events: DataFrame) -> DataFrame:
+    """Monthly Gini of per-user event concentration -- is activity
+    centralizing onto power users over time? ``stats_gini`` frozen
+    per calendar month over event COUNTS, the trend a product-health
+    review reads next to the DAU curve (flat usage with a rising
+    Gini is a shrinking-core warning the mean never shows).
+
+    Exactness: per-(month, user) counts are exact; the rank stage
+    runs per month ordered by (count, user_id) -- the unique-key
+    tiebreak -- and the Gini closed form is one integer-exact
+    cross-multiplied expression, rounded 4 (the stats_gini rule).
+
+    Emits (month, n_users, n_events, gini).
+    """
+    mu = events.groupBy(
+        F.date_trunc("month", "ts").alias("month"), "user_id"
+    ).agg(F.count("*").alias("x"))
+    w = Window.partitionBy("month").orderBy("x", "user_id")
+    ranked = mu.select(
+        "month", "x", F.row_number().over(w).alias("i")
+    )
+    agg = ranked.groupBy("month").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).alias("six"),
+    )
+    return agg.select(
+        "month",
+        F.col("n").cast("long").alias("n_users"),
+        F.col("sx").cast("long").alias("n_events"),
+        F.round(
+            F.lit(2.0) * F.col("six").cast("double")
+            / (F.col("n") * F.col("sx")).cast("double")
+            - (F.col("n") + 1).cast("double") / F.col("n").cast("double"),
+            4,
+        ).alias("gini"),
+    )
+
+
+def cohort_ltv_curve(orders: DataFrame) -> DataFrame:
+    """Cohort lifetime-value curve: customers cohorted by FIRST order
+    month, each (cohort, months-since-first) cell carrying the
+    cohort's CUMULATIVE revenue per member -- the payback curve whose
+    flattening point prices acquisition (the orders-side companion to
+    the events-side retention triangle).
+
+    Exactness: revenue folds as DECIMAL cents into exact 1e-4-dollar
+    integers (the rev_c4 rule -- Spark truncates decimal->bigint
+    where DuckDB rounds, so the unit is chosen to make the cast
+    exact); the cumulative runs per cohort over the bounded
+    month-offset axis; per-member LTV is one integer ratio at 1e-4.
+
+    Emits (cohort_month, month_offset, cohort_size, cum_ltv).
+    """
+    first = orders.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", "o_orderdate")).alias("cm")
+    )
+    sizes = first.groupBy("cm").agg(F.count("*").alias("cohort_size"))
+    rev = (
+        orders.join(first, "o_custkey")
+        .groupBy(
+            "cm",
+            (
+                (F.year("o_orderdate") - F.year("cm")) * 12
+                + (F.month("o_orderdate") - F.month("cm"))
+            ).alias("month_offset"),
+        )
+        .agg(
+            F.sum(
+                F.col("o_totalprice").cast("decimal(18,2)")
+            ).alias("rev_d")
+        )
+        .select(
+            "cm",
+            "month_offset",
+            (F.col("rev_d") * 10000).cast("long").alias("rev_c4"),
+        )
+    )
+    wc = (
+        Window.partitionBy("cm")
+        .orderBy("month_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        rev.select(
+            "cm", "month_offset", F.sum("rev_c4").over(wc).alias("cum_c4")
+        )
+        .join(F.broadcast(sizes), "cm")
+        .select(
+            F.col("cm").alias("cohort_month"),
+            F.col("month_offset").cast("int").alias("month_offset"),
+            F.col("cohort_size").cast("long").alias("cohort_size"),
+            (
+                F.round(
+                    F.col("cum_c4") * F.lit(1.0)
+                    / F.col("cohort_size").cast("double")
+                ).cast("long")
+                / F.lit(1e4)
+            ).alias("cum_ltv"),
+        )
+    )

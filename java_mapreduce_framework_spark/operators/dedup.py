@@ -2914,3 +2914,101 @@ def eigenvector_centrality(
         if it % 3 == 2 or it == iters - 1:
             x = x.localCheckpoint()
     return x.select("doc_id", F.round("x", 6).alias("centrality"))
+
+
+def edge_triangle_support(pairs: DataFrame) -> DataFrame:
+    """Per-EDGE triangle support over an undirected pair graph: for
+    each edge (a, b), the count of common neighbors |N(a) n N(b)| --
+    the k-truss building block and the edge-level answer to
+    ``clustering_coefficient``'s node view. High-support edges sit
+    inside dense duplication communities (safe to contract); zero-
+    support edges are bridges whose removal splits clusters -- the
+    signal a dedup pipeline reads before transitively merging on a
+    borderline pair.
+
+    Plan: ONE wedge join keyed on the shared neighbor (symmetrized
+    edges joined to themselves on the center vertex, fan-out bounded
+    by that vertex's degree), then a semi-join against the canonical
+    edge set keeps only wedges whose endpoints are themselves
+    adjacent; one grouped count per edge. Edges in no triangle emit
+    support 0 via the closing left join. The pair stream is eagerly
+    checkpointed -- both the wedge join and the closing joins consume
+    it, and for the co-purchase graph the pair generation is itself
+    a self-join that must not execute twice.
+
+    Emits (doc_a, doc_b, support).
+
+    Reference licence: composition target -- chained-jobs model
+    (SURVEY.md §2A FIFO queue) over the WordCount substrate
+    (src/edu/upenn/cis455/mapreduce/job/WordCount.java:23-52).
+    """
+    pairs = pairs.select("doc_a", "doc_b").localCheckpoint()
+    sym = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    )
+    # wedge (a - w - b), a < b: center w fans out to every neighbor
+    # pair once
+    l = sym.select(F.col("doc_b").alias("w"), F.col("doc_a").alias("a"))
+    r = sym.select(F.col("doc_a").alias("w"), F.col("doc_b").alias("b"))
+    wedges = l.join(r, "w").filter(F.col("a") < F.col("b"))
+    closed = wedges.join(
+        pairs.select(
+            F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+        ),
+        ["a", "b"],
+        "left_semi",
+    )
+    support = closed.groupBy("a", "b").agg(
+        F.count("*").alias("support")
+    )
+    return (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .join(support, ["a", "b"], "left")
+        .select(
+            F.col("a").alias("doc_a"),
+            F.col("b").alias("doc_b"),
+            F.coalesce("support", F.lit(0)).cast("long").alias("support"),
+        )
+    )
+
+
+def dedup_prefix_exact(documents: DataFrame, prefix_len: int = 64) -> DataFrame:
+    """Exact-PREFIX duplicate clusters: documents sharing their first
+    ``prefix_len`` characters -- the crawl-boilerplate detector
+    (mirrored pages, templated headers, syndicated articles all agree
+    on the head long before the tail diverges). ``dedup_exact``
+    catches whole-document copies; this catches the much larger
+    family that only shares the opening.
+
+    One md5-of-prefix groupBy (map-side combinable); clusters also
+    count DISTINCT full-document hashes, so ``n_distinct_full <
+    n_docs`` separates true exact-dup mass from prefix-only overlap.
+    Only documents long enough to fill the prefix participate (a
+    short doc's 'prefix' is the whole doc -- that's dedup_exact's
+    job), and only clusters with >1 member emit.
+
+    Emits (prefix_hash, keep_doc_id, n_docs, n_distinct_full).
+    """
+    eligible = documents.filter(F.length("text") >= prefix_len)
+    return (
+        eligible.select(
+            "doc_id",
+            F.md5(F.substring("text", 1, prefix_len)).alias("prefix_hash"),
+            F.md5("text").alias("full_hash"),
+        )
+        .groupBy("prefix_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_docs"),
+            F.count_distinct("full_hash").alias("n_distinct_full"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .select(
+            "prefix_hash",
+            F.col("keep_doc_id").cast("long").alias("keep_doc_id"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_distinct_full").cast("long").alias("n_distinct_full"),
+        )
+    )

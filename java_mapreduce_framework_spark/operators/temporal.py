@@ -3245,3 +3245,158 @@ def window_dpo(events: DataFrame, span: int = 14) -> DataFrame:
             / F.lit(1e4)
         ).alias("dpo"),
     )
+
+
+def window_elder_ray(
+    events: DataFrame, decay: float = 0.875, span: int = 18
+) -> DataFrame:
+    """Elder-Ray index over each user's daily candles: bull power =
+    high - EMA(close), bear power = low - EMA(close) -- how far the
+    day's extremes stretch above/below the trend line (bulls able to
+    push price over the average; bears able to drag it under). The
+    crossover companion to ``window_keltner``'s band view, read as a
+    pair of signed distances instead of a breach flag.
+
+    The EMA is the exact-decay bounded-frame fold (dyadic decay 7/8:
+    every in-frame power representable, the window_macd argument), so
+    the center line is bit-identical cross-engine; the two powers are
+    integer cents minus that double, rounded at 1e-6 dollars.
+
+    Emits (user_id, day, bull_power, bear_power).
+    """
+    candle = _daily_candle(events)
+    we = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        -(span - 1), 0
+    )
+    alpha = 1.0 - decay
+    ewma = (
+        f"aggregate(zip_with(vc, sequence(size(vc) - 1, 0, -1),"
+        f" (v, e) -> v * pow({decay!r}, e)), 0D, (acc, x) -> acc + x)"
+        f" / ((1.0 - pow({decay!r}, size(vc))) / {alpha!r})"
+    )
+    framed = candle.select(
+        "user_id",
+        "day",
+        "high_c",
+        "low_c",
+        F.collect_list(F.col("close_c").cast("double")).over(we).alias("vc"),
+    ).select(
+        "user_id", "day", "high_c", "low_c", F.expr(ewma).alias("ema_c")
+    )
+    return framed.select(
+        "user_id",
+        "day",
+        F.round(
+            (F.col("high_c").cast("double") - F.col("ema_c")) / 100.0, 6
+        ).alias("bull_power"),
+        F.round(
+            (F.col("low_c").cast("double") - F.col("ema_c")) / 100.0, 6
+        ).alias("bear_power"),
+    )
+
+
+def window_cmf(events: DataFrame, cmf_window: int = 20) -> DataFrame:
+    """Chaikin Money Flow over each user's daily candles: the rolling
+    20-day ratio of money-flow volume to volume, where each day's
+    money-flow multiplier ((close-low)-(high-close))/(high-low)
+    locates the close inside the day's range -- the accumulation/
+    distribution readout next to ``window_mfi``'s direction-split
+    view.
+
+    Exactness: the multiplier is one integer ratio ((2c-h-l)/(h-l),
+    exact cents), but its product with volume is fractional -- so
+    each day's money-flow volume is QUANTIZED to an exact 1e-6
+    integer BEFORE the rolling sum (DuckDB windows sum via segment
+    tree: a double frame-sum is fold-order-dependent cross-engine --
+    the window_cusum lesson). Flat days (high == low) contribute
+    zero flow but full volume, the standard convention. CMF is one
+    integer-ratio double, 4 decimals.
+
+    Emits (user_id, day, cmf).
+    """
+    candle = _daily_candle(events, with_volume=True)
+    num = 2 * F.col("close_c") - F.col("high_c") - F.col("low_c")
+    rng = F.col("high_c") - F.col("low_c")
+    mfv6 = F.when(rng > 0, F.round(
+        num.cast("double") * F.col("n_ev").cast("double") * F.lit(1e6)
+        / rng.cast("double")
+    ).cast("long")).otherwise(F.lit(0).cast("long"))
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(-(cmf_window - 1), 0)
+    )
+    staged = candle.select(
+        "user_id", "day", mfv6.alias("mfv6"), F.col("n_ev")
+    )
+    return staged.select(
+        "user_id",
+        "day",
+        F.round(
+            F.sum("mfv6").over(wr).cast("double")
+            / (F.lit(1e6) * F.sum("n_ev").over(wr).cast("double")),
+            4,
+        ).alias("cmf"),
+    )
+
+
+def window_coppock(
+    events: DataFrame, roc_long: int = 14, roc_short: int = 11, wma: int = 10
+) -> DataFrame:
+    """Coppock curve over each user's daily closes: the 10-day
+    linear-weighted moving average of ROC(14) + ROC(11) -- the
+    long-horizon momentum bottom-finder (designed for monthly bars;
+    here on the daily resample, same construction).
+
+    Exactness: each ROC is one integer-cent ratio (exact doubles on
+    both engines); their sum is QUANTIZED to an exact 1e-8 integer
+    before the weighted fold, and the WMA is then an integer
+    weighted sum over the frame (weights 1..10, triangular-number
+    denominator) -- the window_hull_ma discipline. Days without a
+    full ROC lookback are dropped BEFORE the weighted frame (a NULL
+    inside a collect_list frame silently compacts on Spark but not
+    in a SQL list aggregate -- filtering first keeps both engines on
+    the identical value sequence).
+
+    Emits (user_id, day, coppock).
+    """
+    candle = _daily_candle(events)
+    wo = Window.partitionBy("user_id").orderBy("day")
+    cl = F.col("close_c").cast("double")
+    # a zero lookback close has no defined rate of change -- guard it
+    # like a missing lookback (ANSI division errors on 0; NULL drops
+    # below), zero-valued daily closes exist in the fixture
+    roc = lambda k: F.when(  # noqa: E731
+        F.lag("close_c", k).over(wo) > 0,
+        (cl - F.lag("close_c", k).over(wo).cast("double"))
+        / F.lag("close_c", k).over(wo).cast("double"),
+    )
+    r8 = F.round((roc(roc_long) + roc(roc_short)) * F.lit(1e8)).cast(
+        "long"
+    )
+    staged = candle.select("user_id", "day", r8.alias("r8")).filter(
+        F.col("r8").isNotNull()
+    )
+    ww = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(-(wma - 1), 0)
+    )
+    wsum = (
+        f"aggregate(zip_with(vr, sequence(1, size(vr)),"
+        f" (v, j) -> v * j), 0D, (acc, x) -> acc + x)"
+    )
+    framed = staged.select(
+        "user_id",
+        "day",
+        F.collect_list(F.col("r8").cast("double")).over(ww).alias("vr"),
+        F.count("r8").over(ww).alias("nw"),
+    )
+    tri = F.col("nw") * (F.col("nw") + 1) / 2
+    return framed.select(
+        "user_id",
+        "day",
+        F.round(
+            F.expr(wsum) / (tri.cast("double") * F.lit(1e8)), 6
+        ).alias("coppock"),
+    )

@@ -38,6 +38,7 @@ from . import round9 as _round9  # noqa: F401,E402
 from . import round9b as _round9b  # noqa: F401,E402
 from . import round10 as _round10  # noqa: F401,E402
 from . import round11 as _round11  # noqa: F401,E402
+from . import round12 as _round12  # noqa: F401,E402
 from . import priority as _priority  # noqa: F401,E402
 
 # names tests and tooling import from the old flat module

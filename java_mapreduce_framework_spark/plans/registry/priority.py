@@ -33,7 +33,24 @@ from .core import _REGISTRY
 #: first-or-stalest official verdict this round's 50 slots should
 #: buy. Retired into the never-sampled tier at next round's start
 #: (the round-11 set below drained exactly this way in round 12).
-_FRESH_THIS_ROUND: frozenset[str] = frozenset()
+_FRESH_THIS_ROUND: frozenset[str] = frozenset(
+    {
+        "window_elder_ray",
+        "window_cmf",
+        "window_coppock",
+        "stats_cliff_delta",
+        "stats_cvm_two_sample",
+        "stats_jonckheere_terpstra",
+        "events_retention_halflife",
+        "events_gini_trend",
+        "orders_cohort_ltv_curve",
+        "graph_edge_triangle_support",
+        "dedup_prefix_exact",
+        "multimodal_image_edge_density",
+        "sql_supplier_share_trend",
+        "sql_value_band_migration",
+    }
+)
 
 #: Round-11 additions, retired in round 12: CORRECTNESS_r11 sampled
 #: none of them, so they now lead the sweep through the ordinary

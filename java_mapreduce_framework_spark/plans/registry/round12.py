@@ -1,0 +1,552 @@
+"""Round-12 additions to the declared query registry: indicator
+completions (Elder-Ray, CMF, Coppock), effect-size / whole-CDF /
+ordered-trend stats (Cliff's delta, Cramer-von Mises, Jonckheere-
+Terpstra), cohort economics (retention half-life, Gini trend, LTV
+curve), edge-level graph support, prefix dedup, Sobel edge density,
+and two SQL-intake shapes. Every entry keeps the round-11 envelope
+discipline: SURVEY §2B row (sync-tested), hash oracle, plan notes,
+tests in tests/test_round12.py."""
+from __future__ import annotations
+
+from pyspark.sql import functions as F  # noqa: F401
+
+from ...operators import (  # noqa: F401
+    analytics,
+    dedup,
+    multimodal,
+    temporal,
+)
+from .core import _EVTS, _register, _t
+from .multimodal import _PAYLOAD_CTE  # noqa: E402
+from .round9 import _CANDLE_CTE  # noqa: E402
+from .round9b import _CANDLE_VOL_CTE  # noqa: E402
+
+# ------------------------------------------------- window indicators
+
+#: exact-decay EWMA fold over the frame list -- the window_keltner
+#: identity (dyadic decay 7/8: every in-frame power exactly
+#: representable, fold order = frame order on both engines).
+_EWMA_7_8 = (
+    "list_sum(list_transform(vc, (v, i) ->"
+    " v * pow(0.875, len(vc) - i)))"
+    " / ((1.0 - pow(0.875, len(vc))) / 0.125)"
+)
+
+
+@_register(
+    "window_elder_ray",
+    f"""
+    WITH {_CANDLE_CTE},
+    fr AS (
+      SELECT user_id, day, high_c, low_c,
+             list(CAST(close_c AS DOUBLE)) OVER we AS vc
+      FROM candle
+      WINDOW we AS (PARTITION BY user_id ORDER BY day
+                    ROWS BETWEEN 17 PRECEDING AND CURRENT ROW))
+    SELECT user_id, day,
+           round((high_c - ({_EWMA_7_8})) / 100.0, 6) AS bull_power,
+           round((low_c - ({_EWMA_7_8})) / 100.0, 6) AS bear_power
+    FROM fr
+    """,
+    note="Elder-Ray bull/bear power: day extremes minus the "
+    "exact-decay EWMA center (window_keltner's 7/8 fold -- "
+    "bit-identical cross-engine); one user_id exchange",
+)
+def _window_elder_ray(spark, sf):
+    return temporal.window_elder_ray(_t(spark, sf, "events"))
+
+
+@_register(
+    "window_cmf",
+    f"""
+    WITH {_CANDLE_VOL_CTE},
+    mf AS (
+      SELECT user_id, day, n_ev,
+             CASE WHEN high_c > low_c
+                  THEN CAST(round((2 * close_c - high_c - low_c)
+                                  * CAST(n_ev AS DOUBLE) * 1e6
+                                  / (high_c - low_c)) AS BIGINT)
+                  ELSE 0 END AS mfv6
+      FROM candle)
+    SELECT user_id, day,
+           round(CAST(sum(mfv6) OVER wr AS DOUBLE)
+                 / (1e6 * CAST(sum(n_ev) OVER wr AS DOUBLE)), 4) AS cmf
+    FROM mf
+    WINDOW wr AS (PARTITION BY user_id ORDER BY day
+                  ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    """,
+    note="Chaikin Money Flow over daily candles: per-day money-flow "
+    "volume quantized to exact 1e-6 integers BEFORE the rolling sums "
+    "(segment-tree fold-order lesson); flat days carry zero flow, "
+    "full volume",
+)
+def _window_cmf(spark, sf):
+    return temporal.window_cmf(_t(spark, sf, "events"))
+
+
+@_register(
+    "window_coppock",
+    f"""
+    WITH {_CANDLE_CTE},
+    rc AS (
+      SELECT user_id, day,
+             CAST(round((CASE WHEN lag(close_c, 14) OVER wo > 0
+                         THEN (CAST(close_c AS DOUBLE)
+                               - lag(close_c, 14) OVER wo)
+                              / lag(close_c, 14) OVER wo END
+                         + CASE WHEN lag(close_c, 11) OVER wo > 0
+                           THEN (CAST(close_c AS DOUBLE)
+                                 - lag(close_c, 11) OVER wo)
+                                / lag(close_c, 11) OVER wo END) * 1e8)
+                  AS BIGINT) AS r8
+      FROM candle
+      WINDOW wo AS (PARTITION BY user_id ORDER BY day)),
+    fr AS (
+      SELECT user_id, day,
+             list(CAST(r8 AS DOUBLE)) OVER ww AS vr,
+             count(r8) OVER ww AS nw
+      FROM rc WHERE r8 IS NOT NULL
+      WINDOW ww AS (PARTITION BY user_id ORDER BY day
+                    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+    SELECT user_id, day,
+           round(list_sum(list_transform(vr, (v, i) -> v * i))
+                 / (CAST(nw * (nw + 1) AS DOUBLE) / 2.0 * 1e8),
+                 6) AS coppock
+    FROM fr
+    """,
+    note="Coppock curve: ROC(14)+ROC(11) quantized to exact 1e-8 "
+    "integers before the 10-lag integer-weighted WMA fold (the "
+    "hull_ma discipline); no-lookback days dropped pre-frame so both "
+    "engines fold identical value sequences",
+)
+def _window_coppock(spark, sf):
+    return temporal.window_coppock(_t(spark, sf, "events"))
+
+
+# --------------------------------------------------------- stats
+
+_AB_SPLIT = (
+    "substr(md5(concat_ws('|', 'ab', CAST(user_id AS VARCHAR))),"
+    " 1, 1) < '8'"
+)
+
+
+@_register(
+    "stats_cliff_delta",
+    f"""
+    WITH vg AS (
+      SELECT event_type, value,
+             count(*) AS cnt,
+             sum(CASE WHEN {_AB_SPLIT} THEN 1 ELSE 0 END) AS cnt_a
+      FROM {_EVTS} WHERE value IS NOT NULL
+      GROUP BY event_type, value),
+    st AS (
+      SELECT event_type, cnt_a, cnt - cnt_a AS cnt_b,
+             coalesce(sum(cnt - cnt_a) OVER w, 0) AS b_below,
+             coalesce(sum(cnt_a) OVER w, 0) AS a_below
+      FROM vg
+      WINDOW w AS (PARTITION BY event_type ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    agg AS (
+      SELECT event_type, sum(cnt_a) AS n_a, sum(cnt_b) AS n_b,
+             sum(cnt_a * b_below) AS gt_pairs,
+             sum(cnt_b * a_below) AS lt_pairs
+      FROM st GROUP BY event_type)
+    SELECT event_type, CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CAST(gt_pairs AS BIGINT) AS gt_pairs,
+           CAST(lt_pairs AS BIGINT) AS lt_pairs,
+           CAST(CAST(round((gt_pairs - lt_pairs) * 1e6
+                           / CAST(n_a * n_b AS DOUBLE)) AS BIGINT)
+                AS DOUBLE) / 1e6 AS cliff_delta
+    FROM agg WHERE n_a > 0 AND n_b > 0
+    """,
+    note="Cliff's delta effect size per event type (mannwhitney's "
+    "A/B split): greater/less pair counts off ONE exclusive "
+    "cumulative window over the per-type value alphabet, exact "
+    "bigints, delta one integer ratio at 1e-6",
+)
+def _stats_cliff_delta(spark, sf):
+    return analytics.cliff_delta(_t(spark, sf, "events"))
+
+
+@_register(
+    "stats_cvm_two_sample",
+    f"""
+    WITH vg AS (
+      SELECT event_type, value,
+             count(*) AS cnt,
+             sum(CASE WHEN {_AB_SPLIT} THEN 1 ELSE 0 END) AS cnt_a
+      FROM {_EVTS} WHERE value IS NOT NULL
+      GROUP BY event_type, value),
+    st AS (
+      SELECT event_type, cnt,
+             sum(cnt_a) OVER w_in AS ca_in,
+             sum(cnt) OVER w_in - sum(cnt_a) OVER w_in AS cb_in,
+             sum(cnt_a) OVER w_all AS n_a,
+             sum(cnt) OVER w_all - sum(cnt_a) OVER w_all AS n_b
+      FROM vg
+      WINDOW w_in AS (PARTITION BY event_type ORDER BY value
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW),
+             w_all AS (PARTITION BY event_type)),
+    terms AS (
+      SELECT event_type, n_a, n_b,
+             CAST(round(CAST(cnt AS DOUBLE)
+                        * (CAST(ca_in AS DOUBLE) / n_a
+                           - CAST(cb_in AS DOUBLE) / n_b)
+                        * (CAST(ca_in AS DOUBLE) / n_a
+                           - CAST(cb_in AS DOUBLE) / n_b)
+                        * 1e9) AS BIGINT) AS t9
+      FROM st WHERE n_a > 0 AND n_b > 0),
+    agg AS (
+      SELECT event_type, max(n_a) AS n_a, max(n_b) AS n_b,
+             sum(t9) AS t9
+      FROM terms GROUP BY event_type)
+    SELECT event_type, CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           round(CAST(t9 AS DOUBLE) * n_a * n_b
+                 / (1e9 * CAST(n_a + n_b AS DOUBLE)
+                        * CAST(n_a + n_b AS DOUBLE)), 6) AS cvm_stat
+    FROM agg
+    """,
+    note="two-sample Cramer-von Mises per event type (ECDF form): "
+    "whole-CDF distance next to ks_two_sample's max gap; per-value "
+    "terms quantized to integer 1e-9 before the grouped sum (the "
+    "micro-nat fold discipline)",
+)
+def _stats_cvm_two_sample(spark, sf):
+    return analytics.cvm_two_sample(_t(spark, sf, "events"))
+
+
+@_register(
+    "stats_jonckheere_terpstra",
+    """
+    WITH grid AS (
+      SELECT CAST(month(l_shipdate) AS INT) AS g,
+             CAST(l_quantity AS BIGINT) AS v, count(*) AS cnt
+      FROM lineitem GROUP BY 1, 2),
+    pairs AS (
+      SELECT CASE WHEN a.v < b.v THEN 2 * a.cnt * b.cnt
+                  ELSE a.cnt * b.cnt END AS u2
+      FROM grid a JOIN grid b
+        ON a.g < b.g AND a.v <= b.v),
+    jt AS (SELECT sum(u2) AS jt2 FROM pairs),
+    sizes AS (SELECT g, sum(cnt) AS n_g FROM grid GROUP BY g),
+    mom AS (
+      SELECT sum(n_g) AS n, sum(n_g * n_g) AS s2,
+             sum(n_g * n_g * (2 * n_g + 3)) AS s3
+      FROM sizes)
+    SELECT CAST(n AS BIGINT) AS n_total,
+           CAST(jt2 AS BIGINT) AS jt2,
+           CAST((n * n - s2) / 2 AS BIGINT) AS e_jt2,
+           round(CAST(jt2 - (n * n - s2) / 2 AS DOUBLE)
+                 / (2.0 * sqrt((CAST(n AS DOUBLE) * n * (2 * n + 3)
+                                - CAST(s3 AS DOUBLE)) / 72.0)),
+                 6) AS zscore
+    FROM jt CROSS JOIN mom
+    """,
+    note="Jonckheere-Terpstra monotone-trend test of quantity by "
+    "ship month: corpus compresses to the 12 x 50 (month, quantity) "
+    "grid FIRST, pairwise U fold is grid-squared not corpus-sized; "
+    "ties half-credit via doubled-integer statistic; no-tie null "
+    "variance (the mannwhitney simple-variant discipline)",
+)
+def _stats_jonckheere_terpstra(spark, sf):
+    return analytics.jonckheere_terpstra(_t(spark, sf, "lineitem"))
+
+
+# ------------------------------------------------- cohort economics
+
+
+@_register(
+    "events_retention_halflife",
+    f"""
+    WITH fs AS (
+      SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+      FROM {_EVTS} GROUP BY user_id),
+    sizes AS (
+      SELECT cohort_week, count(*) AS cohort_size
+      FROM fs GROUP BY cohort_week),
+    act AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+      FROM {_EVTS}),
+    tri AS (
+      SELECT fs.cohort_week,
+             CAST(date_diff('day', fs.cohort_week, a.active_week) / 7
+                  AS INTEGER) AS off,
+             count(DISTINCT a.user_id) AS n_ret
+      FROM act a JOIN fs ON fs.user_id = a.user_id
+      GROUP BY 1, 2),
+    pooled AS (
+      SELECT off, sum(n_ret) AS ret, sum(s.cohort_size) AS size
+      FROM tri t JOIN sizes s ON s.cohort_week = t.cohort_week
+      WHERE off >= 1
+      GROUP BY off
+      HAVING sum(n_ret) > 0),
+    pts AS (
+      SELECT CAST(off AS BIGINT) AS x,
+             CAST(round(ln(CAST(ret AS DOUBLE) / size) * 1e6)
+                  AS BIGINT) AS y6
+      FROM pooled),
+    m AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(y6) AS sy,
+             sum(x * x) AS sxx, sum(x * y6) AS sxy
+      FROM pts)
+    SELECT CAST(n AS BIGINT) AS n_points,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+             AS slope_micro_nats,
+           CASE WHEN n * sxy - sx * sy <> 0
+                THEN round(-0.6931471805599453 * 1e6
+                           / (CAST(n * sxy - sx * sy AS DOUBLE)
+                              / CAST(n * sxx - sx * sx AS DOUBLE)), 4)
+           END AS half_life_weeks
+    FROM m WHERE n >= 2
+    """,
+    note="exponential retention half-life: pooled weekly triangle "
+    "per offset, ln(rate) rounded to integer micro-nats BEFORE the "
+    "closed-form OLS moments (the lm_* fold discipline), half-life "
+    "= -ln2/slope",
+)
+def _events_retention_halflife(spark, sf):
+    return analytics.retention_halflife(_t(spark, sf, "events"))
+
+
+@_register(
+    "events_gini_trend",
+    f"""
+    WITH mu AS (
+      SELECT date_trunc('month', ts) AS month, user_id,
+             count(*) AS x
+      FROM {_EVTS} GROUP BY 1, 2),
+    ranked AS (
+      SELECT month, x,
+             row_number() OVER (PARTITION BY month
+                                ORDER BY x, user_id) AS i
+      FROM mu),
+    agg AS (
+      SELECT month, count(*) AS n, sum(x) AS sx, sum(i * x) AS six
+      FROM ranked GROUP BY month)
+    SELECT month, CAST(n AS BIGINT) AS n_users,
+           CAST(sx AS BIGINT) AS n_events,
+           round(2.0 * CAST(six AS DOUBLE) / (n * CAST(sx AS DOUBLE))
+                 - (n + 1.0) / n, 4) AS gini
+    FROM agg
+    """,
+    note="monthly Gini of per-user event concentration (stats_gini "
+    "frozen per calendar month): integer counts, per-month rank "
+    "window with the (count, user_id) unique-key tiebreak, "
+    "closed-form coefficient rounded 4",
+)
+def _events_gini_trend(spark, sf):
+    return analytics.gini_trend(_t(spark, sf, "events"))
+
+
+@_register(
+    "orders_cohort_ltv_curve",
+    """
+    WITH first AS (
+      SELECT o_custkey, min(date_trunc('month', o_orderdate)) AS cm
+      FROM orders GROUP BY o_custkey),
+    sizes AS (SELECT cm, count(*) AS cohort_size FROM first GROUP BY cm),
+    rev AS (
+      SELECT f.cm,
+             (year(o.o_orderdate) - year(f.cm)) * 12
+               + (month(o.o_orderdate) - month(f.cm)) AS month_offset,
+             CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) * 10000
+                  AS BIGINT) AS rev_c4
+      FROM orders o JOIN first f ON f.o_custkey = o.o_custkey
+      GROUP BY 1, 2),
+    cum AS (
+      SELECT cm, month_offset,
+             sum(rev_c4) OVER (PARTITION BY cm ORDER BY month_offset
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cum_c4
+      FROM rev)
+    SELECT c.cm AS cohort_month,
+           CAST(c.month_offset AS INT) AS month_offset,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           CAST(CAST(round(c.cum_c4 * 1.0
+                           / CAST(s.cohort_size AS DOUBLE)) AS BIGINT)
+                AS DOUBLE) / 1e4 AS cum_ltv
+    FROM cum c JOIN sizes s ON s.cm = c.cm
+    """,
+    note="cohort LTV payback curve (first-order-month cohorts x "
+    "month offset, cumulative revenue per member): DECIMAL-exact "
+    "1e-4-dollar integers, cumulative over the bounded offset axis, "
+    "per-member ratio at 1e-4",
+)
+def _orders_cohort_ltv_curve(spark, sf):
+    return analytics.cohort_ltv_curve(_t(spark, sf, "orders"))
+
+
+# ------------------------------------------------------------- graph
+
+
+@_register(
+    "graph_edge_triangle_support",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    cooc AS (
+      SELECT a.l_partkey AS doc_a, b.l_partkey AS doc_b
+      FROM op a
+      JOIN op b ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2),
+    sym AS (SELECT doc_a, doc_b FROM cooc
+            UNION ALL SELECT doc_b, doc_a FROM cooc),
+    wedges AS (
+      SELECT l.doc_a AS a, r.doc_b AS b
+      FROM (SELECT doc_b AS w, doc_a FROM sym) l
+      JOIN (SELECT doc_a AS w, doc_b FROM sym) r ON l.w = r.w
+      WHERE l.doc_a < r.doc_b),
+    closed AS (
+      SELECT w.a, w.b FROM wedges w
+      JOIN cooc c ON c.doc_a = w.a AND c.doc_b = w.b),
+    sup AS (SELECT a, b, count(*) AS support FROM closed GROUP BY a, b)
+    SELECT c.doc_a, c.doc_b,
+           CAST(coalesce(s.support, 0) AS BIGINT) AS support
+    FROM cooc c LEFT JOIN sup s
+      ON s.a = c.doc_a AND s.b = c.doc_b
+    """,
+    note="per-edge triangle support over the co-purchase graph (the "
+    "k-truss building block; clustering_coefficient's edge-level "
+    "view): one center-keyed wedge join + a semi-join against the "
+    "canonical edge set, pair stream eagerly checkpointed",
+)
+def _graph_edge_triangle_support(spark, sf):
+    from .closers import _copurchase_pairs
+
+    return dedup.edge_triangle_support(_copurchase_pairs(spark, sf))
+
+
+# ------------------------------------------------------------- dedup
+
+
+@_register(
+    "dedup_prefix_exact",
+    """
+    WITH el AS (
+      SELECT doc_id, md5(substr(text, 1, 64)) AS prefix_hash,
+             md5(text) AS full_hash
+      FROM documents WHERE length(text) >= 64)
+    SELECT prefix_hash,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT full_hash) AS BIGINT) AS n_distinct_full
+    FROM el GROUP BY prefix_hash
+    HAVING count(*) > 1
+    """,
+    note="exact-PREFIX duplicate clusters (crawl-boilerplate "
+    "detector): one md5-of-head groupBy, map-side combinable; "
+    "n_distinct_full separates whole-doc copies from prefix-only "
+    "template overlap",
+)
+def _dedup_prefix_exact(spark, sf):
+    return dedup.dedup_prefix_exact(_t(spark, sf, "documents"))
+
+
+# -------------------------------------------------------- multimodal
+
+
+@_register(
+    "multimodal_image_edge_density",
+    f"""
+    WITH {_PAYLOAD_CTE},
+    geo AS (SELECT doc_id, n, bytes,
+                   8 + (n % 9) AS w, 8 + ((n * 3) % 9) AS h
+            FROM pbytes WHERE n > 0),
+    lums AS (SELECT doc_id, w, h,
+                    list_transform(range(0, w * h), k ->
+                        bytes[CAST((k * 3 + 0) % n AS INT) + 1]
+                      + bytes[CAST((k * 3 + 1) % n AS INT) + 1]
+                      + bytes[CAST((k * 3 + 2) % n AS INT) + 1]) AS L
+             FROM geo),
+    px AS (SELECT doc_id, w, h, L,
+                  unnest(range(0, (h - 2) * (w - 2))) AS j
+           FROM lums WHERE h > 2 AND w > 2),
+    g AS (SELECT doc_id, (h - 2) * (w - 2) AS n_int,
+                 (L[CAST((j // (w-2) + 0) * w + (j % (w-2) + 2) AS INT) + 1]
+                  + 2 * L[CAST((j // (w-2) + 1) * w + (j % (w-2) + 2) AS INT) + 1]
+                  + L[CAST((j // (w-2) + 2) * w + (j % (w-2) + 2) AS INT) + 1]
+                  - L[CAST((j // (w-2) + 0) * w + (j % (w-2) + 0) AS INT) + 1]
+                  - 2 * L[CAST((j // (w-2) + 1) * w + (j % (w-2) + 0) AS INT) + 1]
+                  - L[CAST((j // (w-2) + 2) * w + (j % (w-2) + 0) AS INT) + 1]) AS gx,
+                 (L[CAST((j // (w-2) + 2) * w + (j % (w-2) + 0) AS INT) + 1]
+                  + 2 * L[CAST((j // (w-2) + 2) * w + (j % (w-2) + 1) AS INT) + 1]
+                  + L[CAST((j // (w-2) + 2) * w + (j % (w-2) + 2) AS INT) + 1]
+                  - L[CAST((j // (w-2) + 0) * w + (j % (w-2) + 0) AS INT) + 1]
+                  - 2 * L[CAST((j // (w-2) + 0) * w + (j % (w-2) + 1) AS INT) + 1]
+                  - L[CAST((j // (w-2) + 0) * w + (j % (w-2) + 2) AS INT) + 1]) AS gy
+          FROM px),
+    a AS (SELECT doc_id, max(n_int) AS n_interior,
+                 sum(CASE WHEN gx * gx + gy * gy >= 40000
+                          THEN 1 ELSE 0 END) AS n_edges
+          FROM g GROUP BY doc_id)
+    SELECT doc_id, CAST(n_interior AS BIGINT) AS n_interior,
+           CAST(n_edges AS BIGINT) AS n_edges,
+           CAST(CAST(round(n_edges * 1e6
+                           / CAST(n_interior AS DOUBLE)) AS BIGINT)
+                AS DOUBLE) / 1e6 AS edge_density
+    FROM a
+    """,
+    note="per-image Sobel edge density over REAL decoded BMP pixels "
+    "(image_contrast's structure companion -- the blur/blank gate): "
+    "integer 3x3 convolutions on interior luminance, exact edge "
+    "flags at gx^2+gy^2 >= 40000, density one integer ratio at "
+    "1e-6; oracle replays every pixel from the text bytes",
+)
+def _multimodal_image_edge_density(spark, sf):
+    return multimodal.image_edge_density(
+        multimodal.attach_image_payload(_t(spark, sf, "documents"))
+    )
+
+
+# ---------------------------------------------------- SQL intake
+
+
+@_register(
+    "sql_supplier_share_trend",
+    None,  # oracle attached below: the SAME SQL string runs on DuckDB
+    note="yearly revenue share per supplier nation with YoY share "
+    "delta through the spark.sql intake (window-over-window: share "
+    "within year, lag across years); revenue in exact 1e-4-dollar "
+    "integers, shares at 1e-6, delta subtracts two already-rounded "
+    "shares",
+)
+def _sql_supplier_share_trend(spark, sf):
+    from ..sql import SUPPLIER_SHARE_TREND, run_sql
+
+    return run_sql(spark, sf, SUPPLIER_SHARE_TREND)
+
+
+@_register(
+    "sql_value_band_migration",
+    None,  # oracle attached below: the SAME SQL string runs on DuckDB
+    note="customer order-value band migration 1995 -> 1997 through "
+    "the spark.sql intake (FULL OUTER JOIN transition matrix with "
+    "ENTER/EXIT bands); fixed dollar cut points, DECIMAL-cent exact "
+    "spend",
+)
+def _sql_value_band_migration(spark, sf):
+    from ..sql import VALUE_BAND_MIGRATION, run_sql
+
+    return run_sql(spark, sf, VALUE_BAND_MIGRATION)
+
+
+def _attach_sql_oracles() -> None:
+    """sql_* queries' oracle IS the query text (dialect-shared subset)."""
+    from .. import sql as _sql
+    from .core import _REGISTRY, QuerySpec
+
+    for name, stmt in (
+        ("sql_supplier_share_trend", _sql.SUPPLIER_SHARE_TREND),
+        ("sql_value_band_migration", _sql.VALUE_BAND_MIGRATION),
+    ):
+        spec = _REGISTRY[name]
+        _REGISTRY[name] = QuerySpec(spec.name, spec.fn, stmt, spec.note)
+
+
+_attach_sql_oracles()

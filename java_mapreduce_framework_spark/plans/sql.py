@@ -748,3 +748,70 @@ SELECT n.n_name AS nation,
 FROM terms JOIN nation n ON n.n_nationkey = terms.nk
 GROUP BY n.n_name
 """
+
+
+#: Yearly revenue share of each supplier NATION with its
+#: year-over-year share delta -- the market-share trend view
+#: (window-over-window SQL: share within year, then lag across
+#: years). Revenue in exact 1e-4-dollar integers; shares round at
+#: integer 1e-6 scale; the delta subtracts two already-rounded
+#: shares so both engines subtract identical doubles.
+SUPPLIER_SHARE_TREND = """
+WITH rev AS (
+  SELECT CAST(year(o.o_orderdate) AS INT) AS yr, s.s_nationkey AS nk,
+         CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(18,2))
+                     - CAST(l.l_discount AS DECIMAL(18,2)))) * 10000
+              AS BIGINT) AS rev_c4
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  GROUP BY year(o.o_orderdate), s.s_nationkey),
+sh AS (
+  SELECT yr, nk, rev_c4,
+         CAST(CAST(round(CAST(rev_c4 AS DOUBLE) * 1e6
+                         / CAST(sum(rev_c4) OVER (PARTITION BY yr)
+                                AS DOUBLE)) AS BIGINT) AS DOUBLE)
+           / 1e6 AS share
+  FROM rev)
+SELECT n.n_name AS nation, yr,
+       CAST(rev_c4 AS DOUBLE) / CAST(10000 AS DOUBLE) AS revenue,
+       share,
+       share - lag(share) OVER (PARTITION BY nk ORDER BY yr)
+         AS share_delta
+FROM sh JOIN nation n ON n.n_nationkey = sh.nk
+"""
+
+
+#: Customer order-value quartile-band migration between the 1995 and
+#: 1997 calendar years: which value band a customer's spend fell in
+#: each year, counted as a transition matrix (plus ENTER/EXIT bands
+#: for customers active in only one year) -- the upgrade/downgrade
+#: mix report. Bands cut at fixed dollar thresholds (quartile-free
+#: by design: data-derived cut points would make the matrix drift
+#: with scale factor); spend in exact DECIMAL cents.
+VALUE_BAND_MIGRATION = """
+WITH spend AS (
+  SELECT o_custkey, CAST(year(o_orderdate) AS INT) AS yr,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS spend_c
+  FROM orders
+  WHERE year(o_orderdate) IN (1995, 1997)
+  GROUP BY o_custkey, year(o_orderdate)),
+banded AS (
+  SELECT o_custkey, yr,
+         CASE WHEN spend_c < 20000000 THEN 'low'
+              WHEN spend_c < 50000000 THEN 'mid'
+              WHEN spend_c < 100000000 THEN 'high'
+              ELSE 'top' END AS band
+  FROM spend),
+mat AS (
+  SELECT coalesce(a.band, 'ENTER') AS band_1995,
+         coalesce(b.band, 'EXIT') AS band_1997
+  FROM (SELECT o_custkey, band FROM banded WHERE yr = 1995) a
+  FULL OUTER JOIN (SELECT o_custkey, band FROM banded WHERE yr = 1997) b
+    ON a.o_custkey = b.o_custkey)
+SELECT band_1995, band_1997, CAST(count(*) AS BIGINT) AS n_customers
+FROM mat
+GROUP BY band_1995, band_1997
+"""

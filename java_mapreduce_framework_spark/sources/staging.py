@@ -27,12 +27,41 @@ per corpus generation, never per session) is the production contract.
 """
 from __future__ import annotations
 
+import os
 import pathlib
 import shutil
+import uuid
 from typing import Callable, Sequence
 from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def stage_once(stage: pathlib.Path, build: Callable[[str], None]) -> pathlib.Path:
+    """Build-once DIRECTORY fixture (stream source dirs, kv text
+    dirs): ensure ``stage`` exists, building it at most once.
+
+    ``build(tmp_path)`` must create+populate ``tmp_path``. Staged
+    directories are built under a unique temp name and renamed into
+    place: a concurrent builder of the same fixture either wins the
+    rename or discards its copy, so readers never observe a
+    half-written directory (a bare marker-file protocol is racy
+    between the build and the marker touch). The rename is atomic on
+    POSIX; if another process won the race the temp copy is dropped
+    and the winner's directory is used.
+    """
+    if stage.exists():
+        return stage
+    stage.parent.mkdir(parents=True, exist_ok=True)
+    tmp = stage.parent / f".build-{uuid.uuid4().hex[:8]}-{stage.name}"
+    build(str(tmp))
+    try:
+        os.rename(tmp, stage)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not stage.exists():
+            raise
+    return stage
 
 
 def warehouse_dir(spark: SparkSession) -> pathlib.Path:

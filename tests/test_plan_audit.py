@@ -128,6 +128,8 @@ ALLOWED_NESTED_LOOP = {
     "time_sax_words",  # 1-row broadcast (n, S, sxx) moment scalar
     "corpus_lang_rebalance",  # 1-row broadcast rarest-language count
     "stats_quade",  # friedman's k-row grid cross + 1-row (k+1) scalar
+    # round 12
+    "stats_jonckheere_terpstra",  # 600-cell (month x qty) grid self-join
     "events_peak_days",  # 1-row broadcast (n, S, sxx) moment scalar
     "stats_cusum_break",  # 1-row broadcast (n, S, sxx) moment scalar
     "stats_acf_table",  # 1-row broadcast (n, S) moment scalar

@@ -1,0 +1,360 @@
+"""Engine-local semantics tests for the round-12 operators: each pins
+the operator's math on a crafted input against a hand-computed
+reference (the DuckDB oracle sweep covers fixture parity; these cover
+the SEMANTICS on inputs chosen to exercise the edges -- CMF's flat
+day, Coppock's lookback gate, Cliff's delta at total separation, CvM
+on identical samples, JT on a perfectly monotone grid, edge support
+on a clique-plus-bridge graph, the Sobel flat-image zero)."""
+
+import datetime
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from java_mapreduce_framework_spark.operators import (
+    analytics,
+    dedup,
+    multimodal,
+    temporal,
+)
+
+
+def _events(spark, rows):
+    """rows: (event_id, iso_ts, user_id, event_type, value)"""
+    return spark.createDataFrame(
+        [
+            (i, datetime.datetime.fromisoformat(ts), u, t, float(v), "{}")
+            for (i, ts, u, t, v) in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+
+
+def _daily(spark, closes, user=1):
+    return _events(
+        spark,
+        [
+            (i, f"2024-01-{i + 1:02d}T12:00:00", user, "click", c)
+            for i, c in enumerate(closes)
+        ],
+    )
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, lg, s, len(t)) for (i, t, lg, s) in rows],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+
+
+# ------------------------------------------------ technical indicators
+
+
+def test_elder_ray_single_day_is_range_around_close(spark):
+    """With one candle the EMA equals the close, so bull/bear power
+    are exactly (high - close) and (low - close) -- here one event:
+    all three coincide, both powers 0."""
+    ev = _daily(spark, [12.0])
+    row = temporal.window_elder_ray(ev).collect()[0]
+    assert row["bull_power"] == 0.0 and row["bear_power"] == 0.0
+
+
+def test_elder_ray_rising_series_bullish(spark):
+    """On a strictly rising close series the EMA lags below the
+    current day's level, so bull power (high over EMA) is positive
+    every day after the first."""
+    rows = temporal.window_elder_ray(
+        _daily(spark, [10.0, 20.0, 30.0, 40.0])
+    ).collect()
+    by_day = sorted(rows, key=lambda r: r["day"])
+    assert all(r["bull_power"] > 0 for r in by_day[1:])
+
+
+def test_cmf_flat_day_contributes_volume_but_no_flow(spark):
+    """Two events on one day at the same value: high == low, so the
+    multiplier is undefined -> flow 0 by convention, CMF 0."""
+    ev = _events(
+        spark,
+        [
+            (0, "2024-01-01T10:00:00", 1, "click", 7.0),
+            (1, "2024-01-01T11:00:00", 1, "click", 7.0),
+        ],
+    )
+    assert temporal.window_cmf(ev).collect()[0]["cmf"] == 0.0
+
+
+def test_cmf_close_at_high_is_plus_one(spark):
+    """A day whose close sits at the high has multiplier +1, so a
+    single-day CMF is +1 regardless of volume."""
+    ev = _events(
+        spark,
+        [
+            (0, "2024-01-01T10:00:00", 1, "click", 5.0),
+            (1, "2024-01-01T11:00:00", 1, "click", 10.0),
+        ],
+    )
+    assert temporal.window_cmf(ev).collect()[0]["cmf"] == 1.0
+
+
+def test_coppock_needs_full_lookback(spark):
+    """15 daily closes: only day 15 has both ROC(14) and ROC(11)
+    defined, so exactly one row emits; constant +1/day closes give a
+    hand-computable value."""
+    closes = [float(100 + i) for i in range(15)]
+    rows = temporal.window_coppock(_daily(spark, closes)).collect()
+    assert len(rows) == 1
+    r14 = (closes[14] - closes[0]) / closes[0]
+    r11 = (closes[14] - closes[3]) / closes[3]
+    expected = round(round((r14 + r11) * 1e8) / 1e8, 6)
+    assert abs(rows[0]["coppock"] - expected) < 1e-9
+
+
+# ----------------------------------------------------------- stats
+
+
+def test_cliff_delta_total_separation(spark):
+    """Find a user pair whose md5 split lands one in A and one in B,
+    give A strictly larger values: delta must be +1 (every A beats
+    every B)."""
+    import hashlib
+
+    def is_a(u):
+        return hashlib.md5(f"ab|{u}".encode()).hexdigest()[0] < "8"
+
+    ua = next(u for u in range(100) if is_a(u))
+    ub = next(u for u in range(100) if not is_a(u))
+    ev = _events(
+        spark,
+        [
+            (0, "2024-01-01T10:00:00", ua, "click", 10.0),
+            (1, "2024-01-01T11:00:00", ua, "click", 11.0),
+            (2, "2024-01-01T12:00:00", ub, "click", 1.0),
+            (3, "2024-01-01T13:00:00", ub, "click", 2.0),
+        ],
+    )
+    row = analytics.cliff_delta(ev).collect()[0]
+    assert row["cliff_delta"] == 1.0
+    assert row["gt_pairs"] == 4 and row["lt_pairs"] == 0
+
+
+def test_cvm_identical_samples_zero(spark):
+    """A and B drawn as the SAME value multiset (one A user and one B
+    user, identical values): the ECDFs coincide at every pooled
+    value, so the statistic is exactly 0."""
+    import hashlib
+
+    def is_a(u):
+        return hashlib.md5(f"ab|{u}".encode()).hexdigest()[0] < "8"
+
+    ua = next(u for u in range(100) if is_a(u))
+    ub = next(u for u in range(100) if not is_a(u))
+    ev = _events(
+        spark,
+        [
+            (0, "2024-01-01T10:00:00", ua, "click", 1.0),
+            (1, "2024-01-01T11:00:00", ua, "click", 2.0),
+            (2, "2024-01-01T12:00:00", ub, "click", 1.0),
+            (3, "2024-01-01T13:00:00", ub, "click", 2.0),
+        ],
+    )
+    assert analytics.cvm_two_sample(ev).collect()[0]["cvm_stat"] == 0.0
+
+
+def test_jonckheere_monotone_grid_maximal(spark):
+    """Quantities strictly increasing with month: JT equals its
+    maximum (every cross-month pair concordant), so 2U = 2 * n1*n2
+    summed over ordered month pairs and the z-score is positive."""
+    rows = []
+    for m, q in ((1, 1.0), (2, 2.0), (3, 3.0)):
+        for i in range(2):
+            rows.append((m * 10 + i, q))
+    li = spark.createDataFrame(
+        [
+            (
+                k,
+                datetime.date(1995, m, 1),
+                float(q),
+            )
+            for k, (m, q) in enumerate(
+                [(1, 1), (1, 1), (2, 2), (2, 2), (3, 3), (3, 3)]
+            )
+        ],
+        "l_orderkey long, l_shipdate date, l_quantity double",
+    )
+    row = analytics.jonckheere_terpstra(li).collect()[0]
+    # 3 ordered month pairs x 2x2 concordant pairs x2 (doubled)
+    assert row["jt2"] == 2 * 3 * 4
+    assert row["zscore"] > 0
+
+
+def test_jonckheere_ties_half_credit(spark):
+    """Equal quantities across two months: every cross pair is a tie
+    (half credit -> doubled statistic equals n1*n2), z exactly 0."""
+    li = spark.createDataFrame(
+        [
+            (0, datetime.date(1995, 1, 1), 5.0),
+            (1, datetime.date(1995, 2, 1), 5.0),
+        ],
+        "l_orderkey long, l_shipdate date, l_quantity double",
+    )
+    row = analytics.jonckheere_terpstra(li).collect()[0]
+    assert row["jt2"] == 1 and row["zscore"] == 0.0
+
+
+# ------------------------------------------------ cohort economics
+
+
+def test_retention_halflife_exact_geometric(spark):
+    """Four users in one cohort, active-week survival 4 -> 2 -> 1:
+    pooled rates at offsets 1 and 2 are 1/2 and 1/4 -- exactly one
+    halving per week, so the fitted half-life is 1.0 weeks."""
+    rows = []
+    eid = 0
+    # cohort week: all four users seen in week of 2024-01-01
+    for u in range(4):
+        rows.append((eid, "2024-01-01T10:00:00", u, "click", 1.0))
+        eid += 1
+    for u in range(2):  # offset 1: two retained
+        rows.append((eid, "2024-01-08T10:00:00", u, "click", 1.0))
+        eid += 1
+    rows.append((eid, "2024-01-15T10:00:00", 0, "click", 1.0))  # offset 2
+    out = analytics.retention_halflife(_events(spark, rows)).collect()[0]
+    assert out["n_points"] == 2
+    assert abs(out["half_life_weeks"] - 1.0) < 1e-3
+
+
+def test_gini_trend_equal_vs_concentrated(spark):
+    """Month 1: two users with equal counts (gini 0 by the closed
+    form's small-n convention: 2*six/(n*sx) - (n+1)/n = 0). Month 2:
+    one user holds almost everything -> strictly larger gini."""
+    rows = []
+    eid = 0
+    for u in (1, 2):
+        for _ in range(5):
+            rows.append((eid, "2024-01-05T10:00:00", u, "click", 1.0))
+            eid += 1
+    rows.append((eid, "2024-02-05T10:00:00", 1, "click", 1.0))
+    eid += 1
+    for _ in range(9):
+        rows.append((eid, "2024-02-05T11:00:00", 2, "click", 1.0))
+        eid += 1
+    out = {
+        r["month"].month: r["gini"]
+        for r in analytics.gini_trend(_events(spark, rows)).collect()
+    }
+    assert out[1] == 0.0 and out[2] > out[1]
+
+
+def test_cohort_ltv_cumulative_monotone(spark):
+    """One customer, two orders in consecutive months: the curve is
+    cumulative, so offset 1 carries the sum of both orders."""
+    orders = spark.createDataFrame(
+        [
+            (1, 10, datetime.date(1995, 1, 10), 100.0),
+            (2, 10, datetime.date(1995, 2, 10), 50.0),
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate date,"
+        " o_totalprice double",
+    )
+    rows = {
+        r["month_offset"]: r["cum_ltv"]
+        for r in analytics.cohort_ltv_curve(orders).collect()
+    }
+    assert rows[0] == 100.0 and rows[1] == 150.0
+
+
+# ------------------------------------------------------------- graph
+
+
+def test_edge_support_clique_and_bridge(spark):
+    """Triangle {1,2,3} plus bridge 3-4: every triangle edge has
+    support 1 (the third vertex), the bridge has support 0."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)],
+        "doc_a long, doc_b long",
+    )
+    out = {
+        (r["doc_a"], r["doc_b"]): r["support"]
+        for r in dedup.edge_triangle_support(pairs).collect()
+    }
+    assert out[(1, 2)] == 1 and out[(1, 3)] == 1 and out[(2, 3)] == 1
+    assert out[(3, 4)] == 0
+
+
+# ------------------------------------------------------------- dedup
+
+
+def test_prefix_exact_separates_template_from_copy(spark):
+    """Three docs sharing a 64-char head: two full copies + one that
+    diverges after the prefix -> one cluster, n_docs 3,
+    n_distinct_full 2. A short doc never participates."""
+    head = "x" * 64
+    docs = _docs(
+        spark,
+        [
+            (1, head + " tail one", "en", "s"),
+            (2, head + " tail one", "en", "s"),
+            (3, head + " different tail", "en", "s"),
+            (4, "short doc", "en", "s"),
+        ],
+    )
+    rows = dedup.dedup_prefix_exact(docs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_docs"] == 3 and r["n_distinct_full"] == 2
+    assert r["keep_doc_id"] == 1
+
+
+# -------------------------------------------------------- multimodal
+
+
+def test_image_edge_density_flat_vs_striped(spark):
+    """A constant-byte document decodes to a flat image (all
+    gradients 0 -> density 0); two-pixel-wide high-contrast stripes
+    yield edges. (Stripes must be >= 2 pixels wide: a 1-pixel
+    checkerboard is INVISIBLE to Sobel, whose column/row taps sit 2
+    apart -- measured, hence this fixture.)"""
+    docs = _docs(
+        spark,
+        [
+            (1, "a" * 300, "en", "s"),
+            (2, ("a" * 6 + "~" * 6) * 25, "en", "s"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in multimodal.image_edge_density(
+            multimodal.attach_image_payload(docs)
+        ).collect()
+    }
+    assert out[1]["n_edges"] == 0 and out[1]["edge_density"] == 0.0
+    assert out[2]["n_edges"] > 0
+
+
+def test_image_edge_density_matches_numpy_reference(spark):
+    """Cross-check the kernel against an independent per-pixel numpy
+    Sobel on the reconstructed tiled luminance."""
+    text = "The quick brown fox jumps over the lazy dog" * 4
+    docs = _docs(spark, [(7, text, "en", "s")])
+    row = multimodal.image_edge_density(
+        multimodal.attach_image_payload(docs)
+    ).collect()[0]
+    b = np.frombuffer(text.encode(), dtype=np.uint8).astype(np.int64)
+    n = len(b)
+    w, h = 8 + (n % 9), 8 + ((n * 3) % 9)
+    flat = b[np.arange(w * h * 3) % n]
+    lum = flat.reshape(h, w, 3).sum(axis=2)
+    gx = (
+        lum[:-2, 2:] + 2 * lum[1:-1, 2:] + lum[2:, 2:]
+        - lum[:-2, :-2] - 2 * lum[1:-1, :-2] - lum[2:, :-2]
+    )
+    gy = (
+        lum[2:, :-2] + 2 * lum[2:, 1:-1] + lum[2:, 2:]
+        - lum[:-2, :-2] - 2 * lum[:-2, 1:-1] - lum[:-2, 2:]
+    )
+    edges = int((gx * gx + gy * gy >= 40000).sum())
+    assert row["n_edges"] == edges
+    assert row["n_interior"] == (h - 2) * (w - 2)
