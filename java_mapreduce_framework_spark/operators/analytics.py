@@ -6353,3 +6353,122 @@ def cohort_ltv_curve(orders: DataFrame) -> DataFrame:
             ).alias("cum_ltv"),
         )
     )
+
+
+def lepage_test(events: DataFrame) -> DataFrame:
+    """LePage two-sample LOCATION-OR-SCALE test per event type: L =
+    z_Wilcoxon^2 + z_AnsariBradley^2, chi-square(2) under the null --
+    the omnibus companion to running the two component tests
+    separately (a variant can shift the mean OR the spread; L fires
+    on either without the two-test multiplicity).
+
+    Pure composition of the two REGISTERED components over the same
+    A/B hash split: both z's arrive already rounded to 4 (their
+    declared outputs), so the squares and the sum are identical
+    doubles cross-engine by construction -- no new rank machinery,
+    no new exactness argument. An all-tied type (Ansari variance 0,
+    z NULL) propagates NULL L, the honest verdict.
+
+    Emits (event_type, z_wilcoxon, z_ansari, lepage_l, significant)
+    -- significant at the chi2(2) 0.05 critical value 5.991.
+    """
+    w = mannwhitney_utest(events).select(
+        "event_type", F.col("zscore").alias("z_wilcoxon")
+    )
+    a = ansari_bradley(events).select(
+        "event_type", F.col("zscore").alias("z_ansari")
+    )
+    L = (
+        F.col("z_wilcoxon") * F.col("z_wilcoxon")
+        + F.col("z_ansari") * F.col("z_ansari")
+    )
+    return w.join(a, "event_type").select(
+        "event_type",
+        "z_wilcoxon",
+        "z_ansari",
+        F.round(L, 6).alias("lepage_l"),
+        (L > F.lit(5.991)).alias("significant"),
+    )
+
+
+def power_law_alpha(events: DataFrame, xmin: int = 2) -> DataFrame:
+    """Discrete power-law (Zipf) exponent of per-user activity by the
+    Hill/Clauset MLE: alpha = 1 + n / sum(ln(x / (xmin - 0.5))) over
+    users with at least ``xmin`` events -- THE heavy-tail readout of
+    an event log (alpha near 2 is the classic user-activity tail;
+    drift toward 1 means the whales are taking over, the same signal
+    ``events_gini_trend`` reads as concentration).
+
+    Exactness: per-user counts are exact integers; each user's ln
+    term is rounded to integer MICRO-NATS before the single grouped
+    sum (the lm_* fold discipline), so the fold is order-free and the
+    closing alpha is one division off two exact integers.
+
+    Emits ONE row (n_users, xmin, alpha).
+    """
+    import math
+
+    per_user = events.groupBy("user_id").agg(F.count("*").alias("x"))
+    terms = per_user.filter(F.col("x") >= xmin).select(
+        F.round(
+            F.log(F.col("x").cast("double") / F.lit(xmin - 0.5))
+            * F.lit(1e6)
+        )
+        .cast("long")
+        .alias("t6")
+    )
+    agg = terms.agg(F.count("*").alias("n"), F.sum("t6").alias("s6"))
+    return agg.filter(F.col("s6") > 0).select(
+        F.col("n").cast("long").alias("n_users"),
+        F.lit(xmin).cast("long").alias("xmin"),
+        F.round(
+            F.lit(1.0)
+            + F.col("n").cast("double") * F.lit(1e6)
+            / F.col("s6").cast("double"),
+            6,
+        ).alias("alpha"),
+    )
+
+
+def seasonality_index(orders: DataFrame) -> DataFrame:
+    """Classical monthly seasonality index of order revenue: each
+    (year, month)'s revenue relative to that YEAR's mean monthly
+    revenue -- the demand-planning normalization that makes Decembers
+    comparable across years (index > 1 = above that year's trend).
+
+    Exactness: monthly revenue folds as DECIMAL cents into exact
+    1e-4-dollar integers; the yearly mean stays a ratio of exact
+    integers (sum_c4 / n_months), and the index cross-multiplies
+    integers before ONE rounding at 1e-6 -- no intermediate double
+    mean.
+
+    Emits (year, month, revenue, seasonality_index).
+    """
+    monthly = orders.groupBy(
+        F.year("o_orderdate").alias("year"),
+        F.month("o_orderdate").alias("month"),
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 10000)
+        .cast("long")
+        .alias("rev_c4")
+    )
+    wy = Window.partitionBy("year")
+    staged = monthly.select(
+        "year",
+        "month",
+        "rev_c4",
+        F.sum("rev_c4").over(wy).alias("y_c4"),
+        F.count("*").over(wy).alias("n_m"),
+    )
+    return staged.select(
+        F.col("year").cast("int").alias("year"),
+        F.col("month").cast("int").alias("month"),
+        (F.col("rev_c4").cast("double") / F.lit(1e4)).alias("revenue"),
+        (
+            F.round(
+                F.col("rev_c4") * F.col("n_m") * F.lit(1e6)
+                / F.col("y_c4").cast("double")
+            ).cast("long")
+            / F.lit(1e6)
+        ).alias("seasonality_index"),
+    )

@@ -2266,3 +2266,63 @@ def image_edge_density(images: DataFrame, g2_threshold: int = 40000) -> DataFram
             / F.lit(1e6)
         ).alias("edge_density"),
     )
+
+
+def audio_tempo_autocorr(
+    audio: DataFrame, frame: int = 64, max_frames: int = 16
+) -> DataFrame:
+    """Tempo-style periodicity estimate over the REAL WAV path: the
+    frame-energy autocorrelation's best lag -- the onset-periodicity
+    primitive under every beat tracker (a clip whose loudness pulses
+    every k frames peaks its mean-centered energy autocorrelation at
+    lag k). Runs on the decoded PCM energy envelope, never the raw
+    waveform.
+
+    Integer-exact end to end: frame energies divide out the
+    synthesizer's 256x amplitude (samples are (byte-128)*256, so
+    sum(s^2) / 2^16 = sum((byte-128)^2), an exact int); centering
+    multiplies through by n_frames (c_f = N*e_f - S, still exact);
+    the lag products stay inside int64 by construction (N <= 16,
+    e <= 128^2 * frame). Argmax over lags 1..N-2 ties to the LOWEST
+    lag; clips with fewer than 4 frames emit nothing (no nontrivial
+    lag exists). The 64-sample frame is sized to the fixture's
+    ~300-byte documents (a 256-frame leaves ZERO qualifying clips --
+    measured -- and a vacuous op); real audio would use 256+.
+
+    Emits (doc_id, n_frames, best_lag, r_best).
+    """
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nf, bl, rb = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _, s = decode_wav(bytes(payload))
+                q = (s.astype(np.int64) // 256) ** 2  # (byte-128)^2
+                n_fr = min(len(q) // frame, max_frames)
+                if n_fr < 4:
+                    continue
+                e = q[: n_fr * frame].reshape(n_fr, frame).sum(axis=1)
+                c = n_fr * e - e.sum()  # exact integer centering
+                best = None
+                for lag in range(1, n_fr - 1):
+                    r = int((c[:-lag] * c[lag:]).sum())
+                    if best is None or r > best[0]:
+                        best = (r, lag)
+                ids.append(doc_id)
+                nf.append(n_fr)
+                bl.append(best[1])
+                rb.append(best[0])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_frames": pd.Series(nf, dtype="int64"),
+                    "best_lag": pd.Series(bl, dtype="int64"),
+                    "r_best": pd.Series(rb, dtype="int64"),
+                }
+            )
+
+    return audio.mapInPandas(
+        kernel,
+        schema="doc_id long, n_frames long, best_lag long, r_best long",
+    )

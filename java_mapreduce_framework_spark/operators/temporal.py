@@ -3400,3 +3400,81 @@ def window_coppock(
             F.expr(wsum) / (tri.cast("double") * F.lit(1e8)), 6
         ).alias("coppock"),
     )
+
+
+def window_mass_index(
+    events: DataFrame,
+    decay: float = 0.875,
+    span: int = 18,
+    mass_window: int = 25,
+) -> DataFrame:
+    """Mass index over each user's daily candles: the rolling 25-day
+    sum of EMA(range) / EMA(EMA(range)) -- the reversal-bulge
+    detector (the ratio swells when the daily range widens faster
+    than its own smoothed trend, regardless of direction).
+
+    Exactness, in three stages: (1) the inner EMA folds INTEGER cent
+    ranges with the exact dyadic decay 7/8 (every in-frame power
+    representable -- the window_macd argument), producing identical
+    doubles on both engines; (2) the outer EMA folds THOSE doubles in
+    the same frame order, so it is identical too; (3) the ratio is
+    QUANTIZED to an exact 1e-8 integer before the 25-day frame sum
+    (segment-tree fold-order lesson). Days whose double-smoothed
+    range is still zero (a user's opening run of flat candles) carry
+    ratio 0 by convention.
+
+    Emits (user_id, day, mass_index).
+    """
+    candle = _daily_candle(events)
+    we = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        -(span - 1), 0
+    )
+    alpha = 1.0 - decay
+
+    def ewma(col: str) -> str:
+        return (
+            f"aggregate(zip_with({col}, sequence(size({col}) - 1, 0, -1),"
+            f" (v, e) -> v * pow({decay!r}, e)), 0D, (acc, x) -> acc + x)"
+            f" / ((1.0 - pow({decay!r}, size({col}))) / {alpha!r})"
+        )
+
+    s1 = candle.select(
+        "user_id",
+        "day",
+        F.collect_list(
+            (F.col("high_c") - F.col("low_c")).cast("double")
+        )
+        .over(we)
+        .alias("vc"),
+    ).select("user_id", "day", F.expr(ewma("vc")).alias("e1"))
+    s2 = s1.select(
+        "user_id",
+        "day",
+        "e1",
+        F.collect_list("e1").over(we).alias("ve"),
+    ).select(
+        "user_id",
+        "day",
+        "e1",
+        F.expr(ewma("ve")).alias("e2"),
+    )
+    r8 = F.when(
+        F.col("e2") > 0,
+        F.round(F.col("e1") * F.lit(1e8) / F.col("e2")).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    wm = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(-(mass_window - 1), 0)
+    )
+    # the frame sum of exact r8 integers divides ONCE by 1e8 -- no
+    # closing round: the sum lands exactly on 6-decimal grid points
+    # (it is an integer /1e8), where Spark's and DuckDB's round(x, 6)
+    # can disagree by one ulp of representation (measured at sf0.01)
+    return s2.select("user_id", "day", r8.alias("r8")).select(
+        "user_id",
+        "day",
+        (F.sum("r8").over(wm).cast("double") / F.lit(1e8)).alias(
+            "mass_index"
+        ),
+    )

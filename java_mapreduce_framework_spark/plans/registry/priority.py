@@ -49,6 +49,12 @@ _FRESH_THIS_ROUND: frozenset[str] = frozenset(
         "multimodal_image_edge_density",
         "sql_supplier_share_trend",
         "sql_value_band_migration",
+        "stats_lepage",
+        "events_power_law_alpha",
+        "orders_seasonality_index",
+        "window_mass_index",
+        "multimodal_audio_tempo",
+        "sql_top_growth_parts",
     }
 )
 

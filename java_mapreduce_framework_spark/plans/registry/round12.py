@@ -550,3 +550,219 @@ def _attach_sql_oracles() -> None:
 
 
 _attach_sql_oracles()
+
+
+# -------------------------------------------- batch 2 (same round)
+
+
+def _lepage_oracle() -> str:
+    """Compose the two component oracles verbatim as subqueries --
+    LePage IS their sum of squared z's, so the oracle inherits every
+    exactness argument the components already carry (both z's are
+    rounded to 4 in their declared outputs; the squares and sum of
+    identical doubles are identical)."""
+    from .core import _REGISTRY
+
+    w_sql = _REGISTRY["stats_mannwhitney"].oracle
+    a_sql = _REGISTRY["stats_ansari_bradley"].oracle
+    return f"""
+    WITH w AS (SELECT event_type, zscore AS z_wilcoxon
+               FROM ({w_sql})),
+    a AS (SELECT event_type, zscore AS z_ansari
+          FROM ({a_sql}))
+    SELECT w.event_type, w.z_wilcoxon, a.z_ansari,
+           round(w.z_wilcoxon * w.z_wilcoxon
+                 + a.z_ansari * a.z_ansari, 6) AS lepage_l,
+           (w.z_wilcoxon * w.z_wilcoxon
+            + a.z_ansari * a.z_ansari) > 5.991 AS significant
+    FROM w JOIN a ON a.event_type = w.event_type
+    """
+
+
+@_register(
+    "stats_lepage",
+    _lepage_oracle(),
+    note="LePage omnibus location-or-scale test: z_Wilcoxon^2 + "
+    "z_AnsariBradley^2 (chi2(2) null, 0.05 crit 5.991) -- pure "
+    "composition of the two registered components over the same A/B "
+    "split; both z's already rounded 4, so the oracle composes the "
+    "component oracles verbatim",
+)
+def _stats_lepage(spark, sf):
+    return analytics.lepage_test(_t(spark, sf, "events"))
+
+
+@_register(
+    "events_power_law_alpha",
+    f"""
+    WITH pu AS (
+      SELECT user_id, count(*) AS x FROM {_EVTS} GROUP BY user_id),
+    terms AS (
+      SELECT CAST(round(ln(CAST(x AS DOUBLE) / 1.5) * 1e6) AS BIGINT)
+               AS t6
+      FROM pu WHERE x >= 2),
+    agg AS (SELECT count(*) AS n, sum(t6) AS s6 FROM terms)
+    SELECT CAST(n AS BIGINT) AS n_users,
+           CAST(2 AS BIGINT) AS xmin,
+           round(1.0 + CAST(n AS DOUBLE) * 1e6 / CAST(s6 AS DOUBLE),
+                 6) AS alpha
+    FROM agg WHERE s6 > 0
+    """,
+    note="discrete power-law exponent of per-user activity "
+    "(Hill/Clauset MLE, xmin=2): per-user ln terms rounded to "
+    "integer micro-nats before the single order-free fold; the "
+    "heavy-tail companion to events_gini_trend's concentration view",
+)
+def _events_power_law_alpha(spark, sf):
+    return analytics.power_law_alpha(_t(spark, sf, "events"))
+
+
+@_register(
+    "orders_seasonality_index",
+    """
+    WITH monthly AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS year,
+             CAST(month(o_orderdate) AS INT) AS month,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 10000
+                  AS BIGINT) AS rev_c4
+      FROM orders GROUP BY 1, 2),
+    st AS (
+      SELECT year, month, rev_c4,
+             sum(rev_c4) OVER (PARTITION BY year) AS y_c4,
+             count(*) OVER (PARTITION BY year) AS n_m
+      FROM monthly)
+    SELECT year, month,
+           CAST(rev_c4 AS DOUBLE) / 1e4 AS revenue,
+           CAST(CAST(round(rev_c4 * n_m * 1e6
+                           / CAST(y_c4 AS DOUBLE)) AS BIGINT)
+                AS DOUBLE) / 1e6 AS seasonality_index
+    FROM st
+    """,
+    note="classical monthly seasonality index (month revenue vs the "
+    "year's mean monthly revenue): DECIMAL-exact 1e-4-dollar "
+    "integers, index cross-multiplies integers before ONE 1e-6 "
+    "rounding -- no intermediate double mean",
+)
+def _orders_seasonality_index(spark, sf):
+    return analytics.seasonality_index(_t(spark, sf, "orders"))
+
+
+@_register(
+    "window_mass_index",
+    f"""
+    WITH {_CANDLE_CTE},
+    s1 AS (
+      SELECT user_id, day,
+             list(CAST(high_c - low_c AS DOUBLE)) OVER we AS vc
+      FROM candle
+      WINDOW we AS (PARTITION BY user_id ORDER BY day
+                    ROWS BETWEEN 17 PRECEDING AND CURRENT ROW)),
+    s1e AS (
+      SELECT user_id, day, ({_EWMA_7_8}) AS e1 FROM s1),
+    s2 AS (
+      SELECT user_id, day, e1,
+             list(e1) OVER we AS ve
+      FROM s1e
+      WINDOW we AS (PARTITION BY user_id ORDER BY day
+                    ROWS BETWEEN 17 PRECEDING AND CURRENT ROW)),
+    s2e AS (
+      SELECT user_id, day, e1,
+             list_sum(list_transform(ve, (v, i) ->
+                 v * pow(0.875, len(ve) - i)))
+               / ((1.0 - pow(0.875, len(ve))) / 0.125) AS e2
+      FROM s2),
+    rr AS (
+      SELECT user_id, day,
+             CASE WHEN e2 > 0
+                  THEN CAST(round(e1 * 1e8 / e2) AS BIGINT)
+                  ELSE 0 END AS r8
+      FROM s2e)
+    SELECT user_id, day,
+           CAST(sum(r8) OVER wm AS DOUBLE) / 1e8 AS mass_index
+    FROM rr
+    WINDOW wm AS (PARTITION BY user_id ORDER BY day
+                  ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)
+    """,
+    note="mass index (rolling 25-day sum of EMA(range)/EMA(EMA)): "
+    "inner fold on integer cent ranges with the exact dyadic 7/8 "
+    "decay, outer fold on the resulting identical doubles in frame "
+    "order, ratio quantized to 1e-8 integers before the frame sum "
+    "(whose /1e8 ships UNROUNDED -- the integer sum lands exactly on "
+    "grid points where a closing round(x,6) splits engines); "
+    "opening flat-candle runs carry ratio 0",
+)
+def _window_mass_index(spark, sf):
+    return temporal.window_mass_index(_t(spark, sf, "events"))
+
+
+@_register(
+    "multimodal_audio_tempo",
+    f"""
+    WITH {_PAYLOAD_CTE},
+    geo AS (SELECT doc_id, n, bytes,
+                   least(CAST(n // 64 AS INT), 16) AS nf
+            FROM pbytes WHERE n // 64 >= 4),
+    fr AS (SELECT doc_id, nf, unnest(range(0, nf)) AS f, bytes
+           FROM geo),
+    en AS (SELECT doc_id, nf, f,
+                  list_sum(list_transform(
+                      list_slice(bytes,
+                                 CAST(f * 64 + 1 AS INT),
+                                 CAST(f * 64 + 64 AS INT)),
+                      b -> (b - 128) * (b - 128))) AS e
+           FROM fr),
+    cen AS (SELECT doc_id, nf, f,
+                   nf * e - sum(e) OVER (PARTITION BY doc_id) AS c
+            FROM en),
+    lags AS (SELECT a.doc_id, a.nf, b.f - a.f AS lag,
+                    sum(a.c * b.c) AS r
+             FROM cen a JOIN cen b
+               ON a.doc_id = b.doc_id AND b.f > a.f
+                  AND b.f - a.f <= a.nf - 2
+             GROUP BY 1, 2, 3),
+    best AS (SELECT doc_id, nf, lag, r,
+                    row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY r DESC, lag) AS rn
+             FROM lags)
+    SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+           CAST(lag AS BIGINT) AS best_lag,
+           CAST(r AS BIGINT) AS r_best
+    FROM best WHERE rn = 1
+    """,
+    note="frame-energy autocorrelation best lag over REAL decoded "
+    "PCM (the onset-periodicity primitive under beat tracking): "
+    "energies divide out the synthesizer's 256x amplitude to exact "
+    "ints, centering multiplies through by n_frames (still exact), "
+    "lag products bounded inside int64 by construction; ties to the "
+    "lowest lag; oracle replays every sample from the text bytes",
+)
+def _multimodal_audio_tempo(spark, sf):
+    return multimodal.audio_tempo_autocorr(
+        multimodal.attach_audio_payload(_t(spark, sf, "documents"))
+    )
+
+
+@_register(
+    "sql_top_growth_parts",
+    None,  # oracle attached below: the SAME SQL string runs on DuckDB
+    note="top-10 parts by 1995->1996 revenue growth through the "
+    "spark.sql intake (both-years join, exact integer delta rank, "
+    "ties by part key)",
+)
+def _sql_top_growth_parts(spark, sf):
+    from ..sql import TOP_GROWTH_PARTS, run_sql
+
+    return run_sql(spark, sf, TOP_GROWTH_PARTS)
+
+
+def _attach_sql_oracles_b2() -> None:
+    from .. import sql as _sql
+    from .core import _REGISTRY, QuerySpec
+
+    spec = _REGISTRY["sql_top_growth_parts"]
+    _REGISTRY["sql_top_growth_parts"] = QuerySpec(
+        spec.name, spec.fn, _sql.TOP_GROWTH_PARTS, spec.note
+    )
+
+
+_attach_sql_oracles_b2()

@@ -815,3 +815,39 @@ SELECT band_1995, band_1997, CAST(count(*) AS BIGINT) AS n_customers
 FROM mat
 GROUP BY band_1995, band_1997
 """
+
+
+#: Parts with the largest revenue GROWTH from 1995 to 1996 -- the
+#: momentum screen (top 10 by exact integer revenue delta, ties by
+#: part key). Revenue in exact 1e-4-dollar integers; only parts
+#: traded in BOTH years rank (an appearing/disappearing part is a
+#: lifecycle event, not growth).
+TOP_GROWTH_PARTS = """
+WITH rev AS (
+  SELECT l.l_partkey, CAST(year(o.o_orderdate) AS INT) AS yr,
+         CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(18,2))
+                     - CAST(l.l_discount AS DECIMAL(18,2)))) * 10000
+              AS BIGINT) AS rev_c4
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE year(o.o_orderdate) IN (1995, 1996)
+  GROUP BY l.l_partkey, year(o.o_orderdate)),
+wide AS (
+  SELECT a.l_partkey, a.rev_c4 AS rev_1995, b.rev_c4 AS rev_1996
+  FROM (SELECT * FROM rev WHERE yr = 1995) a
+  JOIN (SELECT * FROM rev WHERE yr = 1996) b
+    ON a.l_partkey = b.l_partkey),
+rk AS (
+  SELECT p.p_name, w.l_partkey, w.rev_1995, w.rev_1996,
+         w.rev_1996 - w.rev_1995 AS delta_c4,
+         row_number() OVER (ORDER BY w.rev_1996 - w.rev_1995 DESC,
+                            w.l_partkey) AS rn
+  FROM wide w JOIN part p ON p.p_partkey = w.l_partkey)
+SELECT p_name, CAST(l_partkey AS BIGINT) AS partkey,
+       CAST(rev_1995 AS DOUBLE) / 1e4 AS rev_1995,
+       CAST(rev_1996 AS DOUBLE) / 1e4 AS rev_1996,
+       CAST(delta_c4 AS DOUBLE) / 1e4 AS revenue_growth,
+       CAST(rn AS INTEGER) AS rank
+FROM rk WHERE rn <= 10
+"""

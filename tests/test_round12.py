@@ -358,3 +358,83 @@ def test_image_edge_density_matches_numpy_reference(spark):
     edges = int((gx * gx + gy * gy >= 40000).sum())
     assert row["n_edges"] == edges
     assert row["n_interior"] == (h - 2) * (w - 2)
+
+
+# ------------------------------------------------- batch 2 semantics
+
+
+def test_lepage_composes_component_zscores(spark, sf_small):
+    """L must equal z_W^2 + z_AB^2 of the two component ops run
+    standalone on the same fixture."""
+    from java_mapreduce_framework_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_small, "events")
+    w = {r["event_type"]: r["zscore"]
+         for r in analytics.mannwhitney_utest(ev).collect()}
+    a = {r["event_type"]: r["zscore"]
+         for r in analytics.ansari_bradley(ev).collect()}
+    for r in analytics.lepage_test(ev).collect():
+        t = r["event_type"]
+        # lepage_l ships rounded to 6 decimals
+        assert abs(r["lepage_l"] - (w[t] ** 2 + a[t] ** 2)) < 5.1e-7
+
+
+def test_power_law_alpha_known_tail(spark):
+    """Hand-computable: users with counts (2, 4, 8) and xmin=2 --
+    alpha = 1 + 3 / sum(ln(x/1.5)) with micro-nat term rounding."""
+    rows, eid = [], 0
+    for u, cnt in ((1, 2), (2, 4), (3, 8), (4, 1)):  # u=4 below xmin
+        for _ in range(cnt):
+            rows.append((eid, "2024-01-01T10:00:00", u, "click", 1.0))
+            eid += 1
+    out = analytics.power_law_alpha(_events(spark, rows)).collect()[0]
+    s6 = sum(round(math.log(x / 1.5) * 1e6) for x in (2, 4, 8))
+    assert out["n_users"] == 3
+    assert abs(out["alpha"] - round(1.0 + 3 * 1e6 / s6, 6)) < 1e-9
+
+
+def test_seasonality_index_mean_is_one(spark):
+    """Within each year the index averages to 1 by construction
+    (month revenue / yearly mean): two equal months -> both 1.0."""
+    import datetime as dt
+
+    orders = spark.createDataFrame(
+        [
+            (1, 1, dt.date(1995, 1, 5), 100.0),
+            (2, 1, dt.date(1995, 2, 5), 100.0),
+            (3, 1, dt.date(1995, 3, 5), 400.0),
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate date,"
+        " o_totalprice double",
+    )
+    out = {r["month"]: r["seasonality_index"]
+           for r in analytics.seasonality_index(orders).collect()}
+    assert out[1] == out[2] == 0.5 and out[3] == 2.0
+
+
+def test_mass_index_flat_series_is_window_count(spark):
+    """Constant-range candles: EMA(range) == EMA(EMA(range)) exactly,
+    so every day's ratio is 1 and the mass index equals the window's
+    row count (capped at 25)."""
+    rows = []
+    for i in range(6):
+        rows.append((2 * i, f"2024-01-{i + 1:02d}T10:00:00", 1, "c", 5.0))
+        rows.append((2 * i + 1, f"2024-01-{i + 1:02d}T11:00:00", 1, "c", 9.0))
+    out = sorted(
+        temporal.window_mass_index(_events(spark, rows)).collect(),
+        key=lambda r: r["day"],
+    )
+    assert [r["mass_index"] for r in out] == [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
+
+
+def test_audio_tempo_detects_period(spark):
+    """A document whose bytes pulse every 128 chars (frame=64 -> a
+    2-frame loudness period) must put the energy autocorrelation's
+    best lag at 2."""
+    text = ("A" * 64 + "\x7f" * 64) * 4  # quiet/loud alternating frames
+    docs = _docs(spark, [(1, text, "en", "s")])
+    row = multimodal.audio_tempo_autocorr(
+        multimodal.attach_audio_payload(docs)
+    ).collect()[0]
+    assert row["n_frames"] == 8
+    assert row["best_lag"] == 2
