@@ -1063,3 +1063,64 @@ def test_roc_auc_ranks_distinct_scores_not_documents(spark, sf_small):
 
     assert len(_re.findall(r"^\(\d+\) Window\b", plan,
                            flags=_re.MULTILINE)) == 1
+
+
+def test_round12_indicators_single_user_exchange(spark, sf_small):
+    """The round-12 indicators inherit the daily-candle contract: the
+    resample, every bounded frame, the EWMA collect_list frames, and
+    the nested mass-index folds all run on ONE user_id exchange."""
+    from java_mapreduce_framework_spark.operators import temporal as T
+
+    ev = load_table(spark, sf_small, "events")
+    for fn in (
+        T.window_elder_ray,
+        T.window_cmf,
+        T.window_coppock,
+        T.window_mass_index,
+    ):
+        plan = _formatted(fn(ev))
+        assert _nodes(plan, "Exchange") == 1, fn.__name__
+
+
+def test_round12_value_alphabet_stats_compress_first(spark, sf_small):
+    """cliff_delta / cvm must aggregate the corpus to (type, value)
+    counts BEFORE any window: the plan's window input is the grouped
+    stream (partial aggregation markers present), and no second
+    corpus scan appears."""
+    from java_mapreduce_framework_spark.operators import analytics as A
+
+    ev = load_table(spark, sf_small, "events")
+    for fn in (A.cliff_delta, A.cvm_two_sample):
+        plan = _formatted(fn(ev))
+        assert "partial_" in plan, fn.__name__
+        assert plan.count("events.parquet") == 1, fn.__name__
+
+
+def test_edge_triangle_support_checkpoints_pair_stream(spark, sf_small):
+    """The wedge join and the closing joins must consume a
+    CHECKPOINTED pair stream -- for the co-purchase graph the pair
+    generation is itself a self-join that must not execute twice
+    (zero source-parquet scans in the final plan: everything reads
+    the checkpoint)."""
+    from java_mapreduce_framework_spark.operators import dedup as D
+
+    li = load_table(spark, sf_small, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    pairs = (
+        op.alias("a")
+        .join(
+            op.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("doc_a"),
+            F.col("b.l_partkey").alias("doc_b"),
+        )
+        .count()
+        .filter(F.col("count") >= 2)
+        .drop("count")
+    )
+    plan = _formatted(D.edge_triangle_support(pairs))
+    assert "lineitem.parquet" not in plan
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
