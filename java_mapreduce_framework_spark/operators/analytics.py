@@ -6472,3 +6472,115 @@ def seasonality_index(orders: DataFrame) -> DataFrame:
             / F.lit(1e6)
         ).alias("seasonality_index"),
     )
+
+
+def brunner_munzel(events: DataFrame) -> DataFrame:
+    """Brunner-Munzel two-sample test per event type over the shared
+    A/B hash split -- the rank test that drops Mann-Whitney's
+    equal-variance assumption (the nonparametric Behrens-Fisher
+    problem): W estimates P(A < B) against 1/2 with each group's OWN
+    rank variance, so a variant that changes spread as well as
+    location no longer inflates the location verdict.
+
+    Exactness: both pooled and within-group midranks ride DOUBLED as
+    exact integers off the (type, value) compression (two cumulative
+    windows over the per-type VALUE alphabet); the per-value squared
+    deviation terms cnt * (r2p - r2g)^2 are exact bigints (bounded by
+    4N^3 per type -- inside int64 for any per-type alphabet this
+    engine's fixtures see; the 100 TB posture re-scales to unit
+    doubles exactly as ``ansari_bradley`` documents), and the closing
+    statistic is one double expression in the same operation order on
+    both engines. Groups need n >= 2 and nonzero variance, else NULL.
+
+    Emits (event_type, n_a, n_b, p_hat, w_stat, significant).
+    ``p_hat`` is the estimated P(A < B) + 0.5 * P(A = B).
+    """
+    variant_a = (
+        F.substring(
+            F.md5(
+                F.concat_ws("|", F.lit("ab"), F.col("user_id").cast("string"))
+            ),
+            1,
+            1,
+        )
+        < F.lit("8")
+    )
+    vg = (
+        events.filter(F.col("value").isNotNull())
+        .select("event_type", variant_a.alias("is_a"), "value")
+        .groupBy("event_type", "value")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("is_a").cast("long")).alias("cnt_a"),
+        )
+        .select(
+            "event_type",
+            "value",
+            "cnt",
+            "cnt_a",
+            (F.col("cnt") - F.col("cnt_a")).alias("cnt_b"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = vg.select(
+        "event_type",
+        "cnt",
+        "cnt_a",
+        "cnt_b",
+        (
+            2 * F.coalesce(F.sum("cnt").over(w), F.lit(0))
+            + F.col("cnt")
+            + 1
+        ).alias("r2p"),
+        (
+            2 * F.coalesce(F.sum("cnt_a").over(w), F.lit(0))
+            + F.col("cnt_a")
+            + 1
+        ).alias("r2a"),
+        (
+            2 * F.coalesce(F.sum("cnt_b").over(w), F.lit(0))
+            + F.col("cnt_b")
+            + 1
+        ).alias("r2b"),
+    )
+    agg = ranked.groupBy("event_type").agg(
+        F.sum("cnt_a").alias("n_a"),
+        F.sum("cnt_b").alias("n_b"),
+        F.sum(F.col("cnt_a") * F.col("r2p")).alias("sa"),
+        F.sum(F.col("cnt_b") * F.col("r2p")).alias("sb"),
+        F.sum(
+            F.col("cnt_a")
+            * (F.col("r2p") - F.col("r2a"))
+            * (F.col("r2p") - F.col("r2a"))
+        ).alias("ssa"),
+        F.sum(
+            F.col("cnt_b")
+            * (F.col("r2p") - F.col("r2b"))
+            * (F.col("r2p") - F.col("r2b"))
+        ).alias("ssb"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    n = na + nb
+    xa = F.col("sa").cast("double") - na * (na + 1)
+    xb = F.col("sb").cast("double") - nb * (nb + 1)
+    s2a = (F.col("ssa").cast("double") - xa * xa / na) / (na - 1)
+    s2b = (F.col("ssb").cast("double") - xb * xb / nb) / (nb - 1)
+    dr = F.col("sb").cast("double") / nb - F.col("sa").cast("double") / na
+    var = na * s2a + nb * s2b
+    w_stat = F.when(var > 0, na * nb * dr / (n * F.sqrt(var)))
+    # P(A < B) + P(A = B)/2 = (mean pooled rank of B - (nb+1)/2) / na
+    # -- in doubled units: (sb/nb - (nb+1)) / (2*na)
+    p_hat = (F.col("sb").cast("double") / nb - (nb + 1)) / (2 * na)
+    return agg.filter((F.col("n_a") > 1) & (F.col("n_b") > 1)).select(
+        "event_type",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(p_hat, 6).alias("p_hat"),
+        F.round(w_stat, 4).alias("w_stat"),
+        (F.abs(w_stat) > F.lit(1.96)).alias("significant"),
+    )

@@ -3478,3 +3478,129 @@ def window_mass_index(
             "mass_index"
         ),
     )
+
+
+def window_choppiness(events: DataFrame, chop_window: int = 14) -> DataFrame:
+    """Choppiness index over each user's daily candles: 100 *
+    log10(sum of true ranges / total range) / log10(n) over the
+    rolling window -- the trending-vs-sideways regime detector (near
+    100 = churn inside a band, near 0 = one directed move). The
+    regime gate a signal pipeline consults BEFORE trusting a
+    trend-following indicator like MACD.
+
+    Exactness: true ranges and the window's high/low envelope are
+    exact integer cents (window_atr's integers, window_donchian's
+    extrema); both log10 arguments are integer ratios, so the two
+    logarithms see identical doubles and the output is one rounded
+    expression. Flat windows (envelope 0) and single-day windows
+    (log10(1) = 0) emit NULL.
+
+    Emits (user_id, day, chop).
+    """
+    candle = _daily_candle(events)
+    wo = Window.partitionBy("user_id").orderBy("day")
+    prev_c = F.lag("close_c").over(wo)
+    tr = F.when(
+        prev_c.isNull(), F.col("high_c") - F.col("low_c")
+    ).otherwise(
+        F.greatest(
+            F.col("high_c") - F.col("low_c"),
+            F.abs(F.col("high_c") - prev_c),
+            F.abs(F.col("low_c") - prev_c),
+        )
+    )
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(-(chop_window - 1), 0)
+    )
+    staged = candle.select(
+        "user_id", "day", tr.alias("tr"), "high_c", "low_c"
+    ).select(
+        "user_id",
+        "day",
+        F.sum("tr").over(wr).alias("trs"),
+        (F.max("high_c").over(wr) - F.min("low_c").over(wr)).alias("rng"),
+        F.count("*").over(wr).alias("nw"),
+    )
+    chop = (
+        F.lit(100.0)
+        * F.log10(F.col("trs").cast("double") / F.col("rng").cast("double"))
+        / F.log10(F.col("nw").cast("double"))
+    )
+    return staged.select(
+        "user_id",
+        "day",
+        F.when((F.col("rng") > 0) & (F.col("nw") > 1), F.round(chop, 6))
+        .alias("chop"),
+    )
+
+
+def window_ultimate_oscillator(
+    events: DataFrame, w1: int = 7, w2: int = 14, w3: int = 28
+) -> DataFrame:
+    """Ultimate Oscillator over each user's daily candles: buying
+    pressure / true range averaged over THREE nested horizons (7, 14,
+    28 days), weighted 4:2:1 -- the multi-timeframe momentum gauge
+    built to avoid the single-window whipsaw every plain oscillator
+    suffers.
+
+    Exactness: buying pressure (close - min(low, prev close)) and
+    true range are exact integer cents; each horizon's ratio is one
+    integer-ratio double; the weighted blend and the final x100 are
+    one expression in the same op order on both engines, rounded 4.
+    Windows whose true-range sum is zero emit NULL.
+
+    Emits (user_id, day, ultimate_osc).
+    """
+    candle = _daily_candle(events)
+    wo = Window.partitionBy("user_id").orderBy("day")
+    prev_c = F.lag("close_c").over(wo)
+    lo = F.when(prev_c.isNull(), F.col("low_c")).otherwise(
+        F.least(F.col("low_c"), prev_c)
+    )
+    hi = F.when(prev_c.isNull(), F.col("high_c")).otherwise(
+        F.greatest(F.col("high_c"), prev_c)
+    )
+    staged = candle.select(
+        "user_id",
+        "day",
+        (F.col("close_c") - lo).alias("bp"),
+        (hi - lo).alias("tr"),
+    )
+
+    def frame(k: int):
+        return (
+            Window.partitionBy("user_id")
+            .orderBy("day")
+            .rowsBetween(-(k - 1), 0)
+        )
+
+    sums = staged.select(
+        "user_id",
+        "day",
+        *[
+            c
+            for k, tag in ((w1, "1"), (w2, "2"), (w3, "3"))
+            for c in (
+                F.sum("bp").over(frame(k)).alias(f"bp{tag}"),
+                F.sum("tr").over(frame(k)).alias(f"tr{tag}"),
+            )
+        ],
+    )
+    ratio = lambda t: (  # noqa: E731
+        F.col(f"bp{t}").cast("double") / F.col(f"tr{t}").cast("double")
+    )
+    uo = (
+        F.lit(100.0)
+        * (4 * ratio("1") + 2 * ratio("2") + ratio("3"))
+        / F.lit(7.0)
+    )
+    return sums.select(
+        "user_id",
+        "day",
+        F.when(
+            (F.col("tr1") > 0) & (F.col("tr2") > 0) & (F.col("tr3") > 0),
+            F.round(uo, 4),
+        ).alias("ultimate_osc"),
+    )

@@ -55,6 +55,9 @@ _FRESH_THIS_ROUND: frozenset[str] = frozenset(
         "window_mass_index",
         "multimodal_audio_tempo",
         "sql_top_growth_parts",
+        "stats_brunner_munzel",
+        "window_choppiness",
+        "window_ultimate_oscillator",
     }
 )
 

@@ -766,3 +766,158 @@ def _attach_sql_oracles_b2() -> None:
 
 
 _attach_sql_oracles_b2()
+
+
+# -------------------------------------------- batch 3 (same round)
+
+
+@_register(
+    "stats_brunner_munzel",
+    f"""
+    WITH vg AS (
+      SELECT event_type, value, count(*) AS cnt,
+             sum(CASE WHEN {_AB_SPLIT} THEN 1 ELSE 0 END) AS cnt_a,
+             count(*) - sum(CASE WHEN {_AB_SPLIT} THEN 1 ELSE 0 END)
+               AS cnt_b
+      FROM {_EVTS} WHERE value IS NOT NULL
+      GROUP BY event_type, value),
+    ranked AS (
+      SELECT event_type, cnt, cnt_a, cnt_b,
+             2 * coalesce(sum(cnt) OVER w, 0) + cnt + 1 AS r2p,
+             2 * coalesce(sum(cnt_a) OVER w, 0) + cnt_a + 1 AS r2a,
+             2 * coalesce(sum(cnt_b) OVER w, 0) + cnt_b + 1 AS r2b
+      FROM vg
+      WINDOW w AS (PARTITION BY event_type ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    agg AS (
+      SELECT event_type, sum(cnt_a) AS n_a, sum(cnt_b) AS n_b,
+             sum(cnt_a * r2p) AS sa, sum(cnt_b * r2p) AS sb,
+             sum(cnt_a * (r2p - r2a) * (r2p - r2a)) AS ssa,
+             sum(cnt_b * (r2p - r2b) * (r2p - r2b)) AS ssb
+      FROM ranked GROUP BY event_type),
+    m AS (
+      SELECT event_type, n_a, n_b,
+             CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+             CAST(sa AS DOUBLE) AS sad, CAST(sb AS DOUBLE) AS sbd,
+             CAST(ssa AS DOUBLE) AS ssad, CAST(ssb AS DOUBLE) AS ssbd
+      FROM agg WHERE n_a > 1 AND n_b > 1),
+    f AS (
+      SELECT event_type, n_a, n_b, na, nb, sad, sbd,
+             (ssad - (sad - na * (na + 1)) * (sad - na * (na + 1)) / na)
+               / (na - 1) AS s2a,
+             (ssbd - (sbd - nb * (nb + 1)) * (sbd - nb * (nb + 1)) / nb)
+               / (nb - 1) AS s2b
+      FROM m)
+    SELECT event_type, CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           round((sbd / nb - (nb + 1)) / (2 * na), 6) AS p_hat,
+           CASE WHEN na * s2a + nb * s2b > 0
+                THEN round(na * nb * (sbd / nb - sad / na)
+                           / ((na + nb) * sqrt(na * s2a + nb * s2b)),
+                           4)
+           END AS w_stat,
+           CASE WHEN na * s2a + nb * s2b > 0
+                THEN abs(na * nb * (sbd / nb - sad / na)
+                         / ((na + nb) * sqrt(na * s2a + nb * s2b)))
+                     > 1.96
+           END AS significant
+    FROM f
+    """,
+    note="Brunner-Munzel heteroscedastic rank test per event type "
+    "(the nonparametric Behrens-Fisher answer; mannwhitney without "
+    "the equal-variance assumption): pooled AND within-group "
+    "midranks ride doubled as exact integers off the (type, value) "
+    "compression, deviation terms exact bigints, one closing double "
+    "expression; p_hat = estimated P(A<B) + ties/2",
+)
+def _stats_brunner_munzel(spark, sf):
+    return analytics.brunner_munzel(_t(spark, sf, "events"))
+
+
+@_register(
+    "window_choppiness",
+    f"""
+    WITH {_CANDLE_CTE},
+    tr AS (
+      SELECT user_id, day, high_c, low_c,
+             CASE WHEN lag(close_c) OVER wo IS NULL
+                  THEN high_c - low_c
+                  ELSE greatest(high_c - low_c,
+                                abs(high_c - lag(close_c) OVER wo),
+                                abs(low_c - lag(close_c) OVER wo))
+             END AS tr1
+      FROM candle
+      WINDOW wo AS (PARTITION BY user_id ORDER BY day)),
+    fr AS (
+      SELECT user_id, day,
+             sum(tr1) OVER wr AS trs,
+             max(high_c) OVER wr - min(low_c) OVER wr AS rng,
+             count(*) OVER wr AS nw
+      FROM tr
+      WINDOW wr AS (PARTITION BY user_id ORDER BY day
+                    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+    SELECT user_id, day,
+           CASE WHEN rng > 0 AND nw > 1
+                THEN round(100.0 * log10(CAST(trs AS DOUBLE)
+                                         / CAST(rng AS DOUBLE))
+                           / log10(CAST(nw AS DOUBLE)), 6)
+           END AS chop
+    FROM fr
+    """,
+    note="choppiness index (trend-vs-churn regime gate): true ranges "
+    "and the window envelope are exact integer cents, both log10 "
+    "arguments integer ratios -- identical doubles into identical "
+    "logs; flat or single-day windows NULL",
+)
+def _window_choppiness(spark, sf):
+    return temporal.window_choppiness(_t(spark, sf, "events"))
+
+
+@_register(
+    "window_ultimate_oscillator",
+    f"""
+    WITH {_CANDLE_CTE},
+    bt AS (
+      SELECT user_id, day,
+             close_c - CASE WHEN lag(close_c) OVER wo IS NULL
+                            THEN low_c
+                            ELSE least(low_c, lag(close_c) OVER wo)
+                       END AS bp,
+             CASE WHEN lag(close_c) OVER wo IS NULL
+                  THEN high_c ELSE greatest(high_c,
+                                            lag(close_c) OVER wo)
+             END
+             - CASE WHEN lag(close_c) OVER wo IS NULL
+                    THEN low_c
+                    ELSE least(low_c, lag(close_c) OVER wo)
+               END AS tr
+      FROM candle
+      WINDOW wo AS (PARTITION BY user_id ORDER BY day)),
+    fr AS (
+      SELECT user_id, day,
+             sum(bp) OVER w1 AS bp1, sum(tr) OVER w1 AS tr1,
+             sum(bp) OVER w2 AS bp2, sum(tr) OVER w2 AS tr2,
+             sum(bp) OVER w3 AS bp3, sum(tr) OVER w3 AS tr3
+      FROM bt
+      WINDOW w1 AS (PARTITION BY user_id ORDER BY day
+                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+             w2 AS (PARTITION BY user_id ORDER BY day
+                    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
+             w3 AS (PARTITION BY user_id ORDER BY day
+                    ROWS BETWEEN 27 PRECEDING AND CURRENT ROW))
+    SELECT user_id, day,
+           CASE WHEN tr1 > 0 AND tr2 > 0 AND tr3 > 0
+                THEN round(100.0 * (4 * CAST(bp1 AS DOUBLE) / tr1
+                                    + 2 * CAST(bp2 AS DOUBLE) / tr2
+                                    + CAST(bp3 AS DOUBLE) / tr3)
+                           / 7.0, 4)
+           END AS ultimate_osc
+    FROM fr
+    """,
+    note="Ultimate Oscillator (7/14/28-day buying-pressure blend, "
+    "4:2:1 weights): integer-cent BP and TR frame sums, three "
+    "integer-ratio doubles blended in one expression; zero "
+    "true-range windows NULL",
+)
+def _window_ultimate_oscillator(spark, sf):
+    return temporal.window_ultimate_oscillator(_t(spark, sf, "events"))

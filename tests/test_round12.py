@@ -438,3 +438,64 @@ def test_audio_tempo_detects_period(spark):
     ).collect()[0]
     assert row["n_frames"] == 8
     assert row["best_lag"] == 2
+
+
+# ------------------------------------------------- batch 3 semantics
+
+
+def test_brunner_munzel_matches_scipy_shape(spark):
+    """Crafted two-group sample with unequal spread: p_hat must be
+    the exact pair probability P(A < B) + ties/2 computed by brute
+    force, and W's sign must match the direction (B stochastically
+    larger -> positive W)."""
+    import hashlib
+    import itertools
+
+    def is_a(u):
+        return hashlib.md5(f"ab|{u}".encode()).hexdigest()[0] < "8"
+
+    ua = [u for u in range(200) if is_a(u)][:3]
+    ub = [u for u in range(200) if not is_a(u)][:3]
+    a_vals = [1.0, 2.0, 3.0]
+    b_vals = [2.0, 4.0, 6.0]
+    rows, eid = [], 0
+    for u, v in zip(ua, a_vals):
+        rows.append((eid, "2024-01-01T10:00:00", u, "click", v))
+        eid += 1
+    for u, v in zip(ub, b_vals):
+        rows.append((eid, "2024-01-01T10:00:00", u, "click", v))
+        eid += 1
+    out = analytics.brunner_munzel(_events(spark, rows)).collect()[0]
+    brute = sum(
+        1.0 if a < b else (0.5 if a == b else 0.0)
+        for a, b in itertools.product(a_vals, b_vals)
+    ) / 9.0
+    assert abs(out["p_hat"] - round(brute, 6)) < 1e-9
+    assert out["w_stat"] > 0
+
+
+def test_choppiness_straight_line_is_low(spark):
+    """A monotone close series: true ranges tile the envelope
+    exactly, so sum(TR)/range stays near 1 and CHOP sits near 0;
+    an oscillating series within a band scores much higher."""
+    trend = temporal.window_choppiness(
+        _daily(spark, [float(10 * (i + 1)) for i in range(14)])
+    ).collect()
+    churn = temporal.window_choppiness(
+        _daily(spark, [10.0, 20.0] * 7, user=2)
+    ).collect()
+    t_last = sorted(trend, key=lambda r: r["day"])[-1]["chop"]
+    c_last = sorted(churn, key=lambda r: r["day"])[-1]["chop"]
+    assert t_last is not None and c_last is not None
+    assert c_last > t_last
+
+
+def test_ultimate_oscillator_close_at_high_is_100(spark):
+    """Every day closing on its high with no gaps: BP == TR on every
+    horizon, so the oscillator pins at 100."""
+    rows = []
+    for i in range(10):
+        rows.append((2 * i, f"2024-01-{i + 1:02d}T10:00:00", 1, "c", 5.0))
+        rows.append((2 * i + 1, f"2024-01-{i + 1:02d}T11:00:00", 1, "c", 9.0))
+    out = temporal.window_ultimate_oscillator(_events(spark, rows)).collect()
+    assert all(r["ultimate_osc"] == 100.0 for r in out)
