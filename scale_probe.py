@@ -105,6 +105,13 @@ QUERIES = [
     "graph_rich_club",
     "window_vwap_bands",
     "stats_ansari_bradley",
+    # round-12 additions: the edge-grain wedge join on the co-purchase
+    # graph, the new value-alphabet rank test, and the Sobel kernel
+    # (documents replicate; dedup_simhash re-probes below because its
+    # hash family changed to md5-derived chunks this round)
+    "graph_edge_triangle_support",
+    "stats_brunner_munzel",
+    "multimodal_image_edge_density",
 ]
 
 PASSTHROUGH = (
@@ -147,6 +154,10 @@ X100_QUERIES = [
     "similarity_ann_pq",
     "similarity_ann_ivfpq",
     "similarity_incremental_lsh",
+    # round-12: the md5-chunk SimHash at 100x document density -- the
+    # banding question (does bucket_cap hold the within-cell
+    # quadratic?) only a second decade of corpus stresses
+    "dedup_simhash",
 ]
 
 #: ANN entries also record recall@5 vs an exact numpy-GEMM brute
