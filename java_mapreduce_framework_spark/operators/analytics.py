@@ -6156,14 +6156,19 @@ def jonckheere_terpstra(lineitem: DataFrame) -> DataFrame:
         F.col("n").cast("double") * F.col("n") * (2 * F.col("n") + 3)
         - F.col("s3").cast("double")
     ) / F.lit(72.0)
+    # single-populated-group input: zero cross pairs (jt2 coalesces
+    # to 0) AND zero null variance -- the statistic is degenerate,
+    # z NULL (hypothesis found the shape; fixtures never do)
+    j2 = F.coalesce(F.col("jt2"), F.lit(0))
     return joined.select(
         F.col("n").cast("long").alias("n_total"),
-        F.col("jt2").cast("long").alias("jt2"),
+        j2.cast("long").alias("jt2"),
         e2.cast("long").alias("e_jt2"),
-        F.round(
-            (F.col("jt2") - e2).cast("double")
-            / (F.lit(2.0) * F.sqrt(var)),
-            6,
+        F.when(
+            var > 0,
+            F.round(
+                (j2 - e2).cast("double") / (F.lit(2.0) * F.sqrt(var)), 6
+            ),
         ).alias("zscore"),
     )
 

@@ -238,12 +238,17 @@ def _stats_cvm_two_sample(spark, sf):
              sum(n_g * n_g * (2 * n_g + 3)) AS s3
       FROM sizes)
     SELECT CAST(n AS BIGINT) AS n_total,
-           CAST(jt2 AS BIGINT) AS jt2,
+           CAST(coalesce(jt2, 0) AS BIGINT) AS jt2,
            CAST((n * n - s2) / 2 AS BIGINT) AS e_jt2,
-           round(CAST(jt2 - (n * n - s2) / 2 AS DOUBLE)
-                 / (2.0 * sqrt((CAST(n AS DOUBLE) * n * (2 * n + 3)
-                                - CAST(s3 AS DOUBLE)) / 72.0)),
-                 6) AS zscore
+           CASE WHEN CAST(n AS DOUBLE) * n * (2 * n + 3)
+                     - CAST(s3 AS DOUBLE) > 0
+                THEN round(CAST(coalesce(jt2, 0) - (n * n - s2) / 2
+                                AS DOUBLE)
+                           / (2.0 * sqrt((CAST(n AS DOUBLE) * n
+                                          * (2 * n + 3)
+                                          - CAST(s3 AS DOUBLE)) / 72.0)),
+                           6)
+           END AS zscore
     FROM jt CROSS JOIN mom
     """,
     note="Jonckheere-Terpstra monotone-trend test of quantity by "

@@ -1342,3 +1342,136 @@ def test_lexical_stats_invariants(texts):
         assert r["js_nats"] <= 0.6931 + 1e-6  # ln 2 upper bound
     for r in source_cross_entropy(docs).collect():
         assert r["cross_entropy_nats"] >= -1e-6
+
+
+# ------------------------------------------------ round-12 kernels
+
+ab_values_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 5),  # user bucket (maps to an A or B user id)
+        st.integers(-3, 3),  # small value alphabet -> heavy ties
+    ),
+    min_size=2,
+    max_size=16,
+)
+
+
+def _ab_users():
+    """Three deterministic A users and three B users under the
+    engine's md5('ab|<uid>') split."""
+    import hashlib
+
+    def is_a(u):
+        return hashlib.md5(f"ab|{u}".encode()).hexdigest()[0] < "8"
+
+    a = [u for u in range(50) if is_a(u)][:3]
+    b = [u for u in range(50) if not is_a(u)][:3]
+    return a, b
+
+
+@settings(max_examples=8, deadline=None)
+@given(ab_values_strategy)
+def test_cliff_delta_matches_bruteforce(rows):
+    """Cliff's delta equals the brute-force pair census for any tie
+    pattern (the cumulative-window construction must not double- or
+    under-count tied values)."""
+    from java_mapreduce_framework_spark.operators.analytics import cliff_delta
+
+    a_users, b_users = _ab_users()
+    data, a_vals, b_vals = [], [], []
+    for i, (ub, v) in enumerate(rows):
+        if ub < 3:
+            u = a_users[ub]
+            a_vals.append(v)
+        else:
+            u = b_users[ub - 3]
+            b_vals.append(v)
+        data.append((i, _ts(i), u, "c", float(v), "{}"))
+    if not a_vals or not b_vals:
+        return
+    df = _spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    row = cliff_delta(df).collect()[0]
+    gt = sum(1 for a in a_vals for b in b_vals if a > b)
+    lt = sum(1 for a in a_vals for b in b_vals if a < b)
+    assert row["gt_pairs"] == gt and row["lt_pairs"] == lt
+    import decimal
+
+    expected = decimal.Decimal(
+        (gt - lt) * 10**6
+    ) / decimal.Decimal(len(a_vals) * len(b_vals))
+    expected = float(
+        expected.quantize(decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP)
+    ) / 1e6
+    assert row["cliff_delta"] == expected
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 4), st.integers(1, 5)),  # (month, qty)
+        min_size=2,
+        max_size=16,
+    )
+)
+def test_jonckheere_matches_bruteforce(rows):
+    """The doubled JT statistic equals the brute-force census of
+    concordant (x2) and tied (x1) cross-month pairs for any tie
+    pattern across the ordered groups."""
+    from java_mapreduce_framework_spark.operators.analytics import (
+        jonckheere_terpstra,
+    )
+
+    li = _spark.createDataFrame(
+        [
+            (k, datetime.date(1995, m, 1), float(q))
+            for k, (m, q) in enumerate(rows)
+        ],
+        "l_orderkey long, l_shipdate date, l_quantity double",
+    )
+    out = jonckheere_terpstra(li).collect()
+    jt2 = 0
+    for i, (m1, q1) in enumerate(rows):
+        for m2, q2 in rows:
+            if m1 < m2:
+                jt2 += 2 if q1 < q2 else (1 if q1 == q2 else 0)
+    assert out[0]["jt2"] == jt2
+
+
+@settings(max_examples=6, deadline=None)
+@given(ab_values_strategy)
+def test_brunner_munzel_p_hat_matches_bruteforce(rows):
+    """p_hat must equal the exact pair probability
+    P(A < B) + P(A = B)/2 for any tie pattern -- the doubled
+    pooled-midrank identity under test."""
+    from java_mapreduce_framework_spark.operators.analytics import (
+        brunner_munzel,
+    )
+
+    a_users, b_users = _ab_users()
+    data, a_vals, b_vals = [], [], []
+    for i, (ub, v) in enumerate(rows):
+        if ub < 3:
+            u = a_users[ub]
+            a_vals.append(v)
+        else:
+            u = b_users[ub - 3]
+            b_vals.append(v)
+        data.append((i, _ts(i), u, "c", float(v), "{}"))
+    if len(a_vals) < 2 or len(b_vals) < 2:
+        return
+    df = _spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    row = brunner_munzel(df).collect()[0]
+    brute = sum(
+        1.0 if a < b else (0.5 if a == b else 0.0)
+        for a in a_vals
+        for b in b_vals
+    ) / (len(a_vals) * len(b_vals))
+    assert abs(row["p_hat"] - brute) < 1e-6 + 1e-12
