@@ -6589,3 +6589,54 @@ def brunner_munzel(events: DataFrame) -> DataFrame:
         F.round(w_stat, 4).alias("w_stat"),
         (F.abs(w_stat) > F.lit(1.96)).alias("significant"),
     )
+
+
+def seasonal_naive_error(events: DataFrame, season: int = 7) -> DataFrame:
+    """Error profile of the SEASONAL-NAIVE daily-volume forecaster
+    (prediction = the count ``season`` days earlier) -- the baseline
+    every real forecasting effort must beat, and a direct seasonality
+    readout in its own right (a small seasonal-naive error means the
+    weekly cycle explains most of the variance; acf/seasonality ops
+    say the same thing less operationally).
+
+    Exactness: daily counts and absolute errors are exact integers
+    off the calendar-bounded daily reduction; MAE and the WAPE-style
+    normalized error are one integer ratio each at 1e-6. Days without
+    a lookback drop (no prediction exists).
+
+    Emits ONE row (n_days, mae, wape).
+    """
+    daily = events.groupBy(
+        F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").alias("x"))
+    wo = Window.orderBy("day")
+    lagd = daily.select(
+        "x",
+        F.lag("day", season).over(wo).alias("pday"),
+        F.lag("x", season).over(wo).alias("px"),
+        F.col("day"),
+    ).filter(
+        F.col("px").isNotNull()
+        # the lag must be exactly `season` CALENDAR days back --
+        # a gap in the daily series would silently misalign the
+        # seasonal index otherwise
+        & (F.datediff("day", F.col("pday")) == season)
+    )
+    agg = lagd.agg(
+        F.count("*").alias("n"),
+        F.sum(F.abs(F.col("x") - F.col("px"))).alias("sae"),
+        F.sum("x").alias("sx"),
+    )
+    return agg.filter(F.col("n") > 0).select(
+        F.col("n").cast("long").alias("n_days"),
+        (
+            F.round(F.col("sae") * F.lit(1e6) / F.col("n").cast("double"))
+            .cast("long")
+            / F.lit(1e6)
+        ).alias("mae"),
+        (
+            F.round(F.col("sae") * F.lit(1e6) / F.col("sx").cast("double"))
+            .cast("long")
+            / F.lit(1e6)
+        ).alias("wape"),
+    )

@@ -3012,3 +3012,41 @@ def dedup_prefix_exact(documents: DataFrame, prefix_len: int = 64) -> DataFrame:
             F.col("n_distinct_full").cast("long").alias("n_distinct_full"),
         )
     )
+
+
+def cluster_size_histogram(documents: DataFrame) -> DataFrame:
+    """Near-dup cluster SIZE distribution over the exact
+    n-gram-Jaccard graph -- the one-screen duplication health report
+    (a long tail of 2-doc clusters is organic near-duplication; a few
+    giant components are boilerplate families that transitive merging
+    would wrongly collapse -- the reading that decides between
+    keep-best-per-cluster and edge-level triage). Size-1 row counts
+    the UNCLUSTERED remainder, so the histogram partitions the whole
+    corpus.
+
+    Composition, no new primitives: exact pair generation +
+    ``connected_components`` (skew-safe min-label propagation),
+    a component-keyed count, a size-keyed count, and one anti-join
+    for the singleton row. Everything after the pair stage is
+    component- or size-bounded.
+
+    Emits (cluster_size, n_clusters).
+    """
+    pairs = ngram_jaccard_pairs(documents, threshold=0.8)
+    cc = connected_components(pairs)
+    hist = (
+        cc.groupBy("component_id")
+        .agg(F.count("*").alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+    )
+    singles = (
+        documents.join(cc, "doc_id", "left_anti")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(F.lit(1).cast("long").alias("cluster_size"), "n_clusters")
+        .filter(F.col("n_clusters") > 0)
+    )
+    return hist.select(
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        F.col("n_clusters").cast("long").alias("n_clusters"),
+    ).unionByName(singles)

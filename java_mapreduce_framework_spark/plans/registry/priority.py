@@ -58,6 +58,8 @@ _FRESH_THIS_ROUND: frozenset[str] = frozenset(
         "stats_brunner_munzel",
         "window_choppiness",
         "window_ultimate_oscillator",
+        "dedup_cluster_size_histogram",
+        "events_seasonal_naive_error",
     }
 )
 

@@ -926,3 +926,78 @@ def _window_choppiness(spark, sf):
 )
 def _window_ultimate_oscillator(spark, sf):
     return temporal.window_ultimate_oscillator(_t(spark, sf, "events"))
+
+
+def _cluster_histogram_oracle() -> str:
+    """Splice the recursive-CTE connected-components oracle (the
+    label-propagation twin's, reused verbatim) into CTE position and
+    append the histogram + singleton tail -- the LePage composition
+    discipline applied to the dedup family."""
+    from .core import _REGISTRY
+
+    cc_sql = _REGISTRY["dedup_cluster_components"].oracle
+    marker = "SELECT node AS doc_id, min(root) AS component_id"
+    idx = cc_sql.rindex(marker)
+    head = cc_sql[:idx]
+    return f"""{head},
+    cc0 AS (SELECT node AS doc_id, min(root) AS component_id
+            FROM reach GROUP BY node),
+    csz AS (SELECT component_id, count(*) AS cluster_size
+            FROM cc0 GROUP BY component_id),
+    chist AS (SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+                     CAST(count(*) AS BIGINT) AS n_clusters
+              FROM csz GROUP BY cluster_size),
+    singles AS (
+      SELECT CAST(1 AS BIGINT) AS cluster_size,
+             CAST((SELECT count(*) FROM documents)
+                  - (SELECT count(*) FROM cc0) AS BIGINT) AS n_clusters)
+    SELECT * FROM chist
+    UNION ALL
+    SELECT * FROM singles WHERE n_clusters > 0
+    """
+
+
+@_register(
+    "dedup_cluster_size_histogram",
+    _cluster_histogram_oracle(),
+    note="near-dup cluster size distribution (the duplication health "
+    "report deciding keep-best-per-cluster vs edge triage): exact "
+    "pair generation + min-label CC + two bounded counts; size-1 row "
+    "counts the unclustered remainder so the histogram partitions "
+    "the corpus; oracle splices the recursive-CTE CC oracle verbatim",
+)
+def _dedup_cluster_size_histogram(spark, sf):
+    return dedup.cluster_size_histogram(_t(spark, sf, "documents"))
+
+
+@_register(
+    "events_seasonal_naive_error",
+    f"""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day, count(*) AS x
+      FROM {_EVTS} GROUP BY 1),
+    lagd AS (
+      SELECT day, x,
+             lag(day, 7) OVER (ORDER BY day) AS pday,
+             lag(x, 7) OVER (ORDER BY day) AS px
+      FROM daily),
+    ok AS (
+      SELECT x, px FROM lagd
+      WHERE px IS NOT NULL AND date_diff('day', pday, day) = 7),
+    agg AS (
+      SELECT count(*) AS n, sum(abs(x - px)) AS sae, sum(x) AS sx
+      FROM ok)
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(CAST(round(sae * 1e6 / CAST(n AS DOUBLE)) AS BIGINT)
+                AS DOUBLE) / 1e6 AS mae,
+           CAST(CAST(round(sae * 1e6 / CAST(sx AS DOUBLE)) AS BIGINT)
+                AS DOUBLE) / 1e6 AS wape
+    FROM agg WHERE n > 0
+    """,
+    note="seasonal-naive (lag-7) daily-volume forecast error (MAE + "
+    "WAPE) -- the baseline every forecaster must beat: exact integer "
+    "daily counts and absolute errors off the calendar-bounded "
+    "reduction, calendar-gap-aligned lag, two integer ratios at 1e-6",
+)
+def _events_seasonal_naive_error(spark, sf):
+    return analytics.seasonal_naive_error(_t(spark, sf, "events"))

@@ -499,3 +499,40 @@ def test_ultimate_oscillator_close_at_high_is_100(spark):
         rows.append((2 * i + 1, f"2024-01-{i + 1:02d}T11:00:00", 1, "c", 9.0))
     out = temporal.window_ultimate_oscillator(_events(spark, rows)).collect()
     assert all(r["ultimate_osc"] == 100.0 for r in out)
+
+
+def test_cluster_size_histogram_partitions_corpus(spark):
+    """Two exact near-dup pairs + one unique doc: histogram must show
+    one 2-cluster count of 2 and a singleton row of 1 -- and the
+    sizes weighted by counts must sum to the corpus size."""
+    docs = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon zeta", "en", "s"),
+            (2, "alpha beta gamma delta epsilon zeta", "en", "s"),
+            (3, "one two three four five six seven", "en", "s"),
+            (4, "one two three four five six seven", "en", "s"),
+            (5, "totally different words entirely here now", "en", "s"),
+        ],
+    )
+    rows = {r["cluster_size"]: r["n_clusters"]
+            for r in dedup.cluster_size_histogram(docs).collect()}
+    assert rows[2] == 2 and rows[1] == 1
+    assert sum(k * v for k, v in rows.items()) == 5
+
+
+def test_seasonal_naive_error_perfect_weekly_cycle(spark):
+    """A strict 7-day-periodic daily series: the lag-7 forecast is
+    exact, so MAE and WAPE are 0."""
+    rows, eid = [], 0
+    base = datetime.date(2024, 1, 1)
+    for d in range(21):
+        day = base + datetime.timedelta(days=d)
+        for _ in range(1 + (d % 7)):  # weekly-periodic volume
+            rows.append(
+                (eid, f"{day.isoformat()}T10:00:00", 1, "c", 1.0)
+            )
+            eid += 1
+    out = analytics.seasonal_naive_error(_events(spark, rows)).collect()[0]
+    assert out["n_days"] == 14
+    assert out["mae"] == 0.0 and out["wape"] == 0.0
