@@ -521,20 +521,29 @@ def stats_bootstrap_ci(lineitem: DataFrame, n_reps: int = 24) -> DataFrame:
     uniform, then inverted through the Poisson(1) CDF ladder --
     reproducible across runs, engines, and retries, unlike rand().
 
-    Plan shape for 100 TB: the n_reps replicate sums are WIDE
-    AGGREGATES in one pass (the MinHash signature pattern -- 2 x
-    n_reps accumulators per group, no row explode: the x24 explode
-    form measured 2.5x slower at sf0.1), so the corpus is scanned
-    once and the one shuffle moves |flags| x 2 x n_reps partials.
-    The wide result is stack()'ed to (flag, b) cells -- |flags| x
-    n_reps rows -- for the across-replicate variance. Replicate sums
-    run in DECIMAL (exact integer grain -- fold-order independent),
-    so each replicate mean is bit-identical on both engines; the
-    variance uses sums centered on the pinned full mean (the
-    stats_moments discipline) to kill cancellation drift.
+    Plan shape for 100 TB: the n_reps replicate sums fold as PARTIAL
+    AGGREGATES in one pass -- a vectorized Arrow kernel emits per-batch
+    (flag, replicate) partial sums (the MinHash signature pattern:
+    the 2 x n_reps + 2 accumulator SQL-expression form blows the
+    whole-stage-codegen method budget and drops the aggregate into
+    interpreted row mode, measured 2.5x slower at sf0.1; the x24 row
+    explode form is similarly 2.5x slower), so the corpus is scanned
+    once and the one shuffle moves |flags| x (n_reps + 1) partial rows
+    per batch. All replicate sums are exact int64 (weights 0..9 times
+    integer cents -- fold-order independent and bit-identical on both
+    engines); the variance uses sums centered on the pinned full mean
+    (the stats_moments discipline) to kill cancellation drift. The
+    single-split fixture scan is spread first (guide §2.5 input-skew
+    guard, no-op at production split counts) so the md5 derivation
+    parallelizes.
 
     Emits (l_returnflag, mean_price, se_boot, ci_lo, ci_hi) with a
     normal-approximation 95% interval from the replicate spread."""
+    import numpy as np
+    import pandas as pd
+
+    from ..sources.tables import spread_scan
+
     h8 = F.conv(
         F.substring(
             F.md5(F.concat_ws("|", F.lit("bs"), "l_orderkey", "l_linenumber")),
@@ -545,60 +554,96 @@ def stats_bootstrap_ci(lineitem: DataFrame, n_reps: int = 24) -> DataFrame:
         10,
     ).cast("long")
     # money as exact LONG cents: integer sums are fold-order exact
-    # like DECIMAL but ~3x cheaper per accumulator update (BigDecimal
-    # vs primitive long in the 2 x n_reps-wide aggregate)
-    base = lineitem.select(
+    # like DECIMAL but ~3x cheaper per accumulator update
+    base = spread_scan(
+        lineitem.select(
+            "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"
+        ),
+        "l_orderkey",
+    ).select(
         "l_returnflag",
         (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
         .cast("long")
         .alias("x"),
         h8.alias("h8"),
     )
-    def weight(b: int):
-        # b * 999999937 precomputed in Python: int * int overflows
-        # 32 bits JVM-side, and the literal keeps the scramble a
-        # single long chain
-        s1 = (F.col("h8") * F.lit(1000003) + F.lit(b * 999999937)) % F.lit(
-            1048576
-        )
-        s2 = (s1 * F.lit(48271) + F.lit(11)) % F.lit(1048576)
-        # Poisson(1) inverse-CDF ladder pre-scaled to the 2^20 lattice
-        # (ceil(cdf * 2^20 - 0.5)): pure long compares, no double
-        # division per (row, replicate); literals shared verbatim with
-        # the oracle (they only have to be identical, tail capped at 9)
-        return (
-            F.when(s2 < 385750, 0)
-            .when(s2 < 771499, 1)
-            .when(s2 < 964374, 2)
-            .when(s2 < 1028665, 3)
-            .when(s2 < 1044738, 4)
-            .when(s2 < 1047953, 5)
-            .when(s2 < 1048489, 6)
-            .when(s2 < 1048565, 7)
-            .when(s2 < 1048575, 8)
-            .otherwise(9)
-        )
+    # Poisson(1) inverse-CDF ladder pre-scaled to the 2^20 lattice
+    # (ceil(cdf * 2^20 - 0.5)): pure int64 compares, literals shared
+    # verbatim with the oracle (tail capped at 9). searchsorted over
+    # the ascending ladder IS the when-chain: index of the first
+    # threshold > s2.
+    ladder = np.array(
+        [385750, 771499, 964374, 1028665, 1044738, 1047953, 1048489,
+         1048565, 1048575],
+        dtype=np.int64,
+    )
 
-    aggs = []
-    for b in range(n_reps):
-        wb = weight(b)
-        aggs.append(F.sum(wb * F.col("x")).alias(f"swx_{b}"))
-        aggs.append(F.sum(wb).alias(f"sw_{b}"))
-    wide = base.groupBy("l_returnflag").agg(
-        F.count("*").alias("n"), F.sum("x").alias("sx"), *aggs
-    )
-    stack_args = ", ".join(
-        f"CAST({b} AS BIGINT), swx_{b}, sw_{b}" for b in range(n_reps)
-    )
-    reps = (
-        wide.select(
-            "l_returnflag",
-            F.round(
-                F.col("sx").cast("double") / 100.0 / F.col("n"), 6
-            ).alias("c"),
-            F.expr(f"stack({n_reps}, {stack_args}) AS (b, swx, sw)"),
+    def replicate_partials(batches):
+        # per batch: 24 deterministic weight vectors (same modular
+        # scramble as the oracle, all intermediates < 2^53 so int64 is
+        # exact), folded to (flag, b) partial sums; b = -1 carries the
+        # un-resampled totals (n, sum x) so the full mean needs no
+        # second corpus pass
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            h = pdf["h8"].to_numpy(np.int64)
+            x = pdf["x"].to_numpy(np.int64)
+            flags = pdf["l_returnflag"]
+            outs = [
+                pd.DataFrame(
+                    {
+                        "l_returnflag": flags,
+                        "b": np.int32(-1),
+                        "swx": x,
+                        "sw": np.int64(1),
+                    }
+                )
+                .groupby("l_returnflag", sort=False, as_index=False)
+                .agg({"b": "first", "swx": "sum", "sw": "sum"})
+            ]
+            for b in range(n_reps):
+                s1 = (h * 1000003 + b * 999999937) % 1048576
+                s2 = (s1 * 48271 + 11) % 1048576
+                w = np.searchsorted(ladder, s2, side="right").astype(np.int64)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "l_returnflag": flags,
+                            "b": np.int32(b),
+                            "swx": w * x,
+                            "sw": w,
+                        }
+                    )
+                    .groupby("l_returnflag", sort=False, as_index=False)
+                    .agg({"b": "first", "swx": "sum", "sw": "sum"})
+                )
+            yield pd.concat(outs)[["l_returnflag", "b", "swx", "sw"]]
+
+    cells = (
+        base.mapInPandas(
+            replicate_partials,
+            "l_returnflag string, b int, swx long, sw long",
         )
-        .filter(F.col("sw") > 0)
+        .groupBy("l_returnflag", "b")
+        .agg(F.sum("swx").alias("swx"), F.sum("sw").alias("sw"))
+    )
+    # the pinned full mean rides from the b = -1 totals row to its
+    # flag's replicate rows through one |flags| x (n_reps+1)-row
+    # window -- no second consumption of the kernel subtree, no join
+    reps = (
+        cells.withColumn(
+            "c",
+            F.max(
+                F.when(
+                    F.col("b") == -1,
+                    F.round(
+                        F.col("swx").cast("double") / 100.0 / F.col("sw"), 6
+                    ),
+                )
+            ).over(Window.partitionBy("l_returnflag")),
+        )
+        .filter((F.col("b") >= 0) & (F.col("sw") > 0))
         .withColumn(
             "mean_b", F.col("swx").cast("double") / 100.0 / F.col("sw")
         )
@@ -3723,6 +3768,13 @@ def permutation_test(events: DataFrame, k_perms: int = 64) -> DataFrame:
 
     Emits ONE row (k_perms, obs_diff, n_perms_ge, p_value).
     """
+    from ..sources.tables import spread_scan
+
+    # K x corpus md5 fan-out is the op's whole cost and runs ABOVE the
+    # scan: spread the single-split fixture scan so it parallelizes
+    # (guide §2.5 input skew; no-op when the scan already has >= core
+    # splits). Measured 4.4 s -> 1.4 s at sf0.1 / local[32].
+    events = spread_scan(events.select("event_id", "value"), "event_id")
     cents = F.floor(F.col("value") * 100).cast("long")
     obs_bit = F.when(
         F.substring(F.md5(F.concat(F.col("event_id").cast("string"), F.lit("ab|"))), 1, 1)

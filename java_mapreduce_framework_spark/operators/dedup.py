@@ -53,8 +53,18 @@ def shingles(documents: DataFrame, n: int = 3, hashed: bool = False) -> DataFram
     multi-word string (measured ~2.5x on the inverted-index join), at
     a 64-bit collision risk that stays negligible until corpora reach
     billions of DISTINCT shingles (birthday bound ~2^32)."""
+    from ..sources.tables import spread_scan
+
     toks = tokens_col("text")
-    df = documents.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= n)
+    # tokenize + n-gram explode is the corpus-heaviest map work in the
+    # dedup/graph family and runs ABOVE the scan: spread the
+    # single-split fixture scan so it parallelizes (guide §2.5
+    # input-skew guard; no-op when the scan already has >= core splits)
+    df = (
+        spread_scan(documents.select("doc_id", "text"), "doc_id")
+        .select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= n)
+    )
     sh = F.explode(F.expr(f"array_distinct({grams_expr(n)})"))
     out = df.select("doc_id", sh.alias("shingle"))
     if hashed:
@@ -378,9 +388,22 @@ def simhash_signatures(
 ) -> DataFrame:
     """64-bit SimHash per doc as ``bands`` x 16-bit CHUNKS: for each
     bit position, sum +cnt/-cnt of token-hash bits weighted by term
-    frequency; bit = (sum > 0). Expressed as 64 SUM aggregates over
-    (doc, token, cnt) -- partial aggregation applies, one shuffle row
-    per doc.
+    frequency; bit = (sum > 0). The 64 per-bit sums fold as partial
+    aggregates, one shuffle row per doc.
+
+    Execution shape (the minhash_signatures_from_shingles lesson,
+    measured again here): 64 ``SUM(CASE ...)`` accumulators in one
+    SQL aggregate exceed the whole-stage-codegen method budget and
+    drop the hot aggregate into interpreted row mode -- 2.6x slower
+    at sf0.1. So the JVM computes only the 4 md5-derived 16-bit
+    chunks per (doc, token) row (codegen-friendly), and a vectorized
+    Arrow kernel unpacks bits and folds per-batch partial +/-cnt sums
+    in numpy; a final JVM SUM per doc merges batch partials. Partial
+    aggregation semantics are preserved (one row per doc per Arrow
+    batch crosses the shuffle) and the arithmetic is exact int64 --
+    bit-identical to the SQL-expression form. The single-split
+    fixture scan is spread before the token explode (guide §2.5
+    input-skew guard; no-op at production split counts).
 
     The hash family is md5-derived (band j's 16 token-hash bits =
     hex chars 4j+1..4j+4 of md5(word)) -- the repo's cross-engine
@@ -391,10 +414,15 @@ def simhash_signatures(
     no sign-extension trap on either engine's right-shift, and
     Hamming distance folds per chunk.
     """
+    import numpy as np
+    import pandas as pd
+
+    from ..sources.tables import spread_scan
+
     width = 64 // bands
     assert width == 16 and bands * 4 <= 32, "md5 supplies 32 hex chars"
     toks = tokens_col("text")
-    tf = documents.select(
+    tf = spread_scan(documents.select("doc_id", "text"), "doc_id").select(
         "doc_id", F.explode(toks).alias("word")
     ).groupBy("doc_id", "word").agg(F.count("*").alias("cnt"))
     hs = tf.select(
@@ -407,18 +435,29 @@ def simhash_signatures(
             for j in range(bands)
         ],
     )
-    bit_sums = [
-        F.sum(
-            F.when(
-                F.shiftrightunsigned(f"h{j}", k).bitwiseAND(F.lit(1))
-                == 1,
-                F.col("cnt"),
-            ).otherwise(-F.col("cnt"))
-        ).alias(f"b{j}_{k}")
-        for j in range(bands)
-        for k in range(width)
-    ]
-    per_doc = hs.groupBy("doc_id").agg(*bit_sums)
+    b_cols = [f"b{j}_{k}" for j in range(bands) for k in range(width)]
+
+    def bit_partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cnt = pdf["cnt"].to_numpy(np.int64)
+            cols = {}
+            for j in range(bands):
+                h = pdf[f"h{j}"].to_numpy(np.int64)
+                for k in range(width):
+                    cols[f"b{j}_{k}"] = np.where(
+                        ((h >> k) & 1).astype(bool), cnt, -cnt
+                    )
+            g = pd.DataFrame(cols)
+            g["doc_id"] = pdf["doc_id"].to_numpy()
+            yield g.groupby("doc_id", sort=False).sum().reset_index()[
+                ["doc_id"] + b_cols
+            ]
+
+    per_doc = hs.mapInPandas(
+        bit_partials, "doc_id long, " + ", ".join(f"{c} long" for c in b_cols)
+    ).groupBy("doc_id").agg(*[F.sum(c).alias(c) for c in b_cols])
     chunks = [
         _reduce(
             _add,
@@ -1252,9 +1291,15 @@ def dedup_edit_distance(
 
     Emits (doc_a, doc_b, dist).
     """
+    from ..sources.tables import spread_scan
+
     kk = k + 1  # number of segments; pigeonhole over k edits
 
-    keys = documents.select(
+    # the probe side expands each key into ~(2k+1)^2*(k+1) shifted
+    # substrings ABOVE the scan: spread the single-split fixture scan
+    # so that expansion parallelizes (guide §2.5 input-skew guard;
+    # no-op at production split counts)
+    keys = spread_scan(documents.select("doc_id", "text"), "doc_id").select(
         "doc_id",
         F.lower(F.substring("text", 1, prefix_len)).alias("s"),
     ).withColumn("slen", F.length("s"))
@@ -2001,8 +2046,14 @@ def dedup_substring(documents: DataFrame, span_len: int = 8) -> DataFrame:
         f"transform(sequence(1, size(toks) - {span_len - 1}), "
         f"i -> concat_ws(' ', slice(toks, i, {span_len})))"
     )
+    from ..sources.tables import spread_scan
+
+    # tokenize + stride-1 window explode above a single-split fixture
+    # scan: spread it (guide §2.5 input-skew guard; no-op at
+    # production split counts)
     base = (
-        documents.select("doc_id", tokens_col("text").alias("toks"))
+        spread_scan(documents.select("doc_id", "text"), "doc_id")
+        .select("doc_id", tokens_col("text").alias("toks"))
         .filter(F.size("toks") >= span_len)
         .localCheckpoint(eager=False)  # shared by fingerprint + verify scans
     )

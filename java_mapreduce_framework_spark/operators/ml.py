@@ -51,8 +51,11 @@ def _char_bigrams(documents: DataFrame) -> DataFrame:
     for non-ASCII, turning a positional loop into O(n^2) per document
     (the char_entropy lesson -- ~4-5x on the CJK slice); array
     subscripts are O(1)."""
+    from ..sources.tables import spread_scan
+
     return (
-        documents.filter(F.length("text") >= 2)
+        spread_scan(documents.select("doc_id", "lang", "text"), "doc_id")
+        .filter(F.length("text") >= 2)
         .select(
             "doc_id", "lang", F.split(F.lower("text"), "").alias("c")
         )

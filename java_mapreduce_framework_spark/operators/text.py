@@ -2408,7 +2408,17 @@ def _bpe_loop(documents: DataFrame, n_merges: int):
             .groupBy(F.col("sym").alias("a"), F.col("nxt").alias("b"))
             .agg(F.sum("word_freq").alias("n_pair"))
         )
-        top1 = counts.orderBy(F.col("n_pair").desc(), "a", "b").limit(1)
+        # checkpoint the 1-row winner ONCE: both consumers (the merge
+        # record and the broadcast into the rewrite) then read the
+        # materialized row instead of each re-running the pair-count
+        # aggregate -- the un-checkpointed form paid the counts agg
+        # twice per round (once for the merge-record checkpoint, once
+        # inside the next sympos checkpoint's broadcast subtree)
+        top1 = (
+            counts.orderBy(F.col("n_pair").desc(), "a", "b")
+            .limit(1)
+            .localCheckpoint()
+        )
         merges.append(
             top1.select(
                 F.lit(step).alias("step"),
@@ -2416,7 +2426,7 @@ def _bpe_loop(documents: DataFrame, n_merges: int):
                 F.col("b").alias("sym_b"),
                 "n_pair",
                 F.concat("a", "b").alias("new_sym"),
-            ).localCheckpoint()
+            )
         )
         m = paired.crossJoin(F.broadcast(top1)).withColumn(
             "is_m", (F.col("sym") == F.col("a")) & (F.col("nxt") == F.col("b"))

@@ -660,9 +660,12 @@ def test_ann_pq_shortlist_is_broadcast_rescore(spark, sf_small):
 
 
 def test_bootstrap_ci_single_scan_no_explode(spark, sf_small):
-    """The 24 replicate sums are wide aggregates over ONE lineitem
-    scan -- no Generate (explode) node, no row multiplication, and the
-    read schema carries only the 4 needed columns."""
+    """The 24 replicate sums fold as Arrow-kernel PARTIAL aggregates
+    over ONE lineitem scan -- no Generate (explode) node anywhere (a
+    Generate over scan rows would be the x24 row-multiplication
+    regression; the r12 kernel rewrite also removed the stack() over
+    the wide aggregate), one MapInPandas kernel, and the read schema
+    carries only the 4 needed columns."""
     from java_mapreduce_framework_spark.operators import analytics
 
     import re
@@ -670,11 +673,8 @@ def test_bootstrap_ci_single_scan_no_explode(spark, sf_small):
     plan = _formatted(
         analytics.stats_bootstrap_ci(load_table(spark, sf_small, "lineitem"))
     )
-    # the only Generate is the stack() over the |flags|-row aggregate
-    # result (its inputs are the swx_*/sw_* aggregate columns) -- a
-    # Generate over scan rows would be the x24 explode regression
-    gens = re.findall(r"^\(\d+\) Generate[^\n]*\n(?:[^\n]*\n){1,6}", plan, re.M)
-    assert len(gens) == 1 and "swx_" in gens[0]
+    assert len(re.findall(r"^\(\d+\) Generate", plan, re.M)) == 0
+    assert len(re.findall(r"^\(\d+\) MapInPandas", plan, re.M)) == 1
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
     read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
     assert "l_comment" not in read_schema and "l_shipdate" not in read_schema
