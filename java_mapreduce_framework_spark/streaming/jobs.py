@@ -16,6 +16,7 @@ usage is exercised in ``stream_sessionize_state`` tests.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import pathlib
 import uuid
@@ -67,6 +68,47 @@ def _ckpt_root() -> pathlib.Path:
     return base / "jmrf_ckpt"
 
 
+def stream_state_partitions(spark) -> int:
+    """Shuffle/state partition count for streaming queries.
+
+    A stateful streaming operator creates ONE state-store instance per
+    shuffle partition, and every microbatch commits a delta file (plus
+    periodic snapshot + maintenance) per store; streaming also has no
+    AQE, so nothing coalesces the constant away. The per-partition
+    fixed cost therefore scales with ``spark.sql.shuffle.partitions``
+    itself, not with data (measured at sf0.1 / local[32]:
+    stream_tumbling_window_watermarked 7.1 s @ 32 partitions -> 2.7 s
+    @ 8 -> 1.7 s @ 4; stream_stream_join 6.4 s -> 4.4 s @ 8).
+
+    State partitions are PINNED by the checkpoint at first start, so
+    production sizes them for peak state volume up front --
+    ``JMRF_STREAM_STATE_PARTITIONS`` (typically 2-3x total cores on a
+    cluster; cannot be changed without a new checkpoint). The local
+    default min(8, cores) suits the bounded fixture drains, whose
+    state is KB-scale."""
+    env = os.environ.get("JMRF_STREAM_STATE_PARTITIONS")
+    if env:
+        return int(env)
+    from ..session import default_parallelism
+
+    return min(8, default_parallelism())
+
+
+@contextlib.contextmanager
+def _stream_conf(spark):
+    """Scope the streaming partition count to one bounded drain: the
+    query binds ``spark.sql.shuffle.partitions`` when it starts; the
+    session-wide (batch) value is restored on exit."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(stream_state_partitions(spark))
+    )
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def _drain_to_memory(stream_df: DataFrame, mode: str = "complete") -> DataFrame:
     """Run a bounded streaming query to completion via availableNow and
     return the memory-sink table."""
@@ -74,15 +116,16 @@ def _drain_to_memory(stream_df: DataFrame, mode: str = "complete") -> DataFrame:
 
     name = f"mem_{uuid.uuid4().hex[:12]}"
     ckpt = _ckpt_root() / name
-    q = (
-        stream_df.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", str(ckpt))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_conf(stream_df.sparkSession):
+        q = (
+            stream_df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     shutil.rmtree(ckpt, ignore_errors=True)
     return stream_df.sparkSession.table(name)
 
@@ -244,15 +287,16 @@ def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = dedup.probe_minhash_index(spark, sigs, name)
         out.write.mode("append").parquet(str(sink))
 
-    q = (
-        spark.readStream.schema(schema)
-        .parquet(src)
-        .writeStream.foreachBatch(probe_batch)
-        .option("checkpointLocation", str(ckpt))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_conf(spark):
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .writeStream.foreachBatch(probe_batch)
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(str(sink))
 
 
@@ -376,15 +420,16 @@ def stream_tumbling_window_watermarked(
         )
     )
     run = _REPO_ROOT / ".tmp" / "stream" / f"wm_{uuid.uuid4().hex[:12]}"
-    q = (
-        agg.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", str(run / "out"))
-        .option("checkpointLocation", str(run / "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_conf(spark):
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(run / "out"))
+            .option("checkpointLocation", str(run / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # explicit schema: a zero-emission run leaves no data files to
     # infer from (cannot happen on the fixtures, but fail loud > flaky)
     return spark.read.schema(agg.schema).parquet(str(run / "out"))
@@ -612,16 +657,17 @@ def stream_foreachbatch_idempotent(
                 .parquet(str(sink))
             )
 
-        q = (
-            spark.readStream.schema(schema)
-            .parquet(src)
-            .select("event_id", "user_id", "event_type")
-            .writeStream.foreachBatch(write_batch)
-            .option("checkpointLocation", str(ckpt))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with _stream_conf(spark):
+            q = (
+                spark.readStream.schema(schema)
+                .parquet(src)
+                .select("event_id", "user_id", "event_type")
+                .writeStream.foreachBatch(write_batch)
+                .option("checkpointLocation", str(ckpt))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
 
     for _ in range(1 + replays):
         _drain_once()
@@ -781,17 +827,18 @@ def stream_index_ingest(
         spark.catalog.refreshTable(f"{name_s}_sigs")
         survivors.select("doc_id").write.mode("append").parquet(str(sink))
 
-    q = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .option("latestFirst", "false")
-        .parquet(str(src) + "/*.parquet")
-        .writeStream.foreachBatch(ingest_batch)
-        .option("checkpointLocation", str(ckpt))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_conf(spark):
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(str(src) + "/*.parquet")
+            .writeStream.foreachBatch(ingest_batch)
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
     # sequential batch replay, same slice order, same per-slice contract
     replay_parts = []
@@ -1001,16 +1048,17 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         merged.write.mode("overwrite").parquet(str(sink))
 
-    q = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 2)
-        .parquet(src)
-        .writeStream.foreachBatch(merge)
-        .option("checkpointLocation", str(ckpt))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_conf(spark):
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+            .writeStream.foreachBatch(merge)
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(str(sink)).select(
         "event_id",
         "ts",
