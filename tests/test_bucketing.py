@@ -46,7 +46,11 @@ def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
             j._jdf.queryExecution(), "formatted"
         )
         assert "Exchange" not in plan, "bucketed join should not shuffle either side"
-        assert "SortMergeJoin" in plan
+        # r12: preferSortMergeJoin=false lets the planner pick a
+        # shuffled-hash join here (bucketing still co-locates, so it
+        # stays exchange-free and additionally skips both sorts);
+        # either strategy satisfies the bucketing contract
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
 

@@ -214,7 +214,16 @@ def test_minhash_signatures_aggregate_partially(spark, sf_small):
     # the shuffle carries one signature row per doc -- not the exploded
     # shingle stream
     assert "partial_min" in plan
-    assert _nodes(plan, "Exchange") == 1
+    # one aggregation exchange (one signature row per doc crosses it);
+    # r12 adds the conditional spread_scan REPARTITION exchange below
+    # the explode (guide §2.5 input-skew guard -- fires only when the
+    # scan has fewer splits than cores, i.e. never at production
+    # layouts), so the budget is <= 2 and the extra one must be the
+    # doc_id repartition, not a second aggregation shuffle
+    n_ex = _nodes(plan, "Exchange")
+    assert n_ex <= 2
+    if n_ex == 2:
+        assert "REPARTITION_BY_NUM" in plan or "hashpartitioning(doc_id" in plan
 
 
 def test_curation_scans_are_zero_shuffle(spark, sf_small):
@@ -275,7 +284,10 @@ def test_bucketed_colocated_join_declared_query_no_join_exchange(spark, sf_small
         table_suffix="_planshape",
     )
     plan = _formatted(df)
-    assert "SortMergeJoin" in plan
+    # r12: with preferSortMergeJoin=false the planner may pick a
+    # shuffled-hash join -- still exchange-free on bucketed sides,
+    # and it skips both sorts; either strategy satisfies the contract
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     # no exchange may partition on either JOIN key anywhere in the
     # plan -- the only allowed shuffle is the post-join groupBy on
     # c_nationkey
