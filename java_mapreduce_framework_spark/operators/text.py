@@ -2401,66 +2401,72 @@ def _bpe_loop(documents: DataFrame, n_merges: int):
         Window.unboundedPreceding, Window.currentRow
     )
     merges = []
-    for step in range(1, n_merges + 1):
-        paired = sympos.withColumn("nxt", F.lead("sym").over(w))
-        counts = (
-            paired.filter(F.col("nxt").isNotNull())
-            .groupBy(F.col("sym").alias("a"), F.col("nxt").alias("b"))
-            .agg(F.sum("word_freq").alias("n_pair"))
-        )
-        # checkpoint the 1-row winner ONCE: both consumers (the merge
-        # record and the broadcast into the rewrite) then read the
-        # materialized row instead of each re-running the pair-count
-        # aggregate -- the un-checkpointed form paid the counts agg
-        # twice per round (once for the merge-record checkpoint, once
-        # inside the next sympos checkpoint's broadcast subtree)
-        top1 = (
-            counts.orderBy(F.col("n_pair").desc(), "a", "b")
-            .limit(1)
-            .localCheckpoint()
-        )
-        merges.append(
-            top1.select(
-                F.lit(step).alias("step"),
-                F.col("a").alias("sym_a"),
-                F.col("b").alias("sym_b"),
-                "n_pair",
-                F.concat("a", "b").alias("new_sym"),
+    # loop shuffle width from the measured (vocab-bounded) state size
+    # -- the session-wide constant re-schedules idle partitions every
+    # round (r12, guide §2; measured 4.0 s -> 3.0 s on bpe_train)
+    from .dedup import _loop_shuffle_partitions
+
+    with _loop_shuffle_partitions(documents.sparkSession, sympos.count()):
+        for step in range(1, n_merges + 1):
+            paired = sympos.withColumn("nxt", F.lead("sym").over(w))
+            counts = (
+                paired.filter(F.col("nxt").isNotNull())
+                .groupBy(F.col("sym").alias("a"), F.col("nxt").alias("b"))
+                .agg(F.sum("word_freq").alias("n_pair"))
             )
-        )
-        m = paired.crossJoin(F.broadcast(top1)).withColumn(
-            "is_m", (F.col("sym") == F.col("a")) & (F.col("nxt") == F.col("b"))
-        )
-        # two projection steps: window calls cannot nest (either engine)
-        g = m.withColumn(
-            "run_start",
-            (
-                F.col("is_m")
-                & ~F.coalesce(F.lag("is_m").over(w), F.lit(False))
-            ).cast("int"),
-        ).withColumn("run_id", F.sum("run_start").over(w_run))
-        w_runid = Window.partitionBy("word", "run_id")
-        g = g.withColumn(
-            "run_min", F.min(F.when(F.col("is_m"), F.col("pos"))).over(w_runid)
-        ).withColumn(
-            "active",
-            F.col("is_m") & ((F.col("pos") - F.col("run_min")) % 2 == 0),
-        )
-        g = g.withColumn(
-            "dropped", F.coalesce(F.lag("active").over(w), F.lit(False))
-        )
-        sympos = (
-            g.filter(~F.col("dropped"))
-            .select(
-                "word",
-                "word_freq",
-                F.row_number().over(w).alias("pos"),
-                F.when(F.col("active"), F.concat("sym", "nxt"))
-                .otherwise(F.col("sym"))
-                .alias("sym"),
+            # checkpoint the 1-row winner ONCE: both consumers (the merge
+            # record and the broadcast into the rewrite) then read the
+            # materialized row instead of each re-running the pair-count
+            # aggregate -- the un-checkpointed form paid the counts agg
+            # twice per round (once for the merge-record checkpoint, once
+            # inside the next sympos checkpoint's broadcast subtree)
+            top1 = (
+                counts.orderBy(F.col("n_pair").desc(), "a", "b")
+                .limit(1)
+                .localCheckpoint()
             )
-            .localCheckpoint()
-        )
+            merges.append(
+                top1.select(
+                    F.lit(step).alias("step"),
+                    F.col("a").alias("sym_a"),
+                    F.col("b").alias("sym_b"),
+                    "n_pair",
+                    F.concat("a", "b").alias("new_sym"),
+                )
+            )
+            m = paired.crossJoin(F.broadcast(top1)).withColumn(
+                "is_m", (F.col("sym") == F.col("a")) & (F.col("nxt") == F.col("b"))
+            )
+            # two projection steps: window calls cannot nest (either engine)
+            g = m.withColumn(
+                "run_start",
+                (
+                    F.col("is_m")
+                    & ~F.coalesce(F.lag("is_m").over(w), F.lit(False))
+                ).cast("int"),
+            ).withColumn("run_id", F.sum("run_start").over(w_run))
+            w_runid = Window.partitionBy("word", "run_id")
+            g = g.withColumn(
+                "run_min", F.min(F.when(F.col("is_m"), F.col("pos"))).over(w_runid)
+            ).withColumn(
+                "active",
+                F.col("is_m") & ((F.col("pos") - F.col("run_min")) % 2 == 0),
+            )
+            g = g.withColumn(
+                "dropped", F.coalesce(F.lag("active").over(w), F.lit(False))
+            )
+            sympos = (
+                g.filter(~F.col("dropped"))
+                .select(
+                    "word",
+                    "word_freq",
+                    F.row_number().over(w).alias("pos"),
+                    F.when(F.col("active"), F.concat("sym", "nxt"))
+                    .otherwise(F.col("sym"))
+                    .alias("sym"),
+                )
+                .localCheckpoint()
+            )
     return merges, sympos
 
 
@@ -2639,29 +2645,34 @@ def _ulm_loop(
         )
 
     cur = with_costs(chars.unionByName(multi)).localCheckpoint()
-    for _ in range(em_rounds):
-        usage = (
-            viterbi(cur)
-            .join(wf, "word")
-            .select("word_freq", F.explode("path").alias("piece"))
-            .groupBy("piece")
-            .agg(F.sum("word_freq").alias("usage"))
-        )
-        newv = (
-            cur.select("piece")
-            .join(usage, "piece", "left")
-            .select(
-                "piece",
-                F.when(
-                    F.length("piece") == 1,
-                    F.coalesce("usage", F.lit(0)) + 1,
-                )
-                .otherwise(F.coalesce("usage", F.lit(0)))
-                .alias("cnt"),
+    # loop shuffle width from the measured (vocab-bounded) state size
+    # (r12, guide §2 -- same discipline as the bpe merge loop)
+    from .dedup import _loop_shuffle_partitions
+
+    with _loop_shuffle_partitions(documents.sparkSession, subs.count()):
+        for _ in range(em_rounds):
+            usage = (
+                viterbi(cur)
+                .join(wf, "word")
+                .select("word_freq", F.explode("path").alias("piece"))
+                .groupBy("piece")
+                .agg(F.sum("word_freq").alias("usage"))
             )
-            .filter(F.col("cnt") > 0)
-        )
-        cur = with_costs(newv).localCheckpoint()
+            newv = (
+                cur.select("piece")
+                .join(usage, "piece", "left")
+                .select(
+                    "piece",
+                    F.when(
+                        F.length("piece") == 1,
+                        F.coalesce("usage", F.lit(0)) + 1,
+                    )
+                    .otherwise(F.coalesce("usage", F.lit(0)))
+                    .alias("cnt"),
+                )
+                .filter(F.col("cnt") > 0)
+            )
+            cur = with_costs(newv).localCheckpoint()
     return wf, viterbi, cur
 
 
