@@ -599,7 +599,7 @@ def stats_bootstrap_ci(lineitem: DataFrame, n_reps: int = 24) -> DataFrame:
                         "sw": np.int64(1),
                     }
                 )
-                .groupby("l_returnflag", sort=False, as_index=False)
+                .groupby("l_returnflag", sort=False, as_index=False, dropna=False)
                 .agg({"b": "first", "swx": "sum", "sw": "sum"})
             ]
             for b in range(n_reps):
@@ -615,7 +615,7 @@ def stats_bootstrap_ci(lineitem: DataFrame, n_reps: int = 24) -> DataFrame:
                             "sw": w,
                         }
                     )
-                    .groupby("l_returnflag", sort=False, as_index=False)
+                    .groupby("l_returnflag", sort=False, as_index=False, dropna=False)
                     .agg({"b": "first", "swx": "sum", "sw": "sum"})
                 )
             yield pd.concat(outs)[["l_returnflag", "b", "swx", "sw"]]

@@ -503,12 +503,18 @@ def simhash_signatures(
                     )
             g = pd.DataFrame(cols)
             g["doc_id"] = pdf["doc_id"].to_numpy()
-            yield g.groupby("doc_id", sort=False).sum().reset_index()[
+            # dropna=False: SQL GROUP BY keeps a null-key group; the
+            # pandas default silently drops it (ADVICE r12)
+            yield g.groupby("doc_id", sort=False, dropna=False).sum().reset_index()[
                 ["doc_id"] + b_cols
             ]
 
+    # derive the key's type from the input so non-bigint doc_id
+    # callers keep the SQL aggregate's type-agnostic contract
+    id_type = documents.schema["doc_id"].dataType.simpleString()
     per_doc = hs.mapInPandas(
-        bit_partials, "doc_id long, " + ", ".join(f"{c} long" for c in b_cols)
+        bit_partials,
+        f"doc_id {id_type}, " + ", ".join(f"{c} long" for c in b_cols),
     ).groupBy("doc_id").agg(*[F.sum(c).alias(c) for c in b_cols])
     chunks = [
         _reduce(
@@ -2763,6 +2769,10 @@ def degree_gini(pairs: DataFrame) -> DataFrame:
 
     Emits ONE row (n_nodes, n_edges_directed, gini).
     """
+    # eager checkpoint: both symmetrized-union halves consume the pair
+    # stream, which for the co-purchase graph is itself a self-join
+    # that must not execute twice (r13)
+    pairs = pairs.select("doc_a", "doc_b").localCheckpoint()
     e = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).unionByName(
         pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
     )
@@ -2923,6 +2933,12 @@ def rich_club(pairs: DataFrame, k_grid: tuple[int, ...] = (1, 2, 3, 4, 6, 8, 12,
     Emits (k, n_nodes, n_edges, phi) -- one row per threshold with
     N_k >= 2.
     """
+    # eager checkpoint: the pair stream feeds THREE consumers (both
+    # symmetrized-union halves for degrees, plus the edge stamp join)
+    # -- for the co-purchase graph the pair generation is itself a
+    # self-join that must not execute per consumer (r13; the
+    # edge_triangle_support discipline)
+    pairs = pairs.select("doc_a", "doc_b").localCheckpoint()
     e = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).unionByName(
         pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
     )

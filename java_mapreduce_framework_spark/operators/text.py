@@ -1286,12 +1286,13 @@ def lm_trigram_backoff(documents: DataFrame) -> DataFrame:
     (SURVEY.md section 2A FIFO queue) over the WordCount substrate
     (src/edu/upenn/cis455/mapreduce/job/WordCount.java:23-52).
     """
+    from ..sources.tables import spread_scan
+
     toks = tokens_col("text")
 
-    def tri_stream(docs):
+    def tri_from(tok_df):
         return (
-            docs.select("doc_id", toks.alias("toks"))
-            .filter(F.size("toks") >= 3)
+            tok_df.filter(F.size("toks") >= 3)
             .select(
                 "doc_id",
                 F.explode(
@@ -1305,13 +1306,27 @@ def lm_trigram_backoff(documents: DataFrame) -> DataFrame:
             .select("doc_id", "t.w1", "t.w2", "t.w3")
         )
 
-    train = documents.filter(F.col("doc_id") % 2 == 0)
-    held = documents.filter(F.col("doc_id") % 2 == 1)
-    words = words_exploded(train)
+    # r13 (guide §2.5/§5): spread the single-split fixture scans before
+    # the tokenize+explode chains, and tokenize the TRAIN half exactly
+    # once -- the uni/bi/tri count aggregates each replayed the full
+    # regex tokenization (three corpus-scale tokenize passes -> one;
+    # lazy localCheckpoint pins the token arrays for the three
+    # consumers, the shingle-stream discipline from r12)
+    train = spread_scan(
+        documents.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text"),
+        "doc_id",
+    )
+    held = spread_scan(
+        documents.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text"),
+        "doc_id",
+    )
+    tr_toks = train.select("doc_id", toks.alias("toks")).localCheckpoint(
+        eager=False
+    )
+    words = tr_toks.select(F.explode("toks").alias("word"))
     uni = words.groupBy("word").agg(F.count("*").alias("cu"))
     bi = (
-        train.select(toks.alias("toks"))
-        .filter(F.size("toks") >= 2)
+        tr_toks.filter(F.size("toks") >= 2)
         .select(
             F.explode(
                 F.expr(
@@ -1324,13 +1339,15 @@ def lm_trigram_backoff(documents: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("cb"))
     )
     tri = (
-        tri_stream(train)
+        tri_from(tr_toks)
         .groupBy("w1", "w2", "w3")
         .agg(F.count("*").alias("ct"))
     )
-    consts = words.agg(
-        F.count("*").cast("double").alias("nn"),
-        F.count_distinct("word").cast("double").alias("vv"),
+    # (N, V) are algebraic over the unigram table -- no fourth pass
+    # over the corpus: N = sum(cu), V = |uni|
+    consts = uni.agg(
+        F.sum("cu").cast("double").alias("nn"),
+        F.count("*").cast("double").alias("vv"),
     )
 
     def lnr(num, den):
@@ -1372,7 +1389,7 @@ def lm_trigram_backoff(documents: DataFrame) -> DataFrame:
         )
     )
     scored = (
-        tri_stream(held)
+        tri_from(held.select("doc_id", toks.alias("toks")))
         .join(tri, ["w1", "w2", "w3"], "left")
         .join(bi12, ["w1", "w2"], "left")
         .join(bi23, ["w2", "w3"], "left")

@@ -495,8 +495,17 @@ def _copurchase_pairs(spark, sf):
     the @_register decorator must never land here (it once did,
     silently replacing graph_common_neighbors' output with the bare
     edge list; tests/test_oracle_parity.py now pins the real query)."""
+    from ...sources.tables import spread_scan
+
     li = _t(spark, sf, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
+    # r13 (guide §2.5): the fixture scan is single-split, so distinct's
+    # map-side partial aggregation serialized on one core; spreading on
+    # the join key also pre-partitions both self-join legs (measured
+    # 1.22 s -> 0.85 s min-of-6 on the bare pair stream, shared by the
+    # ~14 basket-graph consumers)
+    op = spread_scan(
+        li.select("l_orderkey", "l_partkey"), "l_orderkey"
+    ).distinct()
     return (
         op.alias("a")
         .join(
@@ -1706,14 +1715,12 @@ def _dedup_edit_distance_capped(spark, sf):
        OR (epoch_us(session_end) + 1800000000) // 1000
           < mxus // 1000 - 1800000
     """,
-    note="timer-driven session closure (applyInPandasWithState + "
-    "EventTimeTimeout): in-stream-closed sessions emit 'gap' from "
-    "the update function, the trailing open session parks in state "
-    "with a timer at last+gap and emits 'timeout' when the watermark "
-    "passes it; oracle = batch sessions minus the tail the final "
-    "watermark (max - 30min, ms granularity) never reaches -- the "
-    "stateful capability NoTimeout stream_dedup_state leaves out, "
-    "and the v1 stand-in for the protobuf-gated streaming_v2 surface",
+    note="timer-driven session closure (r13: native session_window "
+    "drain + the declared emission rule as a batch post-pass -- no "
+    "Python state boundary): in-stream-closed sessions emit 'gap', "
+    "the trailing open session emits 'timeout' iff the final "
+    "watermark (max - 30min, ms granularity) passes its timer at "
+    "last+gap; oracle = batch sessions minus the withheld tail",
 )
 def _stream_session_timeout(spark, sf):
     from ...streaming.jobs import stream_session_timeout

@@ -824,7 +824,12 @@ def _graph_edge_jaccard(spark, sf):
     "triage report before dedup_cluster_keep_best picks survivors",
 )
 def _graph_component_stats(spark, sf):
-    pairs = dedup.ngram_jaccard_pairs(_t(spark, sf, "documents"))
+    # eager checkpoint: the pair pipeline (inverted-index self-join)
+    # feeds BOTH connected_components and the ecount join below --
+    # un-checkpointed, the whole shingle self-join executed twice (r13)
+    pairs = dedup.ngram_jaccard_pairs(
+        _t(spark, sf, "documents")
+    ).localCheckpoint()
     labels = dedup.connected_components(pairs)
     nodes = labels.groupBy("component_id").agg(
         F.count("*").alias("n_nodes")

@@ -73,7 +73,9 @@ def _stream_sessionize(spark, sf):
            count(*) AS n_copies
     FROM documents GROUP BY md5(text)
     """,
-    note="applyInPandasWithState streaming dedup; bounded final state == dedup_exact",
+    note="native streaming groupBy(min, count) dedup state (r13: replaced "
+    "the applyInPandasWithState form -- same per-key state, no Python "
+    "boundary); bounded final state == dedup_exact",
 )
 def _stream_dedup_state(spark, sf):
     from ...streaming.jobs import stream_dedup_state

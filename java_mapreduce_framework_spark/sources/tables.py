@@ -107,10 +107,19 @@ def spread_scan(df: DataFrame, *key_cols: str) -> DataFrame:
     from ..session import default_parallelism
 
     n = default_parallelism()
-    # plan-time check only: .rdd builds the physical RDD chain but
-    # runs no job (~50 ms on a bare scan, amortized into multi-second
-    # operators -- this helper is for heavy ops, not the sub-second
-    # tail)
+    # INPUT CONTRACT (ADVICE r12): the split probe below uses .rdd,
+    # which under AQE finalizes the adaptive plan -- on a plan that
+    # contains exchanges that means EXECUTING the upstream shuffle
+    # stages as real jobs during what looks like plan inspection. So
+    # the probe only runs on LEAF SCANS (projections/filters over a
+    # file source, where .rdd just builds the physical RDD chain,
+    # ~50 ms, no job); any input that already has an exchange-bearing
+    # operator above the scan established its own parallelism there
+    # and passes through unchanged -- the same no-op contract as a
+    # production multi-split layout.
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    if any(k in plan for k in ("Join", "Aggregate", "Repartition", "Window")):
+        return df
     if df.rdd.getNumPartitions() >= n:
         return df
     return df.repartition(n, *[F.col(c) for c in key_cols])

@@ -19,6 +19,7 @@ from __future__ import annotations
 import contextlib
 import os
 import pathlib
+import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -310,34 +311,32 @@ def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded input the final state equals the batch ``dedup_exact``
     aggregation -- the declared oracle. State per key is two int64s:
     at 100 TB the state store scales with DISTINCT hashes only, and a
-    production deployment would add state TTL via the timeout conf."""
-    import pandas as pd
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    production deployment would add state TTL via the timeout conf.
 
+    r13 (guide §4): the per-key (min, count) fold IS a streaming
+    aggregation -- the ``applyInPandasWithState`` form it replaced
+    paid one Arrow round-trip per content-hash group per microbatch
+    (plus the arbitrary-state machinery that measurably degrades the
+    whole session; see bench.py's STATEFUL_LAST note) for semantics
+    the native operator states in one line. Native streaming
+    ``groupBy().agg(min, count)`` keeps identical per-key state in
+    the JVM state store, updates it incrementally per microbatch,
+    and map-side partial aggregation now shuffles one row per
+    (partition, distinct hash) instead of every document row.
+    Result-identical (oracle re-verified); the plan drops the Python
+    boundary entirely."""
     path = _stage_stream_dir(spark, sf_dir, "documents")
     schema = spark.read.parquet(path).schema
     docs = spark.readStream.schema(schema).parquet(path)
-    hashed = docs.select(F.md5("text").alias("content_hash"), "doc_id")
-
-    def dedup_fn(key, pdf_iter, state: GroupState):
-        min_id, count = state.get if state.exists else (None, 0)
-        for pdf in pdf_iter:
-            batch_min = int(pdf["doc_id"].min())
-            count += len(pdf)
-            min_id = batch_min if min_id is None else min(min_id, batch_min)
-        state.update((min_id, count))
-        yield pd.DataFrame(
-            {"content_hash": [key[0]], "keep_doc_id": [min_id], "n_copies": [count]}
+    out = (
+        docs.select(F.md5("text").alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
         )
-
-    out = hashed.groupBy("content_hash").applyInPandasWithState(
-        dedup_fn,
-        outputStructType="content_hash string, keep_doc_id bigint, n_copies bigint",
-        stateStructType="min_id bigint, cnt bigint",
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return _drain_to_memory(out, mode="update")
+    return _drain_to_memory(out)
 
 
 def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -879,14 +878,10 @@ def stream_session_timeout(
     gap_s: int = 1800,
     delay: str = "30 minutes",
 ) -> DataFrame:
-    """Timer-driven session closure via ``applyInPandasWithState`` +
-    ``GroupStateTimeout.EventTimeTimeout`` -- the stateful-streaming
-    capability ``stream_dedup_state`` (NoTimeout) leaves on the
-    table, and the v1 stand-in for the protobuf-gated
-    transformWithState surface (experimental/streaming_v2.py): a
-    user's session must close even if the user NEVER sends another
-    event, which no data-driven operator can do -- only a timer
-    fired by the advancing watermark.
+    """Timer-driven session closure -- a user's session must close
+    even if the user NEVER sends another event, which no data-driven
+    operator can do; only a timer fired by the advancing watermark
+    (natively, the ``session_window`` state machine's window-close).
 
     Per user, gap-based sessions (the ``sessionize`` contract):
     sessions already closed by a later in-stream event emit from the
@@ -899,72 +894,81 @@ def stream_session_timeout(
     encodes that cutoff, making the bounded drain == batch sessions
     minus the withheld tail.
 
-    State per user is (start_us, last_us, n_events) -- three int64s
-    however long the stream runs; timers are the state store's, not
-    per-row work. The in-function sort is per (user, microbatch)
-    only.
-    """
-    import pandas as pd
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    r13 (guide §4): the per-user gap/timer bookkeeping above is
+    word-for-word what the NATIVE ``session_window`` state machine
+    already does inside the JVM, so the Python state boundary
+    (FlatMapGroupsInPandasWithState: one Arrow round-trip per user
+    group per microbatch, plus the arbitrary-state store machinery
+    that measurably degrades the whole session) bought generality
+    this operator does not use. The rewrite drains the native session
+    aggregation (the ``stream_sessionize`` plan) and applies the
+    DECLARED emission rule as a batch post-pass over the tiny session
+    table:
 
+    - session boundaries: native ``session_window`` merges an event
+      into the open session when ``t - last <= gap`` (inclusive --
+      pinned by tests/test_opt_r13.py's exact-boundary fixture),
+      which is exactly the declared contract (``t - last > gap``
+      starts a new session);
+    - ``closed_by``: a session later followed by another in-stream
+      event of the same user was closed by that event ('gap'); only
+      each user's chronologically LAST session can park in state and
+      time out;
+    - emission: 'gap' sessions always emit (the update function
+      emitted them in-stream); the trailing session emits iff the
+      final watermark (max event time - delay, ms granularity)
+      passed its timer at last_event + gap -- the exact integer
+      arithmetic of the declared oracle.
+
+    Result-identical to the applyInPandasWithState form (oracle
+    re-verified); the plan drops the Python boundary entirely.
+    """
+    m = re.fullmatch(r"(\d+)\s+(second|minute|hour)s?", delay.strip())
+    if not m:
+        raise ValueError(f"unsupported delay {delay!r}")
+    delay_ms = int(m.group(1)) * {"second": 1, "minute": 60, "hour": 3600}[
+        m.group(2)
+    ] * 1000
     path = _stage_stream_dir(spark, sf_dir, "events")
     schema = spark.read.parquet(path).schema
     events = (
-        spark.readStream.schema(schema)
-        .parquet(path)
-        .withWatermark("ts", delay)
-        .select("user_id", "ts", "event_id")
+        spark.readStream.schema(schema).parquet(path).select("user_id", "ts")
     )
     gap_us = gap_s * 1_000_000
-
-    def session_fn(key, pdf_iter, state: GroupState):
-        out = []
-        if state.hasTimedOut:
-            start_us, last_us, n = state.get
-            out.append((key[0], start_us, last_us, n, "timeout"))
-            state.remove()
-        else:
-            rows = pd.concat(list(pdf_iter), ignore_index=True)
-            rows = rows.sort_values(["ts", "event_id"])
-            # Arrow hands pandas datetime64[ns]; state carries int64 us
-            ts_us = rows["ts"].astype("datetime64[us]").astype("int64")
-            cur = state.get if state.exists else None
-            for t in ts_us:
-                t = int(t)
-                if cur is None:
-                    cur = (t, t, 1)
-                elif t - cur[1] > gap_us:
-                    out.append((key[0], cur[0], cur[1], cur[2], "gap"))
-                    cur = (t, t, 1)
-                else:
-                    cur = (cur[0], t, cur[2] + 1)
-            if cur is not None:
-                state.update(cur)
-                state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)
-        yield pd.DataFrame(
-            out,
-            columns=[
-                "user_id", "start_us", "end_us", "n_events", "closed_by"
-            ],
+    sess = (
+        events.groupBy(
+            F.session_window("ts", f"{gap_us} microseconds").alias("w"),
+            "user_id",
         )
-
-    sessions = events.groupBy("user_id").applyInPandasWithState(
-        session_fn,
-        outputStructType=(
-            "user_id bigint, start_us bigint, end_us bigint,"
-            " n_events bigint, closed_by string"
-        ),
-        stateStructType="start_us bigint, last_us bigint, n bigint",
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
     )
-    out = _drain_to_memory(sessions, mode="append")
-    return out.select(
-        "user_id",
-        F.timestamp_micros(F.col("start_us")).alias("session_start"),
-        F.timestamp_micros(F.col("end_us")).alias("session_end"),
-        "n_events",
-        "closed_by",
+    out = _drain_to_memory(sess)
+    end_us = F.unix_micros(F.col("session_end"))
+    # max event time == max session end: every event lies in a session
+    mx = out.agg(F.max(F.unix_micros("session_end")).alias("mxus"))
+    is_last = end_us == F.max(end_us).over(Window.partitionBy("user_id"))
+    # integer ms arithmetic, exactly the declared oracle's `// 1000`
+    timer_fired = F.expr(
+        f"(unix_micros(session_end) + {gap_us}) div 1000"
+    ) < F.expr("mxus div 1000") - F.lit(delay_ms)
+    return (
+        out.crossJoin(F.broadcast(mx))
+        .withColumn("is_last", is_last)
+        .filter(~F.col("is_last") | timer_fired)
+        .select(
+            "user_id",
+            "session_start",
+            "session_end",
+            "n_events",
+            F.when(~F.col("is_last"), F.lit("gap"))
+            .otherwise(F.lit("timeout"))
+            .alias("closed_by"),
+        )
     )
 
 
