@@ -1286,8 +1286,6 @@ def lm_trigram_backoff(documents: DataFrame) -> DataFrame:
     (SURVEY.md section 2A FIFO queue) over the WordCount substrate
     (src/edu/upenn/cis455/mapreduce/job/WordCount.java:23-52).
     """
-    from ..sources.tables import spread_scan
-
     toks = tokens_col("text")
 
     def tri_from(tok_df):
@@ -1306,23 +1304,16 @@ def lm_trigram_backoff(documents: DataFrame) -> DataFrame:
             .select("doc_id", "t.w1", "t.w2", "t.w3")
         )
 
-    # r13 (guide §2.5/§5): spread the single-split fixture scans before
-    # the tokenize+explode chains, and tokenize the TRAIN half exactly
-    # once -- the uni/bi/tri count aggregates each replayed the full
-    # regex tokenization (three corpus-scale tokenize passes -> one;
-    # lazy localCheckpoint pins the token arrays for the three
-    # consumers, the shingle-stream discipline from r12)
-    train = spread_scan(
-        documents.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text"),
-        "doc_id",
-    )
-    held = spread_scan(
-        documents.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text"),
-        "doc_id",
-    )
-    tr_toks = train.select("doc_id", toks.alias("toks")).localCheckpoint(
-        eager=False
-    )
+    # r13 measured-and-rejected: spreading the half-scans OR
+    # checkpointing the tokenized train stream both cost MORE than the
+    # duplicated tokenize they save (same-session A/B min-of-3:
+    # original 1.38 s, consts-from-uni-only 1.15 s, +spread 1.77 s,
+    # +checkpoint 1.77 s) -- the three count aggregates over the
+    # shared scan pipeline parallelize fine; materializing the token
+    # arrays does not pay at any tested shape. Kept: consts from uni.
+    train = documents.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    held = documents.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    tr_toks = train.select("doc_id", toks.alias("toks"))
     words = tr_toks.select(F.explode("toks").alias("word"))
     uni = words.groupBy("word").agg(F.count("*").alias("cu"))
     bi = (
